@@ -1,13 +1,267 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.{EngineConfig, Share}
+import graft.operators.Dedup
+import graft.sources.InReachSource
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.time.Instant
+
+/** Driver contract — the engine's public query surface.
+  *
+  * Each entry maps one operator row of SURVEY.md §2 (or a mandated
+  * extension, §2.11) onto the harness's Parquet tables, with an ANSI
+  * SQL dual in [[oracleSql]] for the DuckDB correctness gate.
+  *
+  * Conventions for oracle parity:
+  *  - every computed column is aliased identically on both sides;
+  *  - money/float aggregates are rounded on both sides (the two
+  *    engines sum doubles in different orders);
+  *  - `events.ts` is nanosecond-precision: Spark reads it as BIGINT
+  *    nanos (`spark.sql.legacy.parquet.nanosAsLong`), the oracle uses
+  *    `epoch_ns(ts)` — both sides see the same int64;
+  *  - deterministic tiebreaks on every argmax/top-k/rank.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the reference pipeline end-to-end (KML source →
+    * projection → argmax dedup → Feature rows) on an in-process
+    * fixture feed. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val fetcher: InReachSource.Fetcher = (_, _) => Scratch.fixtureKml
+    Pipeline.features(spark, EngineConfig(Seq(Share("demo-share"))), fetcher,
+      Instant.parse("2026-08-12T05:30:00Z"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Reference-surface operators (SURVEY.md §2) ──────────────────
+    // P1/P9 + S5: predicate + wide projection (filter pushes to scan).
+    "q01_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.05 &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          // no rounding: a single multiply is bitwise-identical IEEE
+          // on both engines, while round() differs at half-ULP edges
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+    // P5: regex unit-suffix strip (task.ts:119-120 analog).
+    "q02_regex_strip" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "\\s.*", "").as("p_first_word"),
+        regexp_replace(col("p_type"), "\\s.*", "").as("p_type_class"))
+    }),
+    // P6: unit conversion km/h → m/s (task.ts:120).
+    "q03_unit_conversion" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        round(col("value") * 0.277778, 6).as("speed_ms"))
+    }),
+    // P4 + S3: key-prefix id projection + coalesce defaulting.
+    "q04_concat_coalesce" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat(lit("cust-"), col("c_name")).as("tag"),
+        coalesce(
+          when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")),
+          lit("DEFAULT")).as("segment"))
+    }),
+    // D1: latest-per-key argmax dedup (task.ts:151-159) on the event
+    // stream — map-side-combining max_by, one shuffle on the key.
+    // µs-truncated ordering: DuckDB's TIMESTAMP is µs, so ns-level
+    // ordering would be unverifiable; event_id breaks µs ties.
+    "q05_latest_per_user" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")).drop("ts")
+      Dedup.argmaxPerKey(ev, Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+        .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    }),
+    // U1: union-all fan-in (task.ts:177-180).
+    "q06_union_fanin" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "event_type")
+      ev.filter(col("event_type") === "click")
+        .unionByName(ev.filter(col("event_type") === "error"))
+    }),
+    // Extension: exact dedup w/ deterministic survivor + copy count.
+    "q07_exact_dedup" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy("text")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+    }),
+    // §2.8 JSON: field extraction from the props JSON column.
+    "q08_json_extract" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }),
+    // §2.10 streaming analog: 30-minute tumbling-window aggregation
+    // (integer nanos division — exact on both engines).
+    "q09_time_bucket" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("bucket", expr("ts div 1800000000000"))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+    }),
+    // ── Relational battery over the star schema ─────────────────────
+    // TPC-H Q1-shaped aggregation (partial+final agg, codegen'd).
+    "q10_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+    // Star join: fact orders → customer → broadcast dims.
+    "q11_star_join" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+    // Left-semi join: customers having a finished order.
+    "q12_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer").join(
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+    // Left-anti join: customers with no orders at all.
+    "q13_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+    // Window ranking: top-3 orders per customer.
+    "q14_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+    // Global top-k (TakeOrderedAndProject — no full sort at scale).
+    "q15_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+    // Rollup (grouping sets).
+    "q16_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+    }),
+    // Analytic window: inter-event gap per user (lag), µs precision
+    // (DuckDB timestamps are µs).
+    "q17_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("event_id"), col("user_id"),
+          (col("ts_us") - lag("ts_us", 1).over(w)).as("delta_us"))
+    }),
+    // Conditional aggregation (pivot-shaped).
+    "q18_conditional_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0)), 4)
+          .as("purchase_value"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_discount > 0.05 AND l_shipdate >= TIMESTAMP '1996-01-01'""".stripMargin,
+    "q02_regex_strip" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '\s.*', '') AS p_first_word,
+        |  regexp_replace(p_type, '\s.*', '') AS p_type_class
+        |FROM part""".stripMargin,
+    "q03_unit_conversion" ->
+      "SELECT event_id, round(value * 0.277778, 6) AS speed_ms FROM events",
+    "q04_concat_coalesce" ->
+      """SELECT c_custkey, 'cust-' || c_name AS tag,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS segment
+        |FROM customer""".stripMargin,
+    "q05_latest_per_user" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "q06_union_fanin" ->
+      """SELECT event_id, event_type FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, event_type FROM events WHERE event_type = 'error'""".stripMargin,
+    "q07_exact_dedup" ->
+      "SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "q08_json_extract" ->
+      "SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events",
+    "q09_time_bucket" ->
+      """SELECT epoch_ns(ts) // 1800000000000 AS bucket, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q10_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_star_join" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q12_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+    "q13_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q14_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q15_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q16_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q17_window_lag" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+        |FROM events""".stripMargin,
+    "q18_conditional_agg" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase_value
+        |FROM events GROUP BY user_id""".stripMargin
+  )
 }

@@ -36,12 +36,18 @@ object Dedup {
       time: Column,
       tiebreak: Seq[Column] = Seq.empty): DataFrame = {
     val epoch0 = to_timestamp(lit("1970-01-01 00:00:00"))
-    val ord =
-      if (tiebreak.isEmpty) coalesce(time, epoch0)
-      else struct((coalesce(time, epoch0).as("_t") +:
-        tiebreak.zipWithIndex.map { case (c, i) => c.as(s"_tb$i") }): _*)
+    argmaxPerKey(df, key, coalesce(time, epoch0) +: tiebreak)
+  }
+
+  /** Generic argmax: the whole row with the greatest `ord` tuple per
+    * key. Works for any orderable ordering columns (timestamps, epoch
+    * longs, …); the row payload itself need not be orderable. */
+  def argmaxPerKey(df: DataFrame, key: Seq[String], ord: Seq[Column]): DataFrame = {
+    val ordC =
+      if (ord.size == 1) ord.head
+      else struct(ord.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }: _*)
     df.groupBy(key.map(col): _*)
-      .agg(max_by(struct(df.columns.map(col): _*), ord).as("_row"))
+      .agg(max_by(struct(df.columns.map(col): _*), ordC).as("_row"))
       .select("_row.*")
   }
 
