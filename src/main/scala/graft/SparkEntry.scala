@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{EngineConfig, Share}
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import graft.sources.InReachSource
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -181,7 +181,16 @@ object SparkEntry {
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
         round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0)), 4)
           .as("purchase_value"))
-    })
+    }),
+    // ── Text analysis (SURVEY.md §2.11 extensions) ──────────────────
+    "q20_text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenStats(t(s, dir, "documents"))),
+    "q21_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"))),
+    "q22_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"))),
+    "q23_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -262,6 +271,60 @@ object SparkEntry {
         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
         |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase_value
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q20_text_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |  len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_uniq_tokens,
+        |  coalesce(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> length(t))), 0)::BIGINT AS alnum_chars,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish
+        |FROM documents""".stripMargin,
+    "q21_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    length(text)::BIGINT AS n_chars,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE / nullif(length(text)::DOUBLE, 0) AS punct_ratio,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE
+        |      / nullif(len(toks)::DOUBLE, 0) AS stopword_ratio,
+        |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+        |      / nullif(len(toks)::DOUBLE, 0) AS avg_token_len
+        |  FROM t
+        |)
+        |SELECT doc_id, n_chars,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(stopword_ratio, 6) AS stopword_ratio,
+        |  round(avg_token_len, 6) AS avg_token_len,
+        |  round(
+        |    least(n_chars / 500.0, 1.0) * 0.4 +
+        |    least(coalesce(stopword_ratio, 0.0) * 5.0, 1.0) * 0.4 +
+        |    (1.0 - least(coalesce(punct_ratio, 0.0) * 10.0, 1.0)) * 0.2, 6) AS quality
+        |FROM s""".stripMargin,
+    "q22_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS c_en,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x))) AS c_de,
+        |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de','du','pour'], x))) AS c_fr,
+        |    len(list_filter(toks, x -> list_contains(['el','los','las','y','es','si','una','como','por','para'], x))) AS c_es
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |       WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+        |       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |       WHEN c_fr >= c_es THEN 'fr'
+        |       ELSE 'es' END AS predicted_lang
+        |FROM c""".stripMargin,
+    "q23_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+        |  ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp64
+        |FROM documents""".stripMargin
   )
 }
