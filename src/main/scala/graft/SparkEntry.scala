@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{EngineConfig, Share}
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, FuzzyDedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.InReachSource
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -190,7 +190,45 @@ object SparkEntry {
     "q22_langid" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"))),
     "q23_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprints(t(s, dir, "documents")))
+      TextAnalysis.fingerprints(t(s, dir, "documents"))),
+    // ── Dedup family (SURVEY.md §2.11) ──────────────────────────────
+    // MinHash+LSH near-dups: shingle→minhash→band→bucket-join→verify.
+    // The whole pipeline (including the candidate set) is md5-derived,
+    // so the oracle reproduces it exactly.
+    "q24_minhash_neardup" -> ((s, dir) =>
+      FuzzyDedup.minhashNearDups(t(s, dir, "documents"))),
+    // Exact n-gram Jaccard ground truth on a fixed-size block (the
+    // O(n²) stage must not grow with sf; the scale path is q24).
+    "q25_ngram_jaccard" -> ((s, dir) =>
+      FuzzyDedup.exactJaccardPairs(t(s, dir, "documents"),
+        blockFilter = col("doc_id") < 300)),
+    // 60-bit SimHash sketch per document.
+    "q26_simhash" -> ((s, dir) =>
+      FuzzyDedup.simhash(t(s, dir, "documents"))),
+    // Embedding near-dup pairs, label-blocked (IVF-ish scale path).
+    "q27_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.4)),
+    // ── Similarity search (SURVEY.md §2.11) ─────────────────────────
+    // Brute-force cosine top-k: broadcast 5 queries × corpus scan.
+    "q28_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < 5), 5)
+    }),
+    // IVF-blocked top-k: search only the query's label cell.
+    "q29_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), 3)
+    }),
+    // ── Multimodal columns (SURVEY.md §2.11) ────────────────────────
+    // Binary payload + typed metadata; expression-path fake decode
+    // (the codec seam is exercised by MultimodalSpec).
+    "q30_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(Multimodal.asBinaryTable(t(s, dir, "documents")))),
+    // Frame sampling over chunked binary (rows-only check: binary
+    // frame payloads aren't oracle-SQL-comparable).
+    "q31_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.asBinaryTable(t(s, dir, "documents")), chunkBytes = 64, stride = 2))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -325,6 +363,127 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
         |  ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp64
+        |FROM documents""".stripMargin,
+    "q24_minhash_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |), nz AS (SELECT * FROM base WHERE len(sh) > 0),
+        |mh AS (
+        |  SELECT doc_id, sh,
+        |    list_min(list_transform(sh, s -> md5('0:' || s))) AS mh0,
+        |    list_min(list_transform(sh, s -> md5('1:' || s))) AS mh1,
+        |    list_min(list_transform(sh, s -> md5('2:' || s))) AS mh2,
+        |    list_min(list_transform(sh, s -> md5('3:' || s))) AS mh3,
+        |    list_min(list_transform(sh, s -> md5('4:' || s))) AS mh4,
+        |    list_min(list_transform(sh, s -> md5('5:' || s))) AS mh5,
+        |    list_min(list_transform(sh, s -> md5('6:' || s))) AS mh6,
+        |    list_min(list_transform(sh, s -> md5('7:' || s))) AS mh7,
+        |    list_min(list_transform(sh, s -> md5('8:' || s))) AS mh8,
+        |    list_min(list_transform(sh, s -> md5('9:' || s))) AS mh9,
+        |    list_min(list_transform(sh, s -> md5('10:' || s))) AS mh10,
+        |    list_min(list_transform(sh, s -> md5('11:' || s))) AS mh11
+        |  FROM nz
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band, mh0||'|'||mh1||'|'||mh2 AS sig FROM mh
+        |  UNION ALL SELECT doc_id, 1, mh3||'|'||mh4||'|'||mh5 FROM mh
+        |  UNION ALL SELECT doc_id, 2, mh6||'|'||mh7||'|'||mh8 FROM mh
+        |  UNION ALL SELECT doc_id, 3, mh9||'|'||mh10||'|'||mh11 FROM mh
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT doc_a, doc_b,
+        |    len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |  FROM cand JOIN nz x ON cand.doc_a = x.doc_id JOIN nz y ON cand.doc_b = y.doc_id
+        |)
+        |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8""".stripMargin,
+    "q25_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |), nz AS (SELECT * FROM base WHERE len(sh) > 0 AND doc_id < 300),
+        |j AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.3""".stripMargin,
+    "q26_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok
+        |), bits AS (
+        |  SELECT doc_id, g.j, sum(CASE WHEN (hv >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, generate_series(0, 59) g(j) GROUP BY doc_id, g.j
+        |)
+        |SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "q27_embed_neardup" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |        i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+        |        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4""".stripMargin,
+    "q28_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT query_id, c.vec_id AS cand_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(qv)),
+        |        i -> qv[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+        |        i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+        |        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))), 6) AS cos
+        |  FROM q JOIN embeddings c ON c.vec_id <> query_id
+        |), r AS (
+        |  SELECT query_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+        |  FROM s
+        |)
+        |SELECT query_id, cand_id, cos, rn FROM r WHERE rn <= 5""".stripMargin,
+    "q29_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qp
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT query_id, c.vec_id AS cand_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(qv)),
+        |        i -> qv[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+        |        i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+        |        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))), 6) AS cos
+        |  FROM q JOIN embeddings c ON c.label = qp AND c.vec_id <> query_id
+        |), r AS (
+        |  SELECT query_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+        |  FROM s
+        |)
+        |SELECT query_id, cand_id, cos, rn FROM r WHERE rn <= 3""".stripMargin,
+    "q30_multimodal_meta" ->
+      """SELECT doc_id, 'image/png' AS mime,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  16 * (1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64) AS width,
+        |  16 * (1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64) AS height,
+        |  1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 4 AS channels
         |FROM documents""".stripMargin
   )
 }

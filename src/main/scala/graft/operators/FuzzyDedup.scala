@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.functions.HashFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Near-duplicate detection for document corpora (SURVEY.md §2.11;
+  * BASELINE.json north-star). Three families:
+  *
+  *  1. MinHash + LSH banding — the 100 TB path. Cost is
+  *     O(rows · shingles) for signatures plus one shuffle on
+  *     (band, signature); candidate verification touches only
+  *     colliding pairs. No O(n²) stage anywhere.
+  *  2. Exact n-gram Jaccard — all-pairs ground truth, for oracle
+  *     verification and small blocked subsets.
+  *  3. SimHash — a 64-bit per-doc sketch; near-dups differ in few
+  *     bits, found by chunk-blocked Hamming join.
+  *
+  * All hashing is md5-derived ([[graft.functions.HashFunctions]]) so
+  * every stage is bit-reproducible by the DuckDB oracle: the LSH
+  * candidate set itself is deterministic, not just the verified
+  * output.
+  *
+  * Skew note (scale): a degenerate band signature shared by a huge
+  * cluster makes the candidate join quadratic in that bucket. Callers
+  * deduplicating adversarial corpora should cap bucket size
+  * (`maxBucket`) — dropped buckets are *already duplicates by
+  * signature*, better handled by exact-key grouping.
+  */
+object FuzzyDedup {
+
+  /** (doc_id, sh) with empty-shingle docs removed. */
+  def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Exact Jaccard over distinct shingle sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing at least one of
+    * `bands` band signatures (r = k/bands minhashes concatenated).
+    * Deterministic: same (k, bands, data) ⇒ same candidates. */
+  def lshCandidates(sh: DataFrame, k: Int = 12, bands: Int = 4,
+                    maxBucket: Option[Int] = None): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands=$bands must divide k=$k")
+    val sig = sh.select(col("doc_id") +: minhashSignature(col("sh"), k): _*)
+    val bandRows = sig.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", (0 until r).map(i => col(s"mh${b * r + i}")): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    val capped = maxBucket match {
+      case None => bandRows
+      case Some(cap) =>
+        // cap pathological buckets: members beyond `cap` per (band,sig)
+        // are exact-signature duplicates, cheaper to handle by grouping
+        bandRows.withColumn("_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")))
+          .filter(col("_n") <= cap).drop("_n")
+    }
+    val a = capped.as("a")
+    val b = capped.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, verified by exact Jaccard ≥
+    * `threshold` on the candidate set. The standard
+    * shingle→minhash→band→bucket-join→verify pipeline. */
+  def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", n: Int = 3, k: Int = 12,
+                      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n)
+    val cand = lshCandidates(sh, k, bands)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold within an optional
+    * blocking predicate — O(n²): ground-truth/small-corpus tool, not
+    * the scale path (that's [[minhashNearDups]]). */
+  def exactJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 3,
+                        threshold: Double = 0.3,
+                        blockFilter: Column = lit(true)): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n).filter(blockFilter)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 60-bit SimHash per document over distinct tokens: bit j is set
+    * iff more token-hashes have bit j set than clear. Pure
+    * shuffle-agg (rows × 60 bit-rows), no pairwise stage. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))).as("t"))
+      .withColumn("hv", md5Long(col("t")))
+    tok
+      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(expr("shiftright(hv, j) & 1") === 1, 1).otherwise(-1)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on any shared 15-bit chunk (4
+    * chunks ⇒ any pair within Hamming distance 3 shares ≥1 chunk by
+    * pigeonhole), verify `bit_count(xor) ≤ maxHamming`. */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val shh = simhash(docs, idCol, textCol)
+    val chunked = shh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          expr(s"shiftright(simhash, ${c * 15}) & 32767").as("ck"))): _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ck"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

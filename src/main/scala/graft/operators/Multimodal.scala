@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+/** Multimodal column plumbing (SURVEY.md §2.11): images/audio/video
+  * ride as opaque `binary` columns with a typed metadata struct; all
+  * heavy decode work happens executor-side, batched, behind a
+  * pluggable codec seam.
+  *
+  * The container has no image/audio codecs, so [[FakeCodec]] is a
+  * clearly-marked deterministic stand-in (dimensions derived from the
+  * payload's md5) — the Spark-side contract (schema, partitioning,
+  * batch shape, null handling) is real and tested, and swapping in a
+  * real codec is a one-object change.
+  *
+  * Scale notes: payloads stay columnar Parquet `binary`; metadata
+  * extraction is a per-row projection (scan-parallel, no shuffle);
+  * the batch-decode path is `mapPartitions` so codec init happens
+  * once per partition, not once per row — the Scala analog of a
+  * Pandas-batched UDF.
+  */
+object Multimodal {
+
+  /** One decoded-media metadata record. */
+  final case class MediaMeta(doc_id: Long, mime: String, n_bytes: Long,
+                             width: Long, height: Long, channels: Long)
+
+  /** The codec seam: bytes → (width, height, channels). */
+  trait Codec extends Serializable {
+    def decode(payload: Array[Byte]): (Long, Long, Long)
+  }
+
+  /** STUB codec — deterministic fake: "dimensions" are keyed off the
+    * payload md5 so tests and the DuckDB oracle can reproduce them.
+    * A real deployment replaces this object with e.g. an ImageIO- or
+    * ffmpeg-backed implementation; nothing else changes. */
+  object FakeCodec extends Codec {
+    def decode(payload: Array[Byte]): (Long, Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      def b(i: Int): Long = md(i) & 0xffL
+      (16 * (1 + b(0) % 64), 16 * (1 + b(1) % 64), 1 + b(2) % 4)
+    }
+  }
+
+  /** documents → multimodal frame: the text payload re-typed as an
+    * opaque binary column plus provenance metadata, the shape a real
+    * image/audio table would have. */
+  def asBinaryTable(docs: DataFrame, idCol: String = "doc_id",
+                    payloadCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      col(payloadCol).cast("binary").as("content"),
+      struct(
+        lit("image/png").as("mime"),
+        length(col(payloadCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
+
+  /** Pure-expression metadata extraction (no decode round-trip):
+    * byte length + md5-derived fake dimensions. Portable to the
+    * DuckDB oracle hex-for-hex. */
+  def extractMeta(binTable: DataFrame): DataFrame = {
+    val h = md5(col("content"))
+    binTable.select(
+      col("doc_id"),
+      col("meta.mime").as("mime"),
+      col("meta.n_bytes").as("n_bytes"),
+      (lit(16) * (lit(1) + conv(substring(h, 1, 2), 16, 10).cast("long") % 64)).as("width"),
+      (lit(16) * (lit(1) + conv(substring(h, 3, 2), 16, 10).cast("long") % 64)).as("height"),
+      (lit(1) + conv(substring(h, 5, 2), 16, 10).cast("long") % 4).as("channels"))
+  }
+
+  /** Batch decode through the codec seam: one codec instance per
+    * partition, rows streamed through it. Returns a typed Dataset —
+    * the Scala analog of `mapInPandas`. */
+  def decodeBatch(binTable: DataFrame, codec: Codec = FakeCodec): Dataset[MediaMeta] = {
+    val spark = binTable.sparkSession
+    implicit val enc = Encoders.product[MediaMeta]
+    binTable.select("doc_id", "content", "meta.mime", "meta.n_bytes")
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY,
+        Encoders.STRING, Encoders.scalaLong))
+      .mapPartitions { rows =>
+        // codec init happens here, once per partition
+        rows.map { case (id, payload, mime, nBytes) =>
+          val (w, ht, c) = codec.decode(payload)
+          MediaMeta(id, mime, nBytes, w, ht, c)
+        }
+      }
+  }
+
+  /** Frame sampling for chunked payloads ("video"): every `stride`-th
+    * fixed-size chunk, as (doc_id, frame_idx, frame) rows. Pure
+    * expressions — `substring` on binary is codegen'd. */
+  def sampleFrames(binTable: DataFrame, chunkBytes: Int, stride: Int): DataFrame = {
+    val nChunks = ceil(col("meta.n_bytes") / lit(chunkBytes)).cast("int")
+    binTable
+      .select(col("doc_id"), col("content"),
+        explode(sequence(lit(0), greatest(nChunks - 1, lit(0)), lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"substring(content, frame_idx * $chunkBytes + 1, $chunkBytes)").as("frame"))
+  }
+}

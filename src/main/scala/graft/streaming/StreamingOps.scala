@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+
+/** Structured Streaming flavor of the reference's semantics
+  * (SURVEY.md §2.10): the scheduled 30-minute-lookback batch becomes
+  * a watermarked stream, and per-run latest-per-device dedup becomes
+  * keyed state that survives across triggers.
+  *
+  * | reference (task.ts)          | here                            |
+  * |------------------------------|---------------------------------|
+  * | scheduled Lambda run         | trigger (AvailableNow/interval) |
+  * | 30-min lookback re-delivery  | watermark absorbs re-delivery   |
+  * | per-run Map latest-per-IMEI  | [[latestPerKey]] keyed state    |
+  * | per-window batch counts      | [[windowedAgg]] event-time agg  |
+  *
+  * Scale: state is per-key-partitioned by the shuffle on `groupByKey`;
+  * RocksDB state store + watermark-driven eviction keep executors
+  * bounded no matter the key cardinality.
+  */
+object StreamingOps {
+
+  /** Cross-trigger latest-per-key state (the `mapGroupsWithState`
+    * flavor of D1, reference `task.ts:151-159`): each trigger emits,
+    * per key seen in the batch, the latest record across *all*
+    * triggers so far. Use OutputMode.Update. */
+  def latestPerKey[K: Encoder, T: Encoder](
+      ds: Dataset[T], key: T => K, ts: T => Long): Dataset[T] =
+    ds.groupByKey(key)
+      .mapGroupsWithState[T, T](GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[T]) =>
+          val latest = (state.getOption.iterator ++ rows).maxBy(ts)
+          state.update(latest)
+          latest
+      }
+
+  /** Event-time tumbling-window aggregation with lateness bound —
+    * the declarative analog of the reference's lookback window
+    * (`task.ts:80-82` → watermark; SURVEY.md §2.10 table). */
+  def windowedAgg(df: DataFrame, tsCol: String, keyCol: String,
+                  windowLen: String = "30 minutes",
+                  lateness: String = "30 minutes"): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("sum_value"))
+
+  /** The output mode [[latestPerKey]] requires. */
+  val UpdateMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ping(device: String, ts: Long, pos: Double)
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("latestPerKey keeps latest across triggers (cross-run state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ping]
+    val q = StreamingOps.latestPerKey[String, Ping](input.toDS(), _.device, _.ts)
+      .writeStream.format("memory").queryName("latest_test")
+      .outputMode(StreamingOps.UpdateMode).start()
+    try {
+      // trigger 1: two devices
+      input.addData(Ping("a", 10, 1.0), Ping("a", 20, 2.0), Ping("b", 5, 9.0))
+      q.processAllAvailable()
+      // trigger 2: older ping for a (ignored), newer for b
+      input.addData(Ping("a", 15, 7.0), Ping("b", 30, 11.0))
+      q.processAllAvailable()
+      val rows = spark.table("latest_test")
+        .groupBy("device").agg(max_by(struct($"ts", $"pos"), $"ts").as("last"))
+        .select($"device", $"last.ts", $"last.pos")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      // device a: ts=20 survived the stale ts=15 update; b advanced to 30
+      assert(rows == Set(("a", 20L, 2.0), ("b", 30L, 11.0)))
+    } finally q.stop()
+  }
+
+  test("windowedAgg: tumbling event-time windows with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowedAgg(df, "ts", "event_type").writeStream
+      .format("memory").queryName("window_test")
+      .outputMode("update").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-08-12 05:$m%02d:00")
+      input.addData((t(0), "click", 1.0), (t(10), "click", 2.0), (t(40), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("window_test")
+        .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"n", $"sum_value")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("05:00", "click", 2L, 3.0)))
+      assert(rows.contains(("05:30", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+}
