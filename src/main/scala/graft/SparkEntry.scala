@@ -371,26 +371,29 @@ object SparkEntry {
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
         |), nz AS (SELECT * FROM base WHERE len(sh) > 0),
-        |mh AS (
-        |  SELECT doc_id, sh,
-        |    list_min(list_transform(sh, s -> md5('0:' || s))) AS mh0,
-        |    list_min(list_transform(sh, s -> md5('1:' || s))) AS mh1,
-        |    list_min(list_transform(sh, s -> md5('2:' || s))) AS mh2,
-        |    list_min(list_transform(sh, s -> md5('3:' || s))) AS mh3,
-        |    list_min(list_transform(sh, s -> md5('4:' || s))) AS mh4,
-        |    list_min(list_transform(sh, s -> md5('5:' || s))) AS mh5,
-        |    list_min(list_transform(sh, s -> md5('6:' || s))) AS mh6,
-        |    list_min(list_transform(sh, s -> md5('7:' || s))) AS mh7,
-        |    list_min(list_transform(sh, s -> md5('8:' || s))) AS mh8,
-        |    list_min(list_transform(sh, s -> md5('9:' || s))) AS mh9,
-        |    list_min(list_transform(sh, s -> md5('10:' || s))) AS mh10,
-        |    list_min(list_transform(sh, s -> md5('11:' || s))) AS mh11
-        |  FROM nz
+        |hs AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT & 1073741823 AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min((787542839 * h + 242017) % 1073741789) AS mh0,
+        |    min((611349889 * h + 938741) % 1073741789) AS mh1,
+        |    min((904321577 * h + 55117) % 1073741789) AS mh2,
+        |    min((359485871 * h + 712933) % 1073741789) AS mh3,
+        |    min((673458601 * h + 128747) % 1073741789) AS mh4,
+        |    min((513695341 * h + 999331) % 1073741789) AS mh5,
+        |    min((844235099 * h + 47743) % 1073741789) AS mh6,
+        |    min((298654777 * h + 583391) % 1073741789) AS mh7,
+        |    min((736217683 * h + 864967) % 1073741789) AS mh8,
+        |    min((465182977 * h + 22229) % 1073741789) AS mh9,
+        |    min((952103481 * h + 371099) % 1073741789) AS mh10,
+        |    min((587431267 * h + 650087) % 1073741789) AS mh11
+        |  FROM hs GROUP BY doc_id
         |), bands AS (
-        |  SELECT doc_id, 0 AS band, mh0||'|'||mh1||'|'||mh2 AS sig FROM mh
-        |  UNION ALL SELECT doc_id, 1, mh3||'|'||mh4||'|'||mh5 FROM mh
-        |  UNION ALL SELECT doc_id, 2, mh6||'|'||mh7||'|'||mh8 FROM mh
-        |  UNION ALL SELECT doc_id, 3, mh9||'|'||mh10||'|'||mh11 FROM mh
+        |  SELECT doc_id, 0 AS band, mh0::VARCHAR||'|'||mh1::VARCHAR||'|'||mh2::VARCHAR AS sig FROM mh
+        |  UNION ALL SELECT doc_id, 1, mh3::VARCHAR||'|'||mh4::VARCHAR||'|'||mh5::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 2, mh6::VARCHAR||'|'||mh7::VARCHAR||'|'||mh8::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 3, mh9::VARCHAR||'|'||mh10::VARCHAR||'|'||mh11::VARCHAR FROM mh
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id

@@ -25,12 +25,24 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Similarity {
 
-  /** Left-to-right double-precision dot product. */
-  def dot(a: Column, b: Column): Column =
+  import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+
+  /** Left-to-right double-precision dot product via higher-order
+    * functions — the declarative baseline (interpreted per element;
+    * kept as the reference implementation and parity check). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Dot product over `array<float>`: native codegen'd expression
+    * ([[graft.plans.DotProductF]]), bit-identical to [[dotHof]] (same
+    * left-to-right double fold) but a tight primitive loop inside
+    * whole-stage codegen instead of per-element interpretation. */
+  def dot(a: Column, b: Column): Column =
+    toCol(graft.plans.DotProductF(toExpr(a), toExpr(b)))
+
+  /** L2 norm over `array<float>` (single-pass native expression). */
+  def norm(a: Column): Column = toCol(graft.plans.L2NormF(toExpr(a)))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions registering graft's native expressions as SQL
+  * functions — enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (or list them in an existing extensions chain). After that,
+  * `expr("graft_dot(a, b)")` / `graft_norm(v)` resolve through the
+  * normal Catalyst path: analyzable, optimizable, codegen'd. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProductF(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[L2NormF].getName, "graft_norm"),
+      (args: Seq[Expression]) => L2NormF(args(0))))
+  }
+}
