@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{EngineConfig, Share}
-import graft.operators.{Dedup, FuzzyDedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, FuzzyDedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.InReachSource
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -182,6 +182,28 @@ object SparkEntry {
         round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0)), 4)
           .as("purchase_value"))
     }),
+    // As-of join (union+window scale path): the customer's latest
+    // order strictly before each sampled event's time.
+    "q19_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("event_id") % 100 === 0)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          // parquet ms-timestamps surface as TIMESTAMP_NTZ; with the
+          // UTC session the cast matches DuckDB's epoch_us exactly
+          unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+      AsOfJoin.asOfUnion(e, o, "user_id", "o_custkey",
+          col("ts_us"), col("od_us"),
+          payload = Seq("o_orderkey", "od_us"), tiebreak = Seq("o_orderkey"))
+        .filter(col("o_orderkey").isNotNull)
+        .select("event_id", "user_id", "o_orderkey", "od_us")
+    }),
+    // Cube grouping sets.
+    "q19b_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+    }),
     // ── Text analysis (SURVEY.md §2.11 extensions) ──────────────────
     "q20_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents"))),
@@ -310,6 +332,20 @@ object SparkEntry {
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
         |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase_value
         |FROM events GROUP BY user_id""".stripMargin,
+    "q19_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_id % 100 = 0
+        |), j AS (
+        |  SELECT event_id, user_id, o_orderkey, epoch_us(o_orderdate) AS od_us
+        |  FROM e JOIN orders o ON o.o_custkey = e.user_id AND epoch_us(o_orderdate) < ts_us
+        |)
+        |SELECT event_id, user_id, o_orderkey, od_us FROM j
+        |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY od_us DESC, o_orderkey DESC) = 1""".stripMargin,
+    "q19b_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q20_text_tokens" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,

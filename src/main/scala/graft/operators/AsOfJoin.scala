@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** As-of join: for every left row, the latest right row with the same
+  * key and time strictly before the left row's time. Spark has no
+  * built-in as-of operator (SURVEY.md §2.3 lists it absent from the
+  * reference too); two compositions are provided:
+  *
+  *  - [[asOfUnion]] — the scale path: tag both sides, union, one
+  *    window pass per key ordered by (time, side, tiebreak) carrying
+  *    the last-seen right payload forward. One shuffle + sort, output
+  *    linear in |left| + |right| — never the |left|×|candidates|
+  *    intermediate of the join formulation, so it survives keys with
+  *    millions of right rows.
+  *  - [[asOfJoin]] — the join+argmax composition: correct and simple,
+  *    intermediate grows with candidates per key; fine for selective
+  *    conditions, used as the cross-check in specs.
+  *
+  * Strictness: a right row at exactly the left row's time is NOT
+  * matched (left sorts before right on ties), mirroring a
+  * `right.time < left.time` predicate.
+  */
+object AsOfJoin {
+
+  /** Union+window as-of join.
+    *
+    * @param leftKey/rightKey   equi-join key column names
+    * @param leftTime/rightTime event-time expressions (same type)
+    * @param payload            right columns carried to the output
+    * @param tiebreak           right columns breaking equal-time ties
+    *                           (greatest wins), e.g. an event id
+    */
+  def asOfUnion(left: DataFrame, right: DataFrame,
+                leftKey: String, rightKey: String,
+                leftTime: Column, rightTime: Column,
+                payload: Seq[String], tiebreak: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightSchema = right.schema
+    def nullOf(c: String, from: org.apache.spark.sql.types.StructType) =
+      lit(null).cast(from(c).dataType).as(c)
+
+    val lAligned = left
+      .select((leftCols.map(col) :+ leftTime.as("_t") :+ lit(0).as("_side")) ++
+        (payload ++ tiebreak).distinct.map(c => nullOf(c, rightSchema)): _*)
+    val rAligned = right
+      .select((leftCols.map(c =>
+          if (c == leftKey) col(rightKey).as(c) else nullOf(c, left.schema)) :+
+        rightTime.as("_t") :+ lit(1).as("_side")) ++
+        (payload ++ tiebreak).distinct.map(col): _*)
+
+    // left rows order before right rows on equal time ⇒ strict "<"
+    val w = Window.partitionBy(leftKey)
+      .orderBy((col("_t") +: col("_side") +: tiebreak.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lAligned.unionByName(rAligned)
+      .select((leftCols.map(col) :+ col("_side")) ++
+        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    carried.filter(col("_side") === 0).drop("_side")
+  }
+
+  /** Join + argmax composition (candidate-explosion shape). */
+  def asOfJoin(left: DataFrame, right: DataFrame, cond: Column,
+               leftId: Seq[String], ord: Seq[Column]): DataFrame =
+    Dedup.argmaxPerKey(left.join(right, cond), leftId, ord)
+}

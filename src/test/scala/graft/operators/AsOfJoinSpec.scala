@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  val orders = Seq(
+    (100L, 1L, 50L),  // order at t=50: events 10,40 qualify → 40
+    (101L, 1L, 40L),  // order at t=40: event@40 NOT matched (strict) → 10
+    (102L, 2L, 99L),  // user 2 has one event at 5
+    (103L, 3L, 10L)   // user 3 has no events
+  ).toDF("order_id", "cust", "otime")
+
+  val events = Seq(
+    (1L, 10L, 1000L, "a"),
+    (1L, 40L, 1001L, "b"),
+    (1L, 40L, 1002L, "b2"), // equal-time tiebreak: higher event_id wins
+    (1L, 60L, 1003L, "c"),
+    (2L, 5L, 1004L, "d")
+  ).toDF("user", "etime", "event_id", "etype")
+
+  def runUnion = AsOfJoin.asOfUnion(orders, events,
+    "cust", "user", col("otime"), col("etime"),
+    payload = Seq("event_id", "etype"), tiebreak = Seq("event_id"))
+
+  test("asOfUnion: latest strictly-before event per left row") {
+    val out = runUnion.orderBy("order_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getString(4))))
+    assert(out(0) == ((100L, Some(1002L), Some("b2")))) // tie at 40 → id 1002
+    assert(out(1) == ((101L, Some(1000L), Some("a")))) // strict: event@40 excluded
+    assert(out(2) == ((102L, Some(1004L), Some("d"))))
+    assert(out(3) == ((103L, None, None))) // no events → null payload
+  }
+
+  test("asOfUnion agrees with join+argmax composition on matched rows") {
+    val viaJoin = AsOfJoin.asOfJoin(
+      orders, events,
+      col("cust") === col("user") && col("etime") < col("otime"),
+      leftId = Seq("order_id"), ord = Seq(col("etime"), col("event_id")))
+      .select("order_id", "event_id", "etype")
+      .orderBy("order_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val viaUnion = runUnion.filter(col("event_id").isNotNull)
+      .select("order_id", "event_id", "etype")
+      .orderBy("order_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(viaJoin.toSeq == viaUnion.toSeq)
+  }
+}
