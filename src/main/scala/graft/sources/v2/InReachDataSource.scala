@@ -1,0 +1,181 @@
+package graft.sources.v2
+
+import graft.sources.{InReachSource, KmlParser}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.time.Instant
+import java.util
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+/** DataSource V2 surface for the inReach KML feed — the idiomatic
+  * upgrade of [[graft.sources.InReachSource]] (SURVEY.md §2.1 S4,
+  * §7.3 "custom DataSource V2, optional"):
+  *
+  * {{{
+  * spark.read.format("inreach")
+  *   .option("shares", "alpha,beta")
+  *   .option("lookbackMinutes", "30")
+  *   .load()
+  *   .filter($"whenRaw" >= "2026-08-12T05:00:00Z")  // ← pushed to the server
+  * }}}
+  *
+  * - one `InputPartition` per share — the reference's I/O-parallel
+  *   fan-out (`task.ts:66-68`) as Spark's own partition parallelism;
+  * - `SupportsPushDownFilters`: a `whenRaw ≥ t` filter tightens the
+  *   server-side `d1` lookback parameter (`task.ts:80-82`) — genuine
+  *   source-level predicate pushdown, visible in `explain` as
+  *   `PushedFilters`;
+  * - per-share failure isolation: fetch/parse errors yield an empty
+  *   partition plus a warning, never a failed stage (`task.ts:165-168`);
+  * - test seam: `option("fixtureDir", dir)` reads `<dir>/<shareId>.kml`
+  *   instead of HTTP (keeps CI networkless).
+  */
+class InReachDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "inreach"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    InReachDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new InReachTable(new CaseInsensitiveStringMap(properties))
+}
+
+object InReachDataSource {
+  /** Raw-placemark schema (mirrors [[graft.model.RawPlacemark]]). */
+  val schema: StructType = StructType(Seq(
+    StructField("shareId", StringType, nullable = false),
+    StructField("callSign", StringType, nullable = false),
+    StructField("coordinatesRaw", StringType, nullable = true),
+    StructField("whenRaw", StringType, nullable = true),
+    StructField("extended", MapType(StringType, StringType), nullable = false)))
+}
+
+final class InReachTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "inreach"
+  override def schema(): StructType = InReachDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new InReachScanBuilder(new CaseInsensitiveStringMap(
+      (options.asScala ++ opts.asScala).asJava))
+}
+
+final class InReachScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var pushedTime: Option[Instant] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept `whenRaw > t` / `whenRaw ≥ t` (ISO-8601 strings): they
+    * tighten the server-side d1 parameter. The accepted filters are
+    * still returned as residual (the server's d1 bound is
+    * ≥-inclusive, i.e. approximate for `>`), so Spark re-applies them
+    * post-scan — the same belt-and-braces contract file sources use. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = filters.filter {
+      case GreaterThan("whenRaw", v: String) => Try(Instant.parse(v)).isSuccess
+      case GreaterThanOrEqual("whenRaw", v: String) => Try(Instant.parse(v)).isSuccess
+      case _ => false
+    }
+    pushedTime = accepted.collect {
+      case GreaterThan("whenRaw", v: String) => Instant.parse(v)
+      case GreaterThanOrEqual("whenRaw", v: String) => Instant.parse(v)
+    }.sorted(Ordering.by[Instant, Long](_.toEpochMilli)).lastOption
+    pushed = accepted
+    filters // all residual: source pushdown narrows I/O, Spark keeps exactness
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new InReachScan(
+    shares = Option(options.get("shares")).map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq.empty),
+    lookbackMinutes = Option(options.get("lookbackMinutes")).map(_.toLong).getOrElse(30L),
+    nowIso = Option(options.get("now")),
+    fixtureDir = Option(options.get("fixtureDir")),
+    pushedTime = pushedTime.map(_.toString))
+}
+
+final class InReachScan(shares: Seq[String], lookbackMinutes: Long,
+                        nowIso: Option[String], fixtureDir: Option[String],
+                        pushedTime: Option[String]) extends Scan with Batch {
+  override def readSchema(): StructType = InReachDataSource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"InReachScan(shares=${shares.size}, pushedTime=$pushedTime)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    shares.map(s => InReachPartition(s, lookbackMinutes, nowIso, fixtureDir,
+      pushedTime): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new InReachReaderFactory
+}
+
+final case class InReachPartition(share: String, lookbackMinutes: Long,
+                                  nowIso: Option[String], fixtureDir: Option[String],
+                                  pushedTime: Option[String]) extends InputPartition
+
+final class InReachReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[InReachPartition]
+    new InReachPartitionReader(p)
+  }
+}
+
+final class InReachPartitionReader(p: InReachPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    val shareId = InReachSource.normalizeShareId(p.share)
+    val now = p.nowIso.map(Instant.parse).getOrElse(Instant.now())
+    // pushdown: the tighter of the configured lookback and any pushed
+    // time filter wins (server's d1 is ≥-inclusive)
+    val lookbackStart = now.minusSeconds(p.lookbackMinutes * 60)
+    val effectiveStart = p.pushedTime.map(Instant.parse)
+      .filter(_.isAfter(lookbackStart)).getOrElse(lookbackStart)
+    val effectiveLookbackMin =
+      math.max(0L, (now.toEpochMilli - effectiveStart.toEpochMilli) / 60000L)
+    Try {
+      val body = p.fixtureDir match {
+        case Some(dir) =>
+          val f = new java.io.File(dir, s"$shareId.kml")
+          if (f.exists()) new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          else ""
+        case None =>
+          InReachSource.httpFetcher(
+            InReachSource.feedUrl(shareId, now, effectiveLookbackMin), None)
+      }
+      // mimic the server's ≥-inclusive d1 bound in both fetch modes so
+      // fixture-driven tests observe the same rows production would
+      KmlParser.parse(body, shareId, shareId)
+        .filter(_.whenRaw.forall(w =>
+          Try(!Instant.parse(w).isBefore(effectiveStart)).getOrElse(true)))
+    }.fold(
+      err => { System.err.println(s"FEED: $shareId: $err"); Iterator.empty },
+      placemarks => placemarks.iterator.map { r =>
+        val keys = r.extended.keys.toArray.map(k => UTF8String.fromString(k): Any)
+        val vals = r.extended.values.toArray.map(v => UTF8String.fromString(v): Any)
+        InternalRow(
+          UTF8String.fromString(r.shareId),
+          UTF8String.fromString(r.callSign),
+          r.coordinatesRaw.map(UTF8String.fromString).orNull,
+          r.whenRaw.map(UTF8String.fromString).orNull,
+          ArrayBasedMapData(keys, vals))
+      })
+  }
+
+  override def next(): Boolean = rows.hasNext
+  override def get(): InternalRow = rows.next()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,75 @@
+package graft.sources.v2
+
+import graft.{PipelineFixtures, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class InReachDataSourceSpec extends SparkSpec {
+
+  def writeFixtures(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("inreach-fixtures").toFile
+    PipelineFixtures.feeds.foreach { case (shareId, kml) =>
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, s"$shareId.kml").toPath, kml)
+    }
+    dir.getAbsolutePath
+  }
+
+  test("spark.read.format(inreach): one partition per share, rows parsed") {
+    val dir = writeFixtures()
+    val df = spark.read.format("inreach")
+      .option("shares", "alpha,beta")
+      .option("now", "2026-08-12T05:30:00Z")
+      .option("fixtureDir", dir)
+      .load()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("shareId", "callSign", "coordinatesRaw", "whenRaw", "extended"))
+    assert(df.count() == 4) // 3 placemarks in alpha + 1 in beta
+    assert(df.rdd.getNumPartitions == 2)
+    val imeis = df.select(element_at(col("extended"), "IMEI")).collect()
+      .map(_.getString(0)).sorted
+    assert(imeis.toSeq == Seq("111", "111", "222", "333"))
+  }
+
+  test("time filter appears as PushedFilters in the physical plan") {
+    val dir = writeFixtures()
+    val df = spark.read.format("inreach")
+      .option("shares", "alpha")
+      .option("now", "2026-08-12T05:30:00Z")
+      .option("fixtureDir", dir)
+      .load()
+      .filter(col("whenRaw") >= "2026-08-12T05:06:00Z")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("pushedTime=Some(2026-08-12T05:06:00Z)"),
+      s"no pushdown in plan:\n$physical")
+    // Spark re-applies the filter on top: rows at/after 05:06 remain
+    val whens = df.select("whenRaw").collect().map(_.getString(0)).sorted
+    assert(whens.toSeq == Seq("2026-08-12T05:10:00Z"))
+  }
+
+  test("missing fixture file behaves as empty feed, not a failure") {
+    val df = spark.read.format("inreach")
+      .option("shares", "alpha,ghost")
+      .option("now", "2026-08-12T05:30:00Z")
+      .option("fixtureDir", writeFixtures())
+      .load()
+    assert(df.filter(col("shareId") === "ghost").count() == 0)
+    assert(df.count() == 3) // alpha's 3 placemarks; ghost contributes none
+  }
+
+  test("full pipeline composes over the DSv2 source") {
+    import graft.operators.{Dedup, FeatureProjection}
+    val dir = writeFixtures()
+    val raw = spark.read.format("inreach")
+      .option("shares", "alpha,beta")
+      .option("now", "2026-08-12T05:30:00Z")
+      .option("fixtureDir", dir)
+      .load()
+    // project expects Dataset[RawPlacemark]-shaped columns
+    import spark.implicits._
+    val features = FeatureProjection.project(raw.as[graft.model.RawPlacemark])
+    val deduped = Dedup.latestPerKey(features, Seq("id"),
+      col("properties").getField("time"))
+    assert(deduped.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("inreach-111", "inreach-222", "inreach-333"))
+  }
+}
