@@ -241,6 +241,50 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), 3)
     }),
+    // TF-IDF: two term-level aggregations + broadcast idf join.
+    "q33_tfidf" -> ((s, dir) => {
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      TextAnalysis.tfIdf(t(s, dir, "documents"))
+        .filter(col("doc_id") < 50)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).drop("rn")
+    }),
+    // Sessionization: 30-min-gap sessions per user (batch analog of
+    // session_window), two window passes + one aggregation.
+    "q34_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+        .withColumn("new_sess",
+          when(lag("ts_us", 1).over(w).isNull ||
+            col("ts_us") - lag("ts_us", 1).over(w) > 1800000000L, 1).otherwise(0))
+        .withColumn("sess_n", sum("new_sess").over(wRun))
+        .groupBy("user_id", "sess_n")
+        .agg(count(lit(1)).as("n_events"), min("ts_us").as("sess_start"),
+          (max("ts_us") - min("ts_us")).as("sess_dur_us"))
+    }),
+    // Set operations: intersect / except (distinct semantics).
+    "q35_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersect(ev.filter(col("event_type") === "error").select("user_id"))
+    }),
+    "q36_except" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select("user_id")
+        .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+    }),
+    // Statistics profile per group (min/max exact, avg rounded,
+    // exact distinct count).
+    "q37_stats" -> ((s, dir) => {
+      t(s, dir, "events").groupBy("event_type").agg(
+        round(avg("value"), 6).as("avg_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        countDistinct("user_id").as("n_users"))
+    }),
     // ── Multimodal columns (SURVEY.md §2.11) ────────────────────────
     // Binary payload + typed metadata; expression-path fake decode
     // (the codec seam is exercised by MultimodalSpec).
@@ -517,6 +561,50 @@ object SparkEntry {
         |  FROM s
         |)
         |SELECT query_id, cand_id, cos, rn FROM r WHERE rn <= 3""".stripMargin,
+    "q33_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+        |x AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+        |    round((tf.tf::DOUBLE / dl.doc_len) * ln((n.n + 1.0) / (dfx.df::DOUBLE + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), n
+        |)
+        |SELECT doc_id, term, tf, df, tfidf FROM x WHERE doc_id < 50
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 5""".stripMargin,
+    "q34_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_n
+        |  FROM g
+        |)
+        |SELECT user_id, sess_n, count(*) AS n_events, min(ts_us) AS sess_start,
+        |  max(ts_us) - min(ts_us) AS sess_dur_us
+        |FROM s GROUP BY user_id, sess_n""".stripMargin,
+    "q35_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "q36_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q37_stats" ->
+      """SELECT event_type, round(avg(value), 6) AS avg_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
     "q30_multimodal_meta" ->
       """SELECT doc_id, 'image/png' AS mime,
         |  octet_length(encode(text))::BIGINT AS n_bytes,

@@ -66,6 +66,28 @@ object TextAnalysis {
       fingerprint(col(textCol)).as("fp_md5"),
       fingerprint64(col(textCol)).as("fp64"))
 
+  /** TF-IDF: two aggregations + a broadcast join (SURVEY.md §2.11).
+    * tf = term frequency within the doc; idf = ln((N+1)/(df+1)).
+    * Scale shape: term-level shuffle for tf, term-level shuffle for
+    * df; the (term → idf) relation is corpus-vocabulary-sized and
+    * broadcast back onto tf — the fact table never moves twice. */
+  def tfIdf(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docLen = tf.groupBy("doc_id").agg(sum("tf").as("doc_len"))
+    val nDocs = docs.select(countDistinct(col(idCol))).first().getLong(0)
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(df_), "term")
+      .join(docLen, "doc_id")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round((col("tf").cast("double") / col("doc_len")) *
+          log((lit(nDocs.toDouble) + 1.0) / (col("df").cast("double") + 1.0)), 6)
+          .as("tfidf"))
+  }
+
   private def nullifZero(c: org.apache.spark.sql.Column) =
     when(c === 0, lit(null)).otherwise(c)
 }
