@@ -75,16 +75,23 @@ object TextAnalysis {
             textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
+    // persisted: tf feeds three plan branches (doc lengths, document
+    // frequencies, and the final join) — without it the tokenize +
+    // first aggregation is recomputed per branch
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docLen = tf.groupBy("doc_id").agg(sum("tf").as("doc_len"))
-    val nDocs = docs.select(countDistinct(col(idCol))).first().getLong(0)
+    // corpus size as a lazy broadcast scalar — no eager driver job
+    val nDf = broadcast(docs.agg(
+      countDistinct(col(idCol)).cast("double").as("_n")))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf
       .join(broadcast(df_), "term")
       .join(docLen, "doc_id")
+      .crossJoin(nDf)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round((col("tf").cast("double") / col("doc_len")) *
-          log((lit(nDocs.toDouble) + 1.0) / (col("df").cast("double") + 1.0)), 6)
+          log((col("_n") + 1.0) / (col("df").cast("double") + 1.0)), 6)
           .as("tfidf"))
   }
 
