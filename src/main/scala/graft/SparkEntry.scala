@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{EngineConfig, Share}
-import graft.operators.{AsOfJoin, Dedup, FuzzyDedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, FuzzyDedup, Multimodal, Similarity, Sketches, SkewJoin, TextAnalysis}
 import graft.sources.InReachSource
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -284,6 +284,25 @@ object SparkEntry {
         min("value").as("min_value"),
         max("value").as("max_value"),
         countDistinct("user_id").as("n_users"))
+    }),
+    // Portable HyperLogLog: md5-register HLL whose ESTIMATE the
+    // oracle reproduces bit-for-bit (unlike approx_count_distinct).
+    "q38_hll_distinct" -> ((s, dir) =>
+      Sketches.hllDistinctTokens(t(s, dir, "documents"))),
+    // Exact linear-interpolation quantiles per group.
+    "q39_quantiles" -> ((s, dir) => {
+      t(s, dir, "events").groupBy("event_type").agg(
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"))
+    }),
+    // Salted skew join — result identical to the plain join (the
+    // oracle IS the plain join); only physical distribution differs.
+    "q40_salted_join" -> ((s, dir) => {
+      SkewJoin.saltedJoin(t(s, dir, "orders"), t(s, dir, "customer"),
+          "o_custkey", "c_custkey", col("o_orderkey"), 8)
+        .groupBy("c_mktsegment")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n"))
     }),
     // ── Multimodal columns (SURVEY.md §2.11) ────────────────────────
     // Binary payload + typed metadata; expression-path fake decode
@@ -605,6 +624,30 @@ object SparkEntry {
         |  min(value) AS min_value, max(value) AS max_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "q38_hll_distinct" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+        |), h AS (
+        |  SELECT ('0x' || substr(md5(term), 1, 15))::BIGINT AS h, term FROM tok
+        |), b AS (
+        |  SELECT h & 255 AS bucket,
+        |    CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END AS rho
+        |  FROM h
+        |), m AS (SELECT bucket, max(rho) AS mj FROM b GROUP BY bucket),
+        |z AS (SELECT sum(pow(2.0, -mj)) + (256 - count(*)) AS zsum FROM m),
+        |e AS (SELECT count(DISTINCT term) AS exact_distinct FROM tok)
+        |SELECT round(0.718272 * 65536.0 / z.zsum, 4) AS est_distinct, e.exact_distinct
+        |FROM z, e""".stripMargin,
+    "q39_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q40_salted_join" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q30_multimodal_meta" ->
       """SELECT doc_id, 'image/png' AS mime,
         |  octet_length(encode(text))::BIGINT AS n_bytes,
