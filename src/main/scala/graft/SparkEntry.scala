@@ -304,6 +304,11 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n"))
     }),
+    // Winnowing-style window fingerprints (rolling-hash family):
+    // content-defined sample of 8-char window hashes; near-dup
+    // candidates = docs sharing ≥3 selected fingerprints.
+    "q41_winnow_pairs" -> ((s, dir) =>
+      FuzzyDedup.fingerprintPairs(t(s, dir, "documents"), minShared = 3)),
     // ── Multimodal columns (SURVEY.md §2.11) ────────────────────────
     // Binary payload + typed metadata; expression-path fake decode
     // (the codec seam is exercised by MultimodalSpec).
@@ -648,6 +653,22 @@ object SparkEntry {
       """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q41_winnow_pairs" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), win AS (
+        |  SELECT doc_id, ('0x' || substr(md5(substring(t, pos, 8)), 1, 15))::BIGINT AS wh
+        |  FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, length(t) - 7)) AS pos
+        |    FROM nrm WHERE length(t) >= 8
+        |  )
+        |), fp AS (
+        |  SELECT DISTINCT doc_id, wh AS fp FROM win WHERE wh % 64 = 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "q30_multimodal_meta" ->
       """SELECT doc_id, 'image/png' AS mime,
         |  octet_length(encode(text))::BIGINT AS n_bytes,

@@ -133,6 +133,60 @@ object FuzzyDedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Content-defined window fingerprints (winnowing-style, the
+    * rolling-hash fingerprint family): hash every `w`-char window of
+    * the normalized text, keep the windows whose hash ≡ 0 (mod
+    * `keepMod`) — a content-defined ~1/keepMod sample that is
+    * position-shift-invariant, so shared runs of text yield shared
+    * fingerprints regardless of where they sit in the document.
+    *
+    * Windows are hashed with md5 (cross-engine determinism) rather
+    * than an actual rolling update; the selection semantics are
+    * identical, and a codegen'd Rabin-Karp `Expression` is the
+    * drop-in upgrade if window hashing ever dominates a profile.
+    *
+    * Returns (doc_id, fp) rows — the exploded shape feeds the same
+    * groupBy-key candidate generation as LSH banding. */
+  def windowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", w: Int = 8,
+                         keepMod: Int = 64): DataFrame = {
+    val norm = graft.functions.TextFunctions.normalized(col(textCol))
+    // persisted barrier: `t` must be a plain attribute when captured
+    // by the window lambda below — inlined, the normalization regex
+    // would re-run per window (the HOF capture trap), and an exploded
+    // (doc, pos) formulation would instead ship the full text once
+    // per window (~|text|² bytes through the projection)
+    val nrm = docs
+      .select(col(idCol).as("doc_id"), norm.as("t"))
+      .filter(length(col("t")) >= w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val windows = transform(
+      sequence(lit(1), length(col("t")) - (w - 1)),
+      pos => col("t").substr(pos, lit(w)))
+    nrm
+      .select(col("doc_id"), explode(windows).as("win"))
+      .select(col("doc_id"), md5Long(col("win")).as("wh"))
+      .filter(col("wh") % keepMod === 0)
+      .select(col("doc_id"), col("wh").as("fp"))
+      .distinct()
+  }
+
+  /** Near-dup candidates by shared window fingerprints: pairs of docs
+    * sharing ≥ `minShared` selected fingerprints. Same
+    * bucket-join shape as LSH banding — no pairwise stage over the
+    * corpus, only over docs sharing a fingerprint. */
+  def fingerprintPairs(docs: DataFrame, minShared: Int = 10,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       w: Int = 8, keepMod: Int = 64): DataFrame = {
+    val fps = windowFingerprints(docs, idCol, textCol, w, keepMod)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** 60-bit SimHash per document over distinct tokens: bit j is set
     * iff more token-hashes have bit j set than clear. Pure
     * shuffle-agg (rows × 60 bit-rows), no pairwise stage. */
