@@ -309,6 +309,34 @@ object SparkEntry {
     // candidates = docs sharing ≥3 selected fingerprints.
     "q41_winnow_pairs" -> ((s, dir) =>
       FuzzyDedup.fingerprintPairs(t(s, dir, "documents"), minShared = 3)),
+    // Dynamic pivot (explicit value list keeps the plan single-pass).
+    "q42_pivot" -> ((s, dir) => {
+      t(s, dir, "events").groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .count()
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("view"), lit(0L)).as("view"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"))
+    }),
+    // Arbitrary grouping sets (beyond rollup/cube) via the SQL surface.
+    "q44_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_type, user_id % 10 AS cohort, count(*) AS n
+          |FROM events_v
+          |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin)
+    }),
+    // Edit-distance near-dup variant on a fixed block (levenshtein is
+    // exact-integer on both engines).
+    "q45_edit_distance" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+      d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.prefix"), col("b.prefix")).cast("long").as("lev"))
+        .filter(col("lev") <= 20)
+    }),
     // ── Multimodal columns (SURVEY.md §2.11) ────────────────────────
     // Binary payload + typed metadata; expression-path fake decode
     // (the codec seam is exercised by MultimodalSpec).
@@ -653,6 +681,25 @@ object SparkEntry {
       """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q42_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q44_grouping_sets" ->
+      """SELECT event_type, user_id % 10 AS cohort, count(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin,
+    "q45_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, substring(text, 1, 40) AS prefix
+        |  FROM documents WHERE doc_id < 100
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.prefix, b.prefix)::BIGINT AS lev
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 20""".stripMargin,
     "q41_winnow_pairs" ->
       """WITH nrm AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t

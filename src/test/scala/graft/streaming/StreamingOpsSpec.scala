@@ -31,6 +31,42 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-based readStream: windowed agg over a parquet directory source") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-src")
+    val out = java.nio.file.Files.createTempDirectory("stream-sink")
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-08-12 05:$m%02d:00")
+    Seq((t(0), "click", 1.0), (t(10), "click", 2.0), (t(40), "view", 4.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(dir.toString)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("ts timestamp, event_type string, value double")
+        .parquet(dir.toString)
+      val q = StreamingOps.windowedAgg(stream, "ts", "event_type")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", out.resolve("_chk").toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    runOnce()
+    // batch 2: a much later event advances the persisted watermark to
+    // 06:30, closing (append-emitting) the 05:00 and 05:30 windows
+    Seq((t(0).toString.replace("05:00", "07:00"), "view", 8.0))
+      .toDF("tss", "event_type", "value")
+      .selectExpr("cast(tss as timestamp) ts", "event_type", "value")
+      .write.mode("append").parquet(dir.toString)
+    runOnce()
+    val emitted = spark.read.parquet(out.toString)
+      .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"n", $"sum_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(emitted.contains(("05:00", "click", 2L, 3.0)), s"got $emitted")
+    assert(emitted.contains(("05:30", "view", 1L, 4.0)), s"got $emitted")
+  }
+
   test("windowedAgg: tumbling event-time windows with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
