@@ -289,6 +289,15 @@ object SparkEntry {
     // oracle reproduces bit-for-bit (unlike approx_count_distinct).
     "q38_hll_distinct" -> ((s, dir) =>
       Sketches.hllDistinctTokens(t(s, dir, "documents"))),
+    // Same registers as a custom TypedImperativeAggregate (256-byte
+    // mergeable buffer, map-side partial agg). Rows-only: the
+    // estimate equals q38's modulo FP summation order (spec-pinned
+    // to 1e-6), which is exactly why it has no exact-hash oracle.
+    "q46_hll_agg" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .agg(round(Sketches.hllAggCol(col("term")), 4).as("est_distinct"))
+    }),
     // Exact linear-interpolation quantiles per group.
     "q39_quantiles" -> ((s, dir) => {
       t(s, dir, "events").groupBy("event_type").agg(
@@ -667,9 +676,12 @@ object SparkEntry {
         |    CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END AS rho
         |  FROM h
         |), m AS (SELECT bucket, max(rho) AS mj FROM b GROUP BY bucket),
-        |z AS (SELECT sum(pow(2.0, -mj)) + (256 - count(*)) AS zsum FROM m),
+        |z AS (SELECT sum(pow(2.0, -mj)) + (256 - count(*)) AS zsum,
+        |             256 - count(*) AS zeros FROM m),
         |e AS (SELECT count(DISTINCT term) AS exact_distinct FROM tok)
-        |SELECT round(0.718272 * 65536.0 / z.zsum, 4) AS est_distinct, e.exact_distinct
+        |SELECT round(CASE WHEN 0.718272 * 65536.0 / z.zsum <= 640.0 AND z.zeros > 0
+        |  THEN 256.0 * ln(256.0 / z.zeros)
+        |  ELSE 0.718272 * 65536.0 / z.zsum END, 4) AS est_distinct, e.exact_distinct
         |FROM z, e""".stripMargin,
     "q39_quantiles" ->
       """SELECT event_type,

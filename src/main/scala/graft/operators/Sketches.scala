@@ -36,10 +36,16 @@ object Sketches {
           lit(53) - length(bin(expr("shiftright(h, 8)")))).otherwise(lit(53)).as("rho"))
       .groupBy("bucket").agg(max("rho").as("mj"))
     val z = regs.agg(
-      (sum(pow(lit(2.0), -col("mj"))) + (lit(256) - count(lit(1)))).as("zsum"))
+      (sum(pow(lit(2.0), -col("mj"))) + (lit(256) - count(lit(1)))).as("zsum"),
+      (lit(256) - count(lit(1))).as("zeros"))
     val exact = hashed.agg(countDistinct(col("v")).as("exact_distinct"))
+    val raw = lit(0.718272) * lit(65536.0) / col("zsum")
+    // linear-counting small-range correction (standard HLL): below
+    // 2.5·m with empty registers, m·ln(m/V) is the better estimator
+    val corrected = when(raw <= 640.0 && col("zeros") > 0,
+      lit(256.0) * log(lit(256.0) / col("zeros"))).otherwise(raw)
     z.crossJoin(exact).select(
-      round(lit(0.718272) * lit(65536.0) / col("zsum"), 4).as("est_distinct"),
+      round(corrected, 4).as("est_distinct"),
       col("exact_distinct"))
   }
 
@@ -47,4 +53,13 @@ object Sketches {
   def hllDistinctTokens(docs: DataFrame, textCol: String = "text"): DataFrame =
     hllDistinct(
       docs.select(explode(tokens(col(textCol))).as("term")), "term")
+
+  /** The same estimator as a custom Catalyst aggregate
+    * ([[graft.plans.HllAgg]]): identical registers, single aggregate
+    * expression with map-side partial merge of 256-byte buffers. Use
+    * like any aggregate Column: `df.agg(hllAggCol($"v"))`. */
+  def hllAggCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.HllAgg(org.apache.spark.sql.GraftColumnBridge.expression(c))
+        .toAggregateExpression())
 }

@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_norm"),
       new ExpressionInfo(classOf[L2NormF].getName, "graft_norm"),
       (args: Seq[Expression]) => L2NormF(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_distinct"),
+      new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_distinct"),
+      (args: Seq[Expression]) => HllAgg(args(0))))
   }
 }

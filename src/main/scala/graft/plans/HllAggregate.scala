@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** HyperLogLog distinct-count estimate as a custom Catalyst aggregate
+  * (`TypedImperativeAggregate`) — the (b)-tier extension path of
+  * SURVEY.md §7.3 for sketches that built-in aggregates can't
+  * express as mergeable state.
+  *
+  * The buffer is the raw 256-byte register array: `update` folds one
+  * value into its bucket's max-rho register, `merge` is element-wise
+  * max — exactly the structure that makes HLL distribute (registers
+  * merge associatively across partitions, so Spark plans a partial
+  * aggregate map-side and the shuffle carries 256 bytes per group,
+  * independent of input cardinality).
+  *
+  * Bit-derivation matches [[graft.operators.Sketches.hllDistinct]]
+  * (md5 → 60-bit int → bucket = low 8 bits, rho over the top 52):
+  * the two formulations produce identical registers; estimates differ
+  * only by floating-point summation order of 2^-M_j (spec-asserted
+  * within 1e-6 relative).
+  */
+case class HllAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val m = 256
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      // same md5→60-bit derivation as HashFunctions.md5Long
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+      val hex = md.take(8).map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val bucket = (h & 255L).toInt
+      val w = h >>> 8
+      val rho = if (w > 0) 53 - (64 - java.lang.Long.numberOfLeadingZeros(w)) else 53
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var z = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      z += math.pow(2.0, -buf(i).toDouble)
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = 0.718272 * m.toDouble * m.toDouble / z
+    // linear-counting small-range correction, mirrored in
+    // Sketches.hllDistinct and the q38 oracle SQL
+    if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
+    else raw
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "graft_hll_distinct"
+}

@@ -36,6 +36,37 @@ object StreamingOps {
           latest
       }
 
+  /** [[latestPerKey]] with bounded state: event-time TTL eviction via
+    * `flatMapGroupsWithState` + `EventTimeTimeout`. A device that
+    * stops reporting is evicted once the watermark passes its last
+    * event + `ttlMs`, emitting a final `(record, expired = true)`
+    * tombstone — so downstream can distinguish "latest position"
+    * updates from "track ended" closures, and executor state stays
+    * bounded by the *active* key set, not the all-time key set.
+    * Input must carry an event-time column with a watermark
+    * (`withWatermark`) for the timeout clock to advance. */
+  def latestPerKeyExpiring[K: Encoder, T: Encoder](
+      ds: Dataset[T], key: T => K, ts: T => Long, ttlMs: Long): Dataset[(T, Boolean)] = {
+    implicit val outEnc: Encoder[(T, Boolean)] =
+      org.apache.spark.sql.Encoders.tuple(implicitly[Encoder[T]],
+        org.apache.spark.sql.Encoders.scalaBoolean)
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[T, (T, Boolean)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[T]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator((last, true))
+          } else {
+            val latest = (state.getOption.iterator ++ rows).maxBy(ts)
+            state.update(latest)
+            state.setTimeoutTimestamp(ts(latest) + ttlMs)
+            Iterator((latest, false))
+          }
+      }
+  }
+
   /** Event-time tumbling-window aggregation with lateness bound —
     * the declarative analog of the reference's lookback window
     * (`task.ts:80-82` → watermark; SURVEY.md §2.10 table). */

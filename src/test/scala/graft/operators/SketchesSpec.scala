@@ -24,6 +24,42 @@ class SketchesSpec extends SparkSpec {
     assert(once == dup)
   }
 
+  test("HllAgg (TypedImperativeAggregate) matches the declarative HLL") {
+    val rows = (1 to 6000).map(i => s"value-${i % 2000}").toDF("v")
+    val declarative = Sketches.hllDistinct(rows, "v").collect().head.getDouble(0)
+    // repartition forces real partial-buffer merges across 8 tasks
+    val viaAgg = rows.repartition(8).agg(Sketches.hllAggCol($"v")).collect().head.getDouble(0)
+    assert(math.abs(viaAgg - declarative) / declarative < 1e-6,
+      s"agg=$viaAgg declarative=$declarative")
+  }
+
+  test("graft functions usable from SQL via GraftExtensions registration") {
+    import org.apache.spark.sql.SparkSession
+    // extensions bind at session build time: build a sibling session
+    // over the same SparkContext with the extensions installed
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      import s2.implicits._
+      // ≥ ~2.5·m values: the raw HLL estimator has no linear-counting
+      // small-range correction (deliberate — see Sketches scaladoc)
+      (1 to 5000).map(i => s"k$i").toDF("v").createOrReplaceTempView("hll_in")
+      val est = s2.sql("SELECT graft_hll_distinct(v) AS e FROM hll_in")
+        .collect().head.getDouble(0)
+      assert(math.abs(est - 5000) / 5000.0 < 0.15, s"est=$est")
+      val d = s2.sql(
+        "SELECT graft_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+        .collect().head.getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("saltedJoin result equals plain join result") {
     val left = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
     val right = Seq((1L, "X"), (2L, "Y")).toDF("rk", "rv")

@@ -31,6 +31,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestPerKeyExpiring: state evicted after TTL, tombstone emitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val withWm = input.toDS()
+      .toDF("ts", "device", "pos").withWatermark("ts", "0 seconds")
+      .as[(java.sql.Timestamp, String, Double)]
+    val q = StreamingOps.latestPerKeyExpiring[String, (java.sql.Timestamp, String, Double)](
+        withWm, _._2, _._1.getTime, ttlMs = 60000)
+      .map { case ((ts, d, p), expired) => (d, ts.getTime, p, expired) }
+      .writeStream.format("memory").queryName("ttl_test")
+      .outputMode("update").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-08-12 05:$m%02d:00")
+      input.addData((t(0), "a", 1.0))
+      q.processAllAvailable()
+      // b reports 10 minutes later → watermark passes a's ts+60s → a evicted
+      input.addData((t(10), "b", 2.0))
+      q.processAllAvailable()
+      input.addData((t(20), "b", 3.0)) // extra trigger to flush timeouts
+      q.processAllAvailable()
+      val rows = spark.table("ttl_test")
+        .collect().map(r => (r.getString(0), r.getBoolean(3))).toSet
+      assert(rows.contains(("a", false)) && rows.contains(("b", false)))
+      assert(rows.contains(("a", true)), s"no tombstone for evicted 'a': $rows")
+    } finally q.stop()
+  }
+
   test("file-based readStream: windowed agg over a parquet directory source") {
     val dir = java.nio.file.Files.createTempDirectory("stream-src")
     val out = java.nio.file.Files.createTempDirectory("stream-sink")
