@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hll_distinct"),
       new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_distinct"),
       (args: Seq[Expression]) => HllAgg(args(0))))
+    // auto-accelerate the portable HOF dot-product pattern
+    ext.injectOptimizerRule(_ => AccelerateDotProduct)
   }
 }

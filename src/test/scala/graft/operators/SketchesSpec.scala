@@ -54,6 +54,20 @@ class SketchesSpec extends SparkSpec {
         "SELECT graft_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
         .collect().head.getDouble(0)
       assert(d == 11.0)
+      // AccelerateDotProduct: the HOF spec-form plan is rewritten to
+      // the codegen'd expression by the injected optimizer rule
+      // (parquet-backed input so constant folding can't pre-evaluate)
+      val e = s2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val q = e.select(col("vec_id"),
+        graft.operators.Similarity.dotHof(col("embedding"), col("embedding")).as("d"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+        s"rule did not fire:\n${q.queryExecution.optimizedPlan}")
+      // values identical to the native expression
+      val viaRule = q.orderBy("vec_id").limit(5).collect().map(_.getDouble(1)).toSeq
+      val native = e.select(col("vec_id"),
+          graft.operators.Similarity.dot(col("embedding"), col("embedding")).as("d"))
+        .orderBy("vec_id").limit(5).collect().map(_.getDouble(1)).toSeq
+      assert(viaRule == native)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
