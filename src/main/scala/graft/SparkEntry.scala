@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{EngineConfig, Share}
-import graft.operators.{AsOfJoin, Dedup, FuzzyDedup, Multimodal, Similarity, Sketches, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, DedupClusters, FuzzyDedup, Multimodal, Similarity, Sketches, SkewJoin, TextAnalysis}
 import graft.sources.InReachSource
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -227,6 +227,12 @@ object SparkEntry {
     // 60-bit SimHash sketch per document.
     "q26_simhash" -> ((s, dir) =>
       FuzzyDedup.simhash(t(s, dir, "documents"))),
+    // Dedup resolution: near-dup pairs → connected components →
+    // canonical representative per doc (keep doc_id == cluster_rep).
+    "q47_dedup_clusters" -> ((s, dir) =>
+      DedupClusters.resolve(
+        t(s, dir, "documents"),
+        FuzzyDedup.minhashNearDups(t(s, dir, "documents")))),
     // Embedding near-dup pairs, label-blocked (IVF-ish scale path).
     "q27_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.4)),
@@ -545,6 +551,56 @@ object SparkEntry {
         |  FROM cand JOIN nz x ON cand.doc_a = x.doc_id JOIN nz y ON cand.doc_b = y.doc_id
         |)
         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8""".stripMargin,
+    "q47_dedup_clusters" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |), nz AS (SELECT * FROM base WHERE len(sh) > 0),
+        |hs AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT & 1073741823 AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min((787542839 * h + 242017) % 1073741789) AS mh0,
+        |    min((611349889 * h + 938741) % 1073741789) AS mh1,
+        |    min((904321577 * h + 55117) % 1073741789) AS mh2,
+        |    min((359485871 * h + 712933) % 1073741789) AS mh3,
+        |    min((673458601 * h + 128747) % 1073741789) AS mh4,
+        |    min((513695341 * h + 999331) % 1073741789) AS mh5,
+        |    min((844235099 * h + 47743) % 1073741789) AS mh6,
+        |    min((298654777 * h + 583391) % 1073741789) AS mh7,
+        |    min((736217683 * h + 864967) % 1073741789) AS mh8,
+        |    min((465182977 * h + 22229) % 1073741789) AS mh9,
+        |    min((952103481 * h + 371099) % 1073741789) AS mh10,
+        |    min((587431267 * h + 650087) % 1073741789) AS mh11
+        |  FROM hs GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band, mh0::VARCHAR||'|'||mh1::VARCHAR||'|'||mh2::VARCHAR AS sig FROM mh
+        |  UNION ALL SELECT doc_id, 1, mh3::VARCHAR||'|'||mh4::VARCHAR||'|'||mh5::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 2, mh6::VARCHAR||'|'||mh7::VARCHAR||'|'||mh8::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 3, mh9::VARCHAR||'|'||mh10::VARCHAR||'|'||mh11::VARCHAR FROM mh
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN nz x ON cand.doc_a = x.doc_id JOIN nz y ON cand.doc_b = y.doc_id
+        |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+        |), sym AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |), comp AS (
+        |  SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u
+        |)
+        |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_rep
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin,
     "q25_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: transitive closure with min representative") {
+    // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,7}, singleton 8 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("doc_a", "doc_b")
+    val comps = DedupClusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
+  }
+
+  test("resolve maps unpaired docs to themselves") {
+    val docs = (1L to 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (5L, 7L)).toDF("doc_a", "doc_b")
+    val resolved = DedupClusters.resolve(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved(2L) == 1L && resolved(7L) == 5L)
+    assert(resolved(3L) == 3L && resolved(8L) == 8L) // untouched docs survive as themselves
+    // keeping doc_id == cluster_rep deduplicates: 7 survivors of 9
+    assert(resolved.count { case (d, r) => d == r } == 7)
+  }
+
+  test("handles cycles and long chains within iteration budget") {
+    val chain = (1L until 15L).map(i => (i, i + 1))
+    val cycle = Seq((20L, 21L), (21L, 22L), (22L, 20L))
+    val pairs = (chain ++ cycle).toDF("doc_a", "doc_b")
+    val comps = DedupClusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 15L).forall(comps(_) == 1L))
+    assert(Seq(20L, 21L, 22L).forall(comps(_) == 20L))
+  }
+}
