@@ -419,8 +419,8 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
     "q13_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)""".stripMargin,
     "q14_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -439,8 +439,8 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "q18_conditional_agg" ->
       """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS clicks,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchases,
         |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase_value
         |FROM events GROUP BY user_id""".stripMargin,
     "q19_asof_join" ->
@@ -702,8 +702,8 @@ object SparkEntry {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |), s AS (
         |  SELECT user_id, ts_us,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS sess_n
+        |    (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS sess_n
         |  FROM g
         |)
         |SELECT user_id, sess_n, count(*) AS n_events, min(ts_us) AS sess_start,
@@ -751,9 +751,9 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin,
     "q42_pivot" ->
       """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase
         |FROM events GROUP BY user_id""".stripMargin,
     "q44_grouping_sets" ->
       """SELECT event_type, user_id % 10 AS cohort, count(*) AS n
