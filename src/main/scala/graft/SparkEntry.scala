@@ -364,6 +364,15 @@ object SparkEntry {
         Multimodal.asBinaryTable(t(s, dir, "documents")), chunkBytes = 64, stride = 2))
   )
 
+  /** DuckDB dual of [[graft.plans.RollingFingerprints]] for w = 8:
+    * the direct Horner fold `h = (h*131 + unicode(t[pos+k])) % 1e9+7`
+    * over one window's code points, generated by fold so the nesting
+    * can't drift from the Scala contract (B, M shared constants). */
+  private val winnowHashSql: String =
+    (1 until 8).foldLeft("unicode(t[pos])::BIGINT") { (acc, k) =>
+      s"(($acc) * ${graft.plans.RollingFingerprints.B} + unicode(t[pos+$k])) % ${graft.plans.RollingFingerprints.M}"
+    }
+
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
@@ -769,11 +778,15 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 20""".stripMargin,
     "q41_winnow_pairs" ->
-      """WITH nrm AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      // Horner fold h = (h*131 + codepoint) mod 1e9+7 over each 8-char
+      // window — the exact contract of graft.plans.RollingFingerprints
+      // (the rolling update is algebraically identical to this direct
+      // fold; all intermediates fit BIGINT).
+      s"""WITH nrm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
         |  FROM documents
         |), win AS (
-        |  SELECT doc_id, ('0x' || substr(md5(substring(t, pos, 8)), 1, 15))::BIGINT AS wh
+        |  SELECT doc_id, $winnowHashSql AS wh
         |  FROM (
         |    SELECT doc_id, t, unnest(generate_series(1, length(t) - 7)) AS pos
         |    FROM nrm WHERE length(t) >= 8

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.HashFunctions._
+import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -11,18 +12,29 @@ import org.apache.spark.sql.{Column, DataFrame}
   *     O(rows · shingles) for signatures plus one shuffle on
   *     (band, signature); candidate verification touches only
   *     colliding pairs. No O(n²) stage anywhere.
-  *  2. Exact n-gram Jaccard — all-pairs ground truth, for oracle
-  *     verification and small blocked subsets.
+  *  2. Exact n-gram Jaccard — ground truth, computed by exploded
+  *     shingle equi-join (linear in shared-shingle pairs, never a
+  *     nested-loop over the corpus).
   *  3. SimHash — a 64-bit per-doc sketch; near-dups differ in few
-  *     bits, found by chunk-blocked Hamming join.
+  *     bits, found by chunk-blocked Hamming grouping.
   *
-  * All hashing is md5-derived ([[graft.functions.HashFunctions]]) so
-  * every stage is bit-reproducible by the DuckDB oracle: the LSH
+  * All hashing is md5- or Rabin-Karp-derived
+  * ([[graft.functions.HashFunctions]], [[graft.plans.RollingFingerprints]])
+  * so every stage is bit-reproducible by the DuckDB oracle: the LSH
   * candidate set itself is deterministic, not just the verified
   * output.
   *
+  * Caching contract: NO operator here persists anything. Candidate
+  * pairs are generated in-row from grouped buckets (sorted
+  * `collect_set` + in-array pair expansion) rather than by
+  * self-joining a cached intermediate, so each input is scanned once
+  * per consuming aggregation and nothing is left pinned in executor
+  * memory after the action completes — at 100 TB the natural
+  * materialization boundary is an explicit table write by the caller,
+  * not a hidden `persist`.
+  *
   * Skew note (scale): a degenerate band signature shared by a huge
-  * cluster makes the candidate join quadratic in that bucket. Callers
+  * cluster makes pair expansion quadratic in that bucket. Callers
   * deduplicating adversarial corpora should cap bucket size
   * (`maxBucket`) — dropped buckets are *already duplicates by
   * signature*, better handled by exact-key grouping.
@@ -38,6 +50,28 @@ object FuzzyDedup {
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** All unordered id pairs (a < b) within each bucket, emitted
+    * in-row: groupBy(keys) → sorted distinct ids → in-array pair
+    * expansion. One scan + one shuffle — replaces the classic cached
+    * self-join on the bucket key, which scans the (expensive-to-
+    * compute) bucket table twice or forces a persist. Returns a
+    * single struct column `p` with fields (a, b), a < b by the sort.
+    *
+    * Buckets above `maxBucket` are dropped whole: members beyond any
+    * sane cap are exact-signature duplicates, cheaper to handle by
+    * exact-key grouping than by quadratic pair expansion. */
+  private def bucketPairs(rows: DataFrame, keys: Seq[String], id: Column,
+                          maxBucket: Option[Int]): DataFrame = {
+    val grouped = rows.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_set(id)).as("ids"))
+    val capOk = maxBucket.map(cap => size(col("ids")) <= cap).getOrElse(lit(true))
+    grouped
+      .filter(size(col("ids")) > 1 && capOk)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
   }
 
   /** MinHash signatures by explode + groupBy-min rather than the
@@ -67,40 +101,23 @@ object FuzzyDedup {
         struct(lit(b).as("band"),
           concat_ws("|", (0 until r).map(i => col(s"mh${b * r + i}").cast("string")): _*).as("sig"))
       }: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
-    val capped = maxBucket match {
-      case None => bandRows
-      case Some(cap) =>
-        // cap pathological buckets: members beyond `cap` per (band,sig)
-        // are exact-signature duplicates, cheaper to handle by grouping
-        bandRows.withColumn("_n",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")))
-          .filter(col("_n") <= cap).drop("_n")
-    }
-    // persisted: both sides of the self-join consume this — without it
-    // the signature aggregation (the expensive md5 pass) runs twice
-    val cached = capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = cached.as("a")
-    val b = cached.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    bucketPairs(bandRows, Seq("band", "sig"), col("doc_id"), maxBucket)
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
 
   /** MinHash-LSH near-dup pairs, verified by exact Jaccard ≥
     * `threshold` on the candidate set. The standard
-    * shingle→minhash→band→bucket-join→verify pipeline. */
+    * shingle→minhash→band→bucket→verify pipeline. The shingle
+    * expression is recomputed per consuming branch (signatures + two
+    * verification joins) — a deliberate recompute-over-cache choice:
+    * shingling is scan-speed, while materializing the exploded
+    * shingle table at 100 TB would dwarf the input. */
   def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", n: Int = 3, k: Int = 12,
                       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
-    // persisted: the shingle table feeds three plan branches (both
-    // sides of the candidate self-join via signatures, and both sides
-    // of the verification join) — without it Spark re-tokenizes and
-    // re-shingles the corpus once per branch. At cluster scale this
-    // is the natural checkpoint/table boundary of the pipeline.
     val sh = shingled(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(sh, k, bands)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     cand
@@ -113,76 +130,72 @@ object FuzzyDedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Exact all-pairs n-gram Jaccard ≥ threshold within an optional
-    * blocking predicate — O(n²): ground-truth/small-corpus tool, not
-    * the scale path (that's [[minhashNearDups]]). */
+  /** Exact n-gram Jaccard ≥ threshold within an optional blocking
+    * predicate — ground truth for [[minhashNearDups]], computed at
+    * linear shuffle cost: explode distinct shingles, group docs per
+    * shingle, expand co-occurrence pairs in-row, count shared
+    * shingles per pair (= |A∩B|), join sizes back for the union term.
+    * Only pairs sharing ≥1 shingle are ever materialized — a
+    * zero-overlap pair (jaccard exactly 0) is never emitted, even at
+    * threshold 0; for every positive threshold the result is
+    * identical to the all-pairs definition, without the former
+    * nested-loop join carrying full shingle arrays. */
   def exactJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", n: Int = 3,
                         threshold: Double = 0.3,
                         blockFilter: Column = lit(true)): DataFrame = {
     val sh = shingled(docs.filter(blockFilter), idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("_inter", inter)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = bucketPairs(exploded, Seq("s"), col("doc_id"), None)
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).cast("double").as("_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("_sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("_sz_b")), "doc_b")
       .withColumn("jaccard",
-        col("_inter") / (size(col("sh_a")) + size(col("sh_b")) - col("_inter")))
+        col("_inter") / (col("_sz_a") + col("_sz_b") - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Content-defined window fingerprints (winnowing-style, the
-    * rolling-hash fingerprint family): hash every `w`-char window of
-    * the normalized text, keep the windows whose hash ≡ 0 (mod
-    * `keepMod`) — a content-defined ~1/keepMod sample that is
-    * position-shift-invariant, so shared runs of text yield shared
-    * fingerprints regardless of where they sit in the document.
+    * rolling-hash fingerprint family): Rabin-Karp hash of every
+    * `w`-code-point window of the normalized text, keeping the
+    * windows whose hash ≡ 0 (mod `keepMod`) — a content-defined
+    * ~1/keepMod sample that is position-shift-invariant, so shared
+    * runs of text yield shared fingerprints regardless of where they
+    * sit in the document.
     *
-    * Windows are hashed with md5 (cross-engine determinism) rather
-    * than an actual rolling update; the selection semantics are
-    * identical, and a codegen'd Rabin-Karp `Expression` is the
-    * drop-in upgrade if window hashing ever dominates a profile.
+    * The whole per-document pipeline — normalize, roll, select,
+    * dedup — happens inside one codegen'd projection
+    * ([[graft.plans.RollingFingerprints]] + `array_distinct`): O(len)
+    * integer ops per document, and only the ~1/keepMod selected
+    * hashes are ever exploded or shuffled. (The round-1 formulation
+    * exploded every window and paid a full md5 per window — one
+    * crypto digest per character of corpus; 33% of the bench.)
     *
-    * Returns (doc_id, fp) rows — the exploded shape feeds the same
-    * groupBy-key candidate generation as LSH banding. */
+    * Returns distinct (doc_id, fp) rows — the exploded shape feeds
+    * the same grouped candidate generation as LSH banding. */
   def windowFingerprints(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text", w: Int = 8,
                          keepMod: Int = 64): DataFrame = {
     val norm = graft.functions.TextFunctions.normalized(col(textCol))
-    // persisted barrier: `t` must be a plain attribute when captured
-    // by the window lambda below — inlined, the normalization regex
-    // would re-run per window (the HOF capture trap), and an exploded
-    // (doc, pos) formulation would instead ship the full text once
-    // per window (~|text|² bytes through the projection)
-    val nrm = docs
-      .select(col(idCol).as("doc_id"), norm.as("t"))
-      .filter(length(col("t")) >= w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val windows = transform(
-      sequence(lit(1), length(col("t")) - (w - 1)),
-      pos => col("t").substr(pos, lit(w)))
-    nrm
-      .select(col("doc_id"), explode(windows).as("win"))
-      .select(col("doc_id"), md5Long(col("win")).as("wh"))
-      .filter(col("wh") % keepMod === 0)
-      .select(col("doc_id"), col("wh").as("fp"))
-      .distinct()
+    val fps = GraftColumnBridge.column(graft.plans.RollingFingerprints(
+      GraftColumnBridge.expression(norm), w, keepMod))
+    docs.select(col(idCol).as("doc_id"), explode(array_distinct(fps)).as("fp"))
   }
 
   /** Near-dup candidates by shared window fingerprints: pairs of docs
-    * sharing ≥ `minShared` selected fingerprints. Same
-    * bucket-join shape as LSH banding — no pairwise stage over the
-    * corpus, only over docs sharing a fingerprint. */
+    * sharing ≥ `minShared` selected fingerprints. Same grouped-bucket
+    * shape as LSH banding — no pairwise stage over the corpus, only
+    * over docs sharing a fingerprint. */
   def fingerprintPairs(docs: DataFrame, minShared: Int = 10,
                        idCol: String = "doc_id", textCol: String = "text",
                        w: Int = 8, keepMod: Int = 64): DataFrame = {
     val fps = windowFingerprints(docs, idCol, textCol, w, keepMod)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fps.as("a").join(fps.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    bucketPairs(fps, Seq("fp"), col("doc_id"), None)
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
@@ -205,21 +218,20 @@ object FuzzyDedup {
 
   /** SimHash near-dup pairs: block on any shared 15-bit chunk (4
     * chunks ⇒ any pair within Hamming distance 3 shares ≥1 chunk by
-    * pigeonhole), verify `bit_count(xor) ≤ maxHamming`. */
+    * pigeonhole), verify `bit_count(xor) ≤ maxHamming`. Pairs are
+    * expanded in-row per (chunk, value) bucket carrying the sketch,
+    * so the simhash aggregation runs exactly once. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", maxHamming: Int = 3): DataFrame = {
     val shh = simhash(docs, idCol, textCol)
-    val chunked = shh.select(col("doc_id"), col("simhash"),
+    val chunked = shh.select(struct(col("doc_id"), col("simhash")).as("ds"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           expr(s"shiftright(simhash, ${c * 15}) & 32767").as("ck"))): _*)).as("cc"))
-      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ck"))
-    val a = chunked.as("a")
-    val b = chunked.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .select(col("ds"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+    bucketPairs(chunked, Seq("chunk", "ck"), col("ds"), None)
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        expr("bit_count(p.a.simhash ^ p.b.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

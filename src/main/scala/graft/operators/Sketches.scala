@@ -30,21 +30,25 @@ object Sketches {
   def hllDistinct(rows: DataFrame, valueCol: String): DataFrame = {
     val h = md5Long(col(valueCol))
     val hashed = rows.select(h.as("h"), col(valueCol).as("v"))
+    // The hash partitions values across buckets, so the global exact
+    // distinct count is the SUM of per-bucket distinct counts — it
+    // rides the register aggregation instead of forcing a second scan
+    // of the token stream (the round-1 plan read the input twice).
     val regs = hashed
-      .select((col("h").bitwiseAND(lit(255L))).as("bucket"),
+      .select((col("h").bitwiseAND(lit(255L))).as("bucket"), col("v"),
         when(expr("shiftright(h, 8)") > 0,
           lit(53) - length(bin(expr("shiftright(h, 8)")))).otherwise(lit(53)).as("rho"))
-      .groupBy("bucket").agg(max("rho").as("mj"))
+      .groupBy("bucket").agg(max("rho").as("mj"), countDistinct(col("v")).as("ed"))
     val z = regs.agg(
       (sum(pow(lit(2.0), -col("mj"))) + (lit(256) - count(lit(1)))).as("zsum"),
-      (lit(256) - count(lit(1))).as("zeros"))
-    val exact = hashed.agg(countDistinct(col("v")).as("exact_distinct"))
+      (lit(256) - count(lit(1))).as("zeros"),
+      sum(col("ed")).as("exact_distinct"))
     val raw = lit(0.718272) * lit(65536.0) / col("zsum")
     // linear-counting small-range correction (standard HLL): below
     // 2.5·m with empty registers, m·ln(m/V) is the better estimator
     val corrected = when(raw <= 640.0 && col("zeros") > 0,
       lit(256.0) * log(lit(256.0) / col("zeros"))).otherwise(raw)
-    z.crossJoin(exact).select(
+    z.select(
       round(corrected, 4).as("est_distinct"),
       col("exact_distinct"))
   }

@@ -66,28 +66,29 @@ object TextAnalysis {
       fingerprint(col(textCol)).as("fp_md5"),
       fingerprint64(col(textCol)).as("fp64"))
 
-  /** TF-IDF: two aggregations + a broadcast join (SURVEY.md §2.11).
-    * tf = term frequency within the doc; idf = ln((N+1)/(df+1)).
-    * Scale shape: term-level shuffle for tf, term-level shuffle for
-    * df; the (term → idf) relation is corpus-vocabulary-sized and
-    * broadcast back onto tf — the fact table never moves twice. */
+  /** TF-IDF (SURVEY.md §2.11): tf = term frequency within the doc;
+    * idf = ln((N+1)/(df+1)).
+    *
+    * Scale shape: ONE tokenize + (doc, term) aggregation, then doc
+    * lengths and document frequencies as window aggregations over
+    * that same relation — two shuffles of the (already reduced) tf
+    * table, zero persists, zero extra scans of the corpus. (The
+    * round-1 shape cached tf and re-joined two aggregations of it —
+    * same shuffle count, but it pinned the vocabulary-sized relation
+    * in executor memory and leaked it past the operator's return.) */
   def tfIdf(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
-    // persisted: tf feeds three plan branches (doc lengths, document
-    // frequencies, and the final join) — without it the tokenize +
-    // first aggregation is recomputed per branch
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docLen = tf.groupBy("doc_id").agg(sum("tf").as("doc_len"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     // corpus size as a lazy broadcast scalar — no eager driver job
     val nDf = broadcast(docs.agg(
       countDistinct(col(idCol)).cast("double").as("_n")))
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf
-      .join(broadcast(df_), "term")
-      .join(docLen, "doc_id")
+      .withColumn("doc_len", sum("tf").over(wDoc))
+      .withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(nDf)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round((col("tf").cast("double") / col("doc_len")) *

@@ -40,6 +40,43 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(h(1L) != h(2L)) // one word did change
   }
 
+  test("rolling window fingerprints equal the direct per-window Horner fold (incl. non-BMP)") {
+    val texts = Seq(
+      "The Quick  brown fox", "ab", "aaaaaaaaaa",
+      "héllo wörld ünïcode test", "emoji 😀😀 window test string")
+    def ref(t: String, w: Int, keepMod: Int): Seq[Long] = {
+      val norm = t.toLowerCase.replaceAll("\\s+", " ").trim
+      val cps = norm.codePoints().toArray
+      (0 to cps.length - w).map { j =>
+        cps.slice(j, j + w).foldLeft(0L)((h, c) => (h * 131 + c) % 1000000007L)
+      }.filter(_ % keepMod == 0)
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = FuzzyDedup.windowFingerprints(df, w = 4, keepMod = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = texts.zipWithIndex.flatMap { case (t, i) =>
+      ref(t, 4, 2).distinct.map(f => (i.toLong, f))
+    }.toSet
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("fingerprintPairs surfaces the planted near-dup pair") {
+    val pairs = FuzzyDedup.fingerprintPairs(docs, minShared = 1, w = 8, keepMod = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("dedup/text operators leave no persisted RDDs behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    FuzzyDedup.minhashNearDups(docs, threshold = 0.5).count()
+    FuzzyDedup.exactJaccardPairs(docs, threshold = 0.1).count()
+    FuzzyDedup.fingerprintPairs(docs, minShared = 1, keepMod = 4).count()
+    FuzzyDedup.simhashPairs(docs, maxHamming = 60).count()
+    TextAnalysis.tfIdf(docs).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"operators persisted RDDs: $leaked")
+  }
+
   test("shingling: short docs yield empty set, excluded from pipeline") {
     val tiny = Seq((1L, "two words")).toDF("doc_id", "text")
     assert(FuzzyDedup.shingled(tiny, "doc_id", "text", 3).count() == 0)
