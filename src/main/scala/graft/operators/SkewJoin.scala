@@ -34,7 +34,10 @@ object SkewJoin {
     val l = left.withColumn("_salt", pmod(hash(spread), lit(salts)))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    l.join(r, l("_salt") === r("_salt") && col(leftKey) === col(rightKey))
+    // keys qualified per side: leftKey and rightKey may share a name
+    // (pre-aligned frames, self-joins) — unqualified col() would throw
+    // an ambiguous-reference AnalysisException
+    l.join(r, l("_salt") === r("_salt") && l(leftKey) === r(rightKey))
       .drop("_salt")
   }
 }

@@ -24,6 +24,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   */
 object AccelerateDotProduct extends Rule[LogicalPlan] {
 
+  // any array<float> qualifies: DotProductF reproduces the HOF form's
+  // NULL semantics for ragged lengths AND null elements (see its
+  // scaladoc), so the rewrite is unconditionally semantics-preserving
+  // — including for parquet-read arrays, whose elements are nullable
+  // in the schema even when the data is dense.
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

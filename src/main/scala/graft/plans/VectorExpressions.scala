@@ -14,7 +14,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Arithmetic contract: left-to-right double-precision fold, exactly
   * the order of `aggregate(zip_with(a,b,(x,y)=>x*y),0d,_+_)` and of
   * the DuckDB oracle's `list_sum(list_transform(...))` — results are
-  * bit-identical to the declarative formulation they replace.
+  * bit-identical to the declarative formulation they replace, for
+  * EVERY input: mismatched lengths yield NULL (the HOF's `zip_with`
+  * null-pads the shorter array, collapsing the sum to NULL), and so
+  * does a null element. Full equivalence is what lets
+  * [[AccelerateDotProduct]] rewrite unconditionally; the per-element
+  * null check is only emitted when the child schema says elements can
+  * actually be null (`containsNull`), so dense `array<float>` pays
+  * nothing for it.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -23,15 +30,25 @@ case class DotProductF(left: Expression, right: Expression)
   override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null inputs, ragged (length-mismatch) pairs, and null elements
+  // all produce null
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
+
+  private def elementsNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -43,13 +60,21 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

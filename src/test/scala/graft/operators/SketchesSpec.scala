@@ -74,6 +74,13 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin resolves same-named keys on both sides") {
+    val left = Seq((1L, "a"), (2L, "c")).toDF("k", "lv")
+    val right = Seq((1L, "X"), (2L, "Y")).toDF("k", "rv")
+    val out = SkewJoin.saltedJoin(left, right, "k", "k", col("lv"), 4)
+    assert(out.count() == 2)
+  }
+
   test("saltedJoin result equals plain join result") {
     val left = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
     val right = Seq((1L, "X"), (2L, "Y")).toDF("rk", "rv")

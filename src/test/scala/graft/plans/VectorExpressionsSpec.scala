@@ -35,6 +35,24 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("ragged pair yields null — native and HOF agree") {
+    val ragged = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val r = ragged.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("null element yields null — native and HOF agree") {
+    val withNullElem = Seq((Seq(Some(1.0f), None), Seq(Some(3.0f), Some(4.0f))))
+      .toDF("a", "b")
+    val r = withNullElem.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("null array yields null (nullIntolerant)") {
     val withNull = Seq((1L, Some(Array(1.0f)), None: Option[Array[Float]]))
       .toDF("id", "a", "b")
