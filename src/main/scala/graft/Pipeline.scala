@@ -28,7 +28,8 @@ object Pipeline {
       config: EngineConfig,
       fetcher: InReachSource.Fetcher = InReachSource.httpFetcher,
       now: Instant = Instant.now()): DataFrame = {
-    val raw = InReachSource.read(spark, config.shares, fetcher, now)
+    val raw = InReachSource.read(spark, config.shares, fetcher, now,
+      debug = config.debug)
     val projected = FeatureProjection.project(raw)
     Dedup.latestPerKey(projected, Seq("id"), col("properties").getField("time"))
   }

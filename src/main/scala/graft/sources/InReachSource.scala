@@ -62,13 +62,17 @@ object InReachSource {
   /** shares → raw placemark rows. One share per partition; per-share
     * failure isolation (fetch or parse error → 0 rows + stderr
     * warning, never a job failure — reference `task.ts:165-168`,
-    * CHANGELOG "Increased fault tolerance"). */
+    * CHANGELOG "Increased fault tolerance").
+    *
+    * `debug` is the reference's DEBUG toggle (`task.ts:190-192`):
+    * per-share fetch/parse diagnostics on stderr, off by default. */
   def read(
       spark: SparkSession,
       shares: Seq[Share],
       fetcher: Fetcher,
       now: Instant,
-      lookbackMinutes: Long = 30): Dataset[RawPlacemark] = {
+      lookbackMinutes: Long = 30,
+      debug: Boolean = false): Dataset[RawPlacemark] = {
     import spark.implicits._
     val seed = spark.createDataset(shares)
       .repartition(math.max(shares.size, 1))
@@ -77,7 +81,10 @@ object InReachSource {
       val callSign = share.CallSign.getOrElse(shareId) // task.ts:75
       Try {
         val body = fetcher(feedUrl(shareId, now, lookbackMinutes), share.Password)
-        KmlParser.parse(body, shareId, callSign)
+        val rows = KmlParser.parse(body, shareId, callSign)
+        if (debug) System.err.println(
+          s"FEED-DEBUG: $callSign: fetched ${body.length} chars, parsed ${rows.size} placemarks")
+        rows
       } match {
         case Success(rows) => rows
         case Failure(err) =>

@@ -23,6 +23,8 @@ import scala.util.Try
   * {{{
   * spark.read.format("inreach")
   *   .option("shares", "alpha,beta")
+  *   .option("share.alpha.callsign", "Alpha Team")   // task.ts:75
+  *   .option("share.alpha.password", "secret")        // task.ts:84-87
   *   .option("lookbackMinutes", "30")
   *   .load()
   *   .filter($"whenRaw" >= "2026-08-12T05:00:00Z")  // ← pushed to the server
@@ -30,6 +32,12 @@ import scala.util.Try
   *
   * - one `InputPartition` per share — the reference's I/O-parallel
   *   fan-out (`task.ts:66-68`) as Spark's own partition parallelism;
+  * - per-share credentials and CallSign via `share.<id>.password` /
+  *   `share.<id>.callsign` options (`<id>` = normalized ShareId,
+  *   matched case-insensitively): the password rides the partition to
+  *   the executor and becomes the basic-auth header (`task.ts:84-87`);
+  *   a missing callsign defaults to the ShareId (`task.ts:75`) —
+  *   exactly the [[graft.sources.InReachSource.read]] contract;
   * - `SupportsPushDownFilters`: a `whenRaw ≥ t` filter tightens the
   *   server-side `d1` lookback parameter (`task.ts:80-82`) — genuine
   *   source-level predicate pushdown, visible in `explain` as
@@ -37,7 +45,12 @@ import scala.util.Try
   * - per-share failure isolation: fetch/parse errors yield an empty
   *   partition plus a warning, never a failed stage (`task.ts:165-168`);
   * - test seam: `option("fixtureDir", dir)` reads `<dir>/<shareId>.kml`
-  *   instead of HTTP (keeps CI networkless).
+  *   instead of HTTP (keeps CI networkless). If `<dir>/<shareId>.password`
+  *   exists, the share's configured password must match its contents —
+  *   the fixture-mode analog of the server's 401 on a bad credential,
+  *   so the auth plumbing is testable end-to-end without a network;
+  * - `option("debug", "true")`: per-share fetch/parse log lines on
+  *   stderr (the reference's DEBUG toggle, `task.ts:190-192`).
   */
 class InReachDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "inreach"
@@ -97,18 +110,32 @@ final class InReachScanBuilder(options: CaseInsensitiveStringMap)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** shares CSV + per-share `share.<id>.callsign` / `share.<id>.password`
+    * options (CaseInsensitiveStringMap lookups are case-insensitive)
+    * assembled into the same [[graft.model.Share]] rows the
+    * mapPartitions source consumes. */
+  private def shareSpecs: Seq[graft.model.Share] =
+    Option(options.get("shares")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .map { raw =>
+        val id = InReachSource.normalizeShareId(raw)
+        graft.model.Share(raw,
+          CallSign = Option(options.get(s"share.$id.callsign")),
+          Password = Option(options.get(s"share.$id.password")))
+      }
+
   override def build(): Scan = new InReachScan(
-    shares = Option(options.get("shares")).map(_.split(",").map(_.trim).toSeq)
-      .getOrElse(Seq.empty),
+    shares = shareSpecs,
     lookbackMinutes = Option(options.get("lookbackMinutes")).map(_.toLong).getOrElse(30L),
     nowIso = Option(options.get("now")),
     fixtureDir = Option(options.get("fixtureDir")),
-    pushedTime = pushedTime.map(_.toString))
+    pushedTime = pushedTime.map(_.toString),
+    debug = options.getBoolean("debug", false))
 }
 
-final class InReachScan(shares: Seq[String], lookbackMinutes: Long,
+final class InReachScan(shares: Seq[graft.model.Share], lookbackMinutes: Long,
                         nowIso: Option[String], fixtureDir: Option[String],
-                        pushedTime: Option[String]) extends Scan with Batch {
+                        pushedTime: Option[String], debug: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = InReachDataSource.schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -116,15 +143,15 @@ final class InReachScan(shares: Seq[String], lookbackMinutes: Long,
 
   override def planInputPartitions(): Array[InputPartition] =
     shares.map(s => InReachPartition(s, lookbackMinutes, nowIso, fixtureDir,
-      pushedTime): InputPartition).toArray
+      pushedTime, debug): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new InReachReaderFactory
 }
 
-final case class InReachPartition(share: String, lookbackMinutes: Long,
+final case class InReachPartition(share: graft.model.Share, lookbackMinutes: Long,
                                   nowIso: Option[String], fixtureDir: Option[String],
-                                  pushedTime: Option[String]) extends InputPartition
+                                  pushedTime: Option[String], debug: Boolean) extends InputPartition
 
 final class InReachReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -137,7 +164,8 @@ final class InReachPartitionReader(p: InReachPartition)
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
-    val shareId = InReachSource.normalizeShareId(p.share)
+    val shareId = InReachSource.normalizeShareId(p.share.ShareId)
+    val callSign = p.share.CallSign.getOrElse(shareId) // task.ts:75
     val now = p.nowIso.map(Instant.parse).getOrElse(Instant.now())
     // pushdown: the tighter of the configured lookback and any pushed
     // time filter wins (server's d1 is ≥-inclusive)
@@ -149,20 +177,32 @@ final class InReachPartitionReader(p: InReachPartition)
     Try {
       val body = p.fixtureDir match {
         case Some(dir) =>
+          // fixture-mode auth: a sidecar password file plays the
+          // server — wrong/missing credential behaves like a 401
+          val pwFile = new java.io.File(dir, s"$shareId.password")
+          if (pwFile.exists()) {
+            val want = new String(
+              java.nio.file.Files.readAllBytes(pwFile.toPath), "UTF-8").trim
+            if (!p.share.Password.contains(want))
+              throw new RuntimeException(s"401 Unauthorized: $shareId")
+          }
           val f = new java.io.File(dir, s"$shareId.kml")
           if (f.exists()) new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
           else ""
         case None =>
           InReachSource.httpFetcher(
-            InReachSource.feedUrl(shareId, now, effectiveLookbackMin), None)
+            InReachSource.feedUrl(shareId, now, effectiveLookbackMin),
+            p.share.Password) // basic-auth header, task.ts:84-87
       }
+      if (p.debug) System.err.println( // reference DEBUG, task.ts:190-192
+        s"FEED-DEBUG: $callSign: fetched ${body.length} chars (d1 start $effectiveStart)")
       // mimic the server's ≥-inclusive d1 bound in both fetch modes so
       // fixture-driven tests observe the same rows production would
-      KmlParser.parse(body, shareId, shareId)
+      KmlParser.parse(body, shareId, callSign)
         .filter(_.whenRaw.forall(w =>
           Try(!Instant.parse(w).isBefore(effectiveStart)).getOrElse(true)))
     }.fold(
-      err => { System.err.println(s"FEED: $shareId: $err"); Iterator.empty },
+      err => { System.err.println(s"FEED: $callSign: $err"); Iterator.empty },
       placemarks => placemarks.iterator.map { r =>
         val keys = r.extended.keys.toArray.map(k => UTF8String.fromString(k): Any)
         val vals = r.extended.values.toArray.map(v => UTF8String.fromString(v): Any)

@@ -56,6 +56,40 @@ class InReachDataSourceSpec extends SparkSpec {
     assert(df.count() == 3) // alpha's 3 placemarks; ghost contributes none
   }
 
+  test("per-share password and callsign plumb through to the partition reader") {
+    val dir = writeFixtures()
+    // sidecar password file = the fixture-mode server credential
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "alpha.password").toPath, "hunter2")
+    // correct password + explicit callsign: rows parse with the callsign
+    val authed = spark.read.format("inreach")
+      .option("shares", "alpha")
+      .option("share.alpha.password", "hunter2")
+      .option("share.alpha.callsign", "Alpha Team")
+      .option("now", "2026-08-12T05:30:00Z")
+      .option("fixtureDir", dir)
+      .load()
+    assert(authed.count() == 3)
+    assert(authed.select("callSign").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("Alpha Team"))
+    // wrong password: 401 → empty feed (per-share isolation), no failure
+    val denied = spark.read.format("inreach")
+      .option("shares", "alpha")
+      .option("share.alpha.password", "wrong")
+      .option("now", "2026-08-12T05:30:00Z")
+      .option("fixtureDir", dir)
+      .load()
+    assert(denied.count() == 0)
+    // no callsign option: defaults to the shareId (task.ts:75)
+    val defaulted = spark.read.format("inreach")
+      .option("shares", "beta")
+      .option("now", "2026-08-12T05:30:00Z")
+      .option("fixtureDir", dir)
+      .load()
+    assert(defaulted.select("callSign").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("beta"))
+  }
+
   test("full pipeline composes over the DSv2 source") {
     import graft.operators.{Dedup, FeatureProjection}
     val dir = writeFixtures()
