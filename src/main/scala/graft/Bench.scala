@@ -11,6 +11,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // events.parquet carries timestamp[ns]; read as int64 nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-join queries saveAsTable; keep their files in tmp
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm codegen/JIT infrastructure so the first timed query isn't

@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{EngineConfig, Share}
-import graft.operators.{AsOfJoin, Dedup, DedupClusters, FuzzyDedup, Multimodal, Similarity, Sketches, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, BucketedJoin, Dedup, DedupClusters, FuzzyDedup, Multimodal, Similarity, Sketches, SkewJoin, TextAnalysis}
 import graft.sources.InReachSource
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -227,6 +227,12 @@ object SparkEntry {
     // 60-bit SimHash sketch per document.
     "q26_simhash" -> ((s, dir) =>
       FuzzyDedup.simhash(t(s, dir, "documents"))),
+    // SimHash Hamming pair search: chunk-blocked (pigeonhole) buckets,
+    // verified bit_count(xor) ≤ 3 — the whole pipeline is md5-derived,
+    // so the oracle replays it exactly.
+    "q49_simhash_pairs" -> ((s, dir) =>
+      FuzzyDedup.simhashPairs(t(s, dir, "documents"))
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))),
     // Dedup resolution: near-dup pairs → connected components →
     // canonical representative per doc (keep doc_id == cluster_rep).
     "q47_dedup_clusters" -> ((s, dir) =>
@@ -242,10 +248,17 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.cosineTopK(e, e.filter(col("vec_id") < 5), 5)
     }),
-    // IVF-blocked top-k: search only the query's label cell.
+    // Partition-pruned top-k: search only the query's label cell.
     "q29_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), 3)
+    }),
+    // Real IVF: hash-sampled seed centroids, multi-assigned cells,
+    // nprobe=4 probe — the unlabeled-corpus ANN path (recall@5 ≥ 0.9
+    // vs brute force pinned by SimilaritySpec).
+    "q48_ann_centroids" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfSearch(e, e.filter(col("vec_id") < 20), 3)
     }),
     // TF-IDF: two term-level aggregations + broadcast idf join.
     "q33_tfidf" -> ((s, dir) => {
@@ -296,9 +309,9 @@ object SparkEntry {
     "q38_hll_distinct" -> ((s, dir) =>
       Sketches.hllDistinctTokens(t(s, dir, "documents"))),
     // Same registers as a custom TypedImperativeAggregate (256-byte
-    // mergeable buffer, map-side partial agg). Rows-only: the
-    // estimate equals q38's modulo FP summation order (spec-pinned
-    // to 1e-6), which is exactly why it has no exact-hash oracle.
+    // mergeable buffer, map-side partial agg). The estimate folds the
+    // registers as an exact integer sum (order-free), so unlike a FP
+    // fold it is hash-oracle-able.
     "q46_hll_agg" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
@@ -311,6 +324,20 @@ object SparkEntry {
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
         round(expr("percentile(value, 0.9)"), 6).as("p90"))
     }),
+    // Bucketed co-located join — result identical to the plain join
+    // (the oracle IS the plain join); the bucketed write makes the
+    // join itself shuffle-free (plan asserted by BucketedJoinSpec).
+    "q50_bucketed_join" -> ((s, dir) =>
+      BucketedJoin.coLocatedJoin(
+          t(s, dir, "orders"), t(s, dir, "customer"),
+          "o_custkey", "c_custkey", 8, "graft_b_orders", "graft_b_customer")
+        .groupBy("c_mktsegment")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n"))),
+    // Batch decode through the per-partition codec seam (mapPartitions
+    // analog of mapInPandas). FakeCodec is md5-derived → oracle-able.
+    "q51_decode_batch" -> ((s, dir) =>
+      Multimodal.decodeBatch(
+        Multimodal.asBinaryTable(t(s, dir, "documents"))).toDF()),
     // Salted skew join — result identical to the plain join (the
     // oracle IS the plain join); only physical distribution differs.
     "q40_salted_join" -> ((s, dir) => {
@@ -366,6 +393,13 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.asBinaryTable(t(s, dir, "documents")), chunkBytes = 64, stride = 2))
   )
+
+  /** DuckDB rounded-cosine dual of `Similarity.cosine` (same
+    * left-to-right fold as DotProductF/L2NormF; see q27/q28). */
+  private def duckCos(a: String, b: String): String =
+    s"round(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / " +
+      s"(sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) * " +
+      s"sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)"
 
   /** DuckDB dual of [[graft.plans.RollingFingerprints]] for w = 8:
     * the direct Horner fold `h = (h*131 + unicode(t[pos+k])) % 1e9+7`
@@ -639,6 +673,28 @@ object SparkEntry {
         |)
         |SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+    "q49_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok
+        |), bits AS (
+        |  SELECT doc_id, g.j, sum(CASE WHEN (hv >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, generate_series(0, 59) g(j) GROUP BY doc_id, g.j
+        |), sh AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+        |  FROM bits GROUP BY doc_id
+        |), chunked AS (
+        |  SELECT doc_id, simhash, g.c AS chunk, (simhash >> (g.c * 15)) & 32767 AS ck
+        |  FROM sh, generate_series(0, 3) g(c)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |  FROM chunked a JOIN chunked b
+        |    ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
     "q27_embed_neardup" ->
       """WITH s AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -688,6 +744,41 @@ object SparkEntry {
         |  SELECT query_id, cand_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
         |  FROM s
+        |)
+        |SELECT query_id, cand_id, cos, rn FROM r WHERE rn <= 3""".stripMargin,
+    "q48_ann_centroids" ->
+      // replay of Similarity.ivfSearch defaults: 8 hash-ordered seed
+      // centroids, top-2 multi-assignment, nprobe=4, k=3; every score
+      // rounded to 6 before any argmax (the cross-engine stability
+      // contract of ivfAssign)
+      s"""WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+        |  LIMIT 8
+        |), ca AS (
+        |  SELECT c.vec_id AS cand_id, c.embedding AS cv, s.seed_id,
+        |    ${duckCos("c.embedding", "s.sv")} AS cs
+        |  FROM embeddings c, seeds s
+        |), assign AS (
+        |  SELECT cand_id, cv, seed_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cand_id ORDER BY cs DESC, seed_id) AS arn
+        |    FROM ca) WHERE arn <= 2
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+        |), qa AS (
+        |  SELECT q.query_id, q.qv, s.seed_id, ${duckCos("q.qv", "s.sv")} AS cs
+        |  FROM q, seeds s
+        |), probes AS (
+        |  SELECT query_id, qv, seed_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, seed_id) AS pr
+        |    FROM qa) WHERE pr <= 4
+        |), sc AS (
+        |  SELECT DISTINCT p.query_id, a.cand_id, ${duckCos("p.qv", "a.cv")} AS cos
+        |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.cand_id <> p.query_id
+        |), r AS (
+        |  SELECT query_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+        |  FROM sc
         |)
         |SELECT query_id, cand_id, cos, rn FROM r WHERE rn <= 3""".stripMargin,
     "q33_tfidf" ->
@@ -751,6 +842,25 @@ object SparkEntry {
         |  THEN 256.0 * ln(256.0 / z.zeros)
         |  ELSE 0.718272 * 65536.0 / z.zsum END, 4) AS est_distinct, e.exact_distinct
         |FROM z, e""".stripMargin,
+    // HllAgg's estimate: S = Σ 2^(53−mj) exactly in BIGINT (empty
+    // bucket ⇒ 2^53), then the same literal-order FP expression as
+    // HllAggregate.eval — bit-identical across engines.
+    "q46_hll_agg" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+        |), h AS (
+        |  SELECT ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tok
+        |), b AS (
+        |  SELECT h & 255 AS bucket,
+        |    CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END AS rho
+        |  FROM h
+        |), m AS (SELECT bucket, max(rho) AS mj FROM b GROUP BY bucket),
+        |z AS (SELECT (sum(1::BIGINT << (53 - mj)) + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s,
+        |             256 - count(*) AS zeros FROM m)
+        |SELECT round(CASE WHEN 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s::DOUBLE <= 640.0 AND zeros > 0
+        |  THEN 256.0 * ln(256.0 / zeros)
+        |  ELSE 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s::DOUBLE END, 4) AS est_distinct
+        |FROM z""".stripMargin,
     "q39_quantiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS p25,
@@ -761,6 +871,20 @@ object SparkEntry {
       """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    // bucketing changes physical layout only — the plain join IS the oracle
+    "q50_bucketed_join" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    // decodeBatch's FakeCodec derives dimensions from the payload md5
+    // exactly as extractMeta does (q30) — same oracle shape
+    "q51_decode_batch" ->
+      """SELECT doc_id, 'image/png' AS mime,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  16 * (1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64) AS width,
+        |  16 * (1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64) AS height,
+        |  1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 4 AS channels
+        |FROM documents""".stripMargin,
     "q42_pivot" ->
       """SELECT user_id,
         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,

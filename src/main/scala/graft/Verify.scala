@@ -18,6 +18,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries timestamp[ns]; read as int64 nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-join queries saveAsTable; keep their files in tmp
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

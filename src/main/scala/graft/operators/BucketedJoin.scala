@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.DataFrame
+
+/** Bucketing for co-located joins (SURVEY.md "Optimize for scale"):
+  * both sides written `bucketBy` the join key join WITHOUT a shuffle
+  * exchange on either side. This is the 100 TB pattern for repeated
+  * fact-fact joins — pay the partitioning once at write time, reuse
+  * it on every subsequent query against the bucketed tables
+  * (BucketedJoinSpec asserts the Exchange-free physical plan).
+  */
+object BucketedJoin {
+
+  /** Write both inputs as bucketed+sorted tables, then join the
+    * bucketed tables on the key. The writes are eager (saveAsTable);
+    * the returned join is lazy and shuffle-free. Existing tables of
+    * the same names are overwritten, so the call is idempotent. */
+  def coLocatedJoin(left: DataFrame, right: DataFrame,
+                    leftKey: String, rightKey: String, buckets: Int,
+                    leftTable: String, rightTable: String): DataFrame = {
+    val spark = left.sparkSession
+    left.write.bucketBy(buckets, leftKey).sortBy(leftKey)
+      .mode("overwrite").saveAsTable(leftTable)
+    right.write.bucketBy(buckets, rightKey).sortBy(rightKey)
+      .mode("overwrite").saveAsTable(rightTable)
+    spark.table(leftTable)
+      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+  }
+}

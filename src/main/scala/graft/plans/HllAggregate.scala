@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Bit-derivation matches [[graft.operators.Sketches.hllDistinct]]
   * (md5 → 60-bit int → bucket = low 8 bits, rho over the top 52):
-  * the two formulations produce identical registers; estimates differ
-  * only by floating-point summation order of 2^-M_j (spec-asserted
-  * within 1e-6 relative).
+  * the two formulations produce identical registers. The estimate
+  * here folds the registers as the EXACT integer sum
+  * S = Σ 2^(53−M_j) (≤ 256·2^53 < 2^62, no overflow), so it is
+  * summation-order-free and the DuckDB oracle reproduces it
+  * bit-for-bit — the declarative q38 form's FP fold agrees within
+  * 1e-6 relative (spec-asserted).
   */
 case class HllAgg(
     child: Expression,
@@ -60,15 +63,19 @@ case class HllAgg(
   }
 
   override def eval(buf: Array[Byte]): Any = {
-    var z = 0.0
+    // exact integer register sum: 2^-M_j scaled by 2^53 — order-free,
+    // so the estimate (not just the registers) is oracle-replayable
+    var s = 0L
     var zeros = 0
     var i = 0
     while (i < m) {
-      z += math.pow(2.0, -buf(i).toDouble)
+      s += 1L << (53 - buf(i))
       if (buf(i) == 0) zeros += 1
       i += 1
     }
-    val raw = 0.718272 * m.toDouble * m.toDouble / z
+    // 0.718272 * 65536 * 2^53 / S, literal order mirrored in the q46
+    // oracle SQL so both engines perform the identical IEEE ops
+    val raw = 0.718272 * 65536.0 * 9007199254740992.0 / s.toDouble
     // linear-counting small-range correction, mirrored in
     // Sketches.hllDistinct and the q38 oracle SQL
     if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)

@@ -12,22 +12,14 @@ class BucketedJoinSpec extends SparkSpec {
   import spark.implicits._
 
   test("bucketed tables join without a shuffle exchange") {
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_customer")
-
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
-    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .mode("overwrite").saveAsTable("b_orders")
-    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .mode("overwrite").saveAsTable("b_customer")
 
     // disable auto-broadcast so the join would otherwise shuffle
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = spark.table("b_orders")
-        .join(spark.table("b_customer"),
-          col("o_custkey") === col("c_custkey"))
+      val joined = BucketedJoin.coLocatedJoin(orders, customer,
+        "o_custkey", "c_custkey", 8, "b_orders", "b_customer")
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
       // and it is still correct

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("ivfAssign: each vector lands in multiAssign cells drawn from the seed ids") {
+    val assigned = Similarity.ivfAssign(emb, numCells = 8, multiAssign = 2)
+    assert(assigned.count() == emb.count() * 2)
+    assert(assigned.select("cand_id").distinct().count() == emb.count())
+    val cells = assigned.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val seedIds = Similarity.ivfSeeds(emb, 8).select("seed_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(cells.subsetOf(seedIds))
+  }
+
+  test("ivfAssign is deterministic across runs") {
+    def run() = Similarity.ivfAssign(emb, numCells = 8)
+      .select("cand_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run() == run())
+  }
+
+  test("ivfSearch recall@5 >= 0.9 vs brute-force cosineTopK at defaults") {
+    val queries = emb.filter($"vec_id" % 25 === 0) // 20 spread-out queries
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.cosineTopK(emb, queries, 5))
+    val ivf = pairs(Similarity.ivfSearch(emb, queries, 5))
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(s"recall@5 = $recall (defaults: 8 cells, nprobe 4, multiAssign 2)")
+    assert(recall >= 0.9, s"recall@5 = $recall")
+  }
+
+  test("ivfSearch with nprobe = numCells equals brute force exactly") {
+    val queries = emb.filter($"vec_id" === 42)
+    val brute = Similarity.cosineTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = Similarity.ivfSearch(emb, queries, 5, numCells = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(full == brute)
+  }
+}
