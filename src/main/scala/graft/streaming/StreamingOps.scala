@@ -79,6 +79,35 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup with bounded state: drop duplicate keys
+    * arriving within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — the streaming analog of the
+    * q07 exact-dedup operator for a continuously-ingesting document
+    * pipeline (dedup key = content fingerprint). Unlike plain
+    * `dropDuplicates`, state for a key is evicted once the watermark
+    * passes it, so executors hold only the recent-horizon key set —
+    * the property that makes streaming ingest dedup viable at
+    * 100 TB/day. */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  lateness: String = "30 minutes"): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Event-time session windows (gap-based), the streaming analog of
+    * the q34 batch sessionization: a session closes when no event
+    * arrives for `gap`, and is emitted once the watermark passes its
+    * end. State per key is one open session, merged incrementally —
+    * never the event backlog. */
+  def sessionAgg(df: DataFrame, tsCol: String, keyCol: String,
+                 gap: String = "30 minutes",
+                 lateness: String = "30 minutes"): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
   /** The output mode [[latestPerKey]] requires. */
   val UpdateMode: OutputMode = OutputMode.Update()
 }

@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * (`classic.ExpressionUtils`, columnNodeSupport.scala) as part of the
   * Connect/classic API split; extension libraries that ship custom
   * `Expression`s conventionally expose it through a same-package
-  * bridge like this one. Only used by `graft.operators.Similarity`.
+  * bridge like this one. Used by `graft.operators.Similarity` (dot /
+  * norm), `graft.operators.FuzzyDedup` (rolling fingerprints), and
+  * `graft.operators.Sketches` (HLL aggregate).
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)

@@ -94,6 +94,51 @@ class StreamingOpsSpec extends SparkSpec {
     assert(emitted.contains(("05:30", "view", 1L, 4.0)), s"got $emitted")
   }
 
+  test("dedupStream: duplicate fingerprints within the watermark horizon dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "fp", "value")
+    val q = StreamingOps.dedupStream(df, Seq("fp"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-08-12 05:$m%02d:00")
+      input.addData((t(0), "doc-a", 1.0), (t(1), "doc-a", 1.0), (t(2), "doc-b", 2.0))
+      q.processAllAvailable()
+      input.addData((t(3), "doc-a", 1.0)) // still within horizon → dropped
+      q.processAllAvailable()
+      val fps = spark.table("dedup_stream_test")
+        .select("fp").collect().map(_.getString(0)).sorted
+      assert(fps.toSeq == Seq("doc-a", "doc-b"), s"got ${fps.toSeq}")
+    } finally q.stop()
+  }
+
+  test("sessionAgg: gap-based session windows close after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "user", "value")
+    val q = StreamingOps.sessionAgg(df, "ts", "user", gap = "5 minutes",
+        lateness = "0 seconds")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-08-12 05:$m%02d:00")
+      // session 1: events at 05:00, 05:03 (merged: gap < 5m); then silence
+      input.addData((t(0), "u1", 1.0), (t(3), "u1", 2.0))
+      q.processAllAvailable()
+      // an event far past the gap advances the watermark → session 1 emits
+      input.addData((t(30), "u1", 5.0))
+      q.processAllAvailable()
+      input.addData((t(59), "u1", 9.0)) // close session 2 as well
+      q.processAllAvailable()
+      val rows = spark.table("session_test")
+        .select(date_format($"sess_start", "HH:mm").as("s"), $"user", $"n_events", $"sum_value")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("05:00", "u1", 2L, 3.0)), s"got $rows")
+      assert(rows.contains(("05:30", "u1", 1L, 5.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("windowedAgg: tumbling event-time windows with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
