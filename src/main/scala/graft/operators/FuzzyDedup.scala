@@ -210,35 +210,46 @@ object FuzzyDedup {
   }
 
   /** 60-bit SimHash per document over distinct tokens: bit j is set
-    * iff more token-hashes have bit j set than clear. Pure
-    * shuffle-agg (rows × 60 bit-rows), no pairwise stage. */
+    * iff more token-hashes have bit j set than clear. One token-level
+    * shuffle carrying 60 conditional-sum aggregate columns — the bit
+    * votes are aggregate COLUMNS, not exploded bit-ROWS (the round-1
+    * (token × 60) explode amplified the shuffle 60×), and partial
+    * aggregation reduces them map-side to one row per (task, doc). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
         explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))).as("t"))
       .withColumn("hv", md5Long(col("t")))
-    tok
-      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(when(expr("shiftright(hv, j) & 1") === 1, 1).otherwise(-1)).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
+    val votes = (0 until 60).map(j =>
+      sum(when(expr(s"shiftright(hv, $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j"))
+    tok.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: block on any shared 15-bit chunk (4
     * chunks ⇒ any pair within Hamming distance 3 shares ≥1 chunk by
     * pigeonhole), verify `bit_count(xor) ≤ maxHamming`. Pairs are
     * expanded in-row per (chunk, value) bucket carrying the sketch,
-    * so the simhash aggregation runs exactly once. */
+    * so the simhash aggregation runs exactly once.
+    *
+    * `maxBucket`: a chunk value shared by a huge doc set is a giant
+    * near-identical cluster — its pairs are quadratic and better
+    * resolved by exact-key grouping on the full sketch; cap to skip
+    * such buckets at scale (measured at sf0.1: one 1582-doc bucket
+    * contributes 43% of all expanded pairs). */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+                   textCol: String = "text", maxHamming: Int = 3,
+                   maxBucket: Option[Int] = None): DataFrame = {
     val shh = simhash(docs, idCol, textCol)
     val chunked = shh.select(struct(col("doc_id"), col("simhash")).as("ds"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           expr(s"shiftright(simhash, ${c * 15}) & 32767").as("ck"))): _*)).as("cc"))
       .select(col("ds"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
-    bucketPairs(chunked, Seq("chunk", "ck"), col("ds"), None)
+    bucketPairs(chunked, Seq("chunk", "ck"), col("ds"), maxBucket)
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         expr("bit_count(p.a.simhash ^ p.b.simhash)").as("hamming"))
       .distinct()
