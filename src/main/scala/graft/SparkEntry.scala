@@ -260,6 +260,10 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfSearch(e, e.filter(col("vec_id") < 20), 3)
     }),
+    // Unlabeled embedding near-dup: IVF cells as the blocking key
+    // (multi-assignment covers boundary pairs; recall spec-pinned).
+    "q52_embed_neardup_unlabeled" -> ((s, dir) =>
+      Similarity.nearDupPairsUnlabeled(t(s, dir, "embeddings"), 0.4)),
     // TF-IDF: two term-level aggregations + broadcast idf join.
     "q33_tfidf" -> ((s, dir) => {
       val w = Window.partitionBy("doc_id")
@@ -781,6 +785,26 @@ object SparkEntry {
         |  FROM sc
         |)
         |SELECT query_id, cand_id, cos, rn FROM r WHERE rn <= 3""".stripMargin,
+    "q52_embed_neardup_unlabeled" ->
+      // same assignment CTE as q48 but multiAssign=3; pairs co-assigned
+      // to any shared cell, threshold 0.4, deduped
+      s"""WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+        |  LIMIT 8
+        |), ca AS (
+        |  SELECT c.vec_id AS cand_id, c.embedding AS cv, s.seed_id,
+        |    ${duckCos("c.embedding", "s.sv")} AS cs
+        |  FROM embeddings c, seeds s
+        |), assign AS (
+        |  SELECT cand_id, cv, seed_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cand_id ORDER BY cs DESC, seed_id) AS arn
+        |    FROM ca) WHERE arn <= 3
+        |)
+        |SELECT DISTINCT a.cand_id AS vec_a, b.cand_id AS vec_b,
+        |  ${duckCos("a.cv", "b.cv")} AS cos
+        |FROM assign a JOIN assign b ON a.cell = b.cell AND a.cand_id < b.cand_id
+        |WHERE ${duckCos("a.cv", "b.cv")} >= 0.4""".stripMargin,
     "q33_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

@@ -172,6 +172,33 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rn")
   }
 
+  /** Embedding near-duplicate pairs for an UNLABELED corpus: block on
+    * [[ivfAssign]] cells instead of a pre-existing partition column.
+    * Multi-assignment makes boundary pairs discoverable from either
+    * side's cell; a true near-dup pair (cosine ≥ threshold ≈ 1) is
+    * near-certainly co-assigned, since both vectors score every seed
+    * almost identically. Same scale shape as [[nearDupPairs]]: one
+    * assignment pass, then per-cell joins — never corpus × corpus.
+    * (SimilaritySpec pins recall ≥ 0.9 vs exact all-pairs at the
+    * defaults; at real scale grow numCells ∝ corpus/target-cell-size —
+    * blocking pays once cells hold ≪ the corpus.) */
+  def nearDupPairsUnlabeled(corpus: DataFrame, threshold: Double,
+                            numCells: Int = 8, multiAssign: Int = 3,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(corpus, numCells, multiAssign, idCol, vecCol)
+    val a = assigned.select(col("cand_id").as("vec_a"), col("cv").as("va"),
+      col("cell"), col("cn").as("na"))
+    val b = assigned.select(col("cand_id").as("vec_b"), col("cv").as("vb"),
+      col("cell"), col("cn").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      // a pair co-assigned in two cells appears twice — dedup
+      .select(col("vec_a"), col("vec_b"), col("cos")).distinct()
+  }
+
   /** Embedding near-duplicate pairs within partition blocks:
     * same-`partCol` pairs with cosine ≥ threshold. The blocked
     * (IVF-ish) analog of exact all-pairs near-dup — at scale the

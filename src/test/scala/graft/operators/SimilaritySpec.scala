@@ -37,6 +37,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
+  test("nearDupPairsUnlabeled: precision 1.0, recall >= 0.9 vs exact all-pairs") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact truth: all-pairs cosine >= 0.4 (no blocking at all)
+    val withOneLabel = emb.withColumn("label", lit(0))
+    val truth = pairSet(Similarity.nearDupPairs(withOneLabel, 0.4))
+    val blocked = pairSet(Similarity.nearDupPairsUnlabeled(emb, 0.4))
+    assert(blocked.subsetOf(truth), "blocked search emitted a false pair")
+    val recall = (truth intersect blocked).size.toDouble / truth.size
+    info(s"recall = $recall over ${truth.size} true pairs")
+    assert(recall >= 0.9, s"recall = $recall")
+  }
+
   test("ivfSearch with nprobe = numCells equals brute force exactly") {
     val queries = emb.filter($"vec_id" === 42)
     val brute = Similarity.cosineTopK(emb, queries, 5)
