@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hll_distinct"),
       new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_distinct"),
       (args: Seq[Expression]) => HllAgg(args(0))))
+    // graft_rolling_fps(text, w, keepMod): w/keepMod must be literals
+    // (they parameterize the generated code, not per-row inputs)
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_fps"),
+      new ExpressionInfo(classOf[RollingFingerprints].getName, "graft_rolling_fps"),
+      (args: Seq[Expression]) => RollingFingerprints(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
     // auto-accelerate the portable HOF dot-product pattern
     ext.injectOptimizerRule(_ => AccelerateDotProduct)
   }

@@ -64,4 +64,30 @@ class DedupPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("rolling fingerprints match the direct Horner fold on generated text") {
+    // codepoint alphabet deliberately spans ASCII, 2-byte, 3-byte, and
+    // supplementary-plane characters plus whitespace runs
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar.map(_.toString)),
+      (2, Gen.oneOf(" ", "  ", "\t", "\n")),
+      (2, Gen.oneOf("é", "ü", "中", "文", "😀", "𝔸")))
+    val textGen = Gen.listOfN(40, charGen).map(_.mkString)
+    def ref(t: String, w: Int, keepMod: Int): Seq[Long] = {
+      val cps = t.toLowerCase.replaceAll("\\s+", " ").trim.codePoints().toArray
+      (0 to cps.length - w).map { j =>
+        cps.slice(j, j + w).foldLeft(0L)((h, c) => (h * 131 + c) % 1000000007L)
+      }.filter(_ % keepMod == 0).distinct
+    }
+    for ((seed, w, keepMod) <- Seq((30L, 2, 1), (31L, 5, 2), (32L, 8, 3))) {
+      val texts = Gen.listOfN(25, textGen)
+        .apply(Gen.Parameters.default, Seed(seed)).get.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = FuzzyDedup.windowFingerprints(
+          texts.toDF("doc_id", "text"), w = w, keepMod = keepMod)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = texts.flatMap { case (i, t) => ref(t, w, keepMod).map((i, _)) }.toSet
+      assert(got == want, s"mismatch at seed=$seed w=$w keepMod=$keepMod")
+    }
+  }
 }

@@ -54,6 +54,11 @@ class SketchesSpec extends SparkSpec {
         "SELECT graft_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
         .collect().head.getDouble(0)
       assert(d == 11.0)
+      // rolling fingerprints from SQL: 'aaaa' w=2 → 3 identical window
+      // hashes (97*131+97 = 12804), keepMod=2 keeps the even hash
+      val fps = s2.sql("SELECT graft_rolling_fps('aaaa', 2, 2) AS f")
+        .collect().head.getSeq[Long](0)
+      assert(fps.toSeq == Seq(12804L, 12804L, 12804L))
       // AccelerateDotProduct: the HOF spec-form plan is rewritten to
       // the codegen'd expression by the injected optimizer rule
       // (parquet-backed input so constant folding can't pre-evaluate)
