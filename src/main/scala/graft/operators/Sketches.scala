@@ -39,10 +39,14 @@ object Sketches {
         when(expr("shiftright(h, 8)") > 0,
           lit(53) - length(bin(expr("shiftright(h, 8)")))).otherwise(lit(53)).as("rho"))
       .groupBy("bucket").agg(max("rho").as("mj"), countDistinct(col("v")).as("ed"))
+    // coalesce: an empty input has no register rows — zsum degrades to
+    // 256 empty registers and the linear-counting branch yields 0, the
+    // right answer, instead of a NULL row
     val z = regs.agg(
-      (sum(pow(lit(2.0), -col("mj"))) + (lit(256) - count(lit(1)))).as("zsum"),
+      (coalesce(sum(pow(lit(2.0), -col("mj"))), lit(0.0)) +
+        (lit(256) - count(lit(1)))).as("zsum"),
       (lit(256) - count(lit(1))).as("zeros"),
-      sum(col("ed")).as("exact_distinct"))
+      coalesce(sum(col("ed")), lit(0L)).as("exact_distinct"))
     val raw = lit(0.718272) * lit(65536.0) / col("zsum")
     // linear-counting small-range correction (standard HLL): below
     // 2.5·m with empty registers, m·ln(m/V) is the better estimator

@@ -25,6 +25,35 @@ class DedupClustersSpec extends SparkSpec {
     assert(resolved.count { case (d, r) => d == r } == 7)
   }
 
+  test("random graphs match a union-find reference") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // fully compress, then min-representative per component
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    for (seed <- 40L to 42L) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val ref = unionFind(n, edges)
+      val got = DedupClusters.connectedComponents(
+          edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // compare only nodes that appear in edges (singletons absent by contract)
+      val inGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == inGraph, s"seed=$seed node set mismatch")
+      inGraph.foreach { v =>
+        assert(got(v) == ref(v), s"seed=$seed node $v: got ${got(v)}, want ${ref(v)}")
+      }
+    }
+  }
+
   test("handles cycles and long chains within iteration budget") {
     val chain = (1L until 15L).map(i => (i, i + 1))
     val cycle = Seq((20L, 21L), (21L, 22L), (22L, 20L))
