@@ -109,25 +109,37 @@ object FuzzyDedup {
 
   /** MinHash-LSH near-dup pairs, verified by exact Jaccard ≥
     * `threshold` on the candidate set. The standard
-    * shingle→minhash→band→bucket→verify pipeline. The shingle
-    * expression is recomputed per consuming branch (signatures + two
-    * verification joins) — a deliberate recompute-over-cache choice:
-    * shingling is scan-speed, while materializing the exploded
-    * shingle table at 100 TB would dwarf the input. */
+    * shingle→minhash→band→bucket→verify pipeline.
+    *
+    * The corpus is shingled exactly TWICE — once for signatures, once
+    * for verification (candidate pairs are melted to (pair, doc_id)
+    * rows so both sides resolve through ONE join against the shingle
+    * table, not one join per side) — a deliberate recompute-over-
+    * cache choice: shingling is scan-speed, while materializing the
+    * exploded shingle table at 100 TB would dwarf the input. */
   def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", n: Int = 3, k: Int = 12,
                       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
     val cand = lshCandidates(sh, k, bands)
+    val melted = cand.select(struct(col("doc_a"), col("doc_b")).as("pair"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    // exactly one of the two conditional arrays is non-null per row;
+    // max ignores nulls, so each group reassembles (sh_a, sh_b)
+    val pairs = melted.join(sh, "doc_id")
+      .groupBy("pair")
+      .agg(
+        max(when(col("doc_id") === col("pair").getField("doc_a"), col("sh"))).as("sh_a"),
+        max(when(col("doc_id") === col("pair").getField("doc_b"), col("sh"))).as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    pairs
       .withColumn("_inter", inter)
       .withColumn("jaccard",
         col("_inter") / (size(col("sh_a")) + size(col("sh_b")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("pair").getField("doc_a").as("doc_a"),
+        col("pair").getField("doc_b").as("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Exact n-gram Jaccard ≥ threshold within an optional blocking
