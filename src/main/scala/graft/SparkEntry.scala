@@ -321,6 +321,23 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
         .agg(round(Sketches.hllAggCol(col("term")), 4).as("est_distinct"))
     }),
+    // Count-min frequency sketch over corpus tokens: estimates for
+    // the 20 most frequent tokens (exact top-20 keys, deterministic
+    // tie-break). Sketch + estimates fully md5-affine-derived.
+    "q54_count_min" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      val sketch = Sketches.countMin(toks, "term")
+      val top = toks.groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(20)
+      Sketches.cmEstimate(sketch, top.select("term"), "term")
+        .select(col("key").as("term"), col("est_cnt"))
+    }),
+    // Histogram-sketch quantiles: mergeable fixed-bin counts, the
+    // single-pass scale path where exact percentile (q39) can't sort.
+    "q53_hist_quantiles" -> ((s, dir) =>
+      Sketches.histogramQuantiles(t(s, dir, "events"), "value", bins = 64,
+        qs = Seq(0.25, 0.5, 0.9, 0.99))),
     // Exact linear-interpolation quantiles per group.
     "q39_quantiles" -> ((s, dir) => {
       t(s, dir, "events").groupBy("event_type").agg(
@@ -885,6 +902,54 @@ object SparkEntry {
         |  THEN 256.0 * ln(256.0 / zeros)
         |  ELSE 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s::DOUBLE END, 4) AS est_distinct
         |FROM z""".stripMargin,
+    "q54_count_min" ->
+      // same 30-bit md5 base hash + affine family as the Spark side
+      // (constants interpolated from HashFunctions so they can't drift)
+      s"""WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+        |), h AS (
+        |  SELECT term, ('0x' || substr(md5(term), 1, 15))::BIGINT & ${graft.functions.HashFunctions.MinhashMask} AS h30 FROM tok
+        |), cs(i, a, b) AS (VALUES ${(0 until 4).map(i =>
+             s"(${i}, ${graft.functions.HashFunctions.MinhashA(i)}, ${graft.functions.HashFunctions.MinhashB(i)})").mkString(", ")}),
+        |bkt AS (
+        |  SELECT cs.i AS hr, ((cs.a * h.h30 + cs.b) % ${graft.functions.HashFunctions.MinhashP}) % 1024 AS bucket, count(*) AS cnt
+        |  FROM h, cs GROUP BY 1, 2
+        |), exact AS (
+        |  SELECT term, count(*) AS c FROM tok GROUP BY 1 ORDER BY c DESC, term LIMIT 20
+        |), kh AS (
+        |  SELECT term, ('0x' || substr(md5(term), 1, 15))::BIGINT & ${graft.functions.HashFunctions.MinhashMask} AS h30 FROM exact
+        |), kb AS (
+        |  SELECT kh.term, cs.i AS hr, ((cs.a * kh.h30 + cs.b) % ${graft.functions.HashFunctions.MinhashP}) % 1024 AS bucket
+        |  FROM kh, cs
+        |)
+        |SELECT kb.term, min(bkt.cnt)::BIGINT AS est_cnt
+        |FROM kb JOIN bkt ON bkt.hr = kb.hr AND bkt.bucket = kb.bucket
+        |GROUP BY 1""".stripMargin,
+    "q53_hist_quantiles" ->
+      // replay of Sketches.histogramQuantiles: 64 equi-width buckets,
+      // cumulative counts, in-bucket linear interpolation. All sums
+      // cast ::BIGINT (DuckDB HUGEINT) and quantiles ::DOUBLE (DuckDB
+      // decimal literals); arithmetic order mirrors the Spark side.
+      """WITH b AS (
+        |  SELECT min(value::DOUBLE) AS lo, max(value::DOUBLE) AS hi, count(value) AS n
+        |  FROM events
+        |), bk AS (
+        |  SELECT least(floor((value::DOUBLE - b.lo) / ((b.hi - b.lo) / 64))::BIGINT, 63) AS bucket,
+        |    count(*) AS cnt
+        |  FROM events, b WHERE value IS NOT NULL GROUP BY 1
+        |), c AS (
+        |  SELECT bucket, cnt,
+        |    (sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM bk
+        |), qs(q) AS (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)),
+        |sel AS (
+        |  SELECT q, bucket, cnt, cum - cnt AS before,
+        |    row_number() OVER (PARTITION BY q ORDER BY bucket) AS rn
+        |  FROM qs JOIN c ON c.cum >= q * (SELECT n FROM b)
+        |)
+        |SELECT q, round((SELECT lo FROM b) + (((SELECT hi FROM b) - (SELECT lo FROM b)) / 64) *
+        |  (bucket + (q * (SELECT n FROM b) - before) / cnt), 6) AS est
+        |FROM sel WHERE rn = 1""".stripMargin,
     "q39_quantiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS p25,

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.HashFunctions.md5Long
 import graft.functions.TextFunctions.tokens
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Probabilistic sketches composed from relational primitives.
@@ -61,6 +62,100 @@ object Sketches {
   def hllDistinctTokens(docs: DataFrame, textCol: String = "text"): DataFrame =
     hllDistinct(
       docs.select(explode(tokens(col(textCol))).as("term")), "term")
+
+  /** Histogram-sketch quantiles: equi-width bucket counts over
+    * [min, max], quantile read off the cumulative distribution with
+    * linear interpolation inside the selected bucket.
+    *
+    * This is the mergeable scale path for percentiles: exact
+    * `percentile` (q39) sorts every group's values; this sketch is
+    * two scans (global min/max, then counts), state = `bins` longs —
+    * mergeable by addition across partitions/batches, so it
+    * distributes like HLL registers do. Error is bounded by the
+    * bucket width ((max−min)/bins), the classic histogram trade.
+    *
+    * Every step is plain integer counting + a fixed-order double
+    * expression, so unlike t-digest/GK (merge-order-dependent) the
+    * result is bit-reproducible by the DuckDB oracle.
+    *
+    * @return one row per requested quantile: (q, est). */
+  def histogramQuantiles(rows: DataFrame, valueCol: String,
+                         bins: Int = 64,
+                         qs: Seq[Double] = Seq(0.25, 0.5, 0.9, 0.99)): DataFrame = {
+    require(bins >= 1 && qs.nonEmpty)
+    val v = col(valueCol).cast("double")
+    val bounds = broadcast(rows.agg(
+      min(v).as("lo"), max(v).as("hi"), count(v).as("n")))
+    // degenerate range (all values equal) collapses to bucket 0 — the
+    // computed branch would divide by zero width
+    val bucket = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((col("v") - col("lo")) /
+        ((col("hi") - col("lo")) / bins)).cast("long"), lit(bins - 1L)))
+    val bucketed = rows.select(v.as("v")).where(v.isNotNull).crossJoin(bounds)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("before", col("cum") - col("cnt"))
+      .crossJoin(bounds)
+    qs.map { q =>
+      // target rank t = q·n; the first bucket whose cum ≥ t holds the
+      // quantile; interpolate by the rank's position within the bucket
+      cum.filter(col("cum") >= lit(q) * col("n"))
+        .orderBy("bucket").limit(1)
+        .select(lit(q).as("q"),
+          round(col("lo") + ((col("hi") - col("lo")) / bins) *
+            (col("bucket") + (lit(q) * col("n") - col("before")) / col("cnt")), 6)
+            .as("est"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Count-min sketch: `depth` independent hash rows × `width`
+    * buckets of additive counters — frequency estimation in fixed
+    * state (the heavy-hitters / token-frequency sketch of a training
+    * corpus pipeline). Counters merge by addition across partitions
+    * and corpus shards; estimates only ever over-count (collisions),
+    * by ≤ εN with ε = e/width at the usual depth=ln(1/δ).
+    *
+    * Hashing reuses the MinHash 30-bit affine family
+    * ([[graft.functions.HashFunctions]]): one md5 per value, depth
+    * integer permutations — every bucket index (and therefore the
+    * sketch itself) is bit-reproducible by the DuckDB oracle.
+    *
+    * @return (row, bucket, cnt) counter rows. */
+  def countMin(rows: DataFrame, valueCol: String,
+               depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= graft.functions.HashFunctions.MinhashA.size &&
+      width >= 1)
+    val h = graft.functions.HashFunctions.baseHash30(col(valueCol))
+    rows.where(col(valueCol).isNotNull)
+      .select(explode(array((0 until depth).map { i =>
+        struct(lit(i).as("row"),
+          (graft.functions.HashFunctions.affine(h, i) % width).as("bucket"))
+      }: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate lookups against a [[countMin]] sketch: for each
+    * distinct key, the minimum counter across the depth rows. Keys
+    * are re-hashed with the same family; the sketch side is the only
+    * big relation and it arrives pre-aggregated (depth × width rows,
+    * broadcastable). */
+  def cmEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                 depth: Int = 4, width: Int = 1024): DataFrame = {
+    val h = graft.functions.HashFunctions.baseHash30(col("key"))
+    val keyBuckets = keys.select(col(keyCol).as("key")).distinct()
+      .select(col("key"), explode(array((0 until depth).map { i =>
+        struct(lit(i).as("row"),
+          (graft.functions.HashFunctions.affine(h, i) % width).as("bucket"))
+      }: _*)).as("rb"))
+      .select(col("key"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+    keyBuckets.join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy("key").agg(min("cnt").as("est_cnt"))
+  }
 
   /** The same estimator as a custom Catalyst aggregate
     * ([[graft.plans.HllAgg]]): identical registers, single aggregate

@@ -79,6 +79,40 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("count-min estimates never under-count, over-count bounded") {
+    val rows = ((1 to 400).map(i => s"tok${i % 40}") ++ Seq.fill(100)("hot"))
+      .toDF("term")
+    val sketch = Sketches.countMin(rows, "term", depth = 4, width = 256)
+    val keys = rows.select("term").distinct()
+    val est = Sketches.cmEstimate(sketch, keys, "term", depth = 4, width = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 500.0
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"under-count for $t: est=${est(t)} exact=$c")
+      assert(est(t) - c <= n * 8 / 256, s"over-count too large for $t")
+    }
+  }
+
+  test("histogramQuantiles track exact percentiles within a bucket width") {
+    val rows = (1 to 10000).map(_.toDouble).toDF("v")
+    val est = Sketches.histogramQuantiles(rows, "v", bins = 100,
+        qs = Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val width = (10000.0 - 1.0) / 100
+    Seq(0.25 -> 2500.0, 0.5 -> 5000.0, 0.9 -> 9000.0).foreach { case (q, exact) =>
+      assert(math.abs(est(q) - exact) <= width, s"q=$q est=${est(q)} exact=$exact")
+    }
+  }
+
+  test("histogramQuantiles: constant column collapses to that value") {
+    val rows = Seq.fill(50)(7.5).toDF("v")
+    val est = Sketches.histogramQuantiles(rows, "v", bins = 16, qs = Seq(0.5))
+      .collect().head.getDouble(1)
+    assert(est == 7.5)
+  }
+
   test("saltedJoin resolves same-named keys on both sides") {
     val left = Seq((1L, "a"), (2L, "c")).toDF("k", "lv")
     val right = Seq((1L, "X"), (2L, "Y")).toDF("k", "rv")
