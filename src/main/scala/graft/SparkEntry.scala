@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{EngineConfig, Share}
-import graft.operators.{AsOfJoin, BucketedJoin, Dedup, DedupClusters, FuzzyDedup, Multimodal, Similarity, Sketches, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, BucketedJoin, Dedup, DedupClusters, FuzzyDedup, Multimodal, Sampling, Similarity, Sketches, SkewJoin, TextAnalysis}
 import graft.sources.InReachSource
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -320,6 +320,18 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
         .agg(round(Sketches.hllAggCol(col("term")), 4).as("est_distinct"))
+    }),
+    // Deterministic hash-based train/val split: a doc's split depends
+    // only on its id — reproducible across reruns/engines/batches.
+    "q55_hash_split" -> ((s, dir) =>
+      Sampling.trainValSplit(t(s, dir, "documents"), col("doc_id"), 0.1)
+        .select("doc_id", "split")),
+    // Benchmark decontamination: drop corpus docs whose normalized
+    // fingerprint appears in the (synthetic) eval set.
+    "q56_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.decontaminate(docs, docs.filter(col("doc_id") % 10 === 0))
+        .select("doc_id")
     }),
     // Count-min frequency sketch over corpus tokens: estimates for
     // the 20 most frequent tokens (exact top-20 keys, deterministic
@@ -902,6 +914,21 @@ object SparkEntry {
         |  THEN 256.0 * ln(256.0 / zeros)
         |  ELSE 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s::DOUBLE END, 4) AS est_distinct
         |FROM z""".stripMargin,
+    "q55_hash_split" ->
+      s"""SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT < ${graft.operators.Sampling.threshold(0.1)}
+        |    THEN 'val' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+    "q56_decontaminate" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS f
+        |  FROM documents
+        |), b AS (
+        |  SELECT DISTINCT f AS bfp FROM fp WHERE doc_id % 10 = 0
+        |)
+        |SELECT d.doc_id FROM fp d
+        |WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.bfp = d.f)""".stripMargin,
     "q54_count_min" ->
       // same 30-bit md5 base hash + affine family as the Spark side
       // (constants interpolated from HashFunctions so they can't drift)

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.functions.HashFunctions.md5Long
+import graft.functions.TextFunctions.fingerprint64
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling and decontamination for training-data
+  * pipelines (SURVEY.md §2.11 extension surface).
+  *
+  * Sampling is HASH-based, not RNG-based: a row's fate depends only
+  * on its key, never on partitioning, task retries, or Spark's seed
+  * plumbing — the property that makes a 100 TB train/val split
+  * reproducible across reruns, engines (md5 everywhere), and
+  * incremental batches (a document keeps its split when it reappears).
+  * `df.sample()`/`rand()` guarantee none of that.
+  */
+object Sampling {
+
+  /** 60-bit hash-space threshold for a fraction (public so oracle
+    * duals can interpolate the identical integer literal). */
+  def threshold(fraction: Double): Long =
+    (fraction * (1L << 60).toDouble).toLong
+
+  /** Keep rows whose md5(key) lands in the first `fraction` of the
+    * hash space. Pure filter: scan-speed, no shuffle, no state. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    df.filter(md5Long(key.cast("string")) < threshold(fraction))
+  }
+
+  /** Deterministic train/val split: adds a `split` column ("val" for
+    * the first `valFraction` of the hash space, "train" otherwise). */
+  def trainValSplit(df: DataFrame, key: Column,
+                    valFraction: Double): DataFrame = {
+    require(valFraction >= 0.0 && valFraction <= 1.0)
+    df.withColumn("split",
+      when(md5Long(key.cast("string")) < threshold(valFraction), "val")
+        .otherwise("train"))
+  }
+
+  /** Benchmark decontamination: drop corpus documents whose
+    * normalized-content fingerprint appears in the benchmark set —
+    * the exact-match tier of decontaminating training data against
+    * eval sets. A left-anti join on the 64-bit fingerprint: the
+    * benchmark side is tiny and broadcast; the corpus never shuffles.
+    * Near-match tiers compose from the same table via
+    * [[FuzzyDedup.minhashNearDups]] / [[FuzzyDedup.fingerprintPairs]]
+    * on the union of corpus and benchmark. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    corpusText: String = "text",
+                    benchmarkText: String = "text"): DataFrame = {
+    val bfp = broadcast(
+      benchmark.select(fingerprint64(col(benchmarkText)).as("_bfp")).distinct())
+    corpus.join(bfp,
+      fingerprint64(col(corpusText)) === col("_bfp"), "left_anti")
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = (1L to 2000L).map(i => (i, s"document number $i content")).toDF("doc_id", "text")
+
+  test("hashSample keeps ~fraction of rows, deterministically across partitionings") {
+    val a = Sampling.hashSample(docs, col("doc_id"), 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(7), col("doc_id"), 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample depends on partitioning")
+    assert(math.abs(a.size / 2000.0 - 0.2) < 0.05, s"kept ${a.size} of 2000")
+  }
+
+  test("trainValSplit partitions every row; subsets nest as fraction grows") {
+    val split = Sampling.trainValSplit(docs, col("doc_id"), 0.1)
+    assert(split.count() == 2000)
+    val vals = split.filter($"split" === "val").collect().map(_.getLong(0)).toSet
+    val vals2 = Sampling.trainValSplit(docs, col("doc_id"), 0.3)
+      .filter($"split" === "val").collect().map(_.getLong(0)).toSet
+    assert(vals.subsetOf(vals2), "10% val set not nested in 30% val set")
+  }
+
+  test("decontaminate drops exact and whitespace/case-variant matches only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "THE  quick   brown FOX"), // fingerprint-equal variant of 1
+      (3L, "completely unrelated text")).toDF("doc_id", "text")
+    val benchmark = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val clean = Sampling.decontaminate(corpus, benchmark)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(3L))
+  }
+}
