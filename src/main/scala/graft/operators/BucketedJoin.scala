@@ -24,7 +24,10 @@ object BucketedJoin {
       .mode("overwrite").saveAsTable(leftTable)
     right.write.bucketBy(buckets, rightKey).sortBy(rightKey)
       .mode("overwrite").saveAsTable(rightTable)
-    spark.table(leftTable)
-      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+    // keys qualified per side: leftKey and rightKey may share a name
+    // (fact-fact joins on a common key — the advertised use case)
+    val lt = spark.table(leftTable)
+    val rt = spark.table(rightTable)
+    lt.join(rt, lt(leftKey) === rt(rightKey))
   }
 }

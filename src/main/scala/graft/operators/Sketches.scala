@@ -30,7 +30,10 @@ object Sketches {
     * literal so both engines use the same constant. */
   def hllDistinct(rows: DataFrame, valueCol: String): DataFrame = {
     val h = md5Long(col(valueCol))
-    val hashed = rows.select(h.as("h"), col(valueCol).as("v"))
+    // NULL values carry no distinct-count information; unfiltered they
+    // would produce a phantom NULL-bucket register and bias zeros/zsum
+    val hashed = rows.where(col(valueCol).isNotNull)
+      .select(h.as("h"), col(valueCol).as("v"))
     // The hash partitions values across buckets, so the global exact
     // distinct count is the SUM of per-bucket distinct counts — it
     // rides the register aggregation instead of forcing a second scan
@@ -125,19 +128,26 @@ object Sketches {
     * sketch itself) is bit-reproducible by the DuckDB oracle.
     *
     * @return (row, bucket, cnt) counter rows. */
-  def countMin(rows: DataFrame, valueCol: String,
-               depth: Int = 4, width: Int = 1024): DataFrame = {
+  /** The (row, bucket) coordinate array for one value — the single
+    * source of truth for the CM hash layout, shared by sketch build
+    * and estimate lookup so the two can never drift. */
+  private def cmBuckets(value: org.apache.spark.sql.Column,
+                        depth: Int, width: Int): org.apache.spark.sql.Column = {
     require(depth >= 1 && depth <= graft.functions.HashFunctions.MinhashA.size &&
       width >= 1)
-    val h = graft.functions.HashFunctions.baseHash30(col(valueCol))
+    val h = graft.functions.HashFunctions.baseHash30(value)
+    array((0 until depth).map { i =>
+      struct(lit(i).as("row"),
+        (graft.functions.HashFunctions.affine(h, i) % width).as("bucket"))
+    }: _*)
+  }
+
+  def countMin(rows: DataFrame, valueCol: String,
+               depth: Int = 4, width: Int = 1024): DataFrame =
     rows.where(col(valueCol).isNotNull)
-      .select(explode(array((0 until depth).map { i =>
-        struct(lit(i).as("row"),
-          (graft.functions.HashFunctions.affine(h, i) % width).as("bucket"))
-      }: _*)).as("rb"))
+      .select(explode(cmBuckets(col(valueCol), depth, width)).as("rb"))
       .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Point-estimate lookups against a [[countMin]] sketch: for each
     * distinct key, the minimum counter across the depth rows. Keys
@@ -146,15 +156,14 @@ object Sketches {
     * broadcastable). */
   def cmEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
                  depth: Int = 4, width: Int = 1024): DataFrame = {
-    val h = graft.functions.HashFunctions.baseHash30(col("key"))
     val keyBuckets = keys.select(col(keyCol).as("key")).distinct()
-      .select(col("key"), explode(array((0 until depth).map { i =>
-        struct(lit(i).as("row"),
-          (graft.functions.HashFunctions.affine(h, i) % width).as("bucket"))
-      }: _*)).as("rb"))
+      .select(col("key"), explode(cmBuckets(col("key"), depth, width)).as("rb"))
       .select(col("key"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
-    keyBuckets.join(broadcast(sketch), Seq("row", "bucket"))
-      .groupBy("key").agg(min("cnt").as("est_cnt"))
+    // LEFT join: a coordinate with no counter row means count 0 — an
+    // unseen key must estimate 0, not vanish (and a partially-colliding
+    // unseen key must not report the min of only its hot buckets)
+    keyBuckets.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("key").agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
   /** The same estimator as a custom Catalyst aggregate

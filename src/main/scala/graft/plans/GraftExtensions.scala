@@ -25,13 +25,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_distinct"),
       (args: Seq[Expression]) => HllAgg(args(0))))
     // graft_rolling_fps(text, w, keepMod): w/keepMod must be literals
-    // (they parameterize the generated code, not per-row inputs)
+    // (they parameterize the generated code, not per-row inputs);
+    // validated here so malformed SQL fails with a message, not an
+    // IndexOutOfBounds/eval crash
     ext.injectFunction((
       FunctionIdentifier("graft_rolling_fps"),
       new ExpressionInfo(classOf[RollingFingerprints].getName, "graft_rolling_fps"),
-      (args: Seq[Expression]) => RollingFingerprints(args(0),
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue())))
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_rolling_fps(text, w, keepMod) takes 3 arguments, got ${args.length}")
+        def intLit(e: Expression, name: String): Int = {
+          require(e.foldable, s"graft_rolling_fps: $name must be an integer literal")
+          e.eval().asInstanceOf[Number].intValue()
+        }
+        RollingFingerprints(args(0), intLit(args(1), "w"), intLit(args(2), "keepMod"))
+      }))
     // auto-accelerate the portable HOF dot-product pattern
     ext.injectOptimizerRule(_ => AccelerateDotProduct)
   }

@@ -83,21 +83,31 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** sqrt(dot(a, a)) in one pass. */
+/** sqrt(dot(a, a)) in one pass. Same NULL contract as [[DotProductF]]:
+  * a null element makes the whole norm NULL (matching the HOF
+  * `aggregate` fold), with the check compiled out for provably-dense
+  * element types. */
 case class L2NormF(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null input and null elements both produce null
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_norm"
+
+  private def elementsNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val checkNulls = elementsNullable
     var acc = 0.0
     var i = 0
     val n = x.numElements()
     while (i < n) {
+      if (checkNulls && x.isNullAt(i)) return null
       val v = x.getFloat(i).toDouble
       acc += v * v
       i += 1
@@ -111,14 +121,18 @@ case class L2NormF(child: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val v = ctx.freshName("v")
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $v = (double) $a.getFloat($i);
          |  $acc += $v * $v;
          |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
+         |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($acc); }
        """.stripMargin
     })
 

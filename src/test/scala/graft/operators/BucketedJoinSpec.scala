@@ -32,4 +32,16 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("coLocatedJoin resolves same-named keys on both sides") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "av")
+    val b = Seq((1L, "X"), (3L, "Z")).toDF("k", "bv")
+    try {
+      val joined = BucketedJoin.coLocatedJoin(a, b, "k", "k", 4, "b_same_a", "b_same_b")
+      assert(joined.count() == 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_same_a")
+      spark.sql("DROP TABLE IF EXISTS b_same_b")
+    }
+  }
 }

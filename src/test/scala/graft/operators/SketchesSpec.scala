@@ -79,6 +79,28 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("count-min estimate for an unseen key is 0 (or collision-bounded), never absent") {
+    val rows = Seq.fill(100)("present").toDF("term")
+    val sketch = Sketches.countMin(rows, "term", depth = 4, width = 256)
+    val est = Sketches.cmEstimate(sketch,
+        Seq("present", "never-ingested").toDF("term"), "term", depth = 4, width = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("present") == 100L)
+    assert(est.contains("never-ingested"), "unseen key vanished from the estimate")
+    assert(est("never-ingested") == 0L) // its buckets are empty at width 256
+  }
+
+  test("hllDistinct ignores NULL values — no phantom register") {
+    val allNull = Seq[Option[String]](None, None).toDF("v")
+    val r = Sketches.hllDistinct(allNull, "v").collect().head
+    assert(r.getDouble(0) == 0.0 && r.getLong(1) == 0L)
+    val mixed = (Seq[Option[String]](None) ++ (1 to 500).map(i => Some(s"x$i"))).toDF("v")
+    val withNull = Sketches.hllDistinct(mixed, "v").collect().head
+    val without = Sketches.hllDistinct(
+      (1 to 500).map(i => s"x$i").toDF("v"), "v").collect().head
+    assert(withNull.getDouble(0) == without.getDouble(0))
+  }
+
   test("count-min estimates never under-count, over-count bounded") {
     val rows = ((1 to 400).map(i => s"tok${i % 40}") ++ Seq.fill(100)("hot"))
       .toDF("term")

@@ -53,6 +53,14 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("norm of an array with a null element is null, matching the HOF fold") {
+    val withNullElem = Seq(Tuple1(Seq(Some(3.0f), None))).toDF("a")
+    val r = withNullElem.select(
+      Similarity.norm(col("a")).as("native"),
+      sqrt(Similarity.dotHof(col("a"), col("a"))).as("hof")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("null array yields null (nullIntolerant)") {
     val withNull = Seq((1L, Some(Array(1.0f)), None: Option[Array[Float]]))
       .toDF("id", "a", "b")
