@@ -321,6 +321,13 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
         .agg(round(Sketches.hllAggCol(col("term")), 4).as("est_distinct"))
     }),
+    // Context-window chunking: overlapping 64-token chunks, stride 48.
+    "q57_chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"),
+        chunkTokens = 64, overlap = 16)),
+    // PII redaction: email/phone/number placeholders + counts.
+    "q58_redact_pii" -> ((s, dir) =>
+      TextAnalysis.redactPii(t(s, dir, "documents"))),
     // Deterministic hash-based train/val split: a doc's split depends
     // only on its id — reproducible across reruns/engines/batches.
     "q55_hash_split" -> ((s, dir) =>
@@ -914,6 +921,31 @@ object SparkEntry {
         |  THEN 256.0 * ln(256.0 / zeros)
         |  ELSE 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s::DOUBLE END, 4) AS est_distinct
         |FROM z""".stripMargin,
+    "q57_chunk_docs" ->
+      // chunk_id recovered from the start offset: start = 1 + 48·id
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents
+        |), st AS (
+        |  SELECT doc_id, tk,
+        |    unnest(generate_series(1, greatest(len(tk), 1), 48)) AS start
+        |  FROM toks
+        |)
+        |SELECT doc_id, ((start - 1) // 48)::BIGINT AS chunk_id,
+        |  len(list_slice(tk, start, start + 63))::BIGINT AS n_tokens,
+        |  array_to_string(list_slice(tk, start, start + 63), ' ') AS chunk_text
+        |FROM st""".stripMargin,
+    "q58_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS clean_text,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9() -]{6,}[0-9]'))::BIGINT AS n_phones
+        |FROM documents""".stripMargin,
     "q55_hash_split" ->
       s"""SELECT doc_id,
         |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT < ${graft.operators.Sampling.threshold(0.1)}

@@ -96,6 +96,58 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Context-window chunking: split each document into overlapping
+    * token-window chunks — the standard pre-tokenization step for
+    * fixed-context training. Chunk i starts at token
+    * 1 + i·(chunkTokens − overlap); the final chunk may be short.
+    * Pure per-row expressions (sequence → posexplode → slice):
+    * scan-speed, no shuffle, chunk count bounded by
+    * ⌈tokens/stride⌉. Empty docs emit one empty chunk (so no
+    * document silently disappears between pipeline stages). */
+  def chunkDocuments(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", chunkTokens: Int = 128,
+                     overlap: Int = 16): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("_toks"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(1), greatest(size(col("_toks")), lit(1)), lit(stride)))
+          .as(Seq("chunk_id", "_start")),
+        col("_toks"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(slice(col("_toks"), col("_start"), lit(chunkTokens)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("_toks"), col("_start"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Heuristic PII redaction: emails, phone-number-shaped digit runs,
+    * and long bare digit runs replaced by typed placeholders. Pure
+    * regexp projection (scan-speed); patterns restricted to explicit
+    * character classes so Java and RE2 regex engines agree — the
+    * redacted corpus, and the redaction counts, are oracle-verified.
+    * A production pipeline swaps in its own pattern set; the operator
+    * shape (ordered replace chain + per-category counts) stays. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+  val LongNumRe = "[0-9]{6,}"
+
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+    val clean = regexp_replace(afterPhone, LongNumRe, "<NUM>")
+    docs.select(
+      col(idCol),
+      clean.as("clean_text"),
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+  }
+
   private def nullifZero(c: org.apache.spark.sql.Column) =
     when(c === 0, lit(null)).otherwise(c)
 }

@@ -50,4 +50,42 @@ class TextAnalysisSpec extends SparkSpec {
       .select("fp64").collect().head.getLong(0)
     assert(v > 0L)
   }
+
+  test("chunkDocuments: overlapping windows cover every token, final chunk short") {
+    val text = (1 to 25).map(i => s"w$i").mkString(" ") // 25 tokens
+    val chunks = TextAnalysis.chunkDocuments(
+        Seq((1L, text)).toDF("doc_id", "text"), chunkTokens = 10, overlap = 4)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    // stride 6: starts 1, 7, 13, 19, 25 → 5 chunks
+    assert(chunks.length == 5)
+    assert(chunks.head._3.startsWith("w1 w2") && chunks.head._2 == 10)
+    // consecutive chunks overlap by 4 tokens
+    assert(chunks(1)._3.startsWith("w7 w8"))
+    assert(chunks.last._2 == 1 && chunks.last._3 == "w25")
+    // every token appears in some chunk
+    val covered = chunks.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 25).map(i => s"w$i").toSet)
+  }
+
+  test("chunkDocuments: empty doc emits one empty chunk") {
+    val chunks = TextAnalysis.chunkDocuments(
+      Seq((1L, "")).toDF("doc_id", "text")).collect()
+    assert(chunks.length == 1 && chunks.head.getLong(2) == 0L)
+  }
+
+  test("redactPii replaces emails, phones, and digit runs with typed placeholders") {
+    val out = TextAnalysis.redactPii(Seq(
+        // 6–7 digit runs hit the NUM tier; ≥8 bare digits are
+        // phone-shaped and intentionally caught by the PHONE tier
+        (1L, "contact bob.smith+x@example.com or call +1 (555) 123-4567 ref 654321"),
+        (2L, "nothing sensitive here")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getString(1) == "contact <EMAIL> or call <PHONE> ref <NUM>",
+      s"got: ${r1.getString(1)}")
+    assert(r1.getLong(2) == 1L && r1.getLong(3) == 1L)
+    assert(out(1).getString(1) == "nothing sensitive here")
+    assert(out(1).getLong(2) == 0L && out(1).getLong(3) == 0L)
+  }
 }
