@@ -227,12 +227,16 @@ object SparkEntry {
     // 60-bit SimHash sketch per document.
     "q26_simhash" -> ((s, dir) =>
       FuzzyDedup.simhash(t(s, dir, "documents"))),
-    // SimHash Hamming pair search: chunk-blocked (pigeonhole) buckets,
-    // verified bit_count(xor) ≤ 3 — the whole pipeline is md5-derived,
-    // so the oracle replays it exactly.
+    // SimHash Hamming pair search: exact-sketch grouping (docs
+    // collapse to distinct sketches before any pairwise stage), chunk
+    // blocking (pigeonhole) over sketches, verified bit_count(xor) ≤ 3
+    // BEFORE fanning back out to doc pairs. maxBucket=256 governs
+    // degenerate chunk buckets (star pairs to the bucket rep) — the
+    // whole pipeline incl. the cap is md5-derived, so the oracle
+    // replays it exactly.
     "q49_simhash_pairs" -> ((s, dir) =>
-      FuzzyDedup.simhashPairs(t(s, dir, "documents"))
-        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))),
+      FuzzyDedup.simhashPairs(t(s, dir, "documents"), maxBucket = Some(256))
+        .select(col("doc_a"), col("doc_b"), col("hamming"))),
     // Dedup resolution: near-dup pairs → connected components →
     // canonical representative per doc (keep doc_id == cluster_rep).
     "q47_dedup_clusters" -> ((s, dir) =>
@@ -713,6 +717,10 @@ object SparkEntry {
         |)
         |SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+    // replay of simhashPairs(maxBucket=256): exact-sketch groups,
+    // chunk blocking over distinct sketches (rep = min member), star
+    // fallback for buckets over the cap (a.rep = bsz.mrep), hamming
+    // filter before member fan-out, exact-dup pairs unioned last
     "q49_simhash_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
@@ -725,16 +733,30 @@ object SparkEntry {
         |), sh AS (
         |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
         |  FROM bits GROUP BY doc_id
+        |), grp AS (
+        |  SELECT simhash, min(doc_id) AS rep FROM sh GROUP BY simhash
+        |), intra AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0::BIGINT AS hamming
+        |  FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
         |), chunked AS (
-        |  SELECT doc_id, simhash, g.c AS chunk, (simhash >> (g.c * 15)) & 32767 AS ck
-        |  FROM sh, generate_series(0, 3) g(c)
-        |), pairs AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-        |  FROM chunked a JOIN chunked b
-        |    ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+        |  SELECT simhash, rep, g.c AS chunk, (simhash >> (g.c * 15)) & 32767 AS ck
+        |  FROM grp, generate_series(0, 3) g(c)
+        |), bsz AS (
+        |  SELECT chunk, ck, count(*) AS n, min(rep) AS mrep FROM chunked GROUP BY 1, 2
+        |), spairs AS (
+        |  SELECT * FROM (
+        |    SELECT DISTINCT a.simhash AS sa, b.simhash AS sb,
+        |      bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |    FROM chunked a JOIN chunked b
+        |      ON a.chunk = b.chunk AND a.ck = b.ck AND a.rep < b.rep
+        |    JOIN bsz ON bsz.chunk = a.chunk AND bsz.ck = a.ck
+        |    WHERE bsz.n <= 256 OR a.rep = bsz.mrep
+        |  ) WHERE hamming <= 3
         |)
-        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+        |SELECT least(x.doc_id, y.doc_id) AS doc_a,
+        |  greatest(x.doc_id, y.doc_id) AS doc_b, sp.hamming
+        |FROM spairs sp JOIN sh x ON x.simhash = sp.sa JOIN sh y ON y.simhash = sp.sb
+        |UNION ALL SELECT doc_a, doc_b, hamming FROM intra""".stripMargin,
     "q27_embed_neardup" ->
       """WITH s AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

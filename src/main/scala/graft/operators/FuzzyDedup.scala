@@ -36,8 +36,14 @@ import org.apache.spark.sql.{Column, DataFrame}
   * Skew note (scale): a degenerate band signature shared by a huge
   * cluster makes pair expansion quadratic in that bucket. Callers
   * deduplicating adversarial corpora should cap bucket size
-  * (`maxBucket`) — dropped buckets are *already duplicates by
-  * signature*, better handled by exact-key grouping.
+  * (`maxBucket`); capped buckets degrade to star pairs against the
+  * bucket's minimum id (LSH bands, simhash chunks — membership means
+  * "duplicate by signature", so connectivity to the representative is
+  * what matters) or are dropped whole (winnowing fingerprints — an
+  * over-shared key is boilerplate with no signal). [[simhashPairs]]
+  * additionally collapses exact-duplicate sketches BEFORE any
+  * pairwise stage, so the quadratic term is in distinct sketches per
+  * bucket, not docs.
   */
 object FuzzyDedup {
 
@@ -59,19 +65,38 @@ object FuzzyDedup {
     * compute) bucket table twice or forces a persist. Returns a
     * single struct column `p` with fields (a, b), a < b by the sort.
     *
-    * Buckets above `maxBucket` are dropped whole: members beyond any
-    * sane cap are exact-signature duplicates, cheaper to handle by
-    * exact-key grouping than by quadratic pair expansion. */
-  private def bucketPairs(rows: DataFrame, keys: Seq[String], id: Column,
-                          maxBucket: Option[Int]): DataFrame = {
+    * Buckets above `maxBucket` skip quadratic expansion; two
+    * policies govern what happens to them:
+    *  - `starOnOverflow = true`: emit star pairs (min-id, other) —
+    *    O(bucket) rows keeping every member connected to the bucket's
+    *    representative. Right when bucket membership itself signals
+    *    "duplicate by signature" (LSH band buckets, simhash chunk
+    *    buckets): cluster connectivity survives the cap while pair
+    *    expansion stays linear in the bucket.
+    *  - `starOnOverflow = false`: drop the bucket whole — the
+    *    winnowing/MOSS boilerplate rule, where a key shared by a huge
+    *    fraction of the corpus carries no near-dup signal at all. */
+  private[operators] def bucketPairs(rows: DataFrame, keys: Seq[String], id: Column,
+                                     maxBucket: Option[Int],
+                                     starOnOverflow: Boolean = false): DataFrame = {
     val grouped = rows.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_set(id)).as("ids"))
-    val capOk = maxBucket.map(cap => size(col("ids")) <= cap).getOrElse(lit(true))
-    grouped
-      .filter(size(col("ids")) > 1 && capOk)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
+      .filter(size(col("ids")) > 1)
+    def allPairs(g: DataFrame): DataFrame =
+      g.select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
+    maxBucket match {
+      case None => allPairs(grouped)
+      case Some(cap) =>
+        val small = allPairs(grouped.filter(size(col("ids")) <= cap))
+        if (!starOnOverflow) small
+        else small.unionByName(
+          grouped.filter(size(col("ids")) > cap)
+            .select(explode(transform(
+              slice(col("ids"), lit(2), size(col("ids"))),
+              y => struct(element_at(col("ids"), 1).as("a"), y.as("b")))).as("p")))
+    }
   }
 
   /** MinHash signatures by explode + groupBy-min rather than the
@@ -90,7 +115,12 @@ object FuzzyDedup {
 
   /** MinHash-LSH candidate pairs: docs sharing at least one of
     * `bands` band signatures (r = k/bands minhashes concatenated).
-    * Deterministic: same (k, bands, data) ⇒ same candidates. */
+    * Deterministic: same (k, bands, data) ⇒ same candidates.
+    * Buckets over `maxBucket` emit star candidates to the bucket's
+    * min doc — a band-signature match is already a near-certain
+    * duplicate, so the representative edges keep the cluster
+    * connected through downstream Jaccard verification without the
+    * quadratic expansion. */
   def lshCandidates(sh: DataFrame, k: Int = 12, bands: Int = 4,
                     maxBucket: Option[Int] = None): DataFrame = {
     val r = k / bands
@@ -102,7 +132,8 @@ object FuzzyDedup {
           concat_ws("|", (0 until r).map(i => col(s"mh${b * r + i}").cast("string")): _*).as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    bucketPairs(bandRows, Seq("band", "sig"), col("doc_id"), maxBucket)
+    bucketPairs(bandRows, Seq("band", "sig"), col("doc_id"), maxBucket,
+        starOnOverflow = true)
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
@@ -241,30 +272,106 @@ object FuzzyDedup {
           when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on any shared 15-bit chunk (4
-    * chunks ⇒ any pair within Hamming distance 3 shares ≥1 chunk by
-    * pigeonhole), verify `bit_count(xor) ≤ maxHamming`. Pairs are
-    * expanded in-row per (chunk, value) bucket carrying the sketch,
-    * so the simhash aggregation runs exactly once.
+  /** SimHash near-dup pairs: exact-key grouping on the full sketch,
+    * then chunk blocking over DISTINCT sketches only.
     *
-    * `maxBucket`: a chunk value shared by a huge doc set is a giant
-    * near-identical cluster — its pairs are quadratic and better
-    * resolved by exact-key grouping on the full sketch; cap to skip
-    * such buckets at scale (measured at sf0.1: one 1582-doc bucket
-    * contributes 43% of all expanded pairs). */
+    *  1. Docs collapse to distinct-sketch groups (sorted member ids,
+    *     rep = min id). Exact duplicates (hamming 0) are emitted by
+    *     in-row pair expansion per group — output-sized, no blocking
+    *     needed.
+    *  2. Distinct sketches are blocked on their 4 × 15-bit chunks
+    *     (pigeonhole: any pair within Hamming distance 3 shares ≥1
+    *     chunk). Pair expansion is quadratic in DISTINCT SKETCHES per
+    *     bucket, not docs — a near-identical cluster of N copies costs
+    *     1 sketch here, not N (measured at sf0.1: the hottest bucket
+    *     collapses 1582 docs → 573 sketches, 7.6× fewer candidates).
+    *  3. Sketch pairs are hamming-filtered BEFORE member expansion,
+    *     so only true ≤ maxHamming pairs fan back out to doc pairs.
+    *     The fan-out is the true answer's own size — irreducible.
+    *
+    * `maxBucket` caps step 2's per-bucket sketch count: oversized
+    * buckets (a degenerate chunk value) emit star pairs to the
+    * bucket's min-rep sketch in O(bucket) instead of expanding
+    * quadratically. Under the cap, every member sketch stays
+    * connected to the bucket representative (subject to the hamming
+    * verify), and hamming-0 pairs are always complete via step 1;
+    * pairs of non-representative sketches sharing ONLY a capped
+    * bucket are traded away — the standard skew governor for
+    * adversarial corpora. Uncapped, the result is exactly the
+    * all-pairs ≤ maxHamming definition (spec-pinned). */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", maxHamming: Int = 3,
                    maxBucket: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 15,
+      "pigeonhole blocking over 4 chunks covers hamming <= 3; " +
+        "values above 3 may miss pairs, above 14 lose the guarantee entirely")
     val shh = simhash(docs, idCol, textCol)
-    val chunked = shh.select(struct(col("doc_id"), col("simhash")).as("ds"),
+    // exact-key groups: (sketch, sorted member ids); rep = min member.
+    // Struct order (rep, simhash, ids) makes bucket sort + star
+    // fallback mirror the oracle's `a.rep < b.rep` (reps are unique —
+    // sketch groups partition the doc ids)
+    val grp = shh.groupBy("simhash")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+    val chunked = grp.select(
+      struct(element_at(col("ids"), 1).as("rep"), col("simhash"), col("ids")).as("g"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           expr(s"shiftright(simhash, ${c * 15}) & 32767").as("ck"))): _*)).as("cc"))
-      .select(col("ds"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
-    bucketPairs(chunked, Seq("chunk", "ck"), col("ds"), maxBucket)
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        expr("bit_count(p.a.simhash ^ p.b.simhash)").as("hamming"))
+      .select(col("g"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+    val grouped = chunked.groupBy("chunk", "ck")
+      .agg(sort_array(collect_list(col("g"))).as("gs"))
+    // ALL candidate generation happens in-row from here — the sketch
+    // pipeline has exactly ONE consumer chain, so it executes once
+    // (forked DataFrames would re-run the whole upstream per branch)
+    // candidate pairs as INDEX pairs first (int-only arrays), hamming-
+    // verified by indexed sketch lookup, and only the few survivors
+    // materialized as struct pairs — expanding struct pairs directly
+    // would copy both member structs (ids arrays included) per
+    // candidate, the dominant cost of the quadratic stage
+    val gs = col("gs")
+    val n = size(gs)
+    val emptyIdx = array().cast("array<struct<i:int,j:int>>")
+    val interIdx = flatten(transform(sequence(lit(1), n), i =>
+      when(i < n, transform(sequence(i + 1, n), j => struct(i.as("i"), j.as("j"))))
+        .otherwise(emptyIdx)))
+    val starIdx = transform(sequence(lit(2), n), j => struct(lit(1).as("i"), j.as("j")))
+    val cappedIdx = maxBucket
+      .map(cap => when(n <= cap, interIdx).otherwise(starIdx))
+      .getOrElse(interIdx)
+    // exact-duplicate groups emit a SELF pair (i, i) from their
+    // chunk-0 bucket (each sketch sits in exactly one) — hamming 0,
+    // immune to the cap, expanded to member pairs below
+    val selfIdx = transform(
+      filter(sequence(lit(1), n),
+        i => size(element_at(gs, i).getField("ids")) > 1 && col("chunk") === 0),
+      i => struct(i.as("i"), i.as("j")))
+    def sk(i: Column): Column = element_at(gs, i).getField("simhash")
+    // hamming-verify BEFORE materializing: only true pairs become rows
+    val keptIdx = filter(concat(cappedIdx, selfIdx), p =>
+      bit_count(sk(p.getField("i")).bitwiseXOR(sk(p.getField("j")))) <= maxHamming)
+    val kept = transform(keptIdx, p =>
+      struct(element_at(gs, p.getField("i")).as("a"),
+        element_at(gs, p.getField("j")).as("b")))
+    def ham(p: Column): Column = bit_count(p.getField("a").getField("simhash")
+      .bitwiseXOR(p.getField("b").getField("simhash")))
+    val sp = grouped.select(explode(kept).as("p"))
+      .select(col("p.a.simhash").as("sa"), col("p.b.simhash").as("sb"),
+        ham(col("p")).cast("long").as("hamming"),
+        col("p.a.ids").as("ids_a"), col("p.b.ids").as("ids_b"))
+      // a sketch pair can collide in up to 4 chunks; ids are a pure
+      // function of the sketch, so distinct dedups at pair level
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+    // fan out to member doc pairs in-row: self pairs expand i<j within
+    // the group, cross pairs expand the member cross-product (the true
+    // answer's own size — irreducible)
+    val docPairs = when(col("sa") === col("sb"),
+      flatten(transform(col("ids_a"), (x, i) =>
+        transform(slice(col("ids_a"), i + lit(2), size(col("ids_a"))),
+          y => struct(x.as("da"), y.as("db"))))))
+      .otherwise(flatten(transform(col("ids_a"), x =>
+        transform(col("ids_b"), y =>
+          struct(least(x, y).as("da"), greatest(x, y).as("db"))))))
+    sp.select(col("hamming"), explode(docPairs).as("dp"))
+      .select(col("dp.da").as("doc_a"), col("dp.db").as("doc_b"), col("hamming"))
   }
 }

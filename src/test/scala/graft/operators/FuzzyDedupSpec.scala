@@ -71,10 +71,38 @@ class FuzzyDedupSpec extends SparkSpec {
     FuzzyDedup.minhashNearDups(docs, threshold = 0.5).count()
     FuzzyDedup.exactJaccardPairs(docs, threshold = 0.1).count()
     FuzzyDedup.fingerprintPairs(docs, minShared = 1, keepMod = 4).count()
-    FuzzyDedup.simhashPairs(docs, maxHamming = 60).count()
+    FuzzyDedup.simhashPairs(docs, maxHamming = 14).count()
     TextAnalysis.tfIdf(docs).count()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"operators persisted RDDs: $leaked")
+  }
+
+  test("simhashPairs uncapped equals the naive all-pairs <=3-hamming definition") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sk = FuzzyDedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (a, sa) <- sk; (b, sb) <- sk if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = FuzzyDedup.simhashPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "exact-sketch grouping must lose no true pair")
+    assert(want.exists(_._3 == 0L) && want.exists(_._3 > 0L),
+      "corpus must exercise both the exact-dup and the inter-sketch path")
+  }
+
+  test("simhashPairs cap: subset of uncapped, hamming-0 complete, bucket reps connected") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val uncapped = FuzzyDedup.simhashPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cap of 2 forces the star fallback on any 3+-sketch chunk bucket
+    val capped = FuzzyDedup.simhashPairs(corpus, maxBucket = Some(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped.subsetOf(uncapped), "cap must never invent pairs")
+    assert(capped.filter(_._3 == 0L) == uncapped.filter(_._3 == 0L),
+      "exact-duplicate (hamming-0) pairs bypass blocking and survive any cap")
+    assert(capped.nonEmpty)
   }
 
   test("shingling: short docs yield empty set, excluded from pipeline") {
