@@ -431,11 +431,13 @@ object SparkEntry {
     // (the codec seam is exercised by MultimodalSpec).
     "q30_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.asBinaryTable(t(s, dir, "documents")))),
-    // Frame sampling over chunked binary (rows-only check: binary
-    // frame payloads aren't oracle-SQL-comparable).
+    // Frame sampling over chunked binary. Frames are compared as hex
+    // (byte-exact; DuckDB can slice hex strings but not blobs), making
+    // the binary payload path fully oracle-checked.
     "q31_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.asBinaryTable(t(s, dir, "documents")), chunkBytes = 64, stride = 2))
+          Multimodal.asBinaryTable(t(s, dir, "documents")), chunkBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex")))
   )
 
   /** DuckDB rounded-cosine dual of `Similarity.cosine` (same
@@ -1098,6 +1100,22 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    // frame bytes replayed as hex slices: frame i covers bytes
+    // [64i, 64i+64) ⇒ hex chars [128i+1, 128i+128]; both engines emit
+    // uppercase hex, and an empty payload yields one empty frame row
+    "q31_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, to_hex(encode(text)) AS hx,
+        |    octet_length(encode(text))::BIGINT AS n_bytes
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, hx,
+        |    unnest(generate_series(0, greatest(ceil(n_bytes / 64.0)::BIGINT - 1, 0), 2)) AS frame_idx
+        |  FROM b
+        |)
+        |SELECT doc_id, frame_idx,
+        |  substring(hx, (frame_idx * 128 + 1)::BIGINT, 128) AS frame_hex
+        |FROM idx""".stripMargin,
     "q30_multimodal_meta" ->
       """SELECT doc_id, 'image/png' AS mime,
         |  octet_length(encode(text))::BIGINT AS n_bytes,

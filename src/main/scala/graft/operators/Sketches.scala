@@ -94,25 +94,33 @@ object Sketches {
     val bucket = when(col("hi") === col("lo"), lit(0L))
       .otherwise(least(floor((col("v") - col("lo")) /
         ((col("hi") - col("lo")) / bins)).cast("long"), lit(bins - 1L)))
+    // bounds are crossJoined ONCE and ride the bucket aggregation as
+    // constant min-aggregates, so the whole operator reads the input
+    // exactly twice (bounds agg + bucket counts) regardless of |qs| —
+    // the prior per-quantile union re-executed both aggs per branch
     val bucketed = rows.select(v.as("v")).where(v.isNotNull).crossJoin(bounds)
-      .select(bucket.as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .select(bucket.as("bucket"), col("lo"), col("hi"), col("n"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"),
+        min("lo").as("lo"), min("hi").as("hi"), min("n").as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bucketed
       .withColumn("cum", sum("cnt").over(w))
       .withColumn("before", col("cum") - col("cnt"))
-      .crossJoin(bounds)
-    qs.map { q =>
-      // target rank t = q·n; the first bucket whose cum ≥ t holds the
-      // quantile; interpolate by the rank's position within the bucket
-      cum.filter(col("cum") >= lit(q) * col("n"))
-        .orderBy("bucket").limit(1)
-        .select(lit(q).as("q"),
-          round(col("lo") + ((col("hi") - col("lo")) / bins) *
-            (col("bucket") + (lit(q) * col("n") - col("before")) / col("cnt")), 6)
-            .as("est"))
-    }.reduce(_.unionByName(_))
+    // every quantile reads the SAME ≤bins-row cumulative table: explode
+    // the literal quantile list against it, keep each q's first bucket
+    // with cum ≥ q·n (row_number over a ≤bins-row relation — driver-
+    // trivial), interpolate by the rank's position within the bucket
+    val wq = Window.partitionBy("q").orderBy("bucket")
+    cum.select(explode(array(qs.map(lit(_)): _*)).as("q"), col("bucket"),
+        col("cnt"), col("before"), col("cum"), col("lo"), col("hi"), col("n"))
+      .filter(col("cum") >= col("q") * col("n"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1)
+      .select(col("q"),
+        round(col("lo") + ((col("hi") - col("lo")) / bins) *
+          (col("bucket") + (col("q") * col("n") - col("before")) / col("cnt")), 6)
+          .as("est"))
   }
 
   /** Count-min sketch: `depth` independent hash rows × `width`
