@@ -30,15 +30,27 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a failing query must poison the bench output, not shrink it:
+        // its time is excluded and the total goes to -1 below
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        name -> dt
-      }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        (name, dt, err)
+      }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val ok = results.collect { case (n, dt, None) => (n, dt) }
+    val errs = results.collect { case (n, _, Some(m)) => (n, m.take(200)) }
+    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val total = if (errs.nonEmpty) -1.0 else ok.map(_._2).sum
+    val errJson = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

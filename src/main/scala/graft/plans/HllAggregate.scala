@@ -43,11 +43,19 @@ case class HllAgg(
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      // same md5→60-bit derivation as HashFunctions.md5Long
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(v.toString.getBytes("UTF-8"))
-      val hex = md.take(8).map("%02x".format(_)).mkString.substring(0, 15)
-      val h = java.lang.Long.parseLong(hex, 16)
+      // same md5→60-bit derivation as HashFunctions.md5Long: the first
+      // 15 hex digits = top 60 bits of the first 8 digest bytes. The
+      // digest instance is thread-local and the value is extracted
+      // arithmetically — no per-row allocation beyond the digest's own
+      // output array (hex-string formatting was measurable garbage at
+      // corpus scale)
+      val md = HllAgg.digest.get()
+      md.reset()
+      val d = md.digest(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = h >>> 4 // 15 hex digits = 60 bits
       val bucket = (h & 255L).toInt
       val w = h >>> 8
       val rho = if (w > 0) 53 - (64 - java.lang.Long.numberOfLeadingZeros(w)) else 53
@@ -93,4 +101,14 @@ case class HllAgg(
       newChildren: IndexedSeq[Expression]): HllAgg =
     copy(child = newChildren.head)
   override def prettyName: String = "graft_hll_distinct"
+}
+
+object HllAgg {
+  /** Executor-thread-local MD5 instance — MessageDigest is not
+    * thread-safe and allocating one per row is hot-path garbage. */
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
 }

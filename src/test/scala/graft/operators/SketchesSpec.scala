@@ -33,6 +33,30 @@ class SketchesSpec extends SparkSpec {
       s"agg=$viaAgg declarative=$declarative")
   }
 
+  test("HllAgg registers are identical to the declarative HLL's (exact integer fold)") {
+    val rows = (1 to 6000).map(i => s"value-${i % 2000}").toDF("v")
+    val viaAgg = rows.repartition(8).agg(Sketches.hllAggCol($"v")).collect().head.getDouble(0)
+    // declarative register table, same md5→60-bit derivation
+    val mj = rows
+      .select(graft.functions.HashFunctions.md5Long(col("v")).as("h"))
+      .select(col("h").bitwiseAND(lit(255L)).as("bucket"),
+        when(expr("shiftright(h, 8)") > 0,
+          lit(53) - length(bin(expr("shiftright(h, 8)")))).otherwise(lit(53)).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("mj"))
+      .collect().map(r => r.getLong(0).toInt -> r.getInt(1)).toMap
+    // HllAgg.eval's exact fold replayed literally: equality is only
+    // possible if every one of the 256 registers matches
+    var s = 0L; var zeros = 0
+    (0 until 256).foreach { b =>
+      val m = mj.getOrElse(b, 0)
+      s += 1L << (53 - m)
+      if (m == 0) zeros += 1
+    }
+    val raw = 0.718272 * 65536.0 * 9007199254740992.0 / s.toDouble
+    val want = if (raw <= 640.0 && zeros > 0) 256.0 * math.log(256.0 / zeros) else raw
+    assert(viaAgg == want, s"agg=$viaAgg fold-of-declarative-registers=$want")
+  }
+
   test("graft functions usable from SQL via GraftExtensions registration") {
     import org.apache.spark.sql.SparkSession
     // extensions bind at session build time: build a sibling session
