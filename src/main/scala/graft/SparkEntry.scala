@@ -1005,8 +1005,8 @@ object SparkEntry {
         |  SELECT kh.term, cs.i AS hr, ((cs.a * kh.h30 + cs.b) % ${graft.functions.HashFunctions.MinhashP}) % 1024 AS bucket
         |  FROM kh, cs
         |)
-        |SELECT kb.term, min(bkt.cnt)::BIGINT AS est_cnt
-        |FROM kb JOIN bkt ON bkt.hr = kb.hr AND bkt.bucket = kb.bucket
+        |SELECT kb.term, min(coalesce(bkt.cnt, 0))::BIGINT AS est_cnt
+        |FROM kb LEFT JOIN bkt ON bkt.hr = kb.hr AND bkt.bucket = kb.bucket
         |GROUP BY 1""".stripMargin,
     "q53_hist_quantiles" ->
       // replay of Sketches.histogramQuantiles: 64 equi-width buckets,

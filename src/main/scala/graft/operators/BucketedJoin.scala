@@ -15,7 +15,15 @@ object BucketedJoin {
   /** Write both inputs as bucketed+sorted tables, then join the
     * bucketed tables on the key. The writes are eager (saveAsTable);
     * the returned join is lazy and shuffle-free. Existing tables of
-    * the same names are overwritten, so the call is idempotent. */
+    * the same names are overwritten, so the call is idempotent.
+    *
+    * Contract: table names are caller-supplied, and the write is
+    * single-writer per name — two concurrent callers passing the same
+    * `leftTable`/`rightTable` clobber each other mid-query, so give
+    * each invocation its own namespace (e.g. suffix a job id).
+    * Callers must also point `spark.sql.warehouse.dir` somewhere
+    * deliberate (Bench/Verify use a temp warehouse); the default
+    * litters `./spark-warehouse`. */
   def coLocatedJoin(left: DataFrame, right: DataFrame,
                     leftKey: String, rightKey: String, buckets: Int,
                     leftTable: String, rightTable: String): DataFrame = {

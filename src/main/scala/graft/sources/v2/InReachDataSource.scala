@@ -85,10 +85,19 @@ final class InReachTable(options: CaseInsensitiveStringMap)
 }
 
 final class InReachScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
 
   private var pushedTime: Option[Instant] = None
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = InReachDataSource.schema
+
+  /** Column pruning: Catalyst hands us the columns the query actually
+    * reads; the scan reports (and the reader materializes) only those,
+    * so e.g. `select("whenRaw")` never builds the extended-data map.
+    * Visible in `explain` as the pruned `ReadSchema`. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   /** Accept `whenRaw > t` / `whenRaw ≥ t` (ISO-8601 strings): they
     * tighten the server-side d1 parameter. The accepted filters are
@@ -130,20 +139,23 @@ final class InReachScanBuilder(options: CaseInsensitiveStringMap)
     nowIso = Option(options.get("now")),
     fixtureDir = Option(options.get("fixtureDir")),
     pushedTime = pushedTime.map(_.toString),
-    debug = options.getBoolean("debug", false))
+    debug = options.getBoolean("debug", false),
+    required = required)
 }
 
 final class InReachScan(shares: Seq[graft.model.Share], lookbackMinutes: Long,
                         nowIso: Option[String], fixtureDir: Option[String],
-                        pushedTime: Option[String], debug: Boolean) extends Scan with Batch {
-  override def readSchema(): StructType = InReachDataSource.schema
+                        pushedTime: Option[String], debug: Boolean,
+                        required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"InReachScan(shares=${shares.size}, pushedTime=$pushedTime)"
+    s"InReachScan(shares=${shares.size}, pushedTime=$pushedTime, " +
+      s"readSchema=${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] =
     shares.map(s => InReachPartition(s, lookbackMinutes, nowIso, fixtureDir,
-      pushedTime, debug): InputPartition).toArray
+      pushedTime, debug, required.fieldNames): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new InReachReaderFactory
@@ -151,7 +163,8 @@ final class InReachScan(shares: Seq[graft.model.Share], lookbackMinutes: Long,
 
 final case class InReachPartition(share: graft.model.Share, lookbackMinutes: Long,
                                   nowIso: Option[String], fixtureDir: Option[String],
-                                  pushedTime: Option[String], debug: Boolean) extends InputPartition
+                                  pushedTime: Option[String], debug: Boolean,
+                                  requiredFields: Array[String]) extends InputPartition
 
 final class InReachReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -204,14 +217,19 @@ final class InReachPartitionReader(p: InReachPartition)
     }.fold(
       err => { System.err.println(s"FEED: $callSign: $err"); Iterator.empty },
       placemarks => placemarks.iterator.map { r =>
-        val keys = r.extended.keys.toArray.map(k => UTF8String.fromString(k): Any)
-        val vals = r.extended.values.toArray.map(v => UTF8String.fromString(v): Any)
-        InternalRow(
-          UTF8String.fromString(r.shareId),
-          UTF8String.fromString(r.callSign),
-          r.coordinatesRaw.map(UTF8String.fromString).orNull,
-          r.whenRaw.map(UTF8String.fromString).orNull,
-          ArrayBasedMapData(keys, vals))
+        // project to the pruned schema: only requested fields are
+        // materialized (the extended map is only built when asked for)
+        val values: Array[Any] = p.requiredFields.map {
+          case "shareId" => UTF8String.fromString(r.shareId)
+          case "callSign" => UTF8String.fromString(r.callSign)
+          case "coordinatesRaw" => r.coordinatesRaw.map(UTF8String.fromString).orNull
+          case "whenRaw" => r.whenRaw.map(UTF8String.fromString).orNull
+          case "extended" =>
+            val keys = r.extended.keys.toArray.map(k => UTF8String.fromString(k): Any)
+            val vals = r.extended.values.toArray.map(v => UTF8String.fromString(v): Any)
+            ArrayBasedMapData(keys, vals)
+        }
+        InternalRow(values: _*)
       })
   }
 

@@ -72,10 +72,11 @@ object StreamingOps {
     * (`task.ts:80-82` → watermark; SURVEY.md §2.10 table). */
   def windowedAgg(df: DataFrame, tsCol: String, keyCol: String,
                   windowLen: String = "30 minutes",
-                  lateness: String = "30 minutes"): DataFrame =
+                  lateness: String = "30 minutes",
+                  valueCol: String = "value"): DataFrame =
     df.withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
 
@@ -100,10 +101,11 @@ object StreamingOps {
     * never the event backlog. */
   def sessionAgg(df: DataFrame, tsCol: String, keyCol: String,
                  gap: String = "30 minutes",
-                 lateness: String = "30 minutes"): DataFrame =
+                 lateness: String = "30 minutes",
+                 valueCol: String = "value"): DataFrame =
     df.withWatermark(tsCol, lateness)
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"),
         col(keyCol), col("n_events"), col("sum_value"))

@@ -46,6 +46,24 @@ class InReachDataSourceSpec extends SparkSpec {
     assert(whens.toSeq == Seq("2026-08-12T05:10:00Z"))
   }
 
+  test("column pruning reaches the scan: ReadSchema drops unselected fields") {
+    val dir = writeFixtures()
+    val df = spark.read.format("inreach")
+      .option("shares", "alpha,beta")
+      .option("now", "2026-08-12T05:30:00Z")
+      .option("fixtureDir", dir)
+      .load()
+      .select("whenRaw")
+    // the scan's description advertises its pruned read schema
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("readSchema=whenRaw"),
+      s"scan not pruned to whenRaw:\n$physical")
+    assert(!physical.contains("readSchema=shareId,callSign"),
+      s"scan still reads full schema:\n$physical")
+    // and the projected rows are correct
+    assert(df.collect().map(_.getString(0)).count(_ != null) == 4)
+  }
+
   test("missing fixture file behaves as empty feed, not a failure") {
     val df = spark.read.format("inreach")
       .option("shares", "alpha,ghost")
