@@ -15,17 +15,27 @@ import org.apache.spark.sql.functions._
   * neighbors, then labels are compressed one level
   * (`comp := comp(comp)`), giving O(log diameter) rounds instead of
   * O(diameter). Per round: two keyed joins + one aggregation. The
-  * per-round driver action is a single count (convergence test),
-  * standard for iterative algorithms on Spark; at true scale swap
-  * the count for a fixed iteration budget or an accumulator.
+  * per-round driver action is a single count (convergence test);
+  * `checkConvergence = false` switches to a fixed iteration budget
+  * with zero per-round driver actions for true-scale runs.
   */
 object DedupClusters {
 
-  /** @return (node, comp) — comp is the minimum doc id reachable via
+  /** @param checkConvergence when true (default), each round ends
+    *         with a driver-side changed-count and the loop exits as
+    *         soon as labels are stable. When false, the loop runs
+    *         exactly `maxIter` rounds with NO per-round driver action
+    *         — the fixed-budget mode for a 1000-executor cluster where
+    *         even a cheap count() per round serializes the job. With
+    *         pointer doubling, `maxIter` rounds converge any graph of
+    *         diameter ≤ 2^maxIter, so the default budget of 20 covers
+    *         any realistic near-dup graph (diameter ≤ ~1M).
+    * @return (node, comp) — comp is the minimum doc id reachable via
     *         the pair graph; singletons are absent (docs appearing in
     *         no pair are their own trivial cluster). */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+                          bCol: String = "doc_b", maxIter: Int = 20,
+                          checkConvergence: Boolean = true): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
     // eager localCheckpoint, not persist: each iteration's frame must
     // TRUNCATE lineage — with lazy caches, any later recompute (cache
@@ -52,9 +62,11 @@ object DedupClusters {
         .select(col("node"),
           least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      val prev = labels.select(col("node").as("pnode"), col("comp").as("prev_comp"))
-      changed = next.join(prev, col("node") === col("pnode"))
-        .filter(col("comp") =!= col("prev_comp")).count()
+      if (checkConvergence) {
+        val prev = labels.select(col("node").as("pnode"), col("comp").as("prev_comp"))
+        changed = next.join(prev, col("node") === col("pnode"))
+          .filter(col("comp") =!= col("prev_comp")).count()
+      }
       labels = next
       iter += 1
     }

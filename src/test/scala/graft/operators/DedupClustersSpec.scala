@@ -63,4 +63,17 @@ class DedupClustersSpec extends SparkSpec {
     assert((1L to 15L).forall(comps(_) == 1L))
     assert(Seq(20L, 21L, 22L).forall(comps(_) == 20L))
   }
+
+  test("fixed-budget mode (no per-round driver count) matches convergence mode") {
+    // a 40-node chain needs several doubling rounds; budget 20 covers
+    // diameter up to 2^20, so both modes must land on the same labels
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val pairs = chain.toDF("doc_a", "doc_b")
+    val checked = DedupClusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val budgeted = DedupClusters.connectedComponents(pairs, checkConvergence = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(budgeted == checked)
+    assert((1L to 40L).forall(budgeted(_) == 1L))
+  }
 }

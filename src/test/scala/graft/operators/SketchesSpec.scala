@@ -97,6 +97,20 @@ class SketchesSpec extends SparkSpec {
           graft.operators.Similarity.dot(col("embedding"), col("embedding")).as("d"))
         .orderBy("vec_id").limit(5).collect().map(_.getDouble(1)).toSeq
       assert(viaRule == native)
+      // the rule also fires on the RAW-SQL-authored HOF pattern over a
+      // parquet-read view — the parser builds different lambda exprIds
+      // than the Column API, and parquet element nullability must not
+      // block the match (the containsNull gotcha)
+      e.createOrReplaceTempView("emb_sql")
+      val sq = s2.sql(
+        """SELECT vec_id, aggregate(
+          |  zip_with(embedding, embedding, (x, y) -> double(x) * double(y)),
+          |  cast(0.0 as double), (acc, v) -> acc + v) AS d
+          |FROM emb_sql""".stripMargin)
+      assert(sq.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+        s"rule did not fire on SQL-authored HOF:\n${sq.queryExecution.optimizedPlan}")
+      val viaSql = sq.orderBy("vec_id").limit(5).collect().map(_.getDouble(1)).toSeq
+      assert(viaSql == native)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
