@@ -332,6 +332,17 @@ object SparkEntry {
     // PII redaction: email/phone/number placeholders + counts.
     "q58_redact_pii" -> ((s, dir) =>
       TextAnalysis.redactPii(t(s, dir, "documents"))),
+    // Gopher-style repetition signals: duplicate-token fraction, the
+    // dominant bigram + its character coverage, duplicated-trigram
+    // character fraction — the repetition-based corpus quality gate.
+    "q59_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"))),
+    // Stratified deterministic sampling: rebalance the corpus by
+    // language — halve English, keep most Chinese, thin the rest.
+    "q60_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
+          col("doc_id"), Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 0.25)
+        .select("doc_id", "lang")),
     // Deterministic hash-based train/val split: a doc's split depends
     // only on its id — reproducible across reruns/engines/batches.
     "q55_hash_split" -> ((s, dir) =>
@@ -970,6 +981,50 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
         |    '\+?[0-9][0-9() -]{6,}[0-9]'))::BIGINT AS n_phones
         |FROM documents""".stripMargin,
+    "q59_repetition" ->
+      // grams built by list-indexing the token array (q57 unnest
+      // pattern); top bigram = min bigram among max-count rows
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), uni AS (
+        |  SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |      ELSE round((len(ts) - len(list_distinct(ts)))::DOUBLE / len(ts), 6) END AS dup_token_frac,
+        |    coalesce(list_aggregate(list_transform(ts, x -> len(x)), 'sum'), 0)::DOUBLE AS alnum
+        |  FROM tok
+        |), bgi AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM tok
+        |), bg AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg, count(*) AS cnt FROM bgi GROUP BY 1, 2
+        |), mx AS (SELECT doc_id, max(cnt) AS mxc FROM bg GROUP BY 1),
+        |topb AS (
+        |  SELECT bg.doc_id, min(bg.bg) AS top_bigram, max(bg.cnt) AS top_cnt
+        |  FROM bg JOIN mx ON mx.doc_id = bg.doc_id AND bg.cnt = mx.mxc
+        |  GROUP BY 1
+        |), tgi AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tok
+        |), tg AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tg, count(*) AS cnt
+        |  FROM tgi GROUP BY 1, 2
+        |), trif AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN cnt > 1 THEN cnt * (len(tg) - 2) ELSE 0 END) AS dup_chars,
+        |    sum(cnt * (len(tg) - 2)) AS tot_chars
+        |  FROM tg GROUP BY 1
+        |)
+        |SELECT u.doc_id, u.n_tokens, u.dup_token_frac,
+        |  coalesce(t.top_bigram, '') AS top_bigram,
+        |  round(coalesce((t.top_cnt * (len(t.top_bigram) - 1))::DOUBLE / nullif(u.alnum, 0), 0), 6) AS top_bigram_frac,
+        |  round(coalesce(f.dup_chars::DOUBLE / nullif(f.tot_chars, 0)::DOUBLE, 0), 6) AS dup_trigram_frac
+        |FROM uni u
+        |LEFT JOIN topb t ON t.doc_id = u.doc_id
+        |LEFT JOIN trif f ON f.doc_id = u.doc_id""".stripMargin,
+    "q60_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT <
+        |  CASE lang WHEN 'en' THEN ${graft.operators.Sampling.threshold(0.5)}
+        |            WHEN 'zh' THEN ${graft.operators.Sampling.threshold(0.8)}
+        |            ELSE ${graft.operators.Sampling.threshold(0.25)} END""".stripMargin,
     "q55_hash_split" ->
       s"""SELECT doc_id,
         |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT < ${graft.operators.Sampling.threshold(0.1)}

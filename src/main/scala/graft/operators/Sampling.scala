@@ -39,6 +39,33 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Stratified deterministic sampling: each stratum (language,
+    * source domain, quality band …) keeps its own fraction of the
+    * hash space — the corpus re-balancing step that downsamples the
+    * dominant stratum and keeps rare ones at ingest. Like all
+    * sampling here it is hash-determined per key, so re-runs and
+    * incremental batches agree row-by-row.
+    *
+    * Thresholds are computed driver-side ([[threshold]]) and ride a
+    * broadcast join keyed by stratum; the corpus itself is filtered
+    * at scan speed with zero shuffles. Strata absent from `fractions`
+    * fall back to `defaultFraction`. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq)
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = broadcast(
+      fractions.toSeq.map { case (s, f) => (s, threshold(f)) }
+        .toDF("_stratum", "_thr"))
+    df.join(rates, stratum === col("_stratum"), "left")
+      .filter(md5Long(key.cast("string")) <
+        coalesce(col("_thr"), lit(threshold(defaultFraction))))
+      .drop("_stratum", "_thr")
+  }
+
   /** Benchmark decontamination: drop corpus documents whose
     * normalized-content fingerprint appears in the benchmark set —
     * the exact-match tier of decontaminating training data against

@@ -124,6 +124,79 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Repetition signals for corpus quality filtering (the
+    * Gopher-rules shape: repetitious documents are low-quality
+    * machine-generated or boilerplate text and get filtered before
+    * training):
+    *
+    *  - `dup_token_frac` — fraction of tokens that are repeats of an
+    *    earlier token (1-gram repetition);
+    *  - `top_bigram` / `top_bigram_frac` — the most frequent word
+    *    2-gram (ties broken to the lexicographically smallest) and the
+    *    fraction of alnum characters its occurrences cover;
+    *  - `dup_trigram_frac` — fraction of trigram character mass in
+    *    trigrams occurring more than once.
+    *
+    * Scale shape: 1-gram stats are pure projections; bigram/trigram
+    * stats are ONE explode each → map-side-combinable (doc, gram)
+    * count → per-doc aggregation. Both shuffles carry (doc, gram)
+    * counts, already reduced; nothing is persisted and the corpus is
+    * scanned once per gram family. The top-bigram argmax is a
+    * `max_by`-style partial aggregate, not a sort. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("_toks"))
+    val nt = size(col("_toks"))
+    val uni = base.select(
+      col("doc_id"),
+      nt.cast("long").as("n_tokens"),
+      round((nt - size(array_distinct(col("_toks")))).cast("double") /
+        nullifZero(nt.cast("double")), 6).as("_dup_tok"),
+      alnumChars(col("_toks")).cast("double").as("_alnum"))
+    // bigrams/trigrams as pure array expressions (no window shuffle to
+    // build them); gram char mass excludes the joining spaces
+    val bigrams = zip_with(
+      slice(col("_toks"), lit(1), greatest(nt - 1, lit(0))),
+      slice(col("_toks"), lit(2), greatest(nt - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val trigrams = when(nt >= 3,
+      transform(sequence(lit(1), nt - 2), i =>
+        concat_ws(" ", element_at(col("_toks"), i),
+          element_at(col("_toks"), i + 1),
+          element_at(col("_toks"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val bigCnt = base.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+    // argmax with deterministic tie-break (max count, then MIN bigram
+    // — min_by can't express "min string among max counts" in one
+    // aggregate, so: max count per doc, filter to the tied rows, min)
+    val maxCnt = bigCnt.groupBy("doc_id").agg(max("cnt").as("_mx"))
+    val topBg = bigCnt.join(maxCnt, "doc_id")
+      .filter(col("cnt") === col("_mx"))
+      .groupBy("doc_id").agg(min("bg").as("top_bigram"), max("cnt").as("_top_cnt"))
+    val triAgg = base.select(col("doc_id"), explode(trigrams).as("tg"))
+      .groupBy("doc_id", "tg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(when(col("cnt") > 1, col("cnt") * (length(col("tg")) - 2))
+          .otherwise(lit(0L))).as("_dup_chars"),
+        sum(col("cnt") * (length(col("tg")) - 2)).as("_tot_chars"))
+    uni
+      .join(topBg, Seq("doc_id"), "left")
+      .join(triAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("_dup_tok"), lit(0.0)).as("dup_token_frac"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        round(coalesce(
+          (col("_top_cnt") * (length(col("top_bigram")) - 1)).cast("double") /
+            nullifZero(col("_alnum")), lit(0.0)), 6).as("top_bigram_frac"),
+        round(coalesce(col("_dup_chars").cast("double") /
+          nullifZero(col("_tot_chars").cast("double")), lit(0.0)), 6)
+          .as("dup_trigram_frac"))
+  }
+
   /** Heuristic PII redaction: emails, phone-number-shaped digit runs,
     * and long bare digit runs replaced by typed placeholders. Pure
     * regexp projection (scan-speed); patterns restricted to explicit

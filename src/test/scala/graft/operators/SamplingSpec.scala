@@ -36,4 +36,29 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(clean == Set(3L))
   }
+
+  test("stratifiedSample: per-stratum rates, deterministic, default fallback") {
+    val rows = (1L to 2000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "other"))
+    val df = rows.toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(df, col("lang"), col("id"),
+        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // zh keeps everything, default stratum keeps nothing
+    assert(byLang.getOrElse("zh", 0) == rows.count(_._2 == "zh"))
+    assert(!byLang.contains("other"))
+    // en keeps ~half (hash-binomial: wide tolerance, zero flake)
+    val en = byLang.getOrElse("en", 0)
+    assert(en > 200 && en < 466, s"en kept $en of ${rows.count(_._2 == "en")}")
+    // determinism: same rows selected under a different partitioning
+    val again = Sampling.stratifiedSample(df.repartition(7), col("lang"), col("id"),
+        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sortBy(_._1).toSeq == kept.sortBy(_._1).toSeq)
+    // stratified with fraction f is exactly hashSample(f) within the stratum
+    val enOnly = Sampling.hashSample(df.filter(col("lang") === "en"), col("id"), 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.filter(_._2 == "en").map(_._1).toSet == enOnly)
+  }
 }

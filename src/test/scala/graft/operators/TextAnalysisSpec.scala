@@ -88,4 +88,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getString(1) == "nothing sensitive here")
     assert(out(1).getLong(2) == 0L && out(1).getLong(3) == 0L)
   }
+
+  test("repetitionSignals: hand-computed gram fractions and tie-breaks") {
+    val out = TextAnalysis.repetitionSignals(Seq(
+        (1L, "a b a b a"), // bigrams: "a b"×2, "b a"×2 (tie → "a b")
+        (2L, "hello"),     // single token: no grams
+        (3L, ""),          // empty: everything zero
+        (4L, "x y z")      // all unique: zero repetition
+      ).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    val d1 = out(0)
+    assert(d1.getLong(1) == 5) // n_tokens
+    assert(d1.getDouble(2) == 0.6) // (5-2)/5 duplicate tokens
+    assert(d1.getString(3) == "a b") // tie broken to min bigram
+    // top bigram covers 2×(1+1)=4 of 5 alnum chars
+    assert(d1.getDouble(4) == 0.8)
+    // trigrams: "a b a"×2 (3 chars each) + "b a b"×1 → 6/9
+    assert(d1.getDouble(5) == 0.666667)
+    val d2 = out(1)
+    assert(d2.getLong(1) == 1 && d2.getString(3) == "" &&
+      d2.getDouble(2) == 0.0 && d2.getDouble(4) == 0.0 && d2.getDouble(5) == 0.0)
+    val d3 = out(2)
+    assert(d3.getLong(1) == 0 && d3.getDouble(2) == 0.0 && d3.getString(3) == "")
+    val d4 = out(3)
+    assert(d4.getDouble(2) == 0.0 && d4.getDouble(5) == 0.0)
+    // all-unique doc still reports its (unrepeated) top bigram
+    assert(d4.getString(3) == "x y")
+  }
 }
