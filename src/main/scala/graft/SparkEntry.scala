@@ -343,6 +343,37 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
           col("doc_id"), Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 0.25)
         .select("doc_id", "lang")),
+    // Band join (operator Spark lacks): events within ±5 min of each
+    // click by the same user, via the 3-bucket time-quantized
+    // equi-join — never a per-key nested loop.
+    "q62_band_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val nearby = graft.operators.RangeJoin.bandJoin(
+          clicks, ev.select("event_id", "user_id", "ts"),
+          "user_id", "ts", "ts", 300000000000L)
+        .filter(col("event_id") =!= col("r_event_id"))
+        .groupBy("event_id").agg(count(lit(1)).as("n_nearby"))
+      clicks.join(nearby, Seq("event_id"), "left")
+        .select(col("event_id"), coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
+    }),
+    // Bloom-filter membership: bits of the eval set's fingerprints
+    // (64 words ≈ 4k bits, k=4), probed by every corpus doc — the
+    // fixed-state streaming-friendly tier of decontamination (q56 is
+    // the exact anti-join tier).
+    "q61_bloom_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fp = graft.functions.TextFunctions.fingerprint64(col("text")).cast("string")
+      val sketch = Sketches.bloomBuild(
+        docs.filter(col("doc_id") % 10 === 0).select(fp.as("fpk")),
+        "fpk", words = 64, k = 4)
+      val probes = docs.select(col("doc_id"), fp.as("fpk"))
+      probes.join(
+          Sketches.bloomProbe(sketch, probes, "fpk", words = 64, k = 4),
+          probes("fpk") === col("key"))
+        .select(col("doc_id"), col("member").as("in_eval"))
+    }),
     // Deterministic hash-based train/val split: a doc's split depends
     // only on its id — reproducible across reruns/engines/batches.
     "q55_hash_split" -> ((s, dir) =>
@@ -1019,6 +1050,40 @@ object SparkEntry {
         |FROM uni u
         |LEFT JOIN topb t ON t.doc_id = u.doc_id
         |LEFT JOIN trif f ON f.doc_id = u.doc_id""".stripMargin,
+    "q62_band_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS tn FROM events),
+        |c AS (SELECT ev.* FROM ev JOIN events e ON e.event_id = ev.event_id
+        |      WHERE e.event_type = 'click')
+        |SELECT c.event_id, count(o.event_id)::BIGINT AS n_nearby
+        |FROM c LEFT JOIN ev o
+        |  ON o.user_id = c.user_id AND o.event_id != c.event_id
+        |  AND abs(o.tn - c.tn) <= 300000000000
+        |GROUP BY 1""".stripMargin,
+    "q61_bloom_filter" ->
+      // fingerprint64 → string key → 30-bit base hash → k=4 affine
+      // positions mod 63·64; word-indexed bit_or; all-bits-set probe
+      s"""WITH fp AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT)::VARCHAR AS key
+        |  FROM documents
+        |), cs(i, a, b) AS (VALUES ${(0 until 4).map(i =>
+             s"(${i}, ${graft.functions.HashFunctions.MinhashA(i)}, ${graft.functions.HashFunctions.MinhashB(i)})").mkString(", ")}),
+        |ev AS (SELECT DISTINCT key FROM fp WHERE doc_id % 10 = 0),
+        |evpos AS (
+        |  SELECT ((cs.a * (('0x' || substr(md5(ev.key), 1, 15))::BIGINT & ${graft.functions.HashFunctions.MinhashMask}) + cs.b) % ${graft.functions.HashFunctions.MinhashP}) % ${64 * 63} AS pos
+        |  FROM ev, cs
+        |), bits AS (
+        |  SELECT pos // 63 AS word, bit_or(1::BIGINT << (pos % 63)::INT) AS bits
+        |  FROM evpos GROUP BY 1
+        |), probe AS (
+        |  SELECT fp.doc_id,
+        |    ((cs.a * (('0x' || substr(md5(fp.key), 1, 15))::BIGINT & ${graft.functions.HashFunctions.MinhashMask}) + cs.b) % ${graft.functions.HashFunctions.MinhashP}) % ${64 * 63} AS pos
+        |  FROM fp, cs
+        |)
+        |SELECT p.doc_id,
+        |  bool_and(coalesce((b.bits & (1::BIGINT << (p.pos % 63)::INT)) != 0, false)) AS in_eval
+        |FROM probe p LEFT JOIN bits b ON b.word = p.pos // 63
+        |GROUP BY 1""".stripMargin,
     "q60_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT <

@@ -174,6 +174,54 @@ object Sketches {
       .groupBy("key").agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** Bit positions of one value in an m = 63·`words` bloom bit space
+    * under `k` md5-affine hash rounds — the single source of truth
+    * shared by [[bloomBuild]] and [[bloomProbe]]. 63 (not 64) usable
+    * bits per signed-int64 word: bit 63 would need `1 << 63`, which
+    * overflows DuckDB's checked signed shift — 63 keeps every mask
+    * positive and the layout portable to any engine. */
+  private def bloomPositions(value: org.apache.spark.sql.Column,
+                             words: Int, k: Int): org.apache.spark.sql.Column = {
+    require(k >= 1 && k <= graft.functions.HashFunctions.MinhashA.size &&
+      words >= 1)
+    val m = words * 63L
+    val h = graft.functions.HashFunctions.baseHash30(value)
+    array((0 until k).map(i =>
+      graft.functions.HashFunctions.affine(h, i) % m): _*)
+  }
+
+  /** Bloom filter build: a word-indexed bit table (word, bits) —
+    * 63·`words` bits total, `k` set bits per key. The word rows merge
+    * by `bit_or` across partitions, corpus shards, and incremental
+    * batches (OR is idempotent + commutative), which is exactly the
+    * distributed bloom structure: shuffle traffic is ≤ `words` rows of
+    * 16 bytes regardless of input size. Like every sketch here the
+    * bit layout is md5-affine-derived, so the filter — including its
+    * false positives — is bit-reproducible by any SQL engine. */
+  def bloomBuild(rows: DataFrame, keyCol: String,
+                 words: Int = 256, k: Int = 4): DataFrame =
+    rows.where(col(keyCol).isNotNull)
+      .select(explode(bloomPositions(col(keyCol), words, k)).as("pos"))
+      .select(expr("pos div 63").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+
+  /** Membership probe against a [[bloomBuild]] sketch: for each
+    * distinct key, true iff ALL k of its bits are set (the bloom
+    * no-false-negative contract; false positives bounded by the usual
+    * (1−e^{−kn/m})^k). The sketch is ≤ `words` rows and broadcast; a
+    * probe coordinate with no word row means those bits were never
+    * set → not a member (hence the left join + coalesce false). */
+  def bloomProbe(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                 words: Int = 256, k: Int = 4): DataFrame =
+    keys.select(col(keyCol).as("key")).distinct()
+      .select(col("key"), explode(bloomPositions(col("key"), words, k)).as("pos"))
+      .select(col("key"), expr("pos div 63").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("mask"))
+      .join(broadcast(sketch), Seq("word"), "left")
+      .groupBy("key").agg(
+        expr("bool_and(coalesce((bits & mask) != 0, false))").as("member"))
+
   /** The same estimator as a custom Catalyst aggregate
     * ([[graft.plans.HllAgg]]): identical registers, single aggregate
     * expression with map-side partial merge of 256-byte buffers. Use

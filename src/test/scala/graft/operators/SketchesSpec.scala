@@ -117,6 +117,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("bloom filter: no false negatives, bounded false positives, OR-mergeable") {
+    val members = (1 to 200).map(i => s"key$i").toDF("k")
+    val sketch = Sketches.bloomBuild(members, "k", words = 64, k = 4)
+    // bloom contract: every inserted key probes true
+    val probed = Sketches.bloomProbe(sketch, members, "k", words = 64, k = 4)
+    assert(probed.count() == 200 && probed.collect().forall(_.getBoolean(1)))
+    // m=4032 bits, n=200, k=4 → fpr ≈ 0.1%; deterministic, generous cap
+    val fps = Sketches.bloomProbe(sketch,
+        (1 to 1000).map(i => s"other$i").toDF("k"), "k", words = 64, k = 4)
+      .filter(col("member")).count()
+    assert(fps < 30, s"false positives: $fps")
+    // shard mergeability: bit_or of per-shard sketches == whole-corpus sketch
+    val merged = Sketches.bloomBuild((1 to 100).map(i => s"key$i").toDF("k"), "k", 64, 4)
+      .union(Sketches.bloomBuild((101 to 200).map(i => s"key$i").toDF("k"), "k", 64, 4))
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+    assert(merged.orderBy("word").collect().toSeq ==
+      sketch.orderBy("word").collect().toSeq)
+  }
+
   test("count-min estimate for an unseen key is 0 (or collision-bounded), never absent") {
     val rows = Seq.fill(100)("present").toDF("term")
     val sketch = Sketches.countMin(rows, "term", depth = 4, width = 256)
