@@ -343,6 +343,25 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
           col("doc_id"), Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 0.25)
         .select("doc_id", "lang")),
+    // Int8 embedding quantization: per-vector min/max codes + exact
+    // reconstruction error — the 4× compression tier before ANN.
+    "q64_quantize_int8" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(t(s, dir, "embeddings"))
+      q.select(col("vec_id"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        round(
+          aggregate(zip_with(col("embedding"), col("codes"),
+            (x, c) => pow(x.cast("double") - (col("lo") + c * col("scale")), lit(2.0))),
+            lit(0.0), (acc, v) => acc + v) / size(col("embedding")), 6)
+          .as("recon_mse"))
+    }),
+    // Sequence packing: concat-and-split context-window assignment
+    // via hierarchical (block + within-block) prefix sums — the
+    // global-cumsum-without-a-global-window shape.
+    "q63_pack_sequences" -> ((s, dir) =>
+      graft.operators.Packing.packOffsets(t(s, dir, "documents"),
+        seqLen = 512, blockSize = 50L)),
     // Band join (operator Spark lacks): events within ±5 min of each
     // click by the same user, via the 3-bucket time-quantized
     // equi-join — never a per-key nested loop.
@@ -1050,6 +1069,39 @@ object SparkEntry {
         |FROM uni u
         |LEFT JOIN topb t ON t.doc_id = u.doc_id
         |LEFT JOIN trif f ON f.doc_id = u.doc_id""".stripMargin,
+    "q64_quantize_int8" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding AS e,
+        |    list_min(list_transform(embedding, x -> x::DOUBLE)) AS lo,
+        |    list_max(list_transform(embedding, x -> x::DOUBLE)) AS hi
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, e, lo, hi, (hi - lo) / 255.0 AS scale FROM b
+        |), c AS (
+        |  SELECT vec_id, e, lo, hi, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+        |      ELSE list_transform(e, x -> floor((x::DOUBLE - lo) / scale + 0.5)::INT) END AS codes
+        |  FROM s
+        |)
+        |SELECT vec_id, round(lo, 6) AS lo, round(hi, 6) AS hi,
+        |  list_sum(codes)::BIGINT AS code_sum,
+        |  round(list_sum(list_transform(generate_series(1, len(e)), i ->
+        |    pow(e[i]::DOUBLE - (lo + codes[i] * scale), 2))) / len(e), 6) AS recon_mse
+        |FROM c""".stripMargin,
+    "q63_pack_sequences" ->
+      // the oracle's plain global window replays the hierarchical sum
+      """WITH tok AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n
+        |  FROM documents
+        |), cum AS (
+        |  SELECT doc_id, n,
+        |    coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        |  FROM tok
+        |)
+        |SELECT doc_id, n AS n_tokens, off AS start_offset,
+        |  (off // 512)::BIGINT AS seq_id, (off % 512)::BIGINT AS seq_pos,
+        |  ((off + greatest(n, 1) - 1) // 512)::BIGINT AS end_seq
+        |FROM cum""".stripMargin,
     "q62_band_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS tn FROM events),
         |c AS (SELECT ev.* FROM ev JOIN events e ON e.event_id = ev.event_id

@@ -217,4 +217,36 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
+
+  /** Per-vector min/max scalar quantization to 8-bit codes — the 4×
+    * memory/IO reduction step before ANN indexing or shipping
+    * embeddings to a retrieval tier. code_i = ⌊(x_i − lo)/scale + ½⌋
+    * with scale = (hi − lo)/255, codes in 0..255 (store as
+    * tinyint−128 at write time; kept int here). Constant vectors
+    * (scale = 0) quantize to all-zero codes. `floor(z + 0.5)` rather
+    * than `round()`: identical halfway behavior on every engine, so
+    * codes — and anything derived from them — are oracle-reproducible.
+    * Pure projection: scan-speed, no shuffle.
+    *
+    * @return (id, lo, hi, scale, codes) — lo/hi/scale are the
+    *         per-vector dequantization params (x̂_i = lo + code_i·scale). */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    val lo = array_min(col(embCol)).cast("double")
+    val hi = array_max(col(embCol)).cast("double")
+    df.select(col(idCol), col(embCol).as("_emb"), lo.as("lo"), hi.as("hi"),
+        ((hi - lo) / 255.0).as("scale"))
+      .select(col(idCol), col("lo"), col("hi"), col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("_emb"), _ => lit(0)))
+          .otherwise(transform(col("_emb"), x =>
+            floor((x.cast("double") - col("lo")) / col("scale") + lit(0.5))
+              .cast("int")))
+          .as("codes"),
+        col("_emb").as(embCol))
+  }
+
+  /** Dequantized reconstruction x̂ of a [[quantizeInt8]] row. */
+  def dequantize(codes: Column, lo: Column, scale: Column): Column =
+    transform(codes, c => lo + c * scale)
 }

@@ -59,4 +59,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(full == brute)
   }
+
+  test("quantizeInt8: codes in range, reconstruction within half a step") {
+    import org.apache.spark.sql.functions._
+    val q = Similarity.quantizeInt8(emb).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val (lo, hi, scale) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val codes = r.getSeq[Int](4)
+      val xs = r.getSeq[Float](5)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      // every element reconstructs within half a quantization step
+      xs.zip(codes).foreach { case (x, c) =>
+        val xhat = lo + c * scale
+        assert(math.abs(x.toDouble - xhat) <= scale / 2 + 1e-9,
+          s"x=$x xhat=$xhat scale=$scale")
+      }
+      assert(hi >= lo && scale >= 0.0)
+    }
+    // constant vector → scale 0, all-zero codes, exact reconstruction
+    val const = Seq((1L, Array.fill(8)(2.5f))).toDF("vec_id", "embedding")
+    val cq = Similarity.quantizeInt8(const).collect().head
+    assert(cq.getDouble(3) == 0.0 && cq.getSeq[Int](4).forall(_ == 0))
+  }
 }
