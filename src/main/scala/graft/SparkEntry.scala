@@ -343,6 +343,15 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
           col("doc_id"), Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 0.25)
         .select("doc_id", "lang")),
+    // Grouped histogram quantiles: per-event-type percentiles from
+    // the mergeable fixed-bin sketch (no per-group value sort).
+    "q65_hist_quantiles_by" -> ((s, dir) =>
+      Sketches.histogramQuantilesBy(t(s, dir, "events"), "value",
+        Seq("event_type"))),
+    // Unigram-LM quality score: mean token log-probability under the
+    // corpus's own unigram distribution.
+    "q66_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
     // Int8 embedding quantization: per-vector min/max codes + exact
     // reconstruction error — the 4× compression tier before ANN.
     "q64_quantize_int8" -> ((s, dir) => {
@@ -1069,6 +1078,40 @@ object SparkEntry {
         |FROM uni u
         |LEFT JOIN topb t ON t.doc_id = u.doc_id
         |LEFT JOIN trif f ON f.doc_id = u.doc_id""".stripMargin,
+    "q65_hist_quantiles_by" ->
+      // q53's replay partitioned by event_type
+      """WITH b AS (
+        |  SELECT event_type, min(value::DOUBLE) AS lo, max(value::DOUBLE) AS hi, count(value) AS n
+        |  FROM events GROUP BY 1
+        |), bk AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |      ELSE least(floor((e.value::DOUBLE - b.lo) / ((b.hi - b.lo) / 64))::BIGINT, 63) END AS bucket,
+        |    count(*) AS cnt
+        |  FROM events e JOIN b USING (event_type) WHERE e.value IS NOT NULL GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, bucket, cnt,
+        |    (sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM bk
+        |), qs(q) AS (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)),
+        |sel AS (
+        |  SELECT c.event_type, q, bucket, cnt, cum - cnt AS before, b.lo, b.hi, b.n,
+        |    row_number() OVER (PARTITION BY c.event_type, q ORDER BY bucket) AS rn
+        |  FROM qs JOIN c ON true JOIN b ON b.event_type = c.event_type
+        |  WHERE c.cum >= q * b.n
+        |)
+        |SELECT event_type, q, round(lo + ((hi - lo) / 64) *
+        |  (bucket + (q * n - before) / cnt), 6) AS est
+        |FROM sel WHERE rn = 1""".stripMargin,
+    "q66_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+        |), v AS (SELECT term, count(*) AS tc FROM tok GROUP BY 1),
+        |t AS (SELECT sum(tc)::DOUBLE AS tot FROM v)
+        |SELECT doc_id, round(avg(ln(tc / tot)), 6) AS avg_logp,
+        |  count(*)::BIGINT AS n_tokens
+        |FROM tok JOIN v USING (term), t
+        |GROUP BY 1""".stripMargin,
     "q64_quantize_int8" ->
       """WITH b AS (
         |  SELECT vec_id, embedding AS e,

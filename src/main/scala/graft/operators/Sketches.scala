@@ -123,6 +123,47 @@ object Sketches {
           .as("est"))
   }
 
+  /** Grouped [[histogramQuantiles]]: per-group equi-width histogram
+    * quantiles (the GROUP BY percentile workhorse — per-tenant /
+    * per-event-type latency percentiles at corpus scale). Same
+    * two-scans-total shape as the global operator; every window is
+    * partitioned by the group columns, so nothing ever converges on
+    * one partition. Group bounds join back via broadcast (bounded by
+    * the group-key cardinality; switch to a shuffled join above
+    * ~10^7 groups). */
+  def histogramQuantilesBy(rows: DataFrame, valueCol: String,
+                           groupCols: Seq[String], bins: Int = 64,
+                           qs: Seq[Double] = Seq(0.25, 0.5, 0.9, 0.99)): DataFrame = {
+    require(bins >= 1 && qs.nonEmpty && groupCols.nonEmpty)
+    val v = col(valueCol).cast("double")
+    val g = groupCols.map(col)
+    val bounds = rows.groupBy(g: _*).agg(
+      min(v).as("lo"), max(v).as("hi"), count(v).as("n"))
+    val bucket = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((col("v") - col("lo")) /
+        ((col("hi") - col("lo")) / bins)).cast("long"), lit(bins - 1L)))
+    val bucketed = rows.select((g :+ v.as("v")): _*).where(col("v").isNotNull)
+      .join(broadcast(bounds), groupCols)
+      .select((g :+ bucket.as("bucket") :+ col("lo") :+ col("hi") :+ col("n")): _*)
+      .groupBy((g :+ col("bucket")): _*).agg(count(lit(1)).as("cnt"),
+        min("lo").as("lo"), min("hi").as("hi"), min("n").as("n"))
+    val w = Window.partitionBy(g: _*)
+      .orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("before", col("cum") - col("cnt"))
+    val wq = Window.partitionBy((g :+ col("q")): _*).orderBy("bucket")
+    cum.select((g :+ explode(array(qs.map(lit(_)): _*)).as("q") :+ col("bucket") :+
+        col("cnt") :+ col("before") :+ col("cum") :+ col("lo") :+ col("hi") :+ col("n")): _*)
+      .filter(col("cum") >= col("q") * col("n"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1)
+      .select((g :+ col("q") :+
+        round(col("lo") + ((col("hi") - col("lo")) / bins) *
+          (col("bucket") + (col("q") * col("n") - col("before")) / col("cnt")), 6)
+          .as("est")): _*)
+  }
+
   /** Count-min sketch: `depth` independent hash rows × `width`
     * buckets of additive counters — frequency estimation in fixed
     * state (the heavy-hitters / token-frequency sketch of a training

@@ -124,6 +124,32 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Unigram language-model scoring: each document's mean log
+    * probability of its tokens under the corpus's own unigram
+    * distribution — the perplexity-flavored quality signal (documents
+    * full of corpus-typical words score high; gibberish and
+    * vocabulary-anomalous text score low). A cheap stand-in for the
+    * "LM quality filter" stage of training-data pipelines, entirely
+    * relational.
+    *
+    * Scale shape: ONE tokenize/explode; the vocabulary aggregation is
+    * map-side combinable; per-token probabilities arrive via a
+    * broadcast of the (term, count, total) table (bounded by
+    * vocabulary size, not corpus size); the final per-doc average is
+    * one reduced shuffle. Docs with zero tokens are absent (no
+    * distribution to score against). */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("tc"))
+    val total = vocab.agg(sum("tc").cast("double").as("_tot"))
+    toks.join(broadcast(vocab.crossJoin(total)), Seq("term"))
+      .groupBy("doc_id").agg(
+        round(avg(log(col("tc") / col("_tot"))), 6).as("avg_logp"),
+        count(lit(1)).cast("long").as("n_tokens"))
+  }
+
   /** Repetition signals for corpus quality filtering (the
     * Gopher-rules shape: repetitious documents are low-quality
     * machine-generated or boilerplate text and get filtered before

@@ -117,6 +117,31 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("histogramQuantilesBy: per-group estimates within one bucket width") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 6000).map { i =>
+      val g = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      val v = g match {
+        case "a" => rnd.nextDouble() * 100
+        case "b" => 500 + rnd.nextDouble() * 10
+        case _   => rnd.nextGaussian() * 50
+      }
+      (g, v)
+    }
+    val got = Sketches.histogramQuantilesBy(rows.toDF("g", "v"), "v", Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val width = (sorted.last - sorted.head) / 64
+      Seq(0.25, 0.5, 0.9, 0.99).foreach { q =>
+        val exact = sorted((q * (sorted.size - 1)).toInt)
+        val est = got((g, q))
+        assert(math.abs(est - exact) <= width + 1e-6,
+          s"group $g q$q: est $est vs exact $exact (width $width)")
+      }
+    }
+  }
+
   test("bloom filter: no false negatives, bounded false positives, OR-mergeable") {
     val members = (1 to 200).map(i => s"key$i").toDF("k")
     val sketch = Sketches.bloomBuild(members, "k", words = 64, k = 4)

@@ -89,6 +89,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getLong(2) == 0L && out(1).getLong(3) == 0L)
   }
 
+  test("unigramLogProb: hand-computed corpus distribution; empty docs absent") {
+    val out = TextAnalysis.unigramLogProb(Seq(
+        (1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    // vocab: a→2, b→2, c→1, total 5
+    assert(out.length == 2) // the empty doc has nothing to score
+    assert(out(0).getLong(0) == 1L)
+    assert(out(0).getDouble(1) == BigDecimal(math.log(0.4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0).getLong(2) == 3L)
+    val want2 = (math.log(0.4) + math.log(0.2)) / 2
+    assert(math.abs(out(1).getDouble(1) - want2) < 1e-6)
+    // corpus-typical text outscores vocabulary-anomalous text
+    assert(out(0).getDouble(1) > out(1).getDouble(1))
+  }
+
   test("repetitionSignals: hand-computed gram fractions and tie-breaks") {
     val out = TextAnalysis.repetitionSignals(Seq(
         (1L, "a b a b a"), // bigrams: "a b"×2, "b a"×2 (tie → "a b")
