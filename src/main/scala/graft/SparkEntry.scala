@@ -343,6 +343,14 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
           col("doc_id"), Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 0.25)
         .select("doc_id", "lang")),
+    // N-gram-overlap decontamination: drop any doc sharing a token
+    // 13-gram with the eval slice (the aggressive eval-hygiene tier;
+    // q56 is the whole-document exact tier).
+    "q67_ngram_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.ngramDecontaminate(docs, docs.filter(col("doc_id") % 10 === 0))
+        .select("doc_id")
+    }),
     // Grouped histogram quantiles: per-event-type percentiles from
     // the mergeable fixed-bin sketch (no per-group value sort).
     "q65_hist_quantiles_by" -> ((s, dir) =>
@@ -1078,6 +1086,18 @@ object SparkEntry {
         |FROM uni u
         |LEFT JOIN topb t ON t.doc_id = u.doc_id
         |LEFT JOIN trif f ON f.doc_id = u.doc_id""".stripMargin,
+    "q67_ngram_decontaminate" ->
+      // string-level dual: shingle equality ⟺ md5 equality
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), gi AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 12)) AS i FROM tok
+        |), g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(ts, i, i + 12), ' ') AS s FROM gi
+        |), b AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0),
+        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (s))
+        |SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)""".stripMargin,
     "q65_hist_quantiles_by" ->
       // q53's replay partitioned by event_type
       """WITH b AS (

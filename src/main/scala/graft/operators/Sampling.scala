@@ -82,4 +82,31 @@ object Sampling {
     corpus.join(bfp,
       fingerprint64(col(corpusText)) === col("_bfp"), "left_anti")
   }
+
+  /** N-gram-overlap decontamination: drop corpus documents sharing
+    * ANY token `n`-gram with the benchmark set — the aggressive tier
+    * used for LLM eval hygiene (a doc quoting 13 consecutive tokens
+    * of an eval item is contaminated even if the rest differs), vs
+    * [[decontaminate]]'s whole-document exact tier.
+    *
+    * Scale shape: the benchmark's n-gram hash set is distinct-reduced
+    * and broadcast (eval sets are small); the corpus is shingled once
+    * and semi-joined against it with NO corpus shuffle — only the
+    * matched doc ids (rare) travel to the final anti-join. Docs
+    * shorter than `n` tokens have no n-grams and are always kept. */
+  def ngramDecontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 13,
+                         corpusText: String = "text",
+                         benchmarkText: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.HashFunctions.{md5Long => h, shingles}
+    val bfp = broadcast(benchmark
+      .select(explode(shingles(col(benchmarkText), n)).as("_s"))
+      .select(h(col("_s")).as("_bfp")).distinct())
+    val contaminated = corpus
+      .select(col(idCol), explode(shingles(col(corpusText), n)).as("_s"))
+      .select(col(idCol), h(col("_s")).as("_fp"))
+      .join(bfp, col("_fp") === col("_bfp"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

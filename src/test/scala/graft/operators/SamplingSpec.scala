@@ -37,6 +37,21 @@ class SamplingSpec extends SparkSpec {
     assert(clean == Set(3L))
   }
 
+  test("ngramDecontaminate: any shared 13-gram drops the doc, 12 does not") {
+    val bench = Seq((100L, (1 to 20).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // 13 consecutive benchmark tokens (t3..t15) → contaminated
+      (1L, "alpha " + (3 to 15).map(i => s"t$i").mkString(" ") + " omega"),
+      // only 12 consecutive (t3..t14) → clean
+      (2L, "alpha " + (3 to 14).map(i => s"t$i").mkString(" ") + " omega"),
+      (3L, "completely unrelated words " + (1 to 20).map(i => s"u$i").mkString(" ")),
+      (4L, "too short to have any 13gram")).toDF("doc_id", "text")
+    val clean = Sampling.ngramDecontaminate(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L, 4L))
+  }
+
   test("stratifiedSample: per-stratum rates, deterministic, default fallback") {
     val rows = (1L to 2000L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "other"))
