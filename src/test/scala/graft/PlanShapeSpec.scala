@@ -60,4 +60,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft_dot") && p.contains("graft_norm"),
       s"native similarity expressions missing:\n$p")
   }
+
+  test("q60: stratum rates ride a broadcast join over a scan-level filter") {
+    val p = plan("q60_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for rates:\n$p")
+  }
+
+  test("q61/q67: sketch and benchmark sets broadcast — corpus never shuffles") {
+    val pb = plan("q61_bloom_filter")
+    assert(pb.contains("BroadcastHashJoin"), s"bloom words not broadcast:\n$pb")
+    val pn = plan("q67_ngram_decontaminate")
+    assert(pn.contains("BroadcastHashJoin"), s"ngram set not broadcast:\n$pn")
+    assert(pn.contains("LeftSemi") && pn.contains("LeftAnti"),
+      s"semi/anti structure lost:\n$pn")
+  }
+
+  test("q62: band join is an equi-join, never a nested loop") {
+    val p = plan("q62_band_join")
+    assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"),
+      s"band join planned as a nested loop:\n$p")
+  }
+
+  // AQE hides WindowExec until execution — assert on the optimized
+  // LOGICAL windows, which is the property that matters (a window
+  // with an empty partition spec moves its whole input to one task)
+  private def logicalWindows(name: String) = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+  }
+
+  test("q63: the corpus-level window is partitioned (only the tiny block table is not)") {
+    val windows = logicalWindows("q63_pack_sequences")
+    assert(windows.nonEmpty)
+    // exactly one unpartitioned window is allowed: the block-offset
+    // cumsum over the |docs|/blockSize relation; the per-doc running
+    // sum must be partitioned by block
+    val unpartitioned = windows.count(_.partitionSpec.isEmpty)
+    assert(unpartitioned <= 1, s"extra global windows:\n${windows.mkString("\n")}")
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "within-block window lost its partitioning")
+  }
+
+  test("q65: every quantile window is partitioned by the group key") {
+    val windows = logicalWindows("q65_hist_quantiles_by")
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in grouped quantiles:\n${windows.mkString("\n")}")
+  }
 }
