@@ -343,6 +343,29 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
           col("doc_id"), Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 0.25)
         .select("doc_id", "lang")),
+    // As-of join with max-staleness tolerance (pandas merge_asof
+    // semantics): the latest click before each purchase by the same
+    // user, but only if it happened within the last 24 hours —
+    // attribution-window semantics.
+    "q68_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          expr("ts div 1000").as("c_us"))
+      AsOfJoin.asOfUnion(buys, clicks, "user_id", "c_user",
+          col("ts_us"), col("c_us"),
+          payload = Seq("click_id", "c_us"), tiebreak = Seq("click_id"),
+          tolerance = Some(86400000000L)) // 24 h in µs
+        .select(col("event_id"), col("user_id"), col("click_id"), col("c_us"))
+    }),
+    // Per-source z-score outlier flags over document length — the
+    // distribution-based anomaly gate (exact mergeable moments).
+    "q69_zscore_outliers" -> ((s, dir) =>
+      graft.operators.Outliers.zscore(t(s, dir, "documents"),
+          "n_chars", Seq("source"), threshold = 2.0)
+        .select("doc_id", "source", "n_chars", "z", "is_outlier")),
     // N-gram-overlap decontamination: drop any doc sharing a token
     // 13-gram with the eval slice (the aggressive eval-hygiene tier;
     // q56 is the whole-document exact tier).
@@ -1086,6 +1109,36 @@ object SparkEntry {
         |FROM uni u
         |LEFT JOIN topb t ON t.doc_id = u.doc_id
         |LEFT JOIN trif f ON f.doc_id = u.doc_id""".stripMargin,
+    "q68_asof_tolerance" ->
+      // LEFT join: unattributed purchases stay with null click columns
+      """WITH b AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id AS c_user, event_id AS click_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'
+        |), j AS (
+        |  SELECT b.event_id, b.user_id, b.ts_us, c.click_id, c.c_us,
+        |    row_number() OVER (PARTITION BY b.event_id ORDER BY c.c_us DESC, c.click_id DESC) AS rn
+        |  FROM b JOIN c ON c.c_user = b.user_id
+        |    AND c.c_us < b.ts_us AND b.ts_us - c.c_us <= 86400000000
+        |)
+        |SELECT b.event_id, b.user_id, j.click_id, j.c_us
+        |FROM b LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.event_id = b.event_id""".stripMargin,
+    "q69_zscore_outliers" ->
+      // moments over integer values are exact in double arithmetic,
+      // so both engines compute bit-identical z-scores
+      """WITH s AS (
+        |  SELECT source, sum(n_chars::DOUBLE) AS sv,
+        |    sum(n_chars::DOUBLE * n_chars::DOUBLE) AS sv2, count(*)::DOUBLE AS n
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CASE WHEN sv2/n - (sv/n)*(sv/n) = 0 THEN 0.0
+        |    ELSE round((d.n_chars::DOUBLE - sv/n) / sqrt(sv2/n - (sv/n)*(sv/n)), 6) END AS z,
+        |  CASE WHEN sv2/n - (sv/n)*(sv/n) = 0 THEN false
+        |    ELSE abs((d.n_chars::DOUBLE - sv/n) / sqrt(sv2/n - (sv/n)*(sv/n))) > 2.0 END AS is_outlier
+        |FROM documents d JOIN s USING (source)""".stripMargin,
     "q67_ngram_decontaminate" ->
       // string-level dual: shingle equality ⟺ md5 equality
       """WITH tok AS (

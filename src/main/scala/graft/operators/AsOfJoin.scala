@@ -32,11 +32,20 @@ object AsOfJoin {
     * @param payload            right columns carried to the output
     * @param tiebreak           right columns breaking equal-time ties
     *                           (greatest wins), e.g. an event id
+    * @param tolerance          max staleness (same units as the time
+    *                           expressions, which must be numeric when
+    *                           set): a match older than
+    *                           `leftTime − tolerance` is nulled out —
+    *                           pandas `merge_asof(tolerance=…)`
+    *                           semantics. Correct because the carried
+    *                           match is the LATEST predecessor: if it
+    *                           is out of tolerance, every candidate is.
     */
   def asOfUnion(left: DataFrame, right: DataFrame,
                 leftKey: String, rightKey: String,
                 leftTime: Column, rightTime: Column,
-                payload: Seq[String], tiebreak: Seq[String]): DataFrame = {
+                payload: Seq[String], tiebreak: Seq[String],
+                tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightSchema = right.schema
     def nullOf(c: String, from: org.apache.spark.sql.types.StructType) =
@@ -56,9 +65,17 @@ object AsOfJoin {
       .orderBy((col("_t") +: col("_side") +: tiebreak.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lAligned.unionByName(rAligned)
-      .select((leftCols.map(col) :+ col("_side")) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-    carried.filter(col("_side") === 0).drop("_side")
+      .select((leftCols.map(col) :+ col("_side") :+ col("_t")) ++
+        (payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
+          last(when(col("_side") === 1, col("_t")), ignoreNulls = true)
+            .over(w).as("_rt")): _*)
+    val matched = carried.filter(col("_side") === 0)
+    val bounded = tolerance.fold(matched) { tol =>
+      // when() with no otherwise nulls both too-stale and never-matched
+      payload.foldLeft(matched)((df, c) =>
+        df.withColumn(c, when(col("_t") - col("_rt") <= tol, col(c))))
+    }
+    bounded.drop("_side", "_t", "_rt")
   }
 
   /** Join + argmax composition (candidate-explosion shape). */

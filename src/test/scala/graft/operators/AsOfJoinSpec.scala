@@ -46,4 +46,26 @@ class AsOfJoinSpec extends SparkSpec {
       .orderBy("order_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(viaJoin.toSeq == viaUnion.toSeq)
   }
+
+  test("asOfUnion tolerance: stale matches are nulled, in-window ones kept") {
+    val out = AsOfJoin.asOfUnion(orders, events,
+        "cust", "user", col("otime"), col("etime"),
+        payload = Seq("event_id", "etype"), tiebreak = Seq("event_id"),
+        tolerance = Some(15L))
+      .orderBy("order_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out(0) == ((100L, Some(1002L)))) // Δ = 50-40 = 10 ≤ 15 → kept
+    // order 101: latest predecessor is event@10, Δ = 30 > 15 → nulled
+    // (and since the LATEST is stale, no candidate can be fresher)
+    assert(out(1) == ((101L, None)))
+    assert(out(2) == ((102L, None))) // Δ = 99-5 = 94 > 15
+    assert(out(3) == ((103L, None))) // never matched stays null
+    // boundary: Δ = exactly tolerance is kept
+    val edge = AsOfJoin.asOfUnion(orders, events,
+        "cust", "user", col("otime"), col("etime"),
+        payload = Seq("event_id"), tiebreak = Seq("event_id"),
+        tolerance = Some(10L))
+      .filter(col("order_id") === 100L).collect().head
+    assert(edge.get(3) == 1002L)
+  }
 }

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class OutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscore: planted extreme flagged, normals not, constants never") {
+    val rows = (1 to 99).map(i => (i.toLong, "a", 100L + (i % 5))) ++
+      Seq((100L, "a", 5000L)) ++ // the planted outlier
+      (101 to 110).map(i => (i.toLong, "b", 42L)) // constant group
+    val out = Outliers.zscore(rows.toDF("id", "grp", "v"), "v", Seq("grp"),
+        threshold = 3.0)
+      .select("id", "z", "is_outlier") // using-join reorders: grp first
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(100L)._2, s"planted outlier not flagged: z=${out(100L)._1}")
+    (1L to 99L).foreach(i => assert(!out(i)._2, s"false flag on $i: ${out(i)}"))
+    // constant group: variance 0 → z = 0, nothing flagged
+    (101L to 110L).foreach(i => assert(out(i) == ((0.0, false))))
+    // z-scores of one group sum to ~0 (standardization sanity)
+    val sumZ = (1L to 100L).map(out(_)._1).sum
+    assert(math.abs(sumZ) < 1e-3, s"z sum $sumZ")
+  }
+
+  test("zscore is partitioning-invariant") {
+    val rows = (1 to 500).map(i => (i.toLong, s"g${i % 3}", (i * 37 % 211).toLong))
+    val df = rows.toDF("id", "grp", "v")
+    val a = Outliers.zscore(df, "v", Seq("grp")).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val b = Outliers.zscore(df.repartition(17), "v", Seq("grp")).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
