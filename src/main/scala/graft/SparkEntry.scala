@@ -343,6 +343,25 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
           col("doc_id"), Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 0.25)
         .select("doc_id", "lang")),
+    // Composite C4-style cleanup: language gate + quality gate +
+    // repetition gate + exact-dedup survivor, in one pipeline — the
+    // operators compose on a single shared doc_id shuffle.
+    "q71_quality_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
+      val lang = TextAnalysis.languageId(docs)
+      val rep = TextAnalysis.repetitionSignals(docs)
+        .select("doc_id", "dup_token_frac")
+      val survivors = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.fingerprint64(col("text")).as("_fp"))
+        .groupBy("_fp").agg(min("doc_id").as("survivor"))
+      docs.select("doc_id")
+        .join(quality, "doc_id").join(lang, "doc_id").join(rep, "doc_id")
+        .join(survivors, col("doc_id") === col("survivor"), "left_semi")
+        .filter(col("predicted_lang") === "en" && col("quality") >= 0.45 &&
+          col("dup_token_frac") <= 0.65)
+        .select("doc_id")
+    }),
     // As-of join with max-staleness tolerance (pandas merge_asof
     // semantics): the latest click before each purchase by the same
     // user, but only if it happened within the last 24 hours —
@@ -538,7 +557,20 @@ object SparkEntry {
     "q31_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.asBinaryTable(t(s, dir, "documents")), chunkBytes = 64, stride = 2)
-        .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex")))
+        .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))),
+    // Frame-level exact dedup: the sub-document multimodal dedup tier
+    // (dedup images/frames across the corpus, not whole payloads) —
+    // one map-side-combinable shuffle on the frame key, deterministic
+    // (min doc, min idx) survivor.
+    "q70_frame_dedup" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.asBinaryTable(t(s, dir, "documents")), chunkBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
+        .groupBy("frame_hex").agg(count(lit(1)).as("n_occurrences"),
+          min(struct(col("doc_id"), col("frame_idx"))).as("_s"))
+        .select(col("frame_hex"), col("n_occurrences"),
+          col("_s.doc_id").as("survivor_doc"),
+          col("_s.frame_idx").as("survivor_frame")))
   )
 
   /** DuckDB rounded-cosine dual of `Similarity.cosine` (same
@@ -1109,6 +1141,39 @@ object SparkEntry {
         |FROM uni u
         |LEFT JOIN topb t ON t.doc_id = u.doc_id
         |LEFT JOIN trif f ON f.doc_id = u.doc_id""".stripMargin,
+    "q71_quality_pipeline" ->
+      // q21 quality + q22 langid + q59 dup-token + q07-style survivor
+      // CTEs composed; thresholds compare the same rounded values
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    round(least(length(text)::BIGINT / 500.0, 1.0) * 0.4 +
+        |      least(coalesce(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE / nullif(len(toks)::DOUBLE, 0), 0.0) * 5.0, 1.0) * 0.4 +
+        |      (1.0 - least(coalesce(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE / nullif(length(text)::DOUBLE, 0), 0.0) * 10.0, 1.0)) * 0.2, 6) AS quality
+        |  FROM t
+        |), l AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |         WHEN len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) >= len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x)))
+        |          AND len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) >= len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de','du','pour'], x)))
+        |          AND len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) >= len(list_filter(toks, x -> list_contains(['el','los','las','y','es','si','una','como','por','para'], x))) THEN 'en'
+        |         ELSE 'other' END AS predicted_lang
+        |  FROM t
+        |), r AS (
+        |  SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE round((len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks), 6) END AS dup_token_frac
+        |  FROM t
+        |), s AS (
+        |  SELECT ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS f,
+        |    min(doc_id) AS survivor
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT d.doc_id
+        |FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN r USING (doc_id)
+        |WHERE l.predicted_lang = 'en' AND q.quality >= 0.45 AND r.dup_token_frac <= 0.65
+        |  AND EXISTS (SELECT 1 FROM s WHERE s.survivor = d.doc_id)""".stripMargin,
     "q68_asof_tolerance" ->
       // LEFT join: unattributed purchases stay with null click columns
       """WITH b AS (
@@ -1404,6 +1469,28 @@ object SparkEntry {
         |SELECT doc_id, frame_idx,
         |  substring(hx, (frame_idx * 128 + 1)::BIGINT, 128) AS frame_hex
         |FROM idx""".stripMargin,
+    "q70_frame_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, to_hex(encode(text)) AS hx,
+        |    octet_length(encode(text))::BIGINT AS n_bytes
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, hx,
+        |    unnest(generate_series(0, greatest(ceil(n_bytes / 64.0)::BIGINT - 1, 0), 2)) AS frame_idx
+        |  FROM b
+        |), f AS (
+        |  SELECT doc_id, frame_idx,
+        |    substring(hx, (frame_idx * 128 + 1)::BIGINT, 128) AS frame_hex
+        |  FROM idx
+        |)
+        |SELECT frame_hex, n_occurrences, doc_id AS survivor_doc,
+        |  frame_idx AS survivor_frame
+        |FROM (
+        |  SELECT frame_hex, doc_id, frame_idx,
+        |    count(*) OVER (PARTITION BY frame_hex)::BIGINT AS n_occurrences,
+        |    row_number() OVER (PARTITION BY frame_hex ORDER BY doc_id, frame_idx) AS rn
+        |  FROM f
+        |) WHERE rn = 1""".stripMargin,
     "q30_multimodal_meta" ->
       """SELECT doc_id, 'image/png' AS mime,
         |  octet_length(encode(text))::BIGINT AS n_bytes,

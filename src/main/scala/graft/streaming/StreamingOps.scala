@@ -110,6 +110,26 @@ object StreamingOps {
         col("session_window.end").as("sess_end"),
         col(keyCol), col("n_events"), col("sum_value"))
 
+  /** Windowed distinct-count estimation on a stream via the HLL
+    * aggregate ([[graft.plans.HllAgg]]): registers are max-mergeable,
+    * so they fold incrementally across triggers in the state store —
+    * fixed 256-byte state per (window, key) no matter how many
+    * distinct values flow through. Exact windowed COUNT(DISTINCT)
+    * would require unbounded per-window value state; this is the
+    * sketch-for-state trade that makes it viable on an unbounded
+    * stream, and the estimate is identical to the batch
+    * [[graft.operators.Sketches.hllDistinct]] over the same rows. */
+  def windowedDistinct(df: DataFrame, tsCol: String, keyCol: String,
+                       valueCol: String,
+                       windowLen: String = "30 minutes",
+                       lateness: String = "30 minutes"): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(round(graft.operators.Sketches.hllAggCol(col(valueCol)), 4)
+        .as("est_distinct"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("est_distinct"))
+
   /** The output mode [[latestPerKey]] requires. */
   val UpdateMode: OutputMode = OutputMode.Update()
 }

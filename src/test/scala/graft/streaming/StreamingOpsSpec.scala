@@ -94,6 +94,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(emitted.contains(("05:30", "view", 1L, 4.0)), s"got $emitted")
   }
 
+  test("windowedDistinct: HLL registers merge across triggers; final estimate equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "key", "v")
+    val q = StreamingOps.windowedDistinct(df, "ts", "key", "v")
+      .writeStream.format("memory").queryName("hll_stream_test")
+      .outputMode("update").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-08-12 05:$m%02d:00")
+      val batch1 = (1 to 800).map(i => (t(1), "k", s"v$i"))
+      val batch2 = (400 to 1200).map(i => (t(5), "k", s"v$i")) // overlap: 1200 distinct
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // the update after batch 2 must equal the batch dual over the
+      // UNION of both batches — i.e. state carried batch 1's registers
+      val batchEst = graft.operators.Sketches.hllDistinct(
+          (batch1 ++ batch2).map(_._3).toDF("v"), "v")
+        .collect().head.getDouble(0)
+      val ests = spark.table("hll_stream_test")
+        .select("est_distinct").collect().map(_.getDouble(0)).toSet
+      assert(ests.contains(batchEst),
+        s"streaming estimates $ests never reached batch dual $batchEst")
+      // and the estimate is in a sane band around 1200
+      assert(math.abs(batchEst - 1200) / 1200.0 < 0.15, s"est=$batchEst")
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicate fingerprints within the watermark horizon dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
