@@ -343,25 +343,11 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
           col("doc_id"), Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 0.25)
         .select("doc_id", "lang")),
-    // Composite C4-style cleanup: language gate + quality gate +
-    // repetition gate + exact-dedup survivor, in one pipeline — the
-    // operators compose on a single shared doc_id shuffle.
-    "q71_quality_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val quality = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
-      val lang = TextAnalysis.languageId(docs)
-      val rep = TextAnalysis.repetitionSignals(docs)
-        .select("doc_id", "dup_token_frac")
-      val survivors = docs.select(col("doc_id"),
-          graft.functions.TextFunctions.fingerprint64(col("text")).as("_fp"))
-        .groupBy("_fp").agg(min("doc_id").as("survivor"))
-      docs.select("doc_id")
-        .join(quality, "doc_id").join(lang, "doc_id").join(rep, "doc_id")
-        .join(survivors, col("doc_id") === col("survivor"), "left_semi")
-        .filter(col("predicted_lang") === "en" && col("quality") >= 0.45 &&
-          col("dup_token_frac") <= 0.65)
-        .select("doc_id")
-    }),
+    // Composite C4-style cleanup: language + quality + repetition +
+    // exact-dedup survivor FUSED into one corpus scan and one shuffle
+    // (the composed per-operator form re-reads the corpus per gate).
+    "q71_quality_pipeline" -> ((s, dir) =>
+      TextAnalysis.cleanupGate(t(s, dir, "documents"))),
     // As-of join with max-staleness tolerance (pandas merge_asof
     // semantics): the latest click before each purchase by the same
     // user, but only if it happened within the last 24 hours —

@@ -223,6 +223,43 @@ object TextAnalysis {
           .as("dup_trigram_frac"))
   }
 
+  /** The C4-style cleanup gate stack — language + quality +
+    * token-repetition + exact-dedup survivor — fused into ONE corpus
+    * scan and ONE shuffle. The composable operators ([[qualityScore]],
+    * [[languageId]], [[repetitionSignals]], fingerprint dedup) each
+    * scan the input; joining their outputs would re-read a 100 TB
+    * corpus four times. Every gate here except the survivor is a pure
+    * expression, so they ride a single projection; the survivor is a
+    * `min(doc_id) over (partition by fingerprint)` window — the one
+    * (fully key-partitioned) shuffle. Formulas are identical to the
+    * standalone operators (thresholds compare the same rounded
+    * values), so the fused and composed forms select the same rows. */
+  def cleanupGate(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", lang: String = "en",
+                  minQuality: Double = 0.45,
+                  maxDupTokenFrac: Double = 0.65): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val punctRatio = punctCount(text).cast("double") / nullifZero(nChar)
+    val stopRatio = stopwordCount(toks, StopEn).cast("double") / nullifZero(nTok)
+    val quality = round(
+      least(nChar / lit(500.0), lit(1.0)) * lit(0.4) +
+        least(coalesce(stopRatio, lit(0.0)) * lit(5.0), lit(1.0)) * lit(0.4) +
+        (lit(1.0) - least(coalesce(punctRatio, lit(0.0)) * lit(10.0), lit(1.0))) * lit(0.2), 6)
+    val dupTok = coalesce(round((size(toks) - size(array_distinct(toks))).cast("double") /
+      nullifZero(size(toks).cast("double")), 6), lit(0.0))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_fp")
+    docs
+      .select(col(idCol).as("doc_id"), quality.as("_q"), langId(text).as("_l"),
+        dupTok.as("_d"), fingerprint64(text).as("_fp"))
+      .withColumn("_survivor", min("doc_id").over(w))
+      .filter(col("_l") === lang && col("_q") >= minQuality &&
+        col("_d") <= maxDupTokenFrac && col("doc_id") === col("_survivor"))
+      .select("doc_id")
+  }
+
   /** Heuristic PII redaction: emails, phone-number-shaped digit runs,
     * and long bare digit runs replaced by typed placeholders. Pure
     * regexp projection (scan-speed); patterns restricted to explicit

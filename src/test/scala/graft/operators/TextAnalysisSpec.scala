@@ -105,6 +105,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getDouble(1) > out(1).getDouble(1))
   }
 
+  test("cleanupGate (fused, 1 scan) selects exactly what the composed operators select") {
+    import org.apache.spark.sql.functions.{col, min}
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fused = TextAnalysis.cleanupGate(corpus)
+      .collect().map(_.getLong(0)).toSet
+    // the composed form: each operator separately, joined
+    val q = TextAnalysis.qualityScore(corpus).select("doc_id", "quality")
+    val l = TextAnalysis.languageId(corpus)
+    val r = TextAnalysis.repetitionSignals(corpus).select("doc_id", "dup_token_frac")
+    val surv = corpus.select(col("doc_id"),
+        graft.functions.TextFunctions.fingerprint64(col("text")).as("_fp"))
+      .groupBy("_fp").agg(min("doc_id").as("survivor"))
+    val composed = corpus.select("doc_id")
+      .join(q, "doc_id").join(l, "doc_id").join(r, "doc_id")
+      .join(surv, col("doc_id") === col("survivor"), "left_semi")
+      .filter(col("predicted_lang") === "en" && col("quality") >= 0.45 &&
+        col("dup_token_frac") <= 0.65)
+      .collect().map(_.getLong(0)).toSet
+    assert(fused == composed, s"fused-only=${(fused -- composed).take(5)} " +
+      s"composed-only=${(composed -- fused).take(5)}")
+    assert(fused.nonEmpty)
+    // and the fused plan reads the corpus exactly once
+    val scans = TextAnalysis.cleanupGate(corpus).queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      case r: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+        if r.nodeName == "Relation" => r
+    }
+    assert(scans.size <= 1, s"fused gate scans the corpus ${scans.size} times")
+  }
+
   test("repetitionSignals: hand-computed gram fractions and tie-breaks") {
     val out = TextAnalysis.repetitionSignals(Seq(
         (1L, "a b a b a"), // bigrams: "a b"×2, "b a"×2 (tie → "a b")
