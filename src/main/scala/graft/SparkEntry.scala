@@ -343,6 +343,24 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
           col("doc_id"), Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 0.25)
         .select("doc_id", "lang")),
+    // Grouped HLL via the custom TypedImperativeAggregate: distinct
+    // tokens per language — 256 B of register state per group.
+    "q72_hll_by_lang" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("lang")
+        .agg(round(Sketches.hllAggCol(col("term")), 4).as("est_distinct"))),
+    // Hopping (sliding) event-time windows in batch: 30-min windows
+    // every 15 min — each event lands in exactly two windows.
+    "q73_hopping_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          window(expr("timestamp_micros(ts div 1000)"), "30 minutes", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+          col("n"), col("sum_value"))),
     // Composite C4-style cleanup: language + quality + repetition +
     // exact-dedup survivor FUSED into one corpus scan and one shuffle
     // (the composed per-operator form re-reads the corpus per gate).
@@ -1127,6 +1145,34 @@ object SparkEntry {
         |FROM uni u
         |LEFT JOIN topb t ON t.doc_id = u.doc_id
         |LEFT JOIN trif f ON f.doc_id = u.doc_id""".stripMargin,
+    "q72_hll_by_lang" ->
+      // q46's register fold, partitioned by lang
+      """WITH tok AS (
+        |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+        |), h AS (
+        |  SELECT lang, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tok
+        |), b AS (
+        |  SELECT lang, h & 255 AS bucket,
+        |    CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END AS rho
+        |  FROM h
+        |), m AS (SELECT lang, bucket, max(rho) AS mj FROM b GROUP BY 1, 2),
+        |z AS (SELECT lang, (sum(1::BIGINT << (53 - mj)) + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s,
+        |             256 - count(*) AS zeros FROM m GROUP BY 1)
+        |SELECT lang, round(CASE WHEN 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s::DOUBLE <= 640.0 AND zeros > 0
+        |  THEN 256.0 * ln(256.0 / zeros)
+        |  ELSE 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s::DOUBLE END, 4) AS est_distinct
+        |FROM z""".stripMargin,
+    "q73_hopping_window" ->
+      // an event's two windows: the two most recent 15-min grid starts
+      """WITH e AS (SELECT epoch_us(ts) AS tu, event_type, value FROM events),
+        |k AS (SELECT unnest([0, 1]) AS k),
+        |w AS (
+        |  SELECT ((tu - k.k * 900000000) // 1800000000) * 1800000000 + k.k * 900000000 AS ws_us,
+        |    event_type, value
+        |  FROM e, k
+        |)
+        |SELECT ws_us, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "q71_quality_pipeline" ->
       // q21 quality + q22 langid + q59 dup-token + q07-style survivor
       // CTEs composed; thresholds compare the same rounded values
