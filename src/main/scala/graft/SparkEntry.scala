@@ -343,6 +343,13 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
           col("doc_id"), Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 0.25)
         .select("doc_id", "lang")),
+    // Per-group top-k via the custom LogicalPlan + Strategy + exec
+    // (bounded map-side heaps; shuffle carries ≤ k rows per task/key
+    // instead of the window-rank full shuffle+sort).
+    "q74_topk_per_key" -> ((s, dir) =>
+      graft.operators.TopK.topKPerKey(
+        t(s, dir, "events").select("user_id", "event_id", "value"),
+        Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 3)),
     // Grouped HLL via the custom TypedImperativeAggregate: distinct
     // tokens per language — 256 B of register state per group.
     "q72_hll_by_lang" -> ((s, dir) =>
@@ -1145,6 +1152,12 @@ object SparkEntry {
         |FROM uni u
         |LEFT JOIN topb t ON t.doc_id = u.doc_id
         |LEFT JOIN trif f ON f.doc_id = u.doc_id""".stripMargin,
+    "q74_topk_per_key" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events
+        |) WHERE rn <= 3""".stripMargin,
     "q72_hll_by_lang" ->
       // q46's register fold, partitioned by lang
       """WITH tok AS (

@@ -15,4 +15,20 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** EAGER Column → catalyst Expression conversion.
+    * [[expression]] returns a lazy `ColumnNodeExpression` wrapper
+    * that still references the non-serializable internal column AST
+    * (it normally converts during analysis of a standard operator);
+    * custom logical operators need the real catalyst tree up front —
+    * e.g. a sort Column becomes a genuine `expressions.SortOrder`. */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame from a LogicalPlan (`Dataset.ofRows` is `private[sql]`
+    * in Spark 4) — needed to hand custom logical operators such as
+    * [[graft.plans.TopKPerKeyPlan]] back to the session. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

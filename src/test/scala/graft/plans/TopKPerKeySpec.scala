@@ -1,0 +1,53 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.TopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = {
+    val rnd = new scala.util.Random(31)
+    (1 to 5000).map(i =>
+      (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(50).toDouble))
+      .toDF("id", "k", "v").repartition(16)
+  }
+
+  test("topKPerKey equals the window-rank formulation (ties broken by id)") {
+    val df = sample
+    val got = TopK.topKPerKey(df, Seq("k"), Seq(col("v").desc, col("id").asc), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = df.withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(got.size == 40 * 3)
+  }
+
+  test("plans partial -> exchange -> final; exchange elided when pre-clustered") {
+    val df = sample
+    val plan = TopK.topKPerKey(df, Seq("k"), Seq(col("v").desc, col("id").asc), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
+      s"custom operators missing:\n$plan")
+    assert(plan.contains("Exchange"), s"no exchange between partial and final:\n$plan")
+    // pre-clustered child satisfies ClusteredDistribution(keys): the
+    // strategy's final exec needs NO additional exchange beyond the
+    // repartition itself
+    val clustered = TopK.topKPerKey(df.repartition(col("k")), Seq("k"),
+        Seq(col("v").desc, col("id").asc), 2)
+      .queryExecution.executedPlan.toString
+    assert(clustered.split("Exchange").length - 1 == 1,
+      s"expected exactly the repartition exchange:\n$clustered")
+  }
+
+  test("k larger than any group passes everything through; groups smaller than k intact") {
+    val df = Seq((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 2L, 3.0)).toDF("id", "k", "v")
+    val got = TopK.topKPerKey(df, Seq("k"), Seq(col("v").asc), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+}
