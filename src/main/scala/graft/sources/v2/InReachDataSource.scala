@@ -78,7 +78,7 @@ final class InReachTable(options: CaseInsensitiveStringMap)
   override def name(): String = "inreach"
   override def schema(): StructType = InReachDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new InReachScanBuilder(new CaseInsensitiveStringMap(
       (options.asScala ++ opts.asScala).asJava))
@@ -159,6 +159,66 @@ final class InReachScan(shares: Seq[graft.model.Share], lookbackMinutes: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new InReachReaderFactory
+
+  /** Streaming flavor: the reference is a SCHEDULED poller (EventBridge
+    * → Lambda every N minutes, task.ts:188-194); its Spark-native form
+    * is `spark.readStream.format("inreach")` — each microbatch is one
+    * fetch round across all shares, the lookback window absorbs
+    * re-delivery, and downstream watermarked dedup/latest-state
+    * operators ([[graft.streaming.StreamingOps]]) replace the per-run
+    * in-memory Map. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new InReachMicroBatchStream(shares, lookbackMinutes, nowIso, fixtureDir,
+      pushedTime, debug, required)
+}
+
+/** One fetch round per microbatch. Offsets count rounds: batch
+  * (start, end] re-fetches every share once (regardless of the gap —
+  * a feed has no replayable history, exactly like the reference's
+  * scheduled run; the lookback window is the only re-delivery
+  * buffer). Supports Trigger.AvailableNow (one round, then stop). */
+final class InReachMicroBatchStream(shares: Seq[graft.model.Share],
+                                    lookbackMinutes: Long, nowIso: Option[String],
+                                    fixtureDir: Option[String],
+                                    pushedTime: Option[String], debug: Boolean,
+                                    required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class RoundOffset(n: Long) extends Offset {
+    override def json(): String = n.toString
+  }
+  @volatile private var round = 0L
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def initialOffset(): Offset = RoundOffset(0L)
+  override def deserializeOffset(json: String): Offset = RoundOffset(json.toLong)
+  // SupportsAdmissionControl routes through the (start, limit) overload
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("latestOffset(Offset, ReadLimit)")
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    availableNowTarget match {
+      case Some(t) => RoundOffset(t)
+      case None => round += 1; RoundOffset(round)
+    }
+  override def prepareForTriggerAvailableNow(): Unit = {
+    round += 1
+    availableNowTarget = Some(round)
+  }
+  override def reportLatestOffset(): Offset = RoundOffset(round)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    shares.map(s => InReachPartition(s, lookbackMinutes, nowIso, fixtureDir,
+      pushedTime, debug, required.fieldNames): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new InReachReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class InReachPartition(share: graft.model.Share, lookbackMinutes: Long,

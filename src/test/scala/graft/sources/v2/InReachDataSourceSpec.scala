@@ -108,6 +108,34 @@ class InReachDataSourceSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("beta"))
   }
 
+  test("readStream.format(inreach): each microbatch is one fetch round; re-fetch sees feed updates") {
+    val dir = writeFixtures()
+    def runOnce(tag: String): Array[org.apache.spark.sql.Row] = {
+      val q = spark.readStream.format("inreach")
+        .option("shares", "alpha,beta")
+        .option("now", "2026-08-12T05:30:00Z")
+        .option("fixtureDir", dir)
+        .load()
+        .writeStream.format("memory").queryName(s"inreach_stream_$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.stop()
+      spark.table(s"inreach_stream_$tag").collect()
+    }
+    val first = runOnce("a")
+    assert(first.length == 4, s"expected 4 placemarks, got ${first.length}")
+    // the feed moves: beta now reports a second placemark — the next
+    // round (fresh query = the reference's next scheduled run) sees it
+    val betaKml = java.nio.file.Files.readString(
+      new java.io.File(dir, "beta.kml").toPath)
+    val extra = betaKml.replace("</Folder>",
+      graft.PipelineFixtures.placemark("444", "2026-08-12T05:25:00Z") + "</Folder>")
+    java.nio.file.Files.writeString(new java.io.File(dir, "beta.kml").toPath, extra)
+    val second = runOnce("b")
+    assert(second.length == 5, s"re-fetch missed the new placemark: ${second.length}")
+  }
+
   test("full pipeline composes over the DSv2 source") {
     import graft.operators.{Dedup, FeatureProjection}
     val dir = writeFixtures()
