@@ -50,4 +50,21 @@ class TopKPerKeySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L, 3L))
   }
+
+  test("property: random data/k/partitioning equals driver-side sorted take") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val k = 1 + rnd.nextInt(5)
+      val rows = (1 to 500).map(i =>
+        (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(10).toDouble)) // heavy ties
+      val got = TopK.topKPerKey(
+          rows.toDF("id", "g", "v").repartition(1 + rnd.nextInt(9)),
+          Seq("g"), Seq(col("v").desc, col("id").asc), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = rows.groupBy(_._2).flatMap { case (_, grp) =>
+        grp.sortBy(t => (-t._3, t._1)).take(k)
+      }.toSet
+      assert(got == want, s"seed=$seed k=$k diff=${(want -- got) ++ (got -- want)}")
+    }
+  }
 }
