@@ -404,6 +404,13 @@ object SparkEntry {
       Sampling.ngramDecontaminate(docs, docs.filter(col("doc_id") % 10 === 0))
         .select("doc_id")
     }),
+    // Near-dup decontamination (third tier): drop docs ≥0.8 shingle
+    // Jaccard to any eval doc, via cross-side MinHash+LSH banding.
+    "q75_neardup_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.nearDupDecontaminate(docs, docs.filter(col("doc_id") % 10 === 0))
+        .select("doc_id")
+    }),
     // Grouped histogram quantiles: per-event-type percentiles from
     // the mergeable fixed-bin sketch (no per-group value sort).
     "q65_hist_quantiles_by" -> ((s, dir) =>
@@ -1158,6 +1165,54 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         |  FROM events
         |) WHERE rn <= 3""".stripMargin,
+    "q75_neardup_decontaminate" ->
+      // the q24 MinHash replay over corpus ∪ negated-id benchmark;
+      // cross-side verified pairs mark contaminated corpus docs
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT -doc_id - 1 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |), base AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM src)
+        |), nz AS (SELECT * FROM base WHERE len(sh) > 0),
+        |hs AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT & 1073741823 AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min((787542839 * h + 242017) % 1073741789) AS mh0,
+        |    min((611349889 * h + 938741) % 1073741789) AS mh1,
+        |    min((904321577 * h + 55117) % 1073741789) AS mh2,
+        |    min((359485871 * h + 712933) % 1073741789) AS mh3,
+        |    min((673458601 * h + 128747) % 1073741789) AS mh4,
+        |    min((513695341 * h + 999331) % 1073741789) AS mh5,
+        |    min((844235099 * h + 47743) % 1073741789) AS mh6,
+        |    min((298654777 * h + 583391) % 1073741789) AS mh7,
+        |    min((736217683 * h + 864967) % 1073741789) AS mh8,
+        |    min((465182977 * h + 22229) % 1073741789) AS mh9,
+        |    min((952103481 * h + 371099) % 1073741789) AS mh10,
+        |    min((587431267 * h + 650087) % 1073741789) AS mh11
+        |  FROM hs GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band, mh0::VARCHAR||'|'||mh1::VARCHAR||'|'||mh2::VARCHAR AS sig FROM mh
+        |  UNION ALL SELECT doc_id, 1, mh3::VARCHAR||'|'||mh4::VARCHAR||'|'||mh5::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 2, mh6::VARCHAR||'|'||mh7::VARCHAR||'|'||mh8::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 3, mh9::VARCHAR||'|'||mh10::VARCHAR||'|'||mh11::VARCHAR FROM mh
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT doc_a, doc_b,
+        |    len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |  FROM cand JOIN nz x ON cand.doc_a = x.doc_id JOIN nz y ON cand.doc_b = y.doc_id
+        |), bad AS (
+        |  SELECT DISTINCT doc_b FROM j WHERE jac >= 0.8 AND doc_a < 0 AND doc_b >= 0
+        |)
+        |SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_b = d.doc_id)""".stripMargin,
     "q72_hll_by_lang" ->
       // q46's register fold, partitioned by lang
       """WITH tok AS (

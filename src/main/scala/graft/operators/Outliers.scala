@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
-  /** @return the input plus `z` (rounded 6) and `is_outlier`. */
+  /** @return the input plus `z` (rounded 6) and `is_outlier`. Rows
+    *         whose group key is NULL are dropped (equi-join
+    *         semantics) — pre-coalesce the group column to a sentinel
+    *         if unknown-group rows should be scored as their own
+    *         stratum. */
   def zscore(df: DataFrame, valueCol: String, groupCols: Seq[String],
              threshold: Double = 3.0): DataFrame = {
     require(groupCols.nonEmpty && threshold > 0)

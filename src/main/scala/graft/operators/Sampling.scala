@@ -83,6 +83,33 @@ object Sampling {
       fingerprint64(col(corpusText)) === col("_bfp"), "left_anti")
   }
 
+  /** Near-duplicate decontamination — the third tier: drop corpus
+    * documents whose shingle Jaccard with ANY benchmark document is ≥
+    * `threshold` (catches paraphrase-light contamination that the
+    * exact tier misses and that shares no single 13-gram). Rides the
+    * full MinHash+LSH machinery ([[FuzzyDedup.minhashNearDups]]):
+    * benchmark docs join the corpus under negated ids, bucketed
+    * banding finds cross-side candidates without any all-pairs stage,
+    * and only verified pairs with one side negative mark corpus docs.
+    * Scale is the q24 shape; the benchmark adds |benchmark| rows. */
+  def nearDupDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                           threshold: Double = 0.8,
+                           idCol: String = "doc_id",
+                           corpusText: String = "text",
+                           benchmarkText: String = "text"): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("doc_id"),
+      col(corpusText).as("text"))
+    // benchmark ids remapped to the negative space: the self-join
+    // machinery then distinguishes sides for free, and doc_a < doc_b
+    // puts the benchmark side of every cross pair in doc_a
+    val b = benchmark.select((-col(idCol).cast("long") - 1).as("doc_id"),
+      col(benchmarkText).as("text"))
+    val pairs = FuzzyDedup.minhashNearDups(c.unionByName(b), threshold = threshold)
+    val bad = pairs.filter(col("doc_a") < 0 && col("doc_b") >= 0)
+      .select(col("doc_b").as("_bad")).distinct()
+    corpus.join(bad, col(idCol) === col("_bad"), "left_anti")
+  }
+
   /** N-gram-overlap decontamination: drop corpus documents sharing
     * ANY token `n`-gram with the benchmark set — the aggressive tier
     * used for LLM eval hygiene (a doc quoting 13 consecutive tokens

@@ -52,6 +52,24 @@ class SamplingSpec extends SparkSpec {
     assert(clean == Set(2L, 3L, 4L))
   }
 
+  test("nearDupDecontaminate: near-variants of benchmark docs dropped, distinct ones kept") {
+    def words(seed: Int, n: Int) = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(n)("w" + rnd.nextInt(50)).mkString(" ")
+    }
+    val benchText = words(1, 60)
+    val nearText = benchText.split(" ").updated(0, "zzz").mkString(" ") // ~1-shingle edit
+    val corpus = Seq(
+      (1L, benchText),       // exact benchmark copy → dropped
+      (2L, nearText),        // near-dup of benchmark → dropped
+      (3L, words(2, 60)),    // unrelated → kept
+      (4L, words(3, 60))).toDF("doc_id", "text")
+    val bench = Seq((9L, benchText)).toDF("doc_id", "text")
+    val kept = Sampling.nearDupDecontaminate(corpus, bench, threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L), s"kept $kept")
+  }
+
   test("stratifiedSample: per-stratum rates, deterministic, default fallback") {
     val rows = (1L to 2000L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "other"))
