@@ -350,6 +350,15 @@ object SparkEntry {
       graft.operators.TopK.topKPerKey(
         t(s, dir, "events").select("user_id", "event_id", "value"),
         Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 3)),
+    // Per-group deterministic cap (≤ 15 docs per source domain — the
+    // C4-style per-domain limit): top-k under a hash ordering, so the
+    // "sample" is reproducible and rides the bounded-heap operator.
+    "q76_per_group_cap" -> ((s, dir) =>
+      graft.operators.TopK.topKPerKey(
+        t(s, dir, "documents").select("doc_id", "source"),
+        Seq("source"),
+        Seq(graft.functions.HashFunctions.md5Long(
+          concat(lit("cap:"), col("doc_id"))).asc, col("doc_id").asc), 15)),
     // Grouped HLL via the custom TypedImperativeAggregate: distinct
     // tokens per language — 256 B of register state per group.
     "q72_hll_by_lang" -> ((s, dir) =>
@@ -1165,6 +1174,13 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         |  FROM events
         |) WHERE rn <= 3""".stripMargin,
+    "q76_per_group_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 15""".stripMargin,
     "q75_neardup_decontaminate" ->
       // the q24 MinHash replay over corpus ∪ negated-id benchmark;
       // cross-side verified pairs mark contaminated corpus docs
