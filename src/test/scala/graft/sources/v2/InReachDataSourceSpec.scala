@@ -3,6 +3,8 @@ package graft.sources.v2
 import graft.{PipelineFixtures, SparkSpec}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 class InReachDataSourceSpec extends SparkSpec {
 
   def writeFixtures(): String = {
@@ -134,6 +136,55 @@ class InReachDataSourceSpec extends SparkSpec {
     java.nio.file.Files.writeString(new java.io.File(dir, "beta.kml").toPath, extra)
     val second = runOnce("b")
     assert(second.length == 5, s"re-fetch missed the new placemark: ${second.length}")
+  }
+
+  test("the reference pipeline runs as a continuous stream: source → project → latest state") {
+    import graft.operators.FeatureProjection
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    val dir = writeFixtures()
+    // chk/table shared across runs: the SAME streaming query resumed —
+    // latest-per-key state must survive the restart (the reference's
+    // cross-run dedup, which its in-memory Map could never do)
+    val chk = java.nio.file.Files.createTempDirectory("stream-chk").toString
+    val latest = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    def runOnce(): Unit = {
+      val raw = spark.readStream.format("inreach")
+        .option("shares", "alpha,beta")
+        .option("now", "2026-08-12T05:30:00Z")
+        .option("fixtureDir", dir)
+        .load()
+      val features = FeatureProjection.project(raw.as[graft.model.RawPlacemark])
+        .select(col("id"),
+          unix_millis(col("properties").getField("time")).as("t"))
+        .as[(String, Long)]
+      val q = StreamingOps.latestPerKey[String, (String, Long)](
+          features, _._1, _._2)
+        .toDF("id", "t")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r => latest.put(r.getString(0), r.getLong(1)))
+        }
+        .option("checkpointLocation", chk)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000); q.stop()
+    }
+    runOnce()
+    val t0510 = java.time.Instant.parse("2026-08-12T05:10:00Z").toEpochMilli
+    // per-run dedup: device 111 reported twice, later timestamp wins
+    assert(latest.get("inreach-111") == t0510)
+    assert(latest.keySet.asScala ==
+      Set("inreach-111", "inreach-222", "inreach-333"))
+    // the feed moves BACKWARD for device 111 (a stale re-delivery):
+    // cross-run state must keep the newer position from run 1
+    val alphaKml = graft.PipelineFixtures.doc(
+      graft.PipelineFixtures.placemark("111", "2026-08-12T05:02:00Z", lon = -99.0))
+    java.nio.file.Files.writeString(new java.io.File(dir, "alpha.kml").toPath, alphaKml)
+    runOnce()
+    assert(latest.get("inreach-111") == t0510,
+      s"stale re-delivery overwrote newer state: ${latest.get("inreach-111")}")
   }
 
   test("full pipeline composes over the DSv2 source") {
