@@ -343,6 +343,17 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
           col("doc_id"), Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 0.25)
         .select("doc_id", "lang")),
+    // Full outer join: unmatched rows survive from BOTH sides (the
+    // one join type the battery lacked; completes §2.3).
+    "q77_full_outer" -> ((s, dir) => {
+      val custs = t(s, dir, "customer").filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+      val activity = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      custs.join(activity, col("c_custkey") === col("user_id"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("user_id")).as("key"),
+          col("acctbal"), col("n_events"))
+    }),
     // Per-group top-k via the custom LogicalPlan + Strategy + exec
     // (bounded map-side heaps; shuffle carries ≤ k rows per task/key
     // instead of the window-rank full shuffle+sort).
@@ -1174,6 +1185,15 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         |  FROM events
         |) WHERE rn <= 3""".stripMargin,
+    "q77_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        |  FROM customer WHERE c_custkey <= 100
+        |), a AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+        |)
+        |SELECT coalesce(c_custkey, user_id) AS key, acctbal, n_events
+        |FROM c FULL OUTER JOIN a ON c_custkey = user_id""".stripMargin,
     "q76_per_group_cap" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
