@@ -343,6 +343,12 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
           col("doc_id"), Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 0.25)
         .select("doc_id", "lang")),
+    // Mixture weighting: per-language target weights → deterministic
+    // per-doc repeat counts (en halved, zh ×2.3, rest unchanged).
+    "q78_mixture_weights" -> ((s, dir) =>
+      Sampling.weightedRepeat(t(s, dir, "documents"), col("lang"),
+          col("doc_id"), Map("en" -> 0.5, "zh" -> 2.3), defaultWeight = 1.0)
+        .select("doc_id", "lang", "copy_idx")),
     // Full outer join: unmatched rows survive from BOTH sides (the
     // one join type the battery lacked; completes §2.3).
     "q77_full_outer" -> ((s, dir) => {
@@ -1185,6 +1191,22 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         |  FROM events
         |) WHERE rn <= 3""".stripMargin,
+    "q78_mixture_weights" ->
+      // thresholds interpolated from the operator's own split
+      // arithmetic (w − ⌊w⌋ in double, then the 60-bit scale) so the
+      // two sides can never disagree on the fractional hash cut
+      s"""WITH n AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 2 ELSE 1 END +
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT <
+        |      CASE lang WHEN 'en' THEN ${graft.operators.Sampling.threshold(0.5 - 0L)}
+        |                WHEN 'zh' THEN ${graft.operators.Sampling.threshold(2.3 - 2L)}
+        |                ELSE 0 END
+        |      THEN 1 ELSE 0 END AS nc
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, unnest(generate_series(1, nc))::BIGINT AS copy_idx
+        |FROM n WHERE nc >= 1""".stripMargin,
     "q77_full_outer" ->
       """WITH c AS (
         |  SELECT c_custkey, round(c_acctbal, 2) AS acctbal

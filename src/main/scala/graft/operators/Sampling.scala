@@ -83,6 +83,42 @@ object Sampling {
       fingerprint64(col(corpusText)) === col("_bfp"), "left_anti")
   }
 
+  /** Mixture weighting ("data mixing"): turn per-stratum target
+    * weights into deterministic per-document repeat counts — the step
+    * that materializes a training mixture (upsample rare domains,
+    * downsample dominant ones, fractional epochs) from a curated
+    * corpus. A weight w gives every doc ⌊w⌋ copies plus one more for
+    * the deterministic hash-fraction frac(w) of its stratum; docs
+    * drawing 0 copies are dropped. Expected copies per doc = w
+    * exactly, reproducible across reruns/engines/batches (same
+    * hash-space trick as [[stratifiedSample]] — in fact w ≤ 1 IS
+    * stratified sampling).
+    *
+    * Scale shape: broadcast weights join + a per-row `sequence`
+    * explode — output size is the mixture size, no shuffle. */
+  def weightedRepeat(df: DataFrame, stratum: Column, key: Column,
+                     weights: Map[String, Double],
+                     defaultWeight: Double = 1.0): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(w => w >= 0.0),
+      "weights must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def split(w: Double) = (w.toLong, threshold(w - w.toLong))
+    val rates = broadcast(
+      weights.toSeq.map { case (s, w) => val (f, t) = split(w); (s, f, t) }
+        .toDF("_stratum", "_floor", "_thr"))
+    val (df0, dt0) = split(defaultWeight)
+    val nCopies = coalesce(col("_floor"), lit(df0)) +
+      when(md5Long(key.cast("string")) < coalesce(col("_thr"), lit(dt0)), 1L)
+        .otherwise(0L)
+    df.join(rates, stratum === col("_stratum"), "left")
+      .withColumn("_n", nCopies)
+      .withColumn("copy_idx",
+        explode(when(col("_n") >= 1, sequence(lit(1L), col("_n")))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("_stratum", "_floor", "_thr", "_n")
+  }
+
   /** Near-duplicate decontamination — the third tier: drop corpus
     * documents whose shingle Jaccard with ANY benchmark document is ≥
     * `threshold` (catches paraphrase-light contamination that the

@@ -52,6 +52,36 @@ class SamplingSpec extends SparkSpec {
     assert(clean == Set(2L, 3L, 4L))
   }
 
+  test("weightedRepeat: floor + fractional hash copies, zero-weight drop, determinism") {
+    val rows = (1L to 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "junk"))
+    val df = rows.toDF("id", "lang")
+    val out = Sampling.weightedRepeat(df, col("lang"), col("id"),
+      Map("en" -> 0.5, "zh" -> 2.3, "junk" -> 0.0))
+    val counts = out.groupBy("id", "lang").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // per-doc copy counts land on ⌊w⌋ or ⌊w⌋+1; zero-weight vanishes
+    assert(counts.forall {
+      case (_, "en", c) => c == 1
+      case (_, "zh", c) => c == 2 || c == 3
+      case _ => false
+    })
+    assert(!counts.exists(_._2 == "junk"))
+    // hash-binomial expectations (1000 docs per stratum, wide bands)
+    val enKept = counts.count(_._2 == "en")
+    assert(enKept > 380 && enKept < 620, s"en kept $enKept of 1000")
+    val zh3 = counts.count(c => c._2 == "zh" && c._3 == 3L)
+    assert(zh3 > 180 && zh3 < 420, s"zh triples $zh3 of 1000")
+    // expected mixture size 0.5·1000 + 2.3·1000 = 2800
+    val total = out.count()
+    assert(total > 2550 && total < 3050, s"mixture size $total")
+    // deterministic under a different partitioning
+    val again = Sampling.weightedRepeat(df.repartition(7), col("lang"), col("id"),
+      Map("en" -> 0.5, "zh" -> 2.3, "junk" -> 0.0))
+    assert(again.orderBy("id", "copy_idx").collect().map(_.toSeq).toSeq ==
+      out.orderBy("id", "copy_idx").collect().map(_.toSeq).toSeq)
+  }
+
   test("nearDupDecontaminate: near-variants of benchmark docs dropped, distinct ones kept") {
     def words(seed: Int, n: Int) = {
       val rnd = new scala.util.Random(seed)
