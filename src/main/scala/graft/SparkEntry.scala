@@ -343,6 +343,11 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
           col("doc_id"), Map("en" -> 0.5, "zh" -> 0.8), defaultFraction = 0.25)
         .select("doc_id", "lang")),
+    // Token-distribution entropy: the gibberish/degenerate-text
+    // signal (near 0 bits for single-phrase spam, ~log(vocab) for
+    // natural prose).
+    "q79_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
     // Mixture weighting: per-language target weights → deterministic
     // per-doc repeat counts (en halved, zh ×2.3, rest unchanged).
     "q78_mixture_weights" -> ((s, dir) =>
@@ -1191,6 +1196,17 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         |  FROM events
         |) WHERE rn <= 3""".stripMargin,
+    "q79_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), n AS (SELECT doc_id, sum(tf)::DOUBLE AS n FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  round(-sum((tf::DOUBLE / n) * ln(tf::DOUBLE / n)), 6) AS token_entropy,
+        |  max(n)::BIGINT AS n_tokens
+        |FROM tf JOIN n USING (doc_id) GROUP BY 1""".stripMargin,
     "q78_mixture_weights" ->
       // thresholds interpolated from the operator's own split
       // arithmetic (w − ⌊w⌋ in double, then the 60-bit scale) so the

@@ -223,6 +223,25 @@ object TextAnalysis {
           .as("dup_trigram_frac"))
   }
 
+  /** Token-distribution Shannon entropy per document — the
+    * gibberish/degenerate-text detector that complements
+    * [[repetitionSignals]]: keyboard-mash and single-phrase spam
+    * score near 0 bits; natural prose scores near log(distinct
+    * terms). One (doc, term) count aggregation + a doc-partitioned
+    * window — a single reduced shuffle, no persist. */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val p = col("tf").cast("double") / col("n")
+    tf.withColumn("n", sum("tf").over(w).cast("double"))
+      .groupBy("doc_id").agg(
+        round(-sum(p * log(p)), 6).as("token_entropy"),
+        max(col("n")).cast("long").as("n_tokens"))
+  }
+
   /** The C4-style cleanup gate stack — language + quality +
     * token-repetition + exact-dedup survivor — fused into ONE corpus
     * scan and ONE shuffle. The composable operators ([[qualityScore]],

@@ -110,6 +110,28 @@ object StreamingOps {
         col("session_window.end").as("sess_end"),
         col(keyCol), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join — the streaming analog of the batch
+    * band join (q62/q68): every left event joined to right events of
+    * the same key whose time falls in
+    * `[leftTs − window, leftTs]` (attribution semantics). Both sides
+    * carry watermarks, which is what BOUNDS the join state: Spark
+    * derives from watermark + time condition how long a buffered row
+    * can still match and evicts it after — without the interval
+    * condition, stream-stream join state grows forever. Column names
+    * must be distinct across the two sides (rename before calling).
+    * Inner append-mode join: matches emit as soon as both sides
+    * arrive. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         window: String = "30 minutes",
+                         lateness: String = "30 minutes"): DataFrame =
+    left.withWatermark(leftTs, lateness)
+      .join(right.withWatermark(rightTs, lateness),
+        expr(s"$leftKey = $rightKey AND " +
+          s"$rightTs >= $leftTs - INTERVAL $window AND $rightTs <= $leftTs"),
+        "inner")
+
   /** Windowed distinct-count estimation on a stream via the HLL
     * aggregate ([[graft.plans.HllAgg]]): registers are max-mergeable,
     * so they fold incrementally across triggers in the state store —

@@ -89,6 +89,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getLong(2) == 0L && out(1).getLong(3) == 0L)
   }
 
+  test("tokenEntropy: hand-computed distributions; degenerate text scores 0") {
+    val out = TextAnalysis.tokenEntropy(Seq(
+        (1L, "a a b b"),       // uniform over 2 → ln 2
+        (2L, "a a a a"),       // single token → 0 bits
+        (3L, "a b c d")        // uniform over 4 → ln 4
+      ).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(1) == r6(math.log(2)) && out(0).getLong(2) == 4)
+    assert(out(1).getDouble(1) == 0.0)
+    assert(out(2).getDouble(1) == r6(math.log(4)))
+  }
+
   test("unigramLogProb: hand-computed corpus distribution; empty docs absent") {
     val out = TextAnalysis.unigramLogProb(Seq(
         (1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text"))

@@ -94,6 +94,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(emitted.contains(("05:30", "view", 1L, 4.0)), s"got $emitted")
   }
 
+  test("stream-stream interval join: in-window same-key pairs only, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-08-12 05:$m%02d:00")
+    val buys = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val joined = StreamingOps.intervalJoinStream(
+      buys.toDF().toDF("b_ts", "b_user", "buy_id"),
+      clicks.toDF().toDF("c_ts", "c_user", "click_id"),
+      "b_user", "c_user", "b_ts", "c_ts", window = "10 minutes")
+    val q = joined.select("buy_id", "click_id")
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      buys.addData((t(20), 1L, 100L))
+      clicks.addData(
+        (t(15), 1L, 200L), // same user, 5 min before → matched
+        (t(5), 1L, 201L),  // 15 min before → outside the window
+        (t(15), 2L, 202L), // wrong user
+        (t(21), 1L, 203L)) // after the purchase
+      q.processAllAvailable()
+      val pairs = spark.table("ssjoin_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((100L, 200L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("windowedDistinct: HLL registers merge across triggers; final estimate equals batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, String)]
