@@ -239,10 +239,15 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("hamming"))),
     // Dedup resolution: near-dup pairs → connected components →
     // canonical representative per doc (keep doc_id == cluster_rep).
+    // Fixed-budget mode: exactly 4 pointer-doubling rounds (covers
+    // diameter ≤ 2^4 = 16; near-dup graphs are template cliques of
+    // diameter ~1-2), zero per-round convergence actions — the
+    // fixed-DAG shape a scheduled 1000-executor run wants.
     "q47_dedup_clusters" -> ((s, dir) =>
       DedupClusters.resolve(
         t(s, dir, "documents"),
-        FuzzyDedup.minhashNearDups(t(s, dir, "documents")))),
+        FuzzyDedup.minhashNearDups(t(s, dir, "documents")),
+        maxIter = 4, checkConvergence = false)),
     // Embedding near-dup pairs, label-blocked (IVF-ish scale path).
     "q27_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.4)),
@@ -346,6 +351,39 @@ object SparkEntry {
     // Token-distribution entropy: the gibberish/degenerate-text
     // signal (near 0 bits for single-phrase spam, ~log(vocab) for
     // natural prose).
+    // Stream-stream interval join, driven END-TO-END as a real
+    // Structured Streaming query (AvailableNow trigger → memory sink):
+    // each event joined to the same user's events in the preceding
+    // 5 minutes. The batch dual is exactly the one-sided band join, so
+    // the oracle hash-checks the streaming execution path itself
+    // (watermark state bounding included) — not a batch stand-in.
+    "q80_interval_join_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file-stream source requires a DIRECTORY (the sf dir holds
+      // one file per table) — expose the single file through a temp
+      // dir via symlink; at real scale the source watches the actual
+      // ingest directory
+      val srcDir = java.nio.file.Files.createTempDirectory("q80-events")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      def side(p: String) = s.readStream.schema(schema)
+        .parquet(srcDir.toString)
+        .select(col("user_id").as(s"${p}user"), col("event_id").as(s"${p}event"),
+          expr("timestamp_micros(ts div 1000)").as(s"${p}ts"))
+      val joined = graft.streaming.StreamingOps.intervalJoinStream(
+          side("l_"), side("r_"), "l_user", "r_user", "l_ts", "r_ts",
+          window = "5 minutes")
+        .filter(col("l_event") =!= col("r_event"))
+        .select(col("l_user").as("user_id"), col("l_event"), col("r_event"),
+          (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("lag_us"))
+      s.catalog.dropTempView("q80_interval")
+      val q = joined.writeStream.format("memory").queryName("q80_interval")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q80_interval")
+    }),
     "q79_token_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
     // Mixture weighting: per-language target weights → deterministic
@@ -1029,11 +1067,12 @@ object SparkEntry {
         |SELECT query_id, cand_id, cos, rn FROM r WHERE rn <= 3""".stripMargin,
     "q52_embed_neardup_unlabeled" ->
       // same assignment CTE as q48 but multiAssign=3; pairs co-assigned
-      // to any shared cell, threshold 0.4, deduped
+      // to any shared cell, threshold 0.4, deduped. numCells mirrors the
+      // operator's derivation: max(8, ceil(n / targetCellSize=128)).
       s"""WITH seeds AS (
         |  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
         |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
-        |  LIMIT 8
+        |  LIMIT greatest(8, ceil((SELECT count(*) FROM embeddings) / 128.0))::BIGINT
         |), ca AS (
         |  SELECT c.vec_id AS cand_id, c.embedding AS cv, s.seed_id,
         |    ${duckCos("c.embedding", "s.sv")} AS cs
@@ -1196,6 +1235,15 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
         |  FROM events
         |) WHERE rn <= 3""".stripMargin,
+    "q80_interval_join_stream" ->
+      // batch dual of the streaming interval join: one-sided band
+      // self-join per user, window = 5 min, µs-truncated both sides
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT a.user_id, a.event_id AS l_event, b.event_id AS r_event,
+        |  a.ts_us - b.ts_us AS lag_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.ts_us >= a.ts_us - 300000000 AND b.ts_us <= a.ts_us
+        |  AND a.event_id != b.event_id""".stripMargin,
     "q79_token_entropy" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

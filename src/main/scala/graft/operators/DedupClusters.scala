@@ -21,15 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
-  /** @param checkConvergence when true (default), each round ends
-    *         with a driver-side changed-count and the loop exits as
-    *         soon as labels are stable. When false, the loop runs
-    *         exactly `maxIter` rounds with NO per-round driver action
-    *         — the fixed-budget mode for a 1000-executor cluster where
-    *         even a cheap count() per round serializes the job. With
-    *         pointer doubling, `maxIter` rounds converge any graph of
-    *         diameter ≤ 2^maxIter, so the default budget of 20 covers
-    *         any realistic near-dup graph (diameter ≤ ~1M).
+  /** @param checkConvergence when true (default), the loop exits as
+    *         soon as labels are stable. The convergence test costs NO
+    *         dedicated job: each round's frame carries a `chg` flag
+    *         (new comp ≠ previous comp) and is materialized lazily, so
+    *         the single job that checkpoints the round ALSO answers
+    *         "did anything change" — one job per round, exactly like
+    *         the fixed-budget mode, plus early exit. When false, the
+    *         loop runs exactly `maxIter` rounds — the fully
+    *         deterministic job-count mode (maxIter jobs, no data-
+    *         dependent control flow) for schedulers that want a fixed
+    *         DAG. With pointer doubling, `maxIter` rounds converge any
+    *         graph of diameter ≤ 2^maxIter, so the default budget of
+    *         20 covers any realistic near-dup graph (diameter ≤ ~1M).
     * @return (node, comp) — comp is the minimum doc id reachable via
     *         the pair graph; singletons are absent (docs appearing in
     *         no pair are their own trivial cluster). */
@@ -49,8 +53,8 @@ object DedupClusters {
       .withColumn("comp", col("node"))
       .localCheckpoint(true)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var changed = true
+    while (changed && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("v") === labels("node"))
         .groupBy(sym("u").as("n")).agg(min("comp").as("nbr_comp"))
       val propagated = labels.join(nbrMin, labels("node") === nbrMin("n"), "left")
@@ -58,16 +62,28 @@ object DedupClusters {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // pointer doubling: comp := comp(comp) — halves remaining depth
       val byNode = propagated.select(col("node").as("pn"), col("comp").as("pcomp"))
-      val next = propagated.join(byNode, propagated("comp") === byNode("pn"), "left")
+      val doubled = propagated.join(byNode, propagated("comp") === byNode("pn"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
       if (checkConvergence) {
+        // piggyback the convergence test on the checkpoint job: the
+        // frame carries `chg`, the checkpoint is LAZY, and the count
+        // below is the action that materializes it — one job total.
+        // (propagated's node set == labels' node set, so inner join.)
         val prev = labels.select(col("node").as("pnode"), col("comp").as("prev_comp"))
-        changed = next.join(prev, col("node") === col("pnode"))
-          .filter(col("comp") =!= col("prev_comp")).count()
+        val withChg = doubled.join(prev, col("node") === col("pnode"))
+          .select(col("node"), col("comp"),
+            (col("comp") =!= col("prev_comp")).as("chg"))
+          .localCheckpoint(false)
+        // full-scan agg (not limit(1)): every partition is computed in
+        // THIS job, so the lazy checkpoint persists completely and no
+        // second missing-partition job runs at doCheckpoint time
+        changed = withChg.agg(count(when(col("chg"), lit(1))))
+          .collect()(0).getLong(0) > 0
+        labels = withChg.select("node", "comp")
+      } else {
+        labels = doubled.localCheckpoint(true)
       }
-      labels = next
       iter += 1
     }
     labels
@@ -75,10 +91,16 @@ object DedupClusters {
 
   /** Full dedup resolution over a corpus: every doc mapped to its
     * cluster representative (the minimum doc id of its component;
-    * itself when un-paired). Downstream keeps `doc_id == comp` rows. */
+    * itself when un-paired). Downstream keeps `doc_id == comp` rows.
+    * `maxIter` / `checkConvergence` pass straight through to
+    * [[connectedComponents]] — `checkConvergence = false` with a
+    * doubling-sized budget (diameter ≤ 2^maxIter) is the fixed-DAG
+    * mode for scheduled production runs. */
   def resolve(docs: DataFrame, pairs: DataFrame,
-              idCol: String = "doc_id"): DataFrame = {
-    val comps = connectedComponents(pairs)
+              idCol: String = "doc_id", maxIter: Int = 20,
+              checkConvergence: Boolean = true): DataFrame = {
+    val comps = connectedComponents(pairs, maxIter = maxIter,
+      checkConvergence = checkConvergence)
     docs.select(col(idCol))
       .join(comps, docs(idCol) === comps("node"), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_rep"))

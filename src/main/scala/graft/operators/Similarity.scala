@@ -179,14 +179,26 @@ object Similarity {
     * near-certainly co-assigned, since both vectors score every seed
     * almost identically. Same scale shape as [[nearDupPairs]]: one
     * assignment pass, then per-cell joins — never corpus × corpus.
-    * (SimilaritySpec pins recall ≥ 0.9 vs exact all-pairs at the
-    * defaults; at real scale grow numCells ∝ corpus/target-cell-size —
-    * blocking pays once cells hold ≪ the corpus.) */
+    *
+    * Cell count scales WITH the corpus: by default (`numCells <= 0`)
+    * it is derived as max(8, ⌈n / targetCellSize⌉) from one up-front
+    * `count()` of the corpus (a single scan, analogous to AQE's
+    * statistics pass — NOT a per-iteration driver action). The pair
+    * stage costs O((n·multiAssign/numCells)²) per cell — i.e.
+    * O((n/numCells)²·multiAssign²) — so any FIXED cell count is
+    * quadratic in corpus size; deriving numCells ∝ n keeps per-cell
+    * work bounded by targetCellSize²·multiAssign² and total work
+    * linear in n at constant cell occupancy. (SimilaritySpec pins
+    * recall ≥ 0.9 vs exact all-pairs at the defaults.) */
   def nearDupPairsUnlabeled(corpus: DataFrame, threshold: Double,
-                            numCells: Int = 8, multiAssign: Int = 3,
+                            numCells: Int = 0, multiAssign: Int = 3,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
-    val assigned = ivfAssign(corpus, numCells, multiAssign, idCol, vecCol)
+                            vecCol: String = "embedding",
+                            targetCellSize: Int = 128): DataFrame = {
+    val cells =
+      if (numCells > 0) numCells
+      else math.max(8L, (corpus.count() + targetCellSize - 1) / targetCellSize).toInt
+    val assigned = ivfAssign(corpus, cells, multiAssign, idCol, vecCol)
     val a = assigned.select(col("cand_id").as("vec_a"), col("cv").as("va"),
       col("cell"), col("cn").as("na"))
     val b = assigned.select(col("cand_id").as("vec_b"), col("cv").as("vb"),

@@ -64,6 +64,68 @@ class DedupClustersSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).forall(comps(_) == 20L))
   }
 
+  test("one job per round: budgeted = 2 + maxIter, converged pays NO dedicated count job") {
+    // With AQE and auto-broadcast off, every action is exactly one job,
+    // so the job ledger is: 1 (symmetrized-edge checkpoint) + 1 (initial
+    // labels checkpoint) + 1 per round. In converged mode the round's
+    // job is the full-scan agg that BOTH materializes the lazy
+    // checkpoint and answers "did anything change" — if a dedicated
+    // convergence count ran per round the total would be 2 + 2·rounds.
+    val sc = spark.sparkContext
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // path 1-2-3-4-5: labels stabilize after round 2, round 3 observes
+      // no change -> 3 rounds in converged mode
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+      def jobsFor(group: String)(body: => Unit): Int = {
+        sc.setJobGroup(group, group)
+        try body finally sc.clearJobGroup()
+        // the status tracker is fed by the async listener bus: poll
+        // until the count is stable
+        var last = -1
+        var cur = sc.statusTracker.getJobIdsForGroup(group).length
+        var waited = 0
+        while (cur != last && waited < 5000) {
+          last = cur; Thread.sleep(100); waited += 100
+          cur = sc.statusTracker.getJobIdsForGroup(group).length
+        }
+        cur
+      }
+      var budgeted: org.apache.spark.sql.DataFrame = null
+      var converged: org.apache.spark.sql.DataFrame = null
+      val nBudget = jobsFor("cc-budgeted") {
+        budgeted = DedupClusters.connectedComponents(pairs, maxIter = 3,
+          checkConvergence = false)
+      }
+      val nConverged = jobsFor("cc-converged") {
+        converged = DedupClusters.connectedComponents(pairs)
+      }
+      assert(nBudget == 5, s"budgeted mode ran $nBudget jobs, want 2 + maxIter = 5")
+      assert(nConverged == 5, s"converged mode ran $nConverged jobs, want 2 + 3 rounds = 5")
+      val b = budgeted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val c = converged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(b == c && (1L to 5L).forall(b(_) == 1L))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("resolve passes the fixed budget through") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val viaBudget = DedupClusters.resolve(docs, pairs, maxIter = 4,
+        checkConvergence = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDefault = DedupClusters.resolve(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBudget == viaDefault)
+    assert(viaBudget(3L) == 1L && viaBudget(6L) == 6L)
+  }
+
   test("fixed-budget mode (no per-round driver count) matches convergence mode") {
     // a 40-node chain needs several doubling rounds; budget 20 covers
     // diameter up to 2^20, so both modes must land on the same labels

@@ -120,6 +120,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q80: registered streaming interval join equals its batch band-join dual") {
+    // the registered query runs a REAL streaming execution (file
+    // source → AvailableNow → memory sink); its rows must equal the
+    // batch one-sided band self-join over the same events
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.SparkEntry.queries("q80_interval_join_stream")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+    val b = e.select(col("user_id").as("r_user"), col("event_id").as("r_event"),
+      col("ts_us").as("r_us"))
+    val batch = e.join(b, col("user_id") === col("r_user") &&
+        col("r_us") >= col("ts_us") - 300000000L && col("r_us") <= col("ts_us") &&
+        col("event_id") =!= col("r_event"))
+      .select(col("user_id"), col("event_id"), col("r_event"),
+        (col("ts_us") - col("r_us")).as("lag_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stream.nonEmpty, "streaming join emitted no rows")
+    assert(stream == batch,
+      s"stream-only: ${(stream diff batch).take(3)}; batch-only: ${(batch diff stream).take(3)}")
+  }
+
   test("windowedDistinct: HLL registers merge across triggers; final estimate equals batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, String)]
