@@ -44,13 +44,22 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
+    // The harness keeps only the LAST ~2000 chars of this program's
+    // output; a line longer than that loses its head (round-3 artifact
+    // had parsed:null for exactly this reason). Keep the whole line
+    // well under the window: per-query keys are the stable qNN id
+    // (full names live in SparkEntry.queries / CORRECTNESS json) and
+    // times are rounded to milliseconds.
+    def qid(name: String): String = name.takeWhile(_ != '_')
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val ok = results.collect { case (n, dt, None) => (n, dt) }
-    val errs = results.collect { case (n, _, Some(m)) => (n, m.take(200)) }
-    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val total = if (errs.nonEmpty) -1.0 else ok.map(_._2).sum
-    val errJson = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }
+    val errs = results.collect { case (n, _, Some(m)) => (n, m.take(120)) }
+    val qs = ok.map { case (k, v) => jstr(qid(k)) + ":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = if (errs.nonEmpty) -1.0 else ok.map(_._2).sum
+    val errJson = errs.map { case (k, m) => jstr(qid(k)) + ":" + jstr(m) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,6 +31,8 @@ object Verify {
     def keep(name: String): Boolean =
       only.forall(o => o.contains(name) || o.exists(name.startsWith))
     SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
+      // coalesce(1) is harness-only: DuckDB diffs one file per query at
+      // sf0.01. Product writes stay partitioned — never copy this shape.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

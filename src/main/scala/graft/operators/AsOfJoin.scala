@@ -40,6 +40,12 @@ object AsOfJoin {
     *                           semantics. Correct because the carried
     *                           match is the LATEST predecessor: if it
     *                           is out of tolerance, every candidate is.
+    *
+    * Row semantics: the matched right row is carried as ONE struct, so
+    * every payload column comes from the SAME row — a NULL payload
+    * value on the matched row stays NULL (exact merge_asof behavior)
+    * rather than falling back to an older row's value, and the
+    * row-level tolerance gate is sound for nullable payloads.
     */
   def asOfUnion(left: DataFrame, right: DataFrame,
                 leftKey: String, rightKey: String,
@@ -64,12 +70,18 @@ object AsOfJoin {
     val w = Window.partitionBy(leftKey)
       .orderBy((col("_t") +: col("_side") +: tiebreak.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the whole right row rides one struct: non-null exactly when the
+    // window position has seen a right row, so ignoreNulls skips left
+    // rows — never a right row whose payload happens to be NULL
+    val rightRow = when(col("_side") === 1,
+      struct((col("_t").as("_rt") +: payload.map(col)): _*))
     val carried = lAligned.unionByName(rAligned)
-      .select((leftCols.map(col) :+ col("_side") :+ col("_t")) ++
-        (payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
-          last(when(col("_side") === 1, col("_t")), ignoreNulls = true)
-            .over(w).as("_rt")): _*)
+      .select(leftCols.map(col) :+ col("_side") :+ col("_t") :+
+        last(rightRow, ignoreNulls = true).over(w).as("_m"): _*)
     val matched = carried.filter(col("_side") === 0)
+      .select((leftCols.map(col) :+ col("_t") :+
+        col("_m").getField("_rt").as("_rt")) ++
+        payload.map(c => col("_m").getField(c).as(c)): _*)
     val bounded = tolerance.fold(matched) { tol =>
       // when() with no otherwise nulls both too-stale and never-matched
       payload.foldLeft(matched)((df, c) =>

@@ -18,13 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
-  /** @return the input plus `z` (rounded 6) and `is_outlier`. Rows
+  /** @param broadcastStats when true (default), the per-group moment
+    *         table is broadcast back over the corpus — right up to
+    *         ~10⁷ groups (3 doubles/group ≈ a few hundred MB of
+    *         driver/executor memory). Beyond that, pass false for a
+    *         plain shuffled equi-join: same result, no driver
+    *         collect, at the cost of shuffling the corpus once on the
+    *         group key.
+    * @return the input plus `z` (rounded 6) and `is_outlier`. Rows
     *         whose group key is NULL are dropped (equi-join
     *         semantics) — pre-coalesce the group column to a sentinel
     *         if unknown-group rows should be scored as their own
     *         stratum. */
   def zscore(df: DataFrame, valueCol: String, groupCols: Seq[String],
-             threshold: Double = 3.0): DataFrame = {
+             threshold: Double = 3.0, broadcastStats: Boolean = true): DataFrame = {
     require(groupCols.nonEmpty && threshold > 0)
     val v = col(valueCol).cast("double")
     val g = groupCols.map(col)
@@ -32,9 +39,17 @@ object Outliers {
       sum(v).as("_sv"), sum(v * v).as("_sv2"),
       count(v).cast("double").as("_n"))
     val mean = col("_sv") / col("_n")
-    val variance = col("_sv2") / col("_n") - mean * mean
+    // E[x²] − E[x]² can land an ulp BELOW zero for near-constant
+    // groups once sums of squares leave double's exact-integer range
+    // (≥ 2^53): sqrt(−ε) = NaN, and abs(NaN) > t is TRUE in Spark —
+    // which would flag every row of such a group. Clamp at 0 and
+    // route the clamped value into the constant-group branch.
+    val variance = greatest(col("_sv2") / col("_n") - mean * mean, lit(0.0))
     val z = (v - mean) / sqrt(variance)
-    df.join(broadcast(stats), groupCols)
+    val withStats =
+      if (broadcastStats) df.join(broadcast(stats), groupCols)
+      else df.join(stats, groupCols)
+    withStats
       .withColumn("z",
         when(col("_n") === 0 || variance === 0.0, lit(0.0))
           .otherwise(round(z, 6)))

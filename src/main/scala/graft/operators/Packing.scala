@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   *
   *  1. per-block token totals (`id div blockSize`) — one shuffled
   *     aggregation down to |docs|/blockSize rows;
-  *  2. cumulative offsets over that tiny block table (the only
-  *     unpartitioned window, |blocks| rows — at 10^9 docs and
-  *     blockSize 10^5 that is 10^4 rows; add a second level before it
-  *     ever matters);
-  *  3. within-block running sums, partitioned by block (fully
+  *  2. per-SUPER-block totals (`block div blockSize`) — the only
+  *     unpartitioned window runs over THIS table: |docs|/blockSize²
+  *     rows (10^9 docs at blockSize 4096 → 60 rows), so no single
+  *     partition ever holds more than blockSize rows at any level;
+  *  3. within-super-block cumulative block offsets, partitioned by
+  *     super-block, plus the broadcast super-block base;
+  *  4. within-block running sums, partitioned by block (fully
   *     parallel), plus the broadcast block base offset.
   *
   * Every step is integer arithmetic on exact token counts — the
@@ -47,11 +49,23 @@ object Packing {
       size(tokens(col(textCol))).cast("long").as("n"))
     val withBlock = base.withColumn("block", expr(s"doc_id div $blockSize"))
     val blockTotals = withBlock.groupBy("block").agg(sum("n").as("bn"))
-    val wb = Window.orderBy("block")
+      .withColumn("sblock", expr(s"block div $blockSize"))
+    // level 2: super-block exclusive prefix — the only unpartitioned
+    // window, over |blocks|/blockSize rows
+    val sTotals = blockTotals.groupBy("sblock").agg(sum("bn").as("sn"))
+    val ws = Window.orderBy("sblock")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sOffsets = sTotals
+      .withColumn("soff", coalesce(sum("sn").over(ws), lit(0L)))
+      .drop("sn")
+    // level 1: block offsets = super-block base + earlier blocks in
+    // the same super-block (window partitioned ⇒ fully parallel)
+    val wb = Window.partitionBy("sblock").orderBy("block")
       .rowsBetween(Window.unboundedPreceding, -1)
     val blockOffsets = blockTotals
-      .withColumn("boff", coalesce(sum("bn").over(wb), lit(0L)))
-      .drop("bn")
+      .withColumn("wboff", coalesce(sum("bn").over(wb), lit(0L)))
+      .join(broadcast(sOffsets), "sblock")
+      .select(col("block"), (col("soff") + col("wboff")).as("boff"))
     val ww = Window.partitionBy("block").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     withBlock

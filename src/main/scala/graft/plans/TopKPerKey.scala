@@ -28,9 +28,18 @@ import scala.collection.mutable
   * inserts (or elides, if the child is already clustered) the
   * shuffle — bucketed inputs get a shuffle-free plan for free.
   *
-  * Memory: one ≤k-element heap per distinct key per task (the same
-  * envelope as hash aggregation); heavy keys cost k rows, never the
-  * key's full row count.
+  * Memory: one ≤k-element heap per distinct key per task. Unlike
+  * Spark's hash aggregate this map does NOT spill to disk; instead the
+  * PARTIAL side degrades gracefully — past
+  * [[TopKPartition.DefaultMaxKeys]] distinct keys in one task it
+  * flushes its current survivors downstream and starts a fresh map
+  * (partial output is a candidate superset, so correctness is
+  * unaffected; the shuffle just carries more than k rows for keys that
+  * straddle a flush). The FINAL side holds keys/shuffle-partitions
+  * heaps per task, which the caller sizes via
+  * `spark.sql.shuffle.partitions`; for pathologically unbounded key
+  * cardinality prefer the window-rank formulation, which sorts but
+  * never builds a map.
   */
 case class TopKPerKeyPlan(keys: Seq[Expression], ordering: Seq[SortOrder],
                           k: Int, child: LogicalPlan) extends UnaryNode {
@@ -40,15 +49,28 @@ case class TopKPerKeyPlan(keys: Seq[Expression], ordering: Seq[SortOrder],
 }
 
 private[graft] object TopKPartition {
+  /** Flush threshold for the PARTIAL side: at k=3 and ~100 B rows,
+    * 2²⁰ keys ≈ 300 MB of heap state per task — past that, shipping a
+    * candidate superset through the shuffle beats risking the
+    * executor. */
+  val DefaultMaxKeys: Int = 1 << 20
+
   /** Bounded per-key heaps over one partition: keeps the k rows that
     * sort FIRST under `ord` for each key; emits each key's survivors
-    * in sorted order (deterministic output). */
+    * in sorted order (deterministic output).
+    *
+    * `maxKeys` bounds the in-memory map: when a NEW key would exceed
+    * it, current survivors are emitted and the map restarts. Only
+    * valid where downstream re-reduces (the partial exec) — a key
+    * straddling a flush yields up to k rows per flush segment. The
+    * final exec passes `Int.MaxValue` (its per-task key count is
+    * keys / shuffle-partitions, caller-sized). */
   def topK(iter: Iterator[InternalRow], keyProj: UnsafeProjection,
-           ord: Ordering[InternalRow], k: Int): Iterator[InternalRow] = {
+           ord: Ordering[InternalRow], k: Int,
+           maxKeys: Int = Int.MaxValue): Iterator[InternalRow] = {
     // max-heap under ord: head = the worst survivor, evicted first
     val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-    while (iter.hasNext) {
-      val row = iter.next()
+    def insert(row: InternalRow): Unit = {
       val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
         mutable.PriorityQueue.empty(ord))
       if (heap.size < k) heap.enqueue(row.copy())
@@ -56,11 +78,39 @@ private[graft] object TopKPartition {
         heap.dequeue(); heap.enqueue(row.copy())
       }
     }
-    heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    if (maxKeys == Int.MaxValue) {
+      // unbounded fast path: single map, lazily drained
+      while (iter.hasNext) insert(iter.next())
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    } else new Iterator[InternalRow] {
+      private var pending: Iterator[InternalRow] = Iterator.empty
+      private def drain(): Iterator[InternalRow] = {
+        // materialize before clear: ≤ maxKeys·k rows per flush
+        val rows = heaps.valuesIterator
+          .flatMap(_.dequeueAll.reverseIterator).toVector
+        heaps.clear()
+        rows.iterator
+      }
+      private def fill(): Unit = {
+        while (!pending.hasNext && iter.hasNext) {
+          val row = iter.next()
+          if (heaps.size >= maxKeys && !heaps.contains(keyProj(row)))
+            pending = drain()
+          insert(row)
+        }
+        if (!pending.hasNext && heaps.nonEmpty) pending = drain()
+      }
+      override def hasNext: Boolean = { fill(); pending.hasNext }
+      override def next(): InternalRow = { fill(); pending.next() }
+    }
   }
 }
 
-/** Map-side partial: runs on whatever partitioning the child has. */
+/** Map-side partial: runs on whatever partitioning the child has.
+  * Bounded memory: flushes its candidate heaps past
+  * [[TopKPartition.DefaultMaxKeys]] distinct keys (the final pass
+  * re-reduces, so flushing only widens the shuffle, never the
+  * answer). */
 case class TopKPerKeyPartialExec(keys: Seq[Expression], ordering: Seq[SortOrder],
                                  k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
@@ -69,7 +119,7 @@ case class TopKPerKeyPartialExec(keys: Seq[Expression], ordering: Seq[SortOrder]
     val (ks, ord, kk, attrs) = (keys, ordering, k, child.output)
     child.execute().mapPartitions({ iter =>
       TopKPartition.topK(iter, UnsafeProjection.create(ks, attrs),
-        RowOrdering.create(ord, attrs), kk)
+        RowOrdering.create(ord, attrs), kk, TopKPartition.DefaultMaxKeys)
     }, preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =

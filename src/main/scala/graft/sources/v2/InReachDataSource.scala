@@ -191,6 +191,7 @@ final class InReachMicroBatchStream(shares: Seq[graft.model.Share],
     override def json(): String = n.toString
   }
   @volatile private var round = 0L
+  @volatile private var availableNowRequested = false
   @volatile private var availableNowTarget: Option[Long] = None
 
   override def initialOffset(): Offset = RoundOffset(0L)
@@ -198,15 +199,27 @@ final class InReachMicroBatchStream(shares: Seq[graft.model.Share],
   // SupportsAdmissionControl routes through the (start, limit) overload
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("latestOffset(Offset, ReadLimit)")
+  /** On restart the in-memory counter is 0 while the checkpoint's
+    * committed `start` is higher — seed from `start` so the reported
+    * end offset never regresses below it (a lower end would stall the
+    * stream / move the offset log backwards). The AvailableNow target
+    * is resolved HERE (first call after
+    * [[prepareForTriggerAvailableNow]]) for the same reason: computed
+    * at prepare time it would be start-unaware, and a target below
+    * the committed offset breaks the one-shot batch after a restart. */
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    round = math.max(round, start.asInstanceOf[RoundOffset].n)
     availableNowTarget match {
-      case Some(t) => RoundOffset(t)
-      case None => round += 1; RoundOffset(round)
+      case Some(t) => RoundOffset(math.max(t, round))
+      case None =>
+        round += 1
+        if (availableNowRequested) availableNowTarget = Some(round)
+        RoundOffset(round)
     }
+  }
   override def prepareForTriggerAvailableNow(): Unit = {
-    round += 1
-    availableNowTarget = Some(round)
+    availableNowRequested = true
   }
   override def reportLatestOffset(): Offset = RoundOffset(round)
 

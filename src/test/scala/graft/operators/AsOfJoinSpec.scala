@@ -47,6 +47,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(viaJoin.toSeq == viaUnion.toSeq)
   }
 
+  test("asOfUnion: NULL payload on the matched row stays NULL (row semantics)") {
+    // the latest predecessor (t=40) carries etype = NULL; per-column
+    // carry would fall back to the older row's "old" — row-struct
+    // carry must not
+    val ev = Seq((1L, 10L, Option("old")), (1L, 40L, Option.empty[String]))
+      .toDF("user", "etime", "etype")
+    val ord = Seq((100L, 1L, 50L)).toDF("order_id", "cust", "otime")
+    val out = AsOfJoin.asOfUnion(ord, ev, "cust", "user",
+        col("otime"), col("etime"),
+        payload = Seq("etype"), tiebreak = Seq("etime"))
+      .collect().head
+    assert(out.isNullAt(out.fieldIndex("etype")),
+      s"NULL payload on matched row leaked an older value: $out")
+    // with tolerance: the matched row (Δ=10 ≤ 15) gates the OLDER row's
+    // value out even though that row (Δ=40) is beyond tolerance
+    val tol = AsOfJoin.asOfUnion(ord, ev, "cust", "user",
+        col("otime"), col("etime"),
+        payload = Seq("etype"), tiebreak = Seq("etime"),
+        tolerance = Some(15L))
+      .collect().head
+    assert(tol.isNullAt(tol.fieldIndex("etype")))
+  }
+
   test("asOfUnion tolerance: stale matches are nulled, in-window ones kept") {
     val out = AsOfJoin.asOfUnion(orders, events,
         "cust", "user", col("otime"), col("etime"),

@@ -31,4 +31,33 @@ class OutliersSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("zscore shuffled-join mode equals broadcast mode, and the plans differ") {
+    val rows = (1 to 400).map(i => (i.toLong, s"g${i % 4}", (i * 53 % 307).toLong))
+    val df = rows.toDF("id", "grp", "v")
+    val bc = Outliers.zscore(df, "v", Seq("grp"))
+    val sh = Outliers.zscore(df, "v", Seq("grp"), broadcastStats = false)
+    assert(bc.orderBy("id").collect().map(_.toSeq).toSeq ==
+      sh.orderBy("id").collect().map(_.toSeq).toSeq)
+    // the flag really drops the broadcast hint (analyzed plan — AQE may
+    // still auto-broadcast a small side at execution, which is fine)
+    assert(bc.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!sh.queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
+  test("zscore near-constant group beyond 2^53: clamped variance, no NaN mass-flagging") {
+    // values ~1e9 with ±1 jitter: sum of squares ~4e20 ≫ 2^53, so
+    // E[x²]−E[x]² computed in doubles can dip an ulp below zero —
+    // unclamped, sqrt(−ε)=NaN and abs(NaN)>t is TRUE, flagging ALL rows
+    val base = 1000000000L
+    val rows = (1 to 400).map(i => (i.toLong, "g", base + (i % 2))) // ±1 jitter
+    val out = Outliers.zscore(rows.toDF("id", "grp", "v"), "v", Seq("grp"))
+      .select("id", "z", "is_outlier")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.length == 400)
+    out.foreach { case (id, z, flagged) =>
+      assert(!z.isNaN, s"row $id: z is NaN")
+      assert(!flagged, s"row $id: ±1 jitter at 1e9 mass-flagged (z=$z)")
+    }
+  }
 }

@@ -35,4 +35,17 @@ class PackingSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("packOffsets: three active hierarchy levels (blocks ≫ blockSize) stay exact") {
+    // blockSize 2 on 60 docs: 30 blocks → 15 super-blocks, so BOTH
+    // partitioned levels and the top window are multi-row — the
+    // smallest shape where a missing hierarchy level would corrupt
+    // offsets. Compare against the single-block formulation.
+    val docs = mkDocs(60, 7)
+    val tiny = Packing.packOffsets(docs, seqLen = 32, blockSize = 2L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val flat = Packing.packOffsets(docs, seqLen = 32, blockSize = 1000000L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(tiny == flat)
+  }
 }

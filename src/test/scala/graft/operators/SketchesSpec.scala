@@ -142,6 +142,18 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("histogramQuantilesBy shuffled-bounds mode equals broadcast mode") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 3000).map(i => (s"g${i % 5}", rnd.nextDouble() * (i % 7 + 1) * 40))
+    val df = rows.toDF("g", "v")
+    val bc = Sketches.histogramQuantilesBy(df, "v", Seq("g"))
+    val sh = Sketches.histogramQuantilesBy(df, "v", Seq("g"), broadcastBounds = false)
+    assert(bc.orderBy("g", "q").collect().map(_.toSeq).toSeq ==
+      sh.orderBy("g", "q").collect().map(_.toSeq).toSeq)
+    assert(bc.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!sh.queryExecution.analyzed.toString.contains("ResolvedHint"))
+  }
+
   test("bloom filter: no false negatives, bounded false positives, OR-mergeable") {
     val members = (1 to 200).map(i => s"key$i").toDF("k")
     val sketch = Sketches.bloomBuild(members, "k", words = 64, k = 4)

@@ -51,6 +51,36 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got == Set(1L, 2L, 3L))
   }
 
+  test("partial flush at maxKeys: re-reduced candidate superset equals unbounded result") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, RowOrdering, SortOrder, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.LongType
+    def rows(): Iterator[InternalRow] =
+      // 12 keys interleaved so every flush segment straddles keys
+      (1 to 240).iterator.map(i =>
+        new GenericInternalRow(Array[Any]((i % 12).toLong, (i * 37 % 101).toLong)))
+    def keyProj() = UnsafeProjection.create(
+      Seq(BoundReference(0, LongType, nullable = false)))
+    def ord() = RowOrdering.create(
+      Seq(SortOrder(BoundReference(1, LongType, nullable = false), Ascending)), Nil)
+    def collect(it: Iterator[InternalRow]): Seq[(Long, Long)] =
+      it.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val k = 3
+    val unbounded = collect(
+      graft.plans.TopKPartition.topK(rows(), keyProj(), ord(), k)).toSet
+    // flushing map of 4 keys: output is a SUPERSET of survivors…
+    val flushed = collect(
+      graft.plans.TopKPartition.topK(rows(), keyProj(), ord(), k, maxKeys = 4))
+    assert(unbounded.subsetOf(flushed.toSet),
+      s"flush lost survivors: ${unbounded diff flushed.toSet}")
+    // …which the final (unbounded) pass reduces to exactly the answer
+    val reduced = collect(graft.plans.TopKPartition.topK(
+      flushed.iterator.map(t => new GenericInternalRow(Array[Any](t._1, t._2))),
+      keyProj(), ord(), k)).toSet
+    assert(reduced == unbounded, s"diff=${(reduced diff unbounded) ++ (unbounded diff reduced)}")
+  }
+
   test("property: random data/k/partitioning equals driver-side sorted take") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed)

@@ -138,6 +138,31 @@ class InReachDataSourceSpec extends SparkSpec {
     assert(second.length == 5, s"re-fetch missed the new placemark: ${second.length}")
   }
 
+  test("microbatch offsets survive a restart: end never regresses below the committed start") {
+    // a restarted query hands the checkpoint's committed offset as
+    // `start` while the rebuilt stream's counter is back at 0 — the
+    // reported end must seed from start, not restart at 1
+    def stream() = new InReachMicroBatchStream(
+      Seq(graft.model.Share("alpha")), 30L, None, None, None, false,
+      InReachDataSource.schema)
+    val st = stream()
+    val end = st.latestOffset(st.deserializeOffset("5"), null)
+    assert(end.json.toLong == 6L, s"restarted end = ${end.json}, want committed+1")
+    // AvailableNow after restart: the one-shot target must also sit
+    // ABOVE the committed offset (prepare runs before start is known)
+    val an = stream()
+    an.prepareForTriggerAvailableNow()
+    val t1 = an.latestOffset(an.deserializeOffset("5"), null)
+    assert(t1.json.toLong == 6L, s"AvailableNow target = ${t1.json}, want 6")
+    // the target is pinned: repeated polls don't advance it
+    val t2 = an.latestOffset(an.deserializeOffset("5"), null)
+    assert(t2.json.toLong == 6L)
+    // fresh (no-restart) path still advances one round per trigger
+    val fresh = stream()
+    assert(fresh.latestOffset(fresh.initialOffset(), null).json.toLong == 1L)
+    assert(fresh.latestOffset(fresh.deserializeOffset("1"), null).json.toLong == 2L)
+  }
+
   test("the reference pipeline runs as a continuous stream: source → project → latest state") {
     import graft.operators.FeatureProjection
     import graft.streaming.StreamingOps
