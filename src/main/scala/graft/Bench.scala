@@ -36,7 +36,13 @@ object Bench {
           case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        // full isolation between timed windows: SQL cache AND raw
+        // persisted RDDs (iterative operators checkpoint; their blocks
+        // are invisible to catalog.clearCache and would squeeze every
+        // later query's memory — EntryIsolationSpec pins this cleanup
+        // as sufficient)
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         (name, dt, err)
       }
     def jstr(s: String): String =

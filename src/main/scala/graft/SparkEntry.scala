@@ -386,6 +386,14 @@ object SparkEntry {
     }),
     "q79_token_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
+    // BM25 retrieval: lexical top-k for a fixed query ('dup' is the
+    // corpus's rare term — idf rewards it; 'join'/'window' are common)
+    "q81_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(t(s, dir, "documents"), Seq("dup", "join", "window"))),
+    // Substring-level dedup signal: per-doc mass of 5-gram positions
+    // whose gram also occurs in another document
+    "q82_shared_ngrams" -> ((s, dir) =>
+      TextAnalysis.crossDocGramStats(t(s, dir, "documents"), n = 5)),
     // Mixture weighting: per-language target weights → deterministic
     // per-doc repeat counts (en halved, zh ×2.3, rest unchanged).
     "q78_mixture_weights" -> ((s, dir) =>
@@ -1255,6 +1263,48 @@ object SparkEntry {
         |  round(-sum((tf::DOUBLE / n) * ln(tf::DOUBLE / n)), 6) AS token_entropy,
         |  max(n)::BIGINT AS n_tokens
         |FROM tf JOIN n USING (doc_id) GROUP BY 1""".stripMargin,
+    "q81_bm25" ->
+      """WITH lens AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE AS dl
+        |  FROM documents
+        |), stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        |  WHERE term IN ('dup', 'join', 'window') GROUP BY 1, 2
+        |), dfs AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY 1)
+        |SELECT doc_id,
+        |  round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+        |            * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score,
+        |  count(*)::BIGINT AS n_hit_terms
+        |FROM hits JOIN dfs USING (term) JOIN lens USING (doc_id), stats
+        |GROUP BY 1
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+    "q82_shared_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), gi AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 4)) AS i FROM tok
+        |), g AS (
+        |  SELECT doc_id, ('0x' || substr(md5(
+        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]
+        |  ), 1, 15))::BIGINT AS gh FROM gi
+        |), pd AS (SELECT doc_id, gh, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |nd AS (SELECT gh, count(*) AS ndocs FROM pd GROUP BY 1),
+        |st AS (
+        |  SELECT doc_id, sum(cnt) AS n_grams,
+        |    sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS n_shared
+        |  FROM pd JOIN nd USING (gh) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(n_shared, 0)::BIGINT AS n_shared_grams,
+        |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+        |    ELSE round(n_shared::DOUBLE / n_grams::DOUBLE, 6) END AS shared_frac
+        |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin,
     "q78_mixture_weights" ->
       // thresholds interpolated from the operator's own split
       // arithmetic (w − ⌊w⌋ in double, then the 60-bit scale) so the

@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
+  /** Unpersist the checkpoint blocks behind `df` (the result of
+    * [[connectedComponents]]/[[resolve]], or any frame over local
+    * checkpoints). `Dataset.unpersist` can't reach them — localCheckpoint
+    * blocks live outside the SQL cache manager — so long-running
+    * pipelines call this once the result has been consumed. After
+    * release the frame is NOT re-computable (checkpointing truncated
+    * its lineage); unreferenced results are also reclaimed eventually
+    * by the ContextCleaner, so skipping this is a memory-pressure
+    * issue, never a correctness one. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** @param checkConvergence when true (default), the loop exits as
     *         soon as labels are stable. The convergence test costs NO
     *         dedicated job: each round's frame carries a `chg` flag
@@ -55,6 +70,12 @@ object DedupClusters {
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
+      // superseded once this round's checkpoint is materialized: the
+      // new checkpoint truncates lineage, so the old blocks are dead
+      // weight — unpersisted at the bottom of the loop. Without this,
+      // every round's blocks pile up in executor storage for the life
+      // of the session (catalog.clearCache can't see them).
+      val superseded = labels
       val nbrMin = sym.join(labels, sym("v") === labels("node"))
         .groupBy(sym("u").as("n")).agg(min("comp").as("nbr_comp"))
       val propagated = labels.join(nbrMin, labels("node") === nbrMin("n"), "left")
@@ -84,8 +105,13 @@ object DedupClusters {
       } else {
         labels = doubled.localCheckpoint(true)
       }
+      release(superseded)
       iter += 1
     }
+    // the edge table served its last join; only the final labels
+    // checkpoint (the result's backing blocks — see [[release]])
+    // remains persisted
+    release(sym)
     labels
   }
 

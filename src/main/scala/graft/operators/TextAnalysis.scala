@@ -150,6 +150,98 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_tokens"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term
+    * set — the classic retrieval scorer (Robertson/Okapi, in the
+    * Lucene `idf = ln(1 + (N − df + ½)/(df + ½))` form), the standard
+    * lexical arm of corpus search and RAG-style retrieval next to the
+    * embedding operators (`Similarity`).
+    *
+    * Scale shape: the exploded token stream is filtered to the query
+    * terms BEFORE the (doc, term) aggregation, so the shuffle carries
+    * only hit rows (|queryTerms| ≪ vocabulary — at 100 TB this is the
+    * difference between shuffling the corpus's token stream and
+    * shuffling the hit list). Per-term document frequencies reduce to
+    * ≤ |queryTerms| rows and broadcast back; corpus size and average
+    * document length ride one broadcast scalar row. Document lengths
+    * are a pure projection joined to hit docs only. Ranking uses the
+    * ROUNDED score with a doc_id tiebreak, so the top-k boundary is
+    * deterministic and engine-portable; the global top-k plans as
+    * TakeOrderedAndProject, never a full sort. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           idCol: String = "doc_id", textCol: String = "text",
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty && k1 > 0 && b >= 0 && b <= 1 && topK >= 1)
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("double").as("dl"))
+    // one broadcast row: corpus size + mean document length
+    val stats = broadcast(lens.agg(
+      count(lit(1)).cast("double").as("_n"), avg("dl").as("_avgdl")))
+    val hits = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = broadcast(hits.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df")))
+    val idf = log(lit(1.0) + (col("_n") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("_avgdl"))
+    hits
+      .join(dfs, "term")
+      .join(lens, "doc_id")
+      .crossJoin(stats)
+      .withColumn("_s", idf * col("tf") * lit(k1 + 1.0) / norm)
+      .groupBy("doc_id").agg(
+        round(sum(col("_s")), 6).as("score"),
+        count(lit(1)).cast("long").as("n_hit_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Cross-document repeated n-gram mass — the substring-level dedup
+    * signal (the word-gram approximation of suffix-array exact
+    * substring dedup à la "Deduplicating Training Data Makes Language
+    * Models Better"): for each document, how many of its n-gram
+    * positions are covered by a gram that also occurs in ANOTHER
+    * document. Sits between whole-doc dedup (exact/MinHash) and
+    * nothing: boilerplate headers, license blocks, and templated spans
+    * show up here long before two documents are near-duplicates.
+    *
+    * Scale shape: grams are built positionally by the zip_with-slice
+    * construction (one tokenize per doc, no lambda re-evaluation) and
+    * immediately hashed to 60-bit md5 longs, so the ONE (doc, gram)
+    * shuffle carries fixed-width ints, never gram strings. Cross-doc
+    * occurrence is a window over the gram hash partition of the
+    * already-reduced (doc, gram, cnt) relation — linear in corpus
+    * grams, no self-join, no candidate explosion. Docs shorter than n
+    * tokens survive with zero mass (quality gates must see every
+    * doc). */
+  def crossDocGramStats(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 5): DataFrame = {
+    require(n >= 1)
+    val toks = tokens(col(textCol))
+    val nSh = greatest(size(toks) - (n - 1), lit(0))
+    val joined = (2 to n).foldLeft(slice(toks, lit(1), nSh)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), nSh), (a, b) => concat(a, lit(" "), b))
+    }
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(joined).as("gram"))
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.md5Long(col("gram")).as("gh"))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt"))
+    val wGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val stats = perDoc
+      .withColumn("ndocs", count(lit(1)).over(wGram))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_grams"),
+        sum(when(col("ndocs") >= 2, col("cnt")).otherwise(0L)).as("n_shared_grams"))
+    docs.select(col(idCol).as("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_shared_grams") / col("n_grams"), 6))
+          .as("shared_frac"))
+  }
+
   /** Repetition signals for corpus quality filtering (the
     * Gopher-rules shape: repetitious documents are low-quality
     * machine-generated or boilerplate text and get filtered before

@@ -126,6 +126,26 @@ class DedupClustersSpec extends SparkSpec {
     assert(viaBudget(3L) == 1L && viaBudget(6L) == 6L)
   }
 
+  test("storage lifecycle: at most the result's own blocks persist; release frees them") {
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // a chain long enough for several rounds: each round's superseded
+    // checkpoint must be unpersisted inside the loop, in BOTH modes
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    for (check <- Seq(true, false)) {
+      val comps = DedupClusters.connectedComponents(pairs, checkConvergence = check)
+      val rows = comps.collect()
+      assert(rows.forall(_.getLong(1) == 1L) && rows.length == 20)
+      val held = sc.getPersistentRDDs
+      assert(held.size <= 1,
+        s"checkConvergence=$check: superseded round checkpoints leaked: ${held.keySet}")
+      DedupClusters.release(comps)
+      assert(sc.getPersistentRDDs.isEmpty,
+        s"checkConvergence=$check: release() left blocks behind")
+    }
+  }
+
   test("fixed-budget mode (no per-round driver count) matches convergence mode") {
     // a 40-node chain needs several doubling rounds; budget 20 covers
     // diameter up to 2^20, so both modes must land on the same labels

@@ -23,6 +23,64 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3).getLong(1) == 0 && r(3).getLong(3) == 0)
   }
 
+  test("bm25 matches the hand formula; rare term outranks common; misses absent") {
+    // 'cat' in 1 of 4 docs (rare), 'dog' in 3 of 4 (common), doc 4 has neither
+    val corpus = Seq(
+      (1L, "cat dog dog"),
+      (2L, "dog bird"),
+      (3L, "dog fish fish fish"),
+      (4L, "bird fish")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(corpus, Seq("cat", "dog"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L), "doc 4 has no query term")
+    def idf(df: Double) = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double, avgdl: Double, dfx: Double) =
+      idf(dfx) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val avgdl = (3 + 2 + 4 + 2) / 4.0
+    val want1 = BigDecimal(w(1, 3, avgdl, 1) + w(2, 3, avgdl, 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s = got.map(t => t._1 -> t._2).toMap // id -> score
+    assert(math.abs(got.find(_._1 == 1L).get._2 - want1) < 1e-9,
+      s"doc 1 score ${got.toSeq}, want $want1")
+    // the rare-term doc outranks every dog-only doc
+    assert(got.head._1 == 1L && got.head._3 == 2L)
+    assert(s(1L) > s(2L) && s(1L) > s(3L))
+  }
+
+  test("crossDocGramStats: shared span mass, short docs survive as zero") {
+    // docs 1 and 2 share the span "a b c" (one 3-gram); doc 3 is
+    // disjoint; doc 4 is too short for any 3-gram
+    val corpus = Seq(
+      (1L, "a b c x y"),   // grams: abc bcx cxy
+      (2L, "q a b c"),     // grams: qab abc
+      (3L, "m n o p"),     // grams: mno nop
+      (4L, "t u")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.crossDocGramStats(corpus, n = 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r(0) == ((1L, 3L, 1L, BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(r(1) == ((2L, 2L, 1L, 0.5)))
+    assert(r(2) == ((3L, 2L, 0L, 0.0)))
+    assert(r(3) == ((4L, 0L, 0L, 0.0)))
+  }
+
+  test("crossDocGramStats counts repeated positions with multiplicity") {
+    // "a b c a b c a b c": grams at 7 positions, every gram ALSO in doc 2
+    val corpus = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.crossDocGramStats(corpus, n = 3)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 7)
+    // only the 3 "a b c" positions are CROSS-doc shared
+    assert(r(0).getLong(2) == 3)
+    assert(r(1).getLong(1) == 1 && r(1).getLong(2) == 1)
+  }
+
   test("quality: empty doc yields null ratios, low score") {
     val r = TextAnalysis.qualityScore(docs).filter($"doc_id" === 4).collect().head
     assert(r.isNullAt(2) && r.isNullAt(3))
