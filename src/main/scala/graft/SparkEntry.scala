@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{EngineConfig, Share}
-import graft.operators.{AsOfJoin, BucketedJoin, Dedup, DedupClusters, FuzzyDedup, Multimodal, Sampling, Similarity, Sketches, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, BucketedJoin, Dedup, DedupClusters, FuzzyDedup, Merge, Multimodal, Sampling, Similarity, Sketches, SkewJoin, TextAnalysis}
 import graft.sources.InReachSource
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -394,6 +394,41 @@ object SparkEntry {
     // whose gram also occurs in another document
     "q82_shared_ngrams" -> ((s, dir) =>
       TextAnalysis.crossDocGramStats(t(s, dir, "documents"), n = 5)),
+    // One Lloyd refinement of the 8 IVF seeds (exact-integer centroid
+    // sums -> engine-portable), final assignment per vector
+    "q83_kmeans_refine" -> ((s, dir) =>
+      Similarity.kmeansRefine(t(s, dir, "embeddings"), k = 8, iters = 1)),
+    // Hyperplane (cosine) LSH ANN: 16-bit md5-Rademacher signatures,
+    // 4x4-bit band buckets, top-5 re-rank of colliding candidates
+    "q84_srp_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.srpSearch(emb, emb.filter(col("vec_id") < 5), k = 5)
+    }),
+    // SCD-1 upsert merge: events as a CDC stream over the customer
+    // dimension — latest event wins, 'error' is the tombstone
+    "q85_scd1_merge" -> ((s, dir) =>
+      Merge.scd1(
+        t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        t(s, dir, "events").select(col("user_id").as("c_custkey"),
+          col("ts"), col("event_id"), col("event_type")),
+        key = "c_custkey", versionCols = Seq("ts", "event_id"),
+        deleteWhen = col("event_type") === "error",
+        updates = Seq("c_mktsegment" -> "event_type"))),
+    // Key-skew profile: the diagnostic that sizes salting/bucketing
+    "q86_skew_profile" -> ((s, dir) =>
+      graft.operators.Profiling.keySkewProfile(
+        t(s, dir, "events"), Seq("user_id"), topN = 10)),
+    // Time-RANGE rolling window: per event, activity of the same user
+    // over the trailing 30 minutes (value-based frame, not row-based)
+    "q87_rolling_range" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-1800000000L, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_30m"),
+          round(sum("value").over(w), 4).as("val_30m"))
+    }),
     // Mixture weighting: per-language target weights → deterministic
     // per-doc repeat counts (en halved, zh ×2.3, rest unchanged).
     "q78_mixture_weights" -> ((s, dir) =>
@@ -1283,6 +1318,106 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY score DESC, doc_id
         |LIMIT 20""".stripMargin,
+    "q86_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+        |s AS (SELECT count(*)::BIGINT AS nkeys, sum(cnt)::BIGINT AS total FROM c)
+        |SELECT user_id, cnt,
+        |  round(cnt::DOUBLE / total, 6) AS share,
+        |  round(cnt::DOUBLE * nkeys / total, 6) AS ratio_to_mean,
+        |  ceil(cnt::DOUBLE * nkeys / total)::BIGINT AS suggested_salt
+        |FROM c, s
+        |ORDER BY cnt DESC, user_id
+        |LIMIT 10""".stripMargin,
+    "q87_rolling_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  count(*) OVER w AS n_30m,
+        |  round(sum(value) OVER w, 4) AS val_30m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q85_scd1_merge" ->
+      """WITH latest AS (
+        |  SELECT user_id AS c_custkey, event_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1
+        |)
+        |SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey, b.c_name,
+        |  CASE WHEN l.c_custkey IS NOT NULL THEN l.event_type
+        |       ELSE b.c_mktsegment END AS c_mktsegment
+        |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+        |WHERE NOT coalesce(l.event_type = 'error', false)""".stripMargin,
+    "q84_srp_lsh" ->
+      // replay of Similarity.srpSearch(planes=16, bandBits=4): the ±1
+      // hyperplane matrix regenerates from md5("p_i") parity; the sign
+      // fold is the ordered list_sum, matching Spark's left-to-right
+      // HOF fold, so signature bits agree bit-for-bit
+      s"""WITH c AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |m AS (
+        |  SELECT p, i,
+        |    CASE WHEN ('0x' || substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS s
+        |  FROM generate_series(0, 15) t(p), generate_series(0, 63) u(i)
+        |), mlist AS (SELECT p, list(s ORDER BY i) AS sv FROM m GROUP BY p),
+        |dps AS (
+        |  SELECT c.vec_id, ml.p,
+        |    list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i]::DOUBLE * ml.sv[i])) AS dp
+        |  FROM c, mlist ml
+        |), sg AS (
+        |  SELECT vec_id, sum(CASE WHEN dp >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS sig
+        |  FROM dps GROUP BY 1
+        |), bn AS (
+        |  SELECT vec_id, b, (sig >> (b * 4)) & 15 AS bits
+        |  FROM sg, generate_series(0, 3) tb(b)
+        |), cand AS (
+        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
+        |  FROM bn qb JOIN bn cb ON qb.b = cb.b AND qb.bits = cb.bits AND cb.vec_id <> qb.vec_id
+        |  WHERE qb.vec_id < 5
+        |), sc AS (
+        |  SELECT cand.query_id, cand.cand_id, ${duckCos("q.embedding", "cc.embedding")} AS cos
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |    JOIN embeddings cc ON cc.vec_id = cand.cand_id
+        |)
+        |SELECT query_id, cand_id, cos, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+        |  FROM sc) WHERE rn <= 5""".stripMargin,
+    "q83_kmeans_refine" ->
+      // replay of Similarity.kmeansRefine(k=8, iters=1): hash-ordered
+      // seeds, argmax assignment (rounded score, ties to lowest
+      // cluster), quantized integer centroid mean (floor(x*1e6+0.5)
+      // sums are order-free), float32 centroid, reassign
+      s"""WITH c AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS cluster, embedding AS cv FROM embeddings
+        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+        |  LIMIT 8
+        |), a0 AS (
+        |  SELECT c.vec_id, s.cluster, ${duckCos("c.v", "s.cv")} AS cs
+        |  FROM c, seeds s
+        |), b0 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+        |    FROM a0) WHERE rn = 1
+        |), vi AS (
+        |  SELECT b0.cluster, v, unnest(generate_series(1, len(v))) AS i
+        |  FROM b0 JOIN c USING (vec_id)
+        |), qd AS (
+        |  SELECT cluster, i, floor(v[i]::DOUBLE * 1000000.0 + 0.5)::BIGINT AS q
+        |  FROM vi
+        |), sums AS (
+        |  SELECT cluster, i, sum(q)::BIGINT AS sq, count(*)::BIGINT AS cnt
+        |  FROM qd GROUP BY 1, 2
+        |), cents AS (
+        |  SELECT cluster,
+        |    list((sq::DOUBLE / (cnt * 1000000.0))::FLOAT ORDER BY i) AS cv
+        |  FROM sums GROUP BY 1
+        |), a1 AS (
+        |  SELECT c.vec_id, ce.cluster, ${duckCos("c.v", "ce.cv")} AS cs
+        |  FROM c, cents ce
+        |)
+        |SELECT vec_id, cluster, cs AS cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+        |  FROM a1) WHERE rn = 1""".stripMargin,
     "q82_shared_ngrams" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents

@@ -19,6 +19,17 @@ object HashFunctions {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[md5Long]] (same first-15-hex-digits
+    * contract) for deterministic DATA-INDEPENDENT constants built at
+    * plan time — e.g. the ±1 hyperplane matrix of
+    * [[graft.operators.Similarity.srpSearch]] — so the SQL oracle can
+    * regenerate the identical constants from md5 alone. */
+  def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) >>> 4
+  }
+
   /** Word n-gram shingles (distinct) over the token array. Empty
     * array (not null) when the document has fewer than n tokens.
     *

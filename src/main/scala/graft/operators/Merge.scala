@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CDC / upsert merge — the "apply a change stream to a dimension
+  * table" operator (SQL MERGE / SCD type 1) that every warehouse-style
+  * pipeline needs around the reference's append-only flows.
+  */
+object Merge {
+
+  /** SCD-1 (latest-wins) merge: reduce `changes` to the newest change
+    * per key, then apply it to `base` —
+    *
+    *  - key in both and latest change is a delete → row dropped;
+    *  - key in both otherwise → `updates` target columns overwritten
+    *    from the change row;
+    *  - key only in changes (insert) → new row; base-only attributes
+    *    are NULL, `updates` targets come from the change;
+    *  - key only in base → row unchanged;
+    *  - delete for an absent key → ignored.
+    *
+    * Output schema = `base` schema.
+    *
+    * @param versionCols total order WITHIN a key (include a unique
+    *        tiebreaker — ties would make "latest" nondeterministic)
+    * @param deleteWhen  predicate over the change columns, evaluated
+    *        on the latest change row only (earlier tombstones are
+    *        superseded like any other change)
+    * @param updates     (baseColumn ← changeColumn) assignments;
+    *        change payload names must not collide with base columns
+    *
+    * Scale shape: the per-key reduction is ONE `max_by` aggregation —
+    * partial-aggregable, so each task ships at most one candidate row
+    * per key into the shuffle (never a window sort over the change
+    * log). The apply step is a single key-equi full-outer join; with a
+    * bucketed/pre-partitioned base this is the textbook incremental
+    * MERGE at any scale. */
+  def scd1(base: DataFrame, changes: DataFrame, key: String,
+           versionCols: Seq[String], deleteWhen: Column,
+           updates: Seq[(String, String)]): DataFrame = {
+    val payload = changes.columns.filterNot(_ == key).toSeq
+    require(versionCols.nonEmpty && versionCols.forall(payload.contains),
+      "versionCols must be change (non-key) columns")
+    require(payload.intersect(base.columns.filterNot(_ == key).toSeq).isEmpty,
+      "change payload columns must not collide with base columns")
+    require(updates.forall { case (b, c) =>
+      base.columns.contains(b) && payload.contains(c) })
+    val latest = changes.groupBy(col(key)).agg(
+        max_by(struct(payload.map(col): _*),
+          struct(versionCols.map(col): _*)).as("_ch"))
+      .select(col(key) +:
+        payload.map(p => col("_ch").getField(p).as(p)) :+
+        lit(true).as("_has_ch"): _*)
+    val merged = base.join(latest, Seq(key), "full_outer")
+    // null-safe: base-only rows have _has_ch NULL, never deleted
+    val dropped = merged.filter(
+      !coalesce(col("_has_ch") && deleteWhen, lit(false)))
+    updates.foldLeft(dropped) { case (df, (bCol, cCol)) =>
+        df.withColumn(bCol,
+          when(coalesce(col("_has_ch"), lit(false)), col(cCol))
+            .otherwise(col(bCol)))
+      }
+      .select(base.columns.map(col): _*)
+  }
+}

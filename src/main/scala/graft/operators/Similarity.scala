@@ -153,6 +153,130 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rn")
   }
 
+  /** Lloyd (k-means) refinement over the IVF seeds: assign every
+    * vector to its max-cosine centroid, recompute each centroid as
+    * the mean of its members, repeat `iters` times, and return the
+    * final assignment. This is the index-build step a production IVF
+    * goes through between "seeds are corpus samples" ([[ivfSeeds]])
+    * and "cells are balanced Voronoi regions" — tighter cells mean
+    * fewer probes for the same recall.
+    *
+    * Engine-portable averaging: a naive `avg` over doubles is
+    * FP-order-sensitive (partial sums arrive in shuffle order), which
+    * is exactly why [[ivfSeeds]] avoided Lloyd means. Here each
+    * component is quantized to an integer grid (`floor(x·S + ½)`,
+    * S = `quantScale`) BEFORE summing — integer addition is exact and
+    * order-free, so the refined centroid `Σq / (n·S)` is bit-identical
+    * on every engine and every partitioning, and the float32 centroid
+    * cast is IEEE-deterministic. Quantization error ≤ ½/S per
+    * component (immaterial next to float32 inputs at S = 10⁶);
+    * int64 headroom allows ~10¹² members per cluster.
+    *
+    * Scale shape per iteration: centroids broadcast (k rows);
+    * assignment is the [[ivfAssign]] partial-aggregable argmax (a
+    * `max(struct)`, no window); the update is a (cluster, dim) SUM —
+    * map-side combinable, shuffling ≤ k·dim rows per task, NOT the
+    * corpus. Empty clusters drop out (standard Lloyd). The corpus is
+    * scanned once per iteration — at 100 TB pick iters small (1–3)
+    * or persist the projected (id, vec) relation upstream. */
+  def kmeansRefine(corpus: DataFrame, k: Int, iters: Int = 1,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   quantScale: Long = 1000000L): DataFrame = {
+    require(k >= 1 && iters >= 0 && quantScale >= 1)
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("vn"))
+    def assign(cents: DataFrame): DataFrame =
+      c.crossJoin(broadcast(cents))
+        .withColumn("cs", round(dot(col("v"), col("cv")) / (col("vn") * col("cn")), 6))
+        // argmax as a partial-aggregable max(struct): highest score,
+        // ties to the LOWEST cluster id (negated id sorts reversed)
+        .groupBy("vec_id")
+        .agg(max(struct(col("cs"), (-col("cluster")).as("nc"))).as("best"),
+          first(col("v")).as("v"), first(col("vn")).as("vn"))
+        .select(col("vec_id"), col("v"), col("vn"),
+          (-col("best.nc")).as("cluster"), col("best.cs").as("cos"))
+    var centroids = ivfSeeds(corpus, k, idCol, vecCol)
+      .select(col("seed_id").as("cluster"), col("sv").as("cv"), col("sn").as("cn"))
+    var assigned = assign(centroids)
+    for (_ <- 1 to iters) {
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("q",
+          floor(col("x").cast("double") * lit(quantScale.toDouble) + lit(0.5)))
+        .groupBy("cluster", "pos")
+        .agg(sum("q").as("sq"), count(lit(1)).as("cnt"))
+      val newCents = sums
+        .groupBy("cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("sq"), col("cnt")))),
+          s => (s.getField("sq").cast("double") /
+            (s.getField("cnt") * lit(quantScale.toDouble))).cast("float")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+      assigned = assign(newCents)
+    }
+    assigned.select("vec_id", "cluster", "cos")
+  }
+
+  /** Sign-random-projection (hyperplane) LSH search — the cosine-LSH
+    * alternative to [[ivfSearch]]: each vector gets a `planes`-bit
+    * signature (bit p = sign of ⟨v, h_p⟩ against hyperplane h_p), the
+    * signature is cut into `planes/bandBits` bands, and only vectors
+    * sharing at least one (band, bits) bucket with a query are scored.
+    * Collision probability per plane is 1 − θ/π, so near-parallel
+    * vectors collide in some band with high probability while random
+    * pairs are filtered — no centroid build step at all (the trade vs
+    * IVF: SRP needs no training pass, IVF probes fewer candidates).
+    *
+    * Determinism: hyperplanes are ±1 Rademacher vectors derived from
+    * md5 of "(plane)_(dim)" — data-independent plan-time literals the
+    * SQL oracle regenerates exactly ([[graft.functions.HashFunctions
+    * .md5Long60]]); the sign fold is the same left-to-right double
+    * fold as every dot product here, so a signature bit can never
+    * disagree across engines or partitionings.
+    *
+    * Scale shape: signatures are pure projections (corpus scanned
+    * once, no shuffle); the bucket join shuffles (band, bits, id)
+    * rows — bands × corpus ints, not vectors; candidate ids dedup and
+    * only then fetch their vectors (one keyed join) for scoring, so
+    * vector payloads move once per CANDIDATE, not once per band
+    * collision. Queries broadcast end-to-end. */
+  def srpSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+                planes: Int = 16, bandBits: Int = 4, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes >= 1 && planes <= 62 && bandBits >= 1 &&
+      planes % bandBits == 0, "planes must fit a long and band evenly")
+    val mat: Seq[Array[Float]] = (0 until planes).map { p =>
+      Array.tabulate(dim)(i =>
+        if (graft.functions.HashFunctions.md5Long60(s"${p}_${i}") % 2 == 0) 1f else -1f)
+    }
+    def sig(v: Column): Column =
+      (0 until planes).map { p =>
+        when(dotHof(v, typedLit(mat(p))) >= 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+    val nBands = planes / bandBits
+    val mask = (1L << bandBits) - 1
+    def bands(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), sig(col(vecCol)).as("_sig"))
+        .select(col(id), explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("_sig"), b * bandBits).bitwiseAND(lit(mask)).as("bits"))): _*)).as("bb"))
+        .select(col(id), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val cands = bands(corpus, "cand_id")
+      .join(broadcast(bands(queries, "query_id")), Seq("band", "bits"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn")))
+    val scored = cands.join(c, "cand_id").join(q, "query_id")
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "cand_id", "cos", "rn")
+  }
+
   /** Partition-pruned top-k: search only the query's own `partCol`
     * cell, for corpora that arrive pre-partitioned (a tenant key, a
     * shard label). For unlabeled embeddings use [[ivfSearch]], which

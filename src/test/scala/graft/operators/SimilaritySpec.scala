@@ -60,6 +60,105 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("kmeansRefine matches a driver-side reference replay at iters = 2") {
+    // the whole contract — hash seeds, rounded argmax with low-id
+    // ties, quantized integer means, float32 centroids — replayed in
+    // plain Scala on the collected corpus; assignments must be equal
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val k = 8
+    var cents: Seq[(Long, Array[Float])] = rows
+      .sortBy { case (id, _) => (md5Long(id.toString), id) }.take(k)
+      .map { case (id, v) => id -> v }.toSeq
+    var asg: Map[Long, Long] = null
+    for (_ <- 0 until 2) {
+      asg = rows.map { case (id, v) =>
+        id -> cents.map { case (cid, cv) => (cos(v, cv), cid) }
+          .minBy { case (s, cid) => (-s, cid) }._2
+      }.toMap
+      cents = asg.groupBy(_._2).toSeq.map { case (cid, members) =>
+        val vs = members.keys.toSeq.sorted.map(id => rows.find(_._1 == id).get._2)
+        val dim = vs.head.length
+        cid -> Array.tabulate(dim) { i =>
+          val sq = vs.map(v => math.floor(v(i).toDouble * 1e6 + 0.5).toLong).sum
+          (sq.toDouble / (vs.size * 1e6)).toFloat
+        }
+      }
+      // one more argmax against the refined centroids happens next loop
+    }
+    val wantAsg = rows.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cos(v, cv), cid) }
+        .minBy { case (s, cid) => (-s, cid) }._2
+    }.toMap
+    val got = Similarity.kmeansRefine(emb, k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == rows.length)
+    val diff = got.filter { case (id, c) => wantAsg(id) != c }
+    assert(diff.isEmpty, s"${diff.size} assignments diverge, e.g. ${diff.take(3)}")
+  }
+
+  test("kmeansRefine is invariant to input partitioning and improves cohesion") {
+    val base = Similarity.kmeansRefine(emb, k = 8, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val shuffled = Similarity.kmeansRefine(emb.repartition(7), k = 8, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(base.toSeq == shuffled.toSeq,
+      "quantized centroid sums must make the result partitioning-independent")
+    // Lloyd must not make the mean assigned score worse than iter 0
+    val s0 = Similarity.kmeansRefine(emb, k = 8, iters = 0)
+      .agg(avg("cos")).collect().head.getDouble(0)
+    val s1 = base.map(_._3).sum / base.length
+    assert(s1 >= s0 - 1e-9, s"cohesion regressed: $s0 -> $s1")
+  }
+
+  test("srpSearch: an identical vector collides in every band and ranks first") {
+    val dup = emb.filter($"vec_id" === 7)
+      .select(lit(9999L).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.unionByName(dup)
+    val got = Similarity.srpSearch(corpus, dup, k = 3)
+      .orderBy("rn").collect()
+    assert(got.nonEmpty, "identical signature must collide")
+    assert(got.head.getLong(1) == 7L && got.head.getDouble(2) == 1.0,
+      s"the duplicate's source must rank first: ${got.toSeq}")
+    // scores agree with the brute-force formula for the same pairs
+    val brute = Similarity.cosineTopK(corpus, dup, k = corpus.count().toInt)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    got.foreach(r => assert(brute(r.getLong(1)) == r.getDouble(2)))
+  }
+
+  test("srpSearch is invariant to partitioning; md5Long60 matches the Column md5Long") {
+    val q = emb.filter($"vec_id" < 3)
+    val a = Similarity.srpSearch(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._4))
+    val b = Similarity.srpSearch(emb.repartition(5), q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._4))
+    assert(a.toSeq == b.toSeq)
+    // the plane matrix's driver-side hash = the engine's md5Long
+    val probe = Seq("0_0", "3_17", "15_63").toDF("s")
+      .select(graft.functions.HashFunctions.md5Long($"s"))
+      .collect().map(_.getLong(0))
+    val local = Seq("0_0", "3_17", "15_63")
+      .map(graft.functions.HashFunctions.md5Long60)
+    assert(probe.toSeq == local, s"driver/engine md5 split: $probe vs $local")
+  }
+
   test("quantizeInt8: codes in range, reconstruction within half a step") {
     import org.apache.spark.sql.functions._
     val q = Similarity.quantizeInt8(emb).collect()
