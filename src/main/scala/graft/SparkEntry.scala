@@ -467,6 +467,22 @@ object SparkEntry {
     // Vocabulary coverage: top-20 terms with cumulative token mass
     "q90_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), topK = 20)),
+    // The COMPLETE training-data pipeline as ONE lazy plan: quality/
+    // lang/repetition gates + exact-dedup survivor (fused single
+    // scan) -> benchmark decontamination (broadcast anti-join) ->
+    // deterministic 80% sample (scan-speed hash filter) -> context
+    // chunking (pure expressions). Catalyst sees all stages at once:
+    // the id semi-join pushes back into the corpus scan and the only
+    // shuffles are the gate's fingerprint window.
+    "q91_training_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = docs.join(TextAnalysis.cleanupGate(docs), "doc_id")
+      val decon = Sampling.decontaminate(kept,
+        docs.filter(col("doc_id") % 10 === 0))
+      val sampled = Sampling.hashSample(decon, col("doc_id"), 0.8)
+      TextAnalysis.chunkDocuments(sampled, chunkTokens = 128, overlap = 16)
+        .select("doc_id", "chunk_id", "n_tokens")
+    }),
     // Ranking-function family: percent_rank / ntile / cume_dist with
     // a unique tiebreak (ties would make ntile engine-dependent)
     "q89_rank_functions" -> ((s, dir) => {
@@ -1382,6 +1398,59 @@ object SparkEntry {
     "q88_stream_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    "q91_training_pipeline" ->
+      // q71's gate CTEs verbatim -> q56 decontamination -> q55-style
+      // hash sample at 0.8 -> q57-style chunking at 128/16
+      s"""WITH t AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    round(least(length(text)::BIGINT / 500.0, 1.0) * 0.4 +
+        |      least(coalesce(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE / nullif(len(toks)::DOUBLE, 0), 0.0) * 5.0, 1.0) * 0.4 +
+        |      (1.0 - least(coalesce(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / nullif(length(text)::DOUBLE, 0), 0.0) * 10.0, 1.0)) * 0.2, 6) AS quality
+        |  FROM t
+        |), l AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+        |         WHEN len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) >= len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x)))
+        |          AND len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) >= len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de','du','pour'], x)))
+        |          AND len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) >= len(list_filter(toks, x -> list_contains(['el','los','las','y','es','si','una','como','por','para'], x))) THEN 'en'
+        |         ELSE 'other' END AS predicted_lang
+        |  FROM t
+        |), r AS (
+        |  SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE round((len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks), 6) END AS dup_token_frac
+        |  FROM t
+        |), s AS (
+        |  SELECT ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS f,
+        |    min(doc_id) AS survivor
+        |  FROM documents GROUP BY 1
+        |), kept AS (
+        |  SELECT d.doc_id
+        |  FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN r USING (doc_id)
+        |  WHERE l.predicted_lang = 'en' AND q.quality >= 0.45 AND r.dup_token_frac <= 0.65
+        |    AND EXISTS (SELECT 1 FROM s WHERE s.survivor = d.doc_id)
+        |), fp AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS f
+        |  FROM documents
+        |), b AS (SELECT DISTINCT f AS bfp FROM fp WHERE doc_id % 10 = 0),
+        |samp AS (
+        |  SELECT k.doc_id FROM kept k JOIN fp ON fp.doc_id = k.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.bfp = fp.f)
+        |    AND ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 15))::BIGINT < ${graft.operators.Sampling.threshold(0.8)}
+        |), tk AS (
+        |  SELECT d.doc_id, regexp_extract_all(lower(d.text), '[a-z0-9]+') AS tk
+        |  FROM documents d JOIN samp USING (doc_id)
+        |), st AS (
+        |  SELECT doc_id, tk,
+        |    unnest(generate_series(1, greatest(len(tk), 1), 112)) AS start
+        |  FROM tk
+        |)
+        |SELECT doc_id, ((start - 1) // 112)::BIGINT AS chunk_id,
+        |  len(list_slice(tk, start, start + 127))::BIGINT AS n_tokens
+        |FROM st""".stripMargin,
     "q90_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents

@@ -137,6 +137,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows.isEmpty, s"window over the change log:\n${windows.mkString("\n")}")
   }
 
+  test("q91: one fused pipeline — a single (partitioned) window, broadcast anti-join") {
+    val windows = logicalWindows("q91_training_pipeline")
+    // the gate's fingerprint-survivor window is the pipeline's ONLY
+    // window, and it is key-partitioned
+    assert(windows.length == 1 && windows.head.partitionSpec.nonEmpty,
+      s"extra or global windows:\n${windows.mkString("\n")}")
+    val p = plan("q91_training_pipeline")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), s"cartesian:\n$p")
+  }
+
   test("q87: the range-frame window is partitioned per user") {
     val windows = logicalWindows("q87_rolling_range")
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
