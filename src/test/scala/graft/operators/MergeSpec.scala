@@ -40,6 +40,34 @@ class MergeSpec extends SparkSpec {
     assert(out.getString(2) == "last")
   }
 
+  test("property: random CDC logs match a driver-side reference merge") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val baseRows = (0L until 30L).map(k => (k, s"n$k", s"c${rnd.nextInt(5)}"))
+      // tie = unique log index: versionCols' contract is a TOTAL order
+      val changeRows = Seq.tabulate(60)(i => (rnd.nextInt(40).toLong,
+        rnd.nextInt(20).toLong, i.toLong,
+        if (rnd.nextInt(4) == 0) "del" else "upd", Option(s"v${rnd.nextInt(9)}")))
+      // reference: latest by (v, tie) per key, then apply
+      val latest = changeRows.groupBy(_._1).map { case (k, ch) =>
+        k -> ch.maxBy(c => (c._2, c._3)) }
+      val want = (baseRows.map(_._1) ++ latest.keys).distinct.sorted.flatMap { k =>
+        val b = baseRows.find(_._1 == k)
+        latest.get(k) match {
+          case Some(c) if c._4 == "del" => None
+          case Some(c) => Some((k, b.map(_._2).orNull, c._5.orNull))
+          case None => b.map(x => (k, x._2, x._3))
+        }
+      }.toSet
+      val got = Merge.scd1(
+          baseRows.toDF("k", "name", "colr"),
+          changeRows.toDF("k", "v", "tie", "op", "c"),
+          "k", Seq("v", "tie"), $"op" === "del", Seq("colr" -> "c"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == want, s"seed=$seed: ${(got diff want) ++ (want diff got)}")
+    }
+  }
+
   test("scd1 plan: latest-per-key is a partial aggregate, not a window sort") {
     val changes = Seq((1L, 10L, 1L, "upd", Option("x"))).toDF("k", "v", "tie", "op", "c")
     val merged = Merge.scd1(base, changes, "k", Seq("v", "tie"),

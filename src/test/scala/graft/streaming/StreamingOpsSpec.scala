@@ -234,4 +234,38 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows.contains(("05:30", "click", 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("scd1Stream: per-batch incremental merge equals one batch merge of the log") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, "a", "red"), (2L, "b", "blue"), (3L, "c", "green"))
+      .toDF("k", "name", "colr")
+    // per-key version-monotone across batches (the contract)
+    val batch1 = Seq((1L, 10L, 1L, "upd", Option("gold")),
+      (4L, 10L, 2L, "upd", Option("pink")))
+    val batch2 = Seq((2L, 20L, 3L, "del", Option.empty[String]),
+      (1L, 20L, 4L, "upd", Option("silver")),
+      (4L, 20L, 5L, "del", Option.empty[String]))
+    val dir = java.nio.file.Files.createTempDirectory("scd1-stream").toString
+    val input = MemoryStream[(Long, Long, Long, String, Option[String])]
+    val changes = input.toDF().toDF("k", "v", "tie", "op", "c")
+    val (writer, handle) = StreamingOps.scd1Stream(changes, base, "k",
+      Seq("v", "tie"), $"op" === "del", Seq("colr" -> "c"), dir)
+    val q = writer.start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      val mid = handle.current().collect()
+        .map(r => (r.getLong(0), r.getString(2))).toMap
+      assert(mid(1L) == "gold" && mid(4L) == "pink" && mid.size == 4)
+      input.addData(batch2: _*); q.processAllAvailable()
+      val fin = handle.current().collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+      // one-shot batch merge over the concatenated log must agree
+      val want = graft.operators.Merge.scd1(base,
+          (batch1 ++ batch2).toDF("k", "v", "tie", "op", "c"),
+          "k", Seq("v", "tie"), $"op" === "del", Seq("colr" -> "c"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+      assert(fin == want, s"incremental ${fin} != batch ${want}")
+      assert(fin == Set((1L, Some("a"), "silver"), (3L, Some("c"), "green")))
+    } finally q.stop()
+  }
 }
