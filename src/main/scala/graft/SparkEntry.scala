@@ -467,6 +467,12 @@ object SparkEntry {
     // Vocabulary coverage: top-20 terms with cumulative token mass
     "q90_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), topK = 20)),
+    // Temperature mixture (p ∝ n^0.5): upsample tail languages,
+    // downsample the head, corpus size preserved in expectation
+    "q92_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMixture(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), alpha = 0.5)
+        .select("doc_id", "lang", "copy_idx")),
     // The COMPLETE training-data pipeline as ONE lazy plan: quality/
     // lang/repetition gates + exact-dedup survivor (fused single
     // scan) -> benchmark decontamination (broadcast anti-join) ->
@@ -1451,6 +1457,23 @@ object SparkEntry {
         |SELECT doc_id, ((start - 1) // 112)::BIGINT AS chunk_id,
         |  len(list_slice(tk, start, start + 127))::BIGINT AS n_tokens
         |FROM st""".stripMargin,
+    "q92_temperature_mix" ->
+      // replay of Sampling.temperatureMixture(alpha=0.5): weights
+      // rounded to 6 BEFORE the floor/threshold split; the 60-bit cut
+      // uses explicit floor (double->int64 casts round in DuckDB but
+      // truncate in Spark)
+      """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n) AS nn, sum(power(n, 0.5)) AS z FROM c),
+        |r AS (SELECT lang, round(nn * power(n, 0.5) / (z * n), 6) AS w FROM c, t),
+        |d AS (
+        |  SELECT doc_id, documents.lang,
+        |    floor(w)::BIGINT +
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT <
+        |      floor((w - floor(w)) * 1152921504606846976.0)::BIGINT THEN 1 ELSE 0 END AS nc
+        |  FROM documents JOIN r USING (lang)
+        |)
+        |SELECT doc_id, lang, unnest(generate_series(1, nc)) AS copy_idx
+        |FROM d WHERE nc >= 1""".stripMargin,
     "q90_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents

@@ -119,6 +119,48 @@ object Sampling {
       .drop("_stratum", "_floor", "_thr", "_n")
   }
 
+  /** Temperature-flattened mixture (the multilingual `p ∝ n^α`
+    * sampling law, mC4/XLM-style): strata are re-weighted so the
+    * TARGET distribution is proportional to count^α — α = 1 keeps the
+    * natural mix, α → 0 approaches uniform, 0.3–0.7 is the usual
+    * "upsample the tail without drowning the head" band. Corpus size
+    * is preserved in expectation: per-doc weight
+    * w_s = N·n_s^(α−1) / Σ_t n_t^α, materialized as deterministic
+    * repeat counts exactly like [[weightedRepeat]] (⌊w⌋ copies + one
+    * extra for the md5-hash fraction of keys).
+    *
+    * Engine portability: weights are rounded to 6 decimals before the
+    * floor/threshold split (pow/sum are the only FP-order-sensitive
+    * steps; at ≤10⁶ strata the rounding absorbs them), and the
+    * fractional cut uses an explicit floor into the 60-bit hash
+    * space — double→int64 CASTS round on some engines and truncate on
+    * others, so the floor is spelled out.
+    *
+    * Scale shape: one map-side-combinable stratum count, a broadcast
+    * rate table, then the scan-speed explode — identical to
+    * [[weightedRepeat]]; nothing shuffles but the tiny count. */
+  def temperatureMixture(df: DataFrame, stratum: Column, key: Column,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    val counts = df.groupBy(stratum.as("_stratum"))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val tot = broadcast(counts.agg(
+      sum("_n").as("_tot"), sum(pow(col("_n"), alpha)).as("_zsum")))
+    val rates = broadcast(counts.crossJoin(tot)
+      .select(col("_stratum"),
+        round(col("_tot") * pow(col("_n"), lit(alpha)) / (col("_zsum") * col("_n")), 6)
+          .as("_w")))
+    val thr = floor((col("_w") - floor(col("_w"))) * lit((1L << 60).toDouble))
+    val nCopies = floor(col("_w")).cast("long") +
+      when(md5Long(key.cast("string")) < thr, 1L).otherwise(0L)
+    df.join(rates, stratum === col("_stratum"))
+      .withColumn("_nc", nCopies)
+      .withColumn("copy_idx",
+        explode(when(col("_nc") >= 1, sequence(lit(1L), col("_nc")))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("_stratum", "_w", "_nc")
+  }
+
   /** Near-duplicate decontamination — the third tier: drop corpus
     * documents whose shingle Jaccard with ANY benchmark document is ≥
     * `threshold` (catches paraphrase-light contamination that the

@@ -189,11 +189,21 @@ object StreamingOps {
     val handle = new Scd1Handle(spark, stateDir, gen)
     val writer = changes.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
-        val curr = spark.read.parquet(s"$stateDir/gen-${gen.get}")
+        val g = gen.get
+        val curr = spark.read.parquet(s"$stateDir/gen-$g")
         graft.operators.Merge.scd1(curr, batch, key, versionCols,
             deleteWhen, updates)
-          .write.mode("overwrite").parquet(s"$stateDir/gen-${gen.get + 1}")
+          .write.mode("overwrite").parquet(s"$stateDir/gen-${g + 1}")
         gen.incrementAndGet()
+        // generation GC: g+1 is durable, g stays as the rollback copy,
+        // anything older is dead weight (a long stream would otherwise
+        // accumulate one table copy per micro-batch)
+        if (g >= 1) {
+          val old = new java.io.File(s"$stateDir/gen-${g - 1}")
+          if (old.isDirectory) {
+            old.listFiles().foreach(_.delete()); old.delete()
+          }
+        }
         ()
     }
     (writer, handle)

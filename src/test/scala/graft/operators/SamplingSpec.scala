@@ -82,6 +82,34 @@ class SamplingSpec extends SparkSpec {
       out.orderBy("id", "copy_idx").collect().map(_.toSeq).toSeq)
   }
 
+  test("temperatureMixture: n^alpha law — tail upsampled, head downsampled, size preserved") {
+    // head: 800 docs of "big", tail: 50 of "small" → alpha=0.5 weights
+    // w = N·n^(-1/2)/Z with N=850, Z=sqrt(800)+sqrt(50)
+    val df = ((1 to 800).map(i => (i.toLong, "big")) ++
+      (1001 to 1050).map(i => (i.toLong, "small"))).toDF("doc_id", "lang")
+    val out = Sampling.temperatureMixture(df, col("lang"), col("doc_id"), 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val z = math.sqrt(800.0) + math.sqrt(50.0)
+    val wBig = 850.0 * math.sqrt(800.0) / (z * 800.0)   // ≈ 0.68
+    val wSmall = 850.0 * math.sqrt(50.0) / (z * 50.0)   // ≈ 2.7
+    assert(wBig < 1.0 && wSmall > 2.0)
+    // deterministic totals land within ±3·sqrt(n) of the expectation
+    assert(math.abs(out("big") - 800 * wBig) < 3 * math.sqrt(800),
+      s"big: ${out("big")} vs ${800 * wBig}")
+    assert(math.abs(out("small") - 50 * wSmall) < 3 * math.sqrt(50),
+      s"small: ${out("small")} vs ${50 * wSmall}")
+    // corpus size preserved in expectation
+    assert(math.abs(out.values.sum - 850.0) < 3 * math.sqrt(850))
+    // rerun-deterministic
+    val again = Sampling.temperatureMixture(df, col("lang"), col("doc_id"), 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+    // alpha = 1 is the identity mixture: exactly one copy per doc
+    val id = Sampling.temperatureMixture(df, col("lang"), col("doc_id"), 1.0)
+    assert(id.count() == 850 &&
+      id.agg(max("copy_idx")).collect().head.getLong(0) == 1L)
+  }
+
   test("nearDupDecontaminate: near-variants of benchmark docs dropped, distinct ones kept") {
     def words(seed: Int, n: Int) = {
       val rnd = new scala.util.Random(seed)

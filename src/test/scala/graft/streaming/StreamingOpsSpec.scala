@@ -266,6 +266,13 @@ class StreamingOpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
       assert(fin == want, s"incremental ${fin} != batch ${want}")
       assert(fin == Set((1L, Some("a"), "silver"), (3L, Some("c"), "green")))
+      // a third batch makes gen-0 eligible for GC: only the last two
+      // generations may remain on disk
+      input.addData((5L, 30L, 6L, "upd", Option("new"))); q.processAllAvailable()
+      val gens = new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("gen-")).sorted.toSeq
+      assert(gens == Seq("gen-2", "gen-3"), s"generation GC left: $gens")
+      assert(handle.current().count() == 3)
     } finally q.stop()
   }
 }
