@@ -467,6 +467,30 @@ object SparkEntry {
     // Vocabulary coverage: top-20 terms with cumulative token mass
     "q90_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), topK = 20)),
+    // Correlation per group, TWO-PASS (means broadcast back, then
+    // centered products): the one-pass n·Σxy−ΣxΣy form catastrophically
+    // cancels when the mean dwarfs the spread (timestamps!), amplifying
+    // FP-order noise past any rounding — centered sums keep the
+    // cross-engine error at the summands' own scale
+    "q93_grouped_corr" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        (col("ts").cast("double") / lit(1e18)).as("x"), col("value").as("y"))
+      val means = broadcast(e.groupBy("event_type")
+        .agg(avg("x").as("mx"), avg("y").as("my")))
+      e.join(means, "event_type")
+        .groupBy("event_type")
+        .agg(round(
+          sum((col("x") - col("mx")) * (col("y") - col("my"))) /
+            sqrt(sum((col("x") - col("mx")) * (col("x") - col("mx"))) *
+              sum((col("y") - col("my")) * (col("y") - col("my")))), 5)
+            .as("corr_xy"),
+          count(lit(1)).as("n"))
+    }),
+    // Grouped array aggregation: ordered distinct collect per user
+    "q94_collect_set" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+          countDistinct(col("event_type")).as("n_types"))),
     // Temperature mixture (p ∝ n^0.5): upsample tail languages,
     // downsample the head, corpus size preserved in expectation
     "q92_temperature_mix" -> ((s, dir) =>
@@ -1457,6 +1481,24 @@ object SparkEntry {
         |SELECT doc_id, ((start - 1) // 112)::BIGINT AS chunk_id,
         |  len(list_slice(tk, start, start + 127))::BIGINT AS n_tokens
         |FROM st""".stripMargin,
+    "q93_grouped_corr" ->
+      // ts is int64 NANOS on the Spark side (nanosAsLong) — epoch_ns
+      // here keeps x identical pre-division
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts)::DOUBLE / 1e18 AS x, value AS y FROM events
+        |), m AS (
+        |  SELECT event_type, avg(x) AS mx, avg(y) AS my FROM e GROUP BY 1
+        |)
+        |SELECT e.event_type,
+        |  round(sum((x - mx) * (y - my)) /
+        |    sqrt(sum((x - mx) * (x - mx)) * sum((y - my) * (y - my))), 5) AS corr_xy,
+        |  count(*)::BIGINT AS n
+        |FROM e JOIN m USING (event_type)
+        |GROUP BY 1""".stripMargin,
+    "q94_collect_set" ->
+      """SELECT user_id, list(DISTINCT event_type ORDER BY event_type) AS types,
+        |  count(DISTINCT event_type)::BIGINT AS n_types
+        |FROM events GROUP BY 1""".stripMargin,
     "q92_temperature_mix" ->
       // replay of Sampling.temperatureMixture(alpha=0.5): weights
       // rounded to 6 BEFORE the floor/threshold split; the 60-bit cut
