@@ -374,6 +374,9 @@ object SparkEntry {
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      // reverse registration order: JVM exit deletes link before dir
+      srcDir.toFile.deleteOnExit()
+      srcDir.resolve("events.parquet").toFile.deleteOnExit()
       // user subset: this query hash-checks the STREAMING execution
       // path (watermark state bounding, symmetric join state) — q62 is
       // the batch-scale band join. The filter pushes into the
@@ -400,12 +403,11 @@ object SparkEntry {
       // sizes this to state volume, not to the batch shuffle width.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try {
-        val st = joined.writeStream.format("memory").queryName("q80_interval")
+      try
+        joined.writeStream.format("memory").queryName("q80_interval")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        st.awaitTermination()
-        st
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          .awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q80_interval")
     }),
     "q79_token_entropy" -> ((s, dir) =>
@@ -452,6 +454,8 @@ object SparkEntry {
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      srcDir.toFile.deleteOnExit()
+      srcDir.resolve("events.parquet").toFile.deleteOnExit()
       val dim = broadcast(t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")))
       val enriched = s.readStream.schema(schema).parquet(srcDir.toString)

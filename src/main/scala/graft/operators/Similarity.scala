@@ -252,10 +252,18 @@ object Similarity {
     // native codegen'd dot against the literal plane (same
     // left-to-right fold as dotHof — measured 1.0 s -> ~0.1 s for 16
     // planes × 2000 vectors when the fold compiles instead of
-    // interpreting per element)
+    // interpreting per element). A vector whose width != `dim` makes
+    // the dot NULL — fail LOUDLY: signature 0 for every such row
+    // would silently collide the whole corpus into one bucket,
+    // degrading LSH to all-pairs with correct-looking results. NULL
+    // vectors themselves pass through (null bits never equi-join).
     def sig(v: Column): Column =
       (0 until planes).map { p =>
-        when(dot(v, typedLit(mat(p))) >= 0, lit(1L << p)).otherwise(0L)
+        val dp = dot(v, typedLit(mat(p)))
+        when(v.isNotNull && dp.isNull,
+          raise_error(lit(s"srpSearch: vector width != dim=$dim (or null " +
+            "element); pass the corpus's real dimension")))
+          .otherwise(when(dp >= 0, lit(1L << p)).otherwise(0L))
       }.reduce(_ + _)
     val nBands = planes / bandBits
     val mask = (1L << bandBits) - 1
@@ -325,7 +333,8 @@ object Similarity {
                             targetCellSize: Int = 128): DataFrame = {
     val cells =
       if (numCells > 0) numCells
-      else math.max(8L, (corpus.count() + targetCellSize - 1) / targetCellSize).toInt
+      else math.min(Int.MaxValue.toLong, // 10^12-row corpora overflow Int
+        math.max(8L, (corpus.count() + targetCellSize - 1) / targetCellSize)).toInt
     val assigned = ivfAssign(corpus, cells, multiAssign, idCol, vecCol)
     val a = assigned.select(col("cand_id").as("vec_a"), col("cv").as("va"),
       col("cell"), col("cn").as("na"))

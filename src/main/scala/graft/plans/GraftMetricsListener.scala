@@ -37,18 +37,18 @@ final class GraftMetricsListener extends QueryExecutionListener {
     // string-walk rather than tree-walk: with AQE the executed plan is
     // an AdaptiveSparkPlanExec wrapper whose FINAL children don't show
     // up in plan.collect, but the rendered tree (isFinalPlan=true at
-    // this point) always carries them
-    val tree = qe.executedPlan.toString
-    def count(marker: String): Int = {
-      var n = 0; var i = tree.indexOf(marker)
-      while (i >= 0) { n += 1; i = tree.indexOf(marker, i + 1) }
-      n
-    }
-    // codegen spans render as "*(n) NodeName" prefixes; count distinct
-    // span ids by counting span OPENERS ("*(" starts each span's nodes,
-    // repeated per node — good enough as a >0 signal and a relative
-    // width measure)
-    (count("Exchange"), count("*("))
+    // this point) always carries them. Two rendering traps: (a) the
+    // adaptive node prints BOTH "Final Plan" and "Initial Plan"
+    // sections — count only the final one or every node doubles;
+    // (b) "Exchange" as a substring also matches BroadcastExchange /
+    // ReusedExchange, which are NOT shuffles — require a word start.
+    val tree = qe.executedPlan.toString.split("== Initial Plan ==").head
+    val shuffles = "(?<![A-Za-z])Exchange".r.findAllIn(tree).length
+    // codegen spans render as "*(n) NodeName" prefixes; counting the
+    // openers is a >0 signal and a relative width measure
+    var cg = 0; var i = tree.indexOf("*(")
+    while (i >= 0) { cg += 1; i = tree.indexOf("*(", i + 1) }
+    (shuffles, cg)
   }
 
   override def onSuccess(funcName: String, qe: QueryExecution,

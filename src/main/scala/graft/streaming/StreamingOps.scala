@@ -184,8 +184,24 @@ object StreamingOps {
                  updates: Seq[(String, String)],
                  stateDir: String): (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], Scd1Handle) = {
     val spark = base.sparkSession
-    val gen = new java.util.concurrent.atomic.AtomicLong(0L)
-    base.write.mode("overwrite").parquet(s"$stateDir/gen-0")
+    // all state IO through the Hadoop FS of the stateDir, so HDFS/S3
+    // state dirs work (java.io.File would silently no-op the GC there)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(hconf)
+    // RESTART-SAFE seeding: resume from the highest generation already
+    // on disk — re-seeding from `base` after a checkpointed restart
+    // would silently drop every previously merged batch (the stream's
+    // checkpoint skips them, so they would never be re-applied)
+    val existing =
+      if (fs.exists(root))
+        fs.listStatus(root).map(_.getPath.getName)
+          .collect { case n if n.startsWith("gen-") => n.drop(4).toLong }
+      else Array.empty[Long]
+    val gen = new java.util.concurrent.atomic.AtomicLong(
+      if (existing.isEmpty) 0L else existing.max)
+    if (existing.isEmpty)
+      base.write.mode("overwrite").parquet(s"$stateDir/gen-0")
     val handle = new Scd1Handle(spark, stateDir, gen)
     val writer = changes.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
@@ -198,12 +214,8 @@ object StreamingOps {
         // generation GC: g+1 is durable, g stays as the rollback copy,
         // anything older is dead weight (a long stream would otherwise
         // accumulate one table copy per micro-batch)
-        if (g >= 1) {
-          val old = new java.io.File(s"$stateDir/gen-${g - 1}")
-          if (old.isDirectory) {
-            old.listFiles().foreach(_.delete()); old.delete()
-          }
-        }
+        if (g >= 1)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/gen-${g - 1}"), true)
         ()
     }
     (writer, handle)

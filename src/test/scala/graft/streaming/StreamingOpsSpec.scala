@@ -273,6 +273,25 @@ class StreamingOpsSpec extends SparkSpec {
         .filter(_.startsWith("gen-")).sorted.toSeq
       assert(gens == Seq("gen-2", "gen-3"), s"generation GC left: $gens")
       assert(handle.current().count() == 3)
-    } finally q.stop()
+      q.stop()
+      // RESTART: a new scd1Stream over the same stateDir must RESUME
+      // from gen-3, not re-seed from base (which would drop every
+      // merged batch a checkpointed stream will never re-deliver)
+      val input2 = MemoryStream[(Long, Long, Long, String, Option[String])]
+      val (w2, h2) = StreamingOps.scd1Stream(
+        input2.toDF().toDF("k", "v", "tie", "op", "c"), base, "k",
+        Seq("v", "tie"), $"op" === "del", Seq("colr" -> "c"), dir)
+      assert(h2.currentPath.endsWith("gen-3"),
+        s"restart re-seeded instead of resuming: ${h2.currentPath}")
+      val q2 = w2.start()
+      try {
+        input2.addData((5L, 40L, 7L, "upd", Option("newer"))); q2.processAllAvailable()
+        val after = h2.current().collect()
+          .map(r => (r.getLong(0), r.getString(2))).toMap
+        // pre-restart merges survive; the new change applies on top
+        assert(after == Map(1L -> "silver", 3L -> "green", 5L -> "newer"),
+          s"restart lost state: $after")
+      } finally q2.stop()
+    } finally if (!q.isActive) () else q.stop()
   }
 }
