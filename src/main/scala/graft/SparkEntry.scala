@@ -495,6 +495,41 @@ object SparkEntry {
       t(s, dir, "events").groupBy("user_id")
         .agg(sort_array(collect_set(col("event_type"))).as("types"),
           countDistinct(col("event_type")).as("n_types"))),
+    // Window value functions: first/last/nth over the full partition
+    // frame (deterministic order; last_value needs the full frame or
+    // it degenerates to "current row" — a classic window trap)
+    "q95_window_values" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("event_id"), col("user_id"),
+          first("event_type").over(w).as("first_type"),
+          last("event_type").over(w).as("last_type"),
+          nth_value(col("event_type"), 2).over(w).as("second_type"))
+    }),
+    // Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep
+    // multiplicities (the distinct variants are q35/q36)
+    "q96_bag_set_ops" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("user_id", "event_type")
+      val clicks = ev.filter(col("event_type") =!= "error")
+      val purchases = ev.filter(col("event_type").isin("purchase", "click"))
+      clicks.exceptAll(purchases)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    }),
+    // Quality-decile gate: drop the bottom 10% of docs by unigram-LM
+    // score — the perplexity-filter stage of a data pipeline, with the
+    // cutoff computed FROM the corpus (not a fixed literal)
+    "q97_lm_decile_filter" -> ((s, dir) => {
+      val scored = TextAnalysis.unigramLogProb(t(s, dir, "documents"))
+      val cut = broadcast(Sketches.histogramQuantiles(
+          scored, "avg_logp", bins = 512, qs = Seq(0.1))
+        .select(col("est").as("_cut")))
+      scored.crossJoin(cut)
+        .filter(col("avg_logp") > col("_cut"))
+        .select("doc_id", "avg_logp")
+    }),
     // Temperature mixture (p ∝ n^0.5): upsample tail languages,
     // downsample the head, corpus size preserved in expectation
     "q92_temperature_mix" -> ((s, dir) =>
@@ -1503,6 +1538,51 @@ object SparkEntry {
       """SELECT user_id, list(DISTINCT event_type ORDER BY event_type) AS types,
         |  count(DISTINCT event_type)::BIGINT AS n_types
         |FROM events GROUP BY 1""".stripMargin,
+    "q95_window_values" ->
+      """SELECT event_id, user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q96_bag_set_ops" ->
+      """WITH a AS (SELECT user_id, event_type FROM events WHERE event_type <> 'error'),
+        |b AS (SELECT user_id, event_type FROM events WHERE event_type IN ('purchase', 'click')),
+        |d AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |SELECT user_id, event_type, count(*)::BIGINT AS n
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "q97_lm_decile_filter" ->
+      // q66's scoring CTEs + q53's histogram-quantile machinery at
+      // q=0.1 / bins=512 over the scores, then the gate
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+        |), v AS (SELECT term, count(*) AS tc FROM tok GROUP BY 1),
+        |t AS (SELECT sum(tc)::DOUBLE AS tot FROM v),
+        |scored AS (
+        |  SELECT doc_id, round(avg(ln(tc / tot)), 6) AS avg_logp
+        |  FROM tok JOIN v USING (term), t GROUP BY 1
+        |), b AS (
+        |  SELECT min(avg_logp) AS lo, max(avg_logp) AS hi, count(avg_logp) AS n FROM scored
+        |), bk AS (
+        |  SELECT CASE WHEN b.hi = b.lo THEN 0
+        |    ELSE least(floor((avg_logp - b.lo) / ((b.hi - b.lo) / 512))::BIGINT, 511) END AS bucket,
+        |    count(*) AS cnt
+        |  FROM scored, b WHERE avg_logp IS NOT NULL GROUP BY 1
+        |), c AS (
+        |  SELECT bucket, cnt,
+        |    (sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM bk
+        |), sel AS (
+        |  SELECT bucket, cnt, cum - cnt AS before,
+        |    row_number() OVER (ORDER BY bucket) AS rn
+        |  FROM c WHERE cum >= 0.1 * (SELECT n FROM b)
+        |), cut AS (
+        |  SELECT round((SELECT lo FROM b) + (((SELECT hi FROM b) - (SELECT lo FROM b)) / 512) *
+        |    (bucket + (0.1 * (SELECT n FROM b) - before) / cnt), 6) AS est
+        |  FROM sel WHERE rn = 1
+        |)
+        |SELECT doc_id, avg_logp FROM scored, cut WHERE avg_logp > est""".stripMargin,
     "q92_temperature_mix" ->
       // replay of Sampling.temperatureMixture(alpha=0.5): weights
       // rounded to 6 BEFORE the floor/threshold split; the 60-bit cut
