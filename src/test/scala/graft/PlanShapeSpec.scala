@@ -153,4 +153,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       s"global range window:\n${windows.mkString("\n")}")
   }
+
+  test("q93: group means broadcast back — the corpus never sort-merges for stats") {
+    val p = plan("q93_grouped_corr")
+    assert(p.contains("BroadcastHashJoin"), s"means not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet means:\n$p")
+  }
+
+  test("q97: the quantile cutoff rides a broadcast, the gate is a filter") {
+    val p = plan("q97_lm_decile_filter")
+    assert(p.contains("Broadcast"), s"cutoff not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct") || p.contains("Broadcast"),
+      s"non-broadcast cartesian:\n$p")
+  }
 }
