@@ -468,6 +468,60 @@ object SparkEntry {
       q.awaitTermination()
       s.table("q88_enrich")
     }),
+    // Streaming incremental SCD-1 merge, driven END-TO-END: the events
+    // CDC feed is split into three VERSION-MONOTONE micro-batches
+    // (global ts tertiles — every key's later changes land in later
+    // batches, so "latest-in-batch wins, batches in sequence"
+    // composes to exactly one batch scd1 over the whole log), each
+    // delivered by a separate AvailableNow run over a shared
+    // checkpoint. The per-slice RESTART also drives scd1Stream's
+    // resume-from-highest-complete-generation seeding inside the
+    // registered query itself. The oracle dual replays the same three
+    // merge steps in SQL — NOT the one-shot batch merge: incremental
+    // CDC apply diverges from it when a key deleted in one batch is
+    // re-inserted by a later one (the re-insert has NULL base
+    // attributes; a one-shot merge would supersede the delete and
+    // keep them). The staged dual pins the incremental semantics.
+    "q98_scd1_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      val changes = t(s, dir, "events").select(col("user_id").as("c_custkey"),
+        col("ts"), col("event_id"), col("event_type"))
+      // one min/max action derives the slice cuts — a statistics pass
+      // like q52's count(), not per-batch driver work
+      val r = changes.agg(min("ts"), max("ts")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * ((hi - lo) / 3)
+      val tmp = java.nio.file.Files.createTempDirectory("q98-scd1")
+      val srcDir = tmp.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val stateDir = tmp.resolve("state").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val slices = Seq(col("ts") <= c1,
+        col("ts") > c1 && col("ts") <= c2, col("ts") > c2)
+      val handle = slices.zipWithIndex.map { case (pred, i) =>
+        // each slice lands as ONE file so a run's AvailableNow pass is
+        // one version-monotone micro-batch (multi-file slices could be
+        // split across batches in non-monotone order)
+        val w = tmp.resolve(s"w$i")
+        changes.filter(pred).coalesce(1).write.parquet(w.toString)
+        val part = w.toFile.listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath,
+          srcDir.resolve(s"slice-$i.parquet"))
+        val (writer, h) = graft.streaming.StreamingOps.scd1Stream(
+          s.readStream.schema(changes.schema).parquet(srcDir.toString),
+          base, "c_custkey", Seq("ts", "event_id"),
+          col("event_type") === "error",
+          Seq("c_mktsegment" -> "event_type"), stateDir)
+        writer.option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        h
+      }.last
+      handle.current().select("c_custkey", "c_name", "c_mktsegment")
+    }),
     // Vocabulary coverage: top-20 terms with cumulative token mass
     "q90_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), topK = 20)),
@@ -490,10 +544,17 @@ object SparkEntry {
             .as("corr_xy"),
           count(lit(1)).as("n"))
     }),
-    // Grouped array aggregation: ordered distinct collect per user
+    // Grouped array aggregation: ordered distinct collect per user.
+    // The set is emitted JOINED AS A STRING so the driver's
+    // pandas-sort-then-hash canonicalization can handle the column
+    // (array cells are unhashable there); the explicit isNotNull
+    // filter pins the cross-engine NULL contract — Spark collect_set
+    // drops NULLs while DuckDB's list(DISTINCT ...) keeps one.
     "q94_collect_set" -> ((s, dir) =>
-      t(s, dir, "events").groupBy("user_id")
-        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+      t(s, dir, "events").filter(col("event_type").isNotNull)
+        .groupBy("user_id")
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
+            .as("types"),
           countDistinct(col("event_type")).as("n_types"))),
     // Window value functions: first/last/nth over the full partition
     // frame (deterministic order; last_value needs the full frame or
@@ -1535,9 +1596,10 @@ object SparkEntry {
         |FROM e JOIN m USING (event_type)
         |GROUP BY 1""".stripMargin,
     "q94_collect_set" ->
-      """SELECT user_id, list(DISTINCT event_type ORDER BY event_type) AS types,
+      """SELECT user_id,
+        |  array_to_string(list(DISTINCT event_type ORDER BY event_type), ',') AS types,
         |  count(DISTINCT event_type)::BIGINT AS n_types
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM events WHERE event_type IS NOT NULL GROUP BY 1""".stripMargin,
     "q95_window_values" ->
       """SELECT event_id, user_id,
         |  first_value(event_type) OVER w AS first_type,
@@ -1647,6 +1709,42 @@ object SparkEntry {
         |       ELSE b.c_mktsegment END AS c_mktsegment
         |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
         |WHERE NOT coalesce(l.event_type = 'error', false)""".stripMargin,
+    "q98_scd1_stream" ->
+      // STAGED replay of the three tertile micro-batches (g1 -> g2 ->
+      // g3, each one q85-shaped merge step): incremental CDC apply is
+      // NOT equal to one batch merge of the whole log when a key is
+      // deleted in one batch and re-inserted by a later one — the
+      // re-insert has NULL base attributes (the row was genuinely
+      // gone), while a one-shot merge would let the later change
+      // supersede the delete and keep them. The dual replays the
+      // slices so it pins exactly the incremental semantics; the `//`
+      // floor division matches Spark's Long `/` (both operands
+      // non-negative here). lo/hi/epoch_ns(ts) are the same int64
+      // nanos the Spark side cuts on.
+      """WITH bounds AS (SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi FROM events),
+        |e AS (SELECT user_id AS k, epoch_ns(ts) AS ets, event_id, event_type FROM events),
+        |l1 AS (SELECT k, event_type FROM (
+        |  SELECT k, event_type, row_number() OVER (PARTITION BY k ORDER BY ets DESC, event_id DESC) AS rn
+        |  FROM e, bounds WHERE ets <= lo + (hi - lo) // 3) WHERE rn = 1),
+        |g1 AS (SELECT coalesce(b.c_custkey, l.k) AS c_custkey, b.c_name,
+        |  CASE WHEN l.k IS NOT NULL THEN l.event_type ELSE b.c_mktsegment END AS c_mktsegment
+        |  FROM customer b FULL OUTER JOIN l1 l ON b.c_custkey = l.k
+        |  WHERE NOT coalesce(l.event_type = 'error', false)),
+        |l2 AS (SELECT k, event_type FROM (
+        |  SELECT k, event_type, row_number() OVER (PARTITION BY k ORDER BY ets DESC, event_id DESC) AS rn
+        |  FROM e, bounds WHERE ets > lo + (hi - lo) // 3 AND ets <= lo + 2 * ((hi - lo) // 3)) WHERE rn = 1),
+        |g2 AS (SELECT coalesce(b.c_custkey, l.k) AS c_custkey, b.c_name,
+        |  CASE WHEN l.k IS NOT NULL THEN l.event_type ELSE b.c_mktsegment END AS c_mktsegment
+        |  FROM g1 b FULL OUTER JOIN l2 l ON b.c_custkey = l.k
+        |  WHERE NOT coalesce(l.event_type = 'error', false)),
+        |l3 AS (SELECT k, event_type FROM (
+        |  SELECT k, event_type, row_number() OVER (PARTITION BY k ORDER BY ets DESC, event_id DESC) AS rn
+        |  FROM e, bounds WHERE ets > lo + 2 * ((hi - lo) // 3)) WHERE rn = 1),
+        |g3 AS (SELECT coalesce(b.c_custkey, l.k) AS c_custkey, b.c_name,
+        |  CASE WHEN l.k IS NOT NULL THEN l.event_type ELSE b.c_mktsegment END AS c_mktsegment
+        |  FROM g2 b FULL OUTER JOIN l3 l ON b.c_custkey = l.k
+        |  WHERE NOT coalesce(l.event_type = 'error', false))
+        |SELECT c_custkey, c_name, c_mktsegment FROM g3""".stripMargin,
     "q84_srp_lsh" ->
       // replay of Similarity.srpSearch(planes=16, bandBits=4): the ±1
       // hyperplane matrix regenerates from md5("p_i") parity; the sign

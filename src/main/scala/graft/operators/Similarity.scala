@@ -256,15 +256,20 @@ object Similarity {
     // the dot NULL — fail LOUDLY: signature 0 for every such row
     // would silently collide the whole corpus into one bucket,
     // degrading LSH to all-pairs with correct-looking results. NULL
-    // vectors themselves pass through (null bits never equi-join).
+    // vectors get a NULL signature (null band bits never equi-join,
+    // so they produce no candidates) — the outer when() is required:
+    // without it a NULL dot would fall through `when(dp >= 0, ...)`
+    // into `.otherwise(0L)` and null rows would flood the all-zero
+    // band buckets as phantom candidates.
     def sig(v: Column): Column =
-      (0 until planes).map { p =>
-        val dp = dot(v, typedLit(mat(p)))
-        when(v.isNotNull && dp.isNull,
-          raise_error(lit(s"srpSearch: vector width != dim=$dim (or null " +
-            "element); pass the corpus's real dimension")))
-          .otherwise(when(dp >= 0, lit(1L << p)).otherwise(0L))
-      }.reduce(_ + _)
+      when(v.isNull, lit(null).cast("long")).otherwise(
+        (0 until planes).map { p =>
+          val dp = dot(v, typedLit(mat(p)))
+          when(dp.isNull,
+            raise_error(lit(s"srpSearch: vector width != dim=$dim (or null " +
+              "element); pass the corpus's real dimension")))
+            .otherwise(when(dp >= 0, lit(1L << p)).otherwise(0L))
+        }.reduce(_ + _))
     val nBands = planes / bandBits
     val mask = (1L << bandBits) - 1
     def bands(df: DataFrame, id: String): DataFrame =

@@ -34,20 +34,31 @@ final class GraftMetricsListener extends QueryExecutionListener {
   private val buf = new ConcurrentLinkedQueue[ActionMetrics]
 
   private def planCounts(qe: QueryExecution): (Int, Int) = {
-    // string-walk rather than tree-walk: with AQE the executed plan is
-    // an AdaptiveSparkPlanExec wrapper whose FINAL children don't show
-    // up in plan.collect, but the rendered tree (isFinalPlan=true at
-    // this point) always carries them. Two rendering traps: (a) the
-    // adaptive node prints BOTH "Final Plan" and "Initial Plan"
-    // sections — count only the final one or every node doubles;
-    // (b) "Exchange" as a substring also matches BroadcastExchange /
-    // ReusedExchange, which are NOT shuffles — require a word start.
-    val tree = qe.executedPlan.toString.split("== Initial Plan ==").head
-    val shuffles = "(?<![A-Za-z])Exchange".r.findAllIn(tree).length
-    // codegen spans render as "*(n) NodeName" prefixes; counting the
-    // openers is a >0 signal and a relative width measure
-    var cg = 0; var i = tree.indexOf("*(")
-    while (i >= 0) { cg += 1; i = tree.indexOf("*(", i + 1) }
+    // TREE walk, not a string walk over the rendered plan (a Spark
+    // version bump that changes plan rendering would silently break
+    // substring counting). `plan.collect` alone is NOT enough: with
+    // AQE the executed plan is an AdaptiveSparkPlanExec LEAF whose
+    // final plan hangs off `executedPlan` (final by onSuccess time),
+    // and each materialized stage is a QueryStageExec leaf whose real
+    // subtree hangs off `plan` — both must be descended explicitly.
+    // ReusedExchangeExec points at an exchange counted where it
+    // originally appeared, so it is a stop (also avoids revisiting a
+    // shared subtree); BroadcastExchange is deliberately NOT a
+    // shuffle (ShuffleExchangeLike only).
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    var shuffles = 0
+    var cg = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec        => walk(s.plan)
+      case _: ReusedExchangeExec    => ()
+      case w: WholeStageCodegenExec => cg += 1; w.children.foreach(walk)
+      case e: ShuffleExchangeLike   => shuffles += 1; e.children.foreach(walk)
+      case other                    => other.children.foreach(walk)
+    }
+    walk(qe.executedPlan)
     (shuffles, cg)
   }
 

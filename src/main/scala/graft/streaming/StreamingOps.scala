@@ -162,9 +162,14 @@ object StreamingOps {
     * Contract: per-key version monotonicity ACROSS batches (the
     * standard keyed-topic CDC guarantee) — each batch's latest change
     * is applied unconditionally, exactly like running scd1 on the
-    * batches in sequence; under that contract the final table equals
-    * one batch scd1 over the concatenated log (spec-pinned). Within a
-    * batch, `versionCols` order changes as usual.
+    * batches in sequence. Within a batch, `versionCols` order changes
+    * as usual. Sequential apply equals one batch scd1 over the
+    * concatenated log (spec-pinned) EXCEPT for delete-then-reinsert
+    * sequences spanning batches: here the re-insert creates a fresh
+    * row with NULL base-only attributes (the row was genuinely
+    * deleted — faithful CDC semantics), whereas a one-shot merge
+    * would let the later change supersede the delete and keep them
+    * (q98's staged oracle pins the incremental behavior).
     *
     * Scale shape: each micro-batch is ONE max_by reduction of the
     * batch (small) + ONE key-equi full-outer join against the current
@@ -193,11 +198,23 @@ object StreamingOps {
     // on disk — re-seeding from `base` after a checkpointed restart
     // would silently drop every previously merged batch (the stream's
     // checkpoint skips them, so they would never be re-applied)
+    // Only COMPLETE generations count: a crash mid-write leaves a
+    // gen-N directory without its _SUCCESS marker (Spark's committer
+    // writes it last), and seeding from that partial table would
+    // replay the checkpointed batch onto a corrupt base — silent data
+    // loss on exactly the restart path this seeding exists for.
+    // Dangling partials are deleted so the re-run's overwrite starts
+    // from a clean slate.
     val existing =
-      if (fs.exists(root))
-        fs.listStatus(root).map(_.getPath.getName)
+      if (fs.exists(root)) {
+        val all = fs.listStatus(root).map(_.getPath.getName)
           .collect { case n if n.startsWith("gen-") => n.drop(4).toLong }
-      else Array.empty[Long]
+        val (complete, partial) = all.partition(g => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$stateDir/gen-$g/_SUCCESS")))
+        partial.foreach(g => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$stateDir/gen-$g"), true))
+        complete
+      } else Array.empty[Long]
     val gen = new java.util.concurrent.atomic.AtomicLong(
       if (existing.isEmpty) 0L else existing.max)
     if (existing.isEmpty)

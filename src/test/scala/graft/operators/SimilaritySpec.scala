@@ -159,6 +159,24 @@ class SimilaritySpec extends SparkSpec {
     assert(probe.toSeq == local, s"driver/engine md5 split: $probe vs $local")
   }
 
+  test("srpSearch: null vectors get null signatures and never surface as candidates") {
+    val nullRow = emb.limit(1).select(lit(8888L).as("vec_id"),
+      lit(null).cast(emb.schema("embedding").dataType).as("embedding"), $"label")
+    val corpus = emb.unionByName(nullRow)
+    val q = emb.filter($"vec_id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val got = Similarity.srpSearch(corpus, q, k = 5)
+    // without the null-signature guard the null row lands in every
+    // all-zero band bucket and can steal top-k slots
+    assert(!got.select("cand_id").collect().map(_.getLong(0)).contains(8888L),
+      "null vector surfaced as a candidate")
+    assert(rows(got) == rows(Similarity.srpSearch(emb, q, k = 5)),
+      "a null corpus vector must not perturb results at all")
+    // a null QUERY vector yields zero rows, not all-zero-bucket joins
+    assert(Similarity.srpSearch(corpus, nullRow, k = 5).count() == 0)
+  }
+
   test("quantizeInt8: codes in range, reconstruction within half a step") {
     import org.apache.spark.sql.functions._
     val q = Similarity.quantizeInt8(emb).collect()

@@ -294,4 +294,40 @@ class StreamingOpsSpec extends SparkSpec {
       } finally q2.stop()
     } finally if (!q.isActive) () else q.stop()
   }
+
+  test("scd1Stream: restart skips and deletes a partial (no _SUCCESS) generation") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, "a", "red")).toDF("k", "name", "colr")
+    val dir = java.nio.file.Files.createTempDirectory("scd1-partial").toString
+    val input = MemoryStream[(Long, Long, Long, String, Option[String])]
+    val (writer, _) = StreamingOps.scd1Stream(
+      input.toDF().toDF("k", "v", "tie", "op", "c"), base, "k",
+      Seq("v", "tie"), $"op" === "del", Seq("colr" -> "c"), dir)
+    val q = writer.start()
+    try {
+      input.addData((1L, 10L, 1L, "upd", Option("gold"))); q.processAllAvailable()
+    } finally q.stop()
+    // simulate a crash MID-WRITE of gen-2: rows on disk, but the
+    // committer never wrote _SUCCESS — seeding from it would merge
+    // the checkpoint-replayed batch onto a partial table
+    Seq((1L, "a", "CORRUPT")).toDF("k", "name", "colr")
+      .write.parquet(s"$dir/gen-2")
+    assert(new java.io.File(s"$dir/gen-2/_SUCCESS").delete())
+    val input2 = MemoryStream[(Long, Long, Long, String, Option[String])]
+    val (w2, h2) = StreamingOps.scd1Stream(
+      input2.toDF().toDF("k", "v", "tie", "op", "c"), base, "k",
+      Seq("v", "tie"), $"op" === "del", Seq("colr" -> "c"), dir)
+    assert(h2.currentPath.endsWith("gen-1"),
+      s"seeded from a partial generation: ${h2.currentPath}")
+    assert(!new java.io.File(s"$dir/gen-2").exists(),
+      "dangling partial generation must be deleted, not left to collide")
+    val q2 = w2.start()
+    try {
+      input2.addData((2L, 20L, 2L, "upd", Option("blue"))); q2.processAllAvailable()
+      val after = h2.current().collect()
+        .map(r => (r.getLong(0), r.getString(2))).toMap
+      assert(after == Map(1L -> "gold", 2L -> "blue"),
+        s"merge after partial-gen recovery diverged: $after")
+    } finally q2.stop()
+  }
 }
