@@ -522,6 +522,73 @@ object SparkEntry {
       }.last
       handle.current().select("c_custkey", "c_name", "c_mktsegment")
     }),
+    // Streaming tumbling-window aggregation, oracle-checked end-to-end
+    // in COMPLETE mode: AvailableNow ends before the watermark passes
+    // the tail windows, so append mode would hold them back and
+    // diverge from the batch dual — complete emits every window's
+    // final state. Complete retains all windows in the store: fine
+    // for an oracle run, documented non-scale path (the bounded-state
+    // APPEND path is the production one, spec-verified in
+    // StreamingOpsSpec). q09 is the batch-scale time-bucket agg.
+    "q99_stream_windowed_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("q99-events")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      srcDir.toFile.deleteOnExit()
+      srcDir.resolve("events.parquet").toFile.deleteOnExit()
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      val agg = graft.streaming.StreamingOps.windowedAgg(
+        stream, "ets", "event_type", windowLen = "30 minutes")
+      s.catalog.dropTempView("q99_windows")
+      // state-store instances = shuffle partitions: run the stream
+      // narrow, restore for the batch engine (q80's sizing rationale)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try
+        agg.writeStream.format("memory").queryName("q99_windows")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("q99_windows")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+    }),
+    // Streaming exact dedup (dropDuplicatesWithinWatermark),
+    // oracle-checked: only the dedup KEY columns are emitted — which
+    // physical row survives depends on arrival order, but the key set
+    // itself is exactly DISTINCT, so the projection is deterministic.
+    // The state-bounding TTL behavior is spec-verified; this pins the
+    // streaming dedup path's RESULT against the batch distinct.
+    "q100_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("q100-events")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      srcDir.toFile.deleteOnExit()
+      srcDir.resolve("events.parquet").toFile.deleteOnExit()
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+        .select(col("user_id"), col("event_type"), col("ets"))
+      val dd = graft.streaming.StreamingOps.dedupStream(
+          stream, Seq("user_id", "event_type"), "ets")
+        .select("user_id", "event_type")
+      s.catalog.dropTempView("q100_dedup")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try
+        dd.writeStream.format("memory").queryName("q100_dedup")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("q100_dedup")
+    }),
     // Vocabulary coverage: top-20 terms with cumulative token mass
     "q90_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), topK = 20)),
@@ -1745,6 +1812,14 @@ object SparkEntry {
         |  FROM g2 b FULL OUTER JOIN l3 l ON b.c_custkey = l.k
         |  WHERE NOT coalesce(l.event_type = 'error', false))
         |SELECT c_custkey, c_name, c_mktsegment FROM g3""".stripMargin,
+    "q99_stream_windowed_agg" ->
+      // 30-min tumbling windows align to the epoch; µs truncation
+      // first (ts div 1000) matches the Spark side's timestamp_micros
+      """SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS window_start_us,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q100_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "q84_srp_lsh" ->
       // replay of Similarity.srpSearch(planes=16, bandBits=4): the ±1
       // hyperplane matrix regenerates from md5("p_i") parity; the sign

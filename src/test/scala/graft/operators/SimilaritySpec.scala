@@ -159,6 +159,70 @@ class SimilaritySpec extends SparkSpec {
     assert(probe.toSeq == local, s"driver/engine md5 split: $probe vs $local")
   }
 
+  // the scaladoc's scale claims, pinned: building the kmeansRefine
+  // plan runs ZERO Spark jobs (no per-iteration driver actions — the
+  // whole refinement is one lazy plan), and the executed plan scans
+  // the corpus file exactly iters+1 times for assignment plus once
+  // for the seed sample
+  test("kmeansRefine: lazy construction (no driver actions), iters+2 file scans") {
+    // job ids are assigned monotonically per app, so "no job STARTED
+    // between marker m1 and marker m2" is exactly "no recorded id in
+    // (id(m1), id(m2))" — immune to listener-bus lag from earlier
+    // suites (their jobs carry smaller ids regardless of when their
+    // events arrive)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        seen.add((js.jobId,
+          Option(js.properties.getProperty("spark.jobGroup.id")).getOrElse("")))
+        ()
+      }
+    }
+    def marker(tag: String): Int = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try spark.range(1).count() finally spark.sparkContext.clearJobGroup()
+      var waited = 0
+      import scala.jdk.CollectionConverters._
+      def find() = seen.iterator().asScala.collectFirst {
+        case (id, g) if g == tag => id
+      }
+      while (find().isEmpty && waited < 10000) { Thread.sleep(100); waited += 100 }
+      find().getOrElse(fail(s"marker job $tag never observed"))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val iters = 2
+      val m1 = marker("kmeans-lazy-m1")
+      val df = Similarity.kmeansRefine(emb, k = 8, iters = iters)
+      val m2 = marker("kmeans-lazy-m2")
+      import scala.jdk.CollectionConverters._
+      // a marker count() may itself emit several jobs (AQE) — exclude
+      // by group tag; anything else with an id between the markers
+      // was started during plan construction
+      val between = seen.iterator().asScala
+        .filter { case (id, g) =>
+          id > m1 && id < m2 && !g.startsWith("kmeans-lazy-m") }.toList
+      assert(between.isEmpty,
+        s"plan construction must be fully lazy; jobs ran: $between")
+      df.collect()
+      // count runtime file scans with the same AQE descent the metrics
+      // listener uses; ReusedExchange = a shared subtree that runs once
+      import org.apache.spark.sql.execution.{FileSourceScanLike, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def scans(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: QueryStageExec        => scans(s.plan)
+        case _: ReusedExchangeExec    => 0
+        case _: FileSourceScanLike    => 1
+        case other                    => other.children.map(scans).sum
+      }
+      val n = scans(df.queryExecution.executedPlan)
+      assert(n == iters + 2, s"expected ${iters + 2} corpus scans, plan has $n")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("srpSearch: null vectors get null signatures and never surface as candidates") {
     val nullRow = emb.limit(1).select(lit(8888L).as("vec_id"),
       lit(null).cast(emb.schema("embedding").dataType).as("embedding"), $"label")

@@ -173,6 +173,31 @@ class SketchesSpec extends SparkSpec {
       sketch.orderBy("word").collect().toSeq)
   }
 
+  // shard-merge LAW at the probe surface (the build-level equality
+  // above checks one split; this pins the user-visible contract):
+  // OR-union only ever SETS bits, so a key that probes true against
+  // any shard must probe true against the union — monotone
+  // membership, no false negatives introduced by merging
+  test("bloomProbe membership is monotone under sketch union") {
+    val a = (1 to 100).map(i => s"key$i").toDF("k")
+    val b = (101 to 200).map(i => s"key$i").toDF("k")
+    val sa = Sketches.bloomBuild(a, "k", words = 64, k = 4)
+    val merged = sa.union(Sketches.bloomBuild(b, "k", words = 64, k = 4))
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+    // probe members of both shards plus 100 absent keys, so the
+    // subset check also ranges over false-positive candidates
+    val probes = (1 to 300).map(i => s"key$i").toDF("k")
+    def members(s: org.apache.spark.sql.DataFrame): Set[String] =
+      Sketches.bloomProbe(s, probes, "k", words = 64, k = 4)
+        .filter(col("member")).select("key")
+        .collect().map(_.getString(0)).toSet
+    val mA = members(sa)
+    val mM = members(merged)
+    assert(mA.subsetOf(mM), s"union dropped members: ${(mA -- mM).take(5)}")
+    assert((1 to 100).map(i => s"key$i").toSet.subsetOf(mA))
+    assert((1 to 200).map(i => s"key$i").toSet.subsetOf(mM))
+  }
+
   test("count-min estimate for an unseen key is 0 (or collision-bounded), never absent") {
     val rows = Seq.fill(100)("present").toDF("term")
     val sketch = Sketches.countMin(rows, "term", depth = 4, width = 256)
