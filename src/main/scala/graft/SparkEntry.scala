@@ -589,6 +589,20 @@ object SparkEntry {
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q100_dedup")
     }),
+    // Z-order (Morton) layout key over (value, event time): the
+    // write-side clustering operator for multi-column scan pruning —
+    // one broadcast min/max stats pass, then a scan-speed bit
+    // interleave (plan-time-unrolled shifts inside codegen). A writer
+    // follows with repartitionByRange(zval) + sortWithinPartitions;
+    // here the KEY ITSELF is oracle-checked bit-for-bit (equal-width
+    // binning is IEEE-deterministic and replayed verbatim in SQL).
+    // LayoutSpec pins the curve laws (dyadic boxes = contiguous
+    // z-ranges; fewer partitions touched than a single-column sort).
+    "q101_zorder" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      graft.operators.Layout.withZValue(e, Seq("value", "ts_us"), bits = 16)
+        .select("event_id", "zval")
+    }),
     // Vocabulary coverage: top-20 terms with cumulative token mass
     "q90_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), topK = 20)),
@@ -1820,6 +1834,25 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q100_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q101_zorder" ->
+      // bit-for-bit replay of Layout.withZValue(bits=16) over
+      // (value, ts_us): identical IEEE equal-width binning
+      // (multiply-by-65536-and-clamp), identical little-endian
+      // interleave (value bits at even positions, time at odd)
+      """WITH st AS (
+        |  SELECT min(value)::DOUBLE AS vmin, max(value)::DOUBLE AS vmax,
+        |         min(epoch_us(ts))::DOUBLE AS tmin, max(epoch_us(ts))::DOUBLE AS tmax
+        |  FROM events
+        |), b AS (
+        |  SELECT event_id,
+        |    CASE WHEN vmax > vmin THEN least(floor((value::DOUBLE - vmin) / (vmax - vmin) * 65536.0)::BIGINT, 65535) ELSE 0 END AS bv,
+        |    CASE WHEN tmax > tmin THEN least(floor((epoch_us(ts)::DOUBLE - tmin) / (tmax - tmin) * 65536.0)::BIGINT, 65535) ELSE 0 END AS bt
+        |  FROM events, st
+        |)
+        |SELECT event_id,
+        |  list_sum(list_transform(generate_series(0, 15), i ->
+        |    (((bv >> i) & 1) << (2*i)) + (((bt >> i) & 1) << (2*i + 1))))::BIGINT AS zval
+        |FROM b""".stripMargin,
     "q84_srp_lsh" ->
       // replay of Similarity.srpSearch(planes=16, bandBits=4): the ±1
       // hyperplane matrix regenerates from md5("p_i") parity; the sign

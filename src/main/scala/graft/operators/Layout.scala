@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data LAYOUT for scan pruning — the write-side
+  * operator a 100 TB corpus needs once queries filter on more than
+  * one column. Sorting files by a single column prunes that column
+  * only; interleaving the bits of several columns' normalized values
+  * (a Z-order / Morton curve) gives a total order in which rows close
+  * in EVERY dimension land in the same files, so min/max footer stats
+  * (or a partition column derived from the curve) prune scans on any
+  * filtered subset of the dimensions at once. This is the same layout
+  * step Delta/Iceberg `OPTIMIZE ZORDER BY` runs; here it is a plain
+  * Column expression usable with `sortWithinPartitions` /
+  * `repartitionByRange` before any parquet write.
+  *
+  * Scale shape: one min/max stats aggregation over the dimension
+  * columns (map-side combinable, broadcast back — the same one-pass
+  * statistics pattern as [[Outliers]] and q52's cell sizing), then
+  * the z-value itself is a pure scan-speed projection: bucket =
+  * linear min/max normalization to `bits` bits, interleave unrolled
+  * at plan time into shift/mask arithmetic inside whole-stage
+  * codegen. No shuffle, no window, no UDF; the optional final
+  * `repartitionByRange(zval)` is the ONE range shuffle any global
+  * layout pays by definition.
+  *
+  * Determinism/portability: normalization is equal-width binning
+  * `least(floor((x - min) / (max - min) * 2^bits), 2^bits - 1)` in
+  * double precision — IEEE-deterministic and replayed verbatim by the
+  * SQL oracle (explicit `floor`, never an engine-dependent
+  * cast-round; the multiply-by-2^bits-and-clamp form, NOT
+  * `* (2^bits - 1)`, because the latter turns exact lattice points
+  * into 1.9999... wobble — `2.0/3*3 < 2` in IEEE — while this form
+  * is exact whenever the range is a power of two; constant columns
+  * degenerate to bucket 0 via the max>min guard). Bits interleave
+  * little-endian: dimension d contributes its bit i at output
+  * position `i * nDims + d`, so with 2 dims × 16 bits the z-value
+  * spans 32 bits — far inside the 63-bit signed-shift budget every
+  * engine here honors.
+  */
+object Layout {
+
+  /** Z-value column: `floor`-normalized `bits`-bit buckets per
+    * dimension, bit-interleaved. `mins(d)`/`maxs(d)` are the
+    * dimension's global min/max (from [[stats]] or known bounds). */
+  def zValue(dims: Seq[Column], mins: Seq[Column], maxs: Seq[Column],
+             bits: Int = 16): Column = {
+    require(dims.nonEmpty && dims.size * bits <= 62,
+      s"${dims.size} dims x $bits bits must fit a positive long")
+    require(mins.size == dims.size && maxs.size == dims.size)
+    val width = 1L << bits
+    val buckets = dims.zipWithIndex.map { case (x, d) =>
+      // max > min guard: a constant dimension contributes bucket 0
+      // everywhere instead of a 0/0 NaN
+      when(maxs(d) > mins(d),
+        least(floor((x.cast("double") - mins(d).cast("double")) /
+            (maxs(d).cast("double") - mins(d).cast("double")) *
+            lit(width.toDouble)).cast("long"),
+          lit(width - 1)))
+        .otherwise(lit(0L))
+    }
+    val n = dims.size
+    (0 until bits).flatMap { i =>
+      buckets.zipWithIndex.map { case (b, d) =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + d)
+      }
+    }.reduce(_ + _)
+  }
+
+  /** One-pass global min/max per dimension, broadcast as a 1-row
+    * relation (columns `_min0`, `_max0`, `_min1`, ...). */
+  def stats(df: DataFrame, dims: Seq[String]): DataFrame = {
+    val aggs = dims.zipWithIndex.flatMap { case (c, d) =>
+      Seq(min(col(c)).cast("double").as(s"_min$d"),
+        max(col(c)).cast("double").as(s"_max$d"))
+    }
+    broadcast(df.agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** The full operator: append a `zval` column computed against the
+    * corpus's own min/max (one stats pass + scan-speed projection).
+    * Write-side callers follow with
+    * `repartitionByRange(n, col("zval")).sortWithinPartitions("zval")`
+    * — file-count-many ranges of a curve that keeps every dimension's
+    * neighborhoods co-located. */
+  def withZValue(df: DataFrame, dims: Seq[String],
+                 bits: Int = 16): DataFrame = {
+    val st = stats(df, dims)
+    df.crossJoin(st)
+      .withColumn("zval", zValue(
+        dims.map(col),
+        dims.indices.map(d => col(s"_min$d")),
+        dims.indices.map(d => col(s"_max$d")), bits))
+      .drop(dims.indices.flatMap(d => Seq(s"_min$d", s"_max$d")): _*)
+  }
+}
