@@ -603,6 +603,13 @@ object SparkEntry {
       graft.operators.Layout.withZValue(e, Seq("value", "ts_us"), bits = 16)
         .select("event_id", "zval")
     }),
+    // Single-pass column profile ("DESCRIBE at scale"): one scan, one
+    // aggregation, per-column nulls/distincts/numeric range — the
+    // data-quality gate that runs before anything else touches a new
+    // 100 TB drop
+    "q102_column_profile" -> ((s, dir) =>
+      graft.operators.Profiling.columnProfile(
+        t(s, dir, "events"), Seq("user_id", "event_type", "value"))),
     // Vocabulary coverage: top-20 terms with cumulative token mass
     "q90_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), topK = 20)),
@@ -1834,6 +1841,20 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q100_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q102_column_profile" ->
+      """SELECT 'user_id' AS col_name, count(*)::BIGINT AS n_rows,
+        |  (count(*) - count(user_id))::BIGINT AS n_null,
+        |  count(DISTINCT user_id)::BIGINT AS n_distinct,
+        |  min(user_id)::DOUBLE AS min_num, max(user_id)::DOUBLE AS max_num
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*)::BIGINT, (count(*) - count(event_type))::BIGINT,
+        |  count(DISTINCT event_type)::BIGINT, NULL::DOUBLE, NULL::DOUBLE
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', count(*)::BIGINT, (count(*) - count(value))::BIGINT,
+        |  count(DISTINCT value)::BIGINT, min(value)::DOUBLE, max(value)::DOUBLE
+        |FROM events""".stripMargin,
     "q101_zorder" ->
       // bit-for-bit replay of Layout.withZValue(bits=16) over
       // (value, ts_us): identical IEEE equal-width binning

@@ -43,4 +43,41 @@ object Profiling {
       .orderBy(col("cnt").desc +: keyCols.map(col): _*)
       .limit(topN)
   }
+
+  /** Single-pass column profile — "DESCRIBE at scale" as a first-class
+    * query: per column, row count, null count, distinct count, and
+    * numeric min/max (NULL for non-numeric columns, whose native
+    * min/max would be collation-sensitive across engines).
+    *
+    * Scale shape: ONE aggregation over ONE scan. count/null-count/
+    * min/max are plain map-side-combinable partials; the distinct
+    * counts use Spark's multi-distinct planning (one Expand at factor
+    * ≈ #profiled columns). For very wide profiles at 100 TB swap
+    * `countDistinct` for the mergeable HLL aggregate
+    * ([[Sketches.hllAggCol]]) and the Expand disappears — exact
+    * counts are kept here because the profile is itself an oracle-
+    * checked component and exact distinct is the stronger pin. The
+    * single wide row is unpivoted driver-free with `stack`. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.forall(df.columns.contains))
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        f.name
+    }.toSet
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(lit(1)).as(s"_n$i"),
+        count(when(col(c).isNull, 1)).as(s"_nl$i"),
+        countDistinct(col(c)).as(s"_d$i"),
+        (if (numeric(c)) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"_mn$i"),
+        (if (numeric(c)) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"_mx$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', _n$i, _nl$i, _d$i, _mn$i, _mx$i"
+    }.mkString(", ")
+    row.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+      "(col_name, n_rows, n_null, n_distinct, min_num, max_num)")
+  }
 }

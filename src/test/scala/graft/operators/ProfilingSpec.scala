@@ -26,4 +26,32 @@ class ProfilingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"full sort:\n$plan")
   }
+
+  test("columnProfile: nulls, distincts, numeric-only min/max, hand-checked") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(2.5)),
+      (Some(2L), None, Some(-1.0)),
+      (None, Some("a"), Some(2.5)),
+      (Some(2L), Some("b"), None)
+    ).toDF("id", "tag", "v")
+    val r = Profiling.columnProfile(df, Seq("id", "tag", "v"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3),
+          Option(x.get(4)), Option(x.get(5)))).toMap
+    assert(r("id") == ((4L, 1L, 2L, Some(1.0), Some(2.0))))
+    // string column: nulls+distincts profiled, min/max suppressed
+    // (native string ordering is collation-sensitive across engines)
+    assert(r("tag") == ((4L, 1L, 2L, None, None)))
+    assert(r("v") == ((4L, 1L, 2L, Some(-1.0), Some(2.5))))
+  }
+
+  test("columnProfile is one aggregation over one scan") {
+    val df = Seq((1L, "x", 1.0)).toDF("id", "tag", "v")
+    val plan = Profiling.columnProfile(df, Seq("id", "tag", "v"))
+      .queryExecution.optimizedPlan
+    // multi-distinct plans via ONE Expand under one Aggregate chain —
+    // the source leaf must appear exactly once (no per-column re-scan)
+    val leaves = plan.collectLeaves()
+    assert(leaves.size == 1, s"profile re-scans the input: ${leaves.size} leaves")
+  }
 }
