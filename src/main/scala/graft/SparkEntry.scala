@@ -603,6 +603,17 @@ object SparkEntry {
       graft.operators.Layout.withZValue(e, Seq("value", "ts_us"), bits = 16)
         .select("event_id", "zval")
     }),
+    // HLL set-overlap: |click-users ∩ purchase-users| via
+    // inclusion-exclusion over MAX-MERGED register tables — the
+    // corpus-overlap diagnostic whose union estimate costs a 256-row
+    // join, not a third scan
+    "q103_hll_overlap" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Sketches.hllOverlap(
+        e.filter(col("event_type") === "click").select("user_id"),
+        e.filter(col("event_type") === "purchase").select("user_id"),
+        "user_id")
+    }),
     // Single-pass column profile ("DESCRIBE at scale"): one scan, one
     // aggregation, per-column nulls/distincts/numeric range — the
     // data-quality gate that runs before anything else touches a new
@@ -1841,6 +1852,53 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q100_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q103_hll_overlap" ->
+      // register tables per side, full-outer max-merge, then three
+      // exact-integer-S estimates in q46's literal order; ests rounded
+      // to 4 BEFORE the inclusion-exclusion so the composite stays on
+      // identical operands
+      """WITH ha AS (
+        |  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+        |), ra AS (
+        |  SELECT h & 255 AS bucket,
+        |    max(CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END) AS ma
+        |  FROM ha GROUP BY 1
+        |), hb AS (
+        |  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |), rb AS (
+        |  SELECT h & 255 AS bucket,
+        |    max(CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END) AS mb
+        |  FROM hb GROUP BY 1
+        |), m AS (
+        |  SELECT ma, mb, greatest(coalesce(ma, 0), coalesce(mb, 0)) AS mu
+        |  FROM ra FULL OUTER JOIN rb ON ra.bucket = rb.bucket
+        |), z AS (
+        |  SELECT
+        |    (coalesce(sum(CASE WHEN ma IS NOT NULL THEN 1::BIGINT << (53 - ma) END), 0) + (256 - count(ma)) * (1::BIGINT << 53))::BIGINT AS s_ma,
+        |    (256 - count(ma))::BIGINT AS z_ma,
+        |    (coalesce(sum(CASE WHEN mb IS NOT NULL THEN 1::BIGINT << (53 - mb) END), 0) + (256 - count(mb)) * (1::BIGINT << 53))::BIGINT AS s_mb,
+        |    (256 - count(mb))::BIGINT AS z_mb,
+        |    (coalesce(sum(1::BIGINT << (53 - mu)), 0) + (256 - count(mu)) * (1::BIGINT << 53))::BIGINT AS s_mu,
+        |    (256 - count(mu))::BIGINT AS z_mu
+        |  FROM m
+        |), e AS (
+        |  SELECT
+        |    round(CASE WHEN 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s_ma::DOUBLE <= 640.0 AND z_ma > 0
+        |      THEN 256.0 * ln(256.0 / z_ma)
+        |      ELSE 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s_ma::DOUBLE END, 4) AS est_a,
+        |    round(CASE WHEN 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s_mb::DOUBLE <= 640.0 AND z_mb > 0
+        |      THEN 256.0 * ln(256.0 / z_mb)
+        |      ELSE 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s_mb::DOUBLE END, 4) AS est_b,
+        |    round(CASE WHEN 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s_mu::DOUBLE <= 640.0 AND z_mu > 0
+        |      THEN 256.0 * ln(256.0 / z_mu)
+        |      ELSE 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s_mu::DOUBLE END, 4) AS est_union
+        |  FROM z
+        |)
+        |SELECT est_a, est_b, est_union,
+        |  round(greatest(est_a + est_b - est_union, 0.0), 4) AS est_overlap
+        |FROM e""".stripMargin,
     "q102_column_profile" ->
       """SELECT 'user_id' AS col_name, count(*)::BIGINT AS n_rows,
         |  (count(*) - count(user_id))::BIGINT AS n_null,

@@ -66,6 +66,61 @@ object Sketches {
     hllDistinct(
       docs.select(explode(tokens(col(textCol))).as("term")), "term")
 
+  /** Set-OVERLAP estimate between two relations' value sets —
+    * |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B) (inclusion–exclusion) —
+    * the corpus-overlap / audience-intersection diagnostic. The key
+    * property doing the work: HLL registers are MAX-mergeable, so
+    * est(A ∪ B) comes from `greatest` of the two register tables —
+    * no third scan over A∪B, no shuffle beyond each side's own
+    * 256-group register aggregation. At 100 TB each corpus publishes
+    * its 256-byte register table once; every pairwise overlap after
+    * that is a 256-row join.
+    *
+    * All three estimates use the exact-integer register fold
+    * (S = Σ 2^(53−mj), the [[graft.plans.HllAgg]] formulation) — an
+    * order-free BIGINT sum, so the estimates and the composed overlap
+    * are bit-reproducible by the SQL oracle. Each estimate is rounded
+    * to 4 decimals BEFORE the inclusion–exclusion arithmetic so the
+    * composite stays on identical operands in every engine. Overlap
+    * clamps at 0: with ~2%/√m relative error per estimate the
+    * difference can dip negative on disjoint sets. */
+  def hllOverlap(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def regs(df: DataFrame, name: String): DataFrame =
+      df.where(col(valueCol).isNotNull)
+        .select(md5Long(col(valueCol).cast("string")).as("h"))
+        .select(col("h").bitwiseAND(lit(255L)).as("bucket"),
+          when(expr("shiftright(h, 8)") > 0,
+            lit(53) - length(bin(expr("shiftright(h, 8)")))).otherwise(lit(53))
+            .as("rho"))
+        .groupBy("bucket").agg(max("rho").as(name))
+    // full-outer register merge: a bucket absent on one side is that
+    // side's zero register; absent from BOTH sides it is absent here
+    // and accounted via (256 - count) below
+    val merged = regs(a, "ma").join(regs(b, "mb"), Seq("bucket"), "full_outer")
+      .withColumn("mu",
+        greatest(coalesce(col("ma"), lit(0L)), coalesce(col("mb"), lit(0L))))
+    def sAndZeros(mj: String): Seq[org.apache.spark.sql.Column] = Seq(
+      (coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(53 - $mj AS INT))")),
+        lit(0L)) +
+        (lit(256L) - count(col(mj))) * lit(1L << 53)).as(s"_s_$mj"),
+      (lit(256L) - count(col(mj))).as(s"_z_$mj"))
+    val z = merged.agg(
+      (sAndZeros("ma") ++ sAndZeros("mb") ++ sAndZeros("mu")).head,
+      (sAndZeros("ma") ++ sAndZeros("mb") ++ sAndZeros("mu")).tail: _*)
+    def est(mj: String): org.apache.spark.sql.Column = {
+      // literal order mirrors HllAgg.eval and the q46 oracle SQL
+      val raw = lit(0.718272) * lit(65536.0) * lit(9007199254740992.0) /
+        col(s"_s_$mj").cast("double")
+      round(when(raw <= 640.0 && col(s"_z_$mj") > 0,
+        lit(256.0) * log(lit(256.0) / col(s"_z_$mj"))).otherwise(raw), 4)
+    }
+    z.select(est("ma").as("est_a"), est("mb").as("est_b"),
+        est("mu").as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        round(greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)), 4).as("est_overlap"))
+  }
+
   /** Histogram-sketch quantiles: equi-width bucket counts over
     * [min, max], quantile read off the cumulative distribution with
     * linear interpolation inside the selected bucket.

@@ -173,6 +173,25 @@ class SketchesSpec extends SparkSpec {
       sketch.orderBy("word").collect().toSeq)
   }
 
+  test("hllOverlap: inclusion-exclusion lands near truth; identical sets merge exactly") {
+    val a = (1 to 500).map(i => s"u$i").toDF("v")
+    val b = (251 to 750).map(i => s"u$i").toDF("v") // 250 shared
+    val r = Sketches.hllOverlap(a, b, "v").collect().head
+    val (ea, eu, ov) = (r.getDouble(0), r.getDouble(2), r.getDouble(3))
+    assert(math.abs(ea - 500) / 500.0 < 0.15, s"est_a $ea")
+    assert(math.abs(eu - 750) / 750.0 < 0.15, s"est_union $eu")
+    // inclusion-exclusion compounds three estimators' error — generous
+    assert(math.abs(ov - 250) < 0.3 * 750, s"est_overlap $ov")
+    // disjoint sets: overlap clamps at >= 0 and stays small
+    val d = Sketches.hllOverlap((1 to 300).map(i => s"x$i").toDF("v"),
+      (1 to 300).map(i => s"y$i").toDF("v"), "v").collect().head
+    assert(d.getDouble(3) >= 0.0 && d.getDouble(3) < 0.3 * 300, s"disjoint $d")
+    // identical sides: max-merged union registers ARE the side's
+    // registers, so est_union == est_a EXACTLY (not approximately)
+    val idn = Sketches.hllOverlap(a, a, "v").collect().head
+    assert(idn.getDouble(2) == idn.getDouble(0), s"identical-merge drift: $idn")
+  }
+
   // shard-merge LAW at the probe surface (the build-level equality
   // above checks one split; this pins the user-visible contract):
   // OR-union only ever SETS bits, so a key that probes true against
