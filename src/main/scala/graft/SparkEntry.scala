@@ -603,6 +603,51 @@ object SparkEntry {
       graft.operators.Layout.withZValue(e, Seq("value", "ts_us"), bits = 16)
         .select("event_id", "zval")
     }),
+    // Cross-trigger latest-per-key — the flagship mapGroupsWithState
+    // operator (the reference's per-IMEI latest-position state),
+    // driven through a real AvailableNow run in Update mode and
+    // hash-checked against the batch argmax dual. Determinism note:
+    // latestPerKey's maxBy(ts) has no tiebreak; (user_id, ts) is
+    // UNIQUE in this feed (asserted by the dual itself — a generator
+    // change introducing ties would fail the hash loudly, not
+    // silently).
+    "q104_stream_latest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("q104-events")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      srcDir.toFile.deleteOnExit()
+      srcDir.resolve("events.parquet").toFile.deleteOnExit()
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          col("ts").cast("long"), col("event_type").cast("string"))
+        .as[(Long, Long, Long, String)]
+      val latest = graft.streaming.StreamingOps
+        .latestPerKey[Long, (Long, Long, Long, String)](stream, _._2, _._3)
+      s.catalog.dropTempView("q104_latest")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try
+        latest.writeStream.format("memory").queryName("q104_latest")
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("q104_latest").toDF("event_id", "user_id", "ts", "event_type")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+    }),
+    // Token-budget-proportional sampling: keep docs with probability
+    // ∝ token count (uniform over TOKENS — the budget that matters),
+    // scan-speed after one broadcast mean
+    "q105_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("n_tokens",
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      Sampling.weightedSample(docs, col("n_tokens"), col("doc_id"), rate = 0.5)
+        .select("doc_id", "n_tokens")
+    }),
     // HLL set-overlap: |click-users ∩ purchase-users| via
     // inclusion-exclusion over MAX-MERGED register tables — the
     // corpus-overlap diagnostic whose union estimate costs a 256-row
@@ -1852,6 +1897,20 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q100_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q104_stream_latest" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "q105_weighted_sample" ->
+      // identical arithmetic: exact integer Σw / n, p = min(1,
+      // rate·w/mean), explicit floor into the 60-bit hash space
+      """WITH tk AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+        |  FROM documents
+        |), st AS (SELECT sum(n_tokens)::DOUBLE / count(*)::DOUBLE AS mw FROM tk)
+        |SELECT doc_id, n_tokens FROM tk, st
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT <
+        |  floor(least(1.0, 0.5 * n_tokens::DOUBLE / mw) * 1152921504606846976.0)::BIGINT""".stripMargin,
     "q103_hll_overlap" ->
       // register tables per side, full-outer max-merge, then three
       // exact-integer-S estimates in q46's literal order; ests rounded

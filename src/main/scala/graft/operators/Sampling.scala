@@ -29,6 +29,37 @@ object Sampling {
     df.filter(md5Long(key.cast("string")) < threshold(fraction))
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample: keep probability
+    * p_i = min(1, rate · w_i / mean_w), decided by whether md5(key)
+    * lands in the first p_i of the 60-bit hash space. With w = token
+    * count this is token-budget-proportional document sampling
+    * (uniform over TOKENS, the budget that actually matters), the
+    * importance-sampling primitive behind quality-weighted corpus
+    * mixing. Expected kept fraction ≈ `rate` (exact when no p_i
+    * clamps at 1).
+    *
+    * Scale/portability shape: one broadcast stats pass for mean_w,
+    * then a scan-speed filter — no shuffle, no state, repeatable
+    * across runs AND engines. Weights must be INTEGRAL (`long`):
+    * mean_w = Σw / n with an exact integer Σw is order-free, where a
+    * double `avg` would be partial-sum-order-dependent and break
+    * replay (the q83 quantization lesson). No transcendentals — the
+    * Efraimidis–Spirakis u^(1/w) key would hinge on cross-engine
+    * `pow` ulps; the threshold form is plain arithmetic with one
+    * explicit floor. */
+  def weightedSample(df: DataFrame, weight: Column, key: Column,
+                     rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0)
+    val st = broadcast(df.agg(
+      sum(weight.cast("long")).as("_sw"), count(lit(1)).as("_nw")))
+    val meanW = col("_sw").cast("double") / col("_nw").cast("double")
+    val p = least(lit(1.0), lit(rate) * weight.cast("double") / meanW)
+    df.crossJoin(st)
+      .filter(md5Long(key.cast("string")) <
+        floor(p * lit((1L << 60).toDouble)).cast("long"))
+      .drop("_sw", "_nw")
+  }
+
   /** Deterministic train/val split: adds a `split` column ("val" for
     * the first `valFraction` of the hash space, "train" otherwise). */
   def trainValSplit(df: DataFrame, key: Column,

@@ -17,6 +17,27 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(a.size / 2000.0 - 0.2) < 0.05, s"kept ${a.size} of 2000")
   }
 
+  test("weightedSample: uniform weights reduce to hashSample; clamp and zero-weight laws") {
+    val df = (1 to 2000).map(i => (i.toLong, 10L)).toDF("id", "w")
+    // equal weights => p = rate everywhere => EXACTLY hashSample
+    val ws = Sampling.weightedSample(df, $"w", $"id", 0.4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val hs = Sampling.hashSample(df, $"id", 0.4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ws == hs, "uniform-weight sample must equal the unweighted hash sample")
+    // zero weight -> p = 0 -> never kept; huge weight -> p clamps 1 -> always kept
+    val mixed = Seq((1L, 0L), (2L, 0L), (3L, 1000000L), (4L, 1L))
+      .toDF("id", "w")
+    val kept = Sampling.weightedSample(mixed, $"w", $"id", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L) && !kept.contains(2L), s"zero-weight row kept: $kept")
+    assert(kept.contains(3L), s"p=1 row dropped: $kept")
+    // expected kept fraction tracks rate on realistic skewed weights
+    val skewed = (1 to 2000).map(i => (i.toLong, (i % 7 + 1).toLong)).toDF("id", "w")
+    val frac = Sampling.weightedSample(skewed, $"w", $"id", 0.5).count() / 2000.0
+    assert(math.abs(frac - 0.5) < 0.05, s"kept fraction $frac")
+  }
+
   test("trainValSplit partitions every row; subsets nest as fraction grows") {
     val split = Sampling.trainValSplit(docs, col("doc_id"), 0.1)
     assert(split.count() == 2000)
