@@ -603,6 +603,69 @@ object SparkEntry {
       graft.operators.Layout.withZValue(e, Seq("value", "ts_us"), bits = 16)
         .select("event_id", "zval")
     }),
+    // Streaming gap-based SESSION windows, oracle-checked end-to-end
+    // (complete mode for the same reason as q99: AvailableNow ends
+    // before the watermark closes the tail sessions; complete emits
+    // every session's final state). q34 is the batch-scale dual: a
+    // session = maximal run with gaps ≤ 30 min, end = last event +
+    // gap. The bounded-state append path is spec-verified.
+    "q106_stream_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("q106-events")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      srcDir.toFile.deleteOnExit()
+      srcDir.resolve("events.parquet").toFile.deleteOnExit()
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      val sess = graft.streaming.StreamingOps.sessionAgg(
+        stream, "ets", "user_id", gap = "30 minutes")
+      s.catalog.dropTempView("q106_sessions")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try
+        sess.writeStream.format("memory").queryName("q106_sessions")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("q106_sessions")
+        .select(col("user_id"),
+          unix_micros(col("sess_start")).as("sess_start_us"),
+          unix_micros(col("sess_end")).as("sess_end_us"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+    }),
+    // Streaming windowed DISTINCT-COUNT via the mergeable HLL
+    // aggregate — the sketch-for-state trade that makes windowed
+    // COUNT(DISTINCT) viable on an unbounded stream (256 bytes per
+    // (window, key) group, max-merged across triggers). The dual
+    // replays the registers per (window, event_type) group.
+    "q107_stream_windowed_hll" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("q107-events")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      srcDir.toFile.deleteOnExit()
+      srcDir.resolve("events.parquet").toFile.deleteOnExit()
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      val est = graft.streaming.StreamingOps.windowedDistinct(
+        stream, "ets", "event_type", "user_id", windowLen = "30 minutes")
+      s.catalog.dropTempView("q107_hll")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try
+        est.writeStream.format("memory").queryName("q107_hll")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("q107_hll")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("est_distinct"))
+    }),
     // Cross-trigger latest-per-key — the flagship mapGroupsWithState
     // operator (the reference's per-IMEI latest-position state),
     // driven through a real AvailableNow run in Update mode and
@@ -1911,6 +1974,49 @@ object SparkEntry {
         |SELECT doc_id, n_tokens FROM tk, st
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT <
         |  floor(least(1.0, 0.5 * n_tokens::DOUBLE / mw) * 1152921504606846976.0)::BIGINT""".stripMargin,
+    "q106_stream_sessions" ->
+      // lag/run-sum sessionization replay of session_window: Spark's
+      // per-event window is [ts, ts+gap) and sessions merge on STRICT
+      // overlap, so an event exactly `gap` after its predecessor
+      // starts a NEW session (hence >=, unlike q34's documented
+      // closed-gap variant); session end = last event + gap
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events
+        |), s AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), r AS (
+        |  SELECT user_id, us, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_n
+        |  FROM s
+        |)
+        |SELECT user_id, min(us) AS sess_start_us, max(us) + 1800000000 AS sess_end_us,
+        |  count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+        |FROM r GROUP BY user_id, sess_n""".stripMargin,
+    "q107_stream_windowed_hll" ->
+      // q72's register fold, partitioned by (tumbling window, type):
+      // the stream's max-merged cross-trigger registers must equal a
+      // batch fold of the same rows — HLL state is order-free
+      """WITH h AS (
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS ws, event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events
+        |), b AS (
+        |  SELECT ws, event_type, h & 255 AS bucket,
+        |    CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END AS rho
+        |  FROM h
+        |), m AS (SELECT ws, event_type, bucket, max(rho) AS mj FROM b GROUP BY 1, 2, 3),
+        |z AS (SELECT ws, event_type,
+        |    (sum(1::BIGINT << (53 - mj)) + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s,
+        |    256 - count(*) AS zeros FROM m GROUP BY 1, 2)
+        |SELECT ws AS window_start_us, event_type,
+        |  round(CASE WHEN 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s::DOUBLE <= 640.0 AND zeros > 0
+        |    THEN 256.0 * ln(256.0 / zeros)
+        |    ELSE 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s::DOUBLE END, 4) AS est_distinct
+        |FROM z""".stripMargin,
     "q103_hll_overlap" ->
       // register tables per side, full-outer max-merge, then three
       // exact-integer-S estimates in q46's literal order; ests rounded
