@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{EngineConfig, Share}
-import graft.operators.{AsOfJoin, BucketedJoin, Dedup, DedupClusters, FuzzyDedup, Merge, Multimodal, Sampling, Similarity, Sketches, SkewJoin, TextAnalysis}
+import graft.operators.{Analytics, AsOfJoin, BucketedJoin, Dedup, DedupClusters, FuzzyDedup, Graph, Merge, Multimodal, Sampling, Similarity, Sketches, SkewJoin, TextAnalysis}
 import graft.sources.InReachSource
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -729,6 +729,50 @@ object SparkEntry {
     "q102_column_profile" -> ((s, dir) =>
       graft.operators.Profiling.columnProfile(
         t(s, dir, "events"), Seq("user_id", "event_type", "value"))),
+    // Snapshot diff (CDC extraction): the change set between two
+    // generations of the customer table — generations derived
+    // deterministically (mod-key membership + a mod-3 balance bump)
+    // so both engines replay the identical insert/update/delete mix
+    "q108_snapshot_diff" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val old = cust.filter(col("c_custkey") % 11 =!= 0)
+      val neu = cust.filter(col("c_custkey") % 10 =!= 0)
+        .withColumn("c_acctbal", when(col("c_custkey") % 3 === 0,
+          col("c_acctbal") + lit(1000.0)).otherwise(col("c_acctbal")))
+      Merge.snapshotDiff(old, neu, Seq("c_custkey"))
+    }),
+    // Ordered funnel with a 48h conversion window. µs-truncated time
+    // on BOTH engines (ts div 1000 ⇄ epoch_us) so the strict-after /
+    // within-gap comparisons see identical integers — ns-side
+    // precision would decide boundaries the DuckDB µs clock can't see
+    "q109_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"))
+      Analytics.funnel(ev, "user_id", "ts_us", "event_type",
+        Seq("signup", "view", "click", "purchase"),
+        maxGap = Some(48L * 3600L * 1000000L))
+    }),
+    // Cohort retention: users cohorted by first-purchase DAY, cells
+    // count distinct purchasers k days later — daily grain over the
+    // 30-day feed gives a 214-cell matrix (11 cohorts), integer
+    // division end to end
+    "q110_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      Analytics.cohortRetention(ev, "user_id", "ts_us",
+        periodUs = 86400000000L)
+    }),
+    // Fixed-iteration PageRank over a derived 150-node directed graph
+    // (src = user, dst = event_id mod 150 — deterministic on both
+    // engines); int64-quantized edge contributions make the three
+    // iterations bit-identical under any partitioning
+    "q111_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id").as("src"),
+        (col("event_id") % 150).as("dst"))
+      Graph.pageRank(e, "src", "dst", iters = 3)
+    }),
     // Vocabulary coverage: top-20 terms with cumulative token mass
     "q90_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), topK = 20)),
@@ -2078,6 +2122,90 @@ object SparkEntry {
         |SELECT 'value', count(*)::BIGINT, (count(*) - count(value))::BIGINT,
         |  count(DISTINCT value)::BIGINT, min(value)::DOUBLE, max(value)::DOUBLE
         |FROM events""".stripMargin,
+    "q108_snapshot_diff" ->
+      // generations replayed literally (mod-11 / mod-10 membership,
+      // +1000.0 exact-double bump on mod-3 keys); IS DISTINCT FROM ⇄
+      // Spark's null-safe <=> negation
+      """WITH o AS (SELECT * FROM customer WHERE c_custkey % 11 <> 0),
+        |nu AS (SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment FROM customer WHERE c_custkey % 10 <> 0),
+        |j AS (SELECT coalesce(o.c_custkey, nu.c_custkey) AS c_custkey,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |       WHEN nu.c_custkey IS NULL THEN 'delete'
+        |       WHEN (o.c_name IS DISTINCT FROM nu.c_name)
+        |         OR (o.c_nationkey IS DISTINCT FROM nu.c_nationkey)
+        |         OR (o.c_acctbal IS DISTINCT FROM nu.c_acctbal)
+        |         OR (o.c_mktsegment IS DISTINCT FROM nu.c_mktsegment)
+        |       THEN 'update' END AS change_type,
+        |  o.c_name AS old_c_name, nu.c_name AS new_c_name,
+        |  o.c_nationkey AS old_c_nationkey, nu.c_nationkey AS new_c_nationkey,
+        |  o.c_acctbal AS old_c_acctbal, nu.c_acctbal AS new_c_acctbal,
+        |  o.c_mktsegment AS old_c_mktsegment, nu.c_mktsegment AS new_c_mktsegment
+        |FROM o FULL OUTER JOIN nu ON o.c_custkey = nu.c_custkey)
+        |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin,
+    "q109_funnel" ->
+      // unrolled stage CTEs: each stage = first qualifying event
+      // strictly after, and within 48h of, the previous stage's time;
+      // µs integers on both engines
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t
+        |    AND epoch_us(e.ts) <= s1.t + 172800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t
+        |    AND epoch_us(e.ts) <= s2.t + 172800000000 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t
+        |    AND epoch_us(e.ts) <= s3.t + 172800000000 GROUP BY 1)
+        |SELECT 1 AS step, 'signup' AS step_name, (SELECT count(*) FROM s1)::BIGINT AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)::BIGINT
+        |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)::BIGINT
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)::BIGINT""".stripMargin,
+    "q110_cohort_retention" ->
+      // epoch-aligned day buckets: `//` == Spark `div` on the
+      // non-negative µs epoch
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(p) AS cohort_period FROM ev GROUP BY 1)
+        |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
+        |  count(DISTINCT ev.user_id)::BIGINT AS n_users
+        |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q111_pagerank" ->
+      // three unrolled iterations; every distributed sum is over the
+      // int64-quantized edge contributions (floor(r/od·1e9 + ½)) so
+      // both engines add the same integers in any order; base/damping
+      // terms forced to DOUBLE arithmetic (DuckDB's bare `1 - 0.85`
+      // is exact DECIMAL — one ulp off Spark's double subtraction)
+      """WITH e AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT count(*)::DOUBLE AS nn FROM nodes),
+        |deg AS (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1.0::DOUBLE / nn AS rank FROM nodes, n),
+        |s1 AS (SELECT e.dst AS node,
+        |    sum(floor(r.rank / deg.od * 1000000000.0 + 0.5)::BIGINT)::BIGINT AS s
+        |  FROM e JOIN r0 r ON e.src = r.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r1 AS (SELECT nodes.node, (1.0::DOUBLE - 0.85::DOUBLE) / nn
+        |    + 0.85::DOUBLE * (coalesce(s.s, 0)::DOUBLE / 1000000000.0) AS rank
+        |  FROM nodes LEFT JOIN s1 s ON nodes.node = s.node, n),
+        |s2 AS (SELECT e.dst AS node,
+        |    sum(floor(r.rank / deg.od * 1000000000.0 + 0.5)::BIGINT)::BIGINT AS s
+        |  FROM e JOIN r1 r ON e.src = r.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r2 AS (SELECT nodes.node, (1.0::DOUBLE - 0.85::DOUBLE) / nn
+        |    + 0.85::DOUBLE * (coalesce(s.s, 0)::DOUBLE / 1000000000.0) AS rank
+        |  FROM nodes LEFT JOIN s2 s ON nodes.node = s.node, n),
+        |s3 AS (SELECT e.dst AS node,
+        |    sum(floor(r.rank / deg.od * 1000000000.0 + 0.5)::BIGINT)::BIGINT AS s
+        |  FROM e JOIN r2 r ON e.src = r.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r3 AS (SELECT nodes.node, (1.0::DOUBLE - 0.85::DOUBLE) / nn
+        |    + 0.85::DOUBLE * (coalesce(s.s, 0)::DOUBLE / 1000000000.0) AS rank
+        |  FROM nodes LEFT JOIN s3 s ON nodes.node = s.node, n)
+        |SELECT node, round(rank, 8) AS rank FROM r3""".stripMargin,
     "q101_zorder" ->
       // bit-for-bit replay of Layout.withZValue(bits=16) over
       // (value, ts_us): identical IEEE equal-width binning

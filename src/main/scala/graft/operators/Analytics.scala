@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators — ordered-funnel conversion and cohort
+  * retention, the two queries every event warehouse runs daily. Both
+  * are pure declarative plans over the raw event log: no sessionizing
+  * precompute, no driver-side state, integer outputs that hash
+  * identically on any engine.
+  */
+object Analytics {
+
+  /** Ordered funnel: for each step k, the number of users who
+    * performed step 1..k IN ORDER (each step strictly AFTER the
+    * previous one — a same-timestamp event does not advance the
+    * funnel, so the result is order-of-arrival independent), with an
+    * optional per-step conversion window: when `maxGap` is set, step
+    * k must land within `maxGap` time units of the user's step-(k-1)
+    * time (the product-analytics "converted within N hours" contract;
+    * units are whatever `tsCol` carries). Returns one row per step:
+    * (step, step_name, n_users), n_users non-increasing by
+    * construction.
+    *
+    * Scale shape: per step, one filter on the event scan (pushed to
+    * the source) and one key-equi join + min-agg against the previous
+    * stage's (user, ts) table — all joins and aggs share the user-key
+    * partitioning, so after the first shuffle the per-step passes are
+    * co-located; AQE reuses the exchange. Stage tables only ever
+    * SHRINK (stage k ⊆ stage k-1), so later passes are cheaper, and
+    * the final counts are 1-row aggregates unioned into a k-row
+    * result — nothing wide ever reaches the driver. The number of
+    * steps is a query constant (3–6 in practice), not data-driven. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             maxGap: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"funnel steps must be non-empty and distinct, got $steps")
+    val ev = events.select(col(userCol).as("_user"), col(tsCol).as("_ts"),
+      col(typeCol).as("_tpe"))
+    // stage 1: first occurrence of the entry step per user
+    var stage = ev.filter(col("_tpe") === steps.head)
+      .groupBy("_user").agg(min("_ts").as("_t"))
+    var counts = stage.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("step"), lit(steps.head).as("step_name"),
+        col("n_users"))
+    for (i <- 2 to steps.size) {
+      // stage i: first step-i event strictly after the user's stage-(i-1) time
+      stage = ev.filter(col("_tpe") === steps(i - 1))
+        .join(stage.select(col("_user"), col("_t").as("_prev")), Seq("_user"))
+        .filter(maxGap.foldLeft(col("_ts") > col("_prev")) {
+          (p, g) => p && col("_ts") <= col("_prev") + lit(g) })
+        .groupBy("_user").agg(min("_ts").as("_t"))
+      counts = counts.unionByName(
+        stage.agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("step"), lit(steps(i - 1)).as("step_name"),
+            col("n_users")))
+    }
+    counts
+  }
+
+  /** Cohort retention matrix: users are cohorted by the period of
+    * their FIRST event; each (cohort, offset) cell counts the
+    * distinct users of that cohort active `offset` periods later.
+    * Periods are epoch-aligned fixed buckets of `periodUs`
+    * microseconds over a µs-integer time column (default 7 days) —
+    * integer division end to end, so every cell is engine-exact.
+    * Returns (cohort_period, period_offset, n_users); offset 0 row
+    * is the cohort size.
+    *
+    * Scale shape: one min-agg per user (map-side combinable), one
+    * key-equi join back to the event log — both sides partitioned by
+    * user, so the join is co-located with the agg's own shuffle — and
+    * one final (cohort, offset) count-distinct whose group count is
+    * tiny (periods², not users). The first-event table is users-sized;
+    * at 100 TB it is the ONLY intermediate, and it is the small side:
+    * broadcast it when the user dimension fits, else the co-partitioned
+    * join above. */
+  def cohortRetention(events: DataFrame, userCol: String, tsUsCol: String,
+                      periodUs: Long = 7L * 86400L * 1000000L): DataFrame = {
+    require(periodUs >= 1)
+    // integer `div` (not `/`, which is double division in Spark SQL):
+    // epochs are non-negative, so div == floor division on both engines
+    val ev = events.select(col(userCol).as("_user"),
+      col(tsUsCol).cast("long").as("_us"))
+      .select(col("_user"), expr(s"_us div $periodUs").as("_period"))
+    val firsts = ev.groupBy("_user").agg(min("_period").as("cohort_period"))
+    ev.join(firsts, Seq("_user"))
+      .groupBy(col("cohort_period"),
+        (col("_period") - col("cohort_period")).as("period_offset"))
+      .agg(countDistinct(col("_user")).as("n_users"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — the rank/propagation
+  * complement to [[DedupClusters]]' connected components. Like every
+  * iterative operator here the loop builds ONE lazy plan (fixed,
+  * small iteration count — a query constant), with no driver-side
+  * actions inside the loop.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over a directed edge list.
+    *
+    * r₀(v) = 1/N; rᵢ₊₁(v) = (1−d)/N + d·Σ_{u→v} rᵢ(u)/outdeg(u).
+    * Simplified (non-redistributing) dangling handling: sink nodes
+    * keep their base term and leak their mass — the standard
+    * fixed-iteration formulation; document or avoid sinks upstream if
+    * total-mass conservation matters. Returns (node, rank).
+    *
+    * Engine-exact by construction: each edge's contribution is
+    * quantized to int64 (`floor(r/outdeg·S + ½)`) BEFORE the per-node
+    * sum, so the only distributed reduction is integer addition —
+    * order-free, bit-identical on any engine or partitioning
+    * ([[Similarity.kmeansRefine]]'s trick); every remaining FP step
+    * is a fixed scalar expression sequence both engines evaluate
+    * identically. At S = 10⁹ the quantization error per edge is
+    * ≤ 5·10⁻¹⁰ — far below any ranking use — and a rank sum over
+    * ≤ 2⁵³/S ≈ 9M in-edges per node cannot overflow.
+    *
+    * Scale shape: outdegrees are one map-side-combinable count; each
+    * iteration is (rank ⋈ edges on src) + one dst-keyed integer sum.
+    * The rank table is nodes-sized — broadcast it while nodes fit
+    * (`broadcastRanks`, the common case: ranks are two columns even
+    * when edges are billions), and the per-iteration cost collapses
+    * to one edge scan + one dst shuffle of (dst, int64) pairs. For
+    * node sets past broadcast range, pre-partition edges by src once
+    * and the rank join is co-located every iteration. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85,
+               broadcastRanks: Boolean = true,
+               quantScale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0 && damping > 0 && damping < 1 && quantScale >= 1)
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull).distinct()
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst"))).distinct()
+    // N via a 1-row broadcast — never a driver-side count
+    val n = broadcast(nodes.agg(count(lit(1)).as("_n")))
+    val base = (lit(1.0) - lit(damping)) / col("_n")
+    val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_outdeg"))
+    var ranks = nodes.crossJoin(n)
+      .select(col("node"), (lit(1.0) / col("_n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val r = if (broadcastRanks) broadcast(ranks) else ranks
+      val sums = e
+        .join(r.select(col("node").as("_src"), col("rank")), Seq("_src"))
+        .join(if (broadcastRanks) broadcast(outdeg) else outdeg, Seq("_src"))
+        .select(col("_dst").as("node"),
+          floor(col("rank") / col("_outdeg") * lit(quantScale.toDouble) +
+            lit(0.5)).as("_qc"))
+        .groupBy("node").agg(sum("_qc").as("_s"))
+      ranks = nodes.join(sums, Seq("node"), "left").crossJoin(n)
+        .select(col("node"),
+          (base + lit(damping) *
+            (coalesce(col("_s"), lit(0L)).cast("double") /
+              lit(quantScale.toDouble))).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 8).as("rank"))
+  }
+}

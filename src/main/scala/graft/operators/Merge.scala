@@ -63,4 +63,41 @@ object Merge {
       }
       .select(base.columns.map(col): _*)
   }
+
+  /** Snapshot diff — the inverse of [[scd1]]: given two generations
+    * of a table, extract the change set that transforms `old` into
+    * `neu` (CDC extraction between snapshots, the "table_changes"
+    * every lakehouse exposes). One row per changed key:
+    * (keys..., change_type ∈ insert|update|delete, old_c / new_c per
+    * attribute). Unchanged keys are dropped; attribute comparison is
+    * null-safe (NULL → NULL is "unchanged", NULL → value is a
+    * change), so the diff of a table against itself is empty.
+    *
+    * Scale shape: ONE key-equi full-outer join — co-located when both
+    * generations share a bucketed layout (the [[scd1]] /
+    * `Scd1Handle` generation files do) — then pure projection; the
+    * output is changed-rows-sized, never table-sized. This is the
+    * operator that turns a periodic full snapshot feed into an
+    * incremental one: diff consecutive snapshots once, then apply the
+    * (much smaller) change stream with [[scd1]] from there on. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && old.columns.sameElements(neu.columns),
+      "snapshots must share one schema; diff keys must be non-empty")
+    val valCols = old.columns.filterNot(keyCols.contains).toSeq
+    def side(df: DataFrame, p: String, flag: String) =
+      df.select(keyCols.map(col) ++ valCols.map(c => col(c).as(p + c)) :+
+        lit(true).as(flag): _*)
+    val joined = side(old, "old_", "_in_old")
+      .join(side(neu, "new_", "_in_new"), keyCols, "full_outer")
+    val changed = valCols.map(c => !(col("old_" + c) <=> col("new_" + c)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined.withColumn("change_type",
+        when(col("_in_old").isNull, lit("insert"))
+          .when(col("_in_new").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("change_type")) ++
+        valCols.flatMap(c => Seq(col("old_" + c), col("new_" + c))): _*)
+  }
 }

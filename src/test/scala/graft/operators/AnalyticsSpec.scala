@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel: in-order progression; same-ts never advances; window expiry") {
+    // u1 completes a->b->c in order; u2 saw b BEFORE a (b must not
+    // count); u3 has a and b at the same instant (strictly-after
+    // contract); u4's b lands outside the 100-unit conversion window
+    val ev = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 10L, "b"), (2L, 20L, "a"),
+      (3L, 10L, "a"), (3L, 10L, "b"),
+      (4L, 10L, "a"), (4L, 200L, "b")
+    ).toDF("u", "ts", "tpe")
+    val out = Analytics.funnel(ev, "u", "ts", "tpe", Seq("a", "b", "c"),
+        maxGap = Some(100L))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "a", 4L), (2, "b", 1L), (3, "c", 1L)))
+  }
+
+  test("funnel: without a window, any later event advances") {
+    val ev = Seq((4L, 10L, "a"), (4L, 200L, "b")).toDF("u", "ts", "tpe")
+    val out = Analytics.funnel(ev, "u", "ts", "tpe", Seq("a", "b"))
+      .orderBy("step").collect().map(r => r.getLong(2)).toSeq
+    assert(out == Seq(1L, 1L))
+  }
+
+  test("cohortRetention: first-period cohorts, offsets, in-cell dedup") {
+    // period size 10: u1 cohort 0 active at offsets {0,1,3}; u2
+    // cohort 1 at {0,1}; u3 cohort 0, two events in the SAME cell
+    val ev = Seq((1L, 5L), (1L, 15L), (1L, 35L), (2L, 12L), (2L, 22L),
+      (3L, 5L), (3L, 7L)).toDF("u", "us")
+    val out = Analytics.cohortRetention(ev, "u", "us", periodUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edges =
+    Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (4L, 1L))
+
+  /** Driver-side replay of the exact quantized iteration, including
+    * Spark's HALF_UP rounding at scale 8. */
+  private def replay(iters: Int): Map[Long, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val od = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    var r = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to iters) {
+      val sums = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e =>
+          math.floor(r(e._1) / od(e._1) * 1e9 + 0.5).toLong).sum
+      }
+      r = nodes.map(n => n -> ((1.0 - 0.85) / nodes.size +
+        0.85 * (sums.getOrElse(n, 0L).toDouble / 1e9))).toMap
+    }
+    r.map { case (k, v) => k -> BigDecimal(v)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble }
+  }
+
+  test("pageRank: matches the quantized driver-side replay exactly") {
+    val out = Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out == replay(3))
+    // no dangling nodes in this graph -> mass is conserved
+    assert(math.abs(out.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank: partitioning-independent (integer-sum order freedom)") {
+    val base = Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val shuffled = Graph.pageRank(
+        edges.toDF("s", "d").repartition(7), "s", "d",
+        iters = 3, broadcastRanks = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(base == shuffled)
+  }
+
+  test("pageRank: duplicate edges collapse; iters=0 is uniform") {
+    val dup = (edges ++ edges).toDF("s", "d")
+    val out = Graph.pageRank(dup, "s", "d", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out == replay(3))
+    val r0 = Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters = 0)
+      .collect().map(_.getDouble(1)).toSet
+    assert(r0 == Set(0.25))
+  }
+}

@@ -28,6 +28,22 @@ class MergeSpec extends SparkSpec {
       (4L, None, Some("pink"))))       // inserted, base attrs NULL
   }
 
+  test("snapshotDiff: insert/update/delete classification; null-safe compare") {
+    val old = Seq((1L, "a", Option(1.0)), (2L, "b", Option.empty[Double]),
+      (3L, "c", Option(3.0))).toDF("k", "name", "v")
+    val neu = Seq((1L, "a", Option(1.0)), (2L, "b", Option(2.0)),
+      (4L, "d", Option.empty[Double])).toDF("k", "name", "v")
+    val out = Merge.snapshotDiff(old, neu, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // k=1 unchanged -> dropped; k=2 NULL->2.0 is a change; k=3 only
+    // in old; k=4 only in new (with a NULL attribute)
+    assert(out == Set((2L, "update"), (3L, "delete"), (4L, "insert")))
+  }
+
+  test("snapshotDiff: a table diffed against itself is empty") {
+    assert(Merge.snapshotDiff(base, base, Seq("k")).isEmpty)
+  }
+
   test("scd1: latest change wins among several updates, tiebreak included") {
     val changes = Seq(
       (1L, 10L, 1L, "upd", Option("first")),
