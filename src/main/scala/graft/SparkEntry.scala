@@ -764,6 +764,21 @@ object SparkEntry {
       Analytics.cohortRetention(ev, "user_id", "ts_us",
         periodUs = 86400000000L)
     }),
+    // Rolling active users (WAU-style): distinct purchasers in the
+    // trailing 3 days per day — explode-based rolling distinct, no
+    // window function, no per-period self-join
+    "q112_rolling_active" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("ts_us", expr("ts div 1000"))
+      Analytics.rollingActiveUsers(ev, "user_id", "ts_us",
+        periodUs = 86400000000L, windowPeriods = 3)
+    }),
+    // First-order Markov transition matrix over each user's event
+    // sequence; ns-precision order + event_id tiebreak = total order
+    "q113_transitions" -> ((s, dir) =>
+      Analytics.eventTransitions(t(s, dir, "events"), "user_id",
+        "event_type", Seq(col("ts"), col("event_id")))),
     // Fixed-iteration PageRank over a derived 150-node directed graph
     // (src = user, dst = event_id mod 150 — deterministic on both
     // engines); int64-quantized edge contributions make the three
@@ -2175,6 +2190,26 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q112_rolling_active" ->
+      // explode each distinct (user, day) to the 3 days it keeps the
+      // user active; trim to the feed's own max day
+      """WITH up AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS p
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+        |mx AS (SELECT max(p) AS mp FROM up),
+        |ex AS (SELECT u, p + b AS period FROM up, generate_series(0, 2) tb(b), mx
+        |  WHERE p + b <= mp)
+        |SELECT period, count(DISTINCT u)::BIGINT AS n_active
+        |FROM ex GROUP BY 1""".stripMargin,
+    "q113_transitions" ->
+      // lag over (ns, event_id) total order; integer count ratio is
+      // exact on both engines before the round
+      """WITH l AS (SELECT event_type AS dst_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS src_type
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT src_type, dst_type, count(*)::BIGINT AS n,
+        |  round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY src_type), 6) AS p
+        |FROM l WHERE src_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q111_pagerank" ->
       // three unrolled iterations; every distributed sum is over the
       // int64-quantized edge contributions (floor(r/od·1e9 + ½)) so

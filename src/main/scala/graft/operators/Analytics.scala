@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Product-analytics operators — ordered-funnel conversion and cohort
@@ -76,6 +76,72 @@ object Analytics {
     * at 100 TB it is the ONLY intermediate, and it is the small side:
     * broadcast it when the user dimension fits, else the co-partitioned
     * join above. */
+  /** Rolling active users — DAU/WAU/MAU: for each period, the count
+    * of distinct users active in the trailing `windowPeriods` periods
+    * (inclusive). Periods are epoch-aligned `periodUs` buckets;
+    * output is trimmed to the data's own period range so every
+    * reported window is fully inside the feed. Returns
+    * (period, n_active).
+    *
+    * Scale shape: the event log first collapses to DISTINCT
+    * (user, period) — users × periods sized, the only table that
+    * matters — then each activity row is exploded to the ≤ `window`
+    * periods it keeps alive (`sequence` + `explode`, a fixed ≤ 28×
+    * fan-out of the ALREADY-collapsed table, not of the raw log) and
+    * one count-distinct per period closes it. No window function, no
+    * per-period self-join — the rolling semantics ride the explode.
+    * For window sizes where w× distinct-activity fan-out is too much,
+    * swap the exact count-distinct for the mergeable HLL aggregate
+    * ([[graft.plans.HllAgg]]) over the same explode. */
+  def rollingActiveUsers(events: DataFrame, userCol: String,
+                         tsUsCol: String, periodUs: Long,
+                         windowPeriods: Int): DataFrame = {
+    require(periodUs >= 1 && windowPeriods >= 1)
+    val up = events.select(col(userCol).as("_user"),
+        expr(s"cast($tsUsCol as bigint) div $periodUs").as("_p"))
+      .filter(col("_user").isNotNull).distinct()
+    // data's own period range via a 1-row broadcast, never a collect
+    val mx = broadcast(up.agg(max("_p").as("_maxp")))
+    up.select(col("_user"),
+        explode(sequence(col("_p"),
+          col("_p") + lit(windowPeriods - 1L))).as("period"))
+      .crossJoin(mx).filter(col("period") <= col("_maxp"))
+      .groupBy("period")
+      .agg(countDistinct(col("_user")).as("n_active"))
+  }
+
+  /** Next-event transition matrix (first-order Markov estimate): for
+    * each ordered (src_type, dst_type) pair of consecutive events of
+    * one user, the transition count and the row-normalized
+    * probability. `orderCols` must be a TOTAL order per user (pass a
+    * unique tiebreak — same contract as every rank/argmax here) or
+    * the pairs are engine-dependent. Returns
+    * (src_type, dst_type, n, p) with p rounded to 6.
+    *
+    * Scale shape: one user-partitioned window (lag) over the event
+    * log — the same single shuffle any sessionization pays — then a
+    * types²-sized aggregation; the row-normalizing sum is a window
+    * over that tiny table, not over events. Integer counts divide
+    * exactly on both engines, so p is oracle-stable at round-6. */
+  def eventTransitions(events: DataFrame, userCol: String,
+                       typeCol: String,
+                       orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "need a per-user total order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(orderCols: _*)
+    val pairs = events.filter(col(userCol).isNotNull)
+      .select(col(typeCol).as("dst_type"),
+        lag(col(typeCol), 1).over(w).as("src_type"))
+      .filter(col("src_type").isNotNull)
+    val counts = pairs.groupBy("src_type", "dst_type")
+      .agg(count(lit(1)).as("n"))
+    val norm = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_type")
+    counts.withColumn("p",
+        round(col("n").cast("double") / sum("n").over(norm), 6))
+      .select("src_type", "dst_type", "n", "p")
+  }
+
   def cohortRetention(events: DataFrame, userCol: String, tsUsCol: String,
                       periodUs: Long = 7L * 86400L * 1000000L): DataFrame = {
     require(periodUs >= 1)

@@ -29,6 +29,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq(1L, 1L))
   }
 
+  test("rollingActiveUsers: trailing-window distinct, range trim, dedup") {
+    // period size 10, window 2: u1 active p0,p2; u2 active p0 (twice);
+    // max period = 2 so the explode must not report p3
+    val ev = Seq((1L, 5L), (1L, 25L), (2L, 3L), (2L, 8L)).toDF("u", "us")
+    val out = Analytics.rollingActiveUsers(ev, "u", "us",
+        periodUs = 10L, windowPeriods = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // p0: {u1,u2}; p1: carried {u1,u2}; p2: {u1}
+    assert(out == Set((0L, 2L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("rollingActiveUsers: window 1 is plain per-period distinct") {
+    val ev = Seq((1L, 5L), (2L, 5L), (1L, 15L)).toDF("u", "us")
+    val out = Analytics.rollingActiveUsers(ev, "u", "us", 10L, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 2L), (1L, 1L)))
+  }
+
+  test("eventTransitions: lagged pairs, row-normalized, null users dropped") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b")
+    ).toDF("u", "seq", "tpe")
+    val out = Analytics.eventTransitions(ev, "u", "tpe", Seq($"seq"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // a->b three times (p=1.0 from a), b->a once (p=1.0 from b)
+    assert(out == Set(("a", "b", 3L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
   test("cohortRetention: first-period cohorts, offsets, in-cell dedup") {
     // period size 10: u1 cohort 0 active at offsets {0,1,3}; u2
     // cohort 1 at {0,1}; u3 cohort 0, two events in the SAME cell
