@@ -779,6 +779,23 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Per-node triangle counts on a sparsified derived graph
+    // (every-13th event), degree-ordered orientation
+    "q114_triangles" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("event_id") % 13 === 0)
+        .select(col("user_id").as("src"), (col("event_id") % 150).as("dst"))
+      Graph.triangleCounts(e, "src", "dst")
+    }),
+    // Resample each user's view-value series onto a 6h epoch-aligned
+    // grid with forward fill — asOfUnion against a generated calendar
+    "q115_resample_ffill" -> ((s, dir) => {
+      val obs = t(s, dir, "events").filter(col("event_type") === "view")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("value"), col("event_id"))
+      graft.operators.TimeSeries.resampleFill(obs, "user_id", "ts_us",
+        payload = Seq("value"), stepUs = 21600000000L,
+        tiebreak = Seq("event_id"))
+    }),
     // Fixed-iteration PageRank over a derived 150-node directed graph
     // (src = user, dst = event_id mod 150 — deterministic on both
     // engines); int64-quantized edge contributions make the three
@@ -2190,6 +2207,43 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q114_triangles" ->
+      // identical degree-ordered orientation ((deg, id) lexicographic)
+      // so wedge/closure joins replay exactly
+      """WITH raw AS (SELECT user_id AS a, event_id % 150 AS b FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND event_id % 13 = 0),
+        |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+        |deg AS (SELECT node, count(*)::BIGINT AS dg FROM
+        |  (SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+        |dd AS (SELECT u, v, du.dg AS du, dv.dg AS dv FROM und
+        |  JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+        |o AS (SELECT CASE WHEN (du < dv) OR (du = dv AND u < v) THEN u ELSE v END AS x,
+        |             CASE WHEN (du < dv) OR (du = dv AND u < v) THEN v ELSE u END AS y,
+        |             CASE WHEN (du < dv) OR (du = dv AND u < v) THEN dv ELSE du END AS dy
+        |      FROM dd),
+        |w AS (SELECT e1.x, e1.y, e2.y AS z FROM o e1 JOIN o e2 ON e1.x = e2.x
+        |      WHERE (e1.dy < e2.dy) OR (e1.dy = e2.dy AND e1.y < e2.y)),
+        |tris AS (SELECT w.x, w.y, w.z FROM w JOIN o e3 ON w.y = e3.x AND w.z = e3.y)
+        |SELECT node, count(*)::BIGINT AS n_triangles FROM
+        |  (SELECT x AS node FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris)
+        |GROUP BY 1""".stripMargin,
+    "q115_resample_ffill" ->
+      // same grid arithmetic (ceil/floor in integer µs) + DuckDB's
+      // native ASOF JOIN; observations deduped per (key, instant) by
+      // greatest event_id to mirror asOfUnion's tiebreak
+      """WITH obs AS (SELECT user_id AS k, epoch_us(ts) AS tu, value, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'view'),
+        |od AS (SELECT k, tu, value FROM (SELECT k, tu, value,
+        |    row_number() OVER (PARTITION BY k, tu ORDER BY event_id DESC) AS rn FROM obs)
+        |  WHERE rn = 1),
+        |span AS (SELECT k, min(tu) AS lo, max(tu) AS hi FROM od GROUP BY 1),
+        |grid AS (SELECT k, unnest(generate_series(
+        |    CASE WHEN lo % 21600000000 = 0 THEN lo // 21600000000 ELSE lo // 21600000000 + 1 END,
+        |    hi // 21600000000)) AS p
+        |  FROM span),
+        |g2 AS (SELECT k, p * 21600000000 AS gts FROM grid)
+        |SELECT g.k AS user_id, g.gts AS grid_us, o.value AS value
+        |FROM g2 g ASOF LEFT JOIN od o ON g.k = o.k AND g.gts >= o.tu""".stripMargin,
     "q112_rolling_active" ->
       // explode each distinct (user, day) to the 3 days it keeps the
       // user active; trim to the feed's own max day

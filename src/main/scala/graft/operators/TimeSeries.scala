@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series primitives over irregular event streams. */
+object TimeSeries {
+
+  /** Epoch-aligned resampling with forward fill: for each key, one
+    * row per `stepUs` grid instant between the key's first and last
+    * observation, carrying the payload of the latest observation AT
+    * OR BEFORE the instant (ties broken by `tiebreak`, greatest
+    * wins). The pandas `resample().ffill()` / SQL `ASOF JOIN` against
+    * a generated calendar — gap filling for irregular feeds. Grid
+    * instants are epoch-aligned (`p · stepUs`), so grids from
+    * different runs or partitions line up by construction. Returns
+    * the key, `grid_us`, and the payload columns; every grid row has
+    * a match because the grid starts at the first observation.
+    *
+    * Scale shape: one map-side-combinable min/max agg per key, an
+    * output-sized `sequence` explode (rows = grid instants, never
+    * observations × instants), and [[AsOfJoin.asOfUnion]]'s single
+    * union+window pass — one shuffle on the key, output linear in
+    * grid + observations. The naive per-instant range join
+    * (instants × candidate observations) never materializes. Dense
+    * keys (years of span) fan out proportionally to their own grid —
+    * pick `stepUs` for the product you need, not per-key row counts. */
+  def resampleFill(obs: DataFrame, keyCol: String, tsUsCol: String,
+                   payload: Seq[String], stepUs: Long,
+                   tiebreak: Seq[String]): DataFrame = {
+    require(stepUs >= 1 && payload.nonEmpty)
+    val clean = obs.filter(col(keyCol).isNotNull)
+    val span = clean.groupBy(col(keyCol))
+      .agg(min(col(tsUsCol).cast("long")).as("_lo"),
+        max(col(tsUsCol).cast("long")).as("_hi"))
+    // ceil(lo/step) .. floor(hi/step): non-negative epochs, `div`
+    // truncation == floor; ceil via the remainder case
+    val pLo = when(col("_lo") % stepUs === 0, expr(s"_lo div ${stepUs}L"))
+      .otherwise(expr(s"_lo div ${stepUs}L") + 1)
+    // guard: a span with no aligned instant must yield ZERO rows —
+    // Spark's sequence(a, b) with a > b generates a DESCENDING range
+    // (unlike SQL generate_series, which is empty)
+    val grid = span
+      .filter(pLo <= expr(s"_hi div ${stepUs}L"))
+      .select(col(keyCol), explode(sequence(pLo,
+        expr(s"_hi div ${stepUs}L"))).as("_p"))
+      .select(col(keyCol), (col("_p") * stepUs).as("grid_us"))
+    // +1 turns asOfUnion's strictly-before into at-or-before: an
+    // observation exactly ON the grid instant fills it
+    AsOfJoin.asOfUnion(grid, clean, keyCol, keyCol,
+      col("grid_us") + 1, col(tsUsCol).cast("long"),
+      payload, tiebreak)
+  }
+}

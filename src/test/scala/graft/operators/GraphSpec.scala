@@ -44,6 +44,26 @@ class GraphSpec extends SparkSpec {
     assert(base == shuffled)
   }
 
+  test("triangleCounts: known triangles; loops/parallel/reversed edges collapse") {
+    // triangles {1,2,3} and {3,4,5}; 5-6 is a dangling edge; 1-1 a
+    // self-loop; (2,1) re-states 1-2 reversed
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (5L, 6L), (1L, 1L), (2L, 1L)).toDF("s", "d")
+    val out = Graph.triangleCounts(e, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("triangleCounts: triangle-free graph is empty; K4 counts 3 per node") {
+    assert(Graph.triangleCounts(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d"), "s", "d").isEmpty)
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toDF("s", "d")
+    val out = Graph.triangleCounts(k4, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == (1L to 4L).map(_ -> 3L).toMap)
+  }
+
   test("pageRank: duplicate edges collapse; iters=0 is uniform") {
     val dup = (edges ++ edges).toDF("s", "d")
     val out = Graph.pageRank(dup, "s", "d", iters = 3)

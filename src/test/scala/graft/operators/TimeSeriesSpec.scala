@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resampleFill: aligned grid, forward fill, at-or-before inclusive") {
+    // key 1: obs at 5, 12, 30, step 10 -> grid {10, 20, 30}; the
+    // observation exactly ON instant 30 must fill it
+    val obs = Seq((1L, 5L, 1.0, 100L), (1L, 12L, 2.0, 101L),
+      (1L, 30L, 3.0, 102L)).toDF("k", "us", "v", "id")
+    val out = TimeSeries.resampleFill(obs, "k", "us", Seq("v"), 10L, Seq("id"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((10L, 1.0), (20L, 2.0), (30L, 3.0)))
+  }
+
+  test("resampleFill: equal-instant ties resolve to greatest tiebreak") {
+    val obs = Seq((2L, 20L, 5.0, 1L), (2L, 20L, 6.0, 2L))
+      .toDF("k", "us", "v", "id")
+    val out = TimeSeries.resampleFill(obs, "k", "us", Seq("v"), 10L, Seq("id"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((20L, 6.0)))
+  }
+
+  test("resampleFill: span shorter than a step yields no aligned instants") {
+    val obs = Seq((3L, 11L, 1.0, 1L), (3L, 14L, 2.0, 2L))
+      .toDF("k", "us", "v", "id")
+    assert(TimeSeries.resampleFill(obs, "k", "us", Seq("v"), 10L,
+      Seq("id")).isEmpty)
+  }
+}
