@@ -779,6 +779,22 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Data-contract validation: one verdict row per constraint; the
+    // row-local checks (not-null + range) fuse into ONE orders scan,
+    // uniqueness is a key-count agg, the FK an anti-join count
+    "q116_check_constraints" -> ((s, dir) =>
+      graft.operators.Profiling.checkConstraints(t(s, dir, "orders"),
+        notNull = Seq("o_custkey"),
+        unique = Seq(Seq("o_orderkey"), Seq("o_custkey")),
+        ranges = Seq(("o_totalprice", 0.0, 400000.0)),
+        foreignKeys = Seq(("o_custkey", t(s, dir, "customer"), "c_custkey")))),
+    // Grouped OLS fit of value vs (scaled) event time — trend per
+    // event type; two-pass centered sums, q93's cancellation lesson
+    "q117_grouped_regression" -> ((s, dir) =>
+      Analytics.groupedLinearFit(
+        t(s, dir, "events").filter(col("event_type").isNotNull),
+        Seq("event_type"),
+        col("ts").cast("double") / lit(8.64e19), col("value"))),
     // Per-node triangle counts on a sparsified derived graph
     // (every-13th event), degree-ordered orientation
     "q114_triangles" -> ((s, dir) => {
@@ -2207,6 +2223,41 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q116_check_constraints" ->
+      // same five verdicts; unique() via count(*) − count(DISTINCT)
+      // (key has no NULLs — Spark's group-count form differs only on
+      // NULL keys, documented in the operator contract)
+      """SELECT check_name, n_violations, n_violations = 0 AS passed FROM (
+        |SELECT 'not_null(o_custkey)' AS check_name,
+        |  (count(*) - count(o_custkey))::BIGINT AS n_violations FROM orders
+        |UNION ALL SELECT 'range(o_totalprice)',
+        |  sum(CASE WHEN o_totalprice IS NOT NULL
+        |    AND (o_totalprice < 0 OR o_totalprice > 400000) THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders
+        |UNION ALL SELECT 'unique(o_orderkey)',
+        |  (count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders
+        |UNION ALL SELECT 'unique(o_custkey)',
+        |  (count(*) - count(DISTINCT o_custkey))::BIGINT FROM orders
+        |UNION ALL SELECT 'fk(o_custkey)',
+        |  (SELECT count(*) FROM orders o LEFT JOIN customer cc
+        |     ON o.o_custkey = cc.c_custkey
+        |   WHERE o.o_custkey IS NOT NULL AND cc.c_custkey IS NULL)::BIGINT
+        |)""".stripMargin,
+    "q117_grouped_regression" ->
+      // identical two-pass centered sums; x scaled by one double
+      // constant so both engines divide the same int64-rounded double
+      """WITH b AS (SELECT event_type AS g, epoch_ns(ts)::DOUBLE / 8.64e19 AS x,
+        |    value AS y
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT g, avg(x) AS mx, avg(y) AS my FROM b GROUP BY 1),
+        |s AS (SELECT b.g, sum((x - mx) * (y - my)) AS sxy,
+        |    sum((x - mx) * (x - mx)) AS sxx, sum((y - my) * (y - my)) AS syy,
+        |    count(*) AS n, max(mx) AS mx, max(my) AS my
+        |  FROM b JOIN m ON b.g = m.g GROUP BY 1)
+        |SELECT g AS event_type, round(sxy / sxx, 5) AS slope,
+        |  round(my - sxy / sxx * mx, 5) AS intercept,
+        |  round(sxy * sxy / (sxx * syy), 5) AS r2, n::BIGINT AS n
+        |FROM s""".stripMargin,
     "q114_triangles" ->
       // identical degree-ordered orientation ((deg, id) lexicographic)
       // so wedge/closure joins replay exactly

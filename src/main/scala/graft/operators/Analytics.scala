@@ -142,6 +142,42 @@ object Analytics {
       .select("src_type", "dst_type", "n", "p")
   }
 
+  /** Grouped ordinary-least-squares fit of y on x: per group,
+    * (slope, intercept, r2, n), each statistic rounded to 5. TWO-PASS
+    * centered sums — group means are broadcast back and products are
+    * centered before summing — because the one-pass raw-moment form
+    * (n·Σxy − ΣxΣy) catastrophically cancels whenever the means dwarf
+    * the spreads (timestamps as x: epoch ≈ 1.7e18, spread ≈ 1e15),
+    * amplifying FP-order noise past any rounding (q93's lesson).
+    *
+    * Scale shape: two passes over the input (means, then centered
+    * sums), both map-side-combinable aggs on the group key; the means
+    * table is groups-sized and broadcast, so the second pass adds no
+    * shuffle beyond its own aggregation. Rows with NULL x or y are
+    * excluded (SQL REGR_* convention). */
+  def groupedLinearFit(df: DataFrame, groupCols: Seq[String],
+                       x: Column, y: Column): DataFrame = {
+    require(groupCols.nonEmpty)
+    val base = df.select(groupCols.map(col) :+ x.as("_x") :+ y.as("_y"): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+    val means = broadcast(base.groupBy(groupCols.map(col): _*)
+      .agg(avg("_x").as("_mx"), avg("_y").as("_my")))
+    val dx = col("_x") - col("_mx")
+    val dy = col("_y") - col("_my")
+    base.join(means, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(dx * dy).as("_sxy"), sum(dx * dx).as("_sxx"),
+        sum(dy * dy).as("_syy"), count(lit(1)).as("n"),
+        max("_mx").as("_fmx"), max("_my").as("_fmy"))
+      .select(groupCols.map(col) ++ Seq(
+        round(col("_sxy") / col("_sxx"), 5).as("slope"),
+        round(col("_fmy") - col("_sxy") / col("_sxx") * col("_fmx"), 5)
+          .as("intercept"),
+        round(col("_sxy") * col("_sxy") / (col("_sxx") * col("_syy")), 5)
+          .as("r2"),
+        col("n")): _*)
+  }
+
   def cohortRetention(events: DataFrame, userCol: String, tsUsCol: String,
                       periodUs: Long = 7L * 86400L * 1000000L): DataFrame = {
     require(periodUs >= 1)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-distribution diagnostics — the profiling pass that DECIDES
@@ -79,5 +79,66 @@ object Profiling {
     }.mkString(", ")
     row.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
       "(col_name, n_rows, n_null, n_distinct, min_num, max_num)")
+  }
+
+  /** Data-contract validation — the constraint gate that runs before
+    * a drop is admitted to the lake: one row per declared constraint,
+    * (check_name, n_violations, passed). Constraint classes:
+    *
+    *  - `notNull`     — columns that must carry a value;
+    *  - `unique`      — key column sets that must be row-unique
+    *    (violations = rows − key groups; a NULL-bearing key counts as
+    *    its own group, same as `GROUP BY`);
+    *  - `ranges`      — numeric (col, lo, hi) inclusive bounds
+    *    (NULLs are not range violations — declare `notNull` too);
+    *  - `foreignKeys` — (col, dimension, refCol): values that must
+    *    resolve in the dimension (NULL FK = nullable reference, not
+    *    an orphan — SQL FK semantics).
+    *
+    * Scale shape: every row-local check (notNull + ranges) FUSES into
+    * one scan / one 1-row aggregate regardless of how many are
+    * declared; each `unique` is one map-side-combinable count over
+    * its own key; each FK is one left-anti count with the dimension
+    * broadcast when small. Verdict rows are constraint-count-sized —
+    * nothing wide ever reaches the driver. */
+  def checkConstraints(df: DataFrame,
+                       notNull: Seq[String] = Nil,
+                       unique: Seq[Seq[String]] = Nil,
+                       ranges: Seq[(String, Double, Double)] = Nil,
+                       foreignKeys: Seq[(String, DataFrame, String)] = Nil)
+  : DataFrame = {
+    require(notNull.nonEmpty || unique.nonEmpty || ranges.nonEmpty ||
+      foreignKeys.nonEmpty, "declare at least one constraint")
+    val scanChecks: Seq[(String, Column)] =
+      notNull.map(c => s"not_null($c)" ->
+        sum(when(col(c).isNull, 1L).otherwise(0L))) ++
+      ranges.map { case (c, lo, hi) => s"range($c)" ->
+        sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
+          .otherwise(0L)) }
+    val scanRows: Seq[DataFrame] =
+      if (scanChecks.isEmpty) Nil
+      else {
+        val aggs = scanChecks.zipWithIndex.map { case ((_, e), i) =>
+          e.as(s"_c$i") }
+        val row = df.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = scanChecks.zipWithIndex
+          .map { case ((n, _), i) => s"'$n', _c$i" }.mkString(", ")
+        Seq(row.selectExpr(s"stack(${scanChecks.size}, $stackArgs) AS " +
+          "(check_name, n_violations)"))
+      }
+    val uniqueRows = unique.map { keys =>
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_cnt"))
+        .agg((sum("_cnt") - count(lit(1))).as("n_violations"))
+        .select(lit(s"unique(${keys.mkString(",")})").as("check_name"),
+          coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+    }
+    val fkRows = foreignKeys.map { case (c, dim, refCol) =>
+      df.filter(col(c).isNotNull)
+        .join(dim.select(col(refCol).as(c)), Seq(c), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(s"fk($c)").as("check_name"), col("n_violations"))
+    }
+    (scanRows ++ uniqueRows ++ fkRows).reduce(_.unionByName(_))
+      .withColumn("passed", col("n_violations") === 0L)
   }
 }

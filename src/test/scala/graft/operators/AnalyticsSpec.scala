@@ -59,6 +59,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set(("a", "b", 3L, 1.0), ("b", "a", 1L, 1.0)))
   }
 
+  test("groupedLinearFit: exact fit on a known line; null rows excluded") {
+    // group g: y = 2x + 3 exactly -> slope 2, intercept 3, r2 1
+    val df = Seq(("g", Option(1.0), Option(5.0)), ("g", Option(2.0), Option(7.0)),
+      ("g", Option(3.0), Option(9.0)), ("g", Option.empty[Double], Option(1.0)),
+      ("g", Option(9.0), Option.empty[Double])).toDF("grp", "x", "y")
+    val out = Analytics.groupedLinearFit(df, Seq("grp"), $"x", $"y")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(out == Seq(("g", 2.0, 3.0, 1.0, 3L)))
+  }
+
   test("cohortRetention: first-period cohorts, offsets, in-cell dedup") {
     // period size 10: u1 cohort 0 active at offsets {0,1,3}; u2
     // cohort 1 at {0,1}; u3 cohort 0, two events in the SAME cell

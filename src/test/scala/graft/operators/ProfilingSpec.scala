@@ -5,6 +5,45 @@ import graft.SparkSpec
 class ProfilingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("checkConstraints: verdicts per class, null contracts") {
+    val df = Seq(
+      (Option(1L), Option(10.0), "a"),
+      (Option(1L), Option(500.0), "b"),   // dup key, out of range
+      (Option.empty[Long], Option(20.0), "c"), // null key
+      (Option(3L), Option.empty[Double], "zz") // null value, orphan fk
+    ).toDF("k", "v", "ref")
+    val dim = Seq("a", "b", "c").toDF("r")
+    val out = Profiling.checkConstraints(df,
+        notNull = Seq("k", "v"),
+        unique = Seq(Seq("k")),
+        ranges = Seq(("v", 0.0, 100.0)),
+        foreignKeys = Seq(("ref", dim, "r")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(out == Set(
+      ("not_null(k)", 1L, false),
+      ("not_null(v)", 1L, false),
+      // 4 rows, 3 key groups (NULL key is its own group)
+      ("unique(k)", 1L, false),
+      // NULL v is not a range violation
+      ("range(v)", 1L, false),
+      // NULL-free orphan: "zz"
+      ("fk(ref)", 1L, false)))
+  }
+
+  test("checkConstraints: a clean table passes everything") {
+    val df = Seq((1L, 5.0, "a"), (2L, 6.0, "b")).toDF("k", "v", "ref")
+    val dim = Seq("a", "b").toDF("r")
+    val out = Profiling.checkConstraints(df, notNull = Seq("k"),
+        unique = Seq(Seq("k")), ranges = Seq(("v", 0.0, 10.0)),
+        foreignKeys = Seq(("ref", dim, "r")))
+      .collect()
+    assert(out.length == 4 && out.forall(_.getBoolean(2)))
+    assert(out.forall(_.getLong(1) == 0L))
+  }
+
+  import spark.implicits._
+
   test("keySkewProfile: hand-computed shares/ratios/salts, tie break at the cut") {
     // a×6, b×2, c×2, d×2 → total 12, 4 keys, mean 3
     val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++
