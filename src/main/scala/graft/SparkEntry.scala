@@ -779,6 +779,20 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Median/MAD robust outliers — the gate a single extreme value
+    // can't poison (contrast q69's moment z-score)
+    "q118_robust_outliers" -> ((s, dir) =>
+      graft.operators.Outliers.robustZscore(
+          t(s, dir, "events").filter(col("event_type").isNotNull),
+          "value", Seq("event_type"), threshold = 3.5)
+        .filter(col("is_outlier"))
+        .select("event_id", "event_type", "value", "robust_z")),
+    // Winsorize value into its event-type [p05, p95] band
+    "q119_winsorize" -> ((s, dir) =>
+      graft.operators.Outliers.winsorize(
+          t(s, dir, "events").filter(col("event_type").isNotNull),
+          "value", Seq("event_type"))
+        .select("event_id", "event_type", "value", "value_w")),
     // Data-contract validation: one verdict row per constraint; the
     // row-local checks (not-null + range) fuse into ONE orders scan,
     // uniqueness is a key-count agg, the FK an anti-join count
@@ -2223,6 +2237,28 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q118_robust_outliers" ->
+      // exact percentile ⇄ quantile_cont parity (q39 precedent); same
+      // 0.6745 modified-z constant forced to DOUBLE
+      """WITH m AS (SELECT event_type AS g, quantile_cont(value, 0.5) AS med
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |a AS (SELECT e.event_id, e.event_type, e.value, m.med
+        |  FROM events e JOIN m ON e.event_type = m.g),
+        |md AS (SELECT a.event_type AS g,
+        |    quantile_cont(abs(a.value - a.med), 0.5) AS mad
+        |  FROM a GROUP BY 1)
+        |SELECT a.event_id, a.event_type, a.value,
+        |  round(0.6745::DOUBLE * (a.value - a.med) / md.mad, 4) AS robust_z
+        |FROM a JOIN md ON a.event_type = md.g
+        |WHERE md.mad <> 0
+        |  AND abs(0.6745::DOUBLE * (a.value - a.med) / md.mad) > 3.5""".stripMargin,
+    "q119_winsorize" ->
+      """WITH b AS (SELECT event_type AS g, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w
+        |FROM events e JOIN b ON e.event_type = b.g""".stripMargin,
     "q116_check_constraints" ->
       // same five verdicts; unique() via count(*) − count(DISTINCT)
       // (key has no NULLs — Spark's group-count form differs only on

@@ -58,4 +58,65 @@ object Outliers {
           .otherwise(abs(z) > threshold))
       .drop("_sv", "_sv2", "_n")
   }
+
+  /** Median/MAD robust z-score (the Iglewicz–Hoaglin modified
+    * z-score, 0.6745·(x − median)/MAD): the outlier gate that a
+    * single extreme value cannot poison — mean/stddev move with every
+    * outlier they are supposed to catch, median/MAD do not. Returns
+    * the input plus `robust_z` (rounded 4) and `is_outlier`
+    * (|z| > threshold, conventionally 3.5). Constant-majority groups
+    * (MAD 0) flag nothing, mirroring [[zscore]]'s variance-0 branch.
+    *
+    * Scale shape: two grouped EXACT percentiles (each sorts only
+    * within its group — the same cost class as q39) with the
+    * groups-sized stats broadcast back between and after; the corpus
+    * itself is scanned twice, shuffled at most twice on the group
+    * key, and never sorted globally. For corpora where exact
+    * per-group sort is too much, swap the percentile for the
+    * mergeable histogram sketch ([[Sketches]]) — same shape, bounded
+    * state. */
+  def robustZscore(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                   threshold: Double = 3.5,
+                   broadcastStats: Boolean = true): DataFrame = {
+    require(groupCols.nonEmpty && threshold > 0)
+    val v = col(valueCol).cast("double")
+    def bjoin(d: DataFrame, stats: DataFrame) =
+      if (broadcastStats) d.join(broadcast(stats), groupCols)
+      else d.join(stats, groupCols)
+    val meds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val mads = bjoin(df, meds).groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile(abs($valueCol - _med), 0.5)").as("_mad"))
+    val z = lit(0.6745) * (v - col("_med")) / col("_mad")
+    bjoin(bjoin(df, meds), mads)
+      .withColumn("robust_z",
+        when(col("_mad") === 0.0, lit(0.0)).otherwise(round(z, 4)))
+      .withColumn("is_outlier",
+        when(col("_mad") === 0.0, lit(false)).otherwise(abs(z) > threshold))
+      .drop("_med", "_mad")
+  }
+
+  /** Winsorization: clip `valueCol` into its group's
+    * [pLo, pHi] quantile band — the standard tail-taming step before
+    * moment-based statistics or model features. Adds
+    * `<valueCol>_w` (rounded 6); original column untouched.
+    *
+    * Scale shape: one grouped exact-percentile agg (groups-sized,
+    * broadcast back), then a scan-speed projection — the corpus is
+    * never shuffled when the stats broadcast. */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                pLo: Double = 0.05, pHi: Double = 0.95,
+                broadcastStats: Boolean = true): DataFrame = {
+    require(groupCols.nonEmpty && pLo >= 0 && pHi <= 1 && pLo <= pHi)
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $pLo)").as("_wlo"),
+        expr(s"percentile($valueCol, $pHi)").as("_whi"))
+    val joined =
+      if (broadcastStats) df.join(broadcast(bounds), groupCols)
+      else df.join(bounds, groupCols)
+    joined.withColumn(s"${valueCol}_w",
+        round(least(greatest(col(valueCol).cast("double"), col("_wlo")),
+          col("_whi")), 6))
+      .drop("_wlo", "_whi")
+  }
 }

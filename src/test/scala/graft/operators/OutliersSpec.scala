@@ -60,4 +60,32 @@ class OutliersSpec extends SparkSpec {
       assert(!flagged, s"row $id: ±1 jitter at 1e9 mass-flagged (z=$z)")
     }
   }
+
+  test("robustZscore: immune to the outlier it flags; MAD-0 group silent") {
+    // group a: median 10, MAD 1 -> planted 100 has z = 0.6745*90 ≈ 61;
+    // a moment z-score over the same group would be dragged to ~3.1
+    val rows = Seq.tabulate(9)(i => ((i + 1).toLong, "a", 9.0 + (i % 3))) ++
+      Seq((10L, "a", 100.0)) ++
+      (11 to 20).map(i => (i.toLong, "b", 7.0)) // constant group
+    val out = Outliers.robustZscore(rows.toDF("id", "grp", "v"), "v",
+        Seq("grp"), threshold = 3.5)
+      .select("id", "robust_z", "is_outlier")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    assert(out(10L)._2 && out(10L)._1 > 50)
+    (1L to 9L).foreach(i => assert(!out(i)._2, s"false flag on $i"))
+    (11L to 20L).foreach(i => assert(out(i) == ((0.0, false))))
+  }
+
+  test("winsorize: interior untouched, tails clipped to the quantile band") {
+    val rows = (1 to 100).map(i => (i.toLong, "g", i.toDouble))
+    val out = Outliers.winsorize(rows.toDF("id", "grp", "v"), "v",
+        Seq("grp"), pLo = 0.05, pHi = 0.95)
+      .select("id", "v_w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // percentile(0.05) over 1..100 = 1 + 0.05*99 = 5.95; p95 = 95.05
+    assert(out(1L) == 5.95 && out(3L) == 5.95)
+    assert(out(100L) == 95.05 && out(97L) == 95.05)
+    assert(out(50L) == 50.0 && out(6L) == 6.0 && out(95L) == 95.0)
+  }
 }
