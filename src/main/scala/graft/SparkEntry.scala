@@ -779,6 +779,24 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Last-touch attribution: purchases credited to the latest
+    // preceding non-purchase event within 24h, else 'direct' — one
+    // window pass, no conversion×touch self-join
+    "q120_attribution" -> ((s, dir) =>
+      Analytics.lastTouchAttribution(t(s, dir, "events"), "user_id",
+        "ts", "event_type", conversion = "purchase",
+        orderCols = Seq(col("ts"), col("event_id")),
+        lookback = Some(86400000000000L))),
+    // Bloom-pre-filtered join: events × a 3-key customer slice — the
+    // big side is cut at scan speed by a broadcast 2KB bloom BEFORE
+    // the join shuffle; result is exactly the plain inner join
+    "q121_bloom_join" -> ((s, dir) =>
+      graft.operators.BloomJoin.bloomJoin(
+          t(s, dir, "events").select("user_id", "event_id"),
+          t(s, dir, "customer").filter(col("c_custkey") % 50 === 0)
+            .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+          "user_id")
+        .select("user_id", "event_id", "c_mktsegment")),
     // Median/MAD robust outliers — the gate a single extreme value
     // can't poison (contrast q69's moment z-score)
     "q118_robust_outliers" -> ((s, dir) =>
@@ -2237,6 +2255,30 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q120_attribution" ->
+      // two aligned IGNORE NULLS last_value frames (time + type null
+      // out together, so they pick the same touch row)
+      """WITH o AS (SELECT user_id, event_type, epoch_ns(ts) AS tn, event_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |l AS (SELECT user_id, event_type, tn,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN tn END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY tn, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ltt,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY tn, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ltc
+        |  FROM o)
+        |SELECT CASE WHEN ltc IS NULL OR tn - ltt > 86400000000000
+        |         THEN 'direct' ELSE ltc END AS channel,
+        |  count(*)::BIGINT AS n_conversions
+        |FROM l WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "q121_bloom_join" ->
+      // the bloom is invisible to the result (no false negatives;
+      // false positives die in the real join) — the dual is the plain
+      // inner join
+      """SELECT e.user_id, e.event_id, cc.c_mktsegment
+        |FROM events e JOIN customer cc ON e.user_id = cc.c_custkey
+        |WHERE cc.c_custkey % 50 = 0""".stripMargin,
     "q118_robust_outliers" ->
       // exact percentile ⇄ quantile_cont parity (q39 precedent); same
       // 0.6745 modified-z constant forced to DOUBLE

@@ -142,6 +142,40 @@ object Analytics {
       .select("src_type", "dst_type", "n", "p")
   }
 
+  /** Last-touch attribution: each conversion event is credited to the
+    * `typeCol` of the user's latest PRECEDING non-conversion event
+    * (strictly earlier in the `orderCols` total order), or to
+    * `"direct"` when there is none — optionally none within
+    * `lookback` time units. Returns (channel, n_conversions).
+    *
+    * Scale shape: ONE user-partitioned window pass (the sessionize
+    * shuffle) carrying the last non-conversion (time, type) struct —
+    * both fields from the SAME row via ignoreNulls-over-struct, so
+    * the credited channel and its staleness check can never disagree
+    * — then a channels-sized count. No self-join of conversions
+    * against touches (the candidate-explosion shape this replaces). */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+                           tsCol: String, typeCol: String,
+                           conversion: String, orderCols: Seq[Column],
+                           lookback: Option[Long] = None): DataFrame = {
+    require(orderCols.nonEmpty, "need a per-user total order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touch = last(
+      when(col(typeCol) =!= conversion,
+        struct(col(tsCol).as("_tt"), col(typeCol).as("_tc"))),
+      ignoreNulls = true).over(w)
+    val stale = lookback.map(lb =>
+      col(tsCol) - col("_lt").getField("_tt") > lb).getOrElse(lit(false))
+    events.filter(col(userCol).isNotNull)
+      .withColumn("_lt", touch)
+      .filter(col(typeCol) === conversion)
+      .select(when(col("_lt").isNull || stale, lit("direct"))
+        .otherwise(col("_lt").getField("_tc")).as("channel"))
+      .groupBy("channel").agg(count(lit(1)).as("n_conversions"))
+  }
+
   /** Grouped ordinary-least-squares fit of y on x: per group,
     * (slope, intercept, r2, n), each statistic rounded to 5. TWO-PASS
     * centered sums — group means are broadcast back and products are

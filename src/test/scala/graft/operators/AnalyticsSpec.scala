@@ -59,6 +59,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set(("a", "b", 3L, 1.0), ("b", "a", 1L, 1.0)))
   }
 
+  test("lastTouchAttribution: credit, direct fallback, lookback expiry") {
+    val ev = Seq(
+      (1L, 10L, "ad"), (1L, 20L, "buy"),          // credited to ad
+      (2L, 10L, "buy"),                           // no touch -> direct
+      (3L, 10L, "ad"), (3L, 500L, "buy"),         // touch too old -> direct
+      (4L, 10L, "ad"), (4L, 15L, "email"), (4L, 20L, "buy"), // latest wins
+      (5L, 10L, "buy"), (5L, 20L, "buy")          // conversion is never a touch
+    ).toDF("u", "ts", "tpe")
+    val out = Analytics.lastTouchAttribution(ev, "u", "ts", "tpe",
+        conversion = "buy", orderCols = Seq($"ts"), lookback = Some(100L))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("ad", 1L), ("email", 1L), ("direct", 4L)))
+  }
+
   test("groupedLinearFit: exact fit on a known line; null rows excluded") {
     // group g: y = 2x + 3 exactly -> slope 2, intercept 3, r2 1
     val df = Seq(("g", Option(1.0), Option(5.0)), ("g", Option(2.0), Option(7.0)),
