@@ -779,6 +779,20 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Order-3 sequence mining: top-20 consecutive event-type paths
+    "q122_top_paths" -> ((s, dir) =>
+      Analytics.topPaths(t(s, dir, "events"), "user_id", "event_type",
+        orderCols = Seq(col("ts"), col("event_id")))),
+    // Funnel stall diagnostic: per converted step, median/p90 µs
+    // from the previous step — same stages/window as q109
+    "q125_funnel_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"))
+      Analytics.funnelStepLatency(ev, "user_id", "ts_us", "event_type",
+        Seq("signup", "view", "click", "purchase"),
+        maxGap = Some(48L * 3600L * 1000000L))
+    }),
     // Last-touch attribution: purchases credited to the latest
     // preceding non-purchase event within 24h, else 'direct' — one
     // window pass, no conversion×touch self-join
@@ -2255,6 +2269,42 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q122_top_paths" ->
+      """WITH o AS (SELECT user_id, event_type, epoch_ns(ts) AS tn, event_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |l AS (SELECT event_type AS t1,
+        |  lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id))
+        |SELECT t1, t2, t3, count(*)::BIGINT AS n FROM l
+        |WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+    "q125_funnel_latency" ->
+      // q109's stage CTEs, then per-step delta percentiles (exact
+      // percentile ⇄ quantile_cont, q39 parity)
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t
+        |    AND epoch_us(e.ts) <= s1.t + 172800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t
+        |    AND epoch_us(e.ts) <= s2.t + 172800000000 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t
+        |    AND epoch_us(e.ts) <= s3.t + 172800000000 GROUP BY 1),
+        |d2 AS (SELECT s2.t - s1.t AS d FROM s2 JOIN s1 ON s2.user_id = s1.user_id),
+        |d3 AS (SELECT s3.t - s2.t AS d FROM s3 JOIN s2 ON s3.user_id = s2.user_id),
+        |d4 AS (SELECT s4.t - s3.t AS d FROM s4 JOIN s3 ON s4.user_id = s3.user_id)
+        |SELECT 2 AS step, 'view' AS step_name, count(*)::BIGINT AS n_users,
+        |  round(quantile_cont(d::DOUBLE, 0.5), 1) AS med_us,
+        |  round(quantile_cont(d::DOUBLE, 0.9), 1) AS p90_us FROM d2
+        |UNION ALL SELECT 3, 'click', count(*)::BIGINT,
+        |  round(quantile_cont(d::DOUBLE, 0.5), 1), round(quantile_cont(d::DOUBLE, 0.9), 1) FROM d3
+        |UNION ALL SELECT 4, 'purchase', count(*)::BIGINT,
+        |  round(quantile_cont(d::DOUBLE, 0.5), 1), round(quantile_cont(d::DOUBLE, 0.9), 1) FROM d4""".stripMargin,
     "q120_attribution" ->
       // two aligned IGNORE NULLS last_value frames (time + type null
       // out together, so they pick the same touch row)

@@ -38,25 +38,87 @@ object Analytics {
       s"funnel steps must be non-empty and distinct, got $steps")
     val ev = events.select(col(userCol).as("_user"), col(tsCol).as("_ts"),
       col(typeCol).as("_tpe"))
-    // stage 1: first occurrence of the entry step per user
-    var stage = ev.filter(col("_tpe") === steps.head)
+    funnelStages(ev, steps, maxGap).zipWithIndex.map { case (stage, i) =>
+      stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as("step_name"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Shared funnel stage builder: element i is the per-user
+    * (first qualifying step-(i+1) time `_t`, previous-step time
+    * `_prev` — absent for the entry step) table. Stage tables only
+    * ever SHRINK; see [[funnel]] for the step semantics. */
+  private def funnelStages(ev: DataFrame, steps: Seq[String],
+                           maxGap: Option[Long]): Seq[DataFrame] = {
+    val first = ev.filter(col("_tpe") === steps.head)
       .groupBy("_user").agg(min("_ts").as("_t"))
-    var counts = stage.agg(count(lit(1)).as("n_users"))
-      .select(lit(1).as("step"), lit(steps.head).as("step_name"),
-        col("n_users"))
-    for (i <- 2 to steps.size) {
-      // stage i: first step-i event strictly after the user's stage-(i-1) time
-      stage = ev.filter(col("_tpe") === steps(i - 1))
-        .join(stage.select(col("_user"), col("_t").as("_prev")), Seq("_user"))
+    steps.indices.drop(1).foldLeft(Vector(first)) { (acc, i) =>
+      val prev = acc.last.select(col("_user"), col("_t").as("_prev"))
+      acc :+ ev.filter(col("_tpe") === steps(i))
+        .join(prev, Seq("_user"))
         .filter(maxGap.foldLeft(col("_ts") > col("_prev")) {
           (p, g) => p && col("_ts") <= col("_prev") + lit(g) })
-        .groupBy("_user").agg(min("_ts").as("_t"))
-      counts = counts.unionByName(
-        stage.agg(count(lit(1)).as("n_users"))
-          .select(lit(i).as("step"), lit(steps(i - 1)).as("step_name"),
-            col("n_users")))
+        // _prev is constant per user (the join key's single previous
+        // time); min() just carries it through the aggregate
+        .groupBy("_user").agg(min("_ts").as("_t"), min("_prev").as("_prev"))
     }
-    counts
+  }
+
+  /** Funnel step latency: for each non-entry step, over the users who
+    * converted, the count and the median / p90 of the time from the
+    * previous step (same units as `tsCol`; rounded to 1). The
+    * "where does the funnel stall" diagnostic that pairs with
+    * [[funnel]]'s "where does it leak". Same stage semantics and
+    * `maxGap` window as [[funnel]] — the two reports always agree.
+    *
+    * Scale shape: identical to [[funnel]] (shrinking user-key
+    * join/agg passes) plus one exact percentile per step over the
+    * CONVERTED-users deltas — step-table-sized sorts, never the
+    * event log. */
+  def funnelStepLatency(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, steps: Seq[String],
+                        maxGap: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2 && steps.distinct == steps,
+      s"need ≥ 2 distinct funnel steps, got $steps")
+    val ev = events.select(col(userCol).as("_user"), col(tsCol).as("_ts"),
+      col(typeCol).as("_tpe"))
+    funnelStages(ev, steps, maxGap).zipWithIndex.drop(1).map {
+      case (stage, i) =>
+        stage.select((col("_t") - col("_prev")).cast("double").as("_delta"))
+          .agg(count(lit(1)).as("n_users"),
+            round(expr("percentile(_delta, 0.5)"), 1).as("med_us"),
+            round(expr("percentile(_delta, 0.9)"), 1).as("p90_us"))
+          .select(lit(i + 1).as("step"), lit(steps(i)).as("step_name"),
+            col("n_users"), col("med_us"), col("p90_us"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Top event paths: the `topK` most frequent length-`pathLen`
+    * consecutive `typeCol` sequences across users (order-n sequence
+    * mining, the "what do users actually do" report). Ties at the
+    * cut break by the path itself, so the K-th row is deterministic.
+    *
+    * Scale shape: one user-partitioned window pass materializing the
+    * n-gram columns via `lead` (n is a query constant), one
+    * paths-cardinality aggregation (≤ types^n groups), and a
+    * TakeOrderedAndProject top-K — never a full sort. */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+               orderCols: Seq[Column], pathLen: Int = 3,
+               topK: Int = 20): DataFrame = {
+    require(pathLen >= 2 && topK >= 1 && orderCols.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(orderCols: _*)
+    val cols = (0 until pathLen).map(i =>
+      (if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w))
+        .as(s"t${i + 1}"))
+    events.filter(col(userCol).isNotNull).select(cols: _*)
+      .filter((1 until pathLen).map(i => col(s"t${i + 1}").isNotNull)
+        .reduce(_ && _))
+      .groupBy((1 to pathLen).map(i => col(s"t$i")): _*)
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc +: (1 to pathLen).map(i => col(s"t$i")): _*)
+      .limit(topK)
   }
 
   /** Cohort retention matrix: users are cohorted by the period of

@@ -120,17 +120,23 @@ object StreamingOps {
     * condition, stream-stream join state grows forever. Column names
     * must be distinct across the two sides (rename before calling).
     * Inner append-mode join: matches emit as soon as both sides
-    * arrive. */
+    * arrive. `joinType = "left_outer"` additionally emits NULL-padded
+    * left rows, but only once the WATERMARK proves no match can still
+    * arrive — state that is live when the query stops is NOT flushed,
+    * so a bounded replay must push the watermark past the data (a
+    * later-batch sentinel row, q123's two-run pattern) to see every
+    * unmatched row. */
   def intervalJoinStream(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTs: String, rightTs: String,
                          window: String = "30 minutes",
-                         lateness: String = "30 minutes"): DataFrame =
+                         lateness: String = "30 minutes",
+                         joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, lateness)
       .join(right.withWatermark(rightTs, lateness),
         expr(s"$leftKey = $rightKey AND " +
           s"$rightTs >= $leftTs - INTERVAL $window AND $rightTs <= $leftTs"),
-        "inner")
+        joinType)
 
   /** Windowed distinct-count estimation on a stream via the HLL
     * aggregate ([[graft.plans.HllAgg]]): registers are max-mergeable,

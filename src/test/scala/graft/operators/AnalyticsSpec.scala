@@ -59,6 +59,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set(("a", "b", 3L, 1.0), ("b", "a", 1L, 1.0)))
   }
 
+  test("funnelStepLatency: per-step deltas over converted users only") {
+    // u1: a@10 -> b@30 (delta 20); u2: a@10 -> b@50 (delta 40);
+    // u3: a only. step-b: n=2, median 30, p90 = 20 + 0.9*20 = 38
+    val ev = Seq((1L, 10L, "a"), (1L, 30L, "b"), (2L, 10L, "a"),
+      (2L, 50L, "b"), (3L, 10L, "a")).toDF("u", "ts", "tpe")
+    val out = Analytics.funnelStepLatency(ev, "u", "ts", "tpe",
+        Seq("a", "b"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(out == Seq((2, "b", 2L, 30.0, 38.0)))
+  }
+
+  test("funnelStepLatency agrees with funnel's stage populations") {
+    val ev = Seq((1L, 10L, "a"), (1L, 30L, "b"), (2L, 10L, "a"),
+      (2L, 500L, "b")).toDF("u", "ts", "tpe")
+    val lat = Analytics.funnelStepLatency(ev, "u", "ts", "tpe",
+        Seq("a", "b"), maxGap = Some(100L))
+      .collect().map(r => r.getLong(2)).head
+    val fun = Analytics.funnel(ev, "u", "ts", "tpe", Seq("a", "b"),
+        maxGap = Some(100L))
+      .filter($"step" === 2).collect().map(_.getLong(2)).head
+    assert(lat == 1L && fun == 1L)
+  }
+
+  test("topPaths: n-gram counts, tiebreak at the cut, per-user isolation") {
+    // u1: a b a b -> (a,b,a), (b,a,b); u2: a b c -> (a,b,c);
+    // paths never cross users
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c")).toDF("u", "seq", "tpe")
+    val out = Analytics.topPaths(ev, "u", "tpe", Seq($"seq"), pathLen = 3,
+        topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // all three paths count 1; top-2 by path ascending
+    assert(out == Seq(("a", "b", "a", 1L), ("a", "b", "c", 1L)))
+  }
+
   test("lastTouchAttribution: credit, direct fallback, lookback expiry") {
     val ev = Seq(
       (1L, 10L, "ad"), (1L, 20L, "buy"),          // credited to ad
