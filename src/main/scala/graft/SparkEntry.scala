@@ -779,6 +779,92 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Streaming LEFT-OUTER interval join: purchases with their
+    // within-5-min prior click, or NULL-padded when none — the outer
+    // rows emit only when the WATERMARK proves no match can arrive,
+    // so the replay pushes it past the data with two sentinel batches
+    // over a shared checkpoint (q98's restart pattern); zero-lateness
+    // watermark makes three runs provably sufficient
+    "q123_interval_join_outer" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, dir, "events")
+      val schema = ev.schema
+      val maxTs = ev.agg(max("ts")).head().getLong(0) // one stats pass
+      val tmp = java.nio.file.Files.createTempDirectory("q123")
+      val srcDir = tmp.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val ckpt = tmp.resolve("ckpt").toString
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      def side(p: String, tpe: String) = s.readStream.schema(schema)
+        .parquet(srcDir.toString)
+        .filter(col("user_id") < 50 && col("event_type") === tpe)
+        .select(col("user_id").as(s"${p}user"),
+          col("event_id").as(s"${p}event"),
+          expr("timestamp_micros(ts div 1000)").as(s"${p}ts"))
+      val joined = graft.streaming.StreamingOps.intervalJoinStream(
+          side("l_", "purchase"), side("r_", "click"),
+          "l_user", "r_user", "l_ts", "r_ts",
+          window = "5 minutes", lateness = "0 seconds",
+          joinType = "left_outer")
+        .select(col("l_user").as("user_id"), col("l_event"), col("r_event"),
+          (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("lag_us"))
+      // memory sinks cannot recover a checkpoint — the restart
+      // pattern needs foreachBatch appending to parquet (q98's path)
+      val outDir = tmp.resolve("out").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      import s.implicits._
+      try {
+        // run 1: real data; runs 2-3: one sentinel purchase+click pair
+        // each, 30/90 min past the feed — each restart's batch applies
+        // the previous batch's watermark, so run 3 flushes every
+        // remaining unmatched purchase (wm run-3 start = maxTs+30min)
+        Seq(0L, 1L, 2L).foreach { i =>
+          if (i > 0) {
+            val sTs = maxTs + i * 1800L * 1000000000L
+            val w = tmp.resolve(s"w$i")
+            Seq((-2L * i, sTs, 0L, "purchase", 0.0, "{}"),
+              (-2L * i - 1, sTs, 0L, "click", 0.0, "{}"))
+              .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+              .coalesce(1).write.parquet(w.toString)
+            val part = w.toFile.listFiles()
+              .filter(_.getName.startsWith("part-")).head
+            java.nio.file.Files.move(part.toPath,
+              srcDir.resolve(s"sentinel-$i.parquet"))
+          }
+          joined.writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(outDir) }
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(outDir).filter(col("l_event") >= 0)
+    }),
+    // Incremental materialized-view maintenance: per-user (n, sum,
+    // min, max) state folded over three tertile delta batches — equal
+    // to the one-shot aggregate the oracle computes, but each refresh
+    // touches only state + delta
+    "q124_agg_increment" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val r = ev.agg(min("ts"), max("ts")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val slices = Seq(ev.filter(col("ts") <= c1),
+        ev.filter(col("ts") > c1 && col("ts") <= c2),
+        ev.filter(col("ts") > c2))
+      val state = slices.tail.foldLeft(
+        Merge.aggInit(slices.head, Seq("user_id"), "value")) { (st, d) =>
+        Merge.aggIncrement(st, d, Seq("user_id"), "value") }
+      // avg derives from the ROUNDED sum so both engines divide
+      // identical operands — the raw sums differ in summation order
+      // and a round-6 boundary straddle is a real hash risk
+      state.select(col("user_id"), col("n"),
+        round(col("sum_v"), 4).as("sum_v"), col("min_v"), col("max_v"),
+        round(round(col("sum_v"), 4) / col("n"), 6).as("avg_v"))
+    }),
     // Order-3 sequence mining: top-20 consecutive event-type paths
     "q122_top_paths" -> ((s, dir) =>
       Analytics.topPaths(t(s, dir, "events"), "user_id", "event_type",
@@ -2269,6 +2355,26 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q123_interval_join_outer" ->
+      // batch dual: plain LEFT JOIN with the band condition — the
+      // sentinel machinery exists only to flush streaming state, the
+      // RESULT is the ordinary outer band join
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events
+        |  WHERE user_id < 50 AND event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, event_id AS ce, epoch_us(ts) AS ctu
+        |  FROM events WHERE user_id < 50 AND event_type = 'click')
+        |SELECT p.user_id, p.event_id AS l_event, c.ce AS r_event,
+        |  p.tu - c.ctu AS lag_us
+        |FROM p LEFT JOIN c ON p.user_id = c.cu
+        |  AND c.ctu >= p.tu - 300000000 AND c.ctu <= p.tu""".stripMargin,
+    "q124_agg_increment" ->
+      // the incremental fold is associative-commutative by
+      // construction, so the dual is the one-shot aggregate
+      """SELECT user_id, count(*)::BIGINT AS n,
+        |  round(sum(value), 4) AS sum_v, min(value) AS min_v,
+        |  max(value) AS max_v,
+        |  round(round(sum(value), 4) / count(*), 6) AS avg_v
+        |FROM events WHERE user_id IS NOT NULL GROUP BY 1""".stripMargin,
     "q122_top_paths" ->
       """WITH o AS (SELECT user_id, event_type, epoch_ns(ts) AS tn, event_id
         |  FROM events WHERE user_id IS NOT NULL),

@@ -64,6 +64,39 @@ object Merge {
       .select(base.columns.map(col): _*)
   }
 
+  /** Mergeable-aggregate state from a raw batch — the init step of
+    * incremental materialized-view maintenance ([[aggIncrement]]).
+    * State rows: (keys..., n, sum_v, min_v, max_v) — every field is
+    * a commutative monoid, which is exactly what makes the view
+    * refreshable from deltas without ever re-reading history. `n`
+    * counts rows; NULL values are ignored by sum/min/max (SQL
+    * aggregate semantics). */
+  def aggInit(delta: DataFrame, keyCols: Seq[String],
+              valueCol: String): DataFrame =
+    delta.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"),
+      min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+
+  /** Incremental aggregate refresh: fold a raw-row `delta` batch into
+    * an [[aggInit]]-shaped `state` and return the refreshed state —
+    * the INCREMENTAL VIEW MAINTENANCE step every warehouse refresh
+    * job runs. Equal (up to FP summation order) to re-aggregating the
+    * concatenated history, but each refresh touches only
+    * state + delta.
+    *
+    * Scale shape: one map-side-combinable agg over the delta, one
+    * key-equi union+agg against the state — both partition on the
+    * view key, so with the state stored bucketed by key the refresh
+    * is co-located and the history-sized recompute never happens.
+    * Derived measures (avg = sum_v/n …) are projections of the state,
+    * never stored. */
+  def aggIncrement(state: DataFrame, delta: DataFrame,
+                   keyCols: Seq[String], valueCol: String): DataFrame =
+    state.unionByName(aggInit(delta, keyCols, valueCol))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("n").as("n"), sum("sum_v").as("sum_v"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"))
+
   /** Snapshot diff — the inverse of [[scd1]]: given two generations
     * of a table, extract the change set that transforms `old` into
     * `neu` (CDC extraction between snapshots, the "table_changes"

@@ -44,6 +44,24 @@ class MergeSpec extends SparkSpec {
     assert(Merge.snapshotDiff(base, base, Seq("k")).isEmpty)
   }
 
+  test("aggIncrement: folded deltas equal the one-shot aggregate") {
+    val all = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (2L, -3.0),
+      (3L, 7.0), (1L, 30.0)).toDF("k", "v")
+    // batches split so key 1 spans all three, key 3 only the last
+    val batches = Seq(all.limit(2), all.offset(2).limit(2), all.offset(4))
+    val folded = batches.tail.foldLeft(
+        Merge.aggInit(batches.head, Seq("k"), "v")) { (st, d) =>
+      Merge.aggIncrement(st, d, Seq("k"), "v") }
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val oneShot = Merge.aggInit(all, Seq("k"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(folded == oneShot)
+    assert(folded == Set((1L, 3L, 60.0, 10.0, 30.0),
+      (2L, 2L, 2.0, -3.0, 5.0), (3L, 1L, 7.0, 7.0, 7.0)))
+  }
+
   test("scd1: latest change wins among several updates, tiebreak included") {
     val changes = Seq(
       (1L, 10L, 1L, "upd", Option("first")),
