@@ -779,6 +779,26 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Bigram LM fluency score — order-aware upgrade of q66
+    "q126_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"))),
+    // Count-min join-size estimation: events×orders equi-join size
+    // from sketch arithmetic alone, exact size alongside — the
+    // join-planning primitive (two tables publish 4×8192 counter
+    // rows once; any pairwise estimate is sketch math)
+    "q127_cm_join_size" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id").cast("string").as("k"))
+      val od = t(s, dir, "orders").filter(col("o_custkey").isNotNull)
+        .select(col("o_custkey").cast("string").as("k"))
+      val est = Sketches.cmJoinSize(
+        Sketches.countMin(ev, "k", depth = 4, width = 8192),
+        Sketches.countMin(od, "k", depth = 4, width = 8192))
+      val exact = ev.groupBy("k").agg(count(lit(1)).as("_ca"))
+        .join(od.groupBy("k").agg(count(lit(1)).as("_cb")), Seq("k"))
+        .agg(sum(col("_ca") * col("_cb")).as("exact_join_size"))
+      est.crossJoin(exact)
+    }),
     // Streaming LEFT-OUTER interval join: purchases with their
     // within-5-min prior click, or NULL-padded when none — the outer
     // rows emit only when the WATERMARK proves no match can arrive,
@@ -2355,6 +2375,45 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q126_bigram_logprob" ->
+      // zipped unnests give token positions; same add-0.5 smoothing
+      // over bigram-prefix counts and the full-corpus vocabulary
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+        |  unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+        | FROM documents),
+        |bi AS (SELECT doc_id, term AS w1,
+        |  lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok),
+        |b2 AS (SELECT * FROM bi WHERE w2 IS NOT NULL),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT term)::DOUBLE AS vv FROM tok)
+        |SELECT b2.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(avg(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.vv))), 6) AS lm_score
+        |FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+        |GROUP BY 1""".stripMargin,
+    "q127_cm_join_size" ->
+      // q54's md5-affine bucket replay for BOTH sketches, inner-join
+      // dot per depth row, min across rows; exact size alongside
+      s"""WITH ha AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT & ${graft.functions.HashFunctions.MinhashMask} AS h30
+        |  FROM events WHERE user_id IS NOT NULL),
+        |hb AS (SELECT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT & ${graft.functions.HashFunctions.MinhashMask} AS h30
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |cs(i, a, b) AS (VALUES ${(0 until 4).map(i =>
+             s"(${i}, ${graft.functions.HashFunctions.MinhashA(i)}, ${graft.functions.HashFunctions.MinhashB(i)})").mkString(", ")}),
+        |ba AS (SELECT cs.i AS hr, ((cs.a * h30 + cs.b) % ${graft.functions.HashFunctions.MinhashP}) % 8192 AS bucket, count(*) AS cnt
+        |  FROM ha, cs GROUP BY 1, 2),
+        |bb AS (SELECT cs.i AS hr, ((cs.a * h30 + cs.b) % ${graft.functions.HashFunctions.MinhashP}) % 8192 AS bucket, count(*) AS cnt
+        |  FROM hb, cs GROUP BY 1, 2),
+        |dots AS (SELECT ba.hr, sum(ba.cnt * bb.cnt) AS dot
+        |  FROM ba JOIN bb ON ba.hr = bb.hr AND ba.bucket = bb.bucket GROUP BY 1),
+        |ex AS (SELECT sum(ea.c * ob.c)::BIGINT AS exact_join_size FROM
+        |  (SELECT user_id AS k, count(*) AS c FROM events WHERE user_id IS NOT NULL GROUP BY 1) ea
+        |  JOIN (SELECT o_custkey AS k, count(*) AS c FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) ob
+        |  USING (k))
+        |SELECT min(dots.dot)::BIGINT AS est_join_size,
+        |  max(ex.exact_join_size)::BIGINT AS exact_join_size
+        |FROM dots, ex""".stripMargin,
     "q123_interval_join_outer" ->
       // batch dual: plain LEFT JOIN with the band condition — the
       // sentinel machinery exists only to flush streaming state, the

@@ -273,6 +273,29 @@ object Sketches {
       .groupBy("key").agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** Join-size estimation from two [[countMin]] sketches: the
+    * count-min inner product — per depth row, Σ_bucket cntA·cntB;
+    * the estimate is the MIN across rows (AMS/CM estimator:
+    * E[dot] = |A ⋈ B| + collisions, collisions ≥ 0, so min is the
+    * tightest). The join-planning primitive: two tables publish
+    * depth×width counter rows once, and any pairwise equi-join size
+    * is estimated from sketch arithmetic without touching either
+    * table — expected overshoot ≈ |A|·|B|/width per row, so width is
+    * chosen from the row-count product. Missing (row, bucket) pairs
+    * contribute zero on either side, hence the inner join. */
+  def cmJoinSize(sketchA: DataFrame, sketchB: DataFrame,
+                 depth: Int = 4): DataFrame =
+    sketchA.join(
+        sketchB.select(col("row"), col("bucket"), col("cnt").as("_cntB")),
+        Seq("row", "bucket"))
+      .groupBy("row").agg(sum(col("cnt") * col("_cntB")).as("_dot"))
+      .agg(min("_dot").as("_m"), count(lit(1)).as("_nrows"))
+      // a depth row with NO coinciding buckets has dot 0 — it just
+      // produced no row; any such row (or full disjointness) proves
+      // the join is empty
+      .select(when(col("_nrows") < depth, lit(0L))
+        .otherwise(coalesce(col("_m"), lit(0L))).as("est_join_size"))
+
   /** Bit positions of one value in an m = 63·`words` bloom bit space
     * under `k` md5-affine hash rounds — the single source of truth
     * shared by [[bloomBuild]] and [[bloomProbe]]. 63 (not 64) usable

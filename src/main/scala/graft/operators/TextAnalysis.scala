@@ -150,6 +150,46 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_tokens"))
   }
 
+  /** Bigram language-model score per document: add-k-smoothed
+    * conditional log-probabilities averaged over the doc's
+    * consecutive token pairs —
+    * `avg(ln((c(w1,w2) + k) / (c(w1·) + k·V)))`, with `c(w1·)` the
+    * bigram-prefix count, `V` the corpus vocabulary, both estimated
+    * from the corpus itself. The order-aware upgrade of
+    * [[unigramLogProb]]'s fluency gate: repetitive or shuffled text
+    * scores low even when its unigram mix looks natural. Returns
+    * (doc_id, n_bigrams, lm_score rounded 6); docs with < 2 tokens
+    * are absent (no bigram to score).
+    *
+    * Scale shape: one tokenize + one per-doc window (`lead` over
+    * token position — the same partitioned sort chunking pays), then
+    * map-side-combinable (w1,w2) / (w1) counts; scoring joins the
+    * bigram stream against those count tables ON THEIR OWN KEYS
+    * (co-partitioned, vocabulary²-bounded — NOT broadcast, unlike
+    * the unigram table, because bigram vocabularies outgrow driver
+    * memory at corpus scale), and the per-doc average is one reduced
+    * shuffle. */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    k: Double = 0.5): DataFrame = {
+    require(k > 0, "add-k smoothing needs k > 0")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol)))).toDF("doc_id", "pos", "term")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val bi = toks.select(col("doc_id"), col("term").as("w1"),
+        lead("term", 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    val v = broadcast(toks.agg(countDistinct("term").cast("double").as("_v")))
+    bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(v)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("_c12") + lit(k)) /
+          (col("_c1") + lit(k) * col("_v")))), 6).as("lm_score"))
+  }
+
   /** BM25 relevance of every document against a fixed query-term
     * set — the classic retrieval scorer (Robertson/Okapi, in the
     * Lucene `idf = ln(1 + (N − df + ½)/(df + ½))` form), the standard

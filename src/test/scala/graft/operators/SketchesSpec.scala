@@ -291,4 +291,23 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     assert(salted.toSeq == plain.toSeq && plain.nonEmpty)
   }
+
+  test("cmJoinSize: never underestimates; exact when collision-free") {
+    import spark.implicits._
+    // A: key a ×3, b ×2; B: a ×4, c ×5 -> true join size 12
+    val a = Seq("a", "a", "a", "b", "b").toDF("k")
+    val b = Seq("a", "a", "a", "a", "c", "c", "c", "c", "c").toDF("k")
+    val est = Sketches.cmJoinSize(
+        Sketches.countMin(a, "k", depth = 4, width = 4096),
+        Sketches.countMin(b, "k", depth = 4, width = 4096))
+      .collect().head.getLong(0)
+    // 3 keys in 4096 buckets: collision-free with overwhelming odds
+    // in at least one depth row -> min equals the exact inner product
+    assert(est == 12L)
+    // disjoint key sets estimate 0 (inner join of sketches is empty)
+    val z = Sketches.cmJoinSize(
+      Sketches.countMin(Seq("x").toDF("k"), "k"),
+      Sketches.countMin(Seq("y").toDF("k"), "k"))
+    assert(z.collect().head.getLong(0) == 0L)
+  }
 }

@@ -246,4 +246,18 @@ class TextAnalysisSpec extends SparkSpec {
     // all-unique doc still reports its (unrepeated) top bigram
     assert(d4.getString(3) == "x y")
   }
+
+  test("bigramLogProb: hand-computed smoothed scores; short docs absent") {
+    // corpus bigrams: c12(a,b)=3, (b,a)=1, (b,c)=1; c1(a)=3, c1(b)=2;
+    // V = 4 ({a,b,c,solo} — the bigram-less doc still feeds the vocab)
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    // doc1: avg(ln(3.5/5), ln(1.5/4), ln(3.5/5)) = -0.564726
+    // doc2: avg(ln(3.5/5), ln(1.5/4)) = -0.668752
+    assert(out == Map(1L -> ((3L, -0.564726)), 2L -> ((2L, -0.668752))))
+    assert(!out.contains(3L)) // single-token doc has no bigram
+  }
 }
