@@ -779,6 +779,18 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Linear multi-touch attribution — equal-credit complement of
+    // q120's last-touch (total credit conserves conversion count)
+    "q128_linear_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"))
+      Analytics.linearAttribution(ev, "user_id", "ts_us", "event_type",
+        conversion = "purchase", lookbackUs = 86400000000L)
+    }),
+    // Inverted-index build: per-term df/cf + capped posting list
+    "q129_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(t(s, dir, "documents"))),
     // Bigram LM fluency score — order-aware upgrade of q66
     "q126_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(t(s, dir, "documents"))),
@@ -2375,6 +2387,39 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q128_linear_attribution" ->
+      // range self-join formulation — semantically identical to the
+      // Spark side's range-frame window ([c−24h, c) exclusive)
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
+        |  FROM events WHERE user_id IS NOT NULL),
+        |conv AS (SELECT user_id, event_id, tu FROM ev WHERE event_type = 'purchase'),
+        |touch AS (SELECT c.event_id AS cid, t.event_type AS ch
+        |  FROM conv c JOIN ev t ON c.user_id = t.user_id
+        |    AND t.event_type <> 'purchase'
+        |    AND t.tu >= c.tu - 86400000000 AND t.tu < c.tu),
+        |n AS (SELECT cid, count(*) AS n FROM touch GROUP BY 1),
+        |credits AS (SELECT t.ch AS channel, 1.0::DOUBLE / n.n AS credit
+        |    FROM touch t JOIN n ON t.cid = n.cid
+        |  UNION ALL
+        |  SELECT 'direct', 1.0::DOUBLE FROM conv c
+        |  WHERE NOT EXISTS (SELECT 1 FROM touch WHERE touch.cid = c.event_id))
+        |SELECT channel, round(sum(credit), 6) AS credit
+        |FROM credits GROUP BY 1""".stripMargin,
+    "q129_inverted_index" ->
+      // identical (tf desc, doc asc) rank cut; list serialized in
+      // rank order on both engines
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |stats AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+        |  FROM tf GROUP BY 1),
+        |rk AS (SELECT term, doc_id, tf,
+        |  row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn FROM tf),
+        |post AS (SELECT term,
+        |  array_to_string(list(doc_id || ':' || tf ORDER BY tf DESC, doc_id), ',') AS postings
+        |  FROM rk WHERE rn <= 5 GROUP BY 1)
+        |SELECT s.term, s.df, s.cf, p.postings
+        |FROM stats s JOIN post p USING (term)""".stripMargin,
     "q126_bigram_logprob" ->
       // zipped unnests give token positions; same add-0.5 smoothing
       // over bigram-prefix counts and the full-corpus vocabulary

@@ -238,6 +238,43 @@ object Analytics {
       .groupBy("channel").agg(count(lit(1)).as("n_conversions"))
   }
 
+  /** Linear (equal-credit) multi-touch attribution: each conversion
+    * splits one unit of credit equally across ALL the user's
+    * non-conversion touches in the trailing `lookbackUs` window
+    * (exclusive of the conversion instant); a touchless conversion
+    * credits `direct` in full. Returns (channel, credit rounded 6) —
+    * total credit always equals the conversion count. The fairness
+    * complement to [[lastTouchAttribution]]'s winner-takes-all.
+    *
+    * Scale shape: ONE user-partitioned RANGE-frame window collects
+    * each conversion's touch list (frame bounded by the lookback, so
+    * carried state per row is the window's own touches, not history),
+    * then an explode sized by conversions × touches-per-conversion
+    * and a channels-sized sum. Same single shuffle as sessionization;
+    * no conversion×touch self-join. */
+  def linearAttribution(events: DataFrame, userCol: String,
+                        tsUsCol: String, typeCol: String,
+                        conversion: String, lookbackUs: Long): DataFrame = {
+    require(lookbackUs >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsUsCol).cast("long"))
+      .rangeBetween(-lookbackUs, -1)
+    // collect_list drops the nulls the `when` leaves on conversions
+    // and off-channel rows — the frame's list IS the touch set
+    val conv = events.filter(col(userCol).isNotNull)
+      .withColumn("_touches",
+        collect_list(when(col(typeCol) =!= conversion, col(typeCol))).over(w))
+      .filter(col(typeCol) === conversion)
+      .select(col("_touches"), size(col("_touches")).as("_n"))
+    val direct = conv.filter(col("_n") === 0)
+      .select(lit("direct").as("channel"), lit(1.0).as("_credit"))
+    val spread = conv.filter(col("_n") > 0)
+      .select(explode(col("_touches")).as("channel"),
+        (lit(1.0) / col("_n")).as("_credit"))
+    direct.unionByName(spread)
+      .groupBy("channel").agg(round(sum("_credit"), 6).as("credit"))
+  }
+
   /** Grouped ordinary-least-squares fit of y on x: per group,
     * (slope, intercept, r2, n), each statistic rounded to 5. TWO-PASS
     * centered sums — group means are broadcast back and products are

@@ -150,6 +150,39 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_tokens"))
   }
 
+  /** Inverted-index build: one row per term with document frequency,
+    * collection frequency, and the top-`topPostings` posting list
+    * serialized `doc:tf,...` (tf desc, doc asc — deterministic) —
+    * the retrieval artifact behind [[bm25]], materialized. Capping
+    * postings bounds every row regardless of how stopword-like a
+    * term is; full postings are the uncapped `tf` relation itself.
+    *
+    * Scale shape: one (term, doc) shuffle for tf, map-side-combinable
+    * term stats, and a term-partitioned rank to cut postings BEFORE
+    * any list is materialized — the serialized list is
+    * `topPostings`-bounded, never df-sized. (The bounded-heap
+    * [[graft.plans.TopKPerKey]] operator is the exchange-eliding
+    * variant of the same cut.) */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    topPostings: Int = 5): DataFrame = {
+    require(topPostings >= 1)
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+    val post = tf.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topPostings)
+      .withColumn("_s", concat(col("doc_id"), lit(":"), col("tf")))
+      .groupBy("term")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(_rn, _s))), x -> x._s), ',')").as("postings"))
+    stats.join(post, Seq("term"))
+  }
+
   /** Bigram language-model score per document: add-k-smoothed
     * conditional log-probabilities averaged over the doc's
     * consecutive token pairs —

@@ -96,6 +96,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq(("a", "b", "a", 1L), ("a", "b", "c", 1L)))
   }
 
+  test("linearAttribution: equal split, direct fallback, credit conserved") {
+    val ev = Seq(
+      (1L, 10L, "ad"), (1L, 15L, "email"), (1L, 20L, "buy"), // 0.5 each
+      (2L, 10L, "buy"),                                      // direct
+      (3L, 10L, "ad"), (3L, 500L, "buy"),                    // too old -> direct
+      (4L, 10L, "ad"), (4L, 20L, "ad"), (4L, 30L, "buy")     // ad 1.0 (2 halves)
+    ).toDF("u", "ts", "tpe")
+    val out = Analytics.linearAttribution(ev, "u", "ts", "tpe",
+        conversion = "buy", lookbackUs = 100L)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(out == Set(("ad", 1.5), ("email", 0.5), ("direct", 2.0)))
+    // credit conservation: totals equal the 4 conversions
+    assert(out.toSeq.map(_._2).sum == 4.0)
+  }
+
   test("lastTouchAttribution: credit, direct fallback, lookback expiry") {
     val ev = Seq(
       (1L, 10L, "ad"), (1L, 20L, "buy"),          // credited to ad

@@ -260,4 +260,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map(1L -> ((3L, -0.564726)), 2L -> ((2L, -0.668752))))
     assert(!out.contains(3L)) // single-token doc has no bigram
   }
+
+  test("invertedIndex: df/cf, rank-ordered capped postings") {
+    val docs = Seq((1L, "x x x y"), (2L, "x y y"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, topPostings = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // x: df 3, cf 5, top-2 postings by tf desc then doc asc
+    assert(out == Map(
+      "x" -> ((3L, 5L, "1:3,2:1")),
+      "y" -> ((2L, 3L, "2:2,1:1"))))
+  }
 }
