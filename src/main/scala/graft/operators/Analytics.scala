@@ -238,6 +238,44 @@ object Analytics {
       .groupBy("channel").agg(count(lit(1)).as("n_conversions"))
   }
 
+  /** RFM segmentation: per key, recency (periods since last event,
+    * against the feed's own max time), frequency (event count),
+    * monetary (value sum, rounded 4), each scored into `nTiles`
+    * quantile tiles (5 = best: most recent / most frequent / highest
+    * spend), plus the concatenated segment label — the classic
+    * customer-value cube. Tile assignment uses `ntile` with the key
+    * as tiebreak, so every score is engine-deterministic.
+    *
+    * Scale shape: one map-side-combinable agg per key, a 1-row
+    * broadcast for the feed max, then ntile windows over the
+    * KEY-sized table (dimension-sized, not event-sized). For key
+    * counts past one sort task, swap ntile for broadcast
+    * histogram-quantile cutoffs ([[Sketches]], q53) — same scores,
+    * no global sort. */
+  def rfmSegments(events: DataFrame, keyCol: String, tsUsCol: String,
+                  valueCol: String, nTiles: Int = 5,
+                  periodUs: Long = 86400000000L): DataFrame = {
+    require(nTiles >= 2 && periodUs >= 1)
+    val p = events.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), col(tsUsCol).cast("long").as("_tu"),
+        col(valueCol).as("_v"))
+    val mx = broadcast(p.agg(max("_tu").as("_mt")))
+    val base = p.groupBy(col(keyCol))
+      .agg(max("_tu").as("_lt"), count(lit(1)).as("f"),
+        round(sum("_v"), 4).as("m"))
+      .crossJoin(mx)
+      .select(col(keyCol), expr(s"(_mt - _lt) div ${periodUs}L").as("r_days"),
+        col("f"), col("m"))
+    def tile(o: Column*) = ntile(nTiles)
+      .over(org.apache.spark.sql.expressions.Window.orderBy(o: _*))
+    base
+      .withColumn("r_score", tile(col("r_days").desc, col(keyCol)))
+      .withColumn("f_score", tile(col("f"), col(keyCol)))
+      .withColumn("m_score", tile(col("m"), col(keyCol)))
+      .withColumn("segment",
+        concat_ws("-", col("r_score"), col("f_score"), col("m_score")))
+  }
+
   /** Linear (equal-credit) multi-touch attribution: each conversion
     * splits one unit of credit equally across ALL the user's
     * non-conversion touches in the trailing `lookbackUs` window

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-group z-score outlier flagging (SURVEY.md §2.11 extension
@@ -94,6 +94,48 @@ object Outliers {
       .withColumn("is_outlier",
         when(col("_mad") === 0.0, lit(false)).otherwise(abs(z) > threshold))
       .drop("_med", "_mad")
+  }
+
+  /** CUSUM drift detection: per group, the cumulative sum of
+    * mean-deviations over event time, reported at its absolute peak —
+    * (group, max_cusum rounded 6, at = time of the peak). A sustained
+    * level shift makes the CUSUM trend away from zero; the peak
+    * magnitude and position locate the drift. BIT-EXACT by
+    * construction: values quantize to integers (`floor(v·scale + ½)`)
+    * and the running sum uses `v_q·n − S` (both int64), so every
+    * prefix sum — and therefore the argmax row — is identical on any
+    * engine; the only division happens once, on identical operands.
+    * (A double CUSUM would accumulate mean-rounding error across the
+    * whole prefix and could flip the argmax near ties.)
+    *
+    * Scale shape: one moment agg (broadcast back), one per-group
+    * ordered window pass — the sessionization shuffle — and a 1-row-
+    * per-group argmax. int64 headroom: |v_q·n − S| ≤ 2·max|v|·scale·n
+    * per term, n² · max|v| · scale total — fine to ~10⁷ rows/group at
+    * scale 100. */
+  def cusumDrift(df: DataFrame, groupCol: String, tsCol: String,
+                 tiebreak: Column, valueCol: String,
+                 scale: Long = 100L): DataFrame = {
+    require(scale >= 1)
+    val e = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(tsCol).as("_tn"), tiebreak.as("_tb"),
+        floor(col(valueCol) * scale + lit(0.5)).cast("long").as("_vq"))
+    val st = e.groupBy(col(groupCol))
+      .agg(sum("_vq").as("_s"), count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_tn"), col("_tb"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(abs(col("_cq")).desc, col("_tn"), col("_tb"))
+    e.join(broadcast(st), Seq(groupCol))
+      .withColumn("_cq", sum(col("_vq") * col("_n") - col("_s")).over(w))
+      .withColumn("_rn", row_number().over(wr))
+      .filter(col("_rn") === 1)
+      .select(col(groupCol),
+        round(col("_cq").cast("double") /
+          (lit(scale.toDouble) * col("_n").cast("double")), 6).as("max_cusum"),
+        col("_tn").as("at"))
   }
 
   /** Winsorization: clip `valueCol` into its group's

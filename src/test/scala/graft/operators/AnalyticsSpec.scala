@@ -96,6 +96,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq(("a", "b", "a", 1L), ("a", "b", "c", 1L)))
   }
 
+  test("rfmSegments: hand-computed quintiles over a 5-user fixture") {
+    // one purchase each at ts 10..50, value 1..5, period 10:
+    // r_days 4..0, f all 1 (key tiebreak), m 1..5
+    val p = (1L to 5L).map(u => (u, u * 10L, u.toDouble)).toDF("u", "ts", "v")
+    val out = Analytics.rfmSegments(p, "u", "ts", "v", nTiles = 5,
+        periodUs = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(4),
+        r.getInt(5), r.getInt(6), r.getString(7)))).toMap
+    assert(out(1L) == ((4L, 1, 1, 1, "1-1-1")))
+    assert(out(5L) == ((0L, 5, 5, 5, "5-5-5")))
+    assert(out(3L) == ((2L, 3, 3, 3, "3-3-3")))
+  }
+
   test("linearAttribution: equal split, direct fallback, credit conserved") {
     val ev = Seq(
       (1L, 10L, "ad"), (1L, 15L, "email"), (1L, 20L, "buy"), // 0.5 each

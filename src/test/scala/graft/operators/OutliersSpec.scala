@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class OutliersSpec extends SparkSpec {
   import spark.implicits._
@@ -75,6 +76,25 @@ class OutliersSpec extends SparkSpec {
     assert(out(10L)._2 && out(10L)._1 > 50)
     (1L to 9L).foreach(i => assert(!out(i)._2, s"false flag on $i"))
     (11L to 20L).foreach(i => assert(out(i) == ((0.0, false))))
+  }
+
+  test("cusumDrift: level shift peaks at the change point, bit-exact") {
+    // values 0,0,10,10: quantized terms (vq·n − S) = ±2000, prefix
+    // sums −2000,−4000,−2000,0 → peak |−4000| at ts 2;
+    // cusum = −4000/(100·4) = −10
+    val df = Seq((1L, "g", 0.0), (2L, "g", 0.0), (3L, "g", 10.0),
+      (4L, "g", 10.0)).toDF("ts", "grp", "v")
+    val out = Outliers.cusumDrift(df, "grp", "ts", col("ts"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("g", -10.0, 2L)))
+  }
+
+  test("cusumDrift: a constant series peaks at zero") {
+    val df = Seq((1L, "g", 5.0), (2L, "g", 5.0), (3L, "g", 5.0))
+      .toDF("ts", "grp", "v")
+    val out = Outliers.cusumDrift(df, "grp", "ts", col("ts"), "v")
+      .collect().head
+    assert(out.getDouble(1) == 0.0 && out.getLong(2) == 1L)
   }
 
   test("winsorize: interior untouched, tails clipped to the quantile band") {
