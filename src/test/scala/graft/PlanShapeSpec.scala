@@ -166,4 +166,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct") || p.contains("Broadcast"),
       s"non-broadcast cartesian:\n$p")
   }
+
+  test("q121: the bloom membership filter sits UNDER the join exchange") {
+    val p = plan("q121_bloom_join")
+    // the big side is cut by the element_at membership expression
+    // before any shuffle — the whole point of the runtime filter
+    assert(p.contains("element_at"), s"bloom filter compiled away:\n$p")
+    val filterIdx = p.indexOf("element_at")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter not below the join in the tree:\n$p")
+  }
+
+  test("q112: rolling active users has NO window operator — explode only") {
+    val p = plan("q112_rolling_active")
+    assert(!p.contains("Window"), s"window crept into the rolling count:\n$p")
+    assert(p.contains("Generate") || p.contains("explode"),
+      s"no explode in plan:\n$p")
+  }
+
+  test("q111: pagerank iterations broadcast the rank table") {
+    val p = plan("q111_pagerank")
+    assert(p.contains("BroadcastHashJoin"), s"rank join not broadcast:\n$p")
+  }
+
+  test("q124: incremental agg folds as partial aggregates, no window/sort-merge") {
+    val p = plan("q124_agg_increment")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(!p.contains("Window"), s"window in the MV refresh:\n$p")
+  }
+
+  test("q128: linear attribution is one window pass, no self-join of events") {
+    val p = plan("q128_linear_attribution")
+    // exactly one Window operator (the range-frame collect); a range
+    // SELF-JOIN formulation would show a second events scan joined
+    // on a range condition
+    val windows = "(?<!Broadcast)Window".r.findAllIn(p).length
+    assert(windows >= 1, s"no window:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"cartesian touch join:\n$p")
+  }
 }
