@@ -782,6 +782,19 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Unpivot/melt — the inverse of q42's pivot: four measure
+    // columns to (measure, val) rows, scan-speed Expand
+    "q132_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem").unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")),
+    // PSI distribution drift per event type: first half of the feed
+    // as reference, quartile bins from the reference itself
+    "q133_psi_drift" -> ((s, dir) =>
+      graft.operators.Profiling.psiDrift(t(s, dir, "events"),
+        "event_type", col("ts") < 1705276800000000000L, "value")),
     // RFM segmentation over purchases — recency/frequency/monetary
     // quintile scores + segment label per user
     "q130_rfm_segments" -> ((s, dir) => {
@@ -2420,6 +2433,34 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q132_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
+    "q133_psi_drift" ->
+      // reference-derived quartile cuts (quantile_cont parity), then
+      // identical p = n/total ratios and the 4-term PSI sum
+      """WITH h AS (SELECT event_type AS g, value,
+        |    CASE WHEN epoch_ns(ts) < 1705276800000000000 THEN 'ref' ELSE 'cur' END AS sl
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cuts AS (SELECT g, quantile_cont(value, 0.25) AS c0,
+        |    quantile_cont(value, 0.5) AS c1, quantile_cont(value, 0.75) AS c2
+        |  FROM h WHERE sl = 'ref' GROUP BY 1),
+        |binned AS (SELECT h.g, h.sl,
+        |    CASE WHEN value <= c0 THEN 0 WHEN value <= c1 THEN 1
+        |         WHEN value <= c2 THEN 2 ELSE 3 END AS bin
+        |  FROM h JOIN cuts ON h.g = cuts.g),
+        |cnt AS (SELECT g, sl, bin, count(*)::DOUBLE AS n FROM binned GROUP BY 1, 2, 3),
+        |tot AS (SELECT g, sl, sum(n) AS t FROM cnt GROUP BY 1, 2),
+        |p AS (SELECT c.g, c.bin,
+        |    max(CASE WHEN c.sl = 'ref' THEN c.n / t.t END) AS pr,
+        |    max(CASE WHEN c.sl = 'cur' THEN c.n / t.t END) AS pc
+        |  FROM cnt c JOIN tot t ON c.g = t.g AND c.sl = t.sl GROUP BY 1, 2)
+        |SELECT g AS event_type,
+        |  round(sum((coalesce(pc, 0.0) - coalesce(pr, 0.0)) *
+        |    ln(coalesce(pc, 1e-12) / coalesce(pr, 1e-12))), 6) AS psi
+        |FROM p GROUP BY 1""".stripMargin,
     "q130_rfm_segments" ->
       // identical quintile ntiles (key tiebreak), feed-max recency
       """WITH p AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events

@@ -81,6 +81,54 @@ object Profiling {
       "(col_name, n_rows, n_null, n_distinct, min_num, max_num)")
   }
 
+  /** Population stability index per group: how far the value
+    * distribution has drifted from a REFERENCE slice (training-time,
+    * last week, control arm …), measured over quantile bins derived
+    * from the reference itself —
+    * `PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref)`. The model- and
+    * feature-monitoring drift metric (rule of thumb: < 0.1 stable,
+    * > 0.25 action); pairs with [[Outliers.cusumDrift]], which finds
+    * WHEN a shift happened, where PSI quantifies HOW FAR the
+    * distribution moved. Empty bins are floored at `eps` (standard
+    * practice — PSI is undefined at zero mass).
+    *
+    * Scale shape: one grouped exact percentile over the REFERENCE
+    * slice only (cut table is groups × cuts, broadcast back), then a
+    * single scan-speed binning pass and a (group, slice, bin)-sized
+    * aggregation — the corpus shuffles once, on the group key. */
+  def psiDrift(df: DataFrame, groupCol: String, refCol: Column,
+               valueCol: String,
+               quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
+               eps: Double = 1e-12): DataFrame = {
+    require(quantiles.nonEmpty && quantiles == quantiles.sorted &&
+      quantiles.forall(q => q > 0 && q < 1))
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).as("_v"),
+        when(refCol, lit("ref")).otherwise(lit("cur")).as("_slice"))
+    val cuts = base.filter(col("_slice") === "ref")
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(_v, ${quantiles.head})").as("_c0"),
+        quantiles.tail.zipWithIndex.map { case (q, i) =>
+          expr(s"percentile(_v, $q)").as(s"_c${i + 1}") }: _*)
+    val bin = quantiles.indices.foldRight(lit(quantiles.size)) {
+      (i, acc) => when(col("_v") <= col(s"_c$i"), lit(i)).otherwise(acc) }
+    val counts = base.join(broadcast(cuts), Seq(groupCol))
+      .groupBy(col(groupCol), col("_slice"), bin.as("_bin"))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val probs = counts
+      .withColumn("_p", col("_n") / sum("_n").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol), col("_slice"))))
+      .groupBy(col(groupCol), col("_bin"))
+      .agg(max(when(col("_slice") === "ref", col("_p"))).as("_pr"),
+        max(when(col("_slice") === "cur", col("_p"))).as("_pc"))
+    probs.groupBy(col(groupCol))
+      .agg(round(sum((coalesce(col("_pc"), lit(0.0)) -
+          coalesce(col("_pr"), lit(0.0))) *
+        log(coalesce(col("_pc"), lit(eps)) /
+          coalesce(col("_pr"), lit(eps)))), 6).as("psi"))
+  }
+
   /** Data-contract validation — the constraint gate that runs before
     * a drop is admitted to the lake: one row per declared constraint,
     * (check_name, n_violations, passed). Constraint classes:

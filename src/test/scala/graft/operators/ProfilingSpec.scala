@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class ProfilingSpec extends SparkSpec {
   import spark.implicits._
@@ -29,6 +30,24 @@ class ProfilingSpec extends SparkSpec {
       ("range(v)", 1L, false),
       // NULL-free orphan: "zz"
       ("fk(ref)", 1L, false)))
+  }
+
+  test("psiDrift: hand-computed shift; identical slices score zero") {
+    // ref = 1..100 uniform (quartile cuts 25.75/50.5/75.25);
+    // cur = 11..110 -> bin probs (.15,.25,.25,.35);
+    // PSI = -0.1·ln(0.6) + 0.1·ln(1.4) = 0.08473
+    val rows = (1 to 100).map(v => ("g", v.toDouble, true)) ++
+      (11 to 110).map(v => ("g", v.toDouble, false))
+    val out = Profiling.psiDrift(rows.toDF("grp", "v", "isRef"),
+        "grp", col("isRef"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(out == Seq(("g", 0.08473)))
+    // identical distributions -> every term zero
+    val same = (1 to 50).map(v => ("g", v.toDouble, true)) ++
+      (1 to 50).map(v => ("g", v.toDouble, false))
+    val z = Profiling.psiDrift(same.toDF("grp", "v", "isRef"),
+      "grp", col("isRef"), "v").collect().head.getDouble(1)
+    assert(z == 0.0)
   }
 
   test("checkConstraints: a clean table passes everything") {
