@@ -782,6 +782,25 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // A/B experiment read-out: md5-parity arms, conversion = heavy
+    // purchaser (≥14), pooled two-proportion z
+    "q134_ab_test" -> ((s, dir) => {
+      val units = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 14L).as("conv"))
+        .select(
+          (graft.functions.HashFunctions.md5Long(
+            concat(lit("ab:"), col("user_id"))) % 2 =!= 0).as("treat"),
+          col("conv"))
+      Analytics.abLift(units, col("treat"), col("conv"))
+    }),
+    // Exact pairwise audience overlap (first-12h actives per type) —
+    // the exact counterpart of q103's HLL overlap estimator
+    "q135_audience_overlap" -> ((s, dir) =>
+      Analytics.audienceOverlap(
+        t(s, dir, "events").filter(col("ts") < 1704110400000000000L),
+        "event_type", "user_id")),
     // Unpivot/melt — the inverse of q42's pivot: four measure
     // columns to (measure, val) rows, scan-speed Expand
     "q132_unpivot" -> ((s, dir) =>
@@ -2433,6 +2452,32 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q134_ab_test" ->
+      // same md5-parity arm assignment and exact integer counts; the
+      // z formula runs on identical operands
+      """WITH u AS (SELECT user_id,
+        |    ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 15))::BIGINT % 2 <> 0 AS treat,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |      THEN 1 ELSE 0 END AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT treat, count(*)::BIGINT AS n, sum(conv)::BIGINT AS k FROM u GROUP BY 1),
+        |w AS (SELECT
+        |  max(CASE WHEN NOT treat THEN n END) AS na, max(CASE WHEN NOT treat THEN k END) AS ka,
+        |  max(CASE WHEN treat THEN n END) AS nb, max(CASE WHEN treat THEN k END) AS kb FROM s)
+        |SELECT na, ka, nb, kb,
+        |  round(kb::DOUBLE/nb - ka::DOUBLE/na, 6) AS lift,
+        |  round((kb::DOUBLE/nb - ka::DOUBLE/na) /
+        |    sqrt(((ka+kb)::DOUBLE/(na+nb)) * (1.0 - (ka+kb)::DOUBLE/(na+nb)) * (1.0/na + 1.0/nb)), 5) AS z
+        |FROM w""".stripMargin,
+    "q135_audience_overlap" ->
+      """WITH a AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events
+        |  WHERE user_id IS NOT NULL AND epoch_ns(ts) < 1704110400000000000),
+        |pairs AS (SELECT x.t AS t1, y.t AS t2, count(*)::BIGINT AS n_inter
+        |  FROM a x JOIN a y ON x.u = y.u AND x.t < y.t GROUP BY 1, 2),
+        |sz AS (SELECT t, count(*)::BIGINT AS n FROM a GROUP BY 1)
+        |SELECT p.t1, p.t2, p.n_inter, (s1.n + s2.n - p.n_inter) AS n_union,
+        |  round(p.n_inter::DOUBLE / (s1.n + s2.n - p.n_inter), 6) AS jaccard
+        |FROM pairs p JOIN sz s1 ON p.t1 = s1.t JOIN sz s2 ON p.t2 = s2.t""".stripMargin,
     "q132_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem

@@ -238,6 +238,67 @@ object Analytics {
       .groupBy("channel").agg(count(lit(1)).as("n_conversions"))
   }
 
+  /** Two-proportion A/B read-out: one row —
+    * (na, ka, nb, kb, lift, z) — from unit-level (treatment,
+    * converted) rows: lift = p_B − p_A and the pooled two-proportion
+    * z statistic (|z| > 1.96 ≈ 95% significance). Counts are exact
+    * integers, so every derived ratio is computed from identical
+    * operands on any engine.
+    *
+    * Scale shape: one map-side-combinable 2-group aggregate and a
+    * 1-row pivot — nothing here is ever big; the caller's
+    * unit-building aggregation (events → units) is the only
+    * data-sized pass, and it's a plain keyed agg. */
+  def abLift(units: DataFrame, treatmentCol: Column,
+             convCol: Column): DataFrame = {
+    val s = units.select(treatmentCol.as("_t"),
+        convCol.cast("long").as("_c"))
+      .groupBy("_t").agg(count(lit(1)).as("_n"), sum("_c").as("_k"))
+    val w = s.agg(
+      max(when(!col("_t"), col("_n"))).as("na"),
+      max(when(!col("_t"), col("_k"))).as("ka"),
+      max(when(col("_t"), col("_n"))).as("nb"),
+      max(when(col("_t"), col("_k"))).as("kb"))
+    val (na, ka, nb, kb) = (col("na").cast("double"),
+      col("ka").cast("double"), col("nb").cast("double"),
+      col("kb").cast("double"))
+    val pPool = (ka + kb) / (na + nb)
+    val diff = kb / nb - ka / na
+    w.select(col("na"), col("ka"), col("nb"), col("kb"),
+      round(diff, 6).as("lift"),
+      round(diff / sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / na + lit(1.0) / nb)), 5).as("z"))
+  }
+
+  /** Pairwise audience overlap: for every unordered pair of sets
+    * (t1 < t2), the exact intersection, union, and Jaccard of their
+    * element sets. The exact counterpart of the HLL overlap
+    * estimator ([[Sketches.hllOverlap]]) — use THIS while the
+    * element-pair matrix fits (sets² · shared-element rows), the
+    * sketch when it doesn't.
+    *
+    * Scale shape: one distinct (set, element) collapse, one
+    * element-keyed self-join expanding co-membership pairs (linear
+    * in Σ_element deg² — bounded when membership per element is),
+    * and set-sized joins for the union term. */
+  def audienceOverlap(df: DataFrame, setCol: String,
+                      elemCol: String): DataFrame = {
+    val a = df.filter(col(setCol).isNotNull && col(elemCol).isNotNull)
+      .select(col(setCol).as("_t"), col(elemCol).as("_u")).distinct()
+    val pairs = a.select(col("_t").as("t1"), col("_u"))
+      .join(a.select(col("_t").as("t2"), col("_u")), Seq("_u"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_inter"))
+    val sz = a.groupBy(col("_t")).agg(count(lit(1)).as("_n"))
+    pairs
+      .join(sz.select(col("_t").as("t1"), col("_n").as("_n1")), Seq("t1"))
+      .join(sz.select(col("_t").as("t2"), col("_n").as("_n2")), Seq("t2"))
+      .select(col("t1"), col("t2"), col("n_inter"),
+        (col("_n1") + col("_n2") - col("n_inter")).as("n_union"),
+        round(col("n_inter").cast("double") /
+          (col("_n1") + col("_n2") - col("n_inter")), 6).as("jaccard"))
+  }
+
   /** RFM segmentation: per key, recency (periods since last event,
     * against the feed's own max time), frequency (event count),
     * monetary (value sum, rounded 4), each scored into `nTiles`

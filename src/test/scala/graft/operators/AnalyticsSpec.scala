@@ -96,6 +96,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq(("a", "b", "a", 1L), ("a", "b", "c", 1L)))
   }
 
+  test("abLift: hand-computed pooled z on exact counts") {
+    // A: 1/4 convert; B: 3/4 -> lift 0.5, pooled p 0.5,
+    // z = 0.5 / sqrt(0.25 * 0.5) = 1.41421
+    val units = Seq((false, true), (false, false), (false, false),
+      (false, false), (true, true), (true, true), (true, true),
+      (true, false)).toDF("treat", "conv")
+    val r = Analytics.abLift(units, $"treat", $"conv").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 1L, 4L, 3L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 1.41421)
+  }
+
+  test("audienceOverlap: exact intersection/union/jaccard; disjoint absent") {
+    val df = Seq(("s1", 1L), ("s1", 2L), ("s1", 3L), ("s1", 3L),
+      ("s2", 2L), ("s2", 3L), ("s2", 4L), ("s3", 9L)).toDF("t", "u")
+    val out = Analytics.audienceOverlap(df, "t", "u")
+      .collect().map(r => ((r.getString(1), r.getString(0)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // select order is (t2, t1, ...) from the join re-order? read by name instead
+    val byName = Analytics.audienceOverlap(df, "t", "u")
+      .select("t1", "t2", "n_inter", "n_union", "jaccard")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(byName == Map(("s1", "s2") -> ((2L, 4L, 0.5))))
+    assert(out.size == 1) // disjoint pairs (s3) never appear
+  }
+
   test("rfmSegments: hand-computed quintiles over a 5-user fixture") {
     // one purchase each at ts 10..50, value 1..5, period 10:
     // r_days 4..0, f all 1 (key tiebreak), m 1..5
