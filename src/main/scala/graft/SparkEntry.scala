@@ -782,6 +782,14 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Gini concentration of per-user value mass, per event type
+    "q136_gini" -> ((s, dir) =>
+      Analytics.giniIndex(t(s, dir, "events"), "event_type", "user_id",
+        "value")),
+    // Lag-1 autocorrelation of value per event type
+    "q137_autocorr" -> ((s, dir) =>
+      graft.operators.TimeSeries.autocorrelation(t(s, dir, "events"),
+        "event_type", Seq(col("ts"), col("event_id")), "value")),
     // A/B experiment read-out: md5-parity arms, conversion = heavy
     // purchaser (≥14), pooled two-proportion z
     "q134_ab_test" -> ((s, dir) => {
@@ -2452,6 +2460,29 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q136_gini" ->
+      // totals rounded BEFORE ranking so rank order can't flip on
+      // summation noise; (xr, user) is a total order
+      """WITH x AS (SELECT event_type AS g, user_id, round(sum(value), 4) AS xr
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2),
+        |rk AS (SELECT g, xr, row_number() OVER (PARTITION BY g ORDER BY xr, user_id) AS i FROM x),
+        |s AS (SELECT g, sum(i * xr) AS sw, sum(xr) AS sx, count(*)::BIGINT AS n FROM rk GROUP BY 1)
+        |SELECT g AS event_type, n,
+        |  round(2.0 * sw / (n * sx) - (n + 1.0) / n, 6) AS gini
+        |FROM s""".stripMargin,
+    "q137_autocorr" ->
+      // lag pairs over the (ns, event_id) total order, then q93's
+      // two-pass centered Pearson
+      """WITH p AS (SELECT event_type AS g, value AS y,
+        |    lag(value) OVER (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |p2 AS (SELECT * FROM p WHERE x IS NOT NULL),
+        |m AS (SELECT g, avg(x) AS mx, avg(y) AS my FROM p2 GROUP BY 1)
+        |SELECT p2.g AS event_type,
+        |  round(sum((x - mx) * (y - my)) /
+        |    sqrt(sum((x - mx) * (x - mx)) * sum((y - my) * (y - my))), 5) AS acf,
+        |  count(*)::BIGINT AS n
+        |FROM p2 JOIN m ON p2.g = m.g GROUP BY 1""".stripMargin,
     "q134_ab_test" ->
       // same md5-parity arm assignment and exact integer counts; the
       // z formula runs on identical operands

@@ -238,6 +238,32 @@ object Analytics {
       .groupBy("channel").agg(count(lit(1)).as("n_conversions"))
   }
 
+  /** Gini concentration index per group over per-unit totals:
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x ascending (0 = perfect
+    * equality, →1 = one unit holds everything) — the "how
+    * concentrated is spend/traffic/token-mass" diagnostic. Unit
+    * totals are ROUNDED (4) before ranking so the rank order —
+    * which the statistic depends on — can't flip on cross-engine
+    * low-bit summation noise; ties break by the unit key.
+    *
+    * Scale shape: one unit-level agg, one group-partitioned rank
+    * (group-sized sorts), one group-sized reduction. The units
+    * table (dimension-sized) is the largest thing ranked. */
+  def giniIndex(df: DataFrame, groupCol: String, unitCol: String,
+                valueCol: String): DataFrame = {
+    val x = df.filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(unitCol))
+      .agg(round(sum(col(valueCol)), 4).as("_xr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_xr"), col(unitCol))
+    x.withColumn("_i", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(lit(2.0) * sum(col("_i") * col("_xr")) /
+            (count(lit(1)) * sum(col("_xr"))) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+  }
+
   /** Two-proportion A/B read-out: one row —
     * (na, ka, nb, kb, lift, z) — from unit-level (treatment,
     * converted) rows: lift = p_B − p_A and the pooled two-proportion

@@ -25,6 +25,38 @@ object TimeSeries {
     * (instants × candidate observations) never materializes. Dense
     * keys (years of span) fan out proportionally to their own grid —
     * pick `stepUs` for the product you need, not per-key row counts. */
+  /** Lag-N autocorrelation per group: Pearson correlation between the
+    * series and its own N-step-lagged self, over `orderCols` (pass a
+    * unique tiebreak). Near zero for white noise, positive for
+    * trending/sticky series, negative for mean-reverting — the
+    * seasonality/stickiness probe that pairs with
+    * [[graft.operators.Outliers.cusumDrift]]. TWO-PASS centered sums
+    * (q93's cancellation lesson). Returns (group, acf, n).
+    *
+    * Scale shape: one group-partitioned window (lag), then the same
+    * broadcast-means + centered-products pass as grouped correlation
+    * — two corpus scans, shuffles only on the group key. */
+  def autocorrelation(df: DataFrame, groupCol: String,
+                      orderCols: Seq[org.apache.spark.sql.Column],
+                      valueCol: String, lagN: Int = 1): DataFrame = {
+    require(lagN >= 1 && orderCols.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    val pairs = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).as("_y"),
+        lag(col(valueCol), lagN).over(w).as("_x"))
+      .filter(col("_x").isNotNull)
+    val means = broadcast(pairs.groupBy(col(groupCol))
+      .agg(avg("_x").as("_mx"), avg("_y").as("_my")))
+    val dx = col("_x") - col("_mx")
+    val dy = col("_y") - col("_my")
+    pairs.join(means, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(round(sum(dx * dy) / sqrt(sum(dx * dx) * sum(dy * dy)), 5)
+          .as("acf"),
+        count(lit(1)).as("n"))
+  }
+
   def resampleFill(obs: DataFrame, keyCol: String, tsUsCol: String,
                    payload: Seq[String], stepUs: Long,
                    tiebreak: Seq[String]): DataFrame = {

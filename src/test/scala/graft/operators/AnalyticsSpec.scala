@@ -96,6 +96,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq(("a", "b", "a", 1L), ("a", "b", "c", 1L)))
   }
 
+  test("giniIndex: equality scores 0, single holder scores (n-1)/n") {
+    val eq = Seq.tabulate(4)(i => ("g", i.toLong, 1.0)).toDF("grp", "u", "v")
+    assert(Analytics.giniIndex(eq, "grp", "u", "v")
+      .collect().head.getDouble(2) == 0.0)
+    val one = Seq(("g", 1L, 0.0), ("g", 2L, 0.0), ("g", 3L, 0.0),
+      ("g", 4L, 10.0)).toDF("grp", "u", "v")
+    assert(Analytics.giniIndex(one, "grp", "u", "v")
+      .collect().head.getDouble(2) == 0.75)
+  }
+
   test("abLift: hand-computed pooled z on exact counts") {
     // A: 1/4 convert; B: 3/4 -> lift 0.5, pooled p 0.5,
     // z = 0.5 / sqrt(0.25 * 0.5) = 1.41421

@@ -23,6 +23,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq((20L, 6.0)))
   }
 
+  test("autocorrelation: ramp +1, alternation -1") {
+    import org.apache.spark.sql.functions.col
+    val ramp = (1 to 5).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("grp", "ts", "v")
+    val r = TimeSeries.autocorrelation(ramp, "grp", Seq(col("ts")), "v")
+      .collect().head
+    assert(r.getDouble(1) == 1.0 && r.getLong(2) == 4L)
+    val alt = (1 to 6).map(i => ("g", i.toLong, (i % 2).toDouble))
+      .toDF("grp", "ts", "v")
+    assert(TimeSeries.autocorrelation(alt, "grp", Seq(col("ts")), "v")
+      .collect().head.getDouble(1) == -1.0)
+  }
+
   test("resampleFill: span shorter than a step yields no aligned instants") {
     val obs = Seq((3L, 11L, 1.0, 1L), (3L, 14L, 2.0, 2L))
       .toDF("k", "us", "v", "id")
