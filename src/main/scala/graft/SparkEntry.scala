@@ -782,6 +782,18 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Header/lines reconciliation: o_totalprice vs summed line
+    // amounts — the cross-feed consistency audit
+    "q138_reconcile" -> ((s, dir) =>
+      graft.operators.Profiling.reconcileTotals(
+        t(s, dir, "orders"), t(s, dir, "lineitem"),
+        headerKey = "o_orderkey", lineKey = "l_orderkey",
+        headerTotal = col("o_totalprice"),
+        lineAmount = col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")))),
+    // Calendar spine: generated day dimension, Q1 2024
+    "q139_date_spine" -> ((s, dir) =>
+      graft.operators.TimeSeries.dateSpine(s, "2024-01-01", "2024-03-31")),
     // Gini concentration of per-user value mass, per event type
     "q136_gini" -> ((s, dir) =>
       Analytics.giniIndex(t(s, dir, "events"), "event_type", "user_id",
@@ -2460,6 +2472,27 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q138_reconcile" ->
+      // both sides rounded to cents before comparing (identical
+      // operands); LEFT join surfaces headers with no lines
+      """WITH li AS (SELECT l_orderkey,
+        |    round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS lt
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT round(o.o_totalprice, 2) AS ht, li.lt
+        |  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+        |SELECT count(*)::BIGINT AS n_headers,
+        |  sum(CASE WHEN lt IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_no_lines,
+        |  sum(CASE WHEN lt IS NOT NULL AND abs(ht - lt) > 0.01 THEN 1 ELSE 0 END)::BIGINT AS n_mismatch,
+        |  round(max(CASE WHEN lt IS NOT NULL THEN abs(ht - lt) END), 2) AS max_abs_diff
+        |FROM j""".stripMargin,
+    "q139_date_spine" ->
+      // same dow convention (0 = Sunday) and ISO week on both engines
+      """WITH days AS (SELECT unnest(generate_series(DATE '2024-01-01',
+        |    DATE '2024-03-31', INTERVAL 1 DAY))::DATE AS d)
+        |SELECT d::VARCHAR AS day, dayofweek(d)::INT AS dow,
+        |  month(d)::INT AS month, quarter(d)::INT AS quarter,
+        |  (dayofweek(d) IN (0, 6)) AS is_weekend, weekofyear(d)::INT AS week
+        |FROM days""".stripMargin,
     "q136_gini" ->
       // totals rounded BEFORE ranking so rank order can't flip on
       // summation noise; (xr, user) is a total order

@@ -81,6 +81,34 @@ object Profiling {
       "(col_name, n_rows, n_null, n_distinct, min_num, max_num)")
   }
 
+  /** Header/lines reconciliation: does each header's stored total
+    * equal the sum of its line amounts? One verdict row:
+    * (n_headers, n_no_lines, n_mismatch beyond `tolerance`,
+    * max_abs_diff) — the financial-close / cross-feed consistency
+    * audit. Both sides are rounded to cents BEFORE comparing, so the
+    * comparison runs on identical operands.
+    *
+    * Scale shape: one map-side-combinable line aggregation, one
+    * key-equi left join (co-located when both feeds share a bucketed
+    * key layout), one 1-row verdict — the mismatch DETAIL, when
+    * needed, is the same plan minus the final aggregate. */
+  def reconcileTotals(header: DataFrame, lines: DataFrame,
+                      headerKey: String, lineKey: String,
+                      headerTotal: Column, lineAmount: Column,
+                      tolerance: Double = 0.01): DataFrame = {
+    val li = lines.groupBy(col(lineKey).as("_k"))
+      .agg(round(sum(lineAmount), 2).as("_lt"))
+    header.select(col(headerKey).as("_k"), round(headerTotal, 2).as("_ht"))
+      .join(li, Seq("_k"), "left")
+      .agg(count(lit(1)).as("n_headers"),
+        sum(when(col("_lt").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when(col("_lt").isNotNull &&
+          abs(col("_ht") - col("_lt")) > tolerance, 1L).otherwise(0L))
+          .as("n_mismatch"),
+        round(max(when(col("_lt").isNotNull,
+          abs(col("_ht") - col("_lt")))), 2).as("max_abs_diff"))
+  }
+
   /** Population stability index per group: how far the value
     * distribution has drifted from a REFERENCE slice (training-time,
     * last week, control arm …), measured over quantile bins derived

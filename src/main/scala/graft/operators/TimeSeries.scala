@@ -25,6 +25,27 @@ object TimeSeries {
     * (instants × candidate observations) never materializes. Dense
     * keys (years of span) fan out proportionally to their own grid —
     * pick `stepUs` for the product you need, not per-key row counts. */
+  /** Calendar spine: one row per day in [start, end] with the
+    * standard derived attributes (dow 0=Sunday, month, quarter,
+    * is_weekend, ISO week) — the generated dimension every
+    * time-grain report joins against, so day gaps in fact data
+    * become visible NULLs instead of silently missing rows.
+    *
+    * Scale shape: generated from a single `sequence` literal —
+    * days-sized, no input scan; always broadcastable. */
+  def dateSpine(spark: org.apache.spark.sql.SparkSession,
+                start: String, end: String): DataFrame = {
+    spark.range(1)
+      .select(explode(sequence(to_date(lit(start)), to_date(lit(end)),
+        expr("interval 1 day"))).as("_d"))
+      .select(date_format(col("_d"), "yyyy-MM-dd").as("day"),
+        (dayofweek(col("_d")) - 1).as("dow"),
+        month(col("_d")).as("month"), quarter(col("_d")).as("quarter"),
+        (dayofweek(col("_d")) === 1 || dayofweek(col("_d")) === 7)
+          .as("is_weekend"),
+        weekofyear(col("_d")).as("week"))
+  }
+
   /** Lag-N autocorrelation per group: Pearson correlation between the
     * series and its own N-step-lagged self, over `orderCols` (pass a
     * unique tiebreak). Near zero for white noise, positive for

@@ -32,6 +32,15 @@ class ProfilingSpec extends SparkSpec {
       ("fk(ref)", 1L, false)))
   }
 
+  test("reconcileTotals: match, tolerance breach, missing lines") {
+    val header = Seq((1L, 10.0), (2L, 5.0), (3L, 7.0)).toDF("ok", "total")
+    val lines = Seq((1L, 4.0), (1L, 6.0), (2L, 5.02)).toDF("lk", "amt")
+    val r = Profiling.reconcileTotals(header, lines, "ok", "lk",
+      col("total"), col("amt")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((3L, 1L, 1L, 0.02)))
+  }
+
   test("psiDrift: hand-computed shift; identical slices score zero") {
     // ref = 1..100 uniform (quartile cuts 25.75/50.5/75.25);
     // cur = 11..110 -> bin probs (.15,.25,.25,.35);

@@ -23,6 +23,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq((20L, 6.0)))
   }
 
+  test("dateSpine: day count, dow convention, weekend flag, ISO week") {
+    val rows = TimeSeries.dateSpine(spark, "2024-01-01", "2024-01-14")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getBoolean(4),
+        r.getInt(5)))).toMap
+    assert(rows.size == 14)
+    assert(rows("2024-01-01") == ((1, false, 1)))  // Monday, ISO week 1
+    assert(rows("2024-01-06") == ((6, true, 1)))   // Saturday
+    assert(rows("2024-01-07") == ((0, true, 1)))   // Sunday, dow 0
+    assert(rows("2024-01-08")._3 == 2)             // ISO week rolls
+  }
+
   test("autocorrelation: ramp +1, alternation -1") {
     import org.apache.spark.sql.functions.col
     val ramp = (1 to 5).map(i => ("g", i.toLong, i.toDouble))
