@@ -782,6 +782,21 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // k-anonymity audit: (event_type, day) classes with < 60 records
+    "q140_k_anonymity" -> ((s, dir) =>
+      graft.operators.Profiling.kAnonymityAudit(
+        t(s, dir, "events").filter(col("event_type").isNotNull)
+          .withColumn("day", expr("(ts div 1000) div 86400000000")),
+        Seq("event_type", "day"), k = 60L, idCol = Some("user_id"))),
+    // Weighted sampling WITHOUT replacement: exactly-20 docs, token-
+    // weighted Efraimidis–Spirakis keys over the md5 hash space
+    "q141_weighted_topk_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      Sampling.weightedTopKSample(docs, col("n_tokens"), col("doc_id"),
+        k = 20)
+    }),
     // Header/lines reconciliation: o_totalprice vs summed line
     // amounts — the cross-feed consistency audit
     "q138_reconcile" -> ((s, dir) =>
@@ -2472,6 +2487,22 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q140_k_anonymity" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  count(*)::BIGINT AS n_records, count(DISTINCT user_id)::BIGINT AS n_ids
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY 1, 2 HAVING count(*) < 60""".stripMargin,
+    "q141_weighted_topk_sample" ->
+      // identical md5-uniform u and u^(1/w) keys, rounded-9 BEFORE
+      // the (key desc, doc) cut
+      """WITH w AS (SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE AS nt,
+        |    ('0x' || substr(md5('es:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, nt::BIGINT AS n_tokens,
+        |  round(pow(h::DOUBLE / 1152921504606846976.0, 1.0 / nt), 9) AS es_key
+        |FROM w WHERE nt > 0
+        |ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin,
     "q138_reconcile" ->
       // both sides rounded to cents before comparing (identical
       // operands); LEFT join surfaces headers with no lines

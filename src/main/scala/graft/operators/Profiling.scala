@@ -81,6 +81,26 @@ object Profiling {
       "(col_name, n_rows, n_null, n_distinct, min_num, max_num)")
   }
 
+  /** k-anonymity audit: the quasi-identifier equivalence classes
+    * with fewer than `k` records — the groups where a "de-identified"
+    * release still isolates individuals. Optionally also reports the
+    * distinct count of `idCol` per violating class (how many real
+    * subjects are exposed). Returns the quasi columns +
+    * (n_records, n_ids?) for violating classes only.
+    *
+    * Scale shape: one map-side-combinable group count over the
+    * quasi-identifier key; the output is violating-classes-sized.
+    * This is the AUDIT — the fix (generalize, suppress, bucket) is a
+    * projection the caller applies upstream and re-audits. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long,
+                      idCol: Option[String] = None): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2)
+    val aggs = Seq(count(lit(1)).as("n_records")) ++
+      idCol.map(c => countDistinct(col(c)).as("n_ids"))
+    df.groupBy(quasiCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_records") < k)
+  }
+
   /** Header/lines reconciliation: does each header's stored total
     * equal the sum of its line amounts? One verdict row:
     * (n_headers, n_no_lines, n_mismatch beyond `tolerance`,

@@ -62,6 +62,31 @@ object Sampling {
 
   /** Deterministic train/val split: adds a `split` column ("val" for
     * the first `valFraction` of the hash space, "train" otherwise). */
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    * each row draws a deterministic uniform u from the md5 hash
+    * space and competes with key u^(1/w) — the top-`k` keys are an
+    * exact weighted-without-replacement sample. Complements
+    * [[weightedSample]] (Bernoulli, WITH-replacement flavor, random
+    * size): this one returns EXACTLY k rows, no row twice. Keys are
+    * rounded (9) BEFORE ranking so a last-ulp `pow` difference can
+    * never reorder the cut; ties break by the row key.
+    *
+    * Scale shape: scan-speed key computation + a global top-k that
+    * plans as TakeOrderedAndProject — bounded heaps per partition,
+    * never a full sort. */
+  def weightedTopKSample(df: DataFrame, weight: Column, key: Column,
+                         k: Int, salt: String = "es:"): DataFrame = {
+    require(k >= 1)
+    val u = graft.functions.HashFunctions
+      .md5Long(concat(lit(salt), key.cast("string")))
+      .cast("double") / lit(1.152921504606846976e18) // 2^60
+    df.filter(weight > 0)
+      .withColumn("es_key",
+        round(pow(u, lit(1.0) / weight.cast("double")), 9))
+      .orderBy(col("es_key").desc, key)
+      .limit(k)
+  }
+
   def trainValSplit(df: DataFrame, key: Column,
                     valFraction: Double): DataFrame = {
     require(valFraction >= 0.0 && valFraction <= 1.0)

@@ -32,6 +32,18 @@ class ProfilingSpec extends SparkSpec {
       ("fk(ref)", 1L, false)))
   }
 
+  test("kAnonymityAudit: only sub-k classes reported, with id counts") {
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 3L), ("b", 3L),
+      ("c", 4L)).toDF("quasi", "uid")
+    val out = Profiling.kAnonymityAudit(df, Seq("quasi"), k = 3L,
+        idCol = Some("uid"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // class a has 3 records (>= k, passes); b has 2 (2 ids... 1 id);
+    // c has 1
+    assert(out == Set(("b", 2L, 1L), ("c", 1L, 1L)))
+  }
+
   test("reconcileTotals: match, tolerance breach, missing lines") {
     val header = Seq((1L, 10.0), (2L, 5.0), (3L, 7.0)).toDF("ok", "total")
     val lines = Seq((1L, 4.0), (1L, 6.0), (2L, 5.02)).toDF("lk", "amt")

@@ -173,4 +173,24 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept.filter(_._2 == "en").map(_._1).toSet == enOnly)
   }
+
+  test("weightedTopKSample: exact k, no repeats, deterministic, weight bias") {
+    import spark.implicits._
+    // 200 light rows (w=1) + 20 heavy rows (w=1000)
+    val df = ((1L to 200L).map(i => (i, 1L)) ++
+      (1001L to 1020L).map(i => (i, 1000L))).toDF("id", "w")
+    val got = Sampling.weightedTopKSample(df, col("w"), col("id"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.length == 10 && got.distinct.length == 10)
+    val again = Sampling.weightedTopKSample(df, col("w"), col("id"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == again)
+    // heavy rows are 10% of rows but ~99% of mass: they dominate
+    assert(got.count(_ > 1000L) >= 8, s"heavy rows under-sampled: $got")
+    // zero-weight rows can never be drawn
+    val z = Sampling.weightedTopKSample(
+      (df.collect().map(r => (r.getLong(0), 0L)).toSeq).toDF("id", "w"),
+      col("w"), col("id"), k = 5)
+    assert(z.isEmpty)
+  }
 }
