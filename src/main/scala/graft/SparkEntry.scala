@@ -782,6 +782,14 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Market-basket lift over 30-min sessions: which event types
+    // travel together vs independence
+    "q143_basket_lift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      Analytics.sessionBasketLift(ev, "user_id", "ts_us",
+        Seq(col("ts_us"), col("event_id")), "event_type")
+    }),
     // k-anonymity audit: (event_type, day) classes with < 60 records
     "q140_k_anonymity" -> ((s, dir) =>
       graft.operators.Profiling.kAnonymityAudit(
@@ -2487,6 +2495,29 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q143_basket_lift" ->
+      // q34's session arithmetic, tuple-distinct membership, exact
+      // integer counts into the lift ratio
+      """WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+        |    OR tu - lag(tu) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |sess AS (SELECT user_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s),
+        |m AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+        |ns AS (SELECT count(DISTINCT (user_id, sid)) AS n FROM m),
+        |single AS (SELECT event_type, count(*)::BIGINT AS c FROM m GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*)::BIGINT AS c12
+        |  FROM m a JOIN m b ON a.user_id = b.user_id AND a.sid = b.sid
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.t1, p.t2, p.c12, s1.c AS c1, s2.c AS c2,
+        |  round((p.c12::DOUBLE * ns.n) / (s1.c * s2.c), 6) AS lift
+        |FROM pairs p JOIN single s1 ON p.t1 = s1.event_type
+        |  JOIN single s2 ON p.t2 = s2.event_type, ns""".stripMargin,
     "q140_k_anonymity" ->
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |  count(*)::BIGINT AS n_records, count(DISTINCT user_id)::BIGINT AS n_ids

@@ -238,6 +238,52 @@ object Analytics {
       .groupBy("channel").agg(count(lit(1)).as("n_conversions"))
   }
 
+  /** In-session co-occurrence lift (market-basket over sessions):
+    * for each unordered pair of event types, how much more often
+    * they share a gap-bounded session than independence predicts —
+    * lift = P(t1,t2) / (P(t1)·P(t2)) over sessions, reported with
+    * the raw session counts. Lift > 1 = the behaviors travel
+    * together; < 1 = they repel. Sessions are `gapUs`-gap bounded
+    * (q34's arithmetic) under the caller's per-user total order.
+    *
+    * Scale shape: the sessionization window (one user-keyed
+    * shuffle), a distinct (user, session, type) collapse, then a
+    * SESSION-keyed self-join whose fan-out is Σ types-per-session²
+    * — bounded by the type vocabulary, not by session length — and
+    * types²-sized arithmetic with one broadcast scalar. */
+  def sessionBasketLift(events: DataFrame, userCol: String,
+                        tsUsCol: String, orderCols: Seq[Column],
+                        typeCol: String,
+                        gapUs: Long = 1800000000L): DataFrame = {
+    require(orderCols.nonEmpty && gapUs >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(orderCols: _*)
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val m = events.filter(col(userCol).isNotNull)
+      .withColumn("_new",
+        when(lag(col(tsUsCol), 1).over(w).isNull ||
+          col(tsUsCol) - lag(col(tsUsCol), 1).over(w) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("_sid", sum("_new").over(wRun))
+      .select(col(userCol), col("_sid"), col(typeCol).as("_t")).distinct()
+    val ns = broadcast(m.select(col(userCol), col("_sid")).distinct()
+      .agg(count(lit(1)).as("_ns")))
+    val single = m.groupBy("_t").agg(count(lit(1)).as("_c"))
+    val pairs = m.select(col(userCol), col("_sid"), col("_t").as("t1"))
+      .join(m.select(col(userCol), col("_sid"), col("_t").as("t2")),
+        Seq(userCol, "_sid"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    pairs
+      .join(single.select(col("_t").as("t1"), col("_c").as("c1")), Seq("t1"))
+      .join(single.select(col("_t").as("t2"), col("_c").as("c2")), Seq("t2"))
+      .crossJoin(ns)
+      .select(col("t1"), col("t2"), col("c12"), col("c1"), col("c2"),
+        round(col("c12").cast("double") * col("_ns") /
+          (col("c1") * col("c2")), 6).as("lift"))
+  }
+
   /** Gini concentration index per group over per-unit totals:
     * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x ascending (0 = perfect
     * equality, →1 = one unit holds everything) — the "how

@@ -96,6 +96,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq(("a", "b", "a", 1L), ("a", "b", "c", 1L)))
   }
 
+  test("sessionBasketLift: hand-computed lift over gap-split sessions") {
+    // u1: {a,b} at ts 10,20 then (gap) {a} at 200; u2: {b,c} at 10,20
+    // gap 100 -> 3 sessions; c(a)=2 c(b)=2 c(c)=1;
+    // (a,b): 1 pair -> 1·3/(2·2) = 0.75; (b,c): 1·3/(2·1) = 1.5
+    val ev = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      (1L, 200L, 3L, "a"), (2L, 10L, 4L, "b"), (2L, 20L, 5L, "c"))
+      .toDF("u", "ts", "eid", "tpe")
+    val out = Analytics.sessionBasketLift(ev, "u", "ts",
+        Seq($"ts", $"eid"), "tpe", gapUs = 100L)
+      .select("t1", "t2", "c12", "lift")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(out == Set(("a", "b", 1L, 0.75), ("b", "c", 1L, 1.5)))
+  }
+
   test("giniIndex: equality scores 0, single holder scores (n-1)/n") {
     val eq = Seq.tabulate(4)(i => ("g", i.toLong, 1.0)).toDF("grp", "u", "v")
     assert(Analytics.giniIndex(eq, "grp", "u", "v")
