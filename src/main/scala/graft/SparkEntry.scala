@@ -782,6 +782,20 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Retention curve: q110's cohort matrix normalized by cohort
+    // size (offset-0 cell) — the percent-retained read-out; the
+    // normalizing window runs over the periods²-sized matrix
+    "q142_retention_curve" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      val m = Analytics.cohortRetention(ev, "user_id", "ts_us",
+        periodUs = 86400000000L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort_period")
+      m.withColumn("retention", round(col("n_users").cast("double") /
+        max(when(col("period_offset") === 0, col("n_users"))).over(w), 6))
+    }),
     // Market-basket lift over 30-min sessions: which event types
     // travel together vs independence
     "q143_basket_lift" -> ((s, dir) => {
@@ -2495,6 +2509,18 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q142_retention_curve" ->
+      // q110's dual + a cohort-partitioned normalizing window
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(p) AS cohort_period FROM ev GROUP BY 1),
+        |m AS (SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
+        |    count(DISTINCT ev.user_id)::BIGINT AS n_users
+        |  FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2)
+        |SELECT cohort_period, period_offset, n_users,
+        |  round(n_users::DOUBLE / max(CASE WHEN period_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort_period), 6) AS retention
+        |FROM m""".stripMargin,
     "q143_basket_lift" ->
       // q34's session arithmetic, tuple-distinct membership, exact
       // integer counts into the lift ratio
