@@ -782,6 +782,61 @@ object SparkEntry {
     "q113_transitions" -> ((s, dir) =>
       Analytics.eventTransitions(t(s, dir, "events"), "user_id",
         "event_type", Seq(col("ts"), col("event_id")))),
+    // Grid-bucketed spatial radius self-join over derived planar
+    // coords — hash equi-join on cells, never a theta join
+    "q144_spatial_neighbors" -> ((s, dir) => {
+      val p = t(s, dir, "events")
+        .filter(col("event_id") % 11 === 0 && col("user_id").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_id"),
+          ((col("user_id") % 30).cast("double") +
+            (col("value") - floor(col("value")))).as("x"),
+          ((col("event_id") % 37).cast("double") +
+            (col("value") * 7 - floor(col("value") * 7))).as("y"))
+      graft.operators.Spatial.neighborPairs(p, "event_id", "x", "y",
+        radius = 2.0)
+    }),
+    // Reporting rollup: top-5 spenders + a single 'other' bucket.
+    // Deliberately NOT a global row_number window (single-partition
+    // sort of every user): orderBy+limit compiles to
+    // TakeOrderedAndProject (bounded per-partition heap), and the
+    // 'other' residual is a broadcast anti-join against those 5 keys
+    // — both sides scale with user count.
+    "q145_topn_other" -> ((s, dir) => {
+      val u = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .groupBy("user_id").agg(round(sum("value"), 4).as("total"))
+      val top5 = u.orderBy(col("total").desc, col("user_id")).limit(5)
+      top5.select(col("user_id").cast("string").as("label"), col("total"))
+        .unionByName(
+          u.join(broadcast(top5.select("user_id")), Seq("user_id"),
+              "left_anti")
+            .agg(round(sum("total"), 4).as("total"))
+            .select(lit("other").as("label"), col("total")))
+    }),
+    // SCD type-2 history from the event log: event_type as the
+    // tracked status, half-open [valid_from, valid_to) versions,
+    // heartbeat (no-change) rows collapsed
+    "q146_scd2_history" -> ((s, dir) =>
+      Merge.scd2History(
+        t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", Seq("event_type"), Seq("event_id"))
+        .withColumnRenamed("valid_from", "valid_from_us")
+        .withColumnRenamed("valid_to", "valid_to_us")),
+    // Point-in-time join: every 7th event, looked up against the
+    // q146 version history at its own event time — as-of union pass,
+    // never an interval/range join
+    "q147_point_in_time" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val hist = Merge.scd2History(ev, "user_id", "ts_us",
+        Seq("event_type"), Seq("event_id"))
+        .withColumnRenamed("event_type", "status")
+      Merge.pointInTime(
+          ev.filter(col("event_id") % 7 === 0)
+            .select("event_id", "user_id", "ts_us"),
+          hist, "user_id", col("ts_us"), Seq("status"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("status"), col("valid_from").as("valid_from_us"))
+    }),
     // Retention curve: q110's cohort matrix normalized by cohort
     // size (offset-0 cell) — the percent-retained read-out; the
     // normalizing window runs over the periods²-sized matrix
@@ -2509,6 +2564,61 @@ object SparkEntry {
         |SELECT f.cohort_period, ev.p - f.cohort_period AS period_offset,
         |  count(DISTINCT ev.user_id)::BIGINT AS n_users
         |FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "q144_spatial_neighbors" ->
+      // BETWEEN formulation — same pair set as the engine's 9-cell
+      // explode + equi-join (each pair once: home cell is unique)
+      """WITH p AS (SELECT event_id,
+        |    (user_id % 30)::DOUBLE + (value - floor(value)) AS x,
+        |    ((event_id % 37))::DOUBLE + (value * 7 - floor(value * 7)) AS y
+        |  FROM events WHERE event_id % 11 = 0 AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |cells AS (SELECT *, floor(x / 2.0)::BIGINT AS cx,
+        |    floor(y / 2.0)::BIGINT AS cy FROM p),
+        |cand AS (SELECT a.event_id AS id1, b.event_id AS id2,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |  FROM cells a JOIN cells b
+        |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+        |    AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        |    AND a.event_id < b.event_id)
+        |SELECT id1, id2, round(d2, 6) AS d2 FROM cand WHERE d2 <= 4.0""".stripMargin,
+    "q145_topn_other" ->
+      """WITH u AS (SELECT user_id, round(sum(value), 4) AS total FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY total DESC, user_id) AS rn FROM u)
+        |SELECT user_id::VARCHAR AS label, total FROM rk WHERE rn <= 5
+        |UNION ALL
+        |SELECT 'other', round(sum(total), 4) FROM rk WHERE rn > 5""".stripMargin,
+    "q146_scd2_history" ->
+      // lag/filter/lead replay; IS DISTINCT FROM == Spark's <=>
+      // negation (null-safe heartbeat collapse)
+      """WITH c AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id FROM events),
+        |d AS (SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM c),
+        |k AS (SELECT user_id, event_type, ts_us, event_id FROM d
+        |  WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts_us AS valid_from_us,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    AS valid_to_us
+        |FROM k""".stripMargin,
+    "q147_point_in_time" ->
+      // interval-predicate formulation — same rows as the engine's
+      // as-of union (versions partition the timeline per key)
+      """WITH c AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id FROM events),
+        |d AS (SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM c),
+        |k AS (SELECT user_id, event_type, ts_us, event_id FROM d
+        |  WHERE prev IS DISTINCT FROM event_type),
+        |h AS (SELECT user_id, event_type AS status, ts_us AS vf,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS vt FROM k),
+        |f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_id % 7 = 0)
+        |SELECT f.event_id, f.user_id, f.ts_us, h.status,
+        |  h.vf AS valid_from_us
+        |FROM f LEFT JOIN h ON f.user_id = h.user_id AND f.ts_us >= h.vf
+        |  AND (h.vt IS NULL OR f.ts_us < h.vt)""".stripMargin,
     "q142_retention_curve" ->
       // q110's dual + a cohort-partitioned normalizing window
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p

@@ -111,4 +111,42 @@ class MergeSpec extends SparkSpec {
     }
     assert(hasWindow.isEmpty, "change-log reduction must be max_by, not window rank")
   }
+
+  test("scd2History: versions open/close correctly; heartbeats collapse") {
+    // key A: x@10, x@20 (heartbeat), y@30, y@40 (heartbeat), x@50
+    //   → (x,[10,30)) (y,[30,50)) (x,[50,∞)); key B single change
+    val log = Seq(("A", 10L, "x", 1L), ("A", 20L, "x", 2L),
+      ("A", 30L, "y", 3L), ("A", 40L, "y", 4L), ("A", 50L, "x", 5L),
+      ("B", 7L, "z", 6L)).toDF("k", "ts", "status", "id")
+    val h = Merge.scd2History(log, "k", "ts", Seq("status"), Seq("id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(h == Set(("A", "x", 10L, 30L), ("A", "y", 30L, 50L),
+      ("A", "x", 50L, -1L), ("B", "z", 7L, -1L)))
+  }
+
+  test("scd2History: null attribute transitions are null-safe") {
+    val log = Seq(("A", 1L, Some("x"), 1L), ("A", 2L, None, 2L),
+      ("A", 3L, None, 3L), ("A", 4L, Some("x"), 4L))
+      .toDF("k", "ts", "status", "id")
+    val h = Merge.scd2History(log, "k", "ts", Seq("status"), Seq("id"))
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2)))
+    // NULL→NULL collapses; x→NULL and NULL→x are real versions
+    assert(h.toSet == Set((Some("x"), 1L), (None, 2L), (Some("x"), 4L)))
+  }
+
+  test("pointInTime: facts pick the version covering their time") {
+    val log = Seq(("A", 10L, "x", 1L), ("A", 30L, "y", 2L),
+      ("A", 50L, "x", 3L)).toDF("k", "ts", "status", "id")
+    val h = Merge.scd2History(log, "k", "ts", Seq("status"), Seq("id"))
+    val facts = Seq(("A", 5L), ("A", 10L), ("A", 29L), ("A", 30L),
+      ("A", 99L), ("C", 40L)).toDF("k", "t")
+    val out = Merge.pointInTime(facts, h, "k", col("t"), Seq("status"))
+      .collect().map(r => (r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out == Set((5L, None),          // before first version
+      (10L, Some("x")),                    // inclusive open boundary
+      (29L, Some("x")), (30L, Some("y")),  // half-open close boundary
+      (99L, Some("x")),                    // current (valid_to NULL)
+      (40L, None)))                        // key with no history
+  }
 }
