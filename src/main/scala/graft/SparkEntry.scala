@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{EngineConfig, Share}
-import graft.operators.{Analytics, AsOfJoin, BucketedJoin, Dedup, DedupClusters, FuzzyDedup, Graph, Merge, Multimodal, Sampling, Similarity, Sketches, SkewJoin, TextAnalysis}
+import graft.operators.{Allocation, Analytics, AsOfJoin, BucketedJoin, Dedup, DedupClusters, FuzzyDedup, Graph, Merge, Multimodal, Sampling, Similarity, Sketches, SkewJoin, TextAnalysis, TimeSeries}
 import graft.sources.InReachSource
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -836,6 +836,28 @@ object SparkEntry {
           hist, "user_id", col("ts_us"), Seq("status"))
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("status"), col("valid_from").as("valid_from_us"))
+    }),
+    // Gaps-and-islands: 30-min coverage intervals per user merged
+    // into maximal disjoint spans — windowed sweep, no interval join
+    "q148_interval_merge" -> ((s, dir) =>
+      TimeSeries.mergeIntervals(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), expr("ts div 1000").as("s_us"),
+            (expr("ts div 1000") + lit(1800000000L)).as("e_us"),
+            col("event_id")),
+        "user_id", "s_us", "e_us", Seq("event_id"))),
+    // Largest-remainder proration: order total (cents) split across
+    // its lines by quantity, pennies conserved exactly per order
+    "q149_prorate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity").cast("long").as("w"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      Allocation.prorate(
+          li.join(ord, col("l_orderkey") === col("o_orderkey")),
+          "l_orderkey", "w", "total_cents", Seq("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("alloc").as("alloc_cents"))
     }),
     // Retention curve: q110's cohort matrix normalized by cohort
     // size (offset-0 cell) — the percent-retained read-out; the
@@ -2619,6 +2641,41 @@ object SparkEntry {
         |  h.vf AS valid_from_us
         |FROM f LEFT JOIN h ON f.user_id = h.user_id AND f.ts_us >= h.vf
         |  AND (h.vt IS NULL OR f.ts_us < h.vt)""".stripMargin,
+    "q148_interval_merge" ->
+      // running max-end sweep replayed; island id = running break sum
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e, event_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |d AS (SELECT *, max(e) OVER (PARTITION BY user_id
+        |    ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |f AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1
+        |    ELSE 0 END AS brk FROM d),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY s, event_id) AS isl FROM f)
+        |SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+        |  count(*)::BIGINT AS n_merged
+        |FROM g GROUP BY user_id, isl""".stripMargin,
+    "q149_prorate" ->
+      // integer largest-remainder replay: `//`/`%` == Spark
+      // `div`/`%` on the non-negative operands
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |    l_quantity::BIGINT AS w FROM lineitem),
+        |o AS (SELECT o_orderkey, round(o_totalprice * 100)::BIGINT
+        |    AS total FROM orders),
+        |j AS (SELECT l_orderkey, l_linenumber, w, total FROM li
+        |  JOIN o ON l_orderkey = o_orderkey),
+        |b AS (SELECT *, sum(w) OVER (PARTITION BY l_orderkey) AS sw FROM j),
+        |c AS (SELECT *, (total * w) // sw AS base,
+        |    (total * w) % sw AS rem FROM b),
+        |d AS (SELECT *, total - sum(base) OVER (PARTITION BY l_orderkey)
+        |      AS spare,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY rem DESC, l_linenumber) AS rn FROM c)
+        |SELECT l_orderkey, l_linenumber,
+        |  base + CASE WHEN rn <= spare THEN 1 ELSE 0 END AS alloc_cents
+        |FROM d""".stripMargin,
     "q142_retention_curve" ->
       // q110's dual + a cohort-partitioned normalizing window
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p

@@ -6,6 +6,41 @@ import org.apache.spark.sql.functions._
 /** Time-series primitives over irregular event streams. */
 object TimeSeries {
 
+  /** Gaps-and-islands: merge overlapping or touching intervals per
+    * key into maximal disjoint "islands" — coverage spans from
+    * validity/outage/session intervals, the interval-set union every
+    * scheduling and uptime pipeline needs. An interval starts a new
+    * island iff its start exceeds the running maximum end of all
+    * earlier intervals (earlier = by start, tiebroken); `[a,b]`
+    * touching `[b,c]` merges (closed-interval convention).
+    *
+    * Returns (key, island_start, island_end, n_merged).
+    *
+    * Scale shape: ONE shuffle on the key; the island assignment is
+    * two window functions over the SAME (partitionBy key,
+    * orderBy start+tiebreak) spec — running max-end then a running
+    * sum of island-break flags — followed by a map-side-combinable
+    * agg on (key, island). No self-join, no interval join: the
+    * classic O(n log n) sweep, distributed by key. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String, tieBreak: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy((col(startCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    df.withColumn("_new_island",
+        when(col(startCol) > coalesce(prevMax, col(startCol) - 1),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("_island", sum(col("_new_island")).over(w))
+      .groupBy(col(keyCol), col("_island"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("_island")
+  }
+
   /** Epoch-aligned resampling with forward fill: for each key, one
     * row per `stepUs` grid instant between the key's first and last
     * observation, carrying the payload of the latest observation AT

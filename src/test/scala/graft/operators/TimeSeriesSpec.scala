@@ -53,4 +53,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.resampleFill(obs, "k", "us", Seq("v"), 10L,
       Seq("id")).isEmpty)
   }
+
+  test("mergeIntervals: overlap, touch, gap, containment, per-key isolation") {
+    val iv = Seq(
+      ("A", 1L, 5L, 1L), ("A", 4L, 8L, 2L),   // overlap -> one island
+      ("A", 8L, 9L, 3L),                      // touches 8 -> same island
+      ("A", 11L, 12L, 4L),                    // gap -> new island
+      ("B", 0L, 100L, 5L), ("B", 10L, 20L, 6L), // contained
+      ("C", 7L, 7L, 7L)                       // degenerate point
+    ).toDF("k", "s", "e", "id")
+    val out = TimeSeries.mergeIntervals(iv, "k", "s", "e", Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set(("A", 1L, 9L, 3L), ("A", 11L, 12L, 1L),
+      ("B", 0L, 100L, 2L), ("C", 7L, 7L, 1L)))
+  }
+
+  test("mergeIntervals: shorter-end row first must not reopen the island") {
+    // sorted by start: [0,50], [10,12], [13,14] — running max end
+    //  must carry 50 past the short [10,12], keeping one island
+    val iv = Seq(("A", 0L, 50L, 1L), ("A", 10L, 12L, 2L),
+      ("A", 13L, 14L, 3L)).toDF("k", "s", "e", "id")
+    val out = TimeSeries.mergeIntervals(iv, "k", "s", "e", Seq("id"))
+      .collect()
+    assert(out.length == 1 && out(0).getLong(1) == 0L &&
+      out(0).getLong(2) == 50L && out(0).getLong(3) == 3L)
+  }
 }
