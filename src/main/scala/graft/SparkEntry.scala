@@ -859,6 +859,27 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("alloc").as("alloc_cents"))
     }),
+    // Leakage-safe K-fold target encoding of event_type against
+    // value; folds by event_id % 5, quantized sums so the encoding
+    // is bit-identical cross-engine
+    "q150_target_encode" -> ((s, dir) => {
+      val r = t(s, dir, "events").select(col("event_id"),
+        col("event_type"), (col("event_id") % 5).as("fold"),
+        floor(col("value") * 1e6 + lit(0.5)).cast("long").as("tq"))
+      r.join(
+          broadcast(Analytics.targetEncodeOOF(r, "event_type", "fold",
+            col("tq"), smoothing = 10L, unscale = 1e6)),
+          Seq("event_type", "fold"))
+        .select(col("event_id"), col("event_type"), col("fold"),
+          round(col("enc"), 6).as("enc"))
+    }),
+    // EXACT word-set similarity join with PPJoin prefix filtering —
+    // the no-false-negative complement of the MinHash path (q24);
+    // oracle is the naive all-shared-token join, proving the prefix
+    // prune loses nothing
+    "q151_prefix_jaccard" -> ((s, dir) =>
+      FuzzyDedup.prefixJaccardJoin(t(s, dir, "documents"),
+        threshold = 0.9)),
     // Retention curve: q110's cohort matrix normalized by cohort
     // size (offset-0 cell) — the percent-retained read-out; the
     // normalizing window runs over the periods²-sized matrix
@@ -2676,6 +2697,42 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber,
         |  base + CASE WHEN rn <= spare THEN 1 ELSE 0 END AS alloc_cents
         |FROM d""".stripMargin,
+    "q150_target_encode" ->
+      // identical quantization and operand order as the engine; the
+      // integer sums make the double ops' operands exact
+      """WITH r AS (SELECT event_id, event_type, event_id % 5 AS fold,
+        |    floor(value * 1e6 + 0.5)::BIGINT AS tq FROM events),
+        |cf AS (SELECT event_type, fold, count(*)::BIGINT AS n_cf,
+        |    sum(tq) AS s_cf FROM r GROUP BY 1, 2),
+        |c AS (SELECT event_type, sum(n_cf) AS n_c, sum(s_cf) AS s_c
+        |  FROM cf GROUP BY 1),
+        |f AS (SELECT fold, sum(n_cf) AS n_f, sum(s_cf) AS s_f
+        |  FROM cf GROUP BY 1),
+        |g AS (SELECT sum(n_cf) AS n_g, sum(s_cf) AS s_g FROM cf),
+        |e AS (SELECT cf.event_type, cf.fold,
+        |    ((s_c - s_cf) / 1e6 + 10 * ((s_g - s_f) / 1e6 / (n_g - n_f)))
+        |      / (n_c - n_cf + 10) AS enc
+        |  FROM cf JOIN c USING (event_type) JOIN f USING (fold)
+        |    CROSS JOIN g)
+        |SELECT r.event_id, r.event_type, r.fold, round(e.enc, 6) AS enc
+        |FROM r JOIN e ON r.event_type = e.event_type
+        |  AND r.fold = e.fold""".stripMargin,
+    "q151_prefix_jaccard" ->
+      // naive exact formulation (all shared-token pairs) — the
+      // prefix prune must reproduce it exactly
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(
+        |    regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tk
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*)::BIGINT AS i
+        |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.9""".stripMargin,
     "q142_retention_curve" ->
       // q110's dual + a cohort-partitioned normalizing window
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p

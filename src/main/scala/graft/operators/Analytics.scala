@@ -496,4 +496,49 @@ object Analytics {
         (col("_period") - col("cohort_period")).as("period_offset"))
       .agg(countDistinct(col("_user")).as("n_users"))
   }
+
+  /** Out-of-fold (K-fold) target encoding table: for each
+    * (category, fold), the smoothed mean of the target over every row
+    * of that category OUTSIDE the fold — the leakage-safe categorical
+    * encoding for model features (a row never sees its own fold's
+    * targets, so the encoding can't memorize its label).
+    *
+    *   enc(c, f) = (Σ_{c,¬f} t + m · prior_f) / (n_{c,¬f} + m)
+    *   prior_f   = mean of t outside fold f (the no-data fallback;
+    *               a category entirely inside one fold encodes to
+    *               exactly prior_f)
+    *
+    * `targetQ` must be an INTEGER-quantized target (e.g.
+    * `floor(t·1e6 + ½)`): the cross-category sums are then exact
+    * longs, so the final few double ops have identical operands on
+    * any engine and any partitioning — a raw double target would
+    * make the encoding summation-order-dependent.
+    *
+    * Scale shape: ONE map-side-combinable agg over the log to the
+    * (categories × folds)-sized table; category/fold/global totals
+    * re-aggregate THAT table, never the log. Join the result back to
+    * rows on (category, fold) — broadcastable at any realistic
+    * cardinality. `unscale` divides the quantized sums back
+    * (pass 1e6 for the floor(·1e6) convention). */
+  def targetEncodeOOF(rows: DataFrame, catCol: String, foldCol: String,
+                      targetQ: Column, smoothing: Long,
+                      unscale: Double): DataFrame = {
+    require(smoothing > 0, "smoothing must be positive (no-data fallback)")
+    val cf = rows.groupBy(col(catCol), col(foldCol))
+      .agg(count(lit(1)).as("_n_cf"), sum(targetQ).as("_s_cf"))
+    val c = cf.groupBy(col(catCol))
+      .agg(sum("_n_cf").as("_n_c"), sum("_s_cf").as("_s_c"))
+    val g = cf.groupBy(col(foldCol))
+      .agg(sum("_n_cf").as("_n_f"), sum("_s_cf").as("_s_f"))
+      .crossJoin(broadcast(
+        cf.agg(sum("_n_cf").as("_n_g"), sum("_s_cf").as("_s_g"))))
+      .withColumn("_prior",
+        (col("_s_g") - col("_s_f")) / unscale / (col("_n_g") - col("_n_f")))
+    cf.join(broadcast(c), Seq(catCol)).join(broadcast(g), Seq(foldCol))
+      .withColumn("enc",
+        ((col("_s_c") - col("_s_cf")) / unscale +
+          lit(smoothing) * col("_prior")) /
+          (col("_n_c") - col("_n_cf") + lit(smoothing)))
+      .select(col(catCol), col(foldCol), col("enc"))
+  }
 }

@@ -374,4 +374,63 @@ object FuzzyDedup {
     sp.select(col("hamming"), explode(docPairs).as("dp"))
       .select(col("dp.da").as("doc_a"), col("dp.db").as("doc_b"), col("hamming"))
   }
+
+  /** EXACT set-similarity join with prefix filtering (the PPJoin
+    * family): all unordered doc pairs whose word-token-set Jaccard
+    * ≥ `threshold` — no false negatives, unlike the MinHash/SimHash
+    * sketch paths ([[lshCandidates]], [[simhashPairs]]) this
+    * complements.
+    *
+    * Prefix-filter lemma: order every token by one GLOBAL total order
+    * (rare-first: ascending document frequency, token text as
+    * tiebreak). If J(a,b) ≥ τ then |a∩b| ≥ ⌈τ·max(|a|,|b|)⌉, so two
+    * qualifying sets MUST share a token among each one's first
+    * |s| − ⌈τ|s|⌉ + 1 rarest tokens. Candidates therefore come from
+    * an equi-join on PREFIX tokens only — the frequent tokens that
+    * make the naive shared-token self-join quadratic never generate
+    * candidates. One extra prefix slot (+2 not +1) absorbs any FP
+    * ceil() overshoot of the exact ⌈τ|s|⌉ — a longer prefix only ever
+    * ADDS candidates, so pruning stays lossless.
+    *
+    * Scale shape: token df is one map-side-combinable agg; the
+    * per-doc rare-first rank is a doc-partitioned window (docs'
+    * token lists are row-bounded); candidates come from
+    * [[bucketPairs]] in-row expansion on prefix tokens; verification
+    * joins only CANDIDATE pairs back to full token sets (two
+    * key-equi joins, work ∝ candidates·set size, not docs²). */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("tk"))
+      .distinct()
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("_df").asc, col("tk").asc)
+    val prefix = tok.join(dfreq, "tk")
+      .withColumn("_pos", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("_pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + 2)
+    val cand = bucketPairs(prefix.select(col("tk"), col("doc_id")),
+        Seq("tk"), col("doc_id"), None)
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b")).distinct()
+    val inter = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("tk")), "doc_a")
+      .join(tok.select(col("doc_id").as("doc_b"), col("tk")),
+        Seq("doc_b", "tk"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).cast("double").as("_i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("_sa")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("_sb")),
+        "doc_b")
+      .withColumn("jaccard", col("_i") / (col("_sa") + col("_sb") - col("_i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
@@ -210,5 +211,36 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
       (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("targetEncodeOOF: hand-computed encodings; own fold excluded") {
+    // (cat, fold, target): A sees 10,20 in fold 0 and 30 in fold 1;
+    // B sees 40 in fold 1 only
+    val rows = Seq(("A", 0L, 10L), ("A", 0L, 20L), ("A", 1L, 30L),
+      ("B", 1L, 40L)).toDF("cat", "fold", "tq")
+    val enc = Analytics.targetEncodeOOF(rows, "cat", "fold", col("tq"),
+        smoothing = 2L, unscale = 1.0)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toMap
+    // prior_0 = (100-30)/2 = 35; prior_1 = (100-70)/2 = 15
+    assert(enc(("A", 0L)) == math.rint(100e6 / 3) / 1e6) // (30+70)/3
+    assert(enc(("A", 1L)) == 15.0)                       // (30+30)/4
+    // B entirely inside fold 1 -> encodes to exactly prior_1
+    assert(enc(("B", 1L)) == 15.0)
+    assert(enc.size == 3)
+  }
+
+  test("targetEncodeOOF: encoding never sees its own fold's targets") {
+    // poison fold 0 of cat A with a huge target; enc(A, 0) must not move
+    val base = Seq(("A", 1L, 10L), ("A", 2L, 20L), ("A", 0L, 999999L),
+      ("B", 0L, 10L), ("B", 1L, 10L), ("B", 2L, 10L))
+      .toDF("cat", "fold", "tq")
+    val e0 = Analytics.targetEncodeOOF(base, "cat", "fold", col("tq"),
+        2L, 1.0)
+      .filter(col("cat") === "A" && col("fold") === 0L)
+      .head().getDouble(2)
+    // out-of-fold mean of A is (10+20)/2; priors exclude fold 0 too
+    val prior0 = (10.0 + 20.0 + 10.0 + 10.0) / 4
+    assert(math.abs(e0 - (30.0 + 2 * prior0) / 4) < 1e-12)
   }
 }

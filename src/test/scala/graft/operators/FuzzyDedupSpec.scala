@@ -135,4 +135,41 @@ class FuzzyDedupSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(top.toSeq == Seq(2L))
   }
+
+  test("prefixJaccardJoin: exact pairs, no false negatives vs brute force") {
+    val docs = Seq(
+      (1L, "red green blue yellow"),
+      (2L, "red green blue purple"),          // J(1,2) = 3/5 = 0.6
+      (3L, "red green blue yellow"),          // J(1,3) = 1.0
+      (4L, "cat dog fish"),
+      (5L, "cat dog fish bird"),              // J(4,5) = 3/4 = 0.75
+      (6L, "totally unrelated words here"),
+      (7L, "red cat")                         // low J with everything
+    ).toDF("doc_id", "text")
+    val got = FuzzyDedup.prefixJaccardJoin(docs, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // brute force over the same token sets
+    val sets = Map(1L -> Set("red", "green", "blue", "yellow"),
+      2L -> Set("red", "green", "blue", "purple"),
+      3L -> Set("red", "green", "blue", "yellow"),
+      4L -> Set("cat", "dog", "fish"), 5L -> Set("cat", "dog", "fish", "bird"),
+      6L -> Set("totally", "unrelated", "words", "here"),
+      7L -> Set("red", "cat"))
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size
+      if j >= 0.6
+    } yield (a, b, math.rint(j * 1e6) / 1e6)).toSet
+    assert(got == brute && brute.size == 4)
+  }
+
+  test("prefixJaccardJoin: boundary threshold ties are kept (>=, not >)") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")) // J = 4/6
+      .toDF("doc_id", "text")
+    val got = FuzzyDedup.prefixJaccardJoin(docs, threshold = 4.0 / 6)
+      .collect()
+    assert(got.length == 1)
+  }
 }
