@@ -880,6 +880,27 @@ object SparkEntry {
     "q151_prefix_jaccard" -> ((s, dir) =>
       FuzzyDedup.prefixJaccardJoin(t(s, dir, "documents"),
         threshold = 0.9)),
+    // Dyadic-weight EWMA (α = ½, 16-obs window) of value per user —
+    // integer numerator/denominator, bit-exact on any partitioning
+    "q152_ewma" -> ((s, dir) =>
+      TimeSeries.ewmaDyadic(
+          t(s, dir, "events").filter(col("user_id").isNotNull)
+            .select(col("event_id"), col("user_id"),
+              expr("ts div 1000").as("ts_us"),
+              floor(col("value") * 1e6 + lit(0.5)).cast("long").as("xq")),
+          "user_id", Seq(col("ts_us"), col("event_id")), "xq",
+          maxWindow = 16, unscale = 1e6)
+        .select("event_id", "user_id", "ewma")),
+    // Pareto frontier per order priority: orders no other order of
+    // the same priority beats on BOTH price and date
+    "q153_skyline" -> ((s, dir) =>
+      Analytics.skyline2D(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice"),
+            expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+              .as("o_day")),
+          Seq("o_orderpriority"), "o_totalprice", "o_day")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "o_day")),
     // Retention curve: q110's cohort matrix normalized by cohort
     // size (offset-0 cell) — the percent-retained read-out; the
     // normalizing window runs over the periods²-sized matrix
@@ -2733,6 +2754,32 @@ object SparkEntry {
         |FROM inter JOIN sz sa ON sa.doc_id = doc_a
         |  JOIN sz sb ON sb.doc_id = doc_b
         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.9""".stripMargin,
+    "q152_ewma" ->
+      // frame-ordered window list + 1-based-index dyadic weights —
+      // integer num/den replayed exactly
+      """WITH r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    floor(value * 1e6 + 0.5)::BIGINT AS xq FROM events
+        |  WHERE user_id IS NOT NULL),
+        |l AS (SELECT event_id, user_id,
+        |    list(xq) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS xs
+        |  FROM r)
+        |SELECT event_id, user_id,
+        |  round(list_sum(list_transform(xs,
+        |      (x, i) -> x * (1::BIGINT << (i - 1))))::DOUBLE
+        |    / ((1::BIGINT << len(xs)) - 1) / 1000000.0, 6) AS ewma
+        |FROM l""".stripMargin,
+    "q153_skyline" ->
+      // quadratic NOT-EXISTS domination — ground truth the sweep
+      // plan must reproduce exactly
+      """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    epoch_us(o_orderdate) // 86400000000 AS o_day FROM orders)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice, o_day
+        |FROM o a WHERE NOT EXISTS (SELECT 1 FROM o b
+        |  WHERE b.o_orderpriority = a.o_orderpriority
+        |    AND b.o_totalprice <= a.o_totalprice AND b.o_day <= a.o_day
+        |    AND (b.o_totalprice < a.o_totalprice
+        |      OR b.o_day < a.o_day))""".stripMargin,
     "q142_retention_curve" ->
       // q110's dual + a cohort-partitioned normalizing window
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p

@@ -497,6 +497,36 @@ object Analytics {
       .agg(countDistinct(col("_user")).as("n_users"))
   }
 
+  /** 2-D Pareto skyline per group: the rows not DOMINATED by any
+    * other row of their group, where `b` dominates `a` iff
+    * `b.x ≤ a.x ∧ b.y ≤ a.y` with at least one strict — the
+    * "cheapest-and-earliest frontier" query (minimize both axes;
+    * negate a column upstream to maximize it). Duplicate frontier
+    * points all survive (identical points never dominate each other).
+    *
+    * Scale shape: the quadratic NOT-EXISTS formulation (the oracle
+    * dual) compares every row pair; this plan instead collapses to
+    * one candidate per (group, x) via a map-side min(y) agg, runs the
+    * classic sort-sweep (running min(y) over strictly-cheaper x) on
+    * that collapsed table with ONE window pass, and joins the
+    * x-distinct-sized frontier back — work is n log n per group,
+    * never n². */
+  def skyline2D(df: DataFrame, groupCols: Seq[String], xCol: String,
+                yCol: String): DataFrame = {
+    val keys = groupCols.map(col) :+ col(xCol)
+    val pp = df.groupBy(keys: _*).agg(min(col(yCol)).as("_md"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col(xCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val frontier = pp.withColumn("_pm", min(col("_md")).over(w))
+      .filter(col("_pm").isNull || col("_pm") > col("_md"))
+      .drop("_pm")
+    df.join(frontier, groupCols :+ xCol)
+      .filter(col(yCol) === col("_md"))
+      .drop("_md")
+  }
+
   /** Out-of-fold (K-fold) target encoding table: for each
     * (category, fold), the smoothed mean of the target over every row
     * of that category OUTSIDE the fold — the leakage-safe categorical

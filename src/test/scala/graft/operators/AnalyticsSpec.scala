@@ -213,6 +213,36 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 0L, 1L), (1L, 1L, 1L)))
   }
 
+  test("skyline2D: frontier, duplicates kept, equal-coordinate domination") {
+    val pts = Seq(
+      ("g", 1L, 1.0, 5.0, "a"),   // frontier
+      ("g", 2L, 2.0, 3.0, "b"),   // frontier
+      ("g", 3L, 2.0, 3.0, "c"),   // duplicate of b -> kept
+      ("g", 4L, 2.0, 4.0, "d"),   // dominated by b (same x, worse y)
+      ("g", 5L, 3.0, 3.0, "e"),   // dominated by b (worse x, same y)
+      ("g", 6L, 4.0, 1.0, "f"),   // frontier
+      ("g", 7L, 5.0, 2.0, "h"),   // dominated by f
+      ("h2", 8L, 9.0, 9.0, "i")   // alone in its group -> frontier
+    ).toDF("grp", "id", "x", "y", "tag")
+    val got = Analytics.skyline2D(pts, Seq("grp"), "x", "y")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got == Set(1L, 2L, 3L, 6L, 8L))
+  }
+
+  test("skyline2D equals brute-force domination on a random cloud") {
+    val rng = new scala.util.Random(11)
+    val pts = (0 until 200).map(i =>
+      (i.toLong, rng.nextInt(40).toDouble, rng.nextInt(40).toDouble))
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 <= x && y2 <= y && (x2 < x || y2 < y) }
+    }.map(_._1).toSet
+    val got = Analytics.skyline2D(pts.toDF("id", "x", "y"),
+        Seq.empty, "x", "y")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
   test("targetEncodeOOF: hand-computed encodings; own fold excluded") {
     // (cat, fold, target): A sees 10,20 in fold 0 and 30 in fold 1;
     // B sees 40 in fold 1 only

@@ -54,6 +54,21 @@ class TimeSeriesSpec extends SparkSpec {
       Seq("id")).isEmpty)
   }
 
+  test("ewmaDyadic: hand-computed dyadic weights; window truncation; key isolation") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("A", 1L, 8L), ("A", 2L, 16L), ("A", 3L, 4L),
+      ("B", 1L, 100L)).toDF("k", "t", "xq")
+    val out = TimeSeries.ewmaDyadic(df, "k", Seq(col("t")), "xq",
+        maxWindow = 2, unscale = 1.0)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        r.getDouble(3))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6     // operator rounds to 6
+    assert(out(("A", 1L)) == 8.0)                    // single obs
+    assert(out(("A", 2L)) == r6((8 + 2 * 16) / 3.0)) // (1·8+2·16)/3
+    assert(out(("A", 3L)) == r6((16 + 2 * 4) / 3.0)) // window drops t=1
+    assert(out(("B", 1L)) == 100.0)                  // keys isolated
+  }
+
   test("mergeIntervals: overlap, touch, gap, containment, per-key isolation") {
     val iv = Seq(
       ("A", 1L, 5L, 1L), ("A", 4L, 8L, 2L),   // overlap -> one island
