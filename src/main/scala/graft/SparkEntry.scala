@@ -901,6 +901,35 @@ object SparkEntry {
               .as("o_day")),
           Seq("o_orderpriority"), "o_totalprice", "o_day")
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "o_day")),
+    // Benford first-digit audit of line amounts per return flag —
+    // leading digit from the integer's decimal string, never log10
+    "q154_benford" -> ((s, dir) =>
+      graft.operators.Profiling.benfordAudit(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        Seq("l_returnflag"), "cents")),
+    // Hierarchical ratio-to-report: nation revenue share within its
+    // region and of the world — exact integer cents into both ratios
+    "q155_ratio_to_report" -> ((s, dir) => {
+      val per = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"),
+          col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").select(col("r_regionkey"),
+          col("r_name"))), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name").agg(sum("cents").as("cents"))
+      val wr = Window.partitionBy("r_name")
+      val wg = Window.partitionBy()
+      per
+        .withColumn("pct_region",
+          round(col("cents").cast("double") / sum("cents").over(wr), 6))
+        .withColumn("pct_total",
+          round(col("cents").cast("double") / sum("cents").over(wg), 6))
+    }),
     // Retention curve: q110's cohort matrix normalized by cohort
     // size (offset-0 cell) — the percent-retained read-out; the
     // normalizing window runs over the periods²-sized matrix
@@ -2780,6 +2809,35 @@ object SparkEntry {
         |    AND b.o_totalprice <= a.o_totalprice AND b.o_day <= a.o_day
         |    AND (b.o_totalprice < a.o_totalprice
         |      OR b.o_day < a.o_day))""".stripMargin,
+    "q154_benford" ->
+      // integer-string digit extraction; p_obs divides exact counts;
+      // abs_dev compares the ROUNDED columns (as the engine does)
+      """WITH b AS (SELECT l_returnflag,
+        |    substr((round(l_extendedprice * 100)::BIGINT)::VARCHAR, 1, 1)
+        |      ::BIGINT AS digit
+        |  FROM lineitem
+        |  WHERE round(l_extendedprice * 100)::BIGINT > 0),
+        |c AS (SELECT l_returnflag, digit, count(*)::BIGINT AS n
+        |  FROM b GROUP BY 1, 2),
+        |p AS (SELECT l_returnflag, digit, n,
+        |    round(n::DOUBLE / sum(n) OVER (PARTITION BY l_returnflag), 6)
+        |      AS p_obs,
+        |    round(log10(1.0 + 1.0 / digit), 6) AS p_benford
+        |  FROM c)
+        |SELECT l_returnflag, digit, n, p_obs, p_benford,
+        |  round(abs(p_obs - p_benford), 6) AS abs_dev FROM p""".stripMargin,
+    "q155_ratio_to_report" ->
+      """WITH per AS (SELECT r_name, n_name,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, cents,
+        |  round(cents::DOUBLE / sum(cents) OVER (PARTITION BY r_name), 6)
+        |    AS pct_region,
+        |  round(cents::DOUBLE / sum(cents) OVER (), 6) AS pct_total
+        |FROM per""".stripMargin,
     "q142_retention_curve" ->
       // q110's dual + a cohort-partitioned normalizing window
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p

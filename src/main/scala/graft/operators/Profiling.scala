@@ -237,4 +237,42 @@ object Profiling {
     (scanRows ++ uniqueRows ++ fkRows).reduce(_.unionByName(_))
       .withColumn("passed", col("n_violations") === 0L)
   }
+
+  /** Benford's-law first-digit audit: per group, the observed
+    * distribution of leading significant digits of a positive
+    * integer amount column against the Benford expectation
+    * `p(d) = log10(1 + 1/d)` — the classic fabricated-numbers /
+    * data-entry-anomaly screen for financial columns.
+    *
+    * The leading digit comes from the INTEGER's decimal string, not
+    * from `floor(x/10^floor(log10 x))` — log10 of a double near an
+    * exact power of ten can land on either side of the integer on
+    * different libm implementations, silently shifting a digit
+    * bucket; substring-of-integer is bit-exact everywhere. Pass
+    * amounts pre-scaled to integers (e.g. cents): scaling by a power
+    * of ten never changes the leading significant digit.
+    *
+    * Scale shape: one scan, one map-side-combinable count to a
+    * (groups × 9)-sized table, one group-partitioned window for the
+    * group total — nothing driver-side. `p_obs` divides exact
+    * integer counts, so every output value is engine-portable.
+    *
+    * Output: (group…, digit, n, p_obs, p_benford, abs_dev). */
+  def benfordAudit(df: DataFrame, groupCols: Seq[String],
+                   amountCol: String): DataFrame = {
+    val digit = substring(col(amountCol).cast("string"), 1, 1)
+      .cast("long")
+    val counted = df
+      .filter(col(amountCol).isNotNull && col(amountCol) > 0)
+      .groupBy(groupCols.map(col) :+ digit.as("digit"): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    counted
+      .withColumn("p_obs",
+        round(col("n").cast("double") / sum("n").over(w), 6))
+      .withColumn("p_benford",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("abs_dev", round(abs(col("p_obs") - col("p_benford")), 6))
+  }
 }

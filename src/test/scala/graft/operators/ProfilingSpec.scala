@@ -133,4 +133,20 @@ class ProfilingSpec extends SparkSpec {
     val leaves = plan.collectLeaves()
     assert(leaves.size == 1, s"profile re-scans the input: ${leaves.size} leaves")
   }
+
+  test("benfordAudit: digit extraction, proportions, Benford expectation") {
+    // amounts chosen so leading digits are 1,1,2,9; zero/null dropped
+    val df = Seq(("g", 123L), ("g", 1L), ("g", 2999L), ("g", 90L),
+      ("g", 0L), ("h", 777L)).toDF("grp", "cents")
+    val out = Profiling.benfordAudit(df, Seq("grp"), "cents")
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(("g", 1L))._1 == 2L && out(("g", 1L))._2 == 0.5)
+    assert(out(("g", 2L))._1 == 1L && out(("g", 2L))._2 == 0.25)
+    assert(out(("g", 9L))._1 == 1L)
+    assert(out(("h", 7L))._1 == 1L && out(("h", 7L))._2 == 1.0)
+    assert(out.size == 4)
+    // Benford expectation for digit 1 is log10(2) ≈ 0.30103
+    assert(out(("g", 1L))._3 == 0.30103)
+  }
 }
