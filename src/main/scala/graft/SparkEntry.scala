@@ -930,6 +930,36 @@ object SparkEntry {
         .withColumn("pct_total",
           round(col("cents").cast("double") / sum("cents").over(wg), 6))
     }),
+    // Recursive subtree rollup over the implicit user hierarchy
+    // parent(u) = u div 2 — pointer-doubled transitive closure
+    // standing in for the WITH RECURSIVE Spark lacks
+    "q156_subtree_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") >= 1)
+      val totals = ev.groupBy(col("user_id").as("u"))
+        .agg(sum(floor(col("value") * 1e6 + lit(0.5)).cast("long"))
+          .as("vq"))
+      val edges = totals.filter(col("u") >= 2)
+        .select(col("u").as("c"), expr("u div 2").as("p"))
+      Graph.subtreeRollup(edges, "c", "p", totals, "u", "vq",
+          maxDepth = 8)
+        .select(col("node"), col("subtree_value"), col("n_members"))
+    }),
+    // Golden-record survivorship: latest NON-NULL per attribute, per
+    // user — attributes may win from different events; nullable
+    // attrs synthesized deterministically from the log
+    "q157_golden_record" -> ((s, dir) =>
+      Merge.goldenRecord(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"),
+            when(col("event_id") % 3 === 0,
+              concat(col("user_id"), lit("@mail"))).as("email"),
+            when(col("event_id") % 7 === 0,
+              concat(lit("+1"), col("event_id"))).as("phone"),
+            when(col("event_id") % 11 === 0, col("event_type"))
+              .as("segment")),
+        "user_id", Seq("ts_us", "event_id"),
+        Seq("email", "phone", "segment"))),
     // Retention curve: q110's cohort matrix normalized by cohort
     // size (offset-0 cell) — the percent-retained read-out; the
     // normalizing window runs over the periods²-sized matrix
@@ -2838,6 +2868,33 @@ object SparkEntry {
         |    AS pct_region,
         |  round(cents::DOUBLE / sum(cents) OVER (), 6) AS pct_total
         |FROM per""".stripMargin,
+    "q156_subtree_rollup" ->
+      // the WITH RECURSIVE ground truth the doubled closure must
+      // reproduce (user ids are dense, so every chain node exists)
+      """WITH RECURSIVE tot AS (SELECT user_id AS u,
+        |    sum(floor(value * 1e6 + 0.5)::BIGINT)::BIGINT AS vq
+        |  FROM events WHERE user_id >= 1 GROUP BY 1),
+        |up AS (SELECT u AS node, u AS anc FROM tot
+        |  UNION ALL SELECT node, anc // 2 FROM up WHERE anc >= 2)
+        |SELECT up.anc AS node, sum(t.vq)::BIGINT AS subtree_value,
+        |  count(*)::BIGINT AS n_members
+        |FROM up JOIN tot t ON t.u = up.node GROUP BY 1""".stripMargin,
+    "q157_golden_record" ->
+      // arg_max FILTER per attribute; (user, ts) is unique so ts_us
+      // alone is the same total order as the engine's (ts_us, id)
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN event_id % 3 = 0
+        |      THEN user_id::VARCHAR || '@mail' END AS email,
+        |    CASE WHEN event_id % 7 = 0
+        |      THEN '+1' || event_id::VARCHAR END AS phone,
+        |    CASE WHEN event_id % 11 = 0 THEN event_type END AS segment
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id,
+        |  arg_max(email, ts_us) FILTER (WHERE email IS NOT NULL) AS email,
+        |  arg_max(phone, ts_us) FILTER (WHERE phone IS NOT NULL) AS phone,
+        |  arg_max(segment, ts_us) FILTER (WHERE segment IS NOT NULL)
+        |    AS segment
+        |FROM r GROUP BY 1""".stripMargin,
     "q142_retention_curve" ->
       // q110's dual + a cohort-partitioned normalizing window
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p

@@ -199,4 +199,29 @@ object Merge {
       facts, history, key, key,
       factTime + lit(1L), col("valid_from"),
       payload :+ "valid_from", tiebreak = Seq("valid_from"))
+
+  /** Golden-record survivorship: one row per key whose EVERY
+    * attribute is the most recent NON-NULL observation of that
+    * attribute — column-level survivorship (MDM "most recent wins,
+    * but never overwrite data with a gap"), vs [[scd1]]'s row-level
+    * latest. Attributes may win from DIFFERENT source rows.
+    *
+    * Scale shape: ONE map-side-combinable aggregation —
+    * `max_by(attr, version) FILTER (WHERE attr IS NOT NULL)` per
+    * attribute — so each task ships one candidate value per
+    * (key, attribute) into the shuffle. The window formulation
+    * (`last_value IGNORE NULLS` + dropDuplicates) sorts every
+    * group; this never sorts.
+    *
+    * @param versionCols total order within a key (include a unique
+    *        tiebreaker) */
+  def goldenRecord(rows: DataFrame, keyCol: String,
+                   versionCols: Seq[String],
+                   attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty && versionCols.nonEmpty)
+    val ord = s"struct(${versionCols.mkString(", ")})"
+    val aggs = attrCols.map(a =>
+      expr(s"max_by($a, $ord) FILTER (WHERE $a IS NOT NULL)").as(a))
+    rows.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -73,4 +73,34 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.getDouble(1)).toSet
     assert(r0 == Set(0.25))
   }
+
+  test("ancestorClosure: full chains via doubling, depth truncation") {
+    // chain 5 -> 4 -> 3 -> 2 -> 1
+    val ch = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("c", "p")
+    val full = Graph.ancestorClosure(ch, "c", "p", maxDepth = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == Set((5L, 4L), (5L, 3L), (5L, 2L), (5L, 1L),
+      (4L, 3L), (4L, 2L), (4L, 1L), (3L, 2L), (3L, 1L), (2L, 1L)))
+    // maxDepth = 2 keeps only <= 2-hop ancestors
+    val trunc = Graph.ancestorClosure(ch, "c", "p", maxDepth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trunc == Set((5L, 4L), (5L, 3L), (4L, 3L), (4L, 2L),
+      (3L, 2L), (3L, 1L), (2L, 1L)))
+  }
+
+  test("subtreeRollup: per-node descendant sums incl. self; non-node ancestors") {
+    //      1
+    //     / \
+    //    2   3      values: 2->10, 3->20, 4->40, 5->5; node 1 has
+    //   / \           no value row (pure rollup node)
+    //  4   5
+    val ed = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L)).toDF("c", "p")
+    val vals = Seq((2L, 10L), (3L, 20L), (4L, 40L), (5L, 5L))
+      .toDF("n", "v")
+    val got = Graph.subtreeRollup(ed, "c", "p", vals, "n", "v", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, 75L, 4L), (2L, 55L, 3L), (3L, 20L, 1L),
+      (4L, 40L, 1L), (5L, 5L, 1L)))
+  }
 }

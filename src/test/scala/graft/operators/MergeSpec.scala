@@ -149,4 +149,22 @@ class MergeSpec extends SparkSpec {
       (99L, Some("x")),                    // current (valid_to NULL)
       (40L, None)))                        // key with no history
   }
+
+  test("goldenRecord: attributes survive from different rows; gaps never win") {
+    val rows = Seq(
+      // key A: email set at t1, phone at t2 (email null), email
+      // updated at t3 (phone null) -> golden = (email@t3, phone@t2)
+      ("A", 1L, Some("a1@x"), None: Option[String]),
+      ("A", 2L, None, Some("111")),
+      ("A", 3L, Some("a3@x"), None),
+      // key B: only nulls for phone -> phone stays null
+      ("B", 1L, Some("b@x"), None)
+    ).toDF("k", "v", "email", "phone")
+    val got = Merge.goldenRecord(rows, "k", Seq("v"),
+        Seq("email", "phone"))
+      .collect().map(r => (r.getString(0),
+        (Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(got("A") == (Some("a3@x"), Some("111")))
+    assert(got("B") == (Some("b@x"), None))
+  }
 }
