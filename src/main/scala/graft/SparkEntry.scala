@@ -876,9 +876,16 @@ object SparkEntry {
     // EXACT word-set similarity join with PPJoin prefix filtering —
     // the no-false-negative complement of the MinHash path (q24);
     // oracle is the naive all-shared-token join, proving the prefix
-    // prune loses nothing
+    // prune loses nothing. FIXED 500-doc block (q25 precedent): the
+    // synthetic corpus draws from a 31-token vocabulary, prefix
+    // filtering's documented worst case — every token is frequent
+    // and the TRUE τ=0.9 answer is ~1M pairs at sf0.1 (measured), so
+    // ANY exact join is output-bound there; the sketch paths
+    // (q24/q26) are the scale route for template corpora, while this
+    // stays the exact-verification member of the family.
     "q151_prefix_jaccard" -> ((s, dir) =>
-      FuzzyDedup.prefixJaccardJoin(t(s, dir, "documents"),
+      FuzzyDedup.prefixJaccardJoin(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
         threshold = 0.9)),
     // Dyadic-weight EWMA (α = ½, 16-obs window) of value per user —
     // integer numerator/denominator, bit-exact on any partitioning
@@ -2802,7 +2809,7 @@ object SparkEntry {
       // prefix prune must reproduce it exactly
       """WITH tok AS (SELECT doc_id, unnest(list_distinct(
         |    regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tk
-        |  FROM documents),
+        |  FROM documents WHERE doc_id < 500),
         |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY 1),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    count(*)::BIGINT AS i

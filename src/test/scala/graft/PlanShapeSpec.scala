@@ -206,4 +206,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct"),
       s"cartesian touch join:\n$p")
   }
+
+  private def shuffles(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("q146: SCD-2's two windows share ONE key shuffle") {
+    val p = plan("q146_scd2_history")
+    assert(shuffles(p) == 1, s"expected exactly 1 hash exchange:\n$p")
+    assert("Window ".r.findAllIn(p).length >= 1, s"no window:\n$p")
+  }
+
+  test("q144: spatial join is a hash equi-join, never a nested loop") {
+    val p = plan("q144_spatial_neighbors")
+    assert(!p.contains("NestedLoop") &&
+      !p.toLowerCase.contains("cartesianproduct"),
+      s"spatial join degenerated to a loop join:\n$p")
+  }
+
+  test("q145: top-N+other plans bounded heaps, no partition-less window") {
+    val p = plan("q145_topn_other")
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k:\n$p")
+    assert(!p.contains("Window"), s"global window crept back:\n$p")
+  }
+
+  test("q149: proration pays ONE key shuffle for both window specs") {
+    val p = plan("q149_prorate")
+    // one exchange for the l_orderkey windows; the orders join may
+    // add its own exchanges but never a second window shuffle
+    assert(p.contains("Window"), s"no window:\n$p")
+    assert(!p.contains("NestedLoop"), s"loop join:\n$p")
+    val winExchanges = "Exchange hashpartitioning\\(l_orderkey".r
+      .findAllIn(p).length
+    assert(winExchanges <= 3, s"window spec split into extra shuffles:\n$p")
+  }
+
+  test("q152: EWMA is one key shuffle, one window, no join") {
+    val p = plan("q152_ewma")
+    assert(shuffles(p) == 1, s"expected exactly 1 hash exchange:\n$p")
+    assert(!p.contains("Join"), s"join appeared in a pure window op:\n$p")
+  }
+
+  test("q153: skyline sweeps — no nested loop, no cartesian") {
+    val p = plan("q153_skyline")
+    assert(!p.contains("NestedLoop") &&
+      !p.toLowerCase.contains("cartesianproduct"),
+      s"quadratic skyline plan:\n$p")
+  }
+
+  test("q157: golden record is a partial-aggregable agg, not a window") {
+    val p = plan("q157_golden_record")
+    assert(!p.contains("Window"), s"window survivorship crept in:\n$p")
+    assert(p.contains("max_by") || p.contains("HashAggregate") ||
+      p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"no aggregate:\n$p")
+  }
 }
