@@ -951,6 +951,74 @@ object SparkEntry {
           maxDepth = 8)
         .select(col("node"), col("subtree_value"), col("n_members"))
     }),
+    // Period-over-period report: weekly revenue per region on a
+    // ZERO-FILLED calendar grid (empty weeks are rows, so growth
+    // compares against 0-revenue weeks instead of silently skipping
+    // them), WoW growth from exact integer cents
+    "q158_pop_growth" -> ((s, dir) => {
+      val weekly = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 604800000000")
+            .as("wk"))
+        .join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"),
+          col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").select(col("r_regionkey"),
+          col("r_name"))), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "wk").agg(sum("cents").as("cents"))
+      val grid = weekly.agg(min("wk").as("w0"), max("wk").as("w1"))
+        .select(explode(expr("sequence(w0, w1)")).as("wk"))
+        .crossJoin(broadcast(t(s, dir, "region").select(col("r_name"))))
+      val w = Window.partitionBy("r_name").orderBy("wk")
+      grid.join(weekly, Seq("r_name", "wk"), "left")
+        .withColumn("cents", coalesce(col("cents"), lit(0L)))
+        .withColumn("_prev", lag("cents", 1).over(w))
+        .withColumn("wow", when(col("_prev") > 0,
+          round((col("cents") - col("_prev")).cast("double") /
+            col("_prev"), 6)))
+        .select("r_name", "wk", "cents", "wow")
+    }),
+    // SCD-2 time travel: the dimension exactly as it stood at
+    // 2024-01-15T00:00Z — one filter over the q146 version history
+    "q159_time_travel" -> ((s, dir) => {
+      val T = 1705276800000000L
+      Merge.scd2History(
+          t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us", Seq("event_type"), Seq("event_id"))
+        .filter(col("valid_from") <= T &&
+          (col("valid_to").isNull || col("valid_to") > T))
+        .select(col("user_id"), col("event_type").as("status"),
+          col("valid_from").as("valid_from_us"))
+    }),
+    // Item-item collaborative filtering: parts co-purchased in the
+    // same order, cosine over co-occurrence counts, top-5 similar
+    // per part via the bounded-heap TopKPerKey custom operator
+    "q160_item_cf" -> ((s, dir) => {
+      val oi = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val cnt = oi.groupBy(col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("n"))
+      val pairs = oi.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(oi.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("co"))
+      val sim = pairs
+        .join(broadcast(cnt.select(col("p").as("pa"), col("n").as("na"))),
+          Seq("pa"))
+        .join(broadcast(cnt.select(col("p").as("pb"), col("n").as("nb"))),
+          Seq("pb"))
+        .withColumn("cos", round(col("co").cast("double") /
+          sqrt((col("na") * col("nb")).cast("double")), 6))
+      val directed = sim
+        .select(col("pa").as("item"), col("pb").as("other"), col("cos"))
+        .unionByName(sim.select(col("pb").as("item"),
+          col("pa").as("other"), col("cos")))
+      graft.operators.TopK.topKPerKey(directed, Seq("item"),
+        Seq(col("cos").desc, col("other").asc), 5)
+    }),
     // Golden-record survivorship: latest NON-NULL per attribute, per
     // user — attributes may win from different events; nullable
     // attrs synthesized deterministically from the log
@@ -2902,6 +2970,63 @@ object SparkEntry {
         |  arg_max(segment, ts_us) FILTER (WHERE segment IS NOT NULL)
         |    AS segment
         |FROM r GROUP BY 1""".stripMargin,
+    "q158_pop_growth" ->
+      """WITH weekly AS (SELECT r_name,
+        |    epoch_us(o_orderdate) // 604800000000 AS wk,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM weekly),
+        |grid AS (SELECT r_name, g.wk FROM region CROSS JOIN
+        |  (SELECT unnest(generate_series((SELECT w0 FROM b),
+        |    (SELECT w1 FROM b))) AS wk) g),
+        |f AS (SELECT g.r_name, g.wk,
+        |    coalesce(w.cents, 0)::BIGINT AS cents
+        |  FROM grid g LEFT JOIN weekly w
+        |    ON w.r_name = g.r_name AND w.wk = g.wk),
+        |l AS (SELECT r_name, wk, cents,
+        |    lag(cents) OVER (PARTITION BY r_name ORDER BY wk) AS prev
+        |  FROM f)
+        |SELECT r_name, wk, cents,
+        |  CASE WHEN prev > 0
+        |    THEN round((cents - prev)::DOUBLE / prev, 6) END AS wow
+        |FROM l""".stripMargin,
+    "q159_time_travel" ->
+      // q146's history CTE + the as-of-T validity filter
+      """WITH c AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id FROM events),
+        |d AS (SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM c),
+        |k AS (SELECT user_id, event_type, ts_us, event_id FROM d
+        |  WHERE prev IS DISTINCT FROM event_type),
+        |h AS (SELECT user_id, event_type AS status, ts_us AS vf,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS vt FROM k)
+        |SELECT user_id, status, vf AS valid_from_us FROM h
+        |WHERE vf <= 1705276800000000
+        |  AND (vt IS NULL OR vt > 1705276800000000)""".stripMargin,
+    "q160_item_cf" ->
+      // cosine from exact integer counts; IEEE sqrt is correctly
+      // rounded on both engines, so the rounded cosine is identical
+      """WITH oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |cnt AS (SELECT l_partkey AS p, count(*)::BIGINT AS n FROM oi
+        |  GROUP BY 1),
+        |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    count(*)::BIGINT AS co
+        |  FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |sim AS (SELECT pa, pb,
+        |    round(co::DOUBLE / sqrt((na.n * nb.n)::DOUBLE), 6) AS cos
+        |  FROM pairs JOIN cnt na ON na.p = pa JOIN cnt nb ON nb.p = pb),
+        |directed AS (SELECT pa AS item, pb AS other, cos FROM sim
+        |  UNION ALL SELECT pb, pa, cos FROM sim)
+        |SELECT item, other, cos FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY cos DESC, other) AS rn
+        |  FROM directed) WHERE rn <= 5""".stripMargin,
     "q142_retention_curve" ->
       // q110's dual + a cohort-partitioned normalizing window
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p
