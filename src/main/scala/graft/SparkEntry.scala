@@ -1019,6 +1019,53 @@ object SparkEntry {
       graft.operators.TopK.topKPerKey(directed, Seq("item"),
         Seq(col("cos").desc, col("other").asc), 5)
     }),
+    // Training-set assembly: per purchase label, point-in-time
+    // correct features — 24h activity count (range-frame window,
+    // upper bound −1µs so the label never sees itself) + user status
+    // as-of the label instant (SCD-2 + as-of union). The feature
+    // store's core correctness contract: NO feature leaks from after
+    // its label's timestamp.
+    "q161_feature_assembly" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .withColumn("ts_us", expr("ts div 1000"))
+      val wr = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-86400000000L, -1)
+      val labels = ev.withColumn("n_24h", count(lit(1)).over(wr))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "n_24h")
+      val hist = Merge.scd2History(ev, "user_id", "ts_us",
+          Seq("event_type"), Seq("event_id"))
+        .withColumnRenamed("event_type", "status")
+      Merge.pointInTime(labels, hist, "user_id", col("ts_us"),
+          Seq("status"))
+        .select("event_id", "user_id", "ts_us", "n_24h", "status")
+    }),
+    // Deterministic negative sampling: per customer, 3 parts they
+    // did NOT buy — md5-derived candidate draws, broadcast catalog
+    // max, anti-join against positives; reproducible on any engine
+    "q162_negative_sampling" -> ((s, dir) => {
+      val pos = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+      val mx = t(s, dir, "part").agg(max("p_partkey").as("mx"))
+      val cand = pos.select("cust").distinct()
+        .crossJoin(broadcast(mx))
+        .select(col("cust"), explode(expr("sequence(1, 8)")).as("i"),
+          col("mx"))
+        .withColumn("part",
+          pmod(graft.functions.HashFunctions.md5Long(
+            concat(col("cust").cast("string"), lit("_"),
+              col("i").cast("string"))), col("mx")) + 1)
+        .groupBy("cust", "part").agg(min("i").as("i"))
+      val w = Window.partitionBy("cust").orderBy("i")
+      cand.join(pos, Seq("cust", "part"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("cust").as("o_custkey"),
+          col("part").as("neg_partkey"), col("rn"))
+    }),
     // Golden-record survivorship: latest NON-NULL per attribute, per
     // user — attributes may win from different events; nullable
     // attrs synthesized deterministically from the log
@@ -2970,6 +3017,47 @@ object SparkEntry {
         |  arg_max(segment, ts_us) FILTER (WHERE segment IS NOT NULL)
         |    AS segment
         |FROM r GROUP BY 1""".stripMargin,
+    "q161_feature_assembly" ->
+      // range-frame activity count + the q146 history CTE + the
+      // interval-predicate status lookup, all at label timestamps
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events WHERE user_id IS NOT NULL),
+        |lab AS (SELECT event_id, user_id, ts_us, n_24h FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+        |      AS n_24h
+        |  FROM e) WHERE event_type = 'purchase'),
+        |d AS (SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |k AS (SELECT user_id, event_type, ts_us, event_id FROM d
+        |  WHERE prev IS DISTINCT FROM event_type),
+        |h AS (SELECT user_id, event_type AS status, ts_us AS vf,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS vt FROM k)
+        |SELECT lab.event_id, lab.user_id, lab.ts_us, lab.n_24h, h.status
+        |FROM lab LEFT JOIN h ON lab.user_id = h.user_id
+        |  AND lab.ts_us >= h.vf
+        |  AND (h.vt IS NULL OR lab.ts_us < h.vt)""".stripMargin,
+    "q162_negative_sampling" ->
+      // md5Long replay: ('0x' || first-15-hex)::BIGINT == the
+      // engine's conv(substring(md5, 1, 15), 16, 10)
+      """WITH pos AS (SELECT DISTINCT o_custkey AS cust,
+        |    l_partkey AS part
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |mx AS (SELECT max(p_partkey) AS mx FROM part),
+        |cand AS (SELECT cust, min(i) AS i, part FROM (
+        |  SELECT c.cust, g.i,
+        |    (('0x' || substr(md5(c.cust::VARCHAR || '_' || g.i::VARCHAR),
+        |      1, 15))::BIGINT % mx.mx) + 1 AS part
+        |  FROM (SELECT DISTINCT cust FROM pos) c CROSS JOIN mx
+        |    CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) g)
+        |  GROUP BY cust, part),
+        |neg AS (SELECT c.cust, c.part, c.i FROM cand c
+        |  LEFT JOIN pos p ON p.cust = c.cust AND p.part = c.part
+        |  WHERE p.cust IS NULL)
+        |SELECT cust AS o_custkey, part AS neg_partkey, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY cust ORDER BY i)
+        |    AS rn FROM neg) WHERE rn <= 3""".stripMargin,
     "q158_pop_growth" ->
       """WITH weekly AS (SELECT r_name,
         |    epoch_us(o_orderdate) // 604800000000 AS wk,
