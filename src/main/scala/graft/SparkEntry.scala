@@ -1066,6 +1066,16 @@ object SparkEntry {
         .select(col("cust").as("o_custkey"),
           col("part").as("neg_partkey"), col("rn"))
     }),
+    // EXACT heavy hitters (tokens ≥ 0.5% of corpus token mass) via
+    // the Misra-Gries sketch-then-recount pattern: pass 1 never
+    // shuffles the token stream (map-side ≤256-entry counter maps,
+    // custom TypedImperativeAggregate), pass 2 recounts only the
+    // broadcast candidates — exact, deterministic, integer-threshold
+    "q163_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
+    }),
     // Golden-record survivorship: latest NON-NULL per attribute, per
     // user — attributes may win from different events; nullable
     // attrs synthesized deterministically from the log
@@ -1811,6 +1821,16 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // integer threshold (cnt·200 ≥ total ⟺ freq ≥ 0.5%) — no float,
+    // no ceil: bit-identical across engines
+    "q163_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents
+        |), n AS (SELECT count(*)::BIGINT AS total FROM tok)
+        |SELECT token, count(*)::BIGINT AS cnt, total
+        |FROM tok, n GROUP BY token, total
+        |HAVING count(*) * 200 >= total""".stripMargin,
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice * (1 - l_discount) AS revenue

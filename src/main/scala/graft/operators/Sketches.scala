@@ -352,4 +352,53 @@ object Sketches {
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.plans.HllAgg(org.apache.spark.sql.GraftColumnBridge.expression(c))
         .toAggregateExpression())
+
+  /** Misra–Gries candidate keys as an aggregate Column
+    * ([[graft.plans.MisraGriesAgg]]): `df.agg(misraGriesCol($"v", 256))`
+    * → `array<string>` of every value that COULD exceed frequency
+    * n/(capacity+1) (superset guarantee, no false negatives). */
+  def misraGriesCol(c: org.apache.spark.sql.Column, capacity: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.MisraGriesAgg(
+        org.apache.spark.sql.GraftColumnBridge.expression(c), capacity)
+        .toAggregateExpression())
+
+  /** EXACT heavy hitters via the sketch-then-recount pattern: all
+    * values whose frequency is ≥ total/`thresholdDen`, with exact
+    * counts.
+    *
+    * Pass 1 folds the value stream into ONE Misra–Gries candidate
+    * row (map-side partial maps of ≤ `capacity` entries — the value
+    * stream itself never shuffles) plus the exact total. Pass 2
+    * re-scans, keeps only candidate values via a broadcast join
+    * (≤ capacity rows), counts them exactly, and applies the
+    * threshold in INTEGER arithmetic (`cnt · den ≥ n` — no float, no
+    * ceil ambiguity, oracle-identical).
+    *
+    * Correctness is deterministic even though the sketch isn't: MG
+    * guarantees every value with freq > n/(capacity+1) survives, so
+    * requiring `thresholdDen ≤ capacity` makes the candidate set a
+    * superset of the answer; the recount then computes the answer
+    * exactly. This is the canonical 100 TB shape — the alternative
+    * (groupBy value, filter) shuffles every distinct value; this
+    * shuffles `capacity`-entry maps and then only the ≤ capacity
+    * candidates' rows survive the broadcast semi-join into pass 2's
+    * aggregate.
+    */
+  def heavyHitters(rows: DataFrame, valueCol: String, capacity: Int,
+                   thresholdDen: Long): DataFrame = {
+    require(thresholdDen <= capacity,
+      s"thresholdDen=$thresholdDen must be ≤ capacity=$capacity for the " +
+        "no-false-negative guarantee (MG error bound is n/(capacity+1))")
+    val vals = rows.select(col(valueCol).as("v")).where(col("v").isNotNull)
+    val sketch = vals.agg(
+      misraGriesCol(col("v"), capacity).as("cands"),
+      count(lit(1)).as("total"))
+    val cand = sketch.select(explode(col("cands")).as("v"), col("total"))
+    vals.join(broadcast(cand), Seq("v"))
+      .groupBy(col("v"), col("total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(thresholdDen) >= col("total"))
+      .select(col("v").as(valueCol), col("cnt"), col("total"))
+  }
 }

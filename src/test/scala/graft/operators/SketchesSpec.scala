@@ -228,6 +228,55 @@ class SketchesSpec extends SparkSpec {
     assert(est("never-ingested") == 0L) // its buckets are empty at width 256
   }
 
+  // the MG theory bound that makes heavyHitters EXACT: every value
+  // with true freq > n/(capacity+1) must survive the sketch — across
+  // real partial-aggregation merges (repartition(8) forces them)
+  test("MisraGriesAgg candidates are a superset of items above n/(cap+1)") {
+    val rng = new scala.util.Random(42)
+    // zipfish mix: few hot keys + long tail
+    val data = (1 to 20000).map { _ =>
+      val r = rng.nextInt(100)
+      if (r < 30) s"hot-${rng.nextInt(3)}"
+      else if (r < 55) s"warm-${rng.nextInt(12)}"
+      else s"tail-${rng.nextInt(5000)}"
+    }
+    val df = data.toDF("v").repartition(8)
+    val cap = 64
+    val cands = df.agg(Sketches.misraGriesCol($"v", cap).as("c"))
+      .collect().head.getSeq[String](0).toSet
+    val n = data.size
+    val mustSurvive = data.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 > n / (cap + 1)).keySet
+    assert(mustSurvive.nonEmpty, "test data produced no heavy items")
+    assert(mustSurvive.subsetOf(cands),
+      s"MG dropped guaranteed items: ${(mustSurvive -- cands).take(5)}")
+    assert(cands.size <= cap, s"sketch exceeded capacity: ${cands.size}")
+  }
+
+  test("heavyHitters is exact and partitioning-invariant") {
+    val rng = new scala.util.Random(7)
+    val data = (1 to 15000).map { _ =>
+      val r = rng.nextInt(100)
+      if (r < 40) s"hh-${rng.nextInt(5)}" else s"t-${rng.nextInt(3000)}"
+    }
+    val df = data.toDF("v")
+    val expected = data.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 100 >= data.size }.toMap
+    def run(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Sketches.heavyHitters(d, "v", capacity = 128, thresholdDen = 100)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run(df)
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(run(df.repartition(11)) == expected, "partitioning changed the answer")
+  }
+
+  test("heavyHitters rejects a threshold looser than the sketch's guarantee") {
+    val df = Seq("a", "b").toDF("v")
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(df, "v", capacity = 50, thresholdDen = 100)
+    }
+  }
+
   test("hllDistinct ignores NULL values — no phantom register") {
     val allNull = Seq[Option[String]](None, None).toDF("v")
     val r = Sketches.hllDistinct(allNull, "v").collect().head
