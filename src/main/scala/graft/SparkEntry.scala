@@ -1080,6 +1080,12 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // C4-style duplicated-span removal: 16-token spans occurring in
+    // ≥2 distinct docs are dropped corpus-wide; docs reassembled from
+    // surviving spans in order. Spans shuffle by md5 (fixed-width
+    // key), never the text twice; boilerplate dies in one pass
+    "q164_span_dedup" -> ((s, dir) =>
+      TextAnalysis.dropDuplicateSpans(t(s, dir, "documents"))),
     // Golden-record survivorship: latest NON-NULL per attribute, per
     // user — attributes may win from different events; nullable
     // attrs synthesized deterministically from the log
@@ -1825,6 +1831,24 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q164_span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(range(0, ((len(toks)+15)//16))) AS i, toks
+        |  FROM d WHERE len(toks) > 0
+        |), c AS (
+        |  SELECT doc_id, i, array_to_string(toks[i*16+1 : i*16+16], ' ') AS span
+        |  FROM s
+        |), dup AS (
+        |  SELECT md5(span) AS h FROM c
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |)
+        |SELECT doc_id, string_agg(span, ' ' ORDER BY i) AS clean_text,
+        |  count(*)::BIGINT AS n_kept
+        |FROM c ANTI JOIN dup ON md5(c.span) = dup.h
+        |GROUP BY doc_id""".stripMargin,
     // integer threshold (cnt·200 ≥ total ⟺ freq ≥ 0.5%) — no float,
     // no ceil: bit-identical across engines
     "q163_heavy_hitters" ->

@@ -497,6 +497,55 @@ object TextAnalysis {
       size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
   }
 
+  /** C4-style cross-document duplicated-span removal (cf. the C4
+    * cleanup's "discard any three-sentence span occurring more than
+    * once"; reference has no dedup at all — LLM-pipeline extension,
+    * SURVEY.md §2.11).
+    *
+    * Documents are cut into NON-overlapping `spanTokens`-token spans;
+    * any span whose exact text occurs in ≥ `minDocs` distinct
+    * documents is dropped from every document carrying it, and each
+    * document is reassembled from its surviving spans in original
+    * order. Boilerplate (headers, license blocks, navigation chrome)
+    * disappears corpus-wide in one pass while unique prose survives.
+    *
+    * Scale shape: three key-bounded shuffles — (1) span rows keyed by
+    * the 128-bit md5 of the span (fixed-width key: the span TEXT
+    * never rides a shuffle twice), with map-side partial
+    * count-distinct; (2) the anti-join of span rows against the
+    * duplicated-hash set (hash-keyed, no cartesian anywhere); (3) one
+    * groupBy document to reassemble. No window over the corpus, no
+    * driver action, nothing proportional to corpus² — the exact
+    * shape this runs at 100 TB, where the duplicated-hash side is a
+    * tiny fraction of the span count.
+    */
+  def dropDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", spanTokens: Int = 16,
+                         minDocs: Int = 2): DataFrame = {
+    val spans = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      // sequence(0, n_chunks-1) is safe: n_chunks ≥ 1 after the filter
+      .select(col(idCol),
+        explode(expr(s"sequence(0, int((size(toks) + $spanTokens - 1) / $spanTokens) - 1)")).as("i"),
+        col("toks"))
+      .select(col(idCol), col("i"),
+        array_join(expr(s"slice(toks, i * $spanTokens + 1, $spanTokens)"), " ").as("span"))
+    val dupes = spans
+      .groupBy(md5(col("span")).as("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    spans
+      .join(dupes, md5(col("span")) === col("h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("span")))),
+            x => x.getField("span")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   private def nullifZero(c: org.apache.spark.sql.Column) =
     when(c === 0, lit(null)).otherwise(c)
 }

@@ -272,4 +272,24 @@ class TextAnalysisSpec extends SparkSpec {
       "x" -> ((3L, 5L, "1:3,2:1")),
       "y" -> ((2L, 3L, "2:2,1:1"))))
   }
+
+  test("dropDuplicateSpans removes cross-doc spans, keeps order, drops empty docs") {
+    // span size 2: doc1 = [a b][c d][e f], doc2 = [a b][x y], doc3 = [c d],
+    // doc4 = "" (vanishes), doc5 = [a b] (all spans dup → vanishes)
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b x y"), (3L, "c d"),
+      (4L, ""), (5L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.dropDuplicateSpans(docs, spanTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // [a b] in docs 1,2,5; [c d] in docs 1,3 → both dropped everywhere
+    assert(out == Map(1L -> (("e f", 1L)), 2L -> (("x y", 1L))))
+  }
+
+  test("dropDuplicateSpans: a within-doc repeat alone does not trigger a drop") {
+    val docs = Seq((1L, "a b a b"), (2L, "q r")).toDF("doc_id", "text")
+    val out = TextAnalysis.dropDuplicateSpans(docs, spanTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "a b" occurs twice but only in ONE distinct doc → kept intact
+    assert(out == Map(1L -> "a b a b", 2L -> "q r"))
+  }
 }
