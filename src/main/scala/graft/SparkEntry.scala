@@ -1080,6 +1080,23 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Corpus covariance read-out of ONE GramAgg scan: the shuffle
+    // carries a single ~17 KB moment buffer per task, never rows;
+    // (i,j,cov) rows are unpacked declaratively from the triangle
+    "q165_covariance" -> ((s, dir) =>
+      graft.operators.Decomposition.covarianceMatrix(
+        t(s, dir, "embeddings"), "embedding", 64)),
+    // PCA projection onto the top-3 principal components: GramAgg
+    // statistics pass -> driver Jacobi on the 64x64 covariance ->
+    // eigenvectors broadcast back as codegen'd dot-product literals.
+    // No SQL dual (eigensolve isn't ANSI-expressible) -> driver
+    // records the rows-only check; DecompositionSpec pins the math
+    // (orthonormality, variance=eigenvalue, partitioning invariance)
+    "q166_pca_project" -> ((s, dir) =>
+      graft.operators.Decomposition.pcaProject(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 64, 3)
+        .select(col("vec_id"), round(col("pc1"), 4).as("pc1"),
+          round(col("pc2"), 4).as("pc2"), round(col("pc3"), 4).as("pc3"))),
     // C4-style duplicated-span removal: 16-token spans occurring in
     // ≥2 distinct docs are dropped corpus-wide; docs reassembled from
     // surviving spans in order. Spans shuffle by md5 (fixed-width
@@ -1831,6 +1848,11 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q165_covariance" ->
+      """SELECT i, j,
+        |  round(covar_pop(embedding[i+1], embedding[j+1]), 6) + 0.0 AS cov
+        |FROM embeddings, range(0, 64) r1(i), range(0, 64) r2(j)
+        |WHERE i <= j GROUP BY i, j""".stripMargin,
     "q164_span_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
