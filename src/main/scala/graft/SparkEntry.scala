@@ -1080,6 +1080,41 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Fellegi-Sunter record linkage: two "sources" derived from
+    // customer (B perturbed: phone reversed for 1/7, name mangled for
+    // 1/5, balance rounded), blocked on (nation, segment) -- one
+    // equi-join, codegen'd field comparisons, literal ln-ratio
+    // weights, threshold. Links survive one corrupted field, die
+    // with two -- the F-S contract
+    "q168_record_linkage" -> ((s, dir) => {
+      import graft.operators.Linkage.FieldComparison
+      val c = t(s, dir, "customer")
+      // table has no phone column -- synthesize one deterministically
+      // (same arithmetic in the oracle dual)
+      val pd = (col("c_custkey") * 7919 % 10000000).cast("string")
+      val a = c.select(col("c_nationkey"), col("c_mktsegment"),
+        col("c_custkey").as("a_key"), pd.as("a_pd"),
+        lower(col("c_name")).as("a_nm"),
+        col("c_acctbal").cast("double").as("a_bal"))
+      val b = c.select(col("c_nationkey"), col("c_mktsegment"),
+        (col("c_custkey") + 1000000).as("b_key"),
+        when(col("c_custkey") % 7 === 0, reverse(pd)).otherwise(pd).as("b_pd"),
+        when(col("c_custkey") % 5 === 0, concat(lower(col("c_name")), lit("x")))
+          .otherwise(lower(col("c_name"))).as("b_nm"),
+        round(col("c_acctbal")).cast("double").as("b_bal"))
+      graft.operators.Linkage.fellegiSunter(a, b,
+        Seq("c_nationkey", "c_mktsegment"), "a_key", "b_key",
+        Seq(
+          FieldComparison("phone", col("a_pd") === col("b_pd"), 6.8, -2.3),
+          FieldComparison("name", col("a_nm") === col("b_nm"), 4.5, -3.0),
+          FieldComparison("bal", abs(col("a_bal") - col("b_bal")) <= 1.0, 2.0, -1.5)),
+        minScore = 3.0)
+    }),
+    // Token<->language mutual information (feature selection): which
+    // tokens are label-informative. One (token,label) shuffle +
+    // token window; label marginals broadcast
+    "q167_mutual_info" -> ((s, dir) =>
+      TextAnalysis.tokenLabelMI(t(s, dir, "documents"))),
     // Corpus covariance read-out of ONE GramAgg scan: the shuffle
     // carries a single ~17 KB moment buffer per task, never rows;
     // (i,j,cov) rows are unpacked declaratively from the triangle
@@ -1848,6 +1883,50 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q168_record_linkage" ->
+      """WITH a AS (
+        |  SELECT c_nationkey, c_mktsegment, c_custkey AS a_key,
+        |    (c_custkey * 7919 % 10000000)::VARCHAR AS a_pd,
+        |    lower(c_name) AS a_nm, c_acctbal::DOUBLE AS a_bal
+        |  FROM customer
+        |), b AS (
+        |  SELECT c_nationkey, c_mktsegment, c_custkey + 1000000 AS b_key,
+        |    CASE WHEN c_custkey % 7 = 0
+        |         THEN reverse((c_custkey * 7919 % 10000000)::VARCHAR)
+        |         ELSE (c_custkey * 7919 % 10000000)::VARCHAR END AS b_pd,
+        |    CASE WHEN c_custkey % 5 = 0 THEN lower(c_name) || 'x'
+        |         ELSE lower(c_name) END AS b_nm,
+        |    round(c_acctbal)::DOUBLE AS b_bal
+        |  FROM customer
+        |)
+        |SELECT * FROM (
+        |  SELECT a_key, b_key,
+        |    a_pd = b_pd AS agree_phone,
+        |    a_nm = b_nm AS agree_name,
+        |    abs(a_bal - b_bal) <= 1.0 AS agree_bal,
+        |    -- ::DOUBLE up front: DuckDB would otherwise sum DECIMALs
+        |    -- and hand the driver a Decimal column vs Spark's double
+        |    round(CASE WHEN a_pd = b_pd THEN 6.8::DOUBLE ELSE -2.3::DOUBLE END
+        |        + CASE WHEN a_nm = b_nm THEN 4.5::DOUBLE ELSE -3.0::DOUBLE END
+        |        + CASE WHEN abs(a_bal - b_bal) <= 1.0 THEN 2.0::DOUBLE ELSE -1.5::DOUBLE END,
+        |        6) AS score
+        |  FROM a JOIN b USING (c_nationkey, c_mktsegment)
+        |) WHERE score >= 3.0""".stripMargin,
+    "q167_mutual_info" ->
+      """WITH tok AS (
+        |  SELECT lang AS label,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents
+        |), cell AS (
+        |  SELECT token, label, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2
+        |), lg AS (SELECT label, sum(c)::BIGINT AS cl FROM cell GROUP BY 1),
+        |n AS (SELECT sum(cl)::BIGINT AS nn FROM lg),
+        |tk AS (SELECT token, c, label, sum(c) OVER (PARTITION BY token)::BIGINT AS ct FROM cell)
+        |SELECT token, ct AS n_t,
+        |  round(sum((c::DOUBLE / nn) * ln((c::DOUBLE * nn) / (ct::DOUBLE * cl))), 6) AS mi
+        |FROM tk JOIN lg USING (label), n
+        |GROUP BY token, ct, nn
+        |HAVING ct * 1000 >= nn""".stripMargin,
     "q165_covariance" ->
       """SELECT i, j,
         |  round(covar_pop(embedding[i+1], embedding[j+1]), 6) + 0.0 AS cov

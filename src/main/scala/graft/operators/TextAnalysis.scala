@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-corpus text analysis (SURVEY.md §2.11 extension surface):
@@ -544,6 +545,46 @@ object TextAnalysis {
           transform(array_sort(collect_list(struct(col("i"), col("span")))),
             x => x.getField("span")), " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
+  }
+
+  /** Per-token mutual-information contribution against a document
+    * label (language, source, quality tier): for each token t with
+    * ≥ 0.1% of total token mass, MI(t) = Σ_label p(t,l)·ln(p(t,l) /
+    * (p(t)·p(l))). The classic χ²/MI feature-selection score — which
+    * tokens are label-informative (stopwords → ~0, language-specific
+    * tokens → high).
+    *
+    * Scale shape: one (token,label) shuffle with map-side combine,
+    * then a token-partitioned window for the token marginal (no
+    * second shuffle of the raw stream), and the label marginal + N
+    * ride in via a ≤|labels|-row broadcast. Arithmetic shape is
+    * mirrored literally in the oracle dual (cast order matters for
+    * cross-engine FP identity at round-6).
+    */
+  def tokenLabelMI(docs: DataFrame, labelCol: String = "lang",
+                   idCol: String = "doc_id", textCol: String = "text",
+                   massDen: Long = 1000L): DataFrame = {
+    val cells = docs
+      .select(col(labelCol).as("label"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("token", "label").agg(count(lit(1)).as("c"))
+    val labelTotals = broadcast(cells.groupBy("label")
+      .agg(sum("c").as("cl"))
+      .agg(collect_list(struct(col("label"), col("cl"))).as("ls"),
+        sum(col("cl")).as("nn"))
+      .select(explode(col("ls")).as("l"), col("nn"))
+      .select(col("l.label").as("label"), col("l.cl").as("cl"), col("nn")))
+    val w = Window.partitionBy("token")
+    cells
+      .withColumn("ct", sum("c").over(w))
+      .join(labelTotals, Seq("label"))
+      .groupBy(col("token"), col("ct"), col("nn"))
+      .agg(round(sum(
+        (col("c").cast("double") / col("nn")) *
+          log((col("c").cast("double") * col("nn")) /
+            (col("ct").cast("double") * col("cl")))), 6).as("mi"))
+      .filter(col("ct") * massDen >= col("nn"))
+      .select(col("token"), col("ct").as("n_t"), col("mi"))
   }
 
   private def nullifZero(c: org.apache.spark.sql.Column) =
