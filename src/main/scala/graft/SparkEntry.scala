@@ -1080,6 +1080,17 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // STL-lite decomposition of the hourly event-value series:
+    // trend = centered +/-12h moving average, seasonal = re-centered
+    // hour-of-day means (broadcast back), residual for anomaly work.
+    // The windowed series is bucket-sized, not event-sized
+    "q169_seasonal_decompose" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(expr("ts div 3600000000000").as("h"))
+        .agg(round(sum("value"), 6).as("v"))
+      TimeSeries.seasonalDecompose(hourly, "h", "v",
+        period = 24, halfWindow = 12)
+    }),
     // Fellegi-Sunter record linkage: two "sources" derived from
     // customer (B perturbed: phone reversed for 1/7, name mangled for
     // 1/5, balance rounded), blocked on (nation, segment) -- one
@@ -1883,6 +1894,23 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q169_seasonal_decompose" ->
+      """WITH hourly AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS h,
+        |    round(sum(value), 6) AS v
+        |  FROM events GROUP BY 1
+        |), det AS (
+        |  SELECT h, v::DOUBLE AS y,
+        |    avg(v::DOUBLE) OVER (ORDER BY h
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+        |    h % 24 AS phase
+        |  FROM hourly
+        |), pm AS (SELECT phase, avg(y - trend) AS s_raw FROM det GROUP BY 1),
+        |ctr AS (SELECT avg(s_raw) AS s_bar FROM pm)
+        |SELECT h, round(y, 6) AS y, round(trend, 6) AS trend,
+        |  round(s_raw - s_bar, 6) AS seasonal,
+        |  round(y - trend - (s_raw - s_bar), 6) AS resid
+        |FROM det JOIN pm USING (phase), ctr""".stripMargin,
     "q168_record_linkage" ->
       """WITH a AS (
         |  SELECT c_nationkey, c_mktsegment, c_custkey AS a_key,

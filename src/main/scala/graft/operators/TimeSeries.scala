@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series primitives over irregular event streams. */
@@ -176,5 +177,45 @@ object TimeSeries {
     AsOfJoin.asOfUnion(grid, clean, keyCol, keyCol,
       col("grid_us") + 1, col(tsUsCol).cast("long"),
       payload, tiebreak)
+  }
+
+  /** STL-lite additive decomposition of a regular series:
+    * trend = centered moving average (`±halfWindow` ROWS), seasonal =
+    * per-phase mean of the detrended series re-centered to sum ~0,
+    * residual = y − trend − seasonal. The classical
+    * decompose-by-moving-average (STL without loess) — enough for
+    * seasonality-aware anomaly flags downstream, fully
+    * window/aggregate-expressible so the DuckDB dual is exact.
+    *
+    * Scale shape: the series here is an AGGREGATED one (one row per
+    * bucket — at 100 TB the groupBy that builds it is the big
+    * shuffle, already map-side-combined by the caller). The single
+    * global `orderBy` window over bucket rows is fine while buckets ≪
+    * input (a year of hours = 8 760 rows); for per-entity seasonality
+    * partition the windows by the entity key and nothing is global.
+    * Phase means broadcast back via a ≤ `period`-row join.
+    */
+  def seasonalDecompose(series: DataFrame, idxCol: String, valCol: String,
+                        period: Int, halfWindow: Int): DataFrame = {
+    require(period >= 2 && halfWindow >= 1)
+    val wT = Window.orderBy(col(idxCol))
+      .rowsBetween(-halfWindow, halfWindow)
+    val det = series
+      .select(col(idxCol), col(valCol).cast("double").as("y"))
+      .withColumn("trend", avg(col("y")).over(wT))
+      .withColumn("phase", pmod(col(idxCol), lit(period)))
+    val phaseMeans = det.groupBy("phase")
+      .agg(avg(col("y") - col("trend")).as("s_raw"))
+      .agg(collect_list(struct(col("phase"), col("s_raw"))).as("ps"),
+        avg(col("s_raw")).as("s_bar"))
+      .select(explode(col("ps")).as("p"), col("s_bar"))
+      .select(col("p.phase").as("phase"),
+        (col("p.s_raw") - col("s_bar")).as("seasonal"))
+    det.join(broadcast(phaseMeans), Seq("phase"))
+      .select(col(idxCol),
+        round(col("y"), 6).as("y"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("y") - col("trend") - col("seasonal"), 6).as("resid"))
   }
 }

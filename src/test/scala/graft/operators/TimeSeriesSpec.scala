@@ -94,4 +94,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(1) == 0L &&
       out(0).getLong(2) == 50L && out(0).getLong(3) == 3L)
   }
+
+  test("seasonalDecompose recovers a planted period-4 pattern on a linear trend") {
+    // y = 2·t + s[t%4], s = (+5, 0, −5, 0): the ±2-row centered mean
+    // of a linear trend is exact, so away from the edges trend ≈ 2t
+    // and seasonal ≈ the planted pattern (re-centered, mean 0)
+    val s = Seq(5.0, 0.0, -5.0, 0.0)
+    val series = (0 until 40).map(t => (t.toLong, 2.0 * t + s(t % 4)))
+      .toDF("idx", "v")
+    val out = TimeSeries.seasonalDecompose(series, "idx", "v",
+        period = 4, halfWindow = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.size == 40)
+    // interior rows: trend within the seasonal-bleed tolerance of 2t,
+    // seasonal close to planted, residual small
+    (10 until 30).foreach { t =>
+      val (trend, seasonal, resid) = out(t.toLong)
+      assert(math.abs(trend - 2.0 * t) < 1.1, s"t=$t trend=$trend")
+      assert(math.abs(seasonal - s(t % 4)) < 1.1, s"t=$t seasonal=$seasonal")
+      assert(math.abs(resid) < 2.0, s"t=$t resid=$resid")
+    }
+    // seasonal component sums to ~0 over one period (re-centered)
+    // outputs are round-6: four rounded cells can drift up to 2e-6
+    val onePeriod = (12 until 16).map(t => out(t.toLong)._2).sum
+    assert(math.abs(onePeriod) < 5e-6, s"period sum $onePeriod")
+  }
 }
