@@ -1080,6 +1080,45 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // INCREMENTAL sessionization: sessions computed on history
+    // (ts <= T) survive as weighted intervals [start, maxTs+gap] and
+    // merge with delta events (ts > T) -- interval union is
+    // associative, so the result EQUALS one-shot sessionization of
+    // everything (the oracle). The 100 TB point: a daily pipeline
+    // re-merges yesterday's compact session table + today's events
+    // instead of re-scanning all history
+    "q171_incremental_sessions" -> ((s, dir) => {
+      val gap = 1800000000L
+      val T = 1705363200000000L // 2024-01-16T00:00:00Z, mid-range
+      val base = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("s"))
+        .withColumn("e", col("s") + gap)
+        .withColumn("w", lit(1L))
+      val oldSessions = TimeSeries.mergeIntervals(
+          base.filter(col("s") <= T), "user_id", "s", "e", Seq("e"), Some("w"))
+        .select(col("user_id"), col("island_start").as("s"),
+          col("island_end").as("e"), col("n_merged").as("w"))
+      TimeSeries.mergeIntervals(
+          oldSessions.unionByName(base.filter(col("s") > T)),
+          "user_id", "s", "e", Seq("e"), Some("w"))
+        .select(col("user_id"), col("island_start").as("sess_start"),
+          (col("island_end") - gap - col("island_start")).as("sess_dur_us"),
+          col("n_merged").as("n_events"))
+    }),
+    // Deterministic EXACT-k stratified sample: 20 rows per event
+    // type, chosen by md5 order (reproducible on any engine /
+    // partitioning / run) through the bounded-heap TopKPerKey
+    // custom operator -- no per-stratum full sort, no fraction
+    // two-pass like q60's Bernoulli form
+    "q170_stratified_exact_k" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isNotNull)
+        .withColumn("h",
+          md5(concat(col("event_id").cast("string"), lit("|q170"))))
+      graft.operators.TopK.topKPerKey(ev, Seq("event_type"),
+          Seq(col("h").asc, col("event_id").asc), 20)
+        .select("event_type", "event_id", "user_id")
+    }),
     // STL-lite decomposition of the hourly event-value series:
     // trend = centered +/-12h moving average, seasonal = re-centered
     // hour-of-day means (broadcast back), residual for anomaly work.
@@ -1894,6 +1933,31 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // the oracle is the ONE-SHOT sessionization of all events — the
+    // incremental two-stage path must be indistinguishable from it
+    "q171_incremental_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), s AS (
+        |  SELECT user_id, ts_us,
+        |    (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS sess_n
+        |  FROM g
+        |)
+        |SELECT user_id, min(ts_us) AS sess_start,
+        |  (max(ts_us) - min(ts_us)) AS sess_dur_us,
+        |  count(*)::BIGINT AS n_events
+        |FROM s GROUP BY user_id, sess_n""".stripMargin,
+    "q170_stratified_exact_k" ->
+      """SELECT event_type, event_id, user_id
+        |FROM events
+        |WHERE event_type IS NOT NULL
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY md5(event_id::VARCHAR || '|q170'), event_id) <= 20""".stripMargin,
     "q169_seasonal_decompose" ->
       """WITH hourly AS (
         |  SELECT epoch_ns(ts) // 3600000000000 AS h,

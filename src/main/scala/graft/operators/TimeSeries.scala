@@ -24,7 +24,8 @@ object TimeSeries {
     * agg on (key, island). No self-join, no interval join: the
     * classic O(n log n) sweep, distributed by key. */
   def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
-                     endCol: String, tieBreak: Seq[String]): DataFrame = {
+                     endCol: String, tieBreak: Seq[String],
+                     weightCol: Option[String] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
       .orderBy((col(startCol) +: tieBreak.map(col)).map(_.asc): _*)
@@ -38,7 +39,12 @@ object TimeSeries {
       .groupBy(col(keyCol), col("_island"))
       .agg(min(col(startCol)).as("island_start"),
         max(col(endCol)).as("island_end"),
-        count(lit(1)).as("n_merged"))
+        // weighted n_merged makes merge COMPOSABLE: islands re-merged
+        // with more intervals keep their original member counts, so
+        // incremental sessionization (merge old islands + new points)
+        // equals the one-shot answer — interval union is associative
+        weightCol.map(w => sum(col(w))).getOrElse(count(lit(1)))
+          .as("n_merged"))
       .drop("_island")
   }
 

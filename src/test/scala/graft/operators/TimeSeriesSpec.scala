@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class TimeSeriesSpec extends SparkSpec {
   import spark.implicits._
@@ -93,6 +94,27 @@ class TimeSeriesSpec extends SparkSpec {
       .collect()
     assert(out.length == 1 && out(0).getLong(1) == 0L &&
       out(0).getLong(2) == 50L && out(0).getLong(3) == 3L)
+  }
+
+  test("mergeIntervals weighted: two-stage incremental merge equals one-shot") {
+    // points as [t, t+10] intervals, gap 10; split history at t=35 —
+    // the (30,38) pair straddles the split and must still merge
+    val pts = Seq(5L, 12L, 30L, 38L, 70L)
+    def iv(ts: Seq[Long]) = ts.map(t => ("u", t, t + 10L, 1L))
+      .toDF("k", "s", "e", "w")
+    val oneShot = TimeSeries.mergeIntervals(iv(pts), "k", "s", "e",
+        Seq("e"), Some("w"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val oldSess = TimeSeries.mergeIntervals(iv(pts.filter(_ <= 35)),
+        "k", "s", "e", Seq("e"), Some("w"))
+      .select(col("k"), col("island_start").as("s"),
+        col("island_end").as("e"), col("n_merged").as("w"))
+    val incr = TimeSeries.mergeIntervals(
+        oldSess.unionByName(iv(pts.filter(_ > 35))), "k", "s", "e",
+        Seq("e"), Some("w"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(oneShot == Set((5L, 22L, 2L), (30L, 48L, 2L), (70L, 80L, 1L)))
+    assert(incr == oneShot)
   }
 
   test("seasonalDecompose recovers a planted period-4 pattern on a linear trend") {
