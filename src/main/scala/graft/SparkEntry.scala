@@ -1080,6 +1080,28 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Distinct-token estimates over the FULL cube of (lang, source):
+    // the HLL TypedImperativeAggregate composes with cube's expand --
+    // partial 256-byte registers merge per cell map-side. The oracle
+    // proves register MERGEABILITY: it derives every rollup cell by
+    // max-merging the finest cells' registers, never re-scanning
+    "q173_cube_hll" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(coalesce(col("lang"), lit("?")).as("lang"),
+          coalesce(col("source"), lit("?")).as("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .cube("lang", "source")
+        .agg(round(Sketches.hllAggCol(col("term")), 4).as("est_distinct"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("est_distinct"))),
+    // Exact quantity-weighted median price per return flag: one key
+    // shuffle, two windows over the same partitioning, integer
+    // half-mass test (no FP boundary), min/max agg read-out
+    "q172_weighted_median" -> ((s, dir) =>
+      Analytics.weightedMedian(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", "l_quantity",
+        Seq("l_orderkey", "l_linenumber"))),
     // INCREMENTAL sessionization: sessions computed on history
     // (ts <= T) survive as weighted intervals [start, maxTs+gap] and
     // merge with delta events (ts > T) -- interval union is
@@ -1933,6 +1955,53 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // q46's register fold over the cube lattice: finest-cell registers
+    // (m0) are MAX-MERGED upward into every rollup cell — the oracle
+    // itself exercises the HLL mergeability law the aggregate relies on
+    "q173_cube_hll" ->
+      """WITH tok AS (
+        |  SELECT coalesce(lang, '?') AS lang, coalesce(source, '?') AS source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |), h AS (
+        |  SELECT lang, source, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tok
+        |), b AS (
+        |  SELECT lang, source, h & 255 AS bucket,
+        |    CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END AS rho
+        |  FROM h
+        |), m0 AS (
+        |  SELECT lang, source, bucket, max(rho) AS mj FROM b GROUP BY 1, 2, 3
+        |), cells AS (
+        |  SELECT lang, source, bucket, mj FROM m0
+        |  UNION ALL
+        |  SELECT lang, 'ALL', bucket, max(mj) FROM m0 GROUP BY lang, bucket
+        |  UNION ALL
+        |  SELECT 'ALL', source, bucket, max(mj) FROM m0 GROUP BY source, bucket
+        |  UNION ALL
+        |  SELECT 'ALL', 'ALL', bucket, max(mj) FROM m0 GROUP BY bucket
+        |), z AS (
+        |  SELECT lang, source,
+        |    (sum(1::BIGINT << (53 - mj)) + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s,
+        |    256 - count(*) AS zeros
+        |  FROM cells GROUP BY 1, 2
+        |)
+        |SELECT lang, source,
+        |  round(CASE WHEN 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s::DOUBLE <= 640.0 AND zeros > 0
+        |    THEN 256.0 * ln(256.0 / zeros)
+        |    ELSE 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s::DOUBLE END, 4) AS est_distinct
+        |FROM z""".stripMargin,
+    "q172_weighted_median" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice, l_quantity::BIGINT AS w,
+        |    sum(l_quantity::BIGINT) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(l_quantity::BIGINT) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, min(l_extendedprice) AS wmedian,
+        |  max(tot) AS total_w
+        |FROM c WHERE cw * 2 >= tot GROUP BY l_returnflag""".stripMargin,
     // the oracle is the ONE-SHOT sessionization of all events — the
     // incremental two-stage path must be indistinguishable from it
     "q171_incremental_sessions" ->

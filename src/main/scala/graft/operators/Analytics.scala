@@ -571,4 +571,35 @@ object Analytics {
           (col("_n_c") - col("_n_cf") + lit(smoothing)))
       .select(col(catCol), col(foldCol), col("enc"))
   }
+
+  /** EXACT weighted median per group (lower median): the smallest
+    * value whose running weight reaches half the group's total —
+    * robust central tendency where every row carries a mass
+    * (quantity-weighted price, token-weighted score). Unlike
+    * percentile sketches this is exact and deterministic: ties are
+    * broken by the caller's `tiebreak` columns.
+    *
+    * Scale shape: ONE shuffle on the group key feeding two window
+    * passes over the same partitioning (running weight + group
+    * total), then a map-side-combinable min/max agg. The `·2 ≥ total`
+    * test is integer arithmetic when the weight column is integral —
+    * cast it; no FP boundary ambiguity cross-engine. Groups must fit
+    * a window partition each; for a GLOBAL weighted median at 100 TB
+    * use [[Sketches.histQuantiles]] instead (documented trade:
+    * exactness for unbounded scale). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String, tiebreak: Seq[String]): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol) +: tiebreak.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.select(Seq(col(groupCol), col(valueCol),
+        col(weightCol).cast("long").as("_w")) ++ tiebreak.map(col): _*)
+      .withColumn("_cw", sum(col("_w")).over(wOrd))
+      .withColumn("_tot", sum(col("_w")).over(wAll))
+      .filter(col("_cw") * 2 >= col("_tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("wmedian"), max(col("_tot")).as("total_w"))
+  }
 }

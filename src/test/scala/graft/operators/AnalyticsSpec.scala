@@ -273,4 +273,25 @@ class AnalyticsSpec extends SparkSpec {
     val prior0 = (10.0 + 20.0 + 10.0 + 10.0) / 4
     assert(math.abs(e0 - (30.0 + 2 * prior0) / 4) < 1e-12)
   }
+
+  test("weightedMedian: lower median by running mass, per-group isolation") {
+    // group A masses: 10@w1, 20@w2, 30@w1 → total 4, half-mass 2
+    //   cum at 10 is 1 (1·2 < 4), at 20 is 3 (3·2 ≥ 4) → median 20
+    // group B: 5@w9, 100@w1 → cum at 5 is 9 (18 ≥ 10) → median 5
+    val df = Seq(
+      ("A", 10.0, 1L, 1L), ("A", 20.0, 2L, 2L), ("A", 30.0, 1L, 3L),
+      ("B", 5.0, 9L, 4L), ("B", 100.0, 1L, 5L)).toDF("g", "v", "w", "id")
+    val out = Analytics.weightedMedian(df, "g", "v", "w", Seq("id"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    assert(out == Map("A" -> ((20.0, 4L)), "B" -> ((5.0, 10L))))
+  }
+
+  test("weightedMedian: all-equal weights degrade to the plain lower median") {
+    val df = (1 to 6).map(i => ("g", i.toDouble, 1L, i.toLong))
+      .toDF("g", "v", "w", "id")
+    // even count, lower median = 3 (cum 3·2 ≥ 6)
+    assert(Analytics.weightedMedian(df, "g", "v", "w", Seq("id"))
+      .head().getDouble(1) == 3.0)
+  }
 }
