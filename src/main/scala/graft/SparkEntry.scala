@@ -1080,6 +1080,39 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Entity resolution end-to-end: q168's Fellegi-Sunter links feed
+    // pointer-doubled connected components; every record (both
+    // derived sources) gets an entity id = min linked key, singletons
+    // stay their own entity. The ER pipeline a warehouse actually
+    // runs: block -> score -> threshold -> transitive closure
+    "q174_entity_resolution" -> ((s, dir) => {
+      import graft.operators.Linkage.FieldComparison
+      val c = t(s, dir, "customer")
+      val pd = (col("c_custkey") * 7919 % 10000000).cast("string")
+      val a = c.select(col("c_nationkey"), col("c_mktsegment"),
+        col("c_custkey").as("a_key"), pd.as("a_pd"),
+        lower(col("c_name")).as("a_nm"),
+        col("c_acctbal").cast("double").as("a_bal"))
+      val b = c.select(col("c_nationkey"), col("c_mktsegment"),
+        (col("c_custkey") + 1000000).as("b_key"),
+        when(col("c_custkey") % 7 === 0, reverse(pd)).otherwise(pd).as("b_pd"),
+        when(col("c_custkey") % 5 === 0, concat(lower(col("c_name")), lit("x")))
+          .otherwise(lower(col("c_name"))).as("b_nm"),
+        round(col("c_acctbal")).cast("double").as("b_bal"))
+      val links = graft.operators.Linkage.fellegiSunter(a, b,
+        Seq("c_nationkey", "c_mktsegment"), "a_key", "b_key",
+        Seq(
+          FieldComparison("phone", col("a_pd") === col("b_pd"), 6.8, -2.3),
+          FieldComparison("name", col("a_nm") === col("b_nm"), 4.5, -3.0),
+          FieldComparison("bal", abs(col("a_bal") - col("b_bal")) <= 1.0, 2.0, -1.5)),
+        minScore = 3.0).select("a_key", "b_key")
+      val comp = DedupClusters.connectedComponents(links, "a_key", "b_key")
+      val recs = a.select(col("a_key").as("rec_key"))
+        .unionByName(b.select(col("b_key").as("rec_key")))
+      recs.join(comp, recs("rec_key") === comp("node"), "left")
+        .select(col("rec_key"),
+          coalesce(col("comp"), col("rec_key")).as("entity_id"))
+    }),
     // Distinct-token estimates over the FULL cube of (lang, source):
     // the HLL TypedImperativeAggregate composes with cube's expand --
     // partial 256-byte registers merge per cell map-side. The oracle
@@ -1955,6 +1988,46 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // q168's scoring core + the q47 recursive-closure pattern
+    "q174_entity_resolution" ->
+      """WITH RECURSIVE a AS (
+        |  SELECT c_nationkey, c_mktsegment, c_custkey AS a_key,
+        |    (c_custkey * 7919 % 10000000)::VARCHAR AS a_pd,
+        |    lower(c_name) AS a_nm, c_acctbal::DOUBLE AS a_bal
+        |  FROM customer
+        |), b AS (
+        |  SELECT c_nationkey, c_mktsegment, c_custkey + 1000000 AS b_key,
+        |    CASE WHEN c_custkey % 7 = 0
+        |         THEN reverse((c_custkey * 7919 % 10000000)::VARCHAR)
+        |         ELSE (c_custkey * 7919 % 10000000)::VARCHAR END AS b_pd,
+        |    CASE WHEN c_custkey % 5 = 0 THEN lower(c_name) || 'x'
+        |         ELSE lower(c_name) END AS b_nm,
+        |    round(c_acctbal)::DOUBLE AS b_bal
+        |  FROM customer
+        |), links AS (
+        |  SELECT a_key, b_key FROM (
+        |    SELECT a_key, b_key,
+        |      round(CASE WHEN a_pd = b_pd THEN 6.8::DOUBLE ELSE -2.3::DOUBLE END
+        |          + CASE WHEN a_nm = b_nm THEN 4.5::DOUBLE ELSE -3.0::DOUBLE END
+        |          + CASE WHEN abs(a_bal - b_bal) <= 1.0 THEN 2.0::DOUBLE ELSE -1.5::DOUBLE END,
+        |          6) AS score
+        |    FROM a JOIN b USING (c_nationkey, c_mktsegment)
+        |  ) WHERE score >= 3.0
+        |), sym AS (
+        |  SELECT a_key AS u, b_key AS v FROM links
+        |  UNION SELECT b_key, a_key FROM links
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |), comp AS (
+        |  SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u
+        |), recs AS (
+        |  SELECT a_key AS rec_key FROM a
+        |  UNION ALL SELECT b_key FROM b
+        |)
+        |SELECT rec_key, coalesce(c.comp, rec_key) AS entity_id
+        |FROM recs LEFT JOIN comp c ON recs.rec_key = c.node""".stripMargin,
     // q46's register fold over the cube lattice: finest-cell registers
     // (m0) are MAX-MERGED upward into every rollup cell — the oracle
     // itself exercises the HLL mergeability law the aggregate relies on
