@@ -1080,6 +1080,17 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Synchronous label-propagation communities over the bipartite
+    // user<->item graph (items offset to their own id space), 3
+    // deterministic min-tiebreak rounds -- one lazy plan, integer
+    // argmax, labels broadcast per round
+    "q175_label_propagation" -> ((s, dir) =>
+      Graph.labelPropagation(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id").as("a"),
+            (lit(1000000) + col("event_id") % 150).as("b")),
+        "a", "b", iters = 3)),
     // Entity resolution end-to-end: q168's Fellegi-Sunter links feed
     // pointer-doubled connected components; every record (both
     // derived sources) gets an entity id = min linked key, singletons
@@ -1988,6 +1999,35 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // three synchronous rounds unrolled; per round: neighbor-label
+    // counts, windowed max, min-label among the maxima
+    "q175_label_propagation" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS a, 1000000 + event_id % 150 AS b
+        |  FROM events WHERE user_id IS NOT NULL
+        |), sym AS (
+        |  SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e
+        |), l0 AS (SELECT DISTINCT u AS node, u::BIGINT AS label FROM sym),
+        |i1 AS (
+        |  SELECT u AS node, min(label) AS label FROM (
+        |    SELECT u, label, cnt, max(cnt) OVER (PARTITION BY u) AS mx FROM (
+        |      SELECT s.u, l.label, count(*) AS cnt
+        |      FROM sym s JOIN l0 l ON s.v = l.node GROUP BY 1, 2)
+        |  ) WHERE cnt = mx GROUP BY u
+        |), i2 AS (
+        |  SELECT u AS node, min(label) AS label FROM (
+        |    SELECT u, label, cnt, max(cnt) OVER (PARTITION BY u) AS mx FROM (
+        |      SELECT s.u, l.label, count(*) AS cnt
+        |      FROM sym s JOIN i1 l ON s.v = l.node GROUP BY 1, 2)
+        |  ) WHERE cnt = mx GROUP BY u
+        |), i3 AS (
+        |  SELECT u AS node, min(label) AS label FROM (
+        |    SELECT u, label, cnt, max(cnt) OVER (PARTITION BY u) AS mx FROM (
+        |      SELECT s.u, l.label, count(*) AS cnt
+        |      FROM sym s JOIN i2 l ON s.v = l.node GROUP BY 1, 2)
+        |  ) WHERE cnt = mx GROUP BY u
+        |)
+        |SELECT node, label FROM i3""".stripMargin,
     // q168's scoring core + the q47 recursive-closure pattern
     "q174_entity_resolution" ->
       """WITH RECURSIVE a AS (

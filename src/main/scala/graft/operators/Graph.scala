@@ -117,6 +117,46 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 8).as("rank"))
   }
 
+  /** Fixed-iteration SYNCHRONOUS label propagation (community
+    * detection): every node starts as its own label; each round all
+    * nodes simultaneously adopt the most frequent label among their
+    * neighbors, ties broken by the SMALLEST label. Synchronous + a
+    * deterministic tiebreak makes the whole run engine-exact (the
+    * classic async/random-order LPA is irreproducible by design —
+    * useless under an oracle), at the usual cost that bipartite-ish
+    * regions can oscillate; a fixed iteration count just snapshots
+    * round `iters`.
+    *
+    * Scale shape: per iteration ONE (edge ⋈ label) join on the
+    * neighbor endpoint + one (node, label) count with map-side
+    * combine + an integer argmax — all label values, no FP anywhere.
+    * The label table is nodes-sized (two columns): broadcast while it
+    * fits, or pre-partition edges by `v` once for a co-located join.
+    * Like [[pageRank]], the loop builds one lazy plan with zero
+    * driver actions. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       iters: Int = 3,
+                       broadcastLabels: Boolean = true): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull).distinct()
+    val sym = e.union(e.select(col("_b"), col("_a")))
+      .select(col("_a").as("u"), col("_b").as("v")).distinct()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node").cast("long"))
+    for (_ <- 1 to iters) {
+      val l = if (broadcastLabels) broadcast(labels) else labels
+      labels = sym
+        .join(l.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("_c"))
+        // integer argmax, min-label tiebreak: max(struct(cnt, −label))
+        .groupBy(col("u"))
+        .agg(max(struct(col("_c"), (-col("label")).as("_nl"))).as("_m"))
+        .select(col("u").as("node"), (-col("_m._nl")).as("label"))
+    }
+    labels
+  }
+
   /** Ancestor closure of a hierarchy (parent-pointer edge list) by
     * POINTER DOUBLING: all (node, ancestor) pairs within `maxDepth`
     * hops, self excluded — the transitive-closure step under every

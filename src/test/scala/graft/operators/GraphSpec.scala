@@ -103,4 +103,26 @@ class GraphSpec extends SparkSpec {
     assert(got == Set((1L, 75L, 4L), (2L, 55L, 3L), (3L, 20L, 1L),
       (4L, 40L, 1L), (5L, 5L, 1L)))
   }
+
+  test("labelPropagation: disjoint cliques converge to their min id") {
+    // clique {1,2,3} + clique {10,11,12}, no bridge
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val out = Graph.labelPropagation(e, "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: min-label tiebreak is deterministic on a symmetric star") {
+    // center 5 with leaves 1..4: round 1, each leaf sees only {5} → 5;
+    // center sees {1,2,3,4} all count 1 → tiebreak min = 1.
+    // round 2: leaves see center's 1 → 1; center sees leaves' 5s → 5.
+    // round 3 flips again — snapshot semantics, all leaves agree
+    val e = (1L to 4L).map(l => (5L, l)).toDF("a", "b")
+    val out = Graph.labelPropagation(e, "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) == 1L)
+    assert((1L to 4L).forall(l => out(l) == 5L))
+  }
 }
