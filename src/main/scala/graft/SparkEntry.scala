@@ -1080,6 +1080,38 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // FORWARD as-of join (pandas direction='forward'): for each
+    // purchase, the user's earliest error AT or AFTER it -- same
+    // union + one-window-pass shape as the backward q19, no
+    // candidate explosion
+    "q176_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      AsOfJoin.asOfNearest(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("pt")),
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("uid"), expr("ts div 1000").as("et"),
+            col("event_id").as("err_id"), col("value").as("err_value")),
+        "user_id", "uid", col("pt"), col("et"),
+        payload = Seq("err_id", "err_value"), tiebreak = Seq("err_id"),
+        direction = "forward")
+    }),
+    // NEAREST as-of join with tolerance: the closest error within
+    // 1h either side of each purchase; equal distance prefers the
+    // earlier (backward) row, exact matches always win. Both carries
+    // ride one window ordering -- nearest costs no extra shuffle
+    "q177_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      AsOfJoin.asOfNearest(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("pt")),
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("uid"), expr("ts div 1000").as("et"),
+            col("event_id").as("err_id")),
+        "user_id", "uid", col("pt"), col("et"),
+        payload = Seq("err_id"), tiebreak = Seq("err_id"),
+        direction = "nearest", tolerance = Some(3600000000L))
+    }),
     // Synchronous label-propagation communities over the bipartite
     // user<->item graph (items offset to their own id space), 3
     // deterministic min-tiebreak rounds -- one lazy plan, integer
@@ -1999,6 +2031,46 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q176_asof_forward" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS pt FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, epoch_us(ts) AS et, event_id AS err_id,
+        |    value AS err_value
+        |  FROM events WHERE event_type = 'error' AND user_id IS NOT NULL
+        |), c AS (
+        |  SELECT l.event_id, r.err_id, r.err_value,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY r.et, r.err_id) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id AND r.et >= l.pt
+        |)
+        |SELECT l.event_id, l.user_id, l.pt, c.err_id, c.err_value
+        |FROM l LEFT JOIN c ON l.event_id = c.event_id AND c.rn = 1""".stripMargin,
+    // equal-distance prefers backward (side 0 first), within-side ties
+    // mirror the operator: backward greatest id, forward least id.
+    // Filtering candidates by tolerance BEFORE choosing equals the
+    // operator's choose-then-gate: if the chosen side is out of
+    // tolerance the farther side is too
+    "q177_asof_nearest" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS pt FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, epoch_us(ts) AS et, event_id AS err_id
+        |  FROM events WHERE event_type = 'error' AND user_id IS NOT NULL
+        |), c AS (
+        |  SELECT l.event_id, r.err_id,
+        |    row_number() OVER (PARTITION BY l.event_id ORDER BY
+        |      CASE WHEN r.et >= l.pt THEN r.et - l.pt ELSE l.pt - r.et END,
+        |      CASE WHEN r.et < l.pt THEN 0 ELSE 1 END,
+        |      CASE WHEN r.et < l.pt THEN -r.err_id ELSE r.err_id END) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |  WHERE CASE WHEN r.et >= l.pt THEN r.et - l.pt
+        |             ELSE l.pt - r.et END <= 3600000000
+        |)
+        |SELECT l.event_id, l.user_id, l.pt, c.err_id
+        |FROM l LEFT JOIN c ON l.event_id = c.event_id AND c.rn = 1""".stripMargin,
     // three synchronous rounds unrolled; per round: neighbor-label
     // counts, windowed max, min-label among the maxima
     "q175_label_propagation" ->

@@ -94,4 +94,73 @@ object AsOfJoin {
   def asOfJoin(left: DataFrame, right: DataFrame, cond: Column,
                leftId: Seq[String], ord: Seq[Column]): DataFrame =
     Dedup.argmaxPerKey(left.join(right, cond), leftId, ord)
+
+  /** FORWARD and NEAREST as-of joins — the other two pandas
+    * `merge_asof` directions, same union+one-window-pass scale shape
+    * as [[asOfUnion]] (one shuffle+sort per key; the backward and
+    * forward carries are two frames over the SAME window ordering, so
+    * nearest costs no extra exchange).
+    *
+    * Direction semantics (deliberate, spec-pinned):
+    *  - backward: latest right with `rt <  lt` (asOfUnion's contract);
+    *    equal-time ties among rights → GREATEST tiebreak wins.
+    *  - forward: earliest right with `rt ≥ lt` (pandas includes the
+    *    exact match forward); ties → LEAST tiebreak wins.
+    *  - nearest: whichever of the two is closer by |Δt|; equal
+    *    distance prefers BACKWARD — except an exact match (Δ=0,
+    *    only possible forward) always wins since backward is strict.
+    *
+    * `tolerance` nulls the payload when the chosen match is farther
+    * than `tol` (both directions). Time expressions must be numeric.
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTime: Column, rightTime: Column,
+                  payload: Seq[String], tiebreak: Seq[String],
+                  direction: String = "nearest",
+                  tolerance: Option[Long] = None): DataFrame = {
+    require(Set("forward", "nearest")(direction),
+      s"direction must be forward|nearest (backward is asOfUnion), got $direction")
+    val leftCols = left.columns.toSeq
+    val rightSchema = right.schema
+    def nullOf(c: String, from: org.apache.spark.sql.types.StructType) =
+      lit(null).cast(from(c).dataType).as(c)
+
+    val lAligned = left
+      .select((leftCols.map(col) :+ leftTime.as("_t") :+ lit(0).as("_side")) ++
+        (payload ++ tiebreak).distinct.map(c => nullOf(c, rightSchema)): _*)
+    val rAligned = right
+      .select((leftCols.map(c =>
+          if (c == leftKey) col(rightKey).as(c) else nullOf(c, left.schema)) :+
+        rightTime.as("_t") :+ lit(1).as("_side")) ++
+        (payload ++ tiebreak).distinct.map(col): _*)
+
+    val ord = Window.partitionBy(leftKey)
+      .orderBy((col("_t") +: col("_side") +: tiebreak.map(col)): _*)
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightRow = when(col("_side") === 1,
+      struct((col("_t").as("_rt") +: payload.map(col)): _*))
+    // left (side 0) sorts before equal-time rights ⇒ the backward
+    // frame sees only rt < lt, the forward frame includes rt = lt
+    val carried = lAligned.unionByName(rAligned)
+      .select(leftCols.map(col) :+ col("_side") :+ col("_t") :+
+        last(rightRow, ignoreNulls = true).over(wBack).as("_mb") :+
+        first(rightRow, ignoreNulls = true).over(wFwd).as("_mf"): _*)
+      .filter(col("_side") === 0)
+    val db = col("_t") - col("_mb").getField("_rt")
+    val df_ = col("_mf").getField("_rt") - col("_t")
+    val chosen =
+      if (direction == "forward") col("_mf")
+      else when(col("_mb").isNull, col("_mf"))
+        .when(col("_mf").isNull, col("_mb"))
+        .when(db <= df_, col("_mb")).otherwise(col("_mf"))
+    val withM = carried.withColumn("_m", chosen)
+      .withColumn("_d", abs(col("_t") - col("_m").getField("_rt")))
+    val gated = tolerance.fold(withM) { tol =>
+      withM.withColumn("_m", when(col("_d") <= tol, col("_m")))
+    }
+    gated.select(leftCols.map(col) ++
+      payload.map(c => col("_m").getField(c).as(c)): _*)
+  }
 }

@@ -91,4 +91,40 @@ class AsOfJoinSpec extends SparkSpec {
       .filter(col("order_id") === 100L).collect().head
     assert(edge.get(3) == 1002L)
   }
+
+  test("asOfNearest forward: earliest at-or-after, least-id tie, null when none follow") {
+    val left = Seq((1L, "u", 50L), (2L, "u", 90L)).toDF("lid", "k", "lt")
+    // rights: two at t=50 (ids 7, 3 → least wins), one at 80
+    val right = Seq(("u", 50L, 7L), ("u", 50L, 3L), ("u", 80L, 9L))
+      .toDF("rk", "rt", "rid")
+    val out = AsOfJoin.asOfNearest(left, right, "k", "rk",
+        col("lt"), col("rt"), Seq("rid"), Seq("rid"), direction = "forward")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L) == Some(3L)) // exact match included, least id
+    assert(out(2L) == None)     // nothing at/after 90
+  }
+
+  test("asOfNearest: exact match beats closer-side, equal distance prefers backward") {
+    val left = Seq((1L, "u", 100L), (2L, "u", 200L)).toDF("lid", "k", "lt")
+    val right = Seq(
+      ("u", 100L, 1L),           // exact for lid 1
+      ("u", 97L, 2L),            // backward Δ3 for lid 1
+      ("u", 195L, 3L),           // backward Δ5 for lid 2
+      ("u", 205L, 4L))           // forward Δ5 for lid 2 → backward wins
+      .toDF("rk", "rt", "rid")
+    val out = AsOfJoin.asOfNearest(left, right, "k", "rk",
+        col("lt"), col("rt"), Seq("rid"), Seq("rid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) == 1L)
+    assert(out(2L) == 3L)
+  }
+
+  test("asOfNearest tolerance nulls far matches but keeps the row") {
+    val left = Seq((1L, "u", 100L)).toDF("lid", "k", "lt")
+    val right = Seq(("u", 150L, 9L)).toDF("rk", "rt", "rid")
+    val out = AsOfJoin.asOfNearest(left, right, "k", "rk",
+        col("lt"), col("rt"), Seq("rid"), Seq("rid"),
+        tolerance = Some(10L)).collect()
+    assert(out.length == 1 && out(0).isNullAt(3))
+  }
 }
