@@ -1080,6 +1080,44 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // STREAMING incremental sessionization: three tertile
+    // micro-batches re-merge into a persistent session table via the
+    // weighted interval merge; associativity makes the final table
+    // hash-equal to ONE-SHOT sessionization (q171's oracle) no
+    // matter how the stream slices the log. maxFilesPerTrigger=1
+    // forces real cross-batch merging in a single stream lifecycle
+    "q178_stream_sessions_incr" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val gap = 1800000000L
+      val ev = t(s, dir, "events")
+      val r = ev.agg(min("ts"), max("ts")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * ((hi - lo) / 3)
+      val tmp = java.nio.file.Files.createTempDirectory("q178-sess")
+      val srcDir = tmp.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      Seq(col("ts") <= c1, col("ts") > c1 && col("ts") <= c2,
+        col("ts") > c2).zipWithIndex.foreach { case (pred, i) =>
+        val w = tmp.resolve(s"w$i")
+        ev.filter(pred).coalesce(1).write.parquet(w.toString)
+        val part = w.toFile.listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        java.nio.file.Files.move(part.toPath,
+          srcDir.resolve(s"slice-$i.parquet"))
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val (writer, h) = graft.streaming.StreamingOps.sessionMergeStream(
+        stream, "user_id", expr("ts div 1000"), gap,
+        tmp.resolve("state").toString)
+      writer.option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      h.current().select(col("user_id"),
+        col("s").as("sess_start"),
+        (col("e") - gap - col("s")).as("sess_dur_us"),
+        col("w").as("n_events"))
+    }),
     // FORWARD as-of join (pandas direction='forward'): for each
     // purchase, the user's earliest error AT or AFTER it -- same
     // union + one-window-pass shape as the backward q19, no
@@ -2031,6 +2069,25 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // same one-shot dual as q171: the stream's three-batch path must
+    // be indistinguishable from batch sessionization of the full log
+    "q178_stream_sessions_incr" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), s AS (
+        |  SELECT user_id, ts_us,
+        |    (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS sess_n
+        |  FROM g
+        |)
+        |SELECT user_id, min(ts_us) AS sess_start,
+        |  (max(ts_us) - min(ts_us)) AS sess_dur_us,
+        |  count(*)::BIGINT AS n_events
+        |FROM s GROUP BY user_id, sess_n""".stripMargin,
     "q176_asof_forward" ->
       """WITH l AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS pt FROM events

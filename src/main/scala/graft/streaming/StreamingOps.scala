@@ -189,28 +189,25 @@ object StreamingOps {
     def current(): DataFrame = spark.read.parquet(currentPath)
   }
 
-  def scd1Stream(changes: DataFrame, base: DataFrame, key: String,
-                 versionCols: Seq[String],
-                 deleteWhen: org.apache.spark.sql.Column,
-                 updates: Seq[(String, String)],
-                 stateDir: String): (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], Scd1Handle) = {
-    val spark = base.sparkSession
-    // all state IO through the Hadoop FS of the stateDir, so HDFS/S3
-    // state dirs work (java.io.File would silently no-op the GC there)
+  /** RESTART-SAFE generation seeding shared by the incremental-table
+    * streams ([[scd1Stream]], [[sessionMergeStream]]): resume from the
+    * highest COMPLETE generation on disk — re-seeding from scratch
+    * after a checkpointed restart would silently drop every
+    * previously merged batch (the stream's checkpoint skips them, so
+    * they would never be re-applied). Only generations with a
+    * _SUCCESS marker count: a crash mid-write leaves a partial gen-N
+    * (the committer writes the marker last), and seeding from it
+    * would replay the checkpointed batch onto a corrupt base — silent
+    * data loss on exactly the restart path this exists for. Dangling
+    * partials are deleted so the re-run's overwrite starts clean. All
+    * state IO goes through the Hadoop FS of the stateDir, so HDFS/S3
+    * state dirs work (java.io.File would silently no-op the GC). */
+  private def seedGenerations(spark: org.apache.spark.sql.SparkSession,
+                              stateDir: String, seed: => DataFrame)
+      : (org.apache.hadoop.fs.FileSystem, java.util.concurrent.atomic.AtomicLong) = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(hconf)
-    // RESTART-SAFE seeding: resume from the highest generation already
-    // on disk — re-seeding from `base` after a checkpointed restart
-    // would silently drop every previously merged batch (the stream's
-    // checkpoint skips them, so they would never be re-applied)
-    // Only COMPLETE generations count: a crash mid-write leaves a
-    // gen-N directory without its _SUCCESS marker (Spark's committer
-    // writes it last), and seeding from that partial table would
-    // replay the checkpointed batch onto a corrupt base — silent data
-    // loss on exactly the restart path this seeding exists for.
-    // Dangling partials are deleted so the re-run's overwrite starts
-    // from a clean slate.
     val existing =
       if (fs.exists(root)) {
         val all = fs.listStatus(root).map(_.getPath.getName)
@@ -224,7 +221,17 @@ object StreamingOps {
     val gen = new java.util.concurrent.atomic.AtomicLong(
       if (existing.isEmpty) 0L else existing.max)
     if (existing.isEmpty)
-      base.write.mode("overwrite").parquet(s"$stateDir/gen-0")
+      seed.write.mode("overwrite").parquet(s"$stateDir/gen-0")
+    (fs, gen)
+  }
+
+  def scd1Stream(changes: DataFrame, base: DataFrame, key: String,
+                 versionCols: Seq[String],
+                 deleteWhen: org.apache.spark.sql.Column,
+                 updates: Seq[(String, String)],
+                 stateDir: String): (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], Scd1Handle) = {
+    val spark = base.sparkSession
+    val (fs, gen) = seedGenerations(spark, stateDir, base)
     val handle = new Scd1Handle(spark, stateDir, gen)
     val writer = changes.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
@@ -237,6 +244,53 @@ object StreamingOps {
         // generation GC: g+1 is durable, g stays as the rollback copy,
         // anything older is dead weight (a long stream would otherwise
         // accumulate one table copy per micro-batch)
+        if (g >= 1)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/gen-${g - 1}"), true)
+        ()
+    }
+    (writer, handle)
+  }
+
+  /** Streaming INCREMENTAL sessionization: maintain a persistent
+    * session table (key, s, e, w) — interval [sess_start,
+    * max_ts + gap] plus member count — by re-merging each
+    * micro-batch's events into it via the weighted gaps-and-islands
+    * merge. Interval union is associative, so after any number of
+    * micro-batches in any slicing the table EQUALS one-shot
+    * sessionization of all events seen (q171's law, applied
+    * incrementally; q178 hash-checks it end-to-end). Late events are
+    * handled for free: an event landing inside or near an old session
+    * simply merges into it — no watermark cliff, unlike the native
+    * session-window aggregation ([[sessionAggStream]]) which must
+    * eventually seal state. The trade: per-batch cost is a full
+    * state-table rewrite, the classic compact-table maintenance shape
+    * (same class as [[scd1Stream]]); generations + _SUCCESS gating
+    * make restarts exactly-once.
+    */
+  def sessionMergeStream(events: DataFrame, keyCol: String,
+                         tsUs: org.apache.spark.sql.Column, gapUs: Long,
+                         stateDir: String): (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], Scd1Handle) = {
+    val spark = events.sparkSession
+    def toIntervals(df: DataFrame): DataFrame = df
+      .select(col(keyCol), tsUs.cast("long").as("s"))
+      .withColumn("e", col("s") + gapUs)
+      .withColumn("w", lit(1L))
+    val (fs, gen) = seedGenerations(spark, stateDir,
+      toIntervals(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        events.schema)))
+    val handle = new Scd1Handle(spark, stateDir, gen)
+    val writer = events.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val g = gen.get
+        val curr = spark.read.parquet(s"$stateDir/gen-$g")
+        graft.operators.TimeSeries.mergeIntervals(
+            curr.unionByName(toIntervals(batch)),
+            keyCol, "s", "e", Seq("e"), Some("w"))
+          .select(col(keyCol), col("island_start").as("s"),
+            col("island_end").as("e"), col("n_merged").as("w"))
+          .write.mode("overwrite").parquet(s"$stateDir/gen-${g + 1}")
+        gen.incrementAndGet()
         if (g >= 1)
           fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/gen-${g - 1}"), true)
         ()
