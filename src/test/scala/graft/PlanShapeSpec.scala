@@ -260,4 +260,45 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       s"no aggregate:\n$p")
   }
+
+  test("q163: MG sketch is a partial-merged aggregate; candidates broadcast back") {
+    val p = plan("q163_heavy_hitters")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass — the token stream itself must never exchange
+    assert(p.contains("ObjectHashAggregate"), s"no object agg:\n$p")
+    assert(p.contains("graft_misra_gries"), s"MG agg rewritten away:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"candidate set not broadcast:\n$p")
+  }
+
+  test("q165: covariance is ONE GramAgg reduction — no per-pair shuffle") {
+    val p = plan("q165_covariance")
+    assert(p.contains("graft_gram"), s"gram agg missing:\n$p")
+    // the (i,j) lattice is generated AFTER the 1-row aggregate; the
+    // corpus-sized side must not carry an explode before aggregation
+    assert(p.contains("ObjectHashAggregate"), s"no object agg:\n$p")
+  }
+
+  test("q160: both CF directions come from one explode, not a recomputing union") {
+    val p = plan("q160_item_cf")
+    assert(!p.contains("Union"), s"union recomputes the self-join per branch:\n$p")
+    assert(p.contains("Generate"), s"no explode for direction fan-out:\n$p")
+  }
+
+  test("q177: nearest as-of is ONE shuffle — both direction carries share a window") {
+    val df = SparkEntry.queries("q177_asof_nearest")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1, s"expected one Window exec, got $windows:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"join-based as-of crept in:\n$p")
+  }
+
+  test("q172: weighted median pays one key shuffle for both window specs") {
+    val p = plan("q172_weighted_median")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one hashpartitioning for the windows + one single-partition for
+    // nothing else: the two window frames share the l_returnflag
+    // exchange, the final agg reuses it
+    assert(exchanges <= 2, s"window specs split the shuffle, $exchanges exchanges:\n$p")
+  }
 }
