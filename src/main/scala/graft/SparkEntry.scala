@@ -1080,6 +1080,13 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Containment (asymmetric Jaccard) near-dup: catches "doc B =
+    // doc A + boilerplate" pairs whose symmetric Jaccard is tiny.
+    // Fixed-block exact ground truth (q25's shape); the scale path is
+    // the LSH candidate pipeline with this verify formula
+    "q179_containment" -> ((s, dir) =>
+      FuzzyDedup.containmentPairs(t(s, dir, "documents"),
+        blockFilter = col("doc_id") < 300)),
     // STREAMING incremental sessionization: three tertile
     // micro-batches re-merge into a persistent session table via the
     // weighted interval merge; associativity makes the final table
@@ -2069,6 +2076,21 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q179_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |), nz AS (SELECT * FROM base WHERE len(sh) > 0 AND doc_id < 300),
+        |j AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      least(len(a.sh), len(b.sh)) AS c
+        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, round(c, 6) AS containment FROM j
+        |WHERE c >= 0.9""".stripMargin,
     // same one-shot dual as q171: the stream's three-batch path must
     // be indistinguishable from batch sessionization of the full log
     "q178_stream_sessions_incr" ->

@@ -202,6 +202,37 @@ object FuzzyDedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold —
+    * the asymmetric cousin of [[exactJaccardPairs]] that catches
+    * "document B = document A + boilerplate": a small doc fully
+    * embedded in a big one scores ~1.0 here while its symmetric
+    * Jaccard (|A∩B|/|A∪B|) can be arbitrarily small, so union-based
+    * dedup never sees it. Standard curation signal for wrapper/
+    * template pages.
+    *
+    * Same fixed-block exact shape as q25 (ground truth / small-slice
+    * audit); the corpus-scale path is the LSH candidate pipeline with
+    * this verify formula swapped in — candidate generation is
+    * identical, only the accept test differs. */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", n: Int = 3,
+                       threshold: Double = 0.9,
+                       blockFilter: Column = lit(true)): DataFrame = {
+    val sh = shingled(docs.filter(blockFilter), idCol, textCol, n)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = bucketPairs(exploded, Seq("s"), col("doc_id"), None)
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).cast("double").as("_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("_sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("_sz_b")), "doc_b")
+      .withColumn("containment", col("_inter") / least(col("_sz_a"), col("_sz_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Content-defined window fingerprints (winnowing-style, the
     * rolling-hash fingerprint family): Rabin-Karp hash of every
     * `w`-code-point window of the normalized text, keeping the

@@ -172,4 +172,18 @@ class FuzzyDedupSpec extends SparkSpec {
       .collect()
     assert(got.length == 1)
   }
+
+  test("containmentPairs: full embedding scores 1.0 where Jaccard stays low") {
+    // doc 2's shingles are a strict subset of doc 1's (A + boilerplate)
+    val small = "alpha beta gamma delta"
+    val big = small + " " + (1 to 30).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val cont = FuzzyDedup.containmentPairs(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont == Map((1L, 2L) -> 1.0))
+    // the same pair is INVISIBLE to symmetric Jaccard at any real τ
+    val jac = FuzzyDedup.exactJaccardPairs(docs, threshold = 0.5).collect()
+    assert(jac.isEmpty)
+  }
 }
