@@ -1080,6 +1080,13 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Multimodal binary -> frame -> embedding -> mean-pooled video
+    // vector: the full plumbing of a frame-encoder pipeline with the
+    // encoder stubbed deterministically (FakeCodec policy). Frames
+    // never leave their scan task; pooling is one map-side avg
+    "q180_video_embedding" -> ((s, dir) =>
+      Multimodal.videoEmbedding(
+        Multimodal.asBinaryTable(t(s, dir, "documents")))),
     // Containment (asymmetric Jaccard) near-dup: catches "doc B =
     // doc A + boilerplate" pairs whose symmetric Jaccard is tiny.
     // Fixed-block exact ground truth (q25's shape); the scale path is
@@ -2076,6 +2083,30 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q180_video_embedding" ->
+      """WITH b AS (
+        |  SELECT doc_id, to_hex(encode(text)) AS hx,
+        |    octet_length(encode(text))::BIGINT AS n_bytes
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, hx,
+        |    unnest(generate_series(0, greatest(ceil(n_bytes / 64.0)::BIGINT - 1, 0), 2)) AS frame_idx
+        |  FROM b
+        |), f AS (
+        |  SELECT doc_id,
+        |    md5(substring(hx, (frame_idx * 128 + 1)::BIGINT, 128)) AS h
+        |  FROM idx
+        |)
+        |SELECT doc_id,
+        |  round(avg((('0x' || substr(h, 1, 2))::BIGINT - 127.5) / 127.5), 6) AS e0,
+        |  round(avg((('0x' || substr(h, 3, 2))::BIGINT - 127.5) / 127.5), 6) AS e1,
+        |  round(avg((('0x' || substr(h, 5, 2))::BIGINT - 127.5) / 127.5), 6) AS e2,
+        |  round(avg((('0x' || substr(h, 7, 2))::BIGINT - 127.5) / 127.5), 6) AS e3,
+        |  round(avg((('0x' || substr(h, 9, 2))::BIGINT - 127.5) / 127.5), 6) AS e4,
+        |  round(avg((('0x' || substr(h, 11, 2))::BIGINT - 127.5) / 127.5), 6) AS e5,
+        |  round(avg((('0x' || substr(h, 13, 2))::BIGINT - 127.5) / 127.5), 6) AS e6,
+        |  round(avg((('0x' || substr(h, 15, 2))::BIGINT - 127.5) / 127.5), 6) AS e7
+        |FROM f GROUP BY doc_id""".stripMargin,
     "q179_containment" ->
       """WITH base AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -98,4 +98,34 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         expr(s"substring(content, frame_idx * $chunkBytes + 1, $chunkBytes)").as("frame"))
   }
+
+  /** Payload-level embedding by mean-pooling per-frame embeddings —
+    * the binary→vector plumbing of a real multimodal pipeline (frame
+    * encoder → temporal pooling → corpus-level vector ops), with the
+    * ENCODER stubbed as md5-derived floats in [−1, 1] (the same
+    * deterministic-fake policy as [[FakeCodec]]: a deployment swaps
+    * the per-frame expression for a real model UDF/`mapInPandas`
+    * seam; schema, pooling, and everything downstream — ANN, dedup,
+    * PCA over these vectors — is unchanged and REAL).
+    *
+    * Scale shape: frames never leave their scan task (pure
+    * expressions), pooling is one map-side-combinable avg per
+    * (doc, dim), output is docs × dim. Every step is hex-for-hex
+    * portable, so the oracle checks the full chain
+    * binary → frames → embeddings → pooled vector.
+    */
+  def videoEmbedding(binTable: DataFrame, chunkBytes: Int = 64,
+                     stride: Int = 2, dim: Int = 8): DataFrame = {
+    require(dim >= 1 && dim <= 16, "md5 yields 16 bytes → dim ≤ 16")
+    val h = md5(hex(col("frame")))
+    val comps = (0 until dim).map { j =>
+      ((conv(substring(h, 2 * j + 1, 2), 16, 10).cast("double") - 127.5) /
+        127.5).as(s"_v$j")
+    }
+    sampleFrames(binTable, chunkBytes, stride)
+      .select(col("doc_id") +: comps: _*)
+      .groupBy("doc_id")
+      .agg(round(avg(col("_v0")), 6).as("e0"),
+        (1 until dim).map(j => round(avg(col(s"_v$j")), 6).as(s"e$j")): _*)
+  }
 }
