@@ -1080,6 +1080,13 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // SCALABLE edit-distance near-dup: q45's documented non-scale
+    // all-pairs path upgraded -- winnow-fingerprint candidates (no
+    // corpus pairwise stage), length-difference lower-bound prune,
+    // levenshtein only on survivors
+    "q181_edit_nearpairs" -> ((s, dir) =>
+      FuzzyDedup.editDistancePairs(t(s, dir, "documents"),
+        maxDist = 200, minShared = 3, maxDocsPerFp = 64)),
     // Multimodal binary -> frame -> embedding -> mean-pooled video
     // vector: the full plumbing of a frame-encoder pipeline with the
     // encoder stubbed deterministically (FakeCodec policy). Frames
@@ -2083,6 +2090,36 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // q41's fingerprint replay + the length-bound prune + levenshtein
+    // on candidates only
+    "q181_edit_nearpairs" ->
+      s"""WITH nrm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), win AS (
+        |  SELECT doc_id, $winnowHashSql AS wh
+        |  FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, length(t) - 7)) AS pos
+        |    FROM nrm WHERE length(t) >= 8
+        |  )
+        |), fp0 AS (
+        |  SELECT DISTINCT doc_id, wh AS fp FROM win WHERE wh % 64 = 0
+        |), keep AS (
+        |  SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 64
+        |), fp AS (
+        |  SELECT f.doc_id, f.fp FROM fp0 f JOIN keep USING (fp)
+        |), cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), lev AS (
+        |  SELECT doc_a, doc_b, levenshtein(x.text, y.text)::BIGINT AS lev
+        |  FROM cand
+        |  JOIN documents x ON doc_a = x.doc_id
+        |  JOIN documents y ON doc_b = y.doc_id
+        |  WHERE abs(length(x.text) - length(y.text)) <= 200
+        |)
+        |SELECT doc_a, doc_b, lev FROM lev WHERE lev <= 200""".stripMargin,
     "q180_video_embedding" ->
       """WITH b AS (
         |  SELECT doc_id, to_hex(encode(text)) AS hx,

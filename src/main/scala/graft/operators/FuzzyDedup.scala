@@ -202,6 +202,38 @@ object FuzzyDedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** SCALABLE edit-distance near-dup: verified `levenshtein ≤ maxDist`
+    * pairs with candidates from shared content-defined window
+    * fingerprints — the scale upgrade of the q45 fixed-block
+    * formulation (whose all-pairs join is the documented non-scale
+    * path). Three prunes before any O(len²) verify:
+    * (1) candidate pairs exist only for docs sharing ≥ `minShared`
+    * selected fingerprints (winnowing buckets — no corpus pairwise
+    * stage, boilerplate fingerprints capped by `maxDocsPerFp`);
+    * (2) the length-difference bound |len(a)−len(b)| ≤ maxDist (a
+    * true lower bound on edit distance) drops candidates at
+    * integer-compare cost; (3) only survivors pay the codegen'd
+    * `levenshtein`. At 100 TB the verify set is near-dup-sized, not
+    * corpus²-sized; every stage is an equi-join or filter. */
+  def editDistancePairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", maxDist: Int = 80,
+                        minShared: Int = 3,
+                        maxDocsPerFp: Int = 64): DataFrame = {
+    val texts = docs.select(col(idCol).as("doc_id"), col(textCol).as("_txt"),
+      length(col(textCol)).as("_len"))
+    fingerprintPairs(docs, minShared = minShared,
+        maxDocsPerFp = Some(maxDocsPerFp))
+      .select(col("doc_a"), col("doc_b"))
+      .join(texts.select(col("doc_id").as("doc_a"), col("_txt").as("_ta"),
+        col("_len").as("_la")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("_txt").as("_tb"),
+        col("_len").as("_lb")), "doc_b")
+      .filter(abs(col("_la") - col("_lb")) <= maxDist)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("_ta"), col("_tb")).cast("long").as("lev"))
+      .filter(col("lev") <= maxDist)
+  }
+
   /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold —
     * the asymmetric cousin of [[exactJaccardPairs]] that catches
     * "document B = document A + boilerplate": a small doc fully
