@@ -1080,6 +1080,53 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Sliding-window chunking with overlap (RAG chunker): 64-token
+    // windows every 48 tokens, 16-token overlap so no boundary
+    // context is lost -- scan-speed sequence explode, fan-out
+    // len/stride per doc, nothing shuffles until the caller does
+    "q183_sliding_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, int((size(toks) + 47) / 48) - 1)")).as("chunk_idx"))
+        .filter(col("chunk_idx") * 48 < size(col("toks")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          array_join(expr("slice(toks, chunk_idx * 48 + 1, 64)"), " ").as("chunk_text"),
+          least(size(col("toks")) - col("chunk_idx") * 48, lit(64))
+            .cast("long").as("n_tokens"))),
+    // Right-to-be-forgotten propagation audit: a broadcast tombstone
+    // set cascades customer -> orders -> lineitem (key-semi-join
+    // chain) and events; per-table removed/kept counts in ONE row
+    // each. The governance op a 100 TB lake runs before a purge:
+    // every count is a map-side agg behind a broadcast semi-join --
+    // no table is ever shuffled
+    "q182_forget_audit" -> ((s, dir) => {
+      val tomb = broadcast(t(s, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("k")))
+      def audit(name: String, df: DataFrame, key: String): DataFrame = {
+        val flagged = df.join(tomb, col(key) === col("k"), "left")
+        flagged.agg(
+          lit(name).as("table_name"),
+          count(col("k")).as("n_removed"),
+          (count(lit(1)) - count(col("k"))).as("n_kept"))
+      }
+      val cust = audit("customer", t(s, dir, "customer"), "c_custkey")
+      val ord = audit("orders", t(s, dir, "orders"), "o_custkey")
+      val tombOrders = broadcast(t(s, dir, "orders")
+        .join(tomb, col("o_custkey") === col("k"))
+        .select(col("o_orderkey").as("ok")))
+      val li = t(s, dir, "lineitem")
+        .join(tombOrders, col("l_orderkey") === col("ok"), "left")
+        .agg(lit("lineitem").as("table_name"),
+          count(col("ok")).as("n_removed"),
+          (count(lit(1)) - count(col("ok"))).as("n_kept"))
+      val ev = audit("events",
+        t(s, dir, "events").filter(col("user_id").isNotNull), "user_id")
+      cust.unionByName(ord).unionByName(li).unionByName(ev)
+    }),
     // SCALABLE edit-distance near-dup: q45's documented non-scale
     // all-pairs path upgraded -- winnow-fingerprint candidates (no
     // corpus pairwise stage), length-difference lower-bound prune,
@@ -2090,6 +2137,31 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q183_sliding_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, ((len(toks)+47)//48))) AS chunk_idx
+        |  FROM d WHERE len(toks) > 0
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text,
+        |  least(len(toks) - chunk_idx*48, 64)::BIGINT AS n_tokens
+        |FROM s""".stripMargin,
+    "q182_forget_audit" ->
+      """WITH tomb AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        |tord AS (SELECT o_orderkey FROM orders JOIN tomb ON o_custkey = k),
+        |c AS (SELECT count(*)::BIGINT AS t, (SELECT count(*) FROM customer JOIN tomb ON c_custkey = k)::BIGINT AS r FROM customer),
+        |o AS (SELECT count(*)::BIGINT AS t, (SELECT count(*) FROM orders JOIN tomb ON o_custkey = k)::BIGINT AS r FROM orders),
+        |l AS (SELECT count(*)::BIGINT AS t, (SELECT count(*) FROM lineitem JOIN tord ON l_orderkey = o_orderkey)::BIGINT AS r FROM lineitem),
+        |e AS (SELECT count(*)::BIGINT AS t, (SELECT count(*) FROM events JOIN tomb ON user_id = k)::BIGINT AS r
+        |      FROM events WHERE user_id IS NOT NULL)
+        |SELECT 'customer' AS table_name, r AS n_removed, t - r AS n_kept FROM c
+        |UNION ALL SELECT 'orders', r, t - r FROM o
+        |UNION ALL SELECT 'lineitem', r, t - r FROM l
+        |UNION ALL SELECT 'events', r, t - r FROM e""".stripMargin,
     // q41's fingerprint replay + the length-bound prune + levenshtein
     // on candidates only
     "q181_edit_nearpairs" ->
