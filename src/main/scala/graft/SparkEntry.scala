@@ -1080,6 +1080,32 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Sketch-state retention: one log scan builds per-day HLL
+    // register tables; every adjacent-day returning-user estimate is
+    // then a register self-join + inclusion-exclusion -- the
+    // unbounded-scale dual of q135's exact overlap, maintained
+    // incrementally at 100 TB (registers max-merge)
+    "q185_hll_retention" -> ((s, dir) =>
+      Sketches.hllRetentionAdjacent(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .select(expr("ts div 86400000000000").as("day"), col("user_id")),
+        "day", "user_id")),
+    // Seasonality-aware anomaly flags: q169's residuals -> per-phase
+    // median/MAD robust z (q118's machinery) -> flagged hours. The
+    // compose-don't-rebuild read-out every ops dashboard wants;
+    // all stats tables are phase-sized broadcasts
+    "q184_seasonal_anomalies" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(expr("ts div 3600000000000").as("h"))
+        .agg(round(sum("value"), 6).as("v"))
+      val dec = TimeSeries.seasonalDecompose(hourly, "h", "v",
+          period = 24, halfWindow = 12)
+        .withColumn("phase", pmod(col("h"), lit(24)))
+      graft.operators.Outliers.robustZscore(dec, "resid", Seq("phase"),
+          threshold = 2.5)
+        .filter(col("is_outlier"))
+        .select(col("h"), col("y"), col("resid"), col("robust_z"))
+    }),
     // Sliding-window chunking with overlap (RAG chunker): 64-token
     // windows every 48 tokens, 16-token overlap so no boundary
     // context is lost -- scan-speed sequence explode, fan-out
@@ -2137,6 +2163,76 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // q103's register fold, grouped by day and self-joined at lag 1
+    "q185_hll_retention" ->
+      """WITH h AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS d,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL
+        |), r AS (
+        |  SELECT d, h & 255 AS bucket,
+        |    max(CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END) AS m
+        |  FROM h GROUP BY 1, 2
+        |), m AS (
+        |  SELECT coalesce(a.d, b.d - 1) AS d, a.m AS ma, b.m AS mb,
+        |    greatest(coalesce(a.m, 0), coalesce(b.m, 0)) AS mu
+        |  FROM r a FULL OUTER JOIN r b
+        |    ON a.d = b.d - 1 AND a.bucket = b.bucket
+        |), z AS (
+        |  SELECT d,
+        |    (coalesce(sum(CASE WHEN ma IS NOT NULL THEN 1::BIGINT << (53 - ma) END), 0) + (256 - count(ma)) * (1::BIGINT << 53))::BIGINT AS s_ma,
+        |    (256 - count(ma))::BIGINT AS z_ma,
+        |    (coalesce(sum(CASE WHEN mb IS NOT NULL THEN 1::BIGINT << (53 - mb) END), 0) + (256 - count(mb)) * (1::BIGINT << 53))::BIGINT AS s_mb,
+        |    (256 - count(mb))::BIGINT AS z_mb,
+        |    (coalesce(sum(1::BIGINT << (53 - mu)), 0) + (256 - count(mu)) * (1::BIGINT << 53))::BIGINT AS s_mu,
+        |    (256 - count(mu))::BIGINT AS z_mu
+        |  FROM m GROUP BY d
+        |), e AS (
+        |  SELECT d,
+        |    round(CASE WHEN 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s_ma::DOUBLE <= 640.0 AND z_ma > 0
+        |      THEN 256.0 * ln(256.0 / z_ma)
+        |      ELSE 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s_ma::DOUBLE END, 4) AS est_day,
+        |    round(CASE WHEN 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s_mb::DOUBLE <= 640.0 AND z_mb > 0
+        |      THEN 256.0 * ln(256.0 / z_mb)
+        |      ELSE 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s_mb::DOUBLE END, 4) AS est_next,
+        |    round(CASE WHEN 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s_mu::DOUBLE <= 640.0 AND z_mu > 0
+        |      THEN 256.0 * ln(256.0 / z_mu)
+        |      ELSE 0.718272::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE / s_mu::DOUBLE END, 4) AS est_union,
+        |    z_ma, z_mb
+        |  FROM z
+        |)
+        |SELECT d AS day, est_day, est_next, est_union,
+        |  round(greatest(est_day + est_next - est_union, 0.0), 4) AS est_retained
+        |FROM e WHERE z_ma < 256 AND z_mb < 256""".stripMargin,
+    // q169's decomposition chain + q118's quantile_cont median/MAD,
+    // grouped by phase
+    "q184_seasonal_anomalies" ->
+      """WITH hourly AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS h,
+        |    round(sum(value), 6) AS v
+        |  FROM events GROUP BY 1
+        |), det AS (
+        |  SELECT h, v::DOUBLE AS y,
+        |    avg(v::DOUBLE) OVER (ORDER BY h
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+        |    h % 24 AS phase
+        |  FROM hourly
+        |), pm AS (SELECT phase, avg(y - trend) AS s_raw FROM det GROUP BY 1),
+        |ctr AS (SELECT avg(s_raw) AS s_bar FROM pm),
+        |dec AS (
+        |  SELECT h, round(y, 6) AS y, phase,
+        |    round(y - trend - (s_raw - s_bar), 6) AS resid
+        |  FROM det JOIN pm USING (phase), ctr
+        |), m AS (SELECT phase, quantile_cont(resid, 0.5) AS med FROM dec GROUP BY 1),
+        |md AS (
+        |  SELECT d.phase, quantile_cont(abs(d.resid - m.med), 0.5) AS mad
+        |  FROM dec d JOIN m USING (phase) GROUP BY 1
+        |)
+        |SELECT d.h, d.y, d.resid,
+        |  round(0.6745::DOUBLE * (d.resid - m.med) / md.mad, 4) AS robust_z
+        |FROM dec d JOIN m USING (phase) JOIN md USING (phase)
+        |WHERE md.mad <> 0
+        |  AND abs(0.6745::DOUBLE * (d.resid - m.med) / md.mad) > 2.5""".stripMargin,
     "q183_sliding_chunks" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

@@ -121,6 +121,60 @@ object Sketches {
           lit(0.0)), 4).as("est_overlap"))
   }
 
+  /** Sketch-state retention: day-over-day returning-user estimates
+    * derived ENTIRELY from per-day HLL register tables — the log is
+    * scanned once to build (day, bucket, max-rho) state (at 100 TB
+    * this is the daily sketch table a pipeline maintains
+    * incrementally: registers are max-mergeable, so today's partial
+    * just merges in), and every adjacent-day overlap then costs a
+    * register self-join + inclusion–exclusion, with NO rescan. Exact
+    * per-pair distinct-intersections (q135) are the audit path; this
+    * is the unbounded-scale one (cf. [[hllOverlap]] for one global
+    * pair).
+    *
+    * Returns (day, est_day, est_next, est_union, est_retained) for
+    * each day whose successor has data. All estimates use the exact
+    * integer register fold (q46 literal order), rounded to 4 BEFORE
+    * inclusion–exclusion — oracle-replayable bit-for-bit. */
+  def hllRetentionAdjacent(rows: DataFrame, dayCol: String,
+                           valueCol: String): DataFrame = {
+    val regs = rows
+      .where(col(valueCol).isNotNull && col(dayCol).isNotNull)
+      .select(col(dayCol).cast("long").as("d"),
+        md5Long(col(valueCol).cast("string")).as("h"))
+      .select(col("d"), col("h").bitwiseAND(lit(255L)).as("bucket"),
+        when(expr("shiftright(h, 8)") > 0,
+          lit(53) - length(bin(expr("shiftright(h, 8)")))).otherwise(lit(53))
+          .as("rho"))
+      .groupBy("d", "bucket").agg(max("rho").as("m"))
+    val a = regs.select(col("d"), col("bucket"), col("m").as("ma"))
+    val b = regs.select((col("d") - 1).as("d"), col("bucket"),
+      col("m").as("mb"))
+    val merged = a.join(b, Seq("d", "bucket"), "full_outer")
+      .withColumn("mu",
+        greatest(coalesce(col("ma"), lit(0L)), coalesce(col("mb"), lit(0L))))
+    def sAndZeros(mj: String): Seq[org.apache.spark.sql.Column] = Seq(
+      (coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(53 - $mj AS INT))")),
+        lit(0L)) +
+        (lit(256L) - count(col(mj))) * lit(1L << 53)).as(s"_s_$mj"),
+      (lit(256L) - count(col(mj))).as(s"_z_$mj"))
+    val z = merged.groupBy("d").agg(
+      (sAndZeros("ma") ++ sAndZeros("mb") ++ sAndZeros("mu")).head,
+      (sAndZeros("ma") ++ sAndZeros("mb") ++ sAndZeros("mu")).tail: _*)
+    def est(mj: String): org.apache.spark.sql.Column = {
+      val raw = lit(0.718272) * lit(65536.0) * lit(9007199254740992.0) /
+        col(s"_s_$mj").cast("double")
+      round(when(raw <= 640.0 && col(s"_z_$mj") > 0,
+        lit(256.0) * log(lit(256.0) / col(s"_z_$mj"))).otherwise(raw), 4)
+    }
+    z.filter(col("_z_ma") < 256 && col("_z_mb") < 256)
+      .select(col("d").as("day"), est("ma").as("est_day"),
+        est("mb").as("est_next"), est("mu").as("est_union"))
+      .withColumn("est_retained",
+        round(greatest(col("est_day") + col("est_next") - col("est_union"),
+          lit(0.0)), 4))
+  }
+
   /** Histogram-sketch quantiles: equi-width bucket counts over
     * [min, max], quantile read off the cumulative distribution with
     * linear interpolation inside the selected bucket.
