@@ -277,6 +277,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters on an all-distinct stream returns empty, not noise") {
+    // worst case for MG (every arrival is a miss): candidates are
+    // arbitrary survivors, but the exact recount must kill them all
+    val df = (1 to 5000).map(i => s"unique-$i").toDF("v").repartition(6)
+    assert(Sketches.heavyHitters(df, "v", capacity = 128, thresholdDen = 100)
+      .count() == 0)
+  }
+
+  test("hllRetentionAdjacent recovers a planted 50% overlap within HLL error") {
+    // day 0: users 1..200; day 1: users 101..300 → true retained 100
+    val rows = ((1 to 200).map(u => (0L, u.toLong)) ++
+      (101 to 300).map(u => (1L, u.toLong))).toDF("day", "user_id")
+    val r = Sketches.hllRetentionAdjacent(rows, "day", "user_id")
+      .collect()
+    assert(r.length == 1 && r.head.getLong(0) == 0L)
+    val (estA, estB, retained) =
+      (r.head.getDouble(1), r.head.getDouble(2), r.head.getDouble(4))
+    assert(math.abs(estA - 200) / 200.0 < 0.15, s"est_day=$estA")
+    assert(math.abs(estB - 200) / 200.0 < 0.15, s"est_next=$estB")
+    // inclusion–exclusion compounds three estimates' error — wide band
+    assert(retained > 40 && retained < 180, s"est_retained=$retained")
+  }
+
   test("hllDistinct ignores NULL values — no phantom register") {
     val allNull = Seq[Option[String]](None, None).toDF("v")
     val r = Sketches.hllDistinct(allNull, "v").collect().head
