@@ -1080,6 +1080,31 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Multi-source BFS hop distances over q175's bipartite user<->
+    // item graph: seed users (id % 97 == 0), min hops within 3. The
+    // recursive-CTE walk as fixed frontier expansion -- per round ONE
+    // broadcast-frontier join + a map-side-combinable integer min;
+    // one lazy plan, zero driver actions
+    "q186_bfs_hops" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      Graph.bfsDistances(
+        ev.select(col("user_id").as("a"),
+          (lit(1000000) + col("event_id") % 150).as("b")),
+        "a", "b",
+        ev.filter(col("user_id") % 97 === 0)
+          .select(col("user_id").as("n")),
+        "n", maxDepth = 3)
+    }),
+    // Fixed-round k-core peeling (k=8, 3 synchronous rounds) on the
+    // same graph: per round one map-side degree count + two broadcast
+    // semi-joins against the 1-column survivor set. Integer-only,
+    // partitioning-independent; survivors with residual degree
+    "q187_kcore" -> ((s, dir) =>
+      Graph.kCore(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id").as("a"),
+            (lit(1000000) + col("event_id") % 150).as("b")),
+        "a", "b", k = 8, rounds = 3)),
     // Sketch-state retention: one log scan builds per-day HLL
     // register tables; every adjacent-day returning-user estimate is
     // then a register self-join + inclusion-exclusion -- the
@@ -2163,6 +2188,51 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // level-synchronous BFS == the recursive walk, min per node
+    "q186_bfs_hops" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT user_id AS a, 1000000 + event_id % 150 AS b
+        |  FROM events WHERE user_id IS NOT NULL
+        |), sym AS (
+        |  SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e
+        |), seeds AS (
+        |  SELECT DISTINCT user_id AS node FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 97 = 0
+        |), walk(node, dist) AS (
+        |  SELECT node, 0::BIGINT FROM seeds
+        |  UNION
+        |  SELECT s.v, w.dist + 1 FROM walk w JOIN sym s ON w.node = s.u
+        |  WHERE w.dist < 3
+        |)
+        |SELECT node, min(dist) AS dist FROM walk GROUP BY node""".stripMargin,
+    // 3 unrolled synchronous peel rounds; degree table after the last
+    "q187_kcore" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT least(user_id, 1000000 + event_id % 150) AS u,
+        |    greatest(user_id, 1000000 + event_id % 150) AS v
+        |  FROM events WHERE user_id IS NOT NULL
+        |), d1 AS (
+        |  SELECT node FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY node HAVING count(*) >= 8
+        |), e1 AS (
+        |  SELECT u, v FROM e0
+        |  WHERE u IN (SELECT node FROM d1) AND v IN (SELECT node FROM d1)
+        |), d2 AS (
+        |  SELECT node FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+        |  GROUP BY node HAVING count(*) >= 8
+        |), e2 AS (
+        |  SELECT u, v FROM e1
+        |  WHERE u IN (SELECT node FROM d2) AND v IN (SELECT node FROM d2)
+        |), d3 AS (
+        |  SELECT node FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+        |  GROUP BY node HAVING count(*) >= 8
+        |), e3 AS (
+        |  SELECT u, v FROM e2
+        |  WHERE u IN (SELECT node FROM d3) AND v IN (SELECT node FROM d3)
+        |)
+        |SELECT node, count(*) AS degree
+        |FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+        |GROUP BY node""".stripMargin,
     // q103's register fold, grouped by day and self-joined at lag 1
     "q185_hll_retention" ->
       """WITH h AS (

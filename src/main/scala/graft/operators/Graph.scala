@@ -195,6 +195,87 @@ object Graph {
     closure
   }
 
+  /** Multi-source BFS hop distances: for every node reachable within
+    * `maxDepth` hops of ANY seed, the minimum hop count (seeds = 0).
+    * The `WITH RECURSIVE` walk query, as a fixed frontier-expansion
+    * plan — level-synchronous BFS, the textbook distributed form.
+    *
+    * Exactness: after round i the table holds the true BFS distance
+    * for every node within i hops (a node's first appearance is via a
+    * shortest path; `min` collapses later, longer rediscoveries), so
+    * the frontier filter `dist = i−1` is exactly the classic BFS
+    * frontier. Integer hops — no FP anywhere, engine-exact.
+    *
+    * Scale shape: per round ONE (frontier ⋈ edges) join + one
+    * map-side-combinable `min` agg; the frontier is (node)-sized —
+    * broadcast while it fits (`broadcastFrontier`), else pre-partition
+    * edges by src once and every round's join is co-located. Rounds =
+    * `maxDepth`, a query constant: one lazy plan, zero driver
+    * actions, nothing persisted. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String, maxDepth: Int,
+                   directed: Boolean = false,
+                   broadcastFrontier: Boolean = true): DataFrame = {
+    require(maxDepth >= 0)
+    val e0 = edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
+      .filter(col("_u").isNotNull && col("_v").isNotNull)
+    val sym = (if (directed) e0
+               else e0.unionByName(e0.select(col("_v").as("_u"),
+                 col("_u").as("_v")))).distinct()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .filter(col("node").isNotNull)
+      .withColumn("dist", lit(0L))
+    for (d <- 1 to maxDepth) {
+      val frontier = dist.filter(col("dist") === (d - 1).toLong)
+        .select(col("node").as("_u"))
+      val f = if (broadcastFrontier) broadcast(frontier) else frontier
+      dist = dist.unionByName(
+          sym.join(f, Seq("_u"))
+            .select(col("_v").as("node"), lit(d.toLong).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+    }
+    dist
+  }
+
+  /** Fixed-round k-core peeling on the undirected simple graph:
+    * each round simultaneously deletes every node of degree < k (and
+    * its edges); after `rounds` rounds, returns the survivors with
+    * their residual degree. With enough rounds this is the exact
+    * k-core; a fixed round count is a documented truncation (like
+    * [[ancestorClosure]]'s maxDepth) that keeps the plan a fixed DAG
+    * — and is itself the standard bounded-peeling used when core
+    * numbers only need bounding.
+    *
+    * Synchronous deletion + integer degrees ⇒ engine-exact and
+    * partitioning-independent. Scale shape: per round one map-side
+    * degree count + one semi-join of edges against surviving nodes
+    * (node table is 1 column — broadcast while it fits). One lazy
+    * plan, zero driver actions. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            rounds: Int,
+            broadcastNodes: Boolean = true): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val raw = edges.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+    var live = raw.select(least(col("_a"), col("_b")).as("_u"),
+      greatest(col("_a"), col("_b")).as("_v")).distinct()
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      deg = live.select(explode(array(col("_u"), col("_v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .filter(col("degree") >= k)
+      val keep = if (broadcastNodes) broadcast(deg.select("node")) else
+        deg.select("node")
+      live = live
+        .join(keep.select(col("node").as("_u")), Seq("_u"), "left_semi")
+        .join(keep.select(col("node").as("_v")), Seq("_v"), "left_semi")
+    }
+    // survivors' degree AFTER the last deletion round
+    live.select(explode(array(col("_u"), col("_v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
+
   /** Subtree aggregate over a hierarchy: for every node, the sum of
     * `valueCol` and the member count over its descendants AND itself
     * — the rollup query `WITH RECURSIVE` + join answers in one shot.

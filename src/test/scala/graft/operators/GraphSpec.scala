@@ -114,6 +114,78 @@ class GraphSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("bfsDistances: hop counts on a path + branch; depth truncation; seeds win") {
+    //  1 - 2 - 3 - 4 - 5   and 3 - 6;   isolated seed 99
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L))
+      .toDF("s", "d")
+    val seeds = Seq(1L, 99L).toDF("n")
+    val full = Graph.bfsDistances(e, "s", "d", seeds, "n", maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 4L, 6L -> 3L, 99L -> 0L))
+    // truncation: maxDepth=2 only reaches hop <= 2
+    val trunc = Graph.bfsDistances(e, "s", "d", seeds, "n", maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(trunc == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 99L -> 0L))
+    // a seed reachable from another seed keeps dist 0 (min wins)
+    val two = Graph.bfsDistances(e, "s", "d", Seq(1L, 3L).toDF("n"),
+        "n", maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(3L) == 0L && two(2L) == 1L && two(5L) == 2L)
+  }
+
+  test("bfsDistances: directed respects edge direction; undirected does not") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val fromThree = Graph.bfsDistances(e, "s", "d", Seq(3L).toDF("n"),
+        "n", maxDepth = 5, directed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromThree == Map(3L -> 0L)) // no out-edges from 3
+    val und = Graph.bfsDistances(e, "s", "d", Seq(3L).toDF("n"),
+        "n", maxDepth = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(und == Map(3L -> 0L, 2L -> 1L, 1L -> 2L))
+  }
+
+  test("bfsDistances: partitioning-independent with shuffled non-broadcast frontier") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L))
+      .toDF("s", "d")
+    val base = Graph.bfsDistances(e, "s", "d", Seq(1L).toDF("n"), "n", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shuf = Graph.bfsDistances(e.repartition(7), "s", "d",
+        Seq(1L).toDF("n"), "n", 4, broadcastFrontier = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base == shuf)
+  }
+
+  test("kCore: 2-core strips pendant chain; K4 survives 3-core intact") {
+    // K4 {1,2,3,4} with a pendant chain 4-5-6: 2-core = K4 exactly
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+    val e = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("s", "d")
+    val core2 = Graph.kCore(e, "s", "d", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val core3 = Graph.kCore(e, "s", "d", k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=4: K4 degrees are 3 -> everything peels
+    assert(Graph.kCore(e, "s", "d", k = 4, rounds = 4).isEmpty)
+  }
+
+  test("kCore: cascading peel needs multiple rounds; one round is the documented truncation") {
+    // chain 1-2-3-4-5: 2-core is empty but only after cascading peels
+    val ch = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val r1 = Graph.kCore(ch, "s", "d", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(2L -> 1L, 3L -> 2L, 4L -> 1L)) // ends peeled, chain shrank
+    assert(Graph.kCore(ch, "s", "d", k = 2, rounds = 3).isEmpty)
+    // loops/parallel/reversed edges collapse before peeling
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (1L, 3L))
+      .toDF("s", "d")
+    val got = Graph.kCore(messy, "s", "d", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("labelPropagation: min-label tiebreak is deterministic on a symmetric star") {
     // center 5 with leaves 1..4: round 1, each leaf sees only {5} → 5;
     // center sees {1,2,3,4} all count 1 → tiebreak min = 1.
