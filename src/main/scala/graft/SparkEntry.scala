@@ -1080,6 +1080,24 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Blocked fuzzy-match pairs via the native Jaro-Winkler codegen
+    // expression (DuckDB-exact scoring kernel, integer-halved
+    // transpositions): same-size parts whose names clear 0.88.
+    // Candidate generation is ONE equi-join on the block key -- never
+    // a cross join; the comparator runs codegen'd join-side so losing
+    // pairs die before anything else sees them
+    "q188_jw_fuzzy_pairs" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val a = p.select(col("p_size"), col("p_partkey").as("a_key"),
+        col("p_name").as("a_nm"))
+      val b = p.select(col("p_size"), col("p_partkey").as("b_key"),
+        col("p_name").as("b_nm"))
+      a.join(b, Seq("p_size")).filter(col("a_key") < col("b_key"))
+        .select(col("a_key"), col("b_key"),
+          round(graft.operators.Linkage.jaroWinkler(
+            col("a_nm"), col("b_nm")), 6).as("jw"))
+        .filter(col("jw") >= 0.88)
+    }),
     // Multi-source BFS hop distances over q175's bipartite user<->
     // item graph: seed users (id % 97 == 0), min hops within 3. The
     // recursive-CTE walk as fixed frontier expansion -- per round ONE
@@ -2188,6 +2206,14 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // the scoring kernel is pinned to DuckDB's exact algorithm, so
+    // the dual IS the native function
+    "q188_jw_fuzzy_pairs" ->
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88""".stripMargin,
     // level-synchronous BFS == the recursive walk, min per node
     "q186_bfs_hops" ->
       """WITH RECURSIVE e AS (

@@ -27,10 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
+  import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+
   /** One field comparison: `agree` is any boolean Column over the
     * joined pair; weights are precomputed ln-ratios. */
   final case class FieldComparison(name: String, agree: Column,
                                    wAgree: Double, wDisagree: Double)
+
+  /** Jaro-Winkler similarity (DuckDB-exact scoring, see
+    * [[graft.plans.JaroWinkler.sim]]) as a codegen'd Column — the
+    * string comparator to feed [[FieldComparison]]
+    * (`jaroWinkler(a, b) >= 0.9`) instead of exact equality. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    toCol(graft.plans.JaroWinklerSim(toExpr(a), toExpr(b)))
 
   /** Score all within-block pairs of `a` × `b`; keep those at or
     * above `minScore`. `a` and `b` must share ONLY the `blockKeys`

@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[L2NormF].getName, "graft_norm"),
       (args: Seq[Expression]) => L2NormF(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "graft_jaro_winkler"),
+      (args: Seq[Expression]) => JaroWinklerSim(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_hll_distinct"),
       new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_distinct"),
       (args: Seq[Expression]) => HllAgg(args(0))))
