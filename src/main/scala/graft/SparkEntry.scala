@@ -1080,6 +1080,17 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Theil-Sen robust trend per event type over q184's hourly
+    // series: median of all pairwise slopes -- the outlier-proof
+    // slope read-out. Rounded hourly sums make the slope operands
+    // cross-engine-identical; exact interpolated percentile = DuckDB
+    // median. Quadratic pairs per SMALL group by design (see scaladoc)
+    "q189_theil_sen" -> ((s, dir) =>
+      TimeSeries.theilSen(
+        t(s, dir, "events")
+          .groupBy(col("event_type"), expr("ts div 3600000000000").as("x"))
+          .agg(round(sum("value"), 6).as("y")),
+        "event_type", "x", "y")),
     // Blocked fuzzy-match pairs via the native Jaro-Winkler codegen
     // expression (DuckDB-exact scoring kernel, integer-halved
     // transpositions): same-size parts whose names clear 0.88.
@@ -2206,6 +2217,21 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // rounded hourly sums -> identical slope operands; DuckDB median
+    // == Spark exact interpolated percentile
+    "q189_theil_sen" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS x,
+        |    round(sum(value), 6) AS y
+        |  FROM events GROUP BY 1, 2
+        |), slopes AS (
+        |  SELECT a.event_type, (b.y - a.y) / (b.x - a.x)::DOUBLE AS s
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type AND a.x < b.x
+        |)
+        |SELECT event_type, round(median(s), 6) AS theil_sen_slope,
+        |  count(*) AS n_pairs
+        |FROM slopes GROUP BY event_type""".stripMargin,
     // the scoring kernel is pinned to DuckDB's exact algorithm, so
     // the dual IS the native function
     "q188_jw_fuzzy_pairs" ->

@@ -142,4 +142,30 @@ class TimeSeriesSpec extends SparkSpec {
     val onePeriod = (12 until 16).map(t => out(t.toLong)._2).sum
     assert(math.abs(onePeriod) < 5e-6, s"period sum $onePeriod")
   }
+
+  test("theilSen: exact slope on a clean line; one wild outlier barely moves it") {
+    // clean line y = 2x + 1 over x = 0..9
+    val clean = (0 to 9).map(x => ("a", x.toLong, 2.0 * x + 1))
+    val out = TimeSeries.theilSen(clean.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).head
+    assert(out == (("a", 2.0, 45L)))
+    // poison one point: median of pairwise slopes shrugs it off
+    val dirty = clean.updated(5, ("a", 5L, 1000.0))
+    val rob = TimeSeries.theilSen(dirty.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head.getDouble(1)
+    assert(rob == 2.0, s"outlier moved the Theil-Sen slope to $rob")
+  }
+
+  test("theilSen: even pair count interpolates; equal-x pairs skipped; groups independent") {
+    // group b: points (0,0), (1,1), (2,4) -> slopes 1, 2, 3; median 2
+    // group c: duplicate x (two obs at x=0) must not create an
+    // infinite slope -- pairs with equal x are skipped
+    val df = Seq(("b", 0L, 0.0), ("b", 1L, 1.0), ("b", 2L, 4.0),
+      ("c", 0L, 0.0), ("c", 0L, 5.0), ("c", 1L, 2.0)).toDF("g", "x", "y")
+    val out = TimeSeries.theilSen(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out("b") == ((2.0, 3L)))
+    // c: slopes (0->1): 2.0 and (0'->1): -3.0; interpolated median -0.5
+    assert(out("c") == ((-0.5, 2L)))
+  }
 }
