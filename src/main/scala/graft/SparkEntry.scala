@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{EngineConfig, Share}
-import graft.operators.{Allocation, Analytics, AsOfJoin, BucketedJoin, Dedup, DedupClusters, FuzzyDedup, Graph, Merge, Multimodal, Sampling, Similarity, Sketches, SkewJoin, TextAnalysis, TimeSeries}
+import graft.operators.{Allocation, Analytics, AsOfJoin, BucketedJoin, Dedup, DedupClusters, FuzzyDedup, Graph, Merge, Multimodal, Profiling, Sampling, Similarity, Sketches, SkewJoin, TextAnalysis, TimeSeries, TopK}
 import graft.sources.InReachSource
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1080,6 +1080,31 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Reciprocal-rank fusion of two customer rankings (balance vs
+    // integer-cent total spend): the hybrid-retrieval combiner,
+    // quantized so the fused scores are order-free integer sums and
+    // the top-100 cutoff is engine-exact
+    "q190_rrf" -> ((s, dir) => {
+      val byBal = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          col("c_acctbal").cast("double").as("score"))
+      val bySpend = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("id"))
+        .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+          .cast("double").as("score"))
+      TopK.reciprocalRankFusion(Seq(byBal, bySpend), "id", "score",
+        k = 60, topN = 100)
+    }),
+    // Exact two-sample KS per day: purchase-value vs error-value
+    // distribution distance, integer-exact argmax (|C1*n2 - C2*n1|
+    // over int64) -- the binning-free drift test next to q133's PSI
+    "q191_ks_test" -> ((s, dir) =>
+      Profiling.ksTwoSample(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "error"))
+          .select(expr("ts div 86400000000000").as("day"),
+            col("event_type"), col("value")),
+        "day", col("event_type") === "purchase", "value")),
     // Theil-Sen robust trend per event type over q184's hourly
     // series: median of all pairwise slopes -- the outlier-proof
     // slope read-out. Rounded hourly sums make the slope operands
@@ -2217,6 +2242,56 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // integer-cent spend ranking + integer-quantized contributions:
+    // every compared value is exact
+    "q190_rrf" ->
+      """WITH la AS (
+        |  SELECT c_custkey AS id,
+        |    row_number() OVER (ORDER BY c_acctbal::DOUBLE DESC, c_custkey) AS r
+        |  FROM customer
+        |), lb AS (
+        |  SELECT o_custkey AS id,
+        |    row_number() OVER (
+        |      ORDER BY sum((floor(o_totalprice * 100 + 0.5))::BIGINT) DESC,
+        |        o_custkey) AS r
+        |  FROM orders GROUP BY o_custkey
+        |), u AS (
+        |  SELECT id, 1000000000 // (60 + r) AS c FROM la
+        |  UNION ALL SELECT id, 1000000000 // (60 + r) FROM lb
+        |)
+        |SELECT id, sum(c)::BIGINT AS rrf_q, count(*) AS n_lists
+        |FROM u GROUP BY id ORDER BY rrf_q DESC, id LIMIT 100""".stripMargin,
+    // running integer CDF comparison; ties at the max go to the
+    // smallest value in both engines
+    "q191_ks_test" ->
+      """WITH base AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a, value AS v
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+        |), c AS (
+        |  SELECT day, v, sum(a)::BIGINT AS c1, (count(*) - sum(a))::BIGINT AS c2
+        |  FROM base GROUP BY day, v
+        |), r AS (
+        |  SELECT day, v,
+        |    sum(c1) OVER (PARTITION BY day ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+        |    sum(c2) OVER (PARTITION BY day ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+        |  FROM c
+        |), t AS (
+        |  SELECT day, sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+        |  FROM c GROUP BY day HAVING sum(c1) > 0 AND sum(c2) > 0
+        |), d AS (
+        |  SELECT r.day, v, abs(r1 * n2 - r2 * n1) AS dq, n1, n2
+        |  FROM r JOIN t USING (day)
+        |), mx AS (
+        |  SELECT day, v, dq, n1, n2, max(dq) OVER (PARTITION BY day) AS mdq
+        |  FROM d
+        |)
+        |SELECT day, round(mdq::DOUBLE / (n1 * n2)::DOUBLE, 6) AS ks_d,
+        |  min(v) AS ks_at, n1, n2
+        |FROM mx WHERE dq = mdq GROUP BY day, mdq, n1, n2""".stripMargin,
     // rounded hourly sums -> identical slope operands; DuckDB median
     // == Spark exact interpolated percentile
     "q189_theil_sen" ->

@@ -177,6 +177,56 @@ object Profiling {
           coalesce(col("_pr"), lit(eps)))), 6).as("psi"))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic per group:
+    * D = max over v of |F₁(v) − F₂(v)| between slice A (`isSliceA`
+    * true) and slice B — the nonparametric distribution-shift test
+    * that, unlike [[psiDrift]], needs no binning choices and detects
+    * shape changes PSI's coarse bins smear out. Returns (group,
+    * ks_d rounded 6, ks_at = the smallest value attaining the max,
+    * n1, n2); groups missing either slice are dropped (D is
+    * undefined there).
+    *
+    * INTEGER-exact argmax: the per-value statistic is computed as
+    * `|C₁(v)·n₂ − C₂(v)·n₁|` over int64 running counts, so the max,
+    * its location, and the tie-break are engine-exact — the one FP
+    * division happens once per group on identical operands. Exact
+    * while n₁·n₂ < 2⁶³ (~3·10⁹ rows per slice per group); beyond
+    * that, quantize values into buckets first — at that scale the
+    * distinct-value table needs bounding anyway.
+    *
+    * Scale shape: one (group, value) shuffle with map-side combine,
+    * running CDFs via a window that sorts WITHIN each group only, a
+    * groups-sized broadcast of the slice totals, and one
+    * map-side-combinable struct-max. Nothing global, nothing on the
+    * driver. */
+  def ksTwoSample(df: DataFrame, groupCol: String, isSliceA: Column,
+                  valueCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        when(isSliceA, lit(1L)).otherwise(lit(0L)).as("_a"),
+        col(valueCol).as("_v"))
+    val c = base.groupBy(col("_g"), col("_v"))
+      .agg(sum("_a").as("_c1"), (count(lit(1)) - sum("_a")).as("_c2"))
+    val tot = c.groupBy("_g")
+      .agg(sum("_c1").as("_n1"), sum("_c2").as("_n2"))
+      .filter(col("_n1") > 0 && col("_n2") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy("_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    c.withColumn("_r1", sum("_c1").over(w))
+      .withColumn("_r2", sum("_c2").over(w))
+      .join(broadcast(tot), Seq("_g"))
+      .withColumn("_dq",
+        abs(col("_r1") * col("_n2") - col("_r2") * col("_n1")))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max(struct(col("_dq"), (-col("_v")).as("_nv"))).as("_m"),
+        max("_n1").as("n1"), max("_n2").as("n2"))
+      .select(col(groupCol),
+        round(col("_m._dq").cast("double") /
+          (col("n1") * col("n2")).cast("double"), 6).as("ks_d"),
+        (-col("_m._nv")).as("ks_at"), col("n1"), col("n2"))
+  }
+
   /** Data-contract validation — the constraint gate that runs before
     * a drop is admitted to the lake: one row per declared constraint,
     * (check_name, n_violations, passed). Constraint classes:

@@ -149,4 +149,31 @@ class ProfilingSpec extends SparkSpec {
     // Benford expectation for digit 1 is log10(2) ≈ 0.30103
     assert(out(("g", 1L))._3 == 0.30103)
   }
+
+  test("ksTwoSample: known D and location; smallest attaining value wins ties") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: max |C1·n2 − C2·n1| = 8 at
+    // v ∈ {2,3,4} -> D = 8/16 = 0.5, ks_at = 2 (smallest)
+    val df = (Seq(1, 2, 3, 4).map(("g", "a", _)) ++
+      Seq(3, 4, 5, 6).map(("g", "b", _)))
+      .toDF("g", "s", "v")
+    val out = Profiling.ksTwoSample(df, "g", col("s") === "a", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).head
+    assert(out == (("g", 0.5, 2, 4L, 4L)))
+  }
+
+  test("ksTwoSample: identical slices D=0; disjoint slices D=1; one-slice groups dropped") {
+    val same = (Seq(1.0, 2.0, 3.0).map(("g", "a", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("g", "b", _))).toDF("g", "s", "v")
+    val d0 = Profiling.ksTwoSample(same, "g", col("s") === "a", "v")
+      .collect().head
+    assert(d0.getDouble(1) == 0.0)
+    val disj = (Seq(1.0, 2.0).map(("g", "a", _)) ++
+      Seq(5.0, 6.0).map(("g", "b", _)) ++
+      Seq(("lonely", "a", 1.0))).toDF("g", "s", "v")
+    val out = Profiling.ksTwoSample(disj, "g", col("s") === "a", "v")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out == Map("g" -> ((1.0, 2.0)))) // D=1 at the last A value
+  }
 }
