@@ -1080,6 +1080,21 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Bellman-Ford weighted shortest distances (3 relaxation rounds)
+    // on the bipartite graph with integer edge costs 1 + event_id%7
+    // (parallel edges collapse to cheapest): per round one
+    // broadcast-dist join + integer min -- engine-exact path costs
+    "q192_weighted_paths" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      Graph.weightedDistances(
+        ev.select(col("user_id").as("a"),
+          (lit(1000000) + col("event_id") % 150).as("b"),
+          (lit(1) + col("event_id") % 7).as("w")),
+        "a", "b", "w",
+        ev.filter(col("user_id") % 97 === 0)
+          .select(col("user_id").as("n")),
+        "n", rounds = 3)
+    }),
     // Reciprocal-rank fusion of two customer rankings (balance vs
     // integer-cent total spend): the hybrid-retrieval combiner,
     // quantized so the fused scores are order-free integer sums and
@@ -2242,6 +2257,37 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // 3 unrolled relaxations; min over ≤3-edge path costs
+    "q192_weighted_paths" ->
+      """WITH e0 AS (
+        |  SELECT user_id AS a, 1000000 + event_id % 150 AS b,
+        |    1 + event_id % 7 AS w
+        |  FROM events WHERE user_id IS NOT NULL
+        |), sym AS (
+        |  SELECT u, v, min(w)::BIGINT AS w FROM (
+        |    SELECT a AS u, b AS v, w FROM e0
+        |    UNION ALL SELECT b, a, w FROM e0
+        |  ) GROUP BY u, v
+        |), d0 AS (
+        |  SELECT DISTINCT user_id AS node, 0::BIGINT AS dist FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 97 = 0
+        |), d1 AS (
+        |  SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d0
+        |    UNION ALL SELECT s.v, d0.dist + s.w FROM d0 JOIN sym s ON d0.node = s.u
+        |  ) GROUP BY node
+        |), d2 AS (
+        |  SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d1
+        |    UNION ALL SELECT s.v, d1.dist + s.w FROM d1 JOIN sym s ON d1.node = s.u
+        |  ) GROUP BY node
+        |), d3 AS (
+        |  SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d2
+        |    UNION ALL SELECT s.v, d2.dist + s.w FROM d2 JOIN sym s ON d2.node = s.u
+        |  ) GROUP BY node
+        |)
+        |SELECT node, dist FROM d3""".stripMargin,
     // integer-cent spend ranking + integer-quantized contributions:
     // every compared value is exact
     "q190_rrf" ->

@@ -237,6 +237,52 @@ object Graph {
     dist
   }
 
+  /** Weighted shortest distances from a seed set by `rounds`
+    * synchronous Bellman-Ford relaxations: after round i, `dist`
+    * holds the exact cheapest cost over paths of ≤ i edges —
+    * a fixed round count is the documented truncation (the
+    * [[bfsDistances]] contract, weight-aware). Weights are cast to
+    * LONG: integer edge costs make every path sum and every `min`
+    * engine-exact (quantize fractional costs upstream — the
+    * [[pageRank]] rule). Negative weights are relaxed correctly per
+    * round, but with a negative cycle distances keep falling forever
+    * — bounded rounds simply report the ≤-rounds-edges optimum.
+    * Parallel edges collapse to their cheapest before iterating.
+    *
+    * Scale shape: unlike BFS, a node's distance can improve after
+    * first discovery, so each round relaxes the FULL dist table:
+    * one (dist ⋈ edges) join + one map-side-combinable `min` per
+    * round. The dist table is nodes-sized (two columns) — broadcast
+    * while it fits (`broadcastDist`), else pre-partition edges by
+    * `_u` once for co-located joins. One lazy plan, zero driver
+    * actions. */
+  def weightedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                        weightCol: String, seeds: DataFrame,
+                        seedCol: String, rounds: Int,
+                        directed: Boolean = false,
+                        broadcastDist: Boolean = true): DataFrame = {
+    require(rounds >= 0)
+    val e0 = edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"),
+        col(weightCol).cast("long").as("_w"))
+      .filter(col("_u").isNotNull && col("_v").isNotNull &&
+        col("_w").isNotNull)
+    val sym0 = if (directed) e0 else e0.unionByName(
+      e0.select(col("_v").as("_u"), col("_u").as("_v"), col("_w")))
+    val sym = sym0.groupBy("_u", "_v").agg(min("_w").as("_w"))
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .filter(col("node").isNotNull)
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      val d = if (broadcastDist) broadcast(dist) else dist
+      dist = dist.unionByName(
+          sym.join(d.select(col("node").as("_u"), col("dist")), Seq("_u"))
+            .select(col("_v").as("node"),
+              (col("dist") + col("_w")).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+    }
+    dist
+  }
+
   /** Fixed-round k-core peeling on the undirected simple graph:
     * each round simultaneously deletes every node of degree < k (and
     * its edges); after `rounds` rounds, returns the survivors with

@@ -157,6 +157,37 @@ class GraphSpec extends SparkSpec {
     assert(base == shuf)
   }
 
+  test("weightedDistances: cheap 2-hop beats direct edge once rounds allow it") {
+    // 1 -> 3 direct costs 10; 1 -> 2 -> 3 costs 2 + 3 = 5
+    val e = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L)).toDF("s", "d", "w")
+    val seeds = Seq(1L).toDF("n")
+    val r1 = Graph.weightedDistances(e, "s", "d", "w", seeds, "n", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 2L, 3L -> 10L)) // ≤1-edge optimum
+    val r2 = Graph.weightedDistances(e, "s", "d", "w", seeds, "n", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
+  test("weightedDistances: parallel edges take the min; directed respects direction") {
+    val e = Seq((1L, 2L, 7L), (1L, 2L, 4L), (2L, 1L, 1L)).toDF("s", "d", "w")
+    val und = Graph.weightedDistances(e, "s", "d", "w", Seq(1L).toDF("n"),
+        "n", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(und == Map(1L -> 0L, 2L -> 1L)) // undirected: reversed edge w=1 wins
+    val dir = Graph.weightedDistances(e, "s", "d", "w", Seq(1L).toDF("n"),
+        "n", rounds = 3, directed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dir == Map(1L -> 0L, 2L -> 4L))
+    // a shorter path found late still updates an already-reached node
+    val chain = Seq((1L, 2L, 100L), (1L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 2L, 1L)).toDF("s", "d", "w")
+    val out = Graph.weightedDistances(chain, "s", "d", "w",
+        Seq(1L).toDF("n"), "n", rounds = 3, directed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) == 3L)
+  }
+
   test("kCore: 2-core strips pendant chain; K4 survives 3-core intact") {
     // K4 {1,2,3,4} with a pendant chain 4-5-6: 2-core = K4 exactly
     val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
