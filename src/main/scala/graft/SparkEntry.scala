@@ -1080,6 +1080,17 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Kaplan-Meier survival per event type: duration 1+event_id%30,
+    // observed iff event_id%3!=0 -- integer d/n operands make each
+    // product-limit factor engine-exact; the final duration bucket is
+    // fully observed by construction (30k+29 is never %3==0), so the
+    // extinct pin S=0 is exercised deterministically
+    "q193_kaplan_meier" -> ((s, dir) =>
+      Analytics.kaplanMeier(
+        t(s, dir, "events").filter(col("event_type").isNotNull)
+          .select(col("event_type"), (col("event_id") % 30 + 1).as("dur"),
+            col("event_id")),
+        "event_type", "dur", col("event_id") % 3 =!= 0)),
     // Bellman-Ford weighted shortest distances (3 relaxation rounds)
     // on the bipartite graph with integer edge costs 1 + event_id%7
     // (parallel edges collapse to cheapest): per round one
@@ -2257,6 +2268,34 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // product-limit via Σln over the ordered (type,dur) curve; the
+    // extinct flag pins S=0 with integer comparisons (no ln(0))
+    "q193_kaplan_meier" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id % 30 + 1 AS dur,
+        |    CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END AS d
+        |  FROM events WHERE event_type IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, dur, sum(d)::BIGINT AS n_events,
+        |    count(*)::BIGINT AS cnt
+        |  FROM base GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, dur, n_events,
+        |    sum(cnt) OVER (PARTITION BY event_type)
+        |      - coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM c
+        |)
+        |SELECT event_type, dur, n_risk, n_events,
+        |  CASE WHEN max(CASE WHEN n_events = n_risk AND n_events > 0
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type ORDER BY dur) = 1 THEN 0.0
+        |  ELSE round(exp(sum(CASE WHEN n_events > 0 AND n_events < n_risk
+        |      THEN ln(1 - n_events::DOUBLE / n_risk) ELSE 0.0 END)
+        |      OVER (PARTITION BY event_type ORDER BY dur)), 6)
+        |  END AS survival
+        |FROM r""".stripMargin,
     // 3 unrolled relaxations; min over ≤3-edge path costs
     "q192_weighted_paths" ->
       """WITH e0 AS (

@@ -572,6 +572,54 @@ object Analytics {
       .select(col(catCol), col(foldCol), col("enc"))
   }
 
+  /** Kaplan–Meier survival curve per group: for each distinct
+    * duration t, the at-risk count, event count, and the product-limit
+    * survival estimate S(t) = Π_{u ≤ t} (1 − d_u/n_u) — the
+    * censoring-aware churn/retention read-out ([[cohortRetention]]
+    * ignores censoring; KM is what makes short-lived recent cohorts
+    * comparable to old ones). Censored rows (observed = false) leave
+    * the at-risk set without contributing an event, exactly the
+    * standard estimator.
+    *
+    * Determinism: d and n are integers; each factor (1 − d/n) is
+    * computed from identical int64 operands on any engine, and the
+    * running Σln rides ONE ordered window (distinct t per row → a
+    * unique order). A group whose risk set dies out entirely
+    * (d = n > 0) pins S = 0 from that t on via an integer flag — no
+    * ln(0) is ever evaluated (engines disagree on ln(0)).
+    *
+    * Scale shape: one (group, t) shuffle with map-side combine, a
+    * groups-sized broadcast of totals, and two frames over one
+    * group-partitioned window sort. Nothing global; survival curves
+    * are (group × distinct-t)-sized. */
+  def kaplanMeier(df: DataFrame, groupCol: String, durCol: String,
+                  observedCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(groupCol).isNotNull && col(durCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(durCol).as("_t"),
+        when(observedCol, lit(1L)).otherwise(lit(0L)).as("_d"))
+    val c = base.groupBy("_g", "_t")
+      .agg(sum("_d").as("_d"), count(lit(1)).as("_c"))
+    val tot = c.groupBy("_g").agg(sum("_c").as("_tot"))
+    val w = Window.partitionBy("_g").orderBy("_t")
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = w.rowsBetween(Window.unboundedPreceding, 0)
+    val lnFactor = when(col("_d") > 0 && col("_d") < col("n_risk"),
+      log(lit(1.0) - col("_d").cast("double") / col("n_risk").cast("double")))
+      .otherwise(lit(0.0))
+    val extinct = when(col("_d") === col("n_risk") && col("_d") > 0, 1)
+      .otherwise(0)
+    c.join(broadcast(tot), Seq("_g"))
+      .withColumn("n_risk",
+        col("_tot") - coalesce(sum("_c").over(prev), lit(0L)))
+      .withColumn("_ls", sum(lnFactor).over(upto))
+      .withColumn("_z", max(extinct).over(upto))
+      .select(col("_g").as(groupCol), col("_t").as(durCol),
+        col("n_risk"), col("_d").as("n_events"),
+        when(col("_z") === 1, lit(0.0))
+          .otherwise(round(exp(col("_ls")), 6)).as("survival"))
+  }
+
   /** EXACT weighted median per group (lower median): the smallest
     * value whose running weight reaches half the group's total —
     * robust central tendency where every row carries a mass

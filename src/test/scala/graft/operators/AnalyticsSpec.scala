@@ -294,4 +294,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.weightedMedian(df, "g", "v", "w", Seq("id"))
       .head().getDouble(1) == 3.0)
   }
+
+  test("kaplanMeier: hand-computed product-limit with censoring") {
+    // group A: t=1 event (n=4), t=2 censored (n=3), t=3 event (n=2)
+    //   S(1) = 3/4; S(2) = 3/4 (censor only); S(3) = 3/4 * 1/2 = 3/8
+    val df = Seq(("A", 1L, true), ("A", 2L, false), ("A", 3L, true),
+      ("A", 3L, false)).toDF("g", "t", "obs")
+    val out = Analytics.kaplanMeier(df, "g", "t", col("obs"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.75)))
+    assert(out(2L) == ((3L, 0L, 0.75)))
+    assert(out(3L) == ((2L, 1L, 0.375)))
+  }
+
+  test("kaplanMeier: risk-set extinction pins S=0 without evaluating ln(0)") {
+    // t=1: 1 of 2 dies; t=2: the last one dies -> d=n -> S=0 exactly
+    val df = Seq(("g", 1L, true), ("g", 2L, true)).toDF("g", "t", "obs")
+    val out = Analytics.kaplanMeier(df, "g", "t", col("obs"))
+      .orderBy("t").collect()
+    assert(out.map(_.getDouble(4)).toSeq == Seq(0.5, 0.0))
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+  }
+
+  test("kaplanMeier: groups are independent; all-censored curve stays at 1") {
+    val df = Seq(("a", 1L, true), ("b", 1L, false), ("b", 2L, false))
+      .toDF("g", "t", "obs")
+    val by = Analytics.kaplanMeier(df, "g", "t", col("obs"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4))
+      .toMap
+    assert(by(("a", 1L)) == 0.0)        // sole member dies -> extinct
+    assert(by(("b", 1L)) == 1.0 && by(("b", 2L)) == 1.0)
+  }
 }
