@@ -1080,6 +1080,38 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, "token", capacity = 256, thresholdDen = 200)
     }),
+    // Chi-square independence of event mix vs day-of-week: full r x c
+    // table incl. zero cells; int64 numerator roots keep every cell
+    // term engine-exact before the round-6 sum
+    "q194_chi_square" -> ((s, dir) =>
+      Profiling.chiSquareIndependence(
+        t(s, dir, "events").filter(col("ts").isNotNull)
+          .select(col("event_type"),
+            expr("(ts div 86400000000000) % 7").as("dow")),
+        "event_type", "dow")),
+    // ROC AUC per day-of-week of integer-cent value predicting
+    // purchase: rank-sum identity with half-integer average ranks --
+    // exact tie handling, order-free accumulation
+    "q195_auc" -> ((s, dir) =>
+      Analytics.aucByGroup(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("dow", expr("(ts div 86400000000000) % 7")),
+        "dow", expr("cast(floor(value * 100 + 0.5) as bigint)"),
+        col("event_type") === "purchase")),
+    // Dunning LLR keyness: tokens over/under-represented in English
+    // docs vs the rest; per-token closed-form G2, no accumulation
+    "q196_llr_keyness" -> ((s, dir) =>
+      TextAnalysis.llrKeyness(t(s, dir, "documents"), "text",
+        col("lang") === "en", minCount = 20L)),
+    // Benjamini-Hochberg q-values over one quantized-rational p per
+    // user (stand-in for upstream test outputs): ranked suffix-min
+    // on ONE tests-sized sort, tie-order-free by construction
+    "q198_fdr_bh" -> ((s, dir) =>
+      Profiling.bhAdjust(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id").as("test_id")).distinct()
+          .withColumn("p", (col("test_id") % 1009 + 1) / lit(1009.0)),
+        "test_id", "p")),
     // Kaplan-Meier survival per event type: duration 1+event_id%30,
     // observed iff event_id%3!=0 -- integer d/n operands make each
     // product-limit factor engine-exact; the final duration bucket is
@@ -2268,6 +2300,89 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    // full r x c cross incl. zero-observed cells; (o*n - rt*ct)^2
+    // has an int64 root so each term is engine-exact
+    "q194_chi_square" ->
+      """WITH base AS (
+        |  SELECT event_type AS r, epoch_ns(ts) // 86400000000000 % 7 AS c
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |), o AS (SELECT r, c, count(*)::BIGINT AS o FROM base GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(o)::BIGINT AS rt FROM o GROUP BY 1),
+        |ct AS (SELECT c, sum(o)::BIGINT AS ct FROM o GROUP BY 1),
+        |n AS (SELECT sum(rt)::BIGINT AS n, count(*)::BIGINT AS nr FROM rt),
+        |nc AS (SELECT count(*)::BIGINT AS nc FROM ct),
+        |cells AS (
+        |  SELECT rt.r, ct.c, coalesce(o.o, 0) AS o, rt.rt, ct.ct
+        |  FROM rt CROSS JOIN ct LEFT JOIN o ON o.r = rt.r AND o.c = ct.c
+        |)
+        |SELECT round(sum(pow((o * n.n - rt * ct)::DOUBLE, 2)
+        |    / (n.n::DOUBLE * rt * ct)), 6) AS chi2,
+        |  (max(n.nr) - 1) * (max(nc.nc) - 1) AS df, max(n.n) AS n
+        |FROM cells, n, nc""".stripMargin,
+    // rank-sum AUC: average ranks are half-integers -> R+ is exact
+    "q195_auc" ->
+      """WITH base AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 % 7 AS dow,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT dow, s, sum(y)::BIGINT AS pos, count(*)::BIGINT AS cnt
+        |  FROM base GROUP BY 1, 2
+        |), r AS (
+        |  SELECT dow, pos, cnt,
+        |    coalesce(sum(cnt) OVER (PARTITION BY dow ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (cnt + 1) / 2.0 AS rnk
+        |  FROM c
+        |)
+        |SELECT dow, sum(pos)::BIGINT AS n_pos,
+        |  (sum(cnt) - sum(pos))::BIGINT AS n_neg,
+        |  round((sum(pos * rnk) - sum(pos) * (sum(pos) + 1) / 2.0)
+        |    / (sum(pos) * (sum(cnt) - sum(pos)))::DOUBLE, 6) AS auc
+        |FROM r GROUP BY dow
+        |HAVING sum(pos) > 0 AND sum(cnt) - sum(pos) > 0""".stripMargin,
+    // per-token closed-form G2 on identical int64 operands; direction
+    // by integer cross-multiplication
+    "q196_llr_keyness" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT token, sum(ia)::BIGINT AS a, (count(*) - sum(ia))::BIGINT AS b
+        |  FROM toks GROUP BY 1
+        |), tot AS (SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb FROM cnt)
+        |SELECT token, a, b,
+        |  CASE WHEN a * nb >= b * na THEN g2 ELSE -g2 END AS signed_llr
+        |FROM (
+        |  SELECT token, a, b, na, nb,
+        |    round(2.0 * (
+        |      CASE WHEN a > 0 THEN a * ln(a::DOUBLE
+        |        / (na::DOUBLE * (a + b) / (na + nb))) ELSE 0.0 END +
+        |      CASE WHEN b > 0 THEN b * ln(b::DOUBLE
+        |        / (nb::DOUBLE * (a + b) / (na + nb))) ELSE 0.0 END), 6) AS g2
+        |  FROM cnt, tot WHERE a + b >= 20
+        |)""".stripMargin,
+    // ranked suffix-min; equal p's converge to one q regardless of
+    // tie order
+    "q198_fdr_bh" ->
+      """WITH t AS (
+        |  SELECT DISTINCT user_id AS test_id FROM events
+        |  WHERE user_id IS NOT NULL
+        |), p AS (
+        |  SELECT test_id, (test_id % 1009 + 1) / 1009.0 AS p FROM t
+        |), r AS (
+        |  SELECT test_id, p,
+        |    row_number() OVER (ORDER BY p, test_id) AS j,
+        |    count(*) OVER () AS n
+        |  FROM p
+        |)
+        |SELECT test_id, p,
+        |  round(least(min(p * n / j) OVER (ORDER BY p DESC, test_id DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6)
+        |    AS q_value
+        |FROM r""".stripMargin,
     // product-limit via Σln over the ordered (type,dur) curve; the
     // extinct flag pins S=0 with integer comparisons (no ln(0))
     "q193_kaplan_meier" ->

@@ -620,6 +620,45 @@ object Analytics {
           .otherwise(round(exp(col("_ls")), 6)).as("survival"))
   }
 
+  /** ROC AUC per group via the rank-sum (Mann–Whitney) identity:
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ is the sum of
+    * average ranks of the positive class — the classifier-quality
+    * read-out with exact tie handling (ties score ½), no curve
+    * sweep, no binning. Equivalently P(score⁺ > score⁻) + ½P(=).
+    *
+    * EXACT, not just deterministic: pass an integer-quantized score
+    * (e.g. cents). Every average rank is k + (c+1)/2 — a half-integer
+    * — so R⁺ accumulates in halves, exactly representable and
+    * order-independent below 2⁵² (≈ 2·10¹⁵, i.e. n² for 45M rows per
+    * group); the single division per group sees identical operands on
+    * any engine. Groups missing a class are dropped (AUC undefined).
+    *
+    * Scale shape: one (group, score) shuffle with map-side combine,
+    * ranks via a window sorted WITHIN each group only, then one
+    * map-side-combinable group agg. Nothing global. */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreCol: Column,
+                 positiveCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(groupCol).isNotNull && scoreCol.isNotNull)
+      .select(col(groupCol).as("_g"), scoreCol.cast("long").as("_s"),
+        when(positiveCol, lit(1L)).otherwise(lit(0L)).as("_y"))
+    val c = base.groupBy("_g", "_s")
+      .agg(sum("_y").as("_pos"), count(lit(1)).as("_cnt"))
+    val prev = Window.partitionBy("_g").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    c.withColumn("_rank",
+        coalesce(sum("_cnt").over(prev), lit(0L)) +
+          (col("_cnt") + 1) / lit(2.0))
+      .groupBy(col("_g").as(groupCol))
+      .agg(sum("_pos").as("n_pos"),
+        (sum("_cnt") - sum("_pos")).as("n_neg"),
+        sum(col("_pos") * col("_rank")).as("_rpos"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        round((col("_rpos") - col("n_pos") * (col("n_pos") + 1) / lit(2.0)) /
+          (col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+  }
+
   /** EXACT weighted median per group (lower median): the smallest
     * value whose running weight reaches half the group's total —
     * robust central tendency where every row carries a mass

@@ -325,4 +325,76 @@ object Profiling {
         round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
       .withColumn("abs_dev", round(abs(col("p_obs") - col("p_benford")), 6))
   }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns: one row with the statistic Σ(o−e)²/e over the FULL r×c
+    * contingency table (cells with zero observed count still
+    * contribute e — dropping them understates the statistic), the
+    * degrees of freedom (r−1)(c−1), and n. The distribution-level
+    * dependence check next to [[ksTwoSample]]'s two-sample distance:
+    * "is event mix independent of day-of-week" in one number.
+    *
+    * Exactness: each cell term is ((o·n − rt·ct)²/ (n·rt·ct)) with an
+    * int64 numerator root (exact while o·n < 2⁶³) squared in double —
+    * identical correctly-rounded operands on any engine. The final
+    * sum is r·c terms; round-6 absorbs association order.
+    *
+    * Scale shape: one (r,c) count shuffle with map-side combine, then
+    * everything rides on the r×c marginal cross (broadcast both — a
+    * contingency table that does NOT fit in a broadcast is not a
+    * contingency table you can chi-square-read anyway). */
+  def chiSquareIndependence(df: DataFrame, rowCol: String,
+                            colCol: String): DataFrame = {
+    val base = df.filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .select(col(rowCol).as("_r"), col(colCol).as("_c"))
+    val o = base.groupBy("_r", "_c").agg(count(lit(1)).as("_o"))
+    val rt = o.groupBy("_r").agg(sum("_o").as("_rt"))
+    val ct = o.groupBy("_c").agg(sum("_o").as("_ct"))
+    val n = rt.agg(sum("_rt").as("_n"), count(lit(1)).as("_nr"))
+      .crossJoin(ct.agg(count(lit(1)).as("_nc")))
+    rt.crossJoin(broadcast(ct))                       // every cell, zeros included
+      .join(o, Seq("_r", "_c"), "left")
+      .na.fill(0L, Seq("_o"))
+      .crossJoin(broadcast(n))
+      .agg(
+        round(sum(
+          pow((col("_o") * col("_n") - col("_rt") * col("_ct"))
+            .cast("double"), 2) /
+          (col("_n").cast("double") * col("_rt") * col("_ct"))), 6)
+          .as("chi2"),
+        ((max("_nr") - 1) * (max("_nc") - 1)).as("df"),
+        max("_n").as("n"))
+  }
+
+  /** Benjamini–Hochberg FDR adjustment: for each test (id, p) the
+    * q-value q_(k) = min_{j ≥ k} (p_(j)·n/j) capped at 1, over p
+    * ranked ascending — the multiple-testing gate that turns a column
+    * of raw p-values (from [[ksTwoSample]], [[chiSquareIndependence]],
+    * A/B z-tests, …) into a column you can threshold at a target
+    * false-discovery rate.
+    *
+    * Ties: equal p's get row_number ranks in id order, but the
+    * suffix-min assigns them all the same q (the smallest p·n/j in
+    * the tie block reaches every member), so the output is
+    * tie-order-free. Each p·n/j is one correctly-rounded double op on
+    * identical operands; min and the ≤1 cap are exact.
+    *
+    * Scale shape: ranking and the reversed running min ride ONE
+    * global sort over tests — tests, not data rows; millions of tests
+    * sort in one stage. The count n is a 1-row broadcast. */
+  def bhAdjust(df: DataFrame, idCol: String, pCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(pCol).isNotNull)
+      .select(col(idCol), col(pCol).cast("double").as("_p"))
+    val n = base.agg(count(lit(1)).as("_n"))
+    val rk = Window.orderBy(col("_p"), col(idCol))
+    val suffix = Window.orderBy(col("_p").desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.crossJoin(broadcast(n))
+      .withColumn("_j", row_number().over(rk))
+      .withColumn("q_value",
+        round(least(min(col("_p") * col("_n") / col("_j")).over(suffix),
+          lit(1.0)), 6))
+      .select(col(idCol), col("_p").as(pCol), col("q_value"))
+  }
 }

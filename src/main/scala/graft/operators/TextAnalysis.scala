@@ -587,6 +587,45 @@ object TextAnalysis {
       .select(col("token"), col("ct").as("n_t"), col("mi"))
   }
 
+  /** Dunning log-likelihood-ratio keyness: for each token, how
+    * over/under-represented it is in corpus A (`isCorpusA` true)
+    * versus corpus B. G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)) with
+    * E_a = N_A·(a+b)/(N_A+N_B) — the corpus-comparison statistic that
+    * (unlike raw frequency ratios) doesn't explode on rare tokens,
+    * and (unlike [[tokenLabelMI]]'s corpus-wide average) scores EACH
+    * token. `signed_llr` carries the direction: positive = key in A.
+    * Zero counts contribute 0 (x·ln x → 0), so single-corpus tokens
+    * are well-defined.
+    *
+    * Determinism: a, b, N_A, N_B are int64; each token's G² is a
+    * fixed dag of correctly-rounded double ops on identical operands
+    * — no cross-row accumulation at all. Round-6 absorbs libm 1-ulp
+    * drift.
+    *
+    * Scale shape: one token-count shuffle with map-side combine and a
+    * 1-row totals broadcast; everything else is per-token map work. */
+  def llrKeyness(docs: DataFrame, textCol: String, isCorpusA: org.apache.spark.sql.Column,
+                 minCount: Long): DataFrame = {
+    val cnt = docs
+      .select(when(isCorpusA, lit(1L)).otherwise(lit(0L)).as("_ia"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(sum("_ia").as("a"), (count(lit(1)) - sum("_ia")).as("b"))
+    val tot = cnt.agg(sum("a").as("_na"), sum("b").as("_nb"))
+    val eA = col("_na").cast("double") * (col("a") + col("b")) /
+      (col("_na") + col("_nb"))
+    val eB = col("_nb").cast("double") * (col("a") + col("b")) /
+      (col("_na") + col("_nb"))
+    val term = (c: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =>
+      when(c > 0, c.cast("double") * log(c.cast("double") / e)).otherwise(lit(0.0))
+    cnt.filter(col("a") + col("b") >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("_g2", round(lit(2.0) * (term(col("a"), eA) + term(col("b"), eB)), 6))
+      .select(col("token"), col("a"), col("b"),
+        when(col("a") * col("_nb") >= col("b") * col("_na"), col("_g2"))
+          .otherwise(-col("_g2")).as("signed_llr"))
+  }
+
   private def nullifZero(c: org.apache.spark.sql.Column) =
     when(c === 0, lit(null)).otherwise(c)
 }

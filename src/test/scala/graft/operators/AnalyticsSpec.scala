@@ -317,6 +317,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L))
   }
 
+  test("aucByGroup: hand-computed with ties scoring half") {
+    // pos at scores {3,2}, neg at {1,2}: pairwise 1+1+1+0.5 of 4 = 0.875
+    val df = Seq(("g", 3L, true), ("g", 2L, true), ("g", 1L, false),
+      ("g", 2L, false)).toDF("g", "s", "y")
+    val out = Analytics.aucByGroup(df, "g", col("s"), col("y")).head()
+    assert((out.getLong(1), out.getLong(2), out.getDouble(3)) ==
+      ((2L, 2L, 0.875)))
+  }
+
+  test("aucByGroup: perfect separation is 1, reversed is 0, one-class dropped") {
+    val df = Seq(("sep", 10L, true), ("sep", 11L, true),
+      ("sep", 1L, false), ("sep", 2L, false),
+      ("rev", 1L, true), ("rev", 9L, false),
+      ("only", 5L, true)).toDF("g", "s", "y")
+    val by = Analytics.aucByGroup(df, "g", col("s"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(by == Map("sep" -> 1.0, "rev" -> 0.0))
+  }
+
   test("kaplanMeier: groups are independent; all-censored curve stays at 1") {
     val df = Seq(("a", 1L, true), ("b", 1L, false), ("b", 2L, false))
       .toDF("g", "t", "obs")

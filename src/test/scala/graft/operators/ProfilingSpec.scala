@@ -176,4 +176,44 @@ class ProfilingSpec extends SparkSpec {
       .toMap
     assert(out == Map("g" -> ((1.0, 2.0)))) // D=1 at the last A value
   }
+
+  test("chiSquareIndependence: hand-computed 2x2, e=15 per cell") {
+    // o = [[10,20],[20,10]] -> all marginals 30, n=60, e=15
+    // chi2 = 4 * (5^2/15) = 20/3
+    val rows = Seq.fill(10)(("A", "x")) ++ Seq.fill(20)(("A", "y")) ++
+      Seq.fill(20)(("B", "x")) ++ Seq.fill(10)(("B", "y"))
+    val out = Profiling.chiSquareIndependence(rows.toDF("r", "c"), "r", "c")
+      .collect().head
+    assert(out.getDouble(0) == math.rint(20.0 / 3 * 1e6) / 1e6)
+    assert(out.getLong(1) == 1L && out.getLong(2) == 60L)
+  }
+
+  test("chiSquareIndependence: zero-observed cells still contribute e") {
+    // diagonal table [[5,0],[0,5]]: e=2.5 everywhere, chi2 = 4*2.5 = 10
+    val rows = Seq.fill(5)(("A", "x")) ++ Seq.fill(5)(("B", "y"))
+    val out = Profiling.chiSquareIndependence(rows.toDF("r", "c"), "r", "c")
+      .collect().head
+    assert(out.getDouble(0) == 10.0 && out.getLong(1) == 1L)
+  }
+
+  test("bhAdjust: hand-computed q-values with suffix-min reaching up") {
+    val df = Seq((1L, 0.01), (2L, 0.04), (3L, 0.03), (4L, 0.5))
+      .toDF("id", "p")
+    val q = Profiling.bhAdjust(df, "id", "p")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // sorted p: .01 .03 .04 .5 -> raw p*4/j: .04 .06 .053333 .5
+    // suffix-min: .04 .053333 .053333 .5
+    assert(q == Map(1L -> 0.04, 3L -> 0.053333, 2L -> 0.053333, 4L -> 0.5))
+  }
+
+  test("bhAdjust: tied p's share one q; q is capped at 1") {
+    val q = Profiling.bhAdjust(
+        Seq((1L, 0.1), (2L, 0.1), (3L, 0.9)).toDF("id", "p"), "id", "p")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // raw: .3 .15 .9 -> ties at p=.1 both get min(.3,.15)=.15
+    assert(q(1L) == 0.15 && q(2L) == 0.15 && q(3L) == 0.9)
+    val capped = Profiling.bhAdjust(Seq((1L, 0.8)).toDF("id", "p"), "id", "p")
+      .head().getDouble(2)
+    assert(capped == 0.8)  // n=1: p*1/1, no cap needed; stays raw
+  }
 }

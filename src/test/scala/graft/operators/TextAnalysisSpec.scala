@@ -292,4 +292,31 @@ class TextAnalysisSpec extends SparkSpec {
     // "a b" occurs twice but only in ONE distinct doc → kept intact
     assert(out == Map(1L -> "a b a b", 2L -> "q r"))
   }
+
+  test("llrKeyness: closed-form G2 and direction on a tiny corpus pair") {
+    // A: "cat cat dog" (NA=3), B: "dog dog dog fish" (NB=4)
+    val docs = Seq(("a", "cat cat dog"), ("b", "dog dog dog fish"))
+      .toDF("side", "text")
+    val out = TextAnalysis.llrKeyness(docs, "text", col("side") === "a", 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // cat: a=2, b=0, Ea = 3*2/7 -> G2 = 2 * 2 ln(7/3), key in A
+    assert(out("cat")._1 == 2L && out("cat")._2 == 0L)
+    assert(out("cat")._3 == math.rint(4 * math.log(7.0 / 3) * 1e6) / 1e6)
+    // fish: only in B -> negative keyness
+    assert(out("fish")._3 == -(math.rint(2 * math.log(7.0 / 4) * 1e6) / 1e6))
+    // dog: a=1 vs NA=3, b=3 vs NB=4 -> under-represented in A
+    assert(out("dog")._3 < 0)
+  }
+
+  test("llrKeyness: balanced token scores zero; minCount filters") {
+    // a=1/NA=2, b=2/NB=4: proportions equal -> G2 = 0 exactly
+    val docs = Seq(("a", "even x"), ("b", "even even y z"))
+      .toDF("side", "text")
+    val out = TextAnalysis.llrKeyness(docs, "text", col("side") === "a", 1L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("even") == 0.0)
+    assert(TextAnalysis.llrKeyness(docs, "text", col("side") === "a", 3L)
+      .collect().map(_.getString(0)).toSet == Set("even"))
+  }
 }
