@@ -1112,6 +1112,69 @@ object SparkEntry {
           .select(col("user_id").as("test_id")).distinct()
           .withColumn("p", (col("test_id") % 1009 + 1) / lit(1009.0)),
         "test_id", "p")),
+    // STREAMING windowed top-k: top-3 event types per hour via
+    // flatMapGroupsWithState keyed by window start -- the ranking
+    // query native streaming can't express (no rank over a streaming
+    // aggregate). Each window's state folds incrementally and emits
+    // its exact top-k ONCE when the watermark passes the window end;
+    // two staged watermark-only sentinel batches (q123's modTime
+    // trick) flush the tail of the bounded replay, so the stream's
+    // append output equals the batch answer, hash-checked
+    "q197_stream_windowed_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, dir, "events")
+      val schema = ev.schema
+      val maxTs = q123MaxTs.getOrElseUpdate(dir,
+        ev.agg(max("ts")).head().getLong(0))
+      val tmp = java.nio.file.Files.createTempDirectory("q197")
+      val srcDir = tmp.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      import s.implicits._
+      // 2h sentinel spacing: timeouts evaluate against the PREVIOUS
+      // batch's committed watermark, so after the sentinel-1 batch
+      // the watermark strictly clears every real window end (max lag
+      // 1h) and the sentinel-2 batch fires every remaining timeout
+      Seq(1L, 2L).foreach { i =>
+        val sTs = maxTs + i * 7200L * 1000000000L
+        val w = tmp.resolve(s"w$i")
+        Seq((-i, sTs, 0L, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.parquet(w.toString)
+        val part = w.toFile.listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = srcDir.resolve(s"sentinel-$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(System.currentTimeMillis() + i * 60000L)
+      }
+      // sentinel rows (negative event_id) carry a NULL dim: they
+      // advance the watermark through the stateful operator but are
+      // never counted (the operator's null-dim contract) -- a plain
+      // filter would be pushed below the watermark node and the
+      // sentinel would never reach it
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .select(expr("timestamp_micros(ts div 1000)").as("ets"),
+          when(col("event_id") >= 0, col("event_type")).as("event_type"))
+      val topk = graft.streaming.StreamingOps.windowedTopK(
+        stream, "ets", "event_type", windowLenMs = 3600000L, k = 3)
+      val outDir = tmp.resolve("out").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        topk.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir) }
+          .outputMode("append")
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(outDir)
+        .select(col("window_start"), col("dim").as("event_type"),
+          col("n"), col("rnk"))
+    }),
     // Kaplan-Meier survival per event type: duration 1+event_id%30,
     // observed iff event_id%3!=0 -- integer d/n operands make each
     // product-limit factor engine-exact; the final duration bucket is
@@ -2383,6 +2446,22 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6)
         |    AS q_value
         |FROM r""".stripMargin,
+    // batch dual of the streaming top-k: hourly counts + row_number;
+    // the stream's per-window flush must reproduce it exactly
+    "q197_stream_windowed_topk" ->
+      """WITH c AS (
+        |  SELECT (epoch_ns(ts) // 1000000)
+        |      - ((epoch_ns(ts) // 1000000) % 3600000) AS window_start,
+        |    event_type, count(*)::BIGINT AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |), r AS (
+        |  SELECT window_start, event_type, n,
+        |    row_number() OVER (PARTITION BY window_start
+        |      ORDER BY n DESC, event_type) AS rnk
+        |  FROM c
+        |)
+        |SELECT window_start, event_type, n, rnk FROM r
+        |WHERE rnk <= 3""".stripMargin,
     // product-limit via Σln over the ordered (type,dur) curve; the
     // extinct flag pins S=0 with integer comparisons (no ln(0))
     "q193_kaplan_meier" ->

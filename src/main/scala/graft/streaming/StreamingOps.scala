@@ -298,6 +298,77 @@ object StreamingOps {
     (writer, handle)
   }
 
+  /** Streaming EXACT per-window top-k dimension values — the
+    * trending-now query (top event types per hour) as a genuine
+    * streaming operator. The native route (windowed count + rank) is
+    * unsupported in append mode (no window function over a streaming
+    * aggregate), so this keys `flatMapGroupsWithState` by tumbling
+    * window start: state is the window's dim→count map, folded
+    * incrementally across micro-batches; when the WATERMARK passes
+    * the window end the event-time timeout fires, the top-k rows
+    * (count desc, dim asc tiebreak) emit exactly once, and the state
+    * is freed. Output rows therefore appear only for CLOSED windows —
+    * append-mode semantics with per-window finality.
+    *
+    * NULL dim values advance the event-time clock but are NEVER
+    * counted: a null-dim row flows through the watermark node and
+    * into its window's group (so the window exists and its timeout is
+    * armed) yet contributes nothing to the top-k. That is the
+    * watermark-only sentinel contract for bounded replays (q123's
+    * flush trick) — a plain post-watermark `filter` does NOT work
+    * here, because Catalyst pushes non-event-time predicates through
+    * `EventTimeWatermark` into the scan and the sentinel row would
+    * never reach the watermark operator at all.
+    *
+    * Scale: state per open window is one map bounded by the dim
+    * cardinality (event types: tens), sharded across executors by the
+    * window-key shuffle; total state = open windows × dims, bounded by
+    * the watermark horizon regardless of stream length. For
+    * high-cardinality dims swap the exact map for the Misra-Gries
+    * summary ([[graft.plans.FreqAgg]]'s merge law) — same plan shape,
+    * bounded error. The timeout is clamped above the current
+    * watermark so a window straddling the lateness edge still flushes
+    * (later, complete, once) instead of throwing. */
+  def windowedTopK(df: DataFrame, tsCol: String, dimCol: String,
+                   windowLenMs: Long, k: Int,
+                   lateness: String = "0 seconds"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the watermarked event-time column must reach the stateful
+    // operator (event-time timeout requires it in its child), so it
+    // rides along unused
+    val rows = df.withWatermark(tsCol, lateness)
+      .select(
+        (unix_millis(col(tsCol)) -
+          pmod(unix_millis(col(tsCol)), lit(windowLenMs))).as("wstart"),
+        col(dimCol).cast("string").as("dim"),
+        col(tsCol).as("et"))
+      .as[(Long, String, java.sql.Timestamp)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstart: Long, it: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            counts.toSeq.sortBy { case (d, n) => (-n, d) }.take(k)
+              .zipWithIndex
+              .map { case ((d, n), i) => (wstart, d, n, (i + 1).toLong) }
+              .iterator
+          } else {
+            val m = scala.collection.mutable.Map.empty[String, Long]
+            state.getOption.foreach(m ++= _)
+            it.foreach(r =>
+              if (r._2 != null) m.update(r._2, m.getOrElse(r._2, 0L) + 1L))
+            state.update(m.toMap)
+            state.setTimeoutTimestamp(math.max(wstart + windowLenMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }.toDF("window_start", "dim", "n", "rnk")
+  }
+
   /** The output mode [[latestPerKey]] requires. */
   val UpdateMode: OutputMode = OutputMode.Update()
 }

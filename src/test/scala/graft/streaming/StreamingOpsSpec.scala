@@ -190,6 +190,42 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTopK: per-window exact top-k emits once on window close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = StreamingOps.windowedTopK(df, "ts", "event_type",
+        windowLenMs = 600000L, k = 2)
+      .writeStream.format("memory").queryName("topk_test")
+      .outputMode("append").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-08-12 05:$m%02d:00")
+      // window [05:00,05:10): a×2, b×1, c×1 — split across two
+      // micro-batches to prove cross-trigger state folding
+      input.addData((t(0), "a"), (t(1), "b"))
+      q.processAllAvailable()
+      input.addData((t(5), "a"), (t(6), "c"))
+      q.processAllAvailable()
+      assert(spark.table("topk_test").isEmpty) // window still open
+      // watermark jumps past 05:10 → window flushes exactly once
+      input.addData((t(20), "d"))
+      q.processAllAvailable()
+      // null-dim watermark carrier: advances the clock through the
+      // stateful operator but is never counted (sentinel contract)
+      input.addData((t(40), null))
+      q.processAllAvailable()
+      input.addData((t(59), null)) // extra trigger fires the timeout
+      q.processAllAvailable()
+      val rows = spark.table("topk_test")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      // top-2 of {a:2, b:1, c:1}: a first, then b on the asc
+      // tiebreak; d's own [05:20,05:30) window closed at wm 05:40;
+      // the null-carrier windows hold empty maps and emit nothing
+      assert(rows == Set(("a", 2L, 1L), ("b", 1L, 2L), ("d", 1L, 1L)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("sessionAgg: gap-based session windows close after the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
