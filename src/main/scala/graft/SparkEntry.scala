@@ -1112,6 +1112,26 @@ object SparkEntry {
           .select(col("user_id").as("test_id")).distinct()
           .withColumn("p", (col("test_id") % 1009 + 1) / lit(1009.0)),
         "test_id", "p")),
+    // Wasserstein-1 (earth-mover) value-distribution drift per event
+    // type between early-week and late-week slices: integer segment
+    // terms |r1*n2 - r2*n1|*gap summed in int64, one FP division per
+    // group -- the drift metric that weighs HOW FAR mass moved
+    "q199_wasserstein_drift" -> ((s, dir) =>
+      Profiling.wasserstein1(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("(ts div 86400000000000) % 7").as("dow"),
+            expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents")),
+        "event_type", col("dow") < 3, "cents")),
+    // Time-decayed top-20 users: 2^-age_days dyadic weights (bit-exact
+    // order-free FP sums), newest day from a 1-row broadcast --
+    // trending-now ranking with deterministic score ties
+    "q200_decayed_topk" -> ((s, dir) =>
+      TimeSeries.decayedCounts(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        "user_id", expr("ts div 86400000000000"))
+        .orderBy(col("decayed").desc, col("user_id"))
+        .limit(20)),
     // STREAMING windowed top-k: top-3 event types per hour via
     // flatMapGroupsWithState keyed by window start -- the ranking
     // query native streaming can't express (no rank over a streaming
@@ -2446,6 +2466,53 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6)
         |    AS q_value
         |FROM r""".stripMargin,
+    // integer segment terms over the shared sorted-distinct-value
+    // CDF; one division per group on identical operands
+    "q199_wasserstein_drift" ->
+      """WITH base AS (
+        |  SELECT event_type AS g,
+        |    CASE WHEN (epoch_ns(ts) // 86400000000000) % 7 < 3
+        |      THEN 1 ELSE 0 END AS a,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), c AS (
+        |  SELECT g, v, sum(a)::BIGINT AS c1,
+        |    (count(*) - sum(a))::BIGINT AS c2
+        |  FROM base GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT g, sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+        |  FROM c GROUP BY 1
+        |), r AS (
+        |  SELECT g, v,
+        |    sum(c1) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+        |    sum(c2) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2,
+        |    coalesce(lead(v) OVER (PARTITION BY g ORDER BY v) - v, 0)
+        |      AS gap
+        |  FROM c
+        |)
+        |SELECT r.g AS event_type,
+        |  round(sum(abs(r1 * n2 - r2 * n1) * gap)::DOUBLE
+        |    / (n1 * n2)::DOUBLE, 6) AS w1,
+        |  n1, n2
+        |FROM r JOIN tot ON r.g = tot.g
+        |WHERE n1 > 0 AND n2 > 0
+        |GROUP BY r.g, n1, n2""".stripMargin,
+    // dyadic 2^-age weights sum exactly in both engines; ties at the
+    // top-20 boundary break on user_id in both
+    "q200_decayed_topk" ->
+      """WITH d AS (
+        |  SELECT user_id AS k, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL
+        |), mx AS (SELECT max(day) AS md FROM d)
+        |SELECT k AS user_id,
+        |  round(sum(power(2.0, -least(md - day, 30))), 6) AS decayed,
+        |  count(*)::BIGINT AS n
+        |FROM d, mx GROUP BY k, md
+        |ORDER BY decayed DESC, k
+        |LIMIT 20""".stripMargin,
     // batch dual of the streaming top-k: hourly counts + row_number;
     // the stream's per-window flush must reproduce it exactly
     "q197_stream_windowed_topk" ->

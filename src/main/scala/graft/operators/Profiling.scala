@@ -227,6 +227,57 @@ object Profiling {
         (-col("_m._nv")).as("ks_at"), col("n1"), col("n2"))
   }
 
+  /** Wasserstein-1 (earth-mover) distance between two slices' value
+    * distributions, per group — the drift metric that, unlike KS
+    * ([[ksTwoSample]], max deviation) or PSI ([[psiDrift]], binned
+    * log-ratio), weighs HOW FAR mass moved: a $1 shift of every price
+    * scores small, a bimodal split scores large. For integer-valued
+    * columns W₁ = Σᵢ |F₁(vᵢ)−F₂(vᵢ)|·(vᵢ₊₁−vᵢ) over the sorted
+    * distinct values. Returns (group, w1 rounded 6, n1, n2).
+    *
+    * INTEGER-exact accumulation: each segment contributes
+    * `|r₁·n₂ − r₂·n₁| · gap` in int64 (running counts
+    * cross-multiplied by slice totals), summed exactly in any order;
+    * the single FP division happens once per group on identical
+    * operands. Exact while n₁·n₂·range < 2⁶³ per segment — quantize
+    * coarser first beyond that.
+    *
+    * Scale shape: identical to [[ksTwoSample]] — one (group, value)
+    * shuffle with map-side combine, running CDF + lead gap riding ONE
+    * group-local sort, totals broadcast. `valueCol` must be integral
+    * (quantize money to cents upstream). */
+  def wasserstein1(df: DataFrame, groupCol: String, isSliceA: Column,
+                   valueCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        when(isSliceA, lit(1L)).otherwise(lit(0L)).as("_a"),
+        col(valueCol).as("_v"))
+    val c = base.groupBy(col("_g"), col("_v"))
+      .agg(sum("_a").as("_c1"), (count(lit(1)) - sum("_a")).as("_c2"))
+    val tot = c.groupBy("_g")
+      .agg(sum("_c1").as("_n1"), sum("_c2").as("_n2"))
+      .filter(col("_n1") > 0 && col("_n2") > 0)
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy("_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val nxt = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy("_v")
+    c.withColumn("_r1", sum("_c1").over(cum))
+      .withColumn("_r2", sum("_c2").over(cum))
+      // last value: no segment to the right, gap 0 (F₁=F₂=1 there)
+      .withColumn("_gap",
+        coalesce(lead("_v", 1).over(nxt) - col("_v"), lit(0L)))
+      .join(broadcast(tot), Seq("_g"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(sum(abs(col("_r1") * col("_n2") - col("_r2") * col("_n1"))
+          * col("_gap")).as("_num"),
+        max("_n1").as("n1"), max("_n2").as("n2"))
+      .select(col(groupCol),
+        round(col("_num").cast("double") /
+          (col("n1") * col("n2")).cast("double"), 6).as("w1"),
+        col("n1"), col("n2"))
+  }
+
   /** Data-contract validation — the constraint gate that runs before
     * a drop is admitted to the lake: one row per declared constraint,
     * (check_name, n_violations, passed). Constraint classes:

@@ -113,6 +113,37 @@ object TimeSeries {
     *
     * Scale shape: generated from a single `sequence` literal —
     * days-sized, no input scan; always broadcastable. */
+  /** Time-decayed counts per key: each event contributes
+    * `2^-min(age, maxAge)` where age = (newest day in the data − the
+    * event's day) — the "trending now" score that lets yesterday's
+    * burst outrank last month's steady drip. Returns (key,
+    * decayed rounded 6, n raw count).
+    *
+    * BIT-EXACT across engines and partition orders (the [[ewmaDyadic]]
+    * trade): every weight is a dyadic rational with quantum
+    * `2^-maxAge`, exactly representable in a double, and partial sums
+    * stay exact while total score < 2^(53−maxAge) — ~8.4M weighted
+    * rows per key at the default maxAge 30 — so the FP `sum` is
+    * order-free and a hash-compare against another engine holds. The
+    * age cap costs nothing semantically: a 30-day-old event's true
+    * weight is below 1e-9 anyway.
+    *
+    * Scale shape: one 1-row broadcast for the global max day (a
+    * documented statistics pass, like the skew profile q86), then one
+    * map-side-combinable groupBy — scan-shaped, no sort, no window. */
+  def decayedCounts(df: DataFrame, keyCol: String, dayCol: Column,
+                    maxAge: Int = 30): DataFrame = {
+    val base = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("_k"), dayCol.cast("long").as("_day"))
+    val mx = base.agg(max("_day").as("_md"))
+    base.crossJoin(broadcast(mx))
+      .select(col("_k"),
+        pow(lit(0.5), least(col("_md") - col("_day"), lit(maxAge.toLong))
+          .cast("double")).as("_w"))
+      .groupBy(col("_k").as(keyCol))
+      .agg(round(sum("_w"), 6).as("decayed"), count(lit(1)).as("n"))
+  }
+
   def dateSpine(spark: org.apache.spark.sql.SparkSession,
                 start: String, end: String): DataFrame = {
     spark.range(1)

@@ -177,6 +177,29 @@ class ProfilingSpec extends SparkSpec {
     assert(out == Map("g" -> ((1.0, 2.0)))) // D=1 at the last A value
   }
 
+  test("wasserstein1: hand-computed shift; identical slices give 0") {
+    // slice a = {0, 10}, slice b = {5, 15}: every point shifted +5 → W1 = 5
+    val shift = (Seq(0L, 10L).map(("g", "a", _)) ++
+      Seq(5L, 15L).map(("g", "b", _))).toDF("g", "s", "v")
+    val w = Profiling.wasserstein1(shift, "g", col("s") === "a", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3))).head
+    assert(w == (("g", 5.0, 2L, 2L)))
+    val same = (Seq(1L, 2L, 3L).map(("g", "a", _)) ++
+      Seq(1L, 2L, 3L).map(("g", "b", _))).toDF("g", "s", "v")
+    val z = Profiling.wasserstein1(same, "g", col("s") === "a", "v")
+      .collect().head.getDouble(1)
+    assert(z == 0.0)
+  }
+
+  test("wasserstein1: groups missing a slice are dropped") {
+    val df = (Seq(("g", "a", 1L), ("g", "b", 3L), ("lonely", "a", 1L)))
+      .toDF("g", "s", "v")
+    val out = Profiling.wasserstein1(df, "g", col("s") === "a", "v")
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("g"))
+  }
+
   test("chiSquareIndependence: hand-computed 2x2, e=15 per cell") {
     // o = [[10,20],[20,10]] -> all marginals 30, n=60, e=15
     // chi2 = 4 * (5^2/15) = 20/3

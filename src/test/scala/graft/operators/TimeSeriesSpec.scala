@@ -117,6 +117,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(incr == oneShot)
   }
 
+  test("decayedCounts: dyadic weights, age cap, exact hand values") {
+    // newest day = 10; ages 0, 1, 1, 40(capped to 2 with maxAge=2)
+    val df = Seq(("u", 10L), ("u", 9L), ("u", 9L), ("v", -30L))
+      .toDF("k", "day")
+    val out = TimeSeries.decayedCounts(df, "k", col("day"), maxAge = 2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // u: 2^0 + 2^-1 + 2^-1 = 2.0; v: capped 2^-2 = 0.25
+    assert(out == Map("u" -> ((2.0, 3L)), "v" -> ((0.25, 1L))))
+  }
+
   test("seasonalDecompose recovers a planted period-4 pattern on a linear trend") {
     // y = 2·t + s[t%4], s = (+5, 0, −5, 0): the ±2-row centered mean
     // of a linear trend is exact, so away from the edges trend ≈ 2t
