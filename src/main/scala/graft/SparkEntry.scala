@@ -32,6 +32,30 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic per-user random walk derived from the event log —
+    * the synthetic movement track q201/q202 analyze (the harness
+    * tables carry no coordinates). Steps are value-in-cents integers
+    * routed N/E/S/W by event_id % 4 and cumulated per user in the
+    * (ts, event_id) order, so positions are int64 cumsums divided by
+    * 100 — bit-identical in any engine. Timestamps are truncated to
+    * MICROS (`ts div 1000` ⇄ `epoch_us(ts)`) — the q34 convention;
+    * DuckDB reads the nanos parquet at micro precision. Returns
+    * (user_id, ts_us, x, y). */
+  private def eventWalk(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events.filter(col("user_id").isNotNull && col("value").isNotNull)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("_c", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+      .withColumn("x", (sum(when(col("event_id") % 4 === 0, col("_c"))
+          .when(col("event_id") % 4 === 1, -col("_c"))
+          .otherwise(lit(0L))).over(w) / 100.0))
+      .withColumn("y", (sum(when(col("event_id") % 4 === 2, col("_c"))
+          .when(col("event_id") % 4 === 3, -col("_c"))
+          .otherwise(lit(0L))).over(w) / 100.0))
+      .select(col("user_id"), col("ts_us"), col("x"), col("y"))
+  }
+
   /** Flagship: the reference pipeline end-to-end (KML source →
     * projection → argmax dedup → Feature rows) on an in-process
     * fixture feed. Driver smoke-checks rows > 0. */
@@ -1132,6 +1156,24 @@ object SparkEntry {
         "user_id", expr("ts div 86400000000000"))
         .orderBy(col("decayed").desc, col("user_id"))
         .limit(20)),
+    // Per-device track rollup (distance + peak speed) over a
+    // deterministic random walk derived from the event log (integer
+    // cumsum in cents -- bit-identical coordinates in both engines);
+    // legs quantized to micro-units, summed in int64
+    "q201_track_stats" -> ((s, dir) =>
+      graft.operators.Spatial.trackStats(
+        eventWalk(t(s, dir, "events")), "user_id", "ts_us", "x", "y",
+        ticksPerSecond = 1e6)
+        .orderBy("user_id")),
+    // Grid-cell dwell detection on the same walk: >= 24h stays in a
+    // 50-unit cell with a 12h visit-gap split -- all-integer
+    // session arithmetic
+    "q202_dwell_cells" -> ((s, dir) =>
+      graft.operators.Spatial.dwellCells(
+        eventWalk(t(s, dir, "events")), "user_id", "ts_us", "x", "y",
+        cellSize = 50.0, gap = 43200000000L,
+        minDwell = 86400000000L)
+        .orderBy("user_id", "cell_x", "cell_y")),
     // STREAMING windowed top-k: top-3 event types per hour via
     // flatMapGroupsWithState keyed by window start -- the ranking
     // query native streaming can't express (no rank over a streaming
@@ -2366,6 +2408,24 @@ object SparkEntry {
           col("_s.frame_idx").as("survivor_frame")))
   )
 
+  /** DuckDB dual of [[eventWalk]]: the deterministic per-user walk
+    * q201/q202 analyze — int64 cumsums / 100, bit-identical to the
+    * Spark side. */
+  private val duckWalkCte: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      |), walk AS (
+      |  SELECT user_id, t,
+      |    sum(CASE WHEN event_id % 4 = 0 THEN c
+      |      WHEN event_id % 4 = 1 THEN -c ELSE 0 END) OVER w / 100.0 AS x,
+      |    sum(CASE WHEN event_id % 4 = 2 THEN c
+      |      WHEN event_id % 4 = 3 THEN -c ELSE 0 END) OVER w / 100.0 AS y
+      |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)""".stripMargin
+
   /** DuckDB rounded-cosine dual of `Similarity.cosine` (same
     * left-to-right fold as DotProductF/L2NormF; see q27/q28). */
   private def duckCos(a: String, b: String): String =
@@ -2513,6 +2573,56 @@ object SparkEntry {
         |FROM d, mx GROUP BY k, md
         |ORDER BY decayed DESC, k
         |LIMIT 20""".stripMargin,
+    // walk coordinates are int64 cumsums / 100 -- bit-identical;
+    // legs are sqrt of products (correctly rounded IEEE ops), then
+    // micro-quantized and summed as integers
+    "q201_track_stats" ->
+      s"""$duckWalkCte
+        |, l AS (
+        |  SELECT user_id, t, x, y, lag(x) OVER w AS px,
+        |    lag(y) OVER w AS py, lag(t) OVER w AS pt
+        |  FROM walk WINDOW w AS (PARTITION BY user_id ORDER BY t, x, y)
+        |), legs AS (
+        |  SELECT user_id,
+        |    CASE WHEN pt IS NOT NULL THEN CAST(floor(
+        |      sqrt((x-px)*(x-px) + (y-py)*(y-py)) * 1e6 + 0.5) AS BIGINT)
+        |    END AS legq,
+        |    CASE WHEN pt IS NOT NULL AND t - pt > 0 THEN
+        |      sqrt((x-px)*(x-px) + (y-py)*(y-py)) / ((t - pt) / 1e6)
+        |    END AS spd
+        |  FROM l
+        |)
+        |SELECT user_id, count(*)::BIGINT AS n_points,
+        |  round(coalesce(sum(legq), 0)::DOUBLE / 1e6, 6) AS path_len,
+        |  round(max(spd), 6) AS max_speed
+        |FROM legs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // all-integer dwell sessionization over the same walk
+    "q202_dwell_cells" ->
+      s"""$duckWalkCte
+        |, cells AS (
+        |  SELECT user_id, t, CAST(floor(x / 50.0) AS BIGINT) AS cell_x,
+        |    CAST(floor(y / 50.0) AS BIGINT) AS cell_y
+        |  FROM walk
+        |), f AS (
+        |  SELECT user_id, cell_x, cell_y, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 43200000000 THEN 1 ELSE 0 END AS newf
+        |  FROM cells
+        |  WINDOW w AS (PARTITION BY user_id, cell_x, cell_y ORDER BY t)
+        |), s AS (
+        |  SELECT user_id, cell_x, cell_y, t,
+        |    sum(newf) OVER (PARTITION BY user_id, cell_x, cell_y ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM f
+        |), d AS (
+        |  SELECT user_id, cell_x, cell_y, sess, max(t) - min(t) AS dur,
+        |    count(*)::BIGINT AS n
+        |  FROM s GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT user_id, cell_x, cell_y, count(*)::BIGINT AS n_dwells,
+        |  max(dur)::BIGINT AS longest, sum(n)::BIGINT AS n_points
+        |FROM d WHERE dur >= 86400000000
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // batch dual of the streaming top-k: hourly counts + row_number;
     // the stream's per-window flush must reproduce it exactly
     "q197_stream_windowed_topk" ->

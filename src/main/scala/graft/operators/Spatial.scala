@@ -53,4 +53,107 @@ object Spatial {
       .filter(col("_d2") <= lit(radius * radius))
       .select(col("id1"), col("id2"), round(col("_d2"), 6).as("d2"))
   }
+
+  /** Per-track movement stats — the GPS-feed summary the reference's
+    * domain (satellite trackers) reports per device: ordering each
+    * key's points by time, sum the leg lengths (total path distance)
+    * and take the fastest leg (peak speed). Returns (key, n_points,
+    * path_len rounded 6, max_speed rounded 6); `max_speed` is null
+    * when every leg has dt ≤ 0 (single point, or all-tied
+    * timestamps). Ref domain: dfpc-coe/etl-inreach task.ts computes
+    * per-point speed from the feed; this is its track-level rollup.
+    *
+    * ENGINE-EXACT: each leg is `sqrt(dx·dx + dy·dy)` — products and
+    * sqrt are IEEE-correctly-rounded in every engine, so legs are
+    * bit-identical; legs are then quantized to micro-units
+    * (`floor(leg·1e6 + 0.5)` as int64) and summed as integers, so
+    * the path total is order-free and exact while total path
+    * < 2⁴³ units. Speed divides two bit-identical operands
+    * (leg / seconds) → per-leg doubles identical; `max` is
+    * order-free. The window orders by (ts, x, y): equal-timestamp
+    * duplicate points pair ambiguously but contribute identical leg
+    * sets either way.
+    *
+    * Scale shape: ONE hash shuffle on the key + a per-key sort (the
+    * unavoidable cost of sequencing a track), then a
+    * map-side-combinable agg riding the same partitioning — AQE
+    * reuses the exchange. No self-join: lag() makes legs a linear
+    * pass. `tsCol` must be integral; `ticksPerSecond` names its unit
+    * (1e6 for epoch micros, 1e9 for nanos); x/y planar (see module
+    * doc). */
+  def trackStats(points: DataFrame, keyCol: String, tsCol: String,
+                 xCol: String, yCol: String,
+                 ticksPerSecond: Double = 1e9): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_k").orderBy("_t", "_x", "_y")
+    val base = points
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("_k"), col(tsCol).cast("long").as("_t"),
+        col(xCol).cast("double").as("_x"), col(yCol).cast("double").as("_y"))
+    val dx = col("_x") - lag("_x", 1).over(w)
+    val dy = col("_y") - lag("_y", 1).over(w)
+    val leg = sqrt(dx * dx + dy * dy)
+    val dt = col("_t") - lag("_t", 1).over(w)
+    base
+      .withColumn("_legq",
+        floor(leg * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("_spd",
+        when(dt > 0, leg / (dt.cast("double") / lit(ticksPerSecond))))
+      .groupBy(col("_k").as(keyCol))
+      .agg(count(lit(1)).as("n_points"),
+        round(coalesce(sum("_legq"), lit(0L)).cast("double") / 1e6, 6)
+          .as("path_len"),
+        round(max("_spd"), 6).as("max_speed"))
+  }
+
+  /** Grid-cell dwell detection — stay-points from a movement stream:
+    * bucket points to `cellSize` grid cells, sessionize each
+    * (key, cell)'s visits with a `gap` split (same contract as
+    * event sessionization q34), and keep sessions lasting at least
+    * `minDwell` — "the device stayed HERE for this long". Returns one
+    * row per (key, cell_x, cell_y) that has at least one dwell:
+    * (key, cell_x, cell_y, n_dwells, longest duration, n_points
+    * across dwells). All-integer arithmetic (int64 ticks + counts;
+    * `gap`/`minDwell`/`longest` share `tsCol`'s unit) — order-free,
+    * engine-exact.
+    *
+    * Equal timestamps sessionize deterministically: a 0 gap never
+    * splits, so tied rows land in one session regardless of their
+    * mutual order, and durations (max−min per session) are
+    * order-free.
+    *
+    * Scale shape: one hash shuffle on (key, cell) + per-group sort
+    * for the lag/running-flag pass, then the session and cell aggs
+    * ride the SAME partitioning (no second exchange; the session
+    * grouping only refines the window's). Cells bound the group
+    * sizes the way [[neighborPairs]]' grid bounds pair work — a
+    * device's history splits across every cell it visited. */
+  def dwellCells(points: DataFrame, keyCol: String, tsCol: String,
+                 xCol: String, yCol: String, cellSize: Double,
+                 gap: Long, minDwell: Long): DataFrame = {
+    require(cellSize > 0 && gap > 0 && minDwell >= 0)
+    val base = points
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("_k"), col(tsCol).cast("long").as("_t"),
+        floor(col(xCol).cast("double") / cellSize).cast("long").as("cell_x"),
+        floor(col(yCol).cast("double") / cellSize).cast("long").as("cell_y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_k", "cell_x", "cell_y").orderBy("_t")
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy("_k", "cell_x", "cell_y").orderBy("_t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base
+      .withColumn("_new",
+        when(lag("_t", 1).over(w).isNull ||
+          col("_t") - lag("_t", 1).over(w) > gap, 1L).otherwise(0L))
+      .withColumn("_sess", sum("_new").over(run))
+      .groupBy(col("_k"), col("cell_x"), col("cell_y"), col("_sess"))
+      .agg((max("_t") - min("_t")).as("_dur"), count(lit(1)).as("_n"))
+      .filter(col("_dur") >= minDwell)
+      .groupBy(col("_k").as(keyCol), col("cell_x"), col("cell_y"))
+      .agg(count(lit(1)).as("n_dwells"), max("_dur").as("longest"),
+        sum("_n").as("n_points"))
+  }
 }

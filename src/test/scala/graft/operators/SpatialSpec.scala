@@ -30,4 +30,39 @@ class SpatialSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
     assert(got == brute && brute.nonEmpty)
   }
+
+  test("trackStats: 3-4-5 legs, peak speed on the fast leg, key isolation") {
+    // u: (0,0) t=0 → (3,4) t=5e9 (leg 5, 1 unit/s) → (3,1) t=6e9
+    // (leg 3, 3 units/s — the peak); v: single point → 0 path, null speed
+    val pts = Seq(("u", 0L, 0.0, 0.0), ("u", 5000000000L, 3.0, 4.0),
+      ("u", 6000000000L, 3.0, 1.0), ("v", 0L, 9.0, 9.0))
+      .toDF("k", "t", "x", "y")
+    val out = Spatial.trackStats(pts, "k", "t", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), Option(r.get(3))))).toMap
+    assert(out("u") == ((3L, 8.0, Some(3.0))))
+    assert(out("v") == ((1L, 0.0, None)))
+  }
+
+  test("trackStats: zero-dt legs add distance but never speed") {
+    val pts = Seq(("u", 1L, 0.0, 0.0), ("u", 1L, 6.0, 8.0))
+      .toDF("k", "t", "x", "y")
+    val r = Spatial.trackStats(pts, "k", "t", "x", "y").collect().head
+    assert(r.getDouble(2) == 10.0 && r.isNullAt(3))
+  }
+
+  test("dwellCells: gap splits sessions, minDwell gates, cells isolate") {
+    // cell (0,0): visits at t=0,10,20 (one 20-ns dwell), then t=100
+    // (gap>30 → new 1-point session, dur 0 < 15 dropped);
+    // cell (1,0): t=0,5 → dur 5 < 15 dropped
+    val pts = Seq(("u", 0L, 1.0, 1.0), ("u", 10L, 2.0, 2.0),
+      ("u", 20L, 3.0, 3.0), ("u", 100L, 1.0, 1.0),
+      ("u", 0L, 12.0, 3.0), ("u", 5L, 13.0, 2.0))
+      .toDF("k", "t", "x", "y")
+    val out = Spatial.dwellCells(pts, "k", "t", "x", "y",
+        cellSize = 10.0, gap = 30L, minDwell = 15L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("u", 0L, 0L, 1L, 20L, 3L)))
+  }
 }
