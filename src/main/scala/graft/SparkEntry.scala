@@ -30,7 +30,25 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    normTs(s.read.parquet(s"$dir/$name.parquet"))
+
+  /** Schema-drift shim for the harness feed: older generator snapshots
+    * wrote `events.ts` as parquet timestamp[ns] (surfaced to Spark as
+    * BIGINT nanos via `spark.sql.legacy.parquet.nanosAsLong`); the
+    * current snapshot writes timestamp[us] (NTZ), which Spark reads as
+    * a real timestamp. The engine's time arithmetic is integer-exact
+    * on int64 nanos, so BOTH shapes normalize to that representation
+    * here: `unix_micros` is exact and the ×1000 widening cannot
+    * overflow for any timestamp parquet can carry. The DuckDB duals'
+    * `epoch_ns(ts)` returns the identical int64 for either physical
+    * type, so oracle parity is unaffected. Scale note: this is a
+    * scan-time projection — codegen'd, no shuffle, no extra pass. */
+  private def normTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType != org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case _ => df
+    }
 
   /** Deterministic per-user random walk derived from the event log —
     * the synthetic movement track q201/q202 analyze (the harness
@@ -410,8 +428,8 @@ object SparkEntry {
       // streaming parquet source, so join state holds only the
       // cohort's rows rather than the whole feed (full-feed state was
       // 16 s of state-store writes at sf0.1 for 771 output rows).
-      def side(p: String) = s.readStream.schema(schema)
-        .parquet(srcDir.toString)
+      def side(p: String) = normTs(s.readStream.schema(schema)
+        .parquet(srcDir.toString))
         .filter(col("user_id") < 100)
         .select(col("user_id").as(s"${p}user"), col("event_id").as(s"${p}event"),
           expr("timestamp_micros(ts div 1000)").as(s"${p}ts"))
@@ -566,7 +584,7 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       srcDir.toFile.deleteOnExit()
       srcDir.resolve("events.parquet").toFile.deleteOnExit()
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val stream = normTs(s.readStream.schema(schema).parquet(srcDir.toString))
         .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
       val agg = graft.streaming.StreamingOps.windowedAgg(
         stream, "ets", "event_type", windowLen = "30 minutes")
@@ -600,7 +618,7 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       srcDir.toFile.deleteOnExit()
       srcDir.resolve("events.parquet").toFile.deleteOnExit()
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val stream = normTs(s.readStream.schema(schema).parquet(srcDir.toString))
         .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
         .select(col("user_id"), col("event_type"), col("ets"))
       val dd = graft.streaming.StreamingOps.dedupStream(
@@ -645,7 +663,7 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       srcDir.toFile.deleteOnExit()
       srcDir.resolve("events.parquet").toFile.deleteOnExit()
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val stream = normTs(s.readStream.schema(schema).parquet(srcDir.toString))
         .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
       val sess = graft.streaming.StreamingOps.sessionAgg(
         stream, "ets", "user_id", gap = "30 minutes")
@@ -677,7 +695,7 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       srcDir.toFile.deleteOnExit()
       srcDir.resolve("events.parquet").toFile.deleteOnExit()
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val stream = normTs(s.readStream.schema(schema).parquet(srcDir.toString))
         .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
       val est = graft.streaming.StreamingOps.windowedDistinct(
         stream, "ets", "event_type", "user_id", windowLen = "30 minutes")
@@ -711,7 +729,7 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       srcDir.toFile.deleteOnExit()
       srcDir.resolve("events.parquet").toFile.deleteOnExit()
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val stream = normTs(s.readStream.schema(schema).parquet(srcDir.toString))
         .select(col("event_id").cast("long"), col("user_id").cast("long"),
           col("ts").cast("long"), col("event_type").cast("string"))
         .as[(Long, Long, Long, String)]
@@ -1185,7 +1203,9 @@ object SparkEntry {
     "q197_stream_windowed_topk" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ev = t(s, dir, "events")
-      val schema = ev.schema
+      // the stream reads the RAW feed file (plus sentinels), so its
+      // declared schema must be the raw one — normTs runs post-source
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
       val maxTs = q123MaxTs.getOrElseUpdate(dir,
         ev.agg(max("ts")).head().getLong(0))
       val tmp = java.nio.file.Files.createTempDirectory("q197")
@@ -1204,6 +1224,10 @@ object SparkEntry {
         val w = tmp.resolve(s"w$i")
         Seq((-i, sTs, 0L, "sentinel", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          // sentinel files must carry the raw feed's ts type so one
+          // declared stream schema covers both
+          .withColumn("ts",
+            expr("timestamp_micros(ts div 1000)").cast(schema("ts").dataType))
           .coalesce(1).write.parquet(w.toString)
         val part = w.toFile.listFiles()
           .filter(_.getName.startsWith("part-")).head
@@ -1216,8 +1240,8 @@ object SparkEntry {
       // never counted (the operator's null-dim contract) -- a plain
       // filter would be pushed below the watermark node and the
       // sentinel would never reach it
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val stream = normTs(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
         .select(expr("timestamp_micros(ts div 1000)").as("ets"),
           when(col("event_id") >= 0, col("event_type")).as("event_type"))
       val topk = graft.streaming.StreamingOps.windowedTopK(
@@ -1840,7 +1864,8 @@ object SparkEntry {
     "q123_interval_join_outer" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ev = t(s, dir, "events")
-      val schema = ev.schema
+      // raw schema: the stream source reads the raw feed file itself
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
       // one stats pass, memoized per dir (bench min-of-2 reruns the
       // whole query; the feed max is a property of the input, not of
       // the run)
@@ -1857,9 +1882,9 @@ object SparkEntry {
       // batch 2: batch 2 then STARTS with wm = maxTs + 30min (zero
       // lateness), which flushes every unmatched purchase — the
       // minimum number of micro-batches that can emit outer rows
-      def side(p: String, tpe: String) = s.readStream.schema(schema)
+      def side(p: String, tpe: String) = normTs(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2")
-        .parquet(srcDir.toString)
+        .parquet(srcDir.toString))
         .filter(col("user_id") < 50 && col("event_type") === tpe)
         .select(col("user_id").as(s"${p}user"),
           col("event_id").as(s"${p}event"),
@@ -1895,6 +1920,9 @@ object SparkEntry {
           Seq((-2L * i, sTs, 0L, "purchase", 0.0, "{}"),
             (-2L * i - 1, sTs, 0L, "click", 0.0, "{}"))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            // match the raw feed's ts type (see q197)
+            .withColumn("ts",
+              expr("timestamp_micros(ts div 1000)").cast(schema("ts").dataType))
             .coalesce(1).write.parquet(w.toString)
           val part = w.toFile.listFiles()
             .filter(_.getName.startsWith("part-")).head

@@ -128,7 +128,9 @@ class StreamingOpsSpec extends SparkSpec {
     val stream = graft.SparkEntry.queries("q80_interval_join_stream")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val e = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), col("event_id"),
+        // raw feed carries timestamp[us]; the dual works in epoch micros
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
     val b = e.select(col("user_id").as("r_user"), col("event_id").as("r_event"),
       col("ts_us").as("r_us"))
     val batch = e.join(b, col("user_id") === col("r_user") &&
