@@ -1693,11 +1693,22 @@ object SparkEntry {
     // No SQL dual (eigensolve isn't ANSI-expressible) -> driver
     // records the rows-only check; DecompositionSpec pins the math
     // (orthonormality, variance=eigenvalue, partitioning invariance)
+    // PCA projection through the full operator path (GramAgg scan →
+    // driver Jacobi eigensolve → broadcast DotProductF projection) on
+    // the 2-dim leading subspace: at dim=2 the cyclic Jacobi solve IS
+    // one closed-form rotation, so the DuckDB dual can replay it
+    // operation-for-operation (quantized stats via statsDecimals make
+    // both engines' eigen INPUTS bit-identical). The 64-dim path of
+    // the same code is DecompositionSpec-verified (A·v=λ·v, planted
+    // direction, partition invariance) — not SQL-expressible.
     "q166_pca_project" -> ((s, dir) =>
       graft.operators.Decomposition.pcaProject(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 64, 3)
-        .select(col("vec_id"), round(col("pc1"), 4).as("pc1"),
-          round(col("pc2"), 4).as("pc2"), round(col("pc3"), 4).as("pc3"))),
+        t(s, dir, "embeddings").select(col("vec_id"),
+          expr("slice(embedding, 1, 2)").as("embedding")),
+        "vec_id", "embedding", 2, 2, statsDecimals = 6)
+        .select(col("vec_id"),
+          (round(col("pc1"), 4) + 0.0).as("pc1"),
+          (round(col("pc2"), 4) + 0.0).as("pc2"))),
     // C4-style duplicated-span removal: 16-token spans occurring in
     // ≥2 distinct docs are dropped corpus-wide; docs reassembled from
     // surviving spans in order. Spans shuffle by md5 (fixed-width
@@ -2686,7 +2697,7 @@ object SparkEntry {
         |      AS n_risk
         |  FROM c
         |)
-        |SELECT event_type, dur, n_risk, n_events,
+        |SELECT event_type, dur, n_risk::BIGINT AS n_risk, n_events,
         |  CASE WHEN max(CASE WHEN n_events = n_risk AND n_events > 0
         |      THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY event_type ORDER BY dur) = 1 THEN 0.0
@@ -2984,14 +2995,14 @@ object SparkEntry {
         |  FROM idx
         |)
         |SELECT doc_id,
-        |  round(avg((('0x' || substr(h, 1, 2))::BIGINT - 127.5) / 127.5), 6) AS e0,
-        |  round(avg((('0x' || substr(h, 3, 2))::BIGINT - 127.5) / 127.5), 6) AS e1,
-        |  round(avg((('0x' || substr(h, 5, 2))::BIGINT - 127.5) / 127.5), 6) AS e2,
-        |  round(avg((('0x' || substr(h, 7, 2))::BIGINT - 127.5) / 127.5), 6) AS e3,
-        |  round(avg((('0x' || substr(h, 9, 2))::BIGINT - 127.5) / 127.5), 6) AS e4,
-        |  round(avg((('0x' || substr(h, 11, 2))::BIGINT - 127.5) / 127.5), 6) AS e5,
-        |  round(avg((('0x' || substr(h, 13, 2))::BIGINT - 127.5) / 127.5), 6) AS e6,
-        |  round(avg((('0x' || substr(h, 15, 2))::BIGINT - 127.5) / 127.5), 6) AS e7
+        |  round(avg((('0x' || substr(h, 1, 2))::BIGINT - 127.5) / 127.5), 6) + 0.0 AS e0,
+        |  round(avg((('0x' || substr(h, 3, 2))::BIGINT - 127.5) / 127.5), 6) + 0.0 AS e1,
+        |  round(avg((('0x' || substr(h, 5, 2))::BIGINT - 127.5) / 127.5), 6) + 0.0 AS e2,
+        |  round(avg((('0x' || substr(h, 7, 2))::BIGINT - 127.5) / 127.5), 6) + 0.0 AS e3,
+        |  round(avg((('0x' || substr(h, 9, 2))::BIGINT - 127.5) / 127.5), 6) + 0.0 AS e4,
+        |  round(avg((('0x' || substr(h, 11, 2))::BIGINT - 127.5) / 127.5), 6) + 0.0 AS e5,
+        |  round(avg((('0x' || substr(h, 13, 2))::BIGINT - 127.5) / 127.5), 6) + 0.0 AS e6,
+        |  round(avg((('0x' || substr(h, 15, 2))::BIGINT - 127.5) / 127.5), 6) + 0.0 AS e7
         |FROM f GROUP BY doc_id""".stripMargin,
     "q179_containment" ->
       """WITH base AS (
@@ -3181,7 +3192,7 @@ object SparkEntry {
         |  FROM lineitem
         |)
         |SELECT l_returnflag, min(l_extendedprice) AS wmedian,
-        |  max(tot) AS total_w
+        |  max(tot)::BIGINT AS total_w
         |FROM c WHERE cw * 2 >= tot GROUP BY l_returnflag""".stripMargin,
     // the oracle is the ONE-SHOT sessionization of all events — the
     // incremental two-stage path must be indistinguishable from it
@@ -3254,6 +3265,72 @@ object SparkEntry {
         |        6) AS score
         |  FROM a JOIN b USING (c_nationkey, c_mktsegment)
         |) WHERE score >= 3.0""".stripMargin,
+    // Operation-for-operation replay of the dim=2 PCA: quantized
+    // stats (round 6 = the engine's statsDecimals), ONE Jacobi
+    // rotation in closed form with the engine's exact op order,
+    // sign-fix + eigenvalue ordering, REAL-cast eigenvector dot.
+    // Identical double inputs → identical IEEE results; round(4)+0.0
+    // canonicalizes the output.
+    "q166_pca_project" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+        |  FROM embeddings
+        |), s0 AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM e
+        |), st AS (
+        |  SELECT round(sx/n, 6) AS mx, round(sy/n, 6) AS my,
+        |    round(sxx/n - (sx/n)*(sx/n), 6) AS ca,
+        |    round(sxy/n - (sx/n)*(sy/n), 6) AS cb,
+        |    round(syy/n - (sy/n)*(sy/n), 6) AS cd
+        |  FROM s0
+        |), rt AS (
+        |  SELECT *, CASE WHEN abs(cb) > 1e-14
+        |    THEN (cd - ca) / (2.0 * cb) ELSE 0.0 END AS theta FROM st
+        |), t2 AS (
+        |  SELECT *, CASE WHEN abs(cb) > 1e-14
+        |    THEN (CASE WHEN theta >= 0 THEN 1.0 ELSE -1.0 END)
+        |      / (abs(theta) + sqrt(theta*theta + 1.0))
+        |    ELSE 0.0 END AS tt FROM rt
+        |), t3 AS (SELECT *, 1.0 / sqrt(tt*tt + 1.0) AS c FROM t2
+        |), t4 AS (SELECT *, tt * c AS s FROM t3
+        |), eg AS (
+        |  SELECT *,
+        |    CASE WHEN abs(cb) > 1e-14
+        |      THEN c*(c*ca - s*cb) - s*(c*cb - s*cd) ELSE ca END AS l0,
+        |    CASE WHEN abs(cb) > 1e-14
+        |      THEN s*(s*ca + c*cb) + c*(s*cb + c*cd) ELSE cd END AS l1,
+        |    CASE WHEN abs(cb) > 1e-14 THEN c ELSE 1.0 END AS r0x,
+        |    CASE WHEN abs(cb) > 1e-14 THEN -s ELSE 0.0 END AS r0y,
+        |    CASE WHEN abs(cb) > 1e-14 THEN s ELSE 0.0 END AS r1x,
+        |    CASE WHEN abs(cb) > 1e-14 THEN c ELSE 1.0 END AS r1y
+        |  FROM t4
+        |), sf AS (
+        |  SELECT *,
+        |    CASE WHEN (CASE WHEN abs(r0x) >= abs(r0y) THEN r0x ELSE r0y END) < 0
+        |      THEN -r0x ELSE r0x END AS f0x,
+        |    CASE WHEN (CASE WHEN abs(r0x) >= abs(r0y) THEN r0x ELSE r0y END) < 0
+        |      THEN -r0y ELSE r0y END AS f0y,
+        |    CASE WHEN (CASE WHEN abs(r1x) >= abs(r1y) THEN r1x ELSE r1y END) < 0
+        |      THEN -r1x ELSE r1x END AS f1x,
+        |    CASE WHEN (CASE WHEN abs(r1x) >= abs(r1y) THEN r1x ELSE r1y END) < 0
+        |      THEN -r1y ELSE r1y END AS f1y
+        |  FROM eg
+        |), pr AS (
+        |  SELECT mx, my,
+        |    CASE WHEN l1 > l0 THEN f1x ELSE f0x END AS v1x,
+        |    CASE WHEN l1 > l0 THEN f1y ELSE f0y END AS v1y,
+        |    CASE WHEN l1 > l0 THEN f0x ELSE f1x END AS v2x,
+        |    CASE WHEN l1 > l0 THEN f0y ELSE f1y END AS v2y
+        |  FROM sf
+        |), po AS (
+        |  SELECT *, mx*v1x + my*v1y AS off1, mx*v2x + my*v2y AS off2 FROM pr
+        |)
+        |SELECT vec_id,
+        |  round((x * v1x::REAL::DOUBLE + y * v1y::REAL::DOUBLE) - off1, 4) + 0.0 AS pc1,
+        |  round((x * v2x::REAL::DOUBLE + y * v2y::REAL::DOUBLE) - off2, 4) + 0.0 AS pc2
+        |FROM e CROSS JOIN po""".stripMargin,
     "q167_mutual_info" ->
       """WITH tok AS (
         |  SELECT lang AS label,
@@ -4388,7 +4465,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY l_orderkey
         |      ORDER BY rem DESC, l_linenumber) AS rn FROM c)
         |SELECT l_orderkey, l_linenumber,
-        |  base + CASE WHEN rn <= spare THEN 1 ELSE 0 END AS alloc_cents
+        |  (base + CASE WHEN rn <= spare THEN 1 ELSE 0 END)::BIGINT
+        |    AS alloc_cents
         |FROM d""".stripMargin,
     "q150_target_encode" ->
       // identical quantization and operand order as the engine; the

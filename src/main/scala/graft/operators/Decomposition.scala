@@ -52,7 +52,7 @@ object Decomposition {
     * eigenvectors sign-fixed (largest-|component| positive),
     * eigenvalue ties broken by index. */
   def pcaProject(rows: DataFrame, idCol: String, vecCol: String, dim: Int,
-                 k: Int): DataFrame = {
+                 k: Int, statsDecimals: Int = -1): DataFrame = {
     require(k >= 1 && k <= dim, s"k=$k out of range for dim=$dim")
     // statistics pass (documented driver action, same class as
     // kmeansRefine's seed collect): ONE row of d(d+3)/2+1 doubles
@@ -60,14 +60,29 @@ object Decomposition {
       .head().getSeq[Double](0).toArray
     val n = buf(0)
     require(n > 0, "pcaProject: empty input")
-    val mean = Array.tabulate(dim)(i => buf(1 + i) / n)
+    // statsDecimals >= 0 quantizes mean and covariance BEFORE the
+    // eigensolve: the distributed sums' partial-merge order perturbs
+    // the statistics at ~1 ulp, and quantizing collapses that to one
+    // canonical value — projections become bit-reproducible across
+    // cluster sizes AND engines (the DuckDB dual replays the same
+    // rounded stats). Half-away-from-zero on x·10^d, the C round()
+    // semantics SQL engines use for DOUBLE.
+    def quant(x: Double): Double =
+      if (statsDecimals < 0) x
+      else {
+        val p = math.pow(10, statsDecimals)
+        val y = x * p
+        (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)) / p
+      }
+    val mean = Array.tabulate(dim)(i => quant(buf(1 + i) / n))
+    val meanRaw = Array.tabulate(dim)(i => buf(1 + i) / n)
     val cov = Array.ofDim[Double](dim, dim)
     var t = 1 + dim
     var i = 0
     while (i < dim) {
       var j = i
       while (j < dim) {
-        val c = buf(t) / n - mean(i) * mean(j)
+        val c = quant(buf(t) / n - meanRaw(i) * meanRaw(j))
         cov(i)(j) = c; cov(j)(i) = c
         t += 1; j += 1
       }

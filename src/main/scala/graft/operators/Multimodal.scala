@@ -125,7 +125,10 @@ object Multimodal {
     sampleFrames(binTable, chunkBytes, stride)
       .select(col("doc_id") +: comps: _*)
       .groupBy("doc_id")
-      .agg(round(avg(col("_v0")), 6).as("e0"),
-        (1 until dim).map(j => round(avg(col(s"_v$j")), 6).as(s"e$j")): _*)
+      // + 0.0 canonicalizes IEEE -0.0 (a tiny negative mean rounds to
+      // the signed zero in some engines) to +0.0 — exact for all
+      // other values
+      .agg((round(avg(col("_v0")), 6) + 0.0).as("e0"),
+        (1 until dim).map(j => (round(avg(col(s"_v$j")), 6) + 0.0).as(s"e$j")): _*)
   }
 }

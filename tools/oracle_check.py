@@ -67,6 +67,29 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"{name}: ERROR {e}")
             fail += 1
             continue
+        # STRICT pre-checks approximating the driver's pandas hash:
+        # (a) pandas dtype drift (DuckDB HUGEINT window sums land as
+        #     float64 while Spark writes int64 — equal values, different
+        #     hash); (b) IEEE -0.0 vs +0.0 (equal under ==, different
+        #     bits). Both broke rows in CORRECTNESS_r05.
+        try:
+            import numpy as np
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+            odf = con.execute(oracle[name]).df()
+            for c in sdf.columns:
+                if c in odf.columns and str(sdf[c].dtype) != str(odf[c].dtype):
+                    print(f"{name}: STRICT dtype drift col={c} "
+                          f"spark={sdf[c].dtype} oracle={odf[c].dtype}")
+            for df_, side in ((sdf, "spark"), (odf, "oracle")):
+                for c in df_.columns:
+                    v = df_[c].values
+                    if v.dtype == np.float64:
+                        n0 = int(((v == 0) & np.signbit(v)).sum())
+                        if n0:
+                            print(f"{name}: STRICT {side} col={c} has {n0} -0.0")
+        except Exception as e:
+            print(f"{name}: STRICT check skipped ({e})")
         sc, sr = normalize(scols, srows)
         oc, orw = normalize(ocols, orows)
         if sc != oc:
