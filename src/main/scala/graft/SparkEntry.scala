@@ -1192,6 +1192,43 @@ object SparkEntry {
         cellSize = 50.0, gap = 43200000000L,
         minDwell = 86400000000L)
         .orderBy("user_id", "cell_x", "cell_y")),
+    // Leakage-safe train/val split: the whole near-dup CLUSTER (q47's
+    // MinHash-LSH pairs → CC) inherits one hash-space split decision,
+    // so no fuzzy copy of a training doc can land in val
+    "q203_cluster_split" -> ((s, dir) =>
+      graft.operators.Curation.clusterSplit(
+        t(s, dir, "documents"),
+        FuzzyDedup.minhashNearDups(t(s, dir, "documents")),
+        valFraction = 0.1)),
+    // KMV (bottom-k Theta) distinct sketch per event type: k smallest
+    // distinct md5(user) hashes through the bounded-heap TopKPerKey
+    // operator; estimator (k-1)/(h_k/2^60), exact below k
+    "q204_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvDistinct(
+        t(s, dir, "events"), "event_type", "user_id", k = 64)),
+    // KMV sketch INTERSECTION (the set algebra HLL can't do): click
+    // vs purchase user cohorts → union/Jaccard/intersection estimates
+    // from two bottom-64 sketches
+    "q205_kmv_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      Sketches.kmvOverlap(
+        ev.filter(col("event_type") === "click").select(col("user_id")),
+        ev.filter(col("event_type") === "purchase").select(col("user_id")),
+        "user_id", k = 64)
+    }),
+    // DSIR importance resampling: top-100 docs by target-vs-corpus
+    // unigram-LM log-ratio + md5-Gumbel noise (sampling without
+    // replacement, reproducible across engines and re-runs)
+    "q206_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.dsirSample(
+        docs, docs.filter(col("lang") === "en"), k = 100)
+    }),
+    // Fixed-weight logistic quality gate — the model-based filter
+    // stage's Spark shape (broadcast coefficients, scan-fused
+    // features, rounded-score cut)
+    "q207_quality_logit" -> ((s, dir) =>
+      graft.operators.Curation.qualityLogit(t(s, dir, "documents"))),
     // STREAMING windowed top-k: top-3 event types per hour via
     // flatMapGroupsWithState keyed by window start -- the ranking
     // query native streaming can't express (no rank over a streaming
@@ -2481,7 +2518,174 @@ object SparkEntry {
       s"(($acc) * ${graft.plans.RollingFingerprints.B} + unicode(t[pos+$k])) % ${graft.plans.RollingFingerprints.M}"
     }
 
+  /** Shared DuckDB replay of the MinHash-LSH -> Jaccard-verify -> CC
+    * pipeline (q47's oracle), ending in a `resolved(doc_id,
+    * cluster_rep)` CTE that q47 and q203 project differently. */
+  private val minhashClustersCte: String =
+    """WITH RECURSIVE base AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |), nz AS (SELECT * FROM base WHERE len(sh) > 0),
+        |hs AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT & 1073741823 AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min((787542839 * h + 242017) % 1073741789) AS mh0,
+        |    min((611349889 * h + 938741) % 1073741789) AS mh1,
+        |    min((904321577 * h + 55117) % 1073741789) AS mh2,
+        |    min((359485871 * h + 712933) % 1073741789) AS mh3,
+        |    min((673458601 * h + 128747) % 1073741789) AS mh4,
+        |    min((513695341 * h + 999331) % 1073741789) AS mh5,
+        |    min((844235099 * h + 47743) % 1073741789) AS mh6,
+        |    min((298654777 * h + 583391) % 1073741789) AS mh7,
+        |    min((736217683 * h + 864967) % 1073741789) AS mh8,
+        |    min((465182977 * h + 22229) % 1073741789) AS mh9,
+        |    min((952103481 * h + 371099) % 1073741789) AS mh10,
+        |    min((587431267 * h + 650087) % 1073741789) AS mh11
+        |  FROM hs GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band, mh0::VARCHAR||'|'||mh1::VARCHAR||'|'||mh2::VARCHAR AS sig FROM mh
+        |  UNION ALL SELECT doc_id, 1, mh3::VARCHAR||'|'||mh4::VARCHAR||'|'||mh5::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 2, mh6::VARCHAR||'|'||mh7::VARCHAR||'|'||mh8::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 3, mh9::VARCHAR||'|'||mh10::VARCHAR||'|'||mh11::VARCHAR FROM mh
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN nz x ON cand.doc_a = x.doc_id JOIN nz y ON cand.doc_b = y.doc_id
+        |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+        |), sym AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |), comp AS (
+        |  SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u
+        |), resolved AS (
+        |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        |)
+        |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // q47's cluster chain + the same md5 hash-space split decision
+    // keyed on the cluster representative
+    "q203_cluster_split" ->
+      (minhashClustersCte +
+        s"""SELECT doc_id, cluster_rep,
+           |  CASE WHEN ('0x' || substr(md5('clsplit:' || cluster_rep::VARCHAR), 1, 15))::BIGINT
+           |    < ${Sampling.threshold(0.1)} THEN 'val' ELSE 'train' END AS split
+           |FROM resolved""".stripMargin),
+    // exact replay of the bottom-64 sketch: row_number over distinct
+    // hashes IS the bounded heap's content
+    "q204_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS g,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |), r AS (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h
+        |), k AS (
+        |  SELECT g, count(*)::BIGINT AS n_min, max(h) AS kth
+        |  FROM r WHERE rn <= 64 GROUP BY g
+        |)
+        |SELECT g AS event_type, n_min,
+        |  round(CASE WHEN n_min < 64 THEN n_min::DOUBLE
+        |    ELSE 63.0 / (kth::DOUBLE / 1152921504606846976.0) END, 4) AS est_distinct
+        |FROM k""".stripMargin,
+    // union sketch = bottom-64 of the two sketches' union; Jaccard =
+    // fraction of union-sketch members present in both sides
+    "q205_kmv_overlap" ->
+      """WITH a AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'click'
+        |), b AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        |), ka AS (SELECT h FROM a ORDER BY h LIMIT 64),
+        |kb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+        |uk AS (
+        |  SELECT h FROM (SELECT DISTINCT h FROM (
+        |    SELECT h FROM ka UNION ALL SELECT h FROM kb))
+        |  ORDER BY h LIMIT 64
+        |), fl AS (
+        |  SELECT uk.h,
+        |    CASE WHEN ka.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+        |    CASE WHEN kb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        |  FROM uk LEFT JOIN ka ON uk.h = ka.h LEFT JOIN kb ON uk.h = kb.h
+        |), agg AS (
+        |  SELECT count(*)::BIGINT AS n_u, max(h) AS kth,
+        |    sum(in_a * in_b)::BIGINT AS n_both FROM fl
+        |)
+        |SELECT
+        |  round(CASE WHEN n_u < 64 THEN n_u::DOUBLE
+        |    ELSE 63.0 / (kth::DOUBLE / 1152921504606846976.0) END, 4) AS est_union,
+        |  round(n_both::DOUBLE / n_u, 6) AS est_jaccard,
+        |  round((n_both::DOUBLE / n_u) * CASE WHEN n_u < 64 THEN n_u::DOUBLE
+        |    ELSE 63.0 / (kth::DOUBLE / 1152921504606846976.0) END, 4) AS est_intersection
+        |FROM agg""".stripMargin,
+    // two unigram LMs -> per-doc avg log-ratio -> md5-Gumbel top-100;
+    // the rounded key + doc_id tiebreak make the cut engine-exact
+    // (2^60 + 2 rounds to 2^60 as a double in BOTH engines)
+    "q206_dsir_sample" ->
+      """WITH ct AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |), cv AS (SELECT term, count(*)::BIGINT AS tc FROM ct GROUP BY 1),
+        |ctot AS (SELECT sum(tc)::DOUBLE AS tot FROM cv),
+        |clm AS (SELECT term, ln(tc / tot) AS lp_c FROM cv CROSS JOIN ctot),
+        |tt AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents WHERE lang = 'en'
+        |), tv AS (SELECT term, count(*)::BIGINT AS tc FROM tt GROUP BY 1),
+        |ttot AS (SELECT sum(tc)::DOUBLE AS tot FROM tv),
+        |tlm AS (SELECT term, ln(tc / tot) AS lp_t FROM tv CROSS JOIN ttot),
+        |sc AS (
+        |  SELECT ct.doc_id, avg(coalesce(tlm.lp_t, clm.lp_c) - clm.lp_c) AS logratio
+        |  FROM ct JOIN clm ON ct.term = clm.term
+        |  LEFT JOIN tlm ON ct.term = tlm.term
+        |  GROUP BY ct.doc_id
+        |), keyed AS (
+        |  SELECT doc_id, logratio,
+        |    round(logratio - ln(-ln(
+        |      (('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE + 1.0)
+        |        / 1152921504606846978.0)), 6) AS key
+        |  FROM sc
+        |)
+        |SELECT doc_id, round(logratio, 6) AS logratio, key
+        |FROM keyed ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
+    // feature formulas mirror the engine column-for-column; the gate
+    // compares the ROUNDED score so both engines cut identically
+    "q207_quality_logit" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, len(toks)::DOUBLE AS n_tok,
+        |    coalesce(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE
+        |      / nullif(len(toks)::DOUBLE, 0), 0.0) AS stop_ratio,
+        |    coalesce(len(regexp_extract_all(lower(text), '[a-z]'))::DOUBLE
+        |      / nullif(length(text)::DOUBLE, 0), 0.0) AS alpha_ratio,
+        |    coalesce(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+        |      / nullif(len(toks)::DOUBLE, 0), 0.0) AS mean_tok_len
+        |  FROM t
+        |), z AS (
+        |  SELECT doc_id, -3.0 + ln(1.0 + n_tok) * 0.55 + stop_ratio * 4.0
+        |    + alpha_ratio * 1.5 + mean_tok_len * (-0.05) AS z
+        |  FROM f
+        |)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+        |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+        |FROM z""".stripMargin,
     // full r x c cross incl. zero-observed cells; (o*n - rt*ct)^2
     // has an int64 root so each term is engine-exact
     "q194_chi_square" ->
@@ -3566,55 +3770,7 @@ object SparkEntry {
         |)
         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8""".stripMargin,
     "q47_dedup_clusters" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(toks)-2, 0)),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
-        |), nz AS (SELECT * FROM base WHERE len(sh) > 0),
-        |hs AS (
-        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT & 1073741823 AS h
-        |  FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
-        |), mh AS (
-        |  SELECT doc_id,
-        |    min((787542839 * h + 242017) % 1073741789) AS mh0,
-        |    min((611349889 * h + 938741) % 1073741789) AS mh1,
-        |    min((904321577 * h + 55117) % 1073741789) AS mh2,
-        |    min((359485871 * h + 712933) % 1073741789) AS mh3,
-        |    min((673458601 * h + 128747) % 1073741789) AS mh4,
-        |    min((513695341 * h + 999331) % 1073741789) AS mh5,
-        |    min((844235099 * h + 47743) % 1073741789) AS mh6,
-        |    min((298654777 * h + 583391) % 1073741789) AS mh7,
-        |    min((736217683 * h + 864967) % 1073741789) AS mh8,
-        |    min((465182977 * h + 22229) % 1073741789) AS mh9,
-        |    min((952103481 * h + 371099) % 1073741789) AS mh10,
-        |    min((587431267 * h + 650087) % 1073741789) AS mh11
-        |  FROM hs GROUP BY doc_id
-        |), bands AS (
-        |  SELECT doc_id, 0 AS band, mh0::VARCHAR||'|'||mh1::VARCHAR||'|'||mh2::VARCHAR AS sig FROM mh
-        |  UNION ALL SELECT doc_id, 1, mh3::VARCHAR||'|'||mh4::VARCHAR||'|'||mh5::VARCHAR FROM mh
-        |  UNION ALL SELECT doc_id, 2, mh6::VARCHAR||'|'||mh7::VARCHAR||'|'||mh8::VARCHAR FROM mh
-        |  UNION ALL SELECT doc_id, 3, mh9::VARCHAR||'|'||mh10::VARCHAR||'|'||mh11::VARCHAR FROM mh
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        |), pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM cand JOIN nz x ON cand.doc_a = x.doc_id JOIN nz y ON cand.doc_b = y.doc_id
-        |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
-        |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
-        |), sym AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs
-        |), reach(u, v) AS (
-        |  SELECT u, v FROM sym
-        |  UNION
-        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
-        |), comp AS (
-        |  SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u
-        |)
-        |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_rep
-        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin,
+      (minhashClustersCte + "SELECT doc_id, cluster_rep FROM resolved"),
     "q25_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.functions.HashFunctions.md5Long
+import graft.functions.TextFunctions.{StopEn, stopwordCount, tokens}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators that COMPOSE the engine's dedup
+  * / sampling / LM-scoring primitives into the selection stages a
+  * large-scale pipeline actually runs (LLM-pipeline extension,
+  * SURVEY.md §2.11; the reference ETL has no corpus tooling).
+  *
+  * Everything here follows the repo's determinism contract: hash
+  * decisions ride md5 (cross-engine bit-identical), FP read-outs are
+  * rounded, orderings carry explicit tiebreaks — so every operator is
+  * replayable by the DuckDB oracle and by re-runs on other cluster
+  * sizes.
+  */
+object Curation {
+
+  /** Leakage-safe train/val split: assignment is per NEAR-DUP CLUSTER,
+    * not per document. A plain per-doc split leaks heavily — a
+    * near-duplicate pair straddling train and val means the eval set
+    * contains (fuzzy) copies of training documents, inflating every
+    * metric it touches. Here documents first resolve to
+    * [[DedupClusters]] components over the supplied near-dup `pairs`
+    * relation (MinHash-LSH pairs at scale), then the whole cluster
+    * inherits one md5-hash-space split decision keyed on its
+    * representative.
+    *
+    * Scale shape: the expensive part is the pair pipeline the caller
+    * already runs for dedup (this operator adds pointer-doubling CC —
+    * O(log diameter) bounded-size joins — plus one scan-speed split
+    * projection). Split stability matches [[Sampling.trainValSplit]]:
+    * re-runs and incremental batches keep their assignment as long as
+    * cluster representatives are stable. */
+  def clusterSplit(docs: DataFrame, pairs: DataFrame,
+                   idCol: String = "doc_id",
+                   valFraction: Double = 0.1): DataFrame = {
+    require(valFraction >= 0.0 && valFraction <= 1.0)
+    val resolved = DedupClusters.resolve(docs, pairs, idCol)
+    resolved.withColumn("split",
+      when(md5Long(concat(lit("clsplit:"), col("cluster_rep").cast("string")))
+          < Sampling.threshold(valFraction), "val")
+        .otherwise("train"))
+  }
+
+  /** DSIR-style importance resampling (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", public):
+    * documents are drawn in proportion to how much more likely a
+    * TARGET-domain unigram LM finds them than the general-corpus LM.
+    * log-ratio per token = avg_logp_target − avg_logp_corpus (both
+    * from [[TextAnalysis.unigramLogProb]]-shaped scoring over the
+    * supplied corpora), and sampling-without-replacement uses the
+    * Gumbel-top-k trick: key = logratio + Gumbel(md5-uniform), take
+    * the k largest. md5 makes the "randomness" reproducible; the key
+    * is rounded with a doc_id tiebreak so the cut is engine-exact.
+    *
+    * Scale shape: two vocabulary aggregations (map-side combinable,
+    * vocab-bounded) broadcast back over ONE corpus token explode; the
+    * top-k is a [[graft.plans.TopKPerKey]]-able bounded selection
+    * (here global k → TakeOrdered). No shuffle carries the corpus
+    * twice, nothing is persisted. */
+  def dsirSample(corpus: DataFrame, target: DataFrame, k: Int,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(k >= 1)
+    val corpusToks = corpus.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    def lmTable(toks: DataFrame) = {
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("tc"))
+      vocab.crossJoin(vocab.agg(sum("tc").cast("double").as("tot")))
+    }
+    val corpusLm = lmTable(corpusToks)
+      .select(col("term"), log(col("tc") / col("tot")).as("lp_c"))
+    val targetLm = lmTable(target.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term")))
+      .select(col("term"), log(col("tc") / col("tot")).as("lp_t"))
+    // tokens absent from the target vocab get the corpus logprob
+    // (ratio contribution 0) — the standard smoothing-free fallback
+    val scored = corpusToks
+      .join(broadcast(corpusLm), Seq("term"))
+      .join(broadcast(targetLm), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(avg(coalesce(col("lp_t"), col("lp_c")) - col("lp_c"))
+        .as("logratio"))
+    // Gumbel(u) = −ln(−ln(u)), u = md5 fraction in (0,1); rounding
+    // the key to 6 decimals collapses engine log/exp ulp noise, and
+    // (key desc, doc_id) makes the k-cut total-ordered
+    val u = (md5Long(concat(lit("dsir:"), col("doc_id").cast("string")))
+      .cast("double") + lit(1.0)) / lit((1L << 60).toDouble + 2.0)
+    scored
+      .withColumn("key", round(col("logratio") - log(-log(u)), 6))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("logratio"), 6).as("logratio"),
+        col("key"))
+  }
+
+  /** Model-based quality gate: a fixed-weight logistic score over the
+    * engine's scan-speed text features (length, stopword density,
+    * alpha density, mean token length). The WEIGHTS here are a
+    * documented placeholder for a trained classifier's — a real
+    * pipeline broadcasts learned coefficients the same way (the
+    * fasttext-style quality-filter stage); the Spark shape (feature
+    * projection fused into the scan, zero shuffles, score + boolean
+    * gate) is the real contract.
+    *
+    * Determinism: features are exact ratios of integer counts,
+    * sigmoid is rounded to 6 decimals, and the gate compares the
+    * ROUNDED score so both engines cut identically. */
+  def qualityLogit(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   threshold: Double = 0.5): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val safeTok = when(nTok > 0, nTok)
+    val stopRatio = coalesce(
+      stopwordCount(toks, StopEn).cast("double") / safeTok,
+      lit(0.0))
+    val alphaRatio = coalesce(
+      size(regexp_extract_all(lower(text), lit("[a-z]"), lit(0)))
+        .cast("double") / when(length(text) > 0, length(text).cast("double")),
+      lit(0.0))
+    val meanTokLen = coalesce(
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double")
+        / safeTok, lit(0.0))
+    // z = b0 + b1·ln(1+nTok) + b2·stop + b3·alpha + b4·meanLen
+    val z = lit(-3.0) + log(lit(1.0) + nTok) * lit(0.55) +
+      stopRatio * lit(4.0) + alphaRatio * lit(1.5) + meanTokLen * lit(-0.05)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    docs.select(col(idCol), score.as("score"),
+      (score >= lit(threshold)).as("keep"))
+  }
+}

@@ -455,4 +455,85 @@ object Sketches {
       .filter(col("cnt") * lit(thresholdDen) >= col("total"))
       .select(col("v").as(valueCol), col("cnt"), col("total"))
   }
+
+  /** 2^60 as a double — the KMV hash-space size ([[md5Long]] range). */
+  private val KmvSpace = (1L << 60).toDouble
+
+  /** KMV (k-minimum-values / bottom-k Theta) distinct sketch per
+    * group: the sketch is the k SMALLEST distinct md5 hashes of the
+    * value, and the estimator is (k−1) / (h_k / 2^60) — with fewer
+    * than k distinct hashes the sketch IS the exact value set. Unlike
+    * HLL ([[hllDistinct]]), a KMV sketch supports set ALGEBRA beyond
+    * union ([[kmvOverlap]] intersects two sketches), and like
+    * everything here it is bit-replayable cross-engine because the
+    * "randomness" is md5.
+    *
+    * Scale shape: distinct-collapse of (group, hash) is one map-side-
+    * combinable shuffle; the bottom-k cut runs through the
+    * bounded-heap [[graft.plans.TopKPerKey]] custom operator (heaps
+    * of size k per group ship between stages, never the hash list) —
+    * and since TopKPerKey re-uses the distinct's hash partitioning,
+    * the cut adds NO exchange. Sketch rows out: ≤ k per group. */
+  def kmvDistinct(rows: DataFrame, groupCol: String, valueCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2 (estimator divides by k-1)")
+    val hashed = rows
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), md5Long(col(valueCol).cast("string")).as("h"))
+      .distinct()
+    val bottomK = graft.operators.TopK.topKPerKey(
+      hashed, Seq("g"), Seq(col("h").asc), k)
+    bottomK.groupBy("g")
+      .agg(count(lit(1)).as("n_min"), max("h").as("kth"))
+      .select(col("g").as(groupCol), col("n_min"),
+        round(when(col("n_min") < k, col("n_min").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("kth").cast("double") / lit(KmvSpace))), 4)
+          .as("est_distinct"))
+  }
+
+  /** KMV set-overlap estimate between two keyed cohorts: build both
+    * bottom-k sketches, take the k smallest of their UNION (the union
+    * sketch), and estimate Jaccard as the fraction of union-sketch
+    * members present in BOTH sides — the standard Theta-sketch
+    * intersection, better-conditioned than HLL inclusion–exclusion
+    * ([[hllOverlap]]-style) for small overlaps. Returns one row:
+    * union / Jaccard / intersection estimates, all deterministic
+    * integer selections + one rounded division each.
+    *
+    * Scale shape: each side is a [[kmvDistinct]]-shaped bounded
+    * pipeline; the merge step touches ≤ 2k rows total. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 2)
+    def sketch(df: DataFrame, side: Int) = {
+      val hashed = df.where(col(valueCol).isNotNull)
+        .select(md5Long(col(valueCol).cast("string")).as("h")).distinct()
+        .withColumn("g", lit(side))
+      graft.operators.TopK.topKPerKey(hashed, Seq("g"), Seq(col("h").asc), k)
+        .select(col("h"), lit(side).as("side"))
+    }
+    val both = sketch(a, 0).union(sketch(b, 1))
+    // union sketch = k smallest distinct hashes across both sketches
+    val unionK = graft.operators.TopK.topKPerKey(
+      both.select(col("h")).distinct().withColumn("g", lit(0)),
+      Seq("g"), Seq(col("h").asc), k)
+    val flags = unionK.join(both.groupBy("h")
+        .agg(max(when(col("side") === 0, 1).otherwise(0)).as("in_a"),
+          max(when(col("side") === 1, 1).otherwise(0)).as("in_b")),
+      Seq("h"))
+    flags.agg(count(lit(1)).as("n_u"), max("h").as("kth"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .select(
+        round(when(col("n_u") < k, col("n_u").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("kth").cast("double") / lit(KmvSpace))), 4)
+          .as("est_union"),
+        round(col("n_both").cast("double") / col("n_u"), 6).as("est_jaccard"),
+        round((col("n_both").cast("double") / col("n_u")) *
+          when(col("n_u") < k, col("n_u").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (col("kth").cast("double") / lit(KmvSpace))), 4)
+          .as("est_intersection"))
+  }
 }
