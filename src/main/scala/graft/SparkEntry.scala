@@ -38,8 +38,11 @@ object SparkEntry {
     * current snapshot writes timestamp[us] (NTZ), which Spark reads as
     * a real timestamp. The engine's time arithmetic is integer-exact
     * on int64 nanos, so BOTH shapes normalize to that representation
-    * here: `unix_micros` is exact and the ×1000 widening cannot
-    * overflow for any timestamp parquet can carry. The DuckDB duals'
+    * here: `unix_micros` is exact, and the ×1000 widening is safe for
+    * the harness feed (instants within the int64-nanos range, i.e.
+    * before 2262-04-11 — a timestamp[us] past that would wrap with
+    * ANSI off; the generator's clock never leaves the 2020s). The
+    * DuckDB duals'
     * `epoch_ns(ts)` returns the identical int64 for either physical
     * type, so oracle parity is unaffected. Scale note: this is a
     * scan-time projection — codegen'd, no shuffle, no extra pass. */
@@ -48,6 +51,20 @@ object SparkEntry {
       case Some(f) if f.dataType != org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
       case _ => df
+    }
+
+  /** Sentinel-row `ts` expressed in the RAW feed's physical type (the
+    * sentinel parquet must be schema-compatible with the declared
+    * stream schema). The in-memory sentinel value is int64 nanos; a
+    * timestamp feed needs the micros conversion, while the legacy
+    * BIGINT-nanos feed keeps the long verbatim — casting a timestamp
+    * back to long yields epoch SECONDS (~1.7e9), which would land the
+    * sentinel before every real event and stall the watermark. */
+  private def sentinelTs(
+      raw: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    raw match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case t => expr("timestamp_micros(ts div 1000)").cast(t)
     }
 
   /** Deterministic per-user random walk derived from the event log —
@@ -1262,9 +1279,12 @@ object SparkEntry {
         Seq((-i, sTs, 0L, "sentinel", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
           // sentinel files must carry the raw feed's ts type so one
-          // declared stream schema covers both
-          .withColumn("ts",
-            expr("timestamp_micros(ts div 1000)").cast(schema("ts").dataType))
+          // declared stream schema covers both: convert only when the
+          // feed is a real timestamp — for the legacy BIGINT-nanos
+          // shape the long value IS the raw representation (a
+          // timestamp→long cast would yield epoch SECONDS and park
+          // the sentinel before every real event)
+          .withColumn("ts", sentinelTs(schema("ts").dataType))
           .coalesce(1).write.parquet(w.toString)
         val part = w.toFile.listFiles()
           .filter(_.getName.startsWith("part-")).head
@@ -1968,9 +1988,8 @@ object SparkEntry {
           Seq((-2L * i, sTs, 0L, "purchase", 0.0, "{}"),
             (-2L * i - 1, sTs, 0L, "click", 0.0, "{}"))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-            // match the raw feed's ts type (see q197)
-            .withColumn("ts",
-              expr("timestamp_micros(ts div 1000)").cast(schema("ts").dataType))
+            // match the raw feed's ts type (see q197's sentinelTs note)
+            .withColumn("ts", sentinelTs(schema("ts").dataType))
             .coalesce(1).write.parquet(w.toString)
           val part = w.toFile.listFiles()
             .filter(_.getName.startsWith("part-")).head

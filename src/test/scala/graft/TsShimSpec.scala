@@ -20,17 +20,27 @@ class TsShimSpec extends SparkSpec {
     }
     val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
-    val longDir = java.nio.file.Files.createTempDirectory("ts-long")
-    df.coalesce(1).write.mode("overwrite")
-      .parquet(longDir.resolve("events.parquet").toString)
+    // the driver's testdata ships each table as a SINGLE parquet file
+    // (q197 symlinks it into its stream source dir) — mirror that
+    def writeSingle(d: org.apache.spark.sql.DataFrame, prefix: String) = {
+      val dir = java.nio.file.Files.createTempDirectory(prefix)
+      val tmp = dir.resolve("_w")
+      d.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath, dir.resolve("events.parquet"))
+      dir
+    }
+    val longDir = writeSingle(df, "ts-long")
+    val ntzDir = writeSingle(df.withColumn("ts",
+      expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")), "ts-ntz")
 
-    val ntzDir = java.nio.file.Files.createTempDirectory("ts-ntz")
-    df.withColumn("ts",
-        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(ntzDir.resolve("events.parquet").toString)
-
-    for (q <- Seq("q05_latest_per_user", "q09_time_bucket")) {
+    // q197 exercises the STREAMING sentinel path: the sentinel file's
+    // ts must round-trip through the raw feed's physical type (a
+    // timestamp→long cast yields epoch seconds and stalls the
+    // watermark — the exact bug this dual-shape run pins down)
+    for (q <- Seq("q05_latest_per_user", "q09_time_bucket",
+        "q197_stream_windowed_topk")) {
       val a = SparkEntry.queries(q)(spark, longDir.toString)
         .collect().map(_.toString).sorted.toSeq
       val b = SparkEntry.queries(q)(spark, ntzDir.toString)
