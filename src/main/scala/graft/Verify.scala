@@ -23,6 +23,11 @@ object Verify {
         Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bounded-relation windows warn "No Partition Defined" ~256×/run;
+    // documented-correct plans (see Bench) — keep artifacts readable
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // optional subset for local iteration (mirrors Bench):
     // SPARK_GRAFT_ONLY=q49,q53. The driver never sets it.
