@@ -468,12 +468,15 @@ object Sketches {
     * everything here it is bit-replayable cross-engine because the
     * "randomness" is md5.
     *
-    * Scale shape: distinct-collapse of (group, hash) is one map-side-
-    * combinable shuffle; the bottom-k cut runs through the
-    * bounded-heap [[graft.plans.TopKPerKey]] custom operator (heaps
-    * of size k per group ship between stages, never the hash list) —
-    * and since TopKPerKey re-uses the distinct's hash partitioning,
-    * the cut adds NO exchange. Sketch rows out: ≤ k per group. */
+    * Scale shape: two exchanges end-to-end (PlanShapeSpec-pinned).
+    * The distinct-collapse of (group, hash) is one map-side-
+    * combinable shuffle — corpus-scale data crosses the wire once,
+    * already deduped per mapper. The bottom-k cut then runs through
+    * the bounded-heap [[graft.plans.TopKPerKey]] custom operator,
+    * whose g-shuffle carries only size-k heaps per (mapper, group) —
+    * bytes proportional to k·mappers·groups, not to the data. The
+    * final per-group agg reuses that partitioning and adds no
+    * exchange. Sketch rows out: ≤ k per group. */
   def kmvDistinct(rows: DataFrame, groupCol: String, valueCol: String,
                   k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2 (estimator divides by k-1)")

@@ -295,10 +295,29 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q172: weighted median pays one key shuffle for both window specs") {
     val p = plan("q172_weighted_median")
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    val exchanges = shuffles(p)
     // one hashpartitioning for the windows + one single-partition for
     // nothing else: the two window frames share the l_returnflag
     // exchange, the final agg reuses it
-    assert(exchanges <= 2, s"window specs split the shuffle, $exchanges exchanges:\n$p")
+    assert(exchanges == 1, s"window specs split the shuffle, $exchanges exchanges:\n$p")
+  }
+
+  test("q204: KMV sketch pipeline — bounded heaps, no sort, minimal exchanges") {
+    val df = SparkEntry.queries("q204_kmv_distinct")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the bottom-k cut must ride the bounded-heap custom operator,
+    // never a per-group sort + row_number window
+    assert(p.contains("TopKPerKey"), s"bottom-k lost the bounded-heap exec:\n$p")
+    assert(!p.contains("Window"), s"window-sort bottom-k crept in:\n$p")
+    // exchange budget (kmvDistinct scaladoc): exactly TWO hash
+    // exchanges end-to-end — the distinct's (g,h) shuffle, which
+    // carries map-side-combined partials (corpus-scale data crosses
+    // the wire once, already deduped per mapper), and TopKPerKey's
+    // g-shuffle, which carries only size-k bounded heaps per
+    // (mapper, group). The final per-g agg reuses the heap shuffle's
+    // partitioning and adds none.
+    val exchanges = shuffles(p)
+    assert(exchanges == 2,
+      s"KMV pipeline changed its shuffle budget, $exchanges exchanges:\n$p")
   }
 }

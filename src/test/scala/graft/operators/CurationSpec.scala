@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins for the round-6 curation operators: the leakage property that
+  * motivates cluster-aware splitting, DSIR's determinism/degeneracy
+  * contract, and the quality gate's edge inputs (SURVEY §2.11;
+  * VERDICT r6 next-round item 1). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1L to n.toLong).map(i => (i, s"doc text number $i with the filler words"))
+      .toDF("doc_id", "text")
+
+  // ── clusterSplit ──────────────────────────────────────────────────
+
+  test("clusterSplit: a near-dup pair NEVER straddles train/val") {
+    // chain 1-2-3 and pair 10-11 are clusters; rest are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val d = docs(40)
+    // any valFraction must keep every pair co-assigned — the property
+    // holds by construction (one decision per cluster rep), so probe
+    // several fractions to make a regression loud
+    for (f <- Seq(0.1, 0.3, 0.5, 0.9)) {
+      val split = Curation.clusterSplit(d, pairs, valFraction = f)
+      val straddled = split.join(pairs, split("doc_id") === pairs("doc_a"))
+        .select(col("split").as("s_a"), col("doc_b"))
+        .join(split.select(col("doc_id").as("doc_b"), col("split").as("s_b")),
+          Seq("doc_b"))
+        .filter(col("s_a") =!= col("s_b"))
+        .count()
+      assert(straddled == 0, s"near-dup pair straddles split at f=$f")
+    }
+  }
+
+  test("clusterSplit: transitive closure co-assigns the whole chain") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val split = Curation.clusterSplit(docs(5), pairs)
+    assert(split.select("split").distinct().count() == 1,
+      "a connected chain must land in exactly one split")
+  }
+
+  test("clusterSplit: valFraction bounds respected at the extremes") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val all = Curation.clusterSplit(docs(50), pairs, valFraction = 0.0)
+    assert(all.filter(col("split") === "val").count() == 0)
+    val none = Curation.clusterSplit(docs(50), pairs, valFraction = 1.0)
+    assert(none.filter(col("split") === "train").count() == 0)
+  }
+
+  // ── dsirSample ────────────────────────────────────────────────────
+
+  test("dsirSample: k respected and deterministic across partitionings") {
+    val corpus = docs(60)
+    val target = (1L to 10L)
+      .map(i => (i, s"target domain text $i about spark engines"))
+      .toDF("doc_id", "text")
+    val a = Curation.dsirSample(corpus, target, k = 15)
+      .collect().map(_.toString).toSeq
+    assert(a.size == 15)
+    val b = Curation.dsirSample(corpus.repartition(7), target.repartition(3),
+        k = 15).collect().map(_.toString).toSeq
+    assert(a == b, "resample must be invariant to physical partitioning")
+  }
+
+  test("dsirSample: target ≡ corpus ⇒ every logratio is 0") {
+    val corpus = docs(30)
+    val out = Curation.dsirSample(corpus, corpus, k = 30)
+    assert(out.count() == 30)
+    assert(out.filter(col("logratio") =!= 0.0).count() == 0,
+      "identical target and corpus LMs must give log-ratio 0 everywhere")
+  }
+
+  test("dsirSample: on-domain documents carry strictly higher logratio") {
+    // corpus has 5 docs about 'quantum flux' and 45 generic docs; the
+    // SELECTION is stochastic by design (Gumbel-perturbed), but the
+    // importance WEIGHT is deterministic: on-domain docs must score
+    // a positive logratio and generic docs (no target-vocab token)
+    // exactly 0
+    val onDomain = (1L to 5L).map(i => (i, "quantum flux manifold paper"))
+    val generic = (6L to 50L).map(i => (i, s"generic filler document d$i"))
+    val corpus = (onDomain ++ generic).toDF("doc_id", "text")
+    val target = Seq((100L, "quantum flux manifold study"))
+      .toDF("doc_id", "text")
+    val scored = Curation.dsirSample(corpus, target, k = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (1L to 5L).foreach(i => assert(scored(i) > 0.5, s"doc $i: ${scored(i)}"))
+    (6L to 50L).foreach(i => assert(scored(i) == 0.0, s"doc $i: ${scored(i)}"))
+  }
+
+  // ── qualityLogit ──────────────────────────────────────────────────
+
+  test("qualityLogit: empty and degenerate text score without NaN/null") {
+    val weird = Seq(
+      (1L, ""), (2L, "   "), (3L, "!!!???"), (4L, "a"),
+      (5L, "the of and a normal looking english sentence with words"))
+      .toDF("doc_id", "text")
+    val out = Curation.qualityLogit(weird).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val s = r.getDouble(1)
+      assert(!s.isNaN && s >= 0.0 && s <= 1.0, s"score out of range: $r")
+      assert(!r.isNullAt(2), s"keep flag null: $r")
+    }
+  }
+
+  test("qualityLogit: stopword-dense prose outranks symbol soup") {
+    val d = Seq(
+      (1L, "the cat sat on the mat and then the dog came along too"),
+      (2L, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) ____"))
+      .toDF("doc_id", "text")
+    val m = Curation.qualityLogit(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) > m(2L))
+  }
+
+  test("qualityLogit: gate compares the rounded score") {
+    val d = docs(20)
+    val out = Curation.qualityLogit(d, threshold = 0.5).collect()
+    out.foreach { r =>
+      assert(r.getBoolean(2) == (r.getDouble(1) >= 0.5),
+        s"keep flag must derive from the ROUNDED score: $r")
+    }
+  }
+}

@@ -382,4 +382,67 @@ class SketchesSpec extends SparkSpec {
       Sketches.countMin(Seq("y").toDF("k"), "k"))
     assert(z.collect().head.getLong(0) == 0L)
   }
+
+  // ── KMV bottom-k sketches (round-6 ops; VERDICT r6 item 1) ────────
+
+  test("kmvDistinct: exact below k — the sketch IS the value set") {
+    import spark.implicits._
+    // group a: 5 distinct values (< k=16) with duplicates; group b: 1
+    val rows = (Seq.fill(3)("v1") ++ Seq("v2", "v3", "v4", "v5"))
+      .map(("a", _)) ++ Seq(("b", "only"))
+    val out = Sketches.kmvDistinct(rows.toDF("g", "v"), "g", "v", k = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out("a") == ((5L, 5.0)), "below k the estimate must be exact")
+    assert(out("b") == ((1L, 1.0)))
+  }
+
+  test("kmvDistinct: estimate within 3/sqrt(k) at n >> k; nulls ignored") {
+    import spark.implicits._
+    val n = 5000
+    val rows = (1 to n).map(i => ("g", s"val$i")).toDF("g", "v")
+      .union(Seq(("g", null: String)).toDF("g", "v"))
+    val k = 256
+    val est = Sketches.kmvDistinct(rows, "g", "v", k)
+      .collect().head.getDouble(2)
+    val rel = math.abs(est - n) / n.toDouble
+    assert(rel < 3.0 / math.sqrt(k), s"KMV rel err $rel out of bound")
+  }
+
+  test("kmvDistinct merge law: union sketch = bottom-k of sketch union") {
+    import spark.implicits._
+    import graft.functions.HashFunctions.md5Long60
+    // two halves of one keyspace, sketched separately with the SAME k:
+    // merging the two sketches (bottom-k of their union) must equal
+    // the sketch of the unioned data — the property that makes KMV
+    // partition-distributable (mirrors the HLL mergeability pin)
+    val k = 32
+    val a = (1 to 300).map(i => ("g", s"x$i")).toDF("g", "v")
+    val b = (200 to 500).map(i => ("g", s"x$i")).toDF("g", "v")
+    def sketchHashes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("v").distinct().as[String].collect()
+        .map(v => md5Long60(v)).sorted.take(k).toSeq
+    val merged = (sketchHashes(a) ++ sketchHashes(b)).distinct.sorted.take(k)
+    val direct = sketchHashes(a.union(b))
+    assert(merged == direct, "bottom-k union must equal union's bottom-k")
+    // and the operator's estimator over the union data agrees with a
+    // driver-side replay of the same formula on the merged sketch
+    val est = Sketches.kmvDistinct(a.union(b), "g", "v", k)
+      .collect().head.getDouble(2)
+    val replay = BigDecimal((k - 1).toDouble /
+        (merged.last.toDouble / (1L << 60).toDouble))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(est == replay)
+  }
+
+  test("kmvOverlap: exact union/jaccard below k; sane on planted overlap") {
+    import spark.implicits._
+    // |A|=6, |B|=6, |A∩B|=3, |A∪B|=9 < k=16 -> all exact
+    val a = Seq("a", "b", "c", "x", "y", "z").toDF("v")
+    val b = Seq("a", "b", "c", "p", "q", "r").toDF("v")
+    val r = Sketches.kmvOverlap(a, b, "v", k = 16).collect().head
+    assert(r.getDouble(0) == 9.0, s"union: $r")
+    assert(math.abs(r.getDouble(1) - 3.0 / 9.0) < 1e-6, s"jaccard: $r")
+    assert(r.getDouble(2) == 3.0, s"intersection: $r")
+  }
 }

@@ -50,19 +50,24 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     fail = 0
+    strict = 0
     for name in sorted(oracle):
         qdir = Path(out_dir) / name
         if not qdir.exists():
             print(f"{name}: MISSING spark result")
             fail += 1
             continue
+        # ONE execution per side: the Arrow table feeds both the value
+        # compare (to_pylist — same python-native values fetchall gave)
+        # and the STRICT pandas views (to_pandas — the driver's dtype
+        # lens), so the recursive-CTE oracles don't run twice.
         try:
-            scols = [d[0] for d in con.execute(
-                f"SELECT * FROM read_parquet('{qdir}/*.parquet') LIMIT 0").description]
-            srows = con.execute(
-                f"SELECT * FROM read_parquet('{qdir}/*.parquet')").fetchall()
-            ocols = [d[0] for d in con.execute(oracle[name]).description]
-            orows = con.execute(oracle[name]).fetchall()
+            stbl = con.execute(
+                f"SELECT * FROM read_parquet('{qdir}/*.parquet')").arrow()
+            otbl = con.execute(oracle[name]).arrow()
+            scols, ocols = stbl.column_names, otbl.column_names
+            srows = [tuple(d[c] for c in scols) for d in stbl.to_pylist()]
+            orows = [tuple(d[c] for c in ocols) for d in otbl.to_pylist()]
         except Exception as e:
             print(f"{name}: ERROR {e}")
             fail += 1
@@ -71,16 +76,31 @@ def main(sf_dir: str, out_dir: str) -> int:
         # (a) pandas dtype drift (DuckDB HUGEINT window sums land as
         #     float64 while Spark writes int64 — equal values, different
         #     hash); (b) IEEE -0.0 vs +0.0 (equal under ==, different
-        #     bits). Both broke rows in CORRECTNESS_r05.
+        #     bits). Both broke rows in CORRECTNESS_r05; a hit here is
+        #     a FAILURE (dedicated exit code 2) — the driver's hash
+        #     would reject the row even though values compare equal.
         try:
             import numpy as np
-            sdf = con.execute(
-                f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
-            odf = con.execute(oracle[name]).df()
+
+            def family(dt):
+                # width drift (int32 vs int64) is benign for the
+                # driver's hash — CORRECTNESS_r06 hash-matched
+                # row_number int32 against DuckDB BIGINT. What broke
+                # r05 was KIND drift: HUGEINT sums surfacing float64
+                # against Spark's int64.
+                s = str(dt)
+                for fam in ("int", "uint", "float", "bool", "datetime"):
+                    if s.startswith(fam):
+                        return "int" if fam == "uint" else fam
+                return s
+            sdf = stbl.to_pandas()
+            odf = otbl.to_pandas()
             for c in sdf.columns:
-                if c in odf.columns and str(sdf[c].dtype) != str(odf[c].dtype):
+                if c in odf.columns and \
+                        family(sdf[c].dtype) != family(odf[c].dtype):
                     print(f"{name}: STRICT dtype drift col={c} "
                           f"spark={sdf[c].dtype} oracle={odf[c].dtype}")
+                    strict += 1
             for df_, side in ((sdf, "spark"), (odf, "oracle")):
                 for c in df_.columns:
                     v = df_[c].values
@@ -88,6 +108,7 @@ def main(sf_dir: str, out_dir: str) -> int:
                         n0 = int(((v == 0) & np.signbit(v)).sum())
                         if n0:
                             print(f"{name}: STRICT {side} col={c} has {n0} -0.0")
+                            strict += 1
         except Exception as e:
             print(f"{name}: STRICT check skipped ({e})")
         sc, sr = normalize(scols, srows)
@@ -111,8 +132,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"SELECT count(*) FROM read_parquet('{Path(out_dir)/name}/*.parquet')").fetchone()[0]
         print(f"{name}: NO-ORACLE (rows-only check, {n} rows)")
     print(f"== {len(oracle) - fail}/{len(oracle)} oracle queries match, "
-          f"{len(extra)} rows-only")
-    return 1 if fail else 0
+          f"{len(extra)} rows-only, {strict} STRICT hits")
+    return 1 if fail else (2 if strict else 0)
 
 
 if __name__ == "__main__":
