@@ -36,9 +36,18 @@ object Curation {
     * cluster representatives are stable. */
   def clusterSplit(docs: DataFrame, pairs: DataFrame,
                    idCol: String = "doc_id",
-                   valFraction: Double = 0.1): DataFrame = {
+                   valFraction: Double = 0.1): DataFrame =
+    splitFromClusters(DedupClusters.resolve(docs, pairs, idCol), valFraction)
+
+  /** The split projection alone, over an ALREADY-RESOLVED cluster
+    * assignment (`doc_id`, `cluster_rep`) — scan-speed, zero shuffle.
+    * Production pipelines materialize the cluster table once per
+    * corpus snapshot (it feeds dedup, splits, and survivorship alike)
+    * and derive splits from the registered table rather than
+    * re-running the pair pipeline per consumer. */
+  def splitFromClusters(resolved: DataFrame,
+                        valFraction: Double = 0.1): DataFrame = {
     require(valFraction >= 0.0 && valFraction <= 1.0)
-    val resolved = DedupClusters.resolve(docs, pairs, idCol)
     resolved.withColumn("split",
       when(md5Long(concat(lit("clsplit:"), col("cluster_rep").cast("string")))
           < Sampling.threshold(valFraction), "val")
