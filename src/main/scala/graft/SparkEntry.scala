@@ -1281,6 +1281,29 @@ object SparkEntry {
     // features, rounded-score cut)
     "q207_quality_logit" -> ((s, dir) =>
       graft.operators.Curation.qualityLogit(t(s, dir, "documents"))),
+    // SemDeDup-style semantic dedup: label-blocked cosine pairs (q27
+    // threshold) → CC → one survivor per embedding cluster
+    "q208_semantic_dedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), 0.4)),
+    // Soft dedup: training weight 1/|cluster| from the REGISTERED
+    // cluster table (q203 owns the build) — down-weighting posture
+    // that preserves rare-but-duplicated content
+    "q209_dedup_weights" -> ((s, dir) =>
+      graft.operators.Curation.dedupWeights(
+        clusterTable(s, dir, rebuild = false))),
+    // Hashing-trick featurization: md5 buckets + md5 sign bit, one
+    // bounded (doc, bucket) agg — zero-weight cancellations dropped
+    "q210_feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHash(t(s, dir, "documents"), dim = 256)),
+    // Poisson-bootstrap CI for per-type mean value: b=32 md5-seeded
+    // Poisson(1) replicate weights, rank-selected order statistics
+    "q211_bootstrap_ci" -> ((s, dir) =>
+      Analytics.bootstrapCI(t(s, dir, "events"), "event_type",
+        "event_id", "value", b = 32)),
+    // N-gram novelty: fraction of a doc's distinct 3-grams with
+    // corpus df = 1 — one gram shuffle + co-partitioned join back
+    "q212_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"))),
     // STREAMING windowed top-k: top-3 event types per hour via
     // flatMapGroupsWithState keyed by window start -- the ranking
     // query native streaming can't express (no rank over a streaming
@@ -2749,6 +2772,108 @@ object SparkEntry {
         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
         |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
         |FROM z""".stripMargin,
+    // q27's label-blocked cosine pairs + the q47 CC pattern; keep =
+    // the min-id representative survives
+    "q208_semantic_dedup" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |        i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+        |        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) >= 0.4
+        |), sym AS (
+        |  SELECT vec_a AS u, vec_b AS v FROM s
+        |  UNION SELECT vec_b, vec_a FROM s
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u
+        |), comp AS (
+        |  SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u
+        |)
+        |SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS cluster_rep,
+        |  e.vec_id = coalesce(c.comp, e.vec_id) AS keep
+        |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node""".stripMargin,
+    // q47's cluster chain + per-cluster sizes -> 1/|cluster| weights
+    "q209_dedup_weights" ->
+      (minhashClustersCte.stripSuffix("\n") + ", " +
+        """sz AS (
+          |  SELECT cluster_rep, count(*)::BIGINT AS csz
+          |  FROM resolved GROUP BY 1
+          |)
+          |SELECT r.doc_id, r.cluster_rep,
+          |  round(1.0::DOUBLE / csz, 6) AS weight,
+          |  r.doc_id = r.cluster_rep AS keep
+          |FROM resolved r JOIN sz ON r.cluster_rep = sz.cluster_rep""".stripMargin),
+    // md5 bucket + independent md5 sign bit, zero weights dropped
+    "q210_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(term), 1, 15))::BIGINT % 256 AS bucket,
+        |    CASE WHEN ('0x' || substr(md5('sign:' || term), 1, 15))::BIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS sign
+        |  FROM tok
+        |)
+        |SELECT doc_id, bucket, sum(sign)::BIGINT AS weight
+        |FROM h GROUP BY 1, 2 HAVING sum(sign) <> 0""".stripMargin,
+    // md5-uniform -> fixed Poisson(1) inverse-CDF ladder; replicate
+    // means on exact cent sums; rank-selected order statistics
+    "q211_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, event_id AS id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), reps AS (
+        |  SELECT g, r.rep,
+        |    ('0x' || substr(md5('boot:' || id::VARCHAR || ':' || r.rep::VARCHAR), 1, 15))::BIGINT::DOUBLE
+        |      / 1152921504606846976.0 AS u, vq
+        |  FROM base CROSS JOIN generate_series(0, 31) r(rep)
+        |), wtab AS (
+        |  SELECT g, rep, vq,
+        |    CASE WHEN u < 0.367879441171 THEN 0 WHEN u < 0.735758882343 THEN 1
+        |         WHEN u < 0.919698602929 THEN 2 WHEN u < 0.981011843124 THEN 3
+        |         WHEN u < 0.996340153173 THEN 4 WHEN u < 0.999405815182 THEN 5
+        |         WHEN u < 0.999916758851 THEN 6 WHEN u < 0.999989750803 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM reps
+        |), means AS (
+        |  SELECT g, rep, round(sum(w * vq)::DOUBLE / sum(w) / 100.0, 6) AS m
+        |  FROM wtab GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT g, m, rep, row_number() OVER (PARTITION BY g ORDER BY m, rep) AS rnk
+        |  FROM means
+        |), ci AS (
+        |  SELECT g, min(CASE WHEN rnk = 2 THEN m END) AS ci_lo,
+        |         min(CASE WHEN rnk = 31 THEN m END) AS ci_hi
+        |  FROM ranked GROUP BY g
+        |), est AS (
+        |  SELECT g, round(sum(vq)::DOUBLE / count(*) / 100.0, 6) AS est_mean
+        |  FROM base GROUP BY g
+        |)
+        |SELECT est.g AS event_type, est_mean, ci_lo, ci_hi
+        |FROM est JOIN ci ON est.g = ci.g""".stripMargin,
+    // distinct 3-gram df over the corpus; novelty = df=1 fraction
+    "q212_ngram_novelty" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |), gr AS (SELECT doc_id, unnest(sh) AS gram FROM base),
+        |dfreq AS (SELECT gram, count(*)::BIGINT AS df FROM gr GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS novelty
+        |FROM gr JOIN dfreq ON gr.gram = dfreq.gram
+        |GROUP BY doc_id""".stripMargin,
     // full r x c cross incl. zero-observed cells; (o*n - rt*ct)^2
     // has an int64 root so each term is engine-exact
     "q194_chi_square" ->

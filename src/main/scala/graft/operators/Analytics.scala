@@ -689,4 +689,66 @@ object Analytics {
       .groupBy(col(groupCol))
       .agg(min(col(valueCol)).as("wmedian"), max(col("_tot")).as("total_w"))
   }
+
+  // Poisson(1) inverse-CDF ladder (cumulative P(X<=k), k = 0..7),
+  // fixed DECIMAL literals so both engines compare the same doubles
+  private val PoissonCdf = Seq(
+    0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+    0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803)
+
+  /** Poisson bootstrap confidence interval for the per-group mean —
+    * THE distributed bootstrap (Chamandy et al., public): instead of
+    * resampling n rows with replacement (which needs n and a global
+    * shuffle per replicate), every row draws an independent
+    * Poisson(1) weight per replicate, which converges to multinomial
+    * resampling at corpus n. Here the Poisson draw is an md5-uniform
+    * pushed through a fixed inverse-CDF ladder, so every replicate —
+    * and therefore the whole CI — replays bit-identically on any
+    * engine and any partitioning.
+    *
+    * Output per group: the full-sample mean estimate and the
+    * [2nd, (b−1)th] order statistics of the b replicate means (a
+    * ~94% interval at b = 32) — rank-selected, never interpolated,
+    * so the cut is engine-exact. Values quantize to cents so every
+    * replicate sum is an exact int64.
+    *
+    * Scale shape: the b-way explode happens map-side and feeds ONE
+    * map-side-combinable (group, replicate) aggregation — the
+    * shuffle carries groups×b partial rows, not data×b. The order
+    * statistics ride a groups×b-sized window. */
+  def bootstrapCI(df: DataFrame, groupCol: String, idCol: String,
+                  valueCol: String, b: Int = 32): DataFrame = {
+    require(b >= 8)
+    import graft.functions.HashFunctions.md5Long
+    import org.apache.spark.sql.expressions.Window
+    val vq = floor(col(valueCol).cast("double") * 100 + lit(0.5)).cast("long")
+    val u = md5Long(concat(lit("boot:"), col("_id").cast("string"),
+      lit(":"), col("_rep").cast("string"))).cast("double") /
+      lit((1L << 60).toDouble)
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.size.toLong)) {
+      case ((p, k), rest) => when(u < p, lit(k.toLong)).otherwise(rest)
+    }
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(idCol).as("_id"), vq.as("_vq"))
+    val reps = base
+      .withColumn("_rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("_w", w)
+      .groupBy("g", "_rep")
+      .agg(sum(col("_w") * col("_vq")).as("_ws"), sum("_w").as("_wn"))
+      .withColumn("_mean",
+        round(col("_ws").cast("double") / col("_wn") / 100.0, 6))
+    val wRank = Window.partitionBy("g").orderBy(col("_mean"), col("_rep"))
+    val ci = reps
+      .withColumn("_rnk", row_number().over(wRank))
+      .groupBy("g")
+      .agg(min(when(col("_rnk") === 2, col("_mean"))).as("ci_lo"),
+        min(when(col("_rnk") === b - 1, col("_mean"))).as("ci_hi"))
+    val est = base.groupBy("g")
+      .agg(round(sum("_vq").cast("double") / count(lit(1)) / 100.0, 6)
+        .as("est_mean"))
+    est.join(ci, Seq("g"))
+      .select(col("g").as(groupCol), col("est_mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -54,6 +54,28 @@ object Curation {
         .otherwise("train"))
   }
 
+  /** Soft deduplication: instead of DROPPING near-duplicates, every
+    * document keeps a training weight 1/|cluster| (duplicates share
+    * one document's worth of gradient — the down-weighting posture
+    * several public LLM-data pipelines prefer over hard removal
+    * because it preserves rare-but-duplicated content). Input is an
+    * already-resolved cluster assignment (doc_id, cluster_rep) — the
+    * same registered table [[clusterSplit]]'s build produces.
+    *
+    * Scale shape: one map-side-combinable count to the cluster-sized
+    * sizes table (broadcastable), one join back. The corpus-scale
+    * relation shuffles once on cluster_rep; `keep` marks the hard
+    * dedup survivor so one output serves both postures. */
+  def dedupWeights(resolved: DataFrame,
+                   idCol: String = "doc_id"): DataFrame = {
+    val sizes = resolved.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("_csz"))
+    resolved.join(broadcast(sizes), Seq("cluster_rep"))
+      .select(col(idCol), col("cluster_rep"),
+        round(lit(1.0) / col("_csz"), 6).as("weight"),
+        (col(idCol) === col("cluster_rep")).as("keep"))
+  }
+
   /** DSIR-style importance resampling (Xie et al., "Data Selection
     * for Language Models via Importance Resampling", public):
     * documents are drawn in proportion to how much more likely a

@@ -372,6 +372,30 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., public):
+    * embedding near-dup pairs within partition blocks resolve to
+    * connected components, and each cluster keeps exactly one
+    * survivor (its min-id representative). The output is the full
+    * corpus annotated (vec_id, cluster_rep, keep) — downstream
+    * training reads `keep`, audits read the cluster assignment.
+    *
+    * Scale shape: the pair stage is [[nearDupPairs]] (block-bounded
+    * cosine join, corpus never crosses blocks); clustering is
+    * pointer-doubling CC — O(log diameter) bounded joins over the
+    * PAIR set, which near-dup sparsity keeps ≪ corpus. At unlabeled
+    * scale swap the pair stage for [[nearDupPairsUnlabeled]] (IVF
+    * cells) at the same downstream shape. */
+  def semDedup(corpus: DataFrame, threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               partCol: String = "label"): DataFrame = {
+    val pairs = nearDupPairs(corpus, threshold, idCol, vecCol, partCol)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    graft.operators.DedupClusters.resolve(
+        corpus.select(col(idCol)), pairs, idCol)
+      .select(col(idCol), col("cluster_rep"),
+        (col(idCol) === col("cluster_rep")).as("keep"))
+  }
+
   /** Per-vector min/max scalar quantization to 8-bit codes — the 4×
     * memory/IO reduction step before ANN indexing or shipping
     * embeddings to a retrieval tier. code_i = ⌊(x_i − lo)/scale + ½⌋

@@ -626,6 +626,77 @@ object TextAnalysis {
           .otherwise(-col("_g2")).as("signed_llr"))
   }
 
+  /** Hashing-trick sparse featurization: every token folds into one
+    * of `dim` buckets by md5, signed ±1 by an independent md5 bit
+    * (the sign trick keeps the hashed inner product unbiased —
+    * Weinberger et al., public). Output is the sparse vector as
+    * (doc_id, bucket, weight) rows, exact-zero cancellations
+    * dropped. The fixed-width representation a downstream linear
+    * model or MinHash-free similarity join consumes.
+    *
+    * Scale shape: token explode → ONE map-side-combinable (doc,
+    * bucket) aggregation — bucket count is bounded by `dim`, so the
+    * shuffle carries ≤ dim rows per doc regardless of document
+    * length. md5 keeps buckets/signs engine-replayable. */
+  def featureHash(docs: DataFrame, dim: Int = 256,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(dim >= 2)
+    import graft.functions.HashFunctions.md5Long
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .withColumn("bucket", pmod(md5Long(col("term")), lit(dim)))
+      .withColumn("sign",
+        when(md5Long(concat(lit("sign:"), col("term"))) % 2 === 0, lit(1L))
+          .otherwise(lit(-1L)))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
+  /** N-gram novelty: the fraction of a document's distinct n-grams
+    * that appear NOWHERE else in the corpus (df = 1). High novelty
+    * separates genuinely new content from remixes/boilerplate — the
+    * complement of the dedup family's overlap scores, useful as a
+    * curation feature rather than a drop decision. Documents with
+    * fewer than n tokens have no n-grams and are omitted.
+    *
+    * Scale shape: one (gram) shuffle builds the df table; the join
+    * back is gram-co-partitioned (reuses the same hash keys), then
+    * one map-side-combinable per-doc aggregation. Shingles are
+    * distinct per doc, so df counts documents, not occurrences. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.HashFunctions.shingles(col(textCol), n)).as("g"))
+    val dfTab = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(dfTab, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
+  /** Broadcast-dictionary keyword tagging: which of a (small) tag
+    * vocabulary each document mentions — the scan-speed analog of an
+    * Aho-Corasick tagger for dictionary sizes that broadcast. Tags
+    * come back sorted and joined so the row is one string (stable
+    * for storage and hashing); `n_tags` feeds coverage dashboards.
+    * Zero shuffle: `array_intersect` against a literal array inside
+    * the projection. */
+  def tagKeywords(docs: DataFrame, keywords: Seq[String],
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(keywords.nonEmpty)
+    val tags = array_sort(array_intersect(
+      array_distinct(tokens(col(textCol))),
+      array(keywords.map(lit): _*)))
+    docs.select(col(idCol).as("doc_id"),
+      array_join(tags, ",").as("tags"), size(tags).as("n_tags"))
+  }
+
   private def nullifZero(c: org.apache.spark.sql.Column) =
     when(c === 0, lit(null)).otherwise(c)
 }
