@@ -1304,6 +1304,41 @@ object SparkEntry {
     // corpus df = 1 — one gram shuffle + co-partitioned join back
     "q212_ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(t(s, dir, "documents"))),
+    // Broadcast-dictionary keyword tagging: zero-shuffle
+    // array_intersect against a literal tag vocabulary
+    "q213_keyword_tags" -> ((s, dir) =>
+      TextAnalysis.tagKeywords(t(s, dir, "documents"),
+        Seq("spark", "table", "hash", "merge", "scan", "window"))),
+    // KMV a-not-b: estimated click users who never purchase —
+    // completes the sketch algebra (cardinality/intersection/diff)
+    "q214_kmv_difference" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      Sketches.kmvDifference(
+        ev.filter(col("event_type") === "click").select(col("user_id")),
+        ev.filter(col("event_type") === "purchase").select(col("user_id")),
+        "user_id", k = 64)
+    }),
+    // Budget-capped curation: per source, quality-ordered docs until
+    // a 100k-char budget — one stratum-partitioned window
+    "q215_budget_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.join(
+        graft.operators.Curation.qualityLogit(docs)
+          .select(col("doc_id"), col("score")), Seq("doc_id"))
+      graft.operators.Curation.budgetSample(
+        scored, "source", "n_chars", "score", budget = 100000L)
+    }),
+    // Contamination audit: per-tier flagged counts (exact / 13-gram
+    // / near-dup) vs the q56/q67/q75 benchmark slice
+    "q216_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.contaminationReport(
+        docs, docs.filter(col("doc_id") % 10 === 0))
+    }),
+    // Embedding-centroid outliers: bottom decile by cosine to the
+    // label centroid (quantized-exact means, rank-based flag)
+    "q217_centroid_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(t(s, dir, "embeddings"))),
     // STREAMING windowed top-k: top-3 event types per hour via
     // flatMapGroupsWithState keyed by window start -- the ranking
     // query native streaming can't express (no rank over a streaming
@@ -2660,6 +2695,100 @@ object SparkEntry {
         |)
         |""".stripMargin
 
+  private val q207OracleSql: String =
+    """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, len(toks)::DOUBLE AS n_tok,
+        |    coalesce(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE
+        |      / nullif(len(toks)::DOUBLE, 0), 0.0) AS stop_ratio,
+        |    coalesce(len(regexp_extract_all(lower(text), '[a-z]'))::DOUBLE
+        |      / nullif(length(text)::DOUBLE, 0), 0.0) AS alpha_ratio,
+        |    coalesce(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+        |      / nullif(len(toks)::DOUBLE, 0), 0.0) AS mean_tok_len
+        |  FROM t
+        |), z AS (
+        |  SELECT doc_id, -3.0 + ln(1.0 + n_tok) * 0.55 + stop_ratio * 4.0
+        |    + alpha_ratio * 1.5 + mean_tok_len * (-0.05) AS z
+        |  FROM f
+        |)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+        |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+        |FROM z""".stripMargin
+
+  private val q56OracleSql: String =
+    """WITH fp AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS f
+        |  FROM documents
+        |), b AS (
+        |  SELECT DISTINCT f AS bfp FROM fp WHERE doc_id % 10 = 0
+        |)
+        |SELECT d.doc_id FROM fp d
+        |WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.bfp = d.f)""".stripMargin
+
+  private val q67OracleSql: String =
+    """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
+        |), gi AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 12)) AS i FROM tok
+        |), g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(ts, i, i + 12), ' ') AS s FROM gi
+        |), b AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0),
+        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (s))
+        |SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)""".stripMargin
+
+  private val q75OracleSql: String =
+    """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT -doc_id - 1 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |), base AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM src)
+        |), nz AS (SELECT * FROM base WHERE len(sh) > 0),
+        |hs AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT & 1073741823 AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min((787542839 * h + 242017) % 1073741789) AS mh0,
+        |    min((611349889 * h + 938741) % 1073741789) AS mh1,
+        |    min((904321577 * h + 55117) % 1073741789) AS mh2,
+        |    min((359485871 * h + 712933) % 1073741789) AS mh3,
+        |    min((673458601 * h + 128747) % 1073741789) AS mh4,
+        |    min((513695341 * h + 999331) % 1073741789) AS mh5,
+        |    min((844235099 * h + 47743) % 1073741789) AS mh6,
+        |    min((298654777 * h + 583391) % 1073741789) AS mh7,
+        |    min((736217683 * h + 864967) % 1073741789) AS mh8,
+        |    min((465182977 * h + 22229) % 1073741789) AS mh9,
+        |    min((952103481 * h + 371099) % 1073741789) AS mh10,
+        |    min((587431267 * h + 650087) % 1073741789) AS mh11
+        |  FROM hs GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band, mh0::VARCHAR||'|'||mh1::VARCHAR||'|'||mh2::VARCHAR AS sig FROM mh
+        |  UNION ALL SELECT doc_id, 1, mh3::VARCHAR||'|'||mh4::VARCHAR||'|'||mh5::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 2, mh6::VARCHAR||'|'||mh7::VARCHAR||'|'||mh8::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 3, mh9::VARCHAR||'|'||mh10::VARCHAR||'|'||mh11::VARCHAR FROM mh
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT doc_a, doc_b,
+        |    len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |  FROM cand JOIN nz x ON cand.doc_a = x.doc_id JOIN nz y ON cand.doc_b = y.doc_id
+        |), bad AS (
+        |  SELECT DISTINCT doc_b FROM j WHERE jac >= 0.8 AND doc_a < 0 AND doc_b >= 0
+        |)
+        |SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_b = d.doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // q47's cluster chain + the same md5 hash-space split decision
     // keyed on the cluster representative
@@ -2750,28 +2879,7 @@ object SparkEntry {
     // feature formulas mirror the engine column-for-column; the gate
     // compares the ROUNDED score so both engines cut identically
     "q207_quality_logit" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents
-        |), f AS (
-        |  SELECT doc_id, len(toks)::DOUBLE AS n_tok,
-        |    coalesce(len(list_filter(toks, x -> list_contains(
-        |      ['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE
-        |      / nullif(len(toks)::DOUBLE, 0), 0.0) AS stop_ratio,
-        |    coalesce(len(regexp_extract_all(lower(text), '[a-z]'))::DOUBLE
-        |      / nullif(length(text)::DOUBLE, 0), 0.0) AS alpha_ratio,
-        |    coalesce(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
-        |      / nullif(len(toks)::DOUBLE, 0), 0.0) AS mean_tok_len
-        |  FROM t
-        |), z AS (
-        |  SELECT doc_id, -3.0 + ln(1.0 + n_tok) * 0.55 + stop_ratio * 4.0
-        |    + alpha_ratio * 1.5 + mean_tok_len * (-0.05) AS z
-        |  FROM f
-        |)
-        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
-        |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
-        |FROM z""".stripMargin,
+      q207OracleSql,
     // q27's label-blocked cosine pairs + the q47 CC pattern; keep =
     // the min-id representative survives
     "q208_semantic_dedup" ->
@@ -2874,6 +2982,102 @@ object SparkEntry {
         |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS novelty
         |FROM gr JOIN dfreq ON gr.gram = dfreq.gram
         |GROUP BY doc_id""".stripMargin,
+    // sorted list_intersect against the same literal vocabulary
+    "q213_keyword_tags" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_sort(list_intersect(
+        |    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+        |    ['spark','table','hash','merge','scan','window'])) AS tags
+        |  FROM documents
+        |)
+        |SELECT doc_id, coalesce(array_to_string(tags, ','), '') AS tags,
+        |  coalesce(len(tags), 0)::BIGINT AS n_tags FROM t""".stripMargin,
+    // q205's sketch replay; a-not-b instead of intersection
+    "q214_kmv_difference" ->
+      """WITH a AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'click'
+        |), b AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        |), ka AS (SELECT h FROM a ORDER BY h LIMIT 64),
+        |kb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+        |uk AS (
+        |  SELECT h FROM (SELECT DISTINCT h FROM (
+        |    SELECT h FROM ka UNION ALL SELECT h FROM kb))
+        |  ORDER BY h LIMIT 64
+        |), fl AS (
+        |  SELECT uk.h,
+        |    CASE WHEN ka.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+        |    CASE WHEN kb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        |  FROM uk LEFT JOIN ka ON uk.h = ka.h LEFT JOIN kb ON uk.h = kb.h
+        |), agg AS (
+        |  SELECT count(*)::BIGINT AS n_u, max(h) AS kth,
+        |    sum(in_a * (1 - in_b))::BIGINT AS n_aonly FROM fl
+        |)
+        |SELECT
+        |  round(CASE WHEN n_u < 64 THEN n_u::DOUBLE
+        |    ELSE 63.0 / (kth::DOUBLE / 1152921504606846976.0) END, 4) AS est_union,
+        |  round((n_aonly::DOUBLE / n_u) * CASE WHEN n_u < 64 THEN n_u::DOUBLE
+        |    ELSE 63.0 / (kth::DOUBLE / 1152921504606846976.0) END, 4) AS est_a_not_b
+        |FROM agg""".stripMargin,
+    // q207's score joined back; one stratum-ordered running sum
+    "q215_budget_sample" ->
+      (s"""WITH q207 AS (${"\n"}${q207OracleSql}${"\n"}), sc AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, q207.score
+        |  FROM documents d JOIN q207 ON d.doc_id = q207.doc_id
+        |), c AS (
+        |  SELECT doc_id, source, n_chars, score,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cost
+        |  FROM sc
+        |)
+        |SELECT doc_id, source, n_chars, score, cum_cost
+        |FROM c WHERE cum_cost <= 100000""".stripMargin),
+    // three tier counts: corpus total minus each tier's survivors
+    "q216_contamination_report" ->
+      (s"""SELECT 'exact' AS tier,
+        |  (SELECT count(*) FROM documents) -
+        |  (SELECT count(*) FROM (${"\n"}$q56OracleSql${"\n"}) s1) AS n_flagged
+        |UNION ALL
+        |SELECT 'ngram',
+        |  (SELECT count(*) FROM documents) -
+        |  (SELECT count(*) FROM (${"\n"}$q67OracleSql${"\n"}) s2)
+        |UNION ALL
+        |SELECT 'neardup',
+        |  (SELECT count(*) FROM documents) -
+        |  (SELECT count(*) FROM (${"\n"}$q75OracleSql${"\n"}) s3)""".stripMargin),
+    // quantized-exact label centroids; rank cut by integer division
+    "q217_centroid_outliers" ->
+      """WITH comp AS (
+        |  SELECT label, i,
+        |    sum(CAST(floor(v::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS s,
+        |    count(*)::BIGINT AS n
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)
+        |  GROUP BY 1, 2
+        |), cent AS (
+        |  SELECT label, list(s::DOUBLE / n / 1000000.0 ORDER BY i) AS cv
+        |  FROM comp GROUP BY 1
+        |), sc AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |        i -> e.embedding[i]::DOUBLE * cv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+        |        i -> cv[i] * cv[i])))), 6) AS cos
+        |  FROM embeddings e JOIN cent USING (label)
+        |), r AS (
+        |  SELECT vec_id, label, cos,
+        |    row_number() OVER (PARTITION BY label ORDER BY cos, vec_id) AS rnk,
+        |    count(*) OVER (PARTITION BY label) AS np
+        |  FROM sc
+        |)
+        |SELECT vec_id, label, cos, rnk <= (np + 9) // 10 AS outlier FROM r""".stripMargin,
     // full r x c cross incl. zero-observed cells; (o*n - rt*ct)^2
     // has an int64 root so each term is engine-exact
     "q194_chi_square" ->
@@ -5654,51 +5858,7 @@ object SparkEntry {
     "q75_neardup_decontaminate" ->
       // the q24 MinHash replay over corpus ∪ negated-id benchmark;
       // cross-side verified pairs mark contaminated corpus docs
-      """WITH src AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT -doc_id - 1 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-        |), base AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(toks)-2, 0)),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM src)
-        |), nz AS (SELECT * FROM base WHERE len(sh) > 0),
-        |hs AS (
-        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT & 1073741823 AS h
-        |  FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
-        |), mh AS (
-        |  SELECT doc_id,
-        |    min((787542839 * h + 242017) % 1073741789) AS mh0,
-        |    min((611349889 * h + 938741) % 1073741789) AS mh1,
-        |    min((904321577 * h + 55117) % 1073741789) AS mh2,
-        |    min((359485871 * h + 712933) % 1073741789) AS mh3,
-        |    min((673458601 * h + 128747) % 1073741789) AS mh4,
-        |    min((513695341 * h + 999331) % 1073741789) AS mh5,
-        |    min((844235099 * h + 47743) % 1073741789) AS mh6,
-        |    min((298654777 * h + 583391) % 1073741789) AS mh7,
-        |    min((736217683 * h + 864967) % 1073741789) AS mh8,
-        |    min((465182977 * h + 22229) % 1073741789) AS mh9,
-        |    min((952103481 * h + 371099) % 1073741789) AS mh10,
-        |    min((587431267 * h + 650087) % 1073741789) AS mh11
-        |  FROM hs GROUP BY doc_id
-        |), bands AS (
-        |  SELECT doc_id, 0 AS band, mh0::VARCHAR||'|'||mh1::VARCHAR||'|'||mh2::VARCHAR AS sig FROM mh
-        |  UNION ALL SELECT doc_id, 1, mh3::VARCHAR||'|'||mh4::VARCHAR||'|'||mh5::VARCHAR FROM mh
-        |  UNION ALL SELECT doc_id, 2, mh6::VARCHAR||'|'||mh7::VARCHAR||'|'||mh8::VARCHAR FROM mh
-        |  UNION ALL SELECT doc_id, 3, mh9::VARCHAR||'|'||mh10::VARCHAR||'|'||mh11::VARCHAR FROM mh
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        |), j AS (
-        |  SELECT doc_a, doc_b,
-        |    len(list_intersect(x.sh, y.sh))::DOUBLE /
-        |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
-        |  FROM cand JOIN nz x ON cand.doc_a = x.doc_id JOIN nz y ON cand.doc_b = y.doc_id
-        |), bad AS (
-        |  SELECT DISTINCT doc_b FROM j WHERE jac >= 0.8 AND doc_a < 0 AND doc_b >= 0
-        |)
-        |SELECT d.doc_id FROM documents d
-        |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_b = d.doc_id)""".stripMargin,
+      q75OracleSql,
     "q72_hll_by_lang" ->
       // q46's register fold, partitioned by lang
       """WITH tok AS (
@@ -5792,16 +5952,7 @@ object SparkEntry {
         |FROM documents d JOIN s USING (source)""".stripMargin,
     "q67_ngram_decontaminate" ->
       // string-level dual: shingle equality ⟺ md5 equality
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents
-        |), gi AS (
-        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 12)) AS i FROM tok
-        |), g AS (
-        |  SELECT DISTINCT doc_id, array_to_string(list_slice(ts, i, i + 12), ' ') AS s FROM gi
-        |), b AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0),
-        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (s))
-        |SELECT d.doc_id FROM documents d
-        |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)""".stripMargin,
+      q67OracleSql,
     "q65_hist_quantiles_by" ->
       // q53's replay partitioned by event_type
       """WITH b AS (
@@ -5915,15 +6066,7 @@ object SparkEntry {
         |    THEN 'val' ELSE 'train' END AS split
         |FROM documents""".stripMargin,
     "q56_decontaminate" ->
-      """WITH fp AS (
-        |  SELECT doc_id,
-        |    ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS f
-        |  FROM documents
-        |), b AS (
-        |  SELECT DISTINCT f AS bfp FROM fp WHERE doc_id % 10 = 0
-        |)
-        |SELECT d.doc_id FROM fp d
-        |WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.bfp = d.f)""".stripMargin,
+      q56OracleSql,
     "q54_count_min" ->
       // same 30-bit md5 base hash + affine family as the Spark side
       // (constants interpolated from HashFunctions so they can't drift)

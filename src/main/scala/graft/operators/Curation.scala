@@ -128,6 +128,54 @@ object Curation {
         col("key"))
   }
 
+  /** Budget-capped curation: per stratum, take documents in quality
+    * order until a cost budget (tokens, chars, bytes) is exhausted —
+    * the step that turns "rank everything by quality" into an actual
+    * training set of the size the run can afford, per-domain. The
+    * cut is a running sum over an explicit total order (quality
+    * desc, id asc), so it is engine-exact and stable across re-runs.
+    *
+    * Scale shape: ONE key-partitioned window (stratum-sharded sort);
+    * no joins, no global sort. A document whose cost alone exceeds
+    * the budget is excluded by the cumulative test like any other. */
+  def budgetSample(docs: DataFrame, stratumCol: String, costCol: String,
+                   scoreCol: String, budget: Long,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("cum_cost", sum(col(costCol).cast("long")).over(w))
+      .filter(col("cum_cost") <= budget)
+      .select(col(idCol), col(stratumCol), col(costCol),
+        col(scoreCol), col("cum_cost"))
+  }
+
+  /** Contamination audit: how many corpus documents each
+    * decontamination tier would flag against a benchmark set — the
+    * report a release process reads BEFORE deciding which tier to
+    * apply ([[Sampling.decontaminate]] exact, [[
+    * Sampling.ngramDecontaminate]] 13-gram, [[
+    * Sampling.nearDupDecontaminate]] MinHash near-dup). One row per
+    * tier; tiers are independent counts, not a waterfall.
+    *
+    * Scale shape: each tier is its own already-scale-shaped pipeline
+    * reduced to a 1-row count; the three counts union. The corpus is
+    * scanned once per tier — an audit run, not a hot path. */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
+    def tier(name: String, survivors: DataFrame) =
+      corpus.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
+        .agg(count(lit(1)).as("n_flagged"))
+        .select(lit(name).as("tier"), col("n_flagged"))
+    tier("exact", Sampling.decontaminate(corpus, benchmark))
+      .unionAll(tier("ngram", Sampling.ngramDecontaminate(corpus, benchmark)))
+      .unionAll(tier("neardup",
+        Sampling.nearDupDecontaminate(corpus, benchmark)))
+  }
+
   /** Model-based quality gate: a fixed-weight logistic score over the
     * engine's scan-speed text features (length, stopword density,
     * alpha density, mean token length). The WEIGHTS here are a

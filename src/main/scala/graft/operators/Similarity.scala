@@ -396,6 +396,58 @@ object Similarity {
         (col(idCol) === col("cluster_rep")).as("keep"))
   }
 
+  /** Embedding-centroid outlier flags: cosine of every vector to its
+    * partition's mean vector, bottom `frac` per partition flagged —
+    * the embedding-space quality screen (mislabeled / off-domain
+    * vectors sit far from their cluster centroid). The flag is
+    * RANK-based (row_number ≤ ⌈n/bottomNth⌉ on the rounded score
+    * with id tiebreak, threshold by INTEGER division — `ceil(n·0.1)`
+    * would diverge cross-engine on FP representation of 0.1), never
+    * a float-threshold compare, so the cut is engine-exact.
+    *
+    * Determinism: centroid components are means of ×10⁶-quantized
+    * int64 sums — order-free and exact — so the centroid, the
+    * cosines, and the flags replay bit-identically cross-engine.
+    *
+    * Scale shape: the component aggregation explodes d values per
+    * vector but map-side-combines to labels×d rows; centroids
+    * broadcast back; the flag adds one label-partitioned window. */
+  def centroidOutliers(corpus: DataFrame, bottomNth: Int = 10,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       partCol: String = "label"): DataFrame = {
+    require(bottomNth >= 1)
+    val comp = corpus
+      .select(col(partCol).as("_lbl"), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+      .withColumn("_vq",
+        floor(col("_v").cast("double") * 1000000 + lit(0.5)).cast("long"))
+      .groupBy("_lbl", "_pos")
+      .agg(sum("_vq").as("_s"), count(lit(1)).as("_n"))
+      .withColumn("_c", col("_s").cast("double") / col("_n") / 1000000.0)
+    val cent = comp.groupBy("_lbl")
+      .agg(sort_array(collect_list(struct(col("_pos"), col("_c")))).as("_pc"))
+      .select(col("_lbl"),
+        transform(col("_pc"), x => x.getField("_c")).as("_cv"))
+    val dotc = aggregate(
+      zip_with(col(vecCol), col("_cv"), (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, x) => acc + x)
+    val cnorm = sqrt(aggregate(col("_cv"), lit(0.0), (acc, x) => acc + x * x))
+    val scored = corpus
+      .join(broadcast(cent), col(partCol) === col("_lbl"))
+      .withColumn("cos", round(dotc / (norm(col(vecCol)) * cnorm), 6))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCol).orderBy(col("cos"), col(idCol))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(partCol)
+    scored
+      .withColumn("_rnk", row_number().over(wr))
+      .withColumn("_np", count(lit(1)).over(wn))
+      .select(col(idCol), col(partCol), col("cos"),
+        (col("_rnk") <=
+          floor((col("_np") + lit(bottomNth - 1)) / lit(bottomNth))
+            .cast("long"))
+          .as("outlier"))
+  }
+
   /** Per-vector min/max scalar quantization to 8-bit codes — the 4×
     * memory/IO reduction step before ANN indexing or shipping
     * embeddings to a retrieval tier. code_i = ⌊(x_i − lo)/scale + ½⌋

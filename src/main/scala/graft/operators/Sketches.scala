@@ -506,6 +506,44 @@ object Sketches {
     *
     * Scale shape: each side is a [[kmvDistinct]]-shaped bounded
     * pipeline; the merge step touches ≤ 2k rows total. */
+  /** KMV set DIFFERENCE estimate |A \ B| — the Theta-sketch a-not-b
+    * operation: members of the union sketch present in A's sketch but
+    * not B's estimate the difference fraction, scaled by the union
+    * estimate. Exact below k (the union sketch IS A∪B). Completes the
+    * KMV algebra ([[kmvDistinct]] cardinality, [[kmvOverlap]]
+    * intersection, this difference) — the audit primitive for "how
+    * much of cohort A is NOT covered by cohort B".
+    *
+    * Scale shape: identical to [[kmvOverlap]] — two bounded sketch
+    * pipelines, a ≤2k-row merge. */
+  def kmvDifference(a: DataFrame, b: DataFrame, valueCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 2)
+    def sk(df: DataFrame, side: Int) = {
+      val hashed = df.where(col(valueCol).isNotNull)
+        .select(md5Long(col(valueCol).cast("string")).as("h")).distinct()
+        .withColumn("g", lit(side))
+      graft.operators.TopK.topKPerKey(hashed, Seq("g"), Seq(col("h").asc), k)
+        .select(col("h"), lit(side).as("side"))
+    }
+    val both = sk(a, 0).union(sk(b, 1))
+    val unionK = graft.operators.TopK.topKPerKey(
+      both.select(col("h")).distinct().withColumn("g", lit(0)),
+      Seq("g"), Seq(col("h").asc), k)
+    val flags = unionK.join(both.groupBy("h")
+        .agg(max(when(col("side") === 0, 1).otherwise(0)).as("in_a"),
+          max(when(col("side") === 1, 1).otherwise(0)).as("in_b")),
+      Seq("h"))
+    val estU = when(col("n_u") < k, col("n_u").cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (col("kth").cast("double") / lit(KmvSpace)))
+    flags.agg(count(lit(1)).as("n_u"), max("h").as("kth"),
+        sum(col("in_a") * (lit(1) - col("in_b"))).as("n_aonly"))
+      .select(round(estU, 4).as("est_union"),
+        round((col("n_aonly").cast("double") / col("n_u")) * estU, 4)
+          .as("est_a_not_b"))
+  }
+
   def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
                  k: Int): DataFrame = {
     require(k >= 2)

@@ -345,4 +345,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(by(("a", 1L)) == 0.0)        // sole member dies -> extinct
     assert(by(("b", 1L)) == 1.0 && by(("b", 2L)) == 1.0)
   }
+
+  // ── bootstrapCI (round 7) ─────────────────────────────────────────
+
+  test("bootstrapCI: ordered interval, constant data collapses to the mean") {
+    import spark.implicits._
+    val const = (1L to 200L).map(i => ("a", i, 5.0)).toDF("g", "id", "v")
+    val r = Analytics.bootstrapCI(const, "g", "id", "v").collect().head
+    assert(r.getDouble(1) == 5.0 && r.getDouble(2) == 5.0 &&
+      r.getDouble(3) == 5.0, s"constant data must give a point interval: $r")
+    val varied = (1L to 500L).map(i => ("a", i, (i % 50).toDouble))
+      .toDF("g", "id", "v")
+    val v = Analytics.bootstrapCI(varied, "g", "id", "v").collect().head
+    assert(v.getDouble(2) <= v.getDouble(1) && v.getDouble(1) <= v.getDouble(3),
+      s"est inside [lo, hi]: $v")
+    assert(v.getDouble(2) < v.getDouble(3), "varied data has interval width")
+  }
+
+  test("bootstrapCI: invariant to partitioning (md5-seeded replicates)") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (s"g${i % 2}", i, (i % 17).toDouble))
+      .toDF("g", "id", "v")
+    val a = Analytics.bootstrapCI(d, "g", "id", "v")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Analytics.bootstrapCI(d.repartition(11), "g", "id", "v")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.size == 2)
+  }
 }

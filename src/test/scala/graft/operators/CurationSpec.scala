@@ -125,4 +125,68 @@ class CurationSpec extends SparkSpec {
         s"keep flag must derive from the ROUNDED score: $r")
     }
   }
+
+  // ── dedupWeights ──────────────────────────────────────────────────
+
+  test("dedupWeights: weights sum to the cluster count; singletons weigh 1") {
+    // clusters {1,2,3}, {10,11}, singletons 4..9
+    val resolved = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (4L, 4L), (5L, 5L), (6L, 6L), (7L, 7L), (8L, 8L), (9L, 9L))
+      .toDF("doc_id", "cluster_rep")
+    val out = Curation.dedupWeights(resolved)
+    val m = out.collect().map(r => r.getLong(0) ->
+      (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(m(1L) == ((0.333333, true)) && m(2L) == ((0.333333, false)))
+    assert(m(10L) == ((0.5, true)) && m(11L) == ((0.5, false)))
+    assert(m(4L) == ((1.0, true)))
+    // one document's worth of weight per cluster (rounding aside)
+    val total = out.agg(sum("weight")).head().getDouble(0)
+    assert(math.abs(total - 8.0) < 1e-3, s"weight mass $total != 8 clusters")
+  }
+
+  // ── budgetSample ──────────────────────────────────────────────────
+
+  test("budgetSample: takes best-score docs until the stratum budget") {
+    val d = Seq(
+      ("a", 1L, 40L, 0.9), ("a", 2L, 40L, 0.8), ("a", 3L, 40L, 0.7),
+      ("b", 4L, 100L, 0.5), ("b", 5L, 10L, 0.99))
+      .toDF("src", "doc_id", "cost", "score")
+    val out = Curation.budgetSample(d, "src", "cost", "score", budget = 90L)
+      .select("doc_id").as[Long].collect().toSet
+    // stratum a: 0.9 (40) + 0.8 (80) fit, 0.7 (120) does not;
+    // stratum b: 0.99 (10) fits, then 0.5 pushes cum to 110 > 90
+    assert(out == Set(1L, 2L, 5L), s"got $out")
+  }
+
+  test("budgetSample: cut is stable under repartitioning") {
+    val d = (1L to 200L).map(i =>
+      (s"s${i % 3}", i, 10L + i % 7, (i % 13).toDouble))
+      .toDF("src", "doc_id", "cost", "score")
+    val a = Curation.budgetSample(d, "src", "cost", "score", 300L)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Curation.budgetSample(d.repartition(7), "src", "cost", "score", 300L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  // ── contaminationReport ───────────────────────────────────────────
+
+  test("contaminationReport: exact copies flag on all tiers, disjoint text on none") {
+    // corpus: 2 docs copied verbatim from the benchmark + 3 docs of
+    // unrelated long text (13-gram and near-dup tiers need length)
+    val bench = Seq(
+      (100L, ("alpha beta gamma delta " * 8).trim),
+      (101L, ("epsilon zeta eta theta " * 8).trim))
+      .toDF("doc_id", "text")
+    val clean = Seq(
+      (1L, ("one two three four five six seven eight nine ten " * 4).trim),
+      (2L, ("red orange yellow green blue indigo violet pink brown black " * 4).trim),
+      (3L, ("north south east west up down left right front back " * 4).trim))
+      .toDF("doc_id", "text")
+    val corpus = bench.union(clean)
+    val m = Curation.contaminationReport(corpus, bench)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("exact" -> 2L, "ngram" -> 2L, "neardup" -> 2L), s"got $m")
+  }
 }

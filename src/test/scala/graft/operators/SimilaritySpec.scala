@@ -263,4 +263,54 @@ class SimilaritySpec extends SparkSpec {
     val cq = Similarity.quantizeInt8(const).collect().head
     assert(cq.getDouble(3) == 0.0 && cq.getSeq[Int](4).forall(_ == 0))
   }
+
+  // ── semDedup / centroidOutliers (round 7) ─────────────────────────
+
+  test("semDedup: transitive near-dups keep exactly one survivor") {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    def jitter(eps: Float) = base.zipWithIndex.map { case (v, i) =>
+      if (i == 0) v + eps else v }
+    // 1~2~3 a chain of tiny perturbations (cos ~ 1); 10 orthogonal-ish
+    val far = Array.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq(
+      (1L, base, 0), (2L, jitter(1e-4f), 0), (3L, jitter(2e-4f), 0),
+      (10L, far, 0), (20L, base, 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedup(df, 0.99)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows.size == 5, "every vector is annotated")
+    assert(rows(1L) == ((1L, true)) && rows(2L) == ((1L, false)) &&
+      rows(3L) == ((1L, false)), s"chain should collapse to rep 1: $rows")
+    assert(rows(10L)._2, "unpaired vector survives")
+    assert(rows(20L)._2, "other label never pairs cross-block")
+  }
+
+  test("centroidOutliers: the far vector is flagged, counts preserved") {
+    import spark.implicits._
+    val tight = (1L to 19L).map { i =>
+      (i, Array.tabulate(8)(d => (1.0 + 0.001 * i * (d + 1)).toFloat), 0) }
+    val far = Seq((99L, Array.tabulate(8)(d =>
+      (if (d % 2 == 0) -1.0 else 1.0).toFloat), 0))
+    val df = (tight ++ far).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(df, bottomNth = 10)
+    assert(out.count() == 20, "one output row per vector")
+    val flagged = out.filter(col("outlier")).select("vec_id")
+      .as[Long].collect().toSet
+    // n=20, bottomNth=10 -> exactly ceil(20/10)=2 flags, 99 among them
+    assert(flagged.size == 2 && flagged.contains(99L), s"got $flagged")
+  }
+
+  test("centroidOutliers: flags are invariant to partitioning") {
+    import spark.implicits._
+    val df = (1L to 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * (d + 1)).toFloat), (i % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val a = Similarity.centroidOutliers(df).collect()
+      .map(_.toString).sorted.toSeq
+    val b = Similarity.centroidOutliers(df.repartition(7)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

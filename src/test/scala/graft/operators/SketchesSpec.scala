@@ -445,4 +445,18 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 3.0 / 9.0) < 1e-6, s"jaccard: $r")
     assert(r.getDouble(2) == 3.0, s"intersection: $r")
   }
+
+  test("kmvDifference: exact below k on disjoint, subset, and overlap") {
+    import spark.implicits._
+    val a = Seq("a1", "a2", "a3", "a4").toDF("v")
+    val b = Seq("b1", "b2").toDF("v")
+    val dis = Sketches.kmvDifference(a, b, "v", k = 16).collect().head
+    assert(dis.getDouble(0) == 6.0 && dis.getDouble(1) == 4.0, s"$dis")
+    val sub = Sketches.kmvDifference(b, a.union(b), "v", k = 16)
+      .collect().head
+    assert(sub.getDouble(1) == 0.0, s"subset difference must be 0: $sub")
+    val ovl = Sketches.kmvDifference(a, Seq("a1", "x").toDF("v"), "v", 16)
+      .collect().head
+    assert(ovl.getDouble(1) == 3.0, s"a-not-b of overlap: $ovl")
+  }
 }

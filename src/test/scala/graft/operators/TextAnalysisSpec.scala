@@ -319,4 +319,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.llrKeyness(docs, "text", col("side") === "a", 3L)
       .collect().map(_.getString(0)).toSet == Set("even"))
   }
+
+  // ── featureHash / ngramNovelty / tagKeywords (round 7) ────────────
+
+  test("featureHash: deterministic, bounded buckets, repeats accumulate") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta alpha"), (2L, "alpha")).toDF("doc_id", "text")
+    val rows = TextAnalysis.featureHash(d, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.keys.forall { case (_, b) => b >= 0 && b < 16 })
+    // doc 1 has alpha twice: its alpha-bucket weight is 2x doc 2's
+    val alphaB = rows.collect { case ((2L, b), w) => (b, w) }.toSeq
+    assert(alphaB.size == 1)
+    val (ab, aw) = alphaB.head
+    assert(math.abs(rows((1L, ab))) >= math.abs(aw) &&
+      rows((1L, ab)) % aw == 0)
+    // partitioning invariance
+    val x = TextAnalysis.featureHash(d.repartition(5), dim = 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(x == TextAnalysis.featureHash(d, dim = 16)
+      .collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("ngramNovelty: unique text scores 1, cloned text scores 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),          // clone of 1
+      (3L, "seven eight nine ten eleven twelve"))   // unique
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.ngramNovelty(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(1L) == 0.0 && m(2L) == 0.0, "cloned grams have df=2")
+    assert(m(3L) == 1.0, "unique doc is fully novel")
+  }
+
+  test("tagKeywords: sorted tags, empty when nothing matches") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the window and the table"),
+      (2L, "nothing relevant here")).toDF("doc_id", "text")
+    val m = TextAnalysis.tagKeywords(d, Seq("table", "window", "hash"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(m(1L) == (("table,window", 2)))
+    assert(m(2L) == (("", 0)))
+  }
 }
