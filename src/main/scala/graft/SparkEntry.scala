@@ -1339,6 +1339,13 @@ object SparkEntry {
     // label centroid (quantized-exact means, rank-based flag)
     "q217_centroid_outliers" -> ((s, dir) =>
       Similarity.centroidOutliers(t(s, dir, "embeddings"))),
+    // Linear interpolation onto the q115 grid — smooth gap fill via
+    // one key-partitioned window (two ignore-null frames, no join)
+    "q218_interpolate" -> ((s, dir) =>
+      graft.operators.TimeSeries.interpolateLinear(
+        t(s, dir, "events").filter(col("event_type") === "view")
+          .withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "value", stepUs = 21600000000L)),
     // STREAMING windowed top-k: top-3 event types per hour via
     // flatMapGroupsWithState keyed by window start -- the ranking
     // query native streaming can't express (no rank over a streaming
@@ -3078,6 +3085,37 @@ object SparkEntry {
         |  FROM sc
         |)
         |SELECT vec_id, label, cos, rnk <= (np + 9) // 10 AS outlier FROM r""".stripMargin,
+    // same grid arithmetic as q115; neighbors via correlated min/max
+    // (prev = at-or-before with max-v tie, next = strictly-after with
+    // min-v tie — mirroring the engine's (_t, _isGrid, _v) order);
+    // the interpolation expression is written identically
+    "q218_interpolate" ->
+      """WITH obs AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, value::DOUBLE AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type = 'view'
+        |), span AS (SELECT k, min(t) AS lo, max(t) AS hi FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT k, unnest(generate_series(
+        |    CASE WHEN lo % 21600000000 = 0 THEN lo // 21600000000 ELSE lo // 21600000000 + 1 END,
+        |    hi // 21600000000)) * 21600000000 AS gt
+        |  FROM span
+        |), pj AS (
+        |  SELECT g.k, g.gt,
+        |    (SELECT max(o.t) FROM obs o WHERE o.k = g.k AND o.t <= g.gt) AS pt,
+        |    (SELECT min(o.t) FROM obs o WHERE o.k = g.k AND o.t > g.gt) AS nt
+        |  FROM grid g
+        |), vals AS (
+        |  SELECT pj.k, pj.gt, pj.pt, pj.nt,
+        |    (SELECT max(o.v) FROM obs o WHERE o.k = pj.k AND o.t = pj.pt) AS pv,
+        |    (SELECT min(o.v) FROM obs o WHERE o.k = pj.k AND o.t = pj.nt) AS nv
+        |  FROM pj
+        |)
+        |SELECT k AS user_id, gt AS grid_us,
+        |  round(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |    THEN pv + (nv - pv) * ((gt - pt)::DOUBLE / (nt - pt)::DOUBLE)
+        |    WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS value
+        |FROM vals""".stripMargin,
     // full r x c cross incl. zero-observed cells; (o*n - rt*ct)^2
     // has an int64 root so each term is engine-exact
     "q194_chi_square" ->

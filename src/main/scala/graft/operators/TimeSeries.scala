@@ -248,6 +248,60 @@ object TimeSeries {
       payload, tiebreak)
   }
 
+  /** Linear interpolation onto a regular grid — the smooth upgrade of
+    * [[resampleFill]]'s step-function ffill: each grid instant takes
+    * the straight line between its nearest at-or-before and
+    * strictly-after observations (edges fall back to ffill/bfill).
+    * The interpolation expression is written identically in the
+    * DuckDB dual, so the doubles — and the rounded read-out — are
+    * engine-identical.
+    *
+    * Scale shape: grid rows UNION with observations into ONE
+    * key-partitioned window pass (two ignore-null frames over one
+    * sort — no self-join, no per-gap explode). Grid size is bounded
+    * by span/step per key; ties at one instant resolve by the
+    * explicit (_t, _isGrid, _v) order so duplicates can't flake the
+    * neighbor choice. */
+  def interpolateLinear(obs: DataFrame, keyCol: String, tsUsCol: String,
+                        valCol: String, stepUs: Long): DataFrame = {
+    require(stepUs >= 1)
+    val clean = obs.filter(col(keyCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol), col(tsUsCol).cast("long").as("_t"),
+        col(valCol).cast("double").as("_v"))
+    val span = clean.groupBy(col(keyCol))
+      .agg(min("_t").as("_lo"), max("_t").as("_hi"))
+    val pLo = when(col("_lo") % stepUs === 0, expr(s"_lo div ${stepUs}L"))
+      .otherwise(expr(s"_lo div ${stepUs}L") + 1)
+    val grid = span
+      .filter(pLo <= expr(s"_hi div ${stepUs}L"))
+      .select(col(keyCol),
+        explode(sequence(pLo, expr(s"_hi div ${stepUs}L"))).as("_p"))
+      .select(col(keyCol), (col("_p") * stepUs).as("_t"),
+        lit(null).cast("double").as("_v"), lit(1).as("_isGrid"))
+    val pts = clean.withColumn("_isGrid", lit(0)).unionByName(grid)
+    val ord = Seq(col("_t"), col("_isGrid"), col("_v"))
+    val wPrev = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val pv = last(col("_v"), ignoreNulls = true).over(wPrev)
+    val pt = last(when(col("_v").isNotNull, col("_t")), ignoreNulls = true)
+      .over(wPrev)
+    val nv = first(col("_v"), ignoreNulls = true).over(wNext)
+    val nt = first(when(col("_v").isNotNull, col("_t")), ignoreNulls = true)
+      .over(wNext)
+    pts
+      .withColumn("_interp",
+        when(pv.isNotNull && nv.isNotNull,
+          pv + (nv - pv) *
+            ((col("_t") - pt).cast("double") / (nt - pt).cast("double")))
+          .when(pv.isNotNull, pv)
+          .otherwise(nv))
+      .filter(col("_isGrid") === 1)
+      .select(col(keyCol), col("_t").as("grid_us"),
+        round(col("_interp"), 6).as("value"))
+  }
+
   /** STL-lite additive decomposition of a regular series:
     * trend = centered moving average (`±halfWindow` ROWS), seasonal =
     * per-phase mean of the detrended series re-centered to sum ~0,

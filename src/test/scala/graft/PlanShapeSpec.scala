@@ -320,4 +320,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 2,
       s"KMV pipeline changed its shuffle budget, $exchanges exchanges:\n$p")
   }
+
+  test("q210: feature hashing is one partial-merged aggregate, no window") {
+    val p = plan("q210_feature_hash")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"no aggregate:\n$p")
+    assert(!p.contains("Window"), s"window crept into a pure agg op:\n$p")
+    assert(shuffles(p) == 1, s"expected 1 exchange:\n$p")
+  }
+
+  test("q215: budget cut is ONE stratum-partitioned window over a broadcast score join") {
+    val p = plan("q215_budget_sample")
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1, s"expected one Window exec, got $windows:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"score join should broadcast:\n$p")
+  }
+
+  test("q217: centroids broadcast back — the corpus never sort-merges") {
+    val p = plan("q217_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for stats:\n$p")
+  }
+
+  test("q218: interpolation is one window pass — no self-join, no range join") {
+    val p = plan("q218_interpolate")
+    assert(!p.contains("Join"), s"join-based interpolation crept in:\n$p")
+    // both ignore-null frames ride the SAME (key) sort: exactly one
+    // exchange feeds the window stage (plus the grid span agg's)
+    assert(shuffles(p) <= 2, s"frames split the shuffle:\n$p")
+  }
 }

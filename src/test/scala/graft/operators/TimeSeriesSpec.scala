@@ -179,4 +179,36 @@ class TimeSeriesSpec extends SparkSpec {
     // c: slopes (0->1): 2.0 and (0'->1): -3.0; interpolated median -0.5
     assert(out("c") == ((-0.5, 2L)))
   }
+
+  // ── interpolateLinear (round 7) ───────────────────────────────────
+
+  test("interpolateLinear: midpoints, exact hits, and the ffill edge") {
+    import spark.implicits._
+    // obs at t=0 (v=0) and t=10 (v=10); grid step 2 -> straight line;
+    // an obs exactly ON a grid instant pins the grid value
+    val obs = Seq(("a", 0L, 0.0), ("a", 10L, 10.0), ("b", 3L, 7.0),
+      ("b", 9L, 1.0)).toDF("k", "t", "v")
+    val out = TimeSeries.interpolateLinear(obs, "k", "t", "v", stepUs = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out(("a", 0L)) == 0.0 && out(("a", 10L)) == 10.0, "exact hits")
+    assert(out(("a", 2L)) == 2.0 && out(("a", 4L)) == 4.0 &&
+      out(("a", 6L)) == 6.0 && out(("a", 8L)) == 8.0, s"line: $out")
+    // b: span [3, 9] -> grid 4, 6, 8 on the 7 -> 1 slope
+    assert(out(("b", 4L)) == 6.0 && out(("b", 6L)) == 4.0 &&
+      out(("b", 8L)) == 2.0, s"b slope: $out")
+    assert(out.size == 9)
+  }
+
+  test("interpolateLinear: duplicate-instant ties resolve deterministically") {
+    import spark.implicits._
+    // two obs at t=0 (v=1 and v=5): prev picks max v (5); next at
+    // t=4 has two obs (v=2, v=8): next picks min v (2)
+    val obs = Seq(("a", 0L, 1.0), ("a", 0L, 5.0), ("a", 4L, 2.0),
+      ("a", 4L, 8.0)).toDF("k", "t", "v")
+    val out = TimeSeries.interpolateLinear(obs, "k", "t", "v", stepUs = 2L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(0L) == 5.0, "grid on duplicate instant takes the last-ordered v")
+    assert(out(2L) == 3.5, s"midpoint of (0,5)->(4,2): $out")
+  }
 }
