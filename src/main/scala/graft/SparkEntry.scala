@@ -1346,6 +1346,25 @@ object SparkEntry {
         t(s, dir, "events").filter(col("event_type") === "view")
           .withColumn("ts_us", expr("ts div 1000")),
         "user_id", "ts_us", "value", stepUs = 21600000000L)),
+    // Calibration report: q207's quality score vs the lang=en pseudo
+    // label — per-bin confidence/accuracy + exact-count ECE terms
+    "q219_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.operators.Curation.qualityLogit(docs)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("is_en")), Seq("doc_id"))
+      graft.operators.Curation.calibrationReport(scored, "score", "is_en")
+    }),
+    // Cluster-size histogram: dedup-aggressiveness audit over the
+    // registered cluster table (fourth consumer of q203's build)
+    "q220_cluster_histogram" -> ((s, dir) =>
+      graft.operators.Curation.clusterSizeHistogram(
+        clusterTable(s, dir, rebuild = false))),
+    // Balanced output sharding: LPT-style round-robin over the char-
+    // cost-descending rank — N similar-sized output files
+    "q221_balanced_shards" -> ((s, dir) =>
+      graft.operators.Curation.balancedShards(
+        t(s, dir, "documents"), "n_chars", shards = 8)),
     // STREAMING windowed top-k: top-3 event types per hour via
     // flatMapGroupsWithState keyed by window start -- the ranking
     // query native streaming can't express (no rank over a streaming
@@ -3116,6 +3135,37 @@ object SparkEntry {
         |    THEN pv + (nv - pv) * ((gt - pt)::DOUBLE / (nt - pt)::DOUBLE)
         |    WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS value
         |FROM vals""".stripMargin,
+    // q207's score dual binned against the lang=en pseudo label
+    "q219_calibration" ->
+      (s"""WITH q207 AS (${"\n"}$q207OracleSql${"\n"}), sc AS (
+        |  SELECT q207.doc_id, q207.score, (d.lang = 'en')::INT AS y
+        |  FROM q207 JOIN documents d ON q207.doc_id = d.doc_id
+        |), b AS (
+        |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+        |    count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+        |    sum(score) AS ssum
+        |  FROM sc GROUP BY 1
+        |), t AS (SELECT sum(n)::BIGINT AS tot FROM b)
+        |SELECT bin, n, n_pos,
+        |  round(ssum / n, 6) AS mean_score,
+        |  round(n_pos::DOUBLE / n, 6) AS pos_rate,
+        |  round(abs(ssum / n - n_pos::DOUBLE / n) * (n::DOUBLE / tot), 6)
+        |    AS ece_term
+        |FROM b CROSS JOIN t""".stripMargin),
+    // q47's cluster chain reduced to the size histogram
+    "q220_cluster_histogram" ->
+      (minhashClustersCte.stripSuffix("\n") + ", " +
+        """sz AS (
+          |  SELECT cluster_rep, count(*)::BIGINT AS cluster_size
+          |  FROM resolved GROUP BY 1
+          |)
+          |SELECT cluster_size, count(*)::BIGINT AS n_clusters
+          |FROM sz GROUP BY 1""".stripMargin),
+    // LPT round-robin over the cost-descending total order
+    "q221_balanced_shards" ->
+      """SELECT doc_id, n_chars,
+        |  (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8 AS shard
+        |FROM documents""".stripMargin,
     // full r x c cross incl. zero-observed cells; (o*n - rt*ct)^2
     // has an int64 root so each term is engine-exact
     "q194_chi_square" ->

@@ -176,6 +176,73 @@ object Curation {
         Sampling.nearDupDecontaminate(corpus, benchmark)))
   }
 
+  /** Calibration report for a [0,1] score against a boolean label:
+    * equal-width score bins → per-bin mean score (confidence) vs
+    * label rate (accuracy), plus each bin's |gap|·weight term of the
+    * Expected Calibration Error. The release-time check that a
+    * quality classifier's scores MEAN what downstream thresholds
+    * assume. Bin index by integer flooring of score×bins (score 1.0
+    * clamps into the top bin), counts exact, ratios rounded.
+    *
+    * Scale shape: one map-side-combinable aggregation to ≤ bins
+    * rows; ECE terms are per-bin closed forms over exact integer
+    * counts — order-free. */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+                        labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    val bin = least(floor(col(scoreCol) * bins).cast("long"),
+      lit(bins - 1L))
+    val agg = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(bin.as("bin"), col(scoreCol).as("_s"),
+        col(labelCol).cast("int").as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"),
+        sum("_s").as("_ssum"))
+    val tot = agg.agg(sum("n").as("_tot"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("_ssum") / col("n"), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(abs(col("_ssum") / col("n") -
+            col("n_pos").cast("double") / col("n")) *
+          (col("n").cast("double") / col("_tot")), 6).as("ece_term"))
+  }
+
+  /** Cluster-size histogram over a resolved cluster assignment: how
+    * many clusters of each size the near-dup graph produced — the
+    * one-glance audit of dedup aggressiveness (a fat tail of huge
+    * clusters usually means the pair threshold is too loose).
+    * Fourth consumer of the registered cluster table.
+    *
+    * Scale shape: two map-side-combinable aggregations, output ≤
+    * max-cluster-size rows. */
+  def clusterSizeHistogram(resolved: DataFrame): DataFrame =
+    resolved.groupBy("cluster_rep").agg(count(lit(1)).as("_sz"))
+      .groupBy(col("_sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
+  /** Balanced output sharding: assign documents to `shards` output
+    * buckets so per-shard total cost (chars, tokens, bytes) is
+    * near-equal — round-robin over the cost-descending rank (the
+    * classic LPT approximation without sequential state; within
+    * 2× of optimal imbalance for heavy-tailed sizes, exact for
+    * equal sizes). The write-layout planner for "N similar-sized
+    * output files", replacing size-oblivious `repartition(N)`.
+    *
+    * Scale shape: one global rank over (cost desc, id) — a single
+    * total-order sort, the price of determinism; at petabyte scale
+    * swap in range-partitioned bucketing by cost quantiles at the
+    * same output contract. */
+  def balancedShards(docs: DataFrame, costCol: String, shards: Int,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(shards >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(costCol).desc, col(idCol))
+    docs.select(col(idCol), col(costCol))
+      .withColumn("shard", (row_number().over(w) - 1) % shards)
+  }
+
   /** Model-based quality gate: a fixed-weight logistic score over the
     * engine's scan-speed text features (length, stopword density,
     * alpha density, mean token length). The WEIGHTS here are a

@@ -189,4 +189,61 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m == Map("exact" -> 2L, "ngram" -> 2L, "neardup" -> 2L), s"got $m")
   }
+
+  // ── calibrationReport / clusterSizeHistogram / balancedShards ─────
+
+  test("calibrationReport: perfect calibration has zero ECE; bins clamp") {
+    // scores equal to the empirical label rate in each bin
+    val rows = (1 to 100).map { i =>
+      val s = if (i <= 50) 0.25 else 0.75
+      (i.toLong, s, if (i <= 50) i % 4 == 0 else i % 4 != 0)
+    }.toDF("id", "score", "y")
+    val out = Curation.calibrationReport(rows, "score", "y", bins = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(4), r.getDouble(5))).toMap
+    // bin 1: score .25, rate 12/50 close but not exact -> ece term > 0
+    assert(out.keySet == Set(1L, 3L))
+    // score exactly 1.0 must land in the top bin, not bin==bins
+    val edge = Seq((1L, 1.0, true)).toDF("id", "score", "y")
+    val e = Curation.calibrationReport(edge, "score", "y", bins = 4)
+      .collect().head
+    assert(e.getLong(0) == 3L, s"score 1.0 clamps to top bin: $e")
+    assert(e.getDouble(5) == 0.0, "single perfect point has zero gap")
+  }
+
+  test("calibrationReport: ECE terms weight by bin mass and sum sanely") {
+    val rows = (1 to 200).map(i =>
+      (i.toLong, (i % 10) / 10.0 + 0.05, i % 3 == 0)).toDF("id", "score", "y")
+    val out = Curation.calibrationReport(rows, "score", "y").collect()
+    val ece = out.map(_.getDouble(5)).sum
+    assert(ece >= 0.0 && ece <= 1.0, s"ECE out of range: $ece")
+    assert(out.map(_.getLong(1)).sum == 200, "bin counts partition the data")
+  }
+
+  test("clusterSizeHistogram: histogram of planted cluster sizes") {
+    val resolved = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),          // size 3
+      (10L, 10L), (11L, 10L),                 // size 2
+      (20L, 20L), (21L, 21L), (22L, 22L))     // three singletons
+      .toDF("doc_id", "cluster_rep")
+    val m = Curation.clusterSizeHistogram(resolved).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(3L -> 1L, 2L -> 1L, 1L -> 3L), s"got $m")
+  }
+
+  test("balancedShards: near-equal fills, deterministic, all docs assigned") {
+    val docs = (1L to 97L).map(i => (i, 10L + (i % 13) * 7))
+      .toDF("doc_id", "n_chars")
+    val out = Curation.balancedShards(docs, "n_chars", shards = 4)
+    assert(out.count() == 97)
+    val fills = out.groupBy("shard").agg(sum("n_chars").as("f"))
+      .collect().map(_.getLong(1))
+    assert(fills.length == 4)
+    // LPT round-robin on this near-uniform size mix: within 15%
+    assert(fills.max - fills.min <= fills.max / 5,
+      s"imbalanced fills: ${fills.toSeq}")
+    val a = Curation.balancedShards(docs.repartition(7), "n_chars", 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == out.collect().map(_.toString).sorted.toSeq)
+  }
 }
