@@ -1365,6 +1365,14 @@ object SparkEntry {
     "q221_balanced_shards" -> ((s, dir) =>
       graft.operators.Curation.balancedShards(
         t(s, dir, "documents"), "n_chars", shards = 8)),
+    // Quantile binning with materialized cutoffs: deciles FIT on the
+    // en slice, APPLIED to the whole corpus — the train/serve
+    // fit-transform split ntile can't express
+    "q222_quantile_bins" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.quantileBins(
+        docs.filter(col("lang") === "en"), docs, "n_chars")
+    }),
     // STREAMING windowed top-k: top-3 event types per hour via
     // flatMapGroupsWithState keyed by window start -- the ranking
     // query native streaming can't express (no rank over a streaming
@@ -3165,6 +3173,27 @@ object SparkEntry {
     "q221_balanced_shards" ->
       """SELECT doc_id, n_chars,
         |  (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8 AS shard
+        |FROM documents""".stripMargin,
+    // integer-threshold cutoff selection over the distinct-value
+    // running sum; bin = count of cutoffs strictly below the value
+    "q222_quantile_bins" ->
+      """WITH vc AS (
+        |  SELECT n_chars AS v, count(*)::BIGINT AS c
+        |  FROM documents WHERE lang = 'en' GROUP BY 1
+        |), cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc
+        |), tot AS (SELECT max(cum) AS n FROM cum),
+        |th AS (
+        |  SELECT g.d, (g.d * n) // 10 AS t
+        |  FROM generate_series(1, 9) g(d), tot
+        |  WHERE (g.d * n) // 10 >= 1
+        |), cuts AS (
+        |  SELECT d, min(v) AS cut FROM cum JOIN th ON cum.cum >= th.t GROUP BY d
+        |)
+        |SELECT doc_id, n_chars,
+        |  (SELECT count(*) FROM cuts WHERE cut < n_chars)::INT AS bin
         |FROM documents""".stripMargin,
     // full r x c cross incl. zero-observed cells; (o*n - rt*ct)^2
     // has an int64 root so each term is engine-exact

@@ -243,6 +243,46 @@ object Curation {
       .withColumn("shard", (row_number().over(w) - 1) % shards)
   }
 
+  /** Equal-frequency (quantile) binning with MATERIALIZED cutoffs:
+    * fit exact rank-selected cutoffs on one relation, apply them as a
+    * broadcast to any other — the fit/transform split rank-based
+    * `ntile` can't give you (ntile re-ranks whatever data it sees, so
+    * train-time and serve-time bins silently diverge). Cutoff d
+    * (d = 1..bins−1) is the smallest value whose cumulative count
+    * reaches ⌊d·n/bins⌋ — exactly the value at that 1-based rank in
+    * value order, selected with INTEGER thresholds, no interpolation.
+    * bin(x) = #{cutoffs < x}: right-closed bins, out-of-range data
+    * clamps to the edge bins, tied cutoffs legitimately skip bins.
+    *
+    * Scale shape: NO corpus-sized window — counts collapse to the
+    * DISTINCT-value relation first (map-side combinable), the
+    * running sum rides that bounded relation (the q136 collapsed-
+    * dimension pattern), thresholds derive in-query from max(cum)
+    * (no driver count), and the apply is a broadcast of ≤ bins−1
+    * cutoffs into a scan-speed counting expression. */
+  def quantileBins(fit: DataFrame, apply: DataFrame, valueCol: String,
+                   bins: Int = 10,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(bins >= 2)
+    val wv = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = fit.groupBy(col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum("_c").over(wv))
+    val thresholds = cum.agg(max("_cum").as("_n"))
+      .select(explode(sequence(lit(1), lit(bins - 1))).as("_d"), col("_n"))
+      .select(col("_d"), expr(s"(_d * _n) div $bins").as("_t"))
+      .filter(col("_t") >= 1)
+    val cuts = cum.join(broadcast(thresholds), col("_cum") >= col("_t"))
+      .groupBy("_d").agg(min("_v").as("_cut"))
+      .agg(sort_array(collect_list(col("_cut"))).as("_cuts"))
+    apply.crossJoin(broadcast(cuts))
+      .select(col(idCol), col(valueCol),
+        aggregate(col("_cuts"), lit(0),
+          (acc, c) => acc + when(c < col(valueCol), 1).otherwise(0))
+          .as("bin"))
+  }
+
   /** Model-based quality gate: a fixed-weight logistic score over the
     * engine's scan-speed text features (length, stopword density,
     * alpha density, mean token length). The WEIGHTS here are a

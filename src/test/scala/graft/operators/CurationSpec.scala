@@ -246,4 +246,34 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(a == out.collect().map(_.toString).sorted.toSeq)
   }
+
+  // ── quantileBins ──────────────────────────────────────────────────
+
+  test("quantileBins: fit on train, apply to serve — bins don't re-rank") {
+    val train = (1L to 100L).map(i => (i, i)).toDF("doc_id", "v")
+    val serve = Seq((900L, 0L), (901L, 5L), (902L, 55L), (903L, 999L))
+      .toDF("doc_id", "v")
+    val out = Curation.quantileBins(train, serve, "v", bins = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // cutoffs at 10,20,...,90: 0 -> bin 0, 5 -> 0, 55 -> 5, 999 -> 9
+    assert(out == Map(900L -> 0, 901L -> 0, 902L -> 5, 903L -> 9), s"$out")
+  }
+
+  test("quantileBins: applying the fit to itself gives near-equal bins") {
+    val d = (1L to 1000L).map(i => (i, (i * 7919) % 1000)).toDF("doc_id", "v")
+    val out = Curation.quantileBins(d, d, "v", bins = 10)
+    val sizes = out.groupBy("bin").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0 to 9).toSet, s"$sizes")
+    assert(sizes.values.forall(n => n >= 90 && n <= 110), s"$sizes")
+  }
+
+  test("quantileBins: deterministic under repartitioning") {
+    val d = (1L to 500L).map(i => (i, (i % 37) * 3)).toDF("doc_id", "v")
+    val a = Curation.quantileBins(d, d, "v").collect()
+      .map(_.toString).sorted.toSeq
+    val b = Curation.quantileBins(d.repartition(9), d.repartition(4), "v")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
