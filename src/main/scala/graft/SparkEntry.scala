@@ -1319,12 +1319,11 @@ object SparkEntry {
         "user_id", k = 64)
     }),
     // Budget-capped curation: per source, quality-ordered docs until
-    // a 100k-char budget — one stratum-partitioned window
+    // a 100k-char budget — the score FUSES into the scan (no
+    // corpus-to-corpus join), then one stratum-partitioned window
     "q215_budget_sample" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val scored = docs.join(
-        graft.operators.Curation.qualityLogit(docs)
-          .select(col("doc_id"), col("score")), Seq("doc_id"))
+      val scored = t(s, dir, "documents").withColumn("score",
+        graft.operators.Curation.qualityScore(col("text")))
       graft.operators.Curation.budgetSample(
         scored, "source", "n_chars", "score", budget = 100000L)
     }),
@@ -1347,12 +1346,12 @@ object SparkEntry {
           .withColumn("ts_us", expr("ts div 1000")),
         "user_id", "ts_us", "value", stepUs = 21600000000L)),
     // Calibration report: q207's quality score vs the lang=en pseudo
-    // label — per-bin confidence/accuracy + exact-count ECE terms
+    // label — score and label both fused into one scan projection,
+    // then per-bin confidence/accuracy + exact-count ECE terms
     "q219_calibration" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val scored = graft.operators.Curation.qualityLogit(docs)
-        .join(docs.select(col("doc_id"),
-          (col("lang") === "en").as("is_en")), Seq("doc_id"))
+      val scored = t(s, dir, "documents").select(
+        graft.operators.Curation.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en"))
       graft.operators.Curation.calibrationReport(scored, "score", "is_en")
     }),
     // Cluster-size histogram: dedup-aggressiveness audit over the

@@ -298,7 +298,18 @@ object Curation {
   def qualityLogit(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text",
                    threshold: Double = 0.5): DataFrame = {
-    val text = col(textCol)
+    val score = qualityScore(col(textCol))
+    docs.select(col(idCol), score.as("score"),
+      (score >= lit(threshold)).as("keep"))
+  }
+
+  /** The [[qualityLogit]] score as a bare `Column` — so consumers
+    * (budget sampling, gates inside wider pipelines) fuse it into
+    * their own scan instead of joining the corpus to a scored copy
+    * of itself. A corpus-to-corpus score join is exactly the shape
+    * that broadcasts a corpus at 100 TB. */
+  def qualityScore(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     val toks = tokens(text)
     val nTok = size(toks).cast("double")
     val safeTok = when(nTok > 0, nTok)
@@ -315,8 +326,6 @@ object Curation {
     // z = b0 + b1·ln(1+nTok) + b2·stop + b3·alpha + b4·meanLen
     val z = lit(-3.0) + log(lit(1.0) + nTok) * lit(0.55) +
       stopRatio * lit(4.0) + alphaRatio * lit(1.5) + meanTokLen * lit(-0.05)
-    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
-    docs.select(col(idCol), score.as("score"),
-      (score >= lit(threshold)).as("keep"))
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
 }

@@ -329,11 +329,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p) == 1, s"expected 1 exchange:\n$p")
   }
 
-  test("q215: budget cut is ONE stratum-partitioned window over a broadcast score join") {
+  test("q215: the quality score fuses into the scan — one window, ZERO joins") {
     val p = plan("q215_budget_sample")
     val windows = "Window \\[".r.findAllIn(p).size
     assert(windows == 1, s"expected one Window exec, got $windows:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"score join should broadcast:\n$p")
+    // the score is a Column over the same scan — a corpus-to-corpus
+    // score join (the round-7 first draft) broadcasts a corpus at
+    // 100 TB; this pin keeps it gone
+    assert(!p.contains("Join"), s"score join crept back:\n$p")
   }
 
   test("q217: centroids broadcast back — the corpus never sort-merges") {
