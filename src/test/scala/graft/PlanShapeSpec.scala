@@ -352,4 +352,29 @@ class PlanShapeSpec extends SparkSpec {
     // exchange feeds the window stage (plus the grid span agg's)
     assert(shuffles(p) <= 2, s"frames split the shuffle:\n$p")
   }
+
+  test("q208: semantic dedup pairs stay an equi-join — no cartesian, no nested loop") {
+    val p = plan("q208_semantic_dedup")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("NestedLoop"), s"pairwise stage degenerated:\n$p")
+  }
+
+  test("q211: bootstrap shuffles replicate PARTIALS, never data x32") {
+    val p = plan("q211_bootstrap_ci")
+    assert(p.contains("Generate"), s"replicate explode missing:\n$p")
+    // partial_sum over (g, _rep) BELOW the exchange = the explode
+    // combines map-side; the wire carries groups x replicates rows
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"no partial aggregation:\n$p")
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1, s"one replicate-rank window expected, got $windows:\n$p")
+  }
+
+  test("q219/q222: score/bin pipelines never join the corpus to itself") {
+    for (q <- Seq("q219_calibration", "q222_quantile_bins")) {
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"),
+        s"$q grew a corpus-sized join:\n$p")
+    }
+  }
 }
