@@ -1372,6 +1372,24 @@ object SparkEntry {
       graft.operators.Curation.quantileBins(
         docs.filter(col("lang") === "en"), docs, "n_chars")
     }),
+    // Profile drift between two event slices — the schema/quality
+    // monitor diff (null-rate shift, distinct ratio, range drift)
+    "q223_profile_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Profiling.profileDiff(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        Seq("user_id", "event_type", "value"))
+    }),
+    // Power-law tail exponent of document lengths per lang (Clauset
+    // MLE, µ-quantized exact ln sums)
+    "q224_powerlaw_alpha" -> ((s, dir) =>
+      TextAnalysis.powerLawAlpha(t(s, dir, "documents"),
+        "lang", "n_chars", xmin = 100L)),
+    // Term burstiness: variance-to-mean dispersion of per-doc counts
+    // for the top-20 corpus terms (zeros via the broadcast D scalar)
+    "q225_term_burstiness" -> ((s, dir) =>
+      TextAnalysis.termBurstiness(t(s, dir, "documents"))),
     // STREAMING windowed top-k: top-3 event types per hour via
     // flatMapGroupsWithState keyed by window start -- the ranking
     // query native streaming can't express (no rank over a streaming
@@ -3194,6 +3212,62 @@ object SparkEntry {
         |SELECT doc_id, n_chars,
         |  (SELECT count(*) FROM cuts WHERE cut < n_chars)::INT AS bin
         |FROM documents""".stripMargin,
+    // per-column profile of each slice, joined; deltas from exact
+    // counts (countDistinct excludes nulls on both engines)
+    "q223_profile_diff" ->
+      """WITH a AS (SELECT user_id, event_type, value FROM events WHERE event_id % 2 = 0),
+        |b AS (SELECT user_id, event_type, value FROM events WHERE event_id % 2 = 1),
+        |pa AS (
+        |  SELECT 'user_id' AS col_name, count(*)::BIGINT AS n_rows,
+        |    count(*) FILTER (WHERE user_id IS NULL)::BIGINT AS n_null,
+        |    count(DISTINCT user_id)::BIGINT AS n_distinct,
+        |    min(user_id)::DOUBLE AS mn, max(user_id)::DOUBLE AS mx FROM a
+        |  UNION ALL SELECT 'event_type', count(*), count(*) FILTER (WHERE event_type IS NULL),
+        |    count(DISTINCT event_type), NULL, NULL FROM a
+        |  UNION ALL SELECT 'value', count(*), count(*) FILTER (WHERE value IS NULL),
+        |    count(DISTINCT value), min(value), max(value) FROM a
+        |), pb AS (
+        |  SELECT 'user_id' AS col_name, count(*)::BIGINT AS n_rows,
+        |    count(*) FILTER (WHERE user_id IS NULL)::BIGINT AS n_null,
+        |    count(DISTINCT user_id)::BIGINT AS n_distinct,
+        |    min(user_id)::DOUBLE AS mn, max(user_id)::DOUBLE AS mx FROM b
+        |  UNION ALL SELECT 'event_type', count(*), count(*) FILTER (WHERE event_type IS NULL),
+        |    count(DISTINCT event_type), NULL, NULL FROM b
+        |  UNION ALL SELECT 'value', count(*), count(*) FILTER (WHERE value IS NULL),
+        |    count(DISTINCT value), min(value), max(value) FROM b
+        |)
+        |SELECT pa.col_name, pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+        |  round(pb.n_null::DOUBLE / pb.n_rows - pa.n_null::DOUBLE / pa.n_rows, 6)
+        |    AS null_rate_delta,
+        |  round(pb.n_distinct::DOUBLE / nullif(pa.n_distinct, 0), 6) AS distinct_ratio,
+        |  round(pb.mn - pa.mn, 6) AS min_delta,
+        |  round(pb.mx - pa.mx, 6) AS max_delta
+        |FROM pa JOIN pb ON pa.col_name = pb.col_name""".stripMargin,
+    // Clauset MLE with the same µ-quantized exact ln sum
+    "q224_powerlaw_alpha" ->
+      """SELECT lang, count(*)::BIGINT AS n_tail,
+        |  round(1.0 + count(*)::DOUBLE * 1000000.0 /
+        |    (CASE WHEN sum(CAST(floor(ln(n_chars::DOUBLE / 100) * 1000000 + 0.5) AS BIGINT)) > 0
+        |      THEN sum(CAST(floor(ln(n_chars::DOUBLE / 100) * 1000000 + 0.5) AS BIGINT)) END), 6)
+        |    AS alpha
+        |FROM documents WHERE n_chars >= 100 AND lang IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    // exact int sums; VMR expression written operand-for-operand
+    "q225_term_burstiness" ->
+      """WITH pd AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS c
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), st AS (
+        |  SELECT term, sum(c)::BIGINT AS total, sum(c * c)::BIGINT AS sq,
+        |    count(*)::BIGINT AS n_docs_with
+        |  FROM pd GROUP BY 1
+        |), d AS (SELECT count(*)::BIGINT AS dn FROM documents)
+        |SELECT term, total, n_docs_with,
+        |  round((sq::DOUBLE / dn - (total::DOUBLE / dn) * (total::DOUBLE / dn))
+        |    / (total::DOUBLE / dn), 6) AS vmr
+        |FROM st, d ORDER BY total DESC, term LIMIT 20""".stripMargin,
     // full r x c cross incl. zero-observed cells; (o*n - rt*ct)^2
     // has an int64 root so each term is engine-exact
     "q194_chi_square" ->

@@ -81,6 +81,34 @@ object Profiling {
       "(col_name, n_rows, n_null, n_distinct, min_num, max_num)")
   }
 
+  /** Profile drift diff between two relation snapshots: the
+    * [[columnProfile]] of each side joined per column, with the
+    * deltas a schema/quality monitor alerts on (null-rate shift,
+    * distinct-count ratio, numeric range drift). All deltas derive
+    * from exact integer counts or min/max — no sampled statistics —
+    * so the report is engine-replayable.
+    *
+    * Scale shape: two single-pass profiles (one wide agg each)
+    * joined on a #columns-sized key — the diff itself is free. */
+  def profileDiff(a: DataFrame, b: DataFrame,
+                  cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, s: String) =
+      columnProfile(df, cols).select(col("col_name"),
+        col("n_rows").as(s"n_rows_$s"), col("n_null").as(s"n_null_$s"),
+        col("n_distinct").as(s"n_distinct_$s"),
+        col("min_num").as(s"min_$s"), col("max_num").as(s"max_$s"))
+    side(a, "a").join(side(b, "b"), Seq("col_name"))
+      .select(col("col_name"), col("n_rows_a"), col("n_rows_b"),
+        round(col("n_null_b").cast("double") / col("n_rows_b") -
+          col("n_null_a").cast("double") / col("n_rows_a"), 6)
+          .as("null_rate_delta"),
+        round(col("n_distinct_b").cast("double") /
+          when(col("n_distinct_a") > 0, col("n_distinct_a")), 6)
+          .as("distinct_ratio"),
+        round(col("min_b") - col("min_a"), 6).as("min_delta"),
+        round(col("max_b") - col("max_a"), 6).as("max_delta"))
+  }
+
   /** k-anonymity audit: the quasi-identifier equivalence classes
     * with fewer than `k` records — the groups where a "de-identified"
     * release still isolates individuals. Optionally also reports the

@@ -697,6 +697,61 @@ object TextAnalysis {
       array_join(tags, ",").as("tags"), size(tags).as("n_tags"))
   }
 
+  /** Discrete power-law tail exponent (Clauset et al.'s MLE, public):
+    * α = 1 + n / Σ ln(x/xmin) over x ≥ xmin, per group — the
+    * heavy-tail read-out for document-length / frequency
+    * distributions (α ≈ 2–3 is the web-corpus norm; drift says the
+    * generator or filter changed). Each ln term quantizes to
+    * µ-units (×10⁶, floor+½) so the sum is an exact int64 and the
+    * estimate replays cross-engine; the α read-out divides exact
+    * integers.
+    *
+    * Scale shape: one filter + one map-side-combinable aggregation
+    * per group. Groups with Σ = 0 (all mass AT xmin) return null. */
+  def powerLawAlpha(df: DataFrame, groupCol: String, valueCol: String,
+                    xmin: Long): DataFrame = {
+    require(xmin >= 1)
+    val li = floor(log(col(valueCol).cast("double") / xmin) * 1000000 +
+      lit(0.5)).cast("long")
+    df.filter(col(valueCol) >= xmin && col(groupCol).isNotNull)
+      .select(col(groupCol), li.as("_l"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tail"), sum("_l").as("_s"))
+      .select(col(groupCol), col("n_tail"),
+        round(lit(1.0) + col("n_tail").cast("double") * 1000000.0 /
+          when(col("_s") > 0, col("_s")), 6).as("alpha"))
+  }
+
+  /** Term burstiness: variance-to-mean ratio (index of dispersion)
+    * of per-document counts for the corpus's top-N terms. VMR ≈ 1 is
+    * Poisson (function words); VMR ≫ 1 marks bursty topical terms —
+    * the signal term-weighting and boilerplate detection read.
+    * Documents NOT containing the term count as zeros: only Σc and
+    * Σc² are aggregated (missing docs contribute nothing) and the
+    * corpus size D enters as an exact broadcast scalar.
+    *
+    * Scale shape: one (doc, term) reduction, one term-level
+    * aggregation, a 1-row broadcast, TakeOrdered top-N. All VMR
+    * operands are exact int64 sums. */
+  def termBurstiness(docs: DataFrame, topN: Int = 20,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(topN >= 1)
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("_c"))
+    val stats = perDoc.groupBy("term")
+      .agg(sum("_c").as("total"), sum(col("_c") * col("_c")).as("_sq"),
+        count(lit(1)).as("n_docs_with"))
+    val d = docs.agg(count(lit(1)).as("_D"))
+    val mean = col("total").cast("double") / col("_D")
+    stats.crossJoin(broadcast(d))
+      .orderBy(col("total").desc, col("term")).limit(topN)
+      .select(col("term"), col("total"), col("n_docs_with"),
+        round((col("_sq").cast("double") / col("_D") - mean * mean) / mean, 6)
+          .as("vmr"))
+  }
+
   private def nullifZero(c: org.apache.spark.sql.Column) =
     when(c === 0, lit(null)).otherwise(c)
 }

@@ -239,4 +239,21 @@ class ProfilingSpec extends SparkSpec {
       .head().getDouble(2)
     assert(capped == 0.8)  // n=1: p*1/1, no cap needed; stays raw
   }
+
+  // ── profileDiff (round 7) ─────────────────────────────────────────
+
+  test("profileDiff: planted null-rate and range drift surface in the deltas") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0), (4L, "y", 4.0))
+      .toDF("k", "s", "v")
+    val b = Seq((Some(1L), "x", 10.0), (None, "y", 2.0), (None, "x", 3.0),
+      (Some(4L), "z", 40.0)).toDF("k", "s", "v")
+    val m = Profiling.profileDiff(a, b, Seq("k", "s", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("k").getDouble(3) == 0.5, s"null rate 0 -> 1/2: ${m("k")}")
+    assert(m("s").getDouble(4) == 1.5, s"2 -> 3 distinct: ${m("s")}")
+    assert(m("v").getDouble(6) == 36.0, s"max 4 -> 40: ${m("v")}")
+    assert(m("s").isNullAt(5) && m("s").isNullAt(6),
+      "string column has no numeric range")
+  }
 }

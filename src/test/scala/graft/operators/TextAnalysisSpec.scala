@@ -364,4 +364,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1L) == (("table,window", 2)))
     assert(m(2L) == (("", 0)))
   }
+
+  // ── powerLawAlpha / termBurstiness (round 7) ──────────────────────
+
+  test("powerLawAlpha: recovers a planted exponent; xmin-only group is null") {
+    import spark.implicits._
+    // x = xmin * exp((i-0.5)/n * ln(xmax/xmin))-ish inverse-CDF draw
+    // for alpha=2.5: F^-1(u) = xmin * (1-u)^(-1/(alpha-1))
+    val n = 5000
+    val draws = (1 to n).map { i =>
+      val u = (i - 0.5) / n
+      ("a", (100.0 * math.pow(1 - u, -1.0 / 1.5)).toLong)
+    }
+    val flat = (1 to 50).map(_ => ("b", 100L))
+    val out = TextAnalysis.powerLawAlpha(
+      (draws ++ flat).toDF("g", "x"), "g", "x", xmin = 100L)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(math.abs(out("a").get - 2.5) < 0.1, s"alpha drifted: ${out("a")}")
+    assert(out("b").isEmpty, "all-at-xmin group must be null, not Infinity")
+  }
+
+  test("termBurstiness: bursty term outscores an evenly spread one") {
+    import spark.implicits._
+    // 'even' once in every doc (VMR < 1 impossible... = (1-mean) for
+    // all-ones: VMR = 1 - 1 = 0-ish); 'burst' 10x in one doc only
+    val d = (1L to 10L).map { i =>
+      (i, if (i == 1L) "even " + ("burst " * 10) else "even pad")
+    }.toDF("doc_id", "text")
+    val m = TextAnalysis.termBurstiness(d, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(m("burst") > 5.0, s"planted burst not detected: $m")
+    assert(m("even") == 0.0, s"uniform term must have zero dispersion: $m")
+  }
 }
