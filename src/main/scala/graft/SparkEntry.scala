@@ -1390,6 +1390,34 @@ object SparkEntry {
     // for the top-20 corpus terms (zeros via the broadcast D scalar)
     "q225_term_burstiness" -> ((s, dir) =>
       TextAnalysis.termBurstiness(t(s, dir, "documents"))),
+    // Jensen-Shannon mix drift: weekend vs weekday event-type mix --
+    // the symmetric always-finite companion to PSI (q133)
+    "q226_js_divergence" -> ((s, dir) =>
+      graft.operators.Profiling.jsDivergence(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        "event_type",
+        expr("ts div 86400000000000") % 7 < 2)),
+    // Kruskal-Wallis H across event types on cent-quantized value --
+    // rank-based one-way ANOVA, exact doubled-rank arithmetic
+    "q227_kruskal_wallis" -> ((s, dir) =>
+      Analytics.kruskalWallis(t(s, dir, "events"), "event_type",
+        floor(col("value") * 100 + lit(0.5)))),
+    // Per-type Spearman rank correlation between value and event time
+    // -- monotonic drift detection, decimal-exact rank sums
+    "q228_spearman_corr" -> ((s, dir) =>
+      Analytics.spearmanByGroup(t(s, dir, "events"), "event_type",
+        col("value"), expr("ts div 1000"))),
+    // One-way ANOVA F + eta^2 for value across event types -- the
+    // mean-based companion to q227's distribution test
+    "q229_anova_f" -> ((s, dir) =>
+      Analytics.anovaF(t(s, dir, "events"), "event_type", col("value"))),
+    // Cramer's V: normalized effect size of the event-type x user-
+    // cohort association (chi-square machinery, q194's sibling)
+    "q230_cramers_v" -> ((s, dir) =>
+      graft.operators.Profiling.cramersV(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("cohort", col("user_id") % 8),
+        "event_type", "cohort")),
     // STREAMING windowed top-k: top-3 event types per hour via
     // flatMapGroupsWithState keyed by window start -- the ranking
     // query native streaming can't express (no rank over a streaming
@@ -3268,6 +3296,140 @@ object SparkEntry {
         |  round((sq::DOUBLE / dn - (total::DOUBLE / dn) * (total::DOUBLE / dn))
         |    / (total::DOUBLE / dn), 6) AS vmr
         |FROM st, d ORDER BY total DESC, term LIMIT 20""".stripMargin,
+    // exact slice counts in one pass; ln terms on identical doubles;
+    // the category-bounded sum is absorbed by round-6
+    "q226_js_divergence" ->
+      """WITH pc AS (
+        |  SELECT event_type AS category,
+        |    count(*) FILTER (WHERE epoch_ns(ts) // 86400000000000 % 7 < 2)::BIGINT AS n_a,
+        |    count(*) FILTER (WHERE epoch_ns(ts) // 86400000000000 % 7 >= 2)::BIGINT AS n_b
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+        |), tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM pc),
+        |p AS (
+        |  SELECT category, n_a, n_b, n_a::DOUBLE / ta AS p, n_b::DOUBLE / tb AS q,
+        |    (n_a::DOUBLE / ta + n_b::DOUBLE / tb) / 2 AS m
+        |  FROM pc, tot
+        |), tm AS (
+        |  SELECT category, n_a, n_b, p, q,
+        |    (CASE WHEN p > 0 THEN p * ln(p / m) / 2 ELSE 0.0 END)
+        |      + (CASE WHEN q > 0 THEN q * ln(q / m) / 2 ELSE 0.0 END) AS term
+        |  FROM p
+        |), js AS (SELECT sum(term) AS t FROM tm)
+        |SELECT category, n_a, n_b, round(p, 6) AS p_a, round(q, 6) AS p_b,
+        |  round(term, 6) AS js_term, round(js.t, 6) AS js_total
+        |FROM tm, js""".stripMargin,
+    // doubled average ranks over the bounded distinct-cents relation:
+    // every rank sum an exact int64; k-term H sum absorbed by round-6
+    "q227_kruskal_wallis" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS s
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), sc AS (SELECT s, count(*)::BIGINT AS t FROM b GROUP BY 1),
+        |rk AS (
+        |  SELECT s, t, 2 * coalesce(sum(t) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+        |  FROM sc
+        |), gs AS (SELECT g, s, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        |pg AS (
+        |  SELECT g, sum(c)::BIGINT AS nj, sum(c * rk.r2)::BIGINT AS r2j
+        |  FROM gs JOIN rk USING (s) GROUP BY 1
+        |), ti AS (SELECT sum(t)::BIGINT AS n, sum(t*t*t - t)::BIGINT AS tie FROM sc),
+        |ag AS (
+        |  SELECT count(*)::BIGINT AS k, max(ti.n)::BIGINT AS n,
+        |    sum(pow(r2j::DOUBLE, 2) / nj / 4.0) AS sr, max(ti.tie)::BIGINT AS tie
+        |  FROM pg, ti
+        |)
+        |SELECT k, n,
+        |  round(12.0 / (n::DOUBLE * (n::DOUBLE + 1)) * sr
+        |    - 3.0 * (n::DOUBLE + 1), 6) AS h,
+        |  round(CASE WHEN 1.0 - tie::DOUBLE
+        |      / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE) > 0
+        |    THEN (12.0 / (n::DOUBLE * (n::DOUBLE + 1)) * sr - 3.0 * (n::DOUBLE + 1))
+        |      / (1.0 - tie::DOUBLE
+        |        / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)) END, 6) AS h_tie
+        |FROM ag""".stripMargin,
+    // doubled ranks (2*rank_min + ties - 1) are int64; every moment
+    // accumulates in HUGEINT (decimal on the Spark side) then casts
+    // once to double - identical operands into the final three ops
+    "q228_spearman_corr" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, value AS x, epoch_us(ts) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        |), r AS (
+        |  SELECT g,
+        |    2 * rank() OVER (PARTITION BY g ORDER BY x)
+        |      + count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY g ORDER BY y)
+        |      + count(*) OVER (PARTITION BY g, y) - 1 AS ry
+        |  FROM b
+        |), s AS (
+        |  SELECT g, count(*)::HUGEINT AS n,
+        |    sum(rx::HUGEINT * ry)::HUGEINT AS sxy,
+        |    sum(rx::HUGEINT * rx)::HUGEINT AS sxx,
+        |    sum(ry::HUGEINT * ry)::HUGEINT AS syy,
+        |    sum(rx::HUGEINT)::HUGEINT AS sx, sum(ry::HUGEINT)::HUGEINT AS sy
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT g AS event_type, n::BIGINT AS n,
+        |  round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |    THEN (n * sxy - sx * sy)::DOUBLE
+        |      / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)
+        |    END, 6) AS rho
+        |FROM s""".stripMargin,
+    // cent-quantized moments: n, sum exact int64, sum-of-squares in
+    // HUGEINT; per-group SS terms on identical doubles, k-term sums
+    // absorbed by round-6; SS de-scaled to metric^2 units
+    "q229_anova_f" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), pg AS (
+        |  SELECT g, count(*)::BIGINT AS nj, sum(q)::BIGINT AS sj,
+        |    sum(q::HUGEINT * q)::HUGEINT AS qj
+        |  FROM b GROUP BY 1
+        |), ag AS (
+        |  SELECT count(*)::BIGINT AS k, sum(nj)::BIGINT AS n,
+        |    sum(sj)::BIGINT AS s,
+        |    sum(qj::DOUBLE - sj::DOUBLE * sj / nj) AS ssw,
+        |    sum(sj::DOUBLE * sj / nj) AS sb
+        |  FROM pg
+        |)
+        |SELECT k, n,
+        |  round((sb - s::DOUBLE * s / n) / 10000.0, 6) AS ss_between,
+        |  round(ssw / 10000.0, 6) AS ss_within,
+        |  round(CASE WHEN ssw > 0 AND n > k
+        |    THEN ((sb - s::DOUBLE * s / n) / (k::DOUBLE - 1)) / (ssw / (n::DOUBLE - k))
+        |    END, 6) AS f,
+        |  round(CASE WHEN (sb - s::DOUBLE * s / n) + ssw > 0
+        |    THEN (sb - s::DOUBLE * s / n) / ((sb - s::DOUBLE * s / n) + ssw)
+        |    END, 6) AS eta_sq
+        |FROM ag""".stripMargin,
+    // q194's engine-exact contingency pipeline + one sqrt on the
+    // ALREADY-ROUNDED chi2 so both engines normalize the same double
+    "q230_cramers_v" ->
+      """WITH base AS (
+        |  SELECT event_type AS r, user_id % 8 AS c
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |), o AS (SELECT r, c, count(*)::BIGINT AS o FROM base GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(o)::BIGINT AS rt FROM o GROUP BY 1),
+        |ct AS (SELECT c, sum(o)::BIGINT AS ct FROM o GROUP BY 1),
+        |n AS (SELECT sum(rt)::BIGINT AS n, count(*)::BIGINT AS nr FROM rt),
+        |nc AS (SELECT count(*)::BIGINT AS nc FROM ct),
+        |cells AS (
+        |  SELECT rt.r, ct.c, coalesce(o.o, 0) AS o, rt.rt, ct.ct
+        |  FROM rt CROSS JOIN ct LEFT JOIN o ON o.r = rt.r AND o.c = ct.c
+        |), ag AS (
+        |  SELECT round(sum(pow((o * n.n - rt * ct)::DOUBLE, 2)
+        |      / (n.n::DOUBLE * rt * ct)), 6) AS chi2,
+        |    (max(n.nr) - 1) * (max(nc.nc) - 1) AS df, max(n.n) AS n,
+        |    max(n.nr) AS mr, max(nc.nc) AS mc
+        |  FROM cells, n, nc
+        |)
+        |SELECT chi2, df, n,
+        |  round(CASE WHEN least(mr, mc) > 1
+        |    THEN sqrt(chi2 / (n::DOUBLE * (least(mr, mc) - 1))) END, 6) AS v
+        |FROM ag""".stripMargin,
     // full r x c cross incl. zero-observed cells; (o*n - rt*ct)^2
     // has an int64 root so each term is engine-exact
     "q194_chi_square" ->

@@ -751,4 +751,140 @@ object Analytics {
       .select(col("g").as(groupCol), col("est_mean"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** Kruskal–Wallis H: does an INTEGER-quantized score (pass cents)
+    * have the same distribution across the k groups? The rank-based
+    * one-way ANOVA — the segment-comparison test to reach for when
+    * the metric is skewed/heavy-tailed and a mean-based F-test
+    * ([[anovaF]]) would be driven by outliers. One row: k, n, the H
+    * statistic and its tie-corrected variant (null when every score
+    * is identical — zero rank variance, H undefined).
+    *
+    * Exactness: average ranks are half-integers, carried doubled
+    * (2·avgrank = 2·|{<s}| + |{=s}| + 1, an int64), so every rank
+    * sum R_j accumulates exactly and order-free; Σ(t³−t) for the tie
+    * correction is an exact int64 too. Each group's R_j²/n_j is a
+    * couple of correctly-rounded double ops on identical operands;
+    * the k-term final sum is absorbed by round-6.
+    *
+    * Scale shape: one map-side-combined count per distinct score (the
+    * quantized score domain is BOUNDED — cents of a capped metric),
+    * one ordered window over that bounded relation for the global
+    * ranks, one broadcast join back onto the (group, score) counts,
+    * then a k-row reduction. The raw data is never globally sorted. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(groupCol).isNotNull && scoreCol.isNotNull)
+      .select(col(groupCol).as("_g"), scoreCol.cast("long").as("_s"))
+    val sc = base.groupBy("_s").agg(count(lit(1)).as("_t"))
+    val prev = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = sc
+      .withColumn("_r2",
+        lit(2L) * coalesce(sum("_t").over(prev), lit(0L)) + col("_t") + 1L)
+    val perG = base.groupBy("_g", "_s").agg(count(lit(1)).as("_c"))
+      .join(broadcast(ranked.select("_s", "_r2")), Seq("_s"))
+      .groupBy("_g")
+      .agg(sum("_c").as("_nj"), sum(col("_c") * col("_r2")).as("_r2j"))
+    val ties = sc.agg(sum("_t").as("_n"),
+      sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_tie"))
+    val agg = perG.crossJoin(broadcast(ties))
+      .agg(count(lit(1)).as("k"), max("_n").as("n"),
+        sum(pow(col("_r2j").cast("double"), 2) / col("_nj") / lit(4.0))
+          .as("_sr"),
+        max("_tie").as("_tieT"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1)) * col("_sr") - lit(3.0) * (nD + 1)
+    val corr = lit(1.0) - col("_tieT").cast("double") / (nD * nD * nD - nD)
+    agg.select(col("k"), col("n"), round(h, 6).as("h"),
+      round(when(corr > 0, h / corr), 6).as("h_tie"))
+  }
+
+  /** Spearman rank correlation per group: Pearson on the average
+    * ranks of x and y within each group — the monotonic-association
+    * readout that is invariant to any monotone transform of either
+    * variable (is value drifting with time AT ALL, linear or not).
+    *
+    * Exactness: doubled average ranks (2·rank_min + ties − 1) are
+    * int64; every Σ, Σ², Σxy accumulates in decimal(38,0) — exact and
+    * order-free far past int64 (ranks reach 2n, products 4n², sums
+    * 4n³ ≈ 10²² for n=10⁷ — decimal holds to 10³⁸). Numerator and
+    * the two variance terms are exact integers cast once to double;
+    * ρ is then three correctly-rounded ops on identical operands.
+    * Groups with zero variance in either variable return null.
+    *
+    * Scale shape: two rank windows per group (one sort each, both
+    * partitioned by the group key — nothing global) plus per-(g,
+    * value) tie counts windows over the same partitioning, then one
+    * map-side-combinable group agg. */
+  def spearmanByGroup(df: DataFrame, groupCol: String,
+                      xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(groupCol).isNotNull && xCol.isNotNull && yCol.isNotNull)
+      .select(col(groupCol).as("_g"), xCol.as("_x"), yCol.as("_y"))
+    val rx = lit(2L) * rank().over(Window.partitionBy("_g").orderBy("_x")) +
+      count(lit(1)).over(Window.partitionBy("_g", "_x")) - 1L
+    val ry = lit(2L) * rank().over(Window.partitionBy("_g").orderBy("_y")) +
+      count(lit(1)).over(Window.partitionBy("_g", "_y")) - 1L
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sums = base.withColumn("_rx", rx).withColumn("_ry", ry)
+      .groupBy("_g")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("_rx")) * col("_ry")).as("_sxy"),
+        sum(dec(col("_rx")) * col("_rx")).as("_sxx"),
+        sum(dec(col("_ry")) * col("_ry")).as("_syy"),
+        sum(dec(col("_rx"))).as("_sx"), sum(dec(col("_ry"))).as("_sy"))
+    val nDec = dec(col("n"))
+    val num = (nDec * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val vx = (nDec * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val vy = (nDec * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    sums.select(col("_g").as(groupCol), col("n"),
+      round(when(vx > 0 && vy > 0, num / sqrt(vx * vy)), 6).as("rho"))
+  }
+
+  /** One-way ANOVA F: does the metric's MEAN differ across the k
+    * groups? Decomposes total variance into between-group and
+    * within-group sums of squares over a `scale`-quantized metric
+    * (default cents) and reports F = (SSB/(k−1)) / (SSW/(n−k)) with
+    * η² = SSB/SST — the effect-size companion the bare F hides.
+    * Complements [[kruskalWallis]] (means vs distributions).
+    *
+    * Exactness: per group only n_j, Σq, Σq² are aggregated — the
+    * first two int64, Σq² in decimal(38,0) (q ≈ 10⁷ cents ⇒ q² ≈
+    * 10¹⁴, times 10¹⁰ rows ≈ 10²⁴ — decimal territory, exact and
+    * order-free). SSW/SSB terms are per-group double expressions on
+    * identical operands; the k-term sums are absorbed by round-6.
+    * Reported SS are de-scaled back to metric² units.
+    *
+    * Scale shape: ONE map-side-combined group agg over the scan,
+    * then a k-row reduction — the cheapest possible shape; no sort,
+    * no window, no join. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: Column,
+             scale: Long = 100L): DataFrame = {
+    val q = floor(valueCol.cast("double") * scale + lit(0.5)).cast("long")
+    val perG = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), q.as("_q"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_nj"), sum("_q").as("_sj"),
+        sum(col("_q").cast("decimal(38,0)") * col("_q")).as("_qj"))
+    val nj = col("_nj").cast("double")
+    val sj = col("_sj").cast("double")
+    val agg = perG
+      .agg(count(lit(1)).as("k"), sum("_nj").as("n"),
+        sum("_sj").as("_s"),
+        sum(col("_qj").cast("double") - sj * sj / nj).as("_ssw"),
+        sum(sj * sj / nj).as("_sb"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("_sb") - col("_s").cast("double") * col("_s") / nD
+    val den = lit(scale.toDouble * scale)
+    val f = (ssb / (kD - 1)) / (col("_ssw") / (nD - kD))
+    agg.select(col("k"), col("n"),
+      round(ssb / den, 6).as("ss_between"),
+      round(col("_ssw") / den, 6).as("ss_within"),
+      round(when(col("_ssw") > 0 && col("n") > col("k"), f), 6).as("f"),
+      round(when(ssb + col("_ssw") > 0, ssb / (ssb + col("_ssw"))), 6)
+        .as("eta_sq"))
+  }
 }

@@ -476,4 +476,82 @@ object Profiling {
           lit(1.0)), 6))
       .select(col(idCol), col("_p").as(pCol), col("q_value"))
   }
+
+  /** Jensen–Shannon divergence between the categorical mix of two
+    * slices of one table (slice A = rows where `inA`, B = the rest):
+    * the SYMMETRIC, always-finite drift measure — unlike PSI/KL it
+    * never blows up on a category present in only one slice, so it's
+    * the right default for "did the event mix shift" monitoring next
+    * to [[psiDrift]] (which needs smoothing) and [[chiSquareIndependence]]
+    * (which tests, not measures). One row per category with both
+    * observed shares, the category's JS contribution, and the total
+    * (0 = identical mixes, ln 2 ≈ 0.693 = disjoint) repeated on every
+    * row so the per-category report stays one flat table.
+    *
+    * Exactness: category counts are exact int64 from ONE map-side-
+    * combined pass (both slices counted in the same agg); shares and
+    * ln terms are correctly-rounded doubles on identical operands;
+    * the category-count-bounded sums are absorbed by round-6.
+    *
+    * Scale shape: one count agg on the scan, then everything rides
+    * the BOUNDED category relation (two 1-row broadcasts). */
+  def jsDivergence(df: DataFrame, catCol: String, inA: Column): DataFrame = {
+    val perCat = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("category"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inA, 0L).otherwise(1L)).as("n_b"))
+    val tot = perCat.agg(sum("n_a").as("_ta"), sum("n_b").as("_tb"))
+    val withP = perCat.crossJoin(broadcast(tot))
+      .withColumn("_p", col("n_a").cast("double") / col("_ta"))
+      .withColumn("_q", col("n_b").cast("double") / col("_tb"))
+      .withColumn("_m", (col("_p") + col("_q")) / 2)
+      .withColumn("_term",
+        when(col("_p") > 0, col("_p") * log(col("_p") / col("_m")) / 2)
+          .otherwise(lit(0.0)) +
+        when(col("_q") > 0, col("_q") * log(col("_q") / col("_m")) / 2)
+          .otherwise(lit(0.0)))
+    val total = withP.agg(sum("_term").as("_js"))
+    withP.crossJoin(broadcast(total))
+      .select(col("category"), col("n_a"), col("n_b"),
+        round(col("_p"), 6).as("p_a"), round(col("_q"), 6).as("p_b"),
+        round(col("_term"), 6).as("js_term"),
+        round(col("_js"), 6).as("js_total"))
+  }
+
+  /** Cramér's V: the [0,1]-normalized effect size of the chi-square
+    * association between two categorical columns — the number that
+    * makes [[chiSquareIndependence]] comparable across tables of
+    * different size and shape (χ² grows with n; V does not). Same
+    * engine-exact contingency pipeline (full r×c cross, zero cells
+    * included), one extra correctly-rounded sqrt on the ALREADY
+    * ROUNDED χ² so both engines normalize identical operands.
+    *
+    * Scale shape: identical to [[chiSquareIndependence]] — one (r,c)
+    * count shuffle with map-side combine, then broadcast marginal
+    * algebra on the bounded contingency cross. */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val base = df.filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .select(col(rowCol).as("_r"), col(colCol).as("_c"))
+    val o = base.groupBy("_r", "_c").agg(count(lit(1)).as("_o"))
+    val rt = o.groupBy("_r").agg(sum("_o").as("_rt"))
+    val ct = o.groupBy("_c").agg(sum("_o").as("_ct"))
+    val n = rt.agg(sum("_rt").as("_n"), count(lit(1)).as("_nr"))
+      .crossJoin(ct.agg(count(lit(1)).as("_nc")))
+    val agg = rt.crossJoin(broadcast(ct))
+      .join(o, Seq("_r", "_c"), "left")
+      .na.fill(0L, Seq("_o"))
+      .crossJoin(broadcast(n))
+      .agg(
+        round(sum(
+          pow((col("_o") * col("_n") - col("_rt") * col("_ct"))
+            .cast("double"), 2) /
+          (col("_n").cast("double") * col("_rt") * col("_ct"))), 6)
+          .as("chi2"),
+        ((max("_nr") - 1) * (max("_nc") - 1)).as("df"),
+        max("_n").as("n"), max("_nr").as("_mr"), max("_nc").as("_mc"))
+    val minDim = (least(col("_mr"), col("_mc")) - 1).cast("double")
+    agg.select(col("chi2"), col("df"), col("n"),
+      round(when(minDim > 0,
+        sqrt(col("chi2") / (col("n").cast("double") * minDim))), 6).as("v"))
+  }
 }

@@ -372,4 +372,77 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b && a.size == 2)
   }
+
+  // ── kruskalWallis / spearman / anovaF (round 7) ──────────────────
+
+  test("kruskalWallis: textbook no-tie H; all-tied scores give null h_tie") {
+    import spark.implicits._
+    // A={1,2}, B={3,4}: ranks 1..4, R_A=3, R_B=7 ->
+    // H = 12/(4*5) * (9/2 + 49/2) - 3*5 = 2.4; no ties -> h_tie = h
+    val d = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val r = Analytics.kruskalWallis(d, "g", col("v")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 2.4 && r.getDouble(3) == 2.4, s"H: $r")
+    // every score identical: zero rank variance -> H = 0, correction
+    // degenerates -> h_tie null
+    val tied = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val t = Analytics.kruskalWallis(tied, "g", col("v")).collect().head
+    assert(t.getDouble(2) == 0.0 && t.isNullAt(3), s"tied: $t")
+  }
+
+  test("kruskalWallis: invariant to partitioning") {
+    import spark.implicits._
+    val d = (1L to 400L).map(i => (s"g${i % 3}", i % 23)).toDF("g", "v")
+    val a = Analytics.kruskalWallis(d, "g", col("v")).collect().head
+    val b = Analytics.kruskalWallis(d.repartition(13), "g", col("v"))
+      .collect().head
+    assert(a.toString == b.toString)
+  }
+
+  test("spearman: monotone=1, inverse=-1, textbook 0.8, constant null") {
+    import spark.implicits._
+    val d = Seq(
+      // monotone but non-linear: rho must still be exactly 1
+      ("up", 1.0, 1L), ("up", 2.0, 4L), ("up", 3.0, 9L), ("up", 4.0, 100L),
+      ("dn", 1.0, 9L), ("dn", 2.0, 7L), ("dn", 3.0, 5L), ("dn", 4.0, 1L),
+      // classic d^2=2 example: 1 - 6*2/(4*15) = 0.8
+      ("tx", 1.0, 1L), ("tx", 2.0, 3L), ("tx", 3.0, 2L), ("tx", 4.0, 4L),
+      // zero variance in x -> undefined
+      ("cx", 7.0, 1L), ("cx", 7.0, 2L), ("cx", 7.0, 3L))
+      .toDF("g", "x", "y")
+    val m = Analytics.spearmanByGroup(d, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("up").getDouble(2) == 1.0, s"monotone: ${m("up")}")
+    assert(m("dn").getDouble(2) == -1.0, s"inverse: ${m("dn")}")
+    assert(m("tx").getDouble(2) == 0.8, s"textbook: ${m("tx")}")
+    assert(m("cx").isNullAt(2), s"constant x: ${m("cx")}")
+  }
+
+  test("spearman: tied ranks average (half-integer ranks stay exact)") {
+    import spark.implicits._
+    // x ties at 2.0 share rank 2.5; y strictly increasing
+    val d = Seq(("g", 1.0, 1L), ("g", 2.0, 2L), ("g", 2.0, 3L),
+      ("g", 3.0, 4L)).toDF("g", "x", "y")
+    val r = Analytics.spearmanByGroup(d, "g", col("x"), col("y"))
+      .collect().head
+    // rx2 = (2,5,5,8), ry2 = (2,4,6,8): rho = 0.948683
+    assert(r.getDouble(2) == 0.948683, s"tied: $r")
+  }
+
+  test("anovaF: hand-computed SS decomposition and F; equal means give F=0") {
+    import spark.implicits._
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Analytics.anovaF(d, "g", col("v")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 6)
+    assert(r.getDouble(2) == 13.5, s"ss_between: $r")
+    assert(r.getDouble(3) == 4.0, s"ss_within: $r")
+    assert(r.getDouble(4) == 13.5, s"F = (13.5/1)/(4/4): $r")
+    assert(r.getDouble(5) == 0.771429, s"eta^2 = 13.5/17.5: $r")
+    val flat = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "v")
+    val f = Analytics.anovaF(flat, "g", col("v")).collect().head
+    assert(f.getDouble(2) == 0.0 && f.getDouble(4) == 0.0, s"flat: $f")
+  }
 }

@@ -256,4 +256,47 @@ class ProfilingSpec extends SparkSpec {
     assert(m("s").isNullAt(5) && m("s").isNullAt(6),
       "string column has no numeric range")
   }
+
+  // ── jsDivergence / cramersV (round 7) ────────────────────────────
+
+  test("jsDivergence: identical mixes 0, hand-computed shift, disjoint ln2") {
+    import spark.implicits._
+    val same = Seq(("x", true), ("x", false), ("y", true), ("y", false))
+      .toDF("c", "a")
+    val s = Profiling.jsDivergence(same, "c", col("a")).collect()
+    assert(s.forall(_.getDouble(6) == 0.0), "identical mixes diverge by 0")
+    // A = {x:2, y:2}, B = {x:1, y:3}: term_x = .5*ln(4/3)/2 + .25*ln(2/3)/2
+    // = 0.021237, term_y = .5*ln(.8)/2 + .75*ln(1.2)/2 = 0.012585,
+    // total 0.033822
+    val shift = Seq(("x", true), ("x", true), ("y", true), ("y", true),
+      ("x", false), ("y", false), ("y", false), ("y", false)).toDF("c", "a")
+    val m = Profiling.jsDivergence(shift, "c", col("a"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("x").getDouble(5) == 0.021237, s"term_x: ${m("x")}")
+    assert(m("y").getDouble(5) == 0.012585, s"term_y: ${m("y")}")
+    assert(m("x").getDouble(6) == 0.033822, s"total: ${m("x")}")
+    // fully disjoint category support -> ln 2
+    val disj = Seq(("x", true), ("x", true), ("y", false), ("y", false))
+      .toDF("c", "a")
+    val d = Profiling.jsDivergence(disj, "c", col("a")).collect().head
+    assert(d.getDouble(6) == 0.693147, s"disjoint = ln 2: $d")
+  }
+
+  test("cramersV: perfect association 1, independence 0, chi2 matches q194's") {
+    import spark.implicits._
+    val perfect = Seq(("a", 0L), ("a", 0L), ("b", 1L), ("b", 1L))
+      .toDF("r", "c")
+    val p = Profiling.cramersV(perfect, "r", "c").collect().head
+    assert(p.getDouble(3) == 1.0, s"perfect: $p")
+    val indep = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L)).toDF("r", "c")
+    val i = Profiling.cramersV(indep, "r", "c").collect().head
+    assert(i.getDouble(0) == 0.0 && i.getDouble(3) == 0.0, s"independent: $i")
+    // same contingency pipeline as chiSquareIndependence: chi2 equal
+    val mix = Seq(("a", 0L), ("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L),
+      ("b", 1L), ("c", 0L)).toDF("r", "c")
+    val v = Profiling.cramersV(mix, "r", "c").collect().head
+    val chi = Profiling.chiSquareIndependence(mix, "r", "c").collect().head
+    assert(v.getDouble(0) == chi.getDouble(0) &&
+      v.getLong(1) == chi.getLong(1), s"$v vs $chi")
+  }
 }
