@@ -1418,6 +1418,48 @@ object SparkEntry {
         t(s, dir, "events").filter(col("user_id").isNotNull)
           .withColumn("cohort", col("user_id") % 8),
         "event_type", "cohort")),
+    // One-hot vocabulary fit/apply: top-8 sources + OTHER, fitted on
+    // the en slice, applied to the full corpus (train/serve split)
+    "q231_onehot_vocab" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Curation.onehotVocab(
+        docs.filter(col("lang") === "en"), docs, "source", k = 8)
+    }),
+    // Standard scaler fit on even event_ids, applied to odd rows --
+    // the leakage-aware z-score (sample std, cent-exact moments)
+    "q232_standard_scaler" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Curation.standardScaler(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), "value", "event_id")
+    }),
+    // Mann-Kendall monotonic-trend test per event type over the
+    // bounded daily-count series (exact S, tie-corrected z)
+    "q233_mann_kendall" -> ((s, dir) =>
+      TimeSeries.mannKendall(
+        t(s, dir, "events").filter(col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "event_type", "day", "cnt")),
+    // HITS hubs/authorities on the q111 graph, exact-int64 rounds
+    "q234_hits" -> ((s, dir) =>
+      graft.operators.Graph.hits(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("event_id").isNotNull)
+          .select(col("user_id").as("src"), (col("event_id") % 150).as("dst")),
+        "src", "dst")),
+    // Rolling 7-event median of value per user (cent-exact window)
+    "q235_rolling_median" -> ((s, dir) =>
+      TimeSeries.rollingMedian(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+            col("ts").isNotNull && col("value").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", Seq(col("ts"), col("event_id")),
+        floor(col("value") * 100 + lit(0.5)), k = 7)
+        .select(col("user_id"), col("event_id"), col("n_window"),
+          col("roll_med"))),
     // STREAMING windowed top-k: top-3 event types per hour via
     // flatMapGroupsWithState keyed by window start -- the ranking
     // query native streaming can't express (no rank over a streaming
@@ -3430,6 +3472,108 @@ object SparkEntry {
         |  round(CASE WHEN least(mr, mc) > 1
         |    THEN sqrt(chi2 / (n::DOUBLE * (least(mr, mc) - 1))) END, 6) AS v
         |FROM ag""".stripMargin,
+    // deterministic (count desc, category asc) vocabulary; unseen/
+    // tail categories map to index k
+    "q231_onehot_vocab" ->
+      """WITH vocab AS (
+        |  SELECT source AS cat, count(*)::BIGINT AS c FROM documents
+        |  WHERE lang = 'en' AND source IS NOT NULL GROUP BY 1
+        |), idx AS (
+        |  SELECT cat, (row_number() OVER (ORDER BY c DESC, cat) - 1)::BIGINT AS i
+        |  FROM vocab QUALIFY i < 8
+        |)
+        |SELECT d.doc_id, d.source,
+        |  coalesce(idx.i, 8)::BIGINT AS "index", idx.i IS NULL AS is_other
+        |FROM documents d LEFT JOIN idx ON d.source = idx.cat""".stripMargin,
+    // cent-exact moments from the fit slice only; sample std (n-1);
+    // z on identical double operands per row
+    "q232_standard_scaler" ->
+      """WITH f AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS q FROM events
+        |  WHERE event_id % 2 = 0 AND value IS NOT NULL
+        |), st AS (
+        |  SELECT count(*)::BIGINT AS n, sum(q)::BIGINT AS s,
+        |    sum(q::HUGEINT * q)::HUGEINT AS qq FROM f
+        |)
+        |SELECT e.event_id, e.value,
+        |  round(CASE WHEN n > 1 AND
+        |      sqrt((qq::DOUBLE - s::DOUBLE * s / n) / (n::DOUBLE - 1)) > 0
+        |    THEN (CAST(floor(e.value * 100 + 0.5) AS BIGINT) - s::DOUBLE / n)
+        |      / sqrt((qq::DOUBLE - s::DOUBLE * s / n) / (n::DOUBLE - 1))
+        |    END, 6) AS z
+        |FROM events e, st
+        |WHERE e.event_id % 2 = 1 AND e.value IS NOT NULL""".stripMargin,
+    // exact S over the bounded daily series; tie-corrected Var(S);
+    // continuity-corrected z
+    "q233_mann_kendall" ->
+      """WITH d AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), s AS (
+        |  SELECT a.g, sum(CASE WHEN b.cnt > a.cnt THEN 1
+        |    WHEN b.cnt < a.cnt THEN -1 ELSE 0 END)::BIGINT AS s
+        |  FROM d a JOIN d b ON a.g = b.g AND a.day < b.day GROUP BY 1
+        |), t AS (
+        |  SELECT g, sum(t)::BIGINT AS n,
+        |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tt
+        |  FROM (SELECT g, cnt, count(*)::BIGINT AS t FROM d GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT s.g AS event_type, t.n, s.s AS s,
+        |  round(CASE WHEN (n::DOUBLE * (n::DOUBLE - 1) * (2.0 * n::DOUBLE + 5)
+        |      - tt::DOUBLE) / 18.0 > 0 THEN
+        |    CASE WHEN s.s > 0 THEN (s.s - 1)::DOUBLE
+        |        / sqrt((n::DOUBLE * (n::DOUBLE - 1) * (2.0 * n::DOUBLE + 5)
+        |          - tt::DOUBLE) / 18.0)
+        |      WHEN s.s < 0 THEN (s.s + 1)::DOUBLE
+        |        / sqrt((n::DOUBLE * (n::DOUBLE - 1) * (2.0 * n::DOUBLE + 5)
+        |          - tt::DOUBLE) / 18.0)
+        |      ELSE 0.0 END END, 6) AS z
+        |FROM s JOIN t USING (g)""".stripMargin,
+    // two unrolled exact-INT64 HITS rounds (hub0 = 1), one final
+    // normalization by the exact score totals - no quantization at all
+    "q234_hits" ->
+      """WITH e AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |a1 AS (SELECT dst AS node, count(*)::BIGINT AS a FROM e GROUP BY 1),
+        |a1f AS (SELECT n.node, coalesce(a1.a, 0)::BIGINT AS a
+        |  FROM nodes n LEFT JOIN a1 ON n.node = a1.node),
+        |h1 AS (SELECT e.src AS node, sum(a1f.a)::BIGINT AS h
+        |  FROM e JOIN a1f ON e.dst = a1f.node GROUP BY 1),
+        |h1f AS (SELECT n.node, coalesce(h1.h, 0)::BIGINT AS h
+        |  FROM nodes n LEFT JOIN h1 ON n.node = h1.node),
+        |a2 AS (SELECT e.dst AS node, sum(h1f.h)::BIGINT AS a
+        |  FROM e JOIN h1f ON e.src = h1f.node GROUP BY 1),
+        |a2f AS (SELECT n.node, coalesce(a2.a, 0)::BIGINT AS a
+        |  FROM nodes n LEFT JOIN a2 ON n.node = a2.node),
+        |h2 AS (SELECT e.src AS node, sum(a2f.a)::BIGINT AS h
+        |  FROM e JOIN a2f ON e.dst = a2f.node GROUP BY 1),
+        |h2f AS (SELECT n.node, coalesce(h2.h, 0)::BIGINT AS h
+        |  FROM nodes n LEFT JOIN h2 ON n.node = h2.node),
+        |tot AS (SELECT (SELECT sum(a) FROM a2f)::BIGINT AS ta,
+        |  (SELECT sum(h) FROM h2f)::BIGINT AS th)
+        |SELECT a2f.node,
+        |  round(CASE WHEN ta > 0 THEN a::DOUBLE / ta ELSE 0.0 END, 8)
+        |    AS authority,
+        |  round(CASE WHEN th > 0 THEN h::DOUBLE / th ELSE 0.0 END, 8) AS hub
+        |FROM a2f JOIN h2f USING (node), tot""".stripMargin,
+    // explicit sorted-list replay of the trailing-7 window median:
+    // both engines average the same two middle integers
+    "q235_rolling_median" ->
+      """SELECT user_id, event_id, len(arr)::BIGINT AS n_window,
+        |  round((arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1])::DOUBLE
+        |    / 200.0, 6) AS roll_med
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    list_sort(list(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |)""".stripMargin,
     // full r x c cross incl. zero-observed cells; (o*n - rt*ct)^2
     // has an int64 root so each term is engine-exact
     "q194_chi_square" ->

@@ -328,4 +328,69 @@ object Curation {
       stopRatio * lit(4.0) + alphaRatio * lit(1.5) + meanTokLen * lit(-0.05)
     round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
+
+  /** One-hot / index encoding with a FITTED vocabulary: the top-k
+    * categories by frequency (ties broken by category value — the
+    * determinism a bare `ORDER BY count DESC LIMIT k` throws away)
+    * get indices 0..k−1 in (count desc, category asc) order; every
+    * other or unseen category maps to index k ("OTHER") — the
+    * train/serve-stable categorical encoder. Fit and apply are
+    * separate inputs (same materialized-vocabulary semantics as
+    * [[quantileBins]]): applying yesterday's vocabulary to today's
+    * data is the production contract, refitting silently is the bug.
+    *
+    * Scale shape: fit is one map-side-combined category count + a
+    * row_number over the BOUNDED distinct-category relation; apply
+    * is a broadcast left join — scan speed, no shuffle of the data.
+    * A vocabulary too big to broadcast is not a vocabulary you
+    * one-hot (that's what [[featureHash]] is for — documented trade). */
+  def onehotVocab(fit: DataFrame, apply: DataFrame, catCol: String,
+                  k: Int, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1)
+    val wv = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_c").desc, col("_cat"))
+    val vocab = fit.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("_cat")).agg(count(lit(1)).as("_c"))
+      .withColumn("_idx", (row_number().over(wv) - 1).cast("long"))
+      .filter(col("_idx") < k)
+      .select(col("_cat"), col("_idx"))
+    apply.join(broadcast(vocab), apply(catCol) === col("_cat"), "left")
+      .select(col(idCol), col(catCol),
+        coalesce(col("_idx"), lit(k.toLong)).as("index"),
+        col("_idx").isNull.as("is_other"))
+  }
+
+  /** Standard scaler with a FITTED mean/std: z = (x − μ)/σ where μ
+    * and the SAMPLE std σ (n−1 denominator) come from the `fit`
+    * slice and are applied to the `apply` slice — the train/serve
+    * split every leakage-aware feature pipeline needs (fitting the
+    * scaler on the full table leaks val statistics into training).
+    * Degenerate fits (σ = 0 or n < 2) yield null z, not ±Inf.
+    *
+    * Exactness: the metric is `scale`-quantized (default cents), so
+    * n and Σq are exact int64 and Σq² is exact decimal(38,0) —
+    * order-free; μ and σ are then a handful of correctly-rounded
+    * double ops on identical operands, and each row's z is two more.
+    *
+    * Scale shape: fit is ONE map-side-combined moment agg reduced to
+    * a 1-row broadcast; apply is a scan-speed projection. Zero
+    * shuffles of either slice. */
+  def standardScaler(fit: DataFrame, apply: DataFrame, valueCol: String,
+                     idCol: String, scale: Long = 100L): DataFrame = {
+    require(scale >= 1)
+    val q = floor(col(valueCol).cast("double") * scale + lit(0.5))
+      .cast("long")
+    val stats = fit.filter(col(valueCol).isNotNull)
+      .select(q.as("_q"))
+      .agg(count(lit(1)).as("_n"), sum("_q").as("_s"),
+        sum(col("_q").cast("decimal(38,0)") * col("_q")).as("_qq"))
+    val nD = col("_n").cast("double")
+    val mu = col("_s").cast("double") / nD
+    val sd = sqrt((col("_qq").cast("double") - col("_s").cast("double") *
+      col("_s") / nD) / (nD - 1))
+    apply.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col(valueCol),
+        round(when(col("_n") > 1 && sd > 0, (q - mu) / sd), 6).as("z"))
+  }
 }

@@ -343,4 +343,58 @@ object Graph {
       .agg(sum("_v").as("subtree_value"),
         count(lit(1)).as("n_members"))
   }
+
+  /** HITS hubs & authorities (Kleinberg, public): `iters` synchronous
+    * rounds of auth(v) = Σ hub(in-nbrs), hub(u) = Σ auth(out-nbrs) —
+    * the bipartite-taste ranking PageRank's single score can't
+    * express (who POINTS WELL vs who IS POINTED AT). Run in EXACT
+    * INT64 arithmetic with hub₀ = 1 and normalization deferred to one
+    * final division by the (exact) score totals — every intermediate
+    * is an integer, so the result is order-free and engine-exact with
+    * NO quantization step at all, unlike [[pageRank]]'s per-iteration
+    * µ-quantized renormalize. The trade: unnormalized scores grow
+    * like (d_max²)^iters, so the default 2 iterations tolerates max
+    * degrees to ~40k; for deeper runs or denser graphs switch to the
+    * pageRank posture (per-iteration quantized normalize) — the
+    * scaladoc'd scale path, not a silent overflow.
+    *
+    * Scale shape: per round, one edge→score equi-join (scores
+    * broadcast when `broadcastScores`, else shuffle-join on the node
+    * key) and one map-side-combinable sum per side. Totals are 1-row
+    * broadcasts; nothing driver-side. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2, broadcastScores: Boolean = true): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull).distinct()
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst"))).distinct()
+    val bc = (df: DataFrame) => if (broadcastScores) broadcast(df) else df
+    var hub = nodes.select(col("node"), lit(1L).as("hub"))
+    var auth = nodes.select(col("node"), lit(0L).as("auth"))
+    for (_ <- 1 to iters) {
+      auth = nodes.join(
+          e.join(bc(hub.select(col("node").as("_src"), col("hub"))),
+              Seq("_src"))
+            .groupBy(col("_dst").as("node")).agg(sum("hub").as("_a")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("_a"), lit(0L)).as("auth"))
+      hub = nodes.join(
+          e.join(bc(auth.select(col("node").as("_dst"), col("auth"))),
+              Seq("_dst"))
+            .groupBy(col("_src").as("node")).agg(sum("auth").as("_h")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("_h"), lit(0L)).as("hub"))
+    }
+    val tot = broadcast(auth.agg(sum("auth").as("_ta"))
+      .crossJoin(hub.agg(sum("hub").as("_th"))))
+    auth.join(hub, Seq("node")).crossJoin(tot)
+      .select(col("node"),
+        round(when(col("_ta") > 0,
+          col("auth").cast("double") / col("_ta")).otherwise(0.0), 8)
+          .as("authority"),
+        round(when(col("_th") > 0,
+          col("hub").cast("double") / col("_th")).otherwise(0.0), 8)
+          .as("hub"))
+  }
 }

@@ -341,4 +341,76 @@ object TimeSeries {
         round(col("seasonal"), 6).as("seasonal"),
         round(col("y") - col("trend") - col("seasonal"), 6).as("resid"))
   }
+
+  /** Mann–Kendall trend test per group: S = Σ_{i<j} sign(v_j − v_i)
+    * over the series ordered by `idxCol`, with the tie-corrected
+    * normal approximation z — the NON-parametric "is this metric
+    * monotonically drifting" answer that [[theilSen]]'s slope
+    * magnitude doesn't give (significance) and a linear fit can't
+    * give at all (no distribution assumption). One row per group:
+    * n, S (exact int), z (positive = upward trend).
+    *
+    * Exactness: S and the tie term Σt(t−1)(2t+5) are exact int64
+    * sums of ±1/0 and small-integer products; Var(S) and z are a
+    * handful of correctly-rounded double ops on those integers.
+    *
+    * Scale shape: same deliberate-quadratic contract as [[theilSen]]
+    * — a group-key equi-join producing ~n²/2 sign rows per group,
+    * meant for MANY SMALL pre-aggregated series (daily/hourly
+    * rollups; n = 365 points is 66k pairs), never raw events. The
+    * long-series path is the same pair-sampling swap documented
+    * there. */
+  def mannKendall(df: DataFrame, groupCol: String, idxCol: String,
+                  valCol: String): DataFrame = {
+    val a = df.select(col(groupCol).as("_g"), col(idxCol).as("_i1"),
+      col(valCol).as("_v1"))
+    val b = df.select(col(groupCol).as("_g"), col(idxCol).as("_i2"),
+      col(valCol).as("_v2"))
+    val s = a.join(b, Seq("_g")).filter(col("_i1") < col("_i2"))
+      .groupBy("_g")
+      .agg(sum(signum(col("_v2") - col("_v1")).cast("long")).as("s"))
+    val ties = df.groupBy(col(groupCol).as("_g"), col(valCol).as("_v"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_nv"), sum("_t").as("_n"),
+        sum(col("_t") * (col("_t") - 1) * (lit(2L) * col("_t") + 5))
+          .as("_tt"))
+    val nD = col("_n").cast("double")
+    val varS = (nD * (nD - 1) * (lit(2.0) * nD + 5) -
+      col("_tt").cast("double")) / 18.0
+    val z = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+      .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    s.join(ties, Seq("_g"))
+      .select(col("_g").as(groupCol), col("_n").as("n"), col("s"),
+        round(when(varS > 0, z), 6).as("z"))
+  }
+
+  /** Rolling median over the trailing k observations per key — the
+    * robust local baseline (spike-immune, unlike a rolling mean) for
+    * anomaly scoring and sensor smoothing. `valCol` must be INTEGER-
+    * quantized (pass cents); the median of a bounded window is then
+    * engine-exact: sort the ≤k window values, average the two middle
+    * integers (exact in double), de-scale once.
+    *
+    * Scale shape: ONE window pass per key — the k-bounded frame
+    * ships a ≤k array per row through `collect_list` + `array_sort`,
+    * no self-join, no k-way explode; memory per row is O(k), k a
+    * small constant. Keys partition the sort — nothing global. */
+  def rollingMedian(df: DataFrame, keyCol: String, order: Seq[Column],
+                    valCol: Column, k: Int,
+                    scale: Long = 100L): DataFrame = {
+    require(k >= 1 && scale >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(-(k - 1).toLong, 0)
+    val arr = array_sort(collect_list(valCol.cast("long")).over(w))
+    df.withColumn("_arr", arr)
+      .withColumn("n_window", size(col("_arr")).cast("long"))
+      .withColumn("roll_med", round(
+        (expr("element_at(_arr, cast((size(_arr) + 1) div 2 as int))") +
+          expr("element_at(_arr, cast(size(_arr) div 2 + 1 as int))"))
+          .cast("double") / (2.0 * scale), 6))
+      .drop("_arr")
+  }
 }

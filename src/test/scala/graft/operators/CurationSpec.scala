@@ -276,4 +276,47 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  // ── onehotVocab / standardScaler (round 7) ───────────────────────
+
+  test("onehotVocab: freq-then-name order, OTHER for tail/unseen/null") {
+    import spark.implicits._
+    val fit = Seq("a", "a", "a", "b", "b", "c", "d")
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("doc_id", "cat")
+    val apply = Seq((10L, "a"), (11L, "b"), (12L, "c"), (13L, "d"),
+      (14L, "e"), (15L, null.asInstanceOf[String])).toDF("doc_id", "cat")
+    val out = Curation.onehotVocab(fit, apply, "cat", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out(10L) == ((0L, false)), s"a most frequent: $out")
+    assert(out(11L) == ((1L, false)), s"b second: $out")
+    assert(out(12L) == ((2L, false)), s"c beats d on the name tiebreak: $out")
+    assert(out(13L) == ((3L, true)), s"d fell off the vocabulary: $out")
+    assert(out(14L) == ((3L, true)), s"unseen at serve time: $out")
+    assert(out(15L) == ((3L, true)), s"null category is OTHER: $out")
+  }
+
+  test("onehotVocab: vocabulary comes from fit, never from apply") {
+    import spark.implicits._
+    val fit = Seq((1L, "x")).toDF("doc_id", "cat")
+    // 'y' dominates the APPLY slice but must still be OTHER
+    val apply = (1L to 50L).map(i => (i, "y")).toDF("doc_id", "cat")
+    val out = Curation.onehotVocab(fit, apply, "cat", k = 2).collect()
+    assert(out.forall(r => r.getLong(2) == 2L && r.getBoolean(3)))
+  }
+
+  test("standardScaler: hand-computed z from the fit slice; degenerate null") {
+    import spark.implicits._
+    // fit {1,2,3}: mu=200c, sample sd=100c -> z(4.0)=2, z(2.0)=0
+    val fit = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v")
+    val apply = Seq((10L, 4.0), (11L, 2.0), (12L, 0.0)).toDF("id", "v")
+    val out = Curation.standardScaler(fit, apply, "v", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) == 2.0 && out(11L) == 0.0 && out(12L) == -2.0,
+      s"z-scores: $out")
+    // constant fit slice: sd = 0 -> null, not Inf
+    val const = Seq((1L, 5.0), (2L, 5.0)).toDF("id", "v")
+    val c = Curation.standardScaler(const, apply, "v", "id").collect()
+    assert(c.forall(_.isNullAt(2)), "zero-variance fit yields null z")
+  }
 }

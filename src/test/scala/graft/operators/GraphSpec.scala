@@ -228,4 +228,29 @@ class GraphSpec extends SparkSpec {
     assert(out(5L) == 1L)
     assert((1L to 4L).forall(l => out(l) == 5L))
   }
+
+  // ── hits (round 7) ───────────────────────────────────────────────
+
+  test("hits: hand-traced 2-round exact-int scores, final normalization") {
+    import spark.implicits._
+    // a->x, b->x, b->y: auth1 = indeg (x:2, y:1); hub1 (a:2, b:3);
+    // auth2 (x:5, y:3); hub2 (a:5, b:8); totals ta=8, th=13
+    val e = Seq(("a", "x"), ("b", "x"), ("b", "y")).toDF("s", "d")
+    val out = Graph.hits(e, "s", "d")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out("x") == ((0.625, 0.0)), s"x: $out")
+    assert(out("y") == ((0.375, 0.0)), s"y: $out")
+    assert(out("a") == ((0.0, 0.38461538)), s"a = 5/13: $out")
+    assert(out("b") == ((0.0, 0.61538462)), s"b = 8/13: $out")
+  }
+
+  test("hits: partitioning-invariant; shuffle-join path agrees with broadcast") {
+    import spark.implicits._
+    val e = (1L to 60L).map(i => (i % 7, i % 13)).toDF("s", "d")
+    val a = Graph.hits(e, "s", "d").collect().map(_.toString).sorted.toSeq
+    val b = Graph.hits(e.repartition(11), "s", "d", broadcastScores = false)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

@@ -211,4 +211,43 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(0L) == 5.0, "grid on duplicate instant takes the last-ordered v")
     assert(out(2L) == 3.5, s"midpoint of (0,5)->(4,2): $out")
   }
+
+  // ── mannKendall / rollingMedian (round 7) ────────────────────────
+
+  test("mannKendall: monotone series hit ±S_max; constant series null z") {
+    import spark.implicits._
+    // strictly increasing n=5: S = 10, Var = 5*4*15/18,
+    // z = 9/sqrt(300/18) = 2.204541
+    val d = Seq(("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),
+      ("up", 4L, 40L), ("up", 5L, 50L),
+      ("dn", 1L, 50L), ("dn", 2L, 40L), ("dn", 3L, 30L), ("dn", 4L, 20L),
+      ("dn", 5L, 10L),
+      ("fl", 1L, 7L), ("fl", 2L, 7L), ("fl", 3L, 7L))
+      .toDF("g", "i", "v")
+    val m = TimeSeries.mannKendall(d, "g", "i", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("up").getLong(2) == 10L && m("up").getDouble(3) == 2.204541,
+      s"up: ${m("up")}")
+    assert(m("dn").getLong(2) == -10L && m("dn").getDouble(3) == -2.204541,
+      s"dn: ${m("dn")}")
+    assert(m("fl").getLong(2) == 0L && m("fl").isNullAt(3),
+      s"all-tied variance degenerates: ${m("fl")}")
+  }
+
+  test("rollingMedian: warm-up windows, odd/even middles, spike immunity") {
+    import spark.implicits._
+    val d = Seq(("u", 1L, 1.0), ("u", 2L, 2.0), ("u", 3L, 3.0),
+      ("u", 4L, 4.0), ("u", 5L, 5.0),
+      // median shrugs at the spike where a mean would jump
+      ("v", 1L, 1.0), ("v", 2L, 100.0), ("v", 3L, 2.0)).toDF("k", "i", "v")
+    val out = TimeSeries.rollingMedian(d, "k", Seq(col("i")),
+        col("v") * 100, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("u", 1L)) == ((1L, 1.0)), s"warm-up n=1: $out")
+    assert(out(("u", 2L)) == ((2L, 1.5)), s"even window averages: $out")
+    assert(out(("u", 3L)) == ((3L, 2.0)) && out(("u", 4L)) == ((3L, 3.0)) &&
+      out(("u", 5L)) == ((3L, 4.0)), s"sliding: $out")
+    assert(out(("v", 3L)) == ((3L, 2.0)), s"spike-immune: $out")
+  }
 }
