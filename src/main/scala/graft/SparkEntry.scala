@@ -1450,6 +1450,22 @@ object SparkEntry {
           col("event_id").isNotNull)
           .select(col("user_id").as("src"), (col("event_id") % 150).as("dst")),
         "src", "dst")),
+    // BPE first-merge candidate table: weighted adjacent char-pair
+    // counts over the bounded token vocabulary
+    "q236_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(t(s, dir, "documents"))),
+    // Exact md5-permutation test: click vs view daily cent totals --
+    // assumption-free significance, reproducible p-value
+    "q237_permutation_test" -> ((s, dir) =>
+      Analytics.permutationTest(
+        t(s, dir, "events").filter(col("ts").isNotNull &&
+            col("value").isNotNull &&
+            col("event_type").isin("click", "view"))
+          .groupBy(expr("ts div 86400000000000").as("day"), col("event_type"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("cents")),
+        col("event_type") === "click", col("cents"),
+        concat(col("day").cast("string"), lit(":"), col("event_type")))),
     // Rolling 7-event median of value per user (cent-exact window)
     "q235_rolling_median" -> ((s, dir) =>
       TimeSeries.rollingMedian(
@@ -3560,6 +3576,61 @@ object SparkEntry {
         |    AS authority,
         |  round(CASE WHEN th > 0 THEN h::DOUBLE / th ELSE 0.0 END, 8) AS hub
         |FROM a2f JOIN h2f USING (node), tot""".stripMargin,
+    // pair expansion rides the bounded vocabulary; exact int counts
+    "q236_bpe_pairs" ->
+      """WITH terms AS (
+        |  SELECT term, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |          AS term FROM documents)
+        |  GROUP BY 1
+        |), pairs AS (
+        |  SELECT substring(term, i, 2) AS pair, cnt
+        |  FROM (SELECT term, cnt,
+        |          unnest(generate_series(1, length(term) - 1)) AS i
+        |        FROM terms WHERE length(term) >= 2)
+        |)
+        |SELECT pair, sum(cnt)::BIGINT AS pair_count,
+        |  count(*)::BIGINT AS n_term_positions
+        |FROM pairs GROUP BY 1 ORDER BY pair_count DESC, pair
+        |LIMIT 30""".stripMargin,
+    // exact-permutation relabeling via the shared first-15-hex md5
+    // rank; T and the >= comparisons see identical doubles
+    "q237_permutation_test" ->
+      """WITH obs AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IN ('click', 'view')
+        |  GROUP BY 1, 2
+        |), b AS (
+        |  SELECT event_type = 'click' AS a, cents AS v,
+        |    day::VARCHAR || ':' || event_type AS id
+        |  FROM obs
+        |), tot AS (
+        |  SELECT sum(CASE WHEN a THEN v END)::BIGINT AS sa,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(v)::BIGINT AS s, count(*)::BIGINT AS n
+        |  FROM b
+        |), r AS (
+        |  SELECT rep, v,
+        |    row_number() OVER (PARTITION BY rep ORDER BY
+        |      ('0x' || substr(md5('perm:' || rep::VARCHAR || ':' || id), 1, 15))::BIGINT,
+        |      id) AS rn
+        |  FROM b, (SELECT unnest(generate_series(1, 200)) AS rep)
+        |), pg AS (
+        |  SELECT rep, sum(CASE WHEN rn <= tot.na THEN v END)::BIGINT AS psa
+        |  FROM r, tot GROUP BY 1
+        |), pt AS (
+        |  SELECT psa::DOUBLE / na - (s - psa)::DOUBLE / (n - na) AS t
+        |  FROM pg, tot
+        |), ob AS (
+        |  SELECT sa::DOUBLE / na - (s - sa)::DOUBLE / (n - na) AS t0, na, n
+        |  FROM tot
+        |)
+        |SELECT ob.na AS n_a, ob.n - ob.na AS n_b, round(ob.t0, 6) AS t_obs,
+        |  round((1 + (SELECT count(*) FROM pt, ob
+        |      WHERE abs(pt.t) >= abs(ob.t0)))::DOUBLE / 201, 6) AS p_value
+        |FROM ob""".stripMargin,
     // explicit sorted-list replay of the trailing-7 window median:
     // both engines average the same two middle integers
     "q235_rolling_median" ->

@@ -887,4 +887,65 @@ object Analytics {
       round(when(ssb + col("_ssw") > 0, ssb / (ssb + col("_ssw"))), 6)
         .as("eta_sq"))
   }
+
+  /** Exact-permutation test for the difference in group means —
+    * the assumption-free significance answer when normal-theory
+    * tests ([[abTest]]'s z, [[anovaF]]) can't be trusted (tiny n,
+    * weird distributions): relabel the observations `reps` times,
+    * each relabeling an EXACT permutation preserving the group
+    * sizes (md5-ranked order, first n_A rows become group A), and
+    * report p = (1 + #{|T_perm| ≥ |T_obs|}) / (reps + 1) with the
+    * standard add-one correction. md5-seeded ⇒ the p-value is a pure
+    * function of the data — reproducible across engines, reruns and
+    * partitionings, which a `rand()`-based resampler can never be.
+    *
+    * Exactness: values are integer-quantized by the caller, so all
+    * permutation sums are exact int64; each T is two divisions on
+    * identical operands, and the ≥ comparisons see identical doubles
+    * in both engines.
+    *
+    * Scale shape: same bounded-input contract as [[TimeSeries.mannKendall]]
+    * — run it on PRE-AGGREGATED observations (daily rollups: 60 obs ×
+    * 200 reps = 12k rows), never raw events. The per-rep rank is a
+    * window partitioned by replicate over those bounded rows; totals
+    * are 1-row broadcasts. For row-level testing at scale use
+    * [[bootstrapCI]] (per-row Poisson weights, no permutation). */
+  def permutationTest(obs: DataFrame, inA: Column, valueCol: Column,
+                      idCol: Column, reps: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.HashFunctions.md5Long
+    require(reps >= 1)
+    val base = obs.select(inA.as("_a"), valueCol.cast("long").as("_v"),
+      idCol.cast("string").as("_id"))
+    val tot = broadcast(base.agg(
+      sum(when(col("_a"), col("_v"))).as("_sa"),
+      sum(when(col("_a"), 1L).otherwise(0L)).as("_na"),
+      sum(col("_v")).as("_s"), count(lit(1)).as("_n")))
+    val w = Window.partitionBy("_rep").orderBy(
+      md5Long(concat(lit("perm:"), col("_rep").cast("string"), lit(":"),
+        col("_id"))), col("_id"))
+    val perm = base.crossJoin(tot)
+      .select(col("_v"), col("_id"), col("_na"), col("_s"), col("_n"),
+        explode(sequence(lit(1), lit(reps))).as("_rep"))
+      .withColumn("_rn", row_number().over(w))
+      .groupBy("_rep")
+      .agg(sum(when(col("_rn") <= col("_na"), col("_v"))).as("_psa"),
+        max("_na").as("_pna"), max("_s").as("_ps"), max("_n").as("_pn"))
+      .select((col("_psa").cast("double") / col("_pna") -
+        (col("_ps") - col("_psa")).cast("double") /
+          (col("_pn") - col("_pna"))).as("_t"))
+    val obsStat = broadcast(tot.select(
+      (col("_sa").cast("double") / col("_na") -
+        (col("_s") - col("_sa")).cast("double") /
+          (col("_n") - col("_na"))).as("_t0"),
+      col("_na").as("_ona"), col("_n").as("_on")))
+    perm.crossJoin(obsStat)
+      .agg(sum(when(abs(col("_t")) >= abs(col("_t0")), 1L).otherwise(0L))
+          .as("_ge"),
+        max("_t0").as("_t0"), max("_ona").as("_na"), max("_on").as("_n"))
+      .select(col("_na").as("n_a"), (col("_n") - col("_na")).as("n_b"),
+        round(col("_t0"), 6).as("t_obs"),
+        round((col("_ge") + 1).cast("double") / lit((reps + 1).toDouble), 6)
+          .as("p_value"))
+  }
 }

@@ -752,6 +752,36 @@ object TextAnalysis {
           .as("vmr"))
   }
 
+  /** BPE merge-candidate statistics: the weighted counts of adjacent
+    * CHARACTER pairs inside corpus tokens — exactly the table the
+    * first iteration of byte-pair-encoding training ranks to pick
+    * its first merge, and the tokenizer-health read-out ("which
+    * digraphs dominate this corpus") before committing to a vocab.
+    * Top-N rows: (pair, pair_count = Σ term_freq over positions,
+    * n_term_positions), ordered (count desc, pair asc).
+    *
+    * Scale shape: the corpus collapses to the BOUNDED term-frequency
+    * vocabulary first (one map-side-combined reduction — the only
+    * shuffle that sees corpus-order data); pair expansion then rides
+    * distinct terms × term length, vocabulary-bounded regardless of
+    * corpus size. Exact int64 counts end-to-end; TakeOrdered top-N. */
+  def bpePairStats(docs: DataFrame, topN: Int = 30,
+                   textCol: String = "text"): DataFrame = {
+    require(topN >= 1)
+    val terms = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("_cnt"))
+      .filter(length(col("term")) >= 2)
+    terms
+      .select(col("term"), col("_cnt"),
+        explode(sequence(lit(1), length(col("term")) - 1)).as("_i"))
+      .select(expr("substring(term, _i, 2)").as("pair"), col("_cnt"))
+      .groupBy("pair")
+      .agg(sum("_cnt").as("pair_count"),
+        count(lit(1)).as("n_term_positions"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(topN)
+  }
+
   private def nullifZero(c: org.apache.spark.sql.Column) =
     when(c === 0, lit(null)).otherwise(c)
 }

@@ -445,4 +445,31 @@ class AnalyticsSpec extends SparkSpec {
     val f = Analytics.anovaF(flat, "g", col("v")).collect().head
     assert(f.getDouble(2) == 0.0 && f.getDouble(4) == 0.0, s"flat: $f")
   }
+
+  test("permutationTest: identical groups p=1; separated groups small p") {
+    import spark.implicits._
+    val same = (1L to 20L).map(i => (i, i % 2 == 0, (i % 5) * 10))
+      .toDF("id", "a", "v")
+    val s = Analytics.permutationTest(same, col("a"), col("v"), col("id"))
+      .collect().head
+    assert(s.getLong(0) == 10L && s.getLong(1) == 10L)
+    assert(s.getDouble(3) > 0.3, s"no real effect -> large p: $s")
+    // complete separation: A=10s, B=0s -> T_obs = 10, few permutations reach it
+    val sep = Seq((1L, true, 10L), (2L, true, 10L), (3L, true, 10L),
+      (4L, false, 0L), (5L, false, 0L), (6L, false, 0L)).toDF("id", "a", "v")
+    val r = Analytics.permutationTest(sep, col("a"), col("v"), col("id"))
+      .collect().head
+    assert(r.getDouble(2) == 10.0, s"t_obs: $r")
+    assert(r.getDouble(3) < 0.3 && r.getDouble(3) > 0.0, s"p: $r")
+  }
+
+  test("permutationTest: md5-seeded p-value invariant to partitioning") {
+    import spark.implicits._
+    val d = (1L to 30L).map(i => (i, i <= 15, i * 3 % 40)).toDF("id", "a", "v")
+    val x = Analytics.permutationTest(d, col("a"), col("v"), col("id"))
+      .collect().head.toString
+    val y = Analytics.permutationTest(d.repartition(7), col("a"), col("v"),
+      col("id")).collect().head.toString
+    assert(x == y)
+  }
 }

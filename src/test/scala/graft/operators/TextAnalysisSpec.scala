@@ -397,4 +397,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("burst") > 5.0, s"planted burst not detected: $m")
     assert(m("even") == 0.0, s"uniform term must have zero dispersion: $m")
   }
+
+  test("bpePairStats: positions weighted by term freq; 1-char terms dropped") {
+    import spark.implicits._
+    // "aaa" freq 2 contributes pair "aa" at 2 positions x weight 2;
+    // "bb" freq 1 one position; "a" has no pair
+    val d = Seq((1L, "aaa bb a"), (2L, "aaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairStats(d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq("aa" -> ((4L, 2L)), "bb" -> ((1L, 1L))),
+      s"pairs: ${out.toSeq}")
+  }
 }
