@@ -1454,6 +1454,33 @@ object SparkEntry {
     // counts over the bounded token vocabulary
     "q236_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairStats(t(s, dir, "documents"))),
+    // Rolling 7-day correlation between click and view daily cent
+    // totals (decimal-exact windowed moments over the bounded series)
+    "q238_rolling_corr" -> ((s, dir) =>
+      TimeSeries.rollingCorr(
+        t(s, dir, "events").filter(col("ts").isNotNull &&
+            col("value").isNotNull &&
+            col("event_type").isin("click", "view"))
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(sum(when(col("event_type") === "click",
+              floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .otherwise(0L)).as("click_cents"),
+            sum(when(col("event_type") === "view",
+              floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .otherwise(0L)).as("view_cents")),
+        Seq.empty, Seq(col("day")), col("click_cents"), col("view_cents"),
+        k = 7)),
+    // Gaps-and-islands activity streaks per user (exact integers)
+    "q239_streaks" -> ((s, dir) =>
+      Analytics.activityStreaks(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        "user_id", expr("ts div 86400000000000"))),
+    // Daily JS mix-shift vs the trailing-7-day pooled mix -- the
+    // operational drift alarm built on q226's one-shot compare
+    "q240_mix_shift_daily" -> ((s, dir) =>
+      graft.operators.Profiling.jsShiftDaily(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        "event_type", expr("ts div 86400000000000"))),
     // Exact md5-permutation test: click vs view daily cent totals --
     // assumption-free significance, reproducible p-value
     "q237_permutation_test" -> ((s, dir) =>
@@ -3576,6 +3603,93 @@ object SparkEntry {
         |    AS authority,
         |  round(CASE WHEN th > 0 THEN h::DOUBLE / th ELSE 0.0 END, 8) AS hub
         |FROM a2f JOIN h2f USING (node), tot""".stripMargin,
+    // five HUGEINT windowed moments share one frame; corr on
+    // identical double operands
+    "q238_rolling_corr" ->
+      """WITH d AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)::BIGINT
+        |      AS click_cents,
+        |    sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)::BIGINT
+        |      AS view_cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |), w AS (
+        |  SELECT day, click_cents, view_cents,
+        |    (count(*) OVER fr)::BIGINT AS n_window,
+        |    sum(click_cents::HUGEINT) OVER fr AS sx,
+        |    sum(view_cents::HUGEINT) OVER fr AS sy,
+        |    sum(click_cents::HUGEINT * view_cents) OVER fr AS sxy,
+        |    sum(click_cents::HUGEINT * click_cents) OVER fr AS sxx,
+        |    sum(view_cents::HUGEINT * view_cents) OVER fr AS syy
+        |  FROM d
+        |  WINDOW fr AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT day, click_cents, view_cents, n_window,
+        |  round(CASE WHEN n_window > 1
+        |      AND (n_window::HUGEINT * sxx - sx * sx) > 0
+        |      AND (n_window::HUGEINT * syy - sy * sy) > 0
+        |    THEN (n_window::HUGEINT * sxy - sx * sy)::DOUBLE
+        |      / sqrt((n_window::HUGEINT * sxx - sx * sx)::DOUBLE
+        |        * (n_window::HUGEINT * syy - sy * sy)::DOUBLE)
+        |    END, 6) AS roll_corr
+        |FROM w""".stripMargin,
+    // day - row_number() is constant exactly within consecutive runs
+    "q239_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id AS k, epoch_ns(ts) // 86400000000000 AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), isl AS (
+        |  SELECT k, d, d - row_number() OVER (PARTITION BY k ORDER BY d)
+        |    AS island
+        |  FROM days
+        |), g AS (
+        |  SELECT k, island, count(*)::BIGINT AS len, max(d) AS last
+        |  FROM isl GROUP BY 1, 2
+        |)
+        |SELECT k AS user_id, sum(len)::BIGINT AS n_active_days,
+        |  count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS longest_streak,
+        |  arg_max(len, last)::BIGINT AS last_streak
+        |FROM g GROUP BY 1""".stripMargin,
+    // dense (day x category) grid makes trailing ROWS mean trailing
+    // DAYS; per-day term sums category-bounded, absorbed by round-6
+    "q240_mix_shift_daily" ->
+      """WITH c AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type AS cat,
+        |    count(*)::BIGINT AS c
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT d.day, k.cat, coalesce(c.c, 0)::BIGINT AS c
+        |  FROM (SELECT DISTINCT day FROM c) d
+        |  CROSS JOIN (SELECT DISTINCT cat FROM c) k
+        |  LEFT JOIN c ON c.day = d.day AND c.cat = k.cat
+        |), g2 AS (
+        |  SELECT *, coalesce(sum(c) OVER (PARTITION BY cat ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev
+        |  FROM grid
+        |), g3 AS (
+        |  SELECT *, (sum(c) OVER (PARTITION BY day))::BIGINT AS dt,
+        |    (sum(prev) OVER (PARTITION BY day))::BIGINT AS pt
+        |  FROM g2
+        |), t AS (
+        |  SELECT day, dt, pt,
+        |    (CASE WHEN c > 0 THEN (c::DOUBLE / dt)
+        |        * ln((c::DOUBLE / dt)
+        |          / ((c::DOUBLE / dt + prev::DOUBLE / pt) / 2)) / 2
+        |      ELSE 0.0 END)
+        |    + (CASE WHEN prev > 0 THEN (prev::DOUBLE / pt)
+        |        * ln((prev::DOUBLE / pt)
+        |          / ((c::DOUBLE / dt + prev::DOUBLE / pt) / 2)) / 2
+        |      ELSE 0.0 END) AS term
+        |  FROM g3 WHERE pt > 0 AND dt > 0
+        |)
+        |SELECT day, max(dt) AS n_day, max(pt) AS n_prev,
+        |  round(sum(term), 6) AS js
+        |FROM t GROUP BY 1""".stripMargin,
     // pair expansion rides the bounded vocabulary; exact int counts
     "q236_bpe_pairs" ->
       """WITH terms AS (

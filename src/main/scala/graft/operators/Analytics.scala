@@ -948,4 +948,38 @@ object Analytics {
         round((col("_ge") + 1).cast("double") / lit((reps + 1).toDouble), 6)
           .as("p_value"))
   }
+
+  /** Activity streaks per key (gaps-and-islands): collapse to
+    * distinct (key, day), then `day − row_number()` is constant
+    * exactly within a run of consecutive days — the island key that
+    * turns "longest/current streak" into two plain aggregations. One
+    * row per key: n_active_days, n_streaks, longest_streak, and
+    * last_streak (the streak touching the key's final active day —
+    * "current" as of the data's horizon). All exact integers.
+    *
+    * Scale shape: one distinct-collapse (map-side combined), one
+    * key-partitioned window (row_number rides the same shuffle), two
+    * map-side-combinable aggs on the SAME key partitioning — AQE
+    * reuses the exchange end-to-end. Nothing global. */
+  def activityStreaks(df: DataFrame, keyCol: String,
+                      dayCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = df.filter(col(keyCol).isNotNull && dayCol.isNotNull)
+      .select(col(keyCol).as("_k"), dayCol.cast("long").as("_d"))
+      .distinct()
+    val w = Window.partitionBy("_k").orderBy("_d")
+    val islands = days
+      .withColumn("_island", col("_d") - row_number().over(w))
+      .groupBy("_k", "_island")
+      .agg(count(lit(1)).as("_len"), max("_d").as("_last"))
+    islands
+      .groupBy(col("_k"))
+      .agg(sum("_len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("_len").as("longest_streak"),
+        max(struct(col("_last"), col("_len"))).as("_top"))
+      .select(col("_k").as(keyCol), col("n_active_days"),
+        col("n_streaks"), col("longest_streak"),
+        col("_top._len").as("last_streak"))
+  }
 }

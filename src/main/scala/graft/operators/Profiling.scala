@@ -554,4 +554,52 @@ object Profiling {
       round(when(minDim > 0,
         sqrt(col("chi2") / (col("n").cast("double") * minDim))), 6).as("v"))
   }
+
+  /** Daily mix-shift monitor: for every observed day, the Jensen–
+    * Shannon divergence between that day's categorical mix and the
+    * pooled mix of the trailing `lookback` OBSERVED days — the
+    * operational alarm built on [[jsDivergence]]'s one-shot compare
+    * ("which morning did the event mix break", not just "did it").
+    * One row per day with history: (day, n_day, n_prev, js). Days
+    * with no trailing history are dropped, not scored against an
+    * empty baseline.
+    *
+    * Exactness: the (day × category) grid is dense by construction
+    * (bounded cross join, zeros filled), so the trailing-rows frame
+    * means trailing DAYS; counts are exact int64, shares/ln terms
+    * correctly-rounded doubles on identical operands, per-day sums
+    * category-bounded and absorbed by round-6.
+    *
+    * Scale shape: one (day, category) count reduction off the scan
+    * (map-side combined), then everything rides the bounded grid —
+    * one per-category ordered window, one per-day window, one final
+    * day agg. The raw data shuffles once, reduced. */
+  def jsShiftDaily(df: DataFrame, catCol: String, dayCol: Column,
+                   lookback: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lookback >= 1)
+    val c = df.filter(col(catCol).isNotNull && dayCol.isNotNull)
+      .groupBy(dayCol.cast("long").as("_day"), col(catCol).as("_cat"))
+      .agg(count(lit(1)).as("_c"))
+    val grid = c.select("_day").distinct()
+      .crossJoin(broadcast(c.select("_cat").distinct()))
+      .join(c, Seq("_day", "_cat"), "left")
+      .na.fill(0L, Seq("_c"))
+    val wPrev = Window.partitionBy("_cat").orderBy("_day")
+      .rowsBetween(-lookback.toLong, -1)
+    val wDay = Window.partitionBy("_day")
+    val g = grid
+      .withColumn("_prev", coalesce(sum("_c").over(wPrev), lit(0L)))
+      .withColumn("_dt", sum("_c").over(wDay))
+      .withColumn("_pt", sum("_prev").over(wDay))
+    val p = col("_c").cast("double") / col("_dt")
+    val q = col("_prev").cast("double") / col("_pt")
+    val m = (p + q) / 2
+    val term = when(p > 0, p * log(p / m) / 2).otherwise(lit(0.0)) +
+      when(q > 0, q * log(q / m) / 2).otherwise(lit(0.0))
+    g.filter(col("_pt") > 0 && col("_dt") > 0)
+      .groupBy(col("_day").as("day"))
+      .agg(max("_dt").as("n_day"), max("_pt").as("n_prev"),
+        round(sum(term), 6).as("js"))
+  }
 }

@@ -413,4 +413,44 @@ object TimeSeries {
           .cast("double") / (2.0 * scale), 6))
       .drop("_arr")
   }
+
+  /** Rolling Pearson correlation between two INTEGER-quantized
+    * series over the trailing k points — "are these metrics locally
+    * coupled, and when did they decouple": the windowed companion to
+    * a global correlation, which averages regime changes away.
+    * Output adds n_window and roll_corr (null when the window has
+    * fewer than 2 points or either series is locally constant).
+    *
+    * Exactness: all five windowed moment sums (Σx, Σy, Σxy, Σx²,
+    * Σy²) accumulate in decimal(38,0) — daily cent totals reach
+    * ~10¹⁰ and their products 10²⁰, past int64; decimal is exact and
+    * order-free. The correlation is then a handful of correctly-
+    * rounded double ops on identical operands.
+    *
+    * Scale shape: ONE frame window per partition key — five sums
+    * share the single sort; no self-join. Partition by the series
+    * key, or run over a BOUNDED pre-aggregated series (daily
+    * rollups) when global, the documented bounded-window pattern. */
+  def rollingCorr(df: DataFrame, partitionCols: Seq[Column],
+                  order: Seq[Column], xCol: Column, yCol: Column,
+                  k: Int): DataFrame = {
+    require(k >= 2)
+    val base = org.apache.spark.sql.expressions.Window
+    val w0 = if (partitionCols.isEmpty) base.orderBy(order: _*)
+      else base.partitionBy(partitionCols: _*).orderBy(order: _*)
+    val w = w0.rowsBetween(-(k - 1).toLong, 0)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = dec(xCol.cast("long"))
+    val y = dec(yCol.cast("long"))
+    val n = dec(count(lit(1)).over(w))
+    val sx = sum(x).over(w)
+    val sy = sum(y).over(w)
+    val num = (n * sum(x * y).over(w) - sx * sy).cast("double")
+    val vx = (n * sum(x * x).over(w) - sx * sx).cast("double")
+    val vy = (n * sum(y * y).over(w) - sy * sy).cast("double")
+    df.withColumn("n_window", count(lit(1)).over(w).cast("long"))
+      .withColumn("roll_corr",
+        round(when(col("n_window") > 1 && vx > 0 && vy > 0,
+          num / sqrt(vx * vy)), 6))
+  }
 }

@@ -472,4 +472,18 @@ class AnalyticsSpec extends SparkSpec {
       col("id")).collect().head.toString
     assert(x == y)
   }
+
+  test("activityStreaks: islands, duplicates collapse, last vs longest") {
+    import spark.implicits._
+    // u: days {1,2,3, 7,8, 10} -> longest 3, last streak 1
+    val d = Seq(("u", 1L), ("u", 2L), ("u", 2L), ("u", 3L), ("u", 7L),
+      ("u", 8L), ("u", 10L),
+      // w: one unbroken run whose last streak IS the longest
+      ("w", 4L), ("w", 5L), ("w", 6L)).toDF("k", "day")
+    val out = Analytics.activityStreaks(d, "k", col("day"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("u") == ((6L, 3L, 3L, 1L)), s"u: $out")
+    assert(out("w") == ((3L, 1L, 3L, 3L)), s"w: $out")
+  }
 }

@@ -299,4 +299,23 @@ class ProfilingSpec extends SparkSpec {
     assert(v.getDouble(0) == chi.getDouble(0) &&
       v.getLong(1) == chi.getLong(1), s"$v vs $chi")
   }
+
+  test("jsShiftDaily: stable mix 0, planted flip day scores, no-history drop") {
+    import spark.implicits._
+    // days 1-3 balanced {x,y}; day 4 all-x
+    val rows = (1L to 3L).flatMap(d => Seq((d, "x"), (d, "y"))) ++
+      Seq((4L, "x"), (4L, "x"))
+    val out = Profiling.jsShiftDaily(rows.toDF("day", "cat"), "cat",
+        col("day"), lookback = 7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(1L), "first day has no history")
+    assert(out(2L).getDouble(3) == 0.0 && out(3L).getDouble(3) == 0.0,
+      s"stable days: $out")
+    // day 4: p=(1,0) vs pooled q=(.5,.5), m=(.75,.25):
+    // KL(p||m)/2 = ln(4/3)/2 = 0.143841;
+    // KL(q||m)/2 = (.5 ln(2/3) + .5 ln 2)/2 = 0.071921 -> 0.215762
+    assert(out(4L).getDouble(3) == 0.215762, s"flip day: ${out(4L)}")
+    assert(out(4L).getLong(1) == 2L && out(4L).getLong(2) == 6L,
+      s"day/baseline sizes: ${out(4L)}")
+  }
 }

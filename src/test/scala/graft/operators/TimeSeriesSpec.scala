@@ -250,4 +250,31 @@ class TimeSeriesSpec extends SparkSpec {
       out(("u", 5L)) == ((3L, 4.0)), s"sliding: $out")
     assert(out(("v", 3L)) == ((3L, 2.0)), s"spike-immune: $out")
   }
+
+  test("rollingCorr: hand-computed window, ±1 extremes, degenerate nulls") {
+    import spark.implicits._
+    val d = Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, 3L, 2L),
+      (4L, 4L, 4L), (5L, 5L, 5L)).toDF("i", "x", "y")
+    val out = TimeSeries.rollingCorr(d, Seq.empty, Seq(col("i")),
+        col("x"), col("y"), k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    assert(out(1L)._1 == 1L && out(1L)._2.isNaN, s"n=1 undefined: $out")
+    // rows 1..3: sx=6 sy=6 sxy=13 sxx=14 syy=14 -> 3/sqrt(36) = 0.5
+    assert(out(3L) == ((3L, 0.5)), s"hand window: $out")
+    // rows 3..5: x=(3,4,5), y=(2,4,5): n*sxy=3*47=141, sx*sy=132,
+    // vx=3*50-144=6, vy=3*45-121=14 -> 9/sqrt(84) = 0.981981
+    assert(out(5L) == ((3L, 0.981981)), s"trailing window: $out")
+    val anti = Seq((1L, 1L, 9L), (2L, 2L, 7L), (3L, 3L, 5L))
+      .toDF("i", "x", "y")
+    val a = TimeSeries.rollingCorr(anti, Seq.empty, Seq(col("i")),
+      col("x"), col("y"), k = 3).collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    assert(a(3L) == -1.0, s"perfect anticorrelation: $a")
+    val const = Seq((1L, 1L, 5L), (2L, 2L, 5L), (3L, 3L, 5L))
+      .toDF("i", "x", "y")
+    val c = TimeSeries.rollingCorr(const, Seq.empty, Seq(col("i")),
+      col("x"), col("y"), k = 3).collect()
+    assert(c.forall(_.isNullAt(4)), "constant y -> undefined everywhere")
+  }
 }
