@@ -1481,6 +1481,30 @@ object SparkEntry {
       graft.operators.Profiling.jsShiftDaily(
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", expr("ts div 86400000000000"))),
+    // Zipf slope of the vocabulary (mu-quantized OLS over top-1000)
+    "q241_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(t(s, dir, "documents"))),
+    // Per-doc type-token ratio + in-doc hapax fraction
+    "q242_lexical_diversity" -> ((s, dir) =>
+      TextAnalysis.lexicalDiversity(t(s, dir, "documents"))),
+    // Theil's U(event_type | cohort): directional association the
+    // symmetric chi-square family can't express
+    "q243_theils_u" -> ((s, dir) =>
+      graft.operators.Profiling.theilsU(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("cohort", col("user_id") % 8),
+        "cohort", "event_type")),
+    // 10% trimmed mean of value per event type (integer rank cut)
+    "q244_trimmed_mean" -> ((s, dir) =>
+      Analytics.trimmedMean(t(s, dir, "events"), "event_type",
+        col("value"), Seq(col("event_id")))),
+    // Stationary distribution of the event-type Markov chain (power
+    // iteration over q113's transition counts, pageRank quantization)
+    "q245_stationary_dist" -> ((s, dir) =>
+      Analytics.stationaryDist(
+        Analytics.eventTransitions(t(s, dir, "events"), "user_id",
+          "event_type", Seq(col("ts"), col("event_id"))),
+        "src_type", "dst_type", "n")),
     // Exact md5-permutation test: click vs view daily cent totals --
     // assumption-free significance, reproducible p-value
     "q237_permutation_test" -> ((s, dir) =>
@@ -3603,6 +3627,141 @@ object SparkEntry {
         |    AS authority,
         |  round(CASE WHEN th > 0 THEN h::DOUBLE / th ELSE 0.0 END, 8) AS hub
         |FROM a2f JOIN h2f USING (node), tot""".stripMargin,
+    // mu-quantized OLS over the deterministic top-1000 rank relation
+    "q241_zipf_slope" ->
+      """WITH f AS (
+        |  SELECT term, count(*)::BIGINT AS f
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |          AS term FROM documents)
+        |  GROUP BY 1 ORDER BY f DESC, term LIMIT 1000
+        |), r AS (
+        |  SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM f
+        |), qq AS (
+        |  SELECT CAST(floor(ln(r::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx,
+        |    CAST(floor(ln(f::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qy,
+        |    CAST(floor(ln(r::DOUBLE) * ln(f::DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS qxy,
+        |    CAST(floor(ln(r::DOUBLE) * ln(r::DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS qxx
+        |  FROM r
+        |), s AS (
+        |  SELECT count(*)::BIGINT AS n, sum(qx)::BIGINT AS sx,
+        |    sum(qy)::BIGINT AS sy, sum(qxy)::BIGINT AS sxy,
+        |    sum(qxx)::BIGINT AS sxx
+        |  FROM qq
+        |), d AS (
+        |  SELECT n, n::DOUBLE AS nd, sx::DOUBLE / 1000000 AS sx,
+        |    sy::DOUBLE / 1000000 AS sy, sxy::DOUBLE / 1000000 AS sxy,
+        |    sxx::DOUBLE / 1000000 AS sxx
+        |  FROM s
+        |), sl AS (
+        |  SELECT n, nd, sx, sy,
+        |    (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope
+        |  FROM d
+        |)
+        |SELECT n AS n_terms, round(slope, 6) AS slope,
+        |  round((sy - slope * sx) / nd, 6) AS intercept
+        |FROM sl""".stripMargin,
+    // exact (doc, term) counts; two single-division ratios
+    "q242_lexical_diversity" ->
+      """WITH pd AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |  round(count(*)::DOUBLE / sum(c), 6) AS ttr,
+        |  round((count(*) FILTER (WHERE c = 1))::DOUBLE / count(*), 6)
+        |    AS hapax_frac
+        |FROM pd GROUP BY 1""".stripMargin,
+    // directional entropy algebra on the bounded contingency relation
+    "q243_theils_u" ->
+      """WITH nxy AS (
+        |  SELECT user_id % 8 AS x, event_type AS y, count(*)::BIGINT AS nxy
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), nx AS (SELECT x, sum(nxy)::BIGINT AS nx FROM nxy GROUP BY 1),
+        |n AS (SELECT sum(nx)::BIGINT AS n FROM nx),
+        |hy AS (
+        |  SELECT sum(-(ny::DOUBLE / n.n) * ln(ny::DOUBLE / n.n)) AS hy
+        |  FROM (SELECT y, sum(nxy)::BIGINT AS ny FROM nxy GROUP BY 1), n
+        |), hyx AS (
+        |  SELECT sum(-(nxy::DOUBLE / n.n) * ln(nxy::DOUBLE / nx.nx)) AS hyx
+        |  FROM nxy JOIN nx USING (x), n
+        |)
+        |SELECT round(hy, 6) AS h_y, round(hyx, 6) AS h_y_given_x,
+        |  round(CASE WHEN hy > 0 THEN (hy - hyx) / hy END, 6) AS theils_u
+        |FROM hy, hyx""".stripMargin,
+    // integer rank cut (n*10 div 100) - the q217 determinism posture
+    "q244_trimmed_mean" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |    AS q, event_id
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT g, q,
+        |    row_number() OVER (PARTITION BY g ORDER BY q, event_id) AS rn,
+        |    (count(*) OVER (PARTITION BY g))::BIGINT AS n
+        |  FROM b
+        |)
+        |SELECT g AS event_type, max(n)::BIGINT AS n,
+        |  count(*)::BIGINT AS n_used,
+        |  round(sum(q)::DOUBLE / count(*) / 100, 6) AS trimmed_mean
+        |FROM r WHERE rn > n * 10 // 100 AND rn <= n - n * 10 // 100
+        |GROUP BY 1""".stripMargin,
+    // three unrolled power-iteration rounds over q113's transition
+    // counts; contributions quantized exactly like q111's pagerank;
+    // dangling states keep their own quantized mass
+    "q245_stationary_dist" ->
+      """WITH l AS (SELECT event_type AS dst,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS src
+        |  FROM events WHERE user_id IS NOT NULL),
+        |e AS (SELECT src, dst, count(*)::BIGINT AS n FROM l
+        |  WHERE src IS NOT NULL GROUP BY 1, 2),
+        |states AS (SELECT src AS state FROM e UNION SELECT dst FROM e),
+        |o AS (SELECT src, sum(n)::BIGINT AS outn FROM e GROUP BY 1),
+        |ns AS (SELECT count(*)::BIGINT AS ns FROM states),
+        |v0 AS (SELECT state, 1.0::DOUBLE / ns AS prob FROM states, ns),
+        |s1 AS (SELECT e.dst AS state,
+        |    sum(CAST(floor(v.prob * e.n / o.outn * 1000000000.0 + 0.5)
+        |      AS BIGINT))::BIGINT AS s
+        |  FROM e JOIN v0 v ON e.src = v.state JOIN o ON e.src = o.src
+        |  GROUP BY 1),
+        |v1 AS (SELECT st.state,
+        |    (coalesce(s1.s, 0) + CASE WHEN o.src IS NULL
+        |      THEN CAST(floor(v.prob * 1000000000.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END)::DOUBLE / 1000000000.0 AS prob
+        |  FROM states st LEFT JOIN s1 ON st.state = s1.state
+        |  LEFT JOIN o ON st.state = o.src
+        |  JOIN v0 v ON st.state = v.state),
+        |s2 AS (SELECT e.dst AS state,
+        |    sum(CAST(floor(v.prob * e.n / o.outn * 1000000000.0 + 0.5)
+        |      AS BIGINT))::BIGINT AS s
+        |  FROM e JOIN v1 v ON e.src = v.state JOIN o ON e.src = o.src
+        |  GROUP BY 1),
+        |v2 AS (SELECT st.state,
+        |    (coalesce(s2.s, 0) + CASE WHEN o.src IS NULL
+        |      THEN CAST(floor(v.prob * 1000000000.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END)::DOUBLE / 1000000000.0 AS prob
+        |  FROM states st LEFT JOIN s2 ON st.state = s2.state
+        |  LEFT JOIN o ON st.state = o.src
+        |  JOIN v1 v ON st.state = v.state),
+        |s3 AS (SELECT e.dst AS state,
+        |    sum(CAST(floor(v.prob * e.n / o.outn * 1000000000.0 + 0.5)
+        |      AS BIGINT))::BIGINT AS s
+        |  FROM e JOIN v2 v ON e.src = v.state JOIN o ON e.src = o.src
+        |  GROUP BY 1),
+        |v3 AS (SELECT st.state,
+        |    (coalesce(s3.s, 0) + CASE WHEN o.src IS NULL
+        |      THEN CAST(floor(v.prob * 1000000000.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END)::DOUBLE / 1000000000.0 AS prob
+        |  FROM states st LEFT JOIN s3 ON st.state = s3.state
+        |  LEFT JOIN o ON st.state = o.src
+        |  JOIN v2 v ON st.state = v.state)
+        |SELECT state, round(prob, 8) AS prob FROM v3""".stripMargin,
     // five HUGEINT windowed moments share one frame; corr on
     // identical double operands
     "q238_rolling_corr" ->

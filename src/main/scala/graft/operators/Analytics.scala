@@ -982,4 +982,91 @@ object Analytics {
         col("n_streaks"), col("longest_streak"),
         col("_top._len").as("last_streak"))
   }
+
+  /** Trimmed mean per group: drop the lowest and highest
+    * ⌊n·trimPercent/100⌋ values (INTEGER arithmetic on the exact
+    * count — an FP `n·0.1` cut rounds differently across engines at
+    * exact multiples of ten) and average the rest of the
+    * `scale`-quantized metric — outlier-robust central tendency
+    * that, unlike [[weightedMedian]], still uses the bulk of the
+    * data's magnitude. One row per group: n, n_used, trimmed_mean.
+    *
+    * Scale shape: one group-partitioned rank window (sort within
+    * group only) + one map-side-combinable agg on the same key
+    * partitioning. Exact int64 cent sums. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: Column,
+                  tiebreak: Seq[Column], trimPercent: Int = 10,
+                  scale: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trimPercent >= 0 && trimPercent < 50)
+    val q = floor(valueCol.cast("double") * scale + lit(0.5)).cast("long")
+    val tbCols = tiebreak.zipWithIndex.map { case (c, i) => c.as(s"_tb$i") }
+    val w = Window.partitionBy("_g").orderBy(
+      col("_q") +: tiebreak.indices.map(i => col(s"_tb$i")): _*)
+    val wAll = Window.partitionBy("_g")
+    val base = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(Seq(col(groupCol).as("_g"), q.as("_q")) ++ tbCols: _*)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_t", expr(s"_n * $trimPercent div 100"))
+    base.filter(col("_rn") > col("_t") && col("_rn") <= col("_n") - col("_t"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max("_n").as("n"), count(lit(1)).as("n_used"),
+        round(sum("_q").cast("double") / count(lit(1)) / scale, 6)
+          .as("trimmed_mean"))
+  }
+
+  /** Stationary distribution of the per-user event-transition Markov
+    * chain (power iteration on the row-normalized transition counts):
+    * "where does the process SPEND its time", which the raw
+    * transition matrix ([[eventTransitions]]) doesn't say. States
+    * with no outgoing transitions keep their mass (implicit
+    * self-loop) rather than leaking it. `iters` fixed synchronous
+    * rounds from the uniform start; probabilities rounded to 8.
+    *
+    * Exactness: the [[graft.operators.Graph.pageRank]] recipe —
+    * every distributed sum is over ×10⁹-quantized int64 edge
+    * contributions (floor(v·n/out·Q + ½)), so both engines add the
+    * same integers in any order.
+    *
+    * Scale shape: the state set is BOUNDED (event types), so every
+    * iteration is one broadcast join over the transition-count
+    * relation and one map-side-combined sum — the transition counts
+    * themselves come from one reduced (src, dst) shuffle upstream. */
+  def stationaryDist(trans: DataFrame, srcCol: String, dstCol: String,
+                     nCol: String, iters: Int = 3,
+                     quantScale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1)
+    val e = trans.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
+      col(nCol).cast("long").as("_n"))
+    val states = e.select(col("_src").as("state"))
+      .union(e.select(col("_dst"))).distinct()
+    val out = e.groupBy("_src").agg(sum("_n").as("_out"))
+    val nS = broadcast(states.agg(count(lit(1)).as("_ns")))
+    var v = states.crossJoin(nS)
+      .select(col("state"), (lit(1.0) / col("_ns")).as("prob"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(broadcast(v.select(col("state").as("_src"), col("prob"))),
+          Seq("_src"))
+        .join(broadcast(out), Seq("_src"))
+        .select(col("_dst").as("state"),
+          floor(col("prob") * col("_n") / col("_out") *
+            lit(quantScale.toDouble) + lit(0.5)).cast("long").as("_qc"))
+        .groupBy("state").agg(sum("_qc").as("_s"))
+      val dangling = v
+        .join(broadcast(out.select(col("_src").as("state"), col("_out"))),
+          Seq("state"), "left")
+        .filter(col("_out").isNull)
+        .select(col("state"),
+          floor(col("prob") * lit(quantScale.toDouble) + lit(0.5))
+            .cast("long").as("_d"))
+      v = states.join(contrib, Seq("state"), "left")
+        .join(dangling, Seq("state"), "left")
+        .select(col("state"),
+          ((coalesce(col("_s"), lit(0L)) + coalesce(col("_d"), lit(0L)))
+            .cast("double") / lit(quantScale.toDouble)).as("prob"))
+    }
+    v.select(col("state"), round(col("prob"), 8).as("prob"))
+  }
 }

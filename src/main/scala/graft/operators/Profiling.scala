@@ -602,4 +602,39 @@ object Profiling {
       .agg(max("_dt").as("n_day"), max("_pt").as("n_prev"),
         round(sum(term), 6).as("js"))
   }
+
+  /** Theil's uncertainty coefficient U(Y|X): the fraction of Y's
+    * entropy explained by knowing X — the DIRECTIONAL categorical
+    * association the symmetric measures ([[cramersV]],
+    * [[chiSquareIndependence]]) can't express ("cohort predicts
+    * event type" vs the reverse are different numbers). One row:
+    * H(Y), H(Y|X), U = (H(Y) − H(Y|X))/H(Y); null U when Y is
+    * constant (zero entropy, nothing to explain).
+    *
+    * Exactness: all cell/marginal counts are exact int64 from one
+    * map-side-combined pass; each entropy term is correctly-rounded
+    * double ops on identical operands; the cell-bounded sums are
+    * absorbed by round-6 (the chi-square posture).
+    *
+    * Scale shape: one (x, y) count shuffle, then marginal algebra on
+    * the bounded contingency relation with 1-row broadcasts. */
+  def theilsU(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val nxy = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
+      .agg(count(lit(1)).as("_nxy"))
+    val nx = nxy.groupBy("_x").agg(sum("_nxy").as("_nx"))
+    val n = broadcast(nx.agg(sum("_nx").as("_n")))
+    val hy = nxy.groupBy("_y").agg(sum("_nxy").as("_ny"))
+      .crossJoin(n)
+      .agg(sum(-(col("_ny").cast("double") / col("_n")) *
+        log(col("_ny").cast("double") / col("_n"))).as("_hy"))
+    val hyx = nxy.join(broadcast(nx), Seq("_x")).crossJoin(n)
+      .agg(sum(-(col("_nxy").cast("double") / col("_n")) *
+        log(col("_nxy").cast("double") / col("_nx"))).as("_hyx"))
+    hy.crossJoin(hyx)
+      .select(round(col("_hy"), 6).as("h_y"),
+        round(col("_hyx"), 6).as("h_y_given_x"),
+        round(when(col("_hy") > 0, (col("_hy") - col("_hyx")) / col("_hy")),
+          6).as("theils_u"))
+  }
 }

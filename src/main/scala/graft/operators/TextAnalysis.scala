@@ -752,6 +752,75 @@ object TextAnalysis {
           .as("vmr"))
   }
 
+  /** Zipf slope of the term-frequency distribution: OLS fit of
+    * ln(freq) against ln(rank) over the top-N terms — the one-number
+    * "is this corpus naturally distributed" check (natural language
+    * sits near −1; template/boilerplate corpora flatten, spammy
+    * repetition steepens). Complements [[powerLawAlpha]], which fits
+    * document LENGTHS; this fits the VOCABULARY. One row: n_terms,
+    * slope, intercept.
+    *
+    * Exactness: ranks are deterministic ((freq desc, term asc)
+    * row_number over the top-N relation); each term's ln-rank,
+    * ln-freq, their product and square are µ-quantized (×10⁶) to
+    * int64 before summation — order-free exact sums (the
+    * powerLawAlpha recipe); the OLS algebra then runs on identical
+    * de-scaled doubles in any engine.
+    *
+    * Scale shape: one map-side-combined term count (the only shuffle
+    * that sees corpus-order data), TakeOrdered top-N, then a window
+    * + reduction over the BOUNDED top-N relation. */
+  def zipfSlope(docs: DataFrame, topN: Int = 1000,
+                textCol: String = "text"): DataFrame = {
+    require(topN >= 2)
+    val freqs = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("_f"))
+      .orderBy(col("_f").desc, col("term")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_f").desc, col("term"))
+    val micro = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1000000 + lit(0.5)).cast("long")
+    val x = log(col("_r").cast("double"))
+    val y = log(col("_f").cast("double"))
+    val sums = freqs.withColumn("_r", row_number().over(w))
+      .select(micro(x).as("_qx"), micro(y).as("_qy"),
+        micro(x * y).as("_qxy"), micro(x * x).as("_qxx"))
+      .agg(count(lit(1)).as("n_terms"), sum("_qx").as("_sx"),
+        sum("_qy").as("_sy"), sum("_qxy").as("_sxy"),
+        sum("_qxx").as("_sxx"))
+    val nD = col("n_terms").cast("double")
+    val sx = col("_sx").cast("double") / 1000000
+    val sy = col("_sy").cast("double") / 1000000
+    val sxy = col("_sxy").cast("double") / 1000000
+    val sxx = col("_sxx").cast("double") / 1000000
+    val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    sums.select(col("n_terms"), round(slope, 6).as("slope"),
+      round((sy - slope * sx) / nD, 6).as("intercept"))
+  }
+
+  /** Per-document lexical diversity: type–token ratio and in-doc
+    * hapax fraction — the cheap gibberish/boilerplate signals
+    * ("aaaa aaaa" has TTR → 0; natural prose has a stable band) that
+    * complement corpus-level [[termBurstiness]]. One row per doc
+    * with ≥1 token: (doc_id, n_tokens, n_types, ttr, hapax_frac).
+    * Exact int counts; the two ratios are single divisions.
+    *
+    * Scale shape: one reduced (doc, term) shuffle, one doc-key agg —
+    * the standard text-stats shape, nothing global. */
+  def lexicalDiversity(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("_c"))
+      .groupBy("doc_id")
+      .agg(sum("_c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_frac"))
+  }
+
   /** BPE merge-candidate statistics: the weighted counts of adjacent
     * CHARACTER pairs inside corpus tokens — exactly the table the
     * first iteration of byte-pair-encoding training ranks to pick

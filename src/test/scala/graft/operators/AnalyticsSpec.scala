@@ -486,4 +486,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("u") == ((6L, 3L, 3L, 1L)), s"u: $out")
     assert(out("w") == ((3L, 1L, 3L, 3L)), s"w: $out")
   }
+
+  test("trimmedMean: outliers cut by integer rank, small groups untouched") {
+    import spark.implicits._
+    // g: 1..9 + outlier 1000 -> n=10, t=1: mean of 2..9 = 5.5
+    val rows = ((1 to 9).map(v => ("g", v.toLong, v.toDouble)) :+
+      (("g", 10L, 1000.0))) ++
+      // h: n=5 -> t = 5*10 div 100 = 0, plain mean of 1..5 = 3
+      (1 to 5).map(v => ("h", v.toLong, v.toDouble))
+    val out = Analytics.trimmedMean(rows.toDF("g", "id", "v"), "g",
+        col("v"), Seq(col("id")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("g") == ((10L, 8L, 5.5)), s"trimmed: $out")
+    assert(out("h") == ((5L, 5L, 3.0)), s"small group keeps all: $out")
+  }
+
+  test("stationaryDist: hand-iterated chain, absorbing dangling state") {
+    import spark.implicits._
+    // a->a, a->b, b->a: v0=(.5,.5) -> (.75,.25) -> (.625,.375) ->
+    // (.6875,.3125); all dyadic, exact under 1e9 quantization
+    val t = Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "a", 1L))
+      .toDF("s", "d", "n")
+    val out = Analytics.stationaryDist(t, "s", "d", "n")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 0.6875 && out("b") == 0.3125, s"chain: $out")
+    // b absorbs: a sends everything to b, b keeps its mass (no out)
+    val abs = Seq(("a", "b", 2L)).toDF("s", "d", "n")
+    val o2 = Analytics.stationaryDist(abs, "s", "d", "n")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(o2("a") == 0.0 && o2("b") == 1.0, s"absorbing: $o2")
+  }
 }

@@ -318,4 +318,18 @@ class ProfilingSpec extends SparkSpec {
     assert(out(4L).getLong(1) == 2L && out(4L).getLong(2) == 6L,
       s"day/baseline sizes: ${out(4L)}")
   }
+
+  test("theilsU: determined=1, independent=0, constant-Y null") {
+    import spark.implicits._
+    val det = Seq((0L, "a"), (0L, "a"), (1L, "b"), (1L, "b")).toDF("x", "y")
+    val d = Profiling.theilsU(det, "x", "y").collect().head
+    assert(d.getDouble(0) == 0.693147 && d.getDouble(1) == 0.0 &&
+      d.getDouble(2) == 1.0, s"determined: $d")
+    val ind = Seq((0L, "a"), (0L, "b"), (1L, "a"), (1L, "b")).toDF("x", "y")
+    val i = Profiling.theilsU(ind, "x", "y").collect().head
+    assert(i.getDouble(2) == 0.0, s"independent: $i")
+    val const = Seq((0L, "a"), (1L, "a")).toDF("x", "y")
+    val c = Profiling.theilsU(const, "x", "y").collect().head
+    assert(c.getDouble(0) == 0.0 && c.isNullAt(2), s"constant y: $c")
+  }
 }

@@ -408,4 +408,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq("aa" -> ((4L, 2L)), "bb" -> ((1L, 1L))),
       s"pairs: ${out.toSeq}")
   }
+
+  test("zipfSlope: planted f = 720/r corpus recovers slope -1") {
+    import spark.implicits._
+    // freqs 720,360,240,180,144,120 = 720/r exactly: ln f is linear
+    // in ln r with slope -1 and intercept ln 720
+    val text = (1 to 6).flatMap(r => Seq.fill(720 / r)(s"w$r"))
+      .mkString(" ")
+    val out = TextAnalysis.zipfSlope(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getLong(0) == 6L)
+    assert(math.abs(out.getDouble(1) + 1.0) < 1e-4, s"slope: $out")
+    assert(math.abs(out.getDouble(2) - math.log(720.0)) < 1e-4,
+      s"intercept = ln 720: $out")
+  }
+
+  test("lexicalDiversity: ttr and in-doc hapax fraction, degenerate repeat") {
+    import spark.implicits._
+    val d = Seq((1L, "aa bb aa cc"), (2L, "zz zz zz")).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((4L, 3L, 0.75, 0.666667)), s"doc 1: $out")
+    assert(out(2L) == ((3L, 1L, 0.333333, 0.0)), s"repeat doc: $out")
+  }
 }
