@@ -1505,6 +1505,67 @@ object SparkEntry {
         Analytics.eventTransitions(t(s, dir, "events"), "user_id",
           "event_type", Seq(col("ts"), col("event_id"))),
         "src_type", "dst_type", "n")),
+    // TPC-H Q5 shape (local supplier volume): 6-table join -- fact
+    // chain shuffles on its keys, nation/region broadcast; revenue
+    // from exact cent-product sums in decimal (HUGEINT dual)
+    "q246_tpch_q5" -> ((s, dir) => {
+      val pc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val dp = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg((sum((pc * (lit(100L) - dp)).cast("decimal(38,0)"))
+            .cast("double") / 10000).as("_rev"),
+          count(lit(1)).as("n_lineitems"))
+        .select(col("n_name"), round(col("_rev"), 6).as("revenue"),
+          col("n_lineitems"))
+    }),
+    // TPC-H Q3 shape (shipping priority): top-10 unshipped orders by
+    // revenue for one segment -- ORDERING on the exact int cent sum,
+    // never the derived double; TakeOrderedAndProject
+    "q247_tpch_q3" -> ((s, dir) => {
+      val pc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val dp = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem")
+            .filter(col("l_shipdate") > lit("1996-07-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(sum((pc * (lit(100L) - dp)).cast("decimal(38,0)")).as("_r"))
+        .orderBy(col("_r").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("o_orderpriority"),
+          round(col("_r").cast("double") / 10000, 6).as("revenue"))
+    }),
+    // Coordinated cross-table sampling: ONE md5 decision on the
+    // customer key cascades by semi-join, so every table's sample is
+    // consistent (all-or-nothing per customer) -- the multi-table
+    // sampling contract a per-table rand() can never give
+    "q248_coordinated_sample" -> ((s, dir) => {
+      import graft.functions.HashFunctions.md5Long
+      val cust = t(s, dir, "customer")
+        .filter(md5Long(col("c_custkey").cast("string")) <
+          Sampling.threshold(0.1))
+      val ords = t(s, dir, "orders").join(cust.select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      val lis = t(s, dir, "lineitem").join(ords.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      cust.agg(count(lit(1)).as("n_customers"))
+        .crossJoin(ords.agg(count(lit(1)).as("n_orders")))
+        .crossJoin(lis.agg(count(lit(1)).as("n_lineitems")))
+    }),
     // Exact md5-permutation test: click vs view daily cent totals --
     // assumption-free significance, reproducible p-value
     "q237_permutation_test" -> ((s, dir) =>
@@ -3627,6 +3688,54 @@ object SparkEntry {
         |    AS authority,
         |  round(CASE WHEN th > 0 THEN h::DOUBLE / th ELSE 0.0 END, 8) AS hub
         |FROM a2f JOIN h2f USING (node), tot""".stripMargin,
+    // exact cent-product revenue (price_c x (100 - disc_pct)) summed
+    // in HUGEINT; same join graph
+    "q246_tpch_q5" ->
+      """SELECT n_name,
+        |  round(sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))::HUGEINT
+        |    )::DOUBLE / 10000, 6) AS revenue,
+        |  count(*)::BIGINT AS n_lineitems
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    // top-10 cut on the exact int cent sum (revenue desc, orderkey)
+    "q247_tpch_q3" ->
+      """WITH r AS (
+        |  SELECT l_orderkey, o_orderpriority,
+        |    sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))::HUGEINT
+        |    ) AS rc
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1996-07-01'
+        |    AND l_shipdate > TIMESTAMP '1996-07-01'
+        |  GROUP BY 1, 2
+        |  ORDER BY rc DESC, l_orderkey LIMIT 10
+        |)
+        |SELECT l_orderkey, o_orderpriority,
+        |  round(rc::DOUBLE / 10000, 6) AS revenue
+        |FROM r""".stripMargin,
+    // the one md5 decision cascades by IN-semijoin
+    "q248_coordinated_sample" ->
+      s"""WITH c AS (SELECT c_custkey FROM customer
+        |  WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT
+        |    < ${graft.operators.Sampling.threshold(0.1)}),
+        |o AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM c)),
+        |l AS (SELECT 1 AS x FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+        |SELECT (SELECT count(*) FROM c)::BIGINT AS n_customers,
+        |  (SELECT count(*) FROM o)::BIGINT AS n_orders,
+        |  (SELECT count(*) FROM l)::BIGINT AS n_lineitems""".stripMargin,
     // mu-quantized OLS over the deterministic top-1000 rank relation
     "q241_zipf_slope" ->
       """WITH f AS (

@@ -377,4 +377,24 @@ class PlanShapeSpec extends SparkSpec {
         s"$q grew a corpus-sized join:\n$p")
     }
   }
+
+  test("q246: 6-table join broadcasts the dims, never goes cartesian") {
+    val p = plan("q246_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+  }
+
+  test("q247: segment filter reaches the customer scan; top-10 is TakeOrdered") {
+    val p = plan("q247_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-10:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("c_mktsegment"),
+      s"segment filter not pushed:\n$p")
+  }
+
+  test("q248: the coordinated cascade stays semi-join end to end") {
+    val p = plan("q248_coordinated_sample")
+    assert(p.contains("LeftSemi"), s"semi-join cascade lost:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"), s"cartesian:\n$p")
+  }
 }
