@@ -1549,6 +1549,41 @@ object SparkEntry {
         .select(col("l_orderkey"), col("o_orderpriority"),
           round(col("_r").cast("double") / 10000, 6).as("revenue"))
     }),
+    // STREAMING mix-drift monitor: hourly windowed category counts
+    // stream into a memory sink (complete mode, AvailableNow); the
+    // post-pass computes consecutive-window JS divergence via the
+    // SAME jsShiftFromCounts core the batch monitor (q240) uses with
+    // lookback=1 -- "which hour did the event mix break", live
+    "q249_stream_mix_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("q249-events")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      srcDir.toFile.deleteOnExit()
+      srcDir.resolve("events.parquet").toFile.deleteOnExit()
+      val stream = normTs(s.readStream.schema(schema).parquet(srcDir.toString))
+        .filter(col("event_type").isNotNull)
+        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      val agg = graft.streaming.StreamingOps.windowedAgg(
+        stream, "ets", "event_type", windowLen = "1 hour")
+      s.catalog.dropTempView("q249_windows")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try
+        agg.writeStream.format("memory").queryName("q249_windows")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      graft.operators.Profiling.jsShiftFromCounts(
+        s.table("q249_windows")
+          .select(unix_micros(col("window_start")).as("hour_us"),
+            col("event_type"), col("n")),
+        "hour_us", "event_type", "n", lookback = 1)
+        .select(col("day").as("hour_us"), col("n_day"), col("n_prev"),
+          col("js"))
+    }),
     // Coordinated cross-table sampling: ONE md5 decision on the
     // customer key cascades by semi-join, so every table's sample is
     // consistent (all-or-nothing per customer) -- the multi-table
@@ -3724,6 +3759,42 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // hourly windowed counts (epoch-hour aligned, matching the
+    // stream's window()) through the q240 grid with lookback 1
+    "q249_stream_mix_drift" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 3600000000 * 3600000000 AS hour_us,
+        |    event_type AS cat, count(*)::BIGINT AS c
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT d.hour_us, k.cat, coalesce(c.c, 0)::BIGINT AS c
+        |  FROM (SELECT DISTINCT hour_us FROM c) d
+        |  CROSS JOIN (SELECT DISTINCT cat FROM c) k
+        |  LEFT JOIN c ON c.hour_us = d.hour_us AND c.cat = k.cat
+        |), g2 AS (
+        |  SELECT *, coalesce(sum(c) OVER (PARTITION BY cat ORDER BY hour_us
+        |    ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev
+        |  FROM grid
+        |), g3 AS (
+        |  SELECT *, (sum(c) OVER (PARTITION BY hour_us))::BIGINT AS dt,
+        |    (sum(prev) OVER (PARTITION BY hour_us))::BIGINT AS pt
+        |  FROM g2
+        |), t AS (
+        |  SELECT hour_us, dt, pt,
+        |    (CASE WHEN c > 0 THEN (c::DOUBLE / dt)
+        |        * ln((c::DOUBLE / dt)
+        |          / ((c::DOUBLE / dt + prev::DOUBLE / pt) / 2)) / 2
+        |      ELSE 0.0 END)
+        |    + (CASE WHEN prev > 0 THEN (prev::DOUBLE / pt)
+        |        * ln((prev::DOUBLE / pt)
+        |          / ((c::DOUBLE / dt + prev::DOUBLE / pt) / 2)) / 2
+        |      ELSE 0.0 END) AS term
+        |  FROM g3 WHERE pt > 0 AND dt > 0
+        |)
+        |SELECT hour_us, max(dt) AS n_day, max(pt) AS n_prev,
+        |  round(sum(term), 6) AS js
+        |FROM t GROUP BY 1""".stripMargin,
     // the one md5 decision cascades by IN-semijoin
     "q248_coordinated_sample" ->
       s"""WITH c AS (SELECT c_custkey FROM customer

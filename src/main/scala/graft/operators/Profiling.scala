@@ -576,11 +576,23 @@ object Profiling {
     * day agg. The raw data shuffles once, reduced. */
   def jsShiftDaily(df: DataFrame, catCol: String, dayCol: Column,
                    lookback: Int = 7): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(lookback >= 1)
     val c = df.filter(col(catCol).isNotNull && dayCol.isNotNull)
       .groupBy(dayCol.cast("long").as("_day"), col(catCol).as("_cat"))
       .agg(count(lit(1)).as("_c"))
+    jsShiftFromCounts(c, "_day", "_cat", "_c", lookback)
+  }
+
+  /** [[jsShiftDaily]]'s core over an ALREADY-COUNTED (period,
+    * category, n) table — the entry point for feeds that arrive
+    * pre-aggregated, e.g. a Structured Streaming windowed count sink
+    * (period = window start, lookback = 1 compares consecutive
+    * windows). Same dense-grid exactness contract. */
+  def jsShiftFromCounts(counts: DataFrame, dayCol: String, catCol: String,
+                        cntCol: String, lookback: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lookback >= 1)
+    val c = counts.select(col(dayCol).cast("long").as("_day"),
+      col(catCol).as("_cat"), col(cntCol).cast("long").as("_c"))
     val grid = c.select("_day").distinct()
       .crossJoin(broadcast(c.select("_cat").distinct()))
       .join(c, Seq("_day", "_cat"), "left")
