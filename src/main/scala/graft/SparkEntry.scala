@@ -1549,6 +1549,17 @@ object SparkEntry {
         .select(col("l_orderkey"), col("o_orderpriority"),
           round(col("_r").cast("double") / 10000, 6).as("revenue"))
     }),
+    // OLS fit/apply (2 features + intercept): normal equations from
+    // ONE exact moment agg on even orderkeys, Cramer closed-form
+    // solve, scan-speed predict/residual on odd orderkeys
+    "q250_ols_fit_apply" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Analytics.olsFitApply(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1),
+        col("l_extendedprice"), col("l_quantity"), col("l_discount"),
+        Seq(col("l_orderkey"), col("l_linenumber")))
+    }),
     // STREAMING mix-drift monitor: hourly windowed category counts
     // stream into a memory sink (complete mode, AvailableNow); the
     // post-pass computes consecutive-window JS divergence via the
@@ -3759,6 +3770,58 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // nine exact int64 moments; Cramer determinants on identical
+    // double operands; same prediction expression on both sides
+    "q250_ols_fit_apply" ->
+      """WITH f AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS a,
+        |    sum(x2)::BIGINT AS b, sum(x1 * x1)::BIGINT AS c,
+        |    sum(x1 * x2)::BIGINT AS d, sum(x2 * x2)::BIGINT AS e,
+        |    sum(y)::BIGINT AS t0, sum(x1 * y)::BIGINT AS t1,
+        |    sum(x2 * y)::BIGINT AS t2
+        |  FROM f
+        |), md AS (
+        |  SELECT n::DOUBLE AS n, a::DOUBLE AS a, b::DOUBLE AS b,
+        |    c::DOUBLE AS c, d::DOUBLE AS d, e::DOUBLE AS e,
+        |    t0::DOUBLE AS t0, t1::DOUBLE AS t1, t2::DOUBLE AS t2
+        |  FROM m
+        |), dt AS (
+        |  SELECT
+        |    n * (c * e - d * d) - a * (a * e - d * b)
+        |      + b * (a * d - c * b) AS det,
+        |    t0 * (c * e - d * d) - a * (t1 * e - d * t2)
+        |      + b * (t1 * d - c * t2) AS det0,
+        |    n * (t1 * e - d * t2) - t0 * (a * e - d * b)
+        |      + b * (a * t2 - t1 * b) AS det1,
+        |    n * (c * t2 - t1 * d) - a * (a * t2 - t1 * b)
+        |      + t0 * (a * d - c * b) AS det2
+        |  FROM md
+        |), cf AS (
+        |  SELECT CASE WHEN det <> 0 THEN det0 / det END AS b0,
+        |    CASE WHEN det <> 0 THEN det1 / det END AS b1,
+        |    CASE WHEN det <> 0 THEN det2 / det END AS b2
+        |  FROM dt
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)::DOUBLE
+        |    / 100, 6) AS y,
+        |  round((b0 + b1 * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |    + b2 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) / 100, 6)
+        |    AS pred,
+        |  round((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    - (b0 + b1 * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |      + b2 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) / 100, 6)
+        |    AS resid
+        |FROM lineitem, cf
+        |WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL
+        |  AND l_quantity IS NOT NULL AND l_discount IS NOT NULL""".stripMargin,
     // hourly windowed counts (epoch-hour aligned, matching the
     // stream's window()) through the q240 grid with lookback 1
     "q249_stream_mix_drift" ->

@@ -1016,6 +1016,64 @@ object Analytics {
           .as("trimmed_mean"))
   }
 
+  /** OLS regression (two features + intercept) with a FIT/APPLY
+    * split: the normal equations' 3×3 system is assembled from ONE
+    * moment aggregation over the fit slice and solved in closed form
+    * (Cramer's rule), then the coefficient row broadcasts into a
+    * scan-speed predict/residual projection over the apply slice —
+    * the leakage-aware linear-baseline fit ([[Curation.standardScaler]]'s
+    * big sibling). Degenerate fits (singular system — collinear or
+    * constant features) yield null predictions, not garbage betas.
+    *
+    * Exactness: callers pass INTEGER-quantized y/x1/x2, so all nine
+    * moments (n, Σx1, Σx2, Σx1², Σx1x2, Σx2², Σy, Σx1y, Σx2y) are
+    * exact int64 and order-free; every determinant is a fixed
+    * arithmetic expression over those nine integers evaluated in
+    * double — identical operands, identical result, any engine, any
+    * partitioning. More features ⇒ the [[graft.plans.GramAggregate]]
+    * + driver-solve posture PCA uses (documented path, not this
+    * closed form).
+    *
+    * Scale shape: one map-side-combined moment agg reduced to a
+    * 1-row broadcast; apply never shuffles. */
+  def olsFitApply(fit: DataFrame, apply: DataFrame, yCol: Column,
+                  x1Col: Column, x2Col: Column,
+                  idCols: Seq[Column], scale: Long = 100L): DataFrame = {
+    require(scale >= 1)
+    def q(c: Column) = floor(c.cast("double") * scale + lit(0.5)).cast("long")
+    val m = fit.filter(yCol.isNotNull && x1Col.isNotNull && x2Col.isNotNull)
+      .select(q(yCol).as("_y"), q(x1Col).as("_x1"), q(x2Col).as("_x2"))
+      .agg(count(lit(1)).as("_n"), sum("_x1").as("_a"), sum("_x2").as("_b"),
+        sum(col("_x1") * col("_x1")).as("_c"),
+        sum(col("_x1") * col("_x2")).as("_d"),
+        sum(col("_x2") * col("_x2")).as("_e"),
+        sum("_y").as("_t0"), sum(col("_x1") * col("_y")).as("_t1"),
+        sum(col("_x2") * col("_y")).as("_t2"))
+    val d = (c: String) => col(c).cast("double")
+    val (n, a, b) = (d("_n"), d("_a"), d("_b"))
+    val (c3, dd, e) = (d("_c"), d("_d"), d("_e"))
+    val (t0, t1, t2) = (d("_t0"), d("_t1"), d("_t2"))
+    val det = n * (c3 * e - dd * dd) - a * (a * e - dd * b) +
+      b * (a * dd - c3 * b)
+    val det0 = t0 * (c3 * e - dd * dd) - a * (t1 * e - dd * t2) +
+      b * (t1 * dd - c3 * t2)
+    val det1 = n * (t1 * e - dd * t2) - t0 * (a * e - dd * b) +
+      b * (a * t2 - t1 * b)
+    val det2 = n * (c3 * t2 - t1 * dd) - a * (a * t2 - t1 * b) +
+      t0 * (a * dd - c3 * b)
+    val coefs = broadcast(m.select(
+      when(det =!= 0, det0 / det).as("_b0"),
+      when(det =!= 0, det1 / det).as("_b1"),
+      when(det =!= 0, det2 / det).as("_b2")))
+    val yhat = col("_b0") + col("_b1") * q(x1Col) + col("_b2") * q(x2Col)
+    apply.filter(yCol.isNotNull && x1Col.isNotNull && x2Col.isNotNull)
+      .crossJoin(coefs)
+      .select(idCols ++ Seq(
+        round(q(yCol).cast("double") / scale, 6).as("y"),
+        round(yhat / scale, 6).as("pred"),
+        round((q(yCol) - yhat) / scale, 6).as("resid")): _*)
+  }
+
   /** Stationary distribution of the per-user event-transition Markov
     * chain (power iteration on the row-normalized transition counts):
     * "where does the process SPEND its time", which the raw

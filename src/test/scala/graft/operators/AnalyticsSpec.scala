@@ -517,4 +517,27 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(o2("a") == 0.0 && o2("b") == 1.0, s"absorbing: $o2")
   }
+
+  test("olsFitApply: exact planted plane recovered; singular fit nulls") {
+    import spark.implicits._
+    // y = 2 + 3*x1 + 5*x2 exactly on 4 independent points
+    val fit = Seq((1L, 0.0, 0.0, 2.0), (2L, 1.0, 0.0, 5.0),
+      (3L, 0.0, 1.0, 7.0), (4L, 2.0, 1.0, 13.0)).toDF("id", "x1", "x2", "y")
+    val apply = Seq((10L, 3.0, 2.0, 21.0), (11L, 1.0, 1.0, 11.0))
+      .toDF("id", "x1", "x2", "y")
+    val out = Analytics.olsFitApply(fit, apply, col("y"), col("x1"),
+        col("x2"), Seq(col("id")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(10L) == ((21.0, 21.0, 0.0)), s"on-plane point: $out")
+    // (1,1) -> 2+3+5 = 10, y=11 -> resid 1
+    assert(out(11L) == ((11.0, 10.0, 1.0)), s"off-plane resid: $out")
+    // collinear features (x2 = x1): singular system -> null pred
+    val sing = Seq((1L, 1.0, 1.0, 2.0), (2L, 2.0, 2.0, 4.0),
+      (3L, 3.0, 3.0, 6.0)).toDF("id", "x1", "x2", "y")
+    val s2 = Analytics.olsFitApply(sing, apply, col("y"), col("x1"),
+      col("x2"), Seq(col("id"))).collect()
+    assert(s2.forall(r => r.isNullAt(2) && r.isNullAt(3)),
+      "singular normal equations must yield null predictions")
+  }
 }
