@@ -1560,6 +1560,14 @@ object SparkEntry {
         col("l_extendedprice"), col("l_quantity"), col("l_discount"),
         Seq(col("l_orderkey"), col("l_linenumber")))
     }),
+    // PMI collocations: multi-word expressions raw frequency misses
+    "q251_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"))),
+    // Per-user behavioral entropy: diversity segmentation with the
+    // dominant-category share alongside
+    "q252_behavioral_entropy" -> ((s, dir) =>
+      Analytics.behavioralEntropy(t(s, dir, "events"), "user_id",
+        "event_type")),
     // STREAMING mix-drift monitor: hourly windowed category counts
     // stream into a memory sink (complete mode, AvailableNow); the
     // post-pass computes consecutive-window JS divergence via the
@@ -3770,6 +3778,48 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // zipped-unnest positions give adjacent bigrams; PMI ordered
+    // unrounded (identical doubles), bigram tiebreak
+    "q251_collocations" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+        |  unnest(generate_series(1,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+        | FROM documents),
+        |bi AS (SELECT term AS w1, lead(term) OVER (PARTITION BY doc_id
+        |    ORDER BY pos) AS w2 FROM tok),
+        |bc AS (SELECT w1 || ' ' || w2 AS bigram, w1, w2,
+        |    count(*)::BIGINT AS c_ab
+        |  FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+        |uni AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+        |n1 AS (SELECT sum(c)::BIGINT AS n1 FROM uni),
+        |n2 AS (SELECT sum(c_ab)::BIGINT AS n2 FROM bc)
+        |SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  round(ln((c_ab::DOUBLE / n2.n2) / ((ua.c::DOUBLE / n1.n1)
+        |    * (ub.c::DOUBLE / n1.n1))), 6) AS pmi
+        |FROM bc JOIN uni ua ON bc.w1 = ua.term
+        |JOIN uni ub ON bc.w2 = ub.term, n1, n2
+        |WHERE c_ab >= 5
+        |ORDER BY ln((c_ab::DOUBLE / n2.n2) / ((ua.c::DOUBLE / n1.n1)
+        |  * (ub.c::DOUBLE / n1.n1))) DESC, bigram
+        |LIMIT 30""".stripMargin,
+    // exact (key, category) counts; category-bounded entropy sums
+    // absorbed by round-6; top share needs only the max count
+    "q252_behavioral_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id AS k, event_type AS cat, count(*)::BIGINT AS n
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), t AS (SELECT k, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+        |SELECT c.k AS user_id, max(t.tot)::BIGINT AS n,
+        |  count(*)::BIGINT AS n_cats,
+        |  round(sum(-(c.n::DOUBLE / t.tot) * ln(c.n::DOUBLE / t.tot)), 6)
+        |    + 0.0 AS entropy,
+        |  round(CASE WHEN count(*) > 1
+        |    THEN sum(-(c.n::DOUBLE / t.tot) * ln(c.n::DOUBLE / t.tot))
+        |      / ln(count(*)::DOUBLE) END, 6) AS entropy_norm,
+        |  round(max(c.n)::DOUBLE / max(t.tot), 6) AS top_share
+        |FROM c JOIN t USING (k) GROUP BY 1""".stripMargin,
     // nine exact int64 moments; Cramer determinants on identical
     // double operands; same prediction expression on both sides
     "q250_ols_fit_apply" ->

@@ -1016,6 +1016,44 @@ object Analytics {
           .as("trimmed_mean"))
   }
 
+  /** Per-key behavioral entropy: Shannon entropy of each key's
+    * categorical mix, normalized by ln(k) to [0,1] — the diversity
+    * segmentation read ("one-trick users" near 0, uniform explorers
+    * near 1), with the dominant category and its share alongside so
+    * the low-entropy keys are immediately explainable. One row per
+    * key: n, n_cats, entropy, entropy_norm (null when only one
+    * category — nothing to normalize), top share.
+    *
+    * Exactness: (key, category) counts are exact int64; each
+    * entropy term is correctly-rounded double ops on identical
+    * operands, summed over the category-bounded group (round-6
+    * absorbs order); the dominant category rides max(struct) =
+    * arg_max with a deterministic count-then-name order.
+    *
+    * Scale shape: one reduced (key, category) shuffle, one key agg
+    * riding the same partitioning. Nothing global. */
+  def behavioralEntropy(df: DataFrame, keyCol: String,
+                        catCol: String): DataFrame = {
+    val c = df.filter(col(keyCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(keyCol).as("_k"), col(catCol).as("_c"))
+      .agg(count(lit(1)).as("_n"))
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy("_k")
+    val p = col("_n").cast("double") / col("_tot")
+    c.withColumn("_tot", sum("_n").over(wk))
+      .groupBy(col("_k"))
+      .agg(max("_tot").as("n"), count(lit(1)).as("n_cats"),
+        sum(-p * log(p)).as("_h"),
+        max(struct(col("_n"), col("_c"))).as("_top"))
+      .select(col("_k").as(keyCol), col("n"), col("n_cats"),
+        // + 0.0 canonicalizes the single-category -0.0 (sum of
+        // -1·ln 1 terms) to +0.0 on every engine
+        (round(col("_h"), 6) + lit(0.0)).as("entropy"),
+        round(when(col("n_cats") > 1,
+          col("_h") / log(col("n_cats").cast("double"))), 6)
+          .as("entropy_norm"),
+        round(col("_top._n").cast("double") / col("n"), 6).as("top_share"))
+  }
+
   /** OLS regression (two features + intercept) with a FIT/APPLY
     * split: the normal equations' 3×3 system is assembled from ONE
     * moment aggregation over the fit slice and solved in closed form

@@ -821,6 +821,54 @@ object TextAnalysis {
           .as("hapax_frac"))
   }
 
+  /** Collocation mining: top-N adjacent-token bigrams by pointwise
+    * mutual information, PMI = ln( P(ab) / (P(a)·P(b)) ) with counts
+    * from the corpus — the multi-word-expression detector ("new
+    * york", "machine learning") that raw bigram frequency can't give
+    * (frequency loves "of the"; PMI loves coupled rarities). A
+    * minimum bigram count gates the unstable low-frequency tail.
+    *
+    * Exactness: all four counts are exact int64; the PMI is one ln
+    * over identical double operands; the top-N cut orders on the
+    * unrounded PMI with the bigram string as tiebreak — identical
+    * doubles on both engines order identically.
+    *
+    * Scale shape: one bigram reduction and one unigram reduction off
+    * the scan (map-side combined), unigram table broadcast back onto
+    * the min-count-gated bigram relation (a vocabulary too big to
+    * broadcast has no business in a collocation join either —
+    * documented bound), 1-row total broadcasts, TakeOrdered top-N. */
+  def collocations(docs: DataFrame, minCount: Long = 5L, topN: Int = 30,
+                   textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && topN >= 1)
+    val toks = tokens(col(textCol))
+    val nB = greatest(size(toks) - 1, lit(0))
+    val pairs = docs.select(explode(zip_with(
+      slice(toks, lit(1), nB), slice(toks, lit(2), nB),
+      (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val bc = pairs.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+    val uni = docs.select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val n1 = broadcast(uni.agg(sum("c").as("_n1")))
+    val n2 = broadcast(bc.agg(sum("c_ab").as("_n2")))
+    val pmi = log((col("c_ab").cast("double") / col("_n2")) /
+      ((col("c_a").cast("double") / col("_n1")) *
+        (col("c_b").cast("double") / col("_n1"))))
+    bc.filter(col("c_ab") >= minCount)
+      .withColumn("_a", split(col("bigram"), " ").getItem(0))
+      .withColumn("_b", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(uni.select(col("term").as("_a"), col("c").as("c_a"))),
+        Seq("_a"))
+      .join(broadcast(uni.select(col("term").as("_b"), col("c").as("c_b"))),
+        Seq("_b"))
+      .crossJoin(n1).crossJoin(n2)
+      .withColumn("_pmi", pmi)
+      .orderBy(col("_pmi").desc, col("bigram"))
+      .limit(topN)
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        round(col("_pmi"), 6).as("pmi"))
+  }
+
   /** BPE merge-candidate statistics: the weighted counts of adjacent
     * CHARACTER pairs inside corpus tokens — exactly the table the
     * first iteration of byte-pair-encoding training ranks to pick

@@ -518,6 +518,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(o2("a") == 0.0 && o2("b") == 1.0, s"absorbing: $o2")
   }
 
+  test("behavioralEntropy: uniform=1, single-category canonical 0, top share") {
+    import spark.implicits._
+    val d = Seq(("u", "a"), ("u", "b"), ("u", "a"), ("u", "b"),
+      ("v", "a"), ("v", "a"), ("v", "a"),
+      ("w", "a"), ("w", "a"), ("w", "b"), ("w", "c")).toDF("k", "c")
+    val out = Analytics.behavioralEntropy(d, "k", "c")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = out("u")
+    assert(u.getLong(1) == 4 && u.getLong(2) == 2 &&
+      u.getDouble(3) == 0.693147 && u.getDouble(4) == 1.0 &&
+      u.getDouble(5) == 0.5, s"uniform 2-cat: $u")
+    val v = out("v")
+    assert(v.getDouble(3) == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(v.getDouble(3)) == 0L,
+      s"single-category entropy is CANONICAL +0.0: $v")
+    assert(v.isNullAt(4) && v.getDouble(5) == 1.0, s"one-trick user: $v")
+    // w: counts (2,1,1)/4: H = -(0.5 ln .5 + 0.25 ln .25 * 2) = 1.039721
+    assert(out("w").getDouble(3) == 1.039721 &&
+      out("w").getDouble(5) == 0.5, s"mixed: ${out("w")}")
+  }
+
   test("olsFitApply: exact planted plane recovered; singular fit nulls") {
     import spark.implicits._
     // y = 2 + 3*x1 + 5*x2 exactly on 4 independent points

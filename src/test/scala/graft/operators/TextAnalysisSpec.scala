@@ -423,6 +423,20 @@ class TextAnalysisSpec extends SparkSpec {
       s"intercept = ln 720: $out")
   }
 
+  test("collocations: planted pair survives the gate with hand-computed PMI") {
+    import spark.implicits._
+    // "new york" x5 passes minCount; ten "the xi" bigrams each occur
+    // once and are gated out. N1=30 tokens, N2=15 bigrams:
+    // PMI = ln((5/15) / ((5/30)*(5/30))) = ln 12 = 2.484907
+    val docs = ((1 to 5).map(i => (i.toLong, "new york")) ++
+      (1 to 10).map(i => (100L + i, s"the x$i"))).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs).collect()
+    assert(out.length == 1, s"only the planted pair passes: ${out.toSeq}")
+    val r = out.head
+    assert(r.getString(0) == "new york" && r.getLong(1) == 5L &&
+      r.getDouble(4) == 2.484907, s"PMI: $r")
+  }
+
   test("lexicalDiversity: ttr and in-doc hapax fraction, degenerate repeat") {
     import spark.implicits._
     val d = Seq((1L, "aa bb aa cc"), (2L, "zz zz zz")).toDF("doc_id", "text")
