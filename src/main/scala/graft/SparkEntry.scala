@@ -1563,6 +1563,22 @@ object SparkEntry {
     // PMI collocations: multi-word expressions raw frequency misses
     "q251_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(t(s, dir, "documents"))),
+    // Row-level contract quarantine: which rows violate what, at scan
+    // speed, so the writer can fork clean/quarantine sinks
+    "q253_quarantine" -> ((s, dir) =>
+      graft.operators.Profiling.quarantine(
+        t(s, dir, "events"), Seq(col("event_id")),
+        Seq(
+          "user_present" -> col("user_id").isNotNull,
+          "value_range" -> (col("value") >= 0 && col("value") <= 500),
+          "known_type" -> col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"),
+          "has_ts" -> col("ts").isNotNull))),
+    // Exact per-type P10/P50/P90 at integer-arithmetic ranks -- the
+    // deterministic sibling of the histogram sketches
+    "q254_exact_percentiles" -> ((s, dir) =>
+      Analytics.exactPercentilesBy(t(s, dir, "events"), "event_type",
+        col("value"), Seq(col("event_id")))),
     // Per-user behavioral entropy: diversity segmentation with the
     // dominant-category share alongside
     "q252_behavioral_entropy" -> ((s, dir) =>
@@ -3778,6 +3794,43 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // NULL predicate = violation (unknown is not proven valid);
+    // sorted reasons make the annotation declaration-order-free
+    "q253_quarantine" ->
+      """SELECT event_id, reasons, reasons = '' AS keep FROM (
+        |  SELECT event_id, coalesce(array_to_string(list_sort(list_filter([
+        |    CASE WHEN coalesce(user_id IS NOT NULL, false) THEN NULL
+        |      ELSE 'user_present' END,
+        |    CASE WHEN coalesce(value >= 0 AND value <= 500, false) THEN NULL
+        |      ELSE 'value_range' END,
+        |    CASE WHEN coalesce(event_type IN
+        |        ('click', 'view', 'purchase', 'signup', 'error'), false)
+        |      THEN NULL ELSE 'known_type' END,
+        |    CASE WHEN coalesce(ts IS NOT NULL, false) THEN NULL
+        |      ELSE 'has_ts' END
+        |  ], x -> x IS NOT NULL)), ','), '') AS reasons
+        |  FROM events
+        |)""".stripMargin,
+    // integer ceiling ranks (n*p + 99) div 100; tie-broken rows
+    "q254_exact_percentiles" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |    AS q, event_id
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT g, q,
+        |    row_number() OVER (PARTITION BY g ORDER BY q, event_id) AS rn,
+        |    (count(*) OVER (PARTITION BY g))::BIGINT AS n
+        |  FROM b
+        |)
+        |SELECT g AS event_type, max(n)::BIGINT AS n,
+        |  round(max(CASE WHEN rn = (n * 10 + 99) // 100 THEN q END)::DOUBLE
+        |    / 100, 6) AS p10,
+        |  round(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN q END)::DOUBLE
+        |    / 100, 6) AS p50,
+        |  round(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN q END)::DOUBLE
+        |    / 100, 6) AS p90
+        |FROM r GROUP BY 1""".stripMargin,
     // zipped-unnest positions give adjacent bigrams; PMI ordered
     // unrounded (identical doubles), bigram tiebreak
     "q251_collocations" ->

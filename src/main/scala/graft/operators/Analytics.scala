@@ -1016,6 +1016,44 @@ object Analytics {
           .as("trimmed_mean"))
   }
 
+  /** EXACT per-group percentiles at integer-arithmetic ranks: for
+    * each requested percent p, the value at rank ⌈n·p/100⌉ =
+    * (n·p + 99) div 100 of the group's sorted `scale`-quantized
+    * metric — the deterministic companion to the mergeable-but-
+    * approximate histogram sketches ([[Sketches]]): exact answers
+    * where groups fit a sort partition, sketches where they don't
+    * (the documented trade, both directions). One row per group:
+    * n, then one column per percent (`p10`, `p50`, …), descaled.
+    *
+    * Exactness: rank selection is INTEGER arithmetic on the exact
+    * count (an FP ⌈n·0.1⌉ flips at exact multiples across engines —
+    * the q217/q244 lesson); ties broken by the caller's tiebreak
+    * columns so the selected ROW, not just the value, is pinned.
+    *
+    * Scale shape: one group-partitioned sort window + one map-side-
+    * combinable agg riding the same key exchange. */
+  def exactPercentilesBy(df: DataFrame, groupCol: String,
+                         valueCol: Column, tiebreak: Seq[Column],
+                         percents: Seq[Int] = Seq(10, 50, 90),
+                         scale: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100))
+    val q = floor(valueCol.cast("double") * scale + lit(0.5)).cast("long")
+    val tbCols = tiebreak.zipWithIndex.map { case (c, i) => c.as(s"_tb$i") }
+    val w = Window.partitionBy("_g").orderBy(
+      col("_q") +: tiebreak.indices.map(i => col(s"_tb$i")): _*)
+    val base = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(Seq(col(groupCol).as("_g"), q.as("_q")) ++ tbCols: _*)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("_g")))
+    val picks = percents.map { p =>
+      round(max(when(col("_rn") === expr(s"(_n * $p + 99) div 100"),
+        col("_q"))).cast("double") / scale, 6).as(s"p$p")
+    }
+    base.groupBy(col("_g").as(groupCol))
+      .agg(max("_n").as("n"), picks: _*)
+  }
+
   /** Per-key behavioral entropy: Shannon entropy of each key's
     * categorical mix, normalized by ln(k) to [0,1] — the diversity
     * segmentation read ("one-trick users" near 0, uniform explorers

@@ -615,6 +615,32 @@ object Profiling {
         round(sum(term), 6).as("js"))
   }
 
+  /** Row-level data-contract quarantine: every row is annotated with
+    * the sorted comma-joined list of rules it VIOLATES and a `keep`
+    * flag — the routing companion to the table-level
+    * [[checkConstraints]] report ("how many rows are bad" there;
+    * "WHICH rows, and why, so the writer can fork clean/quarantine
+    * sinks" here). A rule is (name, predicate-that-must-hold); a NULL
+    * predicate result counts as a violation (unknown ⇒ not proven
+    * valid — the conservative contract).
+    *
+    * Scale shape: pure scan-speed projection — zero shuffles, zero
+    * joins; the reasons string is a fixed bounded expression per row.
+    * Deterministic: reasons are sorted, so the annotation doesn't
+    * depend on rule declaration order. */
+  def quarantine(df: DataFrame, idCols: Seq[Column],
+                 rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty)
+    val marks = rules.map { case (name, pred) =>
+      when(coalesce(pred, lit(false)), lit(null).cast("string"))
+        .otherwise(lit(name))
+    }
+    df.select(idCols ++ Seq(
+      concat_ws(",", array_sort(filter(array(marks: _*), _.isNotNull)))
+        .as("reasons")): _*)
+      .withColumn("keep", col("reasons") === "")
+  }
+
   /** Theil's uncertainty coefficient U(Y|X): the fraction of Y's
     * entropy explained by knowing X — the DIRECTIONAL categorical
     * association the symmetric measures ([[cramersV]],

@@ -518,6 +518,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(o2("a") == 0.0 && o2("b") == 1.0, s"absorbing: $o2")
   }
 
+  test("exactPercentilesBy: integer ceiling ranks on 1..10; singleton group") {
+    import spark.implicits._
+    val d = ((1 to 10).map(v => ("g", v.toLong, v.toDouble)) :+
+      (("s", 99L, 7.0))).toDF("g", "id", "v")
+    val out = Analytics.exactPercentilesBy(d, "g", col("v"), Seq(col("id")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // ranks ceil(10p/100) = 1, 5, 9
+    assert(out("g") == ((10L, 1.0, 5.0, 9.0)), s"deciles: $out")
+    assert(out("s") == ((1L, 7.0, 7.0, 7.0)), s"singleton: $out")
+  }
+
   test("behavioralEntropy: uniform=1, single-category canonical 0, top share") {
     import spark.implicits._
     val d = Seq(("u", "a"), ("u", "b"), ("u", "a"), ("u", "b"),

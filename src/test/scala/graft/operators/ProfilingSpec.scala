@@ -319,6 +319,21 @@ class ProfilingSpec extends SparkSpec {
       s"day/baseline sizes: ${out(4L)}")
   }
 
+  test("quarantine: sorted reasons, null predicate counts as violation") {
+    import spark.implicits._
+    val d = Seq((1L, Some(5.0), Some("x")), (2L, Some(-1.0), None),
+      (3L, None, Some("x"))).toDF("id", "v", "s")
+    val out = Profiling.quarantine(d, Seq(col("id")), Seq(
+        "v_pos" -> (col("v") >= 0), "s_set" -> col("s").isNotNull))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) == (("", true)), s"clean row: $out")
+    assert(out(2L) == (("s_set,v_pos", false)),
+      s"two violations, SORTED: $out")
+    // null v -> predicate NULL -> violation (unknown is not valid)
+    assert(out(3L) == (("v_pos", false)), s"null predicate: $out")
+  }
+
   test("theilsU: determined=1, independent=0, constant-Y null") {
     import spark.implicits._
     val det = Seq((0L, "a"), (0L, "a"), (1L, "b"), (1L, "b")).toDF("x", "y")
