@@ -1563,6 +1563,12 @@ object SparkEntry {
     // PMI collocations: multi-word expressions raw frequency misses
     "q251_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(t(s, dir, "documents"))),
+    // MMR diverse top-5 from the top-30 cosine candidates -- the RAG
+    // re-rank that stops k near-copies of one passage
+    "q255_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.mmrRerank(e, e.filter(col("vec_id") === 0))
+    }),
     // Row-level contract quarantine: which rows violate what, at scan
     // speed, so the writer can fork clean/quarantine sinks
     "q253_quarantine" -> ((s, dir) =>
@@ -3794,6 +3800,69 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // greedy MMR unrolled to five stages; lambda as integer percent
+    // so both engines weigh with identical doubles
+    "q255_mmr_rerank" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT c.vec_id AS cand_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(qv)),
+        |        i -> qv[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+        |        i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+        |        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))), 6)
+        |      AS rel,
+        |    c.embedding AS cv
+        |  FROM q JOIN embeddings c ON c.vec_id <> 0
+        |), cand AS (SELECT * FROM sc ORDER BY rel DESC, cand_id LIMIT 30),
+        |p AS (
+        |  SELECT a.cand_id AS pa, b.cand_id AS pb,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(a.cv)),
+        |        i -> a.cv[i]::DOUBLE * b.cv[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(a.cv)),
+        |        i -> a.cv[i]::DOUBLE * a.cv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(b.cv)),
+        |        i -> b.cv[i]::DOUBLE * b.cv[i]::DOUBLE)))), 6) AS sim
+        |  FROM cand a JOIN cand b ON a.cand_id <> b.cand_id
+        |),
+        |s1 AS (SELECT cand_id, 1::BIGINT AS pick, rel FROM cand
+        |  ORDER BY rel DESC, cand_id LIMIT 1),
+        |u1 AS (SELECT cand_id FROM s1),
+        |s2 AS (SELECT c.cand_id, 2::BIGINT AS pick, c.rel
+        |  FROM cand c JOIN (SELECT pa, max(sim) AS ms FROM p
+        |    WHERE pb IN (SELECT cand_id FROM u1) GROUP BY 1) m
+        |    ON m.pa = c.cand_id
+        |  WHERE c.cand_id NOT IN (SELECT cand_id FROM u1)
+        |  ORDER BY (70 * c.rel - 30 * m.ms) / 100.0 DESC, c.cand_id LIMIT 1),
+        |u2 AS (SELECT cand_id FROM u1 UNION ALL SELECT cand_id FROM s2),
+        |s3 AS (SELECT c.cand_id, 3::BIGINT AS pick, c.rel
+        |  FROM cand c JOIN (SELECT pa, max(sim) AS ms FROM p
+        |    WHERE pb IN (SELECT cand_id FROM u2) GROUP BY 1) m
+        |    ON m.pa = c.cand_id
+        |  WHERE c.cand_id NOT IN (SELECT cand_id FROM u2)
+        |  ORDER BY (70 * c.rel - 30 * m.ms) / 100.0 DESC, c.cand_id LIMIT 1),
+        |u3 AS (SELECT cand_id FROM u2 UNION ALL SELECT cand_id FROM s3),
+        |s4 AS (SELECT c.cand_id, 4::BIGINT AS pick, c.rel
+        |  FROM cand c JOIN (SELECT pa, max(sim) AS ms FROM p
+        |    WHERE pb IN (SELECT cand_id FROM u3) GROUP BY 1) m
+        |    ON m.pa = c.cand_id
+        |  WHERE c.cand_id NOT IN (SELECT cand_id FROM u3)
+        |  ORDER BY (70 * c.rel - 30 * m.ms) / 100.0 DESC, c.cand_id LIMIT 1),
+        |u4 AS (SELECT cand_id FROM u3 UNION ALL SELECT cand_id FROM s4),
+        |s5 AS (SELECT c.cand_id, 5::BIGINT AS pick, c.rel
+        |  FROM cand c JOIN (SELECT pa, max(sim) AS ms FROM p
+        |    WHERE pb IN (SELECT cand_id FROM u4) GROUP BY 1) m
+        |    ON m.pa = c.cand_id
+        |  WHERE c.cand_id NOT IN (SELECT cand_id FROM u4)
+        |  ORDER BY (70 * c.rel - 30 * m.ms) / 100.0 DESC, c.cand_id LIMIT 1)
+        |SELECT cand_id AS vec_id, pick, rel FROM s1
+        |UNION ALL SELECT cand_id, pick, rel FROM s2
+        |UNION ALL SELECT cand_id, pick, rel FROM s3
+        |UNION ALL SELECT cand_id, pick, rel FROM s4
+        |UNION ALL SELECT cand_id, pick, rel FROM s5""".stripMargin,
     // NULL predicate = violation (unknown is not proven valid);
     // sorted reasons make the annotation declaration-order-free
     "q253_quarantine" ->

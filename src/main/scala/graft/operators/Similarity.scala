@@ -479,4 +479,56 @@ object Similarity {
   /** Dequantized reconstruction x̂ of a [[quantizeInt8]] row. */
   def dequantize(codes: Column, lo: Column, scale: Column): Column =
     transform(codes, c => lo + c * scale)
+
+  /** MMR (maximal marginal relevance) diverse re-ranking: from the
+    * query's top-`nCandidates` cosine matches, greedily pick `k`
+    * results maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-picked — the RAG retrieval step that stops a result
+    * list from being k near-copies of the same passage. λ is passed
+    * as an integer PERCENT so both engines weigh with the exact same
+    * doubles (Scala's `1 − 0.7` and SQL's `1 - 0.7` are different
+    * bit patterns; `30 / 100.0` is not). Ties break on candidate id.
+    * Returns (vec_id, pick, rel) in pick order.
+    *
+    * Scale shape: the corpus is touched ONLY by the initial top-k
+    * scan (queries broadcast, corpus never shuffles — [[cosineTopK]]);
+    * everything after rides the nCandidates-bounded relation: one
+    * bounded pair self-join, then k−1 bounded argmax reductions.
+    * Deliberate recompute posture (no hidden cache): a production
+    * pipeline materializes the candidate table once and MMRs many
+    * queries against it. */
+  def mmrRerank(corpus: DataFrame, query: DataFrame, nCandidates: Int = 30,
+                k: Int = 5, lambdaPct: Int = 70,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nCandidates >= k &&
+      lambdaPct >= 0 && lambdaPct <= 100)
+    val cand = cosineTopK(corpus, query, nCandidates, idCol, vecCol)
+      .select(col("cand_id"), col("cos").as("rel"))
+      .join(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+        Seq("cand_id"))
+    val pairs = cand.select(col("cand_id").as("_a"), col("cv").as("_av"))
+      .join(cand.select(col("cand_id").as("_b"), col("cv").as("_bv")),
+        col("_a") =!= col("_b"))
+      .select(col("_a"), col("_b"),
+        round(cosine(col("_av"), col("_bv")), 6).as("sim"))
+    var result = cand.orderBy(col("rel").desc, col("cand_id")).limit(1)
+      .select(col("cand_id").as("vec_id"), lit(1L).as("pick"), col("rel"))
+    for (i <- 2 to k) {
+      val ms = pairs
+        .join(result.select(col("vec_id").as("_b")), Seq("_b"))
+        .groupBy(col("_a").as("cand_id")).agg(max("sim").as("_ms"))
+      val next = cand
+        .join(result.select(col("vec_id").as("cand_id")), Seq("cand_id"),
+          "left_anti")
+        .join(ms, Seq("cand_id"))
+        .orderBy(((lit(lambdaPct) * col("rel") -
+          lit(100 - lambdaPct) * col("_ms")) / 100.0).desc, col("cand_id"))
+        .limit(1)
+        .select(col("cand_id").as("vec_id"), lit(i.toLong).as("pick"),
+          col("rel"))
+      result = result.unionByName(next)
+    }
+    result
+  }
 }

@@ -313,4 +313,31 @@ class SimilaritySpec extends SparkSpec {
       .map(_.toString).sorted.toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("mmrRerank: diversity beats raw relevance; k=1 is just the best") {
+    import spark.implicits._
+    // query (1,0); a and b near-copies along the query axis; c a
+    // genuinely different direction. Pure top-2 = (a, b); at a
+    // diversity-leaning lambda (40%) b's ~1.0 redundancy to a eats
+    // its relevance edge and MMR picks c second instead.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),            // query
+      (1L, Array(1.0f, 0.01f)),           // a: most relevant
+      (2L, Array(0.99f, 0.012f)),         // b: near-copy of a
+      (3L, Array(0.8f, 0.6f))             // c: diverse
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(vecs, vecs.filter($"vec_id" === 0),
+        nCandidates = 3, k = 2, lambdaPct = 40)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(out(1L) == 1L, s"first pick is the most relevant: $out")
+    assert(out(2L) == 3L, s"second pick is the DIVERSE candidate: $out")
+    // at a relevance-leaning lambda the near-copy wins instead
+    val rel = Similarity.mmrRerank(vecs, vecs.filter($"vec_id" === 0),
+        nCandidates = 3, k = 2, lambdaPct = 95)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(rel(2L) == 2L, s"relevance-heavy lambda keeps the copy: $rel")
+    val one = Similarity.mmrRerank(vecs, vecs.filter($"vec_id" === 0),
+      nCandidates = 3, k = 1).collect()
+    assert(one.length == 1 && one.head.getLong(0) == 1L)
+  }
 }
