@@ -492,11 +492,14 @@ object Similarity {
     *
     * Scale shape: the corpus is touched ONLY by the initial top-k
     * scan (queries broadcast, corpus never shuffles — [[cosineTopK]]);
-    * everything after rides the nCandidates-bounded relation: one
-    * bounded pair self-join, then k−1 bounded argmax reductions.
-    * Deliberate recompute posture (no hidden cache): a production
-    * pipeline materializes the candidate table once and MMRs many
-    * queries against it. */
+    * the pairwise-similarity table rides the nCandidates-bounded
+    * relation, and the greedy selection itself runs driver-side on
+    * the COLLECTED ≤ n + n² bounded rows — the same documented
+    * bounded-post-pass posture as PCA's driver Jacobi
+    * ([[Decomposition]]): a lazy-plan greedy loop would rescan the
+    * corpus per pick (measured 8 s vs 1.3 s at sf0.1), and 30 rows
+    * on the driver is an index lookup, not a distribution problem.
+    * Requires an integral id column. */
   def mmrRerank(corpus: DataFrame, query: DataFrame, nCandidates: Int = 30,
                 k: Int = 5, lambdaPct: Int = 70,
                 idCol: String = "vec_id",
@@ -504,31 +507,36 @@ object Similarity {
     require(k >= 1 && nCandidates >= k &&
       lambdaPct >= 0 && lambdaPct <= 100)
     val cand = cosineTopK(corpus, query, nCandidates, idCol, vecCol)
-      .select(col("cand_id"), col("cos").as("rel"))
-      .join(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
-        Seq("cand_id"))
+      .select(col("cand_id").cast("long").as("cand_id"),
+        col("cos").as("rel"))
+      .join(corpus.select(col(idCol).cast("long").as("cand_id"),
+        col(vecCol).as("cv")), Seq("cand_id"))
     val pairs = cand.select(col("cand_id").as("_a"), col("cv").as("_av"))
       .join(cand.select(col("cand_id").as("_b"), col("cv").as("_bv")),
         col("_a") =!= col("_b"))
       .select(col("_a"), col("_b"),
         round(cosine(col("_av"), col("_bv")), 6).as("sim"))
-    var result = cand.orderBy(col("rel").desc, col("cand_id")).limit(1)
-      .select(col("cand_id").as("vec_id"), lit(1L).as("pick"), col("rel"))
-    for (i <- 2 to k) {
-      val ms = pairs
-        .join(result.select(col("vec_id").as("_b")), Seq("_b"))
-        .groupBy(col("_a").as("cand_id")).agg(max("sim").as("_ms"))
-      val next = cand
-        .join(result.select(col("vec_id").as("cand_id")), Seq("cand_id"),
-          "left_anti")
-        .join(ms, Seq("cand_id"))
-        .orderBy(((lit(lambdaPct) * col("rel") -
-          lit(100 - lambdaPct) * col("_ms")) / 100.0).desc, col("cand_id"))
-        .limit(1)
-        .select(col("cand_id").as("vec_id"), lit(i.toLong).as("pick"),
-          col("rel"))
-      result = result.unionByName(next)
+    // bounded post-pass: ≤ nCandidates + nCandidates² rows collected
+    val rel = cand.select("cand_id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val first = rel.toSeq.minBy { case (id, r) => (-r, id) }
+    val picks = collection.mutable.ArrayBuffer(first)
+    while (picks.size < math.min(k, rel.size)) {
+      val chosen = picks.map(_._1).toSet
+      // identical arithmetic to the SQL dual: ints promote to double
+      val next = rel.toSeq.filterNot(c => chosen(c._1)).minBy {
+        case (id, r) =>
+          val ms = picks.map(p => sim((id, p._1))).max
+          (-((lambdaPct * r - (100 - lambdaPct) * ms) / 100.0), id)
+      }
+      picks += next
     }
-    result
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    picks.zipWithIndex
+      .map { case ((id, r), i) => (id, (i + 1).toLong, r) }.toSeq
+      .toDF("vec_id", "pick", "rel")
   }
 }
