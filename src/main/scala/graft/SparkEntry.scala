@@ -1569,6 +1569,31 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.mmrRerank(e, e.filter(col("vec_id") === 0))
     }),
+    // Recall@5 + reciprocal rank of int8-compressed retrieval vs the
+    // exact ranking -- the 4x-compression recall price, in-engine
+    "q256_ranking_metrics" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 20)
+      val truth = Similarity.cosineTopK(e, queries, 5)
+      val deq = Similarity.quantizeInt8(e)
+        .select(col("vec_id"),
+          transform(Similarity.dequantize(col("codes"), col("lo"),
+            col("scale")), x => x.cast("float")).as("embedding"))
+      Similarity.rankingMetrics(truth,
+        Similarity.cosineTopK(deq, queries, 5), 5)
+    }),
+    // Near-dup pair EXPLANATIONS: jaccard + first-3 shared shingles
+    // as a sorted evidence string (fixed q25 block contract)
+    "q257_neardup_explain" -> ((s, dir) =>
+      FuzzyDedup.explainPairs(t(s, dir, "documents"),
+        blockFilter = col("doc_id") < 300)),
+    // Simpson's-paradox detector: per-cohort arm diffs vs the
+    // aggregate diff, flips flagged
+    "q258_simpson_flip" -> ((s, dir) =>
+      Analytics.simpsonFlip(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("cohort", col("user_id") % 4),
+        "cohort", col("event_id") % 2 === 0, col("value") > 20)),
     // Row-level contract quarantine: which rows violate what, at scan
     // speed, so the writer can fork clean/quarantine sinks
     "q253_quarantine" -> ((s, dir) =>
@@ -3800,6 +3825,113 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // q64's quantization replay -> float-cast reconstruction -> two
+    // q28-style rankings -> integer hit metrics
+    "q256_ranking_metrics" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding AS e,
+        |    list_min(list_transform(embedding, x -> x::DOUBLE)) AS lo,
+        |    list_max(list_transform(embedding, x -> x::DOUBLE)) AS hi
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, e, lo, hi, (hi - lo) / 255.0 AS scale FROM b
+        |), deq AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0
+        |      THEN list_transform(e, x -> (lo + 0 * scale)::FLOAT)
+        |      ELSE list_transform(e, x ->
+        |        (lo + floor((x::DOUBLE - lo) / scale + 0.5)::INT * scale)::FLOAT)
+        |      END AS cv
+        |  FROM s
+        |), q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 20),
+        |tr AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, c.vec_id AS cand_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY
+        |        round(
+        |          list_sum(list_transform(generate_series(1, len(qv)),
+        |            i -> qv[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+        |            i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+        |            i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))), 6)
+        |          DESC, c.vec_id) AS rn
+        |    FROM q JOIN embeddings c ON c.vec_id <> query_id)
+        |  WHERE rn <= 5
+        |), pr AS (
+        |  SELECT query_id, cand_id, rn FROM (
+        |    SELECT query_id, d.vec_id AS cand_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY
+        |        round(
+        |          list_sum(list_transform(generate_series(1, len(qv)),
+        |            i -> qv[i]::DOUBLE * d.cv[i]::DOUBLE)) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+        |            i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(d.cv)),
+        |            i -> d.cv[i]::DOUBLE * d.cv[i]::DOUBLE)))), 6)
+        |          DESC, d.vec_id) AS rn
+        |    FROM q JOIN deq d ON d.vec_id <> query_id)
+        |  WHERE rn <= 5
+        |), hits AS (
+        |  SELECT t.query_id, count(*)::BIGINT AS n_hits,
+        |    min(p.rn)::BIGINT AS first
+        |  FROM tr t JOIN pr p ON t.query_id = p.query_id
+        |    AND t.cand_id = p.cand_id
+        |  GROUP BY 1
+        |)
+        |SELECT qq.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        |  round(coalesce(h.n_hits, 0)::DOUBLE / 5, 6) AS recall_at_k,
+        |  round(coalesce(1.0::DOUBLE / h.first, 0.0), 6) AS rr
+        |FROM (SELECT DISTINCT query_id FROM tr) qq
+        |LEFT JOIN hits h ON qq.query_id = h.query_id""".stripMargin,
+    // q25's block pipeline + sorted-intersect evidence sample
+    "q257_neardup_explain" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+        |        AS toks FROM documents)
+        |), nz AS (SELECT * FROM base WHERE len(sh) > 0 AND doc_id < 300),
+        |j AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    list_sort(list_intersect(a.sh, b.sh)) AS shared,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, round(jac, 6) AS jaccard,
+        |  len(shared)::BIGINT AS n_shared,
+        |  coalesce(array_to_string(shared[1:3], '|'), '') AS evidence
+        |FROM j WHERE jac >= 0.3""".stripMargin,
+    // one conditional-sum agg; aggregate re-derived from the SAME
+    // stratum table; flip test on identical doubles
+    "q258_simpson_flip" ->
+      """WITH b AS (
+        |  SELECT user_id % 4 AS st,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN value > 20 THEN 1 ELSE 0 END AS s
+        |  FROM events WHERE user_id IS NOT NULL
+        |), st AS (
+        |  SELECT st, sum(a)::BIGINT AS na, sum(a * s)::BIGINT AS sa,
+        |    sum(1 - a)::BIGINT AS nb, sum((1 - a) * s)::BIGINT AS sb
+        |  FROM b GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(na)::BIGINT AS tna, sum(sa)::BIGINT AS tsa,
+        |    sum(nb)::BIGINT AS tnb, sum(sb)::BIGINT AS tsb
+        |  FROM st
+        |)
+        |SELECT st.st AS cohort, (na + nb)::BIGINT AS n,
+        |  round(sa::DOUBLE / na, 6) AS rate_a,
+        |  round(sb::DOUBLE / nb, 6) AS rate_b,
+        |  round(sa::DOUBLE / na - sb::DOUBLE / nb, 6) AS diff,
+        |  round(tsa::DOUBLE / tna - tsb::DOUBLE / tnb, 6) AS agg_diff,
+        |  ((sa::DOUBLE / na - sb::DOUBLE / nb) > 0
+        |      AND (tsa::DOUBLE / tna - tsb::DOUBLE / tnb) < 0)
+        |    OR ((sa::DOUBLE / na - sb::DOUBLE / nb) < 0
+        |      AND (tsa::DOUBLE / tna - tsb::DOUBLE / tnb) > 0) AS flipped
+        |FROM st, tot WHERE na > 0 AND nb > 0""".stripMargin,
     // greedy MMR unrolled to five stages; lambda as integer percent
     // so both engines weigh with identical doubles
     "q255_mmr_rerank" ->

@@ -1016,6 +1016,48 @@ object Analytics {
           .as("trimmed_mean"))
   }
 
+  /** Simpson's-paradox detector: per-stratum A-vs-B success-rate
+    * differences alongside the AGGREGATE difference, with a flag on
+    * every stratum whose direction CONTRADICTS the aggregate — the
+    * "your topline A/B read is a composition artifact" alarm that
+    * belongs next to any [[abTest]] readout. Strata missing an arm
+    * are dropped (no rate to compare), not zero-filled.
+    *
+    * Exactness: all counts exact int64 from ONE conditional-sum agg;
+    * rates/diffs are single divisions on identical operands; the
+    * flip test compares those exact doubles to zero.
+    *
+    * Scale shape: one stratum-key agg with map-side combine; the
+    * aggregate row is a 1-row broadcast re-derived from the SAME
+    * stratum table (no second scan). */
+  def simpsonFlip(df: DataFrame, stratumCol: String, inA: Column,
+                  success: Column): DataFrame = {
+    val base = df.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("_st"),
+        when(inA, 1L).otherwise(0L).as("_a"),
+        when(success, 1L).otherwise(0L).as("_s"))
+    val st = base.groupBy("_st")
+      .agg(sum("_a").as("_na"),
+        sum(col("_a") * col("_s")).as("_sa"),
+        sum(lit(1L) - col("_a")).as("_nb"),
+        sum((lit(1L) - col("_a")) * col("_s")).as("_sb"))
+    val tot = broadcast(st.agg(sum("_na").as("_tna"), sum("_sa").as("_tsa"),
+      sum("_nb").as("_tnb"), sum("_sb").as("_tsb")))
+    val rA = col("_sa").cast("double") / col("_na")
+    val rB = col("_sb").cast("double") / col("_nb")
+    val aggDiff = col("_tsa").cast("double") / col("_tna") -
+      col("_tsb").cast("double") / col("_tnb")
+    val diff = rA - rB
+    st.filter(col("_na") > 0 && col("_nb") > 0)
+      .crossJoin(tot)
+      .select(col("_st").as(stratumCol),
+        (col("_na") + col("_nb")).as("n"),
+        round(rA, 6).as("rate_a"), round(rB, 6).as("rate_b"),
+        round(diff, 6).as("diff"), round(aggDiff, 6).as("agg_diff"),
+        ((diff > 0 && aggDiff < 0) || (diff < 0 && aggDiff > 0))
+          .as("flipped"))
+  }
+
   /** EXACT per-group percentiles at integer-arithmetic ranks: for
     * each requested percent p, the value at rank ⌈n·p/100⌉ =
     * (n·p + 99) div 100 of the group's sorted `scale`-quantized

@@ -202,6 +202,37 @@ object FuzzyDedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Near-duplicate EXPLANATION: for every flagged pair in a bounded
+    * block, the Jaccard score plus the first `topM` shared shingles
+    * as a sorted evidence string — the human-reviewable "WHY was this
+    * pair flagged" that a bare (a, b, score) row can't answer, and
+    * the audit artifact a dedup appeal process needs. Evidence order
+    * is the sorted shingle order, so the string is deterministic.
+    *
+    * Scale shape: same fixed-block contract as [[exactJaccardPairs]]
+    * (the explain pass runs on PAIRS ALREADY FLAGGED, a bounded
+    * relation by construction); within the block, one shingle
+    * array self-join with the intersect computed array-side. */
+  def explainPairs(docs: DataFrame, blockFilter: Column,
+                   threshold: Double = 0.3, topM: Int = 3,
+                   idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 3): DataFrame = {
+    require(topM >= 1)
+    val sh = shingled(docs.filter(blockFilter), idCol, textCol, n)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("_sa"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("_sb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("_shared", array_sort(array_intersect(col("_sa"), col("_sb"))))
+      .withColumn("_inter", size(col("_shared")).cast("double"))
+      .withColumn("jaccard",
+        col("_inter") / (size(col("_sa")) + size(col("_sb")) - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"),
+        size(col("_shared")).cast("long").as("n_shared"),
+        concat_ws("|", slice(col("_shared"), 1, topM)).as("evidence"))
+  }
+
   /** SCALABLE edit-distance near-dup: verified `levenshtein ≤ maxDist`
     * pairs with candidates from shared content-defined window
     * fingerprints — the scale upgrade of the q45 fixed-block

@@ -480,6 +480,42 @@ object Similarity {
   def dequantize(codes: Column, lo: Column, scale: Column): Column =
     transform(codes, c => lo + c * scale)
 
+  /** Ranking-quality metrics of an approximate retriever against an
+    * exact one: per query, the overlap with the exact top-k
+    * (recall@k) and the reciprocal rank of the FIRST predicted
+    * result that is truly relevant (MRR's per-query term; 0 when the
+    * prediction whiffs entirely) — the numbers that justify an ANN
+    * index's recall/cost trade IN-ENGINE, on the production corpus,
+    * instead of trusting an offline benchmark. Queries present in
+    * `truth` but absent from `predicted` score 0, not NaN.
+    *
+    * Exactness: hits are integer counts; recall = hits/k and
+    * rr = 1/rank are single divisions of small exact integers.
+    *
+    * Scale shape: one co-partitioned (query, cand) equi-join between
+    * two already-k-bounded rankings, one query-key agg — both sides
+    * are outputs of top-k operators, so this is k·|queries| rows in,
+    * |queries| rows out. */
+  def rankingMetrics(truth: DataFrame, predicted: DataFrame, k: Int,
+                     queryCol: String = "query_id",
+                     candCol: String = "cand_id",
+                     rankCol: String = "rn"): DataFrame = {
+    require(k >= 1)
+    val tr = truth.select(col(queryCol).as("_q"), col(candCol).as("_c"))
+    val pr = predicted.select(col(queryCol).as("_q"), col(candCol).as("_c"),
+      col(rankCol).as("_r"))
+    val hits = pr.join(tr, Seq("_q", "_c"))
+      .groupBy("_q")
+      .agg(count(lit(1)).as("n_hits"), min("_r").as("_first"))
+    tr.select("_q").distinct()
+      .join(hits, Seq("_q"), "left")
+      .select(col("_q").as(queryCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6)
+          .as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("_first"), lit(0.0)), 6).as("rr"))
+  }
+
   /** MMR (maximal marginal relevance) diverse re-ranking: from the
     * query's top-`nCandidates` cosine matches, greedily pick `k`
     * results maximizing λ·relevance − (1−λ)·max-similarity-to-

@@ -518,6 +518,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(o2("a") == 0.0 && o2("b") == 1.0, s"absorbing: $o2")
   }
 
+  test("simpsonFlip: every stratum favors B yet the aggregate favors A") {
+    import spark.implicits._
+    // s1: A 9/10 vs B 1/1; s2: A 0/1 vs B 2/10 -> B wins both strata;
+    // aggregate: A 9/11 = .818 vs B 3/11 = .273 -> A wins. Classic.
+    val rows =
+      (1 to 9).map(_ => ("s1", true, true)) ++ Seq(("s1", true, false)) ++
+      Seq(("s1", false, true)) ++
+      Seq(("s2", true, false)) ++
+      (1 to 2).map(_ => ("s2", false, true)) ++
+      (1 to 8).map(_ => ("s2", false, false))
+    val out = Analytics.simpsonFlip(rows.toDF("st", "a", "y"), "st",
+        col("a"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6))).toMap
+    assert(out("s1") == ((0.9, 1.0, -0.1, 0.545455, true)), s"s1: $out")
+    assert(out("s2") == ((0.0, 0.2, -0.2, 0.545455, true)), s"s2: $out")
+  }
+
   test("exactPercentilesBy: integer ceiling ranks on 1..10; singleton group") {
     import spark.implicits._
     val d = ((1 to 10).map(v => ("g", v.toLong, v.toDouble)) :+

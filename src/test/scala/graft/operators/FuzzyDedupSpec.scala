@@ -186,4 +186,18 @@ class FuzzyDedupSpec extends SparkSpec {
     val jac = FuzzyDedup.exactJaccardPairs(docs, threshold = 0.5).collect()
     assert(jac.isEmpty)
   }
+
+  test("explainPairs: sorted shingle evidence for a flagged pair") {
+    val d = Seq((1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox runs"),
+      (3L, "completely unrelated text entirely")).toDF("doc_id", "text")
+    val out = FuzzyDedup.explainPairs(d, blockFilter = lit(true)).collect()
+    assert(out.length == 1, s"only the near-dup pair: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5, s"2 shared of 4 union: $r")
+    assert(r.getLong(3) == 2L &&
+      r.getString(4) == "quick brown fox|the quick brown",
+      s"sorted evidence: $r")
+  }
 }

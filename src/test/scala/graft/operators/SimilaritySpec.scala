@@ -314,6 +314,21 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("rankingMetrics: hand-scored overlap, first-hit rank, total whiff") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("query_id", "cand_id")
+    val pred = Seq((1L, 99L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 98L, 1L), (2L, 97L, 2L), (2L, 96L, 3L))
+      .toDF("query_id", "cand_id", "rn")
+    val out = Similarity.rankingMetrics(truth, pred, 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 0.666667, 0.5)),
+      s"2 of 3 hit, first at rank 2: $out")
+    assert(out(2L) == ((0L, 0.0, 0.0)), s"whiffed query scores 0, not NaN: $out")
+  }
+
   test("mmrRerank: diversity beats raw relevance; k=1 is just the best") {
     import spark.implicits._
     // query (1,0); a and b near-copies along the query axis; c a
