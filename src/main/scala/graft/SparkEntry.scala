@@ -1563,6 +1563,54 @@ object SparkEntry {
     // PMI collocations: multi-word expressions raw frequency misses
     "q251_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(t(s, dir, "documents"))),
+    // Knee of the cumulative new-user curve (Kneedle-lite)
+    "q259_knee_detection" -> ((s, dir) => {
+      val firstDay = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy("user_id")
+        .agg(min(expr("ts div 86400000000000")).as("fd"))
+      val curve = firstDay.groupBy("fd").agg(count(lit(1)).as("nu"))
+        .withColumn("cum", sum("nu").over(Window.orderBy("fd")))
+      Analytics.kneeDetection(curve, col("fd"), col("cum"))
+    }),
+    // Cross-correlation lag finder: does click volume lead purchase
+    // volume, and by how many days
+    "q260_xcorr_lag" -> ((s, dir) =>
+      TimeSeries.xcorrLag(
+        t(s, dir, "events").filter(col("ts").isNotNull &&
+            col("value").isNotNull &&
+            col("event_type").isin("click", "purchase"))
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(sum(when(col("event_type") === "click",
+              floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .otherwise(0L)).as("click_c"),
+            sum(when(col("event_type") === "purchase",
+              floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .otherwise(0L)).as("purch_c")),
+        col("day"), col("click_c"), col("purch_c"), maxLag = 7)),
+    // Difference-in-differences on the day-15 split, even vs odd
+    // user cohorts (one conditional-sum agg)
+    "q261_diff_in_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("ts").isNotNull)
+        .withColumn("day", expr("ts div 86400000000000"))
+      val m = ev.agg(min("day").as("_m0"))
+      Analytics.diffInDiff(ev.crossJoin(broadcast(m)),
+        col("user_id") % 2 === 0, col("day") >= col("_m0") + 15,
+        col("value"))
+    }),
+    // CUPED: pre-period covariate adjustment per user (theta from
+    // exact moments), y_adj ready for the A/B read
+    "q262_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("day", expr("ts div 86400000000000"))
+      val m = ev.agg(min("day").as("_m0"))
+      val tagged = ev.crossJoin(broadcast(m))
+      Analytics.cuped(tagged.filter(col("day") < col("_m0") + 15),
+        tagged.filter(col("day") >= col("_m0") + 15),
+        "user_id", col("value"), col("value"))
+    }),
     // MMR diverse top-5 from the top-30 cosine candidates -- the RAG
     // re-rank that stops k near-copies of one passage
     "q255_mmr_rerank" -> ((s, dir) => {
@@ -3825,6 +3873,124 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // normalized chord distance argmax with the x tiebreak
+    "q259_knee_detection" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(epoch_ns(ts) // 86400000000000) AS fd
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1
+        |), c AS (SELECT fd, count(*)::BIGINT AS nu FROM fd GROUP BY 1),
+        |cv AS (SELECT fd, (sum(nu) OVER (ORDER BY fd))::BIGINT AS cum FROM c),
+        |ext AS (
+        |  SELECT min(fd::DOUBLE) AS x0, max(fd::DOUBLE) AS x1,
+        |    min(cum::DOUBLE) AS y0, max(cum::DOUBLE) AS y1
+        |  FROM cv
+        |), d AS (
+        |  SELECT fd::DOUBLE AS x, cum::DOUBLE AS y,
+        |    (cum::DOUBLE - y0) / (y1 - y0) - (fd::DOUBLE - x0) / (x1 - x0)
+        |      AS dd
+        |  FROM cv, ext WHERE x1 > x0 AND y1 > y0
+        |)
+        |SELECT x AS knee_x, y AS knee_y, round(dd, 6) AS dist
+        |FROM d ORDER BY abs(dd) DESC, x LIMIT 1""".stripMargin,
+    // per-lag HUGEINT moments on the shifted-index equi-join
+    "q260_xcorr_lag" ->
+      """WITH d AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)::BIGINT
+        |      AS x,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)::BIGINT
+        |      AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IN ('click', 'purchase')
+        |  GROUP BY 1
+        |), l AS (SELECT unnest(generate_series(0, 7)) AS lag),
+        |p AS (
+        |  SELECT l.lag, a.x, b.y
+        |  FROM d a CROSS JOIN l JOIN d b ON a.day + l.lag = b.day
+        |), s AS (
+        |  SELECT lag, count(*)::BIGINT AS n,
+        |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+        |    sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT) AS sx,
+        |    sum(y::HUGEINT) AS sy
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT lag::BIGINT AS lag, n,
+        |  round(CASE WHEN n > 1 AND (n::HUGEINT * sxx - sx * sx) > 0
+        |      AND (n::HUGEINT * syy - sy * sy) > 0
+        |    THEN (n::HUGEINT * sxy - sx * sy)::DOUBLE
+        |      / sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE
+        |        * (n::HUGEINT * syy - sy * sy)::DOUBLE)
+        |    END, 6) AS xcorr
+        |FROM s""".stripMargin,
+    // one conditional-sum agg; 2x2 means on identical doubles
+    "q261_diff_in_diff" ->
+      """WITH m AS (
+        |  SELECT min(epoch_ns(ts) // 86400000000000) AS m0 FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), b AS (
+        |  SELECT user_id % 2 = 0 AS t,
+        |    epoch_ns(ts) // 86400000000000 >= m0 + 15 AS p,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+        |  FROM events, m
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |), ag AS (
+        |  SELECT
+        |    sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)::BIGINT AS ntpre,
+        |    sum(CASE WHEN t AND NOT p THEN q END)::BIGINT AS stpre,
+        |    sum(CASE WHEN t AND p THEN 1 ELSE 0 END)::BIGINT AS ntpost,
+        |    sum(CASE WHEN t AND p THEN q END)::BIGINT AS stpost,
+        |    sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)::BIGINT AS ncpre,
+        |    sum(CASE WHEN NOT t AND NOT p THEN q END)::BIGINT AS scpre,
+        |    sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)::BIGINT AS ncpost,
+        |    sum(CASE WHEN NOT t AND p THEN q END)::BIGINT AS scpost
+        |  FROM b
+        |)
+        |SELECT
+        |  round(stpre::DOUBLE / ntpre / 100, 6) AS treat_pre,
+        |  round(stpost::DOUBLE / ntpost / 100, 6) AS treat_post,
+        |  round(scpre::DOUBLE / ncpre / 100, 6) AS control_pre,
+        |  round(scpost::DOUBLE / ncpost / 100, 6) AS control_post,
+        |  round(CASE WHEN ntpre > 0 AND ntpost > 0 AND ncpre > 0
+        |      AND ncpost > 0
+        |    THEN (stpost::DOUBLE / ntpost / 100 - stpre::DOUBLE / ntpre / 100)
+        |      - (scpost::DOUBLE / ncpost / 100 - scpre::DOUBLE / ncpre / 100)
+        |    END, 6) AS did
+        |FROM ag""".stripMargin,
+    // theta/xbar from exact moments broadcast to every unit row
+    "q262_cuped" ->
+      """WITH m AS (
+        |  SELECT min(epoch_ns(ts) // 86400000000000) AS m0 FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |), e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |), px AS (SELECT user_id, sum(q)::BIGINT AS x FROM e, m
+        |  WHERE day < m0 + 15 GROUP BY 1),
+        |py AS (SELECT user_id, sum(q)::BIGINT AS y FROM e, m
+        |  WHERE day >= m0 + 15 GROUP BY 1),
+        |j AS (SELECT px.user_id, x, y FROM px JOIN py USING (user_id)),
+        |mo AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x::HUGEINT * y)::HUGEINT AS sxy,
+        |    sum(x::HUGEINT * x)::HUGEINT AS sxx
+        |  FROM j
+        |)
+        |SELECT user_id, round(y::DOUBLE / 100, 6) AS y,
+        |  round(CASE WHEN (sxx::DOUBLE - sx::DOUBLE * sx / n) > 0
+        |    THEN (y - ((sxy::DOUBLE - sx::DOUBLE * sy / n)
+        |        / (sxx::DOUBLE - sx::DOUBLE * sx / n))
+        |      * (x - sx::DOUBLE / n)) / 100
+        |    END, 6) AS y_adj,
+        |  round(CASE WHEN (sxx::DOUBLE - sx::DOUBLE * sx / n) > 0
+        |    THEN (sxy::DOUBLE - sx::DOUBLE * sy / n)
+        |      / (sxx::DOUBLE - sx::DOUBLE * sx / n)
+        |    END, 6) AS theta
+        |FROM j, mo""".stripMargin,
     // q64's quantization replay -> float-cast reconstruction -> two
     // q28-style rankings -> integer hit metrics
     "q256_ranking_metrics" ->

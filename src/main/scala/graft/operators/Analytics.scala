@@ -1016,6 +1016,129 @@ object Analytics {
           .as("trimmed_mean"))
   }
 
+  /** Knee/elbow detection on a bounded curve (Kneedle-lite, public):
+    * min-max normalize both axes, then the knee is the point with
+    * the maximum |vertical distance| to the (0,0)→(1,1) chord — the
+    * "diminishing returns start HERE" read used to choose k for
+    * IVF/k-means, truncation ranks, cache sizes. Ties break on x.
+    * One row: (knee_x, knee_y, dist).
+    *
+    * Exactness: extremes are exact aggregates (1-row broadcast);
+    * each point's normalized distance is a handful of correctly-
+    * rounded double ops on identical operands; the argmax orders on
+    * those identical doubles with the x tiebreak.
+    *
+    * Scale shape: meant for BOUNDED curves (per-day cumulative
+    * counts, rank-truncated Lorenz points) — one broadcast of the
+    * extremes and one TakeOrdered(1). A curve that doesn't fit this
+    * contract isn't a curve a human reads a knee off. */
+  def kneeDetection(curve: DataFrame, xCol: Column,
+                    yCol: Column): DataFrame = {
+    val base = curve.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(xCol.cast("double").as("_x"), yCol.cast("double").as("_y"))
+    val ext = broadcast(base.agg(min("_x").as("_x0"), max("_x").as("_x1"),
+      min("_y").as("_y0"), max("_y").as("_y1")))
+    val xn = (col("_x") - col("_x0")) / (col("_x1") - col("_x0"))
+    val yn = (col("_y") - col("_y0")) / (col("_y1") - col("_y0"))
+    base.crossJoin(ext)
+      .filter(col("_x1") > col("_x0") && col("_y1") > col("_y0"))
+      .withColumn("_d", yn - xn)
+      .orderBy(abs(col("_d")).desc, col("_x"))
+      .limit(1)
+      .select(col("_x").as("knee_x"), col("_y").as("knee_y"),
+        round(col("_d"), 6).as("dist"))
+  }
+
+  /** Difference-in-differences: the 2×2 (treated × post) cell means
+    * of a `scale`-quantized metric and the DiD estimate
+    * (T_post − T_pre) − (C_post − C_pre) — the first-order causal
+    * read when treatment wasn't randomized but both groups share a
+    * pre-trend. One row; null DiD when any cell is empty (a missing
+    * cell means the design, not the math, failed).
+    *
+    * Exactness: ONE conditional-sum agg — four exact int64 counts +
+    * four exact int64 sums; the four means and three subtractions
+    * are correctly-rounded doubles on identical operands.
+    *
+    * Scale shape: single map-side-combined aggregation; nothing
+    * else. */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+                 valueCol: Column, scale: Long = 100L): DataFrame = {
+    val q = floor(valueCol.cast("double") * scale + lit(0.5)).cast("long")
+    def cell(t: Boolean, p: Boolean) = {
+      val m = (if (t) col("_t") else !col("_t")) &&
+        (if (p) col("_p") else !col("_p"))
+      (sum(when(m, 1L).otherwise(0L)), sum(when(m, col("_q"))))
+    }
+    val ((ntpre, stpre), (ntpost, stpost)) = (cell(t = true, p = false),
+      cell(t = true, p = true))
+    val ((ncpre, scpre), (ncpost, scpost)) = (cell(t = false, p = false),
+      cell(t = false, p = true))
+    val agg = df.filter(valueCol.isNotNull)
+      .select(treated.as("_t"), post.as("_p"), q.as("_q"))
+      .agg(ntpre.as("_ntpre"), stpre.as("_stpre"),
+        ntpost.as("_ntpost"), stpost.as("_stpost"),
+        ncpre.as("_ncpre"), scpre.as("_scpre"),
+        ncpost.as("_ncpost"), scpost.as("_scpost"))
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n) / scale
+    val did = (mean("_stpost", "_ntpost") - mean("_stpre", "_ntpre")) -
+      (mean("_scpost", "_ncpost") - mean("_scpre", "_ncpre"))
+    agg.select(
+      round(mean("_stpre", "_ntpre"), 6).as("treat_pre"),
+      round(mean("_stpost", "_ntpost"), 6).as("treat_post"),
+      round(mean("_scpre", "_ncpre"), 6).as("control_pre"),
+      round(mean("_scpost", "_ncpost"), 6).as("control_post"),
+      round(when(col("_ntpre") > 0 && col("_ntpost") > 0 &&
+        col("_ncpre") > 0 && col("_ncpost") > 0, did), 6).as("did"))
+  }
+
+  /** CUPED variance reduction (Deng et al., public): adjust each
+    * unit's experiment-period metric with its PRE-period covariate,
+    * y* = y − θ·(x − x̄), θ = cov(x, y)/var(x) — the standard trick
+    * that cuts A/B variance by the covariate's R² without biasing
+    * the treatment contrast (θ and x̄ are treatment-blind). Returns
+    * one row per unit: (key, y, y_adj, theta) — feed y_adj to
+    * [[abTest]] in place of y.
+    *
+    * Exactness: all five moments accumulate exactly (int64 counts
+    * and sums, decimal(38,0) products of cent-quantized pairs); θ
+    * and x̄ are correctly-rounded doubles on identical operands
+    * broadcast to every row; each y* is three more ops. Zero
+    * pre-period variance ⇒ null adjustment (nothing to regress on).
+    *
+    * Scale shape: one co-partitioned (key) join of the two period
+    * tables, one moment agg reduced to a 1-row broadcast, one
+    * scan-speed projection. */
+  def cuped(pre: DataFrame, post: DataFrame, keyCol: String,
+            preMetric: Column, postMetric: Column,
+            scale: Long = 100L): DataFrame = {
+    def q(c: Column) = floor(c.cast("double") * scale + lit(0.5)).cast("long")
+    val px = pre.filter(col(keyCol).isNotNull && preMetric.isNotNull)
+      .groupBy(col(keyCol)).agg(sum(q(preMetric)).as("_x"))
+    val py = post.filter(col(keyCol).isNotNull && postMetric.isNotNull)
+      .groupBy(col(keyCol)).agg(sum(q(postMetric)).as("_y"))
+    val joined = px.join(py, Seq(keyCol))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = broadcast(joined.agg(count(lit(1)).as("_n"),
+      sum("_x").as("_sx"), sum("_y").as("_sy"),
+      sum(dec(col("_x")) * col("_y")).as("_sxy"),
+      sum(dec(col("_x")) * col("_x")).as("_sxx")))
+    val nD = col("_n").cast("double")
+    val varX = col("_sxx").cast("double") - col("_sx").cast("double") *
+      col("_sx") / nD
+    val covXY = col("_sxy").cast("double") - col("_sx").cast("double") *
+      col("_sy") / nD
+    val theta = covXY / varX
+    val xbar = col("_sx").cast("double") / nD
+    joined.crossJoin(m)
+      .select(col(keyCol),
+        round(col("_y").cast("double") / scale, 6).as("y"),
+        round(when(varX > 0,
+          (col("_y") - theta * (col("_x") - xbar)) / scale), 6).as("y_adj"),
+        round(when(varX > 0, theta), 6).as("theta"))
+  }
+
   /** Simpson's-paradox detector: per-stratum A-vs-B success-rate
     * differences alongside the AGGREGATE difference, with a flag on
     * every stratum whose direction CONTRADICTS the aggregate — the

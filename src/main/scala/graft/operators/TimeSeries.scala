@@ -414,6 +414,48 @@ object TimeSeries {
       .drop("_arr")
   }
 
+  /** Cross-correlation lag finder: Pearson correlation between
+    * x at time t and y at time t+lag for every lag 0..maxLag over an
+    * integer-indexed series — "clicks lead purchases by WHICH day",
+    * the lead/lag read a single contemporaneous correlation hides.
+    * One row per lag: (lag, n, xcorr); pick the argmax downstream.
+    * Lags with fewer than 2 aligned points or a locally constant
+    * side return null.
+    *
+    * Exactness: per-lag moments accumulate in decimal(38,0) over
+    * INTEGER-quantized values (exact, order-free); each correlation
+    * is correctly-rounded double ops on identical operands.
+    *
+    * Scale shape: bounded-series contract (daily/hourly rollups,
+    * the mannKendall posture): a (maxLag+1)-way explode of the
+    * bounded series equi-joined on shifted index — |series|·lags
+    * rows total, one lag-key agg. */
+  def xcorrLag(series: DataFrame, idxCol: Column, xCol: Column,
+               yCol: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 0)
+    val a = series.filter(idxCol.isNotNull && xCol.isNotNull)
+      .select(idxCol.cast("long").as("_i"), xCol.cast("long").as("_x"))
+      .select(col("_i"), col("_x"),
+        explode(sequence(lit(0), lit(maxLag))).as("lag"))
+    val b = series.filter(idxCol.isNotNull && yCol.isNotNull)
+      .select(idxCol.cast("long").as("_j"), yCol.cast("long").as("_y"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sums = a.join(b, col("_i") + col("lag") === col("_j"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("_x")) * col("_y")).as("_sxy"),
+        sum(dec(col("_x")) * col("_x")).as("_sxx"),
+        sum(dec(col("_y")) * col("_y")).as("_syy"),
+        sum(dec(col("_x"))).as("_sx"), sum(dec(col("_y"))).as("_sy"))
+    val nDec = dec(col("n"))
+    val num = (nDec * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val vx = (nDec * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val vy = (nDec * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    sums.select(col("lag").cast("long").as("lag"), col("n"),
+      round(when(col("n") > 1 && vx > 0 && vy > 0,
+        num / sqrt(vx * vy)), 6).as("xcorr"))
+  }
+
   /** Rolling Pearson correlation between two INTEGER-quantized
     * series over the trailing k points — "are these metrics locally
     * coupled, and when did they decouple": the windowed companion to

@@ -518,6 +518,51 @@ class AnalyticsSpec extends SparkSpec {
     assert(o2("a") == 0.0 && o2("b") == 1.0, s"absorbing: $o2")
   }
 
+  test("kneeDetection: obvious elbow found with normalized chord distance") {
+    import spark.implicits._
+    // (0,0) (1,9) (2,10): normalized d = (0, .9-.5, 0) -> knee (1, 9)
+    val c = Seq((0L, 0L), (1L, 9L), (2L, 10L)).toDF("x", "y")
+    val r = Analytics.kneeDetection(c, col("x"), col("y")).collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 9.0 &&
+      r.getDouble(2) == 0.4, s"knee: $r")
+  }
+
+  test("diffInDiff: hand-computed 2x2; empty cell nulls the estimate") {
+    import spark.implicits._
+    val rows = Seq(
+      (true, false, 1.0), (true, false, 1.0),   // T pre mean 1
+      (true, true, 3.0), (true, true, 3.0),     // T post mean 3
+      (false, false, 2.0), (false, false, 2.0), // C pre mean 2
+      (false, true, 2.0), (false, true, 3.0))   // C post mean 2.5
+      .toDF("t", "p", "v")
+    val r = Analytics.diffInDiff(rows, col("t"), col("p"), col("v"))
+      .collect().head
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3)) == ((1.0, 3.0, 2.0, 2.5)), s"cells: $r")
+    assert(r.getDouble(4) == 1.5, s"DiD = (3-1)-(2.5-2): $r")
+    val missing = rows.filter(!(col("t") && !col("p")))
+    val m = Analytics.diffInDiff(missing, col("t"), col("p"), col("v"))
+      .collect().head
+    assert(m.isNullAt(4), "empty treat-pre cell nulls DiD")
+  }
+
+  test("cuped: perfectly predictive covariate flattens the metric") {
+    import spark.implicits._
+    // post y = 2 * pre x exactly -> theta = 2, y_adj = 2*xbar for all
+    val pre = (1 to 4).map(u => (u.toLong, u.toDouble)).toDF("k", "v")
+    val post = (1 to 4).map(u => (u.toLong, 2.0 * u)).toDF("k", "v")
+    val out = Analytics.cuped(pre, post, "k", col("v"), col("v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.values.forall(v => v._2 == 5.0 && v._3 == 2.0),
+      s"y_adj constant at 2*xbar, theta 2: $out")
+    assert(out(3L)._1 == 6.0, s"raw y preserved: $out")
+    // constant pre-metric: nothing to regress on
+    val flat = (1 to 4).map(u => (u.toLong, 7.0)).toDF("k", "v")
+    val f = Analytics.cuped(flat, post, "k", col("v"), col("v")).collect()
+    assert(f.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
   test("simpsonFlip: every stratum favors B yet the aggregate favors A") {
     import spark.implicits._
     // s1: A 9/10 vs B 1/1; s2: A 0/1 vs B 2/10 -> B wins both strata;

@@ -251,6 +251,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("v", 3L)) == ((3L, 2.0)), s"spike-immune: $out")
   }
 
+  test("xcorrLag: planted 2-step lead found at exactly lag 2") {
+    import spark.implicits._
+    // y_t = x_{t-2}: x at t correlates y at t+2 perfectly
+    val x = Seq(5L, 1L, 7L, 2L, 9L, 3L, 8L, 4L)
+    val rows = (0 until 8).map { i =>
+      val y = if (i >= 2) x(i - 2) else 11L + i
+      (i.toLong, x(i), y)
+    }
+    val out = TimeSeries.xcorrLag(rows.toDF("i", "x", "y"),
+        col("i"), col("x"), col("y"), maxLag = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(out(2L) == 1.0, s"perfect at the planted lag: $out")
+    assert(out(0L) < 1.0 && out(1L) < 1.0, s"off-lags imperfect: $out")
+  }
+
   test("rollingCorr: hand-computed window, ±1 extremes, degenerate nulls") {
     import spark.implicits._
     val d = Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, 3L, 2L),
