@@ -1563,6 +1563,30 @@ object SparkEntry {
     // PMI collocations: multi-word expressions raw frequency misses
     "q251_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(t(s, dir, "documents"))),
+    // Hampel spike filter: rolling median/MAD outliers in pure
+    // integer arithmetic (no FP boundary anywhere)
+    "q263_hampel_filter" -> ((s, dir) =>
+      TimeSeries.hampelFilter(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+            col("ts").isNotNull && col("value").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", Seq(col("ts"), col("event_id")),
+        floor(col("value") * 100 + lit(0.5)), k = 7)
+        .select(col("user_id"), col("event_id"), col("n_window"),
+          col("roll_med"), col("is_spike"))),
+    // DBSCAN-style density triage over the q144 grid (no CC pass)
+    "q264_density_labels" -> ((s, dir) => {
+      val p = t(s, dir, "events")
+        .filter(col("event_id") % 11 === 0 && col("user_id").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_id"),
+          ((col("user_id") % 30).cast("double") +
+            (col("value") - floor(col("value")))).as("x"),
+          ((col("event_id") % 37).cast("double") +
+            (col("value") * 7 - floor(col("value") * 7))).as("y"))
+      graft.operators.Spatial.densityLabels(p, "event_id", "x", "y",
+        radius = 2.0, minPts = 3)
+    }),
     // Knee of the cumulative new-user curve (Kneedle-lite)
     "q259_knee_detection" -> ((s, dir) => {
       val firstDay = t(s, dir, "events")
@@ -3873,6 +3897,60 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // all-integer rolling median/MAD replay: 2*med and 4*MAD are
+    // exact middle sums; the flag never touches FP
+    "q263_hampel_filter" ->
+      """SELECT user_id, event_id, len(arr)::BIGINT AS n_window,
+        |  round((arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1])::DOUBLE
+        |    / 200.0, 6) AS roll_med,
+        |  2 * abs(2 * q - (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]))
+        |    > 3 * (dev[(len(dev) + 1) // 2] + dev[len(dev) // 2 + 1])
+        |    AS is_spike
+        |FROM (
+        |  SELECT user_id, event_id, q, arr,
+        |    list_sort(list_transform(arr, v -> abs(2 * v
+        |      - (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1])))) AS dev
+        |  FROM (
+        |    SELECT user_id, event_id, q,
+        |      list_sort(list(q) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |    FROM (SELECT user_id, event_id, ts,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+        |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |        AND value IS NOT NULL)
+        |  )
+        |)""".stripMargin,
+    // q144's BETWEEN pair replay -> symmetric degrees -> labels
+    "q264_density_labels" ->
+      """WITH p AS (SELECT event_id,
+        |    (user_id % 30)::DOUBLE + (value - floor(value)) AS x,
+        |    ((event_id % 37))::DOUBLE + (value * 7 - floor(value * 7)) AS y
+        |  FROM events WHERE event_id % 11 = 0 AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |cells AS (SELECT *, floor(x / 2.0)::BIGINT AS cx,
+        |    floor(y / 2.0)::BIGINT AS cy FROM p),
+        |pr AS (SELECT a.event_id AS id1, b.event_id AS id2
+        |  FROM cells a JOIN cells b
+        |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+        |    AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        |    AND a.event_id < b.event_id
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    <= 4.0),
+        |deg AS (SELECT id, count(*)::BIGINT AS n FROM (
+        |  SELECT id1 AS id FROM pr UNION ALL SELECT id2 FROM pr)
+        |  GROUP BY 1),
+        |core AS (SELECT id FROM deg WHERE n >= 3),
+        |nc AS (SELECT DISTINCT e.id FROM (
+        |    SELECT id1 AS id, id2 AS nb FROM pr
+        |    UNION ALL SELECT id2, id1 FROM pr) e
+        |  JOIN core c ON e.nb = c.id)
+        |SELECT p.event_id AS id, coalesce(deg.n, 0)::BIGINT AS n_neighbors,
+        |  CASE WHEN core.id IS NOT NULL THEN 'core'
+        |    WHEN nc.id IS NOT NULL THEN 'border' ELSE 'noise' END AS label
+        |FROM p LEFT JOIN deg ON p.event_id = deg.id
+        |LEFT JOIN core ON p.event_id = core.id
+        |LEFT JOIN nc ON p.event_id = nc.id""".stripMargin,
     // normalized chord distance argmax with the x tiebreak
     "q259_knee_detection" ->
       """WITH fd AS (

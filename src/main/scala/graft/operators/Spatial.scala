@@ -54,6 +54,46 @@ object Spatial {
       .select(col("id1"), col("id2"), round(col("_d2"), 6).as("d2"))
   }
 
+  /** DBSCAN-style density labels WITHOUT the clustering step: every
+    * point becomes `core` (≥ minPts neighbors within radius, self
+    * excluded), `border` (not core but adjacent to a core), or
+    * `noise` — the density triage that answers "is this point in a
+    * crowd, at a crowd's edge, or alone" with NO connected-components
+    * pass (full DBSCAN clusters = these labels + the engine's
+    * existing pointer-doubling CC over core-core pairs, the
+    * documented composition). Returns (id, n_neighbors, label).
+    *
+    * Scale shape: one [[neighborPairs]] grid join (9-cell bucketed,
+    * never a theta join), one symmetric explode of the pair table,
+    * two key aggs, one broadcast-ready core set semi-join. Exact
+    * integer counts; the d² ≤ r² gate is [[neighborPairs]]'s. */
+  def densityLabels(points: DataFrame, idCol: String, xCol: String,
+                    yCol: String, radius: Double,
+                    minPts: Int): DataFrame = {
+    require(minPts >= 1)
+    val pairs = neighborPairs(points, idCol, xCol, yCol, radius)
+    val deg = pairs.select(explode(array(
+        struct(col("id1").as("id"), col("id2").as("nb")),
+        struct(col("id2").as("id"), col("id1").as("nb")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"))
+    val degs = deg.groupBy("id").agg(count(lit(1)).as("n_neighbors"))
+    val core = degs.filter(col("n_neighbors") >= minPts).select("id")
+    val nearCore = deg
+      .join(core.select(col("id").as("nb")), Seq("nb"), "left_semi")
+      .select("id").distinct()
+      .withColumn("_nc", lit(true))
+    points.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol).as("id"))
+      .join(degs, Seq("id"), "left")
+      .join(core.withColumn("_core", lit(true)), Seq("id"), "left")
+      .join(nearCore, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_neighbors"), lit(0L))
+          .as("n_neighbors"),
+        when(col("_core"), "core")
+          .when(col("_nc"), "border")
+          .otherwise("noise").as("label"))
+  }
+
   /** Per-track movement stats — the GPS-feed summary the reference's
     * domain (satellite trackers) reports per device: ordering each
     * key's points by time, sum the leg lengths (total path distance)

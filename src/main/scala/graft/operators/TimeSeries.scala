@@ -414,6 +414,48 @@ object TimeSeries {
       .drop("_arr")
   }
 
+  /** Hampel spike filter: flag points whose deviation from the
+    * trailing-k rolling MEDIAN exceeds `nMad` rolling MADs — the
+    * robust outlier detector a z-score can't be (one spike inflates
+    * the mean AND the σ that's supposed to catch it; median/MAD
+    * ignore it). ENTIRELY INTEGER arithmetic: with cent-quantized
+    * values, 2·median = lo+hi middle sum (int), 2·|v − med| int per
+    * window element, 4·MAD = middle sum of those (int), and the
+    * flag is `2·(2·|x − med|) > nMad·(4·MAD)` — no FP boundary
+    * anywhere, so the flags are engine- and partitioning-exact.
+    * Adds n_window, roll_med (descaled), is_spike.
+    *
+    * Scale shape: the [[rollingMedian]] shape — ONE key-partitioned
+    * frame window shipping a ≤k sorted int array per row; all
+    * derived stats come from that one array (no second window). */
+  def hampelFilter(df: DataFrame, keyCol: String, order: Seq[Column],
+                   valCol: Column, k: Int, nMad: Int = 3,
+                   scale: Long = 100L): DataFrame = {
+    require(k >= 1 && nMad >= 1 && scale >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(-(k - 1).toLong, 0)
+    df.withColumn("_v", valCol.cast("long"))
+      .withColumn("_arr", array_sort(collect_list(col("_v")).over(w)))
+      .withColumn("n_window", size(col("_arr")).cast("long"))
+      // 2*median of the window, an exact integer
+      .withColumn("_med2",
+        expr("element_at(_arr, cast((size(_arr) + 1) div 2 as int))") +
+          expr("element_at(_arr, cast(size(_arr) div 2 + 1 as int))"))
+      // 2*|v_i - med| per element, sorted -> middle sum = 4*MAD
+      .withColumn("_dev2",
+        array_sort(transform(col("_arr"), v => abs(lit(2L) * v - col("_med2")))))
+      .withColumn("_mad4",
+        expr("element_at(_dev2, cast((size(_dev2) + 1) div 2 as int))") +
+          expr("element_at(_dev2, cast(size(_dev2) div 2 + 1 as int))"))
+      .withColumn("roll_med",
+        round(col("_med2").cast("double") / (2.0 * scale), 6))
+      .withColumn("is_spike",
+        lit(2L) * abs(lit(2L) * col("_v") - col("_med2")) >
+          lit(nMad.toLong) * col("_mad4"))
+      .drop("_v", "_arr", "_med2", "_dev2", "_mad4")
+  }
+
   /** Cross-correlation lag finder: Pearson correlation between
     * x at time t and y at time t+lag for every lag 0..maxLag over an
     * integer-indexed series — "clicks lead purchases by WHICH day",

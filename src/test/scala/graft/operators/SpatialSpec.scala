@@ -65,4 +65,20 @@ class SpatialSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(out.toSeq == Seq(("u", 0L, 0L, 1L, 20L, 3L)))
   }
+
+  test("densityLabels: core crowd, edge border, lone noise") {
+    import spark.implicits._
+    // 4-point crowd (mutual neighbors, >= 3 each), one edge point
+    // touching two cores, one point alone
+    val p = Seq((1L, 0.0, 0.0), (2L, 0.5, 0.0), (3L, 0.0, 0.5),
+      (4L, 0.5, 0.5), (5L, 2.3, 0.0), (6L, 10.0, 10.0))
+      .toDF("id", "x", "y")
+    val out = Spatial.densityLabels(p, "id", "x", "y", radius = 2.0,
+        minPts = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert((1L to 4L).forall(i => out(i)._2 == "core"), s"crowd: $out")
+    assert(out(5L) == ((2L, "border")), s"edge point: $out")
+    assert(out(6L) == ((0L, "noise")), s"loner: $out")
+  }
 }

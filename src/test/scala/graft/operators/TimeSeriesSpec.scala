@@ -251,6 +251,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("v", 3L)) == ((3L, 2.0)), s"spike-immune: $out")
   }
 
+  test("hampelFilter: spike flagged against rolling median/MAD, all-integer") {
+    import spark.implicits._
+    // cents 10,12,14,16,100: window 5 at the last row has med 14,
+    // MAD 2 -> 2*172 > 3*8 flags the spike; earlier rows stay calm
+    val d = Seq((1L, 10L), (2L, 12L), (3L, 14L), (4L, 16L), (5L, 100L))
+      .map { case (i, v) => ("u", i, v) }.toDF("k", "i", "v")
+    val out = TimeSeries.hampelFilter(d, "k", Seq(col("i")), col("v"),
+        k = 5)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out(5L) == ((0.14, true)), s"spike vs med 14c: $out")
+    assert((1L to 4L).forall(!out(_)._2), s"calm prefix unflagged: $out")
+  }
+
   test("xcorrLag: planted 2-step lead found at exactly lag 2") {
     import spark.implicits._
     // y_t = x_{t-2}: x at t correlates y at t+2 perfectly
