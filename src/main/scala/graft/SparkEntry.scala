@@ -1563,6 +1563,12 @@ object SparkEntry {
     // PMI collocations: multi-word expressions raw frequency misses
     "q251_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(t(s, dir, "documents"))),
+    // PII density score: emails+phones per kchar with a gate flag
+    "q265_pii_density" -> ((s, dir) =>
+      TextAnalysis.piiDensity(t(s, dir, "documents"))),
+    // Declared-vs-detected language mismatch rate per source
+    "q266_lang_mismatch" -> ((s, dir) =>
+      TextAnalysis.langMismatch(t(s, dir, "documents"))),
     // Hampel spike filter: rolling median/MAD outliers in pure
     // integer arithmetic (no FP boundary anywhere)
     "q263_hampel_filter" -> ((s, dir) =>
@@ -3897,6 +3903,54 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // same two regex passes as q58's redactor, counts only; phone
+    // pass runs on the email-redacted text like the redaction order
+    "q265_pii_density" ->
+      """SELECT doc_id, n_emails, n_phones,
+        |  round(CASE WHEN len > 0
+        |    THEN (n_emails + n_phones)::DOUBLE * 1000 / len
+        |    ELSE 0.0 END, 6) AS pii_per_kchar,
+        |  round(CASE WHEN len > 0
+        |    THEN (n_emails + n_phones)::DOUBLE * 1000 / len
+        |    ELSE 0.0 END, 6) > 5.0 AS flagged
+        |FROM (
+        |  SELECT doc_id, length(text) AS len,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))::BIGINT
+        |      AS n_emails,
+        |    len(regexp_extract_all(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+        |        '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9() -]{6,}[0-9]'))::BIGINT AS n_phones
+        |  FROM documents
+        |)""".stripMargin,
+    // q22's langid replay aggregated to per-source mismatch rates
+    "q266_lang_mismatch" ->
+      """WITH t AS (
+        |  SELECT source, lang, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |), c AS (
+        |  SELECT source, lang, text,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS c_en,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x))) AS c_de,
+        |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de','du','pour'], x))) AS c_fr,
+        |    len(list_filter(toks, x -> list_contains(['el','los','las','y','es','si','una','como','por','para'], x))) AS c_es
+        |  FROM t
+        |), p AS (
+        |  SELECT source, lang,
+        |    CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |         WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+        |         WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |         WHEN c_fr >= c_es THEN 'fr'
+        |         ELSE 'es' END AS pl
+        |  FROM c
+        |)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN lang <> pl THEN 1 ELSE 0 END)::BIGINT AS n_mismatch,
+        |  round(sum(CASE WHEN lang <> pl THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS mismatch_rate
+        |FROM p GROUP BY 1""".stripMargin,
     // all-integer rolling median/MAD replay: 2*med and 4*MAD are
     // exact middle sums; the flag never touches FP
     "q263_hampel_filter" ->

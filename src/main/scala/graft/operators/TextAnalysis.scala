@@ -821,6 +821,48 @@ object TextAnalysis {
           .as("hapax_frac"))
   }
 
+  /** PII density score: emails + phone-shaped runs per 1000 chars,
+    * with a gate flag — the curation METRIC next to [[redactPii]]'s
+    * scrub (redaction fixes documents; density DECIDES which
+    * documents/sources are too contaminated to keep at all, the
+    * scraped-form-dump detector). Zero-length docs score 0.
+    *
+    * Scale shape: pure scan-speed projection — the same two regex
+    * passes the redactor runs, counts only. */
+  def piiDensity(docs: DataFrame, threshold: Double = 5.0,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val e = size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")
+    val p = size(regexp_extract_all(
+      regexp_replace(text, EmailRe, "<EMAIL>"), lit(PhoneRe), lit(0)))
+      .cast("long")
+    val dens = when(length(text) > 0,
+      (e + p).cast("double") * 1000 / length(text)).otherwise(lit(0.0))
+    docs.select(col(idCol), e.as("n_emails"), p.as("n_phones"),
+      round(dens, 6).as("pii_per_kchar"),
+      (round(dens, 6) > threshold).as("flagged"))
+  }
+
+  /** Declared-vs-detected language mismatch rate per source: the
+    * label-noise audit ("which crawl feed lies about its language")
+    * that decides whether a source's `lang` column can gate training
+    * mixes or needs re-detection. One bounded row per source.
+    *
+    * Scale shape: the language-ID projection is scan-speed; one
+    * map-side-combined source agg. Exact counts, one division. */
+  def langMismatch(docs: DataFrame, sourceCol: String = "source",
+                   langCol: String = "lang",
+                   textCol: String = "text"): DataFrame =
+    docs.filter(col(sourceCol).isNotNull && col(langCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        (col(langCol) =!= langId(col(textCol))).as("_mm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_mm"), 1L).otherwise(0L)).as("n_mismatch"))
+      .withColumn("mismatch_rate",
+        round(col("n_mismatch").cast("double") / col("n_docs"), 6))
+
   /** Collocation mining: top-N adjacent-token bigrams by pointwise
     * mutual information, PMI = ln( P(ab) / (P(a)·P(b)) ) with counts
     * from the corpus — the multi-word-expression detector ("new

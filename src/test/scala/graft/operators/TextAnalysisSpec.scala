@@ -409,6 +409,35 @@ class TextAnalysisSpec extends SparkSpec {
       s"pairs: ${out.toSeq}")
   }
 
+  test("piiDensity: email+phone counted, density gate, clean doc zero") {
+    import spark.implicits._
+    val d = Seq((1L, "mail a@b.com now call 5551234567 ok"),
+      (2L, "perfectly clean prose with no contacts"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiDensity(d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1L && out(1L)._4,
+      s"one email + one phone, dense enough to flag: $out")
+    assert(out(2L) == ((0L, 0L, 0.0, false)), s"clean: $out")
+    assert(out(3L) == ((0L, 0L, 0.0, false)), s"empty text scores 0: $out")
+  }
+
+  test("langMismatch: per-source label-noise rate from detected language") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s1", "en", "the cat and the dog is in it"),
+      (2L, "s1", "en", "it is a fine day for the park"),
+      (3L, "s1", "en", "der hund und die katze ist mit von"),  // lies
+      (4L, "s2", "zh", "中文文本")).toDF(
+      "doc_id", "source", "lang", "text")
+    val out = TextAnalysis.langMismatch(d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("s1") == ((3L, 1L, 0.333333)), s"one liar in three: $out")
+    assert(out("s2") == ((1L, 0L, 0.0)), s"honest source: $out")
+  }
+
   test("zipfSlope: planted f = 720/r corpus recovers slope -1") {
     import spark.implicits._
     // freqs 720,360,240,180,144,120 = 720/r exactly: ln f is linear
