@@ -1566,6 +1566,28 @@ object SparkEntry {
     // PII density score: emails+phones per kchar with a gate flag
     "q265_pii_density" -> ((s, dir) =>
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
+    // Region -> nation revenue drill-down shares in one pass
+    "q267_hierarchical_shares" -> ((s, dir) =>
+      Analytics.hierarchicalShares(
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey")),
+        "r_name", "n_name",
+        floor(col("o_totalprice") * 100 + lit(0.5)))),
+    // Rolling z-score vs the PRIOR-k baseline (exclusive frame) --
+    // the fragile classic registered beside q263's robust Hampel
+    "q268_rolling_zscore" -> ((s, dir) =>
+      TimeSeries.rollingZscore(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+            col("ts").isNotNull && col("value").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", Seq(col("ts"), col("event_id")),
+        floor(col("value") * 100 + lit(0.5)), k = 10)
+        .select(col("user_id"), col("event_id"), col("n_prior"),
+          col("z"), col("is_anomaly"))),
     // Declared-vs-detected language mismatch rate per source
     "q266_lang_mismatch" -> ((s, dir) =>
       TextAnalysis.langMismatch(t(s, dir, "documents"))),
@@ -3903,6 +3925,54 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // exact cell sums; shares over the bounded hierarchy windows
+    "q267_hierarchical_shares" ->
+      """WITH a AS (
+        |  SELECT r_name, n_name,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT r_name, n_name, v,
+        |    (sum(v) OVER (PARTITION BY r_name))::BIGINT AS t1,
+        |    (sum(v) OVER ())::BIGINT AS tt
+        |  FROM a
+        |)
+        |SELECT r_name, n_name, round(v::DOUBLE / 100, 6) AS value,
+        |  round(v::DOUBLE / t1, 6) AS share_of_parent,
+        |  round(t1::DOUBLE / tt, 6) AS parent_share_of_total
+        |FROM w""".stripMargin,
+    // exclusive-frame prior moments (count/sum BIGINT, sum-sq
+    // HUGEINT); flag compares the ROUNDED z
+    "q268_rolling_zscore" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |), w AS (
+        |  SELECT user_id, event_id, q,
+        |    (count(*) OVER fr)::BIGINT AS np,
+        |    (sum(q) OVER fr)::BIGINT AS sp,
+        |    sum(q::HUGEINT * q) OVER fr AS qp
+        |  FROM b
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT user_id, event_id, coalesce(np, 0)::BIGINT AS n_prior,
+        |  round(CASE WHEN np > 1 AND
+        |      sqrt((qp::DOUBLE - sp::DOUBLE * sp / np) / (np::DOUBLE - 1)) > 0
+        |    THEN (q - sp::DOUBLE / np)
+        |      / sqrt((qp::DOUBLE - sp::DOUBLE * sp / np) / (np::DOUBLE - 1))
+        |    END, 6) AS z,
+        |  coalesce(abs(round(CASE WHEN np > 1 AND
+        |      sqrt((qp::DOUBLE - sp::DOUBLE * sp / np) / (np::DOUBLE - 1)) > 0
+        |    THEN (q - sp::DOUBLE / np)
+        |      / sqrt((qp::DOUBLE - sp::DOUBLE * sp / np) / (np::DOUBLE - 1))
+        |    END, 6)) > 3, false) AS is_anomaly
+        |FROM w""".stripMargin,
     // same two regex passes as q58's redactor, counts only; phone
     // pass runs on the email-redacted text like the redaction order
     "q265_pii_density" ->

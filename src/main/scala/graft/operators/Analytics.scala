@@ -1016,6 +1016,37 @@ object Analytics {
           .as("trimmed_mean"))
   }
 
+  /** Two-level hierarchical shares: every (parent, child) cell with
+    * its value, its share OF ITS PARENT, and the parent's share of
+    * the total — the drill-down table a flat ratio-to-report
+    * ([[q155]]-style single-level shares) can't give in one pass.
+    * Pass an integer-quantized value expression.
+    *
+    * Exactness: exact int64 cell sums; the two share divisions see
+    * identical operands on any engine.
+    *
+    * Scale shape: one (parent, child) agg with map-side combine,
+    * then two windows over the BOUNDED hierarchy relation (the
+    * documented bounded-relation global-window pattern — a hierarchy
+    * that doesn't fit a window isn't one a human drills into). */
+  def hierarchicalShares(df: DataFrame, parentCol: String,
+                         childCol: String, valueQ: Column,
+                         scale: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = df.filter(col(parentCol).isNotNull && col(childCol).isNotNull)
+      .groupBy(col(parentCol), col(childCol))
+      .agg(sum(valueQ.cast("long")).as("_v"))
+    agg
+      .withColumn("_t1", sum("_v").over(Window.partitionBy(parentCol)))
+      .withColumn("_tt", sum("_v").over(Window.partitionBy()))
+      .select(col(parentCol), col(childCol),
+        round(col("_v").cast("double") / scale, 6).as("value"),
+        round(col("_v").cast("double") / col("_t1"), 6)
+          .as("share_of_parent"),
+        round(col("_t1").cast("double") / col("_tt"), 6)
+          .as("parent_share_of_total"))
+  }
+
   /** Knee/elbow detection on a bounded curve (Kneedle-lite, public):
     * min-max normalize both axes, then the knee is the point with
     * the maximum |vertical distance| to the (0,0)→(1,1) chord — the

@@ -414,6 +414,47 @@ object TimeSeries {
       .drop("_arr")
   }
 
+  /** Rolling z-score against the PRIOR k points (exclusive frame):
+    * z = (x − μ_prior)/σ_prior — the classic online anomaly score,
+    * registered beside [[hampelFilter]] as the deliberately fragile
+    * baseline (a spike inflates the very σ meant to catch the next
+    * one; Hampel doesn't — the pairing demonstrates why robust wins).
+    * The EXCLUSIVE frame keeps the tested point out of its own
+    * baseline. Null z when the prior window has < 2 points or zero
+    * variance. Adds n_prior, z, is_anomaly (|z| > nSigma).
+    *
+    * Exactness: prior-window moments are exact (count/sum int64,
+    * Σq² decimal(38,0)) over integer-quantized values; μ, σ, z are
+    * correctly-rounded doubles on identical operands; the flag
+    * compares the ROUNDED z so both engines cut identically.
+    *
+    * Scale shape: ONE key-partitioned frame window, three sums
+    * sharing the sort. */
+  def rollingZscore(df: DataFrame, keyCol: String, order: Seq[Column],
+                    valCol: Column, k: Int, nSigma: Int = 3,
+                    scale: Long = 100L): DataFrame = {
+    require(k >= 2 && nSigma >= 1 && scale >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(-k.toLong, -1)
+    val v = valCol.cast("long")
+    val n = count(lit(1)).over(w)
+    val s = sum(v).over(w)
+    val qq = sum(v.cast("decimal(38,0)") * v).over(w)
+    val nD = col("_np").cast("double")
+    val mu = col("_sp").cast("double") / nD
+    val sd = sqrt((col("_qp").cast("double") - col("_sp").cast("double") *
+      col("_sp") / nD) / (nD - 1))
+    df.withColumn("_vq", v)
+      .withColumn("_np", n).withColumn("_sp", s).withColumn("_qp", qq)
+      .withColumn("n_prior", col("_np").cast("long"))
+      .withColumn("z", round(when(col("_np") > 1 && sd > 0,
+        (col("_vq") - mu) / sd), 6))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > nSigma, lit(false)))
+      .drop("_vq", "_np", "_sp", "_qp")
+  }
+
   /** Hampel spike filter: flag points whose deviation from the
     * trailing-k rolling MEDIAN exceeds `nMad` rolling MADs — the
     * robust outlier detector a z-score can't be (one spike inflates

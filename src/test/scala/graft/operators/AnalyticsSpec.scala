@@ -518,6 +518,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(o2("a") == 0.0 && o2("b") == 1.0, s"absorbing: $o2")
   }
 
+  test("hierarchicalShares: child-of-parent and parent-of-total in one pass") {
+    import spark.implicits._
+    val d = Seq(("P", "a", 3000L), ("P", "b", 1000L), ("Q", "c", 6000L))
+      .toDF("p", "c", "cents")
+    val out = Analytics.hierarchicalShares(d, "p", "c", col("cents"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(("P", "a")) == ((30.0, 0.75, 0.4)), s"P/a: $out")
+    assert(out(("P", "b")) == ((10.0, 0.25, 0.4)), s"P/b: $out")
+    assert(out(("Q", "c")) == ((60.0, 1.0, 0.6)), s"Q/c: $out")
+  }
+
   test("kneeDetection: obvious elbow found with normalized chord distance") {
     import spark.implicits._
     // (0,0) (1,9) (2,10): normalized d = (0, .9-.5, 0) -> knee (1, 9)

@@ -251,6 +251,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("v", 3L)) == ((3L, 2.0)), s"spike-immune: $out")
   }
 
+  test("rollingZscore: exclusive prior baseline, warm-up nulls, spike flagged") {
+    import spark.implicits._
+    // prior {10,12,14,16,18}: mean 14, sample sd sqrt(10); x=100 ->
+    // z = 86/sqrt(10) = 27.195588
+    val d = Seq(10L, 12L, 14L, 16L, 18L, 100L).zipWithIndex
+      .map { case (v, i) => ("u", i.toLong, v) }.toDF("k", "i", "v")
+    val out = TimeSeries.rollingZscore(d, "k", Seq(col("i")), col("v"),
+        k = 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+        r.getBoolean(5))).toMap
+    assert(out(0L)._1 == 0L && out(0L)._2.isNaN && !out(0L)._3,
+      s"no baseline: $out")
+    assert(out(1L)._2.isNaN, s"single-point baseline: $out")
+    assert(out(2L) == ((2L, 2.12132, false)), s"two-point baseline: $out")
+    assert(out(5L) == ((5L, 27.195588, true)), s"spike: $out")
+  }
+
   test("hampelFilter: spike flagged against rolling median/MAD, all-integer") {
     import spark.implicits._
     // cents 10,12,14,16,100: window 5 at the last row has med 14,
