@@ -1566,6 +1566,16 @@ object SparkEntry {
     // PII density score: emails+phones per kchar with a gate flag
     "q265_pii_density" -> ((s, dir) =>
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
+    // Export-integrity manifest per balanced shard: counts, cost,
+    // order-free XOR-of-md5 content checksum
+    "q269_output_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val assigned = graft.operators.Curation.balancedShards(
+        docs.select(col("doc_id"), col("n_chars")), "n_chars", shards = 8)
+      graft.operators.Curation.outputManifest(
+        assigned.join(docs.select("doc_id", "text"), Seq("doc_id")),
+        "shard", "doc_id", col("text"), "n_chars")
+    }),
     // Region -> nation revenue drill-down shares in one pass
     "q267_hierarchical_shares" -> ((s, dir) =>
       Analytics.hierarchicalShares(
@@ -3925,6 +3935,20 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // XOR of first-15-hex md5 longs: commutative, associative, no
+    // overflow semantics to disagree on
+    "q269_output_manifest" ->
+      """WITH a AS (
+        |  SELECT doc_id, n_chars, text,
+        |    (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 8
+        |      AS shard
+        |  FROM documents
+        |)
+        |SELECT shard, count(*)::BIGINT AS n_rows,
+        |  sum(n_chars)::BIGINT AS total_cost,
+        |  bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+        |    1, 15))::BIGINT) AS checksum
+        |FROM a GROUP BY 1""".stripMargin,
     // exact cell sums; shares over the bounded hierarchy windows
     "q267_hierarchical_shares" ->
       """WITH a AS (

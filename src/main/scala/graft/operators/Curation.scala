@@ -329,6 +329,29 @@ object Curation {
     round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
 
+  /** Output-shard manifest: per shard, the row count, total payload
+    * cost, and an ORDER-FREE content checksum (bit-XOR of the 60-bit
+    * md5 of each row's id:payload) — the export-integrity artifact
+    * that lets a consumer verify a delivered shard without re-reading
+    * the producer's data, and lets the producer re-derive it after a
+    * rewrite to prove nothing changed. XOR is commutative/associative
+    * with no overflow semantics to disagree on — the only aggregate
+    * whose value is identical on any engine at any partitioning
+    * WITHOUT quantization tricks.
+    *
+    * Scale shape: one map-side-combinable shard agg; the checksum
+    * folds in the same pass as the counts. */
+  def outputManifest(assigned: DataFrame, shardCol: String,
+                     idCol: String, payload: org.apache.spark.sql.Column,
+                     costCol: String): DataFrame =
+    assigned
+      .withColumn("_ck", md5Long(concat(col(idCol).cast("string"),
+        lit(":"), payload.cast("string"))))
+      .groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(costCol).cast("long")).as("total_cost"),
+        expr("bit_xor(_ck)").as("checksum"))
+
   /** One-hot / index encoding with a FITTED vocabulary: the top-k
     * categories by frequency (ties broken by category value — the
     * determinism a bare `ORDER BY count DESC LIMIT k` throws away)

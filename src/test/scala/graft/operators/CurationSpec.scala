@@ -277,6 +277,31 @@ class CurationSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  // ── outputManifest (round 7) ─────────────────────────────────────
+
+  test("outputManifest: order-free checksum, tamper detection, exact counts") {
+    import spark.implicits._
+    val d = Seq((1L, 0, "alpha", 5L), (2L, 0, "beta", 4L),
+      (3L, 1, "gamma", 5L)).toDF("id", "shard", "text", "cost")
+    val m = Curation.outputManifest(d, "shard", "id", col("text"), "cost")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m(0)._1 == 2L && m(0)._2 == 9L && m(1)._1 == 1L, s"counts: $m")
+    // same rows, any order/partitioning -> identical checksums
+    val m2 = Curation.outputManifest(d.orderBy(col("id").desc)
+        .repartition(5), "shard", "id", col("text"), "cost")
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(m.view.mapValues(_._3).toMap == m2, "checksum is order-free")
+    // one payload byte flips -> that shard's checksum moves
+    val tampered = Seq((1L, 0, "alphA", 5L), (2L, 0, "beta", 4L),
+      (3L, 1, "gamma", 5L)).toDF("id", "shard", "text", "cost")
+    val mt = Curation.outputManifest(tampered, "shard", "id", col("text"),
+        "cost")
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(mt(0) != m(0)._3 && mt(1) == m(1)._3,
+      "tamper moves only the touched shard's checksum")
+  }
+
   // ── onehotVocab / standardScaler (round 7) ───────────────────────
 
   test("onehotVocab: freq-then-name order, OTHER for tail/unseen/null") {
