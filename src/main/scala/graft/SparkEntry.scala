@@ -1568,6 +1568,26 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Purged temporal split: train / 1-day embargo / val over the
+    // event-time range -- the backtest split a hash split can't give
+    "q270_purged_split" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+        .withColumn("ts_us", expr("ts div 1000"))
+      Sampling.purgedTemporalSplit(ev, col("ts_us"),
+          valNum = 1, valDen = 5, embargo = 86400000000L)
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min("ts_us").as("min_ts"), max("ts_us").as("max_ts"))
+    }),
+    // WOE/IV categorical encoder: fit on even doc_ids vs the lang=en
+    // label, apply to odd doc_ids; unseen categories encode 0
+    "q271_woe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Analytics.woeEncode(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "source", col("lang") === "en", Seq(col("doc_id")))
+    }),
     "q269_output_manifest" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val assigned = graft.operators.Curation.balancedShards(
@@ -3935,6 +3955,52 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // time-range cutoff in pure int64 arithmetic (div = floor
+    // division on non-negative range; DuckDB // is the same)
+    "q270_purged_split" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS ts_us, user_id
+        |  FROM events WHERE ts IS NOT NULL
+        |), b AS (
+        |  SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e
+        |), lab AS (
+        |  SELECT user_id, ts_us,
+        |    CASE
+        |      WHEN ts_us <= mn + ((mx - mn) * 4) // 5 THEN 'train'
+        |      WHEN ts_us <= mn + ((mx - mn) * 4) // 5 + 86400000000
+        |        THEN 'embargo'
+        |      ELSE 'val' END AS split
+        |  FROM e, b
+        |)
+        |SELECT split, count(*)::BIGINT AS n,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  min(ts_us)::BIGINT AS min_ts, max(ts_us)::BIGINT AS max_ts
+        |FROM lab GROUP BY split""".stripMargin,
+    // same smoothing literals; the single ln is the only float op
+    "q271_woe_encode" ->
+      """WITH f AS (
+        |  SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), c AS (
+        |  SELECT source AS cat, sum(y)::BIGINT AS pos,
+        |    sum(1 - y)::BIGINT AS neg
+        |  FROM f GROUP BY source
+        |), tt AS (
+        |  SELECT sum(pos)::DOUBLE AS ptot, sum(neg)::DOUBLE AS ntot FROM c
+        |), enc AS (
+        |  SELECT cat,
+        |    ln(((pos + 0.5) * (ntot + 0.5)) / ((neg + 0.5) * (ptot + 0.5)))
+        |      AS w,
+        |    (pos + 0.5) / (ptot + 0.5) - (neg + 0.5) / (ntot + 0.5) AS sh
+        |  FROM c, tt
+        |), iv AS (
+        |  SELECT round(sum(sh * w), 6) AS iv FROM enc
+        |)
+        |SELECT d.doc_id, d.source, round(coalesce(e.w, 0.0), 6) AS woe,
+        |  iv.iv AS iv
+        |FROM documents d LEFT JOIN enc e ON d.source = e.cat
+        |CROSS JOIN iv
+        |WHERE d.doc_id % 2 = 1""".stripMargin,
     // XOR of first-15-hex md5 longs: commutative, associative, no
     // overflow semantics to disagree on
     "q269_output_manifest" ->

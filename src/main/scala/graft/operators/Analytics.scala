@@ -1399,4 +1399,44 @@ object Analytics {
     }
     v.select(col("state"), round(col("prob"), 8).as("prob"))
   }
+
+  /** Weight-of-evidence categorical encoder, fit/apply split: per
+    * category `woe = ln(((pos+0.5)(ntot+0.5)) / ((neg+0.5)(ptot+0.5)))`
+    * — the log-odds lift a category gives over the base rate, the
+    * classic credit-scoring / feature-screening encoding that (unlike
+    * one-hot) stays one column and (unlike [[targetEncodeOOF]]'s
+    * out-of-fold means) is monotone in the class ratio with explicit
+    * Laplace smoothing, so empty cells encode finite. Categories
+    * unseen at fit time apply as `woe = 0` (no evidence). The paired
+    * information value `iv = Σ (pos_share − neg_share)·woe` rides
+    * every output row — the screening statistic that says whether the
+    * column is worth keeping at all.
+    *
+    * Scale shape: the fit side reduces to one row per category
+    * (map-side combined), the two totals fold into that tiny relation
+    * driver-free, and the encoder BROADCASTS onto the apply scan —
+    * the apply corpus never shuffles. All smoothing terms are spelled
+    * with the same literals on the oracle side, so the single `ln` is
+    * the only float op and rounds identically. */
+  def woeEncode(fit: DataFrame, apply: DataFrame, catCol: String,
+                label: Column, idCols: Seq[Column]): DataFrame = {
+    val counts = fit.groupBy(col(catCol).as("_cat")).agg(
+      sum(when(label, 1L).otherwise(0L)).as("_pos"),
+      sum(when(label, 0L).otherwise(1L)).as("_neg"))
+    val totals = broadcast(counts.agg(
+      sum("_pos").cast("double").as("_ptot"),
+      sum("_neg").cast("double").as("_ntot")))
+    val woe = log(((col("_pos") + lit(0.5)) * (col("_ntot") + lit(0.5))) /
+      ((col("_neg") + lit(0.5)) * (col("_ptot") + lit(0.5))))
+    val share = (col("_pos") + lit(0.5)) / (col("_ptot") + lit(0.5)) -
+      (col("_neg") + lit(0.5)) / (col("_ntot") + lit(0.5))
+    val enc = counts.crossJoin(totals)
+      .select(col("_cat"), woe.as("_woe"), (share * woe).as("_ivterm"))
+    val iv = broadcast(enc.agg(round(sum("_ivterm"), 6).as("iv")))
+    apply.join(broadcast(enc.drop("_ivterm")),
+        apply(catCol) === col("_cat"), "left")
+      .crossJoin(iv)
+      .select(idCols :+ col(catCol) :+
+        round(coalesce(col("_woe"), lit(0.0)), 6).as("woe") :+ col("iv"): _*)
+  }
 }

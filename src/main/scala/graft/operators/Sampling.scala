@@ -273,4 +273,37 @@ object Sampling {
       .select(idCol).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Purged temporal train/val split with an embargo gap: rows before
+    * the cutoff instant train, rows inside `(cutoff, cutoff+embargo]`
+    * are PURGED (labeled `embargo`, excluded from both sides), rows
+    * after validate. The embargo is what [[trainValSplit]]'s hash
+    * split cannot give a time-series model: features computed over
+    * trailing windows (EWMA, rolling counts, session aggregates)
+    * near the boundary would otherwise leak label-period information
+    * into training — the look-ahead bias that makes backtests lie.
+    *
+    * The cutoff is the `1 - valNum/valDen` point of the observed TIME
+    * RANGE, in pure int64 arithmetic (`mn + ((mx-mn)*(den-num)) div
+    * den`) — engine-exact, no float, no order statistics. Scale
+    * shape: one map-side-combinable min/max agg produces a 1-row
+    * bound relation that broadcasts onto a scan-speed projection; the
+    * corpus itself never shuffles. (A count-quantile cutoff would
+    * need a global sort or sketch; a time-range cutoff is the one a
+    * production backtest actually pins — "train through March,
+    * embargo a day, validate April".) */
+  def purgedTemporalSplit(df: DataFrame, tsCol: Column,
+                          valNum: Int, valDen: Int,
+                          embargo: Long): DataFrame = {
+    require(valDen > 0 && valNum >= 0 && valNum <= valDen && embargo >= 0)
+    val bounds = broadcast(df.agg(
+      min(tsCol).cast("long").as("_mn"), max(tsCol).cast("long").as("_mx")))
+    val cut = expr(s"_mn + ((_mx - _mn) * ${valDen - valNum}L) div $valDen")
+    df.crossJoin(bounds)
+      .withColumn("split",
+        when(tsCol <= cut, "train")
+          .when(tsCol <= cut + embargo, "embargo")
+          .otherwise("val"))
+      .drop("_mn", "_mx")
+  }
 }

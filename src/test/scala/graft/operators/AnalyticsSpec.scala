@@ -649,4 +649,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(s2.forall(r => r.isNullAt(2) && r.isNullAt(3)),
       "singular normal equations must yield null predictions")
   }
+
+  test("woeEncode: hand-computed WOE/IV, unseen-category zero, IV non-negative") {
+    val fit = Seq(("a", "en"), ("a", "en"), ("a", "en"), ("a", "de"),
+      ("b", "de"), ("b", "de")).toDF("source", "lang")
+    val apply = Seq((1L, "a"), (2L, "b"), (3L, "zz")).toDF("doc_id", "source")
+    val out = Analytics.woeEncode(fit, apply, "source",
+        col("lang") === "en", Seq(col("doc_id")))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // a: pos 3 neg 1; b: pos 0 neg 2; ptot 3 ntot 3
+    def woe(p: Long, n: Long) =
+      math.log(((p + 0.5) * 3.5) / ((n + 0.5) * 3.5))
+    def share(p: Long, n: Long) = (p + 0.5) / 3.5 - (n + 0.5) / 3.5
+    val iv = BigDecimal(share(3, 1) * woe(3, 1) + share(0, 2) * woe(0, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(1L)._1 - woe(3, 1)) < 1e-6, s"woe(a): $out")
+    assert(math.abs(out(2L)._1 - woe(0, 2)) < 1e-6, s"woe(b): $out")
+    assert(out(3L)._1 == 0.0, s"unseen category must encode 0: $out")
+    assert(out.values.map(_._2).toSet == Set(iv), s"iv: $out vs $iv")
+    // smoothing gives share and woe the same sign per cell -> IV >= 0
+    assert(iv >= 0.0)
+  }
 }

@@ -193,4 +193,26 @@ class SamplingSpec extends SparkSpec {
       col("w"), col("id"), k = 5)
     assert(z.isEmpty)
   }
+
+  test("purgedTemporalSplit: exact band edges and the no-leakage gap") {
+    val rows = (0L to 100L).map(ts => (ts, ts)).toDF("id", "ts")
+    val split = Sampling.purgedTemporalSplit(rows, col("ts"), 1, 5, 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // range [0,100], cutoff = 0 + (100*4) div 5 = 80
+    assert(split.size == 101, "a row was lost or duplicated")
+    assert((0L to 80L).forall(split(_) == "train"))
+    assert((81L to 90L).forall(split(_) == "embargo"))
+    assert((91L to 100L).forall(split(_) == "val"))
+    // the property the embargo exists for: min(val) - max(train) > embargo
+    assert(91L - 80L > 10L)
+    // valNum = 0 puts the cutoff at max ts: everything trains
+    val all = Sampling.purgedTemporalSplit(rows, col("ts"), 0, 5, 10L)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(all == Set("train"))
+    // partitioning-invariant (no hash, no order dependence)
+    val re = Sampling.purgedTemporalSplit(rows.repartition(7), col("ts"),
+        1, 5, 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(re == split)
+  }
 }
