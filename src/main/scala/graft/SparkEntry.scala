@@ -1568,6 +1568,22 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // JL +/-1 random projection 64->16 with a bounded-pair
+    // distortion audit: the measured epsilon before committing the
+    // corpus to the projected representation
+    "q272_jl_distortion" -> ((s, dir) =>
+      Similarity.jlDistortion(t(s, dir, "embeddings"), maxId = 30L,
+        outDim = 16)),
+    // Split-conformal interval around the q250 OLS: rank-exact qhat
+    // from the calibration fold, test-fold coverage report
+    "q273_conformal_ols" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Analytics.conformalOls(
+        li.filter(col("l_orderkey") % 3 === 0),
+        li.filter(col("l_orderkey") % 3 === 1),
+        li.filter(col("l_orderkey") % 3 === 2),
+        col("l_extendedprice"), col("l_quantity"), col("l_discount"))
+    }),
     // Purged temporal split: train / 1-day embargo / val over the
     // event-time range -- the backtest split a hash split can't give
     "q270_purged_split" -> ((s, dir) => {
@@ -3955,6 +3971,110 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // JL matrix regenerates from md5('jl_p_i') parity (the q84
+    // recipe); distances are the same left-to-right list_sum folds
+    "q272_jl_distortion" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 30
+        |), m AS (
+        |  SELECT p, i,
+        |    CASE WHEN ('0x' || substr(md5('jl_' || p::VARCHAR || '_' ||
+        |      i::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |    THEN 1.0 ELSE -1.0 END AS s
+        |  FROM generate_series(0, 15) t(p), generate_series(0, 63) u(i)
+        |), ml AS (SELECT p, list(s ORDER BY i) AS sv FROM m GROUP BY p),
+        |pr AS (
+        |  SELECT c.vec_id, ml.p,
+        |    list_sum(list_transform(generate_series(1, len(c.v)),
+        |      i -> c.v[i]::DOUBLE * ml.sv[i])) * (1.0 / sqrt(16.0)) AS y
+        |  FROM c, ml
+        |), pl AS (
+        |  SELECT vec_id, list(y ORDER BY p) AS pv FROM pr GROUP BY vec_id
+        |), j AS (
+        |  SELECT c.vec_id, c.v, pl.pv FROM c JOIN pl USING (vec_id)
+        |), d AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (a.v[i]::DOUBLE - b.v[i]::DOUBLE) *
+        |           (a.v[i]::DOUBLE - b.v[i]::DOUBLE)))) AS dor,
+        |    sqrt(list_sum(list_transform(generate_series(1, 16),
+        |      i -> (a.pv[i] - b.pv[i]) * (a.pv[i] - b.pv[i])))) AS dpr
+        |  FROM j a JOIN j b ON a.vec_id < b.vec_id
+        |)
+        |SELECT a, b, round(dor, 6) AS d_orig, round(dpr, 6) AS d_proj,
+        |  round(CASE WHEN dor <> 0 THEN dpr / dor END, 6) AS ratio
+        |FROM d""".stripMargin,
+    // q250's Cramer replay on fold 0, rank-exact qhat on fold 1,
+    // coverage on fold 2; NULL-qhat guard mirrors the Spark side
+    "q273_conformal_ols" ->
+      """WITH f AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
+        |  FROM lineitem WHERE l_orderkey % 3 = 0
+        |    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS a,
+        |    sum(x2)::BIGINT AS b, sum(x1 * x1)::BIGINT AS c,
+        |    sum(x1 * x2)::BIGINT AS d, sum(x2 * x2)::BIGINT AS e,
+        |    sum(y)::BIGINT AS t0, sum(x1 * y)::BIGINT AS t1,
+        |    sum(x2 * y)::BIGINT AS t2
+        |  FROM f
+        |), md AS (
+        |  SELECT n::DOUBLE AS n, a::DOUBLE AS a, b::DOUBLE AS b,
+        |    c::DOUBLE AS c, d::DOUBLE AS d, e::DOUBLE AS e,
+        |    t0::DOUBLE AS t0, t1::DOUBLE AS t1, t2::DOUBLE AS t2
+        |  FROM m
+        |), dt AS (
+        |  SELECT
+        |    n * (c * e - d * d) - a * (a * e - d * b)
+        |      + b * (a * d - c * b) AS det,
+        |    t0 * (c * e - d * d) - a * (t1 * e - d * t2)
+        |      + b * (t1 * d - c * t2) AS det0,
+        |    n * (t1 * e - d * t2) - t0 * (a * e - d * b)
+        |      + b * (a * t2 - t1 * b) AS det1,
+        |    n * (c * t2 - t1 * d) - a * (a * t2 - t1 * b)
+        |      + t0 * (a * d - c * b) AS det2
+        |  FROM md
+        |), cf AS (
+        |  SELECT CASE WHEN det <> 0 THEN det0 / det END AS b0,
+        |    CASE WHEN det <> 0 THEN det1 / det END AS b1,
+        |    CASE WHEN det <> 0 THEN det2 / det END AS b2
+        |  FROM dt
+        |), cal AS (
+        |  SELECT abs(round((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    - (b0 + b1 * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |      + b2 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) / 100,
+        |    6)) AS ar
+        |  FROM lineitem, cf
+        |  WHERE l_orderkey % 3 = 1 AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |), kk AS (
+        |  SELECT count(*)::BIGINT AS n_cal,
+        |    ((9 * (count(*) + 1)) + 9) // 10 AS k
+        |  FROM cal
+        |), rk AS (
+        |  SELECT ar, row_number() OVER (ORDER BY ar) AS rn FROM cal
+        |), qh AS (
+        |  SELECT kk.n_cal, kk.k, rk.ar AS qhat
+        |  FROM kk LEFT JOIN rk ON rk.rn = kk.k
+        |), te AS (
+        |  SELECT abs(round((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    - (b0 + b1 * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |      + b2 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) / 100,
+        |    6)) AS ar
+        |  FROM lineitem, cf
+        |  WHERE l_orderkey % 3 = 2 AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |)
+        |SELECT qh.n_cal, qh.k, qh.qhat, count(*)::BIGINT AS n_test,
+        |  sum(CASE WHEN qh.qhat IS NULL THEN NULL
+        |    WHEN te.ar <= qh.qhat THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+        |  round(sum(CASE WHEN qh.qhat IS NULL THEN NULL
+        |    WHEN te.ar <= qh.qhat THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |    AS coverage
+        |FROM te, qh GROUP BY qh.n_cal, qh.k, qh.qhat""".stripMargin,
     // time-range cutoff in pure int64 arithmetic (div = floor
     // division on non-negative range; DuckDB // is the same)
     "q270_purged_split" ->

@@ -1439,4 +1439,50 @@ object Analytics {
       .select(idCols :+ col(catCol) :+
         round(coalesce(col("_woe"), lit(0.0)), 6).as("woe") :+ col("iv"): _*)
   }
+
+  /** Split-conformal prediction interval around [[olsFitApply]]: fit
+    * on one fold, take `q̂` = the `⌈covNum·(n+1)/covDen⌉`-th smallest
+    * absolute calibration residual, and report test-fold coverage of
+    * `pred ± q̂` — the distribution-free guarantee (coverage ≥
+    * covNum/covDen for exchangeable data) that turns a point
+    * predictor into an honest interval, with NO parametric noise
+    * assumption. When the calibration fold is too small for the rank
+    * to exist (`k > n_cal`), the honest interval is infinite: q̂ and
+    * the coverage columns come back NULL rather than a clamped lie.
+    *
+    * Exactness: residuals inherit olsFitApply's cent-quantized
+    * arithmetic and 6-dp rounding, the rank is pure int64
+    * (`(covNum·(n+1) + covDen−1) div covDen`), and q̂ is a VALUE at an
+    * integer rank — ties among equal residuals can permute rows, not
+    * the selected value.
+    *
+    * Scale shape: the fit moments and the 1-row (n, k) relation are
+    * map-side-combined aggs; the rank selection sorts ONLY the
+    * calibration fold's |resid| column (calibration sets are bounded
+    * by design in split conformal — at 100 TB you calibrate on a
+    * sample, not the corpus); the test fold never shuffles — coverage
+    * is a scan-speed comparison against the broadcast q̂. */
+  def conformalOls(fit: DataFrame, cal: DataFrame, test: DataFrame,
+                   yCol: Column, x1Col: Column, x2Col: Column,
+                   covNum: Int = 9, covDen: Int = 10): DataFrame = {
+    require(covDen > 0 && covNum > 0 && covNum <= covDen)
+    import org.apache.spark.sql.expressions.Window
+    val calR = olsFitApply(fit, cal, yCol, x1Col, x2Col, Seq(lit(0L).as("_z")))
+      .select(abs(col("resid")).as("_ar"))
+    val kRel = calR.agg(count(lit(1)).as("n_cal")).select(col("n_cal"),
+      expr(s"(($covNum * (n_cal + 1)) + ${covDen - 1}) div $covDen").as("k"))
+    val ranked = calR.withColumn("_rn",
+      row_number().over(Window.orderBy("_ar")).cast("long"))
+    val qhat = broadcast(kRel.join(ranked, col("_rn") === col("k"), "left")
+      .select(col("n_cal"), col("k"), col("_ar").as("qhat")))
+    olsFitApply(fit, test, yCol, x1Col, x2Col, Seq(lit(0L).as("_z")))
+      .crossJoin(qhat)
+      .agg(max("n_cal").as("n_cal"), max("k").as("k"),
+        max("qhat").as("qhat"), count(lit(1)).as("n_test"),
+        sum(when(col("qhat").isNull, lit(null).cast("long"))
+          .when(abs(col("resid")) <= col("qhat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage", when(col("n_test") > 0,
+        round(col("n_covered").cast("double") / col("n_test"), 6)))
+  }
 }

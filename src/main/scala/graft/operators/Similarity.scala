@@ -575,4 +575,62 @@ object Similarity {
       .map { case ((id, r), i) => (id, (i + 1).toLong, r) }.toSeq
       .toDF("vec_id", "pick", "rel")
   }
+
+  /** Johnson–Lindenstrauss random projection: embed `dim`-wide
+    * vectors into `outDim` dimensions with the ±1 (Achlioptas /
+    * database-friendly) projection `y_p = dot(v, R_p) / √outDim`,
+    * where row `R_p` regenerates from md5 parity exactly like
+    * [[srpSearch]]'s hyperplanes (seed tag keeps the two matrices
+    * independent). JL is the cheap front half of every
+    * distance-based pipeline at 100 TB: a 64→16 projection cuts the
+    * bytes every downstream pairwise stage shuffles by 4× while
+    * ~preserving L2 distances — and unlike PCA it needs NO fit pass.
+    *
+    * Scale shape: the matrix is a plan-time literal (broadcast with
+    * the closure, zero jobs); projection is `outDim` codegen'd dots
+    * fused into the scan — no shuffle, no state. */
+  def jlProject(df: DataFrame, outDim: Int, dim: Int = 64,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1 && outDim <= dim)
+    val mat: Seq[Array[Float]] = (0 until outDim).map { p =>
+      Array.tabulate(dim)(i =>
+        if (graft.functions.HashFunctions.md5Long60(s"jl_${p}_${i}") % 2 == 0)
+          1f else -1f)
+    }
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    df.select(col(idCol), col(vecCol),
+      array((0 until outDim).map(p =>
+        dot(col(vecCol), typedLit(mat(p))) * lit(inv)): _*).as("proj"))
+  }
+
+  /** JL distortion audit over the all-pairs of a BOUNDED id sample:
+    * original vs projected L2 distance and their ratio — the
+    * measured ε that tells you whether `outDim` is enough before you
+    * commit the whole corpus to the projected representation. The
+    * sample relation is tiny (ids below `maxId`), so the pair join
+    * is a broadcast cross of bounded size; the corpus itself is
+    * untouched. */
+  def jlDistortion(df: DataFrame, maxId: Long, outDim: Int,
+                   dim: Int = 64, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val proj = jlProject(df.filter(col(idCol) < maxId), outDim, dim,
+      idCol, vecCol)
+    def dist(a: Column, b: Column): Column =
+      sqrt(aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+    val l = proj.select(col(idCol).as("a"), col(vecCol).as("_av"),
+      col("proj").as("_ap"))
+    val r = proj.select(col(idCol).as("b"), col(vecCol).as("_bv"),
+      col("proj").as("_bp"))
+    l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(dist(col("_av"), col("_bv")), 6).as("d_orig"),
+        round(dist(col("_ap"), col("_bp")), 6).as("d_proj"),
+        round(when(dist(col("_av"), col("_bv")) =!= 0,
+          dist(col("_ap"), col("_bp")) / dist(col("_av"), col("_bv"))), 6)
+          .as("ratio"))
+  }
 }

@@ -671,4 +671,27 @@ class AnalyticsSpec extends SparkSpec {
     // smoothing gives share and woe the same sign per cell -> IV >= 0
     assert(iv >= 0.0)
   }
+
+  test("conformalOls: rank-exact qhat, coverage, tiny-cal null interval") {
+    // fit pins the plane y = x1 exactly (x2 coefficient 0)
+    val fit = Seq((0.0, 0.0, 0.0), (1.0, 0.0, 1.0), (0.0, 1.0, 0.0),
+      (2.0, 1.0, 2.0)).toDF("x1", "x2", "y")
+    // 9 calibration rows with |resid| = 0..8  =>  k = ceil(9*10/10) = 9,
+    // qhat = 9th smallest = 8
+    val cal = (0 to 8).map(r => (0.0, 0.0, r.toDouble)).toDF("x1", "x2", "y")
+    // test residuals 5 (covered) and 9 (not)
+    val test = Seq((0.0, 0.0, 5.0), (0.0, 0.0, 9.0)).toDF("x1", "x2", "y")
+    val out = Analytics.conformalOls(fit, cal, test,
+      col("y"), col("x1"), col("x2")).collect().head
+    assert(out.getLong(0) == 9 && out.getLong(1) == 9, s"n_cal/k: $out")
+    assert(out.getDouble(2) == 8.0, s"qhat: $out")
+    assert(out.getLong(3) == 2 && out.getLong(4) == 1, s"covered: $out")
+    assert(out.getDouble(5) == 0.5, s"coverage: $out")
+    // n_cal = 3 => k = ceil(9*4/10) = 4 > 3: interval is infinite,
+    // qhat and coverage must come back NULL, never a clamped value
+    val tiny = Analytics.conformalOls(fit, cal.limit(3), test,
+      col("y"), col("x1"), col("x2")).collect().head
+    assert(tiny.getLong(1) == 4 && tiny.isNullAt(2), s"tiny-cal qhat: $tiny")
+    assert(tiny.isNullAt(4) && tiny.isNullAt(5), s"tiny-cal coverage: $tiny")
+  }
 }

@@ -355,4 +355,52 @@ class SimilaritySpec extends SparkSpec {
       nCandidates = 3, k = 1).collect()
     assert(one.length == 1 && one.head.getLong(0) == 1L)
   }
+
+  test("jlProject: hand-folded projection, width, partitioning invariance") {
+    val dim = 8
+    val v = Array.tabulate(dim)(i => (i + 1).toFloat)
+    val df = Seq((1L, v.toSeq), (2L, v.map(-_).toSeq)).toDF("vec_id", "embedding")
+    val out = Similarity.jlProject(df, outDim = 4, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    // regenerate the +/-1 matrix exactly like the operator and fold by hand
+    val exp = (0 until 4).map { p =>
+      val row = Array.tabulate(dim)(i =>
+        if (graft.functions.HashFunctions.md5Long60(s"jl_${p}_${i}") % 2 == 0)
+          1.0 else -1.0)
+      v.zip(row).foldLeft(0.0)((acc, xy) => acc + xy._1 * xy._2) / 2.0
+    }
+    assert(out(1L).size == 4)
+    assert(out(1L).zip(exp).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+      s"${out(1L)} vs $exp")
+    // negated vector projects to the negation (linearity)
+    assert(out(1L).zip(out(2L)).forall { case (a, b) => a == -b })
+    val re = Similarity.jlProject(df.repartition(5), outDim = 4, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(re == out)
+  }
+
+  test("jlDistortion: axis pair preserved exactly, zero-distance pair nulls ratio") {
+    val dim = 8
+    val e1 = Array.tabulate(dim)(i => if (i == 0) 1f else 0f)
+    val df = Seq((1L, e1.toSeq), (2L, e1.map(-_).toSeq), (3L, e1.toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.jlDistortion(df, maxId = 10L, outDim = 4, dim = dim)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), if (r.isNullAt(4)) None
+         else Some(r.getDouble(4)))).toMap
+    // e1 vs -e1: d_orig = 2; projected cols are +/-1/sqrt(4) so
+    // d_proj = ||2 * Rcol1 / 2|| = sqrt(4 * 1) = 2 -> ratio exactly 1
+    assert(out((1L, 2L)) == ((2.0, 2.0, Some(1.0))), s"$out")
+    // identical vectors: zero distance, ratio must be NULL not inf/NaN
+    assert(out((1L, 3L)) == ((0.0, 0.0, None)), s"$out")
+    // distortion over pseudo-random vectors concentrates near 1
+    val rnd = (1L to 20L).map(id => (id, Array.tabulate(dim)(i =>
+      ((graft.functions.HashFunctions.md5Long60(s"$id:$i") % 1000) / 500.0 - 1.0)
+        .toFloat).toSeq)).toDF("vec_id", "embedding")
+    val ratios = Similarity.jlDistortion(rnd, maxId = 21L, outDim = 4,
+        dim = dim).collect().map(_.getDouble(4))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.6 && mean < 1.4, s"mean distortion $mean")
+  }
 }
