@@ -1568,6 +1568,38 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Binary-segmentation changepoint per event type: the boundary
+    // day maximizing the between-segment SS reduction over exact
+    // daily-cent prefix sums; earliest-t tiebreak
+    "q274_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(sum(expr("cast(floor(value * 100 + 0.5) as bigint)"))
+          .as("cents"))
+      TimeSeries.changepoint(daily, "event_type", col("day"), col("cents"))
+    }),
+    // l-diversity audit on top of q140's k-anonymity: classes whose
+    // sensitive value-band barely varies (homogeneity) or is
+    // dominated by one band (integer cross-multiplied share test)
+    "q275_l_diversity" -> ((s, dir) =>
+      graft.operators.Profiling.lDiversityAudit(
+        t(s, dir, "events")
+          .filter(col("event_type").isNotNull && col("value").isNotNull)
+          .withColumn("day", expr("(ts div 1000) div 86400000000"))
+          .withColumn("band",
+            expr("cast(floor(value * 100 + 0.5) as bigint) div 1000")),
+        Seq("event_type", "day"), col("band"), l = 30L, maxSharePct = 8L)),
+    // Wald SPRT early-stop monitor: per md5-parity arm, cumulative
+    // Bernoulli LLR in (ts, event_id) order, first bound crossing
+    "q276_sprt_monitor" -> ((s, dir) =>
+      Analytics.sprtMonitor(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        when(graft.functions.HashFunctions.md5Long(
+          col("user_id").cast("string")) % 2 === 0, "A").otherwise("B"),
+        Seq(col("ts"), col("event_id")),
+        col("event_type") === "purchase", p0 = 0.2, p1 = 0.4)),
     // JL +/-1 random projection 64->16 with a bounded-pair
     // distortion audit: the measured epsilon before committing the
     // corpus to the projected representation
@@ -3971,6 +4003,94 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // exact int64 prefix sums; gain is one fixed double expression
+    // over them (HUGEINT sums cast back to BIGINT in the CTE)
+    "q274_changepoint" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, day,
+        |    (count(*) OVER wc)::BIGINT AS nl, (sum(x) OVER wc)::BIGINT AS sl,
+        |    (count(*) OVER wa)::BIGINT AS n, (sum(x) OVER wa)::BIGINT AS s
+        |  FROM d
+        |  WINDOW wc AS (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING),
+        |  wa AS (PARTITION BY event_type)
+        |), g AS (
+        |  SELECT event_type, day, nl, sl, n, s,
+        |    sl::DOUBLE * sl / nl + (s - sl)::DOUBLE * (s - sl) / (n - nl)
+        |      - s::DOUBLE * s / n AS gain
+        |  FROM c WHERE nl < n
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gain DESC, day) AS rn
+        |  FROM g
+        |)
+        |SELECT event_type, day AS t_split, nl AS n_left,
+        |  (n - nl)::BIGINT AS n_right,
+        |  round(sl::DOUBLE / nl, 6) AS mean_left,
+        |  round((s - sl)::DOUBLE / (n - nl), 6) AS mean_right,
+        |  gain
+        |FROM r WHERE rn = 1""".stripMargin,
+    // two stacked exact aggs; the share test cross-multiplies ints
+    "q275_l_diversity" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000 AS band
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), cells AS (
+        |  SELECT event_type, day, band, count(*)::BIGINT AS cn
+        |  FROM b GROUP BY 1, 2, 3
+        |), cls AS (
+        |  SELECT event_type, day, sum(cn)::BIGINT AS n_records,
+        |    count(*)::BIGINT AS n_sensitive, max(cn)::BIGINT AS top_count
+        |  FROM cells GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, n_records, n_sensitive, top_count,
+        |  n_sensitive < 30 AS low_diversity,
+        |  top_count * 100 > n_records * 8 AS skewed
+        |FROM cls
+        |WHERE n_sensitive < 30 OR top_count * 100 > n_records * 8""".stripMargin,
+    // LLR constants spell the identical literal arithmetic as the
+    // Spark side (ln(0.4/0.2), never a simplified constant)
+    "q276_sprt_monitor" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1,
+        |      15))::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    epoch_ns(ts) AS tsn, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+        |  FROM events WHERE user_id IS NOT NULL
+        |), cum AS (
+        |  SELECT arm, (count(*) OVER w)::BIGINT AS n,
+        |    (sum(c) OVER w)::BIGINT AS k
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY arm ORDER BY tsn, event_id
+        |    ROWS UNBOUNDED PRECEDING)
+        |), dc AS (
+        |  SELECT arm, n,
+        |    k * ln(0.4 / 0.2) + (n - k) * ln((1 - 0.4) / (1 - 0.2)) AS llr
+        |  FROM cum
+        |), fl AS (
+        |  SELECT arm, n, llr,
+        |    CASE WHEN llr >= ln((1 - 0.05) / 0.05) THEN 'h1'
+        |         WHEN llr <= ln(0.05 / (1 - 0.05)) THEN 'h0' END AS dec
+        |  FROM dc
+        |), tot AS (
+        |  SELECT arm, max(n)::BIGINT AS n_total,
+        |    round(arg_max(llr, n), 6) AS final_llr
+        |  FROM fl GROUP BY arm
+        |), cx AS (
+        |  SELECT arm, min(n)::BIGINT AS n_decide,
+        |    arg_min(dec, n) AS decision,
+        |    round(arg_min(llr, n), 6) AS llr_decide
+        |  FROM fl WHERE dec IS NOT NULL GROUP BY arm
+        |)
+        |SELECT t.arm, t.n_total, t.final_llr, cx.n_decide,
+        |  coalesce(cx.decision, 'continue') AS decision, cx.llr_decide
+        |FROM tot t LEFT JOIN cx USING (arm)""".stripMargin,
     // JL matrix regenerates from md5('jl_p_i') parity (the q84
     // recipe); distances are the same left-to-right list_sum folds
     "q272_jl_distortion" ->

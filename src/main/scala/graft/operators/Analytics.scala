@@ -1485,4 +1485,56 @@ object Analytics {
       .withColumn("coverage", when(col("n_test") > 0,
         round(col("n_covered").cast("double") / col("n_test"), 6)))
   }
+
+  /** Wald SPRT early-stopping monitor over a Bernoulli conversion
+    * stream: per arm, the cumulative log-likelihood ratio
+    * `LLR_n = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0))` in event order,
+    * the FIRST crossing of the Wald bounds `ln((1−β)/α)` /
+    * `ln(β/(1−α))`, and the end-of-stream state — "could we have
+    * stopped this test early, and when", the sequential read the
+    * fixed-horizon [[abLift]] z-test can't give without peeking
+    * penalties. Decisions: `h1` (upper bound crossed), `h0` (lower),
+    * `continue` (never crossed; n_decide/llr_decide NULL).
+    *
+    * Determinism: k and n are exact int64 prefix counts in the
+    * caller's total order; the four log constants are plan-time
+    * literals whose SQL duals spell the IDENTICAL literal arithmetic
+    * (`ln((1 - 0.4) / (1 - 0.2))`, never a simplified constant), so
+    * both engines scale the same integers by the same doubles. LLR
+    * steps are O(0.1)-sized, so a bound crossing is never decided by
+    * a last-ulp libm difference in practice.
+    *
+    * Scale shape: one cumulative frame window per arm (arms are few;
+    * each arm's stream sorts once) and two bounded aggs; at
+    * production scale the same statistic folds incrementally in a
+    * streaming state store — this is the batch/backtest form. */
+  def sprtMonitor(df: DataFrame, armCol: Column, order: Seq[Column],
+                  conv: Column, p0: Double, p1: Double,
+                  alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0)
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1)
+    import org.apache.spark.sql.expressions.Window
+    val c1 = math.log(p1 / p0)
+    val c2 = math.log((1 - p1) / (1 - p0))
+    val lnA = math.log((1 - beta) / alpha)
+    val lnB = math.log(beta / (1 - alpha))
+    val w = Window.partitionBy("_arm").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = df.withColumn("_arm", armCol)
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_k", sum(when(conv, 1L).otherwise(0L)).over(w))
+      .withColumn("_llr", col("_k") * lit(c1) + (col("_n") - col("_k")) * lit(c2))
+      .withColumn("_dec",
+        when(col("_llr") >= lnA, "h1").when(col("_llr") <= lnB, "h0"))
+    val tot = cum.groupBy("_arm").agg(max("_n").as("n_total"),
+      round(max_by(col("_llr"), col("_n")), 6).as("final_llr"))
+    val cross = cum.filter(col("_dec").isNotNull)
+      .groupBy("_arm").agg(min("_n").as("n_decide"),
+        min_by(col("_dec"), col("_n")).as("_d"),
+        round(min_by(col("_llr"), col("_n")), 6).as("llr_decide"))
+    tot.join(cross, Seq("_arm"), "left")
+      .select(col("_arm").as("arm"), col("n_total"), col("final_llr"),
+        col("n_decide"), coalesce(col("_d"), lit("continue")).as("decision"),
+        col("llr_decide"))
+  }
 }

@@ -129,6 +129,38 @@ object Profiling {
       .filter(col("n_records") < k)
   }
 
+  /** l-diversity audit, [[kAnonymityAudit]]'s second line of defense:
+    * a quasi-identifier class can be large (k-anonymous) yet reveal
+    * everyone's SENSITIVE value if that value barely varies inside
+    * the class. Flags classes where the sensitive attribute takes
+    * fewer than `l` distinct values (`low_diversity` — homogeneity
+    * attack) or where one value holds more than `maxSharePct`% of
+    * the records (`skewed` — probabilistic inference attack; the
+    * share test is exact integer cross-multiplication, no float).
+    * NULL counts as one sensitive value — "field missing" is itself
+    * an inference. Returns violating classes only.
+    *
+    * Scale shape: two stacked map-side-combinable aggs — (quasi,
+    * sensitive) cells, then per-class rollup of cell counts; output
+    * is violating-classes-sized. The fix (generalize the quasi cols,
+    * widen sensitive buckets) happens upstream and re-audits. */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensCol: Column, l: Long,
+                      maxSharePct: Long = 100L): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2 &&
+      maxSharePct >= 1 && maxSharePct <= 100)
+    val cells = df.groupBy(quasiCols.map(col) :+ sensCol.as("_sv"): _*)
+      .agg(count(lit(1)).as("_cn"))
+    cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum("_cn").as("n_records"),
+        count(lit(1)).as("n_sensitive"),
+        max("_cn").as("top_count"))
+      .withColumn("low_diversity", col("n_sensitive") < l)
+      .withColumn("skewed",
+        col("top_count") * 100L > col("n_records") * maxSharePct)
+      .filter(col("low_diversity") || col("skewed"))
+  }
+
   /** Header/lines reconciliation: does each header's stored total
     * equal the sum of its line amounts? One verdict row:
     * (n_headers, n_no_lines, n_mismatch beyond `tolerance`,

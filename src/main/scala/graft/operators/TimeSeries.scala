@@ -578,4 +578,65 @@ object TimeSeries {
         round(when(col("n_window") > 1 && vx > 0 && vy > 0,
           num / sqrt(vx * vy)), 6))
   }
+
+  /** Single-split binary-segmentation changepoint: per group, the
+    * boundary that maximizes the between-segment sum-of-squares
+    * reduction `S_l²/n_l + S_r²/n_r − S²/n` — the first (and often
+    * only needed) step of the classic changepoint recursion, and the
+    * "did the level shift, and WHEN" read that CUSUM's sequential
+    * drift alarm ([[cusumDrift]]) doesn't give directly. Ties break
+    * to the EARLIEST boundary. Returns one row per group: split
+    * point (last t of the left segment), segment sizes, segment
+    * means, and the gain.
+    *
+    * Exactness: callers pass integer-quantized x (pre-aggregated
+    * counts/cents), so prefix sums are exact int64; each gain is a
+    * fixed double expression over those integers — identical
+    * operands and op order in any engine, with the deterministic
+    * (gain DESC, t) tiebreak on top.
+    *
+    * Scale shape: bounded-series contract (daily/hourly rollups per
+    * group — the mannKendall/xcorr posture): two frame windows and
+    * one rank window over the bounded per-group series; the raw
+    * corpus reduces to that series in one map-side-combinable agg
+    * upstream. */
+  def changepoint(series: DataFrame, groupCol: String, tCol: Column,
+                  xCol: Column, scale: Long = 1L): DataFrame = {
+    require(scale >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val base = series.filter(tCol.isNotNull && xCol.isNotNull)
+      .select(col(groupCol).as("_g"), tCol.cast("long").as("_t"),
+        xCol.cast("long").as("_x"))
+    val wCum = Window.partitionBy("_g").orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("_g")
+    val sr = (col("_s") - col("_sl")).cast("double")
+    val nr = (col("_n") - col("_nl"))
+    val gain = col("_sl").cast("double") * col("_sl") / col("_nl") +
+      sr * (col("_s") - col("_sl")) / nr -
+      col("_s").cast("double") * col("_s") / col("_n")
+    val pick = Window.partitionBy("_g")
+      .orderBy(col("_gain").desc, col("_t"))
+    base
+      .withColumn("_nl", count(lit(1)).over(wCum))
+      .withColumn("_sl", sum("_x").over(wCum))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_s", sum("_x").over(wAll))
+      .filter(col("_nl") < col("_n"))
+      .withColumn("_gain", gain)
+      .withColumn("_rn", row_number().over(pick))
+      .filter(col("_rn") === 1)
+      .select(col("_g").as(groupCol), col("_t").as("t_split"),
+        col("_nl").as("n_left"), nr.as("n_right"),
+        round(col("_sl").cast("double") / col("_nl") / scale, 6)
+          .as("mean_left"),
+        round(sr / nr / scale, 6).as("mean_right"),
+        // gain ships UNROUNDED: its magnitude is ~(Σx)²/n, and
+        // decimal rounding a double that large is itself lossy in
+        // some engines (×10⁶ exceeds 2⁵³ — DuckDB's round() drifts
+        // ulps there). The raw double IS engine-identical: every
+        // operand is an exact int64 and the expression is three
+        // IEEE mult/div terms in fixed order.
+        (col("_gain") / (scale.toDouble * scale)).as("gain"))
+  }
 }

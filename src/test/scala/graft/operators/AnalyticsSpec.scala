@@ -694,4 +694,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(tiny.getLong(1) == 4 && tiny.isNullAt(2), s"tiny-cal qhat: $tiny")
     assert(tiny.isNullAt(4) && tiny.isNullAt(5), s"tiny-cal coverage: $tiny")
   }
+
+  test("sprtMonitor: h1/h0 crossings at hand-computed n, short stream continues") {
+    // p0=0.2 p1=0.4: per-conversion step ln2~0.693, per-miss ln0.75~-0.288
+    // all-hits arm crosses ln19~2.944 at n=5; all-miss arm at n=11
+    val rows = (1 to 12).map(i => ("up", i.toLong, true)) ++
+      (1 to 12).map(i => ("dn", i.toLong, false)) ++
+      (1 to 3).map(i => ("sh", i.toLong, false))
+    val df = rows.toDF("arm", "seq", "hit")
+    val out = Analytics.sprtMonitor(df, col("arm"), Seq(col("seq")),
+        col("hit"), p0 = 0.2, p1 = 0.4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c1 = math.log(0.4 / 0.2); val c2 = math.log((1 - 0.4) / (1 - 0.2))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val up = out("up")
+    assert(up.getLong(1) == 12 && up.getLong(3) == 5 &&
+      up.getString(4) == "h1", s"$up")
+    assert(up.getDouble(5) == r6(5 * c1), s"llr at crossing: $up")
+    val dn = out("dn")
+    assert(dn.getLong(3) == 11 && dn.getString(4) == "h0", s"$dn")
+    assert(dn.getDouble(5) == r6(11 * c2), s"$dn")
+    val sh = out("sh")
+    assert(sh.getString(4) == "continue" && sh.isNullAt(3) && sh.isNullAt(5),
+      s"$sh")
+    assert(sh.getDouble(2) == r6(3 * c2), s"final llr: $sh")
+  }
 }

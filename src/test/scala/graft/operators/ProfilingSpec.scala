@@ -347,4 +347,31 @@ class ProfilingSpec extends SparkSpec {
     val c = Profiling.theilsU(const, "x", "y").collect().head
     assert(c.getDouble(0) == 0.0 && c.isNullAt(2), s"constant y: $c")
   }
+
+  test("lDiversityAudit: homogeneity and skew flags, diverse class passes, NULL is a value") {
+    val rows = Seq(
+      // class A: 6 records, bands {1 x4, 2, 3} -> 3 distinct, top 4
+      ("A", 1L), ("A", 1L), ("A", 1L), ("A", 1L), ("A", 2L), ("A", 3L),
+      // class B: 6 records, all distinct -> passes both tests
+      ("B", 1L), ("B", 2L), ("B", 3L), ("B", 4L), ("B", 5L), ("B", 6L))
+      .toDF("cls", "band")
+    val out = Profiling.lDiversityAudit(rows, Seq("cls"), col("band"),
+        l = 4L, maxSharePct = 50L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(out.keySet == Set("A"), s"diverse class flagged: $out")
+    assert(out("A") == ((6L, 3L, 4L, true, true)), s"$out")
+    // boundary: top share exactly maxSharePct does NOT flag (strict >)
+    val edge = Seq(("C", 1L), ("C", 1L), ("C", 2L), ("C", 3L))
+      .toDF("cls", "band")
+    assert(Profiling.lDiversityAudit(edge, Seq("cls"), col("band"),
+      l = 2L, maxSharePct = 50L).collect().isEmpty)
+    // NULL sensitive value counts as one distinct value
+    val withNull = Seq(("D", Some(1L)), ("D", None), ("D", Some(2L)))
+      .toDF("cls", "band")
+    val d = Profiling.lDiversityAudit(withNull, Seq("cls"), col("band"),
+      l = 4L, maxSharePct = 100L).collect().head
+    assert(d.getLong(2) == 3L, s"null band not counted: $d")
+  }
 }

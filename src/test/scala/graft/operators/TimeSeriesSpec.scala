@@ -325,4 +325,25 @@ class TimeSeriesSpec extends SparkSpec {
       col("x"), col("y"), k = 3).collect()
     assert(c.forall(_.isNullAt(4)), "constant y -> undefined everywhere")
   }
+
+  test("changepoint: planted level shift found; constant series ties to earliest") {
+    val step = Seq(("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 0L),
+      ("g", 4L, 10L), ("g", 5L, 10L),
+      ("h", 1L, 5L), ("h", 2L, 5L)).toDF("grp", "t", "x")
+    val out = TimeSeries.changepoint(step, "grp", col("t"), col("x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+         r.getDouble(5), r.getDouble(6))).toMap
+    // g: split after t=3 -> means 0 / 10, gain = 0 + 400/2 - 400/5 = 120
+    assert(out("g") == ((3L, 3L, 2L, 0.0, 10.0, 120.0)), s"$out")
+    // h is constant: every boundary has gain 0 -> earliest t wins
+    assert(out("h")._1 == 1L && out("h")._6 == 0.0, s"$out")
+    // null t / x rows are dropped, not misordered
+    val withNull = Seq(("g", Some(1L), Some(0L)), ("g", None, Some(9L)),
+      ("g", Some(2L), None), ("g", Some(3L), Some(8L)))
+      .toDF("grp", "t", "x")
+    val n = TimeSeries.changepoint(withNull, "grp", col("t"), col("x"))
+      .collect().head
+    assert(n.getLong(2) + n.getLong(3) == 2L, s"null rows leaked: $n")
+  }
 }
