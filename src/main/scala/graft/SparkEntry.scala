@@ -1568,6 +1568,32 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Embedding-tier decontamination: best benchmark cosine per
+    // corpus vector (broadcast bench, map-side struct-max argmax)
+    "q277_semantic_decon" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        e.filter(col("vec_id") % 10 =!= 0),
+        e.filter(col("vec_id") % 10 === 0), threshold = 0.25)
+    }),
+    // Modularity of the md5-parity partition over the event
+    // transition graph: per-community q_term + quantized-exact total
+    "q278_modularity" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val comms = ev.filter(col("event_type").isNotNull)
+        .select(col("event_type").as("node")).distinct()
+        .withColumn("community",
+          graft.functions.HashFunctions.md5Long(col("node")) % 2)
+      Graph.modularity(
+        Analytics.eventTransitions(ev, "user_id", "event_type",
+          Seq(col("ts"), col("event_id"))),
+        "src_type", "dst_type", col("n"), comms, "node", "community")
+    }),
+    // VAD-style segmentation over the binary payload: stubbed frame
+    // energy, real gaps-and-islands segment collapse
+    "q279_vad_segments" -> ((s, dir) =>
+      Multimodal.vadSegments(
+        Multimodal.asBinaryTable(t(s, dir, "documents")))),
     // Binary-segmentation changepoint per event type: the boundary
     // day maximizing the between-segment SS reduction over exact
     // daily-cent prefix sums; earliest-t tiebreak
@@ -4003,6 +4029,105 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // q28's cosine idiom; argmax = (cos DESC, bench_id) rank 1,
+    // exactly the Spark struct-max's tiebreak
+    "q277_semantic_decon" ->
+      """WITH bm AS (
+        |  SELECT vec_id AS bench_id, embedding AS bv
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |), c AS (
+        |  SELECT vec_id AS corpus_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 10 <> 0
+        |), s AS (
+        |  SELECT corpus_id, bench_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(cv)),
+        |        i -> cv[i]::DOUBLE * bv[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+        |        i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(bv)),
+        |        i -> bv[i]::DOUBLE * bv[i]::DOUBLE)))), 6) AS cos
+        |  FROM c, bm WHERE corpus_id <> bench_id
+        |), r AS (
+        |  SELECT corpus_id, bench_id, cos,
+        |    row_number() OVER (PARTITION BY corpus_id
+        |      ORDER BY cos DESC, bench_id) AS rn
+        |  FROM s
+        |)
+        |SELECT corpus_id, bench_id, cos
+        |FROM r WHERE rn = 1 AND cos >= 0.25""".stripMargin,
+    // q113's transition replay + the quantized-int64 total (the
+    // stationaryDist recipe)
+    "q278_modularity" ->
+      """WITH l AS (
+        |  SELECT event_type AS dst_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS src_type
+        |  FROM events WHERE user_id IS NOT NULL
+        |), tr AS (
+        |  SELECT src_type, dst_type, count(*)::BIGINT AS n
+        |  FROM l WHERE src_type IS NOT NULL GROUP BY 1, 2
+        |), cm AS (
+        |  SELECT DISTINCT event_type AS node,
+        |    ('0x' || substr(md5(event_type), 1, 15))::BIGINT % 2 AS community
+        |  FROM events WHERE event_type IS NOT NULL
+        |), tg AS (
+        |  SELECT cs.community AS sc, cdt.community AS dc, tr.n AS w
+        |  FROM tr JOIN cm cs ON tr.src_type = cs.node
+        |  JOIN cm cdt ON tr.dst_type = cdt.node
+        |), tw AS (SELECT sum(w)::BIGINT AS totw FROM tg),
+        |o AS (
+        |  SELECT sc AS community,
+        |    sum(CASE WHEN dc = sc THEN w ELSE 0 END)::BIGINT AS w_within,
+        |    sum(w)::BIGINT AS w_out
+        |  FROM tg GROUP BY sc
+        |), iw AS (
+        |  SELECT dc AS community, sum(w)::BIGINT AS w_in FROM tg GROUP BY dc
+        |), j AS (
+        |  SELECT coalesce(o.community, iw.community) AS community,
+        |    coalesce(w_within, 0)::BIGINT AS w_within,
+        |    coalesce(w_out, 0)::BIGINT AS w_out,
+        |    coalesce(w_in, 0)::BIGINT AS w_in
+        |  FROM o FULL JOIN iw ON o.community = iw.community
+        |), q AS (
+        |  SELECT community, w_within, w_out, w_in,
+        |    w_within::DOUBLE / totw - w_out::DOUBLE * w_in / totw / totw
+        |      AS qt
+        |  FROM j, tw
+        |)
+        |SELECT community, w_within, w_out, w_in,
+        |  round(qt, 6) AS q_term,
+        |  round((sum(CAST(floor(qt * 1e9 + 0.5) AS BIGINT))
+        |    OVER ())::DOUBLE / 1e9, 6) AS q_total
+        |FROM q""".stripMargin,
+    // q31's hex-frame idiom with stride 1; energy = frame-md5 first
+    // byte; islands collapse on frame_idx - row_number
+    "q279_vad_segments" ->
+      """WITH b AS (
+        |  SELECT doc_id, to_hex(encode(text)) AS hx,
+        |    octet_length(encode(text))::BIGINT AS n_bytes
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, hx,
+        |    unnest(generate_series(0,
+        |      greatest(ceil(n_bytes / 64.0)::BIGINT - 1, 0), 1)) AS frame_idx
+        |  FROM b
+        |), f AS (
+        |  SELECT doc_id, frame_idx,
+        |    ('0x' || substr(md5(substring(hx, (frame_idx * 128 + 1)::BIGINT,
+        |      128)), 1, 2))::BIGINT AS energy
+        |  FROM idx
+        |), sp AS (SELECT * FROM f WHERE energy >= 128),
+        |g AS (
+        |  SELECT doc_id, frame_idx, energy,
+        |    frame_idx - row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY frame_idx) AS grp
+        |  FROM sp
+        |)
+        |SELECT doc_id, min(frame_idx)::BIGINT AS seg_start,
+        |  max(frame_idx)::BIGINT AS seg_end, count(*)::BIGINT AS n_frames,
+        |  round(sum(energy)::DOUBLE / count(*), 6) AS mean_energy
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
     // exact int64 prefix sums; gain is one fixed double expression
     // over them (HUGEINT sums cast back to BIGINT in the CTE)
     "q274_changepoint" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge lists — the rank/propagation
@@ -396,5 +396,61 @@ object Graph {
         round(when(col("_th") > 0,
           col("hub").cast("double") / col("_th")).otherwise(0.0), 8)
           .as("hub"))
+  }
+
+  /** Directed weighted modularity of a GIVEN community assignment:
+    * per community c, the contribution
+    * `q_term = w_cc/W − (out_c·in_c)/W²` and the global
+    * `q_total = Σ q_term` — "did this partition actually cut the
+    * graph along its density", the quality read that scores
+    * [[labelPropagation]]'s (or any clustering's) output instead of
+    * trusting it. Positive q_term: the community holds more of its
+    * weight than a degree-preserving random rewire would give it.
+    *
+    * Exactness: w_cc, out_c, in_c, W are exact int64 sums; each term
+    * is a fixed double expression over them (`out::DOUBLE·in/W/W`
+    * divides twice rather than squaring W, so int overflow needs
+    * W > ~3·10⁹ edge weight — documented bound, not a silent wrap).
+    *
+    * Scale shape: two key-equi joins tag edge endpoints with their
+    * communities (broadcast when the node table is small,
+    * co-partitioned otherwise), then one map-side-combinable agg per
+    * community and one window over the BOUNDED community relation
+    * for the total. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 wCol: Column, comms: DataFrame, nodeCol: String,
+                 commCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cs = comms.select(col(nodeCol).as("_sn"), col(commCol).as("_sc"))
+    val cd = comms.select(col(nodeCol).as("_dn"), col(commCol).as("_dc"))
+    val tagged = edges
+      .select(col(srcCol).as("_sn"), col(dstCol).as("_dn"),
+        wCol.cast("long").as("_w"))
+      .join(broadcast(cs), Seq("_sn")).join(broadcast(cd), Seq("_dn"))
+    val tot = broadcast(tagged.agg(sum("_w").as("_tw")))
+    val byComm =
+      tagged.select(col("_sc").as("community"), col("_dc"), col("_w"))
+        .groupBy("community")
+        .agg(sum(when(col("_dc") === col("community"), col("_w"))
+          .otherwise(0L)).as("w_within"), sum("_w").as("w_out"))
+    val inW = tagged.groupBy(col("_dc").as("community"))
+      .agg(sum("_w").as("w_in"))
+    val term = col("w_within").cast("double") / col("_tw") -
+      col("w_out").cast("double") * col("w_in") / col("_tw") / col("_tw")
+    val wAll = Window.partitionBy(lit(1))
+    byComm.join(inW, Seq("community"), "full")
+      .select(col("community"),
+        coalesce(col("w_within"), lit(0L)).as("w_within"),
+        coalesce(col("w_out"), lit(0L)).as("w_out"),
+        coalesce(col("w_in"), lit(0L)).as("w_in"))
+      .crossJoin(tot)
+      .withColumn("q_term", term)
+      // ×10⁹-quantized int64 total (the stationaryDist recipe): both
+      // engines add the same integers in any order
+      .withColumn("q_total", round(
+        sum(floor(col("q_term") * 1e9 + lit(0.5)).cast("long")).over(wAll)
+          .cast("double") / 1e9, 6))
+      .withColumn("q_term", round(col("q_term"), 6))
+      .drop("_tw")
   }
 }

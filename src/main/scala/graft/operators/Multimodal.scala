@@ -131,4 +131,37 @@ object Multimodal {
       .agg((round(avg(col("_v0")), 6) + 0.0).as("e0"),
         (1 until dim).map(j => (round(avg(col(s"_v$j")), 6) + 0.0).as(s"e$j")): _*)
   }
+
+  /** VAD-style activity segmentation over a chunked binary payload
+    * ("audio"): per-frame ENERGY (stubbed as the frame-md5's first
+    * byte, same deterministic-fake policy as [[FakeCodec]] — a real
+    * deployment computes RMS in the codec seam), frames below
+    * `threshold` are silence, and consecutive active frames collapse
+    * into segments via the gaps-and-islands trick (`frame_idx −
+    * row_number` is constant within a run). Returns one row per
+    * segment: (doc_id, seg_start, seg_end, n_frames, mean_energy) —
+    * the silence-trim / speech-extract front end of an audio
+    * pipeline, with everything but the energy expression real.
+    *
+    * Scale shape: frames never leave their scan task (pure
+    * expressions); the only shuffle is the per-doc window over the
+    * doc's own ≤n_bytes/chunk frames, then a map-side-combinable
+    * segment agg. */
+  def vadSegments(binTable: DataFrame, chunkBytes: Int = 64,
+                  threshold: Long = 128L): DataFrame = {
+    require(chunkBytes >= 1 && threshold >= 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    sampleFrames(binTable, chunkBytes, stride = 1)
+      .withColumn("energy",
+        conv(substring(md5(hex(col("frame"))), 1, 2), 16, 10).cast("long"))
+      .filter(col("energy") >= threshold)
+      .withColumn("_grp", col("frame_idx") - row_number().over(w))
+      .groupBy("doc_id", "_grp")
+      .agg(min("frame_idx").as("seg_start"), max("frame_idx").as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        round(sum("energy").cast("double") / count(lit(1)), 6)
+          .as("mean_energy"))
+      .select("doc_id", "seg_start", "seg_end", "n_frames", "mean_energy")
+  }
 }

@@ -604,6 +604,41 @@ object Similarity {
         dot(col(vecCol), typedLit(mat(p))) * lit(inv)): _*).as("proj"))
   }
 
+  /** Semantic decontamination — the EMBEDDING tier of the benchmark
+    * hygiene ladder ([[Sampling.decontaminate]] exact →
+    * [[Sampling.ngramDecontaminate]] n-gram →
+    * [[Sampling.nearDupDecontaminate]] MinHash → this): flag corpus
+    * vectors whose best cosine against ANY benchmark vector reaches
+    * `threshold` — a paraphrased eval item shares no 13-gram and no
+    * shingle set, but its embedding still sits next to the original.
+    * Returns (corpus_id, bench_id of the best match, cos) for
+    * flagged rows; anti-join the ids to clean.
+    *
+    * Scale shape: the benchmark broadcasts (eval sets are small) and
+    * the corpus NEVER shuffles its vectors — the best-match argmax
+    * is a map-side-combinable struct-max (max cos, ties to the
+    * smallest bench_id), so only (corpus_id, best) pairs reach the
+    * exchange. A benchmark too large to broadcast moves to the
+    * [[ivfSearch]] cell-blocked shape — documented path, same
+    * output contract. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val b = broadcast(benchmark.select(col(idCol).as("_bid"),
+      col(vecCol).as("_bv"), norm(col(vecCol)).as("_bn")))
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"),
+        norm(col(vecCol)).as("_cn"))
+      .join(b, col("corpus_id") =!= col("_bid"))
+      .select(col("corpus_id"), col("_bid"),
+        round(dot(col("_cv"), col("_bv")) / (col("_cn") * col("_bn")), 6)
+          .as("_cos"))
+      .groupBy("corpus_id")
+      .agg(max(struct(col("_cos"), (-col("_bid")).as("_nb"))).as("_m"))
+      .select(col("corpus_id"), (-col("_m._nb")).as("bench_id"),
+        col("_m._cos").as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** JL distortion audit over the all-pairs of a BOUNDED id sample:
     * original vs projected L2 distance and their ratio — the
     * measured ε that tells you whether `outDim` is enough before you

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class GraphSpec extends SparkSpec {
   import spark.implicits._
@@ -252,5 +253,31 @@ class GraphSpec extends SparkSpec {
     val b = Graph.hits(e.repartition(11), "s", "d", broadcastScores = false)
       .collect().map(_.toString).sorted.toSeq
     assert(a == b && a.nonEmpty)
+  }
+
+  test("modularity: hand-computed directed weighted partition quality") {
+    import spark.implicits._
+    // comm0 = {a,b}, comm1 = {c,d}, comm2 = {e} (sink-only)
+    val edges = Seq(("a", "b", 2L), ("a", "c", 1L), ("c", "d", 3L),
+      ("d", "e", 1L)).toDF("src", "dst", "w")
+    val comms = Seq(("a", 0L), ("b", 0L), ("c", 1L), ("d", 1L), ("e", 2L))
+      .toDF("node", "community")
+    val out = Graph.modularity(edges, "src", "dst", col("w"),
+        comms, "node", "community")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+         r.getDouble(5))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = 7.0
+    val q0 = 2.0 / w - 3.0 * 2.0 / w / w
+    val q1 = 3.0 / w - 4.0 * 4.0 / w / w
+    val q2 = 0.0 / w - 0.0 * 1.0 / w / w
+    assert(out(0L) == ((2L, 3L, 2L, r6(q0), r6(q0 + q1 + q2))), s"$out")
+    assert(out(1L) == ((3L, 4L, 4L, r6(q1), r6(q0 + q1 + q2))), s"$out")
+    // a community with no out-edges still appears (full join), q_term 0
+    assert(out(2L) == ((0L, 0L, 1L, 0.0, r6(q0 + q1 + q2))), s"$out")
+    // the partition that follows the graph's density beats a random cut
+    assert(q0 + q1 + q2 > 0)
   }
 }

@@ -39,4 +39,48 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).getAs[Array[Byte]]("frame").length == 1000)
     assert(frames(1).getAs[Array[Byte]]("frame").length == 1000)
   }
+
+  test("vadSegments: threshold extremes and maximal-run tiling") {
+    val docs = (1 to 5)
+      .map(i => (i.toLong, ("payload " * (i * 20)).take(i * 150)))
+      .toDF("doc_id", "text")
+    val bt = Multimodal.asBinaryTable(docs)
+    // threshold 0: every frame is active -> exactly one segment per
+    // doc spanning all frames (md5-independent pin)
+    val all = Multimodal.vadSegments(bt, chunkBytes = 64, threshold = 0L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(all.keySet == (1L to 5L).toSet)
+    (1L to 5L).foreach { i =>
+      val nChunks = math.ceil(i * 150 / 64.0).toLong
+      assert(all(i) == ((0L, nChunks - 1, nChunks)), s"doc $i: ${all(i)}")
+    }
+    // threshold 256: nothing is active (energy is one byte)
+    assert(Multimodal.vadSegments(bt, chunkBytes = 64, threshold = 256L)
+      .isEmpty)
+    // mid threshold: segments tile the active frames into MAXIMAL
+    // consecutive runs — recompute runs independently from the flat
+    // per-frame energies
+    val energies = Multimodal.sampleFrames(bt, 64, 1)
+      .withColumn("energy",
+        conv(substring(md5(hex(col("frame"))), 1, 2), 16, 10).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val active = energies.filter(_._3 >= 128).map(t => (t._1, t._2))
+      .groupBy(_._1).map { case (d, fs) =>
+        val idx = fs.map(_._2).sorted
+        // split into maximal consecutive runs
+        val runs = idx.foldLeft(List.empty[List[Long]]) {
+          case (acc, f) if acc.nonEmpty && acc.head.head == f - 1 =>
+            (f :: acc.head) :: acc.tail
+          case (acc, f) => List(f) :: acc
+        }.map(r => (r.last, r.head, r.length.toLong)).sortBy(_._1)
+        d -> runs
+      }
+    val segs = Multimodal.vadSegments(bt, chunkBytes = 64, threshold = 128L)
+      .collect().groupBy(_.getLong(0)).map { case (d, rows) =>
+        d -> rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1).toList
+      }
+    assert(segs == active.filter(_._2.nonEmpty), s"$segs vs $active")
+  }
 }

@@ -356,6 +356,26 @@ class SimilaritySpec extends SparkSpec {
     assert(one.length == 1 && one.head.getLong(0) == 1L)
   }
 
+  test("semanticDecontaminate: best-match argmax, tiebreak, threshold boundary") {
+    val e1 = Seq(1f, 0f, 0f, 0f); val e2 = Seq(0f, 1f, 0f, 0f)
+    val diag = Seq(1f, 1f, 0f, 0f) // cos ~0.7071 with both benches
+    val e3 = Seq(0f, 0f, 1f, 0f)
+    val bench = Seq((100L, e1), (200L, e2)).toDF("vec_id", "embedding")
+    val corpus = Seq((1L, e1), (2L, diag), (3L, e3))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, bench, 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L) == ((100L, 1.0)), s"exact copy: $out")
+    // equal cos to both benches -> smallest bench_id wins
+    assert(out(2L) == ((100L, 0.707107)), s"tie: $out")
+    assert(!out.contains(3L), s"orthogonal vector flagged: $out")
+    // boundary is inclusive (>=)
+    val b = Similarity.semanticDecontaminate(corpus, bench, 0.707107)
+      .collect().map(_.getLong(0)).toSet
+    assert(b == Set(1L, 2L), s"boundary: $b")
+  }
+
   test("jlProject: hand-folded projection, width, partitioning invariance") {
     val dim = 8
     val v = Array.tabulate(dim)(i => (i + 1).toFloat)
