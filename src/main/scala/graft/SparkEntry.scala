@@ -1568,6 +1568,35 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Cross-source quantile normalization of the quality score in
+    // micro-units: int64 rank mapping onto the pooled reference
+    "q280_quantile_normalize" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        floor(graft.operators.Curation.qualityScore(col("text")) *
+          1000000.0 + 0.5).cast("long").as("q"))
+      graft.operators.Curation.quantileNormalize(
+        scored, "source", col("q"), "doc_id")
+    }),
+    // Hard-negative mining: top-5 cross-label cosine neighbors per
+    // query vector (q28's broadcast contract + label predicate)
+    "q281_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 20), 5)
+    }),
+    // Rank-biased overlap between the quality-score and raw-length
+    // top-50 rankings: top-weighted ranker agreement
+    "q282_rbo" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val byScore = docs.select(col("doc_id"),
+        row_number().over(Window.orderBy(
+          graft.operators.Curation.qualityScore(col("text")).desc,
+          col("doc_id"))).cast("long").as("rank"))
+      val byLen = docs.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("n_chars").desc,
+          col("doc_id"))).cast("long").as("rank"))
+      Analytics.rbo(byScore, byLen, "doc_id", "rank", k = 50)
+    }),
     // Embedding-tier decontamination: best benchmark cosine per
     // corpus vector (broadcast bench, map-side struct-max argmax)
     "q277_semantic_decon" -> ((s, dir) => {
@@ -4029,6 +4058,84 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // q207's score CTE feeds the int64 rank mapping; DuckDB // is
+    // the same floor division
+    "q280_quantile_normalize" ->
+      (s"""WITH q207 AS (${"\n"}${q207OracleSql}${"\n"}), v AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(floor(q207.score * 1000000.0 + 0.5) AS BIGINT) AS v
+        |  FROM documents d JOIN q207 ON d.doc_id = q207.doc_id
+        |), r AS (
+        |  SELECT doc_id, source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
+        |    (count(*) OVER (PARTITION BY source))::BIGINT AS ns
+        |  FROM v
+        |), g AS (
+        |  SELECT v AS normalized,
+        |    row_number() OVER (ORDER BY v, doc_id) AS k
+        |  FROM v
+        |), n AS (SELECT count(*)::BIGINT AS n FROM v),
+        |m AS (
+        |  SELECT doc_id, source, v AS value,
+        |    CASE WHEN ns > 1
+        |      THEN 1 + ((r - 1) * (n - 1) * 2 + (ns - 1)) // (2 * (ns - 1))
+        |      ELSE 1 + (n - 1) // 2 END AS k
+        |  FROM r, n
+        |)
+        |SELECT m.doc_id, m.source, m.value, g.normalized
+        |FROM m JOIN g ON m.k = g.k""".stripMargin),
+    // q29's cosine idiom with the label-mismatch predicate
+    "q281_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qp
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT query_id, c.vec_id AS cand_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(qv)),
+        |        i -> qv[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+        |        i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+        |        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))), 6)
+        |      AS cos
+        |  FROM q JOIN embeddings c
+        |    ON c.label <> qp AND c.vec_id <> query_id
+        |), r AS (
+        |  SELECT query_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, cand_id) AS rn
+        |  FROM s
+        |)
+        |SELECT query_id, cand_id, cos, rn FROM r WHERE rn <= 5""".stripMargin,
+    // term quantization + forced-DOUBLE (1 - p): the q111 decimal
+    // pitfall again
+    "q282_rbo" ->
+      (s"""WITH q207 AS (${"\n"}${q207OracleSql}${"\n"}), ra AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS r
+        |  FROM q207
+        |), rb AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        |    AS r
+        |  FROM documents
+        |), a AS (SELECT doc_id, r AS ra FROM ra WHERE r <= 50),
+        |b AS (SELECT doc_id, r AS rb FROM rb WHERE r <= 50),
+        |j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS it, ra, rb
+        |  FROM a FULL JOIN b ON a.doc_id = b.doc_id
+        |), dd AS (SELECT unnest(generate_series(1, 50)) AS d),
+        |x AS (
+        |  SELECT d, sum(CASE WHEN ra <= d AND rb <= d THEN 1 ELSE 0
+        |    END)::BIGINT AS xx
+        |  FROM j, dd GROUP BY d
+        |), tt AS (SELECT pow(0.9, d - 1) * xx / d AS t FROM x),
+        |s AS (SELECT sum(CAST(floor(t * 1e9 + 0.5) AS BIGINT)) AS qq FROM tt)
+        |SELECT 50::BIGINT AS k,
+        |  (SELECT count(*) FROM a)::BIGINT AS n_a,
+        |  (SELECT count(*) FROM b)::BIGINT AS n_b,
+        |  round((1.0::DOUBLE - 0.9) * (coalesce(qq, 0)::DOUBLE / 1e9), 6)
+        |    AS rbo
+        |FROM s""".stripMargin),
     // q28's cosine idiom; argmax = (cos DESC, bench_id) rank 1,
     // exactly the Spark struct-max's tiebreak
     "q277_semantic_decon" ->

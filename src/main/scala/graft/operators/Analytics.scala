@@ -1537,4 +1537,47 @@ object Analytics {
         col("n_decide"), coalesce(col("_d"), lit("continue")).as("decision"),
         col("llr_decide"))
   }
+
+  /** Rank-biased overlap (truncated at depth k): how much two top-k
+    * rankings agree, weighted toward the TOP —
+    * `RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d`. The ranking-
+    * comparison read Spearman-over-shared-items can't give: it
+    * weights depth 1 like depth 50 and ignores items only one list
+    * ranked. p ≈ 0.9 concentrates ~86% of the weight in the top 10.
+    * Returns one row: (k, n_a, n_b, rbo). Identical lists → the
+    * truncated maximum `(1−p)·Σ p^{d−1}` (< 1; the infinite-tail
+    * extrapolation is deliberately not added — audit, not estimate).
+    *
+    * Determinism: overlap counts are exact ints; each term is
+    * `pow(p, d−1)·X_d/d`, summed ×10⁹-quantized; the `1−p` factor is
+    * forced DOUBLE arithmetic on both engines (DuckDB's bare `1 −
+    * 0.9` is exact DECIMAL — one ulp off a double subtraction).
+    *
+    * Scale shape: both inputs are top-k lists — bounded by contract
+    * (the caller's top-k is the expensive distributed part; this is
+    * the bounded comparator on top): a k×2k depth cross over tiny
+    * relations. */
+  def rbo(rankA: DataFrame, rankB: DataFrame, itemCol: String,
+          rankCol: String, k: Int, p: Double = 0.9): DataFrame = {
+    require(k >= 1 && p > 0 && p < 1)
+    val a = rankA.filter(col(rankCol) <= k)
+      .select(col(itemCol).as("_it"), col(rankCol).cast("long").as("_ra"))
+    val b = rankB.filter(col(rankCol) <= k)
+      .select(col(itemCol).as("_it"), col(rankCol).cast("long").as("_rb"))
+    val counts = broadcast(a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b"))))
+    val depths = rankA.sparkSession.range(1, k + 1)
+      .select(col("id").as("_d"))
+    val terms = a.join(b, Seq("_it"), "full")
+      .crossJoin(broadcast(depths))
+      .groupBy("_d")
+      .agg(sum(when(col("_ra") <= col("_d") && col("_rb") <= col("_d"), 1L)
+        .otherwise(0L)).as("_x"))
+      .select((pow(lit(p), col("_d") - 1) * col("_x") / col("_d")).as("_t"))
+    terms.agg(sum(floor(col("_t") * 1e9 + lit(0.5)).cast("long")).as("_q"))
+      .crossJoin(counts)
+      .select(lit(k.toLong).as("k"), col("n_a"), col("n_b"),
+        round((lit(1.0) - lit(p)) *
+          (coalesce(col("_q"), lit(0L)).cast("double") / 1e9), 6).as("rbo"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.HashFunctions.md5Long
 import graft.functions.TextFunctions.{StopEn, stopwordCount, tokens}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-corpus curation operators that COMPOSE the engine's dedup
@@ -415,5 +415,47 @@ object Curation {
       .crossJoin(broadcast(stats))
       .select(col(idCol), col(valueCol),
         round(when(col("_n") > 1 && sd > 0, (q - mu) / sd), 6).as("z"))
+  }
+
+  /** Cross-source quantile normalization (batch-effect removal): map
+    * each group's value DISTRIBUTION onto the pooled reference — a
+    * row at within-group quantile position q gets the GLOBAL value
+    * at position q, so "top decile by this crawler's scorer" means
+    * the same thing for every source even when scorers drift. Rank
+    * mapping is pure int64 (`k = 1 + ((r−1)·(N−1)·2 + (n_g−1)) div
+    * (2·(n_g−1))` — round-half-up of (r−1)/(n_g−1)·(N−1)), ties
+    * break on (value, id) on BOTH sides, singleton groups map to the
+    * global median. Normalizing one group onto itself is the
+    * identity (spec-pinned).
+    *
+    * Scale shape: one window per group plus ONE global sort for the
+    * reference order statistics — the exact form; at 100 TB the
+    * reference becomes a B-bucket approx-quantile table (one agg,
+    * broadcast) and the rank join becomes a bucket lookup, same
+    * contract. The final rank equi-join shuffles only (id, k)
+    * pairs against the N-row reference. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: Column,
+                        idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(valueCol.isNotNull)
+      .select(col(idCol).as("_id"), col(groupCol).as("_g"),
+        valueCol.cast("long").as("_v"))
+    val wg = Window.partitionBy("_g").orderBy(col("_v"), col("_id"))
+    val ranked = base
+      .withColumn("_r", row_number().over(wg).cast("long"))
+      .withColumn("_ns", count(lit(1)).over(Window.partitionBy("_g")))
+    val glob = base
+      .withColumn("_k", row_number()
+        .over(Window.orderBy(col("_v"), col("_id"))).cast("long"))
+      .select(col("_k"), col("_v").as("normalized"))
+    val n = broadcast(base.agg(count(lit(1)).as("_n")))
+    ranked.crossJoin(n)
+      .withColumn("_k", when(col("_ns") > 1,
+          lit(1L) + expr("((_r - 1) * (_n - 1) * 2 + (_ns - 1)) " +
+            "div (2 * (_ns - 1))"))
+        .otherwise(lit(1L) + expr("(_n - 1) div 2")))
+      .join(glob, Seq("_k"))
+      .select(col("_id").as(idCol), col("_g").as(groupCol),
+        col("_v").as("value"), col("normalized"))
   }
 }

@@ -604,6 +604,39 @@ object Similarity {
         dot(col(vecCol), typedLit(mat(p))) * lit(inv)): _*).as("proj"))
   }
 
+  /** Hard-negative mining: for each query vector, the k most cosine-
+    * similar corpus vectors with a DIFFERENT label — the contrastive-
+    * training counterpart of [[Sampling]]'s random negative sampling
+    * (q162): random negatives are trivially separable; the negatives
+    * that actually move an encoder are the near-misses this surfaces.
+    * Deterministic ordering: rounded cos DESC, cand_id.
+    *
+    * Scale shape: q28's brute-force contract — queries broadcast
+    * (query batches are bounded), the corpus never shuffles, the
+    * label-mismatch predicate rides the broadcast join, and per-query
+    * top-k ships bounded heaps. An unlabeled corpus composes the
+    * same mining from [[ivfSearch]] cells (mine within neighboring
+    * cells, exclude the query's own near-dup cluster). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv"), norm(col(vecCol)).as("_qn"),
+      col(labelCol).as("_ql")))
+    val scored = corpus
+      .select(col(idCol).as("cand_id"), col(vecCol).as("_cv"),
+        norm(col(vecCol)).as("_cn"), col(labelCol).as("_cl"))
+      .join(q, col("_cl") =!= col("_ql") && col("cand_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "cand_id", "cos", "rn")
+  }
+
   /** Semantic decontamination — the EMBEDDING tier of the benchmark
     * hygiene ladder ([[Sampling.decontaminate]] exact →
     * [[Sampling.ngramDecontaminate]] n-gram →

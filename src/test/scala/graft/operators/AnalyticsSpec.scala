@@ -720,4 +720,26 @@ class AnalyticsSpec extends SparkSpec {
       s"$sh")
     assert(sh.getDouble(2) == r6(3 * c2), s"final llr: $sh")
   }
+
+  test("rbo: identical lists hit the truncated max, disjoint hit 0, depth weighting") {
+    def ranks(items: Seq[Long]) =
+      items.zipWithIndex.map { case (it, i) => (it, (i + 1).toLong) }
+        .toDF("item", "rank")
+    val a = ranks(Seq(1L, 2L, 3L, 4L, 5L))
+    def run(x: org.apache.spark.sql.DataFrame,
+            y: org.apache.spark.sql.DataFrame) =
+      Analytics.rbo(x, y, "item", "rank", k = 5).collect().head
+    val same = run(a, a)
+    // identical: (1-p) * sum p^(d-1) = 1 - p^k = 1 - 0.9^5
+    assert(same.getLong(1) == 5 && same.getLong(2) == 5)
+    assert(math.abs(same.getDouble(3) - (1 - math.pow(0.9, 5))) < 2e-6,
+      s"$same")
+    val disjoint = run(a, ranks(Seq(11L, 12L, 13L, 14L, 15L)))
+    assert(disjoint.getDouble(3) == 0.0, s"$disjoint")
+    // agreement at the TOP outweighs the same overlap at the bottom
+    val topAgree = run(a, ranks(Seq(1L, 2L, 13L, 14L, 15L)))
+    val botAgree = run(a, ranks(Seq(11L, 12L, 13L, 4L, 5L)))
+    assert(topAgree.getDouble(3) > botAgree.getDouble(3),
+      s"$topAgree vs $botAgree")
+  }
 }

@@ -344,4 +344,30 @@ class CurationSpec extends SparkSpec {
     val c = Curation.standardScaler(const, apply, "v", "id").collect()
     assert(c.forall(_.isNullAt(2)), "zero-variance fit yields null z")
   }
+
+  test("quantileNormalize: hand-mapped ranks, identity on one group, singleton to median") {
+    val rows = Seq((1L, "X", 10L), (2L, "X", 30L),
+      (3L, "Y", 0L), (4L, "Y", 20L), (5L, "Y", 40L))
+      .toDF("doc_id", "source", "v")
+    val out = Curation.quantileNormalize(rows, "source", col("v"), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // global sorted reference: 0,10,20,30,40 (ranks 1..5)
+    // X (ns=2): r1 -> k1 -> 0; r2 -> k5 -> 40 (endpoints map to endpoints)
+    assert(out(1L) == ((10L, 0L)) && out(2L) == ((30L, 40L)), s"$out")
+    // Y (ns=3): quartile positions 0, 1/2, 1 -> ranks 1, 3, 5
+    assert(out(3L) == ((0L, 0L)) && out(4L) == ((20L, 20L)) &&
+      out(5L) == ((40L, 40L)), s"$out")
+    // one group: normalization is the identity
+    val one = Curation.quantileNormalize(rows.withColumn("source", lit("S")),
+        "source", col("v"), "doc_id")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(one.forall(t => t._1 == t._2), s"identity broken: ${one.toSeq}")
+    // singleton group maps to the global median rank
+    val withSingleton = rows.union(
+      Seq((9L, "Z", 999L)).toDF("doc_id", "source", "v"))
+    val z = Curation.quantileNormalize(withSingleton, "source", col("v"),
+        "doc_id").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // N=6: k = 1 + (6-1) div 2 = 3 -> third-smallest global value (20)
+    assert(z(9L) == 20L, s"singleton: $z")
+  }
 }

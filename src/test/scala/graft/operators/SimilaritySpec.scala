@@ -356,6 +356,24 @@ class SimilaritySpec extends SparkSpec {
     assert(one.length == 1 && one.head.getLong(0) == 1L)
   }
 
+  test("hardNegatives: same-label excluded, cross-label near-miss ranked first") {
+    val e1 = Seq(1f, 0f, 0f, 0f); val e2 = Seq(0f, 1f, 0f, 0f)
+    val near = Seq(0.9f, 0.1f, 0f, 0f)
+    val corpus = Seq(
+      (1L, e1, 0), (2L, e1, 0),   // same-label twin: never a negative
+      (3L, near, 1), (4L, e2, 1), (5L, e2, 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(corpus,
+        corpus.filter($"vec_id" === 1), k = 2)
+      .collect().map(r => r.getLong(3) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // rank 1: the cross-label NEAR-MISS (cos ~0.994), not the twin
+    assert(out(1L)._1 == 3L && out(1L)._2 > 0.99, s"$out")
+    // rank 2: ties between the two orthogonal e2s break to cand_id 4
+    assert(out(2L)._1 == 4L && out(2L)._2 == 0.0, s"$out")
+    assert(out.size == 2, s"k not respected: $out")
+  }
+
   test("semanticDecontaminate: best-match argmax, tiebreak, threshold boundary") {
     val e1 = Seq(1f, 0f, 0f, 0f); val e2 = Seq(0f, 1f, 0f, 0f)
     val diag = Seq(1f, 1f, 0f, 0f) // cos ~0.7071 with both benches
