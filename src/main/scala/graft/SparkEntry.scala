@@ -1568,6 +1568,31 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Referential-integrity audit: orphaned-FK verdict rows for
+    // three relationships (the silent-inner-join-loss canary)
+    "q283_ref_integrity" -> ((s, dir) => {
+      val P = graft.operators.Profiling
+      P.refIntegrityAudit(t(s, dir, "lineitem"), t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionAll(P.refIntegrityAudit(t(s, dir, "orders"),
+          t(s, dir, "customer"), "o_custkey", "c_custkey",
+          "orders->customer"))
+        .unionAll(P.refIntegrityAudit(t(s, dir, "events"),
+          t(s, dir, "customer"), "user_id", "c_custkey",
+          "events->customer"))
+    }),
+    // Embedding-space drift: per label, centroid cosine + L2 shift
+    // between the even/odd snapshot halves (quantized-exact folds)
+    "q284_centroid_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.centroidDrift(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+    }),
+    // Cross-source duplication matrix over the registered cluster
+    // table (fifth consumer of q203's build)
+    "q285_source_duplication" -> ((s, dir) =>
+      graft.operators.Curation.sourceDuplicationMatrix(
+        clusterTable(s, dir, rebuild = false), t(s, dir, "documents"))),
     // Cross-source quantile normalization of the quality score in
     // micro-units: int64 rank mapping onto the pooled reference
     "q280_quantile_normalize" -> ((s, dir) => {
@@ -4058,6 +4083,104 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // one verdict row per relationship; NULL keys counted apart
+    "q283_ref_integrity" ->
+      """WITH r1 AS (
+        |  SELECT 'lineitem->orders' AS relationship,
+        |    count(*)::BIGINT AS n_child,
+        |    sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_null_keys,
+        |    sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |), r2 AS (
+        |  SELECT 'orders->customer',
+        |    count(*)::BIGINT,
+        |    sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+        |      THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders o LEFT JOIN
+        |    (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey
+        |), r3 AS (
+        |  SELECT 'events->customer',
+        |    count(*)::BIGINT,
+        |    sum(CASE WHEN e.user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    sum(CASE WHEN e.user_id IS NOT NULL AND c.c_custkey IS NULL
+        |      THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events e LEFT JOIN
+        |    (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON e.user_id = c.c_custkey
+        |), u AS (
+        |  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |  UNION ALL SELECT * FROM r3
+        |)
+        |SELECT relationship, n_child, n_null_keys, n_orphans,
+        |  round(CASE WHEN n_child > n_null_keys THEN
+        |    n_orphans::DOUBLE / (n_child - n_null_keys) END, 6)
+        |    AS orphan_rate
+        |FROM u""".stripMargin,
+    // q217's quantized-centroid recipe per half + x1e12-quantized
+    // cross-dimension folds
+    "q284_centroid_drift" ->
+      """WITH ca AS (
+        |  SELECT label, i,
+        |    sum(CAST(floor(v::DOUBLE * 1000000 + 0.5) AS BIGINT))::BIGINT
+        |      AS s,
+        |    count(*)::BIGINT AS n
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings WHERE vec_id % 2 = 0
+        |          AND label IS NOT NULL AND embedding IS NOT NULL)
+        |  GROUP BY 1, 2
+        |), cb AS (
+        |  SELECT label, i,
+        |    sum(CAST(floor(v::DOUBLE * 1000000 + 0.5) AS BIGINT))::BIGINT
+        |      AS s,
+        |    count(*)::BIGINT AS n
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings WHERE vec_id % 2 = 1
+        |          AND label IS NOT NULL AND embedding IS NOT NULL)
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT ca.label, ca.i,
+        |    ca.s::DOUBLE / ca.n / 1000000.0 AS ma, ca.n AS na,
+        |    cb.s::DOUBLE / cb.n / 1000000.0 AS mb, cb.n AS nb
+        |  FROM ca JOIN cb ON ca.label = cb.label AND ca.i = cb.i
+        |), agg AS (
+        |  SELECT label, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+        |    sum(CAST(floor(ma * mb * 1e12 + 0.5) AS BIGINT))::BIGINT AS dt,
+        |    sum(CAST(floor(ma * ma * 1e12 + 0.5) AS BIGINT))::BIGINT AS qa,
+        |    sum(CAST(floor(mb * mb * 1e12 + 0.5) AS BIGINT))::BIGINT AS qb,
+        |    sum(CAST(floor((ma - mb) * (ma - mb) * 1e12 + 0.5)
+        |      AS BIGINT))::BIGINT AS d2
+        |  FROM m GROUP BY label
+        |)
+        |SELECT label, n_a, n_b,
+        |  round(CASE WHEN qa > 0 AND qb > 0 THEN (dt::DOUBLE / 1e12) /
+        |    (sqrt(qa::DOUBLE / 1e12) * sqrt(qb::DOUBLE / 1e12)) END, 6)
+        |    AS centroid_cos,
+        |  round(sqrt(greatest(d2, 0)::DOUBLE / 1e12), 6) AS l2_shift
+        |FROM agg""".stripMargin,
+    // the cluster CTE + within-cluster pair expansion, distinct per
+    // (cluster, source pair) before the count
+    "q285_source_duplication" ->
+      (minhashClustersCte.stripSuffix("\n") + ", " +
+        """sp AS (
+          |  SELECT r.cluster_rep, r.doc_id, d.source
+          |  FROM resolved r JOIN documents d ON r.doc_id = d.doc_id
+          |), pr AS (
+          |  SELECT DISTINCT a.cluster_rep,
+          |    least(a.source, b.source) AS source_a,
+          |    greatest(a.source, b.source) AS source_b
+          |  FROM sp a JOIN sp b ON a.cluster_rep = b.cluster_rep
+          |    AND a.doc_id < b.doc_id
+          |)
+          |SELECT source_a, source_b, count(*)::BIGINT AS n_clusters
+          |FROM pr GROUP BY 1, 2""".stripMargin),
     // q207's score CTE feeds the int64 rank mapping; DuckDB // is
     // the same floor division
     "q280_quantile_normalize" ->

@@ -417,6 +417,35 @@ object Curation {
         round(when(col("_n") > 1 && sd > 0, (q - mu) / sd), 6).as("z"))
   }
 
+  /** Cross-source duplication matrix — a provenance consumer of the
+    * materialized near-dup cluster table: for every source pair
+    * (a ≤ b), how many clusters contain a near-dup pair spanning
+    * those sources. The diagonal (a = b) is intra-source duplication
+    * (a feed re-crawling itself); heavy off-diagonal cells say which
+    * crawls copy which — the evidence behind "drop feed X, it's 90%
+    * feed Y".
+    *
+    * Scale shape: the cluster table joins the doc→source projection
+    * once (key-equi); the pair expansion is WITHIN clusters only, so
+    * it rides cluster size² — bounded by the same upstream caps that
+    * keep the MinHash pair stage bounded; distinct-per-cluster
+    * reduces before the final pair-keyed count. */
+  def sourceDuplicationMatrix(resolved: DataFrame, docs: DataFrame,
+                              idCol: String = "doc_id",
+                              sourceCol: String = "source"): DataFrame = {
+    val sp = resolved.join(docs.select(col(idCol), col(sourceCol)),
+      Seq(idCol))
+    val a = sp.select(col("cluster_rep"), col(idCol).as("_da"),
+      col(sourceCol).as("_sa"))
+    val b = sp.select(col("cluster_rep"), col(idCol).as("_db"),
+      col(sourceCol).as("_sb"))
+    a.join(b, Seq("cluster_rep")).filter(col("_da") < col("_db"))
+      .select(col("cluster_rep"), least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .distinct()
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_clusters"))
+  }
+
   /** Cross-source quantile normalization (batch-effect removal): map
     * each group's value DISTRIBUTION onto the pooled reference — a
     * row at within-group quantile position q gets the GLOBAL value

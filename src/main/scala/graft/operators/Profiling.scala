@@ -161,6 +161,36 @@ object Profiling {
       .filter(col("low_diversity") || col("skewed"))
   }
 
+  /** Referential-integrity audit: how many child rows point at a
+    * parent key that doesn't exist — the orphaned-FK read behind
+    * every silent inner-join row loss ("the join dropped 3% of
+    * revenue" is usually THIS). One verdict row per relationship:
+    * (relationship, n_child, n_null_keys, n_orphans, orphan_rate).
+    * NULL child keys are counted separately, not as orphans — a
+    * nullable FK is a modeling choice, a dangling one is a defect.
+    *
+    * Scale shape: parent keys distinct-reduce map-side before the
+    * join; the child side streams through one left join (broadcast
+    * when the parent key set is small, co-partitioned otherwise)
+    * into a 1-row aggregate. Union the verdict rows across
+    * relationships for the whole-schema audit. */
+  def refIntegrityAudit(child: DataFrame, parent: DataFrame,
+                        childKey: String, parentKey: String,
+                        relationship: String): DataFrame = {
+    val pk = parent.select(col(parentKey).as("_pk")).distinct()
+    child.select(col(childKey).as("_ck"))
+      .join(pk, col("_ck") === col("_pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("_ck").isNull, 1L).otherwise(0L)).as("n_null_keys"),
+        sum(when(col("_ck").isNotNull && col("_pk").isNull, 1L)
+          .otherwise(0L)).as("n_orphans"))
+      .select(lit(relationship).as("relationship"), col("n_child"),
+        col("n_null_keys"), col("n_orphans"),
+        round(when(col("n_child") > col("n_null_keys"),
+          col("n_orphans").cast("double") /
+            (col("n_child") - col("n_null_keys"))), 6).as("orphan_rate"))
+  }
+
   /** Header/lines reconciliation: does each header's stored total
     * equal the sum of its line amounts? One verdict row:
     * (n_headers, n_no_lines, n_mismatch beyond `tolerance`,

@@ -604,6 +604,54 @@ object Similarity {
         dot(col(vecCol), typedLit(mat(p))) * lit(inv)): _*).as("proj"))
   }
 
+  /** Embedding-space drift monitor: per label, how far the class
+    * centroid moved between two snapshots (cosine + L2 shift of the
+    * mean vector) — the cheap canary that says "re-index the ANN /
+    * re-fit the quantizer" before recall silently decays. Returns
+    * (label, n_a, n_b, centroid_cos, l2_shift).
+    *
+    * Exactness: per-dimension means are ratios of ×10⁶-quantized
+    * int64 sums (the centroidOutliers recipe); the cross-dimension
+    * reductions (dot, norms, Δ²) are ×10¹²-quantized int64 sums, so
+    * both engines add the same integers in any order — no
+    * float-summation-order drift even though the 64 per-dim terms
+    * are genuine doubles.
+    *
+    * Scale shape: each snapshot reduces map-side to labels×dim rows;
+    * the dimension join and the final per-label fold never touch the
+    * corpus again. */
+  def centroidDrift(snapA: DataFrame, snapB: DataFrame,
+                    labelCol: String = "label",
+                    vecCol: String = "embedding"): DataFrame = {
+    def comp(df: DataFrame) = df
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).as("_l"), posexplode(col(vecCol)).as(Seq("_i", "_v")))
+      .groupBy("_l", "_i")
+      .agg(sum(floor(col("_v").cast("double") * 1000000 + lit(0.5))
+        .cast("long")).as("_s"), count(lit(1)).as("_n"))
+      .withColumn("_m", col("_s").cast("double") / col("_n") / 1000000.0)
+    val a = comp(snapA).select(col("_l"), col("_i"), col("_m").as("_ma"),
+      col("_n").as("_na"))
+    val b = comp(snapB).select(col("_l"), col("_i"), col("_m").as("_mb"),
+      col("_n").as("_nb"))
+    def q12(c: Column) = floor(c * 1e12 + lit(0.5)).cast("long")
+    a.join(b, Seq("_l", "_i"))
+      .groupBy(col("_l").as(labelCol))
+      .agg(max("_na").as("n_a"), max("_nb").as("n_b"),
+        sum(q12(col("_ma") * col("_mb"))).as("_dot"),
+        sum(q12(col("_ma") * col("_ma"))).as("_qa"),
+        sum(q12(col("_mb") * col("_mb"))).as("_qb"),
+        sum(q12((col("_ma") - col("_mb")) * (col("_ma") - col("_mb"))))
+          .as("_d2"))
+      .select(col(labelCol), col("n_a"), col("n_b"),
+        round(when(col("_qa") > 0 && col("_qb") > 0,
+          (col("_dot").cast("double") / 1e12) /
+            (sqrt(col("_qa").cast("double") / 1e12) *
+             sqrt(col("_qb").cast("double") / 1e12))), 6).as("centroid_cos"),
+        round(sqrt(greatest(col("_d2"), lit(0L)).cast("double") / 1e12), 6)
+          .as("l2_shift"))
+  }
+
   /** Hard-negative mining: for each query vector, the k most cosine-
     * similar corpus vectors with a DIFFERENT label — the contrastive-
     * training counterpart of [[Sampling]]'s random negative sampling

@@ -345,6 +345,19 @@ class CurationSpec extends SparkSpec {
     assert(c.forall(_.isNullAt(2)), "zero-variance fit yields null z")
   }
 
+  test("sourceDuplicationMatrix: intra/cross-source cells, singletons silent") {
+    val resolved = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster_rep")
+    val docs = Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "C"),
+      (5L, "A"), (6L, "B")).toDF("doc_id", "source")
+    val out = Curation.sourceDuplicationMatrix(resolved, docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // cluster 1 contributes (A,A) once (docs 1&3) and (A,B) once
+    // (deduped across the 1-2 and 3-2 pairs); cluster 5 adds (A,B)
+    assert(out == Map(("A", "A") -> 1L, ("A", "B") -> 2L), s"$out")
+  }
+
   test("quantileNormalize: hand-mapped ranks, identity on one group, singleton to median") {
     val rows = Seq((1L, "X", 10L), (2L, "X", 30L),
       (3L, "Y", 0L), (4L, "Y", 20L), (5L, "Y", 40L))

@@ -348,6 +348,22 @@ class ProfilingSpec extends SparkSpec {
     assert(c.getDouble(0) == 0.0 && c.isNullAt(2), s"constant y: $c")
   }
 
+  test("refIntegrityAudit: orphans vs null keys, rate denominator excludes nulls") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), None).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val out = Profiling.refIntegrityAudit(child, parent, "fk", "pk", "c->p")
+      .collect().head
+    assert(out.getString(0) == "c->p")
+    assert(out.getLong(1) == 4 && out.getLong(2) == 1 && out.getLong(3) == 1,
+      s"$out")
+    assert(out.getDouble(4) == 0.333333, s"rate: $out")
+    // all-null child keys: rate undefined, not 0/0
+    val allNull = Seq[Option[Long]](None, None).toDF("fk")
+    val n = Profiling.refIntegrityAudit(allNull, parent, "fk", "pk", "x")
+      .collect().head
+    assert(n.getLong(3) == 0 && n.isNullAt(4), s"$n")
+  }
+
   test("lDiversityAudit: homogeneity and skew flags, diverse class passes, NULL is a value") {
     val rows = Seq(
       // class A: 6 records, bands {1 x4, 2, 3} -> 3 distinct, top 4

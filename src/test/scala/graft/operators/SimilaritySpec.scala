@@ -356,6 +356,21 @@ class SimilaritySpec extends SparkSpec {
     assert(one.length == 1 && one.head.getLong(0) == 1L)
   }
 
+  test("centroidDrift: identical snapshots cos 1 / shift 0; orthogonal shift exact") {
+    val a = Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0.5f, 0.5f), 1),
+      (3L, Seq(0.7f, 0.3f), 1)).toDF("vec_id", "embedding", "label")
+    val same = Similarity.centroidDrift(a, a)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(same(0) == ((1L, 1L, 1.0, 0.0)), s"$same")
+    assert(same(1) == ((2L, 2L, 1.0, 0.0)), s"$same")
+    // label 0 centroid rotates e1 -> e2: cos 0, l2 = sqrt(2)
+    val b = Seq((9L, Seq(0f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    val rot = Similarity.centroidDrift(a.filter($"label" === 0), b)
+      .collect().head
+    assert(rot.getDouble(3) == 0.0 && rot.getDouble(4) == 1.414214, s"$rot")
+  }
+
   test("hardNegatives: same-label excluded, cross-label near-miss ranked first") {
     val e1 = Seq(1f, 0f, 0f, 0f); val e2 = Seq(0f, 1f, 0f, 0f)
     val near = Seq(0.9f, 0.1f, 0f, 0f)
