@@ -1568,6 +1568,37 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Insert-only IVM: the stored view plus three delta-sized join
+    // terms provably equals the full recompute (the oracle IS the
+    // full recompute)
+    "q286_incremental_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      val (oB, oD) = (o.filter(col("o_orderkey") % 4 =!= 0),
+        o.filter(col("o_orderkey") % 4 === 0))
+      val (lB, lD) = (li.filter(col("l_linenumber") % 2 === 1),
+        li.filter(col("l_linenumber") % 2 === 0))
+      val cents = expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+      val view = oB.join(lB, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("val"))
+      graft.operators.Merge.incrementalJoinAgg(view, oB, oD, lB, lD,
+        "o_orderkey", "l_orderkey", "o_orderpriority", cents)
+    }),
+    // Merkle anti-entropy: bucket XOR checksums localize a planted
+    // 1-in-97 corruption to its buckets without shipping rows
+    "q287_merkle_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tampered = docs.withColumn("text",
+        when(col("doc_id") % 97 === 0, concat(col("text"), lit(" X")))
+          .otherwise(col("text")))
+      graft.operators.Merge.merkleDiff(docs, tampered, "doc_id",
+        col("text"), buckets = 32)
+    }),
+    // Out-of-orderness audit: the measured watermark-delay evidence
+    "q288_out_of_order" -> ((s, dir) =>
+      TimeSeries.outOfOrderAudit(
+        t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", col("event_id"), col("ts_us"))),
     // Referential-integrity audit: orphaned-FK verdict rows for
     // three relationships (the silent-inner-join-loss canary)
     "q283_ref_integrity" -> ((s, dir) => {
@@ -4083,6 +4114,69 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // the oracle IS the full recompute - IVM's correctness statement
+    "q286_incremental_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+        |    AS val
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    // same 60-bit md5 xor per bucket on both versions; only buckets
+    // holding a tampered doc surface
+    "q287_merkle_diff" ->
+      """WITH a AS (
+        |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 32
+        |      AS bucket,
+        |    count(*)::BIGINT AS n_a,
+        |    bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+        |      1, 15))::BIGINT) AS ca
+        |  FROM documents GROUP BY 1
+        |), bt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN text || ' X' ELSE text END AS text
+        |  FROM documents
+        |), b AS (
+        |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 32
+        |      AS bucket,
+        |    count(*)::BIGINT AS n_b,
+        |    bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+        |      1, 15))::BIGINT) AS cb
+        |  FROM bt GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(a.bucket, b.bucket) AS bucket, n_a, n_b, ca, cb
+        |  FROM a FULL JOIN b ON a.bucket = b.bucket
+        |)
+        |SELECT bucket, coalesce(n_a, 0)::BIGINT AS n_a,
+        |  coalesce(n_b, 0)::BIGINT AS n_b,
+        |  CASE WHEN ca IS NULL THEN 'b_only'
+        |       WHEN cb IS NULL THEN 'a_only'
+        |       WHEN ca <> cb OR n_a <> n_b THEN 'diff' END AS status
+        |FROM j
+        |WHERE (CASE WHEN ca IS NULL THEN 'b_only'
+        |       WHEN cb IS NULL THEN 'a_only'
+        |       WHEN ca <> cb OR n_a <> n_b THEN 'diff' END) IS NOT NULL"""
+        .stripMargin,
+    // running event-time max over arrival order; max_lag = the
+    // watermark delay that would have admitted every late row
+    "q288_out_of_order" ->
+      """WITH w AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu,
+        |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND ts IS NOT NULL
+        |), f AS (
+        |  SELECT user_id,
+        |    (pm IS NOT NULL AND tsu < pm) AS late,
+        |    CASE WHEN pm IS NOT NULL AND tsu < pm THEN pm - tsu END AS lag
+        |  FROM w
+        |)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS n_late,
+        |  round(sum(CASE WHEN late THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |    AS late_rate,
+        |  max(lag)::BIGINT AS max_lag
+        |FROM f GROUP BY user_id""".stripMargin,
     // one verdict row per relationship; NULL keys counted apart
     "q283_ref_integrity" ->
       """WITH r1 AS (

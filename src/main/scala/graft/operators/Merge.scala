@@ -224,4 +224,72 @@ object Merge {
       expr(s"max_by($a, $ord) FILTER (WHERE $a IS NOT NULL)").as(a))
     rows.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Incremental maintenance of a JOIN-AGGREGATE view (insert-only
+    * IVM): with V = γ(A ⋈ B), an insert batch updates it as
+    * `V' = V ⊎ γ(ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB)` — the three delta terms touch
+    * only delta-sized join inputs, never re-scanning A⋈B. This is
+    * [[aggIncrement]]'s join-view sibling: the identity every
+    * materialized-view engine implements, expressed as a plain plan
+    * so its result is provably (oracle-checked) equal to the full
+    * recompute. `view` stands for the STORED aggregate (in
+    * production it is read, not computed); `baseA`/`baseB` feed only
+    * the cross terms.
+    *
+    * Scale shape: ΔA⋈B and A⋈ΔB are delta-driven joins — with B's
+    * key layout bucketed/broadcast these cost |Δ|, not |A|; the
+    * merge is a per-group sum of two aggregate relations
+    * (group-key-sized, not row-sized). Deletes/updates compose the
+    * same way with signed counts. */
+  def incrementalJoinAgg(view: DataFrame, baseA: DataFrame,
+                         deltaA: DataFrame, baseB: DataFrame,
+                         deltaB: DataFrame, aKey: String, bKey: String,
+                         groupCol: String, valCol: Column): DataFrame = {
+    def agg(a: DataFrame, b: DataFrame) =
+      a.join(b, a(aKey) === b(bKey))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n"), sum(valCol).as("val"))
+    val delta = agg(deltaA, baseB)
+      .unionAll(agg(baseA, deltaB)).unionAll(agg(deltaA, deltaB))
+      .groupBy(col(groupCol))
+      .agg(sum("n").as("n"), sum("val").as("val"))
+    view.unionAll(delta)
+      .groupBy(col(groupCol))
+      .agg(sum("n").as("n"), sum("val").as("val"))
+  }
+
+  /** Merkle-style anti-entropy diff: bucket both table versions by
+    * id-hash, fold each bucket to an order-free XOR content checksum
+    * (the [[graft.operators.Curation.outputManifest]] recipe), and
+    * report per-bucket status — the sync primitive that finds WHERE
+    * two replicas/snapshots differ while shipping only
+    * buckets-many checksums, not rows. Returns non-matching buckets
+    * only: (bucket, n_a, n_b, status ∈ diff|a_only|b_only); equal
+    * tables return zero rows.
+    *
+    * Scale shape: each side is one map-side-combinable bucket agg;
+    * the compare is a buckets-sized full join. Drill-down = re-run
+    * on a changed bucket with more buckets (the Merkle descent),
+    * each level paying one scan of the SUSPECT range only. */
+  def merkleDiff(a: DataFrame, b: DataFrame, idCol: String,
+                 payloadCol: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1)
+    import graft.functions.HashFunctions.md5Long
+    def side(df: DataFrame, np: String, cp: String) = df
+      .select((md5Long(col(idCol).cast("string")) % buckets).as("bucket"),
+        md5Long(concat(col(idCol).cast("string"), lit(":"),
+          payloadCol.cast("string"))).as("_h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(np),
+        expr("bit_xor(_h)").as(cp))
+    side(a, "n_a", "_ca").join(side(b, "n_b", "_cb"), Seq("bucket"), "full")
+      .withColumn("status",
+        when(col("_ca").isNull, "b_only")
+          .when(col("_cb").isNull, "a_only")
+          .when(col("_ca") =!= col("_cb") || col("n_a") =!= col("n_b"),
+            "diff"))
+      .filter(col("status").isNotNull)
+      .select(col("bucket"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"), col("status"))
+  }
 }

@@ -579,6 +579,37 @@ object TimeSeries {
           num / sqrt(vx * vy)), 6))
   }
 
+  /** Out-of-orderness audit: per key, how badly event TIME disagrees
+    * with ARRIVAL order — the measurement that turns "pick a
+    * watermark delay" from folklore into data: a row is LATE when
+    * its event time is behind the running max over everything that
+    * arrived before it, and `max_lag` is the watermark delay that
+    * would have admitted every late row for that key. Returns
+    * (key, n_events, n_late, late_rate, max_lag — NULL when the key
+    * is perfectly ordered).
+    *
+    * Scale shape: one arrival-ordered window per key (in production
+    * the arrival column is the log offset, so the window rides the
+    * source's native order) folding straight into a map-side-
+    * combinable per-key verdict. */
+  def outOfOrderAudit(events: DataFrame, keyCol: String,
+                      arrivalCol: Column, tsCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(arrivalCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.filter(col(keyCol).isNotNull && arrivalCol.isNotNull &&
+        tsCol.isNotNull)
+      .withColumn("_pm", max(tsCol).over(w))
+      .withColumn("_late", col("_pm").isNotNull && tsCol < col("_pm"))
+      .withColumn("_lag", when(col("_late"), col("_pm") - tsCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("_late"), 1L).otherwise(0L)).as("n_late"),
+        round(sum(when(col("_late"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("late_rate"),
+        max("_lag").cast("long").as("max_lag"))
+  }
+
   /** Single-split binary-segmentation changepoint: per group, the
     * boundary that maximizes the between-segment sum-of-squares
     * reduction `S_l²/n_l + S_r²/n_r − S²/n` — the first (and often

@@ -167,4 +167,47 @@ class MergeSpec extends SparkSpec {
     assert(got("A") == (Some("a3@x"), Some("111")))
     assert(got("B") == (Some("b@x"), None))
   }
+
+  test("incrementalJoinAgg: view + 3 delta terms equals the full recompute") {
+    import org.apache.spark.sql.functions._
+    // key 30 exists ONLY in the deltas on both sides: the cross term
+    // deltaA x deltaB is load-bearing, not decorative
+    val aAll = Seq((10L, "g1"), (20L, "g1"), (30L, "g2"))
+      .toDF("ak", "grp")
+    val bAll = Seq((10L, 5L), (10L, 7L), (20L, 1L), (30L, 100L))
+      .toDF("bk", "v")
+    val (aB, aD) = (aAll.filter($"ak" < 30), aAll.filter($"ak" >= 30))
+    val (bB, bD) = (bAll.filter($"v" =!= 100L && $"v" =!= 7L),
+      bAll.filter($"v" === 100L || $"v" === 7L))
+    val view = aB.join(bB, $"ak" === $"bk").groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"v").as("val"))
+    val got = Merge.incrementalJoinAgg(view, aB, aD, bB, bD,
+        "ak", "bk", "grp", col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val full = aAll.join(bAll, $"ak" === $"bk").groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"v").as("val"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == full, s"$got vs $full")
+    assert(got("g2") == ((1L, 100L)), "delta-only key lost")
+  }
+
+  test("merkleDiff: equal tables silent; tamper and insert localize to buckets") {
+    import org.apache.spark.sql.functions._
+    val a = (1L to 200L).map(i => (i, s"payload-$i")).toDF("id", "text")
+    assert(Merge.merkleDiff(a, a, "id", col("text"), 16).isEmpty,
+      "equal tables must produce no rows")
+    // one tampered payload: exactly one bucket flags 'diff', counts equal
+    val tampered = a.withColumn("text",
+      when($"id" === 5L, lit("corrupted")).otherwise($"text"))
+    val d = Merge.merkleDiff(a, tampered, "id", col("text"), 16).collect()
+    assert(d.length == 1 && d.head.getString(3) == "diff", s"${d.toSeq}")
+    assert(d.head.getLong(1) == d.head.getLong(2), s"${d.toSeq}")
+    // an inserted row flags its bucket (diff via count mismatch)
+    val grown = a.union(Seq((999L, "new")).toDF("id", "text"))
+    val g = Merge.merkleDiff(a, grown, "id", col("text"), 16).collect()
+    assert(g.length == 1 && g.head.getLong(2) == g.head.getLong(1) + 1,
+      s"${g.toSeq}")
+  }
 }

@@ -326,6 +326,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c.forall(_.isNullAt(4)), "constant y -> undefined everywhere")
   }
 
+  test("outOfOrderAudit: hand-counted late rows; ordered key has NULL max_lag") {
+    val rows = Seq(
+      ("u", 1L, 10L), ("u", 2L, 20L), ("u", 3L, 15L), // late, lag 5
+      ("u", 4L, 30L), ("u", 5L, 5L),                  // late, lag 25
+      ("v", 1L, 1L), ("v", 2L, 2L))                   // perfectly ordered
+      .toDF("key", "arrival", "ts")
+    val out = TimeSeries.outOfOrderAudit(rows, "key", col("arrival"),
+        col("ts"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    assert(out("u") == ((5L, 2L, 0.4, Some(25L))), s"$out")
+    // max_lag IS the watermark delay that admits every late row
+    assert(out("v") == ((2L, 0L, 0.0, None)), s"$out")
+    // partitioning must not change arrival order semantics
+    val re = TimeSeries.outOfOrderAudit(rows.repartition(5), "key",
+        col("arrival"), col("ts"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(re == Map("u" -> 2L, "v" -> 0L), s"$re")
+  }
+
   test("changepoint: planted level shift found; constant series ties to earliest") {
     val step = Seq(("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 0L),
       ("g", 4L, 10L), ("g", 5L, 10L),
