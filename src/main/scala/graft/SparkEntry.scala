@@ -1568,6 +1568,65 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // EM-fitted Fellegi-Sunter weights over nation-blocked customer
+    // pairs: unsupervised m/u estimation, pattern-level EM
+    "q289_em_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_custkey") % 2 === 0).select(
+        col("c_nationkey"), col("c_mktsegment").as("a_seg"),
+        col("c_acctbal").as("a_bal"), col("c_name").as("a_name"))
+      val b = c.filter(col("c_custkey") % 2 === 1).select(
+        col("c_nationkey"), col("c_mktsegment").as("b_seg"),
+        col("c_acctbal").as("b_bal"), col("c_name").as("b_name"))
+      val pairs = a.join(b, Seq("c_nationkey")).select(
+        (col("a_seg") === col("b_seg")).as("g_segment"),
+        // +1e6-cent offset keeps the band operand positive: Spark's
+        // div truncates toward zero while DuckDB's // floors, and
+        // acctbal can be negative
+        (expr("(cast(floor(a_bal * 100 + 0.5) as bigint) + 1000000) " +
+          "div 100000") ===
+          expr("(cast(floor(b_bal * 100 + 0.5) as bigint) + 1000000) " +
+            "div 100000")).as("g_balband"),
+        // TENS digit, not last: the even/odd custkey split makes the
+        // last name digit a parity leak that can never agree
+        (expr("substr(right(a_name, 2), 1, 1)") ===
+          expr("substr(right(b_name, 2), 1, 1)")).as("g_namedigit"))
+      graft.operators.Linkage.emWeights(pairs,
+        Seq("g_segment", "g_balband", "g_namedigit"))
+    }),
+    // TPC-H Q10 shape: returned-item top-20 customers, exact cents
+    "q290_tpch_q10" -> ((s, dir) => {
+      val pc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val dp = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg((sum((pc * (lit(100L) - dp)).cast("decimal(38,0)"))
+          .cast("double") / 10000).as("_rev"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("_rev"), 6).as("revenue"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    }),
+    // Off-policy replay: three targeting policies evaluated on the
+    // logged event stream, cent-exact reward means
+    "q291_policy_replay" -> ((s, dir) =>
+      Analytics.replayEvaluate(
+        t(s, dir, "events").filter(col("event_type").isNotNull &&
+          col("value").isNotNull && col("user_id").isNotNull),
+        col("event_type"), col("value"),
+        Seq(
+          ("always_purchase", lit("purchase")),
+          ("parity_mix", when(col("user_id") % 2 === 0, "purchase")
+            .otherwise("click")),
+          ("logged", col("event_type"))))),
     // Insert-only IVM: the stored view plus three delta-sized join
     // terms provably equals the full recompute (the oracle IS the
     // full recompute)
@@ -4114,6 +4173,174 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // two unrolled EM iterations over the 8 agreement patterns; all
+    // cross-pattern sums x1e12-quantized; c0 forces DOUBLE constants
+    "q289_em_linkage" ->
+      """WITH pr AS (
+        |  SELECT (a.c_mktsegment = b.c_mktsegment) AS g1,
+        |    ((CAST(floor(a.c_acctbal * 100 + 0.5) AS BIGINT) + 1000000)
+        |       // 100000 =
+        |     (CAST(floor(b.c_acctbal * 100 + 0.5) AS BIGINT) + 1000000)
+        |       // 100000) AS g2,
+        |    (substr(right(a.c_name, 2), 1, 1) = substr(right(b.c_name, 2), 1, 1)) AS g3
+        |  FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+        |  WHERE a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1
+        |), pat AS (
+        |  SELECT g1, g2, g3, count(*)::BIGINT AS cnt FROM pr GROUP BY 1, 2, 3
+        |), c0 AS (
+        |  SELECT 0.1::DOUBLE AS lam, 0.9::DOUBLE AS m1, 0.1::DOUBLE AS u1,
+        |    0.9::DOUBLE AS m2, 0.1::DOUBLE AS u2,
+        |    0.9::DOUBLE AS m3, 0.1::DOUBLE AS u3
+        |), p1 AS (
+        |  SELECT g1, g2, g3, cnt,
+        |    (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |         * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |         * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
+        |    ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |          * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |          * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) +
+        |     ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
+        |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
+        |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END))) AS p
+        |  FROM pat, c0
+        |), a1 AS (
+        |  SELECT
+        |    sum(CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT))::BIGINT AS sp,
+        |    sum(CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT))::BIGINT AS su,
+        |    sum(cnt)::BIGINT AS n,
+        |    sum(CASE WHEN g1 THEN CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT)
+        |      ELSE 0 END)::BIGINT AS sg1,
+        |    sum(CASE WHEN g1 THEN CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT) ELSE 0 END)::BIGINT AS sug1,
+        |    sum(CASE WHEN g2 THEN CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT)
+        |      ELSE 0 END)::BIGINT AS sg2,
+        |    sum(CASE WHEN g2 THEN CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT) ELSE 0 END)::BIGINT AS sug2,
+        |    sum(CASE WHEN g3 THEN CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT)
+        |      ELSE 0 END)::BIGINT AS sg3,
+        |    sum(CASE WHEN g3 THEN CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT) ELSE 0 END)::BIGINT AS sug3
+        |  FROM p1
+        |), c1 AS (
+        |  SELECT (sp::DOUBLE / 1e12) / n AS lam,
+        |    sg1::DOUBLE / sp AS m1, sug1::DOUBLE / su AS u1,
+        |    sg2::DOUBLE / sp AS m2, sug2::DOUBLE / su AS u2,
+        |    sg3::DOUBLE / sp AS m3, sug3::DOUBLE / su AS u3
+        |  FROM a1
+        |), p2 AS (
+        |  SELECT g1, g2, g3, cnt,
+        |    (lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |         * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |         * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) /
+        |    ((lam * (CASE WHEN g1 THEN m1 ELSE 1.0 - m1 END)
+        |          * (CASE WHEN g2 THEN m2 ELSE 1.0 - m2 END)
+        |          * (CASE WHEN g3 THEN m3 ELSE 1.0 - m3 END)) +
+        |     ((1.0 - lam) * (CASE WHEN g1 THEN u1 ELSE 1.0 - u1 END)
+        |                  * (CASE WHEN g2 THEN u2 ELSE 1.0 - u2 END)
+        |                  * (CASE WHEN g3 THEN u3 ELSE 1.0 - u3 END))) AS p
+        |  FROM pat, c1
+        |), a2 AS (
+        |  SELECT
+        |    sum(CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT))::BIGINT AS sp,
+        |    sum(CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT))::BIGINT AS su,
+        |    sum(cnt)::BIGINT AS n,
+        |    sum(CASE WHEN g1 THEN CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT)
+        |      ELSE 0 END)::BIGINT AS sg1,
+        |    sum(CASE WHEN g1 THEN CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT) ELSE 0 END)::BIGINT AS sug1,
+        |    sum(CASE WHEN g2 THEN CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT)
+        |      ELSE 0 END)::BIGINT AS sg2,
+        |    sum(CASE WHEN g2 THEN CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT) ELSE 0 END)::BIGINT AS sug2,
+        |    sum(CASE WHEN g3 THEN CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT)
+        |      ELSE 0 END)::BIGINT AS sg3,
+        |    sum(CASE WHEN g3 THEN CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT) ELSE 0 END)::BIGINT AS sug3
+        |  FROM p2
+        |), c2 AS (
+        |  SELECT (sp::DOUBLE / 1e12) / n AS lam,
+        |    sg1::DOUBLE / sp AS m1, sug1::DOUBLE / su AS u1,
+        |    sg2::DOUBLE / sp AS m2, sug2::DOUBLE / su AS u2,
+        |    sg3::DOUBLE / sp AS m3, sug3::DOUBLE / su AS u3
+        |  FROM a2
+        |)
+        |SELECT 'g_segment' AS field, round(lam, 6) AS lambda,
+        |  round(m1, 6) AS m, round(u1, 6) AS u,
+        |  round(CASE WHEN m1 > 0 AND u1 > 0 THEN ln(m1 / u1) END, 6)
+        |    AS w_agree,
+        |  round(CASE WHEN m1 < 1 AND u1 < 1 THEN
+        |    ln((1.0 - m1) / (1.0 - u1)) END, 6) AS w_disagree FROM c2
+        |UNION ALL
+        |SELECT 'g_balband', round(lam, 6), round(m2, 6), round(u2, 6),
+        |  round(CASE WHEN m2 > 0 AND u2 > 0 THEN ln(m2 / u2) END, 6),
+        |  round(CASE WHEN m2 < 1 AND u2 < 1 THEN
+        |    ln((1.0 - m2) / (1.0 - u2)) END, 6)
+        |FROM c2
+        |UNION ALL
+        |SELECT 'g_namedigit', round(lam, 6), round(m3, 6), round(u3, 6),
+        |  round(CASE WHEN m3 > 0 AND u3 > 0 THEN ln(m3 / u3) END, 6),
+        |  round(CASE WHEN m3 < 1 AND u3 < 1 THEN
+        |    ln((1.0 - m3) / (1.0 - u3)) END, 6)
+        |FROM c2""".stripMargin,
+    // q246's exact-cents recipe + deterministic top-20 cut
+    "q290_tpch_q10" ->
+      """WITH f AS (
+        |  SELECT c_custkey, c_name, c_acctbal, n_name,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS cents
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |    AND l_returnflag = 'R'
+        |), g AS (
+        |  SELECT c_custkey, c_name, c_acctbal, n_name,
+        |    round(sum(cents)::DOUBLE / 10000, 6) AS revenue
+        |  FROM f GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT c_custkey, c_name, revenue, round(c_acctbal, 2) AS c_acctbal,
+        |  n_name
+        |FROM g ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // cent-exact reward means per policy; 'logged' matches all rows
+    "q291_policy_replay" ->
+      """WITH e AS (
+        |  SELECT event_type, value, user_id
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND user_id IS NOT NULL
+        |), one AS (
+        |  SELECT 'always_purchase' AS policy, count(*)::BIGINT AS n_logged,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END)::BIGINT AS n_matched,
+        |    sum(CASE WHEN event_type = 'purchase' THEN
+        |      CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0
+        |      END)::BIGINT AS sc
+        |  FROM e
+        |), two AS (
+        |  SELECT 'parity_mix', count(*)::BIGINT,
+        |    sum(CASE WHEN event_type = (CASE WHEN user_id % 2 = 0
+        |      THEN 'purchase' ELSE 'click' END) THEN 1 ELSE 0
+        |      END)::BIGINT,
+        |    sum(CASE WHEN event_type = (CASE WHEN user_id % 2 = 0
+        |      THEN 'purchase' ELSE 'click' END) THEN
+        |      CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)::BIGINT
+        |  FROM e
+        |), three AS (
+        |  SELECT 'logged', count(*)::BIGINT, count(*)::BIGINT,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+        |  FROM e
+        |), u AS (
+        |  SELECT * FROM one UNION ALL SELECT * FROM two
+        |  UNION ALL SELECT * FROM three
+        |)
+        |SELECT policy, n_logged, n_matched,
+        |  round(n_matched::DOUBLE / n_logged, 6) AS match_rate,
+        |  round(CASE WHEN n_matched > 0 THEN
+        |    (sc::DOUBLE / 100) / n_matched END, 6) AS est_reward
+        |FROM u""".stripMargin,
     // the oracle IS the full recompute - IVM's correctness statement
     "q286_incremental_join" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n,

@@ -1538,6 +1538,39 @@ object Analytics {
         col("llr_decide"))
   }
 
+  /** Off-policy REPLAY evaluation (Li et al.'s unbiased estimator
+    * for uniformly-logged bandits, the audit version for arbitrary
+    * logs): estimate what a target policy WOULD have earned from
+    * logged (action, reward) data by keeping exactly the rows where
+    * the logged action equals the policy's choice and averaging
+    * their rewards — no simulator, no model. One verdict row per
+    * policy: (policy, n_logged, n_matched, match_rate, est_reward —
+    * NULL when the policy never matched; a low match_rate warns the
+    * estimate rides few effective samples). Rewards fold as
+    * cent-quantized int64 sums, so the mean is engine-exact.
+    *
+    * Scale shape: one map-side-combinable aggregation per policy
+    * over the same scan (Catalyst shares it); policies are plan-time
+    * Columns over the logged context, so arbitrary deterministic
+    * targeting rules cost nothing extra. */
+  def replayEvaluate(log: DataFrame, actionCol: Column, rewardCol: Column,
+                     policies: Seq[(String, Column)]): DataFrame = {
+    require(policies.nonEmpty)
+    policies.map { case (name, tgt) =>
+      log.agg(count(lit(1)).as("n_logged"),
+          sum(when(actionCol === tgt, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(actionCol === tgt,
+            floor(rewardCol.cast("double") * 100 + lit(0.5)).cast("long"))
+            .otherwise(0L)).as("_sc"))
+        .select(lit(name).as("policy"), col("n_logged"), col("n_matched"),
+          round(col("n_matched").cast("double") / col("n_logged"), 6)
+            .as("match_rate"),
+          round(when(col("n_matched") > 0,
+            (col("_sc").cast("double") / 100) / col("n_matched")), 6)
+            .as("est_reward"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Rank-biased overlap (truncated at depth k): how much two top-k
     * rankings agree, weighted toward the TOP —
     * `RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d`. The ranking-

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
@@ -719,6 +719,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(sh.getString(4) == "continue" && sh.isNullAt(3) && sh.isNullAt(5),
       s"$sh")
     assert(sh.getDouble(2) == r6(3 * c2), s"final llr: $sh")
+  }
+
+  test("replayEvaluate: matched-only means, never-matching policy NULLs, logged baseline") {
+    val log = Seq(("a", 1.0, 1L), ("a", 3.0, 2L), ("b", 100.0, 3L))
+      .toDF("action", "reward", "uid")
+    val out = Analytics.replayEvaluate(log, col("action"), col("reward"),
+        Seq(("always_a", lit("a")), ("never", lit("z")),
+          ("logged", col("action"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    // replay keeps ONLY rows where the logged action matches
+    assert(out("always_a") == ((3L, 2L, 0.666667, Some(2.0))), s"$out")
+    assert(out("never") == ((3L, 0L, 0.0, None)), s"$out")
+    // the logged policy matches everything: overall mean
+    assert(out("logged") == ((3L, 3L, 1.0, Some(34.666667))), s"$out")
   }
 
   test("rbo: identical lists hit the truncated max, disjoint hit 0, depth weighting") {

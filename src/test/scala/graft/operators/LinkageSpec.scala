@@ -41,4 +41,39 @@ class LinkageSpec extends SparkSpec {
         Seq(FieldComparison("o", col("oops") === col("oops"), 1.0, -1.0)), 0.0)
     }
   }
+
+  test("emWeights: scala-replicated 2-iteration EM on a separable mixture") {
+    import spark.implicits._
+    // 100 all-agree pairs (the matches) + 900 all-disagree pairs
+    val pairs = ((1 to 100).map(_ => (true, true)) ++
+      (1 to 900).map(_ => (false, false))).toDF("gx", "gy")
+    val out = Linkage.emWeights(pairs, Seq("gx", "gy"), iters = 2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // replicate the exact arithmetic: 2 patterns, F=2, quantized sums
+    def q12(x: Double) = math.floor(x * 1e12 + 0.5).toLong
+    var (lam, m, u) = (0.1, 0.9, 0.1) // symmetric fields share params
+    for (_ <- 1 to 2) {
+      def p(g: Boolean) = {
+        val pm = (if (g) lam * m * m else lam * (1.0 - m) * (1.0 - m))
+        val pu = (if (g) (1.0 - lam) * u * u
+                  else (1.0 - lam) * (1.0 - u) * (1.0 - u))
+        pm / (pm + pu)
+      }
+      val (pT, pF) = (p(true), p(false))
+      val sp = q12(100L * pT) + q12(900L * pF)
+      val su = q12(100L * (1.0 - pT)) + q12(900L * (1.0 - pF))
+      val sg = q12(100L * pT); val sug = q12(100L * (1.0 - pT))
+      lam = (sp.toDouble / 1e12) / 1000L
+      m = sg.toDouble / sp; u = sug.toDouble / su
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = (r6(lam), r6(m), r6(u), r6(math.log(m / u)),
+      r6(math.log((1.0 - m) / (1.0 - u))))
+    assert(out("gx") == exp && out("gy") == exp, s"$out vs $exp")
+    // the mixture separates: matches agree, non-matches don't
+    assert(out("gx")._2 > 0.9 && out("gx")._3 < 0.05, s"$out")
+    assert(out("gx")._4 > 0 && out("gx")._5 < 0, "weight signs")
+  }
 }
