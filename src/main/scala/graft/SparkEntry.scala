@@ -1568,6 +1568,23 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Zone-map audit: month partitions vs a half-1997 day-range
+    // predicate - what the layout's footer stats actually prune
+    "q292_zone_map" -> ((s, dir) =>
+      graft.operators.Layout.zoneMapPruning(
+        t(s, dir, "orders").filter(col("o_orderdate").isNotNull),
+        date_format(col("o_orderdate"), "yyyy-MM"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"),
+        lo = 9862L, hi = 10042L)),
+    // One-step DoReMi-style domain reweighting from unigram-LM
+    // excess loss per source
+    "q293_domain_reweight" -> ((s, dir) =>
+      graft.operators.Curation.domainReweight(t(s, dir, "documents"))),
+    // Systematic every-10th sample over the (n_chars, doc_id) frame
+    "q294_systematic_sample" -> ((s, dir) =>
+      Sampling.systematicSample(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        col("n_chars"), col("doc_id"), k = 10, offset = 3)),
     // EM-fitted Fellegi-Sunter weights over nation-blocked customer
     // pairs: unsupervised m/u estimation, pattern-level EM
     "q289_em_linkage" -> ((s, dir) => {
@@ -4173,6 +4190,73 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // footer-stats replay; prunable = disjoint range or all-null
+    "q292_zone_map" ->
+      """WITH z AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS part,
+        |    count(*)::BIGINT AS n_rows,
+        |    min(epoch_us(o_orderdate) // 86400000000)::BIGINT AS vmin,
+        |    max(epoch_us(o_orderdate) // 86400000000)::BIGINT AS vmax,
+        |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_nulls
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT part, n_rows, vmin, vmax, n_nulls,
+        |    (vmin IS NULL OR vmax < 9862 OR vmin > 10042) AS prunable
+        |  FROM z
+        |)
+        |SELECT part, n_rows, vmin, vmax, n_nulls, prunable,
+        |  round((sum(CASE WHEN prunable THEN 0 ELSE n_rows END)
+        |    OVER ())::DOUBLE / (sum(n_rows) OVER ()), 6) AS scan_fraction
+        |FROM p""".stripMargin,
+    // x1e9-quantized per-term ln p, exact (source, term) count sums,
+    // x1e6-quantized softmax denominator
+    "q293_domain_reweight" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |  FROM documents WHERE source IS NOT NULL
+        |), tf AS (SELECT t, count(*)::BIGINT AS cnt FROM toks GROUP BY t),
+        |tot AS (SELECT sum(cnt)::BIGINT AS tot FROM tf),
+        |lm AS (
+        |  SELECT t, CAST(floor(ln(cnt::DOUBLE / tot) * 1e9 + 0.5)
+        |    AS BIGINT) AS q
+        |  FROM tf, tot
+        |), st AS (
+        |  SELECT source, t, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+        |), bs AS (
+        |  SELECT source, sum(c * q)::BIGINT AS qs, sum(c)::BIGINT AS n_tokens
+        |  FROM st JOIN lm USING (t) GROUP BY source
+        |), l AS (
+        |  SELECT source, qs, n_tokens,
+        |    -(qs::DOUBLE / 1e9) / n_tokens AS loss
+        |  FROM bs
+        |), rf AS (
+        |  SELECT sum(qs)::BIGINT AS qg, sum(n_tokens)::BIGINT AS ng FROM bs
+        |), e AS (
+        |  SELECT source, n_tokens, loss,
+        |    greatest(loss - (-(qg::DOUBLE / 1e9) / ng), 0.0) AS excess
+        |  FROM l, rf
+        |), w AS (
+        |  SELECT source, n_tokens, loss, excess,
+        |    CAST(floor(n_tokens * exp(excess * 1.0) * 1e6 + 0.5) AS BIGINT)
+        |      AS eq
+        |  FROM e
+        |), d AS (SELECT sum(eq)::BIGINT AS den FROM w)
+        |SELECT source, n_tokens, round(loss, 6) AS loss,
+        |  round(excess, 6) AS excess,
+        |  round(eq::DOUBLE / den, 6) AS weight
+        |FROM w, d""".stripMargin,
+    // frame rank replay
+    "q294_systematic_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars FROM r
+        |WHERE (rn - 1) % 10 = 3""".stripMargin,
     // two unrolled EM iterations over the 8 agreement patterns; all
     // cross-pattern sums x1e12-quantized; c0 forces DOUBLE constants
     "q289_em_linkage" ->

@@ -417,6 +417,59 @@ object Curation {
         round(when(col("_n") > 1 && sd > 0, (q - mu) / sd), 6).as("z"))
   }
 
+  /** One-step DoReMi-style domain reweighting: per source, the
+    * unigram-LM loss excess over the corpus average drives a
+    * multiplicative-weights update `w_s ∝ share_s · exp(η·excess_s)`
+    * — up-weight the domains the reference model fits WORST (they
+    * carry the signal the model hasn't absorbed), starting from the
+    * token-share baseline. This is the one-iteration, unigram-proxy
+    * form of the DoReMi recipe (proxy-model losses slot into the
+    * same shape); `excess` clamps at 0 so easy domains only lose
+    * weight through normalization. Returns one row per source:
+    * (source, n_tokens, loss, excess, weight), Σ weight = 1.
+    *
+    * Exactness: per-term ln p quantizes to ×10⁹ int64 ONCE per
+    * vocabulary term, source sums ride exact `cnt·q` integers, and
+    * the softmax denominator sums ×10⁶-quantized terms — engine-
+    * identical at every reduction.
+    *
+    * Scale shape: one token explode → (source, term) reduced counts
+    * (map-side combined), the vocabulary-bounded LM broadcast onto
+    * it, then sources-bounded arithmetic. The corpus shuffles once,
+    * as reduced counts. */
+  def domainReweight(docs: DataFrame, sourceCol: String = "source",
+                     textCol: String = "text",
+                     eta: Double = 1.0): DataFrame = {
+    val toks = docs.filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("_src"),
+        explode(tokens(col(textCol))).as("_t"))
+    val tf = toks.groupBy("_t").agg(count(lit(1)).as("_cnt"))
+    val tot = broadcast(tf.agg(sum("_cnt").as("_tot")))
+    val lm = broadcast(tf.crossJoin(tot).select(col("_t"),
+      floor(log(col("_cnt").cast("double") / col("_tot")) * 1e9 + lit(0.5))
+        .cast("long").as("_q")))
+    val bySrc = toks.groupBy("_src", "_t").agg(count(lit(1)).as("_c"))
+      .join(lm, Seq("_t"))
+      .groupBy("_src")
+      .agg(sum(col("_c") * col("_q")).as("_qs"), sum("_c").as("n_tokens"))
+      .withColumn("loss", -(col("_qs").cast("double") / 1e9) /
+        col("n_tokens"))
+    val ref = broadcast(bySrc.agg(sum("_qs").as("_qg"),
+      sum("n_tokens").as("_ng")))
+    val ex = bySrc.crossJoin(ref)
+      .withColumn("excess", greatest(
+        col("loss") - (-(col("_qg").cast("double") / 1e9) / col("_ng")),
+        lit(0.0)))
+      .withColumn("_eq",
+        floor(col("n_tokens") * exp(col("excess") * eta) * 1e6 + lit(0.5))
+          .cast("long"))
+    val den = broadcast(ex.agg(sum("_eq").as("_den")))
+    ex.crossJoin(den).select(col("_src").as(sourceCol), col("n_tokens"),
+      round(col("loss"), 6).as("loss"),
+      round(col("excess"), 6).as("excess"),
+      round(col("_eq").cast("double") / col("_den"), 6).as("weight"))
+  }
+
   /** Cross-source duplication matrix — a provenance consumer of the
     * materialized near-dup cluster table: for every source pair
     * (a ≤ b), how many clusters contain a near-dup pair spanning

@@ -94,4 +94,34 @@ object Layout {
         dims.indices.map(d => col(s"_max$d")), bits))
       .drop(dims.indices.flatMap(d => Seq(s"_min$d", s"_max$d")): _*)
   }
+
+  /** Zone-map audit: per partition, the (min, max, nulls) footer
+    * stats a columnar layout keeps, plus whether a `[lo, hi]` range
+    * predicate could PRUNE the partition without reading it — and
+    * the resulting scan fraction. This measures what the layout work
+    * ([[withZValue]], partitioning keys) actually buys: a predicate
+    * whose zone maps prune nothing means the sort key is wrong for
+    * that query, no matter how elegant the curve. All-null
+    * partitions prune (a range predicate rejects NULL; a
+    * null-accepting predicate is a different audit).
+    *
+    * Scale shape: exactly the footer-stats pass a writer already
+    * does — one map-side-combinable agg per partition; the scan
+    * fraction is a window over the BOUNDED partition relation. */
+  def zoneMapPruning(df: DataFrame, partCol: Column, valueCol: Column,
+                     lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lo <= hi)
+    val w = Window.partitionBy(lit(1))
+    df.groupBy(partCol.as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(valueCol.cast("long")).as("vmin"),
+        max(valueCol.cast("long")).as("vmax"),
+        sum(when(valueCol.isNull, 1L).otherwise(0L)).as("n_nulls"))
+      .withColumn("prunable",
+        col("vmin").isNull || col("vmax") < lo || col("vmin") > hi)
+      .withColumn("scan_fraction", round(
+        sum(when(col("prunable"), 0L).otherwise(col("n_rows"))).over(w)
+          .cast("double") / sum("n_rows").over(w), 6))
+  }
 }

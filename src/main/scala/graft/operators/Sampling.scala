@@ -274,6 +274,30 @@ object Sampling {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Systematic (every k-th) sampling over an explicit frame order:
+    * rank rows by `(orderCol, idCol)` and keep ranks ≡ offset
+    * (mod k) — the survey-methodology classic that implicitly
+    * stratifies over whatever the sort key encodes (sorted by size →
+    * the sample spans the size distribution evenly; sorted by a
+    * Z-value → it spans the layout). Where [[hashSample]] gives
+    * independence, systematic gives COVERAGE of the ordered frame —
+    * complementary guarantees.
+    *
+    * Scale shape: ranking needs a total order — ride a sort the
+    * layout already has (the Z-order write, a range-partitioned
+    * key), in which case the rank is per-partition arithmetic on
+    * top of existing order; a bare unsorted corpus pays one global
+    * sort, same as any order-dependent frame method. */
+  def systematicSample(df: DataFrame, orderCol: Column, idCol: Column,
+                       k: Int, offset: Int = 0): DataFrame = {
+    require(k >= 1 && offset >= 0 && offset < k)
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_rn",
+        row_number().over(Window.orderBy(orderCol, idCol)).cast("long"))
+      .filter((col("_rn") - 1) % k === offset)
+      .drop("_rn")
+  }
+
   /** Purged temporal train/val split with an embargo gap: rows before
     * the cutoff instant train, rows inside `(cutoff, cutoff+embargo]`
     * are PURGED (labeled `embargo`, excluded from both sides), rows

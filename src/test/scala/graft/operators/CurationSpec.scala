@@ -345,6 +345,30 @@ class CurationSpec extends SparkSpec {
     assert(c.forall(_.isNullAt(2)), "zero-variance fit yields null z")
   }
 
+  test("domainReweight: hard domain gains weight, identical domains keep shares") {
+    // easy: high-frequency words; hard: rare words -> higher loss
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "easy", "the the the and and of")) ++
+      Seq((100L, "hard", s"zqx${1} vvk${2} wpj${3} qqy${4} rrz${5} ssx${6}")))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.domainReweight(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("hard")._2 > out("easy")._2, s"loss order: $out")
+    assert(out("hard")._3 > 0.0 && out("easy")._3 == 0.0, s"excess: $out")
+    // hard has 6 of 54 tokens (~0.111 share) but must exceed its share
+    assert(out("hard")._4 > 6.0 / 54.0, s"weight vs share: $out")
+    assert(math.abs(out.values.map(_._4).sum - 1.0) < 2e-6, "sums to 1")
+    // identical distributions: zero excess, weights = token shares
+    val flat = Seq((1L, "a", "x y z"), (2L, "b", "x y z"), (3L, "b", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val f = Curation.domainReweight(flat)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(f("a")._1 == 0.0 && f("b")._1 == 0.0, s"$f")
+    assert(f("a")._2 == 0.333333 && f("b")._2 == 0.666667, s"$f")
+  }
+
   test("sourceDuplicationMatrix: intra/cross-source cells, singletons silent") {
     val resolved = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
       (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster_rep")

@@ -80,4 +80,26 @@ class LayoutSpec extends SparkSpec {
       s"z-layout touched $zParts partitions, x-sort $xParts")
     assert(zParts <= 2, s"dyadic box should stay in <=2 of 16 z-ranges: $zParts")
   }
+
+  test("zoneMapPruning: overlap semantics, all-null partitions prune, scan fraction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = ((0 to 9).map(v => ("A", Some(v.toLong))) ++
+      (20 to 29).map(v => ("B", Some(v.toLong))) ++
+      Seq(("C", None), ("C", None))).toDF("p", "v")
+    def run(lo: Long, hi: Long) =
+      Layout.zoneMapPruning(rows, col("p"), col("v"), lo, hi)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getBoolean(5), r.getDouble(6))).toMap
+    // [5,25] overlaps both value partitions; the all-null one prunes
+    val mid = run(5L, 25L)
+    assert(!mid("A")._2 && !mid("B")._2 && mid("C")._2, s"$mid")
+    assert(mid("A")._3 == 0.909091, s"scan fraction: $mid") // 20/22
+    // [21,25]: A's zone map (max 9) proves it can't match
+    val hi = run(21L, 25L)
+    assert(hi("A")._2 && !hi("B")._2, s"$hi")
+    assert(hi("B")._3 == 0.454545, s"$hi") // 10/22
+    // disjoint range everywhere: scan fraction 0
+    assert(run(100L, 200L).values.head._3 == 0.0)
+  }
 }

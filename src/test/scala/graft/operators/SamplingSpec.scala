@@ -194,6 +194,22 @@ class SamplingSpec extends SparkSpec {
     assert(z.isEmpty)
   }
 
+  test("systematicSample: every k-th of the ordered frame, offset honored") {
+    val rows = (1L to 100L).map(i => (i, i * 7 % 101)).toDF("id", "v")
+    val got = Sampling.systematicSample(rows, col("v"), col("id"),
+        k = 10, offset = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 10, s"$got")
+    // recompute the frame ranks independently
+    val frame = rows.collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sorted.map(_._2)
+    val exp = frame.zipWithIndex.filter(_._2 % 10 == 3).map(_._1).toSet
+    assert(got == exp, s"$got vs $exp")
+    // k=1 keeps everything
+    assert(Sampling.systematicSample(rows, col("v"), col("id"), 1)
+      .count() == 100)
+  }
+
   test("purgedTemporalSplit: exact band edges and the no-leakage gap") {
     val rows = (0L to 100L).map(ts => (ts, ts)).toDF("id", "ts")
     val split = Sampling.purgedTemporalSplit(rows, col("ts"), 1, 5, 10L)
