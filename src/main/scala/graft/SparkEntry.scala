@@ -1568,6 +1568,23 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Product-quantization codebook: 4 subspaces x 4 codes, hash
+    // seeds + one refine pass, per-(vector, subspace) code + err
+    "q295_pq_codebook" -> ((s, dir) =>
+      Similarity.pqCodebook(t(s, dir, "embeddings"))),
+    // Tukey HSD post-hoc after q229's ANOVA: which event-type pairs
+    // differ, familywise-corrected (qcrit k=5, df inf, alpha .05)
+    "q296_tukey_hsd" -> ((s, dir) =>
+      Analytics.tukeyHsd(
+        t(s, dir, "events").filter(col("event_type").isNotNull &&
+          col("value").isNotNull),
+        "event_type", col("value"), qCrit = 3.858)),
+    // Marginal-preserving synthetic rows: 100 deterministic fixture
+    // rows from customer, joints broken, marginals kept
+    "q297_synthetic_rows" -> ((s, dir) =>
+      graft.operators.Profiling.syntheticRows(
+        t(s, dir, "customer"), "c_custkey",
+        Seq("c_mktsegment", "c_acctbal", "c_nationkey"), n = 100)),
     // Zone-map audit: month partitions vs a half-1997 day-range
     // predicate - what the layout's footer stats actually prune
     "q292_zone_map" -> ((s, dir) =>
@@ -4190,6 +4207,103 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // full PQ replay: hash seeds, x1e12-quantized distance sums,
+    // (qd, c) argmin, x1e6-quantized refined centroids, re-assign
+    "q295_pq_codebook" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings),
+        |coords AS (
+        |  SELECT vec_id, (i - 1) // 16 AS s, (i - 1) % 16 AS i2,
+        |    embedding[i]::DOUBLE AS x
+        |  FROM c CROSS JOIN generate_series(1, 64) t(i)
+        |), sd AS (
+        |  SELECT sid, rn - 1 AS cc FROM (
+        |    SELECT vec_id AS sid, row_number() OVER (ORDER BY
+        |      ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+        |      vec_id) AS rn
+        |    FROM c) WHERE rn <= 4
+        |), scomp AS (
+        |  SELECT s, cc AS cd, i2, x AS mx
+        |  FROM coords JOIN sd ON coords.vec_id = sd.sid
+        |), d0 AS (
+        |  SELECT coords.vec_id, coords.s, scomp.cd,
+        |    sum(CAST(floor((x - mx) * (x - mx) * 1e12 + 0.5)
+        |      AS BIGINT))::BIGINT AS qd
+        |  FROM coords JOIN scomp
+        |    ON coords.s = scomp.s AND coords.i2 = scomp.i2
+        |  GROUP BY 1, 2, 3
+        |), a0 AS (
+        |  SELECT vec_id, s, cd FROM (
+        |    SELECT vec_id, s, cd,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY qd, cd) AS rn
+        |    FROM d0) WHERE rn = 1
+        |), ref AS (
+        |  SELECT coords.s, a0.cd, coords.i2,
+        |    (sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT))::DOUBLE
+        |      / count(*)) / 1000000.0 AS mx
+        |  FROM coords JOIN a0
+        |    ON coords.vec_id = a0.vec_id AND coords.s = a0.s
+        |  GROUP BY 1, 2, 3
+        |), d1 AS (
+        |  SELECT coords.vec_id, coords.s, ref.cd,
+        |    sum(CAST(floor((x - mx) * (x - mx) * 1e12 + 0.5)
+        |      AS BIGINT))::BIGINT AS qd
+        |  FROM coords JOIN ref
+        |    ON coords.s = ref.s AND coords.i2 = ref.i2
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT vec_id, s AS subspace, cd AS code,
+        |  round(qd::DOUBLE / 1e12, 6) AS err
+        |FROM (
+        |  SELECT vec_id, s, cd, qd,
+        |    row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY qd, cd) AS rn
+        |  FROM d1) WHERE rn = 1""".stripMargin,
+    // exact group moments; per-group within-SS quantized to unit
+    // cents^2 before the cross-group MSE sum
+    "q296_tukey_hsd" ->
+      """WITH g AS (
+        |  SELECT event_type AS grp, count(*)::BIGINT AS n,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS s,
+        |    sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      AS HUGEINT) * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS qq
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1
+        |), tt AS (
+        |  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+        |    sum(CAST(floor(qq::DOUBLE - s::DOUBLE * s / n + 0.5)
+        |      AS BIGINT))::BIGINT AS ssw
+        |  FROM g
+        |)
+        |SELECT a.grp AS group_a, b.grp AS group_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  round(abs(a.s::DOUBLE / a.n - b.s::DOUBLE / b.n) / 100, 6)
+        |    AS mean_diff,
+        |  round(CASE WHEN nn > k AND ssw > 0 THEN
+        |    abs(a.s::DOUBLE / a.n - b.s::DOUBLE / b.n) /
+        |    sqrt((ssw::DOUBLE / (nn - k)) / 2 * (1.0 / a.n + 1.0 / b.n))
+        |    END, 6) AS q_stat,
+        |  CASE WHEN nn > k AND ssw > 0 THEN
+        |    abs(a.s::DOUBLE / a.n - b.s::DOUBLE / b.n) /
+        |    sqrt((ssw::DOUBLE / (nn - k)) / 2 * (1.0 / a.n + 1.0 / b.n))
+        |    > 3.858 END AS significant
+        |FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN tt""".stripMargin,
+    // md5 rank-pick replay per column
+    "q297_synthetic_rows" ->
+      """WITH r AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal, c_nationkey,
+        |    row_number() OVER (ORDER BY c_custkey) - 1 AS rk
+        |  FROM customer
+        |), nn AS (SELECT count(*)::BIGINT AS n FROM customer),
+        |sp AS (SELECT unnest(generate_series(0, 99)) AS synth_id)
+        |SELECT sp.synth_id, r1.c_mktsegment, r2.c_acctbal, r3.c_nationkey
+        |FROM sp CROSS JOIN nn
+        |JOIN r r1 ON r1.rk = ('0x' || substr(md5('syn:c_mktsegment:' ||
+        |  sp.synth_id::VARCHAR), 1, 15))::BIGINT % nn.n
+        |JOIN r r2 ON r2.rk = ('0x' || substr(md5('syn:c_acctbal:' ||
+        |  sp.synth_id::VARCHAR), 1, 15))::BIGINT % nn.n
+        |JOIN r r3 ON r3.rk = ('0x' || substr(md5('syn:c_nationkey:' ||
+        |  sp.synth_id::VARCHAR), 1, 15))::BIGINT % nn.n""".stripMargin,
     // footer-stats replay; prunable = disjoint range or all-null
     "q292_zone_map" ->
       """WITH z AS (

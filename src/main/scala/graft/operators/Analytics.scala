@@ -1538,6 +1538,54 @@ object Analytics {
         col("llr_decide"))
   }
 
+  /** Tukey HSD post-hoc pairwise comparisons — the step AFTER
+    * [[anovaF]] says "some group differs": WHICH pairs differ, with
+    * the studentized-range correction that keeps the familywise
+    * error at α across all k(k−1)/2 comparisons (pairwise t-tests
+    * would inflate it). Tukey–Kramer form for unequal n:
+    * `q = |mean_a − mean_b| / √(MSE/2 · (1/n_a + 1/n_b))`, flagged
+    * against the caller-supplied critical value (q table, k groups ×
+    * error df — e.g. 3.858 for k=5, df=∞, α=.05). One row per
+    * unordered pair.
+    *
+    * Exactness: group moments are exact int64/decimal sums; each
+    * group's within-SS term quantizes to unit-cents² before the
+    * cross-group MSE sum (order-free); pair arithmetic is a fixed
+    * double expression.
+    *
+    * Scale shape: one map-side moment agg; pairs are a self-join of
+    * the BOUNDED group relation. */
+  def tukeyHsd(df: DataFrame, groupCol: String, valueCol: Column,
+               qCrit: Double, scale: Long = 100L): DataFrame = {
+    require(qCrit > 0 && scale >= 1)
+    val q = floor(valueCol.cast("double") * scale + lit(0.5)).cast("long")
+    val perG = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), q.as("_q"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_n"), sum("_q").as("_s"),
+        sum(col("_q").cast("decimal(38,0)") * col("_q")).as("_qq"))
+    val gTerm = col("_qq").cast("double") -
+      col("_s").cast("double") * col("_s") / col("_n")
+    val tot = broadcast(perG.agg(count(lit(1)).as("_k"),
+      sum("_n").as("_N"),
+      sum(floor(gTerm + lit(0.5)).cast("long")).as("_ssw")))
+    val a = perG.select(col("_g").as("group_a"), col("_n").as("n_a"),
+      col("_s").as("_sa"))
+    val b = perG.select(col("_g").as("group_b"), col("_n").as("n_b"),
+      col("_s").as("_sb"))
+    val mse = col("_ssw").cast("double") / (col("_N") - col("_k"))
+    val diffC = abs(col("_sa").cast("double") / col("n_a") -
+      col("_sb").cast("double") / col("n_b"))
+    val se = sqrt(mse / 2 * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    a.join(b, col("group_a") < col("group_b")).crossJoin(tot)
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        round(diffC / scale, 6).as("mean_diff"),
+        round(when(col("_N") > col("_k") && col("_ssw") > 0, diffC / se), 6)
+          .as("q_stat"),
+        when(col("_N") > col("_k") && col("_ssw") > 0, diffC / se > qCrit)
+          .as("significant"))
+  }
+
   /** Off-policy REPLAY evaluation (Li et al.'s unbiased estimator
     * for uniformly-logged bandits, the audit version for arbitrary
     * logs): estimate what a target policy WOULD have earned from

@@ -161,6 +161,42 @@ object Profiling {
       .filter(col("low_diversity") || col("skewed"))
   }
 
+  /** Marginal-preserving synthetic rows: each output row draws every
+    * column INDEPENDENTLY from a hash-chosen source row, so per-
+    * column distributions converge to the source marginals while
+    * joint structure (and thus anything identifying) is broken — the
+    * test-fixture / sharing-safe-sample generator. Fully
+    * deterministic: column c of synthetic row i comes from the
+    * source row at rank `md5(seed:c:i) mod N` in `idCol` order, so
+    * the same call yields the same rows on any engine or
+    * partitioning (no rand(), no RNG seeds to plumb).
+    *
+    * Scale shape: the rank table is one sort of the (bounded,
+    * fixture-sized) source sample; each column is a key-equi join of
+    * the n-row synthetic spine against it. Synthesizing from a
+    * 100 TB table starts from a sampled source anyway ([[
+    * graft.operators.Sampling.hashSample]]) — the generator's input
+    * contract is a bounded frame. */
+  def syntheticRows(df: DataFrame, idCol: String, cols: Seq[String],
+                    n: Int, seed: String = "syn"): DataFrame = {
+    require(cols.nonEmpty && n >= 1)
+    import graft.functions.HashFunctions.md5Long
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df.select(col(idCol) +: cols.map(col): _*)
+      .withColumn("_rk",
+        row_number().over(Window.orderBy(col(idCol))).cast("long") - 1)
+    val nSrc = broadcast(df.agg(count(lit(1)).as("_n")))
+    val spine = df.sparkSession.range(n).select(col("id").as("synth_id"))
+      .crossJoin(nSrc)
+    cols.foldLeft(spine) { (acc, c) =>
+      acc.withColumn(s"_p$c",
+          md5Long(concat_ws(":", lit(seed), lit(c),
+            col("synth_id").cast("string"))) % col("_n"))
+        .join(ranked.select(col("_rk").as(s"_p$c"), col(c)), Seq(s"_p$c"))
+        .drop(s"_p$c")
+    }.drop("_n")
+  }
+
   /** Referential-integrity audit: how many child rows point at a
     * parent key that doesn't exist — the orphaned-FK read behind
     * every silent inner-join row loss ("the join dropped 3% of

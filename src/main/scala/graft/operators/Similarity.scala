@@ -604,6 +604,77 @@ object Similarity {
         dot(col(vecCol), typedLit(mat(p))) * lit(inv)): _*).as("proj"))
   }
 
+  /** Product-quantization codebook (PQ, the IVF-PQ second stage):
+    * split each vector into `m` subvectors, k-means each subspace
+    * independently (hash-chosen seeds, one refine pass — the
+    * [[ivfSeeds]]/[[kmeansRefine]] recipe), and code every vector as
+    * its nearest refined centroid per subspace. Returns one row per
+    * (vector, subspace): (id, subspace, code, err = L2² to the
+    * assigned centroid) — m·log₂(k) bits replace dim·32, and the
+    * err column is the measured reconstruction loss that says
+    * whether (m, k) is enough BEFORE the index is built (the same
+    * audit posture as [[jlDistortion]]).
+    *
+    * Exactness: distances are per-coordinate (x−μ)² terms
+    * ×10¹²-quantized into int64 sums (order-free), argmin is a
+    * struct-min with code-id ties, refined centroids are ×10⁶
+    * quantized means — every step engine- and partitioning-exact.
+    *
+    * Scale shape: seeds and both centroid generations broadcast
+    * (m·k·dim/m rows); the corpus flows twice through scan-side
+    * joins + map-side-combinable aggs and never shuffles its
+    * vectors — only (id, subspace, centroid) distance partials.
+    * A centroid that captures no points in the assign pass simply
+    * drops out of the refined codebook (documented; k-means++ or
+    * re-seeding handles it upstream at real scale). */
+  def pqCodebook(corpus: DataFrame, m: Int = 4, k: Int = 4, dim: Int = 64,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && k >= 1 && dim % m == 0)
+    import graft.functions.HashFunctions.md5Long
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / m
+    val coords = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .select(col("_id"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("s"),
+          slice(col("_v"), s * sub + 1, sub).as("sv"))): _*)).as("e"))
+      .select(col("_id"), col("e.s").as("_s"),
+        posexplode(col("e.sv")).as(Seq("_i", "_x")))
+      .select(col("_id"), col("_s"), col("_i"),
+        col("_x").cast("double").as("_x"))
+    val seedIds = corpus
+      .orderBy(md5Long(col(idCol).cast("string")), col(idCol)).limit(k)
+      .select(col(idCol).as("_sid"))
+      .withColumn("_c", row_number().over(
+        Window.orderBy(md5Long(col("_sid").cast("string")), col("_sid")))
+        .cast("long") - 1)
+    val seedComps = broadcast(coords
+      .join(seedIds, col("_id") === col("_sid"))
+      .select(col("_s"), col("_c"), col("_i"), col("_x").as("_mx")))
+    def q12(c: Column) = floor(c * 1e12 + lit(0.5)).cast("long")
+    def assign(comps: DataFrame) = coords
+      .join(comps, Seq("_s", "_i"))
+      .groupBy("_id", "_s", "_c")
+      .agg(sum(q12((col("_x") - col("_mx")) * (col("_x") - col("_mx"))))
+        .as("_qd"))
+      .groupBy("_id", "_s")
+      .agg(min(struct(col("_qd"), col("_c"))).as("_m"))
+      .select(col("_id"), col("_s"), col("_m._c").as("_c"),
+        col("_m._qd").as("_qd"))
+    val a0 = assign(seedComps)
+    val refined = broadcast(coords
+      .join(a0.select("_id", "_s", "_c"), Seq("_id", "_s"))
+      .groupBy("_s", "_c", "_i")
+      .agg(sum(floor(col("_x") * 1000000 + lit(0.5)).cast("long")).as("_sx"),
+        count(lit(1)).as("_n"))
+      .select(col("_s"), col("_c"), col("_i"),
+        (col("_sx").cast("double") / col("_n") / 1000000.0).as("_mx")))
+    assign(refined)
+      .select(col("_id").as(idCol), col("_s").as("subspace"),
+        col("_c").as("code"),
+        round(col("_qd").cast("double") / 1e12, 6).as("err"))
+  }
+
   /** Embedding-space drift monitor: per label, how far the class
     * centroid moved between two snapshots (cosine + L2 shift of the
     * mean vector) — the cheap canary that says "re-index the ANN /

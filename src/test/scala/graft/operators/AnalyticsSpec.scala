@@ -721,6 +721,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(sh.getDouble(2) == r6(3 * c2), s"final llr: $sh")
   }
 
+  test("tukeyHsd: hand-computed q stats, familywise flags, zero-variance NULLs") {
+    val rows = Seq(("a", 1.0), ("a", 3.0), ("b", 11.0), ("b", 13.0),
+      ("c", 1.0), ("c", 3.0)).toDF("g", "v")
+    val out = Analytics.tukeyHsd(rows, "g", col("v"), qCrit = 3.858)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    // mse = 20000 cents^2; se(any pair) = 100 cents
+    assert(out(("a", "b")) == ((10.0, 10.0, true)), s"$out")
+    assert(out(("a", "c")) == ((0.0, 0.0, false)), s"$out")
+    assert(out(("b", "c")) == ((10.0, 10.0, true)), s"$out")
+    // all-constant groups: ssw = 0 -> q undefined, not infinite
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 7.0), ("b", 7.0))
+      .toDF("g", "v")
+    val c = Analytics.tukeyHsd(const, "g", col("v"), 3.858).collect().head
+    assert(c.isNullAt(5) && c.isNullAt(6), s"$c")
+  }
+
   test("replayEvaluate: matched-only means, never-matching policy NULLs, logged baseline") {
     val log = Seq(("a", 1.0, 1L), ("a", 3.0, 2L), ("b", 100.0, 3L))
       .toDF("action", "reward", "uid")

@@ -348,6 +348,32 @@ class ProfilingSpec extends SparkSpec {
     assert(c.getDouble(0) == 0.0 && c.isNullAt(2), s"constant y: $c")
   }
 
+  test("syntheticRows: exact md5 rank picks, domain closure, determinism") {
+    val src = Seq((1L, "p", 10L), (2L, "q", 20L), (3L, "r", 30L),
+      (4L, "s", 40L), (5L, "t", 50L)).toDF("id", "a", "b")
+    val out = Profiling.syntheticRows(src, "id", Seq("a", "b"), n = 20)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out.size == 20)
+    // replicate the picks: rank = md5Long60("syn:<col>:<i>") % 5
+    val as = Array("p", "q", "r", "s", "t"); val bs = Array(10L, 20L, 30L, 40L, 50L)
+    (0L until 20L).foreach { i =>
+      val ea = as((graft.functions.HashFunctions.md5Long60(s"syn:a:$i") % 5).toInt)
+      val eb = bs((graft.functions.HashFunctions.md5Long60(s"syn:b:$i") % 5).toInt)
+      assert(out(i) == ((ea, eb)), s"row $i: ${out(i)} vs ($ea, $eb)")
+    }
+    // columns drawn independently: some row must break the source's
+    // perfect a<->b correlation
+    assert((0L until 20L).exists { i =>
+      val (a, b) = out(i); as.indexOf(a) != bs.indexOf(b) },
+      "joint structure unexpectedly preserved")
+    val re = Profiling.syntheticRows(src.repartition(4), "id",
+        Seq("a", "b"), n = 20)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(re == out)
+  }
+
   test("refIntegrityAudit: orphans vs null keys, rate denominator excludes nulls") {
     val child = Seq(Some(1L), Some(2L), Some(3L), None).toDF("fk")
     val parent = Seq(1L, 2L).toDF("pk")

@@ -356,6 +356,36 @@ class SimilaritySpec extends SparkSpec {
     assert(one.length == 1 && one.head.getLong(0) == 1L)
   }
 
+  test("pqCodebook: separated subspace clusters code consistently, err small") {
+    // place the two hash-smallest ids in DIFFERENT clusters so the
+    // seed draw starts one centroid per cluster deterministically
+    val ids = (1L to 4L).sortBy(i =>
+      (graft.functions.HashFunctions.md5Long60(i.toString), i))
+    val (a1, b1, a2, b2) = (ids(0), ids(1), ids(2), ids(3))
+    def vec(cluster0: Boolean, jitter: Float) =
+      if (cluster0) Seq(0f + jitter, 0f, 10f, 10f + jitter)
+      else Seq(5f + jitter, 5f, 0f, 0f + jitter)
+    val corpus = Seq((a1, vec(true, 0f)), (a2, vec(true, 0.1f)),
+      (b1, vec(false, 0f)), (b2, vec(false, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqCodebook(corpus, m = 2, k = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 8, s"4 vectors x 2 subspaces: $out")
+    (0L to 1L).foreach { s =>
+      assert(out((a1, s))._1 == out((a2, s))._1, s"cluster A split in s$s")
+      assert(out((b1, s))._1 == out((b2, s))._1, s"cluster B split in s$s")
+      assert(out((a1, s))._1 != out((b1, s))._1, s"clusters merged in s$s")
+    }
+    // refined centroid = cluster mean -> err = (jitter/2)^2 * 2 = 0.005
+    assert(out.values.forall(_._2 <= 0.005001), s"$out")
+    val re = Similarity.pqCodebook(corpus.repartition(3), m = 2, k = 2,
+        dim = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(re == out)
+  }
+
   test("centroidDrift: identical snapshots cos 1 / shift 0; orthogonal shift exact") {
     val a = Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0.5f, 0.5f), 1),
       (3L, Seq(0.7f, 0.3f), 1)).toDF("vec_id", "embedding", "label")
