@@ -1568,6 +1568,39 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Dedup-pressure curve on a stream with a planted re-crawl: the
+    // marginal-duplicate rate that says when to re-run dedup
+    "q298_dedup_pressure" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val recrawl = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000L)
+      graft.operators.Curation.dedupPressure(docs.unionByName(recrawl))
+    }),
+    // Geodesic radius self-join over per-user final walk positions
+    // wrapped into a +/-10 deg band; 9-cell degree-grid blocking
+    "q299_haversine_neighbors" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("x").desc, col("y").desc)
+      val last = eventWalk(t(s, dir, "events"))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      graft.operators.Spatial.haversineNeighbors(
+        last.select(col("user_id").as("pid"),
+          (((col("x") % 20) + 20) % 20 - 10).as("lat"),
+          (((col("y") % 40) + 40) % 40 - 20).as("lon")),
+        "pid", "lat", "lon", radiusKm = 100.0,
+        latKmPerDeg = 110.574, lonKmPerDeg = 109.0)
+    }),
+    // Segment anomaly scan: which event-type/day-of-week/cohort
+    // segments' high-value rate deviates >= 2 sigma from global
+    "q300_segment_scan" -> ((s, dir) =>
+      Analytics.segmentScan(
+        t(s, dir, "events").filter(col("event_type").isNotNull &&
+          col("value").isNotNull && col("user_id").isNotNull),
+        col("value") > 300.0,
+        Seq(("event_type", col("event_type")),
+          ("dow", expr("(((ts div 1000) div 86400000000) + 4) % 7")),
+          ("user_cohort", col("user_id") % 10)),
+        zThresh = 2.0)),
     // Product-quantization codebook: 4 subspaces x 4 codes, hash
     // seeds + one refine pass, per-(vector, subspace) code + err
     "q295_pq_codebook" -> ((s, dir) =>
@@ -4207,6 +4240,100 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // q56's fingerprint idiom over the planted-re-crawl stream
+    "q298_dedup_pressure" ->
+      """WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text FROM documents WHERE doc_id % 7 = 0
+        |), fp AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+',
+        |      ' ', 'g'))), 1, 15))::BIGINT AS f
+        |  FROM alldocs
+        |), fst AS (SELECT f, min(doc_id) AS fdoc FROM fp GROUP BY f),
+        |b AS (
+        |  SELECT doc_id // 50 AS bucket, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN doc_id > fdoc THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        |  FROM fp JOIN fst USING (f) GROUP BY 1
+        |)
+        |SELECT bucket, n, n_dup, round(n_dup::DOUBLE / n, 6) AS dup_rate,
+        |  (sum(n - n_dup) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_unique
+        |FROM b""".stripMargin,
+    // walk replay -> wrapped degrees -> 9-cell candidates -> rounded
+    // haversine gate (same IEEE op order as the Column expression)
+    "q299_haversine_neighbors" ->
+      (duckWalkCte + """, lastp AS (
+        |  SELECT user_id, x, y FROM (
+        |    SELECT user_id, x, y, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY t DESC, x DESC, y DESC) AS rn
+        |    FROM walk) WHERE rn = 1
+        |), pts AS (
+        |  SELECT user_id AS pid,
+        |    ((x % 20) + 20) % 20 - 10 AS lat,
+        |    ((y % 40) + 40) % 40 - 20 AS lon
+        |  FROM lastp
+        |), home AS (
+        |  SELECT pid, lat, lon,
+        |    CAST(floor(lat / (100.0::DOUBLE / 110.574)) AS BIGINT) AS cx,
+        |    CAST(floor(lon / (100.0::DOUBLE / 109.0)) AS BIGINT) AS cy
+        |  FROM pts
+        |), cand AS (
+        |  SELECT a.pid AS id1, a.lat AS la1, a.lon AS lo1,
+        |    b.pid AS id2, b.lat AS la2, b.lon AS lo2
+        |  FROM home a JOIN home b
+        |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+        |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        |   AND a.pid < b.pid
+        |), d AS (
+        |  SELECT id1, id2,
+        |    round((2.0::DOUBLE * 6371.0088) * asin(least(sqrt(
+        |      sin((la2 * (pi() / 180.0) - la1 * (pi() / 180.0)) / 2) *
+        |      sin((la2 * (pi() / 180.0) - la1 * (pi() / 180.0)) / 2) +
+        |      cos(la1 * (pi() / 180.0)) * cos(la2 * (pi() / 180.0)) *
+        |      sin((lo2 * (pi() / 180.0) - lo1 * (pi() / 180.0)) / 2) *
+        |      sin((lo2 * (pi() / 180.0) - lo1 * (pi() / 180.0)) / 2)),
+        |      1.0)), 6) AS d_km
+        |  FROM cand
+        |)
+        |SELECT id1, id2, d_km FROM d WHERE d_km <= 100.0""".stripMargin),
+    // one agg per dimension over the shared scan + 1-row global
+    "q300_segment_scan" ->
+      """WITH e AS (
+        |  SELECT event_type, (value > 300.0) AS yy,
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+        |    user_id % 10 AS cohort
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND user_id IS NOT NULL
+        |), g AS (
+        |  SELECT sum(CASE WHEN yy THEN 1 ELSE 0 END)::BIGINT AS gp,
+        |    count(*)::BIGINT AS gn
+        |  FROM e
+        |), u AS (
+        |  SELECT 'event_type' AS dim, event_type AS segment,
+        |    count(*)::BIGINT AS n,
+        |    sum(CASE WHEN yy THEN 1 ELSE 0 END)::BIGINT AS n_pos
+        |  FROM e GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'dow', dow::VARCHAR, count(*)::BIGINT,
+        |    sum(CASE WHEN yy THEN 1 ELSE 0 END)::BIGINT
+        |  FROM e GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'user_cohort', cohort::VARCHAR, count(*)::BIGINT,
+        |    sum(CASE WHEN yy THEN 1 ELSE 0 END)::BIGINT
+        |  FROM e GROUP BY 2
+        |), zz AS (
+        |  SELECT dim, segment, n, n_pos,
+        |    round(n_pos::DOUBLE / n, 6) AS rate,
+        |    round(CASE WHEN gp > 0 AND gp < gn THEN
+        |      (n_pos::DOUBLE / n - gp::DOUBLE / gn) /
+        |      sqrt(gp::DOUBLE / gn * (1.0 - gp::DOUBLE / gn) / n) END, 6)
+        |      AS z
+        |  FROM u, g
+        |)
+        |SELECT dim, segment, n, n_pos, rate, z FROM zz
+        |WHERE z IS NOT NULL AND abs(z) >= 2.0""".stripMargin,
     // full PQ replay: hash seeds, x1e12-quantized distance sums,
     // (qd, c) argmin, x1e6-quantized refined centroids, re-assign
     "q295_pq_codebook" ->

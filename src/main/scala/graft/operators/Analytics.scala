@@ -1538,6 +1538,43 @@ object Analytics {
         col("llr_decide"))
   }
 
+  /** Segment anomaly scan ("automated insights" lite): for each
+    * configured dimension, which segments' label rate deviates from
+    * the global rate by at least `zThresh` one-proportion z — the
+    * first-pass drilldown that turns "conversion dropped" into
+    * "conversion dropped IN THESE SEGMENTS". Segments with a
+    * degenerate global rate (p = 0 or 1) report NULL z rather than
+    * dividing by zero. Dimensions are plan-time Columns, so derived
+    * segmentations (day-of-week, cohort buckets) cost nothing extra.
+    *
+    * Scale shape: one map-side-combinable agg per dimension over a
+    * shared scan + a 1-row global broadcast; output is
+    * flagged-segments-sized. (Proper multiple-testing control
+    * composes with [[fdrBH]] downstream — this scan RANKS, the BH
+    * pass decides.) */
+  def segmentScan(df: DataFrame, label: Column,
+                  dims: Seq[(String, Column)],
+                  zThresh: Double = 2.0): DataFrame = {
+    require(dims.nonEmpty && zThresh >= 0)
+    val base = df.withColumn("_y", when(label, 1L).otherwise(0L))
+    val glob = broadcast(base.agg(sum("_y").as("_gp"),
+      count(lit(1)).as("_gn")))
+    val p = col("_gp").cast("double") / col("_gn")
+    dims.map { case (name, c) =>
+      base.groupBy(c.cast("string").as("segment"))
+        .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
+        .select(lit(name).as("dim"), col("segment"), col("n"),
+          col("n_pos"))
+    }.reduce(_ unionAll _)
+      .crossJoin(glob)
+      .withColumn("rate", round(col("n_pos").cast("double") / col("n"), 6))
+      .withColumn("z", round(when(p > 0 && p < 1,
+        (col("n_pos").cast("double") / col("n") - p) /
+          sqrt(p * (lit(1.0) - p) / col("n"))), 6))
+      .filter(col("z").isNotNull && abs(col("z")) >= zThresh)
+      .select("dim", "segment", "n", "n_pos", "rate", "z")
+  }
+
   /** Tukey HSD post-hoc pairwise comparisons — the step AFTER
     * [[anovaF]] says "some group differs": WHICH pairs differ, with
     * the studentized-range correction that keeps the familywise

@@ -417,6 +417,44 @@ object Curation {
         round(when(col("_n") > 1 && sd > 0, (q - mu) / sd), 6).as("z"))
   }
 
+  /** Dedup-pressure monitor: as the corpus grows in arrival order,
+    * what fraction of each new batch is an exact duplicate of
+    * anything earlier — the marginal-duplicate curve that says WHEN
+    * to re-run the expensive near-dup pipeline (a crawl whose
+    * marginal dup rate crosses ~40% is mostly re-fetching itself).
+    * Buckets the id-ordered stream into `bucket`-sized batches and
+    * reports per batch: rows, duplicates-of-prior, marginal dup
+    * rate, and the cumulative unique count. A duplicate is a row
+    * whose normalized-content fingerprint first appeared at a lower
+    * id (within-batch repeats count too — they are equally wasted
+    * fetches).
+    *
+    * Scale shape: one fingerprint agg (map-side min) + one key-equi
+    * join; the cumulative window runs over the BOUNDED bucket
+    * relation. In production id-order is ingest order, so the curve
+    * appends incrementally. */
+  def dedupPressure(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    bucket: Long = 50L): DataFrame = {
+    require(bucket >= 1)
+    import graft.functions.TextFunctions.fingerprint64
+    import org.apache.spark.sql.expressions.Window
+    val fp = docs.select(col(idCol).as("_id"),
+      fingerprint64(col(textCol)).as("_fp"))
+    val first = fp.groupBy("_fp").agg(min("_id").as("_first"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    fp.join(first, Seq("_fp"))
+      .withColumn("_dup", col("_id") > col("_first"))
+      .groupBy(expr(s"_id div $bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate",
+        round(col("n_dup").cast("double") / col("n"), 6))
+      .withColumn("cum_unique",
+        sum(col("n") - col("n_dup")).over(w).cast("long"))
+  }
+
   /** One-step DoReMi-style domain reweighting: per source, the
     * unigram-LM loss excess over the corpus average drives a
     * multiplicative-weights update `w_s ∝ share_s · exp(η·excess_s)`

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Planar spatial primitives over (x, y) point columns. Euclidean
@@ -25,6 +25,67 @@ object Spatial {
     * skew machinery ([[SkewJoin]], AQE skew split) handles like any
     * hot key. Each qualifying pair appears EXACTLY once (the home
     * side's cell is unique, `id1 < id2` dedups orientation). */
+  /** Great-circle (haversine) distance in km between two lat/lon
+    * points — the geodesic [[neighborPairs]]'s planar d² is not.
+    * Spelled with explicit multiplications (never `pow(x, 2)`) and
+    * an `asin` clamp so the expression is the same IEEE op sequence
+    * on every engine. */
+  def haversineKm(lat1: Column, lon1: Column,
+                  lat2: Column, lon2: Column): Column = {
+    def rad(c: Column) = c * lit(math.Pi / 180.0)
+    val sphi = sin((rad(lat2) - rad(lat1)) / 2)
+    val slam = sin((rad(lon2) - rad(lon1)) / 2)
+    val a = sphi * sphi + cos(rad(lat1)) * cos(rad(lat2)) * slam * slam
+    lit(2.0 * 6371.0088) * asin(least(sqrt(a), lit(1.0)))
+  }
+
+  /** Geodesic radius self-join: all point pairs within `radiusKm`
+    * great-circle distance, via the same 9-cell grid blocking as
+    * [[neighborPairs]] but in DEGREE space — `latKmPerDeg` /
+    * `lonKmPerDeg` are the caller's worst-case km-per-degree bounds
+    * for the data's latitude band (110.574 everywhere for lat;
+    * 111.320·cos(φ_max) for lon — pass the PRECOMPUTED number so no
+    * trig enters the cell arithmetic). The radius gate compares the
+    * ROUNDED distance, so a last-ulp trig difference can never flip
+    * a pair's membership. Antimeridian wrap is out of contract
+    * (shift longitudes upstream if the data crosses ±180°).
+    *
+    * Scale shape: identical to [[neighborPairs]] — hash equi-join on
+    * 9 candidate cells, never a theta join; pairs exist only within
+    * adjacent cells. */
+  def haversineNeighbors(points: DataFrame, idCol: String, latCol: String,
+                         lonCol: String, radiusKm: Double,
+                         latKmPerDeg: Double = 110.574,
+                         lonKmPerDeg: Double = 55.66): DataFrame = {
+    require(radiusKm > 0 && latKmPerDeg > 0 && lonKmPerDeg > 0)
+    val latCell = radiusKm / latKmPerDeg
+    val lonCell = radiusKm / lonKmPerDeg
+    val home = points
+      .filter(col(latCol).isNotNull && col(lonCol).isNotNull)
+      .select(col(idCol).as("_id"), col(latCol).cast("double").as("_la"),
+        col(lonCol).cast("double").as("_lo"))
+      .withColumn("_cx", floor(col("_la") / latCell).cast("long"))
+      .withColumn("_cy", floor(col("_lo") / lonCell).cast("long"))
+    val probe = home.select(col("_id").as("id1"), col("_la").as("_la1"),
+        col("_lo").as("_lo1"),
+        explode(expr("array(-1L, 0L, 1L)")).as("_dx"), col("_cx"),
+        col("_cy"))
+      .select(col("id1"), col("_la1"), col("_lo1"),
+        (col("_cx") + col("_dx")).as("_cx"),
+        explode(expr("array(-1L, 0L, 1L)")).as("_dy"), col("_cy"))
+      .select(col("id1"), col("_la1"), col("_lo1"), col("_cx"),
+        (col("_cy") + col("_dy")).as("_cy"))
+    probe.join(
+        home.select(col("_id").as("id2"), col("_la").as("_la2"),
+          col("_lo").as("_lo2"), col("_cx"), col("_cy")),
+        Seq("_cx", "_cy"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("d_km", round(haversineKm(col("_la1"), col("_lo1"),
+        col("_la2"), col("_lo2")), 6))
+      .filter(col("d_km") <= radiusKm)
+      .select("id1", "id2", "d_km")
+  }
+
   def neighborPairs(points: DataFrame, idCol: String, xCol: String,
                     yCol: String, radius: Double): DataFrame = {
     require(radius > 0)

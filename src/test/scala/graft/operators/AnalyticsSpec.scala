@@ -721,6 +721,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(sh.getDouble(2) == r6(3 * c2), s"final llr: $sh")
   }
 
+  test("segmentScan: hand-computed z flags extremes, balanced segment silent, degenerate NULL") {
+    val rows = ((1 to 8).map(_ => ("X", "all", true)) ++
+      (1 to 8).map(_ => ("Y", "all", false))).toDF("s1", "s2", "y")
+    val out = Analytics.segmentScan(rows, col("y"),
+        Seq(("d1", col("s1")), ("d2", col("s2"))), zThresh = 2.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5))
+      .toMap
+    // p = .5; all-true segment of 8: z = .5 / sqrt(.25/8) = 2.828427
+    assert(out.keySet == Set(("d1", "X"), ("d1", "Y")), s"$out")
+    assert(out(("d1", "X")) == 2.828427 && out(("d1", "Y")) == -2.828427,
+      s"$out")
+    // degenerate global rate: z undefined, no crash, no rows
+    val allTrue = rows.withColumn("y", lit(true))
+    assert(Analytics.segmentScan(allTrue, col("y"),
+      Seq(("d1", col("s1"))), 0.0).isEmpty)
+  }
+
   test("tukeyHsd: hand-computed q stats, familywise flags, zero-variance NULLs") {
     val rows = Seq(("a", 1.0), ("a", 3.0), ("b", 11.0), ("b", 13.0),
       ("c", 1.0), ("c", 3.0)).toDF("g", "v")

@@ -345,6 +345,20 @@ class CurationSpec extends SparkSpec {
     assert(c.forall(_.isNullAt(2)), "zero-variance fit yields null z")
   }
 
+  test("dedupPressure: planted re-crawl bucket spikes, fingerprint normalization") {
+    val docs = Seq((0L, "alpha beta"), (1L, "gamma delta"),
+      (2L, "epsilon zeta"), (3L, "eta theta"),
+      (4L, "ALPHA   beta"), // ws/case variant of 0 -> duplicate
+      (5L, "gamma delta")).toDF("doc_id", "text")
+    val out = Curation.dedupPressure(docs, bucket = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out(0L) == ((2L, 0L, 0.0, 2L)), s"$out")
+    assert(out(1L) == ((2L, 0L, 0.0, 4L)), s"$out")
+    // the re-crawl bucket: everything is a duplicate of the past
+    assert(out(2L) == ((2L, 2L, 1.0, 4L)), s"$out")
+  }
+
   test("domainReweight: hard domain gains weight, identical domains keep shares") {
     // easy: high-frequency words; hard: rare words -> higher loss
     val docs = (

@@ -81,4 +81,24 @@ class SpatialSpec extends SparkSpec {
     assert(out(5L) == ((2L, "border")), s"edge point: $out")
     assert(out(6L) == ((0L, "noise")), s"loner: $out")
   }
+
+  test("haversineNeighbors: textbook distances, radius gate, cross-cell pairs") {
+    import org.apache.spark.sql.functions.col
+    // 1 deg of longitude at the equator ~ 111.19 km
+    val pts = Seq((1L, 0.0, 0.0), (2L, 0.0, 1.0), (3L, 0.0, 2.2),
+      (4L, 45.0, 100.0)).toDF("pid", "lat", "lon")
+    val out = Spatial.haversineNeighbors(pts, "pid", "lat", "lon",
+        radiusKm = 120.0, latKmPerDeg = 110.574, lonKmPerDeg = 111.32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // (1,2) spans a cell boundary (cells ~1.08 deg) and is in radius
+    assert(out.keySet == Set((1L, 2L)), s"$out")
+    assert(math.abs(out((1L, 2L)) - 111.195) < 0.01, s"$out")
+    // point 3 is ~244 km from 1 (outside), ~133 km from 2 (outside)
+    // at a wider radius the chain appears, still never (1,3)
+    val wide = Spatial.haversineNeighbors(pts, "pid", "lat", "lon",
+        radiusKm = 140.0, latKmPerDeg = 110.574, lonKmPerDeg = 111.32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == Set((1L, 2L), (2L, 3L)), s"$wide")
+  }
 }
