@@ -1568,6 +1568,37 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // FD discovery over candidate pairs: which columns determine
+    // which (normalization / derivability evidence)
+    "q301_fd_discovery" -> ((s, dir) =>
+      graft.operators.Profiling.fdDiscovery(t(s, dir, "customer"),
+        Seq(("c_custkey", "c_nationkey"),
+          ("c_nationkey", "c_mktsegment"),
+          ("c_mktsegment", "c_nationkey")))),
+    // Sortedness audit in o_orderkey order: is the layout sort free
+    "q302_sortedness" -> ((s, dir) =>
+      graft.operators.Profiling.sortednessAudit(
+        t(s, dir, "orders").withColumn("o_day",
+          expr("unix_micros(cast(o_orderdate as timestamp)) " +
+            "div 86400000000")),
+        col("o_orderkey"),
+        Seq("o_orderkey", "o_day", "o_totalprice"))),
+    // Business-day order->ship latency histogram via the closed-form
+    // weekday prefix sum (no day loops, no DAYOFWEEK bases)
+    "q303_business_days" -> ((s, dir) => {
+      import graft.functions.DateFunctions.businessDaysBetween
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate").isNotNull && col("l_shipdate").isNotNull)
+        .select(
+          expr("unix_micros(cast(o_orderdate as timestamp)) " +
+            "div 86400000000").as("d1"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) " +
+            "div 86400000000").as("d2"))
+        .filter(col("d2") >= col("d1"))
+        .select(businessDaysBetween(col("d1"), col("d2")).as("biz_days"))
+        .groupBy("biz_days").agg(count(lit(1)).as("n_lineitems"))
+    }),
     // Dedup-pressure curve on a stream with a planted re-crawl: the
     // marginal-duplicate rate that says when to re-run dedup
     "q298_dedup_pressure" -> ((s, dir) => {
@@ -4240,6 +4271,106 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // two-level agg per candidate; NULL b never violates
+    "q301_fd_discovery" ->
+      """WITH f1 AS (
+        |  SELECT c_custkey AS k, count(DISTINCT c_nationkey)::BIGINT AS nb,
+        |    count(*)::BIGINT AS n
+        |  FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1
+        |), a1 AS (
+        |  SELECT 'c_custkey->c_nationkey' AS fd, count(*)::BIGINT AS n_keys,
+        |    sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_violating_keys,
+        |    sum(CASE WHEN nb > 1 THEN n ELSE 0 END)::BIGINT
+        |      AS n_violating_rows
+        |  FROM f1
+        |), f2 AS (
+        |  SELECT c_nationkey AS k, count(DISTINCT c_mktsegment)::BIGINT
+        |      AS nb,
+        |    count(*)::BIGINT AS n
+        |  FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1
+        |), a2 AS (
+        |  SELECT 'c_nationkey->c_mktsegment', count(*)::BIGINT,
+        |    sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT,
+        |    sum(CASE WHEN nb > 1 THEN n ELSE 0 END)::BIGINT
+        |  FROM f2
+        |), f3 AS (
+        |  SELECT c_mktsegment AS k, count(DISTINCT c_nationkey)::BIGINT
+        |      AS nb,
+        |    count(*)::BIGINT AS n
+        |  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1
+        |), a3 AS (
+        |  SELECT 'c_mktsegment->c_nationkey', count(*)::BIGINT,
+        |    sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT,
+        |    sum(CASE WHEN nb > 1 THEN n ELSE 0 END)::BIGINT
+        |  FROM f3
+        |), u AS (
+        |  SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |  UNION ALL SELECT * FROM a3
+        |)
+        |SELECT fd, n_keys, n_violating_keys, n_violating_rows,
+        |  round(n_violating_keys::DOUBLE / n_keys, 6)
+        |    AS key_violation_rate,
+        |  n_violating_keys = 0 AS holds
+        |FROM u""".stripMargin,
+    // one lag window per audited column; NULLs break adjacency
+    "q302_sortedness" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS o_day, o_totalprice
+        |  FROM orders
+        |), c1 AS (
+        |  SELECT o_orderkey::DOUBLE AS v,
+        |    lag(o_orderkey::DOUBLE) OVER (ORDER BY o_orderkey) AS p
+        |  FROM o
+        |), c2 AS (
+        |  SELECT o_day::DOUBLE AS v,
+        |    lag(o_day::DOUBLE) OVER (ORDER BY o_orderkey) AS p
+        |  FROM o
+        |), c3 AS (
+        |  SELECT o_totalprice::DOUBLE AS v,
+        |    lag(o_totalprice::DOUBLE) OVER (ORDER BY o_orderkey) AS p
+        |  FROM o
+        |), s1 AS (
+        |  SELECT 'o_orderkey' AS "column", count(*)::BIGINT AS n_pairs,
+        |    sum(CASE WHEN v >= p THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_nondecreasing
+        |  FROM c1 WHERE p IS NOT NULL AND v IS NOT NULL
+        |), s2 AS (
+        |  SELECT 'o_day', count(*)::BIGINT,
+        |    sum(CASE WHEN v >= p THEN 1 ELSE 0 END)::BIGINT
+        |  FROM c2 WHERE p IS NOT NULL AND v IS NOT NULL
+        |), s3 AS (
+        |  SELECT 'o_totalprice', count(*)::BIGINT,
+        |    sum(CASE WHEN v >= p THEN 1 ELSE 0 END)::BIGINT
+        |  FROM c3 WHERE p IS NOT NULL AND v IS NOT NULL
+        |), u AS (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3
+        |)
+        |SELECT "column", n_pairs, n_nondecreasing,
+        |  round(CASE WHEN n_pairs > 0 THEN
+        |    n_nondecreasing::DOUBLE / n_pairs END, 6) AS sortedness
+        |FROM u""".stripMargin,
+    // the same closed-form weekday prefix sum, verbatim
+    "q303_business_days" ->
+      """WITH j AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS d1,
+        |    epoch_us(l_shipdate) // 86400000000 AS d2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL
+        |), b AS (
+        |  SELECT (((d2 - d2 % 7) / 7)::BIGINT * 5 +
+        |    CASE d2 % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+        |      WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END) -
+        |    (((d1 - d1 % 7) / 7)::BIGINT * 5 +
+        |    CASE d1 % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+        |      WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END)
+        |    AS biz_days
+        |  FROM j WHERE d2 >= d1
+        |)
+        |SELECT biz_days, count(*)::BIGINT AS n_lineitems
+        |FROM b GROUP BY 1""".stripMargin,
     // q56's fingerprint idiom over the planted-re-crawl stream
     "q298_dedup_pressure" ->
       """WITH alldocs AS (

@@ -161,6 +161,72 @@ object Profiling {
       .filter(col("low_diversity") || col("skewed"))
   }
 
+  /** Functional-dependency discovery over candidate column pairs
+    * (metanome-lite): does `a → b` hold — does every value of `a`
+    * determine exactly one `b`? One verdict row per candidate:
+    * (fd, n_keys, n_violating_keys, key_violation_rate, holds).
+    * NULL `a` rows are out of scope (no key); a key whose only
+    * variation in `b` is NULL-vs-value does not violate (distinct
+    * counts ignore NULLs — "missing" is absence, not a second
+    * value). The discovered FDs drive normalization checks,
+    * dimension-table extraction, and "this column is derivable —
+    * stop storing it" decisions.
+    *
+    * Scale shape: one map-side-combinable (a, countDistinct b) agg
+    * per candidate over a shared scan; candidates are a bounded,
+    * caller-curated list (the full column-pair lattice is the
+    * caller's loop — each pair is this same cheap plan). */
+  def fdDiscovery(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty)
+    pairs.map { case (a, b) =>
+      df.filter(col(a).isNotNull)
+        .groupBy(col(a).as("_k"))
+        .agg(countDistinct(col(b)).as("_nb"), count(lit(1)).as("_n"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("_nb") > 1, 1L).otherwise(0L))
+            .as("n_violating_keys"),
+          sum(when(col("_nb") > 1, col("_n")).otherwise(0L))
+            .as("n_violating_rows"))
+        .select(lit(s"$a->$b").as("fd"), col("n_keys"),
+          col("n_violating_keys"), col("n_violating_rows"),
+          round(col("n_violating_keys").cast("double") / col("n_keys"), 6)
+            .as("key_violation_rate"),
+          (col("n_violating_keys") === 0).as("holds"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Sortedness audit: for each column, the fraction of adjacent
+    * pairs (in the `orderCol` total order) that are non-decreasing —
+    * "is this column already sorted enough that the layout sort is
+    * free / the range metadata is tight". 1.0 = monotone; ~0.5 =
+    * random; NULL values break adjacency (neither side of a NULL
+    * counts as ordered or disordered). Returns one row per column:
+    * (column, n_pairs, n_nondecreasing, sortedness).
+    *
+    * Scale shape: one lag window per audited column over the frame
+    * order. At 100 TB run it per partition/file and roll up — the
+    * within-file sortedness is exactly what zone-map tightness
+    * ([[Layout.zoneMapPruning]]) depends on. */
+  def sortednessAudit(df: DataFrame, orderCol: Column,
+                      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("_o")
+    cols.map { c =>
+      df.select(col(c).cast("double").as("_v"), orderCol.as("_o"))
+        .withColumn("_prev", lag("_v", 1).over(w))
+        .filter(col("_prev").isNotNull && col("_v").isNotNull)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("_v") >= col("_prev"), 1L).otherwise(0L))
+            .as("n_nondecreasing"))
+        .select(lit(c).as("column"), col("n_pairs"),
+          col("n_nondecreasing"),
+          round(when(col("n_pairs") > 0,
+            col("n_nondecreasing").cast("double") / col("n_pairs")), 6)
+            .as("sortedness"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Marginal-preserving synthetic rows: each output row draws every
     * column INDEPENDENTLY from a hash-chosen source row, so per-
     * column distributions converge to the source marginals while

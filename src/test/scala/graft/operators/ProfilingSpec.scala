@@ -348,6 +348,39 @@ class ProfilingSpec extends SparkSpec {
     assert(c.getDouble(0) == 0.0 && c.isNullAt(2), s"constant y: $c")
   }
 
+  test("fdDiscovery: holding vs violated FDs, NULL semantics") {
+    val rows = Seq(
+      (Some(1L), Some("x")), (Some(1L), Some("x")), (Some(1L), None),
+      (Some(2L), Some("y")),
+      (Some(3L), Some("x")), (Some(3L), Some("y")), // violates a->b
+      (None, Some("z"))) // null key: out of scope
+      .toDF("a", "b")
+    val out = Profiling.fdDiscovery(rows, Seq(("a", "b")))
+      .collect().head
+    assert(out.getString(0) == "a->b")
+    assert(out.getLong(1) == 3, s"null key counted: $out")
+    assert(out.getLong(2) == 1 && out.getLong(3) == 2, s"$out")
+    assert(out.getDouble(4) == 0.333333 && !out.getBoolean(5), s"$out")
+    // NULL-vs-value is not a second value: the FD still holds
+    val clean = Profiling.fdDiscovery(
+      rows.filter($"a".isNotNull && $"a" =!= 3L), Seq(("a", "b")))
+      .collect().head
+    assert(clean.getBoolean(5), s"$clean")
+  }
+
+  test("sortednessAudit: monotone 1.0, reversed 0.0, NULLs break adjacency") {
+    val rows = (1L to 10L).map(i => (i, i, 11L - i,
+      if (i == 5) None else Some(i))).toDF("o", "asc", "desc", "holey")
+    val out = Profiling.sortednessAudit(rows, col("o"),
+        Seq("asc", "desc", "holey"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("asc") == ((9L, 9L, 1.0)), s"$out")
+    assert(out("desc") == ((9L, 0L, 0.0)), s"$out")
+    // the null at position 5 eats BOTH adjacent pairs (4,5) and (5,6)
+    assert(out("holey") == ((7L, 7L, 1.0)), s"$out")
+  }
+
   test("syntheticRows: exact md5 rank picks, domain closure, determinism") {
     val src = Seq((1L, "p", 10L), (2L, "q", 20L), (3L, "r", 30L),
       (4L, "s", 40L), (5L, "t", 50L)).toDF("id", "a", "b")
