@@ -1568,6 +1568,17 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Empirical-Bayes beta-binomial shrinkage of per-source en-rates
+    "q304_eb_shrinkage" -> ((s, dir) =>
+      Analytics.ebShrinkRates(t(s, dir, "documents"), "source",
+        col("lang") === "en")),
+    // Good-Turing count-of-counts smoothing over corpus bigrams
+    "q305_good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuring(t(s, dir, "documents"))),
+    // Sketch bake-off: exact vs HLL vs KMV distinct-user estimates
+    "q306_sketch_bakeoff" -> ((s, dir) =>
+      Sketches.sketchBakeoff(t(s, dir, "events"), "event_type",
+        "user_id")),
     // FD discovery over candidate pairs: which columns determine
     // which (normalization / derivability evidence)
     "q301_fd_discovery" -> ((s, dir) =>
@@ -4271,6 +4282,109 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // x1e12-quantized rate moments; CASE guards mirror the Spark
+    // short-circuit (k>1, v>0, K>0) exactly
+    "q304_eb_shrinkage" ->
+      """WITH g AS (
+        |  SELECT source, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1
+        |), r AS (SELECT source, n, pos, pos::DOUBLE / n AS raw FROM g),
+        |mom AS (
+        |  SELECT count(*)::BIGINT AS k,
+        |    sum(CAST(floor(raw * 1e12 + 0.5) AS BIGINT))::BIGINT AS sm,
+        |    sum(CAST(floor(raw * raw * 1e12 + 0.5) AS BIGINT))::BIGINT
+        |      AS sq
+        |  FROM r
+        |), p AS (
+        |  SELECT k, sm::DOUBLE / 1e12 / k AS m,
+        |    CASE WHEN k > 1 THEN (sq::DOUBLE / 1e12
+        |      - k * (sm::DOUBLE / 1e12 / k) * (sm::DOUBLE / 1e12 / k))
+        |      / (k - 1) END AS v
+        |  FROM mom
+        |), pk AS (
+        |  SELECT m,
+        |    CASE WHEN v > 0 AND m * (1.0 - m) / v - 1 > 0
+        |      THEN m * (1.0 - m) / v - 1 END AS bk
+        |  FROM p
+        |)
+        |SELECT source, n, pos, round(raw, 6) AS raw_rate,
+        |  round(coalesce((pos + m * bk) / (n + bk), raw), 6)
+        |    AS shrunk_rate,
+        |  round(m * bk, 6) AS alpha, round(bk - m * bk, 6) AS beta
+        |FROM r, pk""".stripMargin,
+    // q126's bigram construction; count-of-counts then <= rMax rows
+    "q305_good_turing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), gi AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |  FROM tok
+        |), bg AS (SELECT ts[i] || ' ' || ts[i+1] AS b FROM gi),
+        |tf AS (SELECT b, count(*)::BIGINT AS r FROM bg GROUP BY b),
+        |st AS (
+        |  SELECT sum(r)::BIGINT AS nn,
+        |    sum(CASE WHEN r = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+        |  FROM tf
+        |), coc AS (SELECT r, count(*)::BIGINT AS n_r FROM tf GROUP BY r),
+        |nx AS (SELECT r - 1 AS r, n_r AS nr1 FROM coc)
+        |SELECT coc.r, coc.n_r,
+        |  round((coc.r + 1)::DOUBLE * nx.nr1 / coc.n_r, 6) AS r_star,
+        |  round(n1::DOUBLE / nn, 6) AS p_unseen
+        |FROM coc LEFT JOIN nx ON coc.r = nx.r CROSS JOIN st
+        |WHERE coc.r <= 10""".stripMargin,
+    // q72's HLL register fold + q204's KMV cut + exact, joined; rel
+    // errors compare the ROUNDED estimates
+    "q306_sketch_bakeoff" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, user_id AS v FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |), ex AS (
+        |  SELECT g, count(DISTINCT v)::BIGINT AS exact FROM base GROUP BY g
+        |), h AS (
+        |  SELECT g, ('0x' || substr(md5(v::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM base
+        |), b AS (
+        |  SELECT g, h & 255 AS bucket,
+        |    CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53
+        |      END AS rho
+        |  FROM h
+        |), m AS (SELECT g, bucket, max(rho) AS mj FROM b GROUP BY 1, 2),
+        |z AS (
+        |  SELECT g, (sum(1::BIGINT << (53 - mj))
+        |    + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s,
+        |    256 - count(*) AS zeros
+        |  FROM m GROUP BY 1
+        |), hll AS (
+        |  SELECT g, round(CASE WHEN 0.718272::DOUBLE * 65536.0::DOUBLE *
+        |      9007199254740992.0::DOUBLE / s::DOUBLE <= 640.0
+        |      AND zeros > 0
+        |    THEN 256.0 * ln(256.0 / zeros)
+        |    ELSE 0.718272::DOUBLE * 65536.0::DOUBLE *
+        |      9007199254740992.0::DOUBLE / s::DOUBLE END, 4) AS hll_est
+        |  FROM z
+        |), kh AS (
+        |  SELECT DISTINCT g,
+        |    ('0x' || substr(md5(v::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM base
+        |), kr AS (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        |  FROM kh
+        |), kk AS (
+        |  SELECT g, count(*)::BIGINT AS n_min, max(h) AS kth
+        |  FROM kr WHERE rn <= 64 GROUP BY g
+        |), kmv AS (
+        |  SELECT g, round(CASE WHEN n_min < 64 THEN n_min::DOUBLE
+        |    ELSE 63.0 / (kth::DOUBLE / 1152921504606846976.0) END, 4)
+        |    AS kmv_est
+        |  FROM kk
+        |)
+        |SELECT ex.g AS event_type, ex.exact, hll.hll_est,
+        |  round((hll.hll_est - ex.exact) / ex.exact, 6) AS hll_rel_err,
+        |  kmv.kmv_est,
+        |  round((kmv.kmv_est - ex.exact) / ex.exact, 6) AS kmv_rel_err
+        |FROM ex JOIN hll USING (g) JOIN kmv USING (g)""".stripMargin,
     // two-level agg per candidate; NULL b never violates
     "q301_fd_discovery" ->
       """WITH f1 AS (

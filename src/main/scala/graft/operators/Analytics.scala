@@ -1538,6 +1538,53 @@ object Analytics {
         col("llr_decide"))
   }
 
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-group rates —
+    * the batting-average fix for small-n groups: fit a Beta(α, β)
+    * prior to the observed group rates by method of moments
+    * (`K = α+β = m(1−m)/v − 1`), then shrink each group toward the
+    * prior mean: `(pos + α)/(n + K)`. Small groups move a lot, big
+    * groups barely — exactly the credibility weighting a raw-rate
+    * leaderboard lacks. Degenerate moments (one group, zero
+    * variance, or v ≥ m(1−m)) disable shrinkage: α/β NULL, shrunk =
+    * raw — never a negative prior.
+    *
+    * Exactness: group rates are int ratios; the cross-group moment
+    * sums are ×10¹²-quantized int64; everything after is a fixed
+    * double expression over them.
+    *
+    * Scale shape: one map-side group agg; moments fold over the
+    * BOUNDED group relation; shrinkage is a broadcast of 1 row. */
+  def ebShrinkRates(df: DataFrame, groupCol: String,
+                    label: Column): DataFrame = {
+    def q12(c: Column) = floor(c * 1e12 + lit(0.5)).cast("long")
+    val g = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("pos"))
+      .withColumn("_raw", col("pos").cast("double") / col("n"))
+    val mom = broadcast(g.agg(count(lit(1)).as("_k"),
+      sum(q12(col("_raw"))).as("_sm"),
+      sum(q12(col("_raw") * col("_raw"))).as("_sq")))
+    val m = col("_sm").cast("double") / 1e12 / col("_k")
+    val v = (col("_sq").cast("double") / 1e12 - col("_k") * m * m) /
+      (col("_k") - 1)
+    val bigK = m * (lit(1.0) - m) / v - 1
+    g.crossJoin(mom)
+      // NOT "_K": Spark resolves columns case-insensitively by
+      // default, so a "_K" column would capture the "_k" reference
+      // inside the m/v expressions below it
+      .withColumn("_bigk",
+        when(col("_k") > 1 && v > 0 && bigK > 0, bigK))
+      .withColumn("_a", m * col("_bigk"))
+      .select(col(groupCol), col("n"), col("pos"),
+        round(col("_raw"), 6).as("raw_rate"),
+        round(coalesce(
+          (col("pos") + col("_a")) / (col("n") + col("_bigk")),
+          col("_raw")), 6).as("shrunk_rate"),
+        round(col("_a"), 6).as("alpha"),
+        round(col("_bigk") - col("_a"), 6).as("beta"))
+  }
+
   /** Segment anomaly scan ("automated insights" lite): for each
     * configured dimension, which segments' label rate deviates from
     * the global rate by at least `zThresh` one-proportion z — the

@@ -577,4 +577,33 @@ object Sketches {
               (col("kth").cast("double") / lit(KmvSpace))), 4)
           .as("est_intersection"))
   }
+
+  /** Sketch bake-off: exact distinct vs the HLL and KMV estimates on
+    * the same column, with relative errors — the calibration table
+    * that turns "use a sketch" into a sized decision (HLL: fixed 256
+    * registers, ~6% rse; KMV: k hashes, exact below k). Per group:
+    * (group, exact, hll_est, hll_rel_err, kmv_est, kmv_rel_err).
+    * Rel errs compare the ROUNDED estimates (what a consumer reads).
+    *
+    * Scale shape: the exact side is the only corpus-hard aggregate
+    * (countDistinct shuffles the distinct values once); both
+    * sketches fold map-side into constant-size state — which is the
+    * entire point the audit quantifies. */
+  def sketchBakeoff(rows: DataFrame, groupCol: String, valueCol: String,
+                    k: Int = 64): DataFrame = {
+    val base = rows.filter(col(groupCol).isNotNull &&
+      col(valueCol).isNotNull)
+    val exactHll = base.groupBy(col(groupCol))
+      .agg(countDistinct(col(valueCol)).as("exact"),
+        round(hllAggCol(col(valueCol).cast("string")), 4).as("hll_est"))
+    val kmv = kmvDistinct(base, groupCol, valueCol, k)
+      .select(col(groupCol), col("est_distinct").as("kmv_est"))
+    exactHll.join(kmv, Seq(groupCol))
+      .select(col(groupCol), col("exact"), col("hll_est"),
+        round((col("hll_est") - col("exact")) / col("exact"), 6)
+          .as("hll_rel_err"),
+        col("kmv_est"),
+        round((col("kmv_est") - col("exact")) / col("exact"), 6)
+          .as("kmv_rel_err"))
+  }
 }

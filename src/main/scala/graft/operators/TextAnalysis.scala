@@ -943,4 +943,40 @@ object TextAnalysis {
 
   private def nullifZero(c: org.apache.spark.sql.Column) =
     when(c === 0, lit(null)).otherwise(c)
+
+  /** Good–Turing count-of-counts smoothing over corpus bigrams: for
+    * each raw count r ≤ rMax, the adjusted count
+    * `r* = (r+1)·N_{r+1}/N_r` and the unseen-mass estimate
+    * `p₀ = N₁/N` — the classic LM answer to "how much probability do
+    * the n-grams we've NEVER seen deserve", which plain MLE sets to
+    * an overconfident zero. `r*` is NULL where N_{r+1} = 0 (the
+    * smoothing needs the next bucket; interpolate downstream).
+    * Returns one row per r ≤ rMax: (r, n_r, r_star, p_unseen).
+    *
+    * Scale shape: one bigram explode reduced map-side to (gram,
+    * count), then the count-of-counts agg is vocabulary-bounded and
+    * everything after runs on ≤ rMax rows. */
+  def goodTuring(docs: DataFrame, textCol: String = "text",
+                 rMax: Int = 10): DataFrame = {
+    require(rMax >= 1)
+    val toks = tokens(col(textCol))
+    val nt = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(nt - 1, lit(0))),
+      slice(toks, lit(2), greatest(nt - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val tf = docs.select(explode(bigrams).as("_b"))
+      .groupBy("_b").agg(count(lit(1)).as("_r"))
+    val stats = broadcast(tf.agg(sum("_r").as("_N"),
+      sum(when(col("_r") === 1, 1L).otherwise(0L)).as("_n1")))
+    val coc = tf.groupBy(col("_r").as("r")).agg(count(lit(1)).as("n_r"))
+    val next = coc.select((col("r") - 1).as("r"), col("n_r").as("_nr1"))
+    coc.filter(col("r") <= rMax)
+      .join(next, Seq("r"), "left")
+      .crossJoin(stats)
+      .select(col("r"), col("n_r"),
+        round((col("r") + 1).cast("double") * col("_nr1") / col("n_r"), 6)
+          .as("r_star"),
+        round(col("_n1").cast("double") / col("_N"), 6).as("p_unseen"))
+  }
 }

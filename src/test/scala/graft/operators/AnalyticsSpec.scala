@@ -721,6 +721,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(sh.getDouble(2) == r6(3 * c2), s"final llr: $sh")
   }
 
+  test("ebShrinkRates: scala-replicated MoM prior, small-n pulls harder, degenerate passthrough") {
+    // groups: 0/2 (tiny, extreme), 50/100, 60/100, 40/100
+    val rows = (Seq.fill(2)(("t", false)) ++
+      (1 to 100).map(i => ("a", i <= 50)) ++
+      (1 to 100).map(i => ("b", i <= 60)) ++
+      (1 to 100).map(i => ("c", i <= 40))).toDF("g", "y")
+    val out = Analytics.ebShrinkRates(rows, "g", col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    // replicate: rates and x1e12-quantized moments
+    def q12(x: Double) = math.floor(x * 1e12 + 0.5).toLong
+    val rates = Seq(0.0, 0.5, 0.6, 0.4)
+    val k = 4
+    val m = (rates.map(q12).sum.toDouble / 1e12) / k
+    val v = (rates.map(x => q12(x * x)).sum.toDouble / 1e12 - k * m * m) /
+      (k - 1)
+    val bk = m * (1.0 - m) / v - 1
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def shrunk(pos: Long, n: Long) = r6((pos + m * bk) / (n + bk))
+    assert(out("t") == ((0.0, shrunk(0, 2))), s"$out")
+    assert(out("a") == ((0.5, shrunk(50, 100))), s"$out")
+    // the tiny extreme group moves toward the prior mean...
+    assert(math.abs(out("t")._2 - m) < math.abs(0.0 - m), s"$out")
+    // ...much more than a well-sampled group does
+    assert(math.abs(out("t")._2 - 0.0) > math.abs(out("a")._2 - 0.5),
+      s"$out")
+    // identical rates everywhere: zero variance -> shrinkage disabled
+    val const = (1 to 4).flatMap(g => Seq((s"g$g", true), (s"g$g", false)))
+      .toDF("g", "y")
+    val c = Analytics.ebShrinkRates(const, "g", col("y")).collect()
+    assert(c.forall(r => r.getDouble(4) == r.getDouble(3) && r.isNullAt(5)),
+      s"${c.toSeq}")
+  }
+
   test("segmentScan: hand-computed z flags extremes, balanced segment silent, degenerate NULL") {
     val rows = ((1 to 8).map(_ => ("X", "all", true)) ++
       (1 to 8).map(_ => ("Y", "all", false))).toDF("s1", "s2", "y")

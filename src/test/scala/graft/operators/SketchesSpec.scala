@@ -459,4 +459,22 @@ class SketchesSpec extends SparkSpec {
       .collect().head
     assert(ovl.getDouble(1) == 3.0, s"a-not-b of overlap: $ovl")
   }
+
+  test("sketchBakeoff: KMV exact below k, HLL within its rse envelope") {
+    val rows = ((1 to 40).map(i => ("small", i.toLong)) ++
+      (1 to 500).flatMap(i => Seq(("big", i.toLong), ("big", i.toLong))))
+      .toDF("g", "v")
+    val out = Sketches.sketchBakeoff(rows, "g", "v", k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // 40 < k: the KMV sketch IS the distinct set
+    assert(out("small")._1 == 40L && out("small")._4 == 40.0 &&
+      out("small")._5 == 0.0, s"$out")
+    assert(out("big")._1 == 500L, s"$out")
+    // HLL with 256 registers: ~6.5% rse; allow 4 sigma
+    assert(math.abs(out("big")._3) < 0.26, s"hll err: $out")
+    assert(math.abs(out("small")._3) < 0.26, s"hll err: $out")
+    // duplicates must not inflate either estimate ('big' was doubled)
+    assert(math.abs(out("big")._5) < 0.5, s"kmv err: $out")
+  }
 }

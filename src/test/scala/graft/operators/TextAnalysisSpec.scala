@@ -475,4 +475,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == ((4L, 3L, 0.75, 0.666667)), s"doc 1: $out")
     assert(out(2L) == ((3L, 1L, 0.333333, 0.0)), s"repeat doc: $out")
   }
+
+  test("goodTuring: hand count-of-counts, missing next bucket NULLs r_star") {
+    // bigrams: "a b" x2, "c d" x1 -> N=3, N_1=1, N_2=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.goodTuring(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+         r.getDouble(3))).toMap
+    // r=1: r* = 2 * N_2/N_1 = 2.0 ; r=2: N_3 = 0 -> NULL
+    assert(out(1L) == ((1L, Some(2.0), 0.333333)), s"$out")
+    assert(out(2L) == ((1L, None, 0.333333)), s"$out")
+    // a one-token doc contributes no bigrams
+    val tiny = TextAnalysis.goodTuring(Seq((1L, "solo")).toDF("doc_id", "text"))
+    assert(tiny.isEmpty)
+  }
 }
