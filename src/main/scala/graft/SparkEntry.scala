@@ -1568,6 +1568,31 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Mondrian conformal coverage audit: class-conditional p-values
+    // from the quality score, integer cross-multiplied membership
+    "q307_mondrian_conformal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def fold(r: Int) = docs.filter(col("doc_id") % 3 === r)
+        .withColumn("cls",
+          when(col("lang") === "en", "en").otherwise("other"))
+        .withColumn("a", when(col("lang") === "en",
+          lit(1.0) - graft.operators.Curation.qualityScore(col("text")))
+          .otherwise(graft.operators.Curation.qualityScore(col("text"))))
+      graft.operators.Curation.mondrianConformal(fold(1), fold(2), "cls",
+        col("a"), col("doc_id"))
+    }),
+    // Seasonal-naive vs one-step-naive backtest per event type: does
+    // the weekly lag beat persistence before anyone fits a model
+    "q308_mase_backtest" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(sum(expr("cast(floor(value * 100 + 0.5) as bigint)"))
+          .as("cents"))
+      TimeSeries.seasonalNaiveBacktest(daily, "event_type", col("day"),
+        col("cents"), season = 7)
+    }),
     // Empirical-Bayes beta-binomial shrinkage of per-source en-rates
     "q304_eb_shrinkage" -> ((s, dir) =>
       Analytics.ebShrinkRates(t(s, dir, "documents"), "source",
@@ -4282,6 +4307,55 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // one union sort per class, cal rows before test rows at ties;
+    // the coverage test is integer cross-multiplication
+    "q307_mondrian_conformal" ->
+      (s"""WITH q207 AS (${"\n"}${q207OracleSql}${"\n"}), d AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.lang = 'en' THEN 'en' ELSE 'other' END AS cls,
+        |    CASE WHEN d.lang = 'en' THEN 1.0 - q207.score
+        |      ELSE q207.score END AS a,
+        |    d.doc_id % 3 AS fold
+        |  FROM documents d JOIN q207 ON d.doc_id = q207.doc_id
+        |  WHERE d.doc_id % 3 IN (1, 2)
+        |), u AS (
+        |  SELECT cls, a, CASE WHEN fold = 1 THEN 0 ELSE 1 END AS tag,
+        |    doc_id AS tid
+        |  FROM d
+        |), c AS (
+        |  SELECT cls, a, tag, tid,
+        |    sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY cls ORDER BY a DESC, tag, tid
+        |      ROWS UNBOUNDED PRECEDING) AS cnt,
+        |    sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY cls) AS ncal
+        |  FROM u
+        |)
+        |SELECT cls, max(ncal)::BIGINT AS n_cal, count(*)::BIGINT AS n_test,
+        |  sum(CASE WHEN (1 + cnt) * 10 > 1 * (ncal + 1) THEN 1 ELSE 0
+        |    END)::BIGINT AS n_covered,
+        |  round(sum(CASE WHEN (1 + cnt) * 10 > 1 * (ncal + 1) THEN 1
+        |    ELSE 0 END)::DOUBLE / count(*), 6) AS coverage
+        |FROM c WHERE tag = 1 GROUP BY cls""".stripMargin),
+    // two lag frames over the daily grid; exact |error| int sums
+    "q308_mase_backtest" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_type, x,
+        |    lag(x, 7) OVER w AS fs, lag(x, 1) OVER w AS fn
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), f AS (SELECT * FROM l WHERE fs IS NOT NULL AND fn IS NOT NULL)
+        |SELECT event_type, count(*)::BIGINT AS n_eval,
+        |  round(sum(abs(x - fs))::DOUBLE / count(*) / 100, 6)
+        |    AS mae_seasonal,
+        |  round(sum(abs(x - fn))::DOUBLE / count(*) / 100, 6) AS mae_naive,
+        |  round(CASE WHEN sum(abs(x - fn)) > 0 THEN
+        |    sum(abs(x - fs))::DOUBLE / sum(abs(x - fn)) END, 6) AS mase
+        |FROM f GROUP BY event_type""".stripMargin,
     // x1e12-quantized rate moments; CASE guards mirror the Spark
     // short-circuit (k>1, v>0, K>0) exactly
     "q304_eb_shrinkage" ->

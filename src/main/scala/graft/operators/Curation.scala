@@ -417,6 +417,56 @@ object Curation {
         round(when(col("_n") > 1 && sd > 0, (q - mu) / sd), 6).as("z"))
   }
 
+  /** Mondrian (class-conditional) split-conformal coverage audit —
+    * [[graft.operators.Analytics.conformalOls]]'s classification
+    * sibling: per class, each test row's p-value is
+    * `(1 + #{calibration rows of the same class with nonconformity ≥
+    * the test row's}) / (n_cal + 1)`, and the row is covered at
+    * level α when p > α. Class-conditional calibration is what makes
+    * the guarantee hold PER CLASS (plain conformal lets a dominant
+    * class subsidize a rare one). Returns one row per class:
+    * (class, n_cal, n_test, n_covered, coverage ≈ 1−α for
+    * exchangeable data).
+    *
+    * Exactness: the rank count rides ONE union sort per class with
+    * calibration rows ordered BEFORE test rows at nonconformity
+    * ties (so the running calibration count at a test row is
+    * exactly #{a_cal ≥ a_test}), and the coverage test is the
+    * integer cross-multiplication `(1+cnt)·αDen > αNum·(n_cal+1)` —
+    * no float ever decides membership.
+    *
+    * Scale shape: calibration folds are bounded by design (the
+    * q273 contract); the one sort covers cal+test per class and
+    * everything else is map-side aggregation. */
+  def mondrianConformal(cal: DataFrame, test: DataFrame, classCol: String,
+                        nonconfCol: Column, idCol: Column,
+                        alphaNum: Long = 1L,
+                        alphaDen: Long = 10L): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen)
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, tag: Int) =
+      df.filter(col(classCol).isNotNull && nonconfCol.isNotNull)
+        .select(col(classCol).as("_cls"), nonconfCol.as("_a"),
+          lit(tag).as("_tag"), idCol.cast("long").as("_tid"))
+    val u = side(cal, 0).unionAll(side(test, 1))
+    val w = Window.partitionBy("_cls")
+      .orderBy(col("_a").desc, col("_tag"), col("_tid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nCal = Window.partitionBy("_cls")
+    u.withColumn("_cnt",
+        sum(when(col("_tag") === 0, 1L).otherwise(0L)).over(w))
+      .withColumn("_ncal",
+        sum(when(col("_tag") === 0, 1L).otherwise(0L)).over(nCal))
+      .filter(col("_tag") === 1)
+      .groupBy(col("_cls").as(classCol))
+      .agg(max("_ncal").as("n_cal"), count(lit(1)).as("n_test"),
+        sum(when((lit(1L) + col("_cnt")) * alphaDen >
+          lit(alphaNum) * (col("_ncal") + 1), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / col("n_test"), 6))
+  }
+
   /** Dedup-pressure monitor: as the corpus grows in arrival order,
     * what fraction of each new batch is an exact duplicate of
     * anything earlier — the marginal-duplicate curve that says WHEN

@@ -579,6 +579,47 @@ object TimeSeries {
           num / sqrt(vx * vy)), 6))
   }
 
+  /** Seasonal-naive backtest (MASE-style): per group, score the
+    * "same slot last season" forecast (`x_{t−season}`) against the
+    * one-step naive baseline (`x_{t−1}`) on the SAME evaluation
+    * rows — the five-minute answer to "does this series even have
+    * usable seasonality before anyone fits a model". mase < 1: the
+    * seasonal lag beats naive persistence; ≥ 1: don't bother.
+    * Returns per group: (group, n_eval, mae_seasonal, mae_naive,
+    * mase — NULL when the naive MAE is 0).
+    *
+    * Exactness: callers pass integer-quantized x; both error sums
+    * are exact int64 over |differences|; the two MAEs and their
+    * ratio are fixed double expressions.
+    *
+    * Scale shape: the bounded-series contract (per-group
+    * daily/hourly rollups): two lag frames over one per-group sort,
+    * then a map-side verdict agg. */
+  def seasonalNaiveBacktest(series: DataFrame, groupCol: String,
+                            tCol: Column, xCol: Column, season: Int,
+                            scale: Long = 100L): DataFrame = {
+    require(season >= 2 && scale >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("_g").orderBy("_t")
+    series.filter(tCol.isNotNull && xCol.isNotNull)
+      .select(col(groupCol).as("_g"), tCol.cast("long").as("_t"),
+        xCol.cast("long").as("_x"))
+      .withColumn("_fs", lag("_x", season).over(w))
+      .withColumn("_fn", lag("_x", 1).over(w))
+      .filter(col("_fs").isNotNull && col("_fn").isNotNull)
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("_x") - col("_fs"))).as("_es"),
+        sum(abs(col("_x") - col("_fn"))).as("_en"))
+      .select(col(groupCol), col("n_eval"),
+        round(col("_es").cast("double") / col("n_eval") / scale, 6)
+          .as("mae_seasonal"),
+        round(col("_en").cast("double") / col("n_eval") / scale, 6)
+          .as("mae_naive"),
+        round(when(col("_en") > 0,
+          col("_es").cast("double") / col("_en")), 6).as("mase"))
+  }
+
   /** Out-of-orderness audit: per key, how badly event TIME disagrees
     * with ARRIVAL order — the measurement that turns "pick a
     * watermark delay" from folklore into data: a row is LATE when

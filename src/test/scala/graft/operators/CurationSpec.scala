@@ -345,6 +345,27 @@ class CurationSpec extends SparkSpec {
     assert(c.forall(_.isNullAt(2)), "zero-variance fit yields null z")
   }
 
+  test("mondrianConformal: boundary p-values, tie order, per-class isolation") {
+    // class c: calibration nonconformities 0.1 .. 0.9 (n_cal = 9)
+    val cal = ((1 to 9).map(i => ("c", i / 10.0, i.toLong)) ++
+      Seq(("d", 0.5, 100L))).toDF("cls", "a", "id")
+    // p = (1 + #{cal >= a}) / 10; covered iff p > 0.1
+    val test = Seq(
+      ("c", 0.05, 201L), // cnt 9 -> p = 1.0  covered
+      ("c", 0.85, 202L), // cnt 1 -> p = 0.2  covered
+      ("c", 0.95, 203L), // cnt 0 -> p = 0.1  NOT covered (strict >)
+      ("c", 0.9, 204L),  // tie: cal-first -> cnt 1 -> p 0.2 covered
+      ("d", 0.4, 205L))  // other class: its own 1-row calibration
+      .toDF("cls", "a", "id")
+    val out = Curation.mondrianConformal(cal, test, "cls", col("a"),
+        col("id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("c") == ((9L, 4L, 3L, 0.75)), s"$out")
+    // class d: cnt 1 -> p = 2/2 = 1 > 0.1 covered
+    assert(out("d") == ((1L, 1L, 1L, 1.0)), s"$out")
+  }
+
   test("dedupPressure: planted re-crawl bucket spikes, fingerprint normalization") {
     val docs = Seq((0L, "alpha beta"), (1L, "gamma delta"),
       (2L, "epsilon zeta"), (3L, "eta theta"),

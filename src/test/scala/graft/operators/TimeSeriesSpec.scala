@@ -326,6 +326,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c.forall(_.isNullAt(4)), "constant y -> undefined everywhere")
   }
 
+  test("seasonalNaiveBacktest: perfect seasonality scores 0, constant series NULLs mase") {
+    val cyc = (1L to 9L).map(t => ("g", t, ((t - 1) % 3 + 1) * 10))
+      .toDF("grp", "t", "x")
+    val out = TimeSeries.seasonalNaiveBacktest(cyc, "grp", col("t"),
+        col("x"), season = 3, scale = 1L)
+      .collect().head
+    // eval rows t=4..9; seasonal lag-3 forecast is exact
+    assert(out.getLong(1) == 6 && out.getDouble(2) == 0.0, s"$out")
+    // naive |diff| per step: 10,10,20 repeating -> mae 40/3
+    assert(out.getDouble(3) == 13.333333, s"$out")
+    assert(out.getDouble(4) == 0.0, s"$out")
+    val const = (1L to 9L).map(t => ("g", t, 7L)).toDF("grp", "t", "x")
+    val c = TimeSeries.seasonalNaiveBacktest(const, "grp", col("t"),
+      col("x"), season = 3, scale = 1L).collect().head
+    assert(c.getDouble(2) == 0.0 && c.getDouble(3) == 0.0 && c.isNullAt(4),
+      s"$c")
+  }
+
   test("outOfOrderAudit: hand-counted late rows; ordered key has NULL max_lag") {
     val rows = Seq(
       ("u", 1L, 10L), ("u", 2L, 20L), ("u", 3L, 15L), // late, lag 5
