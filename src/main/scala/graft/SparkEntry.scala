@@ -1568,6 +1568,23 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // 3-fold CV for the OLS baseline: per-fold MAE/RMSE stability
+    "q309_cv_ols" -> ((s, dir) =>
+      Analytics.cvOls(
+        t(s, dir, "lineitem").filter(col("l_extendedprice").isNotNull &&
+          col("l_quantity").isNotNull && col("l_discount").isNotNull),
+        col("l_orderkey") % 3, k = 3, col("l_extendedprice"),
+        col("l_quantity"), col("l_discount"))),
+    // Decile lift/gains table for the quality score vs the en label
+    "q310_lift_table" -> ((s, dir) =>
+      Analytics.liftTable(t(s, dir, "documents"),
+        graft.operators.Curation.qualityScore(col("text")),
+        col("lang") === "en", col("doc_id"))),
+    // Did the q55-style hash split preserve the label mix
+    "q311_split_balance" -> ((s, dir) =>
+      Analytics.splitBalanceAudit(
+        Sampling.trainValSplit(t(s, dir, "documents"), col("doc_id"), 0.2),
+        "split", "lang")),
     // Mondrian conformal coverage audit: class-conditional p-values
     // from the quality score, integer cross-multiplied membership
     "q307_mondrian_conformal" -> ((s, dir) => {
@@ -4307,6 +4324,121 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // three Cramer replays, one per held-out fold; error sums ride
+    // floor(+0.5)-quantized int64 (cast semantics differ between
+    // engines: DuckDB's double->BIGINT cast rounds, Spark truncates)
+    "q309_cv_ols" ->
+      ((0 to 2).map { f =>
+        s"""ff$f AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
+        |  FROM lineitem WHERE l_orderkey % 3 <> $f
+        |    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |), m$f AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS a,
+        |    sum(x2)::BIGINT AS b, sum(x1 * x1)::BIGINT AS c,
+        |    sum(x1 * x2)::BIGINT AS d, sum(x2 * x2)::BIGINT AS e,
+        |    sum(y)::BIGINT AS t0, sum(x1 * y)::BIGINT AS t1,
+        |    sum(x2 * y)::BIGINT AS t2
+        |  FROM ff$f
+        |), md$f AS (
+        |  SELECT n::DOUBLE AS n, a::DOUBLE AS a, b::DOUBLE AS b,
+        |    c::DOUBLE AS c, d::DOUBLE AS d, e::DOUBLE AS e,
+        |    t0::DOUBLE AS t0, t1::DOUBLE AS t1, t2::DOUBLE AS t2
+        |  FROM m$f
+        |), dt$f AS (
+        |  SELECT
+        |    n * (c * e - d * d) - a * (a * e - d * b)
+        |      + b * (a * d - c * b) AS det,
+        |    t0 * (c * e - d * d) - a * (t1 * e - d * t2)
+        |      + b * (t1 * d - c * t2) AS det0,
+        |    n * (t1 * e - d * t2) - t0 * (a * e - d * b)
+        |      + b * (a * t2 - t1 * b) AS det1,
+        |    n * (c * t2 - t1 * d) - a * (a * t2 - t1 * b)
+        |      + t0 * (a * d - c * b) AS det2
+        |  FROM md$f
+        |), cf$f AS (
+        |  SELECT CASE WHEN det <> 0 THEN det0 / det END AS b0,
+        |    CASE WHEN det <> 0 THEN det1 / det END AS b1,
+        |    CASE WHEN det <> 0 THEN det2 / det END AS b2
+        |  FROM dt$f
+        |), te$f AS (
+        |  SELECT round((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    - (b0 + b1 * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |      + b2 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) / 100,
+        |    6) AS resid
+        |  FROM lineitem, cf$f
+        |  WHERE l_orderkey % 3 = $f AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |), r$f AS (
+        |  SELECT $f::BIGINT AS fold, count(*)::BIGINT AS n_test,
+        |    round(sum(CAST(floor(abs(resid) * 100 + 0.5)
+        |      AS BIGINT))::DOUBLE / 100 / count(*), 6) AS mae,
+        |    round(sqrt(sum(CAST(floor(resid * resid * 100 + 0.5)
+        |      AS BIGINT))::DOUBLE / 100 / count(*)), 6) AS rmse
+        |  FROM te$f
+        |)""".stripMargin
+      }.mkString("WITH ", ", ", "") +
+        "\nSELECT * FROM r0 UNION ALL SELECT * FROM r1" +
+        "\nUNION ALL SELECT * FROM r2"),
+    // q207 score CTE + exact integer bucket ranks
+    "q310_lift_table" ->
+      (s"""WITH q207 AS (${"\n"}${q207OracleSql}${"\n"}), sc AS (
+        |  SELECT d.doc_id, q207.score AS s,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents d JOIN q207 ON d.doc_id = q207.doc_id
+        |), nn AS (
+        |  SELECT count(*)::BIGINT AS tn, sum(y)::BIGINT AS gp FROM sc
+        |), r AS (
+        |  SELECT y, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+        |  FROM sc
+        |), b AS (
+        |  SELECT ((rn - 1) * 10) // tn AS bucket, y FROM r, nn
+        |), g AS (
+        |  SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT bucket, n, n_pos,
+        |  round(n_pos::DOUBLE / n, 6) AS rate,
+        |  round(CASE WHEN gp > 0 THEN (n_pos::DOUBLE / n) /
+        |    (gp::DOUBLE / tn) END, 6) AS lift,
+        |  round(CASE WHEN gp > 0 THEN (sum(n_pos) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING))::DOUBLE / gp END, 6) AS cum_capture
+        |FROM g, nn""".stripMargin),
+    // q55's hash-split replay + independence expecteds; chi2 total
+    // rides x1e6-quantized contributions over the bounded cells
+    "q311_split_balance" ->
+      (s"""WITH sp AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1,
+        |      15))::BIGINT < ${graft.operators.Sampling.threshold(0.2)}
+        |    THEN 'val' ELSE 'train' END AS split, lang
+        |  FROM documents WHERE lang IS NOT NULL
+        |), cells AS (
+        |  SELECT split, lang, count(*)::BIGINT AS n FROM sp GROUP BY 1, 2
+        |), e AS (
+        |  SELECT split, lang, n,
+        |    (sum(n) OVER (PARTITION BY split))::BIGINT AS rt,
+        |    (sum(n) OVER (PARTITION BY lang))::BIGINT AS ct,
+        |    (sum(n) OVER ())::BIGINT AS tt
+        |  FROM cells
+        |), w AS (
+        |  SELECT split, lang, n, rt::DOUBLE * ct / tt AS expected,
+        |    (n - rt::DOUBLE * ct / tt) * (n - rt::DOUBLE * ct / tt) /
+        |      (rt::DOUBLE * ct / tt) AS contrib
+        |  FROM e
+        |), d AS (
+        |  SELECT count(DISTINCT split)::BIGINT AS ns,
+        |    count(DISTINCT lang)::BIGINT AS nl
+        |  FROM cells
+        |)
+        |SELECT split, lang, n, round(expected, 6) AS expected,
+        |  round(contrib, 6) AS contrib,
+        |  round((sum(CAST(floor(contrib * 1e6 + 0.5) AS BIGINT))
+        |    OVER ())::DOUBLE / 1e6, 6) AS chi2,
+        |  (ns - 1) * (nl - 1) AS dof
+        |FROM w, d""".stripMargin),
     // one union sort per class, cal rows before test rows at ties;
     // the coverage test is integer cross-multiplication
     "q307_mondrian_conformal" ->

@@ -1538,6 +1538,131 @@ object Analytics {
         col("llr_decide"))
   }
 
+  /** k-fold cross-validated error for [[olsFitApply]]: for each fold
+    * f, fit on the other folds and score the held-out slice,
+    * reporting per-fold (n_test, mae, rmse) — the generalization
+    * read a single fit/apply split can't give (is the model stable,
+    * or did one lucky split flatter it). Folds come from the
+    * caller's deterministic `foldCol` (hash/modulo), so the CV is
+    * reproducible across engines and reruns.
+    *
+    * Exactness: residuals inherit olsFitApply's cent quantization;
+    * |resid|·100 is an exact int64 and resid²·100 quantizes to
+    * int64 (cents² are exactly representable doubles first), so the
+    * error sums are order-free.
+    *
+    * Scale shape: k fit aggregations (each one map-side moment pass)
+    * + k scan-speed apply projections; nothing quadratic, no fold
+    * ever shuffles. */
+  def cvOls(df: DataFrame, foldCol: Column, k: Int, yCol: Column,
+            x1Col: Column, x2Col: Column): DataFrame = {
+    require(k >= 2)
+    (0 until k).map { f =>
+      olsFitApply(df.filter(foldCol =!= f), df.filter(foldCol === f),
+        yCol, x1Col, x2Col, Seq(lit(0L).as("_z")))
+        .agg(count(lit(1)).as("n_test"),
+          sum(floor(abs(col("resid")) * 100 + lit(0.5)).cast("long"))
+            .as("_sa"),
+          sum(floor(col("resid") * col("resid") * 100 + lit(0.5))
+            .cast("long")).as("_sq"))
+        .select(lit(f.toLong).as("fold"), col("n_test"),
+          round(col("_sa").cast("double") / 100 / col("n_test"), 6)
+            .as("mae"),
+          round(sqrt(col("_sq").cast("double") / 100 / col("n_test")), 6)
+            .as("rmse"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Decile lift / gains table for a score against a binary label —
+    * the model-eval classic that [[aucByGroup]]'s single number
+    * hides: per score bucket (best first), the positive rate, its
+    * lift over the global rate, and the cumulative share of all
+    * positives captured — "the top 20% of scores capture X% of
+    * conversions". Buckets are exact integer rank arithmetic
+    * (`((rn−1)·buckets) div N`), ties broken by id, so bucket
+    * membership never floats.
+    *
+    * Scale shape: one sort of the SCORED EVAL SET (bounded by
+    * contract — you rank a scored sample/holdout, not the raw
+    * corpus); per-bucket aggs and the cumulative window run on the
+    * buckets-sized relation. */
+  def liftTable(df: DataFrame, score: Column, label: Column,
+                idCol: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(score.isNotNull)
+      .select(score.as("_s"), when(label, 1L).otherwise(0L).as("_y"),
+        idCol.cast("long").as("_id"))
+    val n = broadcast(base.agg(count(lit(1)).as("_n"),
+      sum("_y").as("_gp")))
+    val ranked = base.withColumn("_rn", row_number()
+      .over(Window.orderBy(col("_s").desc, col("_id"))).cast("long"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked.crossJoin(n)
+      .withColumn("bucket", expr(s"((_rn - 1) * $buckets) div _n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"),
+        max("_n").as("_tn"), max("_gp").as("_tp"))
+      .withColumn("rate", round(col("n_pos").cast("double") / col("n"), 6))
+      .withColumn("lift", round(when(col("_tp") > 0,
+        (col("n_pos").cast("double") / col("n")) /
+          (col("_tp").cast("double") / col("_tn"))), 6))
+      .withColumn("cum_capture", round(when(col("_tp") > 0,
+        sum("n_pos").over(wCum).cast("double") / col("_tp")), 6))
+      .select("bucket", "n", "n_pos", "rate", "lift", "cum_capture")
+  }
+
+  /** Split-balance audit: did a train/val/test split preserve the
+    * label mix, or did it silently stratify-break? Per (split,
+    * label) cell: observed n, expected under independence, and the
+    * χ² contribution; every row carries the total χ² and dof — a
+    * large χ² means the split is CORRELATED with the label and any
+    * eval on it is biased. (This audits the SPLIT; q194 tests
+    * feature association.)
+    *
+    * Exactness: expected counts are fixed double expressions over
+    * exact int64 marginals; the χ² total sums ×10⁶-quantized
+    * contributions over the BOUNDED cell relation. Cells with ZERO
+    * observed rows do not appear (their contribution — the full
+    * expected count — is omitted), so the reported χ² is a lower
+    * bound when a split drops a label entirely; an empty cell in a
+    * split audit is itself the loudest possible finding.
+    *
+    * Scale shape: one map-side (split, label) count; marginals and
+    * everything after live on cells-many rows. */
+  def splitBalanceAudit(df: DataFrame, splitCol: String,
+                        labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.filter(col(splitCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(splitCol), col(labelCol))
+      .agg(count(lit(1)).as("n"))
+    val rowT = Window.partitionBy(splitCol)
+    val colT = Window.partitionBy(labelCol)
+    val all = Window.partitionBy(lit(1))
+    val withE = cells
+      .withColumn("_rt", sum("n").over(rowT))
+      .withColumn("_ct", sum("n").over(colT))
+      .withColumn("_tt", sum("n").over(all))
+      .withColumn("expected",
+        col("_rt").cast("double") * col("_ct") / col("_tt"))
+      .withColumn("_contrib",
+        (col("n") - col("expected")) * (col("n") - col("expected")) /
+          col("expected"))
+    val nS = Window.partitionBy(lit(1))
+    val dims = broadcast(cells.agg(
+      countDistinct(col(splitCol)).as("_ns"),
+      countDistinct(col(labelCol)).as("_nl")))
+    withE.crossJoin(dims)
+      .withColumn("chi2", round(
+        sum(floor(col("_contrib") * 1e6 + lit(0.5)).cast("long")).over(nS)
+          .cast("double") / 1e6, 6))
+      .withColumn("dof", (col("_ns") - 1) * (col("_nl") - 1))
+      .select(col(splitCol), col(labelCol), col("n"),
+        round(col("expected"), 6).as("expected"),
+        round(col("_contrib"), 6).as("contrib"), col("chi2"), col("dof"))
+  }
+
   /** Empirical-Bayes (beta-binomial) shrinkage of per-group rates —
     * the batting-average fix for small-n groups: fit a Beta(α, β)
     * prior to the observed group rates by method of moments

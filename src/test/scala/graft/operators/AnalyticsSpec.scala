@@ -721,6 +721,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(sh.getDouble(2) == r6(3 * c2), s"final llr: $sh")
   }
 
+  test("cvOls: planted plane scores zero error on every fold") {
+    // y = 2 + 3*x1 + 5*x2 exactly, folds by id % 3 (all folds see
+    // enough spread to recover the plane)
+    val rows = (1 to 30).map { i =>
+      val (x1, x2) = ((i % 5).toDouble, (i % 7).toDouble)
+      (i.toLong, x1, x2, 2.0 + 3 * x1 + 5 * x2)
+    }.toDF("id", "x1", "x2", "y")
+    val out = Analytics.cvOls(rows, col("id") % 3, k = 3,
+        col("y"), col("x1"), col("x2"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L), s"$out")
+    assert(out.values.forall(v => v._2 == 0.0 && v._3 == 0.0), s"$out")
+    assert(out.values.map(_._1).sum == 30, s"$out")
+  }
+
+  test("liftTable: top bucket lift 2x when top half holds all positives") {
+    val rows = (1 to 10).map(i => (i.toLong, (11 - i).toDouble, i <= 5))
+      .toDF("id", "score", "y")
+    val out = Analytics.liftTable(rows, col("score"), col("y"),
+        col("id"), buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+         r.getDouble(5))).toMap
+    // ids 1..5 have the top scores AND all the positives
+    assert(out(0L) == ((5L, 5L, 1.0, 2.0, 1.0)), s"$out")
+    assert(out(1L) == ((5L, 0L, 0.0, 0.0, 1.0)), s"$out")
+  }
+
+  test("splitBalanceAudit: hand chi2 on a 2x2, balanced split is silent") {
+    val rows = (Seq.fill(3)(("a", "x")) ++ Seq.fill(1)(("a", "y")) ++
+      Seq.fill(1)(("b", "x")) ++ Seq.fill(3)(("b", "y")))
+      .toDF("split", "label")
+    val out = Analytics.splitBalanceAudit(rows, "split", "label")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+         r.getLong(6))).toMap
+    // margins 4/4 x 4/4 over 8 -> every expected is 2
+    assert(out(("a", "x")) == ((3L, 2.0, 0.5, 2.0, 1L)), s"$out")
+    assert(out(("b", "y")) == ((3L, 2.0, 0.5, 2.0, 1L)), s"$out")
+    val balanced = (Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(2)(("b", "x")) ++ Seq.fill(2)(("b", "y")))
+      .toDF("split", "label")
+    val b = Analytics.splitBalanceAudit(balanced, "split", "label")
+      .collect()
+    assert(b.forall(r => r.getDouble(5) == 0.0 && r.getDouble(4) == 0.0),
+      s"${b.toSeq}")
+  }
+
   test("ebShrinkRates: scala-replicated MoM prior, small-n pulls harder, degenerate passthrough") {
     // groups: 0/2 (tiny, extreme), 50/100, 60/100, 40/100
     val rows = (Seq.fill(2)(("t", false)) ++
