@@ -1568,6 +1568,15 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Wilson score intervals for the per-source en-rate
+    "q312_wilson_interval" -> ((s, dir) =>
+      Analytics.wilsonInterval(t(s, dir, "documents"), "source",
+        col("lang") === "en")),
+    // Language-mix-adjusted long-doc rates per source (direct
+    // standardization - Simpson's correction as a KPI)
+    "q313_mix_adjusted" -> ((s, dir) =>
+      Analytics.mixAdjustedRates(t(s, dir, "documents"), "source",
+        "lang", col("n_chars") > 250)),
     // 3-fold CV for the OLS baseline: per-fold MAE/RMSE stability
     "q309_cv_ols" -> ((s, dir) =>
       Analytics.cvOls(
@@ -4324,6 +4333,56 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // identical literal arithmetic; z spelled as 1.96 on both sides
+    "q312_wilson_interval" ->
+      """WITH g AS (
+        |  SELECT source, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1
+        |)
+        |SELECT source, n, pos,
+        |  round(pos::DOUBLE / n, 6) AS rate,
+        |  round((pos::DOUBLE / n + (1.96::DOUBLE * 1.96) / (2.0 * n::DOUBLE)
+        |    - 1.96 * sqrt(pos::DOUBLE / n * (1.0 - pos::DOUBLE / n)
+        |      / n::DOUBLE + (1.96::DOUBLE * 1.96) / (4.0 * n::DOUBLE
+        |      * n::DOUBLE)))
+        |    / (1.0 + (1.96::DOUBLE * 1.96) / n::DOUBLE), 6) AS lo,
+        |  round((pos::DOUBLE / n + (1.96::DOUBLE * 1.96) / (2.0 * n::DOUBLE)
+        |    + 1.96 * sqrt(pos::DOUBLE / n * (1.0 - pos::DOUBLE / n)
+        |      / n::DOUBLE + (1.96::DOUBLE * 1.96) / (4.0 * n::DOUBLE
+        |      * n::DOUBLE)))
+        |    / (1.0 + (1.96::DOUBLE * 1.96) / n::DOUBLE), 6) AS hi
+        |FROM g""".stripMargin,
+    // cell rates x global stratum mix, x1e12-quantized sums,
+    // ref weights renormalized over present strata
+    "q313_mix_adjusted" ->
+      """WITH base AS (
+        |  SELECT source, lang, (n_chars > 250) AS y FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL
+        |), cells AS (
+        |  SELECT source, lang, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p
+        |  FROM base GROUP BY 1, 2
+        |), tt AS (SELECT count(*)::BIGINT AS t FROM base),
+        |mix AS (
+        |  SELECT lang, count(*)::DOUBLE / t AS w
+        |  FROM base, tt GROUP BY lang, t
+        |), j AS (
+        |  SELECT c.source, c.n, c.p,
+        |    CAST(floor(m.w * (c.p::DOUBLE / c.n) * 1e12 + 0.5) AS BIGINT)
+        |      AS wr,
+        |    CAST(floor(m.w * 1e12 + 0.5) AS BIGINT) AS ws
+        |  FROM cells c JOIN mix m ON c.lang = m.lang
+        |), a AS (
+        |  SELECT source, sum(n)::BIGINT AS n, sum(p)::BIGINT AS pos,
+        |    sum(wr)::BIGINT AS swr, sum(ws)::BIGINT AS sws
+        |  FROM j GROUP BY source
+        |)
+        |SELECT source, n,
+        |  round(pos::DOUBLE / n, 6) AS raw_rate,
+        |  round(swr::DOUBLE / sws, 6) AS adj_rate,
+        |  round(pos::DOUBLE / n - swr::DOUBLE / sws, 6) AS mix_effect
+        |FROM a""".stripMargin,
     // three Cramer replays, one per held-out fold; error sums ride
     // floor(+0.5)-quantized int64 (cast semantics differ between
     // engines: DuckDB's double->BIGINT cast rounds, Spark truncates)

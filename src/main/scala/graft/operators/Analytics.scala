@@ -1538,6 +1538,77 @@ object Analytics {
         col("llr_decide"))
   }
 
+  /** Wilson score interval per group — the rate CI that behaves at
+    * the edges where the Wald interval lies (p̂ = 0 or 1 still gets
+    * a non-degenerate interval; tiny n doesn't overshoot [0, 1]):
+    * `(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)`. One row
+    * per group: (group, n, pos, rate, lo, hi). Pairs with
+    * [[ebShrinkRates]]: shrinkage moves the point estimate, Wilson
+    * states the per-group uncertainty.
+    *
+    * Exactness: one fixed double expression over exact int counts —
+    * the z literal is spelled identically in the oracle dual.
+    * Scale shape: one map-side group agg, nothing else. */
+  def wilsonInterval(df: DataFrame, groupCol: String, label: Column,
+                     z: Double = 1.96): DataFrame = {
+    require(z > 0)
+    val g = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("pos"))
+    val nD = col("n").cast("double")
+    val p = col("pos").cast("double") / nD
+    val z2 = lit(z * z)
+    val center = p + z2 / (lit(2.0) * nD)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    val denom = lit(1.0) + z2 / nD
+    g.select(col(groupCol), col("n"), col("pos"),
+      round(p, 6).as("rate"),
+      round((center - half) / denom, 6).as("lo"),
+      round((center + half) / denom, 6).as("hi"))
+  }
+
+  /** Direct standardization (mix-adjusted rates): re-weight each
+    * group's per-stratum rates by the GLOBAL stratum mix — "what
+    * would this source's long-doc rate be if it had everyone's
+    * language mix", the adjustment that turns q258's Simpson
+    * diagnosis into a corrected KPI. Reference weights renormalize
+    * over the strata each group actually has (a missing stratum
+    * can't contribute a rate; renormalizing keeps the adjusted rate
+    * a convex combination instead of silently deflating it).
+    * Returns (group, n, raw_rate, adj_rate, mix_effect = raw−adj).
+    *
+    * Exactness: per-stratum terms `w_s·r_gs` quantize ×10¹² before
+    * the cross-strata sums; the final ratio divides two exact int64
+    * sums. Scale shape: two map-side aggs ((group, stratum) and
+    * stratum margins) + a broadcast of the bounded stratum mix. */
+  def mixAdjustedRates(df: DataFrame, groupCol: String,
+                       stratumCol: String, label: Column): DataFrame = {
+    def q12(c: Column) = floor(c * 1e12 + lit(0.5)).cast("long")
+    val base = df.filter(col(groupCol).isNotNull &&
+      col(stratumCol).isNotNull)
+    val cells = base.groupBy(col(groupCol), col(stratumCol))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(label, 1L).otherwise(0L)).as("_p"))
+    val mix = broadcast(base.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("_sn"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("_tt"))))
+      .select(col(stratumCol),
+        (col("_sn").cast("double") / col("_tt")).as("_w")))
+    cells.join(mix, Seq(stratumCol))
+      .groupBy(col(groupCol))
+      .agg(sum("_n").as("n"), sum("_p").as("_pos"),
+        sum(q12(col("_w") * (col("_p").cast("double") / col("_n"))))
+          .as("_wr"),
+        sum(q12(col("_w"))).as("_ws"))
+      .select(col(groupCol), col("n"),
+        round(col("_pos").cast("double") / col("n"), 6).as("raw_rate"),
+        round(col("_wr").cast("double") / col("_ws"), 6).as("adj_rate"),
+        round(col("_pos").cast("double") / col("n") -
+          col("_wr").cast("double") / col("_ws"), 6).as("mix_effect"))
+  }
+
   /** k-fold cross-validated error for [[olsFitApply]]: for each fold
     * f, fit on the other folds and score the held-out slice,
     * reporting per-fold (n_test, mae, rmse) — the generalization

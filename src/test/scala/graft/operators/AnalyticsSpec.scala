@@ -721,6 +721,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(sh.getDouble(2) == r6(3 * c2), s"final llr: $sh")
   }
 
+  test("wilsonInterval: hand values at z=1, nondegenerate at p=0") {
+    val rows = (Seq.fill(2)(("g", true)) ++ Seq.fill(2)(("g", false)) ++
+      Seq.fill(4)(("z", false))).toDF("g", "y")
+    val out = Analytics.wilsonInterval(rows, "g", col("y"), z = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // n=4 p=.5: center .625, half sqrt(.25/4 + 1/64), denom 1.25
+    assert(out("g") == ((0.5, 0.276393, 0.723607)), s"$out")
+    // p = 0 still yields a real interval: [0, 0.2], never [0, 0]
+    assert(out("z") == ((0.0, 0.0, 0.2)), s"$out")
+  }
+
+  test("mixAdjustedRates: equal stratum rates equalize adjusted KPIs; renormalized when strata missing") {
+    val rows = (
+      Seq.fill(4)(("A", "x", true)) ++ Seq.fill(4)(("A", "y", false)) ++
+      Seq.fill(6)(("B", "x", true)) ++ Seq.fill(2)(("B", "y", false)) ++
+      Seq.fill(2)(("C", "x", true)) ++ Seq.fill(2)(("C", "x", false)))
+      .toDF("src", "stratum", "y")
+    val out = Analytics.mixAdjustedRates(rows, "src", "stratum", col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // A and B have identical per-stratum rates (x: 1.0, y: 0.0) but
+    // different mixes: raw differs, adjusted must agree
+    assert(out("A")._1 == 0.5 && out("B")._1 == 0.75, s"$out")
+    assert(out("A")._2 == out("B")._2, s"$out")
+    assert(math.abs(out("B")._3 - (0.75 - out("B")._2)) < 1e-9, s"$out")
+    // C exists only in stratum x: weights renormalize -> its own rate
+    assert(out("C")._2 == 0.5, s"$out")
+  }
+
   test("cvOls: planted plane scores zero error on every fold") {
     // y = 2 + 3*x1 + 5*x2 exactly, folds by id % 3 (all folds see
     // enough spread to recover the plane)
