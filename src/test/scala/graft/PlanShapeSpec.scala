@@ -397,4 +397,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"semi-join cascade lost:\n$p")
     assert(!p.toLowerCase.contains("cartesianproduct"), s"cartesian:\n$p")
   }
+
+  test("q277: benchmark broadcast and the argmax is an AGGREGATE, never a corpus window") {
+    val p = plan("q277_semantic_decon")
+    assert(p.contains("Broadcast"), s"benchmark not broadcast:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"no aggregate argmax:\n$p")
+    assert(!p.contains("Window"), s"window-rank argmax crept in:\n$p")
+  }
+
+  test("q281: hard negatives keep q28's broadcast contract (corpus unshuffled for scoring)") {
+    val p = plan("q281_hard_negatives")
+    assert(p.contains("Broadcast"), s"query set not broadcast:\n$p")
+    assert(p.contains("graft_dot"), s"native dot rewritten away:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"), s"cartesian:\n$p")
+  }
+
+  test("q295: both PQ centroid generations broadcast; distances fold as aggregates") {
+    val p = plan("q295_pq_codebook")
+    assert(p.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$p")
+    assert(p.contains("HashAggregate"), s"distance fold not an aggregate:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"), s"cartesian:\n$p")
+  }
+
+  test("q283: parent keys aggregate before the join; one-row verdicts") {
+    val p = plan("q283_ref_integrity")
+    assert(p.contains("HashAggregate"), s"no distinct-reduce:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"), s"cartesian:\n$p")
+  }
+
+  test("q293: the LM rides a broadcast join onto reduced counts") {
+    val p = plan("q293_domain_reweight")
+    assert(p.contains("BroadcastHashJoin"), s"vocab LM not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized sort-merge crept into the reweight:\n$p")
+  }
+
+  test("q299: geodesic candidates are a hash equi-join on cells, never a nested loop") {
+    val p = plan("q299_haversine_neighbors")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"theta join:\n$p")
+  }
 }
