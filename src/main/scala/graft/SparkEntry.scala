@@ -1568,6 +1568,20 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Dedup threshold sensitivity: pairs/docs touched per candidate
+    // threshold over one low-threshold pair build
+    "q314_threshold_sweep" -> ((s, dir) =>
+      FuzzyDedup.thresholdSweep(
+        FuzzyDedup.minhashNearDups(t(s, dir, "documents"),
+          threshold = 0.3),
+        "jaccard", "doc_a", "doc_b",
+        Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))),
+    // Hot/warm/cold tiering plan from the event log's own clock
+    "q315_storage_tiering" -> ((s, dir) =>
+      graft.operators.Layout.storageTiering(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        "user_id", expr("(ts div 1000) div 86400000000"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)"))),
     // Wilson score intervals for the per-source en-rate
     "q312_wilson_interval" -> ((s, dir) =>
       Analytics.wilsonInterval(t(s, dir, "documents"), "source",
@@ -4333,6 +4347,78 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // the q24 pair build at 0.3 + correlated per-threshold counts
+    "q314_threshold_sweep" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |), nz AS (SELECT * FROM base WHERE len(sh) > 0),
+        |hs AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT & 1073741823 AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min((787542839 * h + 242017) % 1073741789) AS mh0,
+        |    min((611349889 * h + 938741) % 1073741789) AS mh1,
+        |    min((904321577 * h + 55117) % 1073741789) AS mh2,
+        |    min((359485871 * h + 712933) % 1073741789) AS mh3,
+        |    min((673458601 * h + 128747) % 1073741789) AS mh4,
+        |    min((513695341 * h + 999331) % 1073741789) AS mh5,
+        |    min((844235099 * h + 47743) % 1073741789) AS mh6,
+        |    min((298654777 * h + 583391) % 1073741789) AS mh7,
+        |    min((736217683 * h + 864967) % 1073741789) AS mh8,
+        |    min((465182977 * h + 22229) % 1073741789) AS mh9,
+        |    min((952103481 * h + 371099) % 1073741789) AS mh10,
+        |    min((587431267 * h + 650087) % 1073741789) AS mh11
+        |  FROM hs GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band, mh0::VARCHAR||'|'||mh1::VARCHAR||'|'||mh2::VARCHAR AS sig FROM mh
+        |  UNION ALL SELECT doc_id, 1, mh3::VARCHAR||'|'||mh4::VARCHAR||'|'||mh5::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 2, mh6::VARCHAR||'|'||mh7::VARCHAR||'|'||mh8::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 3, mh9::VARCHAR||'|'||mh10::VARCHAR||'|'||mh11::VARCHAR FROM mh
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT doc_a, doc_b,
+        |    len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |  FROM cand JOIN nz x ON cand.doc_a = x.doc_id JOIN nz y ON cand.doc_b = y.doc_id
+        |)
+        |, prs AS (
+        |  SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
+        |  WHERE jac >= 0.3
+        |), th AS (
+        |  SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS t
+        |)
+        |SELECT t AS threshold,
+        |  (SELECT count(*) FROM prs WHERE jaccard >= t)::BIGINT AS n_pairs,
+        |  (SELECT count(DISTINCT d) FROM (
+        |     SELECT doc_a AS d FROM prs WHERE jaccard >= t
+        |     UNION SELECT doc_b FROM prs WHERE jaccard >= t))::BIGINT
+        |    AS n_docs_affected
+        |FROM th""".stripMargin,
+    // day-granular integer recency tiers from the log's own max day
+    "q315_storage_tiering" ->
+      """WITH pk AS (
+        |  SELECT user_id, max(epoch_us(ts) // 86400000000)::BIGINT AS lastd,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS bytes
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1
+        |), mx AS (SELECT max(lastd)::BIGINT AS maxd FROM pk),
+        |ti AS (
+        |  SELECT CASE WHEN maxd - lastd <= 7 THEN 'hot'
+        |    WHEN maxd - lastd <= 30 THEN 'warm' ELSE 'cold' END AS tier,
+        |    bytes
+        |  FROM pk, mx
+        |), tb AS (SELECT sum(bytes)::BIGINT AS tb FROM ti)
+        |SELECT tier, count(*)::BIGINT AS n_keys,
+        |  sum(bytes)::BIGINT AS total_bytes,
+        |  round(sum(bytes)::DOUBLE / tb, 6) AS byte_share
+        |FROM ti, tb GROUP BY tier, tb""".stripMargin,
     // identical literal arithmetic; z spelled as 1.96 on both sides
     "q312_wilson_interval" ->
       """WITH g AS (

@@ -527,4 +527,30 @@ object FuzzyDedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Dedup threshold sweep: given a scored pair table (from
+    * [[minhashNearDups]] run at a LOW threshold), how many pairs and
+    * how many distinct documents each candidate threshold would
+    * touch — the sensitivity curve that turns "we dedup at 0.8"
+    * from folklore into a picked point (a cliff between 0.6 and 0.7
+    * means the corpus has a template family right there). One row
+    * per threshold: (threshold, n_pairs, n_docs_affected); empty
+    * thresholds report zeros, not missing rows.
+    *
+    * Scale shape: the pair table is the expensive product, built
+    * once upstream; the sweep is |thresholds| × two map-side aggs
+    * over it (near-dup sparsity keeps it ≪ corpus). */
+  def thresholdSweep(pairs: DataFrame, simCol: String, aCol: String,
+                     bCol: String, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty)
+    thresholds.map { t =>
+      val p = pairs.filter(col(simCol) >= t)
+      val nd = p.select(col(aCol).as("_d"))
+        .unionAll(p.select(col(bCol).as("_d"))).distinct()
+        .agg(count(lit(1)).as("n_docs_affected"))
+      p.agg(count(lit(1)).as("n_pairs")).crossJoin(nd)
+        .select(lit(t).as("threshold"), col("n_pairs"),
+          col("n_docs_affected"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -95,6 +95,40 @@ object Layout {
       .drop(dims.indices.flatMap(d => Seq(s"_min$d", s"_max$d")): _*)
   }
 
+  /** Storage-tiering plan: bucket keys (partitions, users, tables —
+    * whatever the storage unit is) into hot/warm/cold by RECENCY of
+    * last access relative to the newest access in the log, and
+    * report per tier: key count, total bytes, byte share — the
+    * evidence behind "move everything cold to infrequent-access and
+    * save X%". Boundaries are day-granular and integer-exact; the
+    * newest day is taken from the LOG (not wall clock), so the plan
+    * is a pure function of the data.
+    *
+    * Scale shape: one map-side per-key agg, a 1-row max-day
+    * broadcast, and a tiers-sized rollup. */
+  def storageTiering(df: DataFrame, keyCol: String, dayCol: Column,
+                     bytesCol: Column, hotDays: Long = 7L,
+                     warmDays: Long = 30L): DataFrame = {
+    require(hotDays >= 1 && warmDays > hotDays)
+    val perKey = df.filter(col(keyCol).isNotNull && dayCol.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(dayCol.cast("long")).as("_last"),
+        sum(bytesCol.cast("long")).as("_bytes"))
+    val newest = broadcast(perKey.agg(max("_last").as("_max")))
+    val tiered = perKey.crossJoin(newest)
+      .withColumn("tier",
+        when(col("_max") - col("_last") <= hotDays, "hot")
+          .when(col("_max") - col("_last") <= warmDays, "warm")
+          .otherwise("cold"))
+    val tot = broadcast(tiered.agg(sum("_bytes").as("_tb")))
+    tiered.groupBy("tier")
+      .agg(count(lit(1)).as("n_keys"), sum("_bytes").as("total_bytes"))
+      .crossJoin(tot)
+      .select(col("tier"), col("n_keys"), col("total_bytes"),
+        round(col("total_bytes").cast("double") / col("_tb"), 6)
+          .as("byte_share"))
+  }
+
   /** Zone-map audit: per partition, the (min, max, nulls) footer
     * stats a columnar layout keeps, plus whether a `[lo, hi]` range
     * predicate could PRUNE the partition without reading it — and

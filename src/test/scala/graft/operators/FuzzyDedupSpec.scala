@@ -200,4 +200,21 @@ class FuzzyDedupSpec extends SparkSpec {
       r.getString(4) == "quick brown fox|the quick brown",
       s"sorted evidence: $r")
   }
+
+  test("thresholdSweep: hand counts, zeros kept, monotone non-increasing") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.5), (5L, 1L, 0.45))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val out = FuzzyDedup.thresholdSweep(pairs, "jaccard", "doc_a",
+        "doc_b", Seq(0.4, 0.5, 0.8, 0.95))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(0.4) == ((3L, 5L)), s"$out")
+    assert(out(0.5) == ((2L, 4L)), s"$out")
+    assert(out(0.8) == ((1L, 2L)), s"$out")
+    // an empty threshold still reports a row of zeros
+    assert(out(0.95) == ((0L, 0L)), s"$out")
+    val ts = Seq(0.4, 0.5, 0.8, 0.95).map(out(_)._1)
+    assert(ts == ts.sorted.reverse, s"not monotone: $ts")
+  }
 }

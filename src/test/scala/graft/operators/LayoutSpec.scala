@@ -102,4 +102,23 @@ class LayoutSpec extends SparkSpec {
     // disjoint range everywhere: scan fraction 0
     assert(run(100L, 200L).values.head._3 == 0.0)
   }
+
+  test("storageTiering: recency relative to the log's own clock, byte shares sum to 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("a", 100L, 10L), ("a", 95L, 10L),  // last 100 -> hot (gap 0)
+      ("b", 95L, 30L),                    // gap 5  -> hot
+      ("c", 80L, 40L),                    // gap 20 -> warm
+      ("d", 50L, 20L))                    // gap 50 -> cold
+      .toDF("k", "day", "bytes")
+    val out = Layout.storageTiering(rows, "k", col("day"), col("bytes"),
+        hotDays = 7L, warmDays = 30L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("hot") == ((2L, 50L, 0.454545)), s"$out")
+    assert(out("warm") == ((1L, 40L, 0.363636)), s"$out")
+    assert(out("cold") == ((1L, 20L, 0.181818)), s"$out")
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 2e-6)
+  }
 }
