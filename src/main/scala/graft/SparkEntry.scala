@@ -1568,6 +1568,23 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // Chapman capture-recapture: total-population estimate from two
+    // adjacent 7-day observation windows (log-clock relative)
+    "q316_capture_recapture" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("ts").isNotNull)
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      val d0 = broadcast(ev.agg(min("day").as("_d0")))
+      val tagged = ev.crossJoin(d0)
+        .withColumn("rel", col("day") - col("_d0"))
+      Analytics.captureRecapture(
+        tagged.filter(col("rel") >= 0 && col("rel") < 7),
+        tagged.filter(col("rel") >= 7 && col("rel") < 14), "user_id")
+    }),
+    // Exact p50/p90 latency per event-type transition
+    "q317_transition_latency" -> ((s, dir) =>
+      Analytics.transitionLatency(t(s, dir, "events"), "user_id",
+        "event_type", expr("ts div 1000"), col("event_id"))),
     // Dedup threshold sensitivity: pairs/docs touched per candidate
     // threshold over one low-threshold pair build
     "q314_threshold_sweep" -> ((s, dir) =>
@@ -4347,6 +4364,51 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // two distinct windows off the log clock; Chapman arithmetic
+    "q316_capture_recapture" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), d0 AS (SELECT min(day) AS dd FROM e),
+        |a AS (
+        |  SELECT DISTINCT user_id FROM e, d0
+        |  WHERE day - dd >= 0 AND day - dd < 7
+        |), b AS (
+        |  SELECT DISTINCT user_id FROM e, d0
+        |  WHERE day - dd >= 7 AND day - dd < 14
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n_both
+        |  FROM a WHERE EXISTS (SELECT 1 FROM b WHERE b.user_id = a.user_id)
+        |), na AS (SELECT count(*)::BIGINT AS n_a FROM a),
+        |nb AS (SELECT count(*)::BIGINT AS n_b FROM b)
+        |SELECT n_a, n_b, n_both,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    (n_a + 1)::DOUBLE * (n_b + 1) / (n_both + 1) - 1 END, 6)
+        |    AS chapman_est
+        |FROM na, nb, m""".stripMargin,
+    // gap build via user-ordered lag; order-statistic ranks
+    "q317_transition_latency" ->
+      """WITH g AS (
+        |  SELECT lag(event_type) OVER w AS src,
+        |    event_type AS dst,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap,
+        |    event_id
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), f AS (SELECT * FROM g WHERE src IS NOT NULL),
+        |r AS (
+        |  SELECT src, dst, gap,
+        |    row_number() OVER (PARTITION BY src, dst
+        |      ORDER BY gap, event_id) AS rn,
+        |    (count(*) OVER (PARTITION BY src, dst))::BIGINT AS n
+        |  FROM f
+        |)
+        |SELECT src AS src_type, dst AS dst_type, max(n)::BIGINT AS n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN gap END)::BIGINT AS p50_us,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END)::BIGINT
+        |    AS p90_us
+        |FROM r GROUP BY 1, 2""".stripMargin,
     // the q24 pair build at 0.3 + correlated per-threshold counts
     "q314_threshold_sweep" ->
       """WITH base AS (

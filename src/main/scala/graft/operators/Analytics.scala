@@ -1538,6 +1538,73 @@ object Analytics {
         col("llr_decide"))
   }
 
+  /** Capture–recapture population estimate (Chapman's bias-corrected
+    * Lincoln–Petersen): from two overlapping observation windows,
+    * estimate the TOTAL population including members never seen —
+    * `N̂ = (n_a+1)(n_b+1)/(m+1) − 1` — the ecology estimator that
+    * answers "how many users/entities exist, not just how many we
+    * logged" from nothing but two samples and their overlap. One
+    * verdict row: (n_a, n_b, n_both, chapman_est; NULL when either
+    * window is empty — no overlap information, no estimate). The
+    * independence assumption (capture in A ⫫ capture in B) is the
+    * caller's to defend; heterogeneous capture biases N̂ low.
+    *
+    * Scale shape: two distinct-reduces and one key-equi semi-join,
+    * all map-side combinable; the estimate is arithmetic on three
+    * integers. */
+  def captureRecapture(a: DataFrame, b: DataFrame,
+                       keyCol: String): DataFrame = {
+    val ka = a.filter(col(keyCol).isNotNull).select(col(keyCol)).distinct()
+    val kb = b.filter(col(keyCol).isNotNull).select(col(keyCol)).distinct()
+    val m = ka.join(kb, Seq(keyCol), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    ka.agg(count(lit(1)).as("n_a"))
+      .crossJoin(kb.agg(count(lit(1)).as("n_b")))
+      .crossJoin(m)
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          (col("n_a") + 1).cast("double") * (col("n_b") + 1) /
+            (col("n_both") + 1) - 1), 6).as("chapman_est"))
+  }
+
+  /** Transition-latency quantiles: for each (src → dst) event-type
+    * transition, the exact p50/p90 of the time gap — the read that
+    * turns [[eventTransitions]]' "what follows what" into "and HOW
+    * LONG it takes", which is where funnels stall and timeouts get
+    * their numbers. Quantiles are VALUES at integer ranks (lower
+    * median `(n+1) div 2`; p90 `⌈9n/10⌉ = (9n+9) div 10`), ties
+    * broken by the caller's id — order-statistic exact, no
+    * interpolation to disagree on.
+    *
+    * Scale shape: one user-ordered lag window builds the gaps (the
+    * sessionize shuffle), then one (src,dst)-partitioned rank
+    * window; transition pairs are bounded (event-type² at most). */
+  def transitionLatency(events: DataFrame, userCol: String,
+                        typeCol: String, tsUsCol: Column,
+                        idCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy(userCol).orderBy(tsUsCol, idCol)
+    val gaps = events.filter(col(userCol).isNotNull &&
+        col(typeCol).isNotNull && tsUsCol.isNotNull)
+      .withColumn("_src", lag(col(typeCol), 1).over(wu))
+      .withColumn("_gap", tsUsCol - lag(tsUsCol, 1).over(wu))
+      .withColumn("_id", idCol.cast("long"))
+      .filter(col("_src").isNotNull)
+      .select(col("_src"), col(typeCol).as("_dst"), col("_gap"),
+        col("_id"))
+    val wr = Window.partitionBy("_src", "_dst")
+      .orderBy(col("_gap"), col("_id"))
+    val wn = Window.partitionBy("_src", "_dst")
+    gaps.withColumn("_rn", row_number().over(wr).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wn))
+      .groupBy(col("_src").as("src_type"), col("_dst").as("dst_type"))
+      .agg(max("_n").as("n"),
+        max(when(col("_rn") === expr("(_n + 1) div 2"), col("_gap")))
+          .as("p50_us"),
+        max(when(col("_rn") === expr("(9 * _n + 9) div 10"), col("_gap")))
+          .as("p90_us"))
+  }
+
   /** Wilson score interval per group — the rate CI that behaves at
     * the edges where the Wald interval lies (p̂ = 0 or 1 still gets
     * a non-degenerate interval; tiny n doesn't overshoot [0, 1]):

@@ -721,6 +721,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(sh.getDouble(2) == r6(3 * c2), s"final llr: $sh")
   }
 
+  test("captureRecapture: Chapman hand value, empty window yields NULL") {
+    val a = Seq(1L, 2L, 3L, 4L, 4L).toDF("k") // dup must not inflate
+    val b = Seq(3L, 4L, 5L).toDF("k")
+    val out = Analytics.captureRecapture(a, b, "k").collect().head
+    assert(out.getLong(0) == 4 && out.getLong(1) == 3 &&
+      out.getLong(2) == 2, s"$out")
+    // (4+1)(3+1)/(2+1) - 1 = 17/3
+    assert(out.getDouble(3) == 5.666667, s"$out")
+    val e = Analytics.captureRecapture(a, b.limit(0), "k").collect().head
+    assert(e.getLong(1) == 0 && e.isNullAt(3), s"$e")
+  }
+
+  test("transitionLatency: hand gaps, order-statistic ranks") {
+    val ev = Seq((7L, "A", 0L, 1L), (7L, "B", 10L, 2L),
+      (7L, "A", 30L, 3L), (7L, "B", 100L, 4L),
+      (8L, "B", 0L, 5L), (8L, "A", 20L, 6L))
+      .toDF("user_id", "event_type", "tus", "event_id")
+    val out = Analytics.transitionLatency(ev, "user_id", "event_type",
+        col("tus"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // A->B gaps {10, 70}: p50 = rank 1 = 10 (lower median), p90 = rank 2
+    assert(out(("A", "B")) == ((2L, 10L, 70L)), s"$out")
+    assert(out(("B", "A")) == ((2L, 20L, 20L)), s"$out")
+  }
+
   test("wilsonInterval: hand values at z=1, nondegenerate at p=0") {
     val rows = (Seq.fill(2)(("g", true)) ++ Seq.fill(2)(("g", false)) ++
       Seq.fill(4)(("z", false))).toDF("g", "y")
