@@ -1568,6 +1568,10 @@ object SparkEntry {
       TextAnalysis.piiDensity(t(s, dir, "documents"))),
     // Export-integrity manifest per balanced shard: counts, cost,
     // order-free XOR-of-md5 content checksum
+    // LSH recall vs exact ground truth on the q25 audit block
+    "q318_lsh_recall" -> ((s, dir) =>
+      FuzzyDedup.lshRecallAudit(t(s, dir, "documents"),
+        col("doc_id") < 300, threshold = 0.8)),
     // Chapman capture-recapture: total-population estimate from two
     // adjacent 7-day observation windows (log-clock relative)
     "q316_capture_recapture" -> ((s, dir) => {
@@ -4364,6 +4368,66 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // q25's exact all-pairs truth at 0.8 + q24's LSH replay on the
+    // same block; verified LSH output is a subset, so recall is the
+    // priced number
+    "q318_lsh_recall" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+        |), nz AS (SELECT * FROM base WHERE len(sh) > 0 AND doc_id < 300),
+        |truth AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |      >= 0.8
+        |), hs AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT & 1073741823 AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min((787542839 * h + 242017) % 1073741789) AS mh0,
+        |    min((611349889 * h + 938741) % 1073741789) AS mh1,
+        |    min((904321577 * h + 55117) % 1073741789) AS mh2,
+        |    min((359485871 * h + 712933) % 1073741789) AS mh3,
+        |    min((673458601 * h + 128747) % 1073741789) AS mh4,
+        |    min((513695341 * h + 999331) % 1073741789) AS mh5,
+        |    min((844235099 * h + 47743) % 1073741789) AS mh6,
+        |    min((298654777 * h + 583391) % 1073741789) AS mh7,
+        |    min((736217683 * h + 864967) % 1073741789) AS mh8,
+        |    min((465182977 * h + 22229) % 1073741789) AS mh9,
+        |    min((952103481 * h + 371099) % 1073741789) AS mh10,
+        |    min((587431267 * h + 650087) % 1073741789) AS mh11
+        |  FROM hs GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band, mh0::VARCHAR||'|'||mh1::VARCHAR||'|'||mh2::VARCHAR AS sig FROM mh
+        |  UNION ALL SELECT doc_id, 1, mh3::VARCHAR||'|'||mh4::VARCHAR||'|'||mh5::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 2, mh6::VARCHAR||'|'||mh7::VARCHAR||'|'||mh8::VARCHAR FROM mh
+        |  UNION ALL SELECT doc_id, 3, mh9::VARCHAR||'|'||mh10::VARCHAR||'|'||mh11::VARCHAR FROM mh
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), found AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |      len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+        |    FROM cand JOIN nz x ON cand.doc_a = x.doc_id JOIN nz y ON cand.doc_b = y.doc_id
+        |  ) WHERE jac >= 0.8
+        |), nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+        |nf AS (SELECT count(*)::BIGINT AS n_found FROM found),
+        |nm AS (
+        |  SELECT count(*)::BIGINT AS n_matched FROM truth t
+        |  WHERE EXISTS (SELECT 1 FROM found f
+        |    WHERE f.doc_a = t.doc_a AND f.doc_b = t.doc_b)
+        |)
+        |SELECT n_truth, n_found, n_matched,
+        |  round(CASE WHEN n_truth > 0 THEN n_matched::DOUBLE / n_truth
+        |    END, 6) AS recall
+        |FROM nt, nf, nm""".stripMargin,
     // two distinct windows off the log clock; Chapman arithmetic
     "q316_capture_recapture" ->
       """WITH e AS (

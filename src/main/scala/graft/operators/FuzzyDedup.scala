@@ -528,6 +528,40 @@ object FuzzyDedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** LSH recall audit: on a bounded block, compare
+    * [[minhashNearDups]]' verified output against
+    * [[exactJaccardPairs]]' ground truth at the same threshold —
+    * the measured answer to "how many true near-dup pairs do the
+    * bands miss". Verification makes the LSH output a SUBSET of
+    * truth, so precision is 1 by construction and RECALL is the
+    * number that prices the (k, bands) choice; pair it with the
+    * sweep ([[thresholdSweep]]) when tuning. One verdict row:
+    * (n_truth, n_found, n_matched, recall — NULL when the block has
+    * no true pairs).
+    *
+    * Scale shape: the exact side is O(block²) — which is WHY it
+    * runs on a fixed-size audit block (the q25 contract), never the
+    * corpus; the LSH side is the production pipeline on the same
+    * block. Run per release to catch silent recall regressions when
+    * shingle/hash parameters change. */
+  def lshRecallAudit(docs: DataFrame, blockFilter: Column,
+                     threshold: Double = 0.8): DataFrame = {
+    val truth = exactJaccardPairs(docs, threshold = threshold,
+      blockFilter = blockFilter)
+    val found = minhashNearDups(docs.filter(blockFilter),
+      threshold = threshold)
+    val matched = truth.select("doc_a", "doc_b")
+      .join(found.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"),
+        "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(matched.agg(count(lit(1)).as("n_matched")))
+      .select(col("n_truth"), col("n_found"), col("n_matched"),
+        round(when(col("n_truth") > 0,
+          col("n_matched").cast("double") / col("n_truth")), 6)
+          .as("recall"))
+  }
+
   /** Dedup threshold sweep: given a scored pair table (from
     * [[minhashNearDups]] run at a LOW threshold), how many pairs and
     * how many distinct documents each candidate threshold would

@@ -201,6 +201,28 @@ class FuzzyDedupSpec extends SparkSpec {
       s"sorted evidence: $r")
   }
 
+  test("lshRecallAudit: found is a subset of truth; planted near-dups counted") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // two obvious near-dup pairs + unrelated docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven nine"),
+      (5L, "completely different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val out = FuzzyDedup.lshRecallAudit(docs, lit(true), threshold = 0.5)
+      .collect().head
+    assert(out.getLong(0) == 2, s"truth pairs: $out")
+    // verified LSH output can never exceed the truth
+    assert(out.getLong(1) <= out.getLong(0) &&
+      out.getLong(2) == out.getLong(1), s"$out")
+    assert(out.getDouble(3) >= 0.0 && out.getDouble(3) <= 1.0, s"$out")
+    // an empty block: NULL recall, zero counts, no crash
+    val e = FuzzyDedup.lshRecallAudit(docs, col("doc_id") < 0).collect().head
+    assert(e.getLong(0) == 0 && e.isNullAt(3), s"$e")
+  }
+
   test("thresholdSweep: hand counts, zeros kept, monotone non-increasing") {
     import org.apache.spark.sql.functions.col
     val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.5), (5L, 1L, 0.45))
