@@ -4951,12 +4951,14 @@ object SparkEntry {
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL
         |), b AS (
-        |  SELECT (((d2 - d2 % 7) / 7)::BIGINT * 5 +
-        |    CASE d2 % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
-        |      WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END) -
-        |    (((d1 - d1 % 7) / 7)::BIGINT * 5 +
-        |    CASE d1 % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
-        |      WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END)
+        |  SELECT (((d2 - ((d2 % 7) + 7) % 7) / 7)::BIGINT * 5 +
+        |    CASE ((d2 % 7) + 7) % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+        |      WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3
+        |      ELSE 4 END) -
+        |    (((d1 - ((d1 % 7) + 7) % 7) / 7)::BIGINT * 5 +
+        |    CASE ((d1 % 7) + 7) % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+        |      WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3
+        |      ELSE 4 END)
         |    AS biz_days
         |  FROM j WHERE d2 >= d1
         |)
@@ -5203,13 +5205,13 @@ object SparkEntry {
         |  FROM l, rf
         |), w AS (
         |  SELECT source, n_tokens, loss, excess,
-        |    CAST(floor(n_tokens * exp(excess * 1.0) * 1e6 + 0.5) AS BIGINT)
-        |      AS eq
+        |    CAST(floor(exp(excess * 1.0) * 1e6 + 0.5) AS BIGINT)::HUGEINT
+        |      * n_tokens AS eq
         |  FROM e
-        |), d AS (SELECT sum(eq)::BIGINT AS den FROM w)
+        |), d AS (SELECT sum(eq) AS den FROM w)
         |SELECT source, n_tokens, round(loss, 6) AS loss,
         |  round(excess, 6) AS excess,
-        |  round(eq::DOUBLE / den, 6) AS weight
+        |  round(eq::DOUBLE / den::DOUBLE, 6) AS weight
         |FROM w, d""".stripMargin,
     // frame rank replay
     "q294_systematic_sample" ->
@@ -5252,22 +5254,22 @@ object SparkEntry {
         |  FROM pat, c0
         |), a1 AS (
         |  SELECT
-        |    sum(CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT))::BIGINT AS sp,
-        |    sum(CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
-        |      AS BIGINT))::BIGINT AS su,
+        |    sum(CAST(floor(p * 1e12 + 0.5) AS BIGINT)::HUGEINT * cnt) AS sp,
+        |    sum(CAST(floor((1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT)::HUGEINT * cnt) AS su,
         |    sum(cnt)::BIGINT AS n,
-        |    sum(CASE WHEN g1 THEN CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT)
-        |      ELSE 0 END)::BIGINT AS sg1,
-        |    sum(CASE WHEN g1 THEN CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
-        |      AS BIGINT) ELSE 0 END)::BIGINT AS sug1,
-        |    sum(CASE WHEN g2 THEN CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT)
-        |      ELSE 0 END)::BIGINT AS sg2,
-        |    sum(CASE WHEN g2 THEN CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
-        |      AS BIGINT) ELSE 0 END)::BIGINT AS sug2,
-        |    sum(CASE WHEN g3 THEN CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT)
-        |      ELSE 0 END)::BIGINT AS sg3,
-        |    sum(CASE WHEN g3 THEN CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
-        |      AS BIGINT) ELSE 0 END)::BIGINT AS sug3
+        |    sum(CASE WHEN g1 THEN CAST(floor(p * 1e12 + 0.5) AS BIGINT)::HUGEINT
+        |      * cnt ELSE 0 END) AS sg1,
+        |    sum(CASE WHEN g1 THEN CAST(floor((1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT)::HUGEINT * cnt ELSE 0 END) AS sug1,
+        |    sum(CASE WHEN g2 THEN CAST(floor(p * 1e12 + 0.5) AS BIGINT)::HUGEINT
+        |      * cnt ELSE 0 END) AS sg2,
+        |    sum(CASE WHEN g2 THEN CAST(floor((1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT)::HUGEINT * cnt ELSE 0 END) AS sug2,
+        |    sum(CASE WHEN g3 THEN CAST(floor(p * 1e12 + 0.5) AS BIGINT)::HUGEINT
+        |      * cnt ELSE 0 END) AS sg3,
+        |    sum(CASE WHEN g3 THEN CAST(floor((1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT)::HUGEINT * cnt ELSE 0 END) AS sug3
         |  FROM p1
         |), c1 AS (
         |  SELECT (sp::DOUBLE / 1e12) / n AS lam,
@@ -5289,22 +5291,22 @@ object SparkEntry {
         |  FROM pat, c1
         |), a2 AS (
         |  SELECT
-        |    sum(CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT))::BIGINT AS sp,
-        |    sum(CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
-        |      AS BIGINT))::BIGINT AS su,
+        |    sum(CAST(floor(p * 1e12 + 0.5) AS BIGINT)::HUGEINT * cnt) AS sp,
+        |    sum(CAST(floor((1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT)::HUGEINT * cnt) AS su,
         |    sum(cnt)::BIGINT AS n,
-        |    sum(CASE WHEN g1 THEN CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT)
-        |      ELSE 0 END)::BIGINT AS sg1,
-        |    sum(CASE WHEN g1 THEN CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
-        |      AS BIGINT) ELSE 0 END)::BIGINT AS sug1,
-        |    sum(CASE WHEN g2 THEN CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT)
-        |      ELSE 0 END)::BIGINT AS sg2,
-        |    sum(CASE WHEN g2 THEN CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
-        |      AS BIGINT) ELSE 0 END)::BIGINT AS sug2,
-        |    sum(CASE WHEN g3 THEN CAST(floor(cnt * p * 1e12 + 0.5) AS BIGINT)
-        |      ELSE 0 END)::BIGINT AS sg3,
-        |    sum(CASE WHEN g3 THEN CAST(floor(cnt * (1.0 - p) * 1e12 + 0.5)
-        |      AS BIGINT) ELSE 0 END)::BIGINT AS sug3
+        |    sum(CASE WHEN g1 THEN CAST(floor(p * 1e12 + 0.5) AS BIGINT)::HUGEINT
+        |      * cnt ELSE 0 END) AS sg1,
+        |    sum(CASE WHEN g1 THEN CAST(floor((1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT)::HUGEINT * cnt ELSE 0 END) AS sug1,
+        |    sum(CASE WHEN g2 THEN CAST(floor(p * 1e12 + 0.5) AS BIGINT)::HUGEINT
+        |      * cnt ELSE 0 END) AS sg2,
+        |    sum(CASE WHEN g2 THEN CAST(floor((1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT)::HUGEINT * cnt ELSE 0 END) AS sug2,
+        |    sum(CASE WHEN g3 THEN CAST(floor(p * 1e12 + 0.5) AS BIGINT)::HUGEINT
+        |      * cnt ELSE 0 END) AS sg3,
+        |    sum(CASE WHEN g3 THEN CAST(floor((1.0 - p) * 1e12 + 0.5)
+        |      AS BIGINT)::HUGEINT * cnt ELSE 0 END) AS sug3
         |  FROM p2
         |), c2 AS (
         |  SELECT (sp::DOUBLE / 1e12) / n AS lam,
@@ -5645,7 +5647,7 @@ object SparkEntry {
         |        i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) *
         |       sqrt(list_sum(list_transform(generate_series(1, len(bv)),
         |        i -> bv[i]::DOUBLE * bv[i]::DOUBLE)))), 6) AS cos
-        |  FROM c, bm WHERE corpus_id <> bench_id
+        |  FROM c, bm
         |), r AS (
         |  SELECT corpus_id, bench_id, cos,
         |    row_number() OVER (PARTITION BY corpus_id

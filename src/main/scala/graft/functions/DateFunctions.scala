@@ -13,12 +13,17 @@ import org.apache.spark.sql.functions._
 object DateFunctions {
 
   /** Number of WEEKDAYS (Mon–Fri) in `[0, d)` for an epoch day
-    * number `d ≥ 0` — the prefix-sum that turns business-day
-    * counting into one subtraction. Closed form: 5 per full week
-    * plus a 7-case lookup on `d mod 7` (epoch day 0 is a Thursday:
-    * the residue window runs Thu, Fri, Sat, Sun, Mon, Tue, Wed). */
+    * number `d` — the prefix-sum that turns business-day counting
+    * into one subtraction (negative for `d < 0`: weekdays in
+    * `[d, 0)`, negated — the signed prefix sum, total over all
+    * int64 days). Closed form: 5 per full week plus a 7-case lookup
+    * on the FLOORED `d mod 7` (epoch day 0 is a Thursday: the
+    * residue window runs Thu, Fri, Sat, Sun, Mon, Tue, Wed). Both
+    * engines' `%` truncates toward zero, yielding negative residues
+    * pre-1970 — the `(+7)%7` re-floor makes the lookup total
+    * instead of silently falling through to the Wednesday case. */
   def weekdaysBefore(d: Column): Column = {
-    val r = d % 7
+    val r = ((d % 7) + 7) % 7
     // (d - r) is an exact multiple of 7, so the double division is
     // exact and the cast is lossless — both engines' `/` on integers
     // returns double, making the cast the portable integer division
@@ -29,8 +34,8 @@ object DateFunctions {
   }
 
   /** Business days in the half-open interval `[d1, d2)` of epoch day
-    * numbers (both non-negative, d1 ≤ d2 for a meaningful answer;
-    * the subtraction is valid either way and antisymmetric). A
+    * numbers (valid over the full signed range, pre-1970 included;
+    * the subtraction is antisymmetric in d1/d2). A
     * same-day pair is 0; Friday→Monday is 1 (the Friday). Holidays
     * are a caller-side broadcast-join subtraction — a region-specific
     * TABLE, not calendar math, so it composes instead of hiding

@@ -548,14 +548,20 @@ object Curation {
       .withColumn("excess", greatest(
         col("loss") - (-(col("_qg").cast("double") / 1e9) / col("_ng")),
         lit(0.0)))
+      // quantize the BOUNDED multiplier exp(excess·η) alone (excess
+      // is a per-source mean-loss gap, so the exp stays small), then
+      // multiply by the exact token count in decimal(38,0) — the old
+      // floor(n_tokens·exp·1e6) form saturated Long.MaxValue once a
+      // source held ~9.2e12 effective tokens
       .withColumn("_eq",
-        floor(col("n_tokens") * exp(col("excess") * eta) * 1e6 + lit(0.5))
-          .cast("long"))
+        floor(exp(col("excess") * eta) * 1e6 + lit(0.5)).cast("long")
+          .cast("decimal(38,0)") * col("n_tokens"))
     val den = broadcast(ex.agg(sum("_eq").as("_den")))
     ex.crossJoin(den).select(col("_src").as(sourceCol), col("n_tokens"),
       round(col("loss"), 6).as("loss"),
       round(col("excess"), 6).as("excess"),
-      round(col("_eq").cast("double") / col("_den"), 6).as("weight"))
+      round(col("_eq").cast("double") / col("_den").cast("double"), 6)
+        .as("weight"))
   }
 
   /** Cross-source duplication matrix — a provenance consumer of the

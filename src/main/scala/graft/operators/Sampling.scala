@@ -315,7 +315,12 @@ object Sampling {
     * corpus itself never shuffles. (A count-quantile cutoff would
     * need a global sort or sketch; a time-range cutoff is the one a
     * production backtest actually pins — "train through March,
-    * embargo a day, validate April".) */
+    * embargo a day, validate April".)
+    *
+    * An undated row (NULL `tsCol`) gets a NULL `split` — it belongs
+    * to no fold. Letting `otherwise` claim it would silently drop
+    * undated rows into VALIDATION, the exact leak-adjacent fold a
+    * purged split exists to protect. */
   def purgedTemporalSplit(df: DataFrame, tsCol: Column,
                           valNum: Int, valDen: Int,
                           embargo: Long): DataFrame = {
@@ -325,7 +330,8 @@ object Sampling {
     val cut = expr(s"_mn + ((_mx - _mn) * ${valDen - valNum}L) div $valDen")
     df.crossJoin(bounds)
       .withColumn("split",
-        when(tsCol <= cut, "train")
+        when(tsCol.isNull, lit(null).cast("string"))
+          .when(tsCol <= cut, "train")
           .when(tsCol <= cut + embargo, "embargo")
           .otherwise("val"))
       .drop("_mn", "_mx")

@@ -772,7 +772,13 @@ object Similarity {
     * smallest bench_id), so only (corpus_id, best) pairs reach the
     * exchange. A benchmark too large to broadcast moves to the
     * [[ivfSearch]] cell-blocked shape — documented path, same
-    * output contract. */
+    * output contract.
+    *
+    * Every corpus vector is compared against EVERY benchmark vector:
+    * corpus and benchmark are separate tables by contract, so an id
+    * collision across them is meaningless and must not suppress a
+    * comparison (a plain cross against the broadcast side — no join
+    * predicate — also keeps NULL-id corpus rows in play). */
   def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
                             threshold: Double, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
@@ -780,7 +786,7 @@ object Similarity {
       col(vecCol).as("_bv"), norm(col(vecCol)).as("_bn")))
     corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"),
         norm(col(vecCol)).as("_cn"))
-      .join(b, col("corpus_id") =!= col("_bid"))
+      .crossJoin(b)
       .select(col("corpus_id"), col("_bid"),
         round(dot(col("_cv"), col("_bv")) / (col("_cn") * col("_bn")), 6)
           .as("_cos"))

@@ -50,8 +50,9 @@ class LinkageSpec extends SparkSpec {
     val out = Linkage.emWeights(pairs, Seq("gx", "gy"), iters = 2)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
-    // replicate the exact arithmetic: 2 patterns, F=2, quantized sums
-    def q12(x: Double) = math.floor(x * 1e12 + 0.5).toLong
+    // replicate the exact arithmetic: 2 patterns, F=2; p is
+    // quantized ALONE (bounded) then scaled by the exact count
+    def q12(x: Double) = BigInt(math.floor(x * 1e12 + 0.5).toLong)
     var (lam, m, u) = (0.1, 0.9, 0.1) // symmetric fields share params
     for (_ <- 1 to 2) {
       def p(g: Boolean) = {
@@ -61,11 +62,11 @@ class LinkageSpec extends SparkSpec {
         pm / (pm + pu)
       }
       val (pT, pF) = (p(true), p(false))
-      val sp = q12(100L * pT) + q12(900L * pF)
-      val su = q12(100L * (1.0 - pT)) + q12(900L * (1.0 - pF))
-      val sg = q12(100L * pT); val sug = q12(100L * (1.0 - pT))
+      val sp = q12(pT) * 100 + q12(pF) * 900
+      val su = q12(1.0 - pT) * 100 + q12(1.0 - pF) * 900
+      val sg = q12(pT) * 100; val sug = q12(1.0 - pT) * 100
       lam = (sp.toDouble / 1e12) / 1000L
-      m = sg.toDouble / sp; u = sug.toDouble / su
+      m = sg.toDouble / sp.toDouble; u = sug.toDouble / su.toDouble
     }
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -75,5 +76,37 @@ class LinkageSpec extends SparkSpec {
     // the mixture separates: matches agree, non-matches don't
     assert(out("gx")._2 > 0.9 && out("gx")._3 < 0.05, s"$out")
     assert(out("gx")._4 > 0 && out("gx")._5 < 0, "weight signs")
+  }
+
+  test("emWeights: pattern counts past the old int64 saturation point stay exact") {
+    // 20M same-pattern pairs: the pre-fix floor(cnt·p·1e12) hit
+    // cnt·p ≈ 2e7 > 9.2e6 and saturated Long.MaxValue, corrupting
+    // the M-step. The p-alone quantization must reproduce the exact
+    // BigInt replication below.
+    val n = 20000000L
+    val agree = spark.range(n).selectExpr("true as g")
+    val disagree = spark.range(n / 2).selectExpr("false as g")
+    val out = Linkage.emWeights(agree.union(disagree), Seq("g"), iters = 1)
+      .collect().head
+    def q12(x: Double) = BigInt(math.floor(x * 1e12 + 0.5).toLong)
+    val (lam0, m0, u0) = (0.1, 0.9, 0.1)
+    def p(g: Boolean) = {
+      val pm = if (g) lam0 * m0 else lam0 * (1.0 - m0)
+      val pu = if (g) (1.0 - lam0) * u0 else (1.0 - lam0) * (1.0 - u0)
+      pm / (pm + pu)
+    }
+    val (pT, pF) = (p(true), p(false))
+    val sp = q12(pT) * BigInt(n) + q12(pF) * BigInt(n / 2)
+    val su = q12(1.0 - pT) * BigInt(n) + q12(1.0 - pF) * BigInt(n / 2)
+    val sg = q12(pT) * BigInt(n); val sug = q12(1.0 - pT) * BigInt(n)
+    assert(sp > BigInt(Long.MaxValue), "test must cross the old bound")
+    val lam = (sp.toDouble / 1e12) / (n + n / 2)
+    val m = sg.toDouble / sp.toDouble
+    val u = sug.toDouble / su.toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(1) == r6(lam), s"lambda ${out.getDouble(1)} vs $lam")
+    assert(out.getDouble(2) == r6(m), s"m ${out.getDouble(2)} vs $m")
+    assert(out.getDouble(3) == r6(u), s"u ${out.getDouble(3)} vs $u")
   }
 }

@@ -231,4 +231,19 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(re == split)
   }
+
+  test("purgedTemporalSplit: undated rows get a NULL split, not 'val'") {
+    // a NULL ts must not fall through when/when/otherwise into the
+    // validation fold — that's the leak-adjacent fold the purge
+    // exists to protect
+    val rows = ((0L to 100L).map(ts => (ts, Some(ts))) :+
+      (999L, Option.empty[Long])).toDF("id", "ts")
+    val split = Sampling.purgedTemporalSplit(rows, col("ts"), 1, 5, 10L)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(split(999L).isEmpty, s"NULL ts landed in ${split(999L)}")
+    // dated rows are untouched by the NULL row's presence (the
+    // min/max bounds ignore NULLs)
+    assert(split(0L).contains("train") && split(100L).contains("val"))
+    assert(split.size == 102)
+  }
 }

@@ -439,6 +439,19 @@ class SimilaritySpec extends SparkSpec {
     assert(b == Set(1L, 2L), s"boundary: $b")
   }
 
+  test("semanticDecontaminate: cross-table id collisions don't suppress a match") {
+    // corpus vec_id 100 collides with bench vec_id 100 AND is a
+    // contaminated copy of it — the old `corpus_id =!= _bid` join
+    // predicate silently skipped exactly this comparison
+    val e1 = Seq(1f, 0f, 0f, 0f); val e3 = Seq(0f, 0f, 1f, 0f)
+    val bench = Seq((100L, e1)).toDF("vec_id", "embedding")
+    val corpus = Seq((100L, e1), (2L, e3)).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, bench, 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out == Map(100L -> ((100L, 1.0))), s"collision suppressed: $out")
+  }
+
   test("jlProject: hand-folded projection, width, partitioning invariance") {
     val dim = 8
     val v = Array.tabulate(dim)(i => (i + 1).toFloat)
