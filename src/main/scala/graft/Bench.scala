@@ -122,6 +122,26 @@ object Bench {
     // round's permanent record carries the total even when the
     // per-query map is truncated.
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${ok.size},"errors":${errs.size},"sf":"$sfDir"}""")
+    // The stdout window still truncates the per-query map itself
+    // (BENCH_r07 kept 142 of 317 entries) — ALSO write the full map
+    // as a repo file so every round's per-query history is durable.
+    // Full names (not qNN ids), one key per line for clean git diffs.
+    try {
+      val detail = new StringBuilder
+      detail ++= "{\n"
+      detail ++= s"""  "sf": ${jstr(sfDir)},\n"""
+      detail ++= s"""  "total_sec": ${ms(total)},\n"""
+      detail ++= s"""  "n_queries": ${ok.size},\n"""
+      detail ++= s"""  "errors": {""" + errs.map { case (k, m) =>
+        s"\n    ${jstr(k)}: ${jstr(m)}" }.mkString(",") +
+        (if (errs.isEmpty) "},\n" else "\n  },\n")
+      detail ++= s"""  "queries_sec": {""" + ok.map { case (k, v) =>
+        s"\n    ${jstr(k)}: ${ms(v)}" }.mkString(",") + "\n  }\n}\n"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_detail.json"), detail.toString)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
