@@ -35,6 +35,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val q197SrcDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val q249SrcDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   private val clusterTablePath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -2166,13 +2168,19 @@ object SparkEntry {
     "q249_stream_mix_drift" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("q249-events")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-      srcDir.toFile.deleteOnExit()
-      srcDir.resolve("events.parquet").toFile.deleteOnExit()
-      val stream = normTs(s.readStream.schema(schema).parquet(srcDir.toString))
+      // memoized per sf dir (like q123/q197's source dirs): the
+      // symlink farm is a pure function of the feed, and a fresh
+      // temp dir per invocation would accrete across bench reruns
+      val srcDir = q249SrcDir.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("q249-events")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+        d.toFile.deleteOnExit()
+        d.resolve("events.parquet").toFile.deleteOnExit()
+        d.toString
+      })
+      val stream = normTs(s.readStream.schema(schema).parquet(srcDir))
         .filter(col("event_type").isNotNull)
         .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
       val agg = graft.streaming.StreamingOps.windowedAgg(

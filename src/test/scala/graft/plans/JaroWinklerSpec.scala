@@ -22,7 +22,25 @@ class JaroWinklerSpec extends SparkSpec {
     ("x", "y", 0.0),
     ("", "", 0.0), // DuckDB: empty is 0, not textbook 1
     ("a", "", 0.0),
-    ("jellyfish", "smellyfish", 0.8962962962962964))
+    ("jellyfish", "smellyfish", 0.8962962962962964),
+    // beyond ASCII: DuckDB compares UTF-8 BYTES (not code points,
+    // not UTF-16 units) — '😀' vs '😁' share a 3-byte prefix and
+    // score 0.8833, which only the byte kernel reproduces. BMP
+    // multi-byte and supplementary-plane pins below are all
+    // DuckDB-verified values.
+    ("café", "cafe", 0.8483333333333334),
+    ("éé", "ée", 0.7777777777777778),
+    ("münchen", "munchen", 0.8821428571428571),
+    ("ñandú", "nandu", 0.6761904761904761),
+    ("日本語", "日本誤", 0.9555555555555556),
+    ("😀😃😄", "😀😃😁", 0.9666666666666666),
+    ("a😀b", "a😀c", 0.9333333333333333),
+    ("😀", "😀", 1.0),
+    ("😀", "😁", 0.8833333333333334),
+    ("martha😀", "marhta😀", 0.9766666666666667),
+    ("𝕊𝕡𝕒𝕣𝕜", "𝕊𝕡𝕒𝕣k", 0.9482352941176471),
+    ("😀abc", "abc😀", 0.0),
+    ("ab😀😁cd", "ab😁😀cd", 0.9833333333333333))
 
   test("pinned DuckDB values, via the Column API (whole-stage codegen)") {
     val got = pinned.map { case (a, b, _) => (a, b) }
