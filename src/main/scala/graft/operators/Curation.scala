@@ -165,15 +165,32 @@ object Curation {
     * reduced to a 1-row count; the three counts union. The corpus is
     * scanned once per tier — an audit run, not a hot path. */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
-                          idCol: String = "doc_id"): DataFrame = {
+                          idCol: String = "doc_id"): DataFrame =
+    contaminationReportFrom(corpus, Seq(
+      "exact" -> Sampling.decontaminate(corpus, benchmark),
+      "ngram" -> Sampling.ngramDecontaminate(corpus, benchmark),
+      "neardup" -> Sampling.nearDupDecontaminate(corpus, benchmark)),
+      idCol)
+
+  /** [[contaminationReport]] over PRE-BUILT survivor tables — the
+    * production posture: each decontamination tier is its own
+    * registered pipeline product (built and owned by its pipeline
+    * run, the q203 cluster-table pattern), and the audit report is a
+    * cheap consumer of those products rather than a third re-derivation
+    * of every tier. `tiers` maps tier name → that tier's survivor
+    * relation (rows that PASS the tier).
+    *
+    * Scale shape: one anti-join + 1-row count per tier; the corpus
+    * is scanned once per tier and nothing is re-shingled. */
+  def contaminationReportFrom(corpus: DataFrame,
+                              tiers: Seq[(String, DataFrame)],
+                              idCol: String = "doc_id"): DataFrame = {
+    require(tiers.nonEmpty)
     def tier(name: String, survivors: DataFrame) =
       corpus.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
         .agg(count(lit(1)).as("n_flagged"))
         .select(lit(name).as("tier"), col("n_flagged"))
-    tier("exact", Sampling.decontaminate(corpus, benchmark))
-      .unionAll(tier("ngram", Sampling.ngramDecontaminate(corpus, benchmark)))
-      .unionAll(tier("neardup",
-        Sampling.nearDupDecontaminate(corpus, benchmark)))
+    tiers.map { case (n, s) => tier(n, s) }.reduce(_ unionAll _)
   }
 
   /** Calibration report for a [0,1] score against a boolean label:
