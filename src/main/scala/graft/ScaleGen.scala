@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic corpus scaler: writes a `k`×-row snapshot
+  * of the testdata tables whose per-replica STRUCTURE matches the
+  * source exactly, so measured runtimes at k ∈ {1, 3, 10} yield
+  * honest cost slopes for the scale-sensitive operator families
+  * (LSH+CC dedup, decontamination tiers, linkage, ANN).
+  *
+  * The scaling transforms are chosen so each replica reproduces the
+  * source workload without creating cross-replica artifacts:
+  *  - documents: replica r suffixes every token with `_r` — replica
+  *    r of docs (a, b) has EXACTLY the Jaccard/13-gram relations of
+  *    (a, b), while cross-replica token sets are disjoint (no fake
+  *    mega-clusters). doc_id strides by a multiple of 10 so the
+  *    `doc_id % 10` benchmark-slice contract scales with the corpus.
+  *  - embeddings: replica r applies an ORTHOGONAL transform (rotate
+  *    dims by r, md5-chosen ±1 signs) — within-replica cosines are
+  *    preserved exactly; cross-replica pairs decorrelate. Labels
+  *    stride by 1000: cluster count scales, cluster sizes don't.
+  *  - part: replica r prefixes a replica letter onto p_name, so the
+  *    (size, first-char) linkage blocks grow in COUNT, not size.
+  *  - events: ids/users stride; times, types, values unchanged.
+  * Everything is md5/arithmetic-deterministic — same output on any
+  * engine, partitioning, or rerun (no rand()).
+  *
+  * Usage: `runMain graft.ScaleGen <srcDir> <outDir> <k>` */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 3) {
+      System.err.println("usage: graft.ScaleGen <srcDir> <outDir> <k>")
+      sys.exit(2)
+    }
+    val Array(srcDir, outDir, kStr) = args
+    val k = kStr.toInt
+    require(k >= 1 && k <= 100, s"k=$k out of [1, 100]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    val rep = spark.range(k).select(col("id").as("rep"))
+    // id strides are multiples of the modulus each contract uses, so
+    // `id % m` slice semantics survive the remap
+    def stride(df: DataFrame, idCol: String, mod: Long): Long = {
+      val mx = df.agg(max(col(idCol))).head.getLong(0) // 1-value collect
+      ((mx / mod) + 1) * mod
+    }
+
+    val docs = read("documents")
+    val dStride = stride(docs, "doc_id", 10)
+    write(docs.crossJoin(rep).select(
+      (col("doc_id") + col("rep") * dStride).as("doc_id"),
+      when(col("rep") === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("rep"))), " ")).as("text"),
+      col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text"))), "documents")
+
+    val emb = read("embeddings")
+    val vStride = stride(emb, "vec_id", 100)
+    val dim = 64
+    import graft.functions.HashFunctions.md5Long
+    def sign(d: Column): Column =
+      when(col("rep") === 0, 1.0).otherwise(
+        when(md5Long(concat_ws("_", lit("sg"), col("rep"), d)) % 2 === 0,
+          1.0).otherwise(-1.0))
+    write(emb.crossJoin(rep).select(
+      (col("vec_id") + col("rep") * vStride).as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        (element_at(col("embedding"),
+          (((d + col("rep")) % dim) + 1).cast("int")) * sign(d))
+          .cast("float")).as("embedding"),
+      (col("label") + (col("rep") * 1000).cast("int")).as("label")),
+      "embeddings")
+
+    val part = read("part")
+    val pStride = stride(part, "p_partkey", 10)
+    write(part.crossJoin(rep).select(
+      (col("p_partkey") + col("rep") * pStride).as("p_partkey"),
+      when(col("rep") === 0, col("p_name")).otherwise(
+        concat(char(lit(97) + col("rep") % 26), col("p_name")))
+        .as("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
+      "part")
+
+    val ev = read("events")
+    val eStride = stride(ev, "event_id", 10)
+    val uStride = stride(ev.filter(col("user_id").isNotNull), "user_id", 100)
+    write(ev.crossJoin(rep).select(
+      (col("event_id") + col("rep") * eStride).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("rep") * uStride).as("user_id"),
+      col("event_type"), col("value"), col("props")), "events")
+
+    // dims pass through unscaled (the scale-sensitive families under
+    // measurement read documents/embeddings/part/events)
+    Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
+      .foreach(t => write(read(t), t))
+    spark.stop()
+  }
+}

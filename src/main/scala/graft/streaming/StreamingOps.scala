@@ -22,6 +22,22 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
   */
 object StreamingOps {
 
+  /** Production state-store configuration: the RocksDB provider
+    * (bundled with Spark) keeps keyed state OFF-HEAP and spillable,
+    * so executor memory bounds are governed by the block cache, not
+    * the key cardinality — the difference between "state fits until
+    * it doesn't" (default HDFS-backed in-memory maps) and a bounded
+    * footprint at 100 TB/day ingest. Changelog checkpointing ships
+    * per-trigger deltas instead of full snapshots. Set these on the
+    * session (or cluster conf) BEFORE starting streaming queries;
+    * StreamingOpsSpec runs the operators under this provider to pin
+    * that the plans are provider-agnostic. */
+  val rocksDbStateStore: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   /** Cross-trigger latest-per-key state (the `mapGroupsWithState`
     * flavor of D1, reference `task.ts:151-159`): each trigger emits,
     * per key seen in the batch, the latest record across *all*
