@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   *    dims by r, md5-chosen ±1 signs) — within-replica cosines are
   *    preserved exactly; cross-replica pairs decorrelate. Labels
   *    stride by 1000: cluster count scales, cluster sizes don't.
-  *  - part: replica r prefixes a replica letter onto p_name, so the
-  *    (size, first-char) linkage blocks grow in COUNT, not size.
+  *  - part: replicas prefix a PER-ROW md5-chosen letter onto p_name
+  *    — mirroring TPC-H's own scaling, where names draw from a FIXED
+  *    color vocabulary at every SF, so (size, first-char) linkage
+  *    blocks grow in SIZE with the corpus. Fixed-cardinality
+  *    blocking is inherently quadratic in corpus size; the measured
+  *    q188 slope states that honestly (SCALING.md round-8).
   *  - events: ids/users stride; times, types, values unchanged.
   * Everything is md5/arithmetic-deterministic — same output on any
   * engine, partitioning, or rerun (no rand()).
@@ -89,8 +93,9 @@ object ScaleGen {
     write(part.crossJoin(rep).select(
       (col("p_partkey") + col("rep") * pStride).as("p_partkey"),
       when(col("rep") === 0, col("p_name")).otherwise(
-        concat(char(lit(97) + col("rep") % 26), col("p_name")))
-        .as("p_name"),
+        concat(char(lit(97) + pmod(
+          md5Long(concat_ws("_", lit("pn"), col("p_partkey"), col("rep"))),
+          lit(26))), col("p_name"))).as("p_name"),
       col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
       "part")
 

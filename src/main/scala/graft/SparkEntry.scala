@@ -2444,6 +2444,18 @@ object SparkEntry {
             col("a_nm"), col("b_nm")), 6).as("jw"))
         .filter(col("jw") >= 0.88)
     }),
+    // Sorted-neighborhood linkage: the LINEAR-scaling blocking
+    // (pairs = n·w by construction vs q188's quadratic fixed-
+    // cardinality blocks — measured slopes in SCALING.md round-8);
+    // same JW kernel + threshold on the rank-adjacent candidates
+    "q320_sorted_neighborhood_jw" -> ((s, dir) => {
+      val pairs = graft.operators.Linkage.sortedNeighborhood(
+        t(s, dir, "part"), "p_name", "p_partkey", window = 10)
+      pairs.select(col("a_id").as("a_key"), col("b_id").as("b_key"),
+          round(graft.operators.Linkage.jaroWinkler(
+            col("a_val"), col("b_val")), 6).as("jw"))
+        .filter(col("jw") >= 0.88)
+    }),
     // Multi-source BFS hop distances over q175's bipartite user<->
     // item graph: seed users (id % 97 == 0), min hops within 3. The
     // recursive-CTE walk as fixed frontier expansion -- per round ONE
@@ -7392,6 +7404,19 @@ object SparkEntry {
         |  AND a.p_partkey < b.p_partkey
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 5
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88""".stripMargin,
+    // rank-adjacency replay: every pair within 10 ranks of the
+    // (p_name, p_partkey) total order, JW-scored
+    "q320_sorted_neighborhood_jw" ->
+      """WITH r AS (
+        |  SELECT p_partkey, p_name,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+        |  FROM part
+        |)
+        |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 10
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+        |  >= 0.88""".stripMargin,
     // level-synchronous BFS == the recursive walk, min per node
     "q186_bfs_hops" ->
       """WITH RECURSIVE e AS (

@@ -571,20 +571,30 @@ object FuzzyDedup {
     * per threshold: (threshold, n_pairs, n_docs_affected); empty
     * thresholds report zeros, not missing rows.
     *
-    * Scale shape: the pair table is the expensive product, built
-    * once upstream; the sweep is |thresholds| × two map-side aggs
-    * over it (near-dup sparsity keeps it ≪ corpus). */
+    * Scale shape: `pairs` is usually a LAZY plan over the expensive
+    * LSH build, so the sweep evaluates it exactly TWICE — once for
+    * the pair-level conditional counts (all thresholds in one
+    * map-side agg) and once reduced to per-doc max similarity
+    * (n_docs_affected at t ≡ docs whose best pair reaches t). The
+    * per-threshold-filter formulation re-executed the pair build
+    * 2·|thresholds| times — measured 149 s → 11 s at a 10× corpus
+    * for the τ=0.3 build (round-8 SCALING.md). */
   def thresholdSweep(pairs: DataFrame, simCol: String, aCol: String,
                      bCol: String, thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty)
-    thresholds.map { t =>
-      val p = pairs.filter(col(simCol) >= t)
-      val nd = p.select(col(aCol).as("_d"))
-        .unionAll(p.select(col(bCol).as("_d"))).distinct()
-        .agg(count(lit(1)).as("n_docs_affected"))
-      p.agg(count(lit(1)).as("n_pairs")).crossJoin(nd)
-        .select(lit(t).as("threshold"), col("n_pairs"),
-          col("n_docs_affected"))
+    val pcols = thresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(col(simCol) >= t, 1L).otherwise(0L)).as(s"_p$i") }
+    val pa = pairs.agg(pcols.head, pcols.tail: _*)
+    val perDoc = pairs.select(col(aCol).as("_d"), col(simCol).as("_s"))
+      .unionAll(pairs.select(col(bCol).as("_d"), col(simCol).as("_s")))
+      .groupBy("_d").agg(max("_s").as("_ms"))
+    val dcols = thresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(col("_ms") >= t, 1L).otherwise(0L)).as(s"_d$i") }
+    val onerow = pa.crossJoin(perDoc.agg(dcols.head, dcols.tail: _*))
+    thresholds.zipWithIndex.map { case (t, i) =>
+      onerow.select(lit(t).as("threshold"),
+        coalesce(col(s"_p$i"), lit(0L)).as("n_pairs"),
+        coalesce(col(s"_d$i"), lit(0L)).as("n_docs_affected"))
     }.reduce(_ unionAll _)
   }
 }

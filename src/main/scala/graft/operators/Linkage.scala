@@ -65,6 +65,39 @@ object Linkage {
       .filter(col("score") >= minScore)
   }
 
+  /** Sorted-neighborhood candidate pairs — the LINEAR-scaling
+    * linkage blocking. Fixed-cardinality blocks ([[fellegiSunter]]/
+    * q188's (size, first-char)) have block sizes ∝ corpus and
+    * candidate pairs ∝ corpus² — measured slope 2.36 at a 10× corpus
+    * (SCALING.md round-8). Sorted-neighborhood instead ranks the
+    * corpus by `(sortCol, idCol)` and emits every pair within
+    * `window` ranks: candidates = n·window BY CONSTRUCTION, no
+    * matter how the key distribution skews, at the price of missing
+    * matches that sort far apart (the standard trade — run multiple
+    * passes on different sort keys to recover them). Output:
+    * (a_id, b_id, a_val, b_val), each pair once (a before b in rank
+    * order).
+    *
+    * Scale shape: one global sort (range-partitioned at scale — ride
+    * a sort the layout already has, e.g. the Z-order write), then
+    * the neighbor join is an EQUI-join of each row's `window`
+    * exploded probe ranks against the rank column — no range join,
+    * no window function over pairs; the shuffle carries n·window
+    * (rank, id, key) rows, never vectors or documents. */
+  def sortedNeighborhood(df: DataFrame, sortCol: String, idCol: String,
+                         window: Int): DataFrame = {
+    require(window >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(sortCol), col(idCol))
+    val ranked = df.select(col(idCol), col(sortCol))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+    val a = ranked.select(col(idCol).as("a_id"), col(sortCol).as("a_val"),
+      explode(sequence(col("_rn") + 1, col("_rn") + window)).as("_m"))
+    val b = ranked.select(col(idCol).as("b_id"), col(sortCol).as("b_val"),
+      col("_rn").as("_m"))
+    a.join(b, Seq("_m")).select("a_id", "b_id", "a_val", "b_val")
+  }
+
   /** UNSUPERVISED Fellegi–Sunter weight fitting via EM — where
     * [[fellegiSunter]]'s m/u log-weights actually come from when no
     * labeled links exist: treat each candidate pair's agreement

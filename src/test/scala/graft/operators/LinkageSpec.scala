@@ -78,6 +78,26 @@ class LinkageSpec extends SparkSpec {
     assert(out("gx")._4 > 0 && out("gx")._5 < 0, "weight signs")
   }
 
+  test("sortedNeighborhood: exact rank-adjacent pairs, n·w bound, skew-proof") {
+    import spark.implicits._
+    val df = Seq((5L, "e"), (1L, "a"), (3L, "c"), (2L, "b"), (4L, "d"))
+      .toDF("id", "k")
+    val got = Linkage.sortedNeighborhood(df, "k", "id", window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rank order a..e = ids 1..5; pairs within 2 ranks
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L)), got.toString)
+    // the linear bound holds even when every key is IDENTICAL — the
+    // case that melts fixed-cardinality blocking
+    val skew = (1L to 100L).map(i => (i, "same")).toDF("id", "k")
+    val n = Linkage.sortedNeighborhood(skew, "k", "id", window = 3).count()
+    assert(n == 3 * 100 - (1 + 2 + 3), s"n·w bound broken: $n")
+    // partitioning-invariant (rank ties broken by id)
+    val re = Linkage.sortedNeighborhood(df.repartition(5), "k", "id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(re == got)
+  }
+
   test("emWeights: pattern counts past the old int64 saturation point stay exact") {
     // 20M same-pattern pairs: the pre-fix floor(cnt·p·1e12) hit
     // cnt·p ≈ 2e7 > 9.2e6 and saturated Long.MaxValue, corrupting
