@@ -2456,6 +2456,11 @@ object SparkEntry {
             col("a_val"), col("b_val")), 6).as("jw"))
         .filter(col("jw") >= 0.88)
     }),
+    // q52's near-dup contract over the TWO-LEVEL coarse-quantizer
+    // assignment (O(n·√cells) dots, the past-10⁶-vector IVF shape;
+    // recall vs flat assignment spec-measured)
+    "q321_embed_neardup_twolevel" -> ((s, dir) =>
+      Similarity.nearDupPairsTwoLevel(t(s, dir, "embeddings"), 0.4)),
     // Multi-source BFS hop distances over q175's bipartite user<->
     // item graph: seed users (id % 97 == 0), min hops within 3. The
     // recursive-CTE walk as fixed frontier expansion -- per round ONE
@@ -7417,6 +7422,55 @@ object SparkEntry {
         |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 10
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
         |  >= 0.88""".stripMargin,
+    // the q52 replay with the coarse tier in front: nested md5-rank
+    // seed prefixes (coarse = first √cells of the fine ranking),
+    // fine seeds multi-assigned to 2 supercells, vectors probe 2
+    // supercells, then the usual top-3 fine assignment + pair join
+    "q321_embed_neardup_twolevel" ->
+      s"""WITH params AS (
+        |  SELECT cells, greatest(1, CAST(floor(sqrt(cells::DOUBLE))
+        |    AS BIGINT)) AS ncoarse
+        |  FROM (SELECT greatest(8, ceil((SELECT count(*) FROM embeddings)
+        |    / 128.0))::BIGINT AS cells)
+        |), rk AS (
+        |  SELECT vec_id, embedding, row_number() OVER (ORDER BY
+        |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+        |    vec_id) AS rn
+        |  FROM embeddings
+        |), fine AS (
+        |  SELECT vec_id AS seed_id, embedding AS sv FROM rk, params
+        |  WHERE rn <= cells
+        |), co AS (
+        |  SELECT vec_id AS co_id, embedding AS cov FROM rk, params
+        |  WHERE rn <= ncoarse
+        |), f2c AS (
+        |  SELECT seed_id, sv, co_id FROM (
+        |    SELECT f.seed_id, f.sv, c.co_id,
+        |      row_number() OVER (PARTITION BY f.seed_id
+        |        ORDER BY ${duckCos("f.sv", "c.cov")} DESC, c.co_id) AS frn
+        |    FROM fine f, co c) WHERE frn <= 2
+        |), vc AS (
+        |  SELECT cand_id, cv, co_id FROM (
+        |    SELECT e.vec_id AS cand_id, e.embedding AS cv, c.co_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${duckCos("e.embedding", "c.cov")} DESC, c.co_id)
+        |        AS vrn
+        |    FROM embeddings e, co c) WHERE vrn <= 2
+        |), cand AS (
+        |  SELECT DISTINCT v.cand_id, v.cv, f.seed_id, f.sv
+        |  FROM vc v JOIN f2c f ON v.co_id = f.co_id
+        |), assign AS (
+        |  SELECT cand_id, cv, seed_id AS cell FROM (
+        |    SELECT cand_id, cv, seed_id,
+        |      row_number() OVER (PARTITION BY cand_id
+        |        ORDER BY ${duckCos("cv", "sv")} DESC, seed_id) AS arn
+        |    FROM cand) WHERE arn <= 3
+        |)
+        |SELECT DISTINCT a.cand_id AS vec_a, b.cand_id AS vec_b,
+        |  ${duckCos("a.cv", "b.cv")} AS cos
+        |FROM assign a JOIN assign b
+        |  ON a.cell = b.cell AND a.cand_id < b.cand_id
+        |WHERE ${duckCos("a.cv", "b.cv")} >= 0.4""".stripMargin,
     // level-synchronous BFS == the recursive walk, min per node
     "q186_bfs_hops" ->
       """WITH RECURSIVE e AS (

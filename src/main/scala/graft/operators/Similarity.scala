@@ -338,9 +338,21 @@ object Similarity {
                             targetCellSize: Int = 128): DataFrame = {
     val cells =
       if (numCells > 0) numCells
-      else math.min(Int.MaxValue.toLong, // 10^12-row corpora overflow Int
-        math.max(8L, (corpus.count() + targetCellSize - 1) / targetCellSize)).toInt
-    val assigned = ivfAssign(corpus, cells, multiAssign, idCol, vecCol)
+      else autoCells(corpus, targetCellSize)
+    pairsFromAssigned(ivfAssign(corpus, cells, multiAssign, idCol, vecCol),
+      threshold)
+  }
+
+  private def autoCells(corpus: DataFrame, targetCellSize: Int): Int =
+    math.min(Int.MaxValue.toLong, // 10^12-row corpora overflow Int
+      math.max(8L, (corpus.count() + targetCellSize - 1) / targetCellSize))
+      .toInt
+
+  /** Within-cell near-dup pair join shared by the flat and two-level
+    * cell assignments: same-cell pairs, rounded cosine ≥ threshold,
+    * multi-assignment duplicates dropped. */
+  private def pairsFromAssigned(assigned: DataFrame,
+                                threshold: Double): DataFrame = {
     val a = assigned.select(col("cand_id").as("vec_a"), col("cv").as("va"),
       col("cell"), col("cn").as("na"))
     val b = assigned.select(col("cand_id").as("vec_b"), col("cv").as("vb"),
@@ -351,6 +363,99 @@ object Similarity {
       .filter(col("cos") >= threshold)
       // a pair co-assigned in two cells appears twice — dedup
       .select(col("vec_a"), col("vec_b"), col("cos")).distinct()
+  }
+
+  /** Two-level (coarse-quantizer) IVF assignment — the past-10⁶-
+    * vector path the flat-assignment cap note names (SCALING.md
+    * round-8): flat [[ivfAssign]] scores corpus × cells seed dots,
+    * which at auto-scaled cell counts (cells ∝ n) makes assignment
+    * itself quadratic. Here each vector first picks its
+    * `coarseProbe` nearest of √cells SUPERCELLS (the coarse seeds
+    * are the md5-rank PREFIX of the fine seeds — nested, no second
+    * sampling pass), then scores only the fine seeds grouped under
+    * those supercells — O(n·√cells) dots total. Fine seeds
+    * multi-assign to their 2 nearest supercells so cells on a
+    * supercell boundary stay findable from both sides. Same output
+    * contract as [[ivfAssign]]: (cand_id, cell, cv, cn).
+    *
+    * Scale shape: both seed relations broadcast; every per-vector
+    * reduction is the partial-aggregable collect + in-array top-k
+    * of [[ivfAssign]] (no windows over the corpus); the fine-seed
+    * scoring join is broadcast-side, so the corpus still crosses
+    * the wire exactly once, in the final (cand, cell) shuffle. */
+  def ivfAssignTwoLevel(corpus: DataFrame, numCells: Int,
+                        multiAssign: Int = 2, coarseProbe: Int = 2,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(numCells >= 1 && multiAssign >= 1 && coarseProbe >= 1)
+    val nCoarse = math.max(1, math.sqrt(numCells.toDouble).toInt)
+    val fine = ivfSeeds(corpus, numCells, idCol, vecCol)
+    val co = broadcast(ivfSeeds(corpus, nCoarse, idCol, vecCol)
+      .select(col("seed_id").as("co_id"), col("sv").as("cov"),
+        col("sn").as("con")))
+    // fine seed → its 2 nearest supercells (bounded: cells × √cells)
+    val f2c = broadcast(fine.crossJoin(co)
+      .withColumn("fs",
+        round(dot(col("sv"), col("cov")) / (col("sn") * col("con")), 6))
+      .groupBy("seed_id")
+      .agg(slice(reverse(sort_array(collect_list(
+          struct(col("fs"), (-col("co_id")).as("nc"))))), 1, 2).as("best"),
+        first(col("sv")).as("sv"), first(col("sn")).as("sn"))
+      .select(col("seed_id"),
+        explode(transform(col("best"), b => -b.getField("nc"))).as("co_id"),
+        col("sv"), col("sn")))
+    // corpus → coarseProbe supercells (n·√cells dots)
+    val vc = corpus
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+      .crossJoin(co)
+      .withColumn("cs",
+        round(dot(col("cv"), col("cov")) / (col("cn") * col("con")), 6))
+      .groupBy("cand_id")
+      .agg(slice(reverse(sort_array(collect_list(
+          struct(col("cs"), (-col("co_id")).as("nc"))))), 1, coarseProbe)
+          .as("best"),
+        first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+      .select(col("cand_id"),
+        explode(transform(col("best"), b => -b.getField("nc"))).as("co_id"),
+        col("cv"), col("cn"))
+    // score only the fine seeds under the probed supercells; a seed
+    // reachable via two supercells is deduped by the (cand, seed)
+    // reduce before the final top-multiAssign pick
+    vc.join(f2c, Seq("co_id"))
+      .withColumn("cs",
+        round(dot(col("cv"), col("sv")) / (col("cn") * col("sn")), 6))
+      .groupBy("cand_id", "seed_id")
+      .agg(max(col("cs")).as("cs"),
+        first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+      .groupBy("cand_id")
+      .agg(slice(reverse(sort_array(collect_list(
+          struct(col("cs"), (-col("seed_id")).as("ns"))))), 1, multiAssign)
+          .as("best"),
+        first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+      .select(col("cand_id"),
+        explode(transform(col("best"), b => -b.getField("ns"))).as("cell"),
+        col("cv"), col("cn"))
+  }
+
+  /** [[nearDupPairsUnlabeled]] over the [[ivfAssignTwoLevel]]
+    * assignment — same pair contract, O(n·√cells) assignment cost:
+    * the variant to reach for once auto-scaled cell counts make the
+    * flat seed scoring the bottleneck (~10⁶ vectors at the
+    * defaults). Recall vs the flat assignment is spec-measured. */
+  def nearDupPairsTwoLevel(corpus: DataFrame, threshold: Double,
+                           numCells: Int = 0, multiAssign: Int = 3,
+                           coarseProbe: Int = 2,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           targetCellSize: Int = 128): DataFrame = {
+    val cells =
+      if (numCells > 0) numCells
+      else autoCells(corpus, targetCellSize)
+    pairsFromAssigned(
+      ivfAssignTwoLevel(corpus, cells, multiAssign, coarseProbe,
+        idCol, vecCol),
+      threshold)
   }
 
   /** Embedding near-duplicate pairs within partition blocks:

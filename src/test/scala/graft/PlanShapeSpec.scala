@@ -70,7 +70,12 @@ class PlanShapeSpec extends SparkSpec {
   test("q61/q67: sketch and benchmark sets broadcast — corpus never shuffles") {
     val pb = plan("q61_bloom_filter")
     assert(pb.contains("BroadcastHashJoin"), s"bloom words not broadcast:\n$pb")
-    val pn = plan("q67_ngram_decontaminate")
+    // q67 now returns the materialized survivor product (round 8);
+    // the broadcast shape to pin is the BUILD plan itself
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pn = graft.operators.Sampling.ngramDecontaminate(
+        docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0))
+      .queryExecution.executedPlan.toString
     assert(pn.contains("BroadcastHashJoin"), s"ngram set not broadcast:\n$pn")
     assert(pn.contains("LeftSemi") && pn.contains("LeftAnti"),
       s"semi/anti structure lost:\n$pn")

@@ -73,6 +73,23 @@ class SimilaritySpec extends SparkSpec {
     assert(deep == ivf, "deep rerank must equal pure IVF at same probes")
   }
 
+  test("nearDupPairsTwoLevel: subset of truth, recall >= 0.9 vs flat assignment") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withOneLabel = emb.withColumn("label", lit(0))
+    val truth = pairSet(Similarity.nearDupPairs(withOneLabel, 0.4))
+    val flat = pairSet(Similarity.nearDupPairsUnlabeled(emb, 0.4))
+    val two = pairSet(Similarity.nearDupPairsTwoLevel(emb, 0.4))
+    // correctness: a blocked search can only ever MISS, never invent
+    assert(two.subsetOf(truth), "two-level emitted a false pair")
+    // the coarse tier costs recall only through cells it fails to
+    // probe — measure it against the flat assignment it approximates
+    val recall = (flat intersect two).size.toDouble / math.max(1, flat.size)
+    info(s"two-level recall vs flat = $recall over ${flat.size} flat pairs")
+    assert(recall >= 0.9, s"recall vs flat = $recall")
+  }
+
   test("ivfSearch with nprobe = numCells equals brute force exactly") {
     val queries = emb.filter($"vec_id" === 42)
     val brute = Similarity.cosineTopK(emb, queries, 5)
