@@ -746,6 +746,17 @@ object Similarity {
     * centroids for ADC scoring, not just the codes). Returns
     * (codes = (_id, _s, _c, _qd), centroids = (_s, _c, _i, _mx)
     * broadcast-wrapped — m·k·(dim/m) rows). */
+  /** Quantized L2² between two equal-width double arrays: the SAME
+    * ×10¹²-int64 per-coordinate terms the coordinate-exploded
+    * formulation summed through a groupBy, folded left-to-right by a
+    * codegen'd `aggregate` instead — integer addition is order-free,
+    * so the value is bit-identical while the n·dim·k intermediate
+    * relation (and its shuffle) disappears entirely. */
+  private def qdist12(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      floor((x - y) * (x - y) * 1e12 + lit(0.5)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
   private[operators] def pqFit(corpus: DataFrame, m: Int, k: Int, dim: Int,
                                idCol: String,
                                vecCol: String): (DataFrame, DataFrame) = {
@@ -753,41 +764,46 @@ object Similarity {
     import graft.functions.HashFunctions.md5Long
     import org.apache.spark.sql.expressions.Window
     val sub = dim / m
-    val coords = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    // (vector, subspace) SUBVECTOR rows — n·m rows carrying small
+    // arrays; distances fold per row (see qdist12), so no
+    // per-coordinate explosion ever reaches an exchange
+    val subvecs = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .select(col("_id"), explode(array((0 until m).map(s =>
         struct(lit(s.toLong).as("s"),
           slice(col("_v"), s * sub + 1, sub).as("sv"))): _*)).as("e"))
       .select(col("_id"), col("e.s").as("_s"),
-        posexplode(col("e.sv")).as(Seq("_i", "_x")))
-      .select(col("_id"), col("_s"), col("_i"),
-        col("_x").cast("double").as("_x"))
+        transform(col("e.sv"), x => x.cast("double")).as("_sv"))
     val seedIds = corpus
       .orderBy(md5Long(col(idCol).cast("string")), col(idCol)).limit(k)
       .select(col(idCol).as("_sid"))
       .withColumn("_c", row_number().over(
         Window.orderBy(md5Long(col("_sid").cast("string")), col("_sid")))
         .cast("long") - 1)
-    val seedComps = broadcast(coords
+    val seedComps = broadcast(subvecs
       .join(seedIds, col("_id") === col("_sid"))
-      .select(col("_s"), col("_c"), col("_i"), col("_x").as("_mx")))
-    def q12(c: Column) = floor(c * 1e12 + lit(0.5)).cast("long")
-    def assign(comps: DataFrame) = coords
-      .join(comps, Seq("_s", "_i"))
-      .groupBy("_id", "_s", "_c")
-      .agg(sum(q12((col("_x") - col("_mx")) * (col("_x") - col("_mx"))))
-        .as("_qd"))
+      .select(col("_s"), col("_c"), col("_sv").as("_mv")))
+    def assign(comps: DataFrame) = subvecs
+      .join(comps, Seq("_s"))
+      .select(col("_id"), col("_s"), col("_c"),
+        qdist12(col("_sv"), col("_mv")).as("_qd"))
       .groupBy("_id", "_s")
       .agg(min(struct(col("_qd"), col("_c"))).as("_m"))
       .select(col("_id"), col("_s"), col("_m._c").as("_c"),
         col("_m._qd").as("_qd"))
     val a0 = assign(seedComps)
-    val refined = broadcast(coords
+    // refined centroid means re-expand to coordinates ONCE, over the
+    // bounded (subspace, code, i) key space, then regroup to arrays
+    val refined = broadcast(subvecs
       .join(a0.select("_id", "_s", "_c"), Seq("_id", "_s"))
+      .select(col("_s"), col("_c"), posexplode(col("_sv")).as(Seq("_i", "_x")))
       .groupBy("_s", "_c", "_i")
       .agg(sum(floor(col("_x") * 1000000 + lit(0.5)).cast("long")).as("_sx"),
         count(lit(1)).as("_n"))
-      .select(col("_s"), col("_c"), col("_i"),
-        (col("_sx").cast("double") / col("_n") / 1000000.0).as("_mx")))
+      .groupBy("_s", "_c")
+      .agg(transform(
+        array_sort(collect_list(struct(col("_i"), col("_sx"), col("_n")))),
+        t => t.getField("_sx").cast("double") / t.getField("_n")
+          / 1000000.0).as("_mv")))
     (assign(refined), refined)
   }
 
@@ -857,22 +873,19 @@ object Similarity {
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("seed_id").as("cell")))
     // per-query ADC lookup table: exact query subvector vs every
-    // fitted centroid, the q295 quantization verbatim
+    // fitted centroid — same ×10¹² integer sums as the fit, folded
+    // per (query, subspace, code) row by the codegen'd qdist12
     val sub = dim / m
-    val qcoords = unit(queries)
+    val qsubvecs = unit(queries)
       .select(col(idCol).as("query_id"), col(vecCol).as("_v"))
       .select(col("query_id"), explode(array((0 until m).map(s =>
         struct(lit(s.toLong).as("s"),
           slice(col("_v"), s * sub + 1, sub).as("sv"))): _*)).as("e"))
       .select(col("query_id"), col("e.s").as("_s"),
-        posexplode(col("e.sv")).as(Seq("_i", "_x")))
-      .select(col("query_id"), col("_s"), col("_i"),
-        col("_x").cast("double").as("_x"))
-    def q12(c: Column) = floor(c * 1e12 + lit(0.5)).cast("long")
-    val dtab = broadcast(qcoords.join(cents, Seq("_s", "_i"))
-      .groupBy("query_id", "_s", "_c")
-      .agg(sum(q12((col("_x") - col("_mx")) * (col("_x") - col("_mx"))))
-        .as("_qd")))
+        transform(col("e.sv"), x => x.cast("double")).as("_sv"))
+    val dtab = broadcast(qsubvecs.join(cents, Seq("_s"))
+      .select(col("query_id"), col("_s"), col("_c"),
+        qdist12(col("_sv"), col("_mv")).as("_qd")))
     // dedup pairs BEFORE the code join: multi-assignment can surface
     // a pair via two probed cells and would double its ADC sum
     val cands = probes.join(assigned, Seq("cell"))
