@@ -2461,6 +2461,26 @@ object SparkEntry {
     // recall vs flat assignment spec-measured)
     "q321_embed_neardup_twolevel" -> ((s, dir) =>
       Similarity.nearDupPairsTwoLevel(t(s, dir, "embeddings"), 0.4)),
+    // NDCG@5 of a degraded ranking proxy (acctbal bucketed to 100s)
+    // against the exact per-nation ranking, graded 5..1 — the graded
+    // order-quality companion of q256's binary retrieval eval
+    "q322_ndcg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val wT = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val truth = c.select(col("c_nationkey").as("query_id"),
+          col("c_custkey").as("cand_id"),
+          row_number().over(wT).cast("long").as("rn"))
+        .filter(col("rn") <= 5)
+        .withColumn("grade", lit(6L) - col("rn"))
+      val wP = Window.partitionBy("c_nationkey")
+        .orderBy(floor(col("c_acctbal") / 100.0).desc, col("c_custkey"))
+      val pred = c.select(col("c_nationkey").as("query_id"),
+          col("c_custkey").as("cand_id"),
+          row_number().over(wP).cast("long").as("rn"))
+        .filter(col("rn") <= 5)
+      Similarity.ndcgAtK(truth, pred, 5)
+    }),
     // Multi-source BFS hop distances over q175's bipartite user<->
     // item graph: seed users (id % 97 == 0), min hops within 3. The
     // recursive-CTE walk as fixed frontier expansion -- per round ONE
@@ -7422,6 +7442,41 @@ object SparkEntry {
         |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 10
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
         |  >= 0.88""".stripMargin,
+    // graded-gain replay: ×10¹²-quantized g/log2(r+1) terms, exact
+    // integer sums, one double division
+    "q322_ndcg" ->
+      """WITH truth AS (
+        |  SELECT q, c, rn, (6 - rn)::BIGINT AS g FROM (
+        |    SELECT c_nationkey AS q, c_custkey AS c,
+        |      row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |    FROM customer) WHERE rn <= 5
+        |), pred AS (
+        |  SELECT q, c, rn FROM (
+        |    SELECT c_nationkey AS q, c_custkey AS c,
+        |      row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY floor(c_acctbal / 100.0) DESC, c_custkey) AS rn
+        |    FROM customer) WHERE rn <= 5
+        |), dcg AS (
+        |  SELECT p.q, sum(CAST(floor(t.g::DOUBLE / log2(p.rn + 1) * 1e12
+        |    + 0.5) AS BIGINT))::BIGINT AS d
+        |  FROM pred p JOIN truth t ON p.q = t.q AND p.c = t.c
+        |  GROUP BY 1
+        |), idcg AS (
+        |  SELECT q, sum(CAST(floor(g::DOUBLE / log2(ir + 1) * 1e12
+        |    + 0.5) AS BIGINT))::BIGINT AS i
+        |  FROM (
+        |    SELECT q, g, row_number() OVER (PARTITION BY q
+        |      ORDER BY g DESC, c) AS ir
+        |    FROM truth) WHERE ir <= 5
+        |  GROUP BY 1
+        |)
+        |SELECT idcg.q AS query_id,
+        |  round(coalesce(d, 0)::DOUBLE / 1e12, 6) AS dcg,
+        |  round(i::DOUBLE / 1e12, 6) AS idcg,
+        |  round(CASE WHEN i > 0 THEN coalesce(d, 0)::DOUBLE / i END, 6)
+        |    AS ndcg
+        |FROM idcg LEFT JOIN dcg ON idcg.q = dcg.q""".stripMargin,
     // the q52 replay with the coarse tier in front: nested md5-rank
     // seed prefixes (coarse = first √cells of the fine ranking),
     // fine seeds multi-assigned to 2 supercells, vectors probe 2

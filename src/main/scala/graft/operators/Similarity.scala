@@ -621,6 +621,51 @@ object Similarity {
         round(coalesce(lit(1.0) / col("_first"), lit(0.0)), 6).as("rr"))
   }
 
+  /** NDCG@k — the GRADED companion of [[rankingMetrics]]' binary
+    * recall/MRR: per query, DCG = Σ grade/log₂(rank+1) over the
+    * predicted ranking's true hits, normalized by the ideal DCG of
+    * the truth's own grades (ties to the lowest cand id). The metric
+    * that distinguishes "found the right documents" from "found them
+    * in the right ORDER" — what a reranker is actually paid for.
+    * Queries whose predictions whiff score 0; a query with no
+    * positive ideal gain reports NULL ndcg (0/0 is not a score).
+    *
+    * Exactness: each g/log₂(r+1) term is ×10¹²-quantized to int64
+    * BEFORE summing (log ulps and float add-order can never move a
+    * rounded result), ranks are integer, and the final ndcg is one
+    * double division of two exact integers.
+    *
+    * Scale shape: both inputs are k-bounded rankings, so this is
+    * two k·|queries| aggregations and one query-key join. */
+  def ndcgAtK(truth: DataFrame, predicted: DataFrame, k: Int,
+              queryCol: String = "query_id", candCol: String = "cand_id",
+              rankCol: String = "rn",
+              gradeCol: String = "grade"): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    def q12(c: Column) = floor(c * 1e12 + lit(0.5)).cast("long")
+    val tr = truth.select(col(queryCol).as("_q"), col(candCol).as("_c"),
+      col(gradeCol).cast("double").as("_g"))
+    val pr = predicted.select(col(queryCol).as("_q"), col(candCol).as("_c"),
+      col(rankCol).as("_r")).filter(col("_r") <= k)
+    val dcg = pr.join(tr, Seq("_q", "_c"))
+      .groupBy("_q")
+      .agg(sum(q12(col("_g") / log2(col("_r") + 1))).as("_d"))
+    val wI = Window.partitionBy("_q").orderBy(col("_g").desc, col("_c"))
+    val idcg = tr.withColumn("_ir", row_number().over(wI))
+      .filter(col("_ir") <= k)
+      .groupBy("_q")
+      .agg(sum(q12(col("_g") / log2(col("_ir") + 1))).as("_i"))
+    idcg.join(dcg, Seq("_q"), "left")
+      .select(col("_q").as(queryCol),
+        round(coalesce(col("_d"), lit(0L)).cast("double") / 1e12, 6)
+          .as("dcg"),
+        round(col("_i").cast("double") / 1e12, 6).as("idcg"),
+        round(when(col("_i") > 0,
+          coalesce(col("_d"), lit(0L)).cast("double") /
+            col("_i").cast("double")), 6).as("ndcg"))
+  }
+
   /** MMR (maximal marginal relevance) diverse re-ranking: from the
     * query's top-`nCandidates` cosine matches, greedily pick `k`
     * results maximizing λ·relevance − (1−λ)·max-similarity-to-

@@ -73,6 +73,37 @@ class SimilaritySpec extends SparkSpec {
     assert(deep == ivf, "deep rerank must equal pure IVF at same probes")
   }
 
+  test("ndcgAtK: hand-computed graded gains, perfect/permuted/whiffed queries") {
+    import spark.implicits._
+    // q1: prediction inverts the top-2 of (a,g3),(b,g2),(c,g1)
+    // q2: perfect order
+    // q3: prediction finds nothing from truth
+    val truth = Seq(
+      (1L, "a", 1L, 3L), (1L, "b", 2L, 2L), (1L, "c", 3L, 1L),
+      (2L, "x", 1L, 2L), (2L, "y", 2L, 1L),
+      (3L, "m", 1L, 1L))
+      .toDF("query_id", "cand_id", "rn", "grade")
+    val pred = Seq(
+      (1L, "b", 1L), (1L, "a", 2L), (1L, "c", 3L),
+      (2L, "x", 1L), (2L, "y", 2L),
+      (3L, "zzz", 1L))
+      .toDF("query_id", "cand_id", "rn")
+    val out = Similarity.ndcgAtK(truth, pred, 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    def q12(x: Double) = math.floor(x * 1e12 + 0.5).toLong
+    def l2(r: Long) = math.log(r + 1.0) / math.log(2.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = q12(2.0 / l2(1)) + q12(3.0 / l2(2)) + q12(1.0 / l2(3))
+    val i1 = q12(3.0 / l2(1)) + q12(2.0 / l2(2)) + q12(1.0 / l2(3))
+    assert(out(1L)._3.contains(r6(d1.toDouble / i1)), s"$out")
+    assert(out(1L)._3.get < 1.0, "inverted order must cost gain")
+    assert(out(2L)._3.contains(1.0), s"perfect order must score 1: $out")
+    assert(out(3L) == ((0.0, 1.0, Some(0.0))), s"whiff must score 0: $out")
+  }
+
   test("nearDupPairsTwoLevel: subset of truth, recall >= 0.9 vs flat assignment") {
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("vec_a", "vec_b").collect()
