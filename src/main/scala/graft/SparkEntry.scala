@@ -4796,7 +4796,7 @@ object SparkEntry {
         |)
         |SELECT split, lang, n, round(expected, 6) AS expected,
         |  round(contrib, 6) AS contrib,
-        |  round((sum(CAST(floor(contrib * 1e6 + 0.5) AS BIGINT))
+        |  round((sum(CAST(floor(contrib * 1e6 + 0.5) AS HUGEINT))
         |    OVER ())::DOUBLE / 1e6, 6) AS chi2,
         |  (ns - 1) * (nl - 1) AS dof
         |FROM w, d""".stripMargin),

@@ -1792,9 +1792,12 @@ object Analytics {
       countDistinct(col(splitCol)).as("_ns"),
       countDistinct(col(labelCol)).as("_nl")))
     withE.crossJoin(dims)
+      // decimal(38,0) term sums: a single wildly-imbalanced cell can
+      // push (n−E)²/E past 9.2e12, where the ×10⁶ int64 quantization
+      // would saturate silently (the emWeights overflow class)
       .withColumn("chi2", round(
-        sum(floor(col("_contrib") * 1e6 + lit(0.5)).cast("long")).over(nS)
-          .cast("double") / 1e6, 6))
+        sum(floor(col("_contrib") * 1e6 + lit(0.5)).cast("decimal(38,0)"))
+          .over(nS).cast("double") / 1e6, 6))
       .withColumn("dof", (col("_ns") - 1) * (col("_nl") - 1))
       .select(col(splitCol), col(labelCol), col("n"),
         round(col("expected"), 6).as("expected"),
