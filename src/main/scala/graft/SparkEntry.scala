@@ -2461,6 +2461,12 @@ object SparkEntry {
     // recall vs flat assignment spec-measured)
     "q321_embed_neardup_twolevel" -> ((s, dir) =>
       Similarity.nearDupPairsTwoLevel(t(s, dir, "embeddings"), 0.4)),
+    // Does the q207 quality gate keep sources at comparable rates?
+    // The four-fifths-rule audit over the gate's keep flag
+    "q323_filter_disparity" -> ((s, dir) =>
+      graft.operators.Curation.filterDisparity(
+        t(s, dir, "documents"), "source",
+        graft.operators.Curation.qualityScore(col("text")) >= 0.5)),
     // NDCG@5 of a degraded ranking proxy (acctbal bucketed to 100s)
     // against the exact per-nation ranking, graded 5..1 — the graded
     // order-quality companion of q256's binary retrieval eval
@@ -7442,6 +7448,28 @@ object SparkEntry {
         |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 10
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
         |  >= 0.88""".stripMargin,
+    // q207's keep flag grouped by source; reference group = rank 1
+    // of (rounded rate DESC, group); exact-count cross-ratio
+    "q323_filter_disparity" ->
+      (s"""WITH q207 AS (${"\n"}${q207OracleSql}${"\n"}), j AS (
+        |  SELECT d.source, q207.keep
+        |  FROM documents d JOIN q207 ON d.doc_id = q207.doc_id
+        |  WHERE d.source IS NOT NULL
+        |), g AS (
+        |  SELECT source AS "group", count(*)::BIGINT AS n,
+        |    sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |  FROM j GROUP BY 1
+        |), mx AS (
+        |  SELECT n_kept AS mk, n AS mn FROM (
+        |    SELECT *, row_number() OVER (ORDER BY
+        |      round(n_kept::DOUBLE / n, 6) DESC, "group") AS r
+        |    FROM g) WHERE r = 1
+        |)
+        |SELECT "group", n, n_kept,
+        |  round(n_kept::DOUBLE / n, 6) AS rate,
+        |  round(CASE WHEN mk > 0 THEN (n_kept::DOUBLE * mn)
+        |    / (n::DOUBLE * mk) END, 6) AS rate_ratio
+        |FROM g, mx""".stripMargin),
     // graded-gain replay: ×10¹²-quantized g/log2(r+1) terms, exact
     // integer sums, one double division
     "q322_ndcg" ->

@@ -594,6 +594,44 @@ object Curation {
     * it rides cluster size² — bounded by the same upstream caps that
     * keep the MinHash pair stage bounded; distinct-per-cluster
     * reduces before the final pair-keyed count. */
+  /** Filter-disparity audit: per group, how much of it a boolean
+    * gate keeps, and each group's selection rate as a RATIO of the
+    * highest-rate group's (the four-fifths-rule reading) — a quality
+    * gate tuned on one language family can silently halve another
+    * source's representation, and this is the one-glance audit that
+    * catches the mixture shift before training does. Returns
+    * (group, n, n_kept, rate, rate_ratio). NULL-group rows are
+    * excluded; a NULL `kept` counts as dropped (a row the gate
+    * cannot score is a row the pipeline loses).
+    *
+    * Exactness: rates are single divisions of exact counts; the
+    * reference group is the rank-1 row of (rounded rate DESC, group)
+    * — deterministic under ties — and the ratio cross-multiplies
+    * exact counts before one double division. All-zero gates report
+    * NULL ratios, not 0/0.
+    *
+    * Scale shape: one map-side-combinable group agg + a broadcast
+    * 1-row reference; the only window runs over the groups-bounded
+    * relation. */
+  def filterDisparity(docs: DataFrame, groupCol: String,
+                      kept: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+    val w = Window.orderBy(
+      round(col("n_kept").cast("double") / col("n"), 6).desc, col("group"))
+    val mx = broadcast(g.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("n_kept").as("_mk"), col("n").as("_mn")))
+    g.crossJoin(mx).select(col("group"), col("n"), col("n_kept"),
+      round(col("n_kept").cast("double") / col("n"), 6).as("rate"),
+      round(when(col("_mk") > 0,
+        (col("n_kept").cast("double") * col("_mn")) /
+          (col("n").cast("double") * col("_mk"))), 6).as("rate_ratio"))
+  }
+
   def sourceDuplicationMatrix(resolved: DataFrame, docs: DataFrame,
                               idCol: String = "doc_id",
                               sourceCol: String = "source"): DataFrame = {

@@ -442,4 +442,26 @@ class CurationSpec extends SparkSpec {
     // N=6: k = 1 + (6-1) div 2 = 3 -> third-smallest global value (20)
     assert(z(9L) == 20L, s"singleton: $z")
   }
+
+  test("filterDisparity: rates, reference group, NULL group/kept handling") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", Some(true)), ("A", Some(true)), ("A", Some(true)), ("A", Some(true)),
+      ("B", Some(true)), ("B", Some(true)), ("B", Some(false)), ("B", Some(false)),
+      ("C", Some(false)), ("C", Option.empty[Boolean]), // NULL kept = dropped
+      (null.asInstanceOf[String], Some(true)))          // NULL group excluded
+      .toDF("src", "keep")
+    val out = Curation.filterDisparity(rows, "src", col("keep"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out == Map(
+      "A" -> ((4L, 4L, 1.0, Some(1.0))),
+      "B" -> ((4L, 2L, 0.5, Some(0.5))),
+      "C" -> ((2L, 0L, 0.0, Some(0.0)))), s"$out")
+    // a gate that keeps nothing anywhere: ratios are NULL, not 0/0
+    val dead = Curation.filterDisparity(rows, "src", lit(false))
+      .collect().map(r => r.isNullAt(4))
+    assert(dead.forall(identity), "all-zero gate must yield NULL ratios")
+  }
 }
