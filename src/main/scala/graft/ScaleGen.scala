@@ -51,8 +51,23 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
-    def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    // single-FILE layout, exactly like the driver testdata: the
+    // streaming queries symlink `<table>.parquet` as a file into
+    // their source dirs — a directory there makes the file-stream
+    // source list nothing and silently stream an EMPTY feed (the
+    // round-8 streaming-slope measurement caught this the hard way)
+    def write(df: DataFrame, t: String): Unit = {
+      import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+      val tmp = s"$outDir/_tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $t"))
+      Files.move(part, Paths.get(s"$outDir/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
     val rep = spark.range(k).select(col("id").as("rep"))
     // id strides are multiples of the modulus each contract uses, so
     // `id % m` slice semantics survive the remap
