@@ -58,31 +58,43 @@ object ScaleGen {
     // round-8 streaming-slope measurement caught this the hard way)
     def write(df: DataFrame, t: String): Unit = {
       import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+      import scala.util.Using
       val tmp = s"$outDir/_tmp_$t"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file written for $t"))
+      val part = Using.resource(Files.list(Paths.get(tmp))) { s =>
+        s.toArray.map(_.asInstanceOf[Path])
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written for $t"))
+      }
       Files.move(part, Paths.get(s"$outDir/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
-      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+      Using.resource(Files.walk(Paths.get(tmp))) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
     }
     val rep = spark.range(k).select(col("id").as("rep"))
     // id strides are multiples of the modulus each contract uses, so
     // `id % m` slice semantics survive the remap
     def stride(df: DataFrame, idCol: String, mod: Long): Long = {
-      val mx = df.agg(max(col(idCol))).head.getLong(0) // 1-value collect
-      ((mx / mod) + 1) * mod
+      val row = df.agg(max(col(idCol))).head // 1-value collect
+      require(!row.isNullAt(0),
+        s"cannot stride on '$idCol': no non-null values in the source")
+      ((row.getLong(0) / mod) + 1) * mod
     }
 
     val docs = read("documents")
     val dStride = stride(docs, "doc_id", 10)
     write(docs.crossJoin(rep).select(
       (col("doc_id") + col("rep") * dStride).as("doc_id"),
+      // empty tokens (consecutive/leading/trailing spaces) pass
+      // through unsuffixed: suffixing them would INVENT "_r" tokens
+      // the source doc doesn't have and skew the very token/13-gram
+      // relations the generator exists to preserve
       when(col("rep") === 0, col("text")).otherwise(
-        array_join(transform(split(col("text"), " "),
-          t => concat(t, lit("_"), col("rep"))), " ")).as("text"),
+        array_join(transform(split(col("text"), " "), t =>
+          when(length(t) === 0, t)
+            .otherwise(concat(t, lit("_"), col("rep")))), " ")).as("text"),
       col("lang"), col("source"))
       .withColumn("n_chars", length(col("text"))), "documents")
 

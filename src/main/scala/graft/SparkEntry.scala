@@ -51,11 +51,26 @@ object SparkEntry {
     * absent. This is NOT hidden caching — the write is an explicit,
     * documented pipeline product (SCALING.md round-7), and the bench
     * still times the full build on every q203 pass. */
+  /** Temp dir for a materialized pipeline product, with a shutdown
+    * hook that deletes the whole tree — `deleteOnExit` only removes
+    * EMPTY dirs, so parquet products would otherwise accrete in /tmp
+    * across JVM runs (the q249 temp-dir accretion class). */
+  private def productTempDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val s = java.nio.file.Files.walk(d)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally s.close()
+      } catch { case _: Throwable => () }))
+    d
+  }
+
   private def clusterTable(s: SparkSession, dir: String,
                            rebuild: Boolean): DataFrame = {
     val path = clusterTablePath.getOrElseUpdate(dir,
-      java.nio.file.Files.createTempDirectory("graft-clusters")
-        .resolve("clusters").toString)
+      productTempDir("graft-clusters").resolve("clusters").toString)
     if (rebuild || !new java.io.File(path).exists()) {
       DedupClusters.resolve(
           t(s, dir, "documents"),
@@ -78,7 +93,7 @@ object SparkEntry {
   private def decontamSurvivors(s: SparkSession, dir: String, tierName: String,
                                 rebuild: Boolean): DataFrame = {
     val path = decontamTablePath.getOrElseUpdate((dir, tierName),
-      java.nio.file.Files.createTempDirectory(s"graft-decontam-$tierName")
+      productTempDir(s"graft-decontam-$tierName")
         .resolve("survivors").toString)
     if (rebuild || !new java.io.File(path).exists()) {
       val docs = t(s, dir, "documents")
@@ -7526,12 +7541,17 @@ object SparkEntry {
         |), co AS (
         |  SELECT vec_id AS co_id, embedding AS cov FROM rk, params
         |  WHERE rn <= ncoarse
-        |), f2c AS (
-        |  SELECT seed_id, sv, co_id FROM (
-        |    SELECT f.seed_id, f.sv, c.co_id,
+        |), f2cp AS (
+        |  SELECT seed_id, co_id FROM (
+        |    SELECT f.seed_id, c.co_id,
         |      row_number() OVER (PARTITION BY f.seed_id
         |        ORDER BY ${duckCos("f.sv", "c.cov")} DESC, c.co_id) AS frn
         |    FROM fine f, co c) WHERE frn <= 2
+        |  UNION
+        |  SELECT co_id AS seed_id, co_id FROM co
+        |), f2c AS (
+        |  SELECT p.seed_id, f.sv, p.co_id
+        |  FROM f2cp p JOIN fine f ON p.seed_id = f.seed_id
         |), vc AS (
         |  SELECT cand_id, cv, co_id FROM (
         |    SELECT e.vec_id AS cand_id, e.embedding AS cv, c.co_id,

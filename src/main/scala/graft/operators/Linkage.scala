@@ -76,7 +76,9 @@ object Linkage {
     * matches that sort far apart (the standard trade — run multiple
     * passes on different sort keys to recover them). Output:
     * (a_id, b_id, a_val, b_val), each pair once (a before b in rank
-    * order).
+    * order). `idCol` must be unique: it is the rank tiebreak, and a
+    * duplicated (sortCol, idCol) pair would make the rank — and so
+    * the candidate set — partitioning-dependent.
     *
     * Scale shape: one global sort (range-partitioned at scale — ride
     * a sort the layout already has, e.g. the Z-order write), then

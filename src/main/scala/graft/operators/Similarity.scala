@@ -375,8 +375,12 @@ object Similarity {
     * sampling pass), then scores only the fine seeds grouped under
     * those supercells — O(n·√cells) dots total. Fine seeds
     * multi-assign to their 2 nearest supercells so cells on a
-    * supercell boundary stay findable from both sides. Same output
-    * contract as [[ivfAssign]]: (cand_id, cell, cv, cn).
+    * supercell boundary stay findable from both sides, and every
+    * coarse seed is additionally a member of its OWN supercell, so
+    * no supercell is ever empty and the probe join covers every
+    * corpus vector — the same coverage guarantee as [[ivfAssign]]
+    * (spec-pinned). Same output contract as [[ivfAssign]]:
+    * (cand_id, cell, cv, cn).
     *
     * Scale shape: both seed relations broadcast; every per-vector
     * reduction is the partial-aggregable collect + in-array top-k
@@ -393,17 +397,25 @@ object Similarity {
     val co = broadcast(ivfSeeds(corpus, nCoarse, idCol, vecCol)
       .select(col("seed_id").as("co_id"), col("sv").as("cov"),
         col("sn").as("con")))
-    // fine seed → its 2 nearest supercells (bounded: cells × √cells)
-    val f2c = broadcast(fine.crossJoin(co)
+    // fine seed → its 2 nearest supercells (bounded: cells × √cells),
+    // UNIONED with the identity rows (each coarse seed is a member of
+    // its own supercell): cosine ties at rounded 1.0 can otherwise
+    // steer a coarse seed's top-2 AWAY from itself, leaving its
+    // supercell empty — and a vector probing only empty supercells
+    // would silently drop out of the assignment, a coverage guarantee
+    // flat ivfAssign always gives (spec-pinned below)
+    val f2cPairs = fine.crossJoin(co)
       .withColumn("fs",
         round(dot(col("sv"), col("cov")) / (col("sn") * col("con")), 6))
       .groupBy("seed_id")
       .agg(slice(reverse(sort_array(collect_list(
-          struct(col("fs"), (-col("co_id")).as("nc"))))), 1, 2).as("best"),
-        first(col("sv")).as("sv"), first(col("sn")).as("sn"))
+          struct(col("fs"), (-col("co_id")).as("nc"))))), 1, 2).as("best"))
       .select(col("seed_id"),
-        explode(transform(col("best"), b => -b.getField("nc"))).as("co_id"),
-        col("sv"), col("sn")))
+        explode(transform(col("best"), b => -b.getField("nc"))).as("co_id"))
+      .unionAll(co.select(col("co_id").as("seed_id"), col("co_id")))
+      .distinct()
+    val f2c = broadcast(f2cPairs.join(fine, Seq("seed_id"))
+      .select(col("seed_id"), col("co_id"), col("sv"), col("sn")))
     // corpus → coarseProbe supercells (n·√cells dots)
     val vc = corpus
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),

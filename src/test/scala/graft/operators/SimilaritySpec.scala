@@ -119,6 +119,13 @@ class SimilaritySpec extends SparkSpec {
     val recall = (flat intersect two).size.toDouble / math.max(1, flat.size)
     info(s"two-level recall vs flat = $recall over ${flat.size} flat pairs")
     assert(recall >= 0.9, s"recall vs flat = $recall")
+    // coverage invariant: the two-level assignment must never DROP a
+    // vector (a probed supercell could otherwise be empty when
+    // rounded-cosine ties steer a coarse seed's top-2 away from
+    // itself — the identity membership rows close that hole)
+    val assigned = Similarity.ivfAssignTwoLevel(emb, 16)
+      .select("cand_id").distinct().count()
+    assert(assigned == emb.count(), s"dropped ${emb.count() - assigned} vectors")
   }
 
   test("ivfSearch with nprobe = numCells equals brute force exactly") {
