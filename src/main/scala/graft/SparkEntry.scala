@@ -2476,6 +2476,17 @@ object SparkEntry {
     // recall vs flat assignment spec-measured)
     "q321_embed_neardup_twolevel" -> ((s, dir) =>
       Similarity.nearDupPairsTwoLevel(t(s, dir, "embeddings"), 0.4)),
+    // Incremental near-dup ingest: the 10% "arriving batch"
+    // (doc_id % 20 >= 18) probes the 90% corpus's band index + bands
+    // itself; returns the full rebuild's new-involving pairs exactly
+    // (delta-equivalence, spec-pinned)
+    "q324_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 20 < 18)
+      val fresh = docs.filter(col("doc_id") % 20 >= 18)
+      FuzzyDedup.incrementalNearDups(
+        FuzzyDedup.bandIndex(old), old, fresh)
+    }),
     // Does the q207 quality gate keep sources at comparable rates?
     // The four-fifths-rule audit over the gate's keep flag
     "q323_filter_disparity" -> ((s, dir) =>
@@ -3646,6 +3657,51 @@ object SparkEntry {
   /** Shared DuckDB replay of the MinHash-LSH -> Jaccard-verify -> CC
     * pipeline (q47's oracle), ending in a `resolved(doc_id,
     * cluster_rep)` CTE that q47 and q203 project differently. */
+  /** Shared DuckDB replay of the MinHash-LSH pair pipeline at
+    * τ-threshold-free candidate level, ending in a `j(doc_a, doc_b,
+    * jac)` CTE — q24 selects ≥0.8, q324 additionally restricts to
+    * pairs involving the new-batch slice (delta-equivalence). */
+  private val lshPairsCte: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+      |), nz AS (SELECT * FROM base WHERE len(sh) > 0),
+      |hs AS (
+      |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT & 1073741823 AS h
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
+      |), mh AS (
+      |  SELECT doc_id,
+      |    min((787542839 * h + 242017) % 1073741789) AS mh0,
+      |    min((611349889 * h + 938741) % 1073741789) AS mh1,
+      |    min((904321577 * h + 55117) % 1073741789) AS mh2,
+      |    min((359485871 * h + 712933) % 1073741789) AS mh3,
+      |    min((673458601 * h + 128747) % 1073741789) AS mh4,
+      |    min((513695341 * h + 999331) % 1073741789) AS mh5,
+      |    min((844235099 * h + 47743) % 1073741789) AS mh6,
+      |    min((298654777 * h + 583391) % 1073741789) AS mh7,
+      |    min((736217683 * h + 864967) % 1073741789) AS mh8,
+      |    min((465182977 * h + 22229) % 1073741789) AS mh9,
+      |    min((952103481 * h + 371099) % 1073741789) AS mh10,
+      |    min((587431267 * h + 650087) % 1073741789) AS mh11
+      |  FROM hs GROUP BY doc_id
+      |), bands AS (
+      |  SELECT doc_id, 0 AS band, mh0::VARCHAR||'|'||mh1::VARCHAR||'|'||mh2::VARCHAR AS sig FROM mh
+      |  UNION ALL SELECT doc_id, 1, mh3::VARCHAR||'|'||mh4::VARCHAR||'|'||mh5::VARCHAR FROM mh
+      |  UNION ALL SELECT doc_id, 2, mh6::VARCHAR||'|'||mh7::VARCHAR||'|'||mh8::VARCHAR FROM mh
+      |  UNION ALL SELECT doc_id, 3, mh9::VARCHAR||'|'||mh10::VARCHAR||'|'||mh11::VARCHAR FROM mh
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |), j AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_intersect(x.sh, y.sh))::DOUBLE /
+      |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+      |  FROM cand JOIN nz x ON cand.doc_a = x.doc_id JOIN nz y ON cand.doc_b = y.doc_id
+      |)
+      |""".stripMargin
+
   private val minhashClustersCte: String =
     """WITH RECURSIVE base AS (
         |  SELECT doc_id, list_distinct(list_transform(
@@ -8290,45 +8346,17 @@ object SparkEntry {
         |  ('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp64
         |FROM documents""".stripMargin,
     "q24_minhash_neardup" ->
-      """WITH base AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(toks)-2, 0)),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
-        |), nz AS (SELECT * FROM base WHERE len(sh) > 0),
-        |hs AS (
-        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT & 1073741823 AS h
-        |  FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
-        |), mh AS (
-        |  SELECT doc_id,
-        |    min((787542839 * h + 242017) % 1073741789) AS mh0,
-        |    min((611349889 * h + 938741) % 1073741789) AS mh1,
-        |    min((904321577 * h + 55117) % 1073741789) AS mh2,
-        |    min((359485871 * h + 712933) % 1073741789) AS mh3,
-        |    min((673458601 * h + 128747) % 1073741789) AS mh4,
-        |    min((513695341 * h + 999331) % 1073741789) AS mh5,
-        |    min((844235099 * h + 47743) % 1073741789) AS mh6,
-        |    min((298654777 * h + 583391) % 1073741789) AS mh7,
-        |    min((736217683 * h + 864967) % 1073741789) AS mh8,
-        |    min((465182977 * h + 22229) % 1073741789) AS mh9,
-        |    min((952103481 * h + 371099) % 1073741789) AS mh10,
-        |    min((587431267 * h + 650087) % 1073741789) AS mh11
-        |  FROM hs GROUP BY doc_id
-        |), bands AS (
-        |  SELECT doc_id, 0 AS band, mh0::VARCHAR||'|'||mh1::VARCHAR||'|'||mh2::VARCHAR AS sig FROM mh
-        |  UNION ALL SELECT doc_id, 1, mh3::VARCHAR||'|'||mh4::VARCHAR||'|'||mh5::VARCHAR FROM mh
-        |  UNION ALL SELECT doc_id, 2, mh6::VARCHAR||'|'||mh7::VARCHAR||'|'||mh8::VARCHAR FROM mh
-        |  UNION ALL SELECT doc_id, 3, mh9::VARCHAR||'|'||mh10::VARCHAR||'|'||mh11::VARCHAR FROM mh
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        |), j AS (
-        |  SELECT doc_a, doc_b,
-        |    len(list_intersect(x.sh, y.sh))::DOUBLE /
-        |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
-        |  FROM cand JOIN nz x ON cand.doc_a = x.doc_id JOIN nz y ON cand.doc_b = y.doc_id
-        |)
-        |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8""".stripMargin,
+      (lshPairsCte +
+        "SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8"),
+    // delta-equivalence: the incremental ingest (probe new docs
+    // against the standing band index + band the batch itself)
+    // returns EXACTLY the full rebuild's pairs that involve a new
+    // doc — so the oracle is q24's full replay filtered to them
+    "q324_incremental_neardup" ->
+      (lshPairsCte +
+        """SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
+          |WHERE jac >= 0.8
+          |  AND (doc_a % 20 >= 18 OR doc_b % 20 >= 18)""".stripMargin),
     "q47_dedup_clusters" ->
       (minhashClustersCte + "SELECT doc_id, cluster_rep FROM resolved"),
     "q25_ngram_jaccard" ->

@@ -122,21 +122,35 @@ object FuzzyDedup {
     * connected through downstream Jaccard verification without the
     * quadratic expansion. */
   def lshCandidates(sh: DataFrame, k: Int = 12, bands: Int = 4,
-                    maxBucket: Option[Int] = None): DataFrame = {
+                    maxBucket: Option[Int] = None): DataFrame =
+    bucketPairs(bandRowsOf(minhashSignatures(sh, k), k, bands),
+        Seq("band", "sig"), col("doc_id"), maxBucket,
+        starOnOverflow = true)
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+
+  private def bandRowsOf(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands=$bands must divide k=$k")
-    val sig = minhashSignatures(sh, k)
-    val bandRows = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws("|", (0 until r).map(i => col(s"mh${b * r + i}").cast("string")): _*).as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    bucketPairs(bandRows, Seq("band", "sig"), col("doc_id"), maxBucket,
-        starOnOverflow = true)
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
   }
+
+  /** Banded-signature INDEX of a corpus — the durable product of an
+    * incremental near-dup ingest pipeline: one (doc_id, band, sig)
+    * row per band, bucket-written by (band, sig) at scale so an
+    * arriving batch's probe is a co-located equi-join. Exactly the
+    * band rows [[lshCandidates]] buckets internally, exposed as a
+    * table. */
+  def bandIndex(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", n: Int = 3, k: Int = 12,
+                bands: Int = 4): DataFrame =
+    bandRowsOf(minhashSignatures(shingled(docs, idCol, textCol, n), k),
+      k, bands)
 
   /** MinHash-LSH near-dup pairs, verified by exact Jaccard ≥
     * `threshold` on the candidate set. The standard
@@ -152,7 +166,16 @@ object FuzzyDedup {
                       textCol: String = "text", n: Int = 3, k: Int = 12,
                       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
-    val cand = lshCandidates(sh, k, bands)
+    verifyJaccard(lshCandidates(sh, k, bands), sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set against a
+    * shingle table — the shared tail of the batch and incremental
+    * LSH pipelines. Candidates are melted to (pair, doc_id) rows so
+    * both sides resolve through ONE join against the shingle table,
+    * not one join per side. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
     val melted = cand.select(struct(col("doc_a"), col("doc_b")).as("pair"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     // exactly one of the two conditional arrays is non-null per row;
@@ -171,6 +194,53 @@ object FuzzyDedup {
       .select(col("pair").getField("doc_a").as("doc_a"),
         col("pair").getField("doc_b").as("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Incremental near-dup ingest: score an ARRIVING batch against a
+    * standing [[bandIndex]] plus itself, without re-running LSH over
+    * the indexed corpus — the operator a continuously-ingesting
+    * 100 TB pipeline actually runs per batch (the full [[
+    * minhashNearDups]] rebuild is the per-snapshot job, this is the
+    * per-batch one). Returns exactly the pairs of the full rebuild
+    * over old ∪ new that INVOLVE a new document (delta-equivalence,
+    * spec-pinned): new×indexed candidates come from the (band, sig)
+    * equi-probe of the index, new×new candidates from banding the
+    * batch itself; both verify with exact Jaccard.
+    *
+    * Contract: ids are globally unique across index ∪ batch (an id
+    * present in both is the same re-ingested document; its self-pair
+    * is skipped, not scored). `oldDocs` supplies text ONLY for
+    * verification — it is touched by one candidate-bounded semi-join
+    * plus the shingle resolve, never re-banded.
+    *
+    * Scale shape: the probe is a co-located equi-join when the index
+    * is bucket-written by (band, sig); batch band rows are
+    * batch-sized; verification shingles only the candidate-involved
+    * docs (semi-join pushdown before the explode). */
+  def incrementalNearDups(index: DataFrame, oldDocs: DataFrame,
+                          newDocs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", n: Int = 3,
+                          k: Int = 12, bands: Int = 4,
+                          threshold: Double = 0.8): DataFrame = {
+    val newBand = bandIndex(newDocs, idCol, textCol, n, k, bands)
+    val crossCand = newBand
+      .select(col("doc_id").as("_nb"), col("band"), col("sig"))
+      .join(index.select(col("doc_id").as("_ob"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("_nb") =!= col("_ob"))
+      .select(least(col("_nb"), col("_ob")).as("doc_a"),
+        greatest(col("_nb"), col("_ob")).as("doc_b"))
+    val newCand = bucketPairs(newBand, Seq("band", "sig"), col("doc_id"),
+        None)
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    val cand = crossCand.unionAll(newCand).distinct()
+    val all = oldDocs.select(col(idCol), col(textCol))
+      .unionAll(newDocs.select(col(idCol), col(textCol)))
+    val involved = cand.select(col("doc_a").as(idCol))
+      .unionAll(cand.select(col("doc_b").as(idCol))).distinct()
+    val sh = shingled(all.join(involved, Seq(idCol), "left_semi"),
+      idCol, textCol, n)
+    verifyJaccard(cand, sh, threshold)
   }
 
   /** Exact n-gram Jaccard ≥ threshold within an optional blocking

@@ -223,6 +223,41 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(e.getLong(0) == 0 && e.isNullAt(3), s"$e")
   }
 
+  test("incrementalNearDups: delta-equivalence with the full rebuild on real docs") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = corpus.filter(col("doc_id") % 20 < 18)
+    val fresh = corpus.filter(col("doc_id") % 20 >= 18)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getDouble(2))).toMap
+    val incr = pairs(FuzzyDedup.incrementalNearDups(
+      FuzzyDedup.bandIndex(old), old, fresh))
+    // the contract: EXACTLY the full rebuild's pairs that involve a
+    // new doc — same keys AND same verified Jaccard values
+    val full = pairs(FuzzyDedup.minhashNearDups(corpus))
+      .filter { case ((a, b), _) => a % 20 >= 18 || b % 20 >= 18 }
+    assert(incr == full, s"incr=${incr.size} full-delta=${full.size}")
+    assert(incr.nonEmpty, "fixture must exercise the delta (planted dups)")
+    // old-only pairs never leak into the batch result
+    assert(incr.keys.forall { case (a, b) => a % 20 >= 18 || b % 20 >= 18 })
+  }
+
+  test("incrementalNearDups: new-new pairs found without any index hit") {
+    // index has nothing similar to the batch; the batch contains its
+    // own near-dup pair — must be found by banding the batch itself
+    val oldDocs = Seq(
+      (100L, "completely different content about spark query engines and shuffles here"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (201L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (202L, "the quick brown fox jumps over the lazy cat near the river bank today"))
+      .toDF("doc_id", "text")
+    val out = FuzzyDedup.incrementalNearDups(
+        FuzzyDedup.bandIndex(oldDocs), oldDocs, fresh, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((201L, 202L)))
+  }
+
   test("thresholdSweep: hand counts, zeros kept, monotone non-increasing") {
     import org.apache.spark.sql.functions.col
     val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.5), (5L, 1L, 0.45))
