@@ -32,6 +32,79 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `runMain graft.ScaleGen <srcDir> <outDir> <k>` */
 object ScaleGen {
+
+  /** Replica spine 0..k-1 as a `rep` column. */
+  private def reps(spark: SparkSession, k: Int): DataFrame =
+    spark.range(k).select(col("id").as("rep"))
+
+  /** Replica r suffixes every non-empty token with `_r` (replica 0
+    * passes through): within-replica token/Jaccard/13-gram relations
+    * equal the source exactly, cross-replica token sets are disjoint
+    * (ScaleGenSpec pins both). */
+  def scaleDocuments(docs: DataFrame, k: Int, stride: Long): DataFrame =
+    docs.crossJoin(reps(docs.sparkSession, k)).select(
+      (col("doc_id") + col("rep") * stride).as("doc_id"),
+      // empty tokens (consecutive/leading/trailing spaces) pass
+      // through unsuffixed: suffixing them would INVENT "_r" tokens
+      // the source doc doesn't have and skew the very token/13-gram
+      // relations the generator exists to preserve
+      when(col("rep") === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "), t =>
+          when(length(t) === 0, t)
+            .otherwise(concat(t, lit("_"), col("rep")))), " ")).as("text"),
+      col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+
+  /** Replica r applies the orthogonal transform (rotate dims by r,
+    * md5-chosen ±1 signs): within-replica pairwise cosines and norms
+    * are preserved bit-for-bit (ScaleGenSpec pins both). */
+  def scaleEmbeddings(emb: DataFrame, k: Int, stride: Long,
+                      dim: Int = 64): DataFrame = {
+    import graft.functions.HashFunctions.md5Long
+    def sign(d: Column): Column =
+      when(col("rep") === 0, 1.0).otherwise(
+        when(md5Long(concat_ws("_", lit("sg"), col("rep"), d)) % 2 === 0,
+          1.0).otherwise(-1.0))
+    emb.crossJoin(reps(emb.sparkSession, k)).select(
+      (col("vec_id") + col("rep") * stride).as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        (element_at(col("embedding"),
+          (((d + col("rep")) % dim) + 1).cast("int")) * sign(d))
+          .cast("float")).as("embedding"),
+      (col("label") + (col("rep") * 1000).cast("int")).as("label"))
+  }
+
+  /** Replicas prefix a per-row md5 letter onto p_name (TPC-H's own
+    * fixed-vocabulary name scaling); size/brand/type pass through. */
+  def scalePart(part: DataFrame, k: Int, stride: Long): DataFrame = {
+    import graft.functions.HashFunctions.md5Long
+    part.crossJoin(reps(part.sparkSession, k)).select(
+      (col("p_partkey") + col("rep") * stride).as("p_partkey"),
+      when(col("rep") === 0, col("p_name")).otherwise(
+        concat(char(lit(97) + pmod(
+          md5Long(concat_ws("_", lit("pn"), col("p_partkey"), col("rep"))),
+          lit(26))), col("p_name"))).as("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+  }
+
+  /** Ids/users stride; times, types, values, props pass through. */
+  def scaleEvents(ev: DataFrame, k: Int, eStride: Long,
+                  uStride: Long): DataFrame =
+    ev.crossJoin(reps(ev.sparkSession, k)).select(
+      (col("event_id") + col("rep") * eStride).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("rep") * uStride).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+
+  /** Smallest multiple of `mod` above the id column's max, so
+    * `id % mod` slice contracts survive the replica remap. */
+  def stride(df: DataFrame, idCol: String, mod: Long): Long = {
+    val row = df.agg(max(col(idCol))).head // 1-value collect
+    require(!row.isNullAt(0),
+      s"cannot stride on '$idCol': no non-null values in the source")
+    ((row.getLong(0) / mod) + 1) * mod
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length != 3) {
       System.err.println("usage: graft.ScaleGen <srcDir> <outDir> <k>")
@@ -73,67 +146,15 @@ object ScaleGen {
           .forEach(p => Files.deleteIfExists(p))
       }
     }
-    val rep = spark.range(k).select(col("id").as("rep"))
-    // id strides are multiples of the modulus each contract uses, so
-    // `id % m` slice semantics survive the remap
-    def stride(df: DataFrame, idCol: String, mod: Long): Long = {
-      val row = df.agg(max(col(idCol))).head // 1-value collect
-      require(!row.isNullAt(0),
-        s"cannot stride on '$idCol': no non-null values in the source")
-      ((row.getLong(0) / mod) + 1) * mod
-    }
-
     val docs = read("documents")
-    val dStride = stride(docs, "doc_id", 10)
-    write(docs.crossJoin(rep).select(
-      (col("doc_id") + col("rep") * dStride).as("doc_id"),
-      // empty tokens (consecutive/leading/trailing spaces) pass
-      // through unsuffixed: suffixing them would INVENT "_r" tokens
-      // the source doc doesn't have and skew the very token/13-gram
-      // relations the generator exists to preserve
-      when(col("rep") === 0, col("text")).otherwise(
-        array_join(transform(split(col("text"), " "), t =>
-          when(length(t) === 0, t)
-            .otherwise(concat(t, lit("_"), col("rep")))), " ")).as("text"),
-      col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text"))), "documents")
-
+    write(scaleDocuments(docs, k, stride(docs, "doc_id", 10)), "documents")
     val emb = read("embeddings")
-    val vStride = stride(emb, "vec_id", 100)
-    val dim = 64
-    import graft.functions.HashFunctions.md5Long
-    def sign(d: Column): Column =
-      when(col("rep") === 0, 1.0).otherwise(
-        when(md5Long(concat_ws("_", lit("sg"), col("rep"), d)) % 2 === 0,
-          1.0).otherwise(-1.0))
-    write(emb.crossJoin(rep).select(
-      (col("vec_id") + col("rep") * vStride).as("vec_id"),
-      transform(sequence(lit(0), lit(dim - 1)), d =>
-        (element_at(col("embedding"),
-          (((d + col("rep")) % dim) + 1).cast("int")) * sign(d))
-          .cast("float")).as("embedding"),
-      (col("label") + (col("rep") * 1000).cast("int")).as("label")),
-      "embeddings")
-
+    write(scaleEmbeddings(emb, k, stride(emb, "vec_id", 100)), "embeddings")
     val part = read("part")
-    val pStride = stride(part, "p_partkey", 10)
-    write(part.crossJoin(rep).select(
-      (col("p_partkey") + col("rep") * pStride).as("p_partkey"),
-      when(col("rep") === 0, col("p_name")).otherwise(
-        concat(char(lit(97) + pmod(
-          md5Long(concat_ws("_", lit("pn"), col("p_partkey"), col("rep"))),
-          lit(26))), col("p_name"))).as("p_name"),
-      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
-      "part")
-
+    write(scalePart(part, k, stride(part, "p_partkey", 10)), "part")
     val ev = read("events")
-    val eStride = stride(ev, "event_id", 10)
-    val uStride = stride(ev.filter(col("user_id").isNotNull), "user_id", 100)
-    write(ev.crossJoin(rep).select(
-      (col("event_id") + col("rep") * eStride).as("event_id"),
-      col("ts"),
-      (col("user_id") + col("rep") * uStride).as("user_id"),
-      col("event_type"), col("value"), col("props")), "events")
+    write(scaleEvents(ev, k, stride(ev, "event_id", 10),
+      stride(ev.filter(col("user_id").isNotNull), "user_id", 100)), "events")
 
     // dims pass through unscaled (the scale-sensitive families under
     // measurement read documents/embeddings/part/events)
