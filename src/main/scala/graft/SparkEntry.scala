@@ -2508,6 +2508,21 @@ object SparkEntry {
       FuzzyDedup.incrementalNearDups(
         bandIndexTable(s, dir), old, fresh)
     }),
+    // The incremental-ingest tail: fold q324's delta pairs into the
+    // 90%-slice cluster assignment via quotient-graph CC — provably
+    // equals q47's full rebuild over the whole corpus (union-find is
+    // quotient-stable; oracle shared with q47)
+    "q325_incremental_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 20 < 18)
+      val fresh = docs.filter(col("doc_id") % 20 >= 18)
+      val standing = DedupClusters.resolve(old,
+        FuzzyDedup.minhashNearDups(old))
+      val delta = FuzzyDedup.incrementalNearDups(
+        bandIndexTable(s, dir), old, fresh)
+      DedupClusters.clusterUpdate(standing,
+        delta.select("doc_a", "doc_b"), fresh)
+    }),
     // Does the q207 quality gate keep sources at comparable rates?
     // The four-fifths-rule audit over the gate's keep flag
     "q323_filter_disparity" -> ((s, dir) =>
@@ -8379,6 +8394,10 @@ object SparkEntry {
           |WHERE jac >= 0.8
           |  AND (doc_a % 20 >= 18 OR doc_b % 20 >= 18)""".stripMargin),
     "q47_dedup_clusters" ->
+      (minhashClustersCte + "SELECT doc_id, cluster_rep FROM resolved"),
+    // identical to q47 BY DESIGN: the incremental path must land on
+    // exactly the full rebuild's assignment
+    "q325_incremental_clusters" ->
       (minhashClustersCte + "SELECT doc_id, cluster_rep FROM resolved"),
     "q25_ngram_jaccard" ->
       """WITH base AS (

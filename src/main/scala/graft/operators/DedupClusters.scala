@@ -131,4 +131,47 @@ object DedupClusters {
       .join(comps, docs(idCol) === comps("node"), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_rep"))
   }
+
+  /** Incremental cluster maintenance — the per-batch companion of
+    * [[resolve]] and the tail of the incremental-ingest story
+    * ([[FuzzyDedup.bandIndex]] probe → [[FuzzyDedup
+    * .incrementalNearDups]] delta pairs → this): fold an arriving
+    * batch's delta pairs into a standing (doc_id, cluster_rep)
+    * assignment WITHOUT re-running connected components over the
+    * corpus. Each delta edge contracts to the QUOTIENT graph over
+    * representatives (arriving docs represent themselves), CC runs on
+    * that quotient — bounded by the components the batch actually
+    * touches, not the corpus — and only touched representatives
+    * remap. EXACTLY equals the full [[resolve]] over old ∪ new with
+    * old ∪ delta pairs (spec-pinned): union-find is quotient-stable,
+    * and since every standing rep is the minimum of its component,
+    * the quotient's min-rep IS the merged component's global min.
+    *
+    * Contract: `assignment` covers the indexed corpus, `newDocs` is
+    * disjoint from it, and `deltaPairs` is the new-involving pair set
+    * ([[FuzzyDedup.incrementalNearDups]]'s delta-equivalence output).
+    *
+    * Scale shape: two broadcast-able rep-lookup joins contract the
+    * (batch-sized) delta; the CC loop runs on the contracted edges
+    * only; the final remap is one left join of the assignment against
+    * the (small) moved-rep relation. The corpus-sized assignment
+    * crosses the wire once. */
+  def clusterUpdate(assignment: DataFrame, deltaPairs: DataFrame,
+                    newDocs: DataFrame, idCol: String = "doc_id",
+                    maxIter: Int = 20): DataFrame = {
+    val reps = assignment
+      .select(col(idCol).as("_d"), col("cluster_rep").as("_r"))
+      .unionAll(newDocs.select(col(idCol).as("_d"), col(idCol).as("_r")))
+    val qEdges = deltaPairs
+      .join(reps.select(col("_d").as("doc_a"), col("_r").as("_ra")),
+        Seq("doc_a"))
+      .join(reps.select(col("_d").as("doc_b"), col("_r").as("_rb")),
+        Seq("doc_b"))
+      .filter(col("_ra") =!= col("_rb"))
+      .select(col("_ra").as("doc_a"), col("_rb").as("doc_b"))
+    val qc = connectedComponents(qEdges, maxIter = maxIter)
+    reps.join(qc, reps("_r") === qc("node"), "left")
+      .select(col("_d").as(idCol),
+        coalesce(col("comp"), col("_r")).as("cluster_rep"))
+  }
 }

@@ -158,4 +158,38 @@ class DedupClustersSpec extends SparkSpec {
     assert(budgeted == checked)
     assert((1L to 40L).forall(budgeted(_) == 1L))
   }
+
+  test("clusterUpdate: hand case — merge two standing clusters, attach, new-only, untouched") {
+    import spark.implicits._
+    // standing: {1,2} rep 1, {5,6} rep 5, {9} rep 9 (untouched)
+    val standing = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("doc_id", "cluster_rep")
+    val fresh = Seq(20L, 21L, 22L).toDF("doc_id")
+    // delta: 20 bridges the two standing clusters (via members 2 and
+    // 6, NOT reps — contraction must route through the rep lookup);
+    // 21–22 form a new-only cluster
+    val delta = Seq((2L, 20L), (6L, 20L), (21L, 22L)).toDF("doc_a", "doc_b")
+    val out = DedupClusters.clusterUpdate(standing, delta, fresh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, // merged to global min
+      20L -> 1L,                              // attached batch doc
+      21L -> 21L, 22L -> 21L,                 // new-only cluster
+      9L -> 9L), s"$out")                     // untouched survives
+  }
+
+  test("clusterUpdate: equals the full resolve rebuild on real docs (end-to-end)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = corpus.filter(col("doc_id") % 20 < 18)
+    val fresh = corpus.filter(col("doc_id") % 20 >= 18)
+    val standing = DedupClusters.resolve(old, FuzzyDedup.minhashNearDups(old))
+    val delta = FuzzyDedup.incrementalNearDups(
+      FuzzyDedup.bandIndex(old), old, fresh)
+    val incr = DedupClusters.clusterUpdate(standing,
+        delta.select("doc_a", "doc_b"), fresh.select("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupClusters.resolve(corpus, FuzzyDedup.minhashNearDups(corpus))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == full, "incremental assignment diverged from full rebuild")
+  }
 }
