@@ -147,6 +147,28 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  private val vecIndexPaths =
+    scala.collection.concurrent.TrieMap.empty[(String, Boolean), String]
+
+  /** The standing IVF-PQ index ([[Similarity.ivfPqIndex]]),
+    * materialized once per (sf dir, slice) — the vector-side sibling
+    * of [[bandIndexTable]]: `oldSlice = false` indexes the full
+    * embeddings table (q326's serve path reads it), `true` the 90%
+    * "already ingested" slice that q327/q328's per-batch vector
+    * ingest probes and encodes against. */
+  private def vecIndexTable(s: SparkSession, dir: String,
+                            oldSlice: Boolean): DataFrame = {
+    val path = vecIndexPaths.getOrElseUpdate((dir, oldSlice),
+      productTempDir("graft-vecindex").resolve("index").toString)
+    if (!new java.io.File(path).exists()) {
+      val base = t(s, dir, "embeddings")
+      val corpus =
+        if (oldSlice) base.filter(col("vec_id") % 10 =!= 7) else base
+      Similarity.ivfPqIndex(corpus).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     normTs(s.read.parquet(s"$dir/$name.parquet"))
 
@@ -2540,6 +2562,29 @@ object SparkEntry {
       DedupClusters.clusterUpdate(oldClustersTable(s, dir),
         delta.select("doc_a", "doc_b"), fresh)
     }),
+    // ANN serve from the STANDING IVF-PQ index (materialized once,
+    // the production vector-store read path): probe + ADC + exact
+    // re-rank only — output provably equals q319's fused build+serve
+    "q326_ivfpq_serve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqServe(vecIndexTable(s, dir, oldSlice = false),
+        e, e.filter(col("vec_id") < 20), 3)
+    }),
+    // Per-batch vector ingest, read half: the arriving 10% slice
+    // probes the standing old-slice index; exact-cosine >= tau
+    // neighbors are flagged is_dup (embedding-side q324)
+    "q327_vector_ingest_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val old = e.filter(col("vec_id") % 10 =!= 7)
+      val fresh = e.filter(col("vec_id") % 10 === 7)
+      Similarity.vectorIngestProbe(vecIndexTable(s, dir, oldSlice = true),
+        old, fresh, tau = 0.4, k = 3)
+    }),
+    // Per-batch vector ingest, write half: standing cells + PQ codes
+    // for the arriving slice — appending them IS the index update
+    "q328_vector_ingest_encode" -> ((s, dir) =>
+      Similarity.ivfPqEncode(vecIndexTable(s, dir, oldSlice = true),
+        t(s, dir, "embeddings").filter(col("vec_id") % 10 === 7))),
     // Does the q207 quality gate keep sources at comparable rates?
     // The four-fifths-rule audit over the gate's keep flag
     "q323_filter_disparity" -> ((s, dir) =>
@@ -3697,6 +3742,148 @@ object SparkEntry {
     s"round(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / " +
       s"(sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) * " +
       s"sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)"
+
+  /** Parameterized DuckDB dual of the full IVF-PQ ladder — q48's IVF
+    * CTEs + q295's PQ-fit recipe on unit-normalized vectors (m=16
+    * subspaces of 4 dims, 32 codes) + the ADC serve: per-query
+    * (subspace, code) distance tables, integer ADC sums, 50-deep
+    * shortlist, exact-cosine re-rank. `corpusWhere` picks the indexed
+    * rows (ivfPqIndex's fit input), `queryWhere` the served batch —
+    * one text therefore oracles q319 (build+serve fused), q326
+    * (standing-index serve over the same corpus) and q327 (per-batch
+    * ingest probe against the old-slice index), because ivfPqServe at
+    * equal parameters EQUALS ivfPqSearch on (corpus, batch). */
+  /** The fit half of [[ivfPqDuck]] as composable CTE text (no WITH
+    * prefix): corpus, IVF seeds, unit-normalized coords, PQ seed
+    * components, first assignment, refined centroids — everything
+    * ivfPqIndex persists except the corpus codes. Shared by the
+    * serve dual and q328's encode dual. */
+  private def ivfPqFitCtes(corpusWhere: String): String =
+    s"""c AS (SELECT vec_id, embedding FROM embeddings $corpusWhere),
+      |seeds AS (
+      |  SELECT vec_id AS seed_id, embedding AS sv FROM c
+      |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      |  LIMIT 8
+      |), nrm AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE /
+      |    sqrt(list_sum(list_transform(embedding,
+      |      y -> y::DOUBLE * y::DOUBLE)))) AS nv
+      |  FROM c
+      |), coords AS (
+      |  SELECT vec_id, (i - 1) // 4 AS s, (i - 1) % 4 AS i2,
+      |    nv[i]::DOUBLE AS x
+      |  FROM nrm CROSS JOIN generate_series(1, 64) t(i)
+      |), sd AS (
+      |  SELECT sid, rn - 1 AS cc FROM (
+      |    SELECT vec_id AS sid, row_number() OVER (ORDER BY
+      |      ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+      |      vec_id) AS rn
+      |    FROM c) WHERE rn <= 32
+      |), scomp AS (
+      |  SELECT s, cc AS cd, i2, x AS mx
+      |  FROM coords JOIN sd ON coords.vec_id = sd.sid
+      |), d0 AS (
+      |  SELECT coords.vec_id, coords.s, scomp.cd,
+      |    sum(CAST(floor((x - mx) * (x - mx) * 1e12 + 0.5)
+      |      AS BIGINT))::BIGINT AS qd
+      |  FROM coords JOIN scomp
+      |    ON coords.s = scomp.s AND coords.i2 = scomp.i2
+      |  GROUP BY 1, 2, 3
+      |), a0 AS (
+      |  SELECT vec_id, s, cd FROM (
+      |    SELECT vec_id, s, cd,
+      |      row_number() OVER (PARTITION BY vec_id, s
+      |        ORDER BY qd, cd) AS rn
+      |    FROM d0) WHERE rn = 1
+      |), ref AS (
+      |  SELECT coords.s, a0.cd, coords.i2,
+      |    (sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT))::DOUBLE
+      |      / count(*)) / 1000000.0 AS mx
+      |  FROM coords JOIN a0
+      |    ON coords.vec_id = a0.vec_id AND coords.s = a0.s
+      |  GROUP BY 1, 2, 3
+      |)""".stripMargin
+
+  private def ivfPqDuck(corpusWhere: String, queryWhere: String,
+                        k: Int = 3, extraCols: String = ""): String =
+    s"""WITH ${ivfPqFitCtes(corpusWhere)},
+      |qsrc AS (SELECT vec_id, embedding FROM embeddings $queryWhere),
+      |ca AS (
+      |  SELECT x.vec_id AS cand_id, s.seed_id,
+      |    ${duckCos("x.embedding", "s.sv")} AS cs
+      |  FROM c x, seeds s
+      |), assign AS (
+      |  SELECT cand_id, seed_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY cand_id
+      |      ORDER BY cs DESC, seed_id) AS arn
+      |    FROM ca) WHERE arn <= 2
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM qsrc
+      |), qa AS (
+      |  SELECT q.query_id, s.seed_id, ${duckCos("q.qv", "s.sv")} AS cs
+      |  FROM q, seeds s
+      |), probes AS (
+      |  SELECT query_id, seed_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cs DESC, seed_id) AS pr
+      |    FROM qa) WHERE pr <= 4
+      |), nrmq AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE /
+      |    sqrt(list_sum(list_transform(embedding,
+      |      y -> y::DOUBLE * y::DOUBLE)))) AS nv
+      |  FROM qsrc
+      |), d1 AS (
+      |  SELECT coords.vec_id, coords.s, ref.cd,
+      |    sum(CAST(floor((x - mx) * (x - mx) * 1e12 + 0.5)
+      |      AS BIGINT))::BIGINT AS qd
+      |  FROM coords JOIN ref
+      |    ON coords.s = ref.s AND coords.i2 = ref.i2
+      |  GROUP BY 1, 2, 3
+      |), codes AS (
+      |  SELECT vec_id, s, cd FROM (
+      |    SELECT vec_id, s, cd,
+      |      row_number() OVER (PARTITION BY vec_id, s
+      |        ORDER BY qd, cd) AS rn
+      |    FROM d1) WHERE rn = 1
+      |), qc AS (
+      |  SELECT vec_id AS query_id, (i - 1) // 4 AS s,
+      |    (i - 1) % 4 AS i2, nv[i]::DOUBLE AS x
+      |  FROM nrmq CROSS JOIN generate_series(1, 64) t(i)
+      |), dtab AS (
+      |  SELECT qc.query_id, qc.s, ref.cd,
+      |    sum(CAST(floor((qc.x - ref.mx) * (qc.x - ref.mx) * 1e12 + 0.5)
+      |      AS BIGINT))::BIGINT AS qd
+      |  FROM qc JOIN ref ON qc.s = ref.s AND qc.i2 = ref.i2
+      |  GROUP BY 1, 2, 3
+      |), cands AS (
+      |  SELECT DISTINCT p.query_id, a.cand_id
+      |  FROM probes p JOIN assign a
+      |    ON p.cell = a.cell AND a.cand_id <> p.query_id
+      |), adc AS (
+      |  SELECT cands.query_id, cands.cand_id, sum(dt.qd)::BIGINT AS adcd
+      |  FROM cands
+      |  JOIN codes ON codes.vec_id = cands.cand_id
+      |  JOIN dtab dt ON dt.query_id = cands.query_id
+      |    AND dt.s = codes.s AND dt.cd = codes.cd
+      |  GROUP BY 1, 2
+      |), short AS (
+      |  SELECT query_id, cand_id FROM (
+      |    SELECT query_id, cand_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY adcd, cand_id) AS sr
+      |    FROM adc) WHERE sr <= 50
+      |), sc AS (
+      |  SELECT sh.query_id, sh.cand_id,
+      |    ${duckCos("q.qv", "e2.embedding")} AS cos
+      |  FROM short sh JOIN q ON q.query_id = sh.query_id
+      |  JOIN c e2 ON e2.vec_id = sh.cand_id
+      |), r AS (
+      |  SELECT query_id, cand_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, cand_id) AS rn
+      |  FROM sc
+      |)
+      |SELECT query_id, cand_id, cos, rn$extraCols FROM r WHERE rn <= $k""".stripMargin
 
   /** DuckDB dual of [[graft.plans.RollingFingerprints]] for w = 8:
     * the direct Horner fold `h = (h*131 + unicode(t[pos+k])) % 1e9+7`
@@ -5330,126 +5517,9 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id, s
         |      ORDER BY qd, cd) AS rn
         |  FROM d1) WHERE rn = 1""".stripMargin,
-    // q48's IVF CTEs + q295's PQ-fit recipe on unit-normalized
-    // vectors (m=16 subspaces of 4 dims, 32 codes) + the ADC ladder:
-    // per-query (subspace, code) distance tables, integer ADC sums,
-    // 50-deep shortlist, exact-cosine re-rank — ivfPqSearch verbatim
-    "q319_ivfpq_search" ->
-      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings),
-        |seeds AS (
-        |  SELECT vec_id AS seed_id, embedding AS sv FROM c
-        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
-        |  LIMIT 8
-        |), ca AS (
-        |  SELECT x.vec_id AS cand_id, s.seed_id,
-        |    ${duckCos("x.embedding", "s.sv")} AS cs
-        |  FROM c x, seeds s
-        |), assign AS (
-        |  SELECT cand_id, seed_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY cand_id
-        |      ORDER BY cs DESC, seed_id) AS arn
-        |    FROM ca) WHERE arn <= 2
-        |), q AS (
-        |  SELECT vec_id AS query_id, embedding AS qv FROM c WHERE vec_id < 20
-        |), qa AS (
-        |  SELECT q.query_id, s.seed_id, ${duckCos("q.qv", "s.sv")} AS cs
-        |  FROM q, seeds s
-        |), probes AS (
-        |  SELECT query_id, seed_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cs DESC, seed_id) AS pr
-        |    FROM qa) WHERE pr <= 4
-        |), nrm AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE /
-        |    sqrt(list_sum(list_transform(embedding,
-        |      y -> y::DOUBLE * y::DOUBLE)))) AS nv
-        |  FROM c
-        |), coords AS (
-        |  SELECT vec_id, (i - 1) // 4 AS s, (i - 1) % 4 AS i2,
-        |    nv[i]::DOUBLE AS x
-        |  FROM nrm CROSS JOIN generate_series(1, 64) t(i)
-        |), sd AS (
-        |  SELECT sid, rn - 1 AS cc FROM (
-        |    SELECT vec_id AS sid, row_number() OVER (ORDER BY
-        |      ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
-        |      vec_id) AS rn
-        |    FROM c) WHERE rn <= 32
-        |), scomp AS (
-        |  SELECT s, cc AS cd, i2, x AS mx
-        |  FROM coords JOIN sd ON coords.vec_id = sd.sid
-        |), d0 AS (
-        |  SELECT coords.vec_id, coords.s, scomp.cd,
-        |    sum(CAST(floor((x - mx) * (x - mx) * 1e12 + 0.5)
-        |      AS BIGINT))::BIGINT AS qd
-        |  FROM coords JOIN scomp
-        |    ON coords.s = scomp.s AND coords.i2 = scomp.i2
-        |  GROUP BY 1, 2, 3
-        |), a0 AS (
-        |  SELECT vec_id, s, cd FROM (
-        |    SELECT vec_id, s, cd,
-        |      row_number() OVER (PARTITION BY vec_id, s
-        |        ORDER BY qd, cd) AS rn
-        |    FROM d0) WHERE rn = 1
-        |), ref AS (
-        |  SELECT coords.s, a0.cd, coords.i2,
-        |    (sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT))::DOUBLE
-        |      / count(*)) / 1000000.0 AS mx
-        |  FROM coords JOIN a0
-        |    ON coords.vec_id = a0.vec_id AND coords.s = a0.s
-        |  GROUP BY 1, 2, 3
-        |), d1 AS (
-        |  SELECT coords.vec_id, coords.s, ref.cd,
-        |    sum(CAST(floor((x - mx) * (x - mx) * 1e12 + 0.5)
-        |      AS BIGINT))::BIGINT AS qd
-        |  FROM coords JOIN ref
-        |    ON coords.s = ref.s AND coords.i2 = ref.i2
-        |  GROUP BY 1, 2, 3
-        |), codes AS (
-        |  SELECT vec_id, s, cd FROM (
-        |    SELECT vec_id, s, cd,
-        |      row_number() OVER (PARTITION BY vec_id, s
-        |        ORDER BY qd, cd) AS rn
-        |    FROM d1) WHERE rn = 1
-        |), qc AS (
-        |  SELECT vec_id AS query_id, (i - 1) // 4 AS s,
-        |    (i - 1) % 4 AS i2, nv[i]::DOUBLE AS x
-        |  FROM nrm CROSS JOIN generate_series(1, 64) t(i)
-        |  WHERE vec_id < 20
-        |), dtab AS (
-        |  SELECT qc.query_id, qc.s, ref.cd,
-        |    sum(CAST(floor((qc.x - ref.mx) * (qc.x - ref.mx) * 1e12 + 0.5)
-        |      AS BIGINT))::BIGINT AS qd
-        |  FROM qc JOIN ref ON qc.s = ref.s AND qc.i2 = ref.i2
-        |  GROUP BY 1, 2, 3
-        |), cands AS (
-        |  SELECT DISTINCT p.query_id, a.cand_id
-        |  FROM probes p JOIN assign a
-        |    ON p.cell = a.cell AND a.cand_id <> p.query_id
-        |), adc AS (
-        |  SELECT cands.query_id, cands.cand_id, sum(dt.qd)::BIGINT AS adcd
-        |  FROM cands
-        |  JOIN codes ON codes.vec_id = cands.cand_id
-        |  JOIN dtab dt ON dt.query_id = cands.query_id
-        |    AND dt.s = codes.s AND dt.cd = codes.cd
-        |  GROUP BY 1, 2
-        |), short AS (
-        |  SELECT query_id, cand_id FROM (
-        |    SELECT query_id, cand_id,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY adcd, cand_id) AS sr
-        |    FROM adc) WHERE sr <= 50
-        |), sc AS (
-        |  SELECT sh.query_id, sh.cand_id,
-        |    ${duckCos("q.qv", "e2.embedding")} AS cos
-        |  FROM short sh JOIN q ON q.query_id = sh.query_id
-        |  JOIN c e2 ON e2.vec_id = sh.cand_id
-        |), r AS (
-        |  SELECT query_id, cand_id, cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, cand_id) AS rn
-        |  FROM sc
-        |)
-        |SELECT query_id, cand_id, cos, rn FROM r WHERE rn <= 3""".stripMargin,
+    // the ivfPqDuck ladder verbatim: corpus = all embeddings,
+    // queries = vec_id < 20 (build + serve fused, as ivfPqSearch runs)
+    "q319_ivfpq_search" -> ivfPqDuck("", "WHERE vec_id < 20"),
     // exact group moments; per-group within-SS quantized to unit
     // cents^2 before the cross-group MSE sum
     "q296_tukey_hsd" ->
@@ -8416,6 +8486,58 @@ object SparkEntry {
     // exactly the full rebuild's assignment
     "q325_incremental_clusters" ->
       (minhashClustersCte + "SELECT doc_id, cluster_rep FROM resolved"),
+    // serve-from-standing-index == build+serve at equal parameters:
+    // q319's ladder verbatim is the oracle
+    "q326_ivfpq_serve" -> ivfPqDuck("", "WHERE vec_id < 20"),
+    // per-batch ingest probe == full search with corpus = old slice,
+    // queries = arriving slice; is_dup rides the exact cosine
+    "q327_vector_ingest_probe" -> ivfPqDuck(
+      "WHERE vec_id % 10 <> 7", "WHERE vec_id % 10 = 7",
+      extraCols = ", cos >= 0.4 AS is_dup"),
+    // encode-new: standing cells (rounded-cosine argmax vs the old
+    // slice's seeds) + PQ codes (integer argmin vs its refined
+    // centroids) for the arriving slice, list-shaped per vector
+    "q328_vector_ingest_encode" ->
+      s"""WITH ${ivfPqFitCtes("WHERE vec_id % 10 <> 7")},
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
+        |ba AS (
+        |  SELECT x.vec_id, s.seed_id,
+        |    ${duckCos("x.embedding", "s.sv")} AS cs
+        |  FROM b x, seeds s
+        |), bcells AS (
+        |  SELECT vec_id, list(seed_id ORDER BY seed_id) AS cells FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cs DESC, seed_id) AS arn
+        |    FROM ba) WHERE arn <= 2
+        |  GROUP BY vec_id
+        |), nrmb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE /
+        |    sqrt(list_sum(list_transform(embedding,
+        |      y -> y::DOUBLE * y::DOUBLE)))) AS nv
+        |  FROM b
+        |), bcoords AS (
+        |  SELECT vec_id, (i - 1) // 4 AS s, (i - 1) % 4 AS i2,
+        |    nv[i]::DOUBLE AS x
+        |  FROM nrmb CROSS JOIN generate_series(1, 64) t(i)
+        |), bd AS (
+        |  SELECT bcoords.vec_id, bcoords.s, ref.cd,
+        |    sum(CAST(floor((x - mx) * (x - mx) * 1e12 + 0.5)
+        |      AS BIGINT))::BIGINT AS qd
+        |  FROM bcoords JOIN ref
+        |    ON bcoords.s = ref.s AND bcoords.i2 = ref.i2
+        |  GROUP BY 1, 2, 3
+        |), bcodes AS (
+        |  SELECT vec_id, s, cd FROM (
+        |    SELECT vec_id, s, cd,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY qd, cd) AS rn
+        |    FROM bd) WHERE rn = 1
+        |), bl AS (
+        |  SELECT vec_id, list(cd ORDER BY s) AS codes
+        |  FROM bcodes GROUP BY vec_id
+        |)
+        |SELECT bcells.vec_id, cells, codes
+        |FROM bcells JOIN bl USING (vec_id)""".stripMargin,
     "q25_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, list_distinct(list_transform(

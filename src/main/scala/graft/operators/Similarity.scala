@@ -904,21 +904,88 @@ object Similarity {
                   rerank: Int = 50,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1 && nprobe <= numCells && rerank >= k)
-    import org.apache.spark.sql.expressions.Window
-    val seeds = broadcast(ivfSeeds(corpus, numCells, idCol, vecCol))
+    ivfPqServe(ivfPqIndex(corpus, numCells, multiAssign, m, codes, dim,
+      idCol, vecCol), corpus, queries, k, nprobe, m, dim, rerank, idCol, vecCol)
+  }
+
+  /** Unit-normalization shared by the PQ fit and the serve-side ADC
+    * tables: PQ is fit on UNIT vectors because the served metric is
+    * cosine, and on unit vectors ADC's L2² = 2 − 2·cos is monotone
+    * with it — PQ on raw vectors would rank by magnitude and gut
+    * recall (measured: 0.08 raw vs 0.91 normalized at defaults). */
+  private def unitVecs(df: DataFrame, idCol: String,
+                       vecCol: String): DataFrame = df
+    .select(col(idCol), col(vecCol))
+    .withColumn("_nn", norm(col(vecCol)))
+    .select(col(idCol),
+      transform(col(vecCol), x => x.cast("double") / col("_nn"))
+        .as(vecCol))
+
+  /** The IVF-PQ index as ONE materializable table — the standing
+    * product a vector store writes once and serves many times (the
+    * vector-side sibling of FuzzyDedup.bandIndex). Four part-tagged
+    * row groups share a (part, id, s, c, vec) schema:
+    *
+    *   - `seed`   (id, vec):      the numCells IVF seed vectors
+    *   - `assign` (id, c=cell):   corpus→cell multi-assignment
+    *   - `code`   (id, s, c):     per-(vector, subspace) PQ codes
+    *   - `cent`   (s, c, vec):    fitted PQ centroid subvectors
+    *
+    * Seed vectors are stored as array<double>; float→double is exact,
+    * so a serve-side cast back to float reproduces the build-side
+    * cosines bit-for-bit (spec-pinned: serve == ivfPqSearch exactly).
+    *
+    * Scale shape: `assign` and `code` are the only corpus-sized parts
+    * (ints, no vectors — the 25× compression is the point of PQ);
+    * at 100 TB they bucket-write by cell and id respectively, while
+    * `seed` + `cent` (numCells + m·codes rows) broadcast at serve
+    * time. Rebuild cadence is governed by [[centroidDrift]]. */
+  def ivfPqIndex(corpus: DataFrame, numCells: Int = 8, multiAssign: Int = 2,
+                 m: Int = 16, codes: Int = 32, dim: Int = 64,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nullVec = lit(null).cast("array<double>")
+    val nullL = lit(null).cast("long")
+    val seeds = ivfSeeds(corpus, numCells, idCol, vecCol)
+      .select(lit("seed").as("part"), col("seed_id").as("id"),
+        nullL.as("s"), nullL.as("c"), col("sv").cast("array<double>").as("vec"))
     val assigned = ivfAssign(corpus, numCells, multiAssign, idCol, vecCol)
-      .select("cand_id", "cell")
-    // PQ is fit on UNIT-NORMALIZED vectors: the served metric is
-    // cosine, and on unit vectors ADC's L2² = 2 − 2·cos is monotone
-    // with it — PQ on raw vectors would rank by magnitude and gut
-    // recall (measured: 0.08 raw vs 0.91 normalized at defaults)
-    def unit(df: DataFrame): DataFrame = df
-      .select(col(idCol), col(vecCol))
-      .withColumn("_nn", norm(col(vecCol)))
-      .select(col(idCol),
-        transform(col(vecCol), x => x.cast("double") / col("_nn"))
-          .as(vecCol))
-    val (pqCodes, cents) = pqFit(unit(corpus), m, codes, dim, idCol, vecCol)
+      .select(lit("assign").as("part"), col("cand_id").as("id"),
+        nullL.as("s"), col("cell").cast("long").as("c"), nullVec.as("vec"))
+    val (pqCodes, cents) =
+      pqFit(unitVecs(corpus, idCol, vecCol), m, codes, dim, idCol, vecCol)
+    val codeRows = pqCodes.select(lit("code").as("part"), col("_id").as("id"),
+      col("_s").as("s"), col("_c").as("c"), nullVec.as("vec"))
+    val centRows = cents.select(lit("cent").as("part"), nullL.as("id"),
+      col("_s").as("s"), col("_c").as("c"), col("_mv").as("vec"))
+    seeds.unionByName(assigned).unionByName(codeRows).unionByName(centRows)
+  }
+
+  /** Serve path of the composed IVF-PQ search, reading a STANDING
+    * [[ivfPqIndex]] instead of rebuilding it: probe → ADC shortlist →
+    * exact re-rank, with `corpus` touched only to fetch the
+    * rerank-deep shortlist vectors (broadcast semi-join — the corpus
+    * never shuffles and is never re-fit). `m`/`dim` must match the
+    * index build. Output contract and every rank boundary are
+    * IDENTICAL to [[ivfPqSearch]] at the same parameters (the
+    * delta-equivalence is the oracle). */
+  def ivfPqServe(index: DataFrame, corpus: DataFrame, queries: DataFrame,
+                 k: Int, nprobe: Int = 4, m: Int = 16, dim: Int = 64,
+                 rerank: Int = 50,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && rerank >= k)
+    import org.apache.spark.sql.expressions.Window
+    // float→double→float round-trips exactly: serve-side seed
+    // cosines are bit-identical to build-side
+    val seeds = broadcast(index.filter(col("part") === "seed")
+      .select(col("id").as("seed_id"),
+        col("vec").cast("array<float>").as("sv"))
+      .withColumn("sn", norm(col("sv"))))
+    val assigned = index.filter(col("part") === "assign")
+      .select(col("id").as("cand_id"), col("c").as("cell"))
+    val pqCodes = index.filter(col("part") === "code")
+      .select(col("id").as("_id"), col("s").as("_s"), col("c").as("_c"))
+    val cents = broadcast(index.filter(col("part") === "cent")
+      .select(col("s").as("_s"), col("c").as("_c"), col("vec").as("_mv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"))
     val wProbe = Window.partitionBy("query_id")
@@ -933,7 +1000,7 @@ object Similarity {
     // fitted centroid — same ×10¹² integer sums as the fit, folded
     // per (query, subspace, code) row by the codegen'd qdist12
     val sub = dim / m
-    val qsubvecs = unit(queries)
+    val qsubvecs = unitVecs(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("_v"))
       .select(col("query_id"), explode(array((0 until m).map(s =>
         struct(lit(s.toLong).as("s"),
@@ -972,6 +1039,83 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "cand_id", "cos", "rn")
+  }
+
+  /** Vector-ingest near-dup probe — the embedding-side sibling of
+    * FuzzyDedup.incrementalNearDups: an arriving batch is served as
+    * queries against the STANDING index built on the already-ingested
+    * corpus, and each (new, indexed) neighbor at exact cosine ≥ `tau`
+    * is flagged `is_dup` — per-batch semantic dedup without re-fitting
+    * seeds, codes, or assignments. Because [[ivfPqServe]] at the same
+    * parameters equals [[ivfPqSearch]] on (old corpus, batch) exactly,
+    * the full-rebuild replay IS the oracle (the q324 posture).
+    *
+    * Scale shape: per batch this reads the index's int parts + fetches
+    * rerank·batch exact vectors; the indexed corpus is never re-coded
+    * and never shuffles. The `is_dup` flag rides the exact re-ranked
+    * cosine, not the ADC estimate — quantization loss can hide a
+    * neighbor from the shortlist (recall is the measured, audited
+    * quantity) but never produces a false positive. */
+  def vectorIngestProbe(index: DataFrame, corpus: DataFrame,
+                        batch: DataFrame, tau: Double, k: Int = 3,
+                        nprobe: Int = 4, m: Int = 16, dim: Int = 64,
+                        rerank: Int = 50,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqServe(index, corpus, batch, k, nprobe, m, dim, rerank, idCol, vecCol)
+      .withColumn("is_dup", col("cos") >= tau)
+
+  /** Index-delta encoder — the write half of per-batch vector ingest:
+    * each arriving vector gets its `multiAssign` standing IVF cells
+    * (rounded-cosine argmax vs the STANDING seeds, ties to the lowest
+    * seed id — [[ivfAssign]]'s exact contract) and its m PQ codes vs
+    * the STANDING fitted centroids (the same ×10¹²-quantized int64
+    * argmin as the fit's assign pass). Appending these rows as
+    * `assign`/`code` parts IS the index update; nothing standing is
+    * touched. Returns one row per vector: (id, cells ASC, codes by
+    * subspace) — list-shaped so the grain stays per-vector.
+    *
+    * Scale shape: seeds + centroids broadcast (numCells + m·codes
+    * rows); the batch never shuffles its vectors — the per-key window
+    * and the two folds group on the batch's own id. */
+  def ivfPqEncode(index: DataFrame, batch: DataFrame, multiAssign: Int = 2,
+                  m: Int = 16, dim: Int = 64,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = broadcast(index.filter(col("part") === "seed")
+      .select(col("id").as("seed_id"),
+        col("vec").cast("array<float>").as("sv"))
+      .withColumn("sn", norm(col("sv"))))
+    val cents = broadcast(index.filter(col("part") === "cent")
+      .select(col("s").as("_s"), col("c").as("_c"), col("vec").as("_mv")))
+    val wA = Window.partitionBy("_bid").orderBy(col("cs").desc, col("seed_id"))
+    val cells = batch.select(col(idCol).as("_bid"), col(vecCol).as("_bv"))
+      .withColumn("_bn", norm(col("_bv")))
+      .crossJoin(seeds)
+      .withColumn("cs",
+        round(dot(col("_bv"), col("sv")) / (col("_bn") * col("sn")), 6))
+      .withColumn("_arn", row_number().over(wA))
+      .filter(col("_arn") <= multiAssign)
+      .groupBy("_bid")
+      .agg(array_sort(collect_list(col("seed_id"))).as("cells"))
+    val sub = dim / m
+    val bsub = unitVecs(batch, idCol, vecCol)
+      .select(col(idCol).as("_bid"), col(vecCol).as("_v"))
+      .select(col("_bid"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("s"),
+          slice(col("_v"), s * sub + 1, sub).as("sv"))): _*)).as("e"))
+      .select(col("_bid"), col("e.s").as("_s"),
+        transform(col("e.sv"), x => x.cast("double")).as("_sv"))
+    val codes = bsub.join(cents, Seq("_s"))
+      .select(col("_bid"), col("_s"), col("_c"),
+        qdist12(col("_sv"), col("_mv")).as("_qd"))
+      .groupBy("_bid", "_s")
+      .agg(min(struct(col("_qd"), col("_c"))).as("_m"))
+      .groupBy("_bid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("_s"), col("_m._c").as("_c")))),
+        t => t.getField("_c")).as("codes"))
+    cells.join(codes, Seq("_bid")).select(col("_bid").as(idCol),
+      col("cells"), col("codes"))
   }
 
   /** Embedding-space drift monitor: per label, how far the class

@@ -73,6 +73,63 @@ class SimilaritySpec extends SparkSpec {
     assert(deep == ivf, "deep rerank must equal pure IVF at same probes")
   }
 
+  test("ivfPqServe from a MATERIALIZED index equals ivfPqSearch bit-for-bit") {
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
+    // parquet round-trip on purpose: the standing-product read path
+    // (array<double> seed vectors, float cast on serve) must land on
+    // the fused build+serve's exact output, ranks and cosines included
+    Similarity.ivfPqIndex(emb).write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "cos", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val served = rows(Similarity.ivfPqServe(index, emb, queries, 5))
+    val fused = rows(Similarity.ivfPqSearch(emb, queries, 5))
+    assert(served == fused)
+  }
+
+  test("vectorIngestProbe: equals full search on (old, batch); is_dup rides the exact cosine") {
+    val old = emb.filter($"vec_id" % 10 =!= 7)
+    val fresh = emb.filter($"vec_id" % 10 === 7)
+    val index = Similarity.ivfPqIndex(old)
+    val probe = Similarity.vectorIngestProbe(index, old, fresh, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(probe.nonEmpty)
+    // the batch is disjoint from the index: no probe row may surface
+    // a batch id as a candidate, and the flag is exactly cos >= tau
+    val freshIds = fresh.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(probe.forall { case (_, cand, _, _, _) => !freshIds(cand) })
+    assert(probe.forall { case (_, _, cos, _, dup) => dup == (cos >= 0.4) })
+    val full = Similarity.ivfPqSearch(old, fresh, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(probe.map(p => (p._1, p._2, p._3, p._4)).toSet == full)
+  }
+
+  test("ivfPqEncode on the indexed corpus itself reproduces the index's assign + code parts") {
+    val index = Similarity.ivfPqIndex(emb)
+    val enc = Similarity.ivfPqEncode(index, emb)
+    // cells == the index's multi-assignment, ascending
+    val encCells = enc.select("vec_id", "cells").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val idxCells = index.filter($"part" === "assign")
+      .groupBy($"id").agg(sort_array(collect_list($"c")).as("cells"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    assert(encCells == idxCells)
+    // codes == the index's per-subspace PQ codes, subspace order
+    val encCodes = enc.select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val idxCodes = index.filter($"part" === "code")
+      .groupBy($"id").agg(transform(
+        array_sort(collect_list(struct($"s", $"c"))),
+        t => t.getField("c")).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    assert(encCodes == idxCodes)
+  }
+
   test("ndcgAtK: hand-computed graded gains, perfect/permuted/whiffed queries") {
     import spark.implicits._
     // q1: prediction inverts the top-2 of (a,g3),(b,g2),(c,g1)
