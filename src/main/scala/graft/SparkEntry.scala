@@ -2585,6 +2585,23 @@ object SparkEntry {
     "q328_vector_ingest_encode" -> ((s, dir) =>
       Similarity.ivfPqEncode(vecIndexTable(s, dir, oldSlice = true),
         t(s, dir, "embeddings").filter(col("vec_id") % 10 === 7))),
+    // The ingest DECISION the pipeline acts on: fold the delta into
+    // the standing assignment (q325), then per arriving doc — its
+    // cluster, keep (is it the rep?), post-update cluster size
+    "q329_ingest_decisions" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 20 < 18)
+      val fresh = docs.filter(col("doc_id") % 20 >= 18)
+      val delta = FuzzyDedup.incrementalNearDups(
+        bandIndexTable(s, dir), old, fresh)
+      val updated = DedupClusters.clusterUpdate(oldClustersTable(s, dir),
+        delta.select("doc_a", "doc_b"), fresh)
+      DedupClusters.ingestDecisions(updated, fresh)
+    }),
+    // Standing-index health: per-cell vector count + load vs the
+    // cross-cell mean — the re-train canary for the IVF layout
+    "q330_index_health" -> ((s, dir) =>
+      Similarity.indexHealth(vecIndexTable(s, dir, oldSlice = false))),
     // Does the q207 quality gate keep sources at comparable rates?
     // The four-fifths-rule audit over the gate's keep flag
     "q323_filter_disparity" -> ((s, dir) =>
@@ -8538,6 +8555,40 @@ object SparkEntry {
         |)
         |SELECT bcells.vec_id, cells, codes
         |FROM bcells JOIN bl USING (vec_id)""".stripMargin,
+    // delta-equivalence (q325) makes the full-rebuild replay the
+    // oracle: decisions = resolved clusters + sizes, batch slice only
+    "q329_ingest_decisions" ->
+      (minhashClustersCte.stripSuffix("\n") + ", " +
+        """sz AS (
+          |  SELECT cluster_rep, count(*)::BIGINT AS n_members
+          |  FROM resolved GROUP BY 1
+          |)
+          |SELECT r.doc_id, r.cluster_rep,
+          |  r.doc_id = r.cluster_rep AS keep, sz.n_members
+          |FROM resolved r JOIN sz ON r.cluster_rep = sz.cluster_rep
+          |WHERE r.doc_id % 20 >= 18""".stripMargin),
+    // multi-assignment replay + per-cell counts; load = exact integer
+    // n*k, one double division, round 6 (unreferenced fit CTEs are
+    // pruned by the engine)
+    "q330_index_health" ->
+      s"""WITH ${ivfPqFitCtes("")},
+        |ca AS (
+        |  SELECT x.vec_id AS cand_id, s.seed_id,
+        |    ${duckCos("x.embedding", "s.sv")} AS cs
+        |  FROM c x, seeds s
+        |), assign AS (
+        |  SELECT cand_id, seed_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cand_id
+        |      ORDER BY cs DESC, seed_id) AS arn
+        |    FROM ca) WHERE arn <= 2
+        |), cells AS (
+        |  SELECT cell, count(*)::BIGINT AS n_vectors FROM assign GROUP BY 1
+        |), tt AS (
+        |  SELECT sum(n_vectors)::BIGINT AS t, count(*)::BIGINT AS k FROM cells
+        |)
+        |SELECT cell, n_vectors,
+        |  round((n_vectors * k)::DOUBLE / t, 6) AS load
+        |FROM cells, tt""".stripMargin,
     "q25_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -174,4 +174,26 @@ object DedupClusters {
       .select(col("_d").as(idCol),
         coalesce(col("comp"), col("_r")).as("cluster_rep"))
   }
+
+  /** The per-batch ingest DECISION — what the pipeline actually acts
+    * on after [[clusterUpdate]]: for each arriving doc, its cluster,
+    * whether it is KEPT (it IS the cluster's representative: it joined
+    * no existing cluster and out-ranks its batch-mates — min-rep makes
+    * this one equality test), and the cluster's post-update size.
+    * Because the updated assignment provably equals the full rebuild,
+    * the full-rebuild replay filtered to the batch IS the oracle.
+    *
+    * Scale shape: one map-side-combinable size agg over the
+    * assignment, a semi-join to the batch ids, and a size lookup
+    * keyed by rep — no corpus re-read, no pair re-derivation. */
+  def ingestDecisions(assignment: DataFrame, newDocs: DataFrame,
+                      idCol: String = "doc_id"): DataFrame = {
+    val sz = assignment.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_members"))
+    assignment.join(newDocs.select(col(idCol)), Seq(idCol), "left_semi")
+      .join(sz, Seq("cluster_rep"))
+      .select(col(idCol), col("cluster_rep"),
+        (col(idCol) === col("cluster_rep")).as("keep"),
+        col("n_members"))
+  }
 }

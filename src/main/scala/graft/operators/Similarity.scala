@@ -1118,6 +1118,29 @@ object Similarity {
       col("cells"), col("codes"))
   }
 
+  /** Standing-index health audit — the cheap scan that says when the
+    * IVF layout has degraded: per cell, its vector count and its LOAD
+    * (count / mean count across cells; 1.0 = perfectly balanced). A
+    * cell whose load grows ≫ 1 under ingest ([[ivfPqEncode]] appends
+    * skew where the data drifts) is the re-train signal — the
+    * partition-level companion of [[centroidDrift]]'s geometric one.
+    *
+    * Exactness: n·k is an exact integer product; one double division
+    * + round(6) lands identically in any engine.
+    *
+    * Scale shape: one map-side-combinable count over the index's
+    * `assign` part (ints only — vectors are never read) and a
+    * broadcast 1-row total; cost is index-scan, not corpus-scan. */
+  def indexHealth(index: DataFrame): DataFrame = {
+    val cells = index.filter(col("part") === "assign")
+      .groupBy(col("c").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = cells.agg(sum("n_vectors").as("_t"), count(lit(1)).as("_k"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        round(col("n_vectors") * col("_k") / col("_t"), 6).as("load"))
+  }
+
   /** Embedding-space drift monitor: per label, how far the class
     * centroid moved between two snapshots (cosine + L2 shift of the
     * mean vector) — the cheap canary that says "re-index the ANN /

@@ -192,4 +192,22 @@ class DedupClustersSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(incr == full, "incremental assignment diverged from full rebuild")
   }
+
+  test("ingestDecisions: keep iff rep; sizes are post-update; old docs excluded") {
+    // cluster {1,2,3} (3 joined an old cluster), {4,5} (new-only:
+    // 4 out-ranks its batch-mate and is kept), singleton {6}
+    val assignment = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 4L, 6L -> 6L).toDF("doc_id", "cluster_rep")
+    val fresh = Seq(3L, 4L, 5L, 6L).toDF("doc_id")
+    val out = DedupClusters.ingestDecisions(assignment, fresh)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      3L -> ((1L, false, 3L)), // joined an existing cluster: dropped
+      4L -> ((4L, true, 2L)),  // new-only cluster's rep: kept
+      5L -> ((4L, false, 2L)), // its batch-mate: dropped
+      6L -> ((6L, true, 1L))), // true singleton: kept
+      s"$out")
+  }
 }

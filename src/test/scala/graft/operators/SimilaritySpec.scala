@@ -130,6 +130,21 @@ class SimilaritySpec extends SparkSpec {
     assert(encCodes == idxCodes)
   }
 
+  test("indexHealth: loads vs the cross-cell mean; non-assign parts ignored") {
+    // assign: cell 10 holds 3 vectors, cell 20 holds 1 -> mean 2,
+    // loads 1.5 / 0.5; the code row must not leak into the counts
+    val index = Seq(
+      ("assign", 1L, -1L, 10L), ("assign", 2L, -1L, 10L),
+      ("assign", 3L, -1L, 10L), ("assign", 4L, -1L, 20L),
+      ("code", 1L, 0L, 10L))
+      .toDF("part", "id", "s", "c")
+      .withColumn("s", when($"s" >= 0, $"s"))
+      .withColumn("vec", lit(null).cast("array<double>"))
+    val out = Similarity.indexHealth(index).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(10L -> ((3L, 1.5)), 20L -> ((1L, 0.5))), s"$out")
+  }
+
   test("ndcgAtK: hand-computed graded gains, perfect/permuted/whiffed queries") {
     import spark.implicits._
     // q1: prediction inverts the top-2 of (a,g3),(b,g2),(c,g1)
