@@ -164,7 +164,15 @@ object SparkEntry {
       val base = t(s, dir, "embeddings")
       val corpus =
         if (oldSlice) base.filter(col("vec_id") % 10 =!= 7) else base
-      Similarity.ivfPqIndex(corpus).write.mode("overwrite").parquet(path)
+      // the ingest-facing index auto-scales its cell count (n/128,
+      // min 8) so per-query candidate cost stays flat as the corpus
+      // grows (the q52→q321 lesson, measured: fixed 8 cells made
+      // q327 quadratic at 10×); the one count() is a build-time
+      // action on a standing product, amortized across every batch
+      val cells =
+        if (oldSlice) math.max(8L, corpus.count() / 128L).toInt else 8
+      Similarity.ivfPqIndex(corpus, numCells = cells)
+        .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
   }
@@ -3775,12 +3783,13 @@ object SparkEntry {
     * components, first assignment, refined centroids — everything
     * ivfPqIndex persists except the corpus codes. Shared by the
     * serve dual and q328's encode dual. */
-  private def ivfPqFitCtes(corpusWhere: String): String =
+  private def ivfPqFitCtes(corpusWhere: String,
+                           cellsSql: String = "8"): String =
     s"""c AS (SELECT vec_id, embedding FROM embeddings $corpusWhere),
       |seeds AS (
       |  SELECT vec_id AS seed_id, embedding AS sv FROM c
       |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
-      |  LIMIT 8
+      |  LIMIT $cellsSql
       |), nrm AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE /
       |    sqrt(list_sum(list_transform(embedding,
@@ -3821,9 +3830,14 @@ object SparkEntry {
       |  GROUP BY 1, 2, 3
       |)""".stripMargin
 
+  /** Auto-scaled cell count for the ingest-facing indexes, as SQL —
+    * mirrors vecIndexTable's `max(8, n/128)` exactly. */
+  private val autoCellsSql = "(SELECT greatest(8, count(*)//128) FROM c)"
+
   private def ivfPqDuck(corpusWhere: String, queryWhere: String,
-                        k: Int = 3, extraCols: String = ""): String =
-    s"""WITH ${ivfPqFitCtes(corpusWhere)},
+                        k: Int = 3, extraCols: String = "",
+                        cellsSql: String = "8"): String =
+    s"""WITH ${ivfPqFitCtes(corpusWhere, cellsSql)},
       |qsrc AS (SELECT vec_id, embedding FROM embeddings $queryWhere),
       |ca AS (
       |  SELECT x.vec_id AS cand_id, s.seed_id,
@@ -8510,12 +8524,12 @@ object SparkEntry {
     // queries = arriving slice; is_dup rides the exact cosine
     "q327_vector_ingest_probe" -> ivfPqDuck(
       "WHERE vec_id % 10 <> 7", "WHERE vec_id % 10 = 7",
-      extraCols = ", cos >= 0.4 AS is_dup"),
+      extraCols = ", cos >= 0.4 AS is_dup", cellsSql = autoCellsSql),
     // encode-new: standing cells (rounded-cosine argmax vs the old
     // slice's seeds) + PQ codes (integer argmin vs its refined
     // centroids) for the arriving slice, list-shaped per vector
     "q328_vector_ingest_encode" ->
-      s"""WITH ${ivfPqFitCtes("WHERE vec_id % 10 <> 7")},
+      s"""WITH ${ivfPqFitCtes("WHERE vec_id % 10 <> 7", autoCellsSql)},
         |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
         |ba AS (
         |  SELECT x.vec_id, s.seed_id,

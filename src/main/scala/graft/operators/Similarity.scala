@@ -905,7 +905,8 @@ object Similarity {
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1 && nprobe <= numCells && rerank >= k)
     ivfPqServe(ivfPqIndex(corpus, numCells, multiAssign, m, codes, dim,
-      idCol, vecCol), corpus, queries, k, nprobe, m, dim, rerank, idCol, vecCol)
+      idCol, vecCol), corpus, queries, k, nprobe, m, dim, rerank,
+      idCol = idCol, vecCol = vecCol)
   }
 
   /** Unit-normalization shared by the PQ fit and the serve-side ADC
@@ -970,12 +971,21 @@ object Similarity {
     * delta-equivalence is the oracle). */
   def ivfPqServe(index: DataFrame, corpus: DataFrame, queries: DataFrame,
                  k: Int, nprobe: Int = 4, m: Int = 16, dim: Int = 64,
-                 rerank: Int = 50,
+                 rerank: Int = 50, batchScale: Boolean = false,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1 && rerank >= k)
     import org.apache.spark.sql.expressions.Window
-    // float→double→float round-trips exactly: serve-side seed
-    // cosines are bit-identical to build-side
+    // The default (batchScale = false) serves a SMALL query set and
+    // force-broadcasts every query-derived relation (probes, ADC
+    // tables, shortlist). With a batch-sized query set — the ingest
+    // probe, where the batch can be millions of rows — those
+    // relations are queries×m×codes and would blow the broadcast
+    // limit; batchScale = true drops the hints so they shuffle-join
+    // on query_id (AQE still broadcasts them when genuinely small).
+    // Results are identical either way — only the exchange strategy
+    // moves (measured at 10×: the forced broadcast was the q327
+    // scale cliff).
+    def bc(df: DataFrame): DataFrame = if (batchScale) df else broadcast(df)
     val seeds = broadcast(index.filter(col("part") === "seed")
       .select(col("id").as("seed_id"),
         col("vec").cast("array<float>").as("sv"))
@@ -990,7 +1000,7 @@ object Similarity {
       norm(col(vecCol)).as("qn"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cs").desc, col("seed_id"))
-    val probes = broadcast(q.crossJoin(seeds)
+    val probes = bc(q.crossJoin(seeds)
       .withColumn("cs",
         round(dot(col("qv"), col("sv")) / (col("qn") * col("sn")), 6))
       .withColumn("pr", row_number().over(wProbe))
@@ -1007,7 +1017,7 @@ object Similarity {
           slice(col("_v"), s * sub + 1, sub).as("sv"))): _*)).as("e"))
       .select(col("query_id"), col("e.s").as("_s"),
         transform(col("e.sv"), x => x.cast("double")).as("_sv"))
-    val dtab = broadcast(qsubvecs.join(cents, Seq("_s"))
+    val dtab = bc(qsubvecs.join(cents, Seq("_s"))
       .select(col("query_id"), col("_s"), col("_c"),
         qdist12(col("_sv"), col("_mv")).as("_qd")))
     // dedup pairs BEFORE the code join: multi-assignment can surface
@@ -1030,8 +1040,8 @@ object Similarity {
     // via a broadcast join — the corpus itself never shuffles
     val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
-    val scored = cv.join(broadcast(short), Seq("cand_id"))
-      .join(broadcast(q), Seq("query_id"))
+    val scored = cv.join(bc(short), Seq("cand_id"))
+      .join(bc(q), Seq("query_id"))
       .withColumn("cos",
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id")
@@ -1061,7 +1071,8 @@ object Similarity {
                         nprobe: Int = 4, m: Int = 16, dim: Int = 64,
                         rerank: Int = 50,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    ivfPqServe(index, corpus, batch, k, nprobe, m, dim, rerank, idCol, vecCol)
+    ivfPqServe(index, corpus, batch, k, nprobe, m, dim, rerank,
+      batchScale = true, idCol = idCol, vecCol = vecCol)
       .withColumn("is_dup", col("cos") >= tau)
 
   /** Index-delta encoder — the write half of per-batch vector ingest:
