@@ -443,4 +443,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesianproduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"theta join:\n$p")
   }
+
+  test("q330: index health prunes the vector payload from the index scan") {
+    val p = plan("q330_index_health")
+    // the audit reads the assign part's ints only — the array<double>
+    // vec column must never leave the standing index's scan
+    assert(!p.contains("vec#"),
+      s"vector payload leaked into the health scan:\n$p")
+  }
+
+  test("ivfPqServe batchScale drops the forced broadcasts on query-derived sides") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = graft.operators.Similarity.ivfPqIndex(emb)
+    val queries = emb.filter(col("vec_id") < 20)
+    def hintCount(batchScale: Boolean): Int = {
+      val lp = graft.operators.Similarity
+        .ivfPqServe(idx, emb, queries, 3, batchScale = batchScale)
+        .queryExecution.optimizedPlan.toString
+      "strategy=broadcast".r.findAllIn(lp).length
+    }
+    val forced = hintCount(batchScale = false)
+    val scaled = hintCount(batchScale = true)
+    // seeds + centroids stay hinted in both modes; probes/dtab/
+    // shortlist/query hints exist only in the small-query mode
+    assert(forced > scaled && scaled >= 1,
+      s"expected fewer broadcast hints under batchScale: $forced vs $scaled")
+  }
 }
