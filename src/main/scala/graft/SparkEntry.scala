@@ -147,6 +147,31 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  private val ngramProductPaths =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Standing products of the INCREMENTAL decontamination fixture
+    * (q331): the 13-gram inverted index over the corpus and the
+    * survivor set vs the OLD benchmark half (doc_id % 20 == 0).
+    * An eval refresh (the % 20 == 10 half arriving) probes the index
+    * — corpus text is never re-shingled ([[bandIndexTable]] posture,
+    * third standing-product family). */
+  private def ngramProduct(s: SparkSession, dir: String,
+                           which: String): DataFrame = {
+    val path = ngramProductPaths.getOrElseUpdate((dir, which),
+      productTempDir(s"graft-ngram-$which").resolve(which).toString)
+    if (!new java.io.File(path).exists()) {
+      val docs = t(s, dir, "documents")
+      val df = which match {
+        case "index" => Sampling.ngramIndex(docs)
+        case "survivors" => Sampling.ngramDecontaminate(docs,
+          docs.filter(col("doc_id") % 20 === 0)).select("doc_id")
+      }
+      df.write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   private val vecIndexPaths =
     scala.collection.concurrent.TrieMap.empty[(String, Boolean), String]
 
@@ -2610,6 +2635,14 @@ object SparkEntry {
     // cross-cell mean — the re-train canary for the IVF layout
     "q330_index_health" -> ((s, dir) =>
       Similarity.indexHealth(vecIndexTable(s, dir, oldSlice = false))),
+    // A new eval set ships: its 13-grams probe the STANDING gram
+    // index, newly-hit docs leave the standing survivor set —
+    // provably equals q67's full rebuild vs old ∪ new (monotone
+    // contamination), which is the oracle
+    "q331_incremental_decontaminate" -> ((s, dir) =>
+      Sampling.incrementalDecontaminate(
+        ngramProduct(s, dir, "survivors"), ngramProduct(s, dir, "index"),
+        t(s, dir, "documents").filter(col("doc_id") % 20 === 10))),
     // Does the q207 quality gate keep sources at comparable rates?
     // The four-fifths-rule audit over the gate's keep flag
     "q323_filter_disparity" -> ((s, dir) =>
@@ -10393,6 +10426,10 @@ object SparkEntry {
     "q67_ngram_decontaminate" ->
       // string-level dual: shingle equality ⟺ md5 equality
       q67OracleSql,
+    // monotone contamination makes the incremental path equal the
+    // full rebuild vs old ∪ new = the whole % 10 benchmark — q67's
+    // replay verbatim (delta-equivalence, third standing family)
+    "q331_incremental_decontaminate" -> q67OracleSql,
     "q65_hist_quantiles_by" ->
       // q53's replay partitioned by event_type
       """WITH b AS (

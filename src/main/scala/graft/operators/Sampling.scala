@@ -274,6 +274,53 @@ object Sampling {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** The standing 13-gram inverted index — (doc, gram) distinct rows,
+    * the decontamination sibling of FuzzyDedup.bandIndex: built once
+    * over the corpus, probed by every benchmark update, so an eval
+    * refresh costs index-probe, not corpus-re-shingle. Grams are kept
+    * as RAW strings so the contract stays exactly [[ngramDecontaminate]]'s
+    * string equality (a 100 TB deployment would md5 them — both sides
+    * hash identically so semantics survive, at a measurable-not-zero
+    * collision over-drop; this engine keeps the exact form and lets
+    * the oracle hold it to q67's letter).
+    *
+    * Scale shape: one shingle explode + distinct; at 100 TB this is
+    * the table to bucket-write by gram (the probe below becomes a
+    * co-located join). */
+  def ngramIndex(corpus: DataFrame, n: Int = 13,
+                 corpusText: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.HashFunctions.shingles
+    corpus.select(col(idCol),
+      explode(shingles(col(corpusText), n)).as("gram")).distinct()
+  }
+
+  /** Per-update decontamination — the benchmark grows (a new eval set
+    * ships), and ONLY the delta is paid for: the new benchmark's
+    * n-grams broadcast against the STANDING [[ngramIndex]] to find
+    * newly-hit docs, which are subtracted from the standing survivor
+    * set. Contamination is monotone in the benchmark
+    * (hit(A∪B) = hit(A) ∪ hit(B)), so the result provably equals the
+    * full [[ngramDecontaminate]] rebuild against old ∪ new — the
+    * full-rebuild replay IS the oracle (the q324/q325 posture, third
+    * standing-product family).
+    *
+    * Scale shape: the broadcast side is delta-sized (the new bench's
+    * distinct grams), the index scan is column-pruned ints+grams, and
+    * the corpus text is never re-read. */
+  def incrementalDecontaminate(survivors: DataFrame, gramIndex: DataFrame,
+                               newBench: DataFrame, n: Int = 13,
+                               benchmarkText: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.HashFunctions.shingles
+    val newGrams = broadcast(newBench
+      .select(explode(shingles(col(benchmarkText), n)).as("_bs")).distinct())
+    val newlyHit = gramIndex
+      .join(newGrams, col("gram") === col("_bs"), "left_semi")
+      .select(idCol).distinct()
+    survivors.join(newlyHit, Seq(idCol), "left_anti")
+  }
+
   /** Systematic (every k-th) sampling over an explicit frame order:
     * rank rows by `(orderCol, idCol)` and keep ranks ≡ offset
     * (mod k) — the survey-methodology classic that implicitly

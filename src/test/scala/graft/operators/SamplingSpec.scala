@@ -246,4 +246,35 @@ class SamplingSpec extends SparkSpec {
     assert(split(0L).contains("train") && split(100L).contains("val"))
     assert(split.size == 102)
   }
+
+  test("incrementalDecontaminate: hand case — only newly-hit survivors leave") {
+    val words = (1 to 13).map(i => s"w$i").mkString(" ")
+    val other = (1 to 13).map(i => s"x$i").mkString(" ")
+    val clean = (1 to 13).map(i => s"z$i").mkString(" ")
+    // doc 1 was dropped by the OLD bench (not in survivors); doc 2 is
+    // hit only by the NEW bench; doc 3 stays clean
+    val corpus = Seq((1L, words), (2L, other), (3L, clean))
+      .toDF("doc_id", "text")
+    val survivors = Seq(2L, 3L).toDF("doc_id")
+    val newBench = Seq((100L, other)).toDF("doc_id", "text")
+    val out = graft.operators.Sampling.incrementalDecontaminate(
+        survivors, graft.operators.Sampling.ngramIndex(corpus), newBench)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(3L), s"$out")
+  }
+
+  test("incrementalDecontaminate equals the full rebuild on real docs (end-to-end)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val oldBench = docs.filter(col("doc_id") % 20 === 0)
+    val newBench = docs.filter(col("doc_id") % 20 === 10)
+    val standing = graft.operators.Sampling
+      .ngramDecontaminate(docs, oldBench).select("doc_id")
+    val incr = graft.operators.Sampling.incrementalDecontaminate(
+        standing, graft.operators.Sampling.ngramIndex(docs), newBench)
+      .collect().map(_.getLong(0)).toSet
+    val full = graft.operators.Sampling
+      .ngramDecontaminate(docs, docs.filter(col("doc_id") % 10 === 0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incr == full, "incremental survivors diverged from full rebuild")
+  }
 }
