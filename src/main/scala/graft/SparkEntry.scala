@@ -37,6 +37,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val q249SrcDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val q332SrcDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   private val clusterTablePath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -2660,6 +2662,31 @@ object SparkEntry {
       Sampling.incrementalDecontaminate(
         ngramProduct(s, dir, "survivors"), ngramProduct(s, dir, "index"),
         t(s, dir, "documents").filter(col("doc_id") % 20 === 10))),
+    // The q324 probe as a CONTINUOUS flow: arriving docs band
+    // themselves in-row (stateless HOF minhash), stream-static join
+    // the standing band index, verify by exact in-row Jaccard —
+    // new×old near-dups surface per micro-batch
+    "q332_streaming_ingest_probe" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = t(s, dir, "documents")
+      val src = q332SrcDir.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("q332-fresh")
+          .resolve("feed").toString
+        docs.filter(col("doc_id") % 20 >= 18).coalesce(1)
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .parquet(src)
+      val probed = FuzzyDedup.streamingIngestProbe(stream,
+        bandIndexTable(s, dir), docs.filter(col("doc_id") % 20 < 18))
+      s.catalog.dropTempView("q332_ingest")
+      val q = probed.writeStream.format("memory")
+        .queryName("q332_ingest")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q332_ingest")
+    }),
     // Does the q207 quality gate keep sources at comparable rates?
     // The four-fifths-rule audit over the gate's keep flag
     "q323_filter_disparity" -> ((s, dir) =>
@@ -8561,6 +8588,13 @@ object SparkEntry {
         """SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
           |WHERE jac >= 0.8
           |  AND (doc_a % 20 >= 18 OR doc_b % 20 >= 18)""".stripMargin),
+    // the streaming probe covers exactly the CROSS (new×old) subset
+    // of the full rebuild — new×new stays the batch path's job
+    "q332_streaming_ingest_probe" ->
+      (lshPairsCte +
+        """SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
+          |WHERE jac >= 0.8
+          |  AND ((doc_a % 20 >= 18) <> (doc_b % 20 >= 18))""".stripMargin),
     "q47_dedup_clusters" ->
       (minhashClustersCte + "SELECT doc_id, cluster_rep FROM resolved"),
     // identical to q47 BY DESIGN: the incremental path must land on

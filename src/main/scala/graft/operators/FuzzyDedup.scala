@@ -152,6 +152,76 @@ object FuzzyDedup {
     bandRowsOf(minhashSignatures(shingled(docs, idCol, textCol, n), k),
       k, bands)
 
+  /** [[bandIndex]]'s EXACT rows computed per ROW — the k minhashes
+    * fold over the shingle array with HOFs (HashFunctions
+    * .minhashSignature) instead of explode+groupBy, so the
+    * computation is STATELESS and legal inside a streaming
+    * micro-batch (no aggregation before the stream-static probe).
+    * Bit-identical to the batch formulation: same base hash, same
+    * affine permutations, min over the same distinct shingle set
+    * (spec-pinned). Keeps the shingle set alongside for in-row
+    * Jaccard verification downstream. */
+  def bandRowsLocal(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 3, k: Int = 12,
+                    bands: Int = 4): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands=$bands must divide k=$k")
+    import graft.functions.HashFunctions.minhashSignature
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.HashFunctions.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id") +: col("sh") +: minhashSignature(col("sh"), k): _*)
+      .select(col("doc_id"), col("sh"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("|", (0 until r).map(i =>
+              col(s"mh${b * r + i}").cast("string")): _*).as("sig"))
+        }: _*)).as("bs"))
+      .select(col("doc_id"), col("sh"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** STREAMING ingest probe — the per-micro-batch half of
+    * [[incrementalNearDups]], stateless until the final pair dedup:
+    * each arriving doc bands itself in-row ([[bandRowsLocal]]), the
+    * band rows stream-static join the STANDING [[bandIndex]], and
+    * candidates verify by exact in-row Jaccard against the old side's
+    * shingle set — new×old pairs at ≥ `threshold`, continuously.
+    * (New×new pairs within/across micro-batches are the batch path's
+    * job — a stream-stream self-join would hold the whole corpus in
+    * state; the production split is "probe streams, index rebuilds
+    * batch-wise", and the oracle holds this operator to exactly the
+    * cross-pair subset of the full rebuild.)
+    *
+    * The one aggregation (a pair surfacing via two bands must emit
+    * once) groups on the pair key — with AvailableNow + complete
+    * mode its state is bounded by the verified-pair count.
+    *
+    * Scale shape: the index side is (band, sig) bucket-readable; the
+    * old shingle fetch joins only candidate-involved ids. The stream
+    * side carries its own shingles — no state, no watermark. */
+  def streamingIngestProbe(stream: DataFrame, index: DataFrame,
+                           oldDocs: DataFrame, threshold: Double = 0.8,
+                           idCol: String = "doc_id",
+                           textCol: String = "text", n: Int = 3,
+                           k: Int = 12, bands: Int = 4): DataFrame = {
+    val banded = bandRowsLocal(stream, idCol, textCol, n, k, bands)
+      .select(col("doc_id").as("_nb"), col("sh").as("_nsh"),
+        col("band"), col("sig"))
+    val oldSh = shingled(oldDocs, idCol, textCol, n)
+      .select(col("doc_id").as("_ob"), col("sh").as("_osh"))
+    banded
+      .join(index.select(col("doc_id").as("_ob"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("_nb") =!= col("_ob"))
+      .join(oldSh, Seq("_ob"))
+      .withColumn("jac", jaccard(col("_nsh"), col("_osh")))
+      .filter(col("jac") >= threshold)
+      .groupBy(least(col("_nb"), col("_ob")).as("doc_a"),
+        greatest(col("_nb"), col("_ob")).as("doc_b"))
+      .agg(round(max(col("jac")), 6).as("jaccard"))
+  }
+
   /** MinHash-LSH near-dup pairs, verified by exact Jaccard ≥
     * `threshold` on the candidate set. The standard
     * shingle→minhash→band→bucket→verify pipeline.

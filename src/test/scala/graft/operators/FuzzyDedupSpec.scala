@@ -274,4 +274,42 @@ class FuzzyDedupSpec extends SparkSpec {
     val ts = Seq(0.4, 0.5, 0.8, 0.95).map(out(_)._1)
     assert(ts == ts.sorted.reverse, s"not monotone: $ts")
   }
+
+  test("bandRowsLocal: bit-identical to the batch bandIndex rows on real docs") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "band", "sig").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val local = rows(FuzzyDedup.bandRowsLocal(corpus))
+    val batch = rows(FuzzyDedup.bandIndex(corpus))
+    assert(local == batch, s"local=${local.size} batch=${batch.size}")
+    assert(local.nonEmpty)
+  }
+
+  test("streamingIngestProbe: a real STREAM lands on the full rebuild's cross pairs") {
+    import org.apache.spark.sql.streaming.Trigger
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = corpus.filter(col("doc_id") % 20 < 18)
+    val srcDir = java.nio.file.Files.createTempDirectory("probe-feed")
+      .resolve("feed").toString
+    corpus.filter(col("doc_id") % 20 >= 18).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val probed = FuzzyDedup.streamingIngestProbe(stream,
+      FuzzyDedup.bandIndex(old), old)
+    spark.catalog.dropTempView("probe_spec")
+    probed.writeStream.format("memory").queryName("probe_spec")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getDouble(2))).toMap
+    val streamed = pairs(spark.table("probe_spec"))
+    // cross (new×old) subset of the full rebuild, keys AND values
+    val full = pairs(FuzzyDedup.minhashNearDups(corpus))
+      .filter { case ((a, b), _) => (a % 20 >= 18) != (b % 20 >= 18) }
+    assert(streamed == full, s"stream=${streamed.size} full-cross=${full.size}")
+    assert(streamed.nonEmpty, "fixture must exercise the probe (planted dups)")
+  }
 }
