@@ -39,6 +39,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val q332SrcDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val q333SrcDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   private val clusterTablePath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -2686,6 +2688,31 @@ object SparkEntry {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table("q332_ingest")
+    }),
+    // q327's threshold semantics as a continuous flow: arriving
+    // vectors rank the broadcast seed array IN-ROW (stateless),
+    // probe the standing assign part, verify by exact cosine
+    "q333_streaming_vector_probe" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val e = t(s, dir, "embeddings")
+      val src = q333SrcDir.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("q333-fresh")
+          .resolve("feed").toString
+        e.filter(col("vec_id") % 10 === 7).coalesce(1)
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .parquet(src)
+      val probed = Similarity.streamingVectorProbe(
+        vecIndexTable(s, dir, oldSlice = true),
+        e.filter(col("vec_id") % 10 =!= 7), stream, tau = 0.4)
+      s.catalog.dropTempView("q333_vec_ingest")
+      val q = probed.writeStream.format("memory")
+        .queryName("q333_vec_ingest")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q333_vec_ingest")
     }),
     // Does the q207 quality gate keep sources at comparable rates?
     // The four-fifths-rule audit over the gate's keep flag
@@ -8595,6 +8622,42 @@ object SparkEntry {
         """SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
           |WHERE jac >= 0.8
           |  AND ((doc_a % 20 >= 18) <> (doc_b % 20 >= 18))""".stripMargin),
+    // threshold probe replay: fresh ranks the old-slice seeds by the
+    // same rounded cosine, probes 4 cells of the standing assignment,
+    // verifies by exact cosine >= tau — no ADC, no shortlist
+    "q333_streaming_vector_probe" ->
+      s"""WITH ${ivfPqFitCtes("WHERE vec_id % 10 <> 7", autoCellsSql)},
+        |qsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
+        |ca AS (
+        |  SELECT x.vec_id AS cand_id, s.seed_id,
+        |    ${duckCos("x.embedding", "s.sv")} AS cs
+        |  FROM c x, seeds s
+        |), assign AS (
+        |  SELECT cand_id, seed_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cand_id
+        |      ORDER BY cs DESC, seed_id) AS arn
+        |    FROM ca) WHERE arn <= 2
+        |), qa AS (
+        |  SELECT q.vec_id AS query_id, s.seed_id,
+        |    ${duckCos("q.embedding", "s.sv")} AS cs
+        |  FROM qsrc q, seeds s
+        |), probes AS (
+        |  SELECT query_id, seed_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, seed_id) AS pr
+        |    FROM qa) WHERE pr <= 4
+        |), cand AS (
+        |  SELECT DISTINCT p.query_id, a.cand_id
+        |  FROM probes p JOIN assign a
+        |    ON p.cell = a.cell AND a.cand_id <> p.query_id
+        |), sc AS (
+        |  SELECT cand.query_id, cand.cand_id,
+        |    ${duckCos("q.embedding", "x.embedding")} AS cos
+        |  FROM cand
+        |  JOIN qsrc q ON q.vec_id = cand.query_id
+        |  JOIN c x ON x.vec_id = cand.cand_id
+        |)
+        |SELECT query_id, cand_id, cos FROM sc WHERE cos >= 0.4""".stripMargin,
     "q47_dedup_clusters" ->
       (minhashClustersCte + "SELECT doc_id, cluster_rep FROM resolved"),
     // identical to q47 BY DESIGN: the incremental path must land on

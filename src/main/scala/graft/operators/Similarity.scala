@@ -1129,6 +1129,63 @@ object Similarity {
       col("cells"), col("codes"))
   }
 
+  /** STREAMING vector-ingest probe — [[vectorIngestProbe]]'s
+    * threshold semantics as a continuous flow, the embedding twin of
+    * FuzzyDedup.streamingIngestProbe. Structured Streaming permits
+    * ONE aggregation per query, so the cell probe cannot be a
+    * per-query top-k agg; instead the (small) seed part collapses to
+    * a ONE-ROW broadcast array and each arriving vector ranks it
+    * IN-ROW — sort by (−cos, seed_id) over the array, slice nprobe —
+    * making everything up to the final pair-dedup stateless. Probed
+    * cells stream-static join the index's assign part, candidates
+    * fetch their exact vector by id, and pairs at exact cosine ≥
+    * `tau` surface per micro-batch (no ADC tier here: threshold
+    * probes want no shortlist cut, and the exact pass is one
+    * candidate-sized join either way).
+    *
+    * Exactness: the same rounded-cosine/seed-id order as
+    * [[ivfPqServe]]'s probe ranking, so the probed cells are
+    * bit-identical to the batch path's.
+    *
+    * Scale shape: seeds are numCells rows (broadcast as one array);
+    * the assign part is (cell)-bucket-readable; per-batch state is
+    * bounded by the verified-pair count. */
+  def streamingVectorProbe(index: DataFrame, corpus: DataFrame,
+                           stream: DataFrame, tau: Double, nprobe: Int = 4,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val seedArr = broadcast(index.filter(col("part") === "seed")
+      .select(col("id").as("seed_id"),
+        col("vec").cast("array<float>").as("sv"))
+      .withColumn("sn", norm(col("sv")))
+      .agg(collect_list(struct(col("seed_id"), col("sv"), col("sn")))
+        .as("_seeds")))
+    val assigned = index.filter(col("part") === "assign")
+      .select(col("id").as("cand_id"), col("c").as("cell"))
+    val probed = stream
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .crossJoin(seedArr)
+      .withColumn("_pc", slice(array_sort(transform(col("_seeds"), s =>
+        struct((lit(0.0) - round(dot(col("qv"), s.getField("sv")) /
+          (col("qn") * s.getField("sn")), 6)).as("negcos"),
+          s.getField("seed_id").as("cell")))), 1, nprobe))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("_pc")).as("_p"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("_p.cell").as("cell"))
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(cv, Seq("cand_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .filter(col("cos") >= tau)
+      .groupBy("query_id", "cand_id")
+      .agg(max(col("cos")).as("cos"))
+  }
+
   /** Standing-index health audit — the cheap scan that says when the
     * IVF layout has degraded: per cell, its vector count and its LOAD
     * (count / mean count across cells; 1.0 = perfectly balanced). A

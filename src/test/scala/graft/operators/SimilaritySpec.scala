@@ -145,6 +145,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Map(10L -> ((3L, 1.5)), 20L -> ((1L, 0.5))), s"$out")
   }
 
+  test("streamingVectorProbe: a real stream equals the static run; covers serve's dup pairs") {
+    import org.apache.spark.sql.streaming.Trigger
+    val old = emb.filter($"vec_id" % 10 =!= 7)
+    val fresh = emb.filter($"vec_id" % 10 === 7)
+    val index = Similarity.ivfPqIndex(old)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "cos").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val srcDir = java.nio.file.Files.createTempDirectory("vec-feed")
+      .resolve("feed").toString
+    fresh.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    spark.catalog.dropTempView("vec_probe_spec")
+    Similarity.streamingVectorProbe(index, old, stream, tau = 0.4)
+      .writeStream.format("memory").queryName("vec_probe_spec")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = pairs(spark.table("vec_probe_spec"))
+    val static = pairs(
+      Similarity.streamingVectorProbe(index, old, fresh, tau = 0.4))
+    assert(streamed == static, "stream/static divergence")
+    assert(streamed.nonEmpty, "fixture must exercise the probe")
+    // the serve path's flagged dups are a SUBSET: its shortlist cut
+    // can hide a neighbor, the threshold probe never can
+    val served = Similarity
+      .vectorIngestProbe(index, old, fresh, tau = 0.4)
+      .filter($"is_dup")
+      .select("query_id", "cand_id", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(served.toSet.subsetOf(streamed.toSet),
+      s"serve flagged a pair the threshold probe missed")
+  }
+
   test("ndcgAtK: hand-computed graded gains, perfect/permuted/whiffed queries") {
     import spark.implicits._
     // q1: prediction inverts the top-2 of (a,g3),(b,g2),(c,g1)
