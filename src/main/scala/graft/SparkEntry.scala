@@ -39,8 +39,19 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val q332SrcDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private val q333SrcDir =
+  // shared by q333/q334 — the fresh-embeddings feed is a pure
+  // function of the sf dir
+  private val vecFreshSrcDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def vecFreshFeed(s: SparkSession, dir: String): String =
+    vecFreshSrcDir.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("vec-fresh")
+        .resolve("feed").toString
+      t(s, dir, "embeddings").filter(col("vec_id") % 10 === 7).coalesce(1)
+        .write.mode("overwrite").parquet(d)
+      d
+    })
   private val clusterTablePath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -2695,13 +2706,7 @@ object SparkEntry {
     "q333_streaming_vector_probe" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val e = t(s, dir, "embeddings")
-      val src = q333SrcDir.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("q333-fresh")
-          .resolve("feed").toString
-        e.filter(col("vec_id") % 10 === 7).coalesce(1)
-          .write.mode("overwrite").parquet(d)
-        d
-      })
+      val src = vecFreshFeed(s, dir)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .parquet(src)
       val probed = Similarity.streamingVectorProbe(
@@ -2713,6 +2718,23 @@ object SparkEntry {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table("q333_vec_ingest")
+    }),
+    // q328's index delta with ZERO aggregations — cells and codes
+    // computed in-row against broadcast seed/centroid arrays; pure
+    // APPEND mode, no state store, no watermark, no shuffle
+    "q334_streaming_vector_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stream = s.readStream
+        .schema(s.read.parquet(vecFreshFeed(s, dir)).schema)
+        .parquet(vecFreshFeed(s, dir))
+      val encoded = Similarity.streamingIngestEncode(
+        vecIndexTable(s, dir, oldSlice = true), stream)
+      s.catalog.dropTempView("q334_vec_encode")
+      val q = encoded.writeStream.format("memory")
+        .queryName("q334_vec_encode")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q334_vec_encode")
     }),
     // Does the q207 quality gate keep sources at comparable rates?
     // The four-fifths-rule audit over the gate's keep flag
@@ -3937,6 +3959,52 @@ object SparkEntry {
   /** Auto-scaled cell count for the ingest-facing indexes, as SQL —
     * mirrors vecIndexTable's `max(8, n/128)` exactly. */
   private val autoCellsSql = "(SELECT greatest(8, count(*)//128) FROM c)"
+
+  /** DuckDB dual of the index-delta encode: fit CTEs on the old
+    * slice + the arriving batch's argmax cells / argmin codes,
+    * list-aggregated per vector. Shared verbatim by q328 (batch)
+    * and q334 (streaming) - the two encoders are bit-identical. */
+  private def vecEncodeDuck: String =
+      s"""WITH ${ivfPqFitCtes("WHERE vec_id % 10 <> 7", autoCellsSql)},
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
+        |ba AS (
+        |  SELECT x.vec_id, s.seed_id,
+        |    ${duckCos("x.embedding", "s.sv")} AS cs
+        |  FROM b x, seeds s
+        |), bcells AS (
+        |  SELECT vec_id, list(seed_id ORDER BY seed_id) AS cells FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cs DESC, seed_id) AS arn
+        |    FROM ba) WHERE arn <= 2
+        |  GROUP BY vec_id
+        |), nrmb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE /
+        |    sqrt(list_sum(list_transform(embedding,
+        |      y -> y::DOUBLE * y::DOUBLE)))) AS nv
+        |  FROM b
+        |), bcoords AS (
+        |  SELECT vec_id, (i - 1) // 4 AS s, (i - 1) % 4 AS i2,
+        |    nv[i]::DOUBLE AS x
+        |  FROM nrmb CROSS JOIN generate_series(1, 64) t(i)
+        |), bd AS (
+        |  SELECT bcoords.vec_id, bcoords.s, ref.cd,
+        |    sum(CAST(floor((x - mx) * (x - mx) * 1e12 + 0.5)
+        |      AS BIGINT))::BIGINT AS qd
+        |  FROM bcoords JOIN ref
+        |    ON bcoords.s = ref.s AND bcoords.i2 = ref.i2
+        |  GROUP BY 1, 2, 3
+        |), bcodes AS (
+        |  SELECT vec_id, s, cd FROM (
+        |    SELECT vec_id, s, cd,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY qd, cd) AS rn
+        |    FROM bd) WHERE rn = 1
+        |), bl AS (
+        |  SELECT vec_id, list(cd ORDER BY s) AS codes
+        |  FROM bcodes GROUP BY vec_id
+        |)
+        |SELECT bcells.vec_id, cells, codes
+        |FROM bcells JOIN bl USING (vec_id)""".stripMargin
 
   private def ivfPqDuck(corpusWhere: String, queryWhere: String,
                         k: Int = 3, extraCols: String = "",
@@ -8675,47 +8743,11 @@ object SparkEntry {
     // encode-new: standing cells (rounded-cosine argmax vs the old
     // slice's seeds) + PQ codes (integer argmin vs its refined
     // centroids) for the arriving slice, list-shaped per vector
-    "q328_vector_ingest_encode" ->
-      s"""WITH ${ivfPqFitCtes("WHERE vec_id % 10 <> 7", autoCellsSql)},
-        |b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
-        |ba AS (
-        |  SELECT x.vec_id, s.seed_id,
-        |    ${duckCos("x.embedding", "s.sv")} AS cs
-        |  FROM b x, seeds s
-        |), bcells AS (
-        |  SELECT vec_id, list(seed_id ORDER BY seed_id) AS cells FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cs DESC, seed_id) AS arn
-        |    FROM ba) WHERE arn <= 2
-        |  GROUP BY vec_id
-        |), nrmb AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE /
-        |    sqrt(list_sum(list_transform(embedding,
-        |      y -> y::DOUBLE * y::DOUBLE)))) AS nv
-        |  FROM b
-        |), bcoords AS (
-        |  SELECT vec_id, (i - 1) // 4 AS s, (i - 1) % 4 AS i2,
-        |    nv[i]::DOUBLE AS x
-        |  FROM nrmb CROSS JOIN generate_series(1, 64) t(i)
-        |), bd AS (
-        |  SELECT bcoords.vec_id, bcoords.s, ref.cd,
-        |    sum(CAST(floor((x - mx) * (x - mx) * 1e12 + 0.5)
-        |      AS BIGINT))::BIGINT AS qd
-        |  FROM bcoords JOIN ref
-        |    ON bcoords.s = ref.s AND bcoords.i2 = ref.i2
-        |  GROUP BY 1, 2, 3
-        |), bcodes AS (
-        |  SELECT vec_id, s, cd FROM (
-        |    SELECT vec_id, s, cd,
-        |      row_number() OVER (PARTITION BY vec_id, s
-        |        ORDER BY qd, cd) AS rn
-        |    FROM bd) WHERE rn = 1
-        |), bl AS (
-        |  SELECT vec_id, list(cd ORDER BY s) AS codes
-        |  FROM bcodes GROUP BY vec_id
-        |)
-        |SELECT bcells.vec_id, cells, codes
-        |FROM bcells JOIN bl USING (vec_id)""".stripMargin,
+    "q328_vector_ingest_encode" -> vecEncodeDuck,
+    // the streaming encoder is bit-identical to the batch one
+    // (in-row argmins tie exactly as the groupBy mins) — q328's
+    // replay verbatim
+    "q334_streaming_vector_encode" -> vecEncodeDuck,
     // delta-equivalence (q325) makes the full-rebuild replay the
     // oracle: decisions = resolved clusters + sizes, batch slice only
     "q329_ingest_decisions" ->

@@ -1186,6 +1186,61 @@ object Similarity {
       .agg(max(col("cos")).as("cos"))
   }
 
+  /** STREAMING index-delta encoder — [[ivfPqEncode]] with ZERO
+    * aggregations, legal in APPEND mode with no state at all: the
+    * seed part AND the centroid part each collapse to a one-row
+    * broadcast array, and every arriving vector computes its
+    * `multiAssign` cells and its m PQ codes entirely IN-ROW —
+    * cells by sorting the seed array by (−cos, seed_id), codes by a
+    * per-subspace struct-min over the centroid array (the same
+    * ×10¹²-quantized int64 distances as the fit, so the argmin ties
+    * EXACTLY as the batch encoder's groupBy min). Output rows are
+    * bit-identical to [[ivfPqEncode]]'s (spec-pinned through a real
+    * stream), which makes q328's replay the oracle verbatim.
+    *
+    * Scale shape: the broadcast payload is numCells + m·codes rows
+    * in two single-row arrays; per-vector work is O(cells + m·codes)
+    * dot/fold arithmetic with nothing crossing micro-batches —
+    * the ideal streaming operator shape (no watermark, no state
+    * store, no shuffle). */
+  def streamingIngestEncode(index: DataFrame, stream: DataFrame,
+                            multiAssign: Int = 2, m: Int = 16,
+                            dim: Int = 64, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / m
+    val seedArr = broadcast(index.filter(col("part") === "seed")
+      .select(col("id").as("seed_id"),
+        col("vec").cast("array<float>").as("sv"))
+      .withColumn("sn", norm(col("sv")))
+      .agg(collect_list(struct(col("seed_id"), col("sv"), col("sn")))
+        .as("_seeds")))
+    val centArr = broadcast(index.filter(col("part") === "cent")
+      .select(col("s").as("cs"), col("c").as("cc"), col("vec").as("mv"))
+      .agg(collect_list(struct(col("cs"), col("cc"), col("mv")))
+        .as("_cents")))
+    stream
+      .select(col(idCol), col(vecCol).as("_v"))
+      .withColumn("_qn", norm(col("_v")))
+      // unit-normalized double coords, as pqFit sees them
+      .withColumn("_nv",
+        transform(col("_v"), x => x.cast("double") / col("_qn")))
+      .crossJoin(seedArr).crossJoin(centArr)
+      .withColumn("cells", array_sort(transform(
+        slice(array_sort(transform(col("_seeds"), s =>
+          struct((lit(0.0) - round(dot(col("_v"), s.getField("sv")) /
+            (col("_qn") * s.getField("sn")), 6)).as("negcos"),
+            s.getField("seed_id").as("cell")))), 1, multiAssign),
+        p => p.getField("cell"))))
+      .withColumn("codes", transform(sequence(lit(0L), lit(m - 1L)), sIdx =>
+        array_min(transform(
+          filter(col("_cents"), e => e.getField("cs") === sIdx),
+          e => struct(
+            qdist12(slice(col("_nv"),
+              (sIdx * sub + 1).cast("int"), lit(sub)), e.getField("mv")).as("qd"),
+            e.getField("cc").as("cc")))).getField("cc")))
+      .select(col(idCol), col("cells"), col("codes"))
+  }
+
   /** Standing-index health audit — the cheap scan that says when the
     * IVF layout has degraded: per cell, its vector count and its LOAD
     * (count / mean count across cells; 1.0 = perfectly balanced). A

@@ -179,6 +179,30 @@ class SimilaritySpec extends SparkSpec {
       s"serve flagged a pair the threshold probe missed")
   }
 
+  test("streamingIngestEncode: a real APPEND-mode stream is bit-identical to the batch encoder") {
+    import org.apache.spark.sql.streaming.Trigger
+    val old = emb.filter($"vec_id" % 10 =!= 7)
+    val fresh = emb.filter($"vec_id" % 10 === 7)
+    val index = Similarity.ivfPqIndex(old)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList,
+        r.getSeq[Long](2).toList)).toSet
+    val srcDir = java.nio.file.Files.createTempDirectory("enc-feed")
+      .resolve("feed").toString
+    fresh.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    spark.catalog.dropTempView("enc_spec")
+    Similarity.streamingIngestEncode(index, stream)
+      .writeStream.format("memory").queryName("enc_spec")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = rows(spark.table("enc_spec"))
+    val batch = rows(Similarity.ivfPqEncode(index, fresh))
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("ndcgAtK: hand-computed graded gains, perfect/permuted/whiffed queries") {
     import spark.implicits._
     // q1: prediction inverts the top-2 of (a,g3),(b,g2),(c,g1)
