@@ -1734,6 +1734,262 @@ object SparkEntry {
         .select(col("l_orderkey"), col("o_orderpriority"),
           round(col("_r").cast("double") / 10000, 6).as("revenue"))
     }),
+    // TPC-H Q6 shape (forecasting revenue change): pure scan-side
+    // aggregate -- every predicate reaches the parquet scan, one
+    // partial+final agg, zero joins; revenue = exact cent x pct sum
+    "q335_tpch_q6" -> ((s, dir) => {
+      val pc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val dp = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg((sum((pc * dp).cast("decimal(38,0)")).cast("double") / 10000)
+            .as("_r"),
+          count(lit(1)).as("n_lineitems"))
+        .select(round(col("_r"), 6).as("revenue"), col("n_lineitems"))
+    }),
+    // TPC-H Q4 shape (order-priority checking): EXISTS becomes a
+    // left-semi join -- lineitem never widens the orders side, the
+    // quarter window prunes orders at the scan (schema carries no
+    // commit/receipt dates, so the late-line predicate is returnflag)
+    "q336_tpch_q4" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))),
+    // TPC-H Q7 shape (volume shipping between two nations): both
+    // nation copies pre-filtered to the pair THEN broadcast, so the
+    // fact chain is pruned inside the joins; the cross-pair
+    // disjunction only rejects same-nation flows afterwards
+    "q337_tpch_q7" -> ((s, dir) => {
+      val pc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val dp = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = broadcast(t(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("_n1k"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("_n2k"), col("n_name").as("cust_nation")))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("_n1k"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n2, col("c_nationkey") === col("_n2k"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg((sum((pc * (lit(100L) - dp)).cast("decimal(38,0)"))
+            .cast("double") / 10000).as("_r"),
+          count(lit(1)).as("n_lineitems"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          round(col("_r"), 6).as("revenue"), col("n_lineitems"))
+    }),
+    // TPC-H Q8 shape (national market share): conditional-sum /
+    // total-sum per order year, both sums exact decimal folded in the
+    // SAME aggregate -- one pass, no self-join; region filter prunes
+    // via the broadcast nation->region chain
+    "q338_tpch_q8" -> ((s, dir) => {
+      val pc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val dp = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      val rev = (pc * (lit(100L) - dp)).cast("decimal(38,0)")
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("_n1k"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("_n2k"), col("n_regionkey")))
+      val reg = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n2, col("c_nationkey") === col("_n2k"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("_n1k"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", rev)
+              .otherwise(lit(0).cast("decimal(38,0)"))).cast("double") /
+            sum(rev).cast("double")).as("_ms"),
+          count(lit(1)).as("n_lineitems"))
+        .select(col("o_year"), round(col("_ms"), 6).as("mkt_share"),
+          col("n_lineitems"))
+    }),
+    // TPC-H Q12 shape (shipping-class priority mix): one join + one
+    // conditional aggregate; high/low counted in the same pass
+    // (schema carries no shipmode, so the class is l_linestatus)
+    "q339_tpch_q12" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem")
+            .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_linestatus").as("ship_class"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+    }),
+    // TPC-H Q13 shape (customer order-count distribution): LEFT
+    // OUTER join keeps zero-order customers (their c_count bucket is
+    // the point of the query); the priority predicate filters the
+    // orders side BEFORE the join so it can't turn the join inner
+    "q340_tpch_q13" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))),
+    // TPC-H Q14 shape (promotion effect): conditional / total revenue
+    // ratio over one shipdate month, part broadcast, single aggregate
+    "q341_tpch_q14" -> ((s, dir) => {
+      val pc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val dp = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      val rev = (pc * (lit(100L) - dp)).cast("decimal(38,0)")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(((sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(38,0)"))).cast("double") * 100.0) /
+            sum(rev).cast("double")).as("_p"),
+          count(lit(1)).as("n_lineitems"))
+        .select(round(col("_p"), 6).as("promo_revenue"), col("n_lineitems"))
+    }),
+    // TPC-H Q15 shape (top supplier): the scalar-subquery max becomes
+    // a 1-row broadcast joined back on the EXACT decimal cent sum --
+    // no FP ties, supplier dim broadcast
+    "q342_tpch_q15" -> ((s, dir) => {
+      val pc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val dp = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      val r = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((pc * (lit(100L) - dp)).cast("decimal(38,0)")).as("_tc"))
+      val mx = r.agg(max(col("_tc")).as("_mx"))
+      r.join(broadcast(mx), col("_tc") === col("_mx"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("_tc").cast("double") / 10000, 6).as("total_revenue"))
+    }),
+    // TPC-H Q17 shape (small-quantity orders): the correlated
+    // per-part avg is ONE window over l_partkey -- one shuffle, no
+    // pair self-join; the 20%-of-avg cut compares exact integers
+    // (5*qty*n < sum_qty <=> qty < 0.2*avg)
+    "q343_tpch_q17" -> ((s, dir) => {
+      val pc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val qty = floor(col("l_quantity") + lit(0.5)).cast("long")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") === "Brand#23" && col("p_size") < 25)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), qty.as("_qty"), pc.as("_pc"))
+        .withColumn("_sq", sum(col("_qty")).over(w))
+        .withColumn("_nq", count(lit(1)).over(w))
+        .filter(col("_qty") * 5 * col("_nq") < col("_sq"))
+        .agg(round(sum(col("_pc")).cast("double") / 700, 6).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+    // TPC-H Q18 shape (large-volume customers): the HAVING subquery's
+    // per-order quantity sum is computed once and REUSED as the
+    // output measure (no second lineitem pass); customer broadcast,
+    // global top-100 via TakeOrderedAndProject on the rounded price
+    "q344_tpch_q18" -> ((s, dir) => {
+      val qty = floor(col("l_quantity") + lit(0.5)).cast("long")
+      val big = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), qty.as("_qty"))
+        .groupBy("l_orderkey").agg(sum(col("_qty")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    }),
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    // the three OR branches ride the broadcast hash join as a
+    // residual condition on the p_partkey equi-key -- never cartesian
+    "q345_tpch_q19" -> ((s, dir) => {
+      val pc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val dp = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      val branches =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("p_partkey") === col("l_partkey") && branches)
+        .agg((sum((pc * (lit(100L) - dp)).cast("decimal(38,0)"))
+            .cast("double") / 10000).as("_r"),
+          count(lit(1)).as("n_lineitems"))
+        .select(round(col("_r"), 6).as("revenue"), col("n_lineitems"))
+    }),
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // EXISTS / NOT EXISTS pair is a left-semi + left-anti cascade on
+    // (orderkey, suppkey<>) -- returnflag R marks the late line, the
+    // anti join demands this supplier is the ONLY late one
+    "q346_tpch_q21" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("_ok2"), col("l_suppkey").as("_sk2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("_ok3"), col("l_suppkey").as("_sk3"))
+      l1
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(l2, col("l_orderkey") === col("_ok2") &&
+          col("l_suppkey") =!= col("_sk2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("_ok3") &&
+          col("l_suppkey") =!= col("_sk3"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    }),
+    // TPC-H Q22 shape (global sales opportunity): positive-balance
+    // mean as a 1-row broadcast compared in EXACT integers
+    // (bal_c*n > sum_c <=> bal > avg; bal<=1e8 cents x n<=1e9 rows
+    // stays under int64), dormant = anti join against recent orders
+    // (every customer here has SOME order, so "no orders since 1999"
+    // is the faithful dormancy predicate)
+    "q347_tpch_q22" -> ((s, dir) => {
+      val balC = floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+      val pool = t(s, dir, "customer")
+        .filter(col("c_nationkey").isin(0, 3, 7, 11, 14, 17, 21))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          balC.as("_bal"))
+      val st = pool.filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("_bal")).as("_s"), count(lit(1)).as("_n"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      pool.crossJoin(broadcast(st))
+        .filter(col("_bal") * col("_n") > col("_s"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("_bal")).cast("double") / 100, 2).as("totacctbal"))
+    }),
     // OLS fit/apply (2 features + intercept): normal equations from
     // ONE exact moment agg on even orderkeys, Cramer closed-form
     // solve, scan-speed predict/residual on odd orderkeys
@@ -4978,6 +5234,184 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderpriority,
         |  round(rc::DOUBLE / 10000, 6) AS revenue
         |FROM r""".stripMargin,
+    // scan-only predicate aggregate; revenue = exact cent x pct sum
+    "q335_tpch_q6" ->
+      """SELECT round(sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))::HUGEINT
+        |    )::DOUBLE / 10000, 6) AS revenue,
+        |  count(*)::BIGINT AS n_lineitems
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // EXISTS dual of the left-semi plan
+    "q336_tpch_q4" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    // two-nation flows by ship year; same cent-exact revenue
+    "q337_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  round(sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))::HUGEINT
+        |    )::DOUBLE / 10000, 6) AS revenue,
+        |  count(*)::BIGINT AS n_lineitems
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // conditional/total HUGEINT sums folded in one aggregate
+    "q338_tpch_q8" ->
+      """WITH flat AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    (CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))::HUGEINT AS rev,
+        |    n1.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT o_year,
+        |  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |      ELSE 0::HUGEINT END)::DOUBLE / sum(rev)::DOUBLE, 6) AS mkt_share,
+        |  count(*)::BIGINT AS n_lineitems
+        |FROM flat GROUP BY 1""".stripMargin,
+    // high/low priority line counts per linestatus class
+    "q339_tpch_q12" ->
+      """SELECT l_linestatus AS ship_class,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    // zero-order customers survive the left join into the c_count=0
+    // bucket
+    "q340_tpch_q13" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey) cc
+        |GROUP BY 1""".stripMargin,
+    // promo share of one month's revenue, both sums HUGEINT-exact
+    "q341_tpch_q14" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |      THEN (CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))::HUGEINT
+        |      ELSE 0::HUGEINT END)::DOUBLE
+        |    / sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))::HUGEINT
+        |    )::DOUBLE, 6) AS promo_revenue,
+        |  count(*)::BIGINT AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    // scalar-subquery max matched on the exact cent sum
+    "q342_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))::HUGEINT
+        |    ) AS total_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  round(total_c::DOUBLE / 10000, 6) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_c = (SELECT max(total_c) FROM rev)""".stripMargin,
+    // correlated per-part avg as integer cross-multiplication
+    "q343_tpch_q17" ->
+      """WITH liw AS (
+        |  SELECT l_partkey, CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23' AND p_size < 25),
+        |st AS (SELECT l_partkey, sum(qty) AS sq, count(*)::BIGINT AS nq
+        |  FROM liw GROUP BY 1)
+        |SELECT round(sum(pc)::DOUBLE / 700, 6) AS avg_yearly,
+        |  count(*)::BIGINT AS n_lines
+        |FROM liw JOIN st USING (l_partkey)
+        |WHERE qty * 5 * nq < sq""".stripMargin,
+    // HAVING subquery reused as the output measure; top-100 on the
+    // rounded price with orderkey tiebreak
+    "q344_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 2) AS o_totalprice, total_qty::BIGINT AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // disjunctive residual on the partkey equi-join
+    "q345_tpch_q19" ->
+      """SELECT round(sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))::HUGEINT
+        |    )::DOUBLE / 10000, 6) AS revenue,
+        |  count(*)::BIGINT AS n_lineitems
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |      AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |      AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |      AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    // EXISTS / NOT EXISTS dual of the semi+anti cascade
+    "q346_tpch_q21" ->
+      """SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    // above-exact-mean balance, dormant since 1999 (NOT EXISTS)
+    "q347_tpch_q22" ->
+      """WITH pool AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_nationkey IN (0, 3, 7, 11, 14, 17, 21)),
+        |st AS (SELECT sum(bal_c) AS s, count(*)::BIGINT AS n
+        |  FROM pool WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey AS cntrycode, count(*)::BIGINT AS numcust,
+        |  round(sum(bal_c)::DOUBLE / 100, 2) AS totacctbal
+        |FROM pool, st
+        |WHERE bal_c * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin,
     // q25's exact all-pairs truth at 0.8 + q24's LSH replay on the
     // same block; verified LSH output is a subset, so recall is the
     // priced number

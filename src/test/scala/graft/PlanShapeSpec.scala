@@ -397,6 +397,46 @@ class PlanShapeSpec extends SparkSpec {
       s"segment filter not pushed:\n$p")
   }
 
+  test("q335 (TPC-H Q6): scan-side predicates pushed, zero joins") {
+    val p = plan("q335_tpch_q6")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate range not pushed:\n$p")
+    assert(!p.contains("Join"), s"Q6 grew a join:\n$p")
+  }
+
+  test("q336/q346 (TPC-H Q4/Q21): EXISTS stays semi, NOT EXISTS stays anti") {
+    assert(plan("q336_tpch_q4").contains("LeftSemi"))
+    val p21 = plan("q346_tpch_q21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"semi+anti cascade lost:\n$p21")
+  }
+
+  test("q337/q338/q345 (TPC-H Q7/Q8/Q19): dims broadcast, never cartesian") {
+    for (q <- Seq("q337_tpch_q7", "q338_tpch_q8", "q345_tpch_q19")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dims not broadcast:\n$p")
+      assert(!p.toLowerCase.contains("cartesianproduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: degenerate join:\n$p")
+    }
+  }
+
+  test("q340 (TPC-H Q13): the join stays LEFT OUTER — zero-order customers kept") {
+    val p = plan("q340_tpch_q13")
+    assert(p.contains("LeftOuter"), s"left join turned inner:\n$p")
+  }
+
+  test("q343 (TPC-H Q17): correlated avg is ONE window, never a self-join") {
+    val p = plan("q343_tpch_q17")
+    assert(p.contains("Window"), s"window plan lost:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"per-part stats grew a lineitem self-join:\n$p")
+  }
+
+  test("q344 (TPC-H Q18): global top-100 is TakeOrderedAndProject") {
+    val p = plan("q344_tpch_q18")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-100:\n$p")
+  }
+
   test("q248: the coordinated cascade stays semi-join end to end") {
     val p = plan("q248_coordinated_sample")
     assert(p.contains("LeftSemi"), s"semi-join cascade lost:\n$p")
