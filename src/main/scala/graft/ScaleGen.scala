@@ -87,6 +87,50 @@ object ScaleGen {
       col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
   }
 
+  /** TPC-H star replication with CONSISTENT key strides: every join
+    * edge (orders→customer, lineitem→{orders, part, supplier}) stays
+    * inside its replica, so per-replica join/group structure equals
+    * the source exactly while join fan-in, group counts and top-k
+    * candidate pools scale with k. Names suffix `_r` for rep > 0 the
+    * way TPC-H's own SF scaling grows the name space (group-by-name
+    * cardinality must scale with the corpus, not saturate at the
+    * source's 100 suppliers); measures (dates, quantities, prices,
+    * balances, flags) pass through, so predicate selectivities and
+    * per-replica aggregates are bit-identical to the source.
+    * nation/region stay fixed — 25/5 at every SF in TPC-H proper. */
+  def scaleOrders(o: DataFrame, k: Int, oStride: Long,
+                  cStride: Long): DataFrame =
+    o.crossJoin(reps(o.sparkSession, k)).select(
+      (col("o_orderkey") + col("rep") * oStride).as("o_orderkey"),
+      (col("o_custkey") + col("rep") * cStride).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"))
+
+  def scaleLineitem(li: DataFrame, k: Int, oStride: Long, pStride: Long,
+                    sStride: Long): DataFrame =
+    li.crossJoin(reps(li.sparkSession, k)).select(
+      (col("l_orderkey") + col("rep") * oStride).as("l_orderkey"),
+      (col("l_partkey") + col("rep") * pStride).as("l_partkey"),
+      (col("l_suppkey") + col("rep") * sStride).as("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate"))
+
+  private def repName(c: Column): Column =
+    when(col("rep") === 0, c).otherwise(concat(c, lit("_"), col("rep")))
+
+  def scaleCustomer(c: DataFrame, k: Int, cStride: Long): DataFrame =
+    c.crossJoin(reps(c.sparkSession, k)).select(
+      (col("c_custkey") + col("rep") * cStride).as("c_custkey"),
+      repName(col("c_name")).as("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment"))
+
+  def scaleSupplier(s: DataFrame, k: Int, sStride: Long): DataFrame =
+    s.crossJoin(reps(s.sparkSession, k)).select(
+      (col("s_suppkey") + col("rep") * sStride).as("s_suppkey"),
+      repName(col("s_name")).as("s_name"), col("s_nationkey"),
+      col("s_acctbal"))
+
   /** Ids/users stride; times, types, values, props pass through. */
   def scaleEvents(ev: DataFrame, k: Int, eStride: Long,
                   uStride: Long): DataFrame =
@@ -156,10 +200,21 @@ object ScaleGen {
     write(scaleEvents(ev, k, stride(ev, "event_id", 10),
       stride(ev.filter(col("user_id").isNotNull), "user_id", 100)), "events")
 
-    // dims pass through unscaled (the scale-sensitive families under
-    // measurement read documents/embeddings/part/events)
-    Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
-      .foreach(t => write(read(t), t))
+    // TPC-H star: facts and keyed dims replicate with consistent
+    // strides (every join edge stays inside its replica); nation and
+    // region stay fixed, as in TPC-H proper
+    val orders = read("orders"); val customer = read("customer")
+    val supplier = read("supplier")
+    val oStride = stride(orders, "o_orderkey", 10)
+    val cStride = stride(customer, "c_custkey", 10)
+    val sStride = stride(supplier, "s_suppkey", 10)
+    val pStride = stride(part, "p_partkey", 10)
+    write(scaleOrders(orders, k, oStride, cStride), "orders")
+    write(scaleLineitem(read("lineitem"), k, oStride, pStride, sStride),
+      "lineitem")
+    write(scaleCustomer(customer, k, cStride), "customer")
+    write(scaleSupplier(supplier, k, sStride), "supplier")
+    Seq("region", "nation").foreach(t => write(read(t), t))
     spark.stop()
   }
 }

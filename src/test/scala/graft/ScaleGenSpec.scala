@@ -104,6 +104,43 @@ class ScaleGenSpec extends SparkSpec {
     assert(out(12L)._1.isEmpty, "NULL user_id must stay NULL")
   }
 
+  test("tpch star: every join edge stays inside its replica; names scale, measures verbatim") {
+    val orders = Seq((5L, 2L, "O", 100.0,
+        java.sql.Timestamp.valueOf("1996-03-01 00:00:00"), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq((5L, 7L, 3L, 1L, 10.0, 900.0, 0.05, 0.02, "R", "O",
+        java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val cust = Seq((2L, "Customer#2", 4L, 55.5, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val supp = Seq((3L, "Supplier#3", 9L, 7.7))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val o2 = ScaleGen.scaleOrders(orders, 3, 10L, 100L)
+    val l2 = ScaleGen.scaleLineitem(li, 3, 10L, 1000L, 10000L)
+    val c2 = ScaleGen.scaleCustomer(cust, 3, 100L)
+    val s2 = ScaleGen.scaleSupplier(supp, 3, 10000L)
+    // join edges resolve within the replica: zero orphans, k×source
+    // matches on every edge
+    assert(l2.join(o2, l2("l_orderkey") === o2("o_orderkey")).count() == 3)
+    assert(o2.join(c2, o2("o_custkey") === c2("c_custkey")).count() == 3)
+    assert(l2.join(s2, l2("l_suppkey") === s2("s_suppkey")).count() == 3)
+    // group-by-name cardinality scales with k (names suffix _r);
+    // replica 0 passes through verbatim
+    assert(s2.select("s_name").distinct().count() == 3)
+    assert(c2.filter(col("c_custkey") === 2L).head.getString(1) == "Customer#2")
+    assert(s2.filter(col("s_suppkey") === 20003L).head.getString(1)
+      == "Supplier#3_2")
+    // measures verbatim in every replica: predicate selectivity and
+    // per-replica aggregates stay bit-identical to the source
+    val r2 = l2.filter(col("l_orderkey") === 25L).head
+    assert(r2.getDouble(4) == 10.0 && r2.getDouble(5) == 900.0 &&
+      r2.getString(8) == "R")
+    assert(o2.filter(col("o_orderkey") === 25L).head.getDouble(3) == 100.0)
+  }
+
   test("stride: smallest multiple of mod above max; clear error on all-NULL") {
     val df = Seq(19L, 3L).toDF("id")
     assert(ScaleGen.stride(df, "id", 10L) == 20L)
