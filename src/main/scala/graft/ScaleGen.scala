@@ -195,7 +195,10 @@ object ScaleGen {
     val emb = read("embeddings")
     write(scaleEmbeddings(emb, k, stride(emb, "vec_id", 100)), "embeddings")
     val part = read("part")
-    write(scalePart(part, k, stride(part, "p_partkey", 10)), "part")
+    // computed BEFORE the scaled part is written: lineitem below must
+    // stride l_partkey with the exact value scalePart used
+    val pStride = stride(part, "p_partkey", 10)
+    write(scalePart(part, k, pStride), "part")
     val ev = read("events")
     write(scaleEvents(ev, k, stride(ev, "event_id", 10),
       stride(ev.filter(col("user_id").isNotNull), "user_id", 100)), "events")
@@ -208,7 +211,6 @@ object ScaleGen {
     val oStride = stride(orders, "o_orderkey", 10)
     val cStride = stride(customer, "c_custkey", 10)
     val sStride = stride(supplier, "s_suppkey", 10)
-    val pStride = stride(part, "p_partkey", 10)
     write(scaleOrders(orders, k, oStride, cStride), "orders")
     write(scaleLineitem(read("lineitem"), k, oStride, pStride, sStride),
       "lineitem")
