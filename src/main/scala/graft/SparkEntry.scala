@@ -1990,6 +1990,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("_bal")).cast("double") / 100, 2).as("totacctbal"))
     }),
+    // Simplified silhouette per label over the embedding corpus:
+    // centroid-based a/b (linear, not the O(n^2) classic), one-row
+    // broadcast centroid array, in-row HOF argmin -- corpus never
+    // shuffles
+    "q348_cluster_silhouette" -> ((s, dir) =>
+      Similarity.clusterSilhouette(t(s, dir, "embeddings"))),
+    // Davies-Bouldin index over the same labels: the single-number
+    // companion (lower = better separated)
+    "q349_davies_bouldin" -> ((s, dir) =>
+      Similarity.daviesBouldin(t(s, dir, "embeddings"))),
     // OLS fit/apply (2 features + intercept): normal equations from
     // ONE exact moment agg on even orderkeys, Cramer closed-form
     // solve, scan-speed predict/residual on odd orderkeys
@@ -4401,6 +4411,22 @@ object SparkEntry {
       |)
       |""".stripMargin
 
+  /** Shared centroid ladder for the cluster-quality duals (q348,
+    * q349): per-label ×10⁶-int64 coordinate sums → the same
+    * bit-deterministic centroids `Similarity.centroidTable` builds. */
+  private val clusterEvalCentroidCte: String =
+    """WITH ex AS (
+        |  SELECT label AS l, embedding AS v FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |co AS (
+        |  SELECT l AS cl, d,
+        |    sum(CAST(floor(v[d]::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS sq,
+        |    count(*) AS n
+        |  FROM ex CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) g
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT cl, list(sq::DOUBLE / (n * 1e6) ORDER BY d) AS cent
+        |  FROM co GROUP BY 1)""".stripMargin
+
   private val minhashClustersCte: String =
     """WITH RECURSIVE base AS (
         |  SELECT doc_id, list_distinct(list_transform(
@@ -5412,6 +5438,59 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1""".stripMargin,
+    // centroid ladder shared by q348/q349: ×10⁶-int coordinate sums
+    // → bit-deterministic centroids; distances fold the same
+    // ×10¹²-int terms as the Spark HOF
+    "q348_cluster_silhouette" ->
+      (clusterEvalCentroidCte + """,
+        |qd AS (
+        |  SELECT rid, l, cl,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST(floor((v[i]::DOUBLE - cent[i]) * (v[i]::DOUBLE - cent[i])
+        |        * 1e12 + 0.5) AS BIGINT))) AS qd
+        |  FROM (SELECT row_number() OVER () AS rid, l, v FROM ex) e
+        |  CROSS JOIN cent),
+        |ab AS (
+        |  SELECT rid, l,
+        |    max(CASE WHEN cl = l THEN qd END) AS aq,
+        |    min(CASE WHEN cl <> l THEN qd END) AS bq
+        |  FROM qd GROUP BY 1, 2),
+        |s AS (
+        |  SELECT l,
+        |    CASE WHEN greatest(aq, bq) = 0 THEN 0.0
+        |      ELSE (sqrt(bq::DOUBLE) - sqrt(aq::DOUBLE))
+        |        / greatest(sqrt(aq::DOUBLE), sqrt(bq::DOUBLE)) END AS s
+        |  FROM ab WHERE bq IS NOT NULL)
+        |SELECT l AS label, count(*)::BIGINT AS n_vectors,
+        |  round(sum(CAST(floor(s * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
+        |    / count(*) / 1e12, 6) AS mean_silhouette
+        |FROM s GROUP BY 1""").stripMargin,
+    "q349_davies_bouldin" ->
+      (clusterEvalCentroidCte + """,
+        |own AS (
+        |  SELECT l, list_sum(list_transform(generate_series(1, 64), i ->
+        |    CAST(floor((v[i]::DOUBLE - cent[i]) * (v[i]::DOUBLE - cent[i])
+        |      * 1e12 + 0.5) AS BIGINT))) AS qd
+        |  FROM ex JOIN cent ON ex.l = cent.cl),
+        |sk AS (
+        |  SELECT l, sum(CAST(floor(sqrt(qd::DOUBLE / 1e12) * 1e12 + 0.5)
+        |    AS BIGINT)::HUGEINT) AS sd, count(*) AS n
+        |  FROM own GROUP BY 1),
+        |s2 AS (SELECT l, sd::DOUBLE / n / 1e12 AS S FROM sk),
+        |cd AS (
+        |  SELECT cj.cl AS jl, ck.cl AS kl,
+        |    list_sum(list_transform(generate_series(1, 64), i ->
+        |      CAST(floor((cj.cent[i] - ck.cent[i]) * (cj.cent[i] - ck.cent[i])
+        |        * 1e12 + 0.5) AS BIGINT))) AS qm
+        |  FROM cent cj JOIN cent ck ON cj.cl <> ck.cl),
+        |rk AS (
+        |  SELECT kl, max((j.S + k.S) / sqrt(qm::DOUBLE / 1e12)) AS R
+        |  FROM cd JOIN s2 j ON j.l = jl JOIN s2 k ON k.l = kl
+        |  WHERE qm > 0 GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_clusters,
+        |  round(sum(CAST(floor(R * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
+        |    / count(*) / 1e12, 6) AS db_index
+        |FROM rk""").stripMargin,
     // q25's exact all-pairs truth at 0.8 + q24's LSH replay on the
     // same block; verified LSH output is a subset, so recall is the
     // priced number

@@ -1415,4 +1415,117 @@ object Similarity {
           dist(col("_ap"), col("_bp")) / dist(col("_av"), col("_bv"))), 6)
           .as("ratio"))
   }
+
+  /** Per-label centroids as ordered double arrays. Coordinates are
+    * ×10⁶-quantized int64 sums divided by n·10⁶ — exact integer
+    * aggregation makes each centroid BIT-deterministic under any
+    * partitioning/engine, and the (labels × dim) relation is tiny, so
+    * it broadcasts. Two map-side-combining aggregates; the corpus is
+    * read once. */
+  private def centroidTable(emb: DataFrame, labelCol: String,
+                            vecCol: String): DataFrame =
+    emb.select(col(labelCol).as("_cl"),
+        posexplode(col(vecCol)).as(Seq("_d", "_x")))
+      .groupBy(col("_cl"), col("_d"))
+      .agg(sum(floor(col("_x").cast("double") * 1e6 + lit(0.5)).cast("long"))
+          .as("_sq"),
+        count(lit(1)).as("_n"))
+      .groupBy(col("_cl"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_d"), col("_sq"), col("_n")))),
+        e => e.getField("_sq").cast("double") /
+          (e.getField("_n") * 1e6)).as("_cent"))
+
+  /** Simplified (centroid-based) silhouette per cluster: a(i)/b(i)
+    * are Euclidean distances to the own/nearest-other CENTROID, which
+    * turns the classic O(n²) pairwise silhouette into two linear
+    * passes — the only formulation that scales to a 100 TB corpus,
+    * and the standard large-scale variant. The a/b comparison happens
+    * on the exact ×10¹²-int64 squared distances (sqrt is monotone, so
+    * argmin over ints IS argmin over distances); s(i) itself uses
+    * identical double operands in any engine, and the per-cluster
+    * mean folds ×10¹²-quantized s values as exact integers.
+    * s(i) = 0 when the point coincides with both centroids
+    * (max(a,b) = 0); single-cluster input yields no rows (b(i) is
+    * undefined — the classic's contract). NULL label/vector rows are
+    * excluded. Returns (label, n_vectors, mean_silhouette).
+    * Cluster-quality gate for curation: a low-silhouette domain label
+    * means the mixture weights ride a mushy clustering. */
+  def clusterSilhouette(emb: DataFrame, labelCol: String = "label",
+                        vecCol: String = "embedding"): DataFrame = {
+    val e = emb.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).as("_l"), col(vecCol).as("_v"))
+    // the centroid table collapses to a ONE-ROW broadcast array, so
+    // a(i)/b(i) are in-row HOF folds — the corpus never shuffles, and
+    // the only exchange left is the k-row label aggregate
+    val centArr = broadcast(centroidTable(e, "_l", "_v")
+      .agg(collect_list(struct(col("_cl"), col("_cent"))).as("_ca")))
+    val sqrtA = sqrt(col("_aq").cast("double"))
+    val sqrtB = sqrt(col("_bq").cast("double"))
+    e.crossJoin(centArr)
+      .select(col("_l"),
+        element_at(transform(
+            filter(col("_ca"), c => c.getField("_cl") === col("_l")),
+            c => qdist12(col("_v"), c.getField("_cent"))), 1).as("_aq"),
+        array_min(transform(
+            filter(col("_ca"), c => c.getField("_cl") =!= col("_l")),
+            c => qdist12(col("_v"), c.getField("_cent")))).as("_bq"))
+      .filter(col("_bq").isNotNull)
+      .select(col("_l"),
+        floor((when(greatest(col("_aq"), col("_bq")) === 0L, lit(0.0))
+            .otherwise((sqrtB - sqrtA) / greatest(sqrtA, sqrtB))) * 1e12 +
+          lit(0.5)).cast("long").as("_sq12"))
+      .groupBy(col("_l"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("_sq12").cast("decimal(38,0)")).as("_ss"))
+      .select(col("_l").as("label"), col("n_vectors"),
+        round(col("_ss").cast("double") / col("n_vectors") / 1e12, 6)
+          .as("mean_silhouette"))
+  }
+
+  /** Davies–Bouldin index: DB = mean over clusters k of
+    * max_{j≠k} (S_j + S_k) / M_jk, with S = mean distance to own
+    * centroid and M = centroid separation. Lower is better; the
+    * companion single-number to [[clusterSilhouette]]'s per-cluster
+    * view. S folds ×10¹²-quantized distances as exact decimal(38,0)
+    * sums (a plain int64 sum would saturate near 10⁶ rows × large
+    * distances); the cluster-level algebra runs on a k-row relation
+    * (k = #labels), so every join here is broadcast-sized. Pairs with
+    * coincident centroids (M = 0, ratio → ∞) are excluded rather
+    * than poisoning the quantized mean — a merged-label pathology the
+    * caller should catch via [[clusterSilhouette]] anyway. Returns
+    * 1 row (n_clusters, db_index); empty input yields n_clusters = 0
+    * with NULL index. */
+  def daviesBouldin(emb: DataFrame, labelCol: String = "label",
+                    vecCol: String = "embedding"): DataFrame = {
+    val e = emb.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).as("_l"), col(vecCol).as("_v"))
+    val cents = broadcast(centroidTable(e, "_l", "_v"))
+    val sk = e.join(cents, col("_l") === col("_cl"))
+      .select(col("_l"),
+        floor(sqrt(qdist12(col("_v"), col("_cent")).cast("double") / 1e12) *
+          1e12 + lit(0.5)).cast("long").as("_dq"))
+      .groupBy(col("_l"))
+      .agg(sum(col("_dq").cast("decimal(38,0)")).as("_sd"),
+        count(lit(1)).as("_n"))
+      .select(col("_l"),
+        (col("_sd").cast("double") / col("_n") / 1e12).as("_S"))
+    val j = sk.select(col("_l").as("_j"), col("_S").as("_Sj"))
+      .join(cents.select(col("_cl").as("_j2"), col("_cent").as("_cj")),
+        col("_j") === col("_j2"))
+    val k = sk.select(col("_l").as("_k"), col("_S").as("_Sk"))
+      .join(cents.select(col("_cl").as("_k2"), col("_cent").as("_ck")),
+        col("_k") === col("_k2"))
+    val m = sqrt(qdist12(col("_cj"), col("_ck")).cast("double") / 1e12)
+    j.join(k, col("_j") =!= col("_k"))
+      .filter(qdist12(col("_cj"), col("_ck")) > 0L)
+      .select(col("_k"), ((col("_Sj") + col("_Sk")) / m).as("_r"))
+      .groupBy(col("_k")).agg(max(col("_r")).as("_R"))
+      .select(floor(col("_R") * 1e12 + lit(0.5)).cast("long").as("_rq"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("_rq").cast("decimal(38,0)")).as("_sr"))
+      .select(col("n_clusters"),
+        round(col("_sr").cast("double") / col("n_clusters") / 1e12, 6)
+          .as("db_index"))
+  }
 }

@@ -432,6 +432,15 @@ class PlanShapeSpec extends SparkSpec {
       s"per-part stats grew a lineitem self-join:\n$p")
   }
 
+  test("q348/q349: centroids broadcast; the embedding corpus is never sort-merge joined") {
+    for (q <- Seq("q348_cluster_silhouette", "q349_davies_bouldin")) {
+      val p = plan(q)
+      assert(p.contains("Broadcast"), s"$q: centroid table not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: corpus-sized shuffle join:\n$p")
+      assert(!p.contains("Window"), s"$q: window crept into the argmin:\n$p")
+    }
+  }
+
   test("q344 (TPC-H Q18): global top-100 is TakeOrderedAndProject") {
     val p = plan("q344_tpch_q18")
     assert(p.contains("TakeOrderedAndProject"), s"full sort for top-100:\n$p")

@@ -706,4 +706,54 @@ class SimilaritySpec extends SparkSpec {
     val mean = ratios.sum / ratios.length
     assert(mean > 0.6 && mean < 1.4, s"mean distortion $mean")
   }
+
+  test("clusterSilhouette: hand-computed centroids/a/b; singleton=1; single cluster empty; coincident=0") {
+    // A = {(0,0),(0,2)} centroid (0,1); B = {(10,0),(10,2)} centroid
+    // (10,1): a² = 1, b² = 101 for every point → s = 1 − 1/√101
+    val emb = Seq(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(0f, 2f), 0),
+      (3L, Seq(10f, 0f), 1), (4L, Seq(10f, 2f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterSilhouette(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0) == ((2L, 0.900496)) && out(1) == ((2L, 0.900496)), s"$out")
+    // singleton cluster: a = 0 (its centroid IS the point) → s = 1
+    val emb2 = Seq(
+      (1L, Seq(0f, 0f), 0),
+      (3L, Seq(10f, 0f), 1), (4L, Seq(10f, 2f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out2 = Similarity.clusterSilhouette(emb2).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out2(0) == 1.0, s"$out2")
+    assert(out2(1) == 0.900971, s"$out2") // mean of 0.9 and 1−1/√104
+    // single cluster: b undefined → no rows (the classic's contract)
+    val one = Seq((1L, Seq(0f, 0f), 0), (2L, Seq(0f, 2f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.clusterSilhouette(one).count() == 0)
+    // coincident centroids AND point: max(a,b) = 0 defines s = 0
+    val co = Seq((1L, Seq(5f, 5f), 0), (2L, Seq(5f, 5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out3 = Similarity.clusterSilhouette(co).collect()
+      .map(_.getDouble(2)).toSeq
+    assert(out3 == Seq(0.0, 0.0), s"$out3")
+  }
+
+  test("daviesBouldin: hand case S=1 each, M=10 → DB = 0.2; coincident pair excluded") {
+    val emb = Seq(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(0f, 2f), 0),
+      (3L, Seq(10f, 0f), 1), (4L, Seq(10f, 2f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.daviesBouldin(emb).head
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 0.2, s"$r")
+    // a third label whose centroid coincides with label 0's: the
+    // M = 0 pair is excluded, the finite pairs still score
+    val emb2 = Seq(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(0f, 2f), 0),
+      (3L, Seq(10f, 0f), 1), (4L, Seq(10f, 2f), 1),
+      (5L, Seq(0f, 0f), 2), (6L, Seq(0f, 2f), 2))
+      .toDF("vec_id", "embedding", "label")
+    // all surviving pairs still have S_j + S_k = 2, M = 10 → DB = 0.2
+    val r2 = Similarity.daviesBouldin(emb2).head
+    assert(r2.getLong(0) == 3L && r2.getDouble(1) == 0.2, s"$r2")
+  }
 }
