@@ -2000,6 +2000,12 @@ object SparkEntry {
     // companion (lower = better separated)
     "q349_davies_bouldin" -> ((s, dir) =>
       Similarity.daviesBouldin(t(s, dir, "embeddings"))),
+    // External cluster validity: ARI (exact decimal pair-counting) +
+    // NMI (quantized ln terms) + purity between the two document
+    // labelings -- one reduced (lang, source) count shuffle
+    "q350_clustering_agreement" -> ((s, dir) =>
+      Analytics.clusteringAgreement(t(s, dir, "documents"),
+        col("lang"), col("source"))),
     // OLS fit/apply (2 features + intercept): normal equations from
     // ONE exact moment agg on even orderkeys, Cramer closed-form
     // solve, scan-speed predict/residual on odd orderkeys
@@ -5438,6 +5444,42 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1""".stripMargin,
+    // exact HUGEINT pair-counting (even factor halved first), same
+    // ×10¹² ln-term quantization; ARI NULL on a 0 denominator
+    "q350_clustering_agreement" ->
+      """WITH ct AS (
+        |  SELECT lang AS a, source AS b, count(*)::BIGINT AS n
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(n)::BIGINT AS ai FROM ct GROUP BY 1),
+        |rb AS (SELECT b, sum(n)::BIGINT AS bj FROM ct GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS t,
+        |  sum((CASE WHEN n % 2 = 0 THEN (n // 2) * (n - 1)
+        |    ELSE n * ((n - 1) // 2) END)::HUGEINT) AS sij FROM ct),
+        |sa AS (SELECT sum((CASE WHEN ai % 2 = 0 THEN (ai // 2) * (ai - 1)
+        |  ELSE ai * ((ai - 1) // 2) END)::HUGEINT) AS sa FROM ra),
+        |sb AS (SELECT sum((CASE WHEN bj % 2 = 0 THEN (bj // 2) * (bj - 1)
+        |  ELSE bj * ((bj - 1) // 2) END)::HUGEINT) AS sb FROM rb),
+        |mi AS (SELECT sum(CAST(floor((n::DOUBLE / t) *
+        |    ln((t::DOUBLE * n) / (ai::DOUBLE * bj)) * 1e12 + 0.5)
+        |    AS BIGINT)::HUGEINT) AS mi
+        |  FROM ct JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot),
+        |ha AS (SELECT sum(CAST(floor(-(ai::DOUBLE / t) * ln(ai::DOUBLE / t)
+        |    * 1e12 + 0.5) AS BIGINT)::HUGEINT) AS ha FROM ra CROSS JOIN tot),
+        |hb AS (SELECT sum(CAST(floor(-(bj::DOUBLE / t) * ln(bj::DOUBLE / t)
+        |    * 1e12 + 0.5) AS BIGINT)::HUGEINT) AS hb FROM rb CROSS JOIN tot),
+        |pu AS (SELECT sum(mx)::BIGINT AS pu FROM
+        |  (SELECT a, max(n) AS mx FROM ct GROUP BY 1) q),
+        |cn AS (SELECT (CASE WHEN t % 2 = 0 THEN (t // 2) * (t - 1)
+        |  ELSE t * ((t - 1) // 2) END)::HUGEINT AS cn FROM tot)
+        |SELECT t AS n_points,
+        |  round(CASE WHEN (cn * (sa + sb) - 2 * sa * sb) <> 0
+        |    THEN (2 * (sij * cn - sa * sb))::DOUBLE
+        |      / (cn * (sa + sb) - 2 * sa * sb)::DOUBLE END, 6) AS ari,
+        |  round(CASE WHEN ha > 0 AND hb > 0
+        |    THEN mi::DOUBLE / sqrt(ha::DOUBLE * hb::DOUBLE) END, 6) AS nmi,
+        |  round(pu::DOUBLE / t, 6) AS purity
+        |FROM tot, cn, sa, sb, mi, ha, hb, pu""".stripMargin,
     // centroid ladder shared by q348/q349: ×10⁶-int coordinate sums
     // → bit-deterministic centroids; distances fold the same
     // ×10¹²-int terms as the Spark HOF

@@ -2011,4 +2011,80 @@ object Analytics {
         round((lit(1.0) - lit(p)) *
           (coalesce(col("_q"), lit(0L)).cast("double") / 1e9), 6).as("rbo"))
   }
+
+  /** Agreement between two labelings of the same rows — the external
+    * cluster-validity triple:
+    *  - **ARI** (adjusted Rand): pure pair-counting combinatorics,
+    *    carried as EXACT decimal(38,0) integers end to end —
+    *    ARI = 2·(Σᵢⱼ C(nᵢⱼ,2)·C(n,2) − ΣC(aᵢ,2)·ΣC(bⱼ,2)) /
+    *          (C(n,2)·(ΣC(aᵢ,2)+ΣC(bⱼ,2)) − 2·ΣC(aᵢ,2)·ΣC(bⱼ,2)),
+    *    the half-integer-free cross-multiplied form; only the final
+    *    division is floating point, on identical operands in any
+    *    engine. Bounds: n ≤ 2·10⁹ keeps every product under 10³⁸.
+    *  - **NMI** = MI/√(Hₐ·H_b) with each ln-term ×10¹²-quantized and
+    *    summed as integers (summation-order-free); NULL when either
+    *    marginal entropy is 0 (a single-cluster labeling).
+    *  - **purity** of A-clusters against B-classes = Σₐ maxᵦ nₐᵦ / n
+    *    (exact integers; note it's asymmetric and inflates as |A|
+    *    grows — that's why ARI/NMI ride along).
+    * One reduced (a, b) count shuffle; everything after runs on the
+    * |A|×|B| contingency relation, which broadcasts. NULL labels on
+    * either side are excluded. Returns 1 row
+    * (n_points, ari, nmi, purity). */
+  def clusteringAgreement(df: DataFrame, aCol: Column,
+                          bCol: Column): DataFrame = {
+    // C(n,2) with the even factor halved FIRST (exact integer
+    // shiftright), so the long product stays inside int64 under the
+    // documented n ≤ 2·10⁹ bound; widened to decimal only after
+    def c2(n: Column) = when(pmod(n, lit(2L)) === 0,
+        shiftright(n, 1) * (n - lit(1L)))
+      .otherwise(n * shiftright(n - lit(1L), 1)).cast("decimal(38,0)")
+    // the contingency relation is the ONE pass over the corpus; it's
+    // |A|×|B|-sized, so materialize it eagerly and derive everything
+    // else from the checkpoint (five lazy reuses would mean five
+    // corpus scans)
+    val ct = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("_a"), bCol.as("_b"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
+    val ra = ct.groupBy("_a").agg(sum(col("_n")).as("_ai"))
+    val rb = ct.groupBy("_b").agg(sum(col("_n")).as("_bj"))
+    val tot = broadcast(ct.agg(sum(col("_n")).as("_t"),
+      sum(c2(col("_n"))).as("_sij")))
+    val sa = broadcast(ra.agg(sum(c2(col("_ai"))).as("_sa")))
+    val sb = broadcast(rb.agg(sum(c2(col("_bj"))).as("_sb")))
+    // ×10¹²-quantized ln terms: MI over cells, marginal entropies
+    def q12(c: Column) = floor(c * 1e12 + lit(0.5)).cast("long")
+    val mi = ct.join(broadcast(ra), "_a").join(broadcast(rb), "_b")
+      .crossJoin(tot)
+      .select(q12((col("_n").cast("double") / col("_t")) *
+        log((col("_t").cast("double") * col("_n")) /
+          (col("_ai").cast("double") * col("_bj")))).as("_m"))
+      .agg(sum(col("_m").cast("decimal(38,0)")).as("_mi"))
+    def entropy(c: String): Column =
+      sum(q12(-(col(c).cast("double") / col("_t")) *
+        log(col(c).cast("double") / col("_t"))).cast("decimal(38,0)"))
+    val ha = ra.crossJoin(tot).agg(entropy("_ai").as("_ha"))
+    val hb = rb.crossJoin(tot).agg(entropy("_bj").as("_hb"))
+    val pur = ct.groupBy("_a").agg(max(col("_n")).as("_mx"))
+      .agg(sum(col("_mx")).as("_pu"))
+    val cn = c2(col("_t"))
+    tot.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .crossJoin(broadcast(mi)).crossJoin(broadcast(ha))
+      .crossJoin(broadcast(hb)).crossJoin(broadcast(pur))
+      .withColumn("_den", cn * (col("_sa") + col("_sb")) -
+        lit(2).cast("decimal(38,0)") * col("_sa") * col("_sb"))
+      .select(col("_t").as("n_points"),
+        // both labelings a single cluster ⇒ denominator 0 ⇒ ARI
+        // undefined (NULL), not a 0/0 NaN
+        round(when(col("_den") =!= 0,
+          (lit(2).cast("decimal(38,0)") *
+            (col("_sij") * cn - col("_sa") * col("_sb"))).cast("double") /
+            col("_den").cast("double")), 6).as("ari"),
+        round(when(col("_ha") > 0 && col("_hb") > 0,
+          col("_mi").cast("double") /
+            sqrt(col("_ha").cast("double") * col("_hb").cast("double"))),
+          6).as("nmi"),
+        round(col("_pu").cast("double") / col("_t"), 6).as("purity"))
+  }
 }

@@ -932,4 +932,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(topAgree.getDouble(3) > botAgree.getDouble(3),
       s"$topAgree vs $botAgree")
   }
+
+  test("clusteringAgreement: identical=1/1/1, crossed=-0.5/0/0.5, single-cluster ARI/NMI NULL") {
+    def run(pairs: Seq[(String, String)]) =
+      Analytics.clusteringAgreement(pairs.toDF("x", "y"), col("x"), col("y"))
+        .head
+    // identical partitions: perfect agreement on all three
+    val same = run(Seq("a" -> "p", "a" -> "p", "b" -> "q", "b" -> "q"))
+    assert(same.getLong(0) == 4L && same.getDouble(1) == 1.0 &&
+      same.getDouble(2) == 1.0 && same.getDouble(3) == 1.0, s"$same")
+    // fully crossed 2x2: sij=0, sa=sb=2, C(4,2)=6 ->
+    // ARI = 2*(0-4)/(6*4-8) = -0.5; MI terms all ln(1)=0 -> NMI 0;
+    // purity = (1+1)/4
+    val cross = run(Seq("a" -> "p", "a" -> "q", "b" -> "p", "b" -> "q"))
+    assert(cross.getDouble(1) == -0.5 && cross.getDouble(2) == 0.0 &&
+      cross.getDouble(3) == 0.5, s"$cross")
+    // both labelings a single cluster: ARI denominator 0, entropies 0
+    val one = run(Seq("a" -> "p", "a" -> "p"))
+    assert(one.isNullAt(1) && one.isNullAt(2) && one.getDouble(3) == 1.0,
+      s"$one")
+    // NULL labels excluded
+    val withNull = Analytics.clusteringAgreement(
+      Seq(("a", "p"), ("a", "p"), (null, "q"), ("b", null), ("b", "q"))
+        .toDF("x", "y"), col("x"), col("y")).head
+    assert(withNull.getLong(0) == 3L, s"$withNull")
+  }
 }
