@@ -2000,6 +2000,11 @@ object SparkEntry {
     // companion (lower = better separated)
     "q349_davies_bouldin" -> ((s, dir) =>
       Similarity.daviesBouldin(t(s, dir, "embeddings"))),
+    // Benford goodness-of-fit on the price column: q154's screen is
+    // per-group |obs-exp|; this is the single-table chi-square with
+    // zero-digit rows KEPT (chi2 = N*p) and fixed Benford constants
+    "q351_benford_gof" -> ((s, dir) =>
+      Profiling.benfordGof(t(s, dir, "lineitem"), col("l_extendedprice"))),
     // External cluster validity: ARI (exact decimal pair-counting) +
     // NMI (quantized ln terms) + purity between the two document
     // labelings -- one reduced (lang, source) count shuffle
@@ -5444,6 +5449,29 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1""".stripMargin,
+    // exact cent-int first digit via VARCHAR of a BIGINT; the fixed
+    // 12-decimal Benford constants are shared verbatim with the
+    // Spark side
+    "q351_benford_gof" ->
+      """WITH vals AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |cnt AS (
+        |  SELECT substr(pc::VARCHAR, 1, 1)::INT AS digit,
+        |    count(*)::BIGINT AS nd
+        |  FROM vals WHERE pc > 0 GROUP BY 1),
+        |tot AS (SELECT sum(nd)::BIGINT AS N FROM cnt),
+        |sp AS (SELECT d AS digit, p::DOUBLE AS p FROM (VALUES
+        |  (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608),
+        |  (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631),
+        |  (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561))
+        |  t(d, p))
+        |SELECT digit, coalesce(nd, 0)::BIGINT AS n,
+        |  round(coalesce(nd, 0)::DOUBLE / N, 6) AS obs_share,
+        |  round(p, 6) AS benford_share,
+        |  round((coalesce(nd, 0)::DOUBLE - N * p)
+        |    * (coalesce(nd, 0)::DOUBLE - N * p) / (N * p), 6) AS chi2_term
+        |FROM sp LEFT JOIN cnt USING (digit) CROSS JOIN tot""".stripMargin,
     // exact HUGEINT pair-counting (even factor halved first), same
     // ×10¹² ln-term quantization; ARI NULL on a 0 denominator
     "q350_clustering_agreement" ->

@@ -839,4 +839,48 @@ object Profiling {
         round(when(col("_hy") > 0, (col("_hy") - col("_hyx")) / col("_hy")),
           6).as("theils_u"))
   }
+
+  /** log10(1 + 1/d) for d = 1..9 as FIXED 12-decimal constants —
+    * shared verbatim with the oracle dual, so no libm log10 ever
+    * enters the comparison (its last-ulp behavior differs across
+    * engines). They sum to 1 + 10⁻¹², which round-6 absorbs. */
+  private val benfordP = Seq(0.301029995664, 0.176091259056,
+    0.124938736608, 0.096910013008, 0.079181246048, 0.066946789631,
+    0.057991946978, 0.051152522447, 0.045757490561)
+
+  /** Benford GOODNESS-OF-FIT over a positive money column — the
+    * single-table χ² statistic companion to [[benfordAudit]]'s
+    * per-group |obs−exp| screen, with two properties the screen
+    * deliberately doesn't have: zero-observation digits still appear
+    * (their χ² term is N·p — DROPPING an absent digit understates
+    * the very deviation being tested), and the Benford expectation is
+    * a fixed 12-decimal constant table ([[benfordP]]) rather than a
+    * runtime log10, so no libm enters the dual at all. The first
+    * significant digit comes from the EXACT cent integer rendered as
+    * a string (long→string is engine-identical; ×100 never changes a
+    * leading significant digit). Sub-cent values (pc ≤ 0) and NULLs
+    * are excluded. One map-side-combining 9-group aggregate;
+    * everything after runs on the 9-row spine. χ² total = sum of the
+    * returned terms (vs χ²₈ critical values). Empty input returns
+    * the spine with n = 0 and NULL shares.
+    * Returns (digit, n, obs_share, benford_share, chi2_term). */
+  def benfordGof(df: DataFrame, valueCol: Column): DataFrame = {
+    val pc = floor(valueCol * 100 + lit(0.5)).cast("long")
+    val counts = df.filter(valueCol.isNotNull && pc > 0)
+      .select(substring(pc.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("_nd"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"),
+        element_at(array(benfordP.map(lit): _*), col("id").cast("int"))
+          .as("_p"))
+    val tot = broadcast(counts.agg(sum(col("_nd")).as("_N")))
+    val n = coalesce(col("_nd"), lit(0L))
+    val dev = n.cast("double") - col("_N") * col("_p")
+    broadcast(spine).join(counts, Seq("digit"), "left_outer")
+      .crossJoin(tot)
+      .select(col("digit"), n.as("n"),
+        round(n.cast("double") / col("_N"), 6).as("obs_share"),
+        round(col("_p"), 6).as("benford_share"),
+        round(dev * dev / (col("_N") * col("_p")), 6).as("chi2_term"))
+  }
 }

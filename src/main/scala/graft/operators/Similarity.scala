@@ -1449,6 +1449,14 @@ object Similarity {
     * (max(a,b) = 0); single-cluster input yields no rows (b(i) is
     * undefined — the classic's contract). NULL label/vector rows are
     * excluded. Returns (label, n_vectors, mean_silhouette).
+    *
+    * Cost is O(n · k · dim) with k = label count — b(i) is an exact
+    * min over ALL other centroids, so a workload whose cluster count
+    * grows with the corpus pays n·k quadratically (measured:
+    * SCALING.md round-8). With bounded k (domain labels, the usual
+    * curation case) it is one linear scan. For corpus-scale k, prune
+    * candidates with [[ivfSearch]]'s cell structure first.
+    *
     * Cluster-quality gate for curation: a low-silhouette domain label
     * means the mixture weights ride a mushy clustering. */
   def clusterSilhouette(emb: DataFrame, labelCol: String = "label",

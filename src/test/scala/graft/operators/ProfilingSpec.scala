@@ -449,4 +449,25 @@ class ProfilingSpec extends SparkSpec {
       l = 4L, maxSharePct = 100L).collect().head
     assert(d.getLong(2) == 3L, s"null band not counted: $d")
   }
+
+  test("benfordGof: exact cent digit, zero-digit rows kept, sub-cent/negative/null excluded") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // pc = 100, 1999, 250, 30000 → digits 1,1,2,3; 0.004 (pc=0),
+    // −5 and NULL excluded → N = 4
+    val df = Seq(Some(1.0), Some(19.99), Some(2.5), Some(300.0),
+      Some(0.004), Some(-5.0), None).toDF("v")
+    val out = Profiling.benfordGof(df, col("v")).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.size == 9)
+    assert(out(1).getLong(1) == 2L && out(1).getDouble(2) == 0.5)
+    assert(out(2).getLong(1) == 1L && out(2).getDouble(2) == 0.25)
+    val p1 = 0.301029995664
+    val dev1 = 2.0 - 4 * p1
+    assert(out(1).getDouble(4) == r6(dev1 * dev1 / (4 * p1)), s"${out(1)}")
+    // zero-observation digit: χ² term = N·p
+    assert(out(9).getLong(1) == 0L &&
+      out(9).getDouble(4) == r6(4 * 0.045757490561), s"${out(9)}")
+    assert(out(1).getDouble(3) == 0.30103)
+  }
 }
