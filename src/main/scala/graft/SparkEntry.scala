@@ -2000,6 +2000,10 @@ object SparkEntry {
     // companion (lower = better separated)
     "q349_davies_bouldin" -> ((s, dir) =>
       Similarity.daviesBouldin(t(s, dir, "embeddings"))),
+    // Flesch reading-ease per doc: exact word/sentence/vowel-run
+    // counts, scan-only -- the classic readability quality signal
+    "q352_readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"))),
     // Benford goodness-of-fit on the price column: q154's screen is
     // per-group |obs-exp|; this is the single-table chi-square with
     // zero-digit rows KEPT (chi2 = N*p) and fixed Benford constants
@@ -5449,6 +5453,28 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1""".stripMargin,
+    // same [a-z0-9]+ tokens and [aeiouy]+ vowel runs; zero-word
+    // syllable sum coalesced to 0 (duck's empty list_sum is NULL,
+    // Spark's 0-init fold is 0)
+    "q352_readability" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id,
+        |    len(words)::BIGINT AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+        |      AS n_sentences,
+        |    coalesce(list_sum(list_transform(words, w ->
+        |      greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0)
+        |      ::BIGINT AS n_syllables
+        |  FROM base)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(CASE WHEN n_words > 0 THEN 206.835
+        |    - 1.015 * (n_words::DOUBLE / n_sentences)
+        |    - 84.6 * (n_syllables::DOUBLE / n_words) END, 6) AS flesch
+        |FROM cnt""".stripMargin,
     // exact cent-int first digit via VARCHAR of a BIGINT; the fixed
     // 12-decimal Benford constants are shared verbatim with the
     // Spark side

@@ -979,4 +979,41 @@ object TextAnalysis {
           .as("r_star"),
         round(col("_n1").cast("double") / col("_N"), 6).as("p_unseen"))
   }
+
+  /** Flesch reading-ease per document — the classic readability
+    * signal next to [[qualityScore]]'s length/punct/stopword blend:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    * Counts only, no model: words are the engine's standard
+    * `[a-z0-9]+` tokens; syllables ≈ vowel RUNS (`[aeiouy]+`) per
+    * word floored at 1 (vowel-less tokens like "7" count one);
+    * sentences = `[.!?]+` runs floored at 1 (an unpunctuated doc is
+    * one sentence). All three are exact integers — the formula is
+    * the only floating-point step, on identical operands in any
+    * engine (the regexes use no class Java and RE2 disagree on).
+    * Zero-word docs yield NULL flesch. Scan-only projection: no
+    * shuffle, no join; the explode-free HOF keeps it one codegen
+    * stage. Returns (id, n_words, n_sentences, n_syllables,
+    * flesch). */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val words = regexp_extract_all(lower(col(textCol)),
+      lit("[a-z0-9]+"), lit(0))
+    val syll = aggregate(transform(words, w =>
+      greatest(lit(1), size(regexp_extract_all(w, lit("[aeiouy]+"),
+        lit(0))))), lit(0L), (acc, v) => acc + v)
+    val sent = greatest(lit(1),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))))
+    docs.select(col(idCol),
+      size(words).cast("long").as("n_words"),
+      sent.cast("long").as("n_sentences"),
+      syll.as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(when(col("n_words") > 0,
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words"))), 6).as("flesch"))
+  }
 }

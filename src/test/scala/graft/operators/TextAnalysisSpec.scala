@@ -491,4 +491,26 @@ class TextAnalysisSpec extends SparkSpec {
     val tiny = TextAnalysis.goodTuring(Seq((1L, "solo")).toDF("doc_id", "text"))
     assert(tiny.isEmpty)
   }
+
+  test("readability: hand Flesch, vowel-less token counts one syllable, zero-word NULL") {
+    // 6 words, 2 sentences, 6 one-run syllables:
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19
+    val docs = Seq(
+      (1L, "The cat sat. It ran fast!"),
+      (2L, "7"),        // vowel-less single token: 1 word, 1 syllable
+      (3L, "... !!!"))  // no words at all
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 6L && out(1L).getLong(2) == 2L &&
+      out(1L).getLong(3) == 6L, s"${out(1L)}")
+    assert(out(1L).getDouble(4) == 119.19, s"${out(1L)}")
+    assert(out(2L).getLong(1) == 1L && out(2L).getLong(3) == 1L,
+      s"${out(2L)}")
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(4), s"${out(3L)}")
+    // multi-run word: "beautiful" = eau|i|u → 3 runs
+    val multi = TextAnalysis.readability(
+      Seq((1L, "beautiful")).toDF("doc_id", "text")).head
+    assert(multi.getLong(3) == 3L, s"$multi")
+  }
 }
