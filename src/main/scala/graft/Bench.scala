@@ -137,8 +137,17 @@ object Bench {
         (if (errs.isEmpty) "},\n" else "\n  },\n")
       detail ++= s"""  "queries_sec": {""" + ok.map { case (k, v) =>
         s"\n    ${jstr(k)}: ${ms(v)}" }.mkString(",") + "\n  }\n}\n"
+      // Canonical /root/testdata runs own BENCH_detail.json; any
+      // other corpus (e.g. a /tmp ScaleGen snapshot) writes a
+      // suffixed file instead — a scaling capture must never
+      // clobber the round's official per-query record.
+      val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL",
+        if (sfDir.startsWith("/root/testdata")) "BENCH_detail.json"
+        else "BENCH_detail_" +
+          java.nio.file.Paths.get(sfDir).getFileName.toString
+            .replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_detail.json"), detail.toString)
+        java.nio.file.Paths.get(detailPath), detail.toString)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }

@@ -4439,7 +4439,7 @@ object SparkEntry {
         |    count(*) AS n
         |  FROM ex CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) g
         |  GROUP BY 1, 2),
-        |cent AS (SELECT cl, list(sq::DOUBLE / (n * 1e6) ORDER BY d) AS cent
+        |cent AS (SELECT cl, list(sq::DOUBLE / n / 1e6 ORDER BY d) AS cent
         |  FROM co GROUP BY 1)""".stripMargin
 
   private val minhashClustersCte: String =
@@ -5460,7 +5460,7 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT doc_id, text,
         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS words
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |cnt AS (
         |  SELECT doc_id,
         |    len(words)::BIGINT AS n_words,

@@ -876,7 +876,11 @@ object Profiling {
     val tot = broadcast(counts.agg(sum(col("_nd")).as("_N")))
     val n = coalesce(col("_nd"), lit(0L))
     val dev = n.cast("double") - col("_N") * col("_p")
-    broadcast(spine).join(counts, Seq("digit"), "left_outer")
+    // broadcast the RIGHT side: a left-outer join can only
+    // build-broadcast its right input (a hint on the streamed left
+    // side is silently dropped and the 9×9 join falls back to size
+    // estimation on the aggregate)
+    spine.join(broadcast(counts), Seq("digit"), "left_outer")
       .crossJoin(tot)
       .select(col("digit"), n.as("n"),
         round(n.cast("double") / col("_N"), 6).as("obs_share"),

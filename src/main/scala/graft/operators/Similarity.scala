@@ -534,23 +534,13 @@ object Similarity {
                        vecCol: String = "embedding",
                        partCol: String = "label"): DataFrame = {
     require(bottomNth >= 1)
-    val comp = corpus
-      .select(col(partCol).as("_lbl"), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
-      .withColumn("_vq",
-        floor(col("_v").cast("double") * 1000000 + lit(0.5)).cast("long"))
-      .groupBy("_lbl", "_pos")
-      .agg(sum("_vq").as("_s"), count(lit(1)).as("_n"))
-      .withColumn("_c", col("_s").cast("double") / col("_n") / 1000000.0)
-    val cent = comp.groupBy("_lbl")
-      .agg(sort_array(collect_list(struct(col("_pos"), col("_c")))).as("_pc"))
-      .select(col("_lbl"),
-        transform(col("_pc"), x => x.getField("_c")).as("_cv"))
+    val cent = centroidTable(corpus, partCol, vecCol)
     val dotc = aggregate(
-      zip_with(col(vecCol), col("_cv"), (a, b) => a.cast("double") * b),
+      zip_with(col(vecCol), col("_cent"), (a, b) => a.cast("double") * b),
       lit(0.0), (acc, x) => acc + x)
-    val cnorm = sqrt(aggregate(col("_cv"), lit(0.0), (acc, x) => acc + x * x))
+    val cnorm = sqrt(aggregate(col("_cent"), lit(0.0), (acc, x) => acc + x * x))
     val scored = corpus
-      .join(broadcast(cent), col(partCol) === col("_lbl"))
+      .join(broadcast(cent), col(partCol) === col("_cl"))
       .withColumn("cos", round(dotc / (norm(col(vecCol)) * cnorm), 6))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(partCol).orderBy(col("cos"), col(idCol))
@@ -1283,13 +1273,9 @@ object Similarity {
   def centroidDrift(snapA: DataFrame, snapB: DataFrame,
                     labelCol: String = "label",
                     vecCol: String = "embedding"): DataFrame = {
-    def comp(df: DataFrame) = df
-      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(labelCol).as("_l"), posexplode(col(vecCol)).as(Seq("_i", "_v")))
-      .groupBy("_l", "_i")
-      .agg(sum(floor(col("_v").cast("double") * 1000000 + lit(0.5))
-        .cast("long")).as("_s"), count(lit(1)).as("_n"))
-      .withColumn("_m", col("_s").cast("double") / col("_n") / 1000000.0)
+    def comp(df: DataFrame) = centroidComponents(
+      df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull),
+      labelCol, vecCol)
     val a = comp(snapA).select(col("_l"), col("_i"), col("_m").as("_ma"),
       col("_n").as("_na"))
     val b = comp(snapB).select(col("_l"), col("_i"), col("_m").as("_mb"),
@@ -1416,25 +1402,35 @@ object Similarity {
           .as("ratio"))
   }
 
-  /** Per-label centroids as ordered double arrays. Coordinates are
-    * ×10⁶-quantized int64 sums divided by n·10⁶ — exact integer
-    * aggregation makes each centroid BIT-deterministic under any
-    * partitioning/engine, and the (labels × dim) relation is tiny, so
-    * it broadcasts. Two map-side-combining aggregates; the corpus is
-    * read once. */
+  /** THE per-label quantized-centroid component recipe — the single
+    * source of truth shared by [[centroidTable]], [[centroidDrift]]
+    * and [[centroidOutliers]] (previously three hand-rolled copies
+    * whose FP division orders could drift apart). Per (label, dim):
+    * the ×10⁶-quantized int64 coordinate sum `_s`, the count `_n`,
+    * and the mean `_m` = `_s / _n / 10⁶` — exact integer aggregation
+    * makes every component BIT-deterministic under any partitioning/
+    * engine, and the division order is part of the cross-engine
+    * contract (duals use `s::DOUBLE / n / 1e6`, never `s/(n·1e6)` —
+    * last-ulp-different on the same sums). Map-side-combining
+    * aggregate; the corpus is read once. */
+  private[operators] def centroidComponents(df: DataFrame, labelCol: String,
+                                            vecCol: String): DataFrame =
+    df.select(col(labelCol).as("_l"), posexplode(col(vecCol)).as(Seq("_i", "_v")))
+      .groupBy("_l", "_i")
+      .agg(sum(floor(col("_v").cast("double") * 1000000 + lit(0.5))
+        .cast("long")).as("_s"), count(lit(1)).as("_n"))
+      .withColumn("_m", col("_s").cast("double") / col("_n") / 1000000.0)
+
+  /** Per-label centroids as ordered double arrays, assembled from
+    * [[centroidComponents]]. The (labels × dim) relation is tiny, so
+    * it broadcasts. */
   private def centroidTable(emb: DataFrame, labelCol: String,
                             vecCol: String): DataFrame =
-    emb.select(col(labelCol).as("_cl"),
-        posexplode(col(vecCol)).as(Seq("_d", "_x")))
-      .groupBy(col("_cl"), col("_d"))
-      .agg(sum(floor(col("_x").cast("double") * 1e6 + lit(0.5)).cast("long"))
-          .as("_sq"),
-        count(lit(1)).as("_n"))
-      .groupBy(col("_cl"))
+    centroidComponents(emb, labelCol, vecCol)
+      .groupBy(col("_l").as("_cl"))
       .agg(transform(
-        array_sort(collect_list(struct(col("_d"), col("_sq"), col("_n")))),
-        e => e.getField("_sq").cast("double") /
-          (e.getField("_n") * 1e6)).as("_cent"))
+        array_sort(collect_list(struct(col("_i"), col("_m")))),
+        e => e.getField("_m")).as("_cent"))
 
   /** Simplified (centroid-based) silhouette per cluster: a(i)/b(i)
     * are Euclidean distances to the own/nearest-other CENTROID, which
@@ -1524,10 +1520,15 @@ object Similarity {
     val k = sk.select(col("_l").as("_k"), col("_S").as("_Sk"))
       .join(cents.select(col("_cl").as("_k2"), col("_cent").as("_ck")),
         col("_k") === col("_k2"))
-    val m = sqrt(qdist12(col("_cj"), col("_ck")).cast("double") / 1e12)
+    // fold the 64-element centroid distance ONCE per pair — filter
+    // and ratio both read the materialized _qm column (two inline
+    // copies of the HOF would double the per-pair work and could
+    // drift apart under future edits)
     j.join(k, col("_j") =!= col("_k"))
-      .filter(qdist12(col("_cj"), col("_ck")) > 0L)
-      .select(col("_k"), ((col("_Sj") + col("_Sk")) / m).as("_r"))
+      .withColumn("_qm", qdist12(col("_cj"), col("_ck")))
+      .filter(col("_qm") > 0L)
+      .select(col("_k"), ((col("_Sj") + col("_Sk")) /
+        sqrt(col("_qm").cast("double") / 1e12)).as("_r"))
       .groupBy(col("_k")).agg(max(col("_r")).as("_R"))
       .select(floor(col("_R") * 1e12 + lit(0.5)).cast("long").as("_rq"))
       .agg(count(lit(1)).as("n_clusters"),

@@ -990,6 +990,9 @@ object TextAnalysis {
     * one sentence). All three are exact integers — the formula is
     * the only floating-point step, on identical operands in any
     * engine (the regexes use no class Java and RE2 disagree on).
+    * NULL-text docs are excluded (the counts are undefined, and
+    * engines disagree on NULL-array folds — Spark's aggregate
+    * yields NULL where DuckDB's coalesced list_sum yields 0).
     * Zero-word docs yield NULL flesch. Scan-only projection: no
     * shuffle, no join; the explode-free HOF keeps it one codegen
     * stage. Returns (id, n_words, n_sentences, n_syllables,
@@ -1003,7 +1006,7 @@ object TextAnalysis {
         lit(0))))), lit(0L), (acc, v) => acc + v)
     val sent = greatest(lit(1),
       size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))))
-    docs.select(col(idCol),
+    docs.filter(col(textCol).isNotNull).select(col(idCol),
       size(words).cast("long").as("n_words"),
       sent.cast("long").as("n_sentences"),
       syll.as("n_syllables"))

@@ -441,6 +441,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q351: digit counts broadcast onto the 9-row spine; no sort-merge join") {
+    val p = plan("q351_benford_gof")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"q351: digit-count join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q351: shuffle join on the 9-row spine:\n$p")
+  }
+
   test("q344 (TPC-H Q18): global top-100 is TakeOrderedAndProject") {
     val p = plan("q344_tpch_q18")
     assert(p.contains("TakeOrderedAndProject"), s"full sort for top-100:\n$p")

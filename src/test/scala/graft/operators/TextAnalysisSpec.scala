@@ -498,10 +498,13 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = Seq(
       (1L, "The cat sat. It ran fast!"),
       (2L, "7"),        // vowel-less single token: 1 word, 1 syllable
-      (3L, "... !!!"))  // no words at all
+      (3L, "... !!!"),  // no words at all
+      (4L, null))       // NULL text: excluded, not emitted
       .toDF("doc_id", "text")
-    val out = TextAnalysis.readability(docs).collect()
-      .map(r => r.getLong(0) -> r).toMap
+    val rows = TextAnalysis.readability(docs).collect()
+    assert(rows.length == 3 && !rows.exists(_.getLong(0) == 4L),
+      s"NULL-text doc must be excluded: ${rows.mkString(";")}")
+    val out = rows.map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getLong(1) == 6L && out(1L).getLong(2) == 2L &&
       out(1L).getLong(3) == 6L, s"${out(1L)}")
     assert(out(1L).getDouble(4) == 119.19, s"${out(1L)}")
