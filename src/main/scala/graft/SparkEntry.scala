@@ -2015,6 +2015,30 @@ object SparkEntry {
     "q350_clustering_agreement" -> ((s, dir) =>
       Analytics.clusteringAgreement(t(s, dir, "documents"),
         col("lang"), col("source"))),
+    // Nelson-Aalen cumulative hazard on q193's censored recipe: the
+    // hazard-side read of the same at-risk bookkeeping (NA survival
+    // >= KM pointwise); d/n terms from identical int64 operands
+    "q353_nelson_aalen" -> ((s, dir) =>
+      Analytics.nelsonAalen(
+        t(s, dir, "events").filter(col("event_type").isNotNull)
+          .select(col("event_type"), (col("event_id") % 30 + 1).as("dur"),
+            col("event_id")),
+        "event_type", "dur", col("event_id") % 3 =!= 0)),
+    // Labeling-QA agreement report: the q22 langid heuristic scored
+    // against the gold lang column -- per-class P/R/F1 from the int64
+    // contingency table, Cohen's kappa + macro-F1 attached
+    "q354_agreement_report" -> ((s, dir) =>
+      Analytics.classificationReport(t(s, dir, "documents"),
+        col("lang"), graft.functions.TextFunctions.langId(col("text")))),
+    // Average precision (step PR-AUC) on q195's recipe: tie-robust
+    // threshold sweep, x10^12-quantized terms summed as decimal --
+    // the imbalance-proof companion to ROC-AUC
+    "q355_avg_precision" -> ((s, dir) =>
+      Analytics.averagePrecision(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("dow", expr("(ts div 86400000000000) % 7")),
+        "dow", expr("cast(floor(value * 100 + 0.5) as bigint)"),
+        col("event_type") === "purchase")),
     // OLS fit/apply (2 features + intercept): normal equations from
     // ONE exact moment agg on even orderkeys, Cramer closed-form
     // solve, scan-speed predict/residual on odd orderkeys
@@ -5498,6 +5522,123 @@ object SparkEntry {
         |  round((coalesce(nd, 0)::DOUBLE - N * p)
         |    * (coalesce(nd, 0)::DOUBLE - N * p) / (N * p), 6) AS chi2_term
         |FROM sp LEFT JOIN cnt USING (digit) CROSS JOIN tot""".stripMargin,
+    // q193's at-risk CTE verbatim; the running hazard sum accumulates
+    // in the same distinct-dur window order as Spark
+    "q353_nelson_aalen" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id % 30 + 1 AS dur,
+        |    CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END AS d
+        |  FROM events WHERE event_type IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, dur, sum(d)::BIGINT AS n_events,
+        |    count(*)::BIGINT AS cnt
+        |  FROM base GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, dur, n_events,
+        |    sum(cnt) OVER (PARTITION BY event_type)
+        |      - coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM c
+        |), h AS (
+        |  SELECT event_type, dur, n_risk::BIGINT AS n_risk, n_events,
+        |    sum(n_events::DOUBLE / n_risk)
+        |      OVER (PARTITION BY event_type ORDER BY dur) AS hz
+        |  FROM r
+        |)
+        |SELECT event_type, dur, n_risk, n_events,
+        |  round(hz, 6) AS cum_hazard, round(exp(-hz), 6) AS na_survival
+        |FROM h""".stripMargin,
+    // q22's langid CASE verbatim as the predicted side; per-class
+    // metrics from the int64 contingency table, kappa's gold x pred
+    // products summed as HUGEINT, macro-F1 over x10^12-quantized F1s
+    // with the divisions in Spark's order (sum / k / 1e12)
+    "q354_agreement_report" ->
+      """WITH t AS (
+        |  SELECT lang, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE lang IS NOT NULL
+        |), pc AS (
+        |  SELECT lang AS g,
+        |    CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |         WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+        |         WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |         WHEN c_fr >= c_es THEN 'fr'
+        |         ELSE 'es' END AS p
+        |  FROM (
+        |    SELECT lang, text,
+        |      len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS c_en,
+        |      len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x))) AS c_de,
+        |      len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de','du','pour'], x))) AS c_fr,
+        |      len(list_filter(toks, x -> list_contains(['el','los','las','y','es','si','una','como','por','para'], x))) AS c_es
+        |    FROM t)
+        |), ct AS (SELECT g, p, count(*)::BIGINT AS n FROM pc GROUP BY 1, 2),
+        |gt AS (SELECT g AS lg, sum(n)::BIGINT AS ng FROM ct GROUP BY 1),
+        |pt AS (SELECT p AS lp, sum(n)::BIGINT AS np FROM ct GROUP BY 1),
+        |tp AS (SELECT g AS lt, n AS tp FROM ct WHERE g = p),
+        |pclass AS (
+        |  SELECT coalesce(lg, lp) AS label,
+        |    coalesce(ng, 0)::BIGINT AS n_gold,
+        |    coalesce(np, 0)::BIGINT AS n_pred,
+        |    coalesce(tp, 0)::BIGINT AS tp,
+        |    CASE WHEN coalesce(np, 0) > 0
+        |      THEN coalesce(tp, 0)::DOUBLE / np END AS prec,
+        |    CASE WHEN coalesce(ng, 0) > 0
+        |      THEN coalesce(tp, 0)::DOUBLE / ng END AS rec
+        |  FROM gt FULL JOIN pt ON lg = lp
+        |  LEFT JOIN tp ON coalesce(lg, lp) = lt
+        |), f AS (
+        |  SELECT label, n_gold, n_pred, tp, prec, rec,
+        |    CASE WHEN tp = 0 THEN 0.0
+        |      ELSE 2.0 * prec * rec / (prec + rec) END AS f1
+        |  FROM pclass
+        |), tot AS (
+        |  SELECT sum(n)::BIGINT AS N,
+        |    sum(CASE WHEN g = p THEN n ELSE 0 END)::BIGINT AS agree
+        |  FROM ct
+        |), pe AS (
+        |  SELECT sum((ng * np)::HUGEINT) AS gp
+        |  FROM gt JOIN pt ON lg = lp
+        |), mac AS (
+        |  SELECT sum(CAST(floor(f1 * 1e12 + 0.5) AS BIGINT)) AS qf,
+        |    count(*)::BIGINT AS k
+        |  FROM f
+        |)
+        |SELECT label, n_gold, n_pred, tp,
+        |  round(prec, 6) AS precision, round(rec, 6) AS recall,
+        |  round(f1, 6) AS f1,
+        |  round(agree::DOUBLE / N, 6) AS accuracy,
+        |  round(CASE WHEN coalesce(gp::DOUBLE, 0.0) / N / N < 1.0
+        |    THEN (agree::DOUBLE / N - coalesce(gp::DOUBLE, 0.0) / N / N)
+        |      / (1.0 - coalesce(gp::DOUBLE, 0.0) / N / N) END, 6) AS kappa,
+        |  round(qf::DOUBLE / k / 1e12, 6) AS macro_f1
+        |FROM f CROSS JOIN tot CROSS JOIN pe CROSS JOIN mac""".stripMargin,
+    // q195's (dow, cents, y) base; step-function AP over distinct
+    // descending thresholds -- tie-robust, x10^12-quantized terms
+    // summed as HUGEINT, divisions in Spark's order
+    "q355_avg_precision" ->
+      """WITH base AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 % 7 AS dow,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT dow, s, sum(y)::BIGINT AS pos, count(*)::BIGINT AS cnt
+        |  FROM base GROUP BY 1, 2
+        |), lv AS (
+        |  SELECT dow, pos, cnt,
+        |    sum(pos) OVER (PARTITION BY dow ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tpc,
+        |    sum(cnt) OVER (PARTITION BY dow ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kc
+        |  FROM c
+        |)
+        |SELECT dow, sum(pos)::BIGINT AS n_pos,
+        |  (sum(cnt) - sum(pos))::BIGINT AS n_neg,
+        |  round(sum(CAST(floor(pos::DOUBLE * (tpc::DOUBLE / kc) * 1e12 + 0.5)
+        |      AS BIGINT)::HUGEINT)::DOUBLE / sum(pos) / 1e12, 6)
+        |    AS avg_precision
+        |FROM lv GROUP BY dow HAVING sum(pos) > 0""".stripMargin,
     // exact HUGEINT pair-counting (even factor halved first), same
     // ×10¹² ln-term quantization; ARI NULL on a 0 denominator
     "q350_clustering_agreement" ->

@@ -2087,4 +2087,162 @@ object Analytics {
           6).as("nmi"),
         round(col("_pu").cast("double") / col("_t"), 6).as("purity"))
   }
+
+  /** Nelson–Aalen cumulative hazard per group: H(t) = Σ_{u ≤ t} d_u/n_u
+    * over the same at-risk bookkeeping as [[kaplanMeier]], plus the
+    * derived survival exp(−H) — the hazard-side read of the same
+    * censored data (NA survival ≥ KM survival pointwise; the gap is a
+    * discreteness diagnostic). Censored rows leave the risk set
+    * without an event, exactly the standard estimator.
+    *
+    * Determinism: every d_u/n_u term is one division of identical
+    * int64 operands, and the running Σ rides ONE ordered window
+    * (distinct t per row → a unique accumulation order on any
+    * engine) — the same posture as KM's Σln. d = n is fine here
+    * (term 1, no ln(0) hazard), so no extinct pin is needed.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — one (group, t)
+    * shuffle with map-side combine, a groups-sized broadcast of
+    * totals, two frames over one group-partitioned window sort;
+    * output is (group × distinct-t)-sized. */
+  def nelsonAalen(df: DataFrame, groupCol: String, durCol: String,
+                  observedCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(groupCol).isNotNull && col(durCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(durCol).as("_t"),
+        when(observedCol, lit(1L)).otherwise(lit(0L)).as("_d"))
+    val c = base.groupBy("_g", "_t")
+      .agg(sum("_d").as("_d"), count(lit(1)).as("_c"))
+    val tot = c.groupBy("_g").agg(sum("_c").as("_tot"))
+    val w = Window.partitionBy("_g").orderBy("_t")
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = w.rowsBetween(Window.unboundedPreceding, 0)
+    c.join(broadcast(tot), Seq("_g"))
+      .withColumn("n_risk",
+        col("_tot") - coalesce(sum("_c").over(prev), lit(0L)))
+      .withColumn("_h",
+        sum(col("_d").cast("double") / col("n_risk").cast("double"))
+          .over(upto))
+      .select(col("_g").as(groupCol), col("_t").as(durCol),
+        col("n_risk"), col("_d").as("n_events"),
+        round(col("_h"), 6).as("cum_hazard"),
+        round(exp(-col("_h")), 6).as("na_survival"))
+  }
+
+  /** Classification / annotator-agreement report: per label (union of
+    * gold and predicted label spaces) the support, prediction count,
+    * true positives, precision, recall and F1, with the overall
+    * accuracy, Cohen's kappa and macro-F1 attached to every row — the
+    * labeling-QA read-out a training-data pipeline runs whenever two
+    * labelings of the same corpus exist (model vs gold, annotator A
+    * vs B, old pipeline vs new).
+    *
+    * Determinism: everything derives from the int64 contingency
+    * table. precision/recall are single divisions; F1 is computed
+    * from the UNrounded pair (identical operands cross-engine) and
+    * defined 0 when tp = 0 (sklearn's zero_division=0 posture);
+    * macro-F1 averages ×10¹²-quantized per-class F1s as exact
+    * integers with the divisions in a fixed order (Σq / classes /
+    * 10¹²). kappa's expected agreement sums gold×pred products as
+    * decimal(38,0) — no int64 overflow at any corpus size — and is
+    * NULL when chance agreement is 1 (both sides single-label).
+    *
+    * Scale shape: one reduced (gold, pred) shuffle (the corpus
+    * crosses the wire once as map-side-combined counts); everything
+    * downstream operates on the ≤ classes² contingency relation and
+    * broadcasts. */
+  def classificationReport(df: DataFrame, goldCol: Column,
+                           predCol: Column): DataFrame = {
+    val ct = df.filter(goldCol.isNotNull && predCol.isNotNull)
+      .select(goldCol.as("_g"), predCol.as("_p"))
+      .groupBy("_g", "_p").agg(count(lit(1)).as("_n"))
+    val gt = ct.groupBy(col("_g").as("_lg")).agg(sum("_n").as("_ng"))
+    val pt = ct.groupBy(col("_p").as("_lp")).agg(sum("_n").as("_np"))
+    val tp = ct.filter(col("_g") === col("_p"))
+      .select(col("_g").as("_lt"), col("_n").as("_tp"))
+    val perClass = gt.join(pt, col("_lg") === col("_lp"), "full_outer")
+      .select(coalesce(col("_lg"), col("_lp")).as("label"),
+        coalesce(col("_ng"), lit(0L)).as("n_gold"),
+        coalesce(col("_np"), lit(0L)).as("n_pred"))
+      .join(tp, col("label") === col("_lt"), "left_outer")
+      .withColumn("tp", coalesce(col("_tp"), lit(0L)))
+      .withColumn("_prec", when(col("n_pred") > 0,
+        col("tp").cast("double") / col("n_pred")))
+      .withColumn("_rec", when(col("n_gold") > 0,
+        col("tp").cast("double") / col("n_gold")))
+      .withColumn("_f1", when(col("tp") === 0, lit(0.0))
+        .otherwise(lit(2.0) * col("_prec") * col("_rec") /
+          (col("_prec") + col("_rec"))))
+      .select(col("label"), col("n_gold"), col("n_pred"), col("tp"),
+        col("_prec"), col("_rec"), col("_f1"))
+    val tot = broadcast(ct.agg(sum("_n").as("_N"),
+      sum(when(col("_g") === col("_p"), col("_n")).otherwise(lit(0L)))
+        .as("_agree")))
+    val pe = broadcast(gt.join(pt, col("_lg") === col("_lp"))
+      .agg(sum((col("_ng") * col("_np")).cast("decimal(38,0)")).as("_gp")))
+    val macroF = broadcast(perClass
+      .agg(sum(floor(col("_f1") * 1e12 + lit(0.5)).cast("long")).as("_qf"),
+        count(lit(1)).as("_k")))
+    perClass.crossJoin(tot).crossJoin(pe).crossJoin(macroF)
+      .withColumn("_po", col("_agree").cast("double") / col("_N"))
+      .withColumn("_pe",
+        coalesce(col("_gp").cast("double"), lit(0.0)) /
+          col("_N") / col("_N"))
+      .select(col("label"), col("n_gold"), col("n_pred"), col("tp"),
+        round(col("_prec"), 6).as("precision"),
+        round(col("_rec"), 6).as("recall"),
+        round(col("_f1"), 6).as("f1"),
+        round(col("_po"), 6).as("accuracy"),
+        round(when(col("_pe") < 1.0,
+          (col("_po") - col("_pe")) / (lit(1.0) - col("_pe"))), 6)
+          .as("kappa"),
+        round(col("_qf").cast("double") / col("_k") / 1e12, 6)
+          .as("macro_f1"))
+  }
+
+  /** Average precision (the area under the precision–recall curve as
+    * the step function over distinct score thresholds) per group:
+    * AP = Σ_levels (Δtp/n_pos) · (tp_cum/k_cum), sweeping thresholds
+    * from the highest score down — the ranking-quality companion to
+    * [[aucByGroup]] that, unlike ROC-AUC, stays informative under
+    * extreme class imbalance (the training-data regime: positives are
+    * the rare curated class). Tie-robust by construction: a tie block
+    * is one threshold level, so the result does not depend on any
+    * within-tie order (no arbitrary tiebreak column needed).
+    *
+    * Determinism: pass an integer-quantized score. tp_cum/k_cum are
+    * int64 window sums over distinct levels (unique accumulation
+    * order); each level's term is ×10¹²-quantized to int64 and summed
+    * as decimal(38,0) — order-free, no overflow — with the final
+    * divisions in a fixed order (Σq / n_pos / 10¹²). Groups without a
+    * positive are dropped (AP undefined).
+    *
+    * Scale shape: one (group, score) shuffle with map-side combine,
+    * two frames over one group-partitioned window sort on the reduced
+    * level relation, then a map-side-combinable group agg. Nothing
+    * global. */
+  def averagePrecision(df: DataFrame, groupCol: String, scoreCol: Column,
+                       positiveCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(groupCol).isNotNull && scoreCol.isNotNull)
+      .select(col(groupCol).as("_g"), scoreCol.cast("long").as("_s"),
+        when(positiveCol, lit(1L)).otherwise(lit(0L)).as("_y"))
+    val c = base.groupBy("_g", "_s")
+      .agg(sum("_y").as("_pos"), count(lit(1)).as("_cnt"))
+    val upto = Window.partitionBy("_g").orderBy(col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    c.withColumn("_tpc", sum("_pos").over(upto))
+      .withColumn("_kc", sum("_cnt").over(upto))
+      .withColumn("_q", floor(col("_pos").cast("double") *
+        (col("_tpc").cast("double") / col("_kc").cast("double")) * 1e12 +
+        lit(0.5)).cast("long"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(sum("_pos").as("n_pos"),
+        (sum("_cnt") - sum("_pos")).as("n_neg"),
+        sum(col("_q").cast("decimal(38,0)")).as("_qs"))
+      .filter(col("n_pos") > 0)
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        round(col("_qs").cast("double") / col("n_pos") / 1e12, 6)
+          .as("avg_precision"))
+  }
 }

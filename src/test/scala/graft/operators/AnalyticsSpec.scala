@@ -957,4 +957,85 @@ class AnalyticsSpec extends SparkSpec {
         .toDF("x", "y"), col("x"), col("y")).head
     assert(withNull.getLong(0) == 3L, s"$withNull")
   }
+
+  test("nelsonAalen: hand-computed cumulative hazard with censoring") {
+    // same data as the KM spec: t=1 event (n=4) H=1/4; t=2 censored
+    // (n=3) H unchanged; t=3 one event of n=2 -> H = 1/4 + 1/2 = 3/4
+    val df = Seq(("A", 1L, true), ("A", 2L, false), ("A", 3L, true),
+      ("A", 3L, false)).toDF("g", "t", "obs")
+    val out = Analytics.nelsonAalen(df, "g", "t", col("obs"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25, 0.778801)), s"${out(1L)}")
+    assert(out(2L) == ((3L, 0L, 0.25, 0.778801)), s"${out(2L)}")
+    assert(out(3L) == ((2L, 1L, 0.75, 0.472367)), s"${out(3L)}")
+  }
+
+  test("nelsonAalen: d = n needs no extinct pin; NA survival > KM's 0") {
+    // t=1: 1 of 2 dies (H=0.5); t=2: the last one dies (term 1, H=1.5)
+    // where KM pins S=0, NA survival stays exp(-1.5) > 0
+    val df = Seq(("g", 1L, true), ("g", 2L, true)).toDF("g", "t", "obs")
+    val out = Analytics.nelsonAalen(df, "g", "t", col("obs"))
+      .orderBy("t").collect()
+    assert(out.map(_.getDouble(4)).toSeq == Seq(0.5, 1.5))
+    assert(out.map(_.getDouble(5)).toSeq == Seq(0.606531, 0.22313))
+    val km = Analytics.kaplanMeier(df, "g", "t", col("obs"))
+      .orderBy("t").collect().map(_.getDouble(4))
+    assert(km.last == 0.0 && out.last.getDouble(5) > 0.0)
+  }
+
+  test("classificationReport: hand-computed P/R/F1, kappa, macro-F1") {
+    // gold/pred: (a,a)x2 (a,b) (b,b) (b,a) (c,a) -- N=6, agree=3
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "a"), ("c", "a")).toDF("g", "p")
+    val out = Analytics.classificationReport(df, col("g"), col("p"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b", "c"))
+    val a = out("a")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) == ((3L, 4L, 2L)))
+    assert(a.getDouble(4) == 0.5 && a.getDouble(5) == 0.666667 &&
+      a.getDouble(6) == 0.571429, s"$a")
+    val b = out("b")
+    assert(b.getDouble(4) == 0.5 && b.getDouble(5) == 0.5 &&
+      b.getDouble(6) == 0.5, s"$b")
+    // c: never predicted -> precision NULL, recall 0, F1 0
+    val c = out("c")
+    assert((c.getLong(1), c.getLong(2), c.getLong(3)) == ((1L, 0L, 0L)))
+    assert(c.isNullAt(4) && c.getDouble(5) == 0.0 && c.getDouble(6) == 0.0,
+      s"$c")
+    // accuracy 3/6; pe = (3*4 + 2*2)/36 = 4/9; kappa = (1/18)/(5/9) = 0.1
+    assert(a.getDouble(7) == 0.5 && a.getDouble(8) == 0.1, s"$a")
+    // macro-F1 = (4/7 + 1/2 + 0)/3 quantized
+    assert(a.getDouble(9) == 0.357143, s"$a")
+  }
+
+  test("classificationReport: perfect agreement; single-label kappa NULL") {
+    val perfect = Analytics.classificationReport(
+      Seq(("x", "x"), ("y", "y")).toDF("g", "p"), col("g"), col("p")).head()
+    assert(perfect.getDouble(7) == 1.0 && perfect.getDouble(8) == 1.0 &&
+      perfect.getDouble(9) == 1.0, s"$perfect")
+    // both sides a single label: chance agreement 1 -> kappa undefined
+    val one = Analytics.classificationReport(
+      Seq(("x", "x"), ("x", "x")).toDF("g", "p"), col("g"), col("p")).head()
+    assert(one.getDouble(7) == 1.0 && one.isNullAt(8), s"$one")
+  }
+
+  test("averagePrecision: hand-computed step AP; tie block is one level") {
+    // desc levels: s=5 (+) term 1*(1/1); s=4 (-) 0; s=3 tie block
+    // (one +, one -) term 1*(2/4); s=1 (-) 0 -> AP = 1.5/2 = 0.75
+    val df = Seq(("g", 5L, true), ("g", 4L, false), ("g", 3L, true),
+      ("g", 3L, false), ("g", 1L, false)).toDF("g", "s", "y")
+    val out = Analytics.averagePrecision(df, "g", col("s"), col("y")).head()
+    assert((out.getLong(1), out.getLong(2), out.getDouble(3)) ==
+      ((2L, 3L, 0.75)), s"$out")
+  }
+
+  test("averagePrecision: perfect ranking is 1; no-positive group dropped") {
+    val df = Seq(("p", 9L, true), ("p", 8L, true), ("p", 1L, false),
+      ("n", 5L, false), ("n", 4L, false),
+      ("allpos", 2L, true)).toDF("g", "s", "y")
+    val by = Analytics.averagePrecision(df, "g", col("s"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(by == Map("p" -> 1.0, "allpos" -> 1.0), s"$by")
+  }
 }
