@@ -2039,6 +2039,36 @@ object SparkEntry {
           .withColumn("dow", expr("(ts div 86400000000000) % 7")),
         "dow", expr("cast(floor(value * 100 + 0.5) as bigint)"),
         col("event_type") === "purchase")),
+    // Small-file compaction plan over an orders-derived manifest
+    // (partition = priority, file = orderkey, size = exact cents):
+    // sequential-fill bins from ONE manifest window pass
+    "q356_compaction_plan" -> ((s, dir) =>
+      graft.operators.Layout.compactionPlan(t(s, dir, "orders"),
+        col("o_orderpriority"), col("o_orderkey"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"),
+        targetBytes = 100000000L, smallThreshold = 20000000L)),
+    // McNemar paired test: per-user purchase flags in the even vs odd
+    // event-id halves -- discordant-count chi-square with continuity
+    // correction, the paired answer the independent z can't give
+    "q357_mcnemar" -> ((s, dir) =>
+      Analytics.mcnemar(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("event_id") % 2 === 0, 1L).otherwise(0L)).as("a"),
+            max(when(col("event_type") === "purchase" &&
+              col("event_id") % 2 === 1, 1L).otherwise(0L)).as("b")),
+        col("a") === 1, col("b") === 1)),
+    // Brown-Forsythe spread homogeneity across event types: ANOVA on
+    // |cents - exact group median| -- all-integer z, q254's ceil-rank
+    // median, anovaF's assembly
+    "q358_brown_forsythe" -> ((s, dir) =>
+      Analytics.brownForsythe(t(s, dir, "events"), "event_type",
+        col("value"))),
+    // Chao1 vocabulary richness + Good's coverage from singleton/
+    // doubleton counts -- the "how much vocab is unseen" read
+    "q359_chao1_richness" -> ((s, dir) =>
+      TextAnalysis.chao1(t(s, dir, "documents"))),
     // OLS fit/apply (2 features + intercept): normal equations from
     // ONE exact moment agg on even orderkeys, Cramer closed-form
     // solve, scan-speed predict/residual on odd orderkeys
@@ -5639,6 +5669,106 @@ object SparkEntry {
         |      AS BIGINT)::HUGEINT)::DOUBLE / sum(pos) / 1e12, 6)
         |    AS avg_precision
         |FROM lv GROUP BY dow HAVING sum(pos) > 0""".stripMargin,
+    // sequential-fill bins: running size-before over (size DESC, id)
+    // cut at integer target multiples -- all-int64 window arithmetic
+    "q356_compaction_plan" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS part, o_orderkey AS f,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS sz
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |), sm AS (SELECT * FROM m WHERE sz < 20000000 AND sz >= 0),
+        |w AS (
+        |  SELECT part, f, sz,
+        |    coalesce(sum(sz) OVER (PARTITION BY part ORDER BY sz DESC, f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM sm
+        |)
+        |SELECT part AS partition, (bef // 100000000)::BIGINT AS bin,
+        |  count(*)::BIGINT AS n_files, sum(sz)::BIGINT AS total_bytes,
+        |  string_agg(f::VARCHAR, ',' ORDER BY f) AS files
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    // discordant int64 counts; chi2 NULL when none exist
+    "q357_mcnemar" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND event_id % 2 = 0
+        |      THEN 1 ELSE 0 END) AS a,
+        |    max(CASE WHEN event_type = 'purchase' AND event_id % 2 = 1
+        |      THEN 1 ELSE 0 END) AS b
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |)
+        |SELECT count(*)::BIGINT AS n_pairs,
+        |  sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+        |  sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+        |  round(CASE WHEN sum(CASE WHEN a <> b THEN 1 ELSE 0 END) > 0
+        |    THEN (abs(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |        - sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)) - 1)
+        |      ::DOUBLE
+        |      * (abs(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |        - sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)) - 1)
+        |      / sum(CASE WHEN a <> b THEN 1 ELSE 0 END) END, 6) AS chi2
+        |FROM u""".stripMargin,
+    // q254's ceil-rank exact median, then q229's ANOVA assembly on
+    // the all-integer |q - med| with scale 1
+    "q358_brown_forsythe" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |    AS q
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT g, q, row_number() OVER (PARTITION BY g ORDER BY q) AS rn,
+        |    (count(*) OVER (PARTITION BY g))::BIGINT AS n
+        |  FROM b
+        |), med AS (
+        |  SELECT g, max(CASE WHEN rn = (n * 50 + 99) // 100 THEN q END)
+        |    AS med
+        |  FROM r GROUP BY 1
+        |), z AS (
+        |  SELECT b.g, abs(b.q - med.med)::BIGINT AS z
+        |  FROM b JOIN med ON b.g = med.g
+        |), perg AS (
+        |  SELECT g, count(*)::BIGINT AS nj, sum(z)::BIGINT AS sj,
+        |    sum((z::HUGEINT) * z) AS qj
+        |  FROM z GROUP BY 1
+        |), agg AS (
+        |  SELECT count(*)::BIGINT AS k, sum(nj)::BIGINT AS n,
+        |    sum(sj)::BIGINT AS s,
+        |    sum(CAST(floor(sj::DOUBLE * sj / nj + 0.5) AS BIGINT)::HUGEINT)
+        |      AS sb,
+        |    sum(qj) AS sq
+        |  FROM perg
+        |)
+        |SELECT k, n,
+        |  round(sb::DOUBLE - s::DOUBLE * s / n, 6) AS ss_between,
+        |  round(sq::DOUBLE - sb::DOUBLE, 6) AS ss_within,
+        |  round(CASE WHEN sq::DOUBLE - sb::DOUBLE > 0 AND n > k
+        |    THEN ((sb::DOUBLE - s::DOUBLE * s / n) / (k - 1))
+        |      / ((sq::DOUBLE - sb::DOUBLE) / (n - k)) END, 6) AS f,
+        |  round(CASE WHEN (sb::DOUBLE - s::DOUBLE * s / n)
+        |      + (sq::DOUBLE - sb::DOUBLE) > 0
+        |    THEN (sb::DOUBLE - s::DOUBLE * s / n)
+        |      / ((sb::DOUBLE - s::DOUBLE * s / n)
+        |        + (sq::DOUBLE - sb::DOUBLE)) END, 6) AS eta_sq
+        |FROM agg""".stripMargin,
+    // singleton/doubleton counts over one reduced token relation;
+    // bias-corrected chao1 defined at f2 = 0
+    "q359_chao1_richness" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |  FROM documents
+        |), c AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY 1)
+        |SELECT count(*)::BIGINT AS d_observed, sum(c)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+        |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+        |  round(count(*) + (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |      * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))::DOUBLE
+        |    / (2 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)), 6)
+        |    AS chao1,
+        |  round(1.0 - sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / sum(c), 6) AS coverage
+        |FROM c""".stripMargin,
     // exact HUGEINT pair-counting (even factor halved first), same
     // ×10¹² ln-term quantization; ARI NULL on a 0 denominator
     "q350_clustering_agreement" ->

@@ -2200,6 +2200,100 @@ object Analytics {
           .as("macro_f1"))
   }
 
+  /** McNemar's test for paired binary outcomes: given one row per
+    * unit with two boolean measurements (before/after, variant
+    * A-saw/B-saw, model-old/model-new correct), the continuity-
+    * corrected χ² = (|n01 − n10| − 1)² / (n01 + n10) over the
+    * DISCORDANT counts — the paired-data answer [[abTest]]'s
+    * independent-samples z gets wrong (concordant pairs carry no
+    * information about a marginal shift). NULL in either measurement
+    * drops the pair.
+    *
+    * Determinism: counts are int64; the statistic is one division of
+    * identical operands. χ² is NULL when there are no discordant
+    * pairs (no evidence either way, not χ² = 0).
+    *
+    * Scale shape: ONE map-side-combinable aggregation to a single
+    * row — the cheapest possible shape. The caller reduces raw events
+    * to per-unit flags first (a keyed agg it usually already has). */
+  def mcnemar(pairs: DataFrame, firstCol: Column,
+              secondCol: Column): DataFrame = {
+    val base = pairs.filter(firstCol.isNotNull && secondCol.isNotNull)
+      .select(when(firstCol, 1L).otherwise(0L).as("_a"),
+        when(secondCol, 1L).otherwise(0L).as("_b"))
+    base.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("_a") === 0 && col("_b") === 1, 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(col("_a") === 1 && col("_b") === 0, 1L).otherwise(0L))
+          .as("n10"))
+      .select(col("n_pairs"), col("n01"), col("n10"),
+        round(when(col("n01") + col("n10") > 0,
+          (abs(col("n01") - col("n10")) - lit(1L)).cast("double") *
+            (abs(col("n01") - col("n10")) - lit(1L)) /
+            (col("n01") + col("n10"))), 6).as("chi2"))
+  }
+
+  /** Brown–Forsythe test for variance homogeneity: one-way ANOVA on
+    * z = |x − median_group| — does the metric's SPREAD differ across
+    * groups? (Levene's original uses the mean; the median variant is
+    * the robust standard.) The F-statistic companion every
+    * mean-difference read ([[anovaF]], [[abTest]]) should ship with:
+    * unequal variances invalidate the pooled-variance assumption.
+    *
+    * Exactness: the metric quantizes to int64 (default cents) and the
+    * group median is the EXACT lower median (the q254 ceil-rank), so
+    * every z is an exact int64 — Σz, Σz² aggregate exactly (Σz² in
+    * decimal(38,0)). Unlike [[anovaF]]'s round-6 posture, the k-term
+    * reductions here are made ORDER-FREE outright: each group's
+    * Σz²/n term is floor-quantized to int64 before summation (z²
+    * magnitudes put the FP reduction tail above 10⁻⁶ — measured: the
+    * unquantized cross-engine gap was 2·10⁻⁵ on sf0.01). SS columns
+    * are in quantized² units (z is already a difference — de-scaling
+    * is the caller's cosmetic).
+    *
+    * Scale shape: one (group, value) window sort for the exact
+    * medians (the grouped-percentile cost class, q39/q254), a
+    * groups-sized broadcast back, then anovaF's single
+    * map-side-combined agg. */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: Column,
+                    scale: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = floor(valueCol.cast("double") * scale + lit(0.5)).cast("long")
+    val base = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), q.as("_q"))
+    val r = base
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_g").orderBy("_q")))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("_g")))
+    val med = r.groupBy("_g")
+      .agg(max(when(col("_rn") === expr("(_n * 50 + 99) div 100"),
+        col("_q"))).as("_med"))
+    val z = base.join(broadcast(med), Seq("_g"))
+      .select(col("_g"), abs(col("_q") - col("_med")).as("_z"))
+    val perG = z.groupBy("_g")
+      .agg(count(lit(1)).as("_nj"), sum("_z").as("_sj"),
+        sum(col("_z").cast("decimal(38,0)") * col("_z")).as("_qj"))
+    // per-group Σz²/n quantized to int64 BEFORE the k-term reduction:
+    // integer addition is order-free where a double sum is not
+    val qsb = floor(col("_sj").cast("double") * col("_sj") / col("_nj") +
+      lit(0.5)).cast("long")
+    val agg = perG.agg(count(lit(1)).as("k"), sum("_nj").as("n"),
+      sum("_sj").as("_s"),
+      sum(qsb.cast("decimal(38,0)")).as("_sb"),
+      sum("_qj").as("_sq"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("_sb").cast("double") -
+      col("_s").cast("double") * col("_s") / nD
+    val ssw = col("_sq").cast("double") - col("_sb").cast("double")
+    val f = (ssb / (kD - 1)) / (ssw / (nD - kD))
+    agg.select(col("k"), col("n"),
+      round(ssb, 6).as("ss_between"),
+      round(ssw, 6).as("ss_within"),
+      round(when(ssw > 0 && col("n") > col("k"), f), 6).as("f"),
+      round(when(ssb + ssw > 0, ssb / (ssb + ssw)), 6).as("eta_sq"))
+  }
+
   /** Average precision (the area under the precision–recall curve as
     * the step function over distinct score thresholds) per group:
     * AP = Σ_levels (Δtp/n_pos) · (tp_cum/k_cum), sweeping thresholds

@@ -158,4 +158,47 @@ object Layout {
         sum(when(col("prunable"), 0L).otherwise(col("n_rows"))).over(w)
           .cast("double") / sum("n_rows").over(w), 6))
   }
+
+  /** Small-file compaction plan: within each partition, files under
+    * `smallThreshold` are packed into rewrite bins of ~`targetBytes`
+    * by the sequential-fill rule — files ordered (size DESC, id) and
+    * cut wherever the running size-before crosses a target multiple:
+    * bin = Σ_before div target. One window pass, linear, and
+    * deterministic on any engine (the classic first-fit-decreasing
+    * needs per-bin residual state — a sequential fold no shuffle
+    * plan expresses; sequential fill overshoots each bin by at most
+    * one file, which a rewrite job absorbs). Files at or above the
+    * threshold are already compact and excluded. Returns one row per
+    * (partition, bin): file count, total bytes, and the id list as a
+    * sorted CSV string (arrays don't hash in the harness compare).
+    *
+    * Scale shape: the plan costs one pass over the MANIFEST — a
+    * metadata relation orders of magnitude smaller than the data —
+    * with one partition-keyed shuffle and a per-partition sort. The
+    * rewrite jobs it emits are the expensive part, and they are
+    * exactly the (partition, bin) groups, each independently
+    * executable. A 100 TB lake's manifest is ~10⁷ files: one
+    * executor-sized window partition per table partition. */
+  def compactionPlan(manifest: DataFrame, partCol: Column, fileCol: Column,
+                     sizeCol: Column, targetBytes: Long,
+                     smallThreshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetBytes >= smallThreshold && smallThreshold > 0)
+    val files = manifest
+      .filter(partCol.isNotNull && fileCol.isNotNull && sizeCol.isNotNull)
+      .select(partCol.as("_p"), fileCol.cast("long").as("_f"),
+        sizeCol.cast("long").as("_sz"))
+      .filter(col("_sz") < smallThreshold && col("_sz") >= 0L)
+    val before = Window.partitionBy("_p")
+      .orderBy(col("_sz").desc, col("_f"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("_bef", coalesce(sum("_sz").over(before), lit(0L)))
+      // int64 `div`, never FP: byte offsets exceed 2^53 at lake scale
+      .withColumn("bin", expr(s"_bef div ${targetBytes}L"))
+      .groupBy(col("_p").as("partition"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum("_sz").as("total_bytes"),
+        array_join(transform(sort_array(collect_list(col("_f"))),
+          f => f.cast("string")), ",").as("files"))
+  }
 }

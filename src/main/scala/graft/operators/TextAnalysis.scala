@@ -1019,4 +1019,32 @@ object TextAnalysis {
             lit(84.6) * (col("n_syllables").cast("double") /
               col("n_words"))), 6).as("flesch"))
   }
+
+  /** Chao1 vocabulary-richness estimate: how many distinct types the
+    * corpus WOULD show with unbounded sampling — D + f₁(f₁−1)/(2(f₂+1))
+    * (the bias-corrected form, defined when no doubletons exist) from
+    * the singleton/doubleton counts, plus Good's coverage Ĉ = 1 − f₁/N
+    * — the "is this corpus big enough / still growing" read that
+    * complements [[goodTuring]]'s per-frequency smoothing and the
+    * HLL/KMV sketches' count of what was SEEN. All operands int64;
+    * the two output ratios divide identical integers.
+    *
+    * Scale shape: one (token) reduced shuffle with map-side combine
+    * (the corpus crosses the wire once as partial counts), then a
+    * vocabulary-sized count-of-counts agg to ONE row. */
+  def chao1(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_c"))
+    counts.agg(count(lit(1)).as("d_observed"),
+        sum("_c").as("n_tokens"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("_c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("d_observed"), col("n_tokens"), col("f1"), col("f2"),
+        round(col("d_observed") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            (lit(2L) * (col("f2") + 1)), 6).as("chao1"),
+        round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
+          .as("coverage"))
+  }
 }

@@ -1038,4 +1038,51 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(by == Map("p" -> 1.0, "allpos" -> 1.0), s"$by")
   }
+
+  test("mcnemar: discordant counts, continuity correction, NULL pairs dropped") {
+    // n01=2, n10=1 -> chi2 = (|2-1|-1)^2/3 = 0
+    val df = Seq((Some(false), Some(true)), (Some(false), Some(true)),
+      (Some(true), Some(false)), (Some(true), Some(true)),
+      (Some(false), Some(false)), (None, Some(true)))
+      .toDF("a", "b")
+    val out = Analytics.mcnemar(df, col("a"), col("b")).head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getDouble(3)) == ((5L, 2L, 1L, 0.0)), s"$out")
+    // one-sided discordance: (3-1)^2/3 = 4/3
+    val oneSided = Analytics.mcnemar(Seq((false, true), (false, true),
+      (false, true)).toDF("a", "b"), col("a"), col("b")).head()
+    assert(oneSided.getDouble(3) == 1.333333, s"$oneSided")
+    // no discordant pairs: chi2 undefined, not 0
+    val none = Analytics.mcnemar(Seq((true, true), (false, false))
+      .toDF("a", "b"), col("a"), col("b")).head()
+    assert(none.isNullAt(3), s"$none")
+  }
+
+  test("brownForsythe: hand-computed F on |x - median|; quantized k-sum") {
+    // g1 {1,2,3}: med 2, z {1,0,1}; g2 {10,20,30,40}: lower med 20,
+    // z {10,0,10,20}. qsb: floor(4/3+.5)=1, floor(1600/4+.5)=400;
+    // SB=401, SQ=602, s=42, n=7 -> ssb=149, ssw=201,
+    // F=(149/1)/(201/5)=3.706468, eta=149/350=0.425714
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 10L), ("g2", 20L), ("g2", 30L), ("g2", 40L))
+      .toDF("g", "v")
+    val out = Analytics.brownForsythe(df, "g", col("v"), scale = 1L).head()
+    assert((out.getLong(0), out.getLong(1)) == ((2L, 7L)), s"$out")
+    assert(out.getDouble(2) == 149.0 && out.getDouble(3) == 201.0, s"$out")
+    assert(out.getDouble(4) == 3.706468 && out.getDouble(5) == 0.425714,
+      s"$out")
+  }
+
+  test("brownForsythe: equal spreads give F near 0; zero-ssw NULL") {
+    // identical shapes shifted: z profiles equal -> ssb = 0 -> F = 0
+    val eq = Analytics.brownForsythe(
+      Seq(("a", 1L), ("a", 3L), ("b", 11L), ("b", 13L)).toDF("g", "v"),
+      "g", col("v"), scale = 1L).head()
+    assert(eq.getDouble(2) == 0.0 && eq.getDouble(4) == 0.0, s"$eq")
+    // all constants: ssw = 0 -> F undefined
+    val const = Analytics.brownForsythe(
+      Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L)).toDF("g", "v"),
+      "g", col("v"), scale = 1L).head()
+    assert(const.isNullAt(4), s"$const")
+  }
 }

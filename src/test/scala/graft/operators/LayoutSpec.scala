@@ -121,4 +121,23 @@ class LayoutSpec extends SparkSpec {
     assert(out("cold") == ((1L, 20L, 0.181818)), s"$out")
     assert(math.abs(out.values.map(_._3).sum - 1.0) < 2e-6)
   }
+
+  test("compactionPlan: sequential-fill bins, big files excluded, per-partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // P size-desc order 1(50) 2(40) 3(30) 5(20): before 0/50/90/120
+    // -> bins 0/0/0/1 at target 100; file 4 (90 >= threshold 80) and
+    // the negative-size row are excluded; Q packs alone
+    val m = Seq(("P", 1L, 50L), ("P", 2L, 40L), ("P", 3L, 30L),
+      ("P", 4L, 90L), ("P", 5L, 20L), ("P", 7L, -5L), ("Q", 6L, 10L))
+      .toDF("part", "f", "sz")
+    val out = Layout.compactionPlan(m, col("part"), col("f"), col("sz"),
+        targetBytes = 100L, smallThreshold = 80L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(("P", 0L)) == ((3L, 120L, "1,2,3")), s"$out")
+    assert(out(("P", 1L)) == ((1L, 20L, "5")), s"$out")
+    assert(out(("Q", 0L)) == ((1L, 10L, "6")), s"$out")
+    assert(out.size == 3)
+  }
 }

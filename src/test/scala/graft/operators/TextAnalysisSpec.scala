@@ -516,4 +516,19 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((1L, "beautiful")).toDF("doc_id", "text")).head
     assert(multi.getLong(3) == 3L, s"$multi")
   }
+
+  test("chao1: hand-computed richness and coverage; f2 = 0 stays defined") {
+    // counts a=2 b=2 c=3 d=1: D=4, N=8, f1=1, f2=2
+    // chao1 = 4 + 1*0/(2*3) = 4; coverage = 1 - 1/8
+    val docs = Seq((1L, "a b b c c c"), (2L, "d a")).toDF("doc_id", "text")
+    val out = TextAnalysis.chao1(docs).head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3)) == ((4L, 8L, 1L, 2L)), s"$out")
+    assert(out.getDouble(4) == 4.0 && out.getDouble(5) == 0.875, s"$out")
+    // all singletons, no doubletons: 3 + 3*2/(2*1) = 6, coverage 0
+    val single = TextAnalysis.chao1(
+      Seq((1L, "x y z")).toDF("doc_id", "text")).head()
+    assert(single.getDouble(4) == 6.0 && single.getDouble(5) == 0.0,
+      s"$single")
+  }
 }
