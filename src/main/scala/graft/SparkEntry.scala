@@ -2069,6 +2069,37 @@ object SparkEntry {
     // doubleton counts -- the "how much vocab is unseen" read
     "q359_chao1_richness" -> ((s, dir) =>
       TextAnalysis.chao1(t(s, dir, "documents"))),
+    // Cochran-Armitage: linear trend in purchase rate across the
+    // ordered day-of-week scores -- all-integer sums, decimal
+    // products, one double division
+    "q360_cochran_armitage" -> ((s, dir) =>
+      Analytics.cochranArmitage(t(s, dir, "events"),
+        expr("(ts div 86400000000000) % 7"),
+        col("event_type") === "purchase")),
+    // Cramer-von Mises: whole-curve purchase-vs-rest value-
+    // distribution distance per dow -- KS's integral companion,
+    // integer-exact level terms in decimal(38,0)
+    "q361_cramer_von_mises" -> ((s, dir) =>
+      graft.operators.Profiling.cramerVonMises(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("dow", expr("(ts div 86400000000000) % 7"))
+          .withColumn("cents",
+            expr("cast(floor(value * 100 + 0.5) as bigint)")),
+        "dow", col("event_type") === "purchase", "cents")),
+    // Delete-one-bucket jackknife SE for purchase-revenue-per-event
+    // over 20 user-hash buckets -- the clustered-ratio variance read
+    "q362_jackknife_ratio" -> ((s, dir) =>
+      Analytics.jackknifeRatio(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id") % 20,
+        when(col("event_type") === "purchase",
+          expr("cast(floor(value * 100 + 0.5) as bigint)")).otherwise(0L),
+        lit(1L))),
+    // MDE/power read-out for an even/odd-user split on value: fixed
+    // z literals, anovaF's exact-moment envelope
+    "q363_mde_power" -> ((s, dir) =>
+      Analytics.mdePower(t(s, dir, "events"),
+        col("user_id") % 2 === 0, col("value"))),
     // OLS fit/apply (2 features + intercept): normal equations from
     // ONE exact moment agg on even orderkeys, Cramer closed-form
     // solve, scan-speed predict/residual on odd orderkeys
@@ -5752,6 +5783,129 @@ object SparkEntry {
         |      / ((sb::DOUBLE - s::DOUBLE * s / n)
         |        + (sq::DOUBLE - sb::DOUBLE)) END, 6) AS eta_sq
         |FROM agg""".stripMargin,
+    // five integer sums -> HUGEINT T' and variance core -> one double
+    // division; sign by integer comparison
+    "q360_cochran_armitage" ->
+      """WITH base AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 % 7 AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE ts IS NOT NULL
+        |), pers AS (
+        |  SELECT s, count(*)::BIGINT AS n, sum(y)::BIGINT AS r
+        |  FROM base GROUP BY 1
+        |), agg AS (
+        |  SELECT count(*)::BIGINT AS k_levels, sum(n)::BIGINT AS n,
+        |    sum(r)::BIGINT AS successes,
+        |    sum(s * r)::BIGINT AS sr, sum(s * n)::BIGINT AS sn,
+        |    sum(s * s * n)::BIGINT AS ssn
+        |  FROM pers
+        |), st AS (
+        |  SELECT k_levels, n, successes,
+        |    n::HUGEINT * sr - successes::HUGEINT * sn AS tp,
+        |    successes::HUGEINT * (n - successes)
+        |      * (n::HUGEINT * ssn - sn::HUGEINT * sn) AS vc
+        |  FROM agg
+        |)
+        |SELECT n, successes, k_levels,
+        |  round(CASE WHEN vc > 0
+        |    THEN tp::DOUBLE * tp::DOUBLE * n / vc::DOUBLE END, 6)
+        |    AS chi2_trend,
+        |  (CASE WHEN tp > 0 THEN 1 WHEN tp < 0 THEN -1 ELSE 0 END)::INT
+        |    AS trend_sign
+        |FROM st""".stripMargin,
+    // q191's running-CDF ladder; per-level w*(r1*n2-r2*n1)^2 in
+    // HUGEINT, one division by n1*n2*N^2
+    "q361_cramer_von_mises" ->
+      """WITH base AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 % 7 AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), c AS (
+        |  SELECT g, v, sum(a)::BIGINT AS c1,
+        |    (count(*) - sum(a))::BIGINT AS c2
+        |  FROM base GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT g, sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+        |  FROM c GROUP BY 1 HAVING sum(c1) > 0 AND sum(c2) > 0
+        |), r AS (
+        |  SELECT c.g, c1, c2, n1, n2,
+        |    sum(c1) OVER (PARTITION BY c.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+        |    sum(c2) OVER (PARTITION BY c.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+        |  FROM c JOIN tot ON c.g = tot.g
+        |)
+        |SELECT g AS dow, max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
+        |  round(sum((c1 + c2)::HUGEINT
+        |      * (r1 * n2 - r2 * n1)::HUGEINT
+        |      * (r1 * n2 - r2 * n1)::HUGEINT)::DOUBLE
+        |    / ((max(n1) * max(n2))::HUGEINT
+        |      * ((max(n1) + max(n2)) * (max(n1) + max(n2)))::HUGEINT)
+        |      ::DOUBLE, 6) AS cvm_t
+        |FROM r GROUP BY 1""".stripMargin,
+    // leave-one-bucket-out ratios quantized x10^12, deviation squares
+    // x10^12, divisions in Spark's order
+    "q362_jackknife_ratio" ->
+      """WITH perb AS (
+        |  SELECT user_id % 20 AS b,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+        |      ::BIGINT AS sn,
+        |    count(*)::BIGINT AS sd
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), tot AS (SELECT sum(sn)::BIGINT AS tn, sum(sd)::BIGINT AS td
+        |  FROM perb),
+        |loo AS (
+        |  SELECT (tn - sn)::DOUBLE / (td - sd) AS th, tn, td
+        |  FROM perb CROSS JOIN tot WHERE td - sd > 0
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS g,
+        |    sum(CAST(floor(th * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
+        |      / count(*) / 1e12 AS thbar
+        |  FROM loo
+        |)
+        |SELECT g,
+        |  round(max(tn)::DOUBLE / max(td), 6) AS ratio,
+        |  round(sqrt((g - 1)::DOUBLE / g *
+        |    (sum(CAST(floor((th - thbar) * (th - thbar) * 1e12 + 0.5)
+        |      AS BIGINT)::HUGEINT)::DOUBLE / 1e12)), 6) AS jk_se
+        |FROM loo CROSS JOIN m GROUP BY g""".stripMargin,
+    // fixed z literals 1.959964 + 0.841621; exact moments, double
+    // assembly on identical operands
+    "q363_mde_power" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL
+        |), perv AS (
+        |  SELECT v, count(*)::BIGINT AS n, sum(q)::BIGINT AS s,
+        |    sum((q::HUGEINT) * q) AS qq
+        |  FROM base GROUP BY 1
+        |), agg AS (
+        |  SELECT
+        |    max(CASE WHEN v = 'a' THEN n END)::BIGINT AS n_a,
+        |    max(CASE WHEN v = 'b' THEN n END)::BIGINT AS n_b,
+        |    max(CASE WHEN v = 'a' THEN s END)::BIGINT AS sa,
+        |    max(CASE WHEN v = 'b' THEN s END)::BIGINT AS sb,
+        |    max(CASE WHEN v = 'a' THEN qq END) AS qa,
+        |    max(CASE WHEN v = 'b' THEN qq END) AS qb
+        |  FROM perv
+        |), st AS (
+        |  SELECT n_a, n_b, sa::DOUBLE / n_a AS ma, sb::DOUBLE / n_b AS mb,
+        |    sqrt(((qa::DOUBLE - n_a * (sa::DOUBLE / n_a) * (sa::DOUBLE / n_a))
+        |      + (qb::DOUBLE - n_b * (sb::DOUBLE / n_b) * (sb::DOUBLE / n_b)))
+        |      / (n_a + n_b - 2)) AS sp
+        |  FROM agg WHERE n_a > 1 AND n_b > 1
+        |)
+        |SELECT n_a, n_b,
+        |  round(ma / 100, 6) AS mean_a, round(mb / 100, 6) AS mean_b,
+        |  round(sp / 100, 6) AS pooled_sd,
+        |  round((1.959964 + 0.841621) * sp * sqrt(1.0 / n_a + 1.0 / n_b)
+        |    / 100, 6) AS mde_abs,
+        |  round(CASE WHEN ma <> 0 THEN (1.959964 + 0.841621) * sp
+        |    * sqrt(1.0 / n_a + 1.0 / n_b) / ma END, 6) AS mde_rel
+        |FROM st""".stripMargin,
     // singleton/doubleton counts over one reduced token relation;
     // bias-corrected chao1 defined at f2 = 0
     "q359_chao1_richness" ->

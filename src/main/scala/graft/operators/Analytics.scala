@@ -2200,6 +2200,147 @@ object Analytics {
           .as("macro_f1"))
   }
 
+  /** Cochran–Armitage trend test: is there a LINEAR trend in a
+    * binary outcome's rate across ordered integer scores
+    * (dose-response, cohort-age, day-of-week)? χ²-type (2×k)
+    * ordered-alternative tests are what [[Profiling.chiSquareIndependence]]
+    * can't answer: independence χ² spends power on every departure;
+    * this spends it all on the monotone one. Emits the χ²(1)
+    * statistic and the trend's sign.
+    *
+    * Exactness: the statistic assembles from five integer sums
+    * (N, R, Σsr, Σsn, Σs²n); the scaled score T′ = N·Σsr − R·Σsn and
+    * the variance core R(N−R)(N·Σs²n − (Σsn)²) multiply in
+    * decimal(38,0) and meet in ONE double division of identical
+    * operands. Base sums are int64 — exact while N·max(s)² < 2⁶³
+    * (score range is a query constant, so ~10¹⁷ rows at s ≤ 9).
+    *
+    * Scale shape: one map-side-combined (score) agg over the scan,
+    * then a k-row reduction to a single row — [[anovaF]]'s cheapest-
+    * possible shape. */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+                      successCol: Column): DataFrame = {
+    val base = df.filter(scoreCol.isNotNull)
+      .select(scoreCol.cast("long").as("_s"),
+        when(successCol, 1L).otherwise(0L).as("_y"))
+    val perS = base.groupBy("_s")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_r"))
+    val agg = perS.agg(count(lit(1)).as("k_levels"),
+      sum("_n").as("n"), sum("_r").as("successes"),
+      sum(col("_s") * col("_r")).as("_sr"),
+      sum(col("_s") * col("_n")).as("_sn"),
+      sum(col("_s") * col("_s") * col("_n")).as("_ssn"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val tPrime = d(col("n")) * d(col("_sr")) - d(col("successes")) * d(col("_sn"))
+    val varCore = d(col("successes")) * d(col("n") - col("successes")) *
+      (d(col("n")) * d(col("_ssn")) - d(col("_sn")) * d(col("_sn")))
+    agg.select(col("n"), col("successes"), col("k_levels"),
+      round(when(varCore > 0,
+        tPrime.cast("double") * tPrime.cast("double") *
+          col("n").cast("double") / varCore.cast("double")), 6)
+        .as("chi2_trend"),
+      signum(tPrime.cast("double")).cast("int").as("trend_sign"))
+  }
+
+  /** Delete-one-bucket jackknife standard error for a RATIO metric
+    * θ = ΣN/ΣD (revenue per event, conversion per session, CTR) —
+    * the variance answer for ratios, where per-row variance formulas
+    * are simply wrong (the denominator is random too) and
+    * [[bootstrapCI]]'s per-row resampling needs row independence
+    * that clustered data (users!) violates. Buckets = the natural
+    * cluster (user hash): leave each bucket out, recompute θ, and
+    * se² = (g−1)/g · Σ(θ₍ᵢ₎ − θ̄)².
+    *
+    * Determinism: bucket sums are int64; each θ₍ᵢ₎ is one division of
+    * identical operands; θ₍ᵢ₎ quantizes ×10¹² and the deviation
+    * squares ×10¹² to int64 before their g-term sums (decimal(38,0),
+    * order-free), with divisions in a fixed order — exact while a
+    * single deviation² stays under ~9·10⁶ (ratio units²), plenty for
+    * any per-unit metric; rescale the ratio upstream beyond that. Buckets that hold
+    * ALL denominator mass are dropped (θ₍ᵢ₎ undefined); g counts the
+    * retained buckets.
+    *
+    * Scale shape: one map-side-combined bucket agg over the scan;
+    * everything downstream is g-row arithmetic with 1-row
+    * broadcasts. g is a query constant (folds), not data-sized. */
+  def jackknifeRatio(df: DataFrame, bucketCol: Column, numCol: Column,
+                     denCol: Column): DataFrame = {
+    val perB = df.filter(bucketCol.isNotNull)
+      .groupBy(bucketCol.as("_b"))
+      .agg(sum(numCol.cast("long")).as("_sn"),
+        sum(denCol.cast("long")).as("_sd"))
+    val tot = broadcast(perB.agg(sum("_sn").as("_tn"), sum("_sd").as("_td")))
+    val loo = perB.crossJoin(tot)
+      .filter(col("_td") - col("_sd") > 0)
+      .withColumn("_th", (col("_tn") - col("_sn")).cast("double") /
+        (col("_td") - col("_sd")).cast("double"))
+    val mean = broadcast(loo
+      .agg(sum(floor(col("_th") * 1e12 + lit(0.5)).cast("long")
+          .cast("decimal(38,0)")).as("_qs"),
+        count(lit(1)).as("g"))
+      .select(col("g"),
+        (col("_qs").cast("double") / col("g") / 1e12).as("_thbar")))
+    loo.crossJoin(mean)
+      .select(col("g"), col("_tn"), col("_td"),
+        floor((col("_th") - col("_thbar")) * (col("_th") - col("_thbar")) *
+          1e12 + lit(0.5)).cast("long").cast("decimal(38,0)").as("_q2"))
+      .groupBy(col("g"), col("_tn"), col("_td"))
+      .agg(sum("_q2").as("_ss"))
+      .select(col("g"),
+        round(col("_tn").cast("double") / col("_td"), 6).as("ratio"),
+        round(sqrt((col("g") - 1).cast("double") / col("g") *
+          (col("_ss").cast("double") / 1e12)), 6).as("jk_se"))
+  }
+
+  /** Minimum detectable effect / power read-out for a two-variant
+    * experiment: given the realized group sizes and the pooled
+    * variance, the smallest true mean difference a two-sided
+    * α = 0.05 test would detect with 80% power — the "was this test
+    * even capable of seeing what we care about" answer that should
+    * accompany every non-significant [[abTest]] read. z constants are
+    * FIXED 6-decimal literals (1.959964, 0.841621) shared with the
+    * dual — no libm inverse-normal.
+    *
+    * Exactness: per-variant n, Σq int64 and Σq² decimal(38,0) (the
+    * [[anovaF]] envelope); the pooled variance, MDE and relative MDE
+    * assemble in double from identical operands on any engine.
+    *
+    * Scale shape: ONE map-side-combined two-group agg to a single
+    * row. */
+  def mdePower(df: DataFrame, inA: Column, valueCol: Column,
+               scale: Long = 100L): DataFrame = {
+    val q = floor(valueCol.cast("double") * scale + lit(0.5)).cast("long")
+    val perV = df.filter(valueCol.isNotNull)
+      .select(when(inA, "a").otherwise("b").as("_v"), q.as("_q"))
+      .groupBy("_v")
+      .agg(count(lit(1)).as("_n"), sum("_q").as("_s"),
+        sum(col("_q").cast("decimal(38,0)") * col("_q")).as("_qq"))
+    val agg = perV.agg(
+      sum(when(col("_v") === "a", col("_n"))).as("n_a"),
+      sum(when(col("_v") === "b", col("_n"))).as("n_b"),
+      sum(when(col("_v") === "a", col("_s"))).as("_sa"),
+      sum(when(col("_v") === "b", col("_s"))).as("_sb"),
+      sum(when(col("_v") === "a", col("_qq"))).as("_qa"),
+      sum(when(col("_v") === "b", col("_qq"))).as("_qb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = col("_sa").cast("double") / na
+    val mb = col("_sb").cast("double") / nb
+    val ssA = col("_qa").cast("double") - na * ma * ma
+    val ssB = col("_qb").cast("double") - nb * mb * mb
+    val sPooled = sqrt((ssA + ssB) / (na + nb - 2))
+    val mde = lit(1.959964 + 0.841621) * sPooled *
+      sqrt(lit(1.0) / na + lit(1.0) / nb)
+    val den = lit(scale.toDouble)
+    agg.filter(col("n_a") > 1 && col("n_b") > 1)
+      .select(col("n_a"), col("n_b"),
+        round(ma / den, 6).as("mean_a"),
+        round(mb / den, 6).as("mean_b"),
+        round(sPooled / den, 6).as("pooled_sd"),
+        round(mde / den, 6).as("mde_abs"),
+        round(when(ma =!= 0.0, mde / ma), 6).as("mde_rel"))
+  }
+
   /** McNemar's test for paired binary outcomes: given one row per
     * unit with two boolean measurements (before/after, variant
     * A-saw/B-saw, model-old/model-new correct), the continuity-

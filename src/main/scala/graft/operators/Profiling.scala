@@ -419,6 +419,56 @@ object Profiling {
         (-col("_m._nv")).as("ks_at"), col("n1"), col("n2"))
   }
 
+  /** Cramér–von Mises two-sample statistic per group:
+    * T = n₁n₂/N² · Σ over pooled observations (F₁(v) − F₂(v))² — the
+    * whole-curve companion to [[ksTwoSample]]'s max deviation (KS
+    * keys on the single worst point; CvM integrates every
+    * discrepancy, catching broad mild shifts KS under-weighs).
+    * Tie-robust: the sum runs over distinct values weighted by their
+    * pooled multiplicity, so no within-tie order exists.
+    *
+    * FULLY integer-exact, not just deterministic: each level
+    * contributes w·(r₁n₂ − r₂n₁)² accumulated in decimal(38,0)
+    * (order-free at any scale), and the ONE division per group —
+    * by n₁n₂N² assembled in decimal — sees identical operands on
+    * any engine. The int64 cross-products inherit [[ksTwoSample]]'s
+    * documented n₁·n₂ < 2⁶³ bound (~3·10⁹ rows per slice per group);
+    * quantize values coarser beyond that.
+    *
+    * Scale shape: identical to [[ksTwoSample]] — one (group, value)
+    * shuffle with map-side combine, running CDFs on ONE group-local
+    * sort, totals broadcast, then a map-side-combinable agg. Groups
+    * missing either slice are dropped. */
+  def cramerVonMises(df: DataFrame, groupCol: String, isSliceA: Column,
+                     valueCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        when(isSliceA, lit(1L)).otherwise(lit(0L)).as("_a"),
+        col(valueCol).as("_v"))
+    val c = base.groupBy(col("_g"), col("_v"))
+      .agg(sum("_a").as("_c1"), (count(lit(1)) - sum("_a")).as("_c2"))
+    val tot = c.groupBy("_g")
+      .agg(sum("_c1").as("_n1"), sum("_c2").as("_n2"))
+      .filter(col("_n1") > 0 && col("_n2") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy("_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val dq = (col("_r1") * col("_n2") - col("_r2") * col("_n1"))
+      .cast("decimal(38,0)")
+    c.withColumn("_r1", sum("_c1").over(w))
+      .withColumn("_r2", sum("_c2").over(w))
+      .join(broadcast(tot), Seq("_g"))
+      .withColumn("_t",
+        (col("_c1") + col("_c2")).cast("decimal(38,0)") * dq * dq)
+      .groupBy(col("_g").as(groupCol))
+      .agg(sum("_t").as("_ts"), max("_n1").as("n1"), max("_n2").as("n2"))
+      .select(col(groupCol), col("n1"), col("n2"),
+        round(col("_ts").cast("double") /
+          ((col("n1") * col("n2")).cast("decimal(38,0)") *
+            ((col("n1") + col("n2")) * (col("n1") + col("n2")))
+              .cast("decimal(38,0)")).cast("double"), 6).as("cvm_t"))
+  }
+
   /** Wasserstein-1 (earth-mover) distance between two slices' value
     * distributions, per group — the drift metric that, unlike KS
     * ([[ksTwoSample]], max deviation) or PSI ([[psiDrift]], binned

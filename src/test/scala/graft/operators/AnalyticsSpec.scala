@@ -1073,6 +1073,56 @@ class AnalyticsSpec extends SparkSpec {
       s"$out")
   }
 
+  test("cochranArmitage: hand-computed rising trend; flat is 0; degenerate NULL") {
+    // s=0: 0/4, s=1: 2/4, s=2: 4/4 -> T'=48, vc=3456, chi2=8, sign +1
+    def mk(rows: Seq[(Long, Boolean)]) = Analytics.cochranArmitage(
+      rows.toDF("s", "y"), col("s"), col("y")).head()
+    val rising = mk(Seq.fill(4)((0L, false)) ++
+      Seq((1L, true), (1L, true), (1L, false), (1L, false)) ++
+      Seq.fill(4)((2L, true)))
+    assert((rising.getLong(0), rising.getLong(1), rising.getLong(2)) ==
+      ((12L, 6L, 3L)), s"$rising")
+    assert(rising.getDouble(3) == 8.0 && rising.getInt(4) == 1, s"$rising")
+    val flat = mk(Seq((0L, true), (0L, false), (1L, true), (1L, false)))
+    assert(flat.getDouble(3) == 0.0 && flat.getInt(4) == 0, s"$flat")
+    // no successes: variance core 0 -> chi2 undefined
+    val degen = mk(Seq((0L, false), (1L, false)))
+    assert(degen.isNullAt(3), s"$degen")
+  }
+
+  test("jackknifeRatio: hand-computed LOO variance; all-mass bucket dropped") {
+    // buckets (10,2) (20,2) (30,2): ratio 10, LOO 12.5/10/7.5,
+    // devs^2 sum 12.5 -> se = sqrt(2/3 * 12.5) = 2.886751
+    val df = Seq((0L, 4L, 1L), (0L, 6L, 1L), (1L, 20L, 2L), (2L, 30L, 2L))
+      .toDF("b", "num", "den")
+    val out = Analytics.jackknifeRatio(df, col("b"), col("num"), col("den"))
+      .head()
+    assert(out.getLong(0) == 3L && out.getDouble(1) == 10.0 &&
+      out.getDouble(2) == 2.886751, s"$out")
+    // a single bucket holds all denominator mass: no LOO term exists
+    val single = Analytics.jackknifeRatio(
+      Seq((0L, 5L, 1L)).toDF("b", "num", "den"),
+      col("b"), col("num"), col("den"))
+    assert(single.isEmpty, s"${single.collect().mkString}")
+  }
+
+  test("mdePower: hand-computed pooled sd and MDE at fixed z constants") {
+    // a {1,3}, b {2,4} at scale 1: pooled sd = sqrt2,
+    // mde = 2.801585 * sqrt2 * sqrt(1/2+1/2) = 3.96204, rel /2
+    val df = Seq((true, 1L), (true, 3L), (false, 2L), (false, 4L))
+      .toDF("a", "v")
+    val out = Analytics.mdePower(df, col("a"), col("v"), scale = 1L).head()
+    assert((out.getLong(0), out.getLong(1)) == ((2L, 2L)), s"$out")
+    assert(out.getDouble(2) == 2.0 && out.getDouble(3) == 3.0, s"$out")
+    assert(out.getDouble(4) == 1.414214 && out.getDouble(5) == 3.96204 &&
+      out.getDouble(6) == 1.98102, s"$out")
+    // a variant with n = 1 makes the pooled variance undefined
+    val tiny = Analytics.mdePower(
+      Seq((true, 1L), (false, 2L), (false, 4L)).toDF("a", "v"),
+      col("a"), col("v"), scale = 1L)
+    assert(tiny.isEmpty)
+  }
+
   test("brownForsythe: equal spreads give F near 0; zero-ssw NULL") {
     // identical shapes shifted: z profiles equal -> ssb = 0 -> F = 0
     val eq = Analytics.brownForsythe(

@@ -470,4 +470,23 @@ class ProfilingSpec extends SparkSpec {
       out(9).getDouble(4) == r6(4 * 0.045757490561), s"${out(9)}")
     assert(out(1).getDouble(3) == 0.30103)
   }
+
+  test("cramerVonMises: hand-computed level terms; identical slices 0; ties one level") {
+    import spark.implicits._
+    // A {1,2} vs B {1,3}: only v=2 contributes (4-2)^2 = 4
+    // -> T = 4 / (2*2*16) = 0.0625; the v=1 tie is a single level
+    val df = Seq(("g", "a", 1L), ("g", "a", 2L), ("g", "b", 1L),
+      ("g", "b", 3L)).toDF("g", "s", "v")
+    val out = Profiling.cramerVonMises(df, "g", col("s") === "a", "v").head()
+    assert((out.getLong(1), out.getLong(2), out.getDouble(3)) ==
+      ((2L, 2L, 0.0625)), s"$out")
+    val same = Profiling.cramerVonMises(
+      Seq(("g", "a", 5L), ("g", "b", 5L), ("g", "a", 7L), ("g", "b", 7L))
+        .toDF("g", "s", "v"), "g", col("s") === "a", "v").head()
+    assert(same.getDouble(3) == 0.0, s"$same")
+    // groups missing a slice are dropped
+    val one = Profiling.cramerVonMises(
+      Seq(("g", "a", 1L)).toDF("g", "s", "v"), "g", col("s") === "a", "v")
+    assert(one.isEmpty)
+  }
 }
