@@ -2100,6 +2100,19 @@ object SparkEntry {
     "q363_mde_power" -> ((s, dir) =>
       Analytics.mdePower(t(s, dir, "events"),
         col("user_id") % 2 === 0, col("value"))),
+    // t-closeness: EMD between each priority class's price
+    // distribution and the global one -- the semantic-attack rung
+    // above k-anonymity (q140) and l-diversity (q275)
+    "q364_t_closeness" -> ((s, dir) =>
+      graft.operators.Profiling.tClosenessAudit(t(s, dir, "orders")
+          .withColumn("cents",
+            expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")),
+        Seq("o_orderpriority"), col("cents"), t = 0.2)),
+    // Hubness audit of the within-label kNN graph (k=10): antihubs,
+    // max k-occurrence, occurrence skewness -- the embedding-space
+    // health read retrieval quality degrades with
+    "q365_hubness_audit" -> ((s, dir) =>
+      Similarity.hubnessAudit(t(s, dir, "embeddings"), k = 10)),
     // OLS fit/apply (2 features + intercept): normal equations from
     // ONE exact moment agg on even orderkeys, Cramer closed-form
     // solve, scan-speed predict/residual on odd orderkeys
@@ -5905,6 +5918,93 @@ object SparkEntry {
         |    / 100, 6) AS mde_abs,
         |  round(CASE WHEN ma <> 0 THEN (1.959964 + 0.841621) * sp
         |    * sqrt(1.0 / n_a + 1.0 / n_b) / ma END, 6) AS mde_rel
+        |FROM st""".stripMargin,
+    // integer CDF cross-products in HUGEINT; divisions in Spark's
+    // order (sum / (ng*N) / (m-1))
+    "q364_t_closeness" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS qp,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    count(*)::BIGINT AS c
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  GROUP BY 1, 2
+        |), gall AS (
+        |  SELECT v, sum(c)::BIGINT AS cv FROM cells GROUP BY 1
+        |), g2 AS (
+        |  SELECT v, sum(cv) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rv
+        |  FROM gall
+        |), tot AS (
+        |  SELECT sum(cv)::BIGINT AS N, count(*)::BIGINT AS m FROM gall
+        |), grp AS (
+        |  SELECT qp, sum(c)::BIGINT AS ng FROM cells GROUP BY 1
+        |), grid AS (
+        |  SELECT g2.v, g2.rv, grp.qp, grp.ng, coalesce(cells.c, 0) AS c0
+        |  FROM g2 CROSS JOIN grp
+        |  LEFT JOIN cells ON cells.qp = grp.qp AND cells.v = g2.v
+        |), r AS (
+        |  SELECT qp, ng, rv,
+        |    sum(c0) OVER (PARTITION BY qp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rg
+        |  FROM grid
+        |), s AS (
+        |  SELECT qp, max(ng)::BIGINT AS n_records,
+        |    sum(abs(rg::HUGEINT * N - rv::HUGEINT * ng)) AS sd,
+        |    max(N)::BIGINT AS N, max(m)::BIGINT AS m
+        |  FROM r CROSS JOIN tot GROUP BY 1
+        |)
+        |SELECT qp AS o_orderpriority, n_records,
+        |  round(CASE WHEN m > 1 THEN sd::DOUBLE
+        |    / (n_records::HUGEINT * N)::DOUBLE / (m - 1) END, 6) AS t_emd,
+        |  (CASE WHEN m > 1 THEN sd::DOUBLE
+        |    / (n_records::HUGEINT * N)::DOUBLE / (m - 1) END) > 0.2
+        |    AS breach
+        |FROM s""".stripMargin,
+    // q27's blocked cosine replay, rounded-cos + id-tiebreak top-k;
+    // moments int64, m2^1.5 as m2*sqrt(m2) (libm pow is not
+    // cross-engine)
+    "q365_hubness_audit" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |        i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+        |        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)
+        |      AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id
+        |), r AS (
+        |  SELECT qb, row_number() OVER (PARTITION BY qa
+        |    ORDER BY cos DESC, qb) AS rn
+        |  FROM s
+        |), occ AS (
+        |  SELECT e.label AS l, coalesce(o.c, 0)::BIGINT AS o
+        |  FROM embeddings e LEFT JOIN (
+        |    SELECT qb, count(*)::BIGINT AS c FROM r WHERE rn <= 10 GROUP BY 1
+        |  ) o ON e.vec_id = o.qb
+        |), st AS (
+        |  SELECT l, count(*)::BIGINT AS n_vecs, sum(o)::BIGINT AS n_edges,
+        |    sum(CASE WHEN o = 0 THEN 1 ELSE 0 END)::BIGINT AS n_antihubs,
+        |    max(o)::BIGINT AS max_occ,
+        |    sum(o * o)::BIGINT AS s2, sum(o * o * o)::BIGINT AS s3
+        |  FROM occ GROUP BY 1
+        |)
+        |SELECT l AS label, n_vecs, n_edges, n_antihubs, max_occ,
+        |  round(CASE WHEN (s2::DOUBLE / n_vecs
+        |      - (n_edges::DOUBLE / n_vecs) * (n_edges::DOUBLE / n_vecs)) > 0
+        |    THEN (s3::DOUBLE / n_vecs
+        |      - 3.0 * (n_edges::DOUBLE / n_vecs) * (s2::DOUBLE / n_vecs)
+        |      + 2.0 * (n_edges::DOUBLE / n_vecs)
+        |        * (n_edges::DOUBLE / n_vecs) * (n_edges::DOUBLE / n_vecs))
+        |    / ((s2::DOUBLE / n_vecs
+        |        - (n_edges::DOUBLE / n_vecs) * (n_edges::DOUBLE / n_vecs))
+        |      * sqrt(s2::DOUBLE / n_vecs
+        |        - (n_edges::DOUBLE / n_vecs) * (n_edges::DOUBLE / n_vecs)))
+        |    END, 6) AS occ_skewness
         |FROM st""".stripMargin,
     // singleton/doubleton counts over one reduced token relation;
     // bias-corrected chao1 defined at f2 = 0

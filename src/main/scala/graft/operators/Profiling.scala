@@ -161,6 +161,63 @@ object Profiling {
       .filter(col("low_diversity") || col("skewed"))
   }
 
+  /** t-closeness audit — the third rung of the privacy ladder after
+    * [[kAnonymityAudit]] and [[lDiversityAudit]]: a class can be
+    * large AND diverse yet still leak if its sensitive-value
+    * DISTRIBUTION differs from the table's (semantic attack: "people
+    * in this class earn far more than average"). Per quasi-identifier
+    * class, the earth-mover's distance between the class's ordered
+    * sensitive distribution and the GLOBAL one, with the standard
+    * equal-step ground distance: T = Σᵢ |F_g(vᵢ) − F(vᵢ)| / (m−1)
+    * over the m global distinct values; `breach` flags T > t.
+    *
+    * Exactness: each CDF gap is the integer |r_g·N − r·n_g| (running
+    * counts cross-multiplied, decimal(38,0) — no overflow at any
+    * scale), summed order-free; the two divisions (by n_g·N, then
+    * m−1) run on identical operands. T is NULL when m = 1 (a
+    * constant column distinguishes nothing).
+    *
+    * Scale shape: one (quasi, value) reduced shuffle; the audit grid
+    * is (distinct sensitive values × classes) — bounded by value
+    * cardinality, not table size (quantize the sensitive attribute
+    * coarser upstream if its cardinality is unbounded). The global
+    * CDF window runs over the values relation (the documented
+    * bounded-relation single-partition window). */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensCol: Column, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quasiCols.nonEmpty && t > 0)
+    val qs = quasiCols.map(col)
+    val cells = df.filter(sensCol.isNotNull &&
+        quasiCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(qs :+ sensCol.cast("long").as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val wAll = Window.orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val glob = cells.groupBy("_v").agg(sum("_c").as("_cv"))
+      .withColumn("_rv", sum("_cv").over(wAll))
+    val tot = broadcast(glob.agg(sum("_cv").as("_N"),
+      count(lit(1)).as("_m")))
+    val grp = cells.groupBy(qs: _*).agg(sum("_c").as("_ng"))
+    val wg = Window.partitionBy(qs: _*).orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def d(c: Column) = c.cast("decimal(38,0)")
+    glob.select(col("_v"), col("_rv")).crossJoin(grp)
+      .join(cells, quasiCols :+ "_v", "left_outer")
+      .withColumn("_rg", sum(coalesce(col("_c"), lit(0L))).over(wg))
+      .crossJoin(tot)
+      .groupBy(qs :+ col("_ng").as("n_records"): _*)
+      .agg(sum(abs(d(col("_rg")) * d(col("_N")) -
+        d(col("_rv")) * d(col("_ng")))).as("_s"),
+        max("_N").as("_Nx"), max("_m").as("_mx"))
+      .select(qs ++ Seq(col("n_records"),
+        round(when(col("_mx") > 1,
+          col("_s").cast("double") /
+            (d(col("n_records")) * d(col("_Nx"))).cast("double") /
+            (col("_mx") - 1).cast("double")), 6).as("t_emd")): _*)
+      .withColumn("breach", col("t_emd") > t)
+  }
+
   /** Functional-dependency discovery over candidate column pairs
     * (metanome-lite): does `a → b` hold — does every value of `a`
     * determine exactly one `b`? One verdict row per candidate:

@@ -489,6 +489,62 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Hubness audit over the within-block kNN graph: in high
+    * dimensions a few vectors become "hubs" (appearing in MANY
+    * top-k lists) while "antihubs" appear in none — a known failure
+    * signature of an embedding space (hubness correlates with
+    * degraded retrieval; the skew is the diagnostic). Per block:
+    * vector count, kNN edge count, antihub count (k-occurrence 0),
+    * max k-occurrence, and the k-occurrence skewness g₁ = m₃/m₂^1.5.
+    *
+    * Determinism: neighbor lists rank the ROUNDED cosine with an id
+    * tiebreak (the established top-k contract), so the kNN graph is
+    * engine-exact; occurrence counts are int64 and the moment sums
+    * (Σo, Σo², Σo³) aggregate exactly, meeting in a double assembly
+    * on identical operands — m₂^1.5 is computed as m₂·√m₂ (sqrt is
+    * IEEE-exact; libm `pow` is not cross-engine). Skewness is NULL
+    * for degenerate (constant-occurrence) blocks.
+    *
+    * Scale shape: the pair stage is [[nearDupPairs]]'s block-bounded
+    * join (corpus never crosses blocks; swap in IVF cells at
+    * unlabeled scale); ranking is one window per block-local
+    * candidate set; everything downstream is label-sized. */
+  def hubnessAudit(corpus: DataFrame, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   partCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    val a = corpus.select(col(idCol).as("_qa"), col(vecCol).as("_va"),
+      col(partCol).as("_pa"), norm(col(vecCol)).as("_na"))
+    val b = corpus.select(col(idCol).as("_qb"), col(vecCol).as("_vb"),
+      col(partCol).as("_pb"), norm(col(vecCol)).as("_nb"))
+    val knn = a.join(b, col("_pa") === col("_pb") && col("_qa") =!= col("_qb"))
+      .withColumn("_cos",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_qa").orderBy(col("_cos").desc, col("_qb"))))
+      .filter(col("_rn") <= k)
+    val indeg = knn.groupBy(col("_qb")).agg(count(lit(1)).as("_oc"))
+    val occ = corpus.select(col(partCol).as("_l"), col(idCol).as("_id"))
+      .join(indeg, col("_id") === col("_qb"), "left_outer")
+      .select(col("_l"), coalesce(col("_oc"), lit(0L)).as("_o"))
+    val st = occ.groupBy(col("_l").as(partCol))
+      .agg(count(lit(1)).as("n_vecs"), sum("_o").as("n_edges"),
+        sum(when(col("_o") === 0, 1L).otherwise(0L)).as("n_antihubs"),
+        max("_o").as("max_occ"),
+        sum(col("_o") * col("_o")).as("_s2"),
+        sum(col("_o") * col("_o") * col("_o")).as("_s3"))
+    val nD = col("n_vecs").cast("double")
+    val mu = col("n_edges").cast("double") / nD
+    val m2 = col("_s2").cast("double") / nD - mu * mu
+    val m3 = col("_s3").cast("double") / nD -
+      lit(3.0) * mu * (col("_s2").cast("double") / nD) +
+      lit(2.0) * mu * mu * mu
+    st.select(col(partCol), col("n_vecs"), col("n_edges"),
+      col("n_antihubs"), col("max_occ"),
+      round(when(m2 > 0, m3 / (m2 * sqrt(m2))), 6).as("occ_skewness"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., public):
     * embedding near-dup pairs within partition blocks resolve to
     * connected components, and each cluster keeps exactly one

@@ -489,4 +489,25 @@ class ProfilingSpec extends SparkSpec {
       Seq(("g", "a", 1L)).toDF("g", "s", "v"), "g", col("s") === "a", "v")
     assert(one.isEmpty)
   }
+
+  test("tClosenessAudit: hand-computed EMD vs global; constant column NULL") {
+    import spark.implicits._
+    // A {1,1,2}, B {2,3,3}: global CDF (1/3, 2/3, 1); A's (2/3, 1, 1)
+    // -> Σ|ΔF| = 2/3 over m-1 = 2 steps -> T = 1/3 for both classes
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L),
+      ("B", 2L), ("B", 3L), ("B", 3L)).toDF("qp", "v")
+    val out = Profiling.tClosenessAudit(df, Seq("qp"), col("v"), t = 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out("A") == ((3L, 0.333333, true)), s"$out")
+    assert(out("B") == ((3L, 0.333333, true)), s"$out")
+    val loose = Profiling.tClosenessAudit(df, Seq("qp"), col("v"), t = 0.4)
+      .collect()
+    assert(loose.forall(!_.getBoolean(3)), s"${loose.mkString}")
+    // constant sensitive column: m = 1, EMD undefined
+    val const = Profiling.tClosenessAudit(
+      Seq(("A", 5L), ("B", 5L)).toDF("qp", "v"), Seq("qp"), col("v"), 0.2)
+      .collect()
+    assert(const.forall(_.isNullAt(2)), s"${const.mkString}")
+  }
 }

@@ -756,4 +756,25 @@ class SimilaritySpec extends SparkSpec {
     val r2 = Similarity.daviesBouldin(emb2).head
     assert(r2.getLong(0) == 3L && r2.getDouble(1) == 0.2, s"$r2")
   }
+
+  test("hubnessAudit: hand-computed k-occurrences; singleton block; tiebreak") {
+    // label 0, k=1: v1→v2 (cos 1), v2→v1 (cos 1), v3 ties v1/v2 at
+    // cos 0 → min-id v1 wins. occ: v1=2, v2=1, v3=0 →
+    // antihubs 1, max 2, skew m3≈0
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(2f, 0f), 0), (3L, Seq(0f, 1f), 0),
+      (9L, Seq(5f, 5f), 7)) // singleton block: no pairs at all
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hubnessAudit(emb, k = 1)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val l0 = out(0)
+    assert((l0.getLong(1), l0.getLong(2), l0.getLong(3), l0.getLong(4)) ==
+      ((3L, 3L, 1L, 2L)), s"$l0")
+    assert(l0.getDouble(5) == 0.0, s"$l0")
+    // singleton: zero edges, itself an antihub, skew undefined (m2=0)
+    val l7 = out(7)
+    assert((l7.getLong(1), l7.getLong(2), l7.getLong(3), l7.getLong(4)) ==
+      ((1L, 0L, 1L, 0L)), s"$l7")
+    assert(l7.isNullAt(5), s"$l7")
+  }
 }
