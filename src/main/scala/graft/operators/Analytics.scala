@@ -2153,9 +2153,18 @@ object Analytics {
     * broadcasts. */
   def classificationReport(df: DataFrame, goldCol: Column,
                            predCol: Column): DataFrame = {
+    // the contingency relation is the ONE corpus pass (and the one
+    // evaluation of a possibly-expensive predCol expression); it's
+    // classes²-sized, so materialize it eagerly — six lazy reuses
+    // (gold/pred totals, diagonal, accuracy, kappa, macro) would mean
+    // six corpus scans at 100 TB. (At sf0.1 the measured cost is
+    // flat either way — AQE exchange reuse already deduplicated the
+    // scans; the remaining ~1 s is the q350-class tiny-relation
+    // join/broadcast machinery floor, not data.)
     val ct = df.filter(goldCol.isNotNull && predCol.isNotNull)
       .select(goldCol.as("_g"), predCol.as("_p"))
       .groupBy("_g", "_p").agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
     val gt = ct.groupBy(col("_g").as("_lg")).agg(sum("_n").as("_ng"))
     val pt = ct.groupBy(col("_p").as("_lp")).agg(sum("_n").as("_np"))
     val tp = ct.filter(col("_g") === col("_p"))
