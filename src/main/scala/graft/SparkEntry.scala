@@ -2113,6 +2113,16 @@ object SparkEntry {
     // health read retrieval quality degrades with
     "q365_hubness_audit" -> ((s, dir) =>
       Similarity.hubnessAudit(t(s, dir, "embeddings"), k = 10)),
+    // kNN label-noise screen over IVF-cell candidates (cross-label,
+    // q52's assignment): per label the suspect count (majority of
+    // neighbors disagree) and pooled mismatch rate
+    "q366_knn_label_noise" -> ((s, dir) =>
+      Similarity.knnLabelNoise(t(s, dir, "embeddings"), k = 10)),
+    // Padding-efficiency audit across candidate max_lens: the naive
+    // chunk-and-pad waste the q63 packer is measured against
+    "q367_padding_audit" -> ((s, dir) =>
+      TextAnalysis.paddingAudit(t(s, dir, "documents"),
+        Seq(128, 512, 2048))),
     // OLS fit/apply (2 features + intercept): normal equations from
     // ONE exact moment agg on even orderkeys, Cramer closed-form
     // solve, scan-speed predict/residual on odd orderkeys
@@ -6006,6 +6016,66 @@ object SparkEntry {
         |        - (n_edges::DOUBLE / n_vecs) * (n_edges::DOUBLE / n_vecs)))
         |    END, 6) AS occ_skewness
         |FROM st""".stripMargin,
+    // q52's md5-deterministic IVF assignment (multiAssign=3), both-
+    // direction candidate pairs, rounded-cos+id top-10, label joins
+    "q366_knn_label_noise" ->
+      s"""WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+        |  LIMIT greatest(8, ceil((SELECT count(*) FROM embeddings) / 128.0))::BIGINT
+        |), ca AS (
+        |  SELECT c.vec_id AS cand_id, c.embedding AS cv, s.seed_id,
+        |    ${duckCos("c.embedding", "s.sv")} AS cs
+        |  FROM embeddings c, seeds s
+        |), assign AS (
+        |  SELECT cand_id, cv, seed_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cand_id ORDER BY cs DESC, seed_id) AS arn
+        |    FROM ca) WHERE arn <= 3
+        |), cand AS (
+        |  SELECT DISTINCT a.cand_id AS qa, b.cand_id AS qb,
+        |    ${duckCos("a.cv", "b.cv")} AS cos
+        |  FROM assign a JOIN assign b
+        |    ON a.cell = b.cell AND a.cand_id <> b.cand_id
+        |), knn AS (
+        |  SELECT qa, qb FROM (
+        |    SELECT qa, qb, row_number() OVER (PARTITION BY qa
+        |      ORDER BY cos DESC, qb) AS rn FROM cand) WHERE rn <= 10
+        |), pv AS (
+        |  SELECT knn.qa, ea.label AS la,
+        |    sum(CASE WHEN eb.label <> ea.label THEN 1 ELSE 0 END)::BIGINT AS mm,
+        |    count(*)::BIGINT AS nn
+        |  FROM knn JOIN embeddings ea ON knn.qa = ea.vec_id
+        |  JOIN embeddings eb ON knn.qb = eb.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT e.label AS label, count(*)::BIGINT AS n_vecs,
+        |  sum(CASE WHEN pv.nn IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_scored,
+        |  sum(CASE WHEN pv.mm * 2 > pv.nn THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_suspects,
+        |  round(CASE WHEN sum(coalesce(pv.nn, 0)) > 0
+        |    THEN sum(coalesce(pv.mm, 0))::DOUBLE / sum(coalesce(pv.nn, 0))
+        |    END, 6) AS mismatch_rate
+        |FROM embeddings e LEFT JOIN pv ON e.vec_id = pv.qa
+        |GROUP BY 1""".stripMargin,
+    // integer chunk counts per candidate L; one division per L row
+    "q367_padding_audit" ->
+      """WITH d AS (
+        |  SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+        |    AS t
+        |  FROM documents
+        |), f AS (
+        |  SELECT t, unnest([128, 512, 2048]) AS max_len FROM d WHERE t > 0
+        |)
+        |SELECT max_len, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS n_tokens,
+        |  sum((t + max_len - 1) // max_len)::BIGINT AS n_chunks,
+        |  sum(((t + max_len - 1) // max_len) * max_len)::BIGINT
+        |    AS padded_tokens,
+        |  round((sum(((t + max_len - 1) // max_len) * max_len) - sum(t))
+        |      ::DOUBLE
+        |    / sum(((t + max_len - 1) // max_len) * max_len), 6)
+        |    AS waste_ratio
+        |FROM f GROUP BY 1""".stripMargin,
     // singleton/doubleton counts over one reduced token relation;
     // bias-corrected chao1 defined at f2 = 0
     "q359_chao1_richness" ->

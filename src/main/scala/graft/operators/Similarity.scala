@@ -489,6 +489,70 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** kNN label-noise audit: for each vector, the fraction of its k
+    * nearest neighbors (IVF-cell candidates, CROSS-label — unlike
+    * the within-label [[hubnessAudit]] this must see other labels)
+    * that carry a DIFFERENT label; vectors where the majority of
+    * neighbors disagree are flagged suspect — the standard
+    * neighborhood-consistency screen for mislabeled training rows
+    * (confident-learning-lite). Per label: vector count, scored
+    * count (≥1 candidate neighbor), suspect count, and the pooled
+    * mismatch rate.
+    *
+    * Determinism: candidates are the md5-deterministic IVF cells
+    * ([[ivfAssign]]) — the oracle replays the assignment; neighbor
+    * lists rank the rounded cosine with an id tiebreak; mismatch and
+    * suspect tests are integer counts (suspect = mism·2 > scored, a
+    * cross-multiplication, no FP threshold).
+    *
+    * Scale shape: [[nearDupPairsUnlabeled]]'s cell-bounded candidate
+    * join (corpus never leaves its cells; cells ∝ n keeps per-cell
+    * work flat); one window over cell-local candidate sets; label
+    * lookups ride the (id, label) projection of the corpus —
+    * everything downstream is labels-sized. */
+  def knnLabelNoise(corpus: DataFrame, k: Int, numCells: Int = 0,
+                    multiAssign: Int = 3,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    partCol: String = "label",
+                    targetCellSize: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    val cells =
+      if (numCells > 0) numCells else autoCells(corpus, targetCellSize)
+    val assigned = ivfAssign(corpus, cells, multiAssign, idCol, vecCol)
+    val a = assigned.select(col("cand_id").as("_qa"), col("cv").as("_va"),
+      col("cell"), col("cn").as("_na"))
+    val b = assigned.select(col("cand_id").as("_qb"), col("cv").as("_vb"),
+      col("cell"), col("cn").as("_nb"))
+    val knn = a.join(b, Seq("cell"))
+      .filter(col("_qa") =!= col("_qb"))
+      .withColumn("_cos",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .select(col("_qa"), col("_qb"), col("_cos")).distinct()
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_qa").orderBy(col("_cos").desc, col("_qb"))))
+      .filter(col("_rn") <= k)
+    val lab = corpus.select(col(idCol).as("_id"), col(partCol).as("_lb"))
+    val perVec = knn
+      .join(lab.select(col("_id").as("_qa"), col("_lb").as("_la")), Seq("_qa"))
+      .join(lab.select(col("_id").as("_qb"), col("_lb").as("_lnb")), Seq("_qb"))
+      .groupBy(col("_qa"), col("_la"))
+      .agg(count(lit(1)).as("_nn"),
+        sum(when(col("_lnb") =!= col("_la"), 1L).otherwise(0L)).as("_mm"))
+    lab.join(perVec, col("_id") === col("_qa"), "left_outer")
+      .groupBy(col("_lb").as(partCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("_nn").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("_mm") * 2 > col("_nn"), 1L).otherwise(0L))
+          .as("n_suspects"),
+        sum(coalesce(col("_mm"), lit(0L))).as("_tm"),
+        sum(coalesce(col("_nn"), lit(0L))).as("_tn"))
+      .select(col(partCol), col("n_vecs"), col("n_scored"),
+        col("n_suspects"),
+        round(when(col("_tn") > 0,
+          col("_tm").cast("double") / col("_tn")), 6).as("mismatch_rate"))
+  }
+
   /** Hubness audit over the within-block kNN graph: in high
     * dimensions a few vectors become "hubs" (appearing in MANY
     * top-k lists) while "antihubs" appear in none — a known failure

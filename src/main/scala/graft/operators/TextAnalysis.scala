@@ -1020,6 +1020,36 @@ object TextAnalysis {
               col("n_words"))), 6).as("flesch"))
   }
 
+  /** Padding-efficiency audit: for each candidate sequence length L,
+    * the chunk count Σ⌈tok/L⌉, padded token volume Σ⌈tok/L⌉·L, and
+    * waste ratio (padded − Σtok)/padded under NAIVE per-document
+    * chunk-and-pad — the read that picks max_len before training, and
+    * the baseline [[graft.operators.Packing]]'s bin packing is
+    * measured against (packing's waste is its bins' slack; this is
+    * the no-packing upper bound). Zero-token docs contribute nothing.
+    * All integer arithmetic until the single waste-ratio division.
+    *
+    * Scale shape: one scan computes token counts; the candidate-L
+    * fan-out is a literal array explode (|Ls| rows per doc,
+    * map-side-combined immediately) — output is |Ls| rows. */
+  def paddingAudit(docs: DataFrame, lens: Seq[Int],
+                   textCol: String = "text"): DataFrame = {
+    require(lens.nonEmpty && lens.forall(_ >= 1))
+    val nTok = size(tokens(col(textCol))).cast("long")
+    docs.select(nTok.as("_t"))
+      .filter(col("_t") > 0)
+      .select(col("_t"), explode(lit(lens.toArray)).as("max_len"))
+      .withColumn("_chunks", expr("(_t + max_len - 1) div max_len"))
+      .groupBy("max_len")
+      .agg(count(lit(1)).as("n_docs"), sum("_t").as("n_tokens"),
+        sum("_chunks").as("n_chunks"),
+        sum(col("_chunks") * col("max_len")).as("padded_tokens"))
+      .select(col("max_len"), col("n_docs"), col("n_tokens"),
+        col("n_chunks"), col("padded_tokens"),
+        round((col("padded_tokens") - col("n_tokens")).cast("double") /
+          col("padded_tokens"), 6).as("waste_ratio"))
+  }
+
   /** Chao1 vocabulary-richness estimate: how many distinct types the
     * corpus WOULD show with unbounded sampling — D + f₁(f₁−1)/(2(f₂+1))
     * (the bias-corrected form, defined when no doubletons exist) from

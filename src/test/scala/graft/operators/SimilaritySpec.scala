@@ -777,4 +777,24 @@ class SimilaritySpec extends SparkSpec {
       ((1L, 0L, 1L, 0L)), s"$l7")
     assert(l7.isNullAt(5), s"$l7")
   }
+
+  test("knnLabelNoise: a mislabeled vector's neighborhood flags it; rates pooled") {
+    // x-direction {1,2,5}, y-direction {3,4}; v5 carries label 1 but
+    // points with label 0's cluster -> both its top-2 disagree ->
+    // suspect. One cell = brute kNN, k=2.
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(2f, 0f), 0),
+      (3L, Seq(0f, 1f), 1), (4L, Seq(0f, 2f), 1),
+      (5L, Seq(3f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelNoise(emb, k = 2, numCells = 1,
+        multiAssign = 1)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // l0: v1 top2 = {v2, v5} (cos-1 tie, id order), v2 top2 = {v1, v5}
+    // -> 2 mismatches over 4 edges, no majority-disagree vector
+    assert(out(0) == ((2L, 2L, 0L, 0.5)), s"$out")
+    // l1: v5's top2 = {v1, v2} both l0 -> suspect; v3/v4 each 1 of 2
+    assert(out(1) == ((3L, 3L, 1L, 0.666667)), s"$out")
+  }
 }

@@ -531,4 +531,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(single.getDouble(4) == 6.0 && single.getDouble(5) == 0.0,
       s"$single")
   }
+
+  test("paddingAudit: hand-computed chunks and waste; empty docs excluded") {
+    // 3-token and 1-token docs at L=2: chunks 2+1, padded 6, waste 2/6
+    val docs = Seq((1L, "a b c"), (2L, "d"), (3L, "... !!!"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.paddingAudit(docs, Seq(2)).head()
+    assert((out.getInt(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4)) == ((2, 2L, 4L, 3L, 6L)), s"$out")
+    assert(out.getDouble(5) == 0.333333, s"$out")
+    // a length >= every doc: one chunk per doc, waste toward 1
+    val big = TextAnalysis.paddingAudit(docs, Seq(10)).head()
+    assert(big.getLong(3) == 2L && big.getLong(4) == 20L &&
+      big.getDouble(5) == 0.8, s"$big")
+  }
 }
