@@ -2123,6 +2123,18 @@ object SparkEntry {
     "q367_padding_audit" -> ((s, dir) =>
       TextAnalysis.paddingAudit(t(s, dir, "documents"),
         Seq(128, 512, 2048))),
+    // Cluster-diameter audit over the registered cluster table: the
+    // min pairwise jaccard inside each kept cluster -- measures what
+    // CC chaining actually cost before one-survivor dedup
+    "q368_cluster_diameter" -> ((s, dir) =>
+      FuzzyDedup.clusterDiameterAudit(t(s, dir, "documents"),
+        clusterTable(s, dir, rebuild = false))),
+    // Grouped exact MAD + k*MAD outlier counts: the robust-scale
+    // companion to q69's moment z-score (an extreme row can't move
+    // a median); all-integer until the two reported de-scalings
+    "q369_grouped_mad" -> ((s, dir) =>
+      graft.operators.Outliers.groupedMad(t(s, dir, "events"),
+        "event_type", col("value"))),
     // OLS fit/apply (2 features + intercept): normal equations from
     // ONE exact moment agg on even orderkeys, Cramer closed-form
     // solve, scan-speed predict/residual on odd orderkeys
@@ -6016,6 +6028,65 @@ object SparkEntry {
         |        - (n_edges::DOUBLE / n_vecs) * (n_edges::DOUBLE / n_vecs)))
         |    END, 6) AS occ_skewness
         |FROM st""".stripMargin,
+    // the registered cluster CTE + in-cluster pair jaccard; mean
+    // over x10^12-quantized terms, divisions in Spark's order
+    "q368_cluster_diameter" ->
+      (minhashClustersCte.stripSuffix("\n") + """,
+        |sizes AS (
+        |  SELECT cluster_rep, count(*)::BIGINT AS csize FROM resolved
+        |  GROUP BY 1 HAVING count(*) > 1 AND count(*) <= 64
+        |), mem AS (
+        |  SELECT r.cluster_rep, s.csize, r.doc_id
+        |  FROM resolved r JOIN sizes s USING (cluster_rep)
+        |), pr AS (
+        |  SELECT a.cluster_rep, a.csize, a.doc_id AS da, b.doc_id AS db
+        |  FROM mem a JOIN mem b
+        |    ON a.cluster_rep = b.cluster_rep AND a.doc_id < b.doc_id
+        |), jc AS (
+        |  SELECT cluster_rep, csize,
+        |    round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+        |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
+        |      AS j
+        |  FROM pr JOIN nz x ON pr.da = x.doc_id JOIN nz y ON pr.db = y.doc_id
+        |)
+        |SELECT cluster_rep, max(csize)::BIGINT AS csize,
+        |  count(*)::BIGINT AS n_pairs, min(j) AS min_jaccard,
+        |  round(sum(CAST(floor(j * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
+        |    / count(*) / 1e12, 6) AS avg_jaccard
+        |FROM jc GROUP BY 1""".stripMargin),
+    // the q254 ceil-rank ladder twice (median, then MAD); integer
+    // outlier test z > k*mad
+    "q369_grouped_mad" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |    AS q
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), r1 AS (
+        |  SELECT g, q, row_number() OVER (PARTITION BY g ORDER BY q) AS rn,
+        |    (count(*) OVER (PARTITION BY g))::BIGINT AS n
+        |  FROM b
+        |), med AS (
+        |  SELECT g, max(CASE WHEN rn = (n * 50 + 99) // 100 THEN q END)
+        |    AS med
+        |  FROM r1 GROUP BY 1
+        |), z AS (
+        |  SELECT b.g, abs(b.q - med.med)::BIGINT AS z, med.med
+        |  FROM b JOIN med ON b.g = med.g
+        |), r2 AS (
+        |  SELECT g, z, row_number() OVER (PARTITION BY g ORDER BY z) AS rn,
+        |    (count(*) OVER (PARTITION BY g))::BIGINT AS n
+        |  FROM z
+        |), mad AS (
+        |  SELECT g, max(CASE WHEN rn = (n * 50 + 99) // 100 THEN z END)
+        |    AS mad
+        |  FROM r2 GROUP BY 1
+        |)
+        |SELECT z.g AS event_type, count(*)::BIGINT AS n,
+        |  round(max(z.med)::DOUBLE / 100, 6) AS median,
+        |  round(max(mad.mad)::DOUBLE / 100, 6) AS mad,
+        |  sum(CASE WHEN z.z > 3 * mad.mad THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_outliers
+        |FROM z JOIN mad ON z.g = mad.g GROUP BY 1""".stripMargin,
     // q52's md5-deterministic IVF assignment (multiAssign=3), both-
     // direction candidate pairs, rounded-cos+id top-10, label joins
     "q366_knn_label_noise" ->

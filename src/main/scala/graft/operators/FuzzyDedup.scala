@@ -266,6 +266,69 @@ object FuzzyDedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cluster-diameter audit over a materialized near-dup cluster
+    * table: connected components CHAIN pairwise matches (a~b, b~c ⇒
+    * one cluster even when jaccard(a, c) is low), so every dedup
+    * pipeline should measure how loose its clusters actually got
+    * before keeping one survivor per cluster. Per multi-member
+    * cluster (capped at `maxClusterSize` members — beyond the cap a
+    * cluster is an exact-dup family by construction and its diameter
+    * read adds nothing for quadratic cost): member count, pair
+    * count, the MINIMUM pairwise exact jaccard (the diameter — a low
+    * min on a kept cluster means the survivor is standing in for a
+    * document it doesn't resemble), and the quantized mean.
+    *
+    * Determinism: jaccard rounds to 6 on identical integer set
+    * sizes; the min is over rounded values; the mean sums
+    * ×10¹²-quantized terms in decimal(38,0) with the divisions in a
+    * fixed order.
+    *
+    * Scale shape: the pair stage is bounded by cap²/2 per cluster
+    * over CLUSTERS (near-dup sparse, ≪ corpus); shingles resolve
+    * through the [[minhashNearDups]] melt (one join, member docs
+    * only — the corpus-sized table is semi-join-pruned before the
+    * shingle explode). */
+  def clusterDiameterAudit(docs: DataFrame, clusters: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text", n: Int = 3,
+                           maxClusterSize: Int = 64): DataFrame = {
+    require(maxClusterSize >= 2)
+    val sizes = clusters.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("csize"))
+      .filter(col("csize") > 1 && col("csize") <= maxClusterSize)
+    val mem = clusters.join(sizes, "cluster_rep")
+      .select(col("cluster_rep"), col("csize"), col(idCol))
+    val pr = mem.select(col("cluster_rep"), col("csize"),
+        col(idCol).as("doc_a"))
+      .join(mem.select(col("cluster_rep"), col(idCol).as("doc_b")),
+        Seq("cluster_rep"))
+      .filter(col("doc_a") < col("doc_b"))
+    val sh = shingled(
+      docs.join(mem.select(col(idCol)).distinct(), Seq(idCol), "left_semi"),
+      idCol, textCol, n)
+    val melted = pr.select(col("cluster_rep"), col("csize"),
+      struct(col("doc_a"), col("doc_b")).as("pair"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    val j = melted.join(sh, "doc_id")
+      .groupBy(col("cluster_rep"), col("csize"), col("pair"))
+      .agg(
+        max(when(col("doc_id") === col("pair").getField("doc_a"),
+          col("sh"))).as("sh_a"),
+        max(when(col("doc_id") === col("pair").getField("doc_b"),
+          col("sh"))).as("sh_b"))
+      .select(col("cluster_rep"), col("csize"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("_j"))
+    j.groupBy(col("cluster_rep"))
+      .agg(max("csize").as("csize"), count(lit(1)).as("n_pairs"),
+        min("_j").as("min_jaccard"),
+        sum(floor(col("_j") * 1e12 + lit(0.5)).cast("long")
+          .cast("decimal(38,0)")).as("_qs"))
+      .select(col("cluster_rep"), col("csize"), col("n_pairs"),
+        col("min_jaccard"),
+        round(col("_qs").cast("double") / col("n_pairs") / 1e12, 6)
+          .as("avg_jaccard"))
+  }
+
   /** Incremental near-dup ingest: score an ARRIVING batch against a
     * standing [[bandIndex]] plus itself, without re-running LSH over
     * the indexed corpus — the operator a continuously-ingesting

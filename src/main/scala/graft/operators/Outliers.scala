@@ -161,4 +161,54 @@ object Outliers {
           col("_whi")), 6))
       .drop("_wlo", "_whi")
   }
+
+  /** Grouped median absolute deviation + MAD-rule outlier counts:
+    * per group, the EXACT lower median, the exact MAD (the lower
+    * median of |x − median|), and how many rows sit more than
+    * `k`·MAD from the median — the robust-scale alternative to
+    * [[zscore]] (one extreme row inflates a standard deviation and
+    * hides ITSELF; it cannot move a median). The static companion to
+    * [[TimeSeries]]'s rolling Hampel filter.
+    *
+    * Exactness: the caller's column quantizes to int64 (`scale`, as
+    * everywhere), both medians are the q254 ceil-rank, z = |q − med|
+    * is integer, and the outlier test is the integer comparison
+    * z > k·MAD — no FP anywhere but the two reported de-scalings.
+    *
+    * Scale shape: two grouped exact-median window sorts (the
+    * q39/q254 cost class, second over the same key partitioning) and
+    * a groups-sized broadcast between them; the final count is one
+    * map-side-combinable agg. Groups must fit a window partition —
+    * swap medians for [[Sketches.histQuantiles]] past that. */
+  def groupedMad(df: DataFrame, groupCol: String, valueCol: Column,
+                 k: Long = 3L, scale: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    val q = floor(valueCol.cast("double") * scale + lit(0.5)).cast("long")
+    val base = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), q.as("_q"))
+    def lowerMedian(in: DataFrame, vc: String): DataFrame = in
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_g").orderBy(col(vc))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("_g")))
+      .groupBy("_g")
+      .agg(max(when(col("_rn") === expr("(_n * 50 + 99) div 100"),
+        col(vc))).as("_med"))
+    val med = lowerMedian(base, "_q")
+    val z = base.join(broadcast(med), Seq("_g"))
+      .select(col("_g"), col("_q"), abs(col("_q") - col("_med")).as("_z"),
+        col("_med"))
+    val mad = lowerMedian(z.select(col("_g"), col("_z").as("_q")), "_q")
+      .select(col("_g"), col("_med").as("_mad"))
+    z.join(broadcast(mad), Seq("_g"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("_med")).as("_medq"), max(col("_mad")).as("_madq"),
+        sum(when(col("_z") > lit(k) * col("_mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col(groupCol), col("n"),
+        round(col("_medq").cast("double") / scale, 6).as("median"),
+        round(col("_madq").cast("double") / scale, 6).as("mad"),
+        col("n_outliers"))
+  }
 }

@@ -312,4 +312,28 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(streamed == full, s"stream=${streamed.size} full-cross=${full.size}")
     assert(streamed.nonEmpty, "fixture must exercise the probe (planted dups)")
   }
+
+  test("clusterDiameterAudit: chained cluster shows its low-min diameter") {
+    import spark.implicits._
+    // cluster 1 = {1, 2, 3}: (1,2) share 2 of 4 shingles -> 0.5,
+    // doc 3 is unrelated (chained in) -> min 0; cluster 5 = identical
+    // pair -> min 1; singleton 4 excluded
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d x"), (3L, "z y w v u"),
+      (4L, "solo doc here"), (5L, "p q r s"), (6L, "p q r s"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster_rep")
+    val out = FuzzyDedup.clusterDiameterAudit(docs, clusters)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 5L), s"$out")
+    assert(out(1L) == ((3L, 3L, 0.0, 0.166667)), s"$out")
+    assert(out(5L) == ((2L, 1L, 1.0, 1.0)), s"$out")
+    // cap: the 3-cluster exceeds maxClusterSize = 2 and is skipped
+    val capped = FuzzyDedup.clusterDiameterAudit(docs, clusters,
+      maxClusterSize = 2).collect().map(_.getLong(0)).toSet
+    assert(capped == Set(5L), s"$capped")
+  }
 }

@@ -108,4 +108,20 @@ class OutliersSpec extends SparkSpec {
     assert(out(100L) == 95.05 && out(97L) == 95.05)
     assert(out(50L) == 50.0 && out(6L) == 6.0 && out(95L) == 95.0)
   }
+
+  test("groupedMad: exact median/MAD; extreme row flags itself; MAD=0 degenerate") {
+    import org.apache.spark.sql.functions.col
+    // g1 {1,2,3,4,100}: med 3, z {2,1,0,1,97}, MAD 1, one z > 3
+    // g2 {5,5,5,7}: med 5, MAD 0 -> ANY deviation flags (standard
+    // MAD-rule degeneracy on >50%-constant groups)
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 4L),
+      ("g1", 100L), ("g2", 5L), ("g2", 5L), ("g2", 5L), ("g2", 7L))
+      .toDF("g", "v")
+    val out = Outliers.groupedMad(df, "g", col("v"), k = 3L, scale = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(out("g1") == ((5L, 3.0, 1.0, 1L)), s"$out")
+    assert(out("g2") == ((4L, 5.0, 0.0, 1L)), s"$out")
+  }
 }
