@@ -2135,6 +2135,37 @@ object SparkEntry {
     "q369_grouped_mad" -> ((s, dir) =>
       graft.operators.Outliers.groupedMad(t(s, dir, "events"),
         "event_type", col("value"))),
+    // Kendall tau-b between daily volume and daily revenue per event
+    // type -- the tie-correct rank correlation next to Spearman
+    // (q228); bounded daily series, q189's quadratic-per-group class
+    "q370_kendall_tau" -> ((s, dir) =>
+      Analytics.kendallTauB(
+        t(s, dir, "events").filter(col("ts").isNotNull)
+          .groupBy(col("event_type"),
+            expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(expr("cast(floor(value * 100 + 0.5) as bigint)"))
+              .as("cents")),
+        "event_type", col("day"), col("cnt"), col("cents"))),
+    // Page-Hinkley mean-shift stream over daily avg cents per event
+    // type: self-calibrating drift companion to q131's CUSUM
+    "q371_page_hinkley" -> ((s, dir) =>
+      graft.operators.TimeSeries.pageHinkley(
+        t(s, dir, "events").filter(col("ts").isNotNull)
+          .groupBy(col("event_type"),
+            expr("ts div 86400000000000").as("day"))
+          .agg(expr("sum(cast(floor(value * 100 + 0.5) as bigint))" +
+            " div count(*)").as("avg_cents")),
+        "event_type", col("day"), col("avg_cents"), delta = 0.0,
+        lambda = 5000.0)),
+    // IVF recall-vs-nprobe sweep: measured recall@10 at nprobe
+    // 1/2/4 against exact brute truth -- the accuracy/cost curve
+    // read before setting nprobe, fully oracle-replayable
+    "q372_ivf_recall_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfRecallSweep(e, e.filter(col("vec_id") < 20),
+        k = 10, numCells = 8, probes = Seq(1, 2, 4))
+    }),
     // OLS fit/apply (2 features + intercept): normal equations from
     // ONE exact moment agg on even orderkeys, Cramer closed-form
     // solve, scan-speed predict/residual on odd orderkeys
@@ -6054,6 +6085,119 @@ object SparkEntry {
         |  round(sum(CAST(floor(j * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
         |    / count(*) / 1e12, 6) AS avg_jaccard
         |FROM jc GROUP BY 1""".stripMargin),
+    // integer pair counts; tau-b denominator as HUGEINT product,
+    // one sqrt+division on identical operands
+    "q370_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 86400000000000 AS t,
+        |    count(*)::BIGINT AS x,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), f AS (
+        |  SELECT * FROM daily WHERE g IS NOT NULL AND y IS NOT NULL
+        |), p AS (
+        |  SELECT a.g, a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+        |  FROM f a JOIN f b ON a.g = b.g AND a.t < b.t
+        |), agg AS (
+        |  SELECT g, count(*)::BIGINT AS n0,
+        |    sum(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+        |      THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+        |      THEN 1 ELSE 0 END)::BIGINT AS d,
+        |    sum(CASE WHEN xa = xb THEN 1 ELSE 0 END)::BIGINT AS tx,
+        |    sum(CASE WHEN ya = yb THEN 1 ELSE 0 END)::BIGINT AS ty
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT g AS event_type, n0 AS n_pairs, c AS concordant,
+        |  d AS discordant, tx AS ties_x, ty AS ties_y,
+        |  round(CASE WHEN (n0 - tx)::HUGEINT * (n0 - ty) > 0
+        |    THEN (c - d)::DOUBLE
+        |      / sqrt(((n0 - tx)::HUGEINT * (n0 - ty))::DOUBLE) END, 6)
+        |    AS tau_b
+        |FROM agg""".stripMargin,
+    // three stacked ordered windows; prefix-mean divisions on
+    // identical int64 operands, m/min accumulate in window order
+    "q371_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 86400000000000 AS t,
+        |    (sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      // count(*))::BIGINT AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), f AS (
+        |  SELECT * FROM daily WHERE g IS NOT NULL AND x IS NOT NULL
+        |), r AS (
+        |  SELECT g, t, x, row_number() OVER w AS i,
+        |    sum(x) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM f WINDOW w AS (PARTITION BY g ORDER BY t)
+        |), m AS (
+        |  SELECT g, t,
+        |    sum(x::DOUBLE - s::DOUBLE / i) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM r
+        |)
+        |SELECT g AS event_type, t,
+        |  round(m - min(m) OVER (PARTITION BY g ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ph,
+        |  round(m - min(m) OVER (PARTITION BY g ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) > 5000.0
+        |    AS alarm
+        |FROM m""".stripMargin,
+    // q48's seed/assignment replay; candidates carry min probe rank,
+    // per-level top-10 vs exact brute truth
+    "q372_ivf_recall_sweep" ->
+      s"""WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+        |  LIMIT 8
+        |), qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 20
+        |), ca AS (
+        |  SELECT c.vec_id AS cand_id, c.embedding AS cv, s.seed_id,
+        |    ${duckCos("c.embedding", "s.sv")} AS cs
+        |  FROM embeddings c, seeds s
+        |), assign AS (
+        |  SELECT cand_id, cv, seed_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cand_id
+        |      ORDER BY cs DESC, seed_id) AS arn
+        |    FROM ca) WHERE arn <= 2
+        |), pq AS (
+        |  SELECT q.query_id, q.qv, s.seed_id,
+        |    ${duckCos("q.qv", "s.sv")} AS cs
+        |  FROM qs q, seeds s
+        |), probe AS (
+        |  SELECT query_id, qv, seed_id AS cell, pr FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, seed_id) AS pr
+        |    FROM pq) WHERE pr <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.cand_id,
+        |    ${duckCos("p.qv", "a.cv")} AS cos, min(p.pr) AS minpr
+        |  FROM probe p JOIN assign a
+        |    ON p.cell = a.cell AND p.query_id <> a.cand_id
+        |  GROUP BY 1, 2, 3
+        |), lv AS (
+        |  SELECT query_id, cand_id, cos, minpr, unnest([1, 2, 4]) AS np
+        |  FROM cand
+        |), fnd AS (
+        |  SELECT np, query_id, cand_id FROM (
+        |    SELECT np, query_id, cand_id, row_number() OVER (
+        |      PARTITION BY np, query_id ORDER BY cos DESC, cand_id) AS rn
+        |    FROM lv WHERE minpr <= np) WHERE rn <= 10
+        |), tr AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT q.query_id, c.vec_id AS cand_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${duckCos("q.qv", "c.embedding")} DESC, c.vec_id)
+        |        AS rn
+        |    FROM qs q, embeddings c WHERE q.query_id <> c.vec_id)
+        |  WHERE rn <= 10
+        |), nt AS (SELECT count(*)::BIGINT AS n_truth FROM tr)
+        |SELECT np AS nprobe, nt.n_truth, count(*)::BIGINT AS n_matched,
+        |  round(count(*)::DOUBLE / nt.n_truth, 6) AS recall
+        |FROM fnd JOIN tr USING (query_id, cand_id) CROSS JOIN nt
+        |GROUP BY 1, 2""".stripMargin,
     // the q254 ceil-rank ladder twice (median, then MAD); integer
     // outlier test z > k*mad
     "q369_grouped_mad" ->

@@ -843,6 +843,54 @@ object Analytics {
       round(when(vx > 0 && vy > 0, num / sqrt(vx * vy)), 6).as("rho"))
   }
 
+  /** Kendall tau-b rank correlation between two metrics, per group —
+    * the tie-correct companion to Spearman ([[spearmanByGroup]]'s
+    * sibling read): tau counts CONCORDANT vs DISCORDANT pairs, so it
+    * is interpretable as a probability and robust where Spearman's
+    * rank-square arithmetic over-weights mid-rank swaps. tau-b's
+    * denominator corrects for ties on either side.
+    *
+    * FULLY integer-exact: C, D and the tie counts are int64 pair
+    * counts; the denominator multiplies (n₀−n₁)(n₀−n₂) as
+    * decimal(38,0) and the one sqrt+division per group runs on
+    * identical operands. NULL when either factor is 0 (a constant
+    * side has no ranking).
+    *
+    * Scale shape: the [[TimeSeries.mannKendall]] bounded-input
+    * contract — run on PRE-AGGREGATED series (daily rollups), never
+    * raw events: the within-group pair join is quadratic per group
+    * BY DESIGN (q189's documented class). One group-keyed shuffle,
+    * pair expansion bounded by series length². */
+  def kendallTauB(df: DataFrame, groupCol: String, tCol: Column,
+                  xCol: Column, yCol: Column): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull &&
+        tCol.isNotNull && xCol.isNotNull && yCol.isNotNull)
+      .select(col(groupCol).as("_g"), tCol.as("_t"),
+        xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+    val a = base.select(col("_g"), col("_t").as("_ta"),
+      col("_x").as("_xa"), col("_y").as("_ya"))
+    val b = base.select(col("_g"), col("_t").as("_tb"),
+      col("_x").as("_xb"), col("_y").as("_yb"))
+    val pairs = a.join(b, Seq("_g")).filter(col("_ta") < col("_tb"))
+    val agg = pairs.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("_n0"),
+        sum(when((col("_xa") < col("_xb") && col("_ya") < col("_yb")) ||
+          (col("_xa") > col("_xb") && col("_ya") > col("_yb")), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("_xa") < col("_xb") && col("_ya") > col("_yb")) ||
+          (col("_xa") > col("_xb") && col("_ya") < col("_yb")), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("_xa") === col("_xb"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("_ya") === col("_yb"), 1L).otherwise(0L)).as("ties_y"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val den = d(col("_n0") - col("ties_x")) * d(col("_n0") - col("ties_y"))
+    agg.select(col(groupCol), col("_n0").as("n_pairs"),
+      col("concordant"), col("discordant"), col("ties_x"), col("ties_y"),
+      round(when(den > 0,
+        (col("concordant") - col("discordant")).cast("double") /
+          sqrt(den.cast("double"))), 6).as("tau_b"))
+  }
+
   /** One-way ANOVA F: does the metric's MEAN differ across the k
     * groups? Decomposes total variance into between-group and
     * within-group sums of squares over a `scale`-quantized metric

@@ -489,6 +489,80 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** IVF recall-vs-nprobe sweep: measured recall@k of [[ivfSearch]]
+    * against exact brute-force ground truth at each candidate probe
+    * count — the accuracy/cost curve an index operator reads before
+    * setting nprobe (the q318 "recall is measured, not assumed"
+    * posture, applied to the vector index). ONE assignment and ONE
+    * scoring join serve every probe level: candidates carry the MIN
+    * probe rank that surfaces them, and each level filters
+    * minpr ≤ np before ranking.
+    *
+    * Determinism: the whole ladder (md5 seeds, rounded cosines, id
+    * tiebreaks) is the established replayable IVF contract, so the
+    * measured recall itself is oracle-checkable.
+    *
+    * Scale shape: ground truth is queries × corpus — the sweep is an
+    * AUDIT run on a bounded query sample (like q318's audit block),
+    * not a serving path; the IVF side scores only probed cells, with
+    * a ≤|probes|-way fan-out of the already-reduced candidate
+    * relation. */
+  def ivfRecallSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+                     numCells: Int, probes: Seq[Int],
+                     multiAssign: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= numCells))
+    val seeds = broadcast(ivfSeeds(corpus, numCells, idCol, vecCol))
+    val assigned = ivfAssign(corpus, numCells, multiAssign, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cs").desc, col("seed_id"))
+    val probeT = broadcast(q.crossJoin(seeds)
+      .withColumn("cs",
+        round(dot(col("qv"), col("sv")) / (col("qn") * col("sn")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= probes.max)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("seed_id").as("cell"), col("pr")))
+    val cand = probeT.join(assigned,
+        probeT("cell") === assigned("cell") &&
+          col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .groupBy(col("query_id"), col("cand_id"), col("cos"))
+      .agg(min("pr").as("_minpr"))
+    val wk = Window.partitionBy("np", "query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    val found = cand
+      .select(col("query_id"), col("cand_id"), col("cos"), col("_minpr"),
+        explode(lit(probes.toArray)).as("np"))
+      .filter(col("_minpr") <= col("np"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("np"), col("query_id"), col("cand_id"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val wt = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    val truth = q.crossJoin(c)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(wt))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"))
+    val nTruth = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    found.join(truth, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy("np").agg(count(lit(1)).as("n_matched"))
+      .crossJoin(nTruth)
+      .select(col("np").as("nprobe"), col("n_truth"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("n_truth"), 6)
+          .as("recall"))
+  }
+
   /** kNN label-noise audit: for each vector, the fraction of its k
     * nearest neighbors (IVF-cell candidates, CROSS-label — unlike
     * the within-label [[hubnessAudit]] this must see other labels)

@@ -711,4 +711,44 @@ object TimeSeries {
         // IEEE mult/div terms in fixed order.
         (col("_gain") / (scale.toDouble * scale)).as("gain"))
   }
+
+  /** Page–Hinkley mean-shift detector per series: the sequential
+    * change test behind many stream-drift monitors, made declarative.
+    * Per ordered point t: the running deviation-from-prefix-mean sum
+    * m_t = Σ_{i≤t}(x_i − x̄_i − δ) and the alarm statistic
+    * PH_t = m_t − min_{i≤u≤t} m_u, flagged when PH_t > λ — an upward
+    * mean shift makes m climb away from its historical minimum.
+    * Complements [[cusumDrift]] (known-target CUSUM) with the
+    * no-target self-calibrating form. Emits the full (t, ph, alarm)
+    * stream so thresholds can be re-read without recompute.
+    *
+    * Determinism: prefix means divide running int64 sums by the row
+    * index (identical operands); the m/min accumulations ride ONE
+    * ordered window each, so FP meets in the same order on any
+    * engine — the [[graft.operators.Analytics.kaplanMeier]] Σln
+    * posture.
+    *
+    * Scale shape: the [[mannKendall]] bounded-series contract — run
+    * on PRE-AGGREGATED buckets; three frames over one group-keyed
+    * window sort, zero joins. */
+  def pageHinkley(df: DataFrame, groupCol: String, tCol: Column,
+                  xCol: Column, delta: Double = 0.0,
+                  lambda: Double = 50.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(groupCol).isNotNull && tCol.isNotNull &&
+        xCol.isNotNull)
+      .select(col(groupCol).as("_g"), tCol.as("_t"),
+        xCol.cast("long").as("_x"))
+    val w = Window.partitionBy("_g").orderBy("_t")
+    val upto = w.rowsBetween(Window.unboundedPreceding, 0)
+    base
+      .withColumn("_i", row_number().over(w))
+      .withColumn("_mean",
+        sum("_x").over(upto).cast("double") / col("_i"))
+      .withColumn("_m", sum(col("_x").cast("double") - col("_mean") -
+        lit(delta)).over(upto))
+      .withColumn("ph", round(col("_m") - min("_m").over(upto), 6))
+      .select(col("_g").as(groupCol), col("_t").as("t"), col("ph"),
+        (col("ph") > lambda).as("alarm"))
+  }
 }

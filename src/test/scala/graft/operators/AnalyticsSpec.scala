@@ -1073,6 +1073,27 @@ class AnalyticsSpec extends SparkSpec {
       s"$out")
   }
 
+  test("kendallTauB: hand-computed with an x-tie; perfect monotone; constant NULL") {
+    // pairs: 4 concordant, 1 discordant, 1 x-tie ->
+    // tau = 3/sqrt(5*6) = 0.547723
+    val df = Seq(("g", 1L, 1L, 10L), ("g", 2L, 2L, 20L),
+      ("g", 3L, 3L, 15L), ("g", 4L, 3L, 25L)).toDF("g", "t", "x", "y")
+    val out = Analytics.kendallTauB(df, "g", col("t"), col("x"), col("y"))
+      .head()
+    assert((out.getLong(1), out.getLong(2), out.getLong(3), out.getLong(4),
+      out.getLong(5)) == ((6L, 4L, 1L, 1L, 0L)), s"$out")
+    assert(out.getDouble(6) == 0.547723, s"$out")
+    val mono = Analytics.kendallTauB(
+      Seq(("g", 1L, 1L, 1L), ("g", 2L, 2L, 4L), ("g", 3L, 5L, 9L))
+        .toDF("g", "t", "x", "y"), "g", col("t"), col("x"), col("y")).head()
+    assert(mono.getDouble(6) == 1.0, s"$mono")
+    // constant y: every pair y-tied, denominator factor 0
+    val const = Analytics.kendallTauB(
+      Seq(("g", 1L, 1L, 7L), ("g", 2L, 2L, 7L)).toDF("g", "t", "x", "y"),
+      "g", col("t"), col("x"), col("y")).head()
+    assert(const.isNullAt(6), s"$const")
+  }
+
   test("cochranArmitage: hand-computed rising trend; flat is 0; degenerate NULL") {
     // s=0: 0/4, s=1: 2/4, s=2: 4/4 -> T'=48, vc=3456, chi2=8, sign +1
     def mk(rows: Seq[(Long, Boolean)]) = Analytics.cochranArmitage(

@@ -778,6 +778,21 @@ class SimilaritySpec extends SparkSpec {
     assert(l7.isNullAt(5), s"$l7")
   }
 
+  test("ivfRecallSweep: recall is monotone in nprobe and 1.0 at full probe") {
+    // numCells=2 with multiAssign=2: every vector sits in both cells,
+    // so nprobe=2 sees the whole corpus -> recall exactly 1
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.2f)),
+      (4L, Seq(0f, 1f)), (5L, Seq(0.1f, 0.9f)), (6L, Seq(0.2f, 0.8f)),
+      (7L, Seq(0.5f, 0.5f)), (8L, Seq(0.6f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfRecallSweep(emb, emb.filter(col("vec_id") <= 2),
+        k = 3, numCells = 2, probes = Seq(1, 2))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(out(2) == 1.0, s"$out")
+    assert(out.getOrElse(1, 0.0) <= out(2), s"$out")
+  }
+
   test("knnLabelNoise: a mislabeled vector's neighborhood flags it; rates pooled") {
     // x-direction {1,2,5}, y-direction {3,4}; v5 carries label 1 but
     // points with label 0's cluster -> both its top-2 disagree ->

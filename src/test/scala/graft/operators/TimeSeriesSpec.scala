@@ -385,4 +385,24 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().head
     assert(n.getLong(2) + n.getLong(3) == 2L, s"null rows leaked: $n")
   }
+
+  test("pageHinkley: upward shift climbs PH; downward shift stays at 0") {
+    import org.apache.spark.sql.functions.col
+    // flat 10s then 40: i=4 prefix mean 17.5, term 22.5 -> ph 22.5
+    val up = Seq(("g", 1L, 10L), ("g", 2L, 10L), ("g", 3L, 10L),
+      ("g", 4L, 40L)).toDF("g", "t", "x")
+    val o = TimeSeries.pageHinkley(up, "g", col("t"), col("x"),
+        delta = 0.0, lambda = 5.0)
+      .orderBy("t").collect()
+    assert(o.map(_.getDouble(2)).toSeq == Seq(0.0, 0.0, 0.0, 22.5), s"${o.toSeq}")
+    assert(o.map(_.getBoolean(3)).toSeq == Seq(false, false, false, true))
+    // PH-up ignores a downward shift: m's own minimum tracks it
+    val down = Seq(("g", 1L, 40L), ("g", 2L, 40L), ("g", 3L, 40L),
+      ("g", 4L, 10L)).toDF("g", "t", "x")
+    val d = TimeSeries.pageHinkley(down, "g", col("t"), col("x"),
+        delta = 0.0, lambda = 5.0)
+      .orderBy("t").collect()
+    assert(d.map(_.getDouble(2)).toSeq == Seq(0.0, 0.0, 0.0, 0.0), s"${d.toSeq}")
+    assert(d.forall(!_.getBoolean(3)))
+  }
 }
