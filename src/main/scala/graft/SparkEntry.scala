@@ -2158,6 +2158,56 @@ object SparkEntry {
             " div count(*)").as("avg_cents")),
         "event_type", col("day"), col("avg_cents"), delta = 0.0,
         lambda = 5000.0)),
+    // Streaming per-window price percentiles (p50/p90/p99, $10 bins):
+    // additive histogram state flushed by event-time timeout -- the
+    // latency-monitor shape; reuses q197's staged source (sentinel
+    // value NULLed in the select, the established watermark-only
+    // contract)
+    "q373_stream_windowed_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, dir, "events")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val maxTs = q123MaxTs.getOrElseUpdate(dir,
+        ev.agg(max("ts")).head().getLong(0))
+      import s.implicits._
+      val srcDir = q197SrcDir.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("q197")
+        val sd = tmp.resolve("src")
+        java.nio.file.Files.createDirectories(sd)
+        java.nio.file.Files.createSymbolicLink(
+          sd.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+        val sTs = maxTs + 4L * 3600L * 1000000000L
+        val w = tmp.resolve("w1")
+        Seq((-1L, sTs, 0L, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", sentinelTs(schema("ts").dataType))
+          .coalesce(1).write.parquet(w.toString)
+        val part = w.toFile.listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = sd.resolve("sentinel-1.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(System.currentTimeMillis() + 60000L)
+        sd.toString
+      })
+      val stream = normTs(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir))
+        .select(expr("timestamp_micros(ts div 1000)").as("ets"),
+          when(col("event_id") >= 0,
+            expr("cast(floor(value * 100 + 0.5) as bigint)")).as("cents"))
+      val wq = graft.streaming.StreamingOps.windowedHistQuantiles(
+        stream, "ets", "cents", windowLenMs = 3600000L,
+        lo = 0L, hi = 100000L, bins = 100)
+      s.catalog.dropTempView("q373_wq")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      try {
+        wq.writeStream.format("memory").queryName("q373_wq")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("q373_wq")
+    }),
     // IVF recall-vs-nprobe sweep: measured recall@10 at nprobe
     // 1/2/4 against exact brute truth -- the accuracy/cost curve
     // read before setting nprobe, fully oracle-replayable
@@ -6085,6 +6135,30 @@ object SparkEntry {
         |  round(sum(CAST(floor(j * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
         |    / count(*) / 1e12, 6) AS avg_jaccard
         |FROM jc GROUP BY 1""".stripMargin),
+    // batch replay of the streaming histogram state: same fixed
+    // $10-bin clamp, integer cum*100 >= p*total selection, bin
+    // upper bound as the estimate
+    "q373_stream_windowed_quantiles" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000000 AS ms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), e2 AS (SELECT ms - ms % 3600000 AS ws, v FROM e),
+        |b AS (
+        |  SELECT ws, least(99, greatest(0, v // 1000)) AS bin,
+        |    count(*)::BIGINT AS c
+        |  FROM e2 GROUP BY 1, 2
+        |), r AS (
+        |  SELECT ws, bin, c,
+        |    sum(c) OVER (PARTITION BY ws ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY ws) AS total
+        |  FROM b
+        |), p AS (SELECT unnest([50, 90, 99]) AS percent)
+        |SELECT ws AS window_start, max(total)::BIGINT AS n, percent,
+        |  (min(CASE WHEN cum * 100 >= percent * total THEN bin END) + 1)
+        |    * 1000 AS value
+        |FROM r CROSS JOIN p GROUP BY 1, 3""".stripMargin,
     // integer pair counts; tau-b denominator as HUGEINT product,
     // one sqrt+division on identical operands
     "q370_kendall_tau" ->

@@ -385,6 +385,84 @@ object StreamingOps {
       }.toDF("window_start", "dim", "n", "rnk")
   }
 
+  /** Streaming per-window histogram quantiles — the latency/price
+    * percentile monitor as a genuine streaming operator, on
+    * [[windowedTopK]]'s exact plan shape: state per open tumbling
+    * window is a FIXED `bins`-counter vector (the additive
+    * [[graft.operators.Sketches]] histogram — merge is vector add, so
+    * folding micro-batches into state is the sketch's own merge law),
+    * flushed exactly once by event-time timeout when the watermark
+    * passes the window end. Emits one row per (closed window,
+    * requested percent): the upper bound of the first bin whose
+    * cumulative count reaches the percent — an integer, exact-
+    * arithmetic estimate (bin-width resolution), deterministic on any
+    * engine and replayable by a batch oracle.
+    *
+    * Bin bounds are FIXED parameters (lo, hi, bins), not data-derived
+    * — the monitoring contract: the same bins forever, so windows
+    * compare across time. Values below lo / above hi clamp to the
+    * edge bins (the clamp happens AFTER the division, absorbing
+    * floor-vs-truncate integer-division differences across engines).
+    * NULL values ride the watermark uncounted ([[windowedTopK]]'s
+    * sentinel contract).
+    *
+    * Scale: state = open windows × bins int64 counters, bounded by
+    * the watermark horizon; value cardinality is irrelevant (unlike
+    * the exact top-k map). */
+  def windowedHistQuantiles(df: DataFrame, tsCol: String,
+                            valueCol: String, windowLenMs: Long,
+                            lo: Long, hi: Long, bins: Int,
+                            percents: Seq[Int] = Seq(50, 90, 99),
+                            lateness: String = "0 seconds"): DataFrame = {
+    require(bins >= 1 && hi > lo && (hi - lo) % bins == 0 &&
+      percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100))
+    val w = (hi - lo) / bins
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.withWatermark(tsCol, lateness)
+      .select(
+        (unix_millis(col(tsCol)) -
+          pmod(unix_millis(col(tsCol)), lit(windowLenMs))).as("wstart"),
+        col(valueCol).cast("long").as("v"),
+        col(tsCol).as("et"))
+      .as[(Long, Option[Long], java.sql.Timestamp)]
+    val ps = percents.toArray
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Long, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstart: Long, it: Iterator[(Long, Option[Long], java.sql.Timestamp)],
+         state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            val total = counts.sum
+            if (total == 0L) Iterator.empty
+            else ps.iterator.map { p =>
+              var cum = 0L
+              var idx = 0
+              var hit = -1
+              while (idx < bins && hit < 0) {
+                cum += counts(idx)
+                if (cum * 100 >= p.toLong * total) hit = idx
+                idx += 1
+              }
+              (wstart, total, p, lo + (hit + 1) * w)
+            }
+          } else {
+            val counts = state.getOption.getOrElse(new Array[Long](bins))
+            it.foreach(_._2.foreach { v =>
+              val b = math.min((bins - 1).toLong,
+                math.max(0L, (v - lo) / w)).toInt
+              counts(b) += 1L
+            })
+            state.update(counts)
+            state.setTimeoutTimestamp(math.max(wstart + windowLenMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }.toDF("window_start", "n", "percent", "value")
+  }
+
   /** The output mode [[latestPerKey]] requires. */
   val UpdateMode: OutputMode = OutputMode.Update()
 }

@@ -261,6 +261,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHistQuantiles: additive bins fold across triggers; exact cut") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Option[Long])]
+    val df = input.toDF().toDF("ts", "v")
+    // lo=0 hi=100 bins=10 (w=10): values 5,15,15,95 in one window:
+    // bins {0:1, 1:2, 9:1}; p50: cum 3*100 >= 50*4 at bin1 -> 20;
+    // p90: 90*4=360 > 300 -> bin9 -> 100; p99 -> 100
+    val q = StreamingOps.windowedHistQuantiles(df, "ts", "v",
+        windowLenMs = 600000L, lo = 0L, hi = 100L, bins = 10)
+      .writeStream.format("memory").queryName("whq_test")
+      .outputMode("append").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-08-12 05:$m%02d:00")
+      input.addData((t(0), Some(5L)), (t(1), Some(15L)))
+      q.processAllAvailable()
+      input.addData((t(5), Some(15L)), (t(6), Some(95L)))
+      q.processAllAvailable()
+      assert(spark.table("whq_test").isEmpty) // window still open
+      input.addData((t(20), None)) // null value: watermark-only carrier
+      q.processAllAvailable()
+      input.addData((t(40), None))
+      q.processAllAvailable()
+      val rows = spark.table("whq_test")
+        .collect().map(r => r.getInt(2) -> (r.getLong(1), r.getLong(3)))
+        .toMap
+      assert(rows == Map(50 -> ((4L, 20L)), 90 -> ((4L, 100L)),
+        99 -> ((4L, 100L))), s"got $rows")
+    } finally q.stop()
+  }
+
   test("sessionAgg: gap-based session windows close after the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
