@@ -2208,6 +2208,20 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q373_wq")
     }),
+    // Murphy decomposition of the Brier score on q219's recipe:
+    // separates mis-scaling (reliability) from non-discrimination
+    // (resolution); exact raw Brier from x10^6 score integers
+    "q374_brier_decomposition" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        graft.operators.Curation.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en"))
+      graft.operators.Curation.brierDecomposition(scored, "score", "is_en")
+    }),
+    // One-row corpus datasheet: volume, language spread, emptiness,
+    // mean quality, near-dup rate from the registered cluster table
+    "q375_dataset_card" -> ((s, dir) =>
+      graft.operators.Curation.datasetCard(t(s, dir, "documents"),
+        clusterTable(s, dir, rebuild = false))),
     // IVF recall-vs-nprobe sweep: measured recall@10 at nprobe
     // 1/2/4 against exact brute truth -- the accuracy/cost curve
     // read before setting nprobe, fully oracle-replayable
@@ -6135,6 +6149,83 @@ object SparkEntry {
         |  round(sum(CAST(floor(j * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
         |    / count(*) / 1e12, 6) AS avg_jaccard
         |FROM jc GROUP BY 1""".stripMargin),
+    // q219's bins; x10^6 score integers make the raw Brier an exact
+    // decimal; k-bin rel/res terms quantized x10^12; divisions in
+    // Spark's order
+    "q374_brier_decomposition" ->
+      (s"""WITH q207 AS (${"\n"}$q207OracleSql${"\n"}), sc AS (
+        |  SELECT q207.score, (d.lang = 'en')::INT AS y
+        |  FROM q207 JOIN documents d ON q207.doc_id = d.doc_id
+        |  WHERE q207.score IS NOT NULL AND d.lang IS NOT NULL
+        |), b AS (
+        |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+        |    CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS s, y
+        |  FROM sc
+        |), pb AS (
+        |  SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS p,
+        |    sum(s)::BIGINT AS ss, sum((s::HUGEINT) * s) AS q,
+        |    sum(s * y)::BIGINT AS sy
+        |  FROM b GROUP BY 1
+        |), t AS (
+        |  SELECT sum(n)::BIGINT AS tn, sum(p)::BIGINT AS tp,
+        |    sum(q) AS tq, sum(sy::HUGEINT) AS tsy
+        |  FROM pb
+        |), tm AS (
+        |  SELECT tn, tp, tq, tsy,
+        |    CAST(floor(n * (ss::DOUBLE / n / 1e6 - p::DOUBLE / n)
+        |      * (ss::DOUBLE / n / 1e6 - p::DOUBLE / n) * 1e12 + 0.5)
+        |      AS BIGINT)::HUGEINT AS relq,
+        |    CAST(floor(n * (p::DOUBLE / n - tp::DOUBLE / tn)
+        |      * (p::DOUBLE / n - tp::DOUBLE / tn) * 1e12 + 0.5)
+        |      AS BIGINT)::HUGEINT AS resq
+        |  FROM pb CROSS JOIN t
+        |)
+        |SELECT tn AS n, round(tp::DOUBLE / tn, 6) AS base_rate,
+        |  round((tq - 2000000::HUGEINT * tsy
+        |    + 1000000000000::HUGEINT * tp)::DOUBLE / tn / 1e12, 6) AS brier,
+        |  round((tp::DOUBLE / tn) * (1 - tp::DOUBLE / tn), 6) AS uncertainty,
+        |  round(sum(relq)::DOUBLE / tn / 1e12, 6) AS reliability,
+        |  round(sum(resq)::DOUBLE / tn / 1e12, 6) AS resolution
+        |FROM tm GROUP BY tn, tp, tq, tsy""".stripMargin),
+    // the cluster CTE + the q207 quality CTE + single-pass token
+    // stats, meeting in one row
+    "q375_dataset_card" ->
+      (minhashClustersCte.stripSuffix("\n") +
+        s", q207 AS (${"\n"}$q207OracleSql${"\n"}), " +
+        """cardbase AS (
+          |  SELECT count(*)::BIGINT AS n_docs,
+          |    sum(CASE WHEN len(toks) > 0 THEN len(toks) ELSE 0 END)
+          |      ::BIGINT AS n_tokens,
+          |    sum(CASE WHEN coalesce(len(toks), 0) = 0 THEN 1 ELSE 0 END)
+          |      ::BIGINT AS n_empty
+          |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+          |    AS toks FROM documents)
+          |), qstats AS (
+          |  SELECT sum(CAST(floor(score * 1e6 + 0.5) AS BIGINT))::BIGINT
+          |    AS q6, count(score)::BIGINT AS nq
+          |  FROM q207
+          |), langs AS (
+          |  SELECT lang, count(*)::BIGINT AS lc FROM documents
+          |  WHERE lang IS NOT NULL GROUP BY 1
+          |), nl AS (
+          |  SELECT count(*)::BIGINT AS n_langs, sum(lc)::BIGINT AS nlabeled
+          |  FROM langs
+          |), top AS (
+          |  SELECT lang AS top_lang, lc AS topc FROM langs
+          |  ORDER BY lc DESC, lang LIMIT 1
+          |), dup AS (
+          |  SELECT count(*)::BIGINT AS cn,
+          |    count(DISTINCT cluster_rep)::BIGINT AS cc
+          |  FROM resolved
+          |)
+          |SELECT n_docs, n_tokens,
+          |  round(n_tokens::DOUBLE / n_docs, 6) AS mean_tokens,
+          |  n_langs, top_lang,
+          |  round(topc::DOUBLE / nlabeled, 6) AS top_lang_share,
+          |  round(n_empty::DOUBLE / n_docs, 6) AS pct_empty,
+          |  round(q6::DOUBLE / nq / 1e6, 6) AS mean_quality,
+          |  round((cn - cc)::DOUBLE / cn, 6) AS dup_rate
+          |FROM cardbase, qstats, nl, top, dup""".stripMargin),
     // batch replay of the streaming histogram state: same fixed
     // $10-bin clamp, integer cum*100 >= p*total selection, bin
     // upper bound as the estimate

@@ -226,6 +226,120 @@ object Curation {
           (col("n").cast("double") / col("_tot")), 6).as("ece_term"))
   }
 
+  /** Murphy decomposition of the Brier score over the same bins as
+    * [[calibrationReport]]: Brier ≈ Uncertainty + Reliability −
+    * Resolution — the read that separates "the scores are mis-scaled"
+    * (reliability, fixable by recalibration) from "the scores can't
+    * discriminate" (low resolution, a modeling problem) which the
+    * single ECE number conflates. Also reports the EXACT raw Brier
+    * (the binned identity holds only for bin-constant forecasts; the
+    * gap is within-bin forecast variance — reading both is the
+    * point).
+    *
+    * Exactness: scores arrive round-6 (the repo contract), so
+    * s₆ = ⌊s·10⁶ + ½⌋ represents them exactly; Σs₆, Σs₆², Σs₆y are
+    * integer/decimal aggregates and the raw Brier numerator
+    * Q − 2·10⁶·SY + 10¹²·P is an exact decimal integer. The k-bin
+    * reliability/resolution terms quantize ×10¹² before their sums
+    * (exact while n_bin·gap²·10¹² < 2⁶³ — n_bin ≲ 9·10⁶ at gap 1;
+    * quantize coarser past that). Divisions in a fixed order
+    * (Σ / N / 10¹²).
+    *
+    * Scale shape: ONE map-side-combinable pass to ≤ bins rows, then
+    * bins-row arithmetic with a 1-row broadcast. */
+  def brierDecomposition(scored: DataFrame, scoreCol: String,
+                         labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    val s6 = floor(col(scoreCol) * 1e6 + lit(0.5)).cast("long")
+    val base = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(least(floor(col(scoreCol) * bins).cast("long"),
+        lit(bins - 1L)).as("_b"), s6.as("_s"),
+        col(labelCol).cast("long").as("_y"))
+    val perB = base.groupBy("_b")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_p"),
+        sum("_s").as("_ss"),
+        sum(col("_s").cast("decimal(38,0)") * col("_s")).as("_q"),
+        sum(col("_s") * col("_y")).as("_sy"))
+    val tot = broadcast(perB.agg(sum("_n").as("_TN"), sum("_p").as("_TP"),
+      sum(col("_q")).as("_TQ"),
+      sum(col("_sy").cast("decimal(38,0)")).as("_TSY")))
+    val pbar = col("_ss").cast("double") / col("_n") / 1e6
+    val obar = col("_p").cast("double") / col("_n")
+    val oAll = col("_TP").cast("double") / col("_TN")
+    def q12(c: Column) = floor(c * 1e12 + lit(0.5)).cast("long")
+      .cast("decimal(38,0)")
+    val terms = perB.crossJoin(tot)
+      .select(col("_TN"), col("_TP"), col("_TQ"), col("_TSY"),
+        q12(col("_n") * (pbar - obar) * (pbar - obar)).as("_relq"),
+        q12(col("_n") * (obar - oAll) * (obar - oAll)).as("_resq"))
+    terms.groupBy(col("_TN"), col("_TP"), col("_TQ"), col("_TSY"))
+      .agg(sum("_relq").as("_rel"), sum("_resq").as("_res"))
+      .select(col("_TN").as("n"),
+        round(col("_TP").cast("double") / col("_TN"), 6).as("base_rate"),
+        round((col("_TQ") -
+            lit(2000000L).cast("decimal(38,0)") * col("_TSY") +
+            lit(1000000000000L).cast("decimal(38,0)") *
+              col("_TP").cast("decimal(38,0)")).cast("double") /
+          col("_TN") / 1e12, 6).as("brier"),
+        round((col("_TP").cast("double") / col("_TN")) *
+          (lit(1.0) - col("_TP").cast("double") / col("_TN")), 6)
+          .as("uncertainty"),
+        round(col("_rel").cast("double") / col("_TN") / 1e12, 6)
+          .as("reliability"),
+        round(col("_res").cast("double") / col("_TN") / 1e12, 6)
+          .as("resolution"))
+  }
+
+  /** One-row corpus datasheet — the "dataset card" numbers a corpus
+    * release ships with, each riding an existing pipeline product:
+    * volume (docs, tokens, mean length), language spread (distinct
+    * langs, top lang + its share of labeled docs), emptiness, mean
+    * quality score, and the near-dup rate read FROM the registered
+    * cluster table (a consumer of the q203 build, not a rebuild).
+    *
+    * Determinism: counts int64; mean quality sums the exactly-
+    * representable ×10⁶ quantization of the round-6 score; top lang
+    * breaks count ties by language asc.
+    *
+    * Scale shape: one corpus scan (tokens + quality ride the same
+    * projection), one reduced lang agg (top-1 via
+    * TakeOrderedAndProject), one clusters-table agg — everything
+    * meets in 1-row broadcasts. */
+  def datasetCard(docs: DataFrame, clusters: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  langCol: String = "lang"): DataFrame = {
+    val nTok = size(tokens(col(textCol)))
+    val q6 = floor(qualityScore(col(textCol)) * 1e6 + lit(0.5)).cast("long")
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+      sum(when(nTok > 0, nTok.cast("long")).otherwise(0L)).as("n_tokens"),
+      sum(when(coalesce(nTok, lit(0)) === 0, 1L).otherwise(0L))
+        .as("n_empty"),
+      sum(q6).as("_q6"), count(q6).as("_nq"))
+    val langs = docs.filter(col(langCol).isNotNull)
+      .groupBy(col(langCol)).agg(count(lit(1)).as("_lc"))
+    val nl = broadcast(langs.agg(count(lit(1)).as("n_langs"),
+      sum("_lc").as("_nlabeled")))
+    val top = broadcast(langs
+      .orderBy(col("_lc").desc, col(langCol)).limit(1)
+      .select(col(langCol).as("top_lang"), col("_lc").as("_topc")))
+    val dup = broadcast(clusters.agg(count(lit(1)).as("_cn"),
+      countDistinct(col("cluster_rep")).as("_cc")))
+    base.crossJoin(nl).crossJoin(top).crossJoin(dup)
+      .select(col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6)
+          .as("mean_tokens"),
+        col("n_langs"), col("top_lang"),
+        round(col("_topc").cast("double") / col("_nlabeled"), 6)
+          .as("top_lang_share"),
+        round(col("n_empty").cast("double") / col("n_docs"), 6)
+          .as("pct_empty"),
+        round(col("_q6").cast("double") / col("_nq") / 1e6, 6)
+          .as("mean_quality"),
+        round((col("_cn") - col("_cc")).cast("double") / col("_cn"), 6)
+          .as("dup_rate"))
+  }
+
   /** Cluster-size histogram over a resolved cluster assignment: how
     * many clusters of each size the near-dup graph produced — the
     * one-glance audit of dedup aggressiveness (a fat tail of huge

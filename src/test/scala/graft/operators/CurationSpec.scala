@@ -464,4 +464,39 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.isNullAt(4))
     assert(dead.forall(identity), "all-zero gate must yield NULL ratios")
   }
+
+  test("brierDecomposition: hand-computed Murphy terms; identity holds bin-constant") {
+    // bins=2: bin0 p̄=0.2 ō=1/3, bin1 p̄=0.8 ō=2/3 -> brier 0.24,
+    // unc 0.25, rel 0.017778, res 0.027778 (0.25+rel-res = brier:
+    // forecasts constant per bin, so the identity is exact)
+    val df = Seq((0.2, false), (0.2, false), (0.2, true),
+      (0.8, true), (0.8, true), (0.8, false)).toDF("s", "y")
+    val out = Curation.brierDecomposition(df, "s", "y", bins = 2).head()
+    assert(out.getLong(0) == 6L && out.getDouble(1) == 0.5, s"$out")
+    assert(out.getDouble(2) == 0.24 && out.getDouble(3) == 0.25, s"$out")
+    assert(out.getDouble(4) == 0.017778 && out.getDouble(5) == 0.027778,
+      s"$out")
+    // perfectly calibrated constant forecast: rel 0, res 0, brier=unc
+    val flat = Curation.brierDecomposition(
+      Seq((0.5, true), (0.5, false)).toDF("s", "y"), "s", "y", bins = 2)
+      .head()
+    assert(flat.getDouble(4) == 0.0 && flat.getDouble(5) == 0.0 &&
+      flat.getDouble(2) == flat.getDouble(3), s"$flat")
+  }
+
+  test("datasetCard: one-row rollup with hand-checkable integer facts") {
+    val docs = Seq((1L, "alpha beta", "en"), (2L, "alpha", "en"),
+      (3L, "", "de"), (4L, null, null))
+      .toDF("doc_id", "text", "lang")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L))
+      .toDF("doc_id", "cluster_rep")
+    val out = Curation.datasetCard(docs, clusters).head()
+    assert((out.getLong(0), out.getLong(1)) == ((4L, 3L)), s"$out")
+    assert(out.getDouble(2) == 0.75, s"$out")
+    assert(out.getLong(3) == 2L && out.getString(4) == "en", s"$out")
+    assert(out.getDouble(5) == 0.666667 && out.getDouble(6) == 0.5, s"$out")
+    val mq = out.getDouble(7)
+    assert(mq > 0.0 && mq < 1.0, s"$out")
+    assert(out.getDouble(8) == 0.25, s"$out")
+  }
 }
