@@ -2208,6 +2208,14 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q373_wq")
     }),
+    // Embedding drift via PQ-code histograms: codebook fit on even
+    // ids, both halves encoded with it, per-subspace JS divergence
+    // -- m*k-integer drift state, no binning choices
+    "q376_codebook_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.codebookDrift(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+    }),
     // Murphy decomposition of the Brier score on q219's recipe:
     // separates mis-scaling (reliability) from non-discrimination
     // (resolution); exact raw Brier from x10^6 score integers
@@ -6149,6 +6157,93 @@ object SparkEntry {
         |  round(sum(CAST(floor(j * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
         |    / count(*) / 1e12, 6) AS avg_jaccard
         |FROM jc GROUP BY 1""".stripMargin),
+    // q295's fit ladder restricted to snapshot A (even ids), both
+    // snapshots encoded against the refined centroids, per-subspace
+    // JS with q226's zero-handling
+    "q376_codebook_drift" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+        |), b AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+        |), coordsA AS (
+        |  SELECT vec_id, (i - 1) // 16 AS s, (i - 1) % 16 AS i2,
+        |    embedding[i]::DOUBLE AS x
+        |  FROM a CROSS JOIN generate_series(1, 64) t(i)
+        |), coordsB AS (
+        |  SELECT vec_id, (i - 1) // 16 AS s, (i - 1) % 16 AS i2,
+        |    embedding[i]::DOUBLE AS x
+        |  FROM b CROSS JOIN generate_series(1, 64) t(i)
+        |), sd AS (
+        |  SELECT sid, rn - 1 AS cc FROM (
+        |    SELECT vec_id AS sid, row_number() OVER (ORDER BY
+        |      ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+        |      vec_id) AS rn
+        |    FROM a) WHERE rn <= 4
+        |), scomp AS (
+        |  SELECT s, cc AS cd, i2, x AS mx
+        |  FROM coordsA JOIN sd ON coordsA.vec_id = sd.sid
+        |), d0 AS (
+        |  SELECT coordsA.vec_id, coordsA.s, scomp.cd,
+        |    sum(CAST(floor((x - mx) * (x - mx) * 1e12 + 0.5)
+        |      AS BIGINT))::BIGINT AS qd
+        |  FROM coordsA JOIN scomp
+        |    ON coordsA.s = scomp.s AND coordsA.i2 = scomp.i2
+        |  GROUP BY 1, 2, 3
+        |), a0 AS (
+        |  SELECT vec_id, s, cd FROM (
+        |    SELECT vec_id, s, cd,
+        |      row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY qd, cd) AS rn
+        |    FROM d0) WHERE rn = 1
+        |), ref AS (
+        |  SELECT coordsA.s, a0.cd, coordsA.i2,
+        |    (sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT))::DOUBLE
+        |      / count(*)) / 1000000.0 AS mx
+        |  FROM coordsA JOIN a0
+        |    ON coordsA.vec_id = a0.vec_id AND coordsA.s = a0.s
+        |  GROUP BY 1, 2, 3
+        |), codeA AS (
+        |  SELECT s, cd FROM (
+        |    SELECT coordsA.vec_id, coordsA.s, ref.cd,
+        |      row_number() OVER (PARTITION BY coordsA.vec_id, coordsA.s
+        |        ORDER BY sum(CAST(floor((x - mx) * (x - mx) * 1e12 + 0.5)
+        |          AS BIGINT)), ref.cd) AS rn
+        |    FROM coordsA JOIN ref
+        |      ON coordsA.s = ref.s AND coordsA.i2 = ref.i2
+        |    GROUP BY coordsA.vec_id, coordsA.s, ref.cd) WHERE rn = 1
+        |), codeB AS (
+        |  SELECT s, cd FROM (
+        |    SELECT coordsB.vec_id, coordsB.s, ref.cd,
+        |      row_number() OVER (PARTITION BY coordsB.vec_id, coordsB.s
+        |        ORDER BY sum(CAST(floor((x - mx) * (x - mx) * 1e12 + 0.5)
+        |          AS BIGINT)), ref.cd) AS rn
+        |    FROM coordsB JOIN ref
+        |      ON coordsB.s = ref.s AND coordsB.i2 = ref.i2
+        |    GROUP BY coordsB.vec_id, coordsB.s, ref.cd) WHERE rn = 1
+        |), ha AS (SELECT s, cd, count(*)::BIGINT AS ca FROM codeA
+        |  GROUP BY 1, 2),
+        |hb AS (SELECT s, cd, count(*)::BIGINT AS cb FROM codeB
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(ha.s, hb.s) AS s, coalesce(ha.cd, hb.cd) AS cd,
+        |    coalesce(ca, 0)::BIGINT AS na, coalesce(cb, 0)::BIGINT AS nb
+        |  FROM ha FULL JOIN hb ON ha.s = hb.s AND ha.cd = hb.cd
+        |), tt AS (
+        |  SELECT s, sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb
+        |  FROM j GROUP BY 1
+        |), terms AS (
+        |  SELECT j.s, na, nb,
+        |    na::DOUBLE / ta AS p, nb::DOUBLE / tb AS q,
+        |    (na::DOUBLE / ta + nb::DOUBLE / tb) / 2 AS mm
+        |  FROM j JOIN tt ON j.s = tt.s
+        |)
+        |SELECT s AS subspace, sum(na)::BIGINT AS n_a,
+        |  sum(nb)::BIGINT AS n_b,
+        |  round(sum(
+        |    (CASE WHEN p > 0 THEN p * ln(p / mm) / 2 ELSE 0.0 END) +
+        |    (CASE WHEN q > 0 THEN q * ln(q / mm) / 2 ELSE 0.0 END)), 6)
+        |    AS js
+        |FROM terms GROUP BY 1""".stripMargin,
     // q219's bins; x10^6 score integers make the raw Brier an exact
     // decimal; k-bin rel/res terms quantized x10^12; divisions in
     // Spark's order

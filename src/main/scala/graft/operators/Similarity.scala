@@ -1048,6 +1048,65 @@ object Similarity {
     (assign(refined), refined)
   }
 
+  /** Embedding-distribution drift via PQ-code histograms: fit the
+    * codebook on snapshot A ([[pqFit]]), encode BOTH snapshots with
+    * A's centroids, and report the Jensen–Shannon divergence between
+    * the per-subspace code distributions — the embedding-space drift
+    * monitor whose state is m·k integers, not vectors (the
+    * [[centroidDrift]] read catches mean shifts; code histograms
+    * catch SHAPE changes a mean can hide, e.g. a mode collapsing).
+    * Codes are discrete, so the drift read needs no binning choices.
+    *
+    * Determinism: the whole encode ladder is [[pqCodebook]]'s
+    * replayable recipe (md5 seeds, ×10¹²-int distances, code-id
+    * ties); histogram counts are int64; the ≤k-term JS sums follow
+    * [[Profiling.jsDivergence]]'s round-6 posture.
+    *
+    * Scale shape: the fit touches A twice (pqFit's own shape); B is
+    * encoded in one scan-side broadcast join + map-side argmin;
+    * everything downstream is (m·k)-sized. At 100 TB the code
+    * histograms are the natural per-partition monitoring artifact —
+    * additive, mergeable, bytes-sized. */
+  def codebookDrift(snapA: DataFrame, snapB: DataFrame, m: Int = 4,
+                    k: Int = 4, dim: Int = 64,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val (codesA, cents) = pqFit(snapA, m, k, dim, idCol, vecCol)
+    val sub = dim / m
+    val subB = snapB.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .select(col("_id"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("s"),
+          slice(col("_v"), s * sub + 1, sub).as("sv"))): _*)).as("e"))
+      .select(col("_id"), col("e.s").as("_s"),
+        transform(col("e.sv"), x => x.cast("double")).as("_sv"))
+    val codesB = subB.join(cents, Seq("_s"))
+      .select(col("_id"), col("_s"), col("_c"),
+        qdist12(col("_sv"), col("_mv")).as("_qd"))
+      .groupBy("_id", "_s")
+      .agg(min(struct(col("_qd"), col("_c"))).as("_m"))
+      .select(col("_s"), col("_m").getField("_c").as("_c"))
+    val ha = codesA.select(col("_s"), col("_c"))
+      .groupBy("_s", "_c").agg(count(lit(1)).as("_ca"))
+    val hb = codesB.groupBy("_s", "_c").agg(count(lit(1)).as("_cb"))
+    val joined = ha.join(hb, Seq("_s", "_c"), "full_outer")
+      .select(col("_s"), col("_c"), coalesce(col("_ca"), lit(0L)).as("na"),
+        coalesce(col("_cb"), lit(0L)).as("nb"))
+    val tot = joined.groupBy("_s").agg(sum("na").as("_ta"),
+      sum("nb").as("_tb"))
+    joined.join(broadcast(tot), Seq("_s"))
+      .withColumn("_p", col("na").cast("double") / col("_ta"))
+      .withColumn("_q", col("nb").cast("double") / col("_tb"))
+      .withColumn("_mm", (col("_p") + col("_q")) / 2)
+      .withColumn("_term",
+        when(col("_p") > 0, col("_p") * log(col("_p") / col("_mm")) / 2)
+          .otherwise(lit(0.0)) +
+        when(col("_q") > 0, col("_q") * log(col("_q") / col("_mm")) / 2)
+          .otherwise(lit(0.0)))
+      .groupBy(col("_s").as("subspace"))
+      .agg(sum("na").as("n_a"), sum("nb").as("n_b"),
+        round(sum("_term"), 6).as("js"))
+  }
+
   /** Composed IVF-PQ ADC search — the single operator a 100 TB
     * vector store actually runs, assembled from [[ivfSearch]]'s
     * cell-probe and [[pqCodebook]]'s quantizer: (1) probe the

@@ -778,6 +778,23 @@ class SimilaritySpec extends SparkSpec {
     assert(l7.isNullAt(5), s"$l7")
   }
 
+  test("codebookDrift: identical snapshots score JS 0; shifted mode scores > 0") {
+    val mk = (ids: Seq[Long], v: Seq[Float]) =>
+      ids.map(i => (i, v)).toDF("vec_id", "embedding")
+    val a = mk(Seq(1L, 3L), Seq(1f, 0f, 0f, 0f))
+      .union(mk(Seq(5L, 7L), Seq(0f, 0f, 1f, 0f)))
+    val same = Similarity.codebookDrift(a, a, m = 2, k = 2, dim = 4)
+      .collect()
+    assert(same.length == 2 && same.forall(_.getDouble(3) == 0.0),
+      s"${same.toSeq}")
+    assert(same.forall(r => r.getLong(1) == 4L && r.getLong(2) == 4L))
+    // B collapses onto one of A's modes: the code histogram shifts
+    val b = mk(Seq(2L, 4L, 6L, 8L), Seq(1f, 0f, 0f, 0f))
+    val drift = Similarity.codebookDrift(a, b, m = 2, k = 2, dim = 4)
+      .collect()
+    assert(drift.exists(_.getDouble(3) > 0.0), s"${drift.toSeq}")
+  }
+
   test("ivfRecallSweep: recall is monotone in nprobe and 1.0 at full probe") {
     // numCells=2 with multiAssign=2: every vector sits in both cells,
     // so nprobe=2 sees the whole corpus -> recall exactly 1
