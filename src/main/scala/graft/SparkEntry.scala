@@ -2208,6 +2208,18 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q373_wq")
     }),
+    // The cost half of q372's curve: candidates scanned per query at
+    // each nprobe -- same one-assignment machinery
+    "q377_ivf_cost_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfCostSweep(e, e.filter(col("vec_id") < 20),
+        numCells = 8, probes = Seq(1, 2, 4))
+    }),
+    // Two-proportion Newcombe CI on the even/odd-user purchase rate:
+    // Wilson half-widths root-sum-squared around the difference
+    "q378_two_proportion_ci" -> ((s, dir) =>
+      Analytics.twoProportionCI(t(s, dir, "events"),
+        col("user_id") % 2 === 0, col("event_type") === "purchase")),
     // Embedding drift via PQ-code histograms: codebook fit on even
     // ids, both halves encoded with it, per-subspace JS divergence
     // -- m*k-integer drift state, no binning choices
@@ -6157,6 +6169,87 @@ object SparkEntry {
         |  round(sum(CAST(floor(j * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
         |    / count(*) / 1e12, 6) AS avg_jaccard
         |FROM jc GROUP BY 1""".stripMargin),
+    // q372's assignment/probe prefix; per-level candidate counts
+    // with the two ratios on identical operands
+    "q377_ivf_cost_sweep" ->
+      s"""WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+        |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+        |  LIMIT 8
+        |), qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 20
+        |), ca AS (
+        |  SELECT c.vec_id AS cand_id, s.seed_id,
+        |    ${duckCos("c.embedding", "s.sv")} AS cs
+        |  FROM embeddings c, seeds s
+        |), assign AS (
+        |  SELECT cand_id, seed_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cand_id
+        |      ORDER BY cs DESC, seed_id) AS arn
+        |    FROM ca) WHERE arn <= 2
+        |), pq AS (
+        |  SELECT q.query_id, s.seed_id,
+        |    ${duckCos("q.qv", "s.sv")} AS cs
+        |  FROM qs q, seeds s
+        |), probe AS (
+        |  SELECT query_id, seed_id AS cell, pr FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, seed_id) AS pr
+        |    FROM pq) WHERE pr <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.cand_id, min(p.pr) AS minpr
+        |  FROM probe p JOIN assign a
+        |    ON p.cell = a.cell AND p.query_id <> a.cand_id
+        |  GROUP BY 1, 2
+        |), lv AS (
+        |  SELECT query_id, minpr, unnest([1, 2, 4]) AS np FROM cand
+        |), nq AS (SELECT count(*)::BIGINT AS nq FROM qs),
+        |nc AS (SELECT count(*)::BIGINT AS nc FROM embeddings)
+        |SELECT np AS nprobe, count(*)::BIGINT AS n_candidates,
+        |  round(count(*)::DOUBLE / nq, 6) AS mean_per_query,
+        |  round(count(*)::DOUBLE / (nq * nc), 6) AS scan_fraction
+        |FROM lv CROSS JOIN nq CROSS JOIN nc
+        |WHERE minpr <= np GROUP BY 1, nq, nc""".stripMargin,
+    // fixed z 1.959964; Wilson centers/half-widths and the Newcombe
+    // assembly on identical operands in Spark's order
+    "q378_two_proportion_ci" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |), g AS (
+        |  SELECT v, count(*)::BIGINT AS n, sum(y)::BIGINT AS x
+        |  FROM base GROUP BY 1
+        |), agg AS (
+        |  SELECT max(CASE WHEN v = 'a' THEN n END)::BIGINT AS n_a,
+        |    max(CASE WHEN v = 'a' THEN x END)::BIGINT AS x_a,
+        |    max(CASE WHEN v = 'b' THEN n END)::BIGINT AS n_b,
+        |    max(CASE WHEN v = 'b' THEN x END)::BIGINT AS x_b
+        |  FROM g
+        |), w AS (
+        |  SELECT n_a, x_a, n_b, x_b,
+        |    x_a::DOUBLE / n_a AS pa, x_b::DOUBLE / n_b AS pb,
+        |    (x_a::DOUBLE / n_a + (1.959964 * 1.959964) / (2 * n_a))
+        |      / (1 + (1.959964 * 1.959964) / n_a) AS ctra,
+        |    1.959964 * sqrt((x_a::DOUBLE / n_a) * (1 - x_a::DOUBLE / n_a)
+        |        / n_a + (1.959964 * 1.959964) / (4 * n_a * n_a))
+        |      / (1 + (1.959964 * 1.959964) / n_a) AS hfa,
+        |    (x_b::DOUBLE / n_b + (1.959964 * 1.959964) / (2 * n_b))
+        |      / (1 + (1.959964 * 1.959964) / n_b) AS ctrb,
+        |    1.959964 * sqrt((x_b::DOUBLE / n_b) * (1 - x_b::DOUBLE / n_b)
+        |        / n_b + (1.959964 * 1.959964) / (4 * n_b * n_b))
+        |      / (1 + (1.959964 * 1.959964) / n_b) AS hfb
+        |  FROM agg WHERE n_a > 0 AND n_b > 0
+        |)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  round(pa - pb, 6) AS diff,
+        |  round(pa - pb - sqrt((pa - (ctra - hfa)) * (pa - (ctra - hfa))
+        |    + ((ctrb + hfb) - pb) * ((ctrb + hfb) - pb)), 6) AS ci_lo,
+        |  round(pa - pb + sqrt(((ctra + hfa) - pa) * ((ctra + hfa) - pa)
+        |    + (pb - (ctrb - hfb)) * (pb - (ctrb - hfb))), 6) AS ci_hi
+        |FROM w""".stripMargin,
     // q295's fit ladder restricted to snapshot A (even ids), both
     // snapshots encoded against the refined centroids, per-subspace
     // JS with q226's zero-handling

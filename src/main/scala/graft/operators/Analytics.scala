@@ -2398,6 +2398,56 @@ object Analytics {
         round(when(ma =!= 0.0, mde / ma), 6).as("mde_rel"))
   }
 
+  /** Two-proportion comparison with a Newcombe hybrid CI: the
+    * conversion-rate A/B read-out — difference of proportions with
+    * the score-interval-based confidence bounds (Newcombe's method:
+    * d ± the root-sum-square of each side's Wilson half-widths),
+    * which stays sane at extreme rates and tiny n where the Wald
+    * interval collapses or escapes [−1, 1]. z is the FIXED 6-decimal
+    * literal (1.959964) shared with the dual.
+    *
+    * Determinism: counts are int64; each Wilson bound and the final
+    * assembly are closed-form expressions on identical operands in a
+    * fixed order (the [[mdePower]] posture).
+    *
+    * Scale shape: ONE map-side-combinable two-group agg to a single
+    * row. */
+  def twoProportionCI(df: DataFrame, inA: Column,
+                      successCol: Column): DataFrame = {
+    val z = 1.959964
+    val base = df.select(when(inA, "a").otherwise("b").as("_v"),
+      when(successCol, 1L).otherwise(0L).as("_y"))
+    val agg = base.groupBy("_v")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_x"))
+      .agg(sum(when(col("_v") === "a", col("_n"))).as("n_a"),
+        sum(when(col("_v") === "a", col("_x"))).as("x_a"),
+        sum(when(col("_v") === "b", col("_n"))).as("n_b"),
+        sum(when(col("_v") === "b", col("_x"))).as("x_b"))
+    def wilson(x: Column, n: Column): (Column, Column) = {
+      val nD = n.cast("double")
+      val p = x.cast("double") / nD
+      val z2 = lit(z * z)
+      val denom = lit(1.0) + z2 / nD
+      val center = (p + z2 / (nD * 2)) / denom
+      val half = lit(z) *
+        sqrt(p * (lit(1.0) - p) / nD + z2 / (nD * 4 * nD)) / denom
+      (center - half, center + half)
+    }
+    val pa = col("x_a").cast("double") / col("n_a")
+    val pb = col("x_b").cast("double") / col("n_b")
+    val (la, ua) = wilson(col("x_a"), col("n_a"))
+    val (lb, ub) = wilson(col("x_b"), col("n_b"))
+    val d = pa - pb
+    agg.filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round(d, 6).as("diff"),
+        round(d - sqrt((pa - la) * (pa - la) + (ub - pb) * (ub - pb)), 6)
+          .as("ci_lo"),
+        round(d + sqrt((ua - pa) * (ua - pa) + (pb - lb) * (pb - lb)), 6)
+          .as("ci_hi"))
+  }
+
   /** McNemar's test for paired binary outcomes: given one row per
     * unit with two boolean measurements (before/after, variant
     * A-saw/B-saw, model-old/model-new correct), the continuity-

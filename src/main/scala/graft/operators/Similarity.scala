@@ -563,6 +563,59 @@ object Similarity {
           .as("recall"))
   }
 
+  /** IVF cost-vs-nprobe sweep — the COST half of the accuracy curve
+    * [[ivfRecallSweep]] measures: per probe level, how many
+    * candidates each query actually scans (total, mean per query,
+    * and the fraction of the corpus touched). Reading both sweeps
+    * together is how an operator picks nprobe: recall buys
+    * candidates; this says at what price. Shares the recall sweep's
+    * one-assignment/min-probe-rank machinery.
+    *
+    * Determinism: candidate counts are int64 over the
+    * md5-deterministic assignment; the two ratios divide identical
+    * operands.
+    *
+    * Scale shape: identical to [[ivfRecallSweep]] minus the brute
+    * truth — one assignment, one probe join, a ≤|probes|-way fan-out
+    * of the reduced candidate relation, labels-…-sized output. */
+  def ivfCostSweep(corpus: DataFrame, queries: DataFrame,
+                   numCells: Int, probes: Seq[Int],
+                   multiAssign: Int = 2,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= numCells))
+    val seeds = broadcast(ivfSeeds(corpus, numCells, idCol, vecCol))
+    val assigned = ivfAssign(corpus, numCells, multiAssign, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val nQ = broadcast(q.agg(count(lit(1)).as("_nq")))
+    val nC = broadcast(corpus.agg(count(lit(1)).as("_nc")))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cs").desc, col("seed_id"))
+    val probeT = q.crossJoin(seeds)
+      .withColumn("cs",
+        round(dot(col("qv"), col("sv")) / (col("qn") * col("sn")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= probes.max)
+      .select(col("query_id"), col("seed_id").as("cell"), col("pr"))
+    val cand = probeT.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(min("pr").as("_minpr"))
+    cand.select(col("query_id"), col("_minpr"),
+        explode(lit(probes.toArray)).as("nprobe"))
+      .filter(col("_minpr") <= col("nprobe"))
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(nQ).crossJoin(nC)
+      .select(col("nprobe"), col("n_candidates"),
+        round(col("n_candidates").cast("double") / col("_nq"), 6)
+          .as("mean_per_query"),
+        round(col("n_candidates").cast("double") /
+          (col("_nq") * col("_nc")), 6).as("scan_fraction"))
+  }
+
   /** kNN label-noise audit: for each vector, the fraction of its k
     * nearest neighbors (IVF-cell candidates, CROSS-label — unlike
     * the within-label [[hubnessAudit]] this must see other labels)

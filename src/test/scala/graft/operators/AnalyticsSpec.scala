@@ -1039,6 +1039,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(by == Map("p" -> 1.0, "allpos" -> 1.0), s"$by")
   }
 
+  test("twoProportionCI: Newcombe bounds bracket the difference; symmetric case") {
+    // a: 2/4, b: 1/4 -> diff 0.25; CI must bracket it inside [-1, 1]
+    val df = Seq(("a", true), ("a", true), ("a", false), ("a", false),
+      ("b", true), ("b", false), ("b", false), ("b", false))
+      .toDF("g", "y")
+    val out = Analytics.twoProportionCI(df, col("g") === "a", col("y"))
+      .head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3)) == ((4L, 2L, 4L, 1L)), s"$out")
+    assert(out.getDouble(4) == 0.5 && out.getDouble(5) == 0.25 &&
+      out.getDouble(6) == 0.25, s"$out")
+    val (lo, hi) = (out.getDouble(7), out.getDouble(8))
+    assert(lo < 0.25 && hi > 0.25 && lo >= -1.0 && hi <= 1.0, s"$out")
+    // identical groups: diff 0, CI symmetric around 0
+    val eq = Analytics.twoProportionCI(
+      Seq(("a", true), ("a", false), ("b", true), ("b", false))
+        .toDF("g", "y"), col("g") === "a", col("y")).head()
+    assert(eq.getDouble(6) == 0.0 &&
+      eq.getDouble(7) == -eq.getDouble(8), s"$eq")
+  }
+
   test("mcnemar: discordant counts, continuity correction, NULL pairs dropped") {
     // n01=2, n10=1 -> chi2 = (|2-1|-1)^2/3 = 0
     val df = Seq((Some(false), Some(true)), (Some(false), Some(true)),

@@ -810,6 +810,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.getOrElse(1, 0.0) <= out(2), s"$out")
   }
 
+  test("ivfCostSweep: candidate counts monotone in nprobe; full probe = corpus") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.2f)),
+      (4L, Seq(0f, 1f)), (5L, Seq(0.1f, 0.9f)), (6L, Seq(0.2f, 0.8f)),
+      (7L, Seq(0.5f, 0.5f)), (8L, Seq(0.6f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfCostSweep(emb, emb.filter(col("vec_id") <= 2),
+        numCells = 2, probes = Seq(1, 2), multiAssign = 1)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(3)))).toMap
+    // multiAssign=1: probing both cells sees every other vector
+    assert(out(2) == ((14L, 0.875)), s"$out")
+    assert(out.getOrElse(1, (0L, 0.0))._1 <= 14L, s"$out")
+  }
+
   test("knnLabelNoise: a mislabeled vector's neighborhood flags it; rates pooled") {
     // x-direction {1,2,5}, y-direction {3,4}; v5 carries label 1 but
     // points with label 0's cluster -> both its top-2 disagree ->
