@@ -593,12 +593,14 @@ object Similarity {
     val nC = broadcast(corpus.agg(count(lit(1)).as("_nc")))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cs").desc, col("seed_id"))
-    val probeT = q.crossJoin(seeds)
+    // the probe relation is queries × nprobe rows — broadcast it so
+    // the assigned corpus never re-shuffles for the candidate join
+    val probeT = broadcast(q.crossJoin(seeds)
       .withColumn("cs",
         round(dot(col("qv"), col("sv")) / (col("qn") * col("sn")), 6))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= probes.max)
-      .select(col("query_id"), col("seed_id").as("cell"), col("pr"))
+      .select(col("query_id"), col("seed_id").as("cell"), col("pr")))
     val cand = probeT.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .groupBy(col("query_id"), col("cand_id"))

@@ -441,6 +441,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q353: Nelson-Aalen totals broadcast; one window sort, no shuffle join") {
+    val p = plan("q353_nelson_aalen")
+    assert(p.contains("BroadcastHashJoin"), s"totals not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"shuffle join crept in:\n$p")
+    assert(p.contains("Window"), s"no window pass:\n$p")
+  }
+
+  test("q356: the compaction plan is one window pass — no join anywhere") {
+    val p = plan("q356_compaction_plan")
+    assert(!p.contains("Join"), s"manifest plan grew a join:\n$p")
+    assert(p.contains("Window"), s"no sequential-fill window:\n$p")
+  }
+
+  test("q369: grouped MAD joins its medians by broadcast only") {
+    val p = plan("q369_grouped_mad")
+    assert(p.contains("BroadcastHashJoin"), s"medians not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"group medians shuffled back:\n$p")
+  }
+
+  test("q375: dataset card's top lang is a limit, not a global sort") {
+    val p = plan("q375_dataset_card")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-1:\n$p")
+  }
+
+  test("q377: the probe side broadcasts — the assigned corpus never re-shuffles") {
+    val p = plan("q377_ivf_cost_sweep")
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
   test("q351: digit counts broadcast onto the 9-row spine; no sort-merge join") {
     val p = plan("q351_benford_gof")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
