@@ -2208,6 +2208,21 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q373_wq")
     }),
+    // Poisson overdispersion gate on daily counts per event type:
+    // VMR + dispersion statistic from exact moments
+    "q379_overdispersion" -> ((s, dir) =>
+      Analytics.overdispersion(
+        t(s, dir, "events").filter(col("ts").isNotNull)
+          .groupBy(col("event_type"),
+            expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "event_type", col("cnt"))),
+    // Correlogram: ACF at lags 1..3 from ONE window sort -- q137's
+    // single-lag read widened to the seasonality-signature table
+    "q380_acf_table" -> ((s, dir) =>
+      graft.operators.TimeSeries.acfTable(t(s, dir, "events"),
+        "event_type", Seq(col("ts"), col("event_id")), "value",
+        maxLag = 3)),
     // The cost half of q372's curve: candidates scanned per query at
     // each nprobe -- same one-assignment machinery
     "q377_ivf_cost_sweep" -> ((s, dir) => {
@@ -6169,6 +6184,53 @@ object SparkEntry {
         |  round(sum(CAST(floor(j * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
         |    / count(*) / 1e12, 6) AS avg_jaccard
         |FROM jc GROUP BY 1""".stripMargin),
+    // exact count moments; ss = Q - S*(S/n) parenthesized as Spark
+    // evaluates it; fixed z literal for the flag
+    "q379_overdispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*)::BIGINT AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), f AS (SELECT * FROM daily WHERE g IS NOT NULL),
+        |agg AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+        |    sum((x::HUGEINT) * x) AS q
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT g AS event_type, n,
+        |  round(s::DOUBLE / n, 6) AS mean,
+        |  round(((q::DOUBLE - s::DOUBLE * (s::DOUBLE / n)) / (n - 1))
+        |    / (s::DOUBLE / n), 6) AS vmr,
+        |  round((q::DOUBLE - s::DOUBLE * (s::DOUBLE / n))
+        |    / (s::DOUBLE / n), 6) AS dispersion,
+        |  ((q::DOUBLE - s::DOUBLE * (s::DOUBLE / n)) / (s::DOUBLE / n)
+        |    - (n - 1)) / sqrt((n - 1) * 2.0) > 1.959964 AS overdispersed
+        |FROM agg WHERE n > 1 AND s > 0""".stripMargin,
+    // q137's window order, three lagged columns melted to (g, lag)
+    // pairs, two-pass centered Pearson per pair
+    "q380_acf_table" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, value::DOUBLE AS y,
+        |    lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2,
+        |    lag(value, 3) OVER w AS x3
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts),
+        |    event_id)
+        |), p AS (
+        |  SELECT g, 1 AS lag, x1::DOUBLE AS x, y FROM b WHERE x1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT g, 2, x2::DOUBLE, y FROM b WHERE x2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT g, 3, x3::DOUBLE, y FROM b WHERE x3 IS NOT NULL
+        |), m AS (
+        |  SELECT g, lag, avg(x) AS mx, avg(y) AS my FROM p GROUP BY 1, 2
+        |)
+        |SELECT p.g AS event_type, p.lag,
+        |  round(sum((x - mx) * (y - my)) /
+        |    sqrt(sum((x - mx) * (x - mx)) * sum((y - my) * (y - my))), 5)
+        |    AS acf,
+        |  count(*)::BIGINT AS n
+        |FROM p JOIN m ON p.g = m.g AND p.lag = m.lag GROUP BY 1, 2""".stripMargin,
     // q372's assignment/probe prefix; per-level candidate counts
     // with the two ratios on identical operands
     "q377_ivf_cost_sweep" ->

@@ -2398,6 +2398,42 @@ object Analytics {
         round(when(ma =!= 0.0, mde / ma), 6).as("mde_rel"))
   }
 
+  /** Poisson overdispersion check per group: the variance-to-mean
+    * ratio of integer counts and the dispersion statistic
+    * D = Σ(x−x̄)²/x̄ (≈ χ²(n−1) under Poisson), with the normal-
+    * approximation flag z = (D−(n−1))/√(2(n−1)) > 1.959964 — the
+    * "is a Poisson model even admissible" gate before any count
+    * model or Poisson-assuming test ([[bootstrapCI]]'s resampling,
+    * rate CIs). VMR ≈ 1 Poisson; ≫ 1 clumped (the usual reality).
+    *
+    * Exactness: counts are int64, so n, Σx, Σx² (decimal) are exact
+    * and every reported number is a closed form on identical
+    * operands; z's threshold is the fixed literal. Groups with n ≤ 1
+    * or x̄ = 0 are dropped (nothing to test).
+    *
+    * Scale shape: one map-side-combinable group agg over the
+    * (pre-aggregated) count relation — anovaF's cheapest shape. */
+  def overdispersion(df: DataFrame, groupCol: String,
+                     countCol: Column): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && countCol.isNotNull)
+      .select(col(groupCol).as("_g"), countCol.cast("long").as("_x"))
+    val agg = base.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"), sum("_x").as("_s"),
+        sum(col("_x").cast("decimal(38,0)") * col("_x")).as("_q"))
+    val nD = col("n").cast("double")
+    val mean = col("_s").cast("double") / nD
+    val ss = col("_q").cast("double") - col("_s").cast("double") * mean
+    val vmr = (ss / (nD - 1)) / mean
+    val disp = ss / mean
+    agg.filter(col("n") > 1 && col("_s") > 0)
+      .select(col(groupCol), col("n"),
+        round(mean, 6).as("mean"),
+        round(vmr, 6).as("vmr"),
+        round(disp, 6).as("dispersion"),
+        ((disp - (nD - 1)) / sqrt((nD - 1) * 2) > 1.959964)
+          .as("overdispersed"))
+  }
+
   /** Two-proportion comparison with a Newcombe hybrid CI: the
     * conversion-rate A/B read-out — difference of proportions with
     * the score-interval-based confidence bounds (Newcombe's method:

@@ -189,6 +189,45 @@ object TimeSeries {
         count(lit(1)).as("n"))
   }
 
+  /** Multi-lag ACF table per group: [[autocorrelation]] at lags
+    * 1..maxLag from ONE window sort — the L lagged columns ride the
+    * same ordering, melt to (group, lag) pairs, and the two-pass
+    * centered correlation runs per (group, lag). The correlogram
+    * read (seasonality shows as a spike at its period; MA signatures
+    * as a cut-off) that single-lag ACF can't give.
+    *
+    * Scale shape: one group-partitioned window sort producing L
+    * columns (no extra shuffle per lag), one ≤L-way melt of the
+    * already-reduced pair relation, then the broadcast-means +
+    * centered-products pass keyed by (group, lag). L is a query
+    * constant. */
+  def acfTable(df: DataFrame, groupCol: String,
+               orderCols: Seq[org.apache.spark.sql.Column],
+               valueCol: String, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1 && orderCols.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    val lagged = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(Seq(col(groupCol), col(valueCol).cast("double").as("_y")) ++
+        (1 to maxLag).map(l =>
+          lag(col(valueCol), l).over(w).cast("double").as(s"_x$l")): _*)
+    val pairs = lagged.select(col(groupCol), col("_y"),
+        explode(array((1 to maxLag).map(l =>
+          struct(lit(l).as("lag"), col(s"_x$l").as("x"))): _*)).as("e"))
+      .select(col(groupCol), col("e.lag").as("lag"),
+        col("e.x").as("_x"), col("_y"))
+      .filter(col("_x").isNotNull)
+    val means = broadcast(pairs.groupBy(col(groupCol), col("lag"))
+      .agg(avg("_x").as("_mx"), avg("_y").as("_my")))
+    val dx = col("_x") - col("_mx")
+    val dy = col("_y") - col("_my")
+    pairs.join(means, Seq(groupCol, "lag"))
+      .groupBy(col(groupCol), col("lag"))
+      .agg(round(sum(dx * dy) / sqrt(sum(dx * dx) * sum(dy * dy)), 5)
+          .as("acf"),
+        count(lit(1)).as("n"))
+  }
+
   /** Theil–Sen robust slope per group: the median over all pairwise
     * slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) with xᵢ < xⱼ — the trend estimator that
     * tolerates ~29% outlier contamination where OLS folds at one bad

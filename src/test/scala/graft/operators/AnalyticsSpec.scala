@@ -1039,6 +1039,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(by == Map("p" -> 1.0, "allpos" -> 1.0), s"$by")
   }
 
+  test("overdispersion: flat counts VMR 0; one clump flags; degenerates dropped") {
+    val df = Seq(("flat", 2L), ("flat", 2L), ("flat", 2L), ("flat", 2L),
+      ("clump", 0L), ("clump", 0L), ("clump", 0L), ("clump", 8L),
+      ("one", 5L), ("zero", 0L), ("zero", 0L)).toDF("g", "cnt")
+    val out = Analytics.overdispersion(df, "g", col("cnt"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("flat", "clump"), s"$out")
+    val f = out("flat")
+    assert(f.getDouble(2) == 2.0 && f.getDouble(3) == 0.0 &&
+      !f.getBoolean(5), s"$f")
+    val c = out("clump")
+    assert(c.getDouble(2) == 2.0 && c.getDouble(3) == 8.0 &&
+      c.getDouble(4) == 24.0 && c.getBoolean(5), s"$c")
+  }
+
   test("twoProportionCI: Newcombe bounds bracket the difference; symmetric case") {
     // a: 2/4, b: 1/4 -> diff 0.25; CI must bracket it inside [-1, 1]
     val df = Seq(("a", true), ("a", true), ("a", false), ("a", false),

@@ -386,6 +386,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(n.getLong(2) + n.getLong(3) == 2L, s"null rows leaked: $n")
   }
 
+  test("acfTable: alternating series shows the period-2 signature") {
+    import org.apache.spark.sql.functions.col
+    // 1,2,1,2,1,2: lag1 = -1 (anti-phase), lag2 = +1 (in phase),
+    // lag3 = -1
+    val df = (1 to 6).map(i => ("g", i.toLong, if (i % 2 == 1) 1.0 else 2.0))
+      .toDF("g", "t", "v")
+    val out = TimeSeries.acfTable(df, "g", Seq(col("t")), "v", maxLag = 3)
+      .collect().map(r => r.getInt(1) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(out(1) == ((-1.0, 5L)), s"$out")
+    assert(out(2) == ((1.0, 4L)), s"$out")
+    assert(out(3) == ((-1.0, 3L)), s"$out")
+  }
+
   test("pageHinkley: upward shift climbs PH; downward shift stays at 0") {
     import org.apache.spark.sql.functions.col
     // flat 10s then 40: i=4 prefix mean 17.5, term 22.5 -> ph 22.5
