@@ -2208,6 +2208,21 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q373_wq")
     }),
+    // Neyman allocation of a 10k-row sampling budget across event
+    // types: n_h proportional to N_h*sigma_h with exact integer
+    // proration (sums to budget by construction)
+    "q381_neyman_allocation" -> ((s, dir) =>
+      graft.operators.Sampling.neymanAllocation(t(s, dir, "events"),
+        "event_type", col("value"), budget = 10000L)),
+    // Equal-mass ECE on q219's recipe: adaptive bins by exact rank
+    // division -- no empty cells when scores bunch
+    "q382_equal_mass_ece" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        graft.operators.Curation.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("is_en"), col("doc_id"))
+      graft.operators.Sampling.equalMassEce(scored, "score", "is_en",
+        col("doc_id"))
+    }),
     // Poisson overdispersion gate on daily counts per event type:
     // VMR + dispersion statistic from exact moments
     "q379_overdispersion" -> ((s, dir) =>
@@ -6184,6 +6199,58 @@ object SparkEntry {
         |  round(sum(CAST(floor(j * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
         |    / count(*) / 1e12, 6) AS avg_jaccard
         |FROM jc GROUP BY 1""".stripMargin),
+    // exact moments -> x10^6 weights -> HUGEINT proration with
+    // largest-remainder spill (stratum tiebreak); Spark's parens
+    "q381_neyman_allocation" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |    AS q
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), pers AS (
+        |  SELECT g, count(*)::BIGINT AS n_rows, sum(q)::BIGINT AS s,
+        |    sum((q::HUGEINT) * q) AS qq
+        |  FROM b GROUP BY 1
+        |), w AS (
+        |  SELECT g, n_rows,
+        |    sqrt((qq::DOUBLE - s::DOUBLE * (s::DOUBLE / n_rows)) / n_rows)
+        |      AS sd,
+        |    CAST(floor(n_rows
+        |      * sqrt((qq::DOUBLE - s::DOUBLE * (s::DOUBLE / n_rows))
+        |        / n_rows) * 1e6 + 0.5) AS BIGINT) AS wq
+        |  FROM pers
+        |), t AS (SELECT sum(wq)::BIGINT AS tw FROM w),
+        |basea AS (
+        |  SELECT g, n_rows, sd, wq, tw,
+        |    ((wq::HUGEINT * 10000) // tw)::BIGINT AS alloc,
+        |    ((wq::HUGEINT * 10000) % tw)::BIGINT AS rem
+        |  FROM w CROSS JOIN t
+        |), sp AS (SELECT (10000 - sum(alloc))::BIGINT AS spill FROM basea)
+        |SELECT g AS event_type, n_rows, round(sd / 100, 6) AS sd,
+        |  round(wq::DOUBLE / tw, 6) AS share,
+        |  (alloc + CASE WHEN row_number() OVER (ORDER BY rem DESC, g)
+        |    <= spill THEN 1 ELSE 0 END)::BIGINT AS alloc_n
+        |FROM basea CROSS JOIN sp""".stripMargin,
+    // rank over (x10^6 score, doc_id), bin by integer division;
+    // q219's per-bin read on equal-mass cells
+    "q382_equal_mass_ece" ->
+      (s"""WITH q207 AS (${"\n"}$q207OracleSql${"\n"}), sc AS (
+        |  SELECT q207.doc_id AS id, q207.score, (d.lang = 'en')::INT AS y
+        |  FROM q207 JOIN documents d ON q207.doc_id = d.doc_id
+        |  WHERE q207.score IS NOT NULL AND d.lang IS NOT NULL
+        |), b AS (
+        |  SELECT CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS s, y, id,
+        |    row_number() OVER (ORDER BY
+        |      CAST(floor(score * 1e6 + 0.5) AS BIGINT), id) AS rn
+        |  FROM sc
+        |), n AS (SELECT count(*)::BIGINT AS nn FROM b)
+        |SELECT ((rn - 1) * 10 // nn)::BIGINT AS bin, count(*)::BIGINT AS n,
+        |  sum(y)::BIGINT AS n_pos,
+        |  round(sum(s)::DOUBLE / count(*) / 1e6, 6) AS mean_score,
+        |  round(sum(y)::DOUBLE / count(*), 6) AS pos_rate,
+        |  round(abs(sum(s)::DOUBLE / count(*) / 1e6
+        |      - sum(y)::DOUBLE / count(*))
+        |    * (count(*)::DOUBLE / nn), 6) AS ece_term
+        |FROM b CROSS JOIN n GROUP BY 1, nn""".stripMargin),
     // exact count moments; ss = Q - S*(S/n) parenthesized as Spark
     // evaluates it; fixed z literal for the flag
     "q379_overdispersion" ->

@@ -383,4 +383,104 @@ object Sampling {
           .otherwise("val"))
       .drop("_mn", "_mx")
   }
+
+  /** Neyman allocation: how a fixed sampling budget SHOULD be split
+    * across strata — n_h ∝ N_h·σ_h, the design that minimizes the
+    * estimator variance (proportional allocation over-samples large
+    * HOMOGENEOUS strata; Neyman spends budget where size × spread
+    * is). This operator COMPUTES the design the other samplers here
+    * consume (feed the resulting per-stratum fractions to
+    * [[stratifiedSample]]).
+    *
+    * Exactness: σ_h comes from exact int64/decimal moments of the
+    * quantized metric; the weight N_h·σ_h quantizes ×10⁶ to int64
+    * and the budget splits by EXACT integer proration —
+    * budget·q_h div Σq, with the leftover units going to the largest
+    * remainders (stratum-name tiebreak), the q149 penny-assignment
+    * principle — so Σ alloc_n = budget exactly, on any engine.
+    * Constant strata (σ = 0) get weight 0 — Neyman assigns them
+    * nothing beyond remainder spill (sample 1 row separately if the
+    * mean itself is wanted).
+    *
+    * Scale shape: one map-side-combined stratum agg, then
+    * strata-row arithmetic with two windows over the bounded strata
+    * relation. */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCol: Column, budget: Long,
+                       scale: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1)
+    val q = floor(valueCol.cast("double") * scale + lit(0.5)).cast("long")
+    val perS = df.filter(col(stratumCol).isNotNull && valueCol.isNotNull)
+      .select(col(stratumCol).as("_g"), q.as("_q"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("n_rows"), sum("_q").as("_s"),
+        sum(col("_q").cast("decimal(38,0)") * col("_q")).as("_qq"))
+    val nD = col("n_rows").cast("double")
+    val sd = sqrt((col("_qq").cast("double") -
+      col("_s").cast("double") * (col("_s").cast("double") / nD)) / nD)
+    val weighted = perS
+      .withColumn("_w", floor(nD * sd * 1e6 + lit(0.5)).cast("long"))
+    val tot = broadcast(weighted.agg(sum("_w").as("_tw")))
+    // the w·budget product runs in decimal: w ≈ n·σ·10⁶ can reach
+    // ~10¹⁵ and an int64 product would overflow past sf1
+    val base = weighted.crossJoin(tot)
+      .withColumn("_alloc",
+        expr(s"(cast(_w as decimal(38,0)) * ${budget}L) div _tw"))
+      .withColumn("_rem",
+        expr(s"(cast(_w as decimal(38,0)) * ${budget}L) % _tw"))
+    // leftover units to the largest remainders, stratum tiebreak —
+    // exact integer proration (Σ alloc = budget by construction)
+    val wRem = Window.orderBy(col("_rem").desc, col("_g"))
+    val spill = broadcast(base.agg(
+      (lit(budget) - sum("_alloc")).as("_spill")))
+    base.crossJoin(spill)
+      .withColumn("_rk", row_number().over(wRem))
+      .select(col("_g").as(stratumCol), col("n_rows"),
+        round(sd / scale, 6).as("sd"),
+        round(col("_w").cast("double") / col("_tw"), 6).as("share"),
+        (col("_alloc") + when(col("_rk") <= col("_spill"), 1L)
+          .otherwise(0L)).as("alloc_n"))
+  }
+
+  /** Expected calibration error over EQUAL-MASS bins: scores ranked
+    * (score, id) and cut into `bins` equal-count bins by integer
+    * division — the adaptive-binning ECE that avoids equal-width
+    * bins' empty-cell problem when scores bunch (the usual case
+    * after a sigmoid). Complements [[Curation.calibrationReport]]
+    * (equal width) and [[Curation.brierDecomposition]].
+    *
+    * Determinism: the rank is a total order; bin = (rank−1)·bins
+    * div n is integer; per-bin sums of the ×10⁶-exact score are
+    * int64 — every reported number divides identical operands.
+    *
+    * Scale shape: one global sort (the price of equal-mass cuts —
+    * the same cost class as [[graft.operators.Analytics]]'s RFM
+    * ntile over a dimension; run on scored UNITS, not raw events);
+    * then one map-side-combinable bin agg. */
+  def equalMassEce(scored: DataFrame, scoreCol: String, labelCol: String,
+                   idCol: Column, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2)
+    val s6 = floor(col(scoreCol) * 1e6 + lit(0.5)).cast("long")
+    val base = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(s6.as("_s"), col(labelCol).cast("long").as("_y"),
+        idCol.as("_id"))
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(col("_s"), col("_id"))))
+    val n = broadcast(base.agg(count(lit(1)).as("_n")))
+    base.crossJoin(n)
+      .withColumn("bin", expr(s"((_rn - 1) * ${bins}L) div _n"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"),
+        sum("_s").as("_ss"), max("_n").as("_N"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("_ss").cast("double") / col("n") / 1e6, 6)
+          .as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(abs(col("_ss").cast("double") / col("n") / 1e6 -
+            col("n_pos").cast("double") / col("n")) *
+          (col("n").cast("double") / col("_N")), 6).as("ece_term"))
+  }
 }

@@ -277,4 +277,42 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(incr == full, "incremental survivors diverged from full rebuild")
   }
+
+  test("neymanAllocation: budget splits by N*sigma; remainders prorate exactly") {
+    import spark.implicits._
+    // A: sigma 5 n 4; B: constant (weight 0); C: sigma 10 n 2 ->
+    // weights 2e7/0/2e7
+    val df = Seq(("A", 0L), ("A", 0L), ("A", 10L), ("A", 10L),
+      ("B", 5L), ("B", 5L), ("B", 5L), ("B", 5L),
+      ("C", 0L), ("C", 20L)).toDF("g", "v")
+    val ten = Sampling.neymanAllocation(df, "g", col("v"), budget = 10L,
+        scale = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(ten("A") == ((5.0, 0.5, 5L)), s"$ten")
+    assert(ten("B") == ((0.0, 0.0, 0L)), s"$ten")
+    assert(ten("C") == ((10.0, 0.5, 5L)), s"$ten")
+    // budget 5: A/C floor to 2 each, the spill unit goes to the
+    // remainder tie's lowest stratum name
+    val five = Sampling.neymanAllocation(df, "g", col("v"), budget = 5L,
+        scale = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(five == Map("A" -> 3L, "B" -> 0L, "C" -> 2L), s"$five")
+    assert(five.values.sum == 5L)
+  }
+
+  test("equalMassEce: exact rank bins; hand-computed terms") {
+    import spark.implicits._
+    // scores .1/.2/.3/.4, labels F/F/T/T, 2 bins ->
+    // bin0 mean .15 pos 0 (term .15*.5), bin1 mean .35 pos 2
+    // (term |.35-1|*.5)
+    val df = Seq((1L, 0.1, false), (2L, 0.2, false), (3L, 0.3, true),
+      (4L, 0.4, true)).toDF("id", "s", "y")
+    val out = Sampling.equalMassEce(df, "s", "y", col("id"), bins = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out(0L) == ((2L, 0L, 0.15, 0.0, 0.075)), s"$out")
+    assert(out(1L) == ((2L, 2L, 0.35, 1.0, 0.325)), s"$out")
+  }
 }
