@@ -2208,6 +2208,19 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q373_wq")
     }),
+    // Top-20 part-revenue leaderboard diff across the shipdate
+    // halves: stayed/entered/exited + rank shifts, total-ordered
+    "q383_leaderboard_churn" -> ((s, dir) =>
+      Analytics.leaderboardChurn(t(s, dir, "lineitem"), "l_partkey",
+        expr("l_shipdate < timestamp'1998-01-01'"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)" +
+          " as bigint)"), topN = 20)),
+    // Heartbeat availability per event-type stream: gaps beyond 1h
+    // count their excess as downtime; all-int64 ns arithmetic
+    "q384_heartbeat_availability" -> ((s, dir) =>
+      graft.operators.TimeSeries.heartbeatAvailability(
+        t(s, dir, "events"), "event_type", col("ts"),
+        thresholdNs = 3600000000000L)),
     // Neyman allocation of a 10k-row sampling budget across event
     // types: n_h proportional to N_h*sigma_h with exact integer
     // proration (sums to budget by construction)
@@ -6199,6 +6212,53 @@ object SparkEntry {
         |  round(sum(CAST(floor(j * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
         |    / count(*) / 1e12, 6) AS avg_jaccard
         |FROM jc GROUP BY 1""".stripMargin),
+    // per-row quantized revenue cents, exact per-period sums, two
+    // total-order ranks over the keys relation
+    "q383_leaderboard_churn" ->
+      """WITH pk AS (
+        |  SELECT l_partkey AS k,
+        |    sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+        |      THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |        + 0.5) AS BIGINT) ELSE 0 END)::BIGINT AS ma,
+        |    sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 0
+        |      ELSE CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |        + 0.5) AS BIGINT) END)::BIGINT AS mb
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+        |), r AS (
+        |  SELECT k, row_number() OVER (ORDER BY ma DESC, k) AS ra,
+        |    row_number() OVER (ORDER BY mb DESC, k) AS rb
+        |  FROM pk
+        |)
+        |SELECT k AS l_partkey,
+        |  (CASE WHEN ra <= 20 THEN ra END)::BIGINT AS rank_a,
+        |  (CASE WHEN rb <= 20 THEN rb END)::BIGINT AS rank_b,
+        |  CASE WHEN ra <= 20 AND rb <= 20 THEN 'stayed'
+        |    WHEN rb <= 20 THEN 'entered' ELSE 'exited' END AS status,
+        |  (CASE WHEN ra <= 20 AND rb <= 20 THEN ra - rb END)::BIGINT
+        |    AS rank_shift
+        |FROM r WHERE ra <= 20 OR rb <= 20""".stripMargin,
+    // one lag window; gap multiset is tie-order-free; int64 ns until
+    // the availability division
+    "q384_heartbeat_availability" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, epoch_ns(ts) AS t
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |), g2 AS (
+        |  SELECT g, t, t - lag(t) OVER (PARTITION BY g ORDER BY t) AS gap
+        |  FROM e
+        |)
+        |SELECT g AS event_type, count(*)::BIGINT AS n_events,
+        |  (max(t) - min(t))::BIGINT AS span_ns,
+        |  sum(CASE WHEN gap > 3600000000000 THEN gap - 3600000000000
+        |    ELSE 0 END)::BIGINT AS downtime_ns,
+        |  sum(CASE WHEN gap > 3600000000000 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_outages,
+        |  max(gap)::BIGINT AS max_gap_ns,
+        |  round(CASE WHEN max(t) - min(t) > 0
+        |    THEN 1.0 - sum(CASE WHEN gap > 3600000000000
+        |      THEN gap - 3600000000000 ELSE 0 END)::DOUBLE
+        |      / (max(t) - min(t)) END, 6) AS availability
+        |FROM g2 GROUP BY 1""".stripMargin,
     // exact moments -> x10^6 weights -> HUGEINT proration with
     // largest-remainder spill (stratum tiebreak); Spark's parens
     "q381_neyman_allocation" ->

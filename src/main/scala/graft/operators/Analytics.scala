@@ -843,6 +843,47 @@ object Analytics {
       round(when(vx > 0 && vy > 0, num / sqrt(vx * vy)), 6).as("rho"))
   }
 
+  /** Leaderboard churn between two periods: rank the keys by a
+    * metric in period A and period B, keep each period's top-N, and
+    * report per key its ranks, status (stayed / entered / exited)
+    * and rank shift — the "what moved on the leaderboard" read
+    * behind every top-sellers/top-queries review, as a diff rather
+    * than two lists a human eyeballs.
+    *
+    * Determinism: pass an integer-quantized metric; per-period sums
+    * are exact int64, ranks order (sum desc, key) — total order, no
+    * FP boundary. Keys with zero metric in a period rank by the
+    * tiebreak like any other but a top-N cut on real data never
+    * reaches them.
+    *
+    * Scale shape: one keyed agg over the fact scan, then two global
+    * windows over the KEYS relation (dimension-sized — the RFM/ntile
+    * cost class; swap to TakeOrderedAndProject per period if the key
+    * dimension itself outgrows a sort). Output ≤ 2N rows. */
+  def leaderboardChurn(df: DataFrame, keyCol: String, inA: Column,
+                       metricCol: Column, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 1)
+    val perKey = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("_k"))
+      .agg(sum(when(inA, metricCol.cast("long")).otherwise(0L)).as("_ma"),
+        sum(when(inA, 0L).otherwise(metricCol.cast("long"))).as("_mb"))
+    val ranked = perKey
+      .withColumn("_ra", row_number().over(
+        Window.orderBy(col("_ma").desc, col("_k"))))
+      .withColumn("_rb", row_number().over(
+        Window.orderBy(col("_mb").desc, col("_k"))))
+    ranked.filter(col("_ra") <= topN || col("_rb") <= topN)
+      .select(col("_k").as(keyCol),
+        when(col("_ra") <= topN, col("_ra")).cast("long").as("rank_a"),
+        when(col("_rb") <= topN, col("_rb")).cast("long").as("rank_b"),
+        when(col("_ra") <= topN && col("_rb") <= topN, "stayed")
+          .when(col("_rb") <= topN, "entered")
+          .otherwise("exited").as("status"),
+        when(col("_ra") <= topN && col("_rb") <= topN,
+          col("_ra") - col("_rb")).cast("long").as("rank_shift"))
+  }
+
   /** Kendall tau-b rank correlation between two metrics, per group —
     * the tie-correct companion to Spearman ([[spearmanByGroup]]'s
     * sibling read): tau counts CONCORDANT vs DISCORDANT pairs, so it

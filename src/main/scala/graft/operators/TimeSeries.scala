@@ -189,6 +189,46 @@ object TimeSeries {
         count(lit(1)).as("n"))
   }
 
+  /** Heartbeat availability per stream: treat each key's events as
+    * liveness signals; any inter-event gap beyond `thresholdNs`
+    * counts its excess as downtime, and availability = 1 −
+    * downtime/span over the key's observed window — the SLA read-out
+    * (sensor fleets, service heartbeats, device telemetry) that
+    * [[graft.operators.Merge]]-style interval algebra doesn't give
+    * directly. Also reports the outage count and the longest gap.
+    *
+    * Determinism: everything is int64 nanosecond arithmetic until
+    * the one availability division of identical operands. Keys with
+    * a single event (span 0) report NULL availability — one
+    * heartbeat proves nothing.
+    *
+    * Scale shape: one key-partitioned window sort (the sessionizer's
+    * cost class — per-key event counts bound each partition), then a
+    * map-side-combinable per-key agg. */
+  def heartbeatAvailability(df: DataFrame, groupCol: String,
+                            tsCol: Column,
+                            thresholdNs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholdNs > 0)
+    val w = Window.partitionBy("_g").orderBy("_t")
+    val gaps = df.filter(col(groupCol).isNotNull && tsCol.isNotNull)
+      .select(col(groupCol).as("_g"), tsCol.cast("long").as("_t"))
+      .withColumn("_gap", col("_t") - lag("_t", 1).over(w))
+    gaps.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        (max("_t") - min("_t")).as("span_ns"),
+        sum(when(col("_gap") > thresholdNs, col("_gap") - thresholdNs)
+          .otherwise(0L)).as("downtime_ns"),
+        sum(when(col("_gap") > thresholdNs, 1L).otherwise(0L))
+          .as("n_outages"),
+        max("_gap").as("max_gap_ns"))
+      .select(col(groupCol), col("n_events"), col("span_ns"),
+        col("downtime_ns"), col("n_outages"), col("max_gap_ns"),
+        round(when(col("span_ns") > 0,
+          lit(1.0) - col("downtime_ns").cast("double") / col("span_ns")),
+          6).as("availability"))
+  }
+
   /** Multi-lag ACF table per group: [[autocorrelation]] at lags
     * 1..maxLag from ONE window sort — the L lagged columns ride the
     * same ordering, melt to (group, lag) pairs, and the two-pass

@@ -1039,6 +1039,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(by == Map("p" -> 1.0, "allpos" -> 1.0), s"$by")
   }
 
+  test("leaderboardChurn: stayed/entered/exited with exact rank shifts") {
+    // topN=2: A top {k1,k2}, B top {k1,k3} -> k1 stays (shift 0),
+    // k2 exits, k3 enters, k4 never appears
+    val df = Seq(("k1", true, 100L), ("k1", false, 90L),
+      ("k2", true, 50L), ("k3", false, 80L),
+      ("k4", true, 10L), ("k4", false, 10L)).toDF("k", "a", "m")
+    val out = Analytics.leaderboardChurn(df, "k", col("a"), col("m"), 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("k1", "k2", "k3"), s"$out")
+    val k1 = out("k1")
+    assert(k1.getString(3) == "stayed" && k1.getLong(1) == 1L &&
+      k1.getLong(2) == 1L && k1.getLong(4) == 0L, s"$k1")
+    assert(out("k2").getString(3) == "exited" &&
+      out("k2").isNullAt(2), s"${out("k2")}")
+    assert(out("k3").getString(3) == "entered" &&
+      out("k3").isNullAt(1), s"${out("k3")}")
+  }
+
   test("overdispersion: flat counts VMR 0; one clump flags; degenerates dropped") {
     val df = Seq(("flat", 2L), ("flat", 2L), ("flat", 2L), ("flat", 2L),
       ("clump", 0L), ("clump", 0L), ("clump", 0L), ("clump", 8L),

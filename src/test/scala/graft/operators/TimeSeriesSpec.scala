@@ -386,6 +386,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(n.getLong(2) + n.getLong(3) == 2L, s"null rows leaked: $n")
   }
 
+  test("heartbeatAvailability: excess-gap downtime; single heartbeat NULL") {
+    import org.apache.spark.sql.functions.col
+    // gaps 10, 100 at threshold 50: downtime 50 over span 110
+    val df = Seq(("g", 0L), ("g", 10L), ("g", 110L), ("solo", 5L))
+      .toDF("g", "t")
+    val out = TimeSeries.heartbeatAvailability(df, "g", col("t"),
+        thresholdNs = 50L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4),
+      g.getLong(5)) == ((3L, 110L, 50L, 1L, 100L)), s"$g")
+    assert(g.getDouble(6) == 0.545455, s"$g")
+    val solo = out("solo")
+    assert(solo.getLong(2) == 0L && solo.isNullAt(6), s"$solo")
+  }
+
   test("acfTable: alternating series shows the period-2 signature") {
     import org.apache.spark.sql.functions.col
     // 1,2,1,2,1,2: lag1 = -1 (anti-phase), lag2 = +1 (in phase),
