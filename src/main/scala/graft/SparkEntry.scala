@@ -2208,6 +2208,17 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q373_wq")
     }),
+    // Effective-token economics per source: raw vs soft-dedup-
+    // weighted tokens from the registered cluster table (consumer #7)
+    "q385_effective_tokens" -> ((s, dir) =>
+      graft.operators.Curation.effectiveTokens(t(s, dir, "documents"),
+        clusterTable(s, dir, rebuild = false), "source")),
+    // First/last/linear attribution credits side by side from one
+    // user-keyed window pass; 24h lookback, purchase conversions
+    "q386_attribution_compare" -> ((s, dir) =>
+      Analytics.attributionCompare(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), "purchase",
+        lookbackNs = 86400000000000L)),
     // Top-20 part-revenue leaderboard diff across the shipdate
     // halves: stayed/entered/exited + rank shifts, total-ordered
     "q383_leaderboard_churn" -> ((s, dir) =>
@@ -6212,6 +6223,74 @@ object SparkEntry {
         |  round(sum(CAST(floor(j * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
         |    / count(*) / 1e12, 6) AS avg_jaccard
         |FROM jc GROUP BY 1""".stripMargin),
+    // the cluster CTE + integer tokens*1e6 div csz contributions
+    "q385_effective_tokens" ->
+      (minhashClustersCte.stripSuffix("\n") + """,
+        |sizes AS (
+        |  SELECT cluster_rep, count(*)::BIGINT AS csz FROM resolved
+        |  GROUP BY 1
+        |), eb AS (
+        |  SELECT d.source AS st,
+        |    len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))::BIGINT
+        |      AS tok,
+        |    s.csz
+        |  FROM documents d
+        |  JOIN resolved r ON d.doc_id = r.doc_id
+        |  JOIN sizes s ON r.cluster_rep = s.cluster_rep
+        |)
+        |SELECT st AS source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN tok > 0 THEN tok ELSE 0 END)::BIGINT AS raw_tokens,
+        |  round(sum((greatest(tok, 0) * 1000000) // csz)::DOUBLE / 1e6, 6)
+        |    AS effective_tokens,
+        |  round(CASE WHEN sum(CASE WHEN tok > 0 THEN tok ELSE 0 END) > 0
+        |    THEN 1.0 - sum((greatest(tok, 0) * 1000000) // csz)::DOUBLE
+        |      / 1e6 / sum(CASE WHEN tok > 0 THEN tok ELSE 0 END) END, 6)
+        |    AS dedup_discount
+        |FROM eb GROUP BY 1""".stripMargin),
+    // one range-frame window pass: struct min/max for first/last,
+    // FILTERed list for linear quanta (1e6 div n)
+    "q386_attribution_compare" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_ns(ts) AS t, event_id AS id,
+        |    event_type AS ty
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |), wf AS (
+        |  SELECT u, t, id, ty,
+        |    list(ty) FILTER (WHERE ty <> 'purchase') OVER fr AS fl,
+        |    min(CASE WHEN ty <> 'purchase'
+        |      THEN struct_pack(t := t, id := id, ty := ty) END)
+        |      OVER fr AS fst,
+        |    max(CASE WHEN ty <> 'purchase'
+        |      THEN struct_pack(t := t, id := id, ty := ty) END)
+        |      OVER fr AS lst
+        |  FROM e
+        |  WINDOW fr AS (PARTITION BY u ORDER BY t
+        |    RANGE BETWEEN 86400000000000 PRECEDING AND 1 PRECEDING)
+        |), convs AS (
+        |  SELECT fl, len(fl)::BIGINT AS n, fst, lst FROM wf
+        |  WHERE ty = 'purchase' AND len(fl) > 0
+        |), firsts AS (
+        |  SELECT (fst).ty AS channel, count(*)::BIGINT AS fc
+        |  FROM convs GROUP BY 1
+        |), lasts AS (
+        |  SELECT (lst).ty AS channel, count(*)::BIGINT AS lc
+        |  FROM convs GROUP BY 1
+        |), lin AS (
+        |  SELECT unnest(fl) AS channel, 1000000 // n AS q FROM convs
+        |), linear AS (
+        |  SELECT channel, sum(q)::BIGINT AS lq FROM lin GROUP BY 1
+        |)
+        |SELECT coalesce(firsts.channel, lasts.channel, linear.channel)
+        |    AS channel,
+        |  coalesce(fc, 0)::BIGINT AS first_credits,
+        |  coalesce(lc, 0)::BIGINT AS last_credits,
+        |  round(coalesce(lq, 0)::DOUBLE / 1e6, 6) AS linear_credits
+        |FROM firsts
+        |FULL JOIN lasts ON firsts.channel = lasts.channel
+        |FULL JOIN linear
+        |  ON coalesce(firsts.channel, lasts.channel) = linear.channel""".stripMargin,
     // per-row quantized revenue cents, exact per-period sums, two
     // total-order ranks over the keys relation
     "q383_leaderboard_churn" ->

@@ -843,6 +843,66 @@ object Analytics {
       round(when(vx > 0 && vy > 0, num / sqrt(vx * vy)), 6).as("rho"))
   }
 
+  /** Attribution model comparison: first-touch, last-touch and
+    * linear credits per channel, side by side from ONE pass — the
+    * "does our channel ranking depend on the attribution model"
+    * read, instead of three separate reports nobody reconciles.
+    * For each conversion, the touches in the lookback window before
+    * it credit their channel: wholly to the earliest (first), wholly
+    * to the latest (last), and 1/n each (linear).
+    *
+    * Determinism: first/last ride min/max over (ts, id, channel)
+    * structs — total order, no FP; linear credits are the integer
+    * quanta 10⁶ div n summed exactly (a conversion's credits may
+    * undershoot 10⁶ by < n µunits — documented, engine-identical).
+    * Same-instant touches are excluded by the frame's −1 bound, like
+    * [[funnel]]'s strictly-before contract.
+    *
+    * Scale shape: ONE user-keyed window sort (the sessionizer
+    * shuffle) carrying three frame aggregates; the only fan-out is
+    * exploding per-conversion CHANNEL lists (lookback-bounded, the
+    * q128 state class); credit tables are channels-sized and
+    * full-join at the end. */
+  def attributionCompare(events: DataFrame, userCol: Column,
+                         tsCol: Column, idCol: Column, typeCol: Column,
+                         convType: String, lookbackNs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lookbackNs > 0)
+    val base = events
+      .filter(userCol.isNotNull && tsCol.isNotNull && typeCol.isNotNull)
+      .select(userCol.as("_u"), tsCol.cast("long").as("_t"),
+        idCol.cast("long").as("_id"), typeCol.as("_ty"))
+    val fr = Window.partitionBy("_u").orderBy("_t")
+      .rangeBetween(-lookbackNs, -1)
+    val isTouch = col("_ty") =!= convType
+    val withFrames = base
+      .withColumn("_fl", collect_list(when(isTouch, col("_ty"))).over(fr))
+      .withColumn("_first", min(when(isTouch,
+        struct(col("_t"), col("_id"), col("_ty")))).over(fr))
+      .withColumn("_last", max(when(isTouch,
+        struct(col("_t"), col("_id"), col("_ty")))).over(fr))
+    val convs = withFrames
+      .filter(col("_ty") === convType && size(col("_fl")) > 0)
+      .select(col("_fl"), size(col("_fl")).cast("long").as("_n"),
+        col("_first").getField("_ty").as("_fty"),
+        col("_last").getField("_ty").as("_lty"))
+    val firsts = convs.groupBy(col("_fty").as("channel"))
+      .agg(count(lit(1)).as("first_credits"))
+    val lasts = convs.groupBy(col("_lty").as("channel"))
+      .agg(count(lit(1)).as("last_credits"))
+    val linear = convs
+      .select(explode(col("_fl")).as("channel"),
+        expr("1000000L div _n").as("_q"))
+      .groupBy("channel").agg(sum("_q").as("_lq"))
+    firsts.join(lasts, Seq("channel"), "full_outer")
+      .join(linear, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_credits"), lit(0L)).as("first_credits"),
+        coalesce(col("last_credits"), lit(0L)).as("last_credits"),
+        round(coalesce(col("_lq"), lit(0L)).cast("double") / 1e6, 6)
+          .as("linear_credits"))
+  }
+
   /** Leaderboard churn between two periods: rank the keys by a
     * metric in period A and period B, keep each period's top-N, and
     * report per key its ranks, status (stayed / entered / exited)

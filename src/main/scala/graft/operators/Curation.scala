@@ -340,6 +340,44 @@ object Curation {
           .as("dup_rate"))
   }
 
+  /** Effective-token accounting per stratum: raw tokens vs tokens
+    * under [[dedupWeights]]' soft-dedup weighting (each doc counts
+    * tokens/|cluster|) — the dataset-economics read that answers
+    * "how much UNIQUE signal does each source actually contribute"
+    * (a source can be huge in raw tokens yet mostly duplicate mass).
+    * Returns per stratum: docs, raw tokens, effective tokens, and
+    * the dedup discount 1 − eff/raw.
+    *
+    * Determinism: per-doc contribution is the exact integer
+    * tokens·10⁶ div |cluster|, summed as int64/decimal — order-free;
+    * the two reported ratios divide identical operands.
+    *
+    * Scale shape: one corpus scan for token counts, one join against
+    * the REGISTERED cluster table (shuffles on doc_id once; at scale
+    * both sides bucket by doc_id), cluster sizes via one map-side
+    * count broadcast back; output is strata-sized. */
+  def effectiveTokens(docs: DataFrame, clusters: DataFrame,
+                      stratumCol: String, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val sizes = clusters.groupBy("cluster_rep").agg(count(lit(1)).as("_csz"))
+    val base = docs
+      .select(col(idCol), col(stratumCol).as("_st"),
+        size(tokens(col(textCol))).cast("long").as("_tok"))
+      .join(clusters.select(col(idCol), col("cluster_rep")), Seq(idCol))
+      .join(broadcast(sizes), Seq("cluster_rep"))
+    base.groupBy(col("_st").as(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_tok") > 0, col("_tok")).otherwise(0L))
+          .as("raw_tokens"),
+        sum(expr("(greatest(_tok, 0L) * 1000000L) div _csz")
+          .cast("decimal(38,0)")).as("_eff"))
+      .select(col(stratumCol), col("n_docs"), col("raw_tokens"),
+        round(col("_eff").cast("double") / 1e6, 6).as("effective_tokens"),
+        round(when(col("raw_tokens") > 0,
+          lit(1.0) - col("_eff").cast("double") / 1e6 /
+            col("raw_tokens")), 6).as("dedup_discount"))
+  }
+
   /** Cluster-size histogram over a resolved cluster assignment: how
     * many clusters of each size the near-dup graph produced — the
     * one-glance audit of dedup aggressiveness (a fat tail of huge

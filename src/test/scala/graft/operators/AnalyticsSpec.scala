@@ -1039,6 +1039,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(by == Map("p" -> 1.0, "allpos" -> 1.0), s"$by")
   }
 
+  test("attributionCompare: first/last/linear agree on hand-built journeys") {
+    // u1: view@10, click@20, purchases @30 and @40 (both see both
+    // touches at lookback 100); u2: bare purchase and a same-instant
+    // touch (excluded by the -1 frame bound)
+    val ev = Seq(
+      ("u1", 10L, 1L, "view"), ("u1", 20L, 2L, "click"),
+      ("u1", 30L, 3L, "purchase"), ("u1", 40L, 4L, "purchase"),
+      ("u2", 5L, 5L, "purchase"),
+      ("u2", 50L, 6L, "click"), ("u2", 50L, 7L, "purchase"))
+      .toDF("u", "t", "id", "ty")
+    val out = Analytics.attributionCompare(ev, col("u"), col("t"),
+        col("id"), col("ty"), "purchase", lookbackNs = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("view", "click"), s"$out")
+    assert(out("view") == ((2L, 0L, 1.0)), s"$out")
+    assert(out("click") == ((0L, 2L, 1.0)), s"$out")
+  }
+
   test("leaderboardChurn: stayed/entered/exited with exact rank shifts") {
     // topN=2: A top {k1,k2}, B top {k1,k3} -> k1 stays (shift 0),
     // k2 exits, k3 enters, k4 never appears

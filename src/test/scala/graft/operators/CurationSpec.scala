@@ -484,6 +484,20 @@ class CurationSpec extends SparkSpec {
       flat.getDouble(2) == flat.getDouble(3), s"$flat")
   }
 
+  test("effectiveTokens: duplicate mass discounts; singleton keeps full weight") {
+    // s1: two identical 3-token docs in one cluster -> eff 3, discount .5
+    val docs = Seq((1L, "a b c", "s1"), (2L, "a b c", "s1"),
+      (3L, "x y", "s2")).toDF("doc_id", "text", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("doc_id", "cluster_rep")
+    val out = Curation.effectiveTokens(docs, clusters, "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("s1") == ((2L, 6L, 3.0, 0.5)), s"$out")
+    assert(out("s2") == ((1L, 2L, 2.0, 0.0)), s"$out")
+  }
+
   test("datasetCard: one-row rollup with hand-checkable integer facts") {
     val docs = Seq((1L, "alpha beta", "en"), (2L, "alpha", "en"),
       (3L, "", "de"), (4L, null, null))
