@@ -2208,6 +2208,20 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q373_wq")
     }),
+    // Per-node local clustering on q114's graph: 2T/(d(d-1)) over
+    // the degree-ordered triangle machinery
+    "q387_local_clustering" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("event_id") % 13 === 0)
+        .select(col("user_id").as("src"), (col("event_id") % 150).as("dst"))
+      Graph.localClustering(e, "src", "dst")
+    }),
+    // Degree assortativity of the same graph: do hubs link to hubs?
+    // exact decimal cross-products, one division
+    "q388_degree_assortativity" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("event_id") % 13 === 0)
+        .select(col("user_id").as("src"), (col("event_id") % 150).as("dst"))
+      Graph.degreeAssortativity(e, "src", "dst")
+    }),
     // Effective-token economics per source: raw vs soft-dedup-
     // weighted tokens from the registered cluster table (consumer #7)
     "q385_effective_tokens" -> ((s, dir) =>
@@ -6223,6 +6237,55 @@ object SparkEntry {
         |  round(sum(CAST(floor(j * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
         |    / count(*) / 1e12, 6) AS avg_jaccard
         |FROM jc GROUP BY 1""".stripMargin),
+    // q114's CTE chain + the degree join and one division per node
+    "q387_local_clustering" ->
+      """WITH raw AS (SELECT user_id AS a, event_id % 150 AS b FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND event_id % 13 = 0),
+        |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+        |deg AS (SELECT node, count(*)::BIGINT AS dg FROM
+        |  (SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+        |dd AS (SELECT u, v, du.dg AS du, dv.dg AS dv FROM und
+        |  JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+        |o AS (SELECT CASE WHEN (du < dv) OR (du = dv AND u < v) THEN u ELSE v END AS x,
+        |             CASE WHEN (du < dv) OR (du = dv AND u < v) THEN v ELSE u END AS y,
+        |             CASE WHEN (du < dv) OR (du = dv AND u < v) THEN dv ELSE du END AS dy
+        |      FROM dd),
+        |w AS (SELECT e1.x, e1.y, e2.y AS z FROM o e1 JOIN o e2 ON e1.x = e2.x
+        |      WHERE (e1.dy < e2.dy) OR (e1.dy = e2.dy AND e1.y < e2.y)),
+        |tris AS (SELECT w.x, w.y, w.z FROM w JOIN o e3 ON w.y = e3.x AND w.z = e3.y),
+        |tcnt AS (SELECT node, count(*)::BIGINT AS t FROM
+        |  (SELECT x AS node FROM tris UNION ALL SELECT y FROM tris
+        |   UNION ALL SELECT z FROM tris) GROUP BY 1)
+        |SELECT deg.node, deg.dg AS degree,
+        |  coalesce(t, 0)::BIGINT AS n_triangles,
+        |  round(2.0 * coalesce(t, 0) / (dg * (dg - 1)), 6) AS lcc
+        |FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+        |WHERE dg >= 2""".stripMargin,
+    // both-orientation degree pairs; q93's cross-multiplied Pearson
+    // in HUGEINT
+    "q388_degree_assortativity" ->
+      """WITH raw AS (SELECT user_id AS a, event_id % 150 AS b FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND event_id % 13 = 0),
+        |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+        |deg AS (SELECT node, count(*)::BIGINT AS dg FROM
+        |  (SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+        |sym AS (SELECT u AS x, v AS y FROM und UNION ALL SELECT v, u FROM und),
+        |p AS (SELECT da.dg AS dx, db.dg AS dy FROM sym
+        |  JOIN deg da ON sym.x = da.node JOIN deg db ON sym.y = db.node),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS m, sum(dx)::BIGINT AS sx,
+        |    sum(dy)::BIGINT AS sy, sum((dx::HUGEINT) * dy) AS sxy,
+        |    sum((dx::HUGEINT) * dx) AS sxx, sum((dy::HUGEINT) * dy) AS syy
+        |  FROM p
+        |)
+        |SELECT (m // 2)::BIGINT AS n_edges,
+        |  round(CASE WHEN (m::HUGEINT * sxx - sx::HUGEINT * sx) > 0
+        |      AND (m::HUGEINT * syy - sy::HUGEINT * sy) > 0
+        |    THEN (m::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+        |      / sqrt((m::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
+        |        * (m::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE) END, 6)
+        |    AS assortativity
+        |FROM agg""".stripMargin,
     // the cluster CTE + integer tokens*1e6 div csz contributions
     "q385_effective_tokens" ->
       (minhashClustersCte.stripSuffix("\n") + """,

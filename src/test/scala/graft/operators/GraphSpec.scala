@@ -280,4 +280,26 @@ class GraphSpec extends SparkSpec {
     // the partition that follows the graph's density beats a random cut
     assert(q0 + q1 + q2 > 0)
   }
+
+  test("localClustering: triangle + pendant; degree-1 nodes dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("s", "d")
+    val out = Graph.localClustering(e, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"$out")
+    assert(out(1L) == ((3L, 1L, 0.333333)), s"$out")
+    assert(out(2L) == ((2L, 1L, 1.0)) && out(3L) == ((2L, 1L, 1.0)), s"$out")
+  }
+
+  test("degreeAssortativity: star is -1; regular graph undefined") {
+    import spark.implicits._
+    val star = Graph.degreeAssortativity(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d"), "s", "d").head()
+    assert(star.getLong(0) == 3L && star.getDouble(1) == -1.0, s"$star")
+    val cycle = Graph.degreeAssortativity(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d"), "s", "d").head()
+    assert(cycle.isNullAt(1), s"$cycle")
+  }
 }
