@@ -2208,6 +2208,21 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q373_wq")
     }),
+    // Global transitivity of the same graph: 3*triangles/wedges,
+    // the hub-weighted companion to q387's per-node read
+    "q389_transitivity" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("event_id") % 13 === 0)
+        .select(col("user_id").as("src"), (col("event_id") % 150).as("dst"))
+      Graph.transitivity(e, "src", "dst")
+    }),
+    // Chi-square post-hoc: adjusted standardized residuals per
+    // (event_type, dow) cell -- WHICH cells drive q194's omnibus
+    "q390_chi_square_residuals" -> ((s, dir) =>
+      Profiling.chiSquareResiduals(
+        t(s, dir, "events").filter(col("ts").isNotNull)
+          .select(col("event_type"),
+            expr("(ts div 86400000000000) % 7").as("dow")),
+        "event_type", "dow")),
     // Per-node local clustering on q114's graph: 2T/(d(d-1)) over
     // the degree-ordered triangle machinery
     "q387_local_clustering" -> ((s, dir) => {
@@ -6237,6 +6252,54 @@ object SparkEntry {
         |  round(sum(CAST(floor(j * 1e12 + 0.5) AS BIGINT)::HUGEINT)::DOUBLE
         |    / count(*) / 1e12, 6) AS avg_jaccard
         |FROM jc GROUP BY 1""".stripMargin),
+    // q114's CTE chain reduced to one row: 3*|tris| over sum C(d,2)
+    "q389_transitivity" ->
+      """WITH raw AS (SELECT user_id AS a, event_id % 150 AS b FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND event_id % 13 = 0),
+        |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+        |deg AS (SELECT node, count(*)::BIGINT AS dg FROM
+        |  (SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+        |dd AS (SELECT u, v, du.dg AS du, dv.dg AS dv FROM und
+        |  JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+        |o AS (SELECT CASE WHEN (du < dv) OR (du = dv AND u < v) THEN u ELSE v END AS x,
+        |             CASE WHEN (du < dv) OR (du = dv AND u < v) THEN v ELSE u END AS y,
+        |             CASE WHEN (du < dv) OR (du = dv AND u < v) THEN dv ELSE du END AS dy
+        |      FROM dd),
+        |w AS (SELECT e1.x, e1.y, e2.y AS z FROM o e1 JOIN o e2 ON e1.x = e2.x
+        |      WHERE (e1.dy < e2.dy) OR (e1.dy = e2.dy AND e1.y < e2.y)),
+        |tris AS (SELECT w.x FROM w JOIN o e3 ON w.y = e3.x AND w.z = e3.y),
+        |st AS (SELECT count(*)::BIGINT AS n_nodes,
+        |  (sum(dg) // 2)::BIGINT AS n_edges,
+        |  sum((dg * (dg - 1)) // 2)::BIGINT AS n_wedges FROM deg),
+        |tc AS (SELECT count(*)::BIGINT AS n_triangles FROM tris)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  round(CASE WHEN n_wedges > 0
+        |    THEN (n_triangles * 3)::DOUBLE / n_wedges END, 6)
+        |    AS transitivity
+        |FROM st CROSS JOIN tc""".stripMargin,
+    // q194's margin machinery; adjusted residual closed form on
+    // identical operands; fixed 99% z literal
+    "q390_chi_square_residuals" ->
+      """WITH base AS (
+        |  SELECT event_type AS r, epoch_ns(ts) // 86400000000000 % 7 AS c
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |), o AS (SELECT r, c, count(*)::BIGINT AS obs FROM base GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(obs)::BIGINT AS rm FROM o GROUP BY 1),
+        |ct AS (SELECT c, sum(obs)::BIGINT AS cm FROM o GROUP BY 1),
+        |n AS (SELECT sum(rm)::BIGINT AS nn FROM rt),
+        |grid AS (
+        |  SELECT rt.r, ct.c, rm, cm, coalesce(o.obs, 0)::BIGINT AS obs
+        |  FROM rt CROSS JOIN ct LEFT JOIN o ON rt.r = o.r AND ct.c = o.c
+        |)
+        |SELECT r AS event_type, c AS dow, obs AS observed,
+        |  round(rm::DOUBLE * cm / nn, 6) AS expected,
+        |  round((obs::DOUBLE - rm::DOUBLE * cm / nn)
+        |    / sqrt((rm::DOUBLE * cm / nn) * (1 - rm::DOUBLE / nn)
+        |      * (1 - cm::DOUBLE / nn)), 6) AS adj_residual,
+        |  abs((obs::DOUBLE - rm::DOUBLE * cm / nn)
+        |    / sqrt((rm::DOUBLE * cm / nn) * (1 - rm::DOUBLE / nn)
+        |      * (1 - cm::DOUBLE / nn))) > 2.575829 AS anomalous
+        |FROM grid CROSS JOIN n""".stripMargin,
     // q114's CTE chain + the degree join and one division per node
     "q387_local_clustering" ->
       """WITH raw AS (SELECT user_id AS a, event_id % 150 AS b FROM events

@@ -483,6 +483,40 @@ object Graph {
           (col("degree") * (col("degree") - 1)), 6).as("lcc"))
   }
 
+  /** Global transitivity: 3·triangles / wedges (= Σ C(d,2)) — the
+    * one-number "how cliquish is this graph" companion to
+    * [[localClustering]]'s per-node read (transitivity weights hubs
+    * by their wedge count; the mean LCC weights nodes equally —
+    * reading both catches hub/periphery asymmetry). All-integer
+    * until the single division.
+    *
+    * Scale shape: triangle counting's O(m^1.5) pipeline reduced to
+    * one row; wedges are a map-side Σ over the degree table. */
+  def transitivity(edges: DataFrame, srcCol: String,
+                   dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).as("_a"), col(dstCol).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+    val und = raw.select(least(col("_a"), col("_b")).as("_u"),
+      greatest(col("_a"), col("_b")).as("_v")).distinct()
+    val deg = und.select(explode(array(col("_u"), col("_v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("_dg"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(_dg) div 2").as("n_edges"),
+      sum(expr("(_dg * (_dg - 1)) div 2")).as("n_wedges"))
+    // global triangle count: Σ per-node counts / 3 (each triangle
+    // credits all three corners)
+    val tri = broadcast(triangleCounts(edges, srcCol, dstCol)
+      .agg(coalesce(expr("sum(n_triangles) div 3"), lit(0L))
+        .as("n_triangles")))
+    stats.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(when(col("n_wedges") > 0,
+          (col("n_triangles") * 3).cast("double") / col("n_wedges")), 6)
+          .as("transitivity"))
+  }
+
   /** Degree assortativity: the Pearson correlation of endpoint
     * degrees across (both orientations of) the undirected edges —
     * positive when hubs link to hubs (social nets), negative when

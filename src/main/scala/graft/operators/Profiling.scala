@@ -716,6 +716,43 @@ object Profiling {
         max("_n").as("n"))
   }
 
+  /** Adjusted standardized residuals per contingency cell — WHICH
+    * cells drive [[chiSquareIndependence]]'s significance:
+    * r = (O − E) / √(E·(1 − rₘ/N)(1 − cₘ/N)) is ~N(0,1) under
+    * independence, so |r| > 2.575829 (the fixed 99% z literal) flags
+    * a cell as individually anomalous — the post-hoc read the
+    * omnibus χ² number can't give. Zero cells included (an EMPTY
+    * cell can be the finding).
+    *
+    * Determinism: O and the margins are int64; E and the residual
+    * are closed forms on identical operands in a fixed order; the
+    * flag compares against a shared literal.
+    *
+    * Scale shape: [[chiSquareIndependence]]'s exact pipeline — one
+    * reduced (r, c) shuffle, broadcast margins, output r×c cells. */
+  def chiSquareResiduals(df: DataFrame, rowCol: String,
+                         colCol: String): DataFrame = {
+    val base = df.filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .select(col(rowCol).as("_r"), col(colCol).as("_c"))
+    val o = base.groupBy("_r", "_c").agg(count(lit(1)).as("_o"))
+    val rt = o.groupBy("_r").agg(sum("_o").as("_rt"))
+    val ct = o.groupBy("_c").agg(sum("_o").as("_ct"))
+    val n = broadcast(rt.agg(sum("_rt").as("_n")))
+    val nD = col("_n").cast("double")
+    val e = col("_rt").cast("double") * col("_ct") / nD
+    val r = (col("_o").cast("double") - e) /
+      sqrt(e * (lit(1.0) - col("_rt").cast("double") / nD) *
+        (lit(1.0) - col("_ct").cast("double") / nD))
+    rt.crossJoin(broadcast(ct))
+      .join(o, Seq("_r", "_c"), "left")
+      .na.fill(0L, Seq("_o"))
+      .crossJoin(n)
+      .select(col("_r").as(rowCol), col("_c").as(colCol),
+        col("_o").as("observed"), round(e, 6).as("expected"),
+        round(r, 6).as("adj_residual"),
+        (abs(r) > 2.575829).as("anomalous"))
+  }
+
   /** Benjamini–Hochberg FDR adjustment: for each test (id, p) the
     * q-value q_(k) = min_{j ≥ k} (p_(j)·n/j) capped at 1, over p
     * ranked ascending — the multiple-testing gate that turns a column

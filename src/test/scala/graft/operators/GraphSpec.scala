@@ -293,6 +293,19 @@ class GraphSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, 1.0)) && out(3L) == ((2L, 1L, 1.0)), s"$out")
   }
 
+  test("transitivity: triangle + pendant = 3/5") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("s", "d")
+    val out = Graph.transitivity(e, "s", "d").head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3)) == ((4L, 4L, 5L, 1L)), s"$out")
+    assert(out.getDouble(4) == 0.6, s"$out")
+    // triangle-free star: transitivity 0
+    val star = Graph.transitivity(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d"), "s", "d").head()
+    assert(star.getLong(3) == 0L && star.getDouble(4) == 0.0, s"$star")
+  }
+
   test("degreeAssortativity: star is -1; regular graph undefined") {
     import spark.implicits._
     val star = Graph.degreeAssortativity(

@@ -490,6 +490,22 @@ class ProfilingSpec extends SparkSpec {
     assert(one.isEmpty)
   }
 
+  test("chiSquareResiduals: hand 2x2 with an empty cell included") {
+    import spark.implicits._
+    // diagonal 2x2 with two empty cells: E = 1 everywhere,
+    // residuals +-2.0, none past the 99% z
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("r", "c")
+    val out = Profiling.chiSquareResiduals(df, "r", "c")
+      .collect().map(rr => (rr.getString(0), rr.getString(1)) -> rr).toMap
+    assert(out.size == 4, s"$out")
+    val ax = out(("a", "x"))
+    assert(ax.getLong(2) == 2L && ax.getDouble(3) == 1.0 &&
+      ax.getDouble(4) == 2.0 && !ax.getBoolean(5), s"$ax")
+    val ay = out(("a", "y"))
+    assert(ay.getLong(2) == 0L && ay.getDouble(4) == -2.0, s"$ay")
+  }
+
   test("tClosenessAudit: hand-computed EMD vs global; constant column NULL") {
     import spark.implicits._
     // A {1,1,2}, B {2,3,3}: global CDF (1/3, 2/3, 1); A's (2/3, 1, 1)
