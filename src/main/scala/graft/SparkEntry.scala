@@ -2223,6 +2223,26 @@ object SparkEntry {
           .select(col("event_type"),
             expr("(ts div 86400000000000) % 7").as("dow")),
         "event_type", "dow")),
+    // Mann-Whitney U: even vs odd user cohort on cent value -- the
+    // directional two-sample rank test (q227's pairwise special case)
+    "q391_mann_whitney" -> ((s, dir) =>
+      Analytics.mannWhitneyU(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id") % 2 === 0,
+        floor(col("value") * 100 + lit(0.5)))),
+    // Wilcoxon signed-rank on per-user paired cent diffs (even minus
+    // odd event_id halves) -- within-unit variance cancels
+    "q392_wilcoxon_signed" -> ((s, dir) =>
+      Analytics.wilcoxonSignedRank(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .groupBy("user_id")
+          .agg((coalesce(sum(when(col("event_id") % 2 === 0,
+              floor(col("value") * 100 + lit(0.5)).cast("long"))), lit(0L)) -
+            coalesce(sum(when(col("event_id") % 2 === 1,
+              floor(col("value") * 100 + lit(0.5)).cast("long"))), lit(0L)))
+            .as("d")),
+        col("d"))),
     // Per-node local clustering on q114's graph: 2T/(d(d-1)) over
     // the degree-ordered triangle machinery
     "q387_local_clustering" -> ((s, dir) => {
@@ -6300,6 +6320,82 @@ object SparkEntry {
         |    / sqrt((rm::DOUBLE * cm / nn) * (1 - rm::DOUBLE / nn)
         |      * (1 - cm::DOUBLE / nn))) > 2.575829 AS anomalous
         |FROM grid CROSS JOIN n""".stripMargin,
+    // q227's doubled-rank CTE machinery specialized to two groups;
+    // U from the rank sum, tie-corrected z
+    "q391_mann_whitney" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 = 0 AS a,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS s
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), sc AS (SELECT s, count(*)::BIGINT AS t FROM b GROUP BY 1),
+        |rk AS (
+        |  SELECT s, t, 2 * coalesce(sum(t) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+        |  FROM sc
+        |), gs AS (SELECT a, s, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        |pg AS (
+        |  SELECT a, sum(c)::BIGINT AS nj, sum(c * rk.r2)::BIGINT AS r2j
+        |  FROM gs JOIN rk USING (s) GROUP BY 1
+        |), ti AS (SELECT sum(t*t*t - t)::BIGINT AS tie FROM sc),
+        |ag AS (
+        |  SELECT max(CASE WHEN a THEN nj END)::BIGINT AS n_a,
+        |    max(CASE WHEN NOT a THEN nj END)::BIGINT AS n_b,
+        |    max(CASE WHEN a THEN r2j END)::BIGINT AS r2a,
+        |    max(ti.tie)::BIGINT AS tie
+        |  FROM pg, ti
+        |), u AS (
+        |  SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2a,
+        |    n_a::DOUBLE AS nad, n_b::DOUBLE AS nbd,
+        |    (n_a + n_b)::DOUBLE AS nd, tie
+        |  FROM ag WHERE n_a IS NOT NULL AND n_b IS NOT NULL
+        |)
+        |SELECT n_a, n_b, u2a::DOUBLE / 2.0 AS u_a,
+        |  nad * nbd - u2a::DOUBLE / 2.0 AS u_b,
+        |  round(CASE WHEN nad * nbd / 12.0
+        |      * ((nd + 1) - tie::DOUBLE / (nd * (nd - 1))) > 0
+        |    THEN (u2a::DOUBLE / 2.0 - nad * nbd / 2.0)
+        |      / sqrt(nad * nbd / 12.0
+        |        * ((nd + 1) - tie::DOUBLE / (nd * (nd - 1)))) END, 6) AS z
+        |FROM u""".stripMargin,
+    // per-user paired cent diff, zeros dropped, |d| doubled ranks,
+    // W+ from the positive-sign rank sum
+    "q392_wilcoxon_signed" ->
+      """WITH pd AS (
+        |  SELECT user_id,
+        |    coalesce(sum(CASE WHEN event_id % 2 = 0
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) -
+        |    coalesce(sum(CASE WHEN event_id % 2 = 1
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1
+        |), b AS (SELECT abs(d) AS s, d > 0 AS pos FROM pd WHERE d <> 0),
+        |sc AS (SELECT s, count(*)::BIGINT AS t FROM b GROUP BY 1),
+        |rk AS (
+        |  SELECT s, t, 2 * coalesce(sum(t) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+        |  FROM sc
+        |), gs AS (SELECT pos, s, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        |pg AS (
+        |  SELECT pos, sum(c)::BIGINT AS nj, sum(c * rk.r2)::BIGINT AS r2j
+        |  FROM gs JOIN rk USING (s) GROUP BY 1
+        |), ti AS (SELECT sum(t*t*t - t)::BIGINT AS tie FROM sc),
+        |ag AS (
+        |  SELECT coalesce(max(CASE WHEN pos THEN nj END), 0)::BIGINT AS n_pos,
+        |    coalesce(max(CASE WHEN NOT pos THEN nj END), 0)::BIGINT AS n_neg,
+        |    coalesce(max(CASE WHEN pos THEN r2j END), 0)::BIGINT AS w2p,
+        |    max(ti.tie)::BIGINT AS tie
+        |  FROM pg, ti
+        |)
+        |SELECT n_pos, n_neg, (n_pos + n_neg)::BIGINT AS n,
+        |  w2p::DOUBLE / 2.0 AS w_plus,
+        |  round(CASE WHEN (n_pos + n_neg)::DOUBLE * ((n_pos + n_neg) + 1)
+        |      * (2 * (n_pos + n_neg) + 1) / 24.0 - tie::DOUBLE / 48.0 > 0
+        |    THEN (w2p::DOUBLE / 2.0
+        |        - (n_pos + n_neg)::DOUBLE * ((n_pos + n_neg) + 1) / 4.0)
+        |      / sqrt((n_pos + n_neg)::DOUBLE * ((n_pos + n_neg) + 1)
+        |        * (2 * (n_pos + n_neg) + 1) / 24.0 - tie::DOUBLE / 48.0)
+        |    END, 6) AS z
+        |FROM ag""".stripMargin,
     // q114's CTE chain + the degree join and one division per node
     "q387_local_clustering" ->
       """WITH raw AS (SELECT user_id AS a, event_id % 150 AS b FROM events

@@ -800,6 +800,109 @@ object Analytics {
       round(when(corr > 0, h / corr), 6).as("h_tie"))
   }
 
+  /** Mann–Whitney U: the two-sample special case of
+    * [[kruskalWallis]], but with the DIRECTIONAL readout the omnibus
+    * H can't give — U_A says how often an A draw beats a B draw
+    * (U_A/(n_A·n_B) is the common-language effect size), and the
+    * tie-corrected z gives the test. The A/B test to reach for on a
+    * skewed metric where the t-test's mean is the wrong summary.
+    *
+    * Exactness: the same doubled-rank machinery as [[kruskalWallis]]
+    * (2·avgrank = 2·|{<s}| + |{=s}| + 1, int64), so 2·R_A and
+    * 2·U_A = 2·R_A − n_A(n_A+1) are exact int64; U halves exactly in
+    * FP. μ and the tie-corrected σ² are closed forms on exact int64
+    * operands in a fixed order. z (no continuity correction —
+    * documented contract, mirrored by the oracle) is null when σ = 0
+    * (every score identical) or either group is empty.
+    *
+    * Scale shape: identical to [[kruskalWallis]] — distinct-score
+    * counts (bounded domain), one window over that bounded relation,
+    * broadcast join back, two-row reduction. Raw data never sorts. */
+  def mannWhitneyU(df: DataFrame, isSliceA: Column,
+                   scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(isSliceA.isNotNull && scoreCol.isNotNull)
+      .select(isSliceA.as("_a"), scoreCol.cast("long").as("_s"))
+    val sc = base.groupBy("_s").agg(count(lit(1)).as("_t"))
+    val prev = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = sc.withColumn("_r2",
+      lit(2L) * coalesce(sum("_t").over(prev), lit(0L)) + col("_t") + 1L)
+    val perA = base.groupBy("_a", "_s").agg(count(lit(1)).as("_c"))
+      .join(broadcast(ranked.select("_s", "_r2")), Seq("_s"))
+      .groupBy("_a")
+      .agg(sum("_c").as("_nj"), sum(col("_c") * col("_r2")).as("_r2j"))
+    val ties = sc.agg(sum(col("_t") * col("_t") * col("_t") - col("_t"))
+      .as("_tie"))
+    val agg = perA.crossJoin(broadcast(ties))
+      .agg(max(when(col("_a"), col("_nj"))).as("n_a"),
+        max(when(!col("_a"), col("_nj"))).as("n_b"),
+        max(when(col("_a"), col("_r2j"))).as("_r2a"),
+        max("_tie").as("_tieT"))
+      .filter(col("n_a").isNotNull && col("n_b").isNotNull)
+    // 2·U_A = 2·R_A − n_A(n_A+1), exact int64
+    val u2a = col("_r2a") - col("n_a") * (col("n_a") + 1L)
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    val mu = naD * nbD / 2.0
+    val sig2 = naD * nbD / 12.0 *
+      ((nD + 1) - col("_tieT").cast("double") / (nD * (nD - 1)))
+    agg.select(col("n_a"), col("n_b"),
+      (u2a.cast("double") / 2.0).as("u_a"),
+      (naD * nbD - u2a.cast("double") / 2.0).as("u_b"),
+      round(when(sig2 > 0, (u2a.cast("double") / 2.0 - mu) / sqrt(sig2)), 6)
+        .as("z"))
+  }
+
+  /** Wilcoxon signed-rank: the PAIRED companion to [[mannWhitneyU]]
+    * — each unit carries its own before/after (or A/B) difference,
+    * so between-unit variance cancels instead of inflating σ. Zero
+    * differences are dropped (the standard Wilcoxon reduction; n is
+    * the non-zero count), |d| is ranked with average ranks, and
+    * W⁺ = Σ ranks of positive d. Tie-corrected normal z.
+    *
+    * Exactness: doubled ranks over the distinct-|d| counts are
+    * int64, so 2·W⁺ is an exact int64 and W⁺ halves exactly in FP;
+    * μ = n(n+1)/4 and σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48 are closed
+    * forms on exact operands. σ² > 0 whenever n ≥ 1 (the tie term
+    * subtracts at most half the variance), so the σ = 0 guard only
+    * fires on the empty relation → z null there.
+    *
+    * Scale shape: distinct-|d| counts (bounded cent domain), one
+    * window over that bounded relation, broadcast join back, one-row
+    * reduction — [[kruskalWallis]]'s cost class. */
+  def wilcoxonSignedRank(df: DataFrame, diffCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(diffCol.isNotNull)
+      .select(diffCol.cast("long").as("_d"))
+      .filter(col("_d") =!= 0L)
+      .select(abs(col("_d")).as("_s"), (col("_d") > 0L).as("_pos"))
+    val sc = base.groupBy("_s").agg(count(lit(1)).as("_t"))
+    val prev = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = sc.withColumn("_r2",
+      lit(2L) * coalesce(sum("_t").over(prev), lit(0L)) + col("_t") + 1L)
+    val perSign = base.groupBy("_pos", "_s").agg(count(lit(1)).as("_c"))
+      .join(broadcast(ranked.select("_s", "_r2")), Seq("_s"))
+      .groupBy("_pos")
+      .agg(sum("_c").as("_nj"), sum(col("_c") * col("_r2")).as("_r2j"))
+    val ties = sc.agg(sum(col("_t") * col("_t") * col("_t") - col("_t"))
+      .as("_tie"))
+    val agg = perSign.crossJoin(broadcast(ties))
+      .agg(coalesce(max(when(col("_pos"), col("_nj"))), lit(0L)).as("n_pos"),
+        coalesce(max(when(!col("_pos"), col("_nj"))), lit(0L)).as("n_neg"),
+        coalesce(max(when(col("_pos"), col("_r2j"))), lit(0L)).as("_w2p"),
+        max("_tie").as("_tieT"))
+    val nL = col("n_pos") + col("n_neg")
+    val nD = nL.cast("double")
+    val mu = nD * (nD + 1) / 4.0
+    val sig2 = nD * (nD + 1) * (nD * 2 + 1) / 24.0 -
+      col("_tieT").cast("double") / 48.0
+    agg.select(col("n_pos"), col("n_neg"), nL.as("n"),
+      (col("_w2p").cast("double") / 2.0).as("w_plus"),
+      round(when(sig2 > 0, (col("_w2p").cast("double") / 2.0 - mu) /
+        sqrt(sig2)), 6).as("z"))
+  }
+
   /** Spearman rank correlation per group: Pearson on the average
     * ranks of x and y within each group — the monotonic-association
     * readout that is invariant to any monotone transform of either

@@ -373,6 +373,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(a == b && a.size == 2)
   }
 
+  test("mannWhitneyU: textbook no-tie U and z; all-tied z null") {
+    import spark.implicits._
+    // A={1,2,5}, B={3,4}: ranks 1..5, R_A=8 -> U_A=2, U_B=4;
+    // z = (2-3)/sqrt(3) = -0.57735
+    val d = Seq((true, 1L), (true, 2L), (true, 5L), (false, 3L),
+      (false, 4L)).toDF("a", "v")
+    val r = Analytics.mannWhitneyU(d, col("a"), col("v")).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2, s"$r")
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 4.0, s"$r")
+    assert(r.getDouble(4) == -0.57735, s"$r")
+    // every score identical: tie correction kills the variance -> z
+    // null; average ranks still give U_A = n_a*n_b/2
+    val tied = Seq((true, 5L), (true, 5L), (false, 5L)).toDF("a", "v")
+    val t = Analytics.mannWhitneyU(tied, col("a"), col("v")).collect().head
+    assert(t.getDouble(2) == 1.0 && t.getDouble(3) == 1.0 && t.isNullAt(4),
+      s"tied: $t")
+  }
+
+  test("wilcoxonSignedRank: textbook W+; zeros dropped; tied |d|") {
+    import spark.implicits._
+    // d={1,-2,3,-4,5}: W+ = 1+3+5 = 9, mu=7.5, sig2=13.75,
+    // z = 1.5/sqrt(13.75) = 0.40452; a 0 diff is dropped (n stays 5)
+    val d = Seq(1L, -2L, 3L, -4L, 5L, 0L).toDF("d")
+    val r = Analytics.wilcoxonSignedRank(d, col("d")).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2 && r.getLong(2) == 5, s"$r")
+    assert(r.getDouble(3) == 9.0 && r.getDouble(4) == 0.40452, s"$r")
+    // all |d| tied at 2: avg rank 2, W+ = 4, sig2 = 3.5-0.5 = 3 ->
+    // z = 1/sqrt(3)
+    val t = Analytics.wilcoxonSignedRank(Seq(2L, -2L, 2L).toDF("d"),
+      col("d")).collect().head
+    assert(t.getDouble(3) == 4.0 && t.getDouble(4) == 0.57735, s"tied: $t")
+  }
+
   // ── kruskalWallis / spearman / anovaF (round 7) ──────────────────
 
   test("kruskalWallis: textbook no-tie H; all-tied scores give null h_tie") {
