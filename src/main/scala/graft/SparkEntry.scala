@@ -2243,6 +2243,28 @@ object SparkEntry {
               floor(col("value") * 100 + lit(0.5)).cast("long"))), lit(0L)))
             .as("d")),
         col("d"))),
+    // Ljung-Box portmanteau at lags 1..3 on the cent-value series --
+    // "white noise at ALL short lags jointly", q380's correlogram
+    // compounded into one decisive Q per event_type
+    "q393_ljung_box" -> ((s, dir) =>
+      graft.operators.TimeSeries.ljungBox(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        "event_type", Seq(col("ts"), col("event_id")),
+        floor(col("value") * 100 + lit(0.5)), maxLag = 3)),
+    // Durbin-Watson on q250's OLS residuals per returnflag, shipdate
+    // order -- the classic first-order serial-correlation gate
+    "q394_durbin_watson" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val resid = Analytics.olsFitApply(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1),
+        col("l_extendedprice"), col("l_quantity"), col("l_discount"),
+        Seq(col("l_returnflag"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber")))
+      Analytics.durbinWatson(resid, "l_returnflag",
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        col("resid"), scale = 100L)
+    }),
     // Per-node local clustering on q114's graph: 2T/(d(d-1)) over
     // the degree-ordered triangle machinery
     "q387_local_clustering" -> ((s, dir) => {
@@ -6396,6 +6418,122 @@ object SparkEntry {
         |        * (2 * (n_pos + n_neg) + 1) / 24.0 - tie::DOUBLE / 48.0)
         |    END, 6) AS z
         |FROM ag""".stripMargin,
+    // q380's window-lag prefix; exact HUGEINT moments, one fixed
+    // double assembly per group (num/den mirror the Spark operator
+    // term-for-term, left-associative)
+    "q393_ljung_box" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+        |    lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) OVER w AS x1,
+        |    lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 2) OVER w AS x2,
+        |    lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 3) OVER w AS x3
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts),
+        |    event_id)
+        |), m AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(y) AS s, sum(y * y) AS q,
+        |    count(x1)::BIGINT AS cnt1, sum(y * x1) AS c1,
+        |    sum(CASE WHEN x1 IS NOT NULL THEN y END) AS a1, sum(x1) AS b1,
+        |    count(x2)::BIGINT AS cnt2, sum(y * x2) AS c2,
+        |    sum(CASE WHEN x2 IS NOT NULL THEN y END) AS a2, sum(x2) AS b2,
+        |    count(x3)::BIGINT AS cnt3, sum(y * x3) AS c3,
+        |    sum(CASE WHEN x3 IS NOT NULL THEN y END) AS a3, sum(x3) AS b3
+        |  FROM b GROUP BY 1
+        |), d AS (
+        |  SELECT g, n, n::DOUBLE AS nd, s::DOUBLE AS sd, q::DOUBLE AS qd,
+        |    cnt1::DOUBLE AS k1, c1::DOUBLE AS c1d, a1::DOUBLE AS a1d,
+        |    b1::DOUBLE AS b1d,
+        |    cnt2::DOUBLE AS k2, c2::DOUBLE AS c2d, a2::DOUBLE AS a2d,
+        |    b2::DOUBLE AS b2d,
+        |    cnt3::DOUBLE AS k3, c3::DOUBLE AS c3d, a3::DOUBLE AS a3d,
+        |    b3::DOUBLE AS b3d
+        |  FROM m
+        |), r AS (
+        |  SELECT g, n, nd, k1, k2, k3,
+        |    (c1d - (sd / nd) * (a1d + b1d) + k1 * (sd / nd) * (sd / nd))
+        |      / (qd - sd * sd / nd) AS r1,
+        |    (c2d - (sd / nd) * (a2d + b2d) + k2 * (sd / nd) * (sd / nd))
+        |      / (qd - sd * sd / nd) AS r2,
+        |    (c3d - (sd / nd) * (a3d + b3d) + k3 * (sd / nd) * (sd / nd))
+        |      / (qd - sd * sd / nd) AS r3,
+        |    n > 3 AND qd - sd * sd / nd > 0 AS ok
+        |  FROM d
+        |)
+        |SELECT g AS event_type, n,
+        |  round(CASE WHEN ok THEN r1 END, 6) AS rho_1,
+        |  round(CASE WHEN ok THEN r2 END, 6) AS rho_2,
+        |  round(CASE WHEN ok THEN r3 END, 6) AS rho_3,
+        |  round(CASE WHEN ok THEN
+        |    (r1 * r1 / k1 + r2 * r2 / k2 + r3 * r3 / k3) * nd * (nd + 2)
+        |    END, 6) AS lb_stat,
+        |  3 AS df
+        |FROM r""".stripMargin,
+    // q250's fit CTE chain verbatim; residuals re-quantized to cents,
+    // lag-1 window per returnflag, two HUGEINT sums, one division
+    "q394_durbin_watson" ->
+      """WITH f AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS a,
+        |    sum(x2)::BIGINT AS b, sum(x1 * x1)::BIGINT AS c,
+        |    sum(x1 * x2)::BIGINT AS d, sum(x2 * x2)::BIGINT AS e,
+        |    sum(y)::BIGINT AS t0, sum(x1 * y)::BIGINT AS t1,
+        |    sum(x2 * y)::BIGINT AS t2
+        |  FROM f
+        |), md AS (
+        |  SELECT n::DOUBLE AS n, a::DOUBLE AS a, b::DOUBLE AS b,
+        |    c::DOUBLE AS c, d::DOUBLE AS d, e::DOUBLE AS e,
+        |    t0::DOUBLE AS t0, t1::DOUBLE AS t1, t2::DOUBLE AS t2
+        |  FROM m
+        |), dt AS (
+        |  SELECT
+        |    n * (c * e - d * d) - a * (a * e - d * b)
+        |      + b * (a * d - c * b) AS det,
+        |    t0 * (c * e - d * d) - a * (t1 * e - d * t2)
+        |      + b * (t1 * d - c * t2) AS det0,
+        |    n * (t1 * e - d * t2) - t0 * (a * e - d * b)
+        |      + b * (a * t2 - t1 * b) AS det1,
+        |    n * (c * t2 - t1 * d) - a * (a * t2 - t1 * b)
+        |      + t0 * (a * d - c * b) AS det2
+        |  FROM md
+        |), cf AS (
+        |  SELECT CASE WHEN det <> 0 THEN det0 / det END AS b0,
+        |    CASE WHEN det <> 0 THEN det1 / det END AS b1,
+        |    CASE WHEN det <> 0 THEN det2 / det END AS b2
+        |  FROM dt
+        |), r AS (
+        |  SELECT l_returnflag AS g, l_shipdate, l_orderkey, l_linenumber,
+        |    CAST(floor(round((CAST(floor(l_extendedprice * 100 + 0.5)
+        |        AS BIGINT)
+        |      - (b0 + b1 * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |        + b2 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+        |      / 100, 6) * 100 + 0.5) AS BIGINT) AS ev
+        |  FROM lineitem, cf
+        |  WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_returnflag IS NOT NULL
+        |), lg AS (
+        |  SELECT g, ev, ev - lag(ev, 1) OVER (PARTITION BY g
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS dv
+        |  FROM r
+        |), a AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(ev * ev) AS ss,
+        |    sum(dv * dv) AS sd2
+        |  FROM lg GROUP BY 1
+        |)
+        |SELECT g AS l_returnflag, n,
+        |  round(CASE WHEN n >= 2 AND ss > 0
+        |    THEN sd2::DOUBLE / ss::DOUBLE END, 6) AS dw,
+        |  round(CASE WHEN n >= 2 AND ss > 0
+        |    THEN 1.0 - (sd2::DOUBLE / ss::DOUBLE) / 2 END, 6) AS dw_rho
+        |FROM a""".stripMargin,
     // q114's CTE chain + the degree join and one division per node
     "q387_local_clustering" ->
       """WITH raw AS (SELECT user_id AS a, event_id % 150 AS b FROM events

@@ -1598,6 +1598,49 @@ object Analytics {
         round((q(yCol) - yhat) / scale, 6).as("resid")): _*)
   }
 
+  /** Durbin–Watson statistic per group: DW = Σ_{t≥2}(eₜ−eₜ₋₁)² / Σeₜ²
+    * over a time-ordered residual series — the classic first-order
+    * serial-correlation read on [[olsFitApply]]'s residuals (DW≈2
+    * independent, →0 positive, →4 negative autocorrelation). The
+    * companion dw_rho = 1 − DW/2 first-order estimate rides along.
+    *
+    * Exactness: residuals are re-quantized to int64 at `scale`
+    * (floor(e·scale+½) — callers pass the round-6 residual column, so
+    * both engines floor IDENTICAL doubles), the lag difference and
+    * both squared terms are exact int64 (|e·scale| ≤ ~3e9 before d²
+    * nears Long.MaxValue — document sf beyond that), and the two sums
+    * accumulate as decimal(38,0)/HUGEINT — order-free. One final
+    * division of identically-converted doubles. Groups with n < 2 or
+    * all-zero residuals report NULL (DW undefined).
+    *
+    * Returns (group, n, dw, dw_rho).
+    *
+    * Scale shape: ONE group-partitioned window sort (lag 1), then ONE
+    * map-side-combinable grouped agg of three exact moments. No join,
+    * no second shuffle; the fit upstream is [[olsFitApply]]'s 1-row
+    * broadcast, so the whole diagnostic adds one window sort to the
+    * residual scan. */
+  def durbinWatson(df: DataFrame, groupCol: String,
+                   orderCols: Seq[Column], residCol: Column,
+                   scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1 && orderCols.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    val dec = "decimal(38,0)"
+    val e = floor(residCol.cast("double") * scale + lit(0.5)).cast("long")
+    val lagged = df.filter(col(groupCol).isNotNull && residCol.isNotNull)
+      .select(col(groupCol), e.as("_e"), (e - lag(e, 1).over(w)).as("_d"))
+    val m = lagged.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum((col("_e") * col("_e")).cast(dec)).as("_ss"),
+        sum((col("_d") * col("_d")).cast(dec)).as("_sd"))
+    val dw = col("_sd").cast("double") / col("_ss").cast("double")
+    val ok = col("n") >= 2 && col("_ss") > 0
+    m.select(col(groupCol), col("n"),
+      round(when(ok, dw), 6).as("dw"),
+      round(when(ok, lit(1.0) - dw / 2), 6).as("dw_rho"))
+  }
+
   /** Stationary distribution of the per-user event-transition Markov
     * chain (power iteration on the row-normalized transition counts):
     * "where does the process SPEND its time", which the raw

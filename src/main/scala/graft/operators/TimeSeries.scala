@@ -268,6 +268,74 @@ object TimeSeries {
         count(lit(1)).as("n"))
   }
 
+  /** Ljung–Box portmanteau test per group: Q = n(n+2)·Σₖ ρ̂ₖ²/(n−k)
+    * over lags 1..maxLag — "is this series white noise at ALL short
+    * lags jointly", the one-number residual-autocorrelation gate that
+    * reading [[acfTable]]'s correlogram spike-by-spike can't give
+    * (h near-threshold lags compound into a decisive Q). Uses the
+    * textbook LB convention: ρ̂ₖ centers on the OVERALL group mean
+    * with the full-series Σ(y−ȳ)² denominator (not the pairwise
+    * Pearson [[acfTable]] reports, which re-centers per lag).
+    *
+    * Callers pass an integer-quantized value column (cents), so
+    * every distributed sum is exact: n, S=Σy, Q=Σy² plus per-lag
+    * cntₖ, Cₖ=Σy_t·y_{t−k}, Aₖ=Σ_{t>k}y_t, Bₖ=Σ_{t>k}y_{t−k} — all
+    * decimal(38,0), order-free. ρ̂ₖ is then assembled in ONE fixed
+    * double expression over those exact moments
+    * (numₖ = Cₖ − ȳ(Aₖ+Bₖ) + cntₖȳ², den = Q − S²/n), identical
+    * operands ⇒ identical result on any engine/partitioning.
+    * Exact-to-double bound: moments stay < 2⁵³ up to ~9e15 in Σy²
+    * (cent values ≤1e5 ⇒ ~1e9 group rows); beyond that both engines
+    * still round the same decimal identically, but document sf.
+    * Groups with n ≤ maxLag or zero variance report NULL (no test).
+    *
+    * Returns (group, n, rho_1..rho_maxLag, lb_stat, df).
+    *
+    * Scale shape: ONE group-partitioned window sort producing the L
+    * lag columns (L a query constant), then ONE map-side-combinable
+    * grouped agg of 4L+3 exact moments — no melt, no second shuffle,
+    * no join. The assembly is a scan-free projection per group row. */
+  def ljungBox(df: DataFrame, groupCol: String,
+               orderCols: Seq[org.apache.spark.sql.Column],
+               valueCol: Column, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && orderCols.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    val dec = "decimal(38,0)"
+    val lagged = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(Seq(col(groupCol), valueCol.cast("long").as("_y")) ++
+        (1 to maxLag).map(k => lag(valueCol.cast("long"), k).over(w)
+          .as(s"_x$k")): _*)
+    val aggs = Seq(
+        sum(col("_y").cast(dec)).as("_s"),
+        sum((col("_y") * col("_y")).cast(dec)).as("_q")) ++
+      (1 to maxLag).flatMap(k => Seq(
+        count(col(s"_x$k")).as(s"_cnt$k"),
+        sum((col("_y") * col(s"_x$k")).cast(dec)).as(s"_c$k"),
+        sum(when(col(s"_x$k").isNotNull, col("_y")).cast(dec))
+          .as(s"_a$k"),
+        sum(col(s"_x$k").cast(dec)).as(s"_b$k")))
+    val moments = lagged.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"), aggs: _*)
+    val n = col("_n").cast("double")
+    val ybar = col("_s").cast("double") / n
+    val den = col("_q").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double") / n
+    def rho(k: Int): Column =
+      (col(s"_c$k").cast("double") -
+        ybar * (col(s"_a$k").cast("double") + col(s"_b$k").cast("double")) +
+        col(s"_cnt$k").cast("double") * ybar * ybar) / den
+    val lb = (1 to maxLag).map(k =>
+      rho(k) * rho(k) / col(s"_cnt$k").cast("double"))
+      .reduce(_ + _) * n * (n + 2)
+    val ok = col("_n") > maxLag && den > 0
+    moments.select(Seq(col(groupCol), col("_n").as("n")) ++
+      (1 to maxLag).map(k =>
+        round(when(ok, rho(k)), 6).as(s"rho_$k")) ++
+      Seq(round(when(ok, lb), 6).as("lb_stat"),
+        lit(maxLag).as("df")): _*)
+  }
+
   /** Theil–Sen robust slope per group: the median over all pairwise
     * slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) with xᵢ < xⱼ — the trend estimator that
     * tolerates ~29% outlier contamination where OLS folds at one bad

@@ -683,6 +683,24 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("durbinWatson: alternating DW=3, constant DW=0, n=1 null") {
+    import spark.implicits._
+    // a: e = 1,-1,1,-1 -> sum d^2 = 12, sum e^2 = 4, DW = 3, rho = -0.5
+    // b: constant nonzero residuals -> DW = 0, rho = 1 (max positive)
+    // z: single row -> undefined
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, -1.0), ("a", 3L, 1.0),
+      ("a", 4L, -1.0), ("b", 1L, 2.0), ("b", 2L, 2.0), ("b", 3L, 2.0),
+      ("z", 1L, 5.0)).toDF("g", "t", "e")
+    val out = Analytics.durbinWatson(df, "g", Seq(col("t")), col("e"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 4L &&
+      out("a").getDouble(2) == 3.0 && out("a").getDouble(3) == -0.5,
+      s"${out("a")}")
+    assert(out("b").getDouble(2) == 0.0 && out("b").getDouble(3) == 1.0,
+      s"${out("b")}")
+    assert(out("z").isNullAt(2) && out("z").isNullAt(3), s"${out("z")}")
+  }
+
   test("woeEncode: hand-computed WOE/IV, unseen-category zero, IV non-negative") {
     val fit = Seq(("a", "en"), ("a", "en"), ("a", "en"), ("a", "de"),
       ("b", "de"), ("b", "de")).toDF("source", "lang")

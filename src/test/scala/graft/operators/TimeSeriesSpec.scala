@@ -416,6 +416,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(3) == ((-1.0, 3L)), s"$out")
   }
 
+  test("ljungBox: hand-computed Q at lags 1..3; degenerate groups null") {
+    import org.apache.spark.sql.functions.col
+    // a: 3,1,4,1,5,9,2,6 -> rho = (-0.175236, 0.044326, 0.145686),
+    // Q = 8*10*(rho1^2/7 + rho2^2/6 + rho3^2/5) = 0.716732
+    // c: zero variance (den=0) -> null; s: n=3 <= maxLag -> null
+    val rows = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) } ++
+      (1 to 5).map(i => ("c", i.toLong, 7L)) ++
+      Seq(("s", 1L, 1L), ("s", 2L, 5L), ("s", 3L, 2L))
+    val out = TimeSeries.ljungBox(rows.toDF("g", "t", "v"), "g",
+        Seq(col("t")), col("v"), maxLag = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 8L && a.getInt(6) == 3)
+    assert((a.getDouble(2), a.getDouble(3), a.getDouble(4)) ==
+      ((-0.175236, 0.044326, 0.145686)), s"$a")
+    assert(a.getDouble(5) == 0.716732, s"$a")
+    assert(out("c").isNullAt(5) && out("s").isNullAt(5), s"$out")
+    assert(out("c").getLong(1) == 5L && out("s").getLong(1) == 3L)
+  }
+
   test("pageHinkley: upward shift climbs PH; downward shift stays at 0") {
     import org.apache.spark.sql.functions.col
     // flat 10s then 40: i=4 prefix mean 17.5, term 22.5 -> ph 22.5
