@@ -2265,6 +2265,19 @@ object SparkEntry {
         Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
         col("resid"), scale = 100L)
     }),
+    // Jarque-Bera normality gate per event_type on cent values:
+    // moment-exact skewness + excess kurtosis -> chi2_2 statistic
+    "q395_jarque_bera" -> ((s, dir) =>
+      Analytics.jarqueBera(t(s, dir, "events"),
+        "event_type", floor(col("value") * 100 + lit(0.5)))),
+    // PACF at lags 1..3 (Durbin-Levinson unrolled): where does the
+    // DIRECT dependence cut off -- the AR-order signature q380/q393
+    // can't read from the tailing ACF
+    "q396_pacf" -> ((s, dir) =>
+      graft.operators.TimeSeries.pacf(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        "event_type", Seq(col("ts"), col("event_id")),
+        floor(col("value") * 100 + lit(0.5)))),
     // Per-node local clustering on q114's graph: 2T/(d(d-1)) over
     // the degree-ordered triangle machinery
     "q387_local_clustering" -> ((s, dir) => {
@@ -6534,6 +6547,103 @@ object SparkEntry {
         |  round(CASE WHEN n >= 2 AND ss > 0
         |    THEN 1.0 - (sd2::DOUBLE / ss::DOUBLE) / 2 END, 6) AS dw_rho
         |FROM a""".stripMargin,
+    // five HUGEINT power sums (y^4 squares the HUGEINT y^2), central
+    // moments + g1/g2/JB in one fixed double assembly; m2^1.5 as
+    // m2*sqrt(m2) on both engines
+    "q395_jarque_bera" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), m AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(y::HUGEINT) AS s1,
+        |    sum(y::HUGEINT * y) AS s2, sum(y::HUGEINT * y * y) AS s3,
+        |    sum(y::HUGEINT * y * y * y) AS s4
+        |  FROM b GROUP BY 1
+        |), d AS (
+        |  SELECT g, n, n::DOUBLE AS nd, s1::DOUBLE AS s1d,
+        |    s2::DOUBLE AS s2d, s3::DOUBLE AS s3d, s4::DOUBLE AS s4d
+        |  FROM m
+        |), c AS (
+        |  SELECT g, n, nd,
+        |    s2d / nd - (s1d / nd) * (s1d / nd) AS m2,
+        |    s3d / nd - 3.0 * (s1d / nd) * (s2d / nd)
+        |      + 2.0 * (s1d / nd) * (s1d / nd) * (s1d / nd) AS m3,
+        |    s4d / nd - 4.0 * (s1d / nd) * (s3d / nd)
+        |      + 6.0 * (s1d / nd) * (s1d / nd) * (s2d / nd)
+        |      - 3.0 * (s1d / nd) * (s1d / nd) * (s1d / nd) * (s1d / nd)
+        |      AS m4
+        |  FROM d
+        |)
+        |SELECT g AS event_type, n,
+        |  round(CASE WHEN n >= 2 AND m2 > 0
+        |    THEN m3 / (m2 * sqrt(m2)) END, 6) AS skewness,
+        |  round(CASE WHEN n >= 2 AND m2 > 0
+        |    THEN m4 / (m2 * m2) - 3.0 END, 6) AS ex_kurtosis,
+        |  round(CASE WHEN n >= 2 AND m2 > 0
+        |    THEN nd / 6 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+        |      + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4)
+        |    END, 6) AS jb_stat
+        |FROM c""".stripMargin,
+    // q393's moment CTEs verbatim; Durbin-Levinson closed forms at
+    // depth 3 mirrored subexpression-for-subexpression
+    "q396_pacf" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+        |    lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) OVER w AS x1,
+        |    lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 2) OVER w AS x2,
+        |    lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 3) OVER w AS x3
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts),
+        |    event_id)
+        |), m AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(y) AS s, sum(y * y) AS q,
+        |    count(x1)::BIGINT AS cnt1, sum(y * x1) AS c1,
+        |    sum(CASE WHEN x1 IS NOT NULL THEN y END) AS a1, sum(x1) AS b1,
+        |    count(x2)::BIGINT AS cnt2, sum(y * x2) AS c2,
+        |    sum(CASE WHEN x2 IS NOT NULL THEN y END) AS a2, sum(x2) AS b2,
+        |    count(x3)::BIGINT AS cnt3, sum(y * x3) AS c3,
+        |    sum(CASE WHEN x3 IS NOT NULL THEN y END) AS a3, sum(x3) AS b3
+        |  FROM b GROUP BY 1
+        |), d AS (
+        |  SELECT g, n, n::DOUBLE AS nd, s::DOUBLE AS sd, q::DOUBLE AS qd,
+        |    cnt1::DOUBLE AS k1, c1::DOUBLE AS c1d, a1::DOUBLE AS a1d,
+        |    b1::DOUBLE AS b1d,
+        |    cnt2::DOUBLE AS k2, c2::DOUBLE AS c2d, a2::DOUBLE AS a2d,
+        |    b2::DOUBLE AS b2d,
+        |    cnt3::DOUBLE AS k3, c3::DOUBLE AS c3d, a3::DOUBLE AS a3d,
+        |    b3::DOUBLE AS b3d
+        |  FROM m
+        |), r AS (
+        |  SELECT g, n,
+        |    (c1d - (sd / nd) * (a1d + b1d) + k1 * (sd / nd) * (sd / nd))
+        |      / (qd - sd * sd / nd) AS r1,
+        |    (c2d - (sd / nd) * (a2d + b2d) + k2 * (sd / nd) * (sd / nd))
+        |      / (qd - sd * sd / nd) AS r2,
+        |    (c3d - (sd / nd) * (a3d + b3d) + k3 * (sd / nd) * (sd / nd))
+        |      / (qd - sd * sd / nd) AS r3,
+        |    n > 3 AND qd - sd * sd / nd > 0 AS ok
+        |  FROM d
+        |), p AS (
+        |  SELECT g, n, r1, r2, r3, ok,
+        |    1.0 - r1 * r1 AS d2,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22,
+        |    r1 - (r2 - r1 * r1) / (1.0 - r1 * r1) * r1 AS p21
+        |  FROM r
+        |), pp AS (
+        |  SELECT *, 1.0 - p21 * r1 - p22 * r2 AS d3 FROM p
+        |)
+        |SELECT g AS event_type, n,
+        |  round(CASE WHEN ok THEN r1 END, 6) AS rho_1,
+        |  round(CASE WHEN ok THEN r2 END, 6) AS rho_2,
+        |  round(CASE WHEN ok THEN r3 END, 6) AS rho_3,
+        |  round(CASE WHEN ok THEN r1 END, 6) AS pacf_1,
+        |  round(CASE WHEN ok AND d2 <> 0 THEN p22 END, 6) AS pacf_2,
+        |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
+        |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
+        |FROM pp""".stripMargin,
     // q114's CTE chain + the degree join and one division per node
     "q387_local_clustering" ->
       """WITH raw AS (SELECT user_id AS a, event_id % 150 AS b FROM events

@@ -1598,6 +1598,59 @@ object Analytics {
         round((q(yCol) - yhat) / scale, 6).as("resid")): _*)
   }
 
+  /** Jarque–Bera normality test per group: JB = n/6·(g₁² + g₂²/4)
+    * from moment-exact skewness g₁ = m₃/m₂^1.5 and excess kurtosis
+    * g₂ = m₄/m₂² − 3 — the one-number "is this distribution even
+    * approximately Gaussian" gate (χ²₂ under H₀) that decides whether
+    * z-score machinery (q131 outliers, q261 CIs) is trustworthy on a
+    * column, where eyeballing a histogram sketch isn't a test.
+    *
+    * Callers pass an integer-quantized value column; the four raw
+    * power sums Σy..Σy⁴ accumulate as decimal(38,0)/HUGEINT — exact,
+    * order-free (y⁴ is squared AS decimal: cent values past ~55k
+    * overflow int64 at the fourth power). Central moments and both
+    * shape statistics are ONE fixed double assembly over those exact
+    * sums (m₂^1.5 as m₂·√m₂ — IEEE sqrt, never libm pow; the
+    * [[Similarity.hubnessAudit]] rule). Past 2⁵³ the decimal→double
+    * conversions are correctly rounded on both engines (the q394
+    * posture — measured cross-engine agreement, not assumed).
+    * Groups with n < 2 or zero variance report NULL.
+    *
+    * Returns (group, n, skewness, ex_kurtosis, jb_stat).
+    *
+    * Scale shape: ONE map-side-combinable grouped agg of five exact
+    * moments; no window, no join, no second shuffle — the cheapest
+    * possible distributed shape. */
+  def jarqueBera(df: DataFrame, groupCol: String,
+                 valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val y = valueCol.cast("long")
+    val y2 = (y * y).cast(dec)
+    val m = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"), sum(y.cast(dec)).as("_s1"),
+        sum(y2).as("_s2"), sum((y * y * y).cast(dec)).as("_s3"),
+        sum(y2 * y2).as("_s4"))
+    val n = col("_n").cast("double")
+    val d = (c: String) => col(c).cast("double")
+    val mu = d("_s1") / n
+    val m2 = d("_s2") / n - mu * mu
+    val m3 = d("_s3") / n - lit(3.0) * mu * (d("_s2") / n) +
+      lit(2.0) * mu * mu * mu
+    val m4 = d("_s4") / n - lit(4.0) * mu * (d("_s3") / n) +
+      lit(6.0) * mu * mu * (d("_s2") / n) - lit(3.0) * mu * mu * mu * mu
+    // ANSI guard: NULL divisor on zero-variance groups (CSE can
+    // hoist g1/g2 past the when() gate)
+    val g1 = m3 / when(m2 =!= 0, m2 * sqrt(m2))
+    val g2 = m4 / when(m2 =!= 0, m2 * m2) - lit(3.0)
+    val jb = n / 6 * (g1 * g1 + g2 * g2 / 4)
+    val ok = col("_n") >= 2 && m2 > 0
+    m.select(col(groupCol), col("_n").as("n"),
+      round(when(ok, g1), 6).as("skewness"),
+      round(when(ok, g2), 6).as("ex_kurtosis"),
+      round(when(ok, jb), 6).as("jb_stat"))
+  }
+
   /** Durbin–Watson statistic per group: DW = Σ_{t≥2}(eₜ−eₜ₋₁)² / Σeₜ²
     * over a time-ordered residual series — the classic first-order
     * serial-correlation read on [[olsFitApply]]'s residuals (DW≈2
@@ -1634,7 +1687,8 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         sum((col("_e") * col("_e")).cast(dec)).as("_ss"),
         sum((col("_d") * col("_d")).cast(dec)).as("_sd"))
-    val dw = col("_sd").cast("double") / col("_ss").cast("double")
+    val dw = col("_sd").cast("double") /
+      when(col("_ss") =!= 0, col("_ss").cast("double"))
     val ok = col("n") >= 2 && col("_ss") > 0
     m.select(col(groupCol), col("n"),
       round(when(ok, dw), 6).as("dw"),

@@ -299,6 +299,31 @@ object TimeSeries {
                orderCols: Seq[org.apache.spark.sql.Column],
                valueCol: Column, maxLag: Int = 3): DataFrame = {
     require(maxLag >= 1 && orderCols.nonEmpty)
+    val (moments, rho, den) = lbMoments(df, groupCol, orderCols,
+      valueCol, maxLag)
+    val n = col("_n").cast("double")
+    val lb = (1 to maxLag).map(k =>
+      rho(k) * rho(k) / col(s"_cnt$k").cast("double"))
+      .reduce(_ + _) * n * (n + 2)
+    val ok = col("_n") > maxLag && den > 0
+    moments.select(Seq(col(groupCol), col("_n").as("n")) ++
+      (1 to maxLag).map(k =>
+        round(when(ok, rho(k)), 6).as(s"rho_$k")) ++
+      Seq(round(when(ok, lb), 6).as("lb_stat"),
+        lit(maxLag).as("df")): _*)
+  }
+
+  /** Shared exact-moment autocorrelation core for [[ljungBox]] and
+    * [[pacf]]: ONE group-partitioned window sort producing the L lag
+    * columns, ONE grouped agg of 4L+3 decimal(38,0) moments, and the
+    * textbook overall-mean ρ̂ₖ assembled as a fixed double expression
+    * over those exact sums (see [[ljungBox]] for the determinism
+    * argument). Returns (moments relation, ρ̂ builder, variance
+    * denominator column). */
+  private def lbMoments(df: DataFrame, groupCol: String,
+                        orderCols: Seq[org.apache.spark.sql.Column],
+                        valueCol: Column, maxLag: Int)
+      : (DataFrame, Int => Column, Column) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(orderCols: _*)
     val dec = "decimal(38,0)"
@@ -321,19 +346,58 @@ object TimeSeries {
     val ybar = col("_s").cast("double") / n
     val den = col("_q").cast("double") -
       col("_s").cast("double") * col("_s").cast("double") / n
+    // ANSI guard: divide by NULL (not 0) on zero-variance groups —
+    // subexpression elimination can hoist ρ̂ out of the callers'
+    // when() gates, so the division itself must be throw-free
+    val denSafe = when(den =!= 0, den)
     def rho(k: Int): Column =
       (col(s"_c$k").cast("double") -
         ybar * (col(s"_a$k").cast("double") + col(s"_b$k").cast("double")) +
-        col(s"_cnt$k").cast("double") * ybar * ybar) / den
-    val lb = (1 to maxLag).map(k =>
-      rho(k) * rho(k) / col(s"_cnt$k").cast("double"))
-      .reduce(_ + _) * n * (n + 2)
-    val ok = col("_n") > maxLag && den > 0
-    moments.select(Seq(col(groupCol), col("_n").as("n")) ++
-      (1 to maxLag).map(k =>
-        round(when(ok, rho(k)), 6).as(s"rho_$k")) ++
-      Seq(round(when(ok, lb), 6).as("lb_stat"),
-        lit(maxLag).as("df")): _*)
+        col(s"_cnt$k").cast("double") * ybar * ybar) / denSafe
+    (moments, rho, den)
+  }
+
+  /** Partial autocorrelation at lags 1..3 per group via the
+    * Durbin–Levinson recursion unrolled to fixed depth — the
+    * AR-order signature read: where [[acfTable]]/[[ljungBox]]'s ACF
+    * tails off geometrically for ANY AR process, the PACF CUTS OFF
+    * after lag p, so "which lag does the direct dependence stop at"
+    * is a PACF question the correlogram can't answer. Closed forms:
+    * φ₁₁ = ρ₁; φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²), φ₂₁ = ρ₁−φ₂₂ρ₁;
+    * φ₃₃ = (ρ₃−φ₂₁ρ₂−φ₂₂ρ₁)/(1−φ₂₁ρ₁−φ₂₂ρ₂). Depth 3 keeps the
+    * oracle dual hand-writable; deeper orders are the same recursion
+    * (and at the 100 TB read you fit AR models, not eyeball lag 7).
+    *
+    * ρ̂ₖ uses [[ljungBox]]'s exact-integer moment machinery (overall
+    * mean, full-series denominator), so the whole table is a fixed
+    * double assembly over order-free decimal(38,0) sums. Groups with
+    * n ≤ 3 or zero variance report NULL throughout; a zero
+    * level-2/level-3 denominator (perfectly correlated series)
+    * yields NULL at that level only.
+    *
+    * Returns (group, n, rho_1..rho_3, pacf_1..pacf_3).
+    *
+    * Scale shape: identical to [[ljungBox]] — one window sort, one
+    * map-side-combinable agg, scan-free assembly. */
+  def pacf(df: DataFrame, groupCol: String,
+           orderCols: Seq[org.apache.spark.sql.Column],
+           valueCol: Column): DataFrame = {
+    val (moments, rho, den) = lbMoments(df, groupCol, orderCols,
+      valueCol, 3)
+    val (r1, r2, r3) = (rho(1), rho(2), rho(3))
+    val d2 = lit(1.0) - r1 * r1
+    val p22 = (r2 - r1 * r1) / when(d2 =!= 0, d2)
+    val p21 = r1 - p22 * r1
+    val d3 = lit(1.0) - p21 * r1 - p22 * r2
+    val p33 = (r3 - p21 * r2 - p22 * r1) / when(d3 =!= 0, d3)
+    val ok = col("_n") > 3 && den > 0
+    moments.select(col(groupCol), col("_n").as("n"),
+      round(when(ok, r1), 6).as("rho_1"),
+      round(when(ok, r2), 6).as("rho_2"),
+      round(when(ok, r3), 6).as("rho_3"),
+      round(when(ok, r1), 6).as("pacf_1"),
+      round(when(ok && d2 =!= 0, p22), 6).as("pacf_2"),
+      round(when(ok && d2 =!= 0 && d3 =!= 0, p33), 6).as("pacf_3"))
   }
 
   /** Theil–Sen robust slope per group: the median over all pairwise

@@ -683,6 +683,19 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("jarqueBera: right-skewed outlier case; constant and n=1 null") {
+    import spark.implicits._
+    // a: 1,2,3,4,100 -> g1 = 1.497537, g2 = 0.246716, JB = 1.881528
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("c", 7L), ("c", 7L), ("c", 7L), ("z", 5L)).toDF("g", "v")
+    val out = Analytics.jarqueBera(df, "g", col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 5L && a.getDouble(2) == 1.497537 &&
+      a.getDouble(3) == 0.246716 && a.getDouble(4) == 1.881528, s"$a")
+    assert(out("c").isNullAt(4) && out("z").isNullAt(4), s"$out")
+  }
+
   test("durbinWatson: alternating DW=3, constant DW=0, n=1 null") {
     import spark.implicits._
     // a: e = 1,-1,1,-1 -> sum d^2 = 12, sum e^2 = 4, DW = 3, rho = -0.5

@@ -437,6 +437,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("c").getLong(1) == 5L && out("s").getLong(1) == 3L)
   }
 
+  test("pacf: Durbin-Levinson closed forms match the hand recursion") {
+    import org.apache.spark.sql.functions.col
+    // same series as the ljungBox spec: rho = (-0.175236, 0.044326,
+    // 0.145686); phi11 = rho1, phi22 = 0.01405, phi33 = 0.160774
+    val rows = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) } ++
+      (1 to 5).map(i => ("c", i.toLong, 7L))
+    val out = TimeSeries.pacf(rows.toDF("g", "t", "v"), "g",
+        Seq(col("t")), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert((a.getDouble(2), a.getDouble(3), a.getDouble(4)) ==
+      ((-0.175236, 0.044326, 0.145686)), s"$a")
+    assert((a.getDouble(5), a.getDouble(6), a.getDouble(7)) ==
+      ((-0.175236, 0.01405, 0.160774)), s"$a")
+    assert(out("c").isNullAt(5) && out("c").isNullAt(6) &&
+      out("c").isNullAt(7), s"${out("c")}")
+  }
+
   test("pageHinkley: upward shift climbs PH; downward shift stays at 0") {
     import org.apache.spark.sql.functions.col
     // flat 10s then 40: i=4 prefix mean 17.5, term 22.5 -> ph 22.5
