@@ -2278,6 +2278,25 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Wald-Wolfowitz runs test: above/below-median sign sequence per
+    // event_type in ts order -- the ordering-sanity gate (too few
+    // runs = regime clustering; too many = alternation)
+    "q397_runs_test" -> ((s, dir) =>
+      graft.operators.TimeSeries.runsTest(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        "event_type", Seq(col("ts"), col("event_id")),
+        floor(col("value") * 100 + lit(0.5)))),
+    // Friedman test: do event types differ when each user ranks
+    // them internally -- complete-block repeated-measures, per-user
+    // cent totals as cells, tie-corrected chi2
+    "q398_friedman" -> ((s, dir) =>
+      Analytics.friedman(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("v")),
+        "user_id", "event_type", col("v"))),
     // Per-node local clustering on q114's graph: 2T/(d(d-1)) over
     // the degree-ordered triangle machinery
     "q387_local_clustering" -> ((s, dir) => {
@@ -6644,6 +6663,91 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // exact interpolated median broadcast back, equal-to-median rows
+    // dropped, lag-inequality run count, fixed E/V/z assembly
+    "q397_runs_test" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+        |    epoch_ns(ts) AS tt, event_id
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |), md AS (SELECT g, median(y) AS med FROM b GROUP BY 1),
+        |fl AS (
+        |  SELECT b.g, (y::DOUBLE > med)::INT AS upx, tt, event_id
+        |  FROM b JOIN md ON b.g = md.g
+        |  WHERE y::DOUBLE <> med
+        |), fr AS (
+        |  SELECT g, upx,
+        |    CASE WHEN lag(upx) OVER w IS NULL OR lag(upx) OVER w <> upx
+        |      THEN 1 ELSE 0 END AS newrun
+        |  FROM fl WINDOW w AS (PARTITION BY g ORDER BY tt, event_id)
+        |), ag AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(upx)::BIGINT AS n1,
+        |    (count(*) - sum(upx))::BIGINT AS n2,
+        |    sum(newrun)::BIGINT AS runs
+        |  FROM fr GROUP BY 1
+        |), st AS (
+        |  SELECT g, n, n1, n2, runs, n::DOUBLE AS nd, n1::DOUBLE AS n1d,
+        |    n2::DOUBLE AS n2d
+        |  FROM ag
+        |), vv AS (
+        |  SELECT g, n, n1, n2, runs, nd, n1d, n2d,
+        |    2.0 * n1d * n2d * (2.0 * n1d * n2d - nd) /
+        |      (CASE WHEN nd * nd * (nd - 1) > 0
+        |        THEN nd * nd * (nd - 1) END) AS v
+        |  FROM st
+        |)
+        |SELECT g AS event_type, n, n1 AS n_above, n2 AS n_below, runs,
+        |  round(CASE WHEN v > 0
+        |    THEN (runs::DOUBLE - (2.0 * n1d * n2d / nd + 1)) / sqrt(v)
+        |    END, 6) AS z
+        |FROM vv""".stripMargin,
+    // complete blocks by size (cells are GROUP BY-unique per (b,t)),
+    // doubled average ranks, HUGEINT rank-sum squares + tie mass,
+    // scipy's tie-corrected chi2 in one fixed assembly
+    "q398_friedman" ->
+      """WITH cells AS (
+        |  SELECT user_id AS bk, event_type AS tr,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), kk AS (SELECT count(DISTINCT tr)::BIGINT AS k FROM cells),
+        |comp AS (
+        |  SELECT bk, tr, v FROM (
+        |    SELECT bk, tr, v, count(*) OVER (PARTITION BY bk) AS bn
+        |    FROM cells)
+        |  WHERE bn = (SELECT k FROM kk)
+        |), rk AS (
+        |  SELECT bk, tr, v,
+        |    rank() OVER (PARTITION BY bk ORDER BY v) AS minr,
+        |    count(*) OVER (PARTITION BY bk, v) AS tie
+        |  FROM comp
+        |), r2 AS (SELECT tr, 2 * minr + tie - 1 AS dr FROM rk),
+        |tg AS (SELECT bk, v, count(*)::BIGINT AS t3 FROM comp GROUP BY 1, 2),
+        |tm AS (
+        |  SELECT coalesce(sum(t3 * t3 * t3 - t3), 0) AS tmass FROM tg
+        |), bc AS (SELECT count(DISTINCT bk)::BIGINT AS b FROM comp),
+        |rj AS (SELECT tr, sum(dr)::BIGINT AS rj2 FROM r2 GROUP BY 1),
+        |ssq AS (SELECT sum(rj2 * rj2) AS ss FROM rj),
+        |fin AS (
+        |  SELECT k, b, k::DOUBLE AS kd, b::DOUBLE AS bd,
+        |    ss::DOUBLE / 4 AS ss4, tmass::DOUBLE AS tmd
+        |  FROM kk, bc, ssq, tm
+        |), cc AS (
+        |  SELECT k, b, kd, bd, ss4,
+        |    1.0 - tmd / (CASE WHEN bd * (kd * kd * kd - kd) > 0
+        |      THEN bd * (kd * kd * kd - kd) END) AS c
+        |  FROM fin
+        |)
+        |SELECT k, b,
+        |  round(CASE WHEN b >= 1 AND k >= 2 AND c > 0
+        |    THEN (12.0 / (CASE WHEN bd * kd * (kd + 1) > 0
+        |        THEN bd * kd * (kd + 1) END) * ss4
+        |      - 3.0 * bd * (kd + 1)) / c END, 6) AS chi2,
+        |  (k - 1)::BIGINT AS df
+        |FROM cc""".stripMargin,
     // q114's CTE chain + the degree join and one division per node
     "q387_local_clustering" ->
       """WITH raw AS (SELECT user_id AS a, event_id % 150 AS b FROM events

@@ -1598,6 +1598,77 @@ object Analytics {
         round((q(yCol) - yhat) / scale, 6).as("resid")): _*)
   }
 
+  /** Friedman test over (block, treatment, value) cells: the
+    * non-parametric repeated-measures ANOVA — "do the k treatments
+    * differ when every block ranks them internally", the
+    * within-block design [[kruskalWallis]]-style pooled ranking
+    * can't express (block effects cancel by construction). Blocks
+    * missing any treatment are EXCLUDED (classic complete-block
+    * requirement, k = the global distinct-treatment count); ties
+    * within a block take average ranks; the statistic is the
+    * tie-corrected χ²_F = (12/(bk(k+1))·ΣⱼRⱼ² − 3b(k+1)) / C with
+    * C = 1 − Σ(t³−t)/(b(k³−k)), df = k−1 (the scipy convention).
+    *
+    * Exactness: average ranks ride as DOUBLED integers
+    * (2r̄ = 2·minrank + t − 1, the q391 trick), treatment rank sums
+    * and ΣRⱼ² and the tie mass Σ(t³−t) are exact
+    * int64/decimal(38,0), and the χ² is ONE fixed double assembly
+    * (ΣRⱼ² enters as Σ(2Rⱼ)²/4). NULL when b = 0, k < 2, or C ≤ 0
+    * (all-tied blocks).
+    *
+    * Returns one row (k, b, chi2, df).
+    *
+    * Scale shape: cells are an already-reduced (block, treatment)
+    * relation; complete-block filtering is one block-keyed count
+    * join; ranking is two window functions over the SAME block
+    * partition (k rows each); everything after is k-sized then
+    * 1-row. No self-join, no cross pair stage. */
+  def friedman(cells: DataFrame, blockCol: String, treatCol: String,
+               valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = cells.filter(col(blockCol).isNotNull &&
+        col(treatCol).isNotNull && valueCol.isNotNull)
+      .select(col(blockCol).as("_b"), col(treatCol).as("_t"),
+        valueCol.cast("long").as("_v"))
+    val k1 = base.agg(countDistinct(col("_t")).as("_k"))
+    val complete = base
+      .crossJoin(broadcast(k1))
+      .withColumn("_bn", count(lit(1))
+        .over(Window.partitionBy(col("_b"))))
+      .withColumn("_bt", size(collect_set(col("_t"))
+        .over(Window.partitionBy(col("_b")))))
+      .filter(col("_bn") === col("_k") && col("_bt") === col("_k"))
+    val ranked = complete
+      .withColumn("_minr", rank().over(
+        Window.partitionBy(col("_b")).orderBy(col("_v"))))
+      .withColumn("_tie", count(lit(1)).over(
+        Window.partitionBy(col("_b"), col("_v"))))
+      .withColumn("_r2", lit(2L) * col("_minr") + col("_tie") - 1)
+    val tieMass = ranked.groupBy(col("_b"), col("_v"))
+      .agg(first(col("_tie")).as("_t3"))
+      .agg(coalesce(sum((col("_t3") * col("_t3") * col("_t3") -
+        col("_t3")).cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+        .as("_tm"),
+        (countDistinct(col("_b"))).as("_bc"))
+    val rj = ranked.groupBy(col("_t")).agg(sum("_r2").as("_rj2"))
+      .agg(sum((col("_rj2") * col("_rj2")).cast("decimal(38,0)"))
+        .as("_ss"))
+    val one = rj.crossJoin(broadcast(tieMass)).crossJoin(broadcast(k1))
+    val kd = col("_k").cast("double")
+    val bd = col("_bc").cast("double")
+    val ss4 = col("_ss").cast("double") / 4
+    // ANSI guards: NULL divisors on degenerate shapes (b=0 or k<2)
+    val cDen = bd * (kd * kd * kd - kd)
+    val c = lit(1.0) - col("_tm").cast("double") / when(cDen > 0, cDen)
+    val sDen = bd * kd * (kd + 1)
+    val chi2 = (lit(12.0) / when(sDen > 0, sDen) * ss4 -
+      lit(3.0) * bd * (kd + 1)) / when(c > 0, c)
+    val ok = col("_bc") >= 1 && col("_k") >= 2 && c > 0
+    one.select(col("_k").as("k"), col("_bc").as("b"),
+      round(when(ok, chi2), 6).as("chi2"),
+      (col("_k") - 1).as("df"))
+  }
+
   /** Jarque–Bera normality test per group: JB = n/6·(g₁² + g₂²/4)
     * from moment-exact skewness g₁ = m₃/m₂^1.5 and excess kurtosis
     * g₂ = m₄/m₂² − 3 — the one-number "is this distribution even

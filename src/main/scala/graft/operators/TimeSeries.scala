@@ -400,6 +400,64 @@ object TimeSeries {
       round(when(ok && d2 =!= 0 && d3 =!= 0, p33), 6).as("pacf_3"))
   }
 
+  /** Wald–Wolfowitz runs test per group: is the sequence of
+    * above/below-median outcomes RANDOM in time order, or does it
+    * cluster (too few runs — regime persistence, unshuffled data) or
+    * alternate (too many — negative feedback)? The ordering-sanity
+    * gate that [[ljungBox]]'s linear-correlation read can miss
+    * (runs are sign-level, robust to any monotone transform).
+    * Values exactly equal to the median are dropped (classic
+    * above/below convention); R counts maximal same-sign stretches;
+    * z = (R − E)/√V with E = 2n₁n₂/n + 1 and
+    * V = 2n₁n₂(2n₁n₂−n)/(n²(n−1)).
+    *
+    * Exactness: the median of the integer-quantized value is the
+    * exact interpolated percentile (= DuckDB `median`), the sign
+    * flags / run count / n₁ / n₂ are integers, and E/V/z is ONE
+    * fixed double expression over them. Degenerate groups (all one
+    * side, n < 2, zero variance of V) report NULL z.
+    *
+    * Returns (group, n, n_above, n_below, runs, z).
+    *
+    * Scale shape: one map-side-combinable exact-percentile agg
+    * reduced to a per-group broadcast, one group-partitioned window
+    * sort for the run flags, one final grouped agg — no self-join,
+    * run counting is the lag-inequality sum. */
+  def runsTest(df: DataFrame, groupCol: String,
+               orderCols: Seq[org.apache.spark.sql.Column],
+               valueCol: Column): DataFrame = {
+    require(orderCols.nonEmpty)
+    val base = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(Seq(col(groupCol).as("_g"), valueCol.cast("long").as("_y")) ++
+        orderCols.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }: _*)
+    val med = base.groupBy(col("_g"))
+      .agg(expr("percentile(_y, 0.5)").as("_med"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g"))
+      .orderBy(orderCols.indices.map(i => col(s"_o$i")): _*)
+    val up = col("_y").cast("double") > col("_med")
+    val flagged = base.join(broadcast(med), Seq("_g"))
+      .filter(col("_y").cast("double") =!= col("_med"))
+      .select(col("_g"), up.cast("int").as("_up"),
+        when(lag(up.cast("int"), 1).over(w).isNull ||
+          lag(up.cast("int"), 1).over(w) =!= up.cast("int"), 1L)
+          .otherwise(0L).as("_newrun"))
+    val m = flagged.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"), sum("_up").as("n_above"),
+        (count(lit(1)) - sum("_up")).as("n_below"),
+        sum("_newrun").as("runs"))
+    val (n, n1, n2) = (col("n").cast("double"),
+      col("n_above").cast("double"), col("n_below").cast("double"))
+    val e = lit(2.0) * n1 * n2 / n + 1
+    // ANSI guard: NULL divisor at n=1 (single surviving row)
+    val vDen = n * n * (n - 1)
+    val v = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n) /
+      when(vDen > 0, vDen)
+    val z = (col("runs").cast("double") - e) / sqrt(when(v > 0, v))
+    m.select(col(groupCol), col("n"), col("n_above"), col("n_below"),
+      col("runs"), round(when(v > 0, z), 6).as("z"))
+  }
+
   /** Theil–Sen robust slope per group: the median over all pairwise
     * slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) with xᵢ < xⱼ — the trend estimator that
     * tolerates ~29% outlier contamination where OLS folds at one bad

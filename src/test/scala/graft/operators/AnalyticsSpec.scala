@@ -683,6 +683,28 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("friedman: tie-corrected chi2; incomplete blocks excluded") {
+    import spark.implicits._
+    // blocks 1-2 untied ladders; block 3 ties t1=t2=3 (avg ranks 1.5);
+    // block 4 incomplete (2 of 3 treatments) -> excluded
+    // R2j = (7, 11, 18), ss4 = 123.5, tie mass 6, C = 1 - 6/72
+    // chi2 = (12/(3*3*4)*123.5 - 36)/C = 5.636364
+    val cells = Seq(
+      (1L, "t1", 1L), (1L, "t2", 2L), (1L, "t3", 3L),
+      (2L, "t1", 2L), (2L, "t2", 4L), (2L, "t3", 6L),
+      (3L, "t1", 3L), (3L, "t2", 3L), (3L, "t3", 9L),
+      (4L, "t1", 5L), (4L, "t2", 6L)).toDF("b", "t", "v")
+    val r = Analytics.friedman(cells, "b", "t", col("v")).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L &&
+      r.getDouble(2) == 5.636364 && r.getLong(3) == 2L, s"$r")
+    // untied 3x3: chi2 = 6.0 exactly
+    val u = Analytics.friedman(cells.filter(col("b") <= 2 ||
+        (col("b") === 3 && col("t") =!= "t2"))
+      .union(Seq((3L, "t2", 6L)).toDF("b", "t", "v")), "b", "t", col("v"))
+      .collect()(0)
+    assert(u.getDouble(2) == 6.0, s"$u")
+  }
+
   test("jarqueBera: right-skewed outlier case; constant and n=1 null") {
     import spark.implicits._
     // a: 1,2,3,4,100 -> g1 = 1.497537, g2 = 0.246716, JB = 1.881528

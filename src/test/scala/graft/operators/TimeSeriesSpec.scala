@@ -456,6 +456,28 @@ class TimeSeriesSpec extends SparkSpec {
       out("c").isNullAt(7), s"${out("c")}")
   }
 
+  test("runsTest: alternation z>0, clustering z<0, median rows dropped") {
+    import org.apache.spark.sql.functions.col
+    // a: 5,1,6,2,7,3 (med 4) -> +-+-+- = 6 runs, z = +1.825742
+    // b: 1,2,3,7,8,9 (med 5) -> ---+++ = 2 runs, z = -1.825742
+    // m: 1,2,3 -> med row dropped, n=2 -> V=0 -> z null
+    val rows =
+      Seq(5L, 1L, 6L, 2L, 7L, 3L).zipWithIndex.map { case (v, i) =>
+        ("a", i.toLong, v) } ++
+      Seq(1L, 2L, 3L, 7L, 8L, 9L).zipWithIndex.map { case (v, i) =>
+        ("b", i.toLong, v) } ++
+      Seq(("m", 1L, 1L), ("m", 2L, 2L), ("m", 3L, 3L))
+    val out = TimeSeries.runsTest(rows.toDF("g", "t", "v"), "g",
+        Seq(col("t")), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(4) == 6L && out("a").getDouble(5) == 1.825742,
+      s"${out("a")}")
+    assert(out("b").getLong(4) == 2L && out("b").getDouble(5) == -1.825742,
+      s"${out("b")}")
+    assert(out("m").getLong(1) == 2L && out("m").isNullAt(5),
+      s"${out("m")}")
+  }
+
   test("pageHinkley: upward shift climbs PH; downward shift stays at 0") {
     import org.apache.spark.sql.functions.col
     // flat 10s then 40: i=4 prefix mean 17.5, term 22.5 -> ph 22.5
