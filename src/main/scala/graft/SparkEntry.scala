@@ -2278,6 +2278,25 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Resource-allocation link prediction on q114's graph: which
+    // non-edges are most likely missing -- RA/Jaccard/common
+    // neighbors, hub wedges capped at deg 64, top 50
+    "q399_link_prediction" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("event_id") % 13 === 0)
+        .select(col("user_id").as("src"), (col("event_id") % 150).as("dst"))
+      Graph.linkPrediction(e, "src", "dst", maxDegree = 64, topK = 50)
+    }),
+    // Cronbach's alpha: do the per-user event-type cent totals
+    // measure one underlying engagement trait -- item-reliability
+    // over the (user, type) cell matrix, missing cells = 0
+    "q400_cronbach_alpha" -> ((s, dir) =>
+      Analytics.cronbachAlpha(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("v")),
+        "user_id", "event_type", col("v"))),
     // Wald-Wolfowitz runs test: above/below-median sign sequence per
     // event_type in ts order -- the ordering-sanity gate (too few
     // runs = regime clustering; too many = alternation)
@@ -6663,6 +6682,74 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // capped wedge join through shared neighbors, quantized 1/deg
+    // contributions, NOT EXISTS drops existing edges, total-order
+    // top-50
+    "q399_link_prediction" ->
+      """WITH raw AS (
+        |  SELECT user_id AS a, event_id % 150 AS b FROM events
+        |  WHERE event_id % 13 = 0 AND user_id IS NOT NULL
+        |    AND user_id <> event_id % 150
+        |), und AS (
+        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw
+        |), adj AS (
+        |  SELECT u AS z, v AS nb FROM und UNION ALL SELECT v, u FROM und
+        |), deg AS (SELECT z, count(*)::BIGINT AS dg FROM adj GROUP BY 1),
+        |zn AS (
+        |  SELECT adj.z, adj.nb,
+        |    CAST(floor(1e12 / dg + 0.5) AS BIGINT) AS raq
+        |  FROM adj JOIN deg ON adj.z = deg.z WHERE dg <= 64
+        |), pr AS (
+        |  SELECT za.nb AS u, zb.nb AS v, count(*)::BIGINT AS cn,
+        |    sum(za.raq)::BIGINT AS ra
+        |  FROM zn za JOIN zn zb ON za.z = zb.z AND za.nb < zb.nb
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT pr.* FROM pr
+        |  WHERE NOT EXISTS (SELECT 1 FROM und
+        |    WHERE und.u = pr.u AND und.v = pr.v)
+        |), tp AS (
+        |  SELECT cand.u, cand.v, cn, ra, du.dg AS ddu, dv.dg AS ddv
+        |  FROM cand JOIN deg du ON cand.u = du.z
+        |    JOIN deg dv ON cand.v = dv.z
+        |  ORDER BY ra DESC, cand.u, cand.v
+        |  LIMIT 50
+        |)
+        |SELECT u, v, cn AS common_neighbors,
+        |  round(cn::DOUBLE / (ddu + ddv - cn)::DOUBLE, 6) AS jaccard,
+        |  round(ra::DOUBLE / 1e12, 6) AS ra_score
+        |FROM tp""".stripMargin,
+    // cancelled n(n-1) variance ratio: per-item and per-case-total
+    // HUGEINT moment cores meet in one double division
+    "q400_cronbach_alpha" ->
+      """WITH cells AS (
+        |  SELECT user_id AS c, event_type AS i,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), nk AS (
+        |  SELECT count(DISTINCT c)::BIGINT AS n,
+        |    count(DISTINCT i)::BIGINT AS k
+        |  FROM cells
+        |), it AS (
+        |  SELECT i, sum(v) AS sx, sum(v::HUGEINT * v) AS sxx
+        |  FROM cells GROUP BY 1
+        |), aa AS (
+        |  SELECT sum(n::HUGEINT * sxx - sx * sx) AS a FROM it, nk
+        |), tot AS (SELECT c, sum(v)::BIGINT AS t FROM cells GROUP BY 1),
+        |tm AS (
+        |  SELECT sum(t::HUGEINT) AS st, sum(t::HUGEINT * t) AS stt
+        |  FROM tot
+        |), fin AS (
+        |  SELECT k, n, a, n::HUGEINT * stt - st * st AS b
+        |  FROM aa, tm, nk
+        |)
+        |SELECT k, n AS n_cases,
+        |  round(CASE WHEN k >= 2 AND b > 0 THEN
+        |    k::DOUBLE / (k::DOUBLE - 1) * (1.0 - a::DOUBLE / b::DOUBLE)
+        |    END, 6) AS alpha
+        |FROM fin""".stripMargin,
     // exact interpolated median broadcast back, equal-to-median rows
     // dropped, lag-inequality run count, fixed E/V/z assembly
     "q397_runs_test" ->

@@ -1598,6 +1598,60 @@ object Analytics {
         round((q(yCol) - yhat) / scale, 6).as("resid")): _*)
   }
 
+  /** Cronbach's alpha over (case, item, value) cells:
+    * α = k/(k−1)·(1 − Σᵢσᵢ²/σ_total²) — internal-consistency
+    * reliability: do the k items (feature columns, metric variants,
+    * annotator scores) measure ONE underlying quantity, or is the
+    * composite total mostly noise? Missing (case, item) cells count
+    * as 0 (absence is a measurement here — e.g. zero spend on an
+    * event type), so every case spans all k items and no
+    * complete-case filtering is needed.
+    *
+    * Exactness: both variance ratios ride as EXACT integers — with
+    * the common n(n−1) factor cancelled, Σᵢ(nΣxᵢ²−(Σxᵢ)²) and
+    * nΣt²−(Σt)² are decimal(38,0) expressions over int64 cell sums
+    * (per-case totals Σt from one extra grouped agg), so
+    * A/B meets in ONE double division; the k/(k−1) factor is exact.
+    * NULL when k < 2 or the total variance is 0.
+    *
+    * Returns one row (k, n_cases, alpha).
+    *
+    * Scale shape: two map-side-combinable aggs over the reduced
+    * cell relation (per-item moments; per-case totals then 1-row
+    * moments), two 1-row broadcasts — no window, no join wider than
+    * a 1-row cross. */
+  def cronbachAlpha(cells: DataFrame, caseCol: String, itemCol: String,
+                    valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = cells.filter(col(caseCol).isNotNull &&
+        col(itemCol).isNotNull && valueCol.isNotNull)
+      .select(col(caseCol).as("_c"), col(itemCol).as("_i"),
+        valueCol.cast("long").as("_v"))
+    val nk = base.agg(countDistinct(col("_c")).as("_n"),
+      countDistinct(col("_i")).as("_k"))
+    val items = base.groupBy(col("_i"))
+      .agg(sum(col("_v").cast(dec)).as("_sx"),
+        sum((col("_v") * col("_v")).cast(dec)).as("_sxx"))
+      .crossJoin(broadcast(nk))
+      .select((col("_n").cast(dec) * col("_sxx") -
+        col("_sx") * col("_sx")).as("_numi"))
+      .agg(sum("_numi").as("_a"))
+    val totals = base.groupBy(col("_c"))
+      .agg(sum("_v").as("_t"))
+      .agg(sum(col("_t").cast(dec)).as("_st"),
+        sum((col("_t") * col("_t")).cast(dec)).as("_stt"))
+    val one = items.crossJoin(broadcast(totals))
+      .crossJoin(broadcast(nk))
+    val b = col("_n").cast(dec) * col("_stt") - col("_st") * col("_st")
+    val kd = col("_k").cast("double")
+    val alpha = kd / when(kd - 1 > 0, kd - 1) *
+      (lit(1.0) - col("_a").cast("double") /
+        when(b > 0, b.cast("double")))
+    val ok = col("_k") >= 2 && b > 0
+    one.select(col("_k").as("k"), col("_n").as("n_cases"),
+      round(when(ok, alpha), 6).as("alpha"))
+  }
+
   /** Friedman test over (block, treatment, value) cells: the
     * non-parametric repeated-measures ANOVA — "do the k treatments
     * differ when every block ranks them internally", the

@@ -683,6 +683,25 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("cronbachAlpha: hand ratio, duplicate items give alpha 1, k=1 null") {
+    import spark.implicits._
+    // items (1,2,3) and (2,4,6): A = 6+24 = 30, B = 54,
+    // alpha = 2*(1 - 30/54) = 0.888889
+    val cells = Seq((1L, "i1", 1L), (2L, "i1", 2L), (3L, "i1", 3L),
+      (1L, "i2", 2L), (2L, "i2", 4L), (3L, "i2", 6L)).toDF("c", "i", "v")
+    val r = Analytics.cronbachAlpha(cells, "c", "i", col("v")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L &&
+      r.getDouble(2) == 0.888889, s"$r")
+    // identical items measure one thing exactly: alpha = 1
+    val dup = Seq((1L, "a", 1L), (2L, "a", 5L), (1L, "b", 1L),
+      (2L, "b", 5L)).toDF("c", "i", "v")
+    assert(Analytics.cronbachAlpha(dup, "c", "i", col("v"))
+      .collect()(0).getDouble(2) == 1.0)
+    // single item: undefined
+    assert(Analytics.cronbachAlpha(cells.filter(col("i") === "i1"),
+      "c", "i", col("v")).collect()(0).isNullAt(2))
+  }
+
   test("friedman: tie-corrected chi2; incomplete blocks excluded") {
     import spark.implicits._
     // blocks 1-2 untied ladders; block 3 ties t1=t2=3 (avg ranks 1.5);

@@ -306,6 +306,23 @@ class GraphSpec extends SparkSpec {
     assert(star.getLong(3) == 0L && star.getDouble(4) == 0.0, s"$star")
   }
 
+  test("linkPrediction: wedge candidates scored, hub cap excludes") {
+    import spark.implicits._
+    // path 1-2-3 plus 2-4: all wedges route through hub 2 (deg 3);
+    // candidates (1,3),(1,4),(3,4): cn=1, ra=1/3, jaccard=1.0
+    val e = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("s", "d")
+    val out = Graph.linkPrediction(e, "s", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set((1L, 3L), (1L, 4L), (3L, 4L)), s"$out")
+    assert(out.values.toSet == Set((1L, 1.0, 0.333333)), s"$out")
+    // existing edges never surface; capping out the hub empties it
+    assert(!out.contains((1L, 2L)))
+    assert(Graph.linkPrediction(e, "s", "d", maxDegree = 2).count() == 0)
+    // topK truncates deterministically
+    assert(Graph.linkPrediction(e, "s", "d", topK = 2).count() == 2)
+  }
+
   test("degreeAssortativity: star is -1; regular graph undefined") {
     import spark.implicits._
     val star = Graph.degreeAssortativity(
