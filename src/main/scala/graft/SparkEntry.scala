@@ -2278,6 +2278,21 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Welch t + Cohen's d/Hedges' g between even/odd user cohorts:
+    // the parametric companion to q391 that also SIZES the gap
+    "q401_welch_ttest" -> ((s, dir) =>
+      Analytics.welchTTest(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id") % 2 === 0,
+        floor(col("value") * 100 + lit(0.5)))),
+    // Hurst exponent (aggregated variance, dyadic blocks): long-range
+    // dependence per event_type -- the correlogram-tail read q393's
+    // fixed lags can't give
+    "q402_hurst" -> ((s, dir) =>
+      graft.operators.TimeSeries.hurst(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        "event_type", Seq(col("ts"), col("event_id")),
+        floor(col("value") * 100 + lit(0.5)))),
     // Resource-allocation link prediction on q114's graph: which
     // non-edges are most likely missing -- RA/Jaccard/common
     // neighbors, hub wedges capped at deg 64, top 50
@@ -6682,6 +6697,112 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // two-group HUGEINT moments pivoted to one row; Welch/Satterthwaite
+    // and pooled-SD effect sizes in one fixed assembly
+    "q401_welch_ttest" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 = 0 AS a,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), g AS (
+        |  SELECT a, count(*)::BIGINT AS n, sum(y) AS s,
+        |    sum(y::HUGEINT * y) AS q
+        |  FROM b GROUP BY 1
+        |), w AS (
+        |  SELECT max(CASE WHEN a THEN n END)::BIGINT AS na_i,
+        |    max(CASE WHEN NOT a THEN n END)::BIGINT AS nb_i,
+        |    max(CASE WHEN a THEN s END) AS sa,
+        |    max(CASE WHEN NOT a THEN s END) AS sb,
+        |    max(CASE WHEN a THEN q END) AS qa,
+        |    max(CASE WHEN NOT a THEN q END) AS qb
+        |  FROM g
+        |), dd AS (
+        |  SELECT na_i, nb_i, na_i::DOUBLE AS na, nb_i::DOUBLE AS nb,
+        |    sa::DOUBLE AS sad, sb::DOUBLE AS sbd, qa::DOUBLE AS qad,
+        |    qb::DOUBLE AS qbd
+        |  FROM w
+        |), vv AS (
+        |  SELECT *, sad / na AS ma, sbd / nb AS mb,
+        |    (na * qad - sad * sad) / (CASE WHEN na * (na - 1) > 0
+        |      THEN na * (na - 1) END) AS va,
+        |    (nb * qbd - sbd * sbd) / (CASE WHEN nb * (nb - 1) > 0
+        |      THEN nb * (nb - 1) END) AS vb
+        |  FROM dd
+        |), ss AS (
+        |  SELECT *, va / na + vb / nb AS se2,
+        |    ((na - 1) * va + (nb - 1) * vb) /
+        |      (CASE WHEN na + nb - 2 > 0 THEN na + nb - 2 END) AS sp2
+        |  FROM vv
+        |)
+        |SELECT na_i AS n_a, nb_i AS n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round(CASE WHEN na_i >= 2 AND nb_i >= 2 AND se2 > 0
+        |    THEN (ma - mb) / sqrt(se2) END, 6) AS t,
+        |  round(CASE WHEN na_i >= 2 AND nb_i >= 2 AND se2 > 0
+        |    THEN se2 * se2 / (CASE WHEN va * va / (na * na * (na - 1))
+        |        + vb * vb / (nb * nb * (nb - 1)) > 0
+        |      THEN va * va / (na * na * (na - 1))
+        |        + vb * vb / (nb * nb * (nb - 1)) END) END, 6) AS df,
+        |  round(CASE WHEN na_i >= 2 AND nb_i >= 2 AND se2 > 0
+        |      AND sp2 > 0
+        |    THEN (ma - mb) / sqrt(sp2) END, 6) AS cohen_d,
+        |  round(CASE WHEN na_i >= 2 AND nb_i >= 2 AND se2 > 0
+        |      AND sp2 > 0
+        |    THEN (ma - mb) / sqrt(sp2)
+        |      * (1.0 - 3.0 / (4.0 * (na + nb) - 9)) END, 6) AS hedges_g
+        |FROM ss""".stripMargin,
+    // constant dyadic fan-out, complete-block HUGEINT variance per
+    // level, quantized logs, closed-form equal-spacing slope
+    "q402_hurst" ->
+      """WITH ix AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+        |    (row_number() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_ns(ts), event_id) - 1)::BIGINT AS i
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |), fan AS (
+        |  SELECT g, 1 AS m, i // 1 AS blk, y FROM ix
+        |  UNION ALL SELECT g, 2, i // 2, y FROM ix
+        |  UNION ALL SELECT g, 4, i // 4, y FROM ix
+        |  UNION ALL SELECT g, 8, i // 8, y FROM ix
+        |  UNION ALL SELECT g, 16, i // 16, y FROM ix
+        |), blocks AS (
+        |  SELECT g, m, blk, sum(y)::BIGINT AS s, count(*)::BIGINT AS c
+        |  FROM fan GROUP BY 1, 2, 3
+        |  HAVING count(*) = m
+        |), lvl AS (
+        |  SELECT g, m, count(*)::BIGINT AS b, sum(s) AS ss,
+        |    sum(s::HUGEINT * s) AS sq
+        |  FROM blocks GROUP BY 1, 2
+        |), ylv AS (
+        |  SELECT g, m,
+        |    CAST(floor(ln(CASE WHEN (b::HUGEINT * sq - ss * ss)::DOUBLE
+        |        / (CASE WHEN b::DOUBLE * (b::DOUBLE - 1) > 0
+        |          THEN b::DOUBLE * (b::DOUBLE - 1) END)
+        |        / (m::DOUBLE * m::DOUBLE) > 0
+        |      THEN (b::HUGEINT * sq - ss * ss)::DOUBLE
+        |        / (CASE WHEN b::DOUBLE * (b::DOUBLE - 1) > 0
+        |          THEN b::DOUBLE * (b::DOUBLE - 1) END)
+        |        / (m::DOUBLE * m::DOUBLE) END) * 1e12 + 0.5) AS BIGINT)
+        |      AS yq
+        |  FROM lvl
+        |), piv AS (
+        |  SELECT g,
+        |    max(CASE WHEN m = 1 THEN yq END) AS y1,
+        |    max(CASE WHEN m = 2 THEN yq END) AS y2,
+        |    max(CASE WHEN m = 4 THEN yq END) AS y4,
+        |    max(CASE WHEN m = 8 THEN yq END) AS y8,
+        |    max(CASE WHEN m = 16 THEN yq END) AS y16
+        |  FROM ylv GROUP BY 1
+        |), nn AS (SELECT g, count(*)::BIGINT AS n FROM ix GROUP BY 1)
+        |SELECT piv.g AS event_type, n,
+        |  round(CASE WHEN y1 IS NOT NULL AND y2 IS NOT NULL
+        |      AND y4 IS NOT NULL AND y8 IS NOT NULL AND y16 IS NOT NULL
+        |    THEN 1.0 + ((-2 * y1 - y2 + y8 + 2 * y16)::DOUBLE / 1e12
+        |      / (10.0 * ln(2))) / 2
+        |    END, 6) AS h_est
+        |FROM piv JOIN nn ON piv.g = nn.g""".stripMargin,
     // capped wedge join through shared neighbors, quantized 1/deg
     // contributions, NOT EXISTS drops existing edges, total-order
     // top-50

@@ -1598,6 +1598,66 @@ object Analytics {
         round((q(yCol) - yhat) / scale, 6).as("resid")): _*)
   }
 
+  /** Welch's t-test + effect sizes between two slices: the unequal-
+    * variance two-sample mean comparison (t, Satterthwaite df) plus
+    * Cohen's d on the pooled SD and its small-sample Hedges' g
+    * correction g = d·(1 − 3/(4(n₁+n₂)−9)) — the parametric
+    * companion to [[mannWhitneyU]] that also SIZES the difference
+    * (a tiny p with a negligible d is the classic big-data trap).
+    *
+    * Exactness: per-slice n/Σy/Σy² are exact int64/decimal(38,0)
+    * from the integer-quantized value; means, sample variances
+    * (n−1), t, df, d, g are ONE fixed double assembly over them.
+    * NULL when either slice has n < 2 or both variances are 0.
+    *
+    * Returns one row (n_a, n_b, mean_a, mean_b, t, df, cohen_d,
+    * hedges_g).
+    *
+    * Scale shape: ONE map-side-combinable two-group agg (the slice
+    * flag is the grouping key), then a 1×1 self-assembly — the
+    * cheapest distributed shape, like [[jarqueBera]]. */
+  def welchTTest(df: DataFrame, isSliceA: Column,
+                 valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val y = valueCol.cast("long")
+    val m = df.filter(isSliceA.isNotNull && valueCol.isNotNull)
+      .groupBy(isSliceA.as("_a"))
+      .agg(count(lit(1)).as("_n"), sum(y.cast(dec)).as("_s"),
+        sum((y * y).cast(dec)).as("_q"))
+      .agg(max(when(col("_a"), col("_n"))).as("_na"),
+        max(when(!col("_a"), col("_n"))).as("_nb"),
+        max(when(col("_a"), col("_s"))).as("_sa"),
+        max(when(!col("_a"), col("_s"))).as("_sb"),
+        max(when(col("_a"), col("_q"))).as("_qa"),
+        max(when(!col("_a"), col("_q"))).as("_qb"))
+    def d(c: String) = col(c).cast("double")
+    val (na, nb) = (d("_na"), d("_nb"))
+    val ma = d("_sa") / na
+    val mb = d("_sb") / nb
+    // sample variance: (nΣy² − (Σy)²) / (n(n−1)) — exact numerator
+    val va = (na * d("_qa") - d("_sa") * d("_sa")) /
+      when(na * (na - 1) > 0, na * (na - 1))
+    val vb = (nb * d("_qb") - d("_sb") * d("_sb")) /
+      when(nb * (nb - 1) > 0, nb * (nb - 1))
+    val se2 = va / na + vb / nb
+    val t = (ma - mb) / sqrt(when(se2 > 0, se2))
+    val dfW = se2 * se2 / when(
+      va * va / (na * na * (na - 1)) + vb * vb / (nb * nb * (nb - 1)) > 0,
+      va * va / (na * na * (na - 1)) + vb * vb / (nb * nb * (nb - 1)))
+    val sp2 = ((na - 1) * va + (nb - 1) * vb) /
+      when(na + nb - 2 > 0, na + nb - 2)
+    val cd = (ma - mb) / sqrt(when(sp2 > 0, sp2))
+    val g = cd * (lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9))
+    val ok = col("_na") >= 2 && col("_nb") >= 2 && se2 > 0
+    m.select(col("_na").as("n_a"), col("_nb").as("n_b"),
+      round(when(col("_na") >= 1, ma), 6).as("mean_a"),
+      round(when(col("_nb") >= 1, mb), 6).as("mean_b"),
+      round(when(ok, t), 6).as("t"),
+      round(when(ok, dfW), 6).as("df"),
+      round(when(ok && sp2 > 0, cd), 6).as("cohen_d"),
+      round(when(ok && sp2 > 0, g), 6).as("hedges_g"))
+  }
+
   /** Cronbach's alpha over (case, item, value) cells:
     * α = k/(k−1)·(1 − Σᵢσᵢ²/σ_total²) — internal-consistency
     * reliability: do the k items (feature columns, metric variants,

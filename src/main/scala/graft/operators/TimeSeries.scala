@@ -400,6 +400,78 @@ object TimeSeries {
       round(when(ok && d2 =!= 0 && d3 =!= 0, p33), 6).as("pacf_3"))
   }
 
+  /** Hurst exponent per group by the aggregated-variance method:
+    * block-average the series at sizes m ∈ {1,2,4,8,16}; for
+    * long-range-dependent series Var(X̄ₘ) ∝ m^(2H−2), so H falls out
+    * of the log-log slope — H ≈ 0.5 is memoryless, H → 1 is
+    * persistent (trends compound), H < 0.5 anti-persistent. The
+    * long-memory read [[ljungBox]]'s fixed-lag window can't give
+    * (LRD lives in the TAIL of the correlogram).
+    *
+    * Because the five m are FIXED dyadic constants, log m is equally
+    * spaced (0,L,2L,3L,4L with L = ln 2) and the OLS slope collapses
+    * to the closed form (−2y₁ − y₂ + y₈ + 2y₁₆)/(10L) over
+    * yₘ = ln Var(X̄ₘ): no distributed double sum anywhere. Each
+    * Var(X̄ₘ) is assembled from exact integers (complete-block sums
+    * of the quantized series; b·Σs²−(Σs)² in decimal(38,0)), its log
+    * is quantized to int64 at 1e-12, and the slope is an EXACT
+    * integer combination of those — one division by 10·ln2 at the
+    * end. Groups missing any level (fewer than 2 complete blocks at
+    * m=16, i.e. n < 32, or a zero variance) report NULL.
+    *
+    * Returns (group, n, h_est).
+    *
+    * Scale shape: one group window sort for row indices, a constant
+    * ×5 block-id fan-out, two map-side-combinable aggs ((g,m,block)
+    * then (g,m)), and a 5-column conditional pivot per group — no
+    * self-join, no per-m pass over the data. */
+  def hurst(df: DataFrame, groupCol: String,
+            orderCols: Seq[org.apache.spark.sql.Column],
+            valueCol: Column): DataFrame = {
+    require(orderCols.nonEmpty)
+    val ms = Seq(1, 2, 4, 8, 16)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    val idx = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("long").as("_y"),
+        (row_number().over(w) - 1).cast("long").as("_i"))
+    val fan = idx.select(col("_g"), col("_y"),
+        explode(array(ms.map(m =>
+          struct(lit(m).as("m"), expr(s"_i div $m").as("blk"))): _*))
+          .as("_e"))
+      .select(col("_g"), col("_e.m").as("_m"), col("_e.blk").as("_blk"),
+        col("_y"))
+    val blocks = fan.groupBy(col("_g"), col("_m"), col("_blk"))
+      .agg(sum("_y").as("_s"), count(lit(1)).as("_c"))
+      .filter(col("_c") === col("_m"))
+    val dec = "decimal(38,0)"
+    val lvl = blocks.groupBy(col("_g"), col("_m"))
+      .agg(count(lit(1)).as("_b"), sum(col("_s").cast(dec)).as("_ss"),
+        sum((col("_s") * col("_s")).cast(dec)).as("_sq"))
+    val bd = col("_b").cast("double")
+    val md = col("_m").cast("double")
+    val num = (col("_b").cast(dec) * col("_sq") -
+      col("_ss") * col("_ss")).cast("double")
+    val vMean = num / when(bd * (bd - 1) > 0, bd * (bd - 1)) / (md * md)
+    val yq = floor(log(when(vMean > 0, vMean)) * 1e12 + lit(0.5))
+      .cast("long")
+    val pivCols = ms.map(m =>
+      max(when(col("_m") === m, col("_yq"))).as(s"_y$m"))
+    val piv = lvl.select(col("_g"), col("_m"), yq.as("_yq"))
+      .groupBy(col("_g"))
+      .agg(pivCols.head, pivCols.tail: _*)
+    val icomb = lit(-2L) * col("_y1") - col("_y2") + col("_y8") +
+      lit(2L) * col("_y16")
+    val slope = icomb.cast("double") / 1e12 / (lit(10.0) * log(lit(2.0)))
+    val h = lit(1.0) + slope / 2
+    val n = idx.groupBy(col("_g").as("_gn")).agg(count(lit(1)).as("n"))
+    piv.join(n, col("_g") === col("_gn")).drop("_gn")
+      .select(col("_g").as(groupCol), col("n"),
+        round(when(col("_y1").isNotNull && col("_y2").isNotNull &&
+          col("_y4").isNotNull && col("_y8").isNotNull &&
+          col("_y16").isNotNull, h), 6).as("h_est"))
+  }
+
   /** Wald–Wolfowitz runs test per group: is the sequence of
     * above/below-median outcomes RANDOM in time order, or does it
     * cluster (too few runs — regime persistence, unshuffled data) or

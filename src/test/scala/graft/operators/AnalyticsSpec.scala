@@ -683,6 +683,26 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("welchTTest: hand t/df/d/g; single-row slice null") {
+    import spark.implicits._
+    // a = 1,2,3,4 vs b = 2,4,6,8,10: t = -2.251436, df = 5.520788,
+    // d = -1.380419, g = -1.227039
+    val df = (Seq(1L, 2L, 3L, 4L).map((true, _)) ++
+      Seq(2L, 4L, 6L, 8L, 10L).map((false, _))).toDF("a", "v")
+    val r = Analytics.welchTTest(df, col("a"), col("v")).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 5L, s"$r")
+    assert(r.getDouble(2) == 2.5 && r.getDouble(3) == 6.0, s"$r")
+    assert((r.getDouble(4), r.getDouble(5)) == ((-2.251436, 5.520788)),
+      s"$r")
+    assert((r.getDouble(6), r.getDouble(7)) == ((-1.380419, -1.227039)),
+      s"$r")
+    // n=1 slice: no variance -> everything but means null
+    val tiny = Seq((true, 5L), (false, 1L), (false, 3L)).toDF("a", "v")
+    val r2 = Analytics.welchTTest(tiny, col("a"), col("v")).collect()(0)
+    assert(r2.getDouble(2) == 5.0 && r2.isNullAt(4) && r2.isNullAt(6),
+      s"$r2")
+  }
+
   test("cronbachAlpha: hand ratio, duplicate items give alpha 1, k=1 null") {
     import spark.implicits._
     // items (1,2,3) and (2,4,6): A = 6+24 = 30, B = 54,

@@ -456,6 +456,24 @@ class TimeSeriesSpec extends SparkSpec {
       out("c").isNullAt(7), s"${out("c")}")
   }
 
+  test("hurst: modular oscillator anti-persistent, ramp persistent, short null") {
+    import org.apache.spark.sql.functions.col
+    // o: (i*37) % 101 oscillates -> H = 0.334495 (anti-persistent)
+    // r: pure ramp -> H = 1.036233 (persistent)
+    // s: n=20 < 32 -> no complete m=16 pair -> null
+    val rows =
+      (0 until 64).map(i => ("o", i.toLong, ((i * 37) % 101).toLong)) ++
+      (0 until 64).map(i => ("r", i.toLong, i.toLong)) ++
+      (0 until 20).map(i => ("s", i.toLong, ((i * 37) % 101).toLong))
+    val out = TimeSeries.hurst(rows.toDF("g", "t", "v"), "g",
+        Seq(col("t")), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("o").getLong(1) == 64L &&
+      out("o").getDouble(2) == 0.334495, s"${out("o")}")
+    assert(out("r").getDouble(2) == 1.036233, s"${out("r")}")
+    assert(out("s").isNullAt(2), s"${out("s")}")
+  }
+
   test("runsTest: alternation z>0, clustering z<0, median rows dropped") {
     import org.apache.spark.sql.functions.col
     // a: 5,1,6,2,7,3 (med 4) -> +-+-+- = 6 runs, z = +1.825742
