@@ -2278,6 +2278,19 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Two-sample log-rank on q353's censored durations: do the
+    // even/odd-user survival curves differ -- hypergeometric O-E/V
+    // per pooled event time
+    "q403_log_rank" -> ((s, dir) =>
+      Analytics.logRank(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id") % 2 === 0,
+        col("event_id") % 30 + 1,
+        col("event_id") % 3 =!= 0)),
+    // Heaps'-law vocabulary growth over the corpus: V(N) ~ K*N^beta
+    // at five dyadic doc_id prefixes -- the tokenizer-saturation read
+    "q404_heaps_law" -> ((s, dir) =>
+      TextAnalysis.heapsLaw(t(s, dir, "documents"))),
     // Welch t + Cohen's d/Hedges' g between even/odd user cohorts:
     // the parametric companion to q391 that also SIZES the gap
     "q401_welch_ttest" -> ((s, dir) =>
@@ -6697,6 +6710,129 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // pooled-time at-risk bookkeeping (q193's cumulative recipe,
+    // pivoted per arm), x1e6-quantized hypergeometric E/V terms
+    // summed HUGEINT, one final z/chi2 assembly
+    "q403_log_rank" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 = 0 AS a, event_id % 30 + 1 AS t,
+        |    CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END AS d
+        |  FROM events WHERE user_id IS NOT NULL
+        |), c AS (
+        |  SELECT t,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS cb,
+        |    sum(CASE WHEN a THEN d ELSE 0 END)::BIGINT AS da,
+        |    sum(CASE WHEN NOT a THEN d ELSE 0 END)::BIGINT AS db
+        |  FROM b GROUP BY 1
+        |), tt AS (
+        |  SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb FROM c
+        |), grid AS (
+        |  SELECT c.t, c.da, c.db, ta, tb,
+        |    (ta - coalesce(sum(ca) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS na,
+        |    (tb - coalesce(sum(cb) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS nb
+        |  FROM c, tt
+        |), fl AS (SELECT * FROM grid WHERE da + db > 0),
+        |terms AS (
+        |  SELECT da,
+        |    CAST(floor((da + db)::DOUBLE * (na::DOUBLE / (na + nb)::DOUBLE)
+        |      * 1e6 + 0.5) AS BIGINT) AS eq,
+        |    CAST(floor((da + db)::DOUBLE * (na::DOUBLE / (na + nb)::DOUBLE)
+        |      * (1.0 - na::DOUBLE / (na + nb)::DOUBLE)
+        |      * (((na + nb)::DOUBLE - (da + db)::DOUBLE) /
+        |        (CASE WHEN (na + nb)::DOUBLE - 1 > 0
+        |          THEN (na + nb)::DOUBLE - 1 END))
+        |      * 1e6 + 0.5) AS BIGINT) AS vq
+        |  FROM fl
+        |), ag AS (
+        |  SELECT sum(da)::BIGINT AS oa, sum(eq) AS se, sum(vq) AS sv
+        |  FROM terms
+        |)
+        |SELECT ta AS n_a, tb AS n_b, oa AS o_a,
+        |  round(CASE WHEN ta > 0 AND tb > 0
+        |    THEN se::DOUBLE / 1e6 END, 6) AS e_a,
+        |  round(CASE WHEN ta > 0 AND tb > 0 AND sv::DOUBLE / 1e6 > 0
+        |    THEN ((oa::DOUBLE - se::DOUBLE / 1e6) / sqrt(sv::DOUBLE / 1e6))
+        |      * ((oa::DOUBLE - se::DOUBLE / 1e6) / sqrt(sv::DOUBLE / 1e6))
+        |    END, 6) AS chi2,
+        |  round(CASE WHEN ta > 0 AND tb > 0 AND sv::DOUBLE / 1e6 > 0
+        |    THEN (oa::DOUBLE - se::DOUBLE / 1e6) / sqrt(sv::DOUBLE / 1e6)
+        |    END, 6) AS z
+        |FROM ag, tt""".stripMargin,
+    // token first-occurrence pass serves all five dyadic prefixes;
+    // x1e12-quantized logs, 5-point OLS slope in HUGEINT products
+    "q404_heaps_law" ->
+      """WITH dc AS (
+        |  SELECT doc_id AS id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        |), toks AS (SELECT id, unnest(ws) AS tok FROM dc),
+        |firsts AS (SELECT tok, min(id) AS fst FROM toks GROUP BY 1),
+        |mx AS (SELECT max(id) AS m FROM dc),
+        |vv AS (
+        |  SELECT
+        |    sum(CASE WHEN fst <= m * 1 // 16 THEN 1 ELSE 0 END)::BIGINT AS v1,
+        |    sum(CASE WHEN fst <= m * 2 // 16 THEN 1 ELSE 0 END)::BIGINT AS v2,
+        |    sum(CASE WHEN fst <= m * 4 // 16 THEN 1 ELSE 0 END)::BIGINT AS v4,
+        |    sum(CASE WHEN fst <= m * 8 // 16 THEN 1 ELSE 0 END)::BIGINT AS v8,
+        |    sum(CASE WHEN fst <= m * 16 // 16 THEN 1 ELSE 0 END)::BIGINT
+        |      AS v16
+        |  FROM firsts, mx
+        |), nn AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN id <= m * 1 // 16 THEN len(ws) ELSE 0 END)::BIGINT
+        |      AS n1,
+        |    sum(CASE WHEN id <= m * 2 // 16 THEN len(ws) ELSE 0 END)::BIGINT
+        |      AS n2,
+        |    sum(CASE WHEN id <= m * 4 // 16 THEN len(ws) ELSE 0 END)::BIGINT
+        |      AS n4,
+        |    sum(CASE WHEN id <= m * 8 // 16 THEN len(ws) ELSE 0 END)::BIGINT
+        |      AS n8,
+        |    sum(CASE WHEN id <= m * 16 // 16 THEN len(ws) ELSE 0 END)::BIGINT
+        |      AS n16
+        |  FROM dc, mx
+        |), q AS (
+        |  SELECT n_docs, n16, v16,
+        |    CAST(floor(ln(CASE WHEN n1 > 0 THEN n1::DOUBLE END) * 1e12
+        |      + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(ln(CASE WHEN n2 > 0 THEN n2::DOUBLE END) * 1e12
+        |      + 0.5) AS BIGINT) AS x2,
+        |    CAST(floor(ln(CASE WHEN n4 > 0 THEN n4::DOUBLE END) * 1e12
+        |      + 0.5) AS BIGINT) AS x4,
+        |    CAST(floor(ln(CASE WHEN n8 > 0 THEN n8::DOUBLE END) * 1e12
+        |      + 0.5) AS BIGINT) AS x8,
+        |    CAST(floor(ln(CASE WHEN n16 > 0 THEN n16::DOUBLE END) * 1e12
+        |      + 0.5) AS BIGINT) AS x16,
+        |    CAST(floor(ln(CASE WHEN v1 > 0 THEN v1::DOUBLE END) * 1e12
+        |      + 0.5) AS BIGINT) AS y1,
+        |    CAST(floor(ln(CASE WHEN v2 > 0 THEN v2::DOUBLE END) * 1e12
+        |      + 0.5) AS BIGINT) AS y2,
+        |    CAST(floor(ln(CASE WHEN v4 > 0 THEN v4::DOUBLE END) * 1e12
+        |      + 0.5) AS BIGINT) AS y4,
+        |    CAST(floor(ln(CASE WHEN v8 > 0 THEN v8::DOUBLE END) * 1e12
+        |      + 0.5) AS BIGINT) AS y8,
+        |    CAST(floor(ln(CASE WHEN v16 > 0 THEN v16::DOUBLE END) * 1e12
+        |      + 0.5) AS BIGINT) AS y16
+        |  FROM vv, nn
+        |), s AS (
+        |  SELECT n_docs, n16, v16,
+        |    x1::HUGEINT + x2 + x4 + x8 + x16 AS sx,
+        |    y1::HUGEINT + y2 + y4 + y8 + y16 AS sy,
+        |    x1::HUGEINT * y1 + x2::HUGEINT * y2 + x4::HUGEINT * y4
+        |      + x8::HUGEINT * y8 + x16::HUGEINT * y16 AS sxy,
+        |    x1::HUGEINT * x1 + x2::HUGEINT * x2 + x4::HUGEINT * x4
+        |      + x8::HUGEINT * x8 + x16::HUGEINT * x16 AS sxx
+        |  FROM q
+        |)
+        |SELECT n_docs, n16 AS n_tokens, v16 AS vocab_size,
+        |  round((5 * sxy - sx * sy)::DOUBLE /
+        |    (CASE WHEN (5 * sxx - sx * sx)::DOUBLE > 0
+        |      THEN (5 * sxx - sx * sx)::DOUBLE END), 6) AS heaps_beta
+        |FROM s""".stripMargin,
     // two-group HUGEINT moments pivoted to one row; Welch/Satterthwaite
     // and pooled-SD effect sizes in one fixed assembly
     "q401_welch_ttest" ->

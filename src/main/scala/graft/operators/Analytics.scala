@@ -1598,6 +1598,71 @@ object Analytics {
         round((q(yCol) - yhat) / scale, 6).as("resid")): _*)
   }
 
+  /** Two-sample log-rank test on right-censored durations: do the A
+    * and B survival curves differ — the censoring-aware A/B read
+    * [[kaplanMeier]] draws but doesn't TEST (a naive mean-duration
+    * t-test is biased the moment censoring differs between arms).
+    * At each pooled event time: observed A-events vs the
+    * hypergeometric expectation d·n_A/n and variance
+    * d·(n_A/n)(1−n_A/n)(n−d)/(n−1); χ² = (O−E)²/V, df 1, signed z.
+    *
+    * Determinism: at-risk and event counts are exact integers (the
+    * [[kaplanMeier]] cumulative bookkeeping, pivoted to one row per
+    * pooled time); each per-time E and V is a fixed double over
+    * those integers, ×10⁶-quantized to int64 and summed as
+    * decimal(38,0) — order-free — meeting in one final assembly.
+    * Times with n ≤ 1 contribute zero variance via a NULL-divisor
+    * guard. NULL χ²/z when either arm is empty or ΣV = 0.
+    *
+    * Returns one row (n_a, n_b, o_a, e_a, chi2, z).
+    *
+    * Scale shape: one (arm, t) reduced shuffle, a 1-row totals
+    * broadcast, then ONE window over the pooled distinct event
+    * times — duration grids are value-cardinality-sized (days,
+    * buckets), not row-sized; if a duration domain ever outgrew a
+    * task the established histogram-sketch bucketing applies. */
+  def logRank(df: DataFrame, isArmA: Column, durCol: Column,
+              observedCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = df.filter(isArmA.isNotNull && durCol.isNotNull)
+      .select(isArmA.as("_a"), durCol.cast("long").as("_t"),
+        when(observedCol, lit(1L)).otherwise(lit(0L)).as("_d"))
+    val c = base.groupBy(col("_t"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_cb"),
+        sum(when(col("_a"), col("_d")).otherwise(0L)).as("_da"),
+        sum(when(!col("_a"), col("_d")).otherwise(0L)).as("_db"))
+    val tot = c.agg(sum("_ca").as("_ta"), sum("_cb").as("_tb"))
+    val prev = Window.orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = c.crossJoin(broadcast(tot))
+      .withColumn("_na", col("_ta") - coalesce(sum("_ca").over(prev),
+        lit(0L)))
+      .withColumn("_nb", col("_tb") - coalesce(sum("_cb").over(prev),
+        lit(0L)))
+      .filter(col("_da") + col("_db") > 0)
+    val n = (col("_na") + col("_nb")).cast("double")
+    val dt = (col("_da") + col("_db")).cast("double")
+    val pa = col("_na").cast("double") / n
+    val e = dt * pa
+    val v = dt * pa * (lit(1.0) - pa) *
+      ((n - dt) / when(n - 1 > 0, n - 1))
+    val terms = grid.select(col("_da"),
+      floor(e * 1e6 + lit(0.5)).cast("long").cast(dec).as("_eq"),
+      floor(v * 1e6 + lit(0.5)).cast("long").cast(dec).as("_vq"))
+    val agg = terms.agg(sum("_da").as("o_a"), sum("_eq").as("_se"),
+      sum("_vq").as("_sv")).crossJoin(broadcast(tot))
+    val ed = col("_se").cast("double") / 1e6
+    val vd = col("_sv").cast("double") / 1e6
+    val z = (col("o_a").cast("double") - ed) / sqrt(when(vd > 0, vd))
+    val ok = col("_ta") > 0 && col("_tb") > 0 && vd > 0
+    agg.select(col("_ta").as("n_a"), col("_tb").as("n_b"), col("o_a"),
+      round(when(col("_ta") > 0 && col("_tb") > 0, ed), 6).as("e_a"),
+      round(when(ok, z * z), 6).as("chi2"),
+      round(when(ok, z), 6).as("z"))
+  }
+
   /** Welch's t-test + effect sizes between two slices: the unequal-
     * variance two-sample mean comparison (t, Satterthwaite df) plus
     * Cohen's d on the pooled SD and its small-sample Hedges' g

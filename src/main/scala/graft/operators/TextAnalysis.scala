@@ -1077,4 +1077,71 @@ object TextAnalysis {
         round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
           .as("coverage"))
   }
+
+  /** Heaps'-law vocabulary-growth exponent: V(N) ≈ K·N^β — how fast
+    * the distinct-token vocabulary grows as the corpus grows, the
+    * saturation read a tokenizer/dedup pipeline plans against
+    * (β → 1: vocabulary explodes, near-unique tokens — ids, hashes,
+    * noise; β ≈ 0.4–0.6: natural text; β → 0: saturated). Measured
+    * at five dyadic doc_id prefixes (maxId·{1,2,4,8,16} div 16):
+    * each prefix's N = token occurrences and V = distinct tokens,
+    * β = OLS slope of ln V on ln N over the five points.
+    *
+    * The whole estimator avoids distributed float sums: V comes
+    * from each token's min-doc_id FIRST OCCURRENCE (count tokens
+    * with first ≤ threshold — one distinct pass serves all five
+    * prefixes), N from conditional integer sums; ln N / ln V are
+    * quantized ×10¹² to int64 (identical doubles → identical ints)
+    * and the 5-point OLS slope is a single fixed expression over
+    * decimal(38,0) products. NULL β if any prefix is empty.
+    *
+    * Returns one row (n_docs, n_tokens, vocab_size, heaps_beta).
+    *
+    * Scale shape: one doc-level scan for per-doc token counts, one
+    * map-side-combinable (token) shuffle for first occurrences, two
+    * 1-row aggs and a broadcast — no window, no join wider than a
+    * 1-row cross; prefix thresholds are integer arithmetic on the
+    * max id (no quantile pass). */
+  def heapsLaw(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val toks = docs.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z0-9]+"), lit(0))).as("_tok"))
+    val firsts = toks.groupBy(col("_tok")).agg(min("_id").as("_first"))
+    val perDoc = docs.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        size(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z0-9]+"), lit(0))).cast("long").as("_nt"))
+    val mx = perDoc.agg(max("_id").as("_mx"))
+    val js = Seq(1, 2, 4, 8, 16)
+    def thr(j: Int) = expr(s"_mx * $j div 16")
+    val vCols = js.map(j => sum(when(col("_first") <= thr(j), 1L)
+      .otherwise(0L)).as(s"_v$j"))
+    val vAgg = firsts.crossJoin(broadcast(mx))
+      .agg(vCols.head, vCols.tail: _*)
+    val nCols = count(lit(1)).as("n_docs") +:
+      js.map(j => sum(when(col("_id") <= thr(j), col("_nt"))
+        .otherwise(0L)).as(s"_n$j"))
+    val nAgg = perDoc.crossJoin(broadcast(mx))
+      .agg(nCols.head, nCols.tail: _*)
+    val one = vAgg.crossJoin(broadcast(nAgg))
+    def lq(c: org.apache.spark.sql.Column) =
+      floor(log(when(c > 0, c.cast("double"))) * 1e12 +
+        lit(0.5)).cast("long")
+    val xs = js.map(j => lq(col(s"_n$j")))
+    val ys = js.map(j => lq(col(s"_v$j")))
+    val p = lit(5L).cast(dec)
+    val sx = xs.map(_.cast(dec)).reduce(_ + _)
+    val sy = ys.map(_.cast(dec)).reduce(_ + _)
+    val sxy = xs.zip(ys).map { case (x, y) => x.cast(dec) * y.cast(dec) }
+      .reduce(_ + _)
+    val sxx = xs.map(x => x.cast(dec) * x.cast(dec)).reduce(_ + _)
+    val den = (p * sxx - sx * sx).cast("double")
+    val beta = (p * sxy - sx * sy).cast("double") / when(den > 0, den)
+    one.select(col("n_docs"), col("_n16").as("n_tokens"),
+      col("_v16").as("vocab_size"),
+      round(beta, 6).as("heaps_beta"))
+  }
 }

@@ -683,6 +683,27 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("logRank: early-event arm flagged; balanced arms z=0") {
+    import spark.implicits._
+    // A dies early: events at 1,1,2; B: one event at 3, two censored
+    // at 3 -> O_A=3, E_A=1.25, V=0.5875, z=2.283148, chi2=5.212766
+    val df = Seq((true, 1L, true), (true, 1L, true), (true, 2L, true),
+      (false, 3L, true), (false, 3L, false), (false, 3L, false))
+      .toDF("a", "dur", "obs")
+    val r = Analytics.logRank(df, col("a"), col("dur"), col("obs"))
+      .collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L &&
+      r.getLong(2) == 3L, s"$r")
+    assert(r.getDouble(3) == 1.25 && r.getDouble(4) == 5.212766 &&
+      r.getDouble(5) == 2.283148, s"$r")
+    // mirror-symmetric arms: z = 0
+    val bal = Seq((true, 1L, false), (true, 2L, true), (true, 3L, true),
+      (false, 1L, true), (false, 2L, true), (false, 3L, false))
+      .toDF("a", "dur", "obs")
+    assert(Analytics.logRank(bal, col("a"), col("dur"), col("obs"))
+      .collect()(0).getDouble(5) == 0.0)
+  }
+
   test("welchTTest: hand t/df/d/g; single-row slice null") {
     import spark.implicits._
     // a = 1,2,3,4 vs b = 2,4,6,8,10: t = -2.251436, df = 5.520788,

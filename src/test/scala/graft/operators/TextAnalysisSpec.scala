@@ -545,4 +545,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(big.getLong(3) == 2L && big.getLong(4) == 20L &&
       big.getDouble(5) == 0.8, s"$big")
   }
+
+  test("heapsLaw: all-unique beta=1, single-token beta=0, empty prefix null") {
+    import spark.implicits._
+    // every doc contributes 2 never-seen tokens: V(N) = N -> beta 1
+    val uniq = (1 to 16).map(i => (i.toLong, s"w${i}a w${i}b"))
+      .toDF("doc_id", "text")
+    val u = TextAnalysis.heapsLaw(uniq).head()
+    assert(u.getLong(0) == 16L && u.getLong(1) == 32L &&
+      u.getLong(2) == 32L && u.getDouble(3) == 1.0, s"$u")
+    // one token forever: V flat at 1 -> beta 0
+    val flat = (1 to 16).map(i => (i.toLong, "z z z")).toDF("doc_id", "text")
+    val f = TextAnalysis.heapsLaw(flat).head()
+    assert(f.getLong(2) == 1L && f.getDouble(3) == 0.0, s"$f")
+    // ids 15..16: the 1/16 prefix is empty -> beta null
+    val sparse = Seq((15L, "a b"), (16L, "c d")).toDF("doc_id", "text")
+    assert(TextAnalysis.heapsLaw(sparse).head().isNullAt(3))
+  }
 }
