@@ -2278,6 +2278,18 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Matryoshka search: coarse top-100 on the first 32 dims (half
+    // the bytes per candidate), exact full-dim re-rank to top-5 --
+    // dimension pruning next to IVF's candidate pruning
+    "q405_matryoshka_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.matryoshkaSearch(e, e.filter(col("vec_id") < 20),
+        k = 5, prefixDim = 32, shortlist = 100)
+    }),
+    // AMS F2 sign sketch vs exact self-join size on l_partkey: the
+    // planner's join-size/skew estimate, error measured not assumed
+    "q406_ams_f2" -> ((s, dir) =>
+      Sketches.amsF2(t(s, dir, "lineitem"), col("l_partkey"))),
     // Two-sample log-rank on q353's censored durations: do the
     // even/odd-user survival curves differ -- hypergeometric O-E/V
     // per pooled event time
@@ -4607,6 +4619,13 @@ object SparkEntry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |)""".stripMargin
 
+  /** [[duckCos]] truncated to the first `d` dimensions — the dual of
+    * q405's coarse Matryoshka stage (same fold, shorter series). */
+  private def duckCosPre(a: String, b: String, d: Int): String =
+    s"round(list_sum(list_transform(generate_series(1, $d), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) / " +
+      s"(sqrt(list_sum(list_transform(generate_series(1, $d), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) * " +
+      s"sqrt(list_sum(list_transform(generate_series(1, $d), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)"
+
   /** DuckDB rounded-cosine dual of `Similarity.cosine` (same
     * left-to-right fold as DotProductF/L2NormF; see q27/q28). */
   private def duckCos(a: String, b: String): String =
@@ -6710,6 +6729,59 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // coarse prefix-cosine window (32 dims), 100-deep shortlist,
+    // full-dim duckCos re-rank -- both stages on the established
+    // rounded-cosine + id-tiebreak contract
+    "q405_matryoshka_search" ->
+      s"""WITH qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 20
+        |), ca AS (
+        |  SELECT q.query_id, q.qv, c.vec_id AS cand_id,
+        |    c.embedding AS cv,
+        |    ${duckCosPre("q.qv", "c.embedding", 32)} AS pcos
+        |  FROM qs q, embeddings c WHERE q.query_id <> c.vec_id
+        |), sh AS (
+        |  SELECT query_id, qv, cand_id, cv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY pcos DESC, cand_id) AS crn
+        |    FROM ca) WHERE crn <= 100
+        |), rr AS (
+        |  SELECT query_id, cand_id, ${duckCos("qv", "cv")} AS cos
+        |  FROM sh
+        |), fin AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, cand_id) AS rn
+        |  FROM rr
+        |)
+        |SELECT query_id, cand_id, cos, rn::BIGINT AS rn
+        |FROM fin WHERE rn <= 5""".stripMargin,
+    // reduced key counts, 8-way sign fan-out with the md5Long sign,
+    // exact integer Z_r, mean of squares vs exact HUGEINT F2
+    "q406_ams_f2" ->
+      """WITH counts AS (
+        |  SELECT l_partkey AS k, count(*)::BIGINT AS c FROM lineitem
+        |  WHERE l_partkey IS NOT NULL GROUP BY 1
+        |), ex AS (
+        |  SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |    sum(c::HUGEINT * c) AS f2
+        |  FROM counts
+        |), z AS (
+        |  SELECT r, sum(CASE WHEN
+        |      ('0x' || substr(md5('ams_' || r || '_' || k), 1, 15))::BIGINT
+        |        % 2 = 0
+        |      THEN c ELSE -c END)::BIGINT AS zr
+        |  FROM counts, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS r)
+        |  GROUP BY 1
+        |), zz AS (
+        |  SELECT sum(zr::HUGEINT * zr) AS sz, count(*)::BIGINT AS nr
+        |  FROM z
+        |)
+        |SELECT n_rows, n_keys, f2::BIGINT AS exact_f2,
+        |  round(sz::DOUBLE / nr, 6) AS est_f2,
+        |  round(sz::DOUBLE / nr / (CASE WHEN f2 > 0 THEN f2::DOUBLE END)
+        |    - 1, 6) AS rel_err
+        |FROM ex, zz""".stripMargin,
     // pooled-time at-risk bookkeeping (q193's cumulative recipe,
     // pivoted per arm), x1e6-quantized hypergeometric E/V terms
     // summed HUGEINT, one final z/chi2 assembly

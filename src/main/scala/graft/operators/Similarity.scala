@@ -46,6 +46,64 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Matryoshka / progressive-dimension search: score the WHOLE
+    * corpus on only the first `prefixDim` dimensions (half the flops
+    * and half the bytes touched per candidate), keep a `shortlist`-
+    * deep coarse top list per query, then re-rank just the shortlist
+    * with the exact full-dimension cosine — the truncated-embedding
+    * serving pattern (Kusupati et al. 2022: nested representations
+    * keep most of the signal in the leading dims). Where IVF prunes
+    * CANDIDATES, this prunes DIMENSIONS — the two compose, and at
+    * 100 TB the prefix scan is the difference between reading 256
+    * and 64 bytes per vector.
+    *
+    * Determinism: both stages use the established rounded-cosine +
+    * id-tiebreak ordering ([[cosineTopK]]'s contract), so coarse
+    * shortlist membership and the final ranking are engine-exact;
+    * recall vs the full brute force is MEASURED in the spec, not
+    * assumed (q318's posture). Prefix norms guard zero vectors with
+    * a NULL divisor. Shortlist depth note: MRL-TRAINED embeddings
+    * concentrate energy in the leading dims and serve well at
+    * shortlist ≈ 4k; the harness's isotropic synthetic vectors
+    * spread signal evenly, so the registered config runs a deeper
+    * 100-row shortlist (measured recall@5 0.94 there vs 0.59 at 20
+    * — the measurement IS the point).
+    *
+    * Returns (query_id, cand_id, cos, rn) — `cos` the exact
+    * full-dimension score.
+    *
+    * Scale shape: queries broadcast; the corpus is scanned ONCE for
+    * the coarse stage (never shuffles); the re-rank touches
+    * |queries|·shortlist rows. Same plan family as [[cosineTopK]]
+    * with the full-width dot demoted to the shortlist. */
+  def matryoshkaSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+                       prefixDim: Int, shortlist: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k && prefixDim >= 1)
+    def pre(c: Column) = slice(c, 1, prefixDim)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"),
+      norm(pre(col(vecCol))).as("qpn")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"), norm(pre(col(vecCol))).as("cpn"))
+    val coarse = q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("_pcos", round(dot(pre(col("qv")), pre(col("cv"))) /
+        when(col("qpn") * col("cpn") > 0, col("qpn") * col("cpn")), 6))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("_pcos").desc, col("cand_id"))
+    val short = coarse.withColumn("_crn", row_number().over(wc))
+      .filter(col("_crn") <= shortlist)
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    short
+      .withColumn("cos", round(dot(col("qv"), col("cv")) /
+        when(col("qn") * col("cn") > 0, col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(wf).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rn"))
+  }
+
   /** Brute-force cosine top-k: for every query vector, the k nearest
     * corpus vectors (self excluded). Deterministic ordering: rounded
     * score desc, then candidate id. */

@@ -606,4 +606,55 @@ object Sketches {
         round((col("kmv_est") - col("exact")) / col("exact"), 6)
           .as("kmv_rel_err"))
   }
+
+  /** AMS (Alon–Matias–Szegedy) F₂ sketch vs exact: estimates the
+    * self-join size Σₓcnt(x)² of a key column from `reps` sign
+    * sketches — Zᵣ = Σₓ sᵣ(x)·cnt(x) with sᵣ(x) ∈ {±1}, E[Zᵣ²] = F₂ —
+    * the classic streaming/planner primitive for join-output-size
+    * estimation (a join's size on key k is the inner product of the
+    * two sides' sketches; F₂ is its self-join diagonal). Reports the
+    * mean-of-reps estimate next to the EXACT F₂ so the error is
+    * measured, not assumed (the q318 recall-audit posture). A key's
+    * F₂/n² is also the skew read: the planner's "will this key
+    * hot-spot" number.
+    *
+    * Determinism: signs come from `md5Long(rep, key) % 2` — engine-
+    * reproducible; each Zᵣ is an exact int64 sum of ±cnt (|Zᵣ| ≤ n);
+    * Zᵣ² and their mean divide exactly representable integers. The
+    * DuckDB dual replays the identical sketch, so the oracle verifies
+    * the SKETCH VALUES, not just the headline.
+    *
+    * Returns one row (n_rows, n_keys, exact_f2, est_f2, rel_err).
+    *
+    * Scale shape: one reduced (key) count shuffle; the ×reps fan-out
+    * is a constant-width explode over the REDUCED key relation; both
+    * the exact and sketch sides finish in map-side-combinable 1-row
+    * aggs. The sketch state is `reps` integers — the point of AMS. */
+  def amsF2(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+            reps: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.md5Long
+    require(reps >= 1)
+    val dec = "decimal(38,0)"
+    val counts = df.filter(keyCol.isNotNull)
+      .groupBy(keyCol.as("_k")).agg(count(lit(1)).as("_c"))
+    val exact = counts.agg(sum("_c").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      sum((col("_c") * col("_c")).cast(dec)).as("_f2"))
+    val z = counts
+      .select(col("_k"), col("_c"),
+        explode(array((0 until reps).map(lit): _*)).as("_r"))
+      .select(col("_r"),
+        when(md5Long(concat_ws("_", lit("ams"), col("_r"), col("_k")))
+          % 2 === 0, col("_c")).otherwise(-col("_c")).as("_s"))
+      .groupBy(col("_r")).agg(sum("_s").as("_z"))
+      .agg(sum((col("_z") * col("_z")).cast(dec)).as("_zz"),
+        count(lit(1)).as("_nr"))
+    val est = col("_zz").cast("double") / col("_nr")
+    exact.crossJoin(broadcast(z))
+      .select(col("n_rows"), col("n_keys"),
+        col("_f2").cast("long").as("exact_f2"),
+        round(est, 6).as("est_f2"),
+        round(est / when(col("_f2") > 0, col("_f2").cast("double")) - 1,
+          6).as("rel_err"))
+  }
 }

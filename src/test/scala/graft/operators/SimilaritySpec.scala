@@ -37,6 +37,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
+  test("matryoshkaSearch: full-width degenerates to brute force; 32-dim coarse recall measured") {
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.cosineTopK(emb, queries, 5))
+    // prefixDim = full dim, shortlist >= corpus: EXACT equality
+    val full = Similarity.matryoshkaSearch(emb, queries, k = 5,
+      prefixDim = 64, shortlist = emb.count().toInt)
+    assert(pairs(full) == brute, "full-width Matryoshka must equal brute")
+    // the registered 32-dim / 100-deep config: measure recall@5
+    val half = pairs(Similarity.matryoshkaSearch(emb, queries, k = 5,
+      prefixDim = 32, shortlist = 100))
+    val recall = (brute intersect half).size.toDouble / brute.size
+    info(s"matryoshka recall@5 = $recall (prefix 32/64, shortlist 100)")
+    assert(recall >= 0.9, s"recall@5 = $recall")
+  }
+
   test("nearDupPairsUnlabeled: precision 1.0, recall >= 0.9 vs exact all-pairs") {
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("vec_a", "vec_b").collect()

@@ -477,4 +477,24 @@ class SketchesSpec extends SparkSpec {
     // duplicates must not inflate either estimate ('big' was doubled)
     assert(math.abs(out("big")._5) < 0.5, s"kmv err: $out")
   }
+
+  test("amsF2: single key is sign-invariant (exact); counts book exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one key, count 7: every Z_r = ±7 -> est = 49 = F2, rel_err 0
+    val one = Seq.fill(7)("k").toDF("k")
+    val r1 = Sketches.amsF2(one, col("k")).head()
+    assert(r1.getLong(0) == 7L && r1.getLong(1) == 1L, s"$r1")
+    assert(r1.getLong(2) == 49L && r1.getDouble(3) == 49.0 &&
+      r1.getDouble(4) == 0.0, s"$r1")
+    // counts (3, 2, 1): exact F2 = 14; estimate deterministic >= 0
+    val multi = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
+      .toDF("k")
+    val r2 = Sketches.amsF2(multi, col("k")).head()
+    assert(r2.getLong(0) == 6L && r2.getLong(1) == 3L &&
+      r2.getLong(2) == 14L, s"$r2")
+    assert(r2.getDouble(3) >= 0.0 &&
+      r2.getDouble(4) == BigDecimal(r2.getDouble(3) / 14.0 - 1)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$r2")
+  }
 }
