@@ -2278,6 +2278,22 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Cochran's Q: do the k event types share one "ever spent >100"
+    // rate per user -- the 0/1 member of q398's blocked family
+    "q407_cochran_q" -> ((s, dir) =>
+      Analytics.cochranQ(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max(when(col("value") > 100, 1L).otherwise(0L)).as("xm")),
+        "user_id", "event_type", col("xm") === 1)),
+    // Stupid-backoff trigram LM: fit on even docs, score odd docs --
+    // the order-3 novelty/noise gate over q126's bigram baseline
+    "q408_stupid_backoff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.stupidBackoff(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1))
+    }),
     // Matryoshka search: coarse top-100 on the first 32 dims (half
     // the bytes per candidate), exact full-dim re-rank to top-5 --
     // dimension pruning next to IVF's candidate pruning
@@ -6729,6 +6745,91 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // q398's complete-block machinery minus ranking: integer column/
+    // row quadratic sums, one division
+    "q407_cochran_q" ->
+      """WITH cells AS (
+        |  SELECT user_id AS bk, event_type AS tr,
+        |    max(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), kk AS (SELECT count(DISTINCT tr)::BIGINT AS k FROM cells),
+        |comp AS (
+        |  SELECT bk, tr, x FROM (
+        |    SELECT bk, tr, x, count(*) OVER (PARTITION BY bk) AS bn
+        |    FROM cells)
+        |  WHERE bn = (SELECT k FROM kk)
+        |), cj AS (
+        |  SELECT sum(cjv * cjv) AS cc, sum(cjv) AS n FROM (
+        |    SELECT sum(x)::BIGINT AS cjv FROM comp GROUP BY tr)
+        |), ri AS (
+        |  SELECT sum(riv * riv) AS rr, count(*)::BIGINT AS b FROM (
+        |    SELECT sum(x)::BIGINT AS riv FROM comp GROUP BY bk)
+        |), fin AS (SELECT k, b, n, cc, rr FROM kk, cj, ri)
+        |SELECT k, b, n::BIGINT AS n_success,
+        |  round(CASE WHEN k >= 2 AND b >= 1
+        |      AND k::DOUBLE * n::DOUBLE - rr::DOUBLE > 0
+        |    THEN (k::DOUBLE - 1)
+        |      * (k::DOUBLE * cc::DOUBLE - n::DOUBLE * n::DOUBLE)
+        |      / (k::DOUBLE * n::DOUBLE - rr::DOUBLE) END, 6) AS q_stat,
+        |  (k - 1)::BIGINT AS df
+        |FROM fin""".stripMargin,
+    // q126's zipped-unnest positions extended to trigram lags; three
+    // count tables joined on their own keys; 0.4::DOUBLE backoff
+    // chain, x1e12-quantized ln terms, exact per-doc mean
+    "q408_stupid_backoff" ->
+      """WITH tokf AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), trf AS (
+        |  SELECT doc_id, pos, w AS w3,
+        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |  FROM tokf
+        |), c1 AS (SELECT w3 AS u, count(*)::BIGINT AS c1 FROM trf
+        |  GROUP BY 1),
+        |c2 AS (SELECT w2 AS b1, w3 AS b2, count(*)::BIGINT AS c2
+        |  FROM trf WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |c3 AS (SELECT w1 AS t1, w2 AS t2, w3 AS t3, count(*)::BIGINT AS c3
+        |  FROM trf WHERE w1 IS NOT NULL GROUP BY 1, 2, 3),
+        |tot AS (SELECT count(*)::BIGINT AS t FROM trf),
+        |toka AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |    unnest(generate_series(1,
+        |      len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), tra AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, pos, w AS w3,
+        |      lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+        |      lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |    FROM toka)
+        |  WHERE w1 IS NOT NULL
+        |), j AS (
+        |  SELECT a.doc_id,
+        |    CAST(floor(ln(
+        |      CASE WHEN c3.c3 IS NOT NULL THEN c3.c3::DOUBLE / p.c2
+        |        WHEN q2.c2 IS NOT NULL
+        |          THEN 0.4::DOUBLE * q2.c2::DOUBLE / d1.c1
+        |        ELSE 0.4::DOUBLE * 0.4::DOUBLE * n1.c1::DOUBLE / tot.t
+        |      END) * 1e12 + 0.5) AS BIGINT) AS q
+        |  FROM tra a
+        |  LEFT JOIN c3 ON a.w1 = c3.t1 AND a.w2 = c3.t2 AND a.w3 = c3.t3
+        |  LEFT JOIN c2 p ON a.w1 = p.b1 AND a.w2 = p.b2
+        |  LEFT JOIN c2 q2 ON a.w2 = q2.b1 AND a.w3 = q2.b2
+        |  LEFT JOIN c1 d1 ON a.w2 = d1.u
+        |  LEFT JOIN c1 n1 ON a.w3 = n1.u
+        |  CROSS JOIN tot
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_ctx,
+        |  sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  round(sum(q)::DOUBLE / 1e12 /
+        |    (CASE WHEN count(q) > 0 THEN count(q) END), 6) AS sb_logscore
+        |FROM j GROUP BY 1""".stripMargin,
     // coarse prefix-cosine window (32 dims), 100-deep shortlist,
     // full-dim duckCos re-rank -- both stages on the established
     // rounded-cosine + id-tiebreak contract

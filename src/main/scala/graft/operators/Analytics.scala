@@ -1723,6 +1723,58 @@ object Analytics {
       round(when(ok && sp2 > 0, g), 6).as("hedges_g"))
   }
 
+  /** Cochran's Q test over (block, treatment, binary) cells: do k
+    * related binary treatments share one success rate — the
+    * dichotomous member of the blocked-design family ([[friedman]]
+    * ranks ordinal cells; Cochran's Q is its 0/1 special case, and
+    * McNemar its k=2 corner). Complete blocks only (all k
+    * treatments, k = global distinct count);
+    * Q = (k−1)(kΣⱼCⱼ² − N²) / (kN − ΣᵢRᵢ²), df = k−1.
+    *
+    * Exactness: column totals Cⱼ, row totals Rᵢ, N and both
+    * quadratic sums are exact int64/decimal(38,0); ONE double
+    * division at the end. NULL when k < 2, b = 0, or the
+    * denominator is 0 (every block all-0 or all-1 — no information).
+    *
+    * Returns one row (k, b, n_success, q_stat, df).
+    *
+    * Scale shape: [[friedman]]'s complete-block machinery minus the
+    * ranking — one block-size window, then two map-side-combinable
+    * aggs (per-treatment, per-block) meeting in a 1-row cross. */
+  def cochranQ(cells: DataFrame, blockCol: String, treatCol: String,
+               xCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = cells.filter(col(blockCol).isNotNull &&
+        col(treatCol).isNotNull && xCol.isNotNull)
+      .select(col(blockCol).as("_b"), col(treatCol).as("_t"),
+        when(xCol, 1L).otherwise(0L).as("_x"))
+    val k1 = base.agg(countDistinct(col("_t")).as("_k"))
+    val complete = base.crossJoin(broadcast(k1))
+      .withColumn("_bn", count(lit(1))
+        .over(Window.partitionBy(col("_b"))))
+      .withColumn("_bt", size(collect_set(col("_t"))
+        .over(Window.partitionBy(col("_b")))))
+      .filter(col("_bn") === col("_k") && col("_bt") === col("_k"))
+    val cj = complete.groupBy(col("_t")).agg(sum("_x").as("_cj"))
+      .agg(sum((col("_cj") * col("_cj")).cast(dec)).as("_cc"),
+        sum(col("_cj").cast(dec)).as("_n"))
+    val ri = complete.groupBy(col("_b")).agg(sum("_x").as("_ri"))
+      .agg(sum((col("_ri") * col("_ri")).cast(dec)).as("_rr"),
+        count(lit(1)).as("_bc"))
+    val one = cj.crossJoin(broadcast(ri)).crossJoin(broadcast(k1))
+    val kd = col("_k").cast("double")
+    val nd = col("_n").cast("double")
+    val num = (kd - 1) * (kd * col("_cc").cast("double") - nd * nd)
+    val den = kd * nd - col("_rr").cast("double")
+    val q = num / when(den > 0, den)
+    val ok = col("_k") >= 2 && col("_bc") >= 1 && den > 0
+    one.select(col("_k").as("k"), col("_bc").as("b"),
+      col("_n").cast("long").as("n_success"),
+      round(when(ok, q), 6).as("q_stat"),
+      (col("_k") - 1).as("df"))
+  }
+
   /** Cronbach's alpha over (case, item, value) cells:
     * α = k/(k−1)·(1 − Σᵢσᵢ²/σ_total²) — internal-consistency
     * reliability: do the k items (feature columns, metric variants,

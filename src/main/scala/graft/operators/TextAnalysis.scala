@@ -1078,6 +1078,78 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Stupid-backoff trigram LM scoring with a FIT/APPLY split
+    * (Brants et al. 2007 — the web-scale LM recipe that skips
+    * normalization entirely): score(w₃|w₁w₂) = c₃/c₂(w₁w₂) when the
+    * trigram was seen, else α·c₂(w₂w₃)/c₁(w₂), else α²·c₁(w₃)/T —
+    * raw relative frequencies with a fixed α = 0.4 penalty per
+    * backoff level. The order-3 upgrade of [[bigramLogProb]]'s gate:
+    * held-out docs whose trigrams the fit corpus has never seen
+    * score low = novelty/noise; memorized boilerplate scores high.
+    * Only positions with a full trigram context score; target words
+    * outside the fit vocabulary are counted (`n_oov`), not scored.
+    *
+    * Determinism: all counts are exact int64; each scored position's
+    * ln(score) is quantized ×10¹² (identical doubles → identical
+    * ints) and the per-doc mean divides two exact integers — no
+    * distributed float sum.
+    *
+    * Returns (doc_id, n_ctx, n_oov, sb_logscore).
+    *
+    * Scale shape: three reduced gram-count shuffles on the fit side;
+    * the apply trigram stream joins each count table co-partitioned
+    * on its own key (NOT broadcast — gram vocabularies outgrow
+    * drivers at corpus scale, [[bigramLogProb]]'s documented
+    * posture); one final doc_id agg. */
+  def stupidBackoff(fitDocs: DataFrame, applyDocs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    def tris(docs: DataFrame): DataFrame =
+      docs.select(col(idCol).as("doc_id"),
+          posexplode(tokens(col(textCol)))).toDF("doc_id", "pos", "w3")
+        .select(col("doc_id"), col("pos"), col("w3"),
+          lag("w3", 1).over(w).as("w2"), lag("w3", 2).over(w).as("w1"))
+    val fit = tris(fitDocs)
+    val c1 = fit.groupBy(col("w3").as("u")).agg(count(lit(1)).as("_c1"))
+    val c2 = fit.filter(col("w2").isNotNull)
+      .groupBy(col("w2").as("b1"), col("w3").as("b2"))
+      .agg(count(lit(1)).as("_c2"))
+    val c3 = fit.filter(col("w1").isNotNull)
+      .groupBy(col("w1").as("t1"), col("w2").as("t2"), col("w3").as("t3"))
+      .agg(count(lit(1)).as("_c3"))
+    val tot = broadcast(fit.agg(count(lit(1)).as("_tot")))
+    val ap = tris(applyDocs).filter(col("w1").isNotNull)
+    val joined = ap
+      .join(c3, col("w1") === col("t1") && col("w2") === col("t2") &&
+        col("w3") === col("t3"), "left")
+      .join(c2.toDF("p1", "p2", "_c2den"),
+        col("w1") === col("p1") && col("w2") === col("p2"), "left")
+      .join(c2.toDF("q1", "q2", "_c2num"),
+        col("w2") === col("q1") && col("w3") === col("q2"), "left")
+      .join(c1.toDF("u1", "_c1den"), col("w2") === col("u1"), "left")
+      .join(c1.toDF("u2", "_c1num"), col("w3") === col("u2"), "left")
+      .crossJoin(tot)
+    val score =
+      when(col("_c3").isNotNull,
+        col("_c3").cast("double") / col("_c2den"))
+      .otherwise(when(col("_c2num").isNotNull,
+        lit(alpha) * col("_c2num").cast("double") / col("_c1den"))
+      .otherwise(
+        lit(alpha * alpha) * col("_c1num").cast("double") / col("_tot")))
+    val q = floor(log(score) * 1e12 + lit(0.5)).cast("long")
+    joined
+      .select(col("doc_id"), q.as("_q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ctx"),
+        sum(when(col("_q").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(col("_q")).cast("double") / 1e12 /
+          when(count(col("_q")) > 0, count(col("_q"))), 6)
+          .as("sb_logscore"))
+  }
+
   /** Heaps'-law vocabulary-growth exponent: V(N) ≈ K·N^β — how fast
     * the distinct-token vocabulary grows as the corpus grows, the
     * saturation read a tokenizer/dedup pipeline plans against

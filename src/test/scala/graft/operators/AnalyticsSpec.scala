@@ -683,6 +683,27 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("cochranQ: hand 4x3 Q; all-ones denominator null; incomplete excluded") {
+    import spark.implicits._
+    // C = (3,3,1), R = (2,1,3,1): Q = 2*(3*19-49)/(21-15) = 2.666667
+    // block 5 incomplete (2 of 3 treatments) -> excluded
+    val cells = Seq(
+      (1L, "t1", true), (1L, "t2", true), (1L, "t3", false),
+      (2L, "t1", true), (2L, "t2", false), (2L, "t3", false),
+      (3L, "t1", true), (3L, "t2", true), (3L, "t3", true),
+      (4L, "t1", false), (4L, "t2", true), (4L, "t3", false),
+      (5L, "t1", true), (5L, "t2", true)).toDF("b", "t", "x")
+    val r = Analytics.cochranQ(cells, "b", "t", col("x")).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L &&
+      r.getLong(2) == 7L && r.getDouble(3) == 2.666667 &&
+      r.getLong(4) == 2L, s"$r")
+    // every block all-1: kN - sum R^2 = 0 -> undefined
+    val ones = Seq((1L, "t1", true), (1L, "t2", true),
+      (2L, "t1", true), (2L, "t2", true)).toDF("b", "t", "x")
+    assert(Analytics.cochranQ(ones, "b", "t", col("x"))
+      .collect()(0).isNullAt(3))
+  }
+
   test("logRank: early-event arm flagged; balanced arms z=0") {
     import spark.implicits._
     // A dies early: events at 1,1,2; B: one event at 3, two censored

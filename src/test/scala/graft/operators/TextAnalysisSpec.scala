@@ -546,6 +546,26 @@ class TextAnalysisSpec extends SparkSpec {
       big.getDouble(5) == 0.8, s"$big")
   }
 
+  test("stupidBackoff: all three backoff levels and OOV hand-checked") {
+    import spark.implicits._
+    // fit "a b c a b d": c3(abc)=1, c2(ab)=2, c2(bd)=1, c1(b)=2,
+    // c1(d)=1, T=6
+    val fit = Seq((2L, "a b c a b d")).toDF("doc_id", "text")
+    val apply = Seq(
+      (11L, "a b c"),  // trigram hit: 1/2 -> -0.693147
+      (13L, "b b d"),  // bigram backoff: 0.4*1/2 -> -1.609438
+      (15L, "c a d"),  // unigram backoff: 0.16*1/6 -> -3.624341
+      (17L, "a b z")   // z OOV -> null score, n_oov 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoff(fit, apply)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(11L).getDouble(3) == -0.693147, s"${out(11L)}")
+    assert(out(13L).getDouble(3) == -1.609438, s"${out(13L)}")
+    assert(out(15L).getDouble(3) == -3.624341, s"${out(15L)}")
+    assert(out(17L).getLong(1) == 1L && out(17L).getLong(2) == 1L &&
+      out(17L).isNullAt(3), s"${out(17L)}")
+  }
+
   test("heapsLaw: all-unique beta=1, single-token beta=0, empty prefix null") {
     import spark.implicits._
     // every doc contributes 2 never-seen tokens: V(N) = N -> beta 1
