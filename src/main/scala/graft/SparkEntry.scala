@@ -2278,6 +2278,19 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Fixed-round k-truss (k=3, 2 peels) on q114's graph: the
+    // edge-level cohesion ladder above q187's k-core -- weak bridges
+    // fall away even between high-degree nodes
+    "q409_ktruss" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("event_id") % 13 === 0)
+        .select(col("user_id").as("src"), (col("event_id") % 150).as("dst"))
+      Graph.kTruss(e, "src", "dst", k = 3, rounds = 2)
+    }),
+    // Dunn's post-hoc: WHICH event-type pairs differ after q229's
+    // Kruskal-Wallis omnibus -- pooled-rank pairwise z, tie-corrected
+    "q410_dunn_test" -> ((s, dir) =>
+      Analytics.dunnTest(t(s, dir, "events"),
+        "event_type", floor(col("value") * 100 + lit(0.5)))),
     // Cochran's Q: do the k event types share one "ever spent >100"
     // rate per user -- the 0/1 member of q398's blocked family
     "q407_cochran_q" -> ((s, dir) =>
@@ -4635,6 +4648,32 @@ object SparkEntry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |)""".stripMargin
 
+  /** One k-truss support round as DuckDB CTEs (suffix `i`, input
+    * edge CTE `live`): degree-ordered orientation, wedge join,
+    * triangle close, per-edge support — the SQL mirror of
+    * `Graph.edgeSupport`, unrolled per round like q187's k-core. */
+  private def duckTrussRound(live: String, i: Int): String =
+    s"""deg$i AS MATERIALIZED (SELECT node, count(*)::BIGINT AS dg FROM (
+       |  SELECT u AS node FROM $live UNION ALL SELECT v FROM $live)
+       |  GROUP BY 1),
+       |dd$i AS (SELECT l.u, l.v, d1.dg AS du, d2.dg AS dv
+       |  FROM $live l JOIN deg$i d1 ON l.u = d1.node
+       |  JOIN deg$i d2 ON l.v = d2.node),
+       |o$i AS MATERIALIZED (SELECT
+       |  CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS x,
+       |  CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS y,
+       |  CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS dy
+       |  FROM dd$i),
+       |w$i AS (SELECT a.x, a.y AS y1, b.y AS y2 FROM o$i a JOIN o$i b
+       |  ON a.x = b.x AND (a.dy < b.dy OR (a.dy = b.dy AND a.y < b.y))),
+       |tr$i AS (SELECT w.x, w.y1, w.y2 FROM w$i w
+       |  JOIN o$i c ON w.y1 = c.x AND w.y2 = c.y),
+       |se$i AS MATERIALIZED (SELECT u, v, count(*)::BIGINT AS support FROM (
+       |  SELECT least(x, y1) AS u, greatest(x, y1) AS v FROM tr$i
+       |  UNION ALL SELECT least(x, y2), greatest(x, y2) FROM tr$i
+       |  UNION ALL SELECT least(y1, y2), greatest(y1, y2) FROM tr$i)
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** [[duckCos]] truncated to the first `d` dimensions — the dual of
     * q405's coarse Matryoshka stage (same fold, shorter series). */
   private def duckCosPre(a: String, b: String, d: Int): String =
@@ -6745,6 +6784,60 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // two unrolled support rounds (q187's k-core idiom at edge
+    // level), final support recomputed on the surviving graph
+    "q409_ktruss" ->
+      s"""WITH raw AS (
+        |  SELECT user_id AS a, event_id % 150 AS b FROM events
+        |  WHERE event_id % 13 = 0 AND user_id IS NOT NULL
+        |    AND user_id <> event_id % 150
+        |), live0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw
+        |), ${duckTrussRound("live0", 1)},
+        |live1 AS MATERIALIZED (SELECT l.u, l.v FROM live0 l JOIN se1 s
+        |  ON l.u = s.u AND l.v = s.v AND s.support >= 1),
+        |${duckTrussRound("live1", 2)},
+        |live2 AS MATERIALIZED (SELECT l.u, l.v FROM live1 l JOIN se2 s
+        |  ON l.u = s.u AND l.v = s.v AND s.support >= 1),
+        |${duckTrussRound("live2", 3)}
+        |SELECT l.u, l.v, coalesce(s.support, 0)::BIGINT AS support
+        |FROM live2 l LEFT JOIN se3 s ON l.u = s.u AND l.v = s.v""".stripMargin,
+    // q391's doubled pooled ranks; per-pair tie-corrected z from the
+    // k-row group summary self-join
+    "q410_dunn_test" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS s
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), sc AS (SELECT s, count(*)::BIGINT AS t FROM b GROUP BY 1),
+        |rk AS (
+        |  SELECT s, t, 2 * coalesce(sum(t) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+        |    AS r2
+        |  FROM sc
+        |), gs AS (SELECT g, s, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        |pg AS (
+        |  SELECT g, sum(c)::BIGINT AS n, sum(c * rk.r2) AS r2j
+        |  FROM gs JOIN rk USING (s) GROUP BY 1
+        |), ti AS (
+        |  SELECT sum(t * t * t - t) AS tm, sum(t)::BIGINT AS nn FROM sc
+        |), pr AS (
+        |  SELECT a.g AS group_a, b2.g AS group_b, a.n AS n_a,
+        |    b2.n AS n_b, a.r2j AS ra2, b2.r2j AS rb2, tm, nn
+        |  FROM pg a JOIN pg b2 ON a.g < b2.g, ti
+        |), vv AS (
+        |  SELECT group_a, group_b, n_a, n_b, nn,
+        |    (nn::DOUBLE * (nn::DOUBLE + 1) / 12 - tm::DOUBLE /
+        |      (CASE WHEN 12.0 * (nn::DOUBLE - 1) > 0
+        |        THEN 12.0 * (nn::DOUBLE - 1) END))
+        |      * (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b) AS s2i,
+        |    ra2::DOUBLE / (2 * n_a) - rb2::DOUBLE / (2 * n_b) AS dr
+        |  FROM pr
+        |)
+        |SELECT group_a, group_b, n_a, n_b,
+        |  round(CASE WHEN nn >= 2 AND s2i > 0
+        |    THEN dr / sqrt(s2i) END, 6) AS z
+        |FROM vv""".stripMargin,
     // q398's complete-block machinery minus ranking: integer column/
     // row quadratic sums, one division
     "q407_cochran_q" ->

@@ -1723,6 +1723,65 @@ object Analytics {
       round(when(ok && sp2 > 0, g), 6).as("hedges_g"))
   }
 
+  /** Dunn's post-hoc test: pairwise mean-rank comparisons on the
+    * POOLED ranking — "WHICH groups differ", the follow-up the
+    * Kruskal–Wallis omnibus (q229's machinery) leaves open. For each
+    * group pair: z = (R̄ᵢ − R̄ⱼ) / √(σ²·(1/nᵢ + 1/nⱼ)) with the
+    * tie-corrected σ² = N(N+1)/12 − Σ(t³−t)/(12(N−1)). Reported as
+    * raw z per pair; multiplicity control is the caller's policy
+    * knob (Bonferroni divides α by the emitted pair count).
+    *
+    * Exactness: the q391 doubled-rank trick — pooled average ranks
+    * ride as exact integers (2R̄ = 2·cumcount + t + 1 per distinct
+    * score), group rank sums and the tie mass are exact
+    * int64/decimal(38,0), and z is ONE fixed double assembly per
+    * pair. NULL z when N < 2 or a variance of 0 (all values tied).
+    *
+    * Returns one row per unordered pair (group_a, group_b, n_a,
+    * n_b, z).
+    *
+    * Scale shape: one reduced (score) shuffle for the doubled ranks
+    * (global window over DISTINCT scores — value-cardinality-sized,
+    * the q391 posture), one (group, score) reduction joined back,
+    * then a k-row self-join — k is the group count, not the data. */
+  def dunnTest(df: DataFrame, groupCol: String,
+               valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("long").as("_s"))
+    val sc = base.groupBy(col("_s")).agg(count(lit(1)).as("_t"))
+    val prev = Window.orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rk = sc.withColumn("_r2",
+      lit(2L) * coalesce(sum("_t").over(prev), lit(0L)) + col("_t") + 1)
+    val gs = base.groupBy(col("_g"), col("_s"))
+      .agg(count(lit(1)).as("_c"))
+    val pg = gs.join(rk.select(col("_s"), col("_r2")), Seq("_s"))
+      .groupBy(col("_g"))
+      .agg(sum("_c").as("_n"),
+        sum((col("_c") * col("_r2")).cast(dec)).as("_r2j"))
+    val ti = broadcast(sc.agg(
+      sum((col("_t") * col("_t") * col("_t") - col("_t")).cast(dec))
+        .as("_tm"),
+      sum("_t").as("_nn")))
+    val a = pg.select(col("_g").as("group_a"), col("_n").as("n_a"),
+      col("_r2j").as("_ra"))
+    val b = pg.select(col("_g").as("group_b"), col("_n").as("n_b"),
+      col("_r2j").as("_rb"))
+    val pairs = a.join(b, col("group_a") < col("group_b"))
+      .crossJoin(ti)
+    val nd = col("_nn").cast("double")
+    val sig2 = nd * (nd + 1) / 12 - col("_tm").cast("double") /
+      when(lit(12.0) * (nd - 1) > 0, lit(12.0) * (nd - 1))
+    val ra = col("_ra").cast("double") / (lit(2L) * col("n_a"))
+    val rb = col("_rb").cast("double") / (lit(2L) * col("n_b"))
+    val inv = lit(1.0) / col("n_a") + lit(1.0) / col("n_b")
+    val z = (ra - rb) / sqrt(when(sig2 * inv > 0, sig2 * inv))
+    pairs.select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+      round(when(col("_nn") >= 2, z), 6).as("z"))
+  }
+
   /** Cochran's Q test over (block, treatment, binary) cells: do k
     * related binary treatments share one success rate — the
     * dichotomous member of the blocked-design family ([[friedman]]

@@ -559,6 +559,75 @@ object Graph {
         .as("assortativity"))
   }
 
+  /** Per-edge triangle support over a canonical undirected edge set:
+    * the [[triangleCounts]] degree-ordered wedge pipeline with each
+    * triangle credited to its THREE edges instead of its three
+    * nodes. O(m^1.5) bounded under skew (same orientation argument);
+    * edges in no triangle get no row. */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = und.select(explode(array(col("_u"), col("_v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("_dg"))
+    val dd = und
+      .join(deg.select(col("node").as("_u"), col("_dg").as("_du")),
+        Seq("_u"))
+      .join(deg.select(col("node").as("_v"), col("_dg").as("_dv")),
+        Seq("_v"))
+    val uLower = (col("_du") < col("_dv")) ||
+      (col("_du") === col("_dv") && col("_u") < col("_v"))
+    val o = dd.select(
+      when(uLower, col("_u")).otherwise(col("_v")).as("x"),
+      when(uLower, col("_v")).otherwise(col("_u")).as("y"),
+      when(uLower, col("_dv")).otherwise(col("_du")).as("_dy"))
+    val w = o.select(col("x"), col("y").as("_y1"), col("_dy").as("_d1"))
+      .join(o.select(col("x"), col("y").as("_y2"), col("_dy").as("_d2")),
+        Seq("x"))
+      .filter(col("_d1") < col("_d2") ||
+        (col("_d1") === col("_d2") && col("_y1") < col("_y2")))
+    val tris = w.join(
+      o.select(col("x").as("_y1"), col("y").as("_y2")), Seq("_y1", "_y2"))
+    tris.select(explode(array(
+        struct(least(col("x"), col("_y1")).as("u"),
+          greatest(col("x"), col("_y1")).as("v")),
+        struct(least(col("x"), col("_y2")).as("u"),
+          greatest(col("x"), col("_y2")).as("v")),
+        struct(least(col("_y1"), col("_y2")).as("u"),
+          greatest(col("_y1"), col("_y2")).as("v")))).as("_e"))
+      .select(col("_e.u").as("_u"), col("_e.v").as("_v"))
+      .groupBy("_u", "_v").agg(count(lit(1)).as("support"))
+  }
+
+  /** Fixed-round k-truss peeling: keep only edges participating in
+    * ≥ k−2 triangles, recompute, repeat — the EDGE-level cohesion
+    * ladder above [[kCore]]'s node degrees (a k-truss is the classic
+    * community core: every edge has k−2 common neighbors, so weak
+    * bridges fall away even between high-degree nodes). `rounds`
+    * synchronous peels, like [[kCore]]: enough rounds reach the
+    * fixpoint; the registered query documents its round count.
+    * Returns surviving edges with their support in the FINAL graph
+    * (an edge that just fell out of all triangles reports 0 — it
+    * would leave next round).
+    *
+    * Integer-only, partitioning-independent. Scale shape: each round
+    * is one [[edgeSupport]] pass (degree-ordered wedge join, wedge
+    * volume O(m^1.5) under skew) plus one semi-join of the live edge
+    * set — no node state, no global structures. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+             k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1)
+    val raw = edges.select(col(srcCol).as("_a"), col(dstCol).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+    var live = raw.select(least(col("_a"), col("_b")).as("_u"),
+      greatest(col("_a"), col("_b")).as("_v")).distinct()
+    for (_ <- 1 to rounds) {
+      val keep = edgeSupport(live).filter(col("support") >= k - 2)
+      live = live.join(keep, Seq("_u", "_v"), "left_semi")
+    }
+    live.join(edgeSupport(live), Seq("_u", "_v"), "left")
+      .select(col("_u").as("u"), col("_v").as("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Link prediction by resource allocation: for every NON-adjacent
     * pair (u,v) sharing at least one neighbor, RA = Σ_{z∈N(u)∩N(v)}
     * 1/deg(z) (Zhou et al. 2009) plus the common-neighbor count and

@@ -683,6 +683,23 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("dunnTest: tie-free pooled ranks give hand pairwise z") {
+    import spark.implicits._
+    // a = {1,2}, b = {3,4}, c = {5}: mean ranks 1.5 / 3.5 / 5,
+    // sigma^2 = 2.5 (no ties)
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L), ("c", 5L))
+      .toDF("g", "v")
+    val out = Analytics.dunnTest(df, "g", col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(4)).toMap
+    assert(out == Map(("a", "b") -> -1.264911, ("a", "c") -> -1.807392,
+      ("b", "c") -> -0.774597), s"$out")
+    // all-tied values: zero variance -> null z everywhere
+    val tied = Seq(("a", 7L), ("a", 7L), ("b", 7L)).toDF("g", "v")
+    assert(Analytics.dunnTest(tied, "g", col("v"))
+      .collect().forall(_.isNullAt(4)))
+  }
+
   test("cochranQ: hand 4x3 Q; all-ones denominator null; incomplete excluded") {
     import spark.implicits._
     // C = (3,3,1), R = (2,1,3,1): Q = 2*(3*19-49)/(21-15) = 2.666667

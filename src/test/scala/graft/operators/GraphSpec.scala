@@ -306,6 +306,25 @@ class GraphSpec extends SparkSpec {
     assert(star.getLong(3) == 0L && star.getDouble(4) == 0.0, s"$star")
   }
 
+  test("kTruss: K4 is a 4-truss, tail edges peel; triangle survives k=3") {
+    import spark.implicits._
+    // K4 on 1..4 plus tail 4-5: tail has support 0, K4 edges 2
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val t4 = Graph.kTruss(k4, "s", "d", k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(t4.size == 6 && t4.values.forall(_ == 2L), s"$t4")
+    assert(!t4.contains((4L, 5L)))
+    // plain triangle + pendant at k=3: triangle kept with support 1
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 9L)).toDF("s", "d")
+    val t3 = Graph.kTruss(tri, "s", "d", k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(t3 == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 1L),
+      s"$t3")
+  }
+
   test("linkPrediction: wedge candidates scored, hub cap excludes") {
     import spark.implicits._
     // path 1-2-3 plus 2-4: all wedges route through hub 2 (deg 3);
