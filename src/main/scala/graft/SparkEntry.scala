@@ -2278,6 +2278,18 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Bartlett variance homogeneity across event types: the normal-
+    // theory companion to Brown-Forsythe (q395 decides which to use)
+    "q411_bartlett" -> ((s, dir) =>
+      Analytics.bartlett(t(s, dir, "events"),
+        "event_type", floor(col("value") * 100 + lit(0.5)))),
+    // Partial correlation price~quantity | discount: does the q93
+    // Pearson survive controlling the confounder
+    "q412_partial_corr" -> ((s, dir) =>
+      Analytics.partialCorrelation(t(s, dir, "lineitem"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)),
+        floor(col("l_quantity") * 100 + lit(0.5)),
+        floor(col("l_discount") * 100 + lit(0.5)))),
     // Fixed-round k-truss (k=3, 2 peels) on q114's graph: the
     // edge-level cohesion ladder above q187's k-core -- weak bridges
     // fall away even between high-degree nodes
@@ -6784,6 +6796,96 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // per-group quantized pool/ln/1-over terms summed HUGEINT, the
+    // (N-k)ln(sp2) - Sum and the C correction in one assembly
+    "q411_bartlett" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), m AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(y) AS s,
+        |    sum(y::HUGEINT * y) AS q
+        |  FROM b GROUP BY 1
+        |), tm AS (
+        |  SELECT n,
+        |    CAST(floor((n::HUGEINT * q - s * s)::DOUBLE / n::DOUBLE * 1e6
+        |      + 0.5) AS BIGINT) AS pq,
+        |    CAST(floor((n::DOUBLE - 1) * ln(CASE WHEN
+        |        (n::HUGEINT * q - s * s)::DOUBLE / n::DOUBLE /
+        |          (CASE WHEN n::DOUBLE - 1 > 0 THEN n::DOUBLE - 1 END) > 0
+        |      THEN (n::HUGEINT * q - s * s)::DOUBLE / n::DOUBLE /
+        |        (CASE WHEN n::DOUBLE - 1 > 0 THEN n::DOUBLE - 1 END)
+        |      END) * 1e12 + 0.5) AS BIGINT) AS lq,
+        |    CAST(floor(1e12 / (CASE WHEN n::DOUBLE - 1 > 0
+        |      THEN n::DOUBLE - 1 END) + 0.5) AS BIGINT) AS iq,
+        |    CASE WHEN (n::HUGEINT * q - s * s)::DOUBLE / n::DOUBLE /
+        |        (CASE WHEN n::DOUBLE - 1 > 0 THEN n::DOUBLE - 1 END) > 0
+        |      AND n >= 2 THEN 1 ELSE 0 END AS okg
+        |  FROM m
+        |), a AS (
+        |  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+        |    sum(pq) AS sp, sum(lq) AS sl, sum(iq) AS si,
+        |    min(okg) AS allok
+        |  FROM tm
+        |), cc AS (
+        |  SELECT k, nn, allok, nn::DOUBLE - k::DOUBLE AS nmk,
+        |    sp::DOUBLE / 1e6 / (CASE WHEN nn::DOUBLE - k::DOUBLE > 0
+        |      THEN nn::DOUBLE - k::DOUBLE END) AS sp2,
+        |    sl::DOUBLE / 1e12 AS t2,
+        |    1.0 + (si::DOUBLE / 1e12
+        |      - 1.0 / (CASE WHEN nn::DOUBLE - k::DOUBLE > 0
+        |        THEN nn::DOUBLE - k::DOUBLE END))
+        |      / (3.0 * (k::DOUBLE - 1)) AS c
+        |  FROM a
+        |)
+        |SELECT k, nn AS n,
+        |  round(CASE WHEN k >= 2 AND allok = 1 AND c <> 0
+        |    THEN (nmk * ln(CASE WHEN sp2 > 0 THEN sp2 END) - t2) / c
+        |    END, 6) AS chi2,
+        |  (k - 1)::BIGINT AS df
+        |FROM cc""".stripMargin,
+    // ten HUGEINT moments, three Pearson assemblies, one partial
+    "q412_partial_corr" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS y,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS z
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(z) AS sz, sum(x::HUGEINT * x) AS sxx,
+        |    sum(y::HUGEINT * y) AS syy, sum(z::HUGEINT * z) AS szz,
+        |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * z) AS sxz,
+        |    sum(y::HUGEINT * z) AS syz
+        |  FROM b
+        |), r AS (
+        |  SELECT n,
+        |    (n::HUGEINT * sxy - sx * sy)::DOUBLE / sqrt(CASE WHEN
+        |        (n::HUGEINT * sxx - sx * sx)::DOUBLE
+        |        * (n::HUGEINT * syy - sy * sy)::DOUBLE > 0
+        |      THEN (n::HUGEINT * sxx - sx * sx)::DOUBLE
+        |        * (n::HUGEINT * syy - sy * sy)::DOUBLE END) AS rxy,
+        |    (n::HUGEINT * sxz - sx * sz)::DOUBLE / sqrt(CASE WHEN
+        |        (n::HUGEINT * sxx - sx * sx)::DOUBLE
+        |        * (n::HUGEINT * szz - sz * sz)::DOUBLE > 0
+        |      THEN (n::HUGEINT * sxx - sx * sx)::DOUBLE
+        |        * (n::HUGEINT * szz - sz * sz)::DOUBLE END) AS rxz,
+        |    (n::HUGEINT * syz - sy * sz)::DOUBLE / sqrt(CASE WHEN
+        |        (n::HUGEINT * syy - sy * sy)::DOUBLE
+        |        * (n::HUGEINT * szz - sz * sz)::DOUBLE > 0
+        |      THEN (n::HUGEINT * syy - sy * sy)::DOUBLE
+        |        * (n::HUGEINT * szz - sz * sz)::DOUBLE END) AS ryz
+        |  FROM m
+        |)
+        |SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+        |  round(ryz, 6) AS r_yz,
+        |  round(CASE WHEN n >= 2 THEN (rxy - rxz * ryz) /
+        |    sqrt(CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+        |      THEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) END)
+        |    END, 6) AS partial_r
+        |FROM r""".stripMargin,
     // two unrolled support rounds (q187's k-core idiom at edge
     // level), final support recomputed on the surviving graph
     "q409_ktruss" ->

@@ -1723,6 +1723,114 @@ object Analytics {
       round(when(ok && sp2 > 0, g), 6).as("hedges_g"))
   }
 
+  /** Bartlett's test of variance homogeneity across k groups:
+    * χ² = [(N−k)·ln s²_p − Σ(nᵢ−1)·ln s²ᵢ] / C with the standard
+    * correction C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)) — the
+    * normal-theory companion to the median-based Brown–Forsythe
+    * already registered: more powerful when the data IS normal
+    * (q395's Jarque–Bera decides which to trust), fragile when not.
+    *
+    * Exactness: per-group (nᵢ−1)s²ᵢ = (nᵢΣy²−(Σy)²)/nᵢ and the
+    * per-group ln/1-over terms are fixed doubles over exact int
+    * moments, each ×10⁶/×10¹²-quantized to int64 BEFORE the k-row
+    * sums (order-free decimal(38,0)); the final χ² is one fixed
+    * assembly. NULL when k < 2, any nᵢ < 2, or any zero group
+    * variance (ln undefined — use Brown–Forsythe there).
+    *
+    * Returns one row (k, n, chi2, df).
+    *
+    * Scale shape: ONE map-side-combinable group-moment agg, then a
+    * k-row reduction to one row — [[jarqueBera]]'s cost class. */
+  def bartlett(df: DataFrame, groupCol: String,
+               valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val y = valueCol.cast("long")
+    val g = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"), sum(y.cast(dec)).as("_s"),
+        sum((y * y).cast(dec)).as("_q"))
+    val nd = col("_n").cast("double")
+    val ssn = (col("_n").cast(dec) * col("_q") - col("_s") * col("_s"))
+      .cast("double")
+    // (nᵢ−1)s²ᵢ and s²ᵢ as fixed doubles over exact ints
+    val pool = ssn / nd
+    val vi = ssn / nd / when(nd - 1 > 0, nd - 1)
+    val terms = g.select(col("_n"),
+      floor(pool * 1e6 + lit(0.5)).cast("long").cast(dec).as("_pq"),
+      floor((nd - 1) * log(when(vi > 0, vi)) * 1e12 + lit(0.5))
+        .cast("long").cast(dec).as("_lq"),
+      floor(lit(1e12) / when(nd - 1 > 0, nd - 1) + lit(0.5))
+        .cast("long").cast(dec).as("_iq"),
+      when(vi > 0 && col("_n") >= 2, 1L).otherwise(0L).as("_okg"))
+    val a = terms.agg(count(lit(1)).as("_k"), sum("_n").as("_nn"),
+      sum("_pq").as("_sp"), sum("_lq").as("_sl"), sum("_iq").as("_si"),
+      min("_okg").as("_allok"))
+    val kd = col("_k").cast("double")
+    val ndd = col("_nn").cast("double")
+    val nmk = ndd - kd
+    val sp2 = col("_sp").cast("double") / 1e6 / when(nmk > 0, nmk)
+    val t1 = nmk * log(when(sp2 > 0, sp2))
+    val t2 = col("_sl").cast("double") / 1e12
+    val c = lit(1.0) + (col("_si").cast("double") / 1e12 -
+      lit(1.0) / when(nmk > 0, nmk)) / (lit(3.0) * (kd - 1))
+    val chi2 = (t1 - t2) / when(c =!= 0, c)
+    val ok = col("_k") >= 2 && col("_allok") === 1
+    a.select(col("_k").as("k"), col("_nn").as("n"),
+      round(when(ok, chi2), 6).as("chi2"),
+      (col("_k") - 1).as("df"))
+  }
+
+  /** Partial correlation r_xy·z from the three pairwise Pearson
+    * correlations: (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — "does
+    * x still track y once z is controlled for", the one-number
+    * confounder check (q93's Pearson says price tracks quantity;
+    * this says whether it still does at FIXED discount). All three
+    * r's ride ONE moment aggregation.
+    *
+    * Exactness: ten int64/decimal(38,0) moments (n, three sums,
+    * three squares, three cross-products) from integer-quantized
+    * columns; every r and the partial assemble in fixed double
+    * expressions. NULL partial when any variance is 0 or a
+    * |r| = 1 control makes the denominator 0.
+    *
+    * Returns one row (n, r_xy, r_xz, r_yz, partial_r).
+    *
+    * Scale shape: ONE map-side-combinable agg, no joins. */
+  def partialCorrelation(df: DataFrame, xCol: Column, yCol: Column,
+                         zCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val (x, yy, z) = (xCol.cast("long"), yCol.cast("long"),
+      zCol.cast("long"))
+    val m = df.filter(xCol.isNotNull && yCol.isNotNull && zCol.isNotNull)
+      .agg(count(lit(1)).as("_n"),
+        sum(x.cast(dec)).as("_sx"), sum(yy.cast(dec)).as("_sy"),
+        sum(z.cast(dec)).as("_sz"),
+        sum((x * x).cast(dec)).as("_sxx"),
+        sum((yy * yy).cast(dec)).as("_syy"),
+        sum((z * z).cast(dec)).as("_szz"),
+        sum((x * yy).cast(dec)).as("_sxy"),
+        sum((x * z).cast(dec)).as("_sxz"),
+        sum((yy * z).cast(dec)).as("_syz"))
+    val n = col("_n").cast(dec)
+    def d(c: Column) = c.cast("double")
+    def r(sab: String, sa: String, sb: String, saa: String,
+          sbb: String): Column = {
+      val num = d(n * col(sab) - col(sa) * col(sb))
+      val va = d(n * col(saa) - col(sa) * col(sa))
+      val vb = d(n * col(sbb) - col(sb) * col(sb))
+      num / sqrt(when(va * vb > 0, va * vb))
+    }
+    val rxy = r("_sxy", "_sx", "_sy", "_sxx", "_syy")
+    val rxz = r("_sxz", "_sx", "_sz", "_sxx", "_szz")
+    val ryz = r("_syz", "_sy", "_sz", "_syy", "_szz")
+    val den = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    val part = (rxy - rxz * ryz) / sqrt(when(den > 0, den))
+    m.select(col("_n").as("n"),
+      round(rxy, 6).as("r_xy"), round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      round(when(col("_n") >= 2, part), 6).as("partial_r"))
+  }
+
   /** Dunn's post-hoc test: pairwise mean-rank comparisons on the
     * POOLED ranking — "WHICH groups differ", the follow-up the
     * Kruskal–Wallis omnibus (q229's machinery) leaves open. For each

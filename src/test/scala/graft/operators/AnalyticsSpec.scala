@@ -683,6 +683,40 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("bartlett: hand chi2 over three groups; constant group null") {
+    import spark.implicits._
+    // vars 5/3, 20/3, 1/3 over n=4 each -> chi2 = 4.894706
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(2L, 4L, 6L, 8L).map(("b", _)) ++
+      Seq(5L, 5L, 6L, 6L).map(("c", _))).toDF("g", "v")
+    val r = Analytics.bartlett(df, "g", col("v")).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 12L &&
+      r.getDouble(2) == 4.894706 && r.getLong(3) == 2L, s"$r")
+    // one constant group: ln(0) undefined -> null (use Brown-Forsythe)
+    val cst = df.union(Seq(("d", 9L), ("d", 9L)).toDF("g", "v"))
+    assert(Analytics.bartlett(cst, "g", col("v"))
+      .collect()(0).isNullAt(2))
+  }
+
+  test("partialCorrelation: confounder partialled out by hand") {
+    import spark.implicits._
+    // x=1..4, y=(1,3,2,5), z=(1,1,2,2):
+    // r_xy=0.831522, r_xz=0.894427, r_yz=0.507093 -> partial 0.980581
+    val df = Seq((1L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 2L), (4L, 5L, 2L))
+      .toDF("x", "y", "z")
+    val r = Analytics.partialCorrelation(df, col("x"), col("y"), col("z"))
+      .collect()(0)
+    assert(r.getLong(0) == 4L, s"$r")
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((0.831522, 0.894427, 0.507093)), s"$r")
+    assert(r.getDouble(4) == 0.980581, s"$r")
+    // z == x: |r_xz| = 1 -> partial undefined
+    val deg = Seq((1L, 2L, 1L), (2L, 1L, 2L), (3L, 4L, 3L))
+      .toDF("x", "y", "z")
+    assert(Analytics.partialCorrelation(deg, col("x"), col("y"),
+      col("z")).collect()(0).isNullAt(4))
+  }
+
   test("dunnTest: tie-free pooled ranks give hand pairwise z") {
     import spark.implicits._
     // a = {1,2}, b = {3,4}, c = {5}: mean ranks 1.5 / 3.5 / 5,
