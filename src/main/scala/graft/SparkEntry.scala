@@ -2278,6 +2278,24 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Deming orthogonal regression price~quantity: the TLS slope OLS
+    // attenuates when x is noisy too -- method-comparison fit
+    "q413_deming" -> ((s, dir) =>
+      Analytics.demingRegression(t(s, dir, "lineitem"),
+        floor(col("l_quantity") + lit(0.5)),
+        floor(col("l_extendedprice") + lit(0.5)))),
+    // Segmented (hinge) regression: q250's OLS with the second
+    // feature replaced by max(0, qty-25) -- broken-stick trend with
+    // a known knot, pure composition over the fit/apply split
+    "q414_hinge_regression" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Analytics.olsFitApply(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1),
+        col("l_extendedprice"), col("l_quantity"),
+        greatest(lit(0.0), col("l_quantity") - 25),
+        Seq(col("l_orderkey"), col("l_linenumber")))
+    }),
     // Bartlett variance homogeneity across event types: the normal-
     // theory companion to Brown-Forsythe (q395 decides which to use)
     "q411_bartlett" -> ((s, dir) =>
@@ -6796,6 +6814,91 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // five HUGEINT moments, n2-scaled co-moments, the TLS closed form
+    "q413_deming" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+        |    sum(x::HUGEINT * y) AS sxy
+        |  FROM b
+        |), c AS (
+        |  SELECT n, sx, sy,
+        |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS vx,
+        |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vy,
+        |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cxy
+        |  FROM m
+        |), s AS (
+        |  SELECT n, sx, sy, vx, vy, cxy,
+        |    (vy - 1.0 * vx + sqrt((vy - 1.0 * vx) * (vy - 1.0 * vx)
+        |      + 4.0 * cxy * cxy))
+        |      / (2.0 * (CASE WHEN cxy <> 0 THEN cxy END)) AS slope
+        |  FROM c
+        |)
+        |SELECT n,
+        |  round(CASE WHEN n >= 2 AND cxy <> 0 THEN slope END, 6)
+        |    AS slope,
+        |  round(CASE WHEN n >= 2 AND cxy <> 0
+        |    THEN (sy::DOUBLE - slope * sx::DOUBLE) / n END, 6)
+        |    AS intercept,
+        |  round(CASE WHEN n >= 2 THEN cxy /
+        |    sqrt(CASE WHEN vx * vy > 0 THEN vx * vy END) END, 6) AS r_xy
+        |FROM s""".stripMargin,
+    // q250's fit CTE chain with x2 = floor(greatest(0, qty-25)*100+.5)
+    "q414_hinge_regression" ->
+      """WITH f AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(greatest(0, l_quantity - 25) * 100 + 0.5)
+        |      AS BIGINT) AS x2
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS a,
+        |    sum(x2)::BIGINT AS b, sum(x1 * x1)::BIGINT AS c,
+        |    sum(x1 * x2)::BIGINT AS d, sum(x2 * x2)::BIGINT AS e,
+        |    sum(y)::BIGINT AS t0, sum(x1 * y)::BIGINT AS t1,
+        |    sum(x2 * y)::BIGINT AS t2
+        |  FROM f
+        |), md AS (
+        |  SELECT n::DOUBLE AS n, a::DOUBLE AS a, b::DOUBLE AS b,
+        |    c::DOUBLE AS c, d::DOUBLE AS d, e::DOUBLE AS e,
+        |    t0::DOUBLE AS t0, t1::DOUBLE AS t1, t2::DOUBLE AS t2
+        |  FROM m
+        |), dt AS (
+        |  SELECT
+        |    n * (c * e - d * d) - a * (a * e - d * b)
+        |      + b * (a * d - c * b) AS det,
+        |    t0 * (c * e - d * d) - a * (t1 * e - d * t2)
+        |      + b * (t1 * d - c * t2) AS det0,
+        |    n * (t1 * e - d * t2) - t0 * (a * e - d * b)
+        |      + b * (a * t2 - t1 * b) AS det1,
+        |    n * (c * t2 - t1 * d) - a * (a * t2 - t1 * b)
+        |      + t0 * (a * d - c * b) AS det2
+        |  FROM md
+        |), cf AS (
+        |  SELECT CASE WHEN det <> 0 THEN det0 / det END AS b0,
+        |    CASE WHEN det <> 0 THEN det1 / det END AS b1,
+        |    CASE WHEN det <> 0 THEN det2 / det END AS b2
+        |  FROM dt
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)::DOUBLE
+        |    / 100, 6) AS y,
+        |  round((b0 + b1 * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |    + b2 * CAST(floor(greatest(0, l_quantity - 25) * 100 + 0.5)
+        |      AS BIGINT)) / 100, 6) AS pred,
+        |  round((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    - (b0 + b1 * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |      + b2 * CAST(floor(greatest(0, l_quantity - 25) * 100 + 0.5)
+        |        AS BIGINT))) / 100, 6) AS resid
+        |FROM lineitem, cf
+        |WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL
+        |  AND l_quantity IS NOT NULL""".stripMargin,
     // per-group quantized pool/ln/1-over terms summed HUGEINT, the
     // (N-k)ln(sp2) - Sum and the C correction in one assembly
     "q411_bartlett" ->

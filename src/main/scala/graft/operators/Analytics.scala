@@ -1780,6 +1780,63 @@ object Analytics {
       (col("_k") - 1).as("df"))
   }
 
+  /** Deming (errors-in-both-variables) regression: the total-least-
+    * squares line slope = (S_yy − δS_xx + √((S_yy − δS_xx)² +
+    * 4δS_xy²)) / (2S_xy) — the calibration-comparison fit OLS gets
+    * WRONG when x is also noisy (OLS attenuates the slope toward 0;
+    * method-comparison studies and sensor cross-calibration use
+    * Deming for exactly this). δ is the y:x error-variance ratio
+    * (1 = orthogonal regression).
+    *
+    * Exactness: the five raw sums are exact decimal(38,0); each is
+    * converted to double (exact while < 2^53 — quantize inputs to
+    * UNITS, not cents: at unit scale |y| ≤ 10⁵ allows ~10⁶ rows per
+    * 2^53 window on Σy²) and the n²-scaled co-moments, slope,
+    * intercept and r assemble in ONE fixed double-arithmetic
+    * expression — identical operands ⇒ identical results, with no
+    * past-2^53 decimal→double conversion anywhere (those can differ
+    * in the last ulp across engines). NULL when n < 2, S_xy = 0 (the
+    * closed form degenerates — no linear association to orient), or
+    * zero variances.
+    *
+    * Returns one row (n, slope, intercept, r_xy).
+    *
+    * Scale shape: ONE map-side-combinable moment agg; no joins. */
+  def demingRegression(df: DataFrame, xCol: Column, yCol: Column,
+                       delta: Double = 1.0): DataFrame = {
+    require(delta > 0)
+    val dec = "decimal(38,0)"
+    val (x, yy) = (xCol.cast("long"), yCol.cast("long"))
+    val m = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .agg(count(lit(1)).as("_n"),
+        sum(x.cast(dec)).as("_sx"), sum(yy.cast(dec)).as("_sy"),
+        sum((x * x).cast(dec)).as("_sxx"),
+        sum((yy * yy).cast(dec)).as("_syy"),
+        sum((x * yy).cast(dec)).as("_sxy"))
+    // convert each RAW sum to double, then assemble in double
+    // arithmetic: conversions are exact while every sum < 2^53
+    // (callers quantize to units, not cents, for exactly this
+    // headroom — scaladoc bound), and double ARITHMETIC on identical
+    // operands is identical on any engine, unlike conversions of
+    // n²-scaled decimal/HUGEINT products past 2^53.
+    def d(c: String) = col(c).cast("double")
+    val nd = d("_n")
+    val sxx = nd * d("_sxx") - d("_sx") * d("_sx")
+    val syy = nd * d("_syy") - d("_sy") * d("_sy")
+    val sxy = nd * d("_sxy") - d("_sx") * d("_sy")
+    val slope = (syy - lit(delta) * sxx +
+      sqrt((syy - lit(delta) * sxx) * (syy - lit(delta) * sxx) +
+        lit(4.0 * delta) * sxy * sxy)) /
+      (lit(2.0) * when(sxy =!= 0, sxy))
+    val intercept = (d("_sy") - slope * d("_sx")) / nd
+    val r = sxy / sqrt(when(sxx * syy > 0, sxx * syy))
+    val ok = col("_n") >= 2 && sxy =!= 0
+    m.select(col("_n").as("n"),
+      round(when(ok, slope), 6).as("slope"),
+      round(when(ok, intercept), 6).as("intercept"),
+      round(when(col("_n") >= 2, r), 6).as("r_xy"))
+  }
+
   /** Partial correlation r_xy·z from the three pairwise Pearson
     * correlations: (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — "does
     * x still track y once z is controlled for", the one-number

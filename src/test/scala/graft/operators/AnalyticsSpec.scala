@@ -683,6 +683,21 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("demingRegression: hand TLS line; steeper than OLS; zero-cov null") {
+    import spark.implicits._
+    // x=(1,2,3), y=(2,4,7): slope 2.528781, intercept -0.724228
+    val df = Seq((1L, 2L), (2L, 4L), (3L, 7L)).toDF("x", "y")
+    val r = Analytics.demingRegression(df, col("x"), col("y")).collect()(0)
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 2.528781 &&
+      r.getDouble(2) == -0.724228 && r.getDouble(3) == 0.993399, s"$r")
+    // OLS slope here is 2.5: Deming must sit above (x-noise unshrunk)
+    assert(r.getDouble(1) > 2.5)
+    // uncorrelated square: S_xy = 0 -> closed form degenerates
+    val z = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    assert(Analytics.demingRegression(z, col("x"), col("y"))
+      .collect()(0).isNullAt(1))
+  }
+
   test("bartlett: hand chi2 over three groups; constant group null") {
     import spark.implicits._
     // vars 5/3, 20/3, 1/3 over n=4 each -> chi2 = 4.894706
