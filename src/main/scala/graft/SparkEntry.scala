@@ -2278,6 +2278,26 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Qini uplift curve: even/odd-user "treatment" vs any-purchase
+    // outcome, ranked by total spend -- does targeting by spend buy
+    // INCREMENTAL response, per cumulative decile
+    "q415_qini_curve" -> ((s, dir) =>
+      Analytics.qiniCurve(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("y"),
+            sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .as("sc")),
+        col("user_id"), col("user_id") % 2 === 0, col("y") === 1,
+        col("sc"))),
+    // Yuen trimmed t (10% per side): the robust A/B mean test for
+    // heavy-tail value -- q401's Welch with whales trimmed/winsorized
+    "q416_yuen_ttest" -> ((s, dir) =>
+      Analytics.yuenTTest(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id") % 2 === 0,
+        floor(col("value") * 100 + lit(0.5)))),
     // Deming orthogonal regression price~quantity: the TLS slope OLS
     // attenuates when x is noisy too -- method-comparison fit
     "q413_deming" -> ((s, dir) =>
@@ -6814,6 +6834,116 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // per-user units, total-order rank, integer decile boundaries,
+    // cumulative counts, one qini expression per bucket
+    "q415_qini_curve" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS y,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sc
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), b AS (
+        |  SELECT user_id AS id,
+        |    (CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS w,
+        |    y, sc
+        |  FROM u WHERE sc IS NOT NULL
+        |), nn AS (SELECT count(*)::BIGINT AS n FROM b),
+        |rk AS (
+        |  SELECT w, y,
+        |    (row_number() OVER (ORDER BY sc DESC, id))::BIGINT AS rn
+        |  FROM b
+        |), bk AS (
+        |  SELECT ((rn - 1) * 10 // n + 1)::BIGINT AS bkt, w, y
+        |  FROM rk, nn
+        |), per AS (
+        |  SELECT bkt, sum(w)::BIGINT AS nt,
+        |    (count(*) - sum(w))::BIGINT AS nc,
+        |    sum(w * y)::BIGINT AS rt, sum((1 - w) * y)::BIGINT AS rc
+        |  FROM bk GROUP BY 1
+        |), cm AS (
+        |  SELECT bkt, sum(nt) OVER o AS cnt, sum(nc) OVER o AS cnc,
+        |    sum(rt) OVER o AS crt, sum(rc) OVER o AS crc
+        |  FROM per WINDOW o AS (ORDER BY bkt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT bkt AS bucket, cnt::BIGINT AS cum_n_treated,
+        |  cnc::BIGINT AS cum_n_control,
+        |  crt::BIGINT AS cum_resp_treated,
+        |  crc::BIGINT AS cum_resp_control,
+        |  round(crt::DOUBLE - crc::DOUBLE * (cnt::DOUBLE /
+        |    (CASE WHEN cnc > 0 THEN cnc::DOUBLE END)), 6) + 0.0 AS qini
+        |FROM cm""".stripMargin,
+    // per-slice ranks, exact trim-bound pick, clamped HUGEINT
+    // moments, Yuen/Satterthwaite assembly in double arithmetic
+    "q416_yuen_ttest" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 = 0 AS a,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS s
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), rk AS (
+        |  SELECT a, s,
+        |    (row_number() OVER (PARTITION BY a ORDER BY s))::BIGINT AS rn,
+        |    (count(*) OVER (PARTITION BY a))::BIGINT AS n
+        |  FROM b
+        |), rg AS (
+        |  SELECT *, CAST(floor(0.1::DOUBLE * n) AS BIGINT) AS g FROM rk
+        |), lohi AS (
+        |  SELECT a AS ab, max(CASE WHEN rn = g + 1 THEN s END) AS lo,
+        |    max(CASE WHEN rn = n - g THEN s END) AS hi
+        |  FROM rg GROUP BY 1
+        |), m AS (
+        |  SELECT rg.a, max(n)::BIGINT AS nn, max(g)::BIGINT AS gg,
+        |    sum(CASE WHEN rn > g AND rn <= n - g THEN s END) AS ts,
+        |    sum(greatest(lo, least(hi, s))) AS ws,
+        |    sum(greatest(lo, least(hi, s))::HUGEINT
+        |      * greatest(lo, least(hi, s))) AS wq
+        |  FROM rg JOIN lohi ON rg.a = lohi.ab GROUP BY 1
+        |), one AS (
+        |  SELECT max(CASE WHEN a THEN nn END)::BIGINT AS na_i,
+        |    max(CASE WHEN NOT a THEN nn END)::BIGINT AS nb_i,
+        |    max(CASE WHEN a THEN gg END)::BIGINT AS ga,
+        |    max(CASE WHEN NOT a THEN gg END)::BIGINT AS gb,
+        |    max(CASE WHEN a THEN ts END) AS tsa,
+        |    max(CASE WHEN NOT a THEN ts END) AS tsb,
+        |    max(CASE WHEN a THEN ws END) AS wsa,
+        |    max(CASE WHEN NOT a THEN ws END) AS wsb,
+        |    max(CASE WHEN a THEN wq END) AS wqa,
+        |    max(CASE WHEN NOT a THEN wq END) AS wqb
+        |  FROM m
+        |), dd AS (
+        |  SELECT na_i, nb_i,
+        |    na_i::DOUBLE AS na, nb_i::DOUBLE AS nb,
+        |    na_i::DOUBLE - 2 * ga::DOUBLE AS ha,
+        |    nb_i::DOUBLE - 2 * gb::DOUBLE AS hb,
+        |    tsa::DOUBLE AS tsad, tsb::DOUBLE AS tsbd,
+        |    wsa::DOUBLE AS wsad, wsb::DOUBLE AS wsbd,
+        |    wqa::DOUBLE AS wqad, wqb::DOUBLE AS wqbd
+        |  FROM one
+        |), vv AS (
+        |  SELECT *,
+        |    tsad / (CASE WHEN ha > 0 THEN ha END) AS ma,
+        |    tsbd / (CASE WHEN hb > 0 THEN hb END) AS mb,
+        |    (na - 1) * ((na * wqad - wsad * wsad) /
+        |      (CASE WHEN na * (na - 1) > 0 THEN na * (na - 1) END)) /
+        |      (CASE WHEN ha * (ha - 1) > 0 THEN ha * (ha - 1) END) AS da,
+        |    (nb - 1) * ((nb * wqbd - wsbd * wsbd) /
+        |      (CASE WHEN nb * (nb - 1) > 0 THEN nb * (nb - 1) END)) /
+        |      (CASE WHEN hb * (hb - 1) > 0 THEN hb * (hb - 1) END) AS db
+        |  FROM dd
+        |)
+        |SELECT na_i AS n_a, nb_i AS n_b,
+        |  ha::BIGINT AS h_a, hb::BIGINT AS h_b,
+        |  round(CASE WHEN ha > 0 THEN ma END, 6) AS tmean_a,
+        |  round(CASE WHEN hb > 0 THEN mb END, 6) AS tmean_b,
+        |  round(CASE WHEN ha >= 2 AND hb >= 2 AND da + db > 0
+        |    THEN (ma - mb) / sqrt(da + db) END, 6) AS t,
+        |  round(CASE WHEN ha >= 2 AND hb >= 2 AND da + db > 0
+        |    THEN (da + db) * (da + db) /
+        |      (CASE WHEN da * da / (ha - 1) + db * db / (hb - 1) > 0
+        |        THEN da * da / (ha - 1) + db * db / (hb - 1) END)
+        |    END, 6) AS df
+        |FROM vv""".stripMargin,
     // five HUGEINT moments, n2-scaled co-moments, the TLS closed form
     "q413_deming" ->
       """WITH b AS (

@@ -1780,6 +1780,153 @@ object Analytics {
       (col("_k") - 1).as("df"))
   }
 
+  /** Qini uplift curve over scored units: rank by targeting score,
+    * then per cumulative bucket compare treated vs control response
+    * — q(d) = Rₜ(d) − R_c(d)·Nₜ(d)/N_c(d), the uplift-model audit
+    * that plain response rates can't give (a model that targets
+    * sure-things scores high on response and ZERO on qini). The
+    * curve ENDS at the overall incremental-response estimate; a
+    * random score walks a straight line to it.
+    *
+    * Determinism: the ranking is (quantized score desc, id) — a
+    * total order — bucket boundaries are integer arithmetic
+    * ((rank−1)·buckets div N), all cumulative counts are exact
+    * int64, and each q(d) is one fixed double expression. Buckets
+    * with no control yet report NULL qini.
+    *
+    * Returns one row per bucket (bucket, cum_n_treated,
+    * cum_n_control, cum_resp_treated, cum_resp_control, qini).
+    *
+    * Scale shape: units are an already-reduced per-subject relation;
+    * the global rank is ONE total-order window over units (the q382
+    * posture — at population scale swap the bucket assignment to
+    * histogram-sketch score quantiles, same downstream), then a
+    * buckets-sized cumulative window. */
+  def qiniCurve(units: DataFrame, idCol: Column, treatedCol: Column,
+                outcomeCol: Column, scoreCol: Column,
+                buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2)
+    val base = units.filter(idCol.isNotNull && treatedCol.isNotNull &&
+        scoreCol.isNotNull)
+      .select(idCol.as("_id"), when(treatedCol, 1L).otherwise(0L).as("_w"),
+        when(outcomeCol, 1L).otherwise(0L).as("_y"),
+        scoreCol.cast("long").as("_s"))
+    val n = base.agg(count(lit(1)).as("_nn"))
+    val rn = row_number().over(Window.orderBy(col("_s").desc, col("_id")))
+    val bucketed = base.crossJoin(broadcast(n))
+      .withColumn("_rn", rn.cast("long"))
+      .withColumn("_b",
+        expr(s"(_rn - 1) * $buckets div _nn") + 1)
+    val per = bucketed.groupBy(col("_b"))
+      .agg(sum(col("_w")).as("_nt"),
+        (count(lit(1)) - sum(col("_w"))).as("_nc"),
+        sum(col("_w") * col("_y")).as("_rt"),
+        sum((lit(1L) - col("_w")) * col("_y")).as("_rc"))
+    val cum = Window.orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = per
+      .withColumn("cum_n_treated", sum("_nt").over(cum))
+      .withColumn("cum_n_control", sum("_nc").over(cum))
+      .withColumn("cum_resp_treated", sum("_rt").over(cum))
+      .withColumn("cum_resp_control", sum("_rc").over(cum))
+    val qini = col("cum_resp_treated").cast("double") -
+      col("cum_resp_control").cast("double") *
+        (col("cum_n_treated").cast("double") /
+          when(col("cum_n_control") > 0,
+            col("cum_n_control").cast("double")))
+    // + 0.0 canonicalizes IEEE -0.0 (an exactly-cancelling bucket)
+    c.select(col("_b").as("bucket"), col("cum_n_treated"),
+      col("cum_n_control"), col("cum_resp_treated"),
+      col("cum_resp_control"), (round(qini, 6) + lit(0.0)).as("qini"))
+  }
+
+  /** Yuen's trimmed two-sample t: Welch on TRIMMED means with
+    * WINSORIZED variances — the robust A/B mean test for heavy-tail
+    * metrics (revenue!), where [[welchTTest]]'s raw means hand the
+    * verdict to a few whales and [[mannWhitneyU]] answers a
+    * different question (stochastic dominance, not means). Trim
+    * fraction γ per side: g = ⌊γn⌋ extreme ranks drop from the
+    * mean; the variance uses values CLAMPED to the surviving range
+    * (winsorized). t = (m̄₁−m̄₂)/√(d₁+d₂) with
+    * dᵢ = (nᵢ−1)s²wᵢ/(hᵢ(hᵢ−1)), h = n−2g, Satterthwaite df.
+    *
+    * Exactness: ranks are a per-slice total order on (quantized
+    * value, rank window), trim bounds are the exact rank-g+1 and
+    * rank-n−g values, clamped sums/squares are exact
+    * int64/decimal(38,0), and t/df is ONE fixed double assembly.
+    * NULL when either h < 2 or both winsorized variances are 0.
+    *
+    * Returns one row (n_a, n_b, h_a, h_b, tmean_a, tmean_b, t, df).
+    *
+    * Scale shape: one slice-partitioned window sort for ranks (two
+    * partitions), one conditional agg for the four trim bounds
+    * broadcast back, one clamped moment agg. */
+  def yuenTTest(df: DataFrame, isSliceA: Column, valueCol: Column,
+                trim: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trim > 0 && trim < 0.5)
+    val dec = "decimal(38,0)"
+    val base = df.filter(isSliceA.isNotNull && valueCol.isNotNull)
+      .select(isSliceA.as("_a"), valueCol.cast("long").as("_s"))
+    val w = Window.partitionBy("_a").orderBy(col("_s"))
+    val ranked = base
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1))
+        .over(Window.partitionBy("_a")))
+      .withColumn("_g", floor(lit(trim) * col("_n")).cast("long"))
+    val bounds = broadcast(ranked.groupBy(col("_a").as("_ab"))
+      .agg(max(when(col("_rn") === col("_g") + 1, col("_s"))).as("_lo"),
+        max(when(col("_rn") === col("_n") - col("_g"), col("_s")))
+          .as("_hi")))
+    val m = ranked.join(bounds, col("_a") === col("_ab"))
+      .select(col("_a"), col("_n"), col("_g"),
+        greatest(col("_lo"), least(col("_hi"), col("_s"))).as("_wv"),
+        when(col("_rn") > col("_g") && col("_rn") <= col("_n") - col("_g"),
+          col("_s")).as("_tv"))
+      .groupBy(col("_a"))
+      .agg(max("_n").as("_nn"), max("_g").as("_gg"),
+        sum(col("_tv").cast(dec)).as("_ts"),
+        sum(col("_wv").cast(dec)).as("_ws"),
+        sum((col("_wv") * col("_wv")).cast(dec)).as("_wq"))
+    val one = m.agg(
+      max(when(col("_a"), col("_nn"))).as("_na"),
+      max(when(!col("_a"), col("_nn"))).as("_nb"),
+      max(when(col("_a"), col("_gg"))).as("_ga"),
+      max(when(!col("_a"), col("_gg"))).as("_gb"),
+      max(when(col("_a"), col("_ts"))).as("_tsa"),
+      max(when(!col("_a"), col("_ts"))).as("_tsb"),
+      max(when(col("_a"), col("_ws"))).as("_wsa"),
+      max(when(!col("_a"), col("_ws"))).as("_wsb"),
+      max(when(col("_a"), col("_wq"))).as("_wqa"),
+      max(when(!col("_a"), col("_wq"))).as("_wqb"))
+    def d(c: String) = col(c).cast("double")
+    val (na, nb) = (d("_na"), d("_nb"))
+    val ha = na - lit(2.0) * d("_ga")
+    val hb = nb - lit(2.0) * d("_gb")
+    val ma = d("_tsa") / when(ha > 0, ha)
+    val mb = d("_tsb") / when(hb > 0, hb)
+    // winsorized sample variance: (nΣw² − (Σw)²) / (n(n−1)),
+    // assembled in double arithmetic (Deming's sub-2^53 contract)
+    val vwa = (na * d("_wqa") - d("_wsa") * d("_wsa")) /
+      when(na * (na - 1) > 0, na * (na - 1))
+    val vwb = (nb * d("_wqb") - d("_wsb") * d("_wsb")) /
+      when(nb * (nb - 1) > 0, nb * (nb - 1))
+    val da = (na - 1) * vwa / when(ha * (ha - 1) > 0, ha * (ha - 1))
+    val db = (nb - 1) * vwb / when(hb * (hb - 1) > 0, hb * (hb - 1))
+    val t = (ma - mb) / sqrt(when(da + db > 0, da + db))
+    val dfY = (da + db) * (da + db) / when(
+      da * da / (ha - 1) + db * db / (hb - 1) > 0,
+      da * da / (ha - 1) + db * db / (hb - 1))
+    val ok = ha >= 2 && hb >= 2 && da + db > 0
+    one.select(col("_na").as("n_a"), col("_nb").as("n_b"),
+      ha.cast("long").as("h_a"), hb.cast("long").as("h_b"),
+      round(when(ha > 0, ma), 6).as("tmean_a"),
+      round(when(hb > 0, mb), 6).as("tmean_b"),
+      round(when(ok, t), 6).as("t"),
+      round(when(ok, dfY), 6).as("df"))
+  }
+
   /** Deming (errors-in-both-variables) regression: the total-least-
     * squares line slope = (S_yy − δS_xx + √((S_yy − δS_xx)² +
     * 4δS_xy²)) / (2S_xy) — the calibration-comparison fit OLS gets

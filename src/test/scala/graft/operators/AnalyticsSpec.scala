@@ -683,6 +683,42 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("qiniCurve: perfect-targeting bucket scores 1, exhaust to 0; no-control null") {
+    import spark.implicits._
+    // rank desc by score: (t,resp), (c,no), (t,no), (c,resp)
+    // bucket 1: rt=1 rc=0 -> qini 1.0; full: 1 - 1*(2/2) = 0.0
+    val u = Seq((1L, true, true, 100L), (2L, false, false, 90L),
+      (3L, true, false, 50L), (4L, false, true, 40L))
+      .toDF("id", "w", "y", "s")
+    val out = Analytics.qiniCurve(u, col("id"), col("w"), col("y"),
+        col("s"), buckets = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(5) == 1.0 && out(2L).getDouble(5) == 0.0,
+      s"$out")
+    assert(out(2L).getLong(1) == 2L && out(2L).getLong(2) == 2L)
+    // all-treated head bucket: control empty -> qini undefined
+    val h = Seq((1L, true, true, 100L), (2L, true, false, 90L),
+      (3L, false, false, 50L), (4L, false, true, 40L))
+      .toDF("id", "w", "y", "s")
+    assert(Analytics.qiniCurve(h, col("id"), col("w"), col("y"),
+      col("s"), buckets = 2).collect()
+      .find(_.getLong(0) == 1L).get.isNullAt(5))
+  }
+
+  test("yuenTTest: whales trimmed, hand t/df; equals slices null-free") {
+    import spark.implicits._
+    // a = 0,10,20,1000 / b = 0,30,40,2000 at 25% trim: whales leave,
+    // tmeans 15 vs 35, winsorized d = 50 each -> t = -2, df = 2
+    val df = (Seq(0L, 10L, 20L, 1000L).map((true, _)) ++
+      Seq(0L, 30L, 40L, 2000L).map((false, _))).toDF("a", "v")
+    val r = Analytics.yuenTTest(df, col("a"), col("v"), trim = 0.25)
+      .collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(2) == 2L &&
+      r.getLong(3) == 2L, s"$r")
+    assert(r.getDouble(4) == 15.0 && r.getDouble(5) == 35.0, s"$r")
+    assert(r.getDouble(6) == -2.0 && r.getDouble(7) == 2.0, s"$r")
+  }
+
   test("demingRegression: hand TLS line; steeper than OLS; zero-cov null") {
     import spark.implicits._
     // x=(1,2,3), y=(2,4,7): slope 2.528781, intercept -0.724228
