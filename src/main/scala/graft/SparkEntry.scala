@@ -2278,6 +2278,22 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Bowker symmetry: do q354's gold-vs-heuristic disagreements
+    // have a DIRECTION -- McNemar's kxk generalization
+    "q417_bowker" -> ((s, dir) =>
+      Analytics.bowkerTest(
+        t(s, dir, "documents")
+          .filter(col("lang").isNotNull && col("text").isNotNull),
+        col("lang"), graft.functions.TextFunctions.langId(col("text")))),
+    // Restricted mean survival time to tau=20 on q353's censored
+    // recipe: expected survival TIME per event_type -- the effect
+    // measure that stays defined when hazards cross
+    "q418_rmst" -> ((s, dir) =>
+      Analytics.rmst(
+        t(s, dir, "events").filter(col("event_type").isNotNull)
+          .select(col("event_type"), (col("event_id") % 30 + 1).as("dur"),
+            col("event_id")),
+        "event_type", "dur", col("event_id") % 3 =!= 0, tau = 20L)),
     // Qini uplift curve: even/odd-user "treatment" vs any-purchase
     // outcome, ranked by total spend -- does targeting by spend buy
     // INCREMENTAL response, per cumulative decile
@@ -6834,6 +6850,91 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // q354's langid CASE verbatim; full-outer symmetric-pair join,
+    // x1e9-quantized rational terms summed HUGEINT
+    "q417_bowker" ->
+      """WITH t AS (
+        |  SELECT lang, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+        |), pc AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |         WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+        |         WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+        |         WHEN c_fr >= c_es THEN 'fr'
+        |         ELSE 'es' END AS b
+        |  FROM (
+        |    SELECT lang, text,
+        |      len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS c_en,
+        |      len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x))) AS c_de,
+        |      len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de','du','pour'], x))) AS c_fr,
+        |      len(list_filter(toks, x -> list_contains(['el','los','las','y','es','si','una','como','por','para'], x))) AS c_es
+        |    FROM t)
+        |), cells AS (SELECT a, b, count(*)::BIGINT AS c FROM pc GROUP BY 1, 2),
+        |up AS (SELECT a AS i, b AS j, c AS cu FROM cells WHERE a < b),
+        |dn AS (SELECT b AS i, a AS j, c AS cd FROM cells WHERE a > b),
+        |pr AS (
+        |  SELECT coalesce(cu, 0)::BIGINT AS u, coalesce(cd, 0)::BIGINT AS d
+        |  FROM up FULL OUTER JOIN dn USING (i, j)
+        |), ag AS (
+        |  SELECT sum(CAST(floor((u - d)::DOUBLE * (u - d)::DOUBLE /
+        |      (CASE WHEN u + d > 0 THEN (u + d)::DOUBLE END) * 1e9 + 0.5)
+        |      AS BIGINT)) AS q,
+        |    sum(CASE WHEN u + d > 0 THEN 1 ELSE 0 END)::BIGINT AS df
+        |  FROM pr
+        |), kk AS (
+        |  SELECT count(DISTINCT l)::BIGINT AS k FROM (
+        |    SELECT a AS l FROM pc UNION ALL SELECT b FROM pc)
+        |), nn AS (SELECT count(*)::BIGINT AS n FROM pc)
+        |SELECT k, n,
+        |  round(CASE WHEN df > 0 THEN q::DOUBLE / 1e9 END, 6) AS chi2, df
+        |FROM ag, kk, nn""".stripMargin,
+    // q193's KM CTE chain + one lead() and the exact step integral
+    "q418_rmst" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id % 30 + 1 AS dur,
+        |    CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END AS d
+        |  FROM events WHERE event_type IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, dur, sum(d)::BIGINT AS n_events,
+        |    count(*)::BIGINT AS cnt
+        |  FROM base GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, dur, n_events,
+        |    sum(cnt) OVER (PARTITION BY event_type)
+        |      - coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM c
+        |), km AS (
+        |  SELECT event_type, dur, n_risk::BIGINT AS n_risk, n_events,
+        |    CASE WHEN max(CASE WHEN n_events = n_risk AND n_events > 0
+        |        THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY event_type ORDER BY dur) = 1 THEN 0.0
+        |    ELSE round(exp(sum(CASE WHEN n_events > 0 AND n_events < n_risk
+        |        THEN ln(1 - n_events::DOUBLE / n_risk) ELSE 0.0 END)
+        |        OVER (PARTITION BY event_type ORDER BY dur)), 6)
+        |    END AS survival
+        |  FROM r
+        |), seg AS (
+        |  SELECT event_type, dur, n_risk, n_events, survival,
+        |    coalesce(lead(dur) OVER (PARTITION BY event_type
+        |      ORDER BY dur), 20) AS nxt
+        |  FROM km
+        |), cb AS (
+        |  SELECT event_type,
+        |    CAST(floor(survival * 1e6 + 0.5) AS BIGINT)
+        |      * greatest(least(greatest(nxt, dur), 20)
+        |        - least(dur, 20), 0) AS contrib,
+        |    least(dur, 20) AS fdur, n_risk
+        |  FROM seg
+        |)
+        |SELECT event_type, 20::BIGINT AS tau,
+        |  round((min(fdur)::HUGEINT * 1000000 + sum(contrib))::DOUBLE
+        |    / 1e6, 6) AS rmst,
+        |  max(n_risk)::BIGINT AS n
+        |FROM cb GROUP BY 1""".stripMargin,
     // per-user units, total-order rank, integer decile boundaries,
     // cumulative counts, one qini expression per bucket
     "q415_qini_curve" ->

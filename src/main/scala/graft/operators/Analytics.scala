@@ -1780,6 +1780,102 @@ object Analytics {
       (col("_k") - 1).as("df"))
   }
 
+  /** Bowker's symmetry test on a paired k×k labeling: did the
+    * confusion between two labelers/model versions move
+    * ASYMMETRICALLY — χ² = Σᵢ<ⱼ (nᵢⱼ−nⱼᵢ)²/(nᵢⱼ+nⱼᵢ), df = the
+    * non-empty pair count (McNemar's k×k generalization; q354's
+    * agreement report says HOW MUCH the labelings agree, Bowker
+    * says whether the disagreements have a DIRECTION — the
+    * model-regression smell when v2 drains one class into another).
+    * Diagonal cells never enter; empty pairs (both directions 0)
+    * contribute nothing and don't count toward df.
+    *
+    * Exactness: cell counts are exact int64; each pair's rational
+    * term is ×10⁹-quantized to int64 and summed as decimal(38,0) —
+    * order-free; one division back at the end. NULL when no
+    * non-empty off-diagonal pair exists.
+    *
+    * Returns one row (k, n, chi2, df).
+    *
+    * Scale shape: ONE reduced (a, b) cell shuffle; the pair join is
+    * cell-table-sized (≤ k²), everything after is 1-row. */
+  def bowkerTest(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .select(aCol.as("_a"), bCol.as("_b"))
+    val cells = base.groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val up = cells.filter(col("_a") < col("_b"))
+      .select(col("_a").as("_i"), col("_b").as("_j"), col("_c").as("_cu"))
+    val dn = cells.filter(col("_a") > col("_b"))
+      .select(col("_b").as("_i"), col("_a").as("_j"), col("_c").as("_cd"))
+    val pairs = up.join(dn, Seq("_i", "_j"), "full_outer")
+      .select(coalesce(col("_cu"), lit(0L)).as("_u"),
+        coalesce(col("_cd"), lit(0L)).as("_d"))
+    val term = (col("_u") - col("_d")).cast("double") *
+      (col("_u") - col("_d")).cast("double") /
+      when(col("_u") + col("_d") > 0,
+        (col("_u") + col("_d")).cast("double"))
+    val agg = pairs.agg(
+      sum(floor(term * 1e9 + lit(0.5)).cast("long").cast(dec)).as("_q"),
+      sum(when(col("_u") + col("_d") > 0, 1L).otherwise(0L)).as("df"))
+    val kk = base.select(col("_a").as("_l"))
+      .union(base.select(col("_b")))
+      .agg(countDistinct(col("_l")).as("_ka"))
+    val nn = base.agg(count(lit(1)).as("n"))
+    agg.crossJoin(broadcast(kk)).crossJoin(broadcast(nn))
+      .select(col("_ka").as("k"), col("n"),
+        round(when(col("df") > 0, col("_q").cast("double") / 1e9), 6)
+          .as("chi2"),
+        col("df"))
+  }
+
+  /** Restricted mean survival time to horizon τ: the area under the
+    * [[kaplanMeier]] curve on [0, τ] — "expected survival time in
+    * the first τ units", the modern effect measure that stays
+    * defined when hazards cross or the tail is censored (a
+    * difference in RMST between arms is directly interpretable in
+    * TIME units, unlike a hazard ratio). Integrates the step
+    * function exactly: the [0, t₁) segment at S = 1, then each
+    * [tᵢ, tᵢ₊₁ ∧ τ) at S(tᵢ), stopping at τ.
+    *
+    * Exactness: KM survival values are round-6 (engine-identical);
+    * each segment contribution rides as the exact int64
+    * ⌊S·10⁶+½⌋·Δt (durations integer), summed as decimal(38,0) —
+    * order-free — and divided back once. Groups whose first event
+    * time exceeds τ report RMST = τ (whole window at S = 1).
+    *
+    * Returns one row per group (group, tau, rmst, n).
+    *
+    * Scale shape: [[kaplanMeier]]'s one reduced (group, t) shuffle +
+    * window, then one more lead() over the SAME per-group ordering
+    * and a map-side-combinable agg. */
+  def rmst(df: DataFrame, groupCol: String, durCol: String,
+           observedCol: Column, tau: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau >= 1)
+    val dec = "decimal(38,0)"
+    val km = kaplanMeier(df, groupCol, durCol, observedCol)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(durCol))
+    val sq = floor(col("survival") * 1e6 + lit(0.5)).cast("long")
+    val seg = km
+      .withColumn("_next", coalesce(lead(col(durCol), 1).over(w),
+        lit(tau)))
+      .withColumn("_t0", least(col(durCol).cast("long"), lit(tau)))
+      .withColumn("_t1", least(greatest(col("_next").cast("long"),
+        col(durCol).cast("long")), lit(tau)))
+      .withColumn("_contrib",
+        (sq * greatest(col("_t1") - col("_t0"), lit(0L))).cast(dec))
+      .withColumn("_first", least(col(durCol).cast("long"), lit(tau)))
+    val agg = seg.groupBy(col(groupCol))
+      .agg(sum("_contrib").as("_sc"), min("_first").as("_f"),
+        sum("n_events").as("_ne"), max("n_risk").as("n"))
+    agg.select(col(groupCol), lit(tau).as("tau"),
+      round((col("_f").cast(dec) * lit(1000000L) + col("_sc"))
+        .cast("double") / 1e6, 6).as("rmst"),
+      col("n"))
+  }
+
   /** Qini uplift curve over scored units: rank by targeting score,
     * then per cumulative bucket compare treated vs control response
     * — q(d) = Rₜ(d) − R_c(d)·Nₜ(d)/N_c(d), the uplift-model audit

@@ -683,6 +683,42 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("bowkerTest: directional confusion flagged; symmetric is 0; diagonal inert") {
+    import spark.implicits._
+    // (a->b): 4 vs (b->a): 1 -> 9/5; (a->c): 2 vs 0 -> 4/2; chi2 3.8
+    val rows = Seq.fill(4)(("a", "b")) ++ Seq(("b", "a")) ++
+      Seq.fill(2)(("a", "c")) ++ Seq.fill(10)(("a", "a"))
+    val r = Analytics.bowkerTest(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 17L &&
+      r.getDouble(2) == 3.8 && r.getLong(3) == 2L, s"$r")
+    // perfectly symmetric disagreement: chi2 = 0, df counts the pair
+    val sym = (Seq.fill(3)(("a", "b")) ++ Seq.fill(3)(("b", "a")))
+      .toDF("x", "y")
+    val r2 = Analytics.bowkerTest(sym, col("x"), col("y")).collect()(0)
+    assert(r2.getDouble(2) == 0.0 && r2.getLong(3) == 1L, s"$r2")
+    // all-diagonal: no informative pair -> null
+    val diag = Seq(("a", "a"), ("b", "b")).toDF("x", "y")
+    assert(Analytics.bowkerTest(diag, col("x"), col("y"))
+      .collect()(0).isNullAt(2))
+  }
+
+  test("rmst: step-integral by hand; pre-first-event window at S=1") {
+    import spark.implicits._
+    // g: event@2, censored@4, event@6, tau 5:
+    // [0,2) at 1, [2,4)+[4,5) at 0.666667 -> rmst 4.000001
+    val df = Seq(("g", 2L, true), ("g", 4L, false), ("g", 6L, true))
+      .toDF("grp", "dur", "obs")
+    val r = Analytics.rmst(df, "grp", "dur", col("obs"), tau = 5L)
+      .collect()(0)
+    assert(r.getLong(1) == 5L && r.getDouble(2) == 4.000001 &&
+      r.getLong(3) == 3L, s"$r")
+    // first event beyond tau: whole window at S=1 -> rmst = tau
+    val late = Seq(("h", 9L, true)).toDF("grp", "dur", "obs")
+    assert(Analytics.rmst(late, "grp", "dur", col("obs"), tau = 5L)
+      .collect()(0).getDouble(2) == 5.0)
+  }
+
   test("qiniCurve: perfect-targeting bucket scores 1, exhaust to 0; no-control null") {
     import spark.implicits._
     // rank desc by score: (t,resp), (c,no), (t,no), (c,resp)
