@@ -2278,6 +2278,25 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Geofence tag by exact integer crossing tests: events inside a
+    // non-convex hexagon on the synthetic coordinate plane, counted
+    // per type -- no FP epsilon anywhere
+    "q419_geofence" -> ((s, dir) => {
+      val p = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("event_type"), (col("user_id") % 150 * 20).as("x"),
+          (col("event_id") % 3700).as("y"))
+      graft.operators.Spatial.pointInPolygon(p, col("x"), col("y"),
+          GeofencePoly)
+        .groupBy(col("event_type"), col("inside"))
+        .agg(count(lit(1)).as("n"), sum("crossings").as("sum_crossings"))
+    }),
+    // Operating point: the cent-value threshold that maximizes F1
+    // for predicting purchases -- the deployable cutoff next to
+    // q195's threshold-free AUC
+    "q420_max_f1" -> ((s, dir) =>
+      Analytics.maxF1Threshold(t(s, dir, "events"),
+        floor(col("value") * 100 + lit(0.5)),
+        col("event_type") === "purchase")),
     // Bowker symmetry: do q354's gold-vs-heuristic disagreements
     // have a DIRECTION -- McNemar's kxk generalization
     "q417_bowker" -> ((s, dir) =>
@@ -4714,6 +4733,23 @@ object SparkEntry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |)""".stripMargin
 
+  /** q419's geofence: a non-convex hexagon over the synthetic
+    * (user_id % 150 · 20, event_id % 3700) coordinate plane. */
+  private val GeofencePoly: Seq[(Long, Long)] = Seq(
+    (500L, 500L), (2500L, 400L), (2600L, 2000L), (1500L, 1200L),
+    (900L, 2600L), (400L, 1800L))
+
+  /** The SQL mirror of `Spatial.pointInPolygon`'s unrolled integer
+    * crossing tests over [[GeofencePoly]]. */
+  private def duckCrossings(px: String, py: String): String =
+    GeofencePoly.zip(GeofencePoly.tail :+ GeofencePoly.head)
+      .map { case ((x1, y1), (x2, y2)) =>
+        val t = s"(($px - $x1) * ${y2 - y1} - ($py - $y1) * ${x2 - x1})"
+        val dir = if (y2 > y1) s"$t < 0" else s"$t > 0"
+        s"(CASE WHEN (($y1 <= $py AND $py < $y2) OR " +
+          s"($y2 <= $py AND $py < $y1)) AND $dir THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+
   /** One k-truss support round as DuckDB CTEs (suffix `i`, input
     * edge CTE `live`): degree-ordered orientation, wedge join,
     * triangle close, per-edge support — the SQL mirror of
@@ -6850,6 +6886,53 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // the unrolled integer crossing-test sum, grouped odd/even
+    "q419_geofence" ->
+      s"""WITH p AS (
+        |  SELECT event_type, user_id % 150 * 20 AS x,
+        |    event_id % 3700 AS y
+        |  FROM events WHERE user_id IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, ${duckCrossings("x", "y")} AS crossings
+        |  FROM p
+        |)
+        |SELECT event_type, crossings % 2 = 1 AS inside,
+        |  count(*)::BIGINT AS n, sum(crossings)::BIGINT AS sum_crossings
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // descending cumulative tp/fp over distinct scores, quantized-F1
+    // total-order argmax, LIMIT 1
+    "q420_max_f1" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), sc AS (
+        |  SELECT s, sum(y)::BIGINT AS pos, count(*)::BIGINT AS cnt
+        |  FROM b GROUP BY 1
+        |), tot AS (SELECT sum(pos)::BIGINT AS p FROM sc),
+        |c AS (
+        |  SELECT s, (sum(pos) OVER o)::BIGINT AS tp,
+        |    (sum(cnt) OVER o - sum(pos) OVER o)::BIGINT AS fp, p
+        |  FROM sc, tot WINDOW o AS (ORDER BY s DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), f AS (
+        |  SELECT s, tp, fp, (p - tp)::BIGINT AS fn, p,
+        |    2.0::DOUBLE * tp / (CASE WHEN 2 * tp + fp + (p - tp) > 0
+        |      THEN (2 * tp + fp + (p - tp))::DOUBLE END) AS f1
+        |  FROM c WHERE p > 0
+        |), pick AS (
+        |  SELECT * FROM (
+        |    SELECT *, CAST(floor(f1 * 1e12 + 0.5) AS BIGINT) AS f1q
+        |    FROM f)
+        |  ORDER BY f1q DESC, s DESC LIMIT 1
+        |)
+        |SELECT s AS threshold, tp, fp, fn,
+        |  round(tp::DOUBLE / (CASE WHEN tp + fp > 0
+        |    THEN (tp + fp)::DOUBLE END), 6) AS prec,
+        |  round(tp::DOUBLE / (CASE WHEN p > 0 THEN p::DOUBLE END), 6)
+        |    AS rec,
+        |  round(f1, 6) AS f1
+        |FROM pick""".stripMargin,
     // q354's langid CASE verbatim; full-outer symmetric-pair join,
     // x1e9-quantized rational terms summed HUGEINT
     "q417_bowker" ->

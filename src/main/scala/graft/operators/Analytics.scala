@@ -1780,6 +1780,57 @@ object Analytics {
       (col("_k") - 1).as("df"))
   }
 
+  /** Operating-point selection: the decision threshold that
+    * maximizes F1 over the exact threshold sweep — the missing step
+    * between q195's AUC (threshold-free ranking quality) and a
+    * deployable classifier (ONE cutoff ships). At every distinct
+    * score taken as "predict positive when score ≥ t": cumulative
+    * tp/fp from one descending pass, fn = P − tp, F1 = 2tp/(2tp+fp+fn);
+    * the argmax breaks F1 ties toward the HIGHER threshold (predict
+    * positive less often at equal F1).
+    *
+    * Exactness: counts are exact int64; F1 is compared via its
+    * ×10¹²-quantized value so the argmax is a total order
+    * (f1q desc, threshold desc); the reported P/R/F1 divide exact
+    * integers. Empty or all-negative inputs yield zero rows.
+    *
+    * Returns one row (threshold, tp, fp, fn, prec, rec, f1).
+    *
+    * Scale shape: one reduced (score) shuffle, cumulative window
+    * over DISTINCT scores (value-cardinality-sized, the q391
+    * posture), then a TakeOrderedAndProject top-1 — never a global
+    * sort materialization. */
+  def maxF1Threshold(df: DataFrame, scoreCol: Column,
+                     positiveCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(scoreCol.isNotNull && positiveCol.isNotNull)
+      .select(scoreCol.cast("long").as("_s"),
+        when(positiveCol, 1L).otherwise(0L).as("_y"))
+    val sc = base.groupBy(col("_s"))
+      .agg(sum("_y").as("_pos"), count(lit(1)).as("_cnt"))
+    val tot = broadcast(sc.agg(sum("_pos").as("_p")))
+    val cum = Window.orderBy(col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = sc.crossJoin(tot)
+      .withColumn("tp", sum("_pos").over(cum))
+      .withColumn("fp", sum("_cnt").over(cum) - col("tp"))
+      .withColumn("fn", col("_p") - col("tp"))
+    val den = lit(2L) * col("tp") + col("fp") + col("fn")
+    val f1 = lit(2.0) * col("tp") / when(den > 0, den.cast("double"))
+    c.filter(col("_p") > 0)
+      .withColumn("_f1q",
+        floor(f1 * 1e12 + lit(0.5)).cast("long"))
+      .orderBy(col("_f1q").desc, col("_s").desc)
+      .limit(1)
+      .select(col("_s").as("threshold"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") /
+          when(col("tp") + col("fp") > 0,
+            (col("tp") + col("fp")).cast("double")), 6).as("prec"),
+        round(col("tp").cast("double") /
+          when(col("_p") > 0, col("_p").cast("double")), 6).as("rec"),
+        round(f1, 6).as("f1"))
+  }
+
   /** Bowker's symmetry test on a paired k×k labeling: did the
     * confusion between two labelers/model versions move
     * ASYMMETRICALLY — χ² = Σᵢ<ⱼ (nᵢⱼ−nⱼᵢ)²/(nᵢⱼ+nⱼᵢ), df = the

@@ -257,4 +257,36 @@ object Spatial {
       .agg(count(lit(1)).as("n_dwells"), max("_dur").as("longest"),
         sum("_n").as("n_points"))
   }
+
+  /** Point-in-polygon geofence tag by the crossing-number rule, on
+    * INTEGER-quantized coordinates: a +x ray from the point crosses
+    * edge (x₁,y₁)–(x₂,y₂) iff the edge straddles the point's y
+    * (half-open: y₁ ≤ p < y₂ or y₂ ≤ p < y₁ — shared vertices count
+    * once) and the signed area test
+    * (p_x−x₁)(y₂−y₁) − (p_y−y₁)(x₂−x₁) points the right way for the
+    * edge's y-direction. Odd crossings = inside. EXACT: every test
+    * is int64 products of quantized coordinates — no FP epsilon, no
+    * engine drift, boundary behavior fully determined (the standard
+    * robust-orientation trick computational geometry uses).
+    *
+    * The polygon is a query constant (a fence is dozens of vertices,
+    * not data), so the whole tag is ONE unrolled codegen projection
+    * per point — no join, no explode, scan-speed at any corpus size.
+    * Returns the input plus `crossings` and `inside`. */
+  def pointInPolygon(points: DataFrame, xCol: Column, yCol: Column,
+                     polygon: Seq[(Long, Long)]): DataFrame = {
+    require(polygon.size >= 3)
+    val edges = polygon.zip(polygon.tail :+ polygon.head)
+    val cross = edges.map { case ((x1, y1), (x2, y2)) =>
+      val straddles = (lit(y1) <= yCol && yCol < lit(y2)) ||
+        (lit(y2) <= yCol && yCol < lit(y1))
+      val t = (xCol - lit(x1)) * lit(y2 - y1) -
+        (yCol - lit(y1)) * lit(x2 - x1)
+      when(straddles &&
+        ((lit(y2 > y1) && t < 0) || (lit(y2 < y1) && t > 0)), 1L)
+        .otherwise(0L)
+    }.reduce(_ + _)
+    points.withColumn("crossings", cross)
+      .withColumn("inside", col("crossings") % 2 === 1)
+  }
 }

@@ -683,6 +683,22 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("maxF1Threshold: hand sweep picks the F1-optimal cutoff") {
+    import spark.implicits._
+    // (10,+)(9,+)(8,-)(7,+)(6,-)(6,-): best t=7 -> tp3 fp1 fn0,
+    // P=0.75 R=1 F1=0.857143
+    val df = Seq((10L, true), (9L, true), (8L, false), (7L, true),
+      (6L, false), (6L, false)).toDF("s", "y")
+    val r = Analytics.maxF1Threshold(df, col("s"), col("y")).collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 3L &&
+      r.getLong(2) == 1L && r.getLong(3) == 0L, s"$r")
+    assert(r.getDouble(4) == 0.75 && r.getDouble(5) == 1.0 &&
+      r.getDouble(6) == 0.857143, s"$r")
+    // no positives: no operating point at all
+    val neg = Seq((5L, false), (4L, false)).toDF("s", "y")
+    assert(Analytics.maxF1Threshold(neg, col("s"), col("y")).count() == 0)
+  }
+
   test("bowkerTest: directional confusion flagged; symmetric is 0; diagonal inert") {
     import spark.implicits._
     // (a->b): 4 vs (b->a): 1 -> 9/5; (a->c): 2 vs 0 -> 4/2; chi2 3.8

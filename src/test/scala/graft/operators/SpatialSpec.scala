@@ -101,4 +101,23 @@ class SpatialSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide == Set((1L, 2L), (2L, 3L)), s"$wide")
   }
+
+  test("pointInPolygon: square and concave hexagon, exact integer tests") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sq = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    val pts = Seq((1L, 5L, 5L), (2L, 15L, 5L), (3L, 5L, 10L))
+      .toDF("id", "x", "y")
+    val out = Spatial.pointInPolygon(pts, col("x"), col("y"), sq)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false), s"$out")
+    // the registered concave hexagon: interior + exterior anchors
+    val hexa = Seq((500L, 500L), (2500L, 400L), (2600L, 2000L),
+      (1500L, 1200L), (900L, 2600L), (400L, 1800L))
+    val p2 = Seq((1L, 1500L, 1000L), (2L, 100L, 100L), (3L, 2550L, 1500L))
+      .toDF("id", "x", "y")
+    val o2 = Spatial.pointInPolygon(p2, col("x"), col("y"), hexa)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(o2 == Map(1L -> true, 2L -> false, 3L -> true), s"$o2")
+  }
 }
