@@ -2278,6 +2278,25 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Siegel repeated-median slope on per-day cent totals: the
+    // 50%-breakdown upgrade of q137/theilSen's pairwise median
+    "q421_siegel" -> ((s, dir) =>
+      graft.operators.TimeSeries.siegelSlope(
+        t(s, dir, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+          .groupBy(col("event_type"),
+            expr("ts div 86400000000000").as("day"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("cents")),
+        "event_type", "day", "cents")),
+    // Cook's distance / leverage top-20 on q250's fit: WHICH rows
+    // steer the OLS plane -- closed-form hat values from the moment
+    // cofactors, no per-row matrix work
+    "q422_ols_influence" -> ((s, dir) =>
+      Analytics.olsInfluence(t(s, dir, "lineitem"),
+        col("l_extendedprice"), col("l_quantity"), col("l_discount"),
+        Seq(col("l_orderkey"), col("l_linenumber")))),
     // Geofence tag by exact integer crossing tests: events inside a
     // non-convex hexagon on the synthetic coordinate plane, counted
     // per type -- no FP epsilon anywhere
@@ -6886,6 +6905,94 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // per-day series, group-keyed pair join, median-of-medians
+    "q421_siegel" ->
+      """WITH d AS (
+        |  SELECT event_type AS g,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.g, a.day AS x1,
+        |    (b.cents - a.cents)::DOUBLE / (b.day - a.day)::DOUBLE AS s
+        |  FROM d a JOIN d b ON a.g = b.g AND a.day <> b.day
+        |), pm AS (SELECT g, x1, median(s) AS med FROM pairs GROUP BY 1, 2)
+        |SELECT g AS event_type, round(median(med), 6) AS siegel_slope,
+        |  count(*)::BIGINT AS n_points
+        |FROM pm GROUP BY 1""".stripMargin,
+    // q250's moment CTEs + the symmetric cofactors; per-row hat value
+    // and Cook's D in one scan, quantized total-order top-20
+    "q422_ols_influence" ->
+      """WITH f AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS a,
+        |    sum(x2)::BIGINT AS b, sum(x1 * x1)::BIGINT AS c,
+        |    sum(x1 * x2)::BIGINT AS d, sum(x2 * x2)::BIGINT AS e,
+        |    sum(y)::BIGINT AS t0, sum(x1 * y)::BIGINT AS t1,
+        |    sum(x2 * y)::BIGINT AS t2
+        |  FROM f
+        |), md AS (
+        |  SELECT n::DOUBLE AS n, a::DOUBLE AS a, b::DOUBLE AS b,
+        |    c::DOUBLE AS c, d::DOUBLE AS d, e::DOUBLE AS e,
+        |    t0::DOUBLE AS t0, t1::DOUBLE AS t1, t2::DOUBLE AS t2
+        |  FROM m
+        |), dt AS (
+        |  SELECT n AS nd,
+        |    n * (c * e - d * d) - a * (a * e - d * b)
+        |      + b * (a * d - c * b) AS det,
+        |    t0 * (c * e - d * d) - a * (t1 * e - d * t2)
+        |      + b * (t1 * d - c * t2) AS det0,
+        |    n * (t1 * e - d * t2) - t0 * (a * e - d * b)
+        |      + b * (a * t2 - t1 * b) AS det1,
+        |    n * (c * t2 - t1 * d) - a * (a * t2 - t1 * b)
+        |      + t0 * (a * d - c * b) AS det2,
+        |    c * e - d * d AS c00, -(a * e - d * b) AS c01,
+        |    a * d - c * b AS c02, n * e - b * b AS c11,
+        |    -(n * d - a * b) AS c12, n * c - a * a AS c22
+        |  FROM md
+        |), cf AS (
+        |  SELECT nd, det, det0 / det AS b0, det1 / det AS b1,
+        |    det2 / det AS b2, c00, c01, c02, c11, c12, c22
+        |  FROM dt WHERE det <> 0
+        |), rows_e AS (
+        |  SELECT f.l_orderkey, f.l_linenumber,
+        |    f.y::DOUBLE - (b0 + b1 * f.x1 + b2 * f.x2) AS er,
+        |    CAST(floor((f.y::DOUBLE - (b0 + b1 * f.x1 + b2 * f.x2))
+        |      * (f.y::DOUBLE - (b0 + b1 * f.x1 + b2 * f.x2)) + 0.5)
+        |      AS BIGINT) AS e2q,
+        |    (c00 + 2.0 * c01 * f.x1::DOUBLE + 2.0 * c02 * f.x2::DOUBLE
+        |      + c11 * f.x1::DOUBLE * f.x1::DOUBLE
+        |      + 2.0 * c12 * f.x1::DOUBLE * f.x2::DOUBLE
+        |      + c22 * f.x2::DOUBLE * f.x2::DOUBLE) / det AS h,
+        |    nd
+        |  FROM f, cf
+        |), sse AS (SELECT sum(e2q) AS ss FROM rows_e),
+        |ck AS (
+        |  SELECT l_orderkey, l_linenumber, er, h,
+        |    e2q::DOUBLE * h / (CASE WHEN
+        |      3.0 * (ss::DOUBLE / (CASE WHEN nd - 3 > 0 THEN nd - 3 END))
+        |        * (1.0 - h) * (1.0 - h) > 0
+        |      THEN 3.0 * (ss::DOUBLE /
+        |          (CASE WHEN nd - 3 > 0 THEN nd - 3 END))
+        |        * (1.0 - h) * (1.0 - h) END) AS cook
+        |  FROM rows_e, sse
+        |), top AS (
+        |  SELECT * FROM (
+        |    SELECT *, CAST(floor(cook * 1e12 + 0.5) AS BIGINT) AS ckq
+        |    FROM ck)
+        |  ORDER BY ckq DESC, l_orderkey, l_linenumber LIMIT 20
+        |)
+        |SELECT l_orderkey, l_linenumber, round(er / 100, 6) AS resid,
+        |  round(h, 6) AS leverage, round(cook, 6) AS cooks_d
+        |FROM top""".stripMargin,
     // the unrolled integer crossing-test sum, grouped odd/even
     "q419_geofence" ->
       s"""WITH p AS (

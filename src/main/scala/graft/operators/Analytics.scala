@@ -1780,6 +1780,98 @@ object Analytics {
       (col("_k") - 1).as("df"))
   }
 
+  /** OLS influence diagnostics: per-row leverage hᵢ = vᵢᵀM⁻¹vᵢ
+    * (v = (1, x₁, x₂), M = XᵀX via its six cofactors — closed form
+    * over [[olsFitApply]]'s nine exact moments) and Cook's distance
+    * Dᵢ = eᵢ²hᵢ/(p·s²·(1−hᵢ)²) — WHICH rows steer the fit, the
+    * diagnostic that turns "the slope moved" into "these 20 records
+    * moved it". Returns the top-k by D (quantized total order).
+    *
+    * Determinism: moments and residual quantization follow
+    * [[olsFitApply]] exactly; SSE accumulates as ×1-quantized int64
+    * squared cent residuals in decimal(38,0); h and D are fixed
+    * double assemblies; the top-k orders by ⌊D·10¹²+½⌋ with id
+    * tiebreaks. Singular fits yield zero rows.
+    *
+    * Scale shape: one moment agg (1-row broadcast), one scan
+    * computing e/h/D per row (no join wider than the broadcast),
+    * one TakeOrderedAndProject. */
+  def olsInfluence(df: DataFrame, yCol: Column, x1Col: Column,
+                   x2Col: Column, idCols: Seq[Column],
+                   scale: Long = 100L, topK: Int = 20): DataFrame = {
+    require(scale >= 1 && topK >= 1)
+    val dec = "decimal(38,0)"
+    def q(c: Column) = floor(c.cast("double") * scale + lit(0.5))
+      .cast("long")
+    val base = df.filter(yCol.isNotNull && x1Col.isNotNull &&
+      x2Col.isNotNull)
+    val m = base
+      .select(q(yCol).as("_y"), q(x1Col).as("_x1"), q(x2Col).as("_x2"))
+      .agg(count(lit(1)).as("_n"), sum("_x1").as("_a"),
+        sum("_x2").as("_b"),
+        sum(col("_x1") * col("_x1")).as("_c"),
+        sum(col("_x1") * col("_x2")).as("_d"),
+        sum(col("_x2") * col("_x2")).as("_e"),
+        sum("_y").as("_t0"), sum(col("_x1") * col("_y")).as("_t1"),
+        sum(col("_x2") * col("_y")).as("_t2"))
+    val dd = (c: String) => col(c).cast("double")
+    val (n, a, b) = (dd("_n"), dd("_a"), dd("_b"))
+    val (c3, d4, e5) = (dd("_c"), dd("_d"), dd("_e"))
+    val (t0, t1, t2) = (dd("_t0"), dd("_t1"), dd("_t2"))
+    val det = n * (c3 * e5 - d4 * d4) - a * (a * e5 - d4 * b) +
+      b * (a * d4 - c3 * b)
+    val det0 = t0 * (c3 * e5 - d4 * d4) - a * (t1 * e5 - d4 * t2) +
+      b * (t1 * d4 - c3 * t2)
+    val det1 = n * (t1 * e5 - d4 * t2) - t0 * (a * e5 - d4 * b) +
+      b * (a * t2 - t1 * b)
+    val det2 = n * (c3 * t2 - t1 * d4) - a * (a * t2 - t1 * b) +
+      t0 * (a * d4 - c3 * b)
+    // cofactors of M = [[n,a,b],[a,c,d],[b,d,e]] (symmetric)
+    val c00 = c3 * e5 - d4 * d4
+    val c01 = -(a * e5 - d4 * b)
+    val c02 = a * d4 - c3 * b
+    val c11 = n * e5 - b * b
+    val c12 = -(n * d4 - a * b)
+    val c22 = n * c3 - a * a
+    val coefs = broadcast(m.select(col("_n"),
+      when(det =!= 0, det0 / det).as("_b0"),
+      when(det =!= 0, det1 / det).as("_b1"),
+      when(det =!= 0, det2 / det).as("_b2"),
+      when(det =!= 0, det).as("_det"),
+      c00.as("_c00"), c01.as("_c01"), c02.as("_c02"),
+      c11.as("_c11"), c12.as("_c12"), c22.as("_c22")))
+    val x1q = q(x1Col).cast("double")
+    val x2q = q(x2Col).cast("double")
+    val yhat = col("_b0") + col("_b1") * q(x1Col) + col("_b2") * q(x2Col)
+    val eRes = q(yCol).cast("double") - yhat
+    val withE = base.crossJoin(coefs).filter(col("_det").isNotNull)
+      .withColumn("_e2q", floor(eRes * eRes + lit(0.5)).cast("long"))
+      .withColumn("_h",
+        (col("_c00") + lit(2.0) * col("_c01") * x1q +
+          lit(2.0) * col("_c02") * x2q + col("_c11") * x1q * x1q +
+          lit(2.0) * col("_c12") * x1q * x2q +
+          col("_c22") * x2q * x2q) / col("_det"))
+    val sse = withE.agg(sum(col("_e2q").cast(dec)).as("_sse"))
+    val s2 = col("_sse").cast("double") /
+      when(col("_n") - 3 > 0, (col("_n") - 3).cast("double"))
+    val cook = col("_e2q").cast("double") * col("_h") /
+      when(lit(3.0) * col("_s2") * (lit(1.0) - col("_h")) *
+        (lit(1.0) - col("_h")) > 0,
+        lit(3.0) * col("_s2") * (lit(1.0) - col("_h")) *
+          (lit(1.0) - col("_h")))
+    withE.crossJoin(broadcast(sse))
+      .withColumn("_s2", s2)
+      .withColumn("_cook", cook)
+      .withColumn("_ck", floor(col("_cook") * 1e12 + lit(0.5))
+        .cast("long"))
+      .orderBy(col("_ck").desc +: idCols.map(_.asc): _*)
+      .limit(topK)
+      .select(idCols ++ Seq(
+        round(eRes / scale, 6).as("resid"),
+        round(col("_h"), 6).as("leverage"),
+        round(col("_cook"), 6).as("cooks_d")): _*)
+  }
+
   /** Operating-point selection: the decision threshold that
     * maximizes F1 over the exact threshold sweep — the missing step
     * between q195's AUC (threshold-free ranking quality) and a

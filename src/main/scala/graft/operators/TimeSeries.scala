@@ -547,6 +547,44 @@ object TimeSeries {
     * one group-key equi-join (never a cross join) with the slope
     * codegen'd join-side, then one grouped exact percentile (sorts
     * within group only). */
+  /** Siegel repeated-median slope per group: for each point i, the
+    * median slope to every OTHER point, then the median of those
+    * per-point medians — the 50%-breakdown upgrade of [[theilSen]]
+    * (Theil–Sen folds at ~29% contamination because one bad point
+    * poisons n−1 pairs; Siegel's inner median quarantines it to ONE
+    * per-point row). Siegel 1982; equal-x pairs skipped (classic).
+    *
+    * Determinism: both median layers are the exact interpolated
+    * percentile (= DuckDB `median`), slopes are one IEEE division of
+    * integer-quantized coordinates — engine-exact given identical
+    * inputs. Points must have DISTINCT x within a group (pass an
+    * aggregated series — per-day totals — not raw events); duplicate
+    * x would merge per-point slope sets.
+    *
+    * Returns (group, siegel_slope, n_points).
+    *
+    * Scale shape: the same group-keyed quadratic pair join as
+    * [[theilSen]] (right for many SMALL series; the documented
+    * long-series path is pair sampling), then a per-(group, point)
+    * exact percentile and a per-group exact percentile — two
+    * grouped sorts, no global stage. */
+  def siegelSlope(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val a = df.select(col(groupCol).as("_g"), col(xCol).as("_x1"),
+      col(yCol).as("_y1"))
+    val b = df.select(col(groupCol).as("_g"), col(xCol).as("_x2"),
+      col(yCol).as("_y2"))
+    val inner = a.join(b, Seq("_g")).filter(col("_x1") =!= col("_x2"))
+      .select(col("_g"), col("_x1"),
+        ((col("_y2") - col("_y1")).cast("double") /
+          (col("_x2") - col("_x1")).cast("double")).as("_s"))
+      .groupBy(col("_g"), col("_x1"))
+      .agg(expr("percentile(_s, 0.5)").as("_med"))
+    inner.groupBy(col("_g").as(groupCol))
+      .agg(round(expr("percentile(_med, 0.5)"), 6).as("siegel_slope"),
+        count(lit(1)).as("n_points"))
+  }
+
   def theilSen(df: DataFrame, groupCol: String, xCol: String,
                yCol: String): DataFrame = {
     val a = df.select(col(groupCol).as("_g"), col(xCol).as("_x1"),

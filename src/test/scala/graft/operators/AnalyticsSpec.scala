@@ -683,6 +683,25 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("olsInfluence: corrupted high-leverage point tops Cook's D; trace(H)=p") {
+    import spark.implicits._
+    // exact plane y = 2 + 3x1 + 5x2 on a grid, then one far-out
+    // corrupted point: it must dominate Cook's D
+    val grid = for { x1 <- 0 to 2; x2 <- 0 to 2 } yield
+      ((x1 * 3 + x2 + 1).toLong, x1.toDouble, x2.toDouble,
+        2.0 + 3 * x1 + 5 * x2 + (if (x1 == 1 && x2 == 1) 0.07 else 0.0))
+    val pts = (grid :+ (99L, 9.0, 9.0, 500.0))
+      .toDF("id", "x1", "x2", "y")
+    val out = Analytics.olsInfluence(pts, col("y"), col("x1"), col("x2"),
+      Seq(col("id")), topK = 10).collect()
+    assert(out.head.getLong(0) == 99L, s"${out.toSeq}")
+    // hat-matrix trace is the parameter count (p = 3), and every
+    // leverage sits in (0, 1]
+    val hs = out.map(_.getDouble(2))
+    assert(math.abs(hs.sum - 3.0) < 1e-3, s"trace ${hs.sum}")
+    assert(hs.forall(h => h > 0 && h <= 1.0), s"${hs.toSeq}")
+  }
+
   test("maxF1Threshold: hand sweep picks the F1-optimal cutoff") {
     import spark.implicits._
     // (10,+)(9,+)(8,-)(7,+)(6,-)(6,-): best t=7 -> tp3 fp1 fn0,

@@ -474,6 +474,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("s").isNullAt(2), s"${out("s")}")
   }
 
+  test("siegelSlope: one outlier can't move it where Theil-Sen folds") {
+    import org.apache.spark.sql.functions.col
+    // (1,1),(2,2),(3,3),(4,100): Siegel 1.0; Theil-Sen would say 17
+    val pts = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("a", 4L, 100L)).toDF("g", "x", "y")
+    val r = TimeSeries.siegelSlope(pts, "g", "x", "y").collect()(0)
+    assert(r.getDouble(1) == 1.0 && r.getLong(2) == 4L, s"$r")
+    val ts = TimeSeries.theilSen(pts, "g", "x", "y").collect()(0)
+    assert(ts.getDouble(1) == 17.0, s"$ts")
+  }
+
   test("runsTest: alternation z>0, clustering z<0, median rows dropped") {
     import org.apache.spark.sql.functions.col
     // a: 5,1,6,2,7,3 (med 4) -> +-+-+- = 6 runs, z = +1.825742
