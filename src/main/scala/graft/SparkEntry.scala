@@ -2278,6 +2278,18 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Byte-entropy screen over binary payloads: decode-free
+    // compressibility test (near-8 bits = already compressed) via
+    // the q31 hex-pair byte contract
+    "q423_byte_entropy" -> ((s, dir) =>
+      Multimodal.byteEntropy(
+        Multimodal.asBinaryTable(
+          t(s, dir, "documents").filter(col("doc_id") < 100)))),
+    // Rendezvous-hash resharding audit 8 -> 9 shards: minimal
+    // movement property measured per new shard
+    "q424_rendezvous_shard" -> ((s, dir) =>
+      Sampling.rendezvousShard(t(s, dir, "documents"),
+        col("doc_id"), nOld = 8, nNew = 9)),
     // Siegel repeated-median slope on per-day cent totals: the
     // 50%-breakdown upgrade of q137/theilSen's pairwise median
     "q421_siegel" -> ((s, dir) =>
@@ -6905,6 +6917,65 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // q31's hex-pair byte contract; per-(doc,byte) counts,
+    // x1e12-quantized -p*log2(p) terms summed HUGEINT
+    "q423_byte_entropy" ->
+      """WITH b AS (
+        |  SELECT doc_id, to_hex(encode(text)) AS hx,
+        |    octet_length(encode(text))::BIGINT AS nb
+        |  FROM documents WHERE doc_id < 100
+        |), ex AS (
+        |  SELECT doc_id, nb, hx,
+        |    unnest(generate_series(0, nb - 1)) AS i
+        |  FROM b WHERE nb > 0
+        |), bytes AS (
+        |  SELECT doc_id, nb, substring(hx, (i * 2 + 1)::BIGINT, 2) AS byt
+        |  FROM ex
+        |), counts AS (
+        |  SELECT doc_id, nb, byt, count(*)::BIGINT AS c
+        |  FROM bytes GROUP BY 1, 2, 3
+        |), terms AS (
+        |  SELECT doc_id, nb,
+        |    CAST(floor(-(c::DOUBLE / nb::DOUBLE)
+        |      * log2(c::DOUBLE / nb::DOUBLE) * 1e12 + 0.5) AS BIGINT)
+        |      AS term
+        |  FROM counts
+        |), agg AS (
+        |  SELECT doc_id, max(nb)::BIGINT AS n_bytes,
+        |    count(*)::BIGINT AS distinct_bytes,
+        |    round(sum(term)::DOUBLE / 1e12, 6) AS entropy_bits
+        |  FROM terms GROUP BY 1
+        |)
+        |SELECT doc_id, n_bytes, distinct_bytes, entropy_bits,
+        |  entropy_bits >= 7.0 AS high_entropy
+        |FROM agg""".stripMargin,
+    // md5 rendezvous weights replayed; two per-id rank windows, one
+    // id join, per-new-shard movement audit
+    "q424_rendezvous_shard" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id IS NOT NULL
+        |), fan AS (
+        |  SELECT id, s,
+        |    ('0x' || substr(md5('hrw_' || id || '_' || s), 1, 15))::BIGINT
+        |      AS h
+        |  FROM ids, (SELECT unnest(generate_series(0, 8)) AS s)
+        |), newa AS (
+        |  SELECT id, s AS shard FROM (
+        |    SELECT id, s, row_number() OVER (PARTITION BY id
+        |      ORDER BY h DESC, s) AS rn
+        |    FROM fan) WHERE rn = 1
+        |), olda AS (
+        |  SELECT id, s AS os FROM (
+        |    SELECT id, s, row_number() OVER (PARTITION BY id
+        |      ORDER BY h DESC, s) AS rn
+        |    FROM fan WHERE s <= 7) WHERE rn = 1
+        |), j AS (SELECT shard, os FROM newa JOIN olda USING (id))
+        |SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN shard <> os THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_moved,
+        |  round(sum(CASE WHEN shard <> os THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS moved_frac
+        |FROM j GROUP BY 1""".stripMargin,
     // per-day series, group-keyed pair join, median-of-medians
     "q421_siegel" ->
       """WITH d AS (

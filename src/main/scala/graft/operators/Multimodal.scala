@@ -55,6 +55,49 @@ object Multimodal {
         lit("image/png").as("mime"),
         length(col(payloadCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
 
+  /** Payload byte-entropy screen: per binary payload, the Shannon
+    * entropy of its byte distribution (bits/byte, 0..8), the
+    * distinct-byte count, and a high-entropy flag — the
+    * decode-free compressibility test a multimodal ingest runs
+    * FIRST (near-8 entropy = already compressed/encrypted: don't
+    * re-compress, don't feature-extract as if raw; near-0 = padding
+    * or a stuck sensor). Bytes ride as hex pairs (the q31 contract
+    * — byte-exact and DuckDB-portable without blob slicing).
+    *
+    * Determinism: per-(doc, byte) counts are exact int64; each
+    * −p·log₂p term is ×10¹²-quantized from identical doubles and
+    * summed as decimal(38,0) — order-free, ≤256 terms per doc.
+    * Empty payloads report NULL entropy.
+    *
+    * Returns (doc_id, n_bytes, distinct_bytes, entropy_bits,
+    * high_entropy).
+    *
+    * Scale shape: one corpus-byte-sized explode reduced map-side to
+    * ≤256 rows per doc, one per-doc agg — scan-shaped, no joins. */
+  def byteEntropy(binTable: DataFrame,
+                  highBits: Double = 7.0): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hx = hex(col("content"))
+    val bytes = binTable
+      .select(col("doc_id"), hx.as("_hx"),
+        (length(hx) / 2).cast("long").as("_nb"))
+      .filter(col("_nb") > 0)
+      .select(col("doc_id"), col("_nb"),
+        explode(expr(
+          "transform(sequence(0, cast(_nb - 1 as int)), " +
+            "i -> substring(_hx, i * 2 + 1, 2))")).as("_byte"))
+    val counts = bytes.groupBy(col("doc_id"), col("_nb"), col("_byte"))
+      .agg(count(lit(1)).as("_c"))
+    val p = col("_c").cast("double") / col("_nb").cast("double")
+    val term = floor(-p * log2(p) * 1e12 + lit(0.5)).cast("long")
+    counts.groupBy(col("doc_id"))
+      .agg(max("_nb").as("n_bytes"),
+        count(lit(1)).as("distinct_bytes"),
+        round(sum(term.cast(dec)).cast("double") / 1e12, 6)
+          .as("entropy_bits"))
+      .withColumn("high_entropy", col("entropy_bits") >= highBits)
+  }
+
   /** Pure-expression metadata extraction (no decode round-trip):
     * byte length + md5-derived fake dimensions. Portable to the
     * DuckDB oracle hex-for-hex. */

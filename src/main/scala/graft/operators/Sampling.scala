@@ -483,4 +483,52 @@ object Sampling {
             col("n_pos").cast("double") / col("n")) *
           (col("n").cast("double") / col("_N")), 6).as("ece_term"))
   }
+
+  /** Rendezvous (highest-random-weight) sharding with a resharding
+    * stability audit: each row lands on the shard whose
+    * md5(row, shard) is highest — the assignment scheme whose
+    * defining property is MINIMAL MOVEMENT on topology change
+    * (growing nOld → nNew shards moves only ~1/nNew of rows, and
+    * every mover lands on a NEW shard; modulo hashing reshuffles
+    * ~everything). Computes both assignments and reports, per new
+    * shard, the row count and how many arrived by moving — the
+    * audit you run before a resharding migration.
+    *
+    * Determinism: md5Long weights (engine-replayable), ties broken
+    * by shard index under a (weight desc, shard) total order —
+    * though 60-bit weights make ties unobservable, the order is
+    * still total by construction.
+    *
+    * Returns (shard, n, n_moved, moved_frac) — nNew rows.
+    *
+    * Scale shape: a constant ×nNew fan-out over ids, two
+    * row_number windows PARTITIONED BY id (nNew-row groups — never
+    * a global sort), one id-keyed join of the two 1-row-per-id
+    * assignments, one nNew-row agg. */
+  def rendezvousShard(df: DataFrame, idCol: Column,
+                      nOld: Int, nNew: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nOld >= 2 && nNew > nOld)
+    val base = df.filter(idCol.isNotNull).select(idCol.as("_id"))
+    def assign(n: Int, out: String): DataFrame = {
+      val w = Window.partitionBy(col("_id"))
+        .orderBy(col("_h").desc, col("_s"))
+      base.select(col("_id"),
+          explode(array((0 until n).map(lit): _*)).as("_s"))
+        .withColumn("_h",
+          md5Long(concat_ws("_", lit("hrw"), col("_id"), col("_s"))))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("_id"), col("_s").as(out))
+    }
+    val joined = assign(nNew, "shard").join(assign(nOld, "_old"), Seq("_id"))
+    joined.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("shard") =!= col("_old"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(col("shard").cast("long").as("shard"), col("n"),
+        col("n_moved"),
+        round(col("n_moved").cast("double") / col("n").cast("double"), 6)
+          .as("moved_frac"))
+  }
 }

@@ -83,4 +83,20 @@ class MultimodalSpec extends SparkSpec {
       }
     assert(segs == active.filter(_._2.nonEmpty), s"$segs vs $active")
   }
+
+  test("byteEntropy: constant 0 bits, uniform log2(k) bits, empty dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "aaaa" -> 0 bits; "ab" -> 1 bit; "abcd" -> 2 bits; "" -> no row
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Multimodal.byteEntropy(Multimodal.asBinaryTable(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out(1L) == ((4L, 1L, 0.0, false)), s"$out")
+    assert(out(2L) == ((2L, 2L, 1.0, false)), s"$out")
+    assert(out(3L) == ((4L, 4L, 2.0, false)), s"$out")
+    assert(!out.contains(4L), s"$out")
+  }
 }

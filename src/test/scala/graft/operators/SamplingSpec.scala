@@ -315,4 +315,21 @@ class SamplingSpec extends SparkSpec {
     assert(out(0L) == ((2L, 0L, 0.15, 0.0, 0.075)), s"$out")
     assert(out(1L) == ((2L, 2L, 0.35, 1.0, 0.325)), s"$out")
   }
+
+  test("rendezvousShard: movers land ONLY on the new shard; ~1/nNew move") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (1L to 400L).toDF("id")
+    val out = Sampling.rendezvousShard(ids, col("id"), nOld = 8, nNew = 9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // the defining HRW property: no mover lands on a surviving shard
+    assert((0L to 7L).forall(s => out(s)._2 == 0L), s"$out")
+    // the new shard is built ENTIRELY of movers
+    assert(out(8L)._1 == out(8L)._2 && out(8L)._1 > 0, s"$out")
+    // movement is ~1/9 of rows (generous band)
+    val moved = out(8L)._2.toDouble / 400.0
+    assert(moved > 0.03 && moved < 0.25, s"moved frac $moved")
+    assert(out.values.map(_._1).sum == 400L)
+  }
 }
