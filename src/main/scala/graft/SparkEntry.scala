@@ -2278,6 +2278,20 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Mantel-Haenszel pooled OR across event-type strata: the
+    // Simpson-proof "does cohort predict big spends" with RBG CI
+    "q425_mantel_haenszel" -> ((s, dir) =>
+      Analytics.mantelHaenszel(t(s, dir, "events"),
+        col("event_type"), col("user_id") % 2 === 0,
+        col("value") > 100)),
+    // Energy distance between cohort value distributions: zero iff
+    // equal, sees shape where KS sees one CDF gap -- exact pair
+    // masses from the distinct-value grid, no pair join
+    "q426_energy_distance" -> ((s, dir) =>
+      Analytics.energyDistance(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id") % 2 === 0,
+        floor(col("value") * 100 + lit(0.5)))),
     // Byte-entropy screen over binary payloads: decode-free
     // compressibility test (near-8 bits = already compressed) via
     // the q31 hex-pair byte contract
@@ -6917,6 +6931,110 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // per-stratum 2x2 cells, x1e9-quantized MH and RBG terms summed
+    // HUGEINT, one OR/CI assembly
+    "q425_mantel_haenszel" ->
+      """WITH b AS (
+        |  SELECT event_type AS st, user_id % 2 = 0 AS e, value > 100 AS o
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL
+        |), cells AS (
+        |  SELECT st,
+        |    sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS bb,
+        |    sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS cc,
+        |    sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS dd
+        |  FROM b GROUP BY 1
+        |), terms AS (
+        |  SELECT (a + bb + cc + dd)::BIGINT AS nn,
+        |    CAST(floor(a::DOUBLE * dd::DOUBLE
+        |      / (a + bb + cc + dd)::DOUBLE * 1e9 + 0.5) AS BIGINT) AS r,
+        |    CAST(floor(bb::DOUBLE * cc::DOUBLE
+        |      / (a + bb + cc + dd)::DOUBLE * 1e9 + 0.5) AS BIGINT) AS sq,
+        |    CAST(floor((a + dd)::DOUBLE / (a + bb + cc + dd)::DOUBLE
+        |      * (a::DOUBLE * dd::DOUBLE / (a + bb + cc + dd)::DOUBLE)
+        |      * 1e9 + 0.5) AS BIGINT) AS pr,
+        |    CAST(floor(((a + dd)::DOUBLE / (a + bb + cc + dd)::DOUBLE
+        |      * (bb::DOUBLE * cc::DOUBLE / (a + bb + cc + dd)::DOUBLE)
+        |      + (bb + cc)::DOUBLE / (a + bb + cc + dd)::DOUBLE
+        |      * (a::DOUBLE * dd::DOUBLE / (a + bb + cc + dd)::DOUBLE))
+        |      * 1e9 + 0.5) AS BIGINT) AS psqr,
+        |    CAST(floor((bb + cc)::DOUBLE / (a + bb + cc + dd)::DOUBLE
+        |      * (bb::DOUBLE * cc::DOUBLE / (a + bb + cc + dd)::DOUBLE)
+        |      * 1e9 + 0.5) AS BIGINT) AS qs
+        |  FROM cells WHERE a + bb + cc + dd > 0
+        |), ag AS (
+        |  SELECT count(*)::BIGINT AS n_strata, sum(nn)::BIGINT AS n,
+        |    sum(r) AS sr, sum(sq) AS ss, sum(pr) AS spr,
+        |    sum(psqr) AS spsqr, sum(qs) AS sqs
+        |  FROM terms
+        |), dd2 AS (
+        |  SELECT n_strata, n, sr, ss,
+        |    sr::DOUBLE / 1e9 AS srd, ss::DOUBLE / 1e9 AS ssd,
+        |    spr::DOUBLE / 1e9 AS sprd, spsqr::DOUBLE / 1e9 AS spsqrd,
+        |    sqs::DOUBLE / 1e9 AS sqsd
+        |  FROM ag
+        |), fin AS (
+        |  SELECT n_strata, n, sr, ss,
+        |    srd / (CASE WHEN ssd > 0 THEN ssd END) AS orv,
+        |    sprd / (2.0 * srd * srd) + spsqrd / (2.0 * srd * ssd)
+        |      + sqsd / (2.0 * ssd * ssd) AS vln
+        |  FROM dd2
+        |)
+        |SELECT n_strata, n,
+        |  round(CASE WHEN sr > 0 AND ss > 0 THEN orv END, 6) AS or_mh,
+        |  round(CASE WHEN sr > 0 AND ss > 0
+        |    THEN exp(ln(CASE WHEN orv > 0 THEN orv END)
+        |      - 1.959964 * sqrt(CASE WHEN vln > 0 THEN vln END))
+        |    END, 6) AS ci_lo,
+        |  round(CASE WHEN sr > 0 AND ss > 0
+        |    THEN exp(ln(CASE WHEN orv > 0 THEN orv END)
+        |      + 1.959964 * sqrt(CASE WHEN vln > 0 THEN vln END))
+        |    END, 6) AS ci_hi
+        |FROM fin""".stripMargin,
+    // merged distinct-value grid, prefix count/moment windows, three
+    // exact pair masses, one assembly
+    "q426_energy_distance" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 = 0 AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), grid AS (
+        |  SELECT v, sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN NOT g THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM b GROUP BY 1
+        |), g2 AS (
+        |  SELECT v, ca, cb,
+        |    coalesce(sum(ca) OVER w, 0)::HUGEINT AS pa,
+        |    coalesce(sum(cb) OVER w, 0)::HUGEINT AS pb,
+        |    coalesce(sum(v::HUGEINT * ca) OVER w, 0) AS sa,
+        |    coalesce(sum(v::HUGEINT * cb) OVER w, 0) AS sb
+        |  FROM grid WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), ag AS (
+        |  SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+        |    sum(cb::HUGEINT * (v::HUGEINT * pa - sa)
+        |      + ca::HUGEINT * (v::HUGEINT * pb - sb)) AS mxy,
+        |    sum(ca::HUGEINT * (v::HUGEINT * pa - sa)) AS mxx,
+        |    sum(cb::HUGEINT * (v::HUGEINT * pb - sb)) AS myy
+        |  FROM g2
+        |), mm AS (
+        |  SELECT n_a, n_b,
+        |    mxy::DOUBLE / (CASE WHEN n_a::DOUBLE * n_b::DOUBLE > 0
+        |      THEN n_a::DOUBLE * n_b::DOUBLE END) AS muxy,
+        |    2.0 * mxx::DOUBLE / (CASE WHEN n_a::DOUBLE * n_a::DOUBLE > 0
+        |      THEN n_a::DOUBLE * n_a::DOUBLE END) AS muxx,
+        |    2.0 * myy::DOUBLE / (CASE WHEN n_b::DOUBLE * n_b::DOUBLE > 0
+        |      THEN n_b::DOUBLE * n_b::DOUBLE END) AS muyy
+        |  FROM ag
+        |)
+        |SELECT n_a, n_b,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN muxy END, 6) AS mu_xy,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN muxx END, 6) AS mu_xx,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN muyy END, 6) AS mu_yy,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN 2.0 * muxy - muxx - muyy END, 6) AS energy_dist
+        |FROM mm""".stripMargin,
     // q31's hex-pair byte contract; per-(doc,byte) counts,
     // x1e12-quantized -p*log2(p) terms summed HUGEINT
     "q423_byte_entropy" ->

@@ -1780,6 +1780,130 @@ object Analytics {
       (col("_k") - 1).as("df"))
   }
 
+  /** Mantel–Haenszel pooled odds ratio across strata: the stratified
+    * 2×2 combiner — OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ) — with the
+    * Robins–Breslow–Greenland variance of ln OR for a 95% CI. THE
+    * confounder-adjusted association read: a crude 2×2 can show an
+    * effect that vanishes (or reverses — Simpson) once the stratum
+    * variable is held fixed; MH pools the per-stratum effects
+    * without fitting a model. Zero-margin strata contribute nothing
+    * (standard).
+    *
+    * Exactness: per-stratum cell counts are exact int64; each
+    * rational term (ad/n, bc/n, and the three RBG component
+    * products) is ×10⁹-quantized to int64 and summed as
+    * decimal(38,0); OR, ln OR, the RBG variance and the CI are one
+    * fixed double assembly. NULL when either pooled sum is 0.
+    *
+    * Returns one row (n_strata, n, or_mh, ci_lo, ci_hi).
+    *
+    * Scale shape: one reduced (stratum) shuffle of four conditional
+    * sums, then strata-sized quantized terms reduced to 1 row. */
+  def mantelHaenszel(df: DataFrame, stratumCol: Column,
+                     exposedCol: Column, outcomeCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(stratumCol.isNotNull && exposedCol.isNotNull &&
+        outcomeCol.isNotNull)
+      .select(stratumCol.as("_s"), exposedCol.as("_e"), outcomeCol.as("_o"))
+    val cells = base.groupBy(col("_s")).agg(
+      sum(when(col("_e") && col("_o"), 1L).otherwise(0L)).as("_a"),
+      sum(when(col("_e") && !col("_o"), 1L).otherwise(0L)).as("_b"),
+      sum(when(!col("_e") && col("_o"), 1L).otherwise(0L)).as("_c"),
+      sum(when(!col("_e") && !col("_o"), 1L).otherwise(0L)).as("_d"))
+    val n = (col("_a") + col("_b") + col("_c") + col("_d")).cast("double")
+    def qq(c: Column) = floor(c * 1e9 + lit(0.5)).cast("long").cast(dec)
+    val r = col("_a").cast("double") * col("_d").cast("double") / n
+    val s = col("_b").cast("double") * col("_c").cast("double") / n
+    val p = (col("_a") + col("_d")).cast("double") / n
+    val q2 = (col("_b") + col("_c")).cast("double") / n
+    val terms = cells.filter(col("_a") + col("_b") + col("_c") +
+        col("_d") > 0)
+      .select(qq(r).as("_r"), qq(s).as("_sq"),
+        qq(p * r).as("_pr"),
+        qq(p * s + q2 * r).as("_psqr"),
+        qq(q2 * s).as("_qs"),
+        (col("_a") + col("_b") + col("_c") + col("_d")).as("_nn"))
+    val a = terms.agg(count(lit(1)).as("n_strata"), sum("_nn").as("n"),
+      sum("_r").as("_sr"), sum("_sq").as("_ss"), sum("_pr").as("_spr"),
+      sum("_psqr").as("_spsqr"), sum("_qs").as("_sqs"))
+    def d(c: String) = col(c).cast("double") / 1e9
+    val orMh = d("_sr") / when(d("_ss") > 0, d("_ss"))
+    // RBG: var(ln OR) = ΣPR/(2(ΣR)²) + Σ(PS+QR)/(2ΣRΣS) + ΣQS/(2(ΣS)²)
+    val vLn = d("_spr") / (lit(2.0) * d("_sr") * d("_sr")) +
+      d("_spsqr") / (lit(2.0) * d("_sr") * d("_ss")) +
+      d("_sqs") / (lit(2.0) * d("_ss") * d("_ss"))
+    val ok = col("_sr") > 0 && col("_ss") > 0
+    val lnOr = log(when(orMh > 0, orMh))
+    a.select(col("n_strata"), col("n"),
+      round(when(ok, orMh), 6).as("or_mh"),
+      round(when(ok, exp(lnOr - lit(1.959964) * sqrt(when(vLn > 0, vLn)))),
+        6).as("ci_lo"),
+      round(when(ok, exp(lnOr + lit(1.959964) * sqrt(when(vLn > 0, vLn)))),
+        6).as("ci_hi"))
+  }
+
+  /** Two-sample energy distance (Székely–Rizzo):
+    * E = 2·E|X−Y| − E|X−X′| − E|Y−Y′| — the distribution-equality
+    * statistic that is zero IFF the distributions match, sensitive
+    * to ANY difference (location, scale, shape) where KS keys on
+    * the single worst CDF gap and t-tests see only means. Each mean
+    * absolute difference is computed EXACTLY from the merged
+    * distinct-value grid: Σ pairs |u−v|·cnt·cnt via prefix
+    * count/moment sums — no pair join, no sampling.
+    *
+    * Exactness: values are integer-quantized; every pair-mass term
+    * v·A<(v) − S<(v) and its count weight is exact
+    * int64/decimal(38,0); the three means divide exact integers in
+    * one fixed assembly. NULL when either side is empty.
+    *
+    * Returns one row (n_a, n_b, mu_xy, mu_xx, mu_yy, energy_dist).
+    *
+    * Scale shape: one reduced (value) shuffle, prefix sums via ONE
+    * window over DISTINCT values (value-cardinality-sized, the q391
+    * posture), one 1-row agg. */
+  def energyDistance(df: DataFrame, isSliceA: Column,
+                     valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = df.filter(isSliceA.isNotNull && valueCol.isNotNull)
+      .select(isSliceA.as("_g"), valueCol.cast("long").as("_v"))
+    val grid = base.groupBy(col("_v")).agg(
+      sum(when(col("_g"), 1L).otherwise(0L)).as("_ca"),
+      sum(when(!col("_g"), 1L).otherwise(0L)).as("_cb"))
+    val prev = Window.orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g2 = grid
+      .withColumn("_pa", coalesce(sum("_ca").over(prev), lit(0L)))
+      .withColumn("_pb", coalesce(sum("_cb").over(prev), lit(0L)))
+      .withColumn("_sa", coalesce(sum((col("_v") * col("_ca")).cast(dec))
+        .over(prev), lit(0L).cast(dec)))
+      .withColumn("_sb", coalesce(sum((col("_v") * col("_cb")).cast(dec))
+        .over(prev), lit(0L).cast(dec)))
+    // pair mass against EARLIER values only (equal values add 0)
+    val mxy = (col("_cb").cast(dec) *
+        (col("_v").cast(dec) * col("_pa") - col("_sa"))) +
+      (col("_ca").cast(dec) *
+        (col("_v").cast(dec) * col("_pb") - col("_sb")))
+    val mxx = col("_ca").cast(dec) *
+      (col("_v").cast(dec) * col("_pa") - col("_sa"))
+    val myy = col("_cb").cast(dec) *
+      (col("_v").cast(dec) * col("_pb") - col("_sb"))
+    val a = g2.agg(sum("_ca").as("n_a"), sum("_cb").as("n_b"),
+      sum(mxy).as("_mxy"), sum(mxx).as("_mxx"), sum(myy).as("_myy"))
+    def d(c: Column) = c.cast("double")
+    val (na, nb) = (d(col("n_a")), d(col("n_b")))
+    val muXy = d(col("_mxy")) / when(na * nb > 0, na * nb)
+    val muXx = lit(2.0) * d(col("_mxx")) / when(na * na > 0, na * na)
+    val muYy = lit(2.0) * d(col("_myy")) / when(nb * nb > 0, nb * nb)
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    a.select(col("n_a"), col("n_b"),
+      round(when(ok, muXy), 6).as("mu_xy"),
+      round(when(ok, muXx), 6).as("mu_xx"),
+      round(when(ok, muYy), 6).as("mu_yy"),
+      round(when(ok, lit(2.0) * muXy - muXx - muYy), 6)
+        .as("energy_dist"))
+  }
+
   /** OLS influence diagnostics: per-row leverage hᵢ = vᵢᵀM⁻¹vᵢ
     * (v = (1, x₁, x₂), M = XᵀX via its six cofactors — closed form
     * over [[olsFitApply]]'s nine exact moments) and Cook's distance

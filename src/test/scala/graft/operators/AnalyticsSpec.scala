@@ -683,6 +683,41 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("mantelHaenszel: pooled OR 3.5 with RBG CI; Simpson guard") {
+    import spark.implicits._
+    // stratum 1: a4 b1 c1 d4; stratum 2: a2 b2 c2 d2 -> OR 3.5,
+    // CI (0.542043, 22.599696)
+    def cells(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+      Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    val df = (cells("s1", 4, 1, 1, 4) ++ cells("s2", 2, 2, 2, 2))
+      .toDF("st", "e", "o")
+    val r = Analytics.mantelHaenszel(df, col("st"), col("e"), col("o"))
+      .collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 18L, s"$r")
+    assert(r.getDouble(2) == 3.5 && r.getDouble(3) == 0.542043 &&
+      r.getDouble(4) == 22.599696, s"$r")
+    // perfectly concordant strata: pooled bc-sum is 0 -> undefined
+    val conc = cells("s1", 3, 0, 0, 3).toDF("st", "e", "o")
+    assert(Analytics.mantelHaenszel(conc, col("st"), col("e"), col("o"))
+      .collect()(0).isNullAt(2))
+  }
+
+  test("energyDistance: disjoint combs separate; identical is zero") {
+    import spark.implicits._
+    // a = {0,2}, b = {1,3}: mu_xy 1.5, mu_xx 1.0, mu_yy 1.0 -> E = 1.0
+    val df = Seq((true, 0L), (true, 2L), (false, 1L), (false, 3L))
+      .toDF("g", "v")
+    val r = Analytics.energyDistance(df, col("g"), col("v")).collect()(0)
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5)) == ((1.5, 1.0, 1.0, 1.0)), s"$r")
+    // identical distributions: energy exactly 0
+    val same = Seq((true, 1L), (true, 2L), (false, 1L), (false, 2L))
+      .toDF("g", "v")
+    assert(Analytics.energyDistance(same, col("g"), col("v"))
+      .collect()(0).getDouble(5) == 0.0)
+  }
+
   test("olsInfluence: corrupted high-leverage point tops Cook's D; trace(H)=p") {
     import spark.implicits._
     // exact plane y = 2 + 3x1 + 5x2 on a grid, then one far-out
