@@ -2278,6 +2278,20 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Record-count randomness: running-max records vs the harmonic
+    // law -- drift in the TAILS that q397's median signs can't see
+    "q427_records_test" -> ((s, dir) =>
+      graft.operators.TimeSeries.recordsTest(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        "event_type", Seq(col("ts"), col("event_id")),
+        floor(col("value") * 100 + lit(0.5)))),
+    // Gumbel block-maxima fit (64-obs blocks) + 100-block return
+    // level: the tail-law EXTRAPOLATION a p99 can't give
+    "q428_gumbel_fit" -> ((s, dir) =>
+      graft.operators.TimeSeries.gumbelFit(
+        t(s, dir, "events").filter(col("ts").isNotNull),
+        "event_type", Seq(col("ts"), col("event_id")),
+        floor(col("value") * 100 + lit(0.5)))),
     // Mantel-Haenszel pooled OR across event-type strata: the
     // Simpson-proof "does cohort predict big spends" with RBG CI
     "q425_mantel_haenszel" -> ((s, dir) =>
@@ -6931,6 +6945,82 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // running-max window flag, exact quantized harmonic folds, one z
+    "q427_records_test" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+        |    epoch_ns(ts) AS tt, event_id
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |), fl AS (
+        |  SELECT g, CASE WHEN pm IS NULL OR y > pm THEN 1 ELSE 0 END
+        |    AS rec
+        |  FROM (SELECT g, y, max(y) OVER (PARTITION BY g
+        |      ORDER BY tt, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |    FROM b)
+        |), ag AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(rec)::BIGINT AS r
+        |  FROM fl GROUP BY 1
+        |), hh AS (
+        |  SELECT g, n, r,
+        |    list_sum(list_transform(generate_series(1, n),
+        |      k -> CAST(floor(1e12 / k + 0.5) AS BIGINT)))::BIGINT AS hq,
+        |    list_sum(list_transform(generate_series(1, n),
+        |      k -> CAST(floor(1e12 / (k * k) + 0.5) AS BIGINT)))::BIGINT
+        |      AS h2q
+        |  FROM ag
+        |)
+        |SELECT g AS event_type, n, r AS n_records,
+        |  round(hq::DOUBLE / 1e12, 6) AS expected,
+        |  round(CASE WHEN n >= 2
+        |      AND hq::DOUBLE / 1e12 - h2q::DOUBLE / 1e12 > 0
+        |    THEN (r::DOUBLE - hq::DOUBLE / 1e12)
+        |      / sqrt(hq::DOUBLE / 1e12 - h2q::DOUBLE / 1e12) END, 6) AS z
+        |FROM hh""".stripMargin,
+    // complete 64-row block maxima, two exact moments, the Gumbel
+    // MoM constants mirrored
+    "q428_gumbel_fit" ->
+      """WITH ix AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+        |    (row_number() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_ns(ts), event_id) - 1)::BIGINT AS i
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |), blocks AS (
+        |  SELECT g, i // 64 AS blk, max(y)::BIGINT AS m,
+        |    count(*)::BIGINT AS c
+        |  FROM ix GROUP BY 1, 2
+        |  HAVING count(*) = 64
+        |), mm AS (
+        |  SELECT g, count(*)::BIGINT AS n_blocks, sum(m) AS s,
+        |    sum(m::HUGEINT * m) AS q
+        |  FROM blocks GROUP BY 1
+        |), fin AS (
+        |  SELECT g, n_blocks,
+        |    s::DOUBLE / n_blocks::DOUBLE AS mean,
+        |    (n_blocks::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE) /
+        |      (CASE WHEN n_blocks::DOUBLE * (n_blocks::DOUBLE - 1) > 0
+        |        THEN n_blocks::DOUBLE * (n_blocks::DOUBLE - 1) END)
+        |      AS vs
+        |  FROM mm
+        |), gg AS (
+        |  SELECT g, n_blocks, mean, vs,
+        |    sqrt(CASE WHEN vs > 0 THEN vs END) * sqrt(6.0::DOUBLE)
+        |      / pi() AS beta
+        |  FROM fin
+        |)
+        |SELECT g AS event_type, n_blocks,
+        |  round(CASE WHEN n_blocks >= 2 AND vs > 0
+        |    THEN mean - 0.5772156649015329 * beta END, 6) AS gumbel_loc,
+        |  round(CASE WHEN n_blocks >= 2 AND vs > 0 THEN beta END, 6)
+        |    AS gumbel_scale,
+        |  round(CASE WHEN n_blocks >= 2 AND vs > 0
+        |    THEN mean - 0.5772156649015329 * beta
+        |      + beta * (-ln(-ln(1.0 - 1.0::DOUBLE / 100))) END, 6) AS rl_t
+        |FROM gg""".stripMargin,
     // per-stratum 2x2 cells, x1e9-quantized MH and RBG terms summed
     // HUGEINT, one OR/CI assembly
     "q425_mantel_haenszel" ->

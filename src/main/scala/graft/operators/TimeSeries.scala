@@ -400,6 +400,115 @@ object TimeSeries {
       round(when(ok && d2 =!= 0 && d3 =!= 0, p33), 6).as("pacf_3"))
   }
 
+  /** Record-count randomness test per group: in an i.i.d. series the
+    * number of running-maximum records among n observations has mean
+    * Hₙ = Σ1/k and variance Hₙ − Hₙ⁽²⁾ (k-th observation is a record
+    * with probability 1/k, independently) — too many records =
+    * upward drift, too few = early peak / decaying scale. The
+    * extreme-value cousin of [[runsTest]]'s sign read: records see
+    * TREND IN THE TAILS that median signs can't.
+    *
+    * Determinism: the record flag is a strict > against the previous
+    * running max (ties are not records — documented convention), R
+    * and n are integers, and both harmonic sums ride as EXACT int64
+    * ⌊10¹²/k⌋-quantized series folded per group (a constant-time
+    * lambda over sequence(1, n) — no data pass). One z assembly.
+    * NULL z when n < 2 or variance ≤ 0.
+    *
+    * Returns (group, n, n_records, expected, z).
+    *
+    * Scale shape: one group-partitioned window sort (running max),
+    * one map-side agg; the harmonic fold is per-GROUP-ROW compute,
+    * not per data row (array-bounded to ~2³¹ observations per
+    * group; beyond that swap the fold for Hₙ ≈ ln n + γ + 1/2n —
+    * error < 1e-16 there, far below the quantizer). */
+  def recordsTest(df: DataFrame, groupCol: String,
+                  orderCols: Seq[org.apache.spark.sql.Column],
+                  valueCol: Column): DataFrame = {
+    require(orderCols.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val y = valueCol.cast("long")
+    val flagged = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), y.as("_y"),
+        max(y).over(w).as("_pm"))
+      .select(col("_g"),
+        when(col("_pm").isNull || col("_y") > col("_pm"), 1L)
+          .otherwise(0L).as("_rec"))
+    val agg = flagged.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"), sum("_rec").as("n_records"))
+      .withColumn("_hq", expr(
+        "aggregate(sequence(1, cast(n as int)), 0L, " +
+          "(acc, k) -> acc + cast(floor(1e12 / k + 0.5) as long))"))
+      .withColumn("_h2q", expr(
+        "aggregate(sequence(1, cast(n as int)), 0L, " +
+          "(acc, k) -> acc + cast(floor(1e12 / (cast(k as bigint) * k) " +
+          "+ 0.5) as long))"))
+    val h = col("_hq").cast("double") / 1e12
+    val v = h - col("_h2q").cast("double") / 1e12
+    val z = (col("n_records").cast("double") - h) / sqrt(when(v > 0, v))
+    agg.select(col(groupCol), col("n"), col("n_records"),
+      round(h, 6).as("expected"),
+      round(when(col("n") >= 2 && v > 0, z), 6).as("z"))
+  }
+
+  /** Gumbel tail fit from block maxima (method of moments): chunk
+    * each series into complete `blockSize`-observation blocks, take
+    * block maxima, and fit the Gumbel(μ, β) the maxima of light-
+    * tailed data converge to — β = s·√6/π, μ = m̄ − γβ (Euler's γ) —
+    * then read off the T-block return level μ + β·(−ln(−ln(1−1/T))):
+    * "the value exceeded once per T blocks", the capacity-planning
+    * number a p99 can't give (p99 interpolates the data; the return
+    * level EXTRAPOLATES the tail law).
+    *
+    * Exactness: block maxima are integers (one grouped max over the
+    * index-block key), their two moments are exact
+    * int64/decimal(38,0), and μ/β/return level are ONE fixed double
+    * assembly (√6/π and γ as shared literals, mirrored in the
+    * oracle). NULL when fewer than 2 complete blocks or zero
+    * variance.
+    *
+    * Returns (group, n_blocks, gumbel_loc, gumbel_scale, rl_t).
+    *
+    * Scale shape: one group window sort for row indices, one
+    * (group, block) max reduction, one group agg — [[hurst]]'s cost
+    * class at a single block size. */
+  def gumbelFit(df: DataFrame, groupCol: String,
+                orderCols: Seq[org.apache.spark.sql.Column],
+                valueCol: Column, blockSize: Int = 64,
+                returnPeriod: Int = 100): DataFrame = {
+    require(blockSize >= 2 && returnPeriod >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    val dec = "decimal(38,0)"
+    val idx = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("long").as("_y"),
+        (row_number().over(w) - 1).cast("long").as("_i"))
+    val blocks = idx.groupBy(col("_g"), expr(s"_i div $blockSize"))
+      .agg(max("_y").as("_m"), count(lit(1)).as("_c"))
+      .filter(col("_c") === blockSize)
+    val m = blocks.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("_m").cast(dec)).as("_s"),
+        sum((col("_m") * col("_m")).cast(dec)).as("_q"))
+    val nb = col("n_blocks").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val mean = d("_s") / nb
+    val varS = (nb * d("_q") - d("_s") * d("_s")) /
+      when(nb * (nb - 1) > 0, nb * (nb - 1))
+    val beta = sqrt(when(varS > 0, varS)) * sqrt(lit(6.0)) /
+      lit(math.Pi)
+    val mu = mean - lit(0.5772156649015329) * beta
+    val yT = -log(-log(lit(1.0) - lit(1.0) / returnPeriod))
+    val ok = col("n_blocks") >= 2 && varS > 0
+    m.select(col(groupCol), col("n_blocks"),
+      round(when(ok, mu), 6).as("gumbel_loc"),
+      round(when(ok, beta), 6).as("gumbel_scale"),
+      round(when(ok, mu + beta * yT), 6).as("rl_t"))
+  }
+
   /** Hurst exponent per group by the aggregated-variance method:
     * block-average the series at sizes m ∈ {1,2,4,8,16}; for
     * long-range-dependent series Var(X̄ₘ) ∝ m^(2H−2), so H falls out

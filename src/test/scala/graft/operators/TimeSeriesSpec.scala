@@ -474,6 +474,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("s").isNullAt(2), s"${out("s")}")
   }
 
+  test("recordsTest: harmonic expectation; ramp maxes the z") {
+    import org.apache.spark.sql.functions.col
+    // a: 3,1,4,1,5 -> records {3,4,5}, H_5 = 2.283333, z = 0.79156
+    // r: pure ramp -> every row a record, z = 3.000565
+    val rows = Seq(3L, 1L, 4L, 1L, 5L).zipWithIndex.map { case (v, i) =>
+      ("a", i.toLong, v) } ++
+      (1 to 5).map(i => ("r", i.toLong, i.toLong))
+    val out = TimeSeries.recordsTest(rows.toDF("g", "t", "v"), "g",
+        Seq(col("t")), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(2) == 3L &&
+      out("a").getDouble(3) == 2.283333 &&
+      out("a").getDouble(4) == 0.79156, s"${out("a")}")
+    assert(out("r").getLong(2) == 5L &&
+      out("r").getDouble(4) == 3.000565, s"${out("r")}")
+  }
+
+  test("gumbelFit: hand MoM fit on block maxima; short group null") {
+    import org.apache.spark.sql.functions.col
+    // maxima (5,8,4,9) at blockSize=2: mu=5.428659, beta=1.85605,
+    // rl100=13.966764
+    val rows = Seq(1L, 5L, 2L, 8L, 3L, 4L, 9L, 2L).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) } ++
+      Seq(("s", 1L, 7L))
+    val out = TimeSeries.gumbelFit(rows.toDF("g", "t", "v"), "g",
+        Seq(col("t")), col("v"), blockSize = 2, returnPeriod = 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 4L && a.getDouble(2) == 5.428659 &&
+      a.getDouble(3) == 1.85605 && a.getDouble(4) == 13.966764, s"$a")
+    assert(!out.contains("s"), s"$out")
+  }
+
   test("siegelSlope: one outlier can't move it where Theil-Sen folds") {
     import org.apache.spark.sql.functions.col
     // (1,1),(2,2),(3,3),(4,100): Siegel 1.0; Theil-Sen would say 17
