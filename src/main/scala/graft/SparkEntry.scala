@@ -2278,6 +2278,21 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Span-level contamination report: WHERE the benchmark 13-grams
+    // hit inside each contaminated doc -- trim-vs-drop triage above
+    // q67's binary gate
+    "q429_contamination_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.contaminationSpans(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
+    // Q-Q decile line between cohort value distributions: scale
+    // ratio, shift, straightness -- the 3-number Q-Q plot summary
+    "q430_qq_fit" -> ((s, dir) =>
+      Analytics.qqFit(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id") % 2 === 0,
+        floor(col("value") * 100 + lit(0.5)))),
     // Record-count randomness: running-max records vs the harmonic
     // law -- drift in the TAILS that q397's median signs can't see
     "q427_records_test" -> ((s, dir) =>
@@ -6945,6 +6960,82 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // q67's positioned-gram CTE kept undistinct on the corpus side;
+    // per-doc hit positions vs the broadcast benchmark gram set
+    "q429_contamination_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), gi AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 12)) AS i
+        |  FROM tok
+        |), gpos AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(list_slice(ts, i, i + 12), ' ') AS s
+        |  FROM gi WHERE doc_id % 10 <> 0
+        |), bg AS (
+        |  SELECT DISTINCT array_to_string(list_slice(ts, i, i + 12), ' ')
+        |    AS s
+        |  FROM gi WHERE doc_id % 10 = 0
+        |), hits AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_hits,
+        |    min(i)::BIGINT AS first_hit_pos, max(i)::BIGINT AS last_hit_pos
+        |  FROM gpos JOIN bg USING (s) GROUP BY 1
+        |), totals AS (
+        |  SELECT doc_id, greatest(len(ts) - 12, 0)::BIGINT AS n_grams
+        |  FROM tok WHERE doc_id % 10 <> 0
+        |)
+        |SELECT h.doc_id, n_grams, n_hits, first_hit_pos, last_hit_pos,
+        |  round(n_hits::DOUBLE / n_grams::DOUBLE, 6) AS hit_frac
+        |FROM hits h JOIN totals USING (doc_id)""".stripMargin,
+    // quantile_cont decile vectors, x1e6-quantized, fixed 9-term
+    // double OLS chain (left-associated exactly like the operator)
+    "q430_qq_fit" ->
+      s"""WITH b AS (
+        |  SELECT user_id % 2 = 0 AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), qs AS (
+        |  SELECT g, count(*)::BIGINT AS n,
+        |    quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+        |      0.9]) AS q
+        |  FROM b GROUP BY 1
+        |), one AS (
+        |  SELECT a.n AS n_a, bb.n AS n_b, a.q AS qa, bb.q AS qb
+        |  FROM (SELECT n, q FROM qs WHERE g) a,
+        |    (SELECT n, q FROM qs WHERE NOT g) bb
+        |), q2 AS (
+        |  SELECT n_a, n_b,
+        |${(1 to 9).map(i => s"    CAST(floor(qa[$i] * 1e6 + 0.5) AS BIGINT)::DOUBLE AS x$i,").mkString("\n|")}
+        |${(1 to 9).map(i => s"    CAST(floor(qb[$i] * 1e6 + 0.5) AS BIGINT)::DOUBLE AS y$i").mkString(",\n|")}
+        |  FROM one
+        |), ss AS (
+        |  SELECT n_a, n_b,
+        |    ${(1 to 9).map(i => s"x$i").mkString(" + ")} AS sx,
+        |    ${(1 to 9).map(i => s"y$i").mkString(" + ")} AS sy,
+        |    ${(1 to 9).map(i => s"x$i * y$i").mkString(" + ")} AS sxy,
+        |    ${(1 to 9).map(i => s"x$i * x$i").mkString(" + ")} AS sxx,
+        |    ${(1 to 9).map(i => s"y$i * y$i").mkString(" + ")} AS syy
+        |  FROM q2
+        |), fin AS (
+        |  SELECT n_a, n_b,
+        |    (9.0 * sxy - sx * sy) / (CASE WHEN 9.0 * sxx - sx * sx > 0
+        |      THEN 9.0 * sxx - sx * sx END) AS slope,
+        |    sx, sy, sxx, syy, sxy
+        |  FROM ss
+        |)
+        |SELECT n_a, n_b,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 THEN slope END, 6)
+        |    AS qq_slope,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN (sy - slope * sx) / 9.0 / 1e6 END, 6) AS qq_intercept,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN (9.0 * sxy - sx * sy) /
+        |      sqrt(CASE WHEN (9.0 * sxx - sx * sx)
+        |          * (9.0 * syy - sy * sy) > 0
+        |        THEN (9.0 * sxx - sx * sx) * (9.0 * syy - sy * sy) END)
+        |    END, 6) AS qq_r
+        |FROM fin""".stripMargin,
     // running-max window flag, exact quantized harmonic folds, one z
     "q427_records_test" ->
       """WITH b AS (

@@ -41,6 +41,17 @@ object HashFunctions {
     * 5000 docs at sf0.1 vs ~2 s for this formulation). Here the token
     * array is evaluated once per slice argument, and the lambdas only
     * touch their bound variables. */
+  /** [[shingles]] WITHOUT the distinct — every token position keeps
+    * its gram, in order, so `posexplode` yields (token offset, gram)
+    * pairs for span-level reporting (q429). */
+  def shinglesAll(text: Column, n: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    val nSh = greatest(size(toks) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(toks, lit(1), nSh)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), nSh), (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = TextFunctions.tokens(text)
     // slices share one length so zip_with never null-pads; length 0

@@ -1780,6 +1780,65 @@ object Analytics {
       (col("_k") - 1).as("df"))
   }
 
+  /** Q–Q line fit between two samples: the OLS line through the
+    * paired deciles (B's quantiles on A's) — slope ≈ scale ratio,
+    * intercept ≈ location shift, r ≈ "is the Q–Q plot straight"
+    * (straight-but-tilted = same family different parameters; bent =
+    * different shape). The three-number summary of the Q–Q plot
+    * analysts eyeball, computable where no one can eyeball 10⁹ rows.
+    *
+    * Exactness: both decile vectors are exact interpolated
+    * percentiles (= DuckDB `quantile_cont` — cross-engine-identical
+    * doubles), ×10⁶-quantized to int64; the 9-point OLS runs as a
+    * FIXED left-associated double chain — no distributed float sum,
+    * no past-2⁵³ conversion (the q413 rule). NULL
+    * when either side is empty or A's deciles are all equal.
+    *
+    * Returns one row (n_a, n_b, qq_slope, qq_intercept, qq_r).
+    *
+    * Scale shape: two exact-percentile aggs (the [[kruskalWallis]]
+    * family's cost), one 1-row cross, a constant 9-term assembly. */
+  def qqFit(df: DataFrame, isSliceA: Column,
+            valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ps = (1 to 9).map(_ / 10.0)
+    val base = df.filter(isSliceA.isNotNull && valueCol.isNotNull)
+      .select(isSliceA.as("_g"), valueCol.cast("long").as("_v"))
+    val qs = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        expr(s"percentile(_v, array(${ps.mkString(", ")}))").as("_q"))
+    val one = qs.agg(
+      max(when(col("_g"), col("_n"))).as("n_a"),
+      max(when(!col("_g"), col("_n"))).as("n_b"),
+      max(when(col("_g"), col("_q"))).as("_qa"),
+      max(when(!col("_g"), col("_q"))).as("_qb"))
+    // quantize each decile to int64, then assemble ENTIRELY in double
+    // arithmetic with a fixed 9-term chain (the q413 rule: no
+    // past-2^53 decimal->double conversion anywhere; IEEE ops on
+    // identical operands are engine-identical)
+    def el(arr: String, i: Int) =
+      floor(element_at(col(arr), i) * 1e6 + lit(0.5)).cast("long")
+        .cast("double")
+    val xs = (1 to 9).map(el("_qa", _))
+    val ys = (1 to 9).map(el("_qb", _))
+    val p = lit(9.0)
+    val sx = xs.reduce(_ + _)
+    val sy = ys.reduce(_ + _)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.reduce(_ + _)
+    val sxx = xs.map(x => x * x).reduce(_ + _)
+    val syy = ys.map(y => y * y).reduce(_ + _)
+    val den = p * sxx - sx * sx
+    val slope = (p * sxy - sx * sy) / when(den > 0, den)
+    val icept = (sy - slope * sx) / lit(9.0) / 1e6
+    val rDen = den * (p * syy - sy * sy)
+    val r = (p * sxy - sx * sy) / sqrt(when(rDen > 0, rDen))
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    one.select(col("n_a"), col("n_b"),
+      round(when(ok, slope), 6).as("qq_slope"),
+      round(when(ok, icept), 6).as("qq_intercept"),
+      round(when(ok, r), 6).as("qq_r"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio across strata: the stratified
     * 2×2 combiner — OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ) — with the
     * Robins–Breslow–Greenland variance of ln OR for a 95% CI. THE

@@ -484,6 +484,51 @@ object Sampling {
           (col("n").cast("double") / col("_N")), 6).as("ece_term"))
   }
 
+  /** Span-level contamination report: for every corpus doc sharing a
+    * token n-gram with the benchmark, WHERE the hits sit — hit
+    * count, first/last hit token position (1-based), and the hit
+    * fraction of its n-gram positions. The audit upgrade of
+    * [[ngramDecontaminate]]'s binary drop: "one quoted sentence at
+    * position 847" and "40% of the doc is benchmark text" both fail
+    * the gate, but a curator treats them differently (trim the span
+    * vs drop the doc).
+    *
+    * Positions come from the UNDEDUPLICATED shingle array
+    * ([[graft.functions.HashFunctions.shinglesAll]]), so a gram
+    * repeated at several positions counts each one. Clean docs emit
+    * no row (the report is about contaminated docs).
+    *
+    * Returns (doc_id, n_grams, n_hits, first_hit_pos, last_hit_pos,
+    * hit_frac).
+    *
+    * Scale shape: [[ngramDecontaminate]]'s exact posture — benchmark
+    * grams distinct-reduced and broadcast, corpus shingled once with
+    * NO corpus shuffle before the hit filter; only hit positions
+    * (rare) reach the per-doc agg; totals ride a scan projection. */
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+                         n: Int = 13, corpusText: String = "text",
+                         benchmarkText: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.HashFunctions.{shingles, shinglesAll}
+    val bfp = broadcast(benchmark
+      .select(explode(shingles(col(benchmarkText), n)).as("_bs"))
+      .distinct())
+    val pos = corpus.select(col(idCol),
+      posexplode(shinglesAll(col(corpusText), n)).as(Seq("_p", "_s")))
+    val hits = pos.join(bfp, col("_s") === col("_bs"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        (min("_p") + 1).cast("long").as("first_hit_pos"),
+        (max("_p") + 1).cast("long").as("last_hit_pos"))
+    val totals = corpus.select(col(idCol),
+      size(shinglesAll(col(corpusText), n)).cast("long").as("n_grams"))
+    hits.join(totals, Seq(idCol))
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        col("first_hit_pos"), col("last_hit_pos"),
+        round(col("n_hits").cast("double") /
+          col("n_grams").cast("double"), 6).as("hit_frac"))
+  }
+
   /** Rendezvous (highest-random-weight) sharding with a resharding
     * stability audit: each row lands on the shard whose
     * md5(row, shard) is highest — the assignment scheme whose

@@ -683,6 +683,18 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("qqFit: exact affine relation recovered from deciles") {
+    import spark.implicits._
+    // b = 2a + 5 exactly: slope 2, intercept 5, r = 1
+    val a = (1L to 20L)
+    val df = (a.map((true, _)) ++ a.map(v => (false, 2 * v + 5)))
+      .toDF("g", "v")
+    val r = Analytics.qqFit(df, col("g"), col("v")).collect()(0)
+    assert(r.getLong(0) == 20L && r.getLong(1) == 20L, s"$r")
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0 &&
+      r.getDouble(4) == 1.0, s"$r")
+  }
+
   test("mantelHaenszel: pooled OR 3.5 with RBG CI; Simpson guard") {
     import spark.implicits._
     // stratum 1: a4 b1 c1 d4; stratum 2: a2 b2 c2 d2 -> OR 3.5,

@@ -316,6 +316,24 @@ class SamplingSpec extends SparkSpec {
     assert(out(1L) == ((2L, 2L, 0.35, 1.0, 0.325)), s"$out")
   }
 
+  test("contaminationSpans: hit positions and fraction; clean docs absent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq((1L, "a b c d e"), (2L, "p q r s t"),
+      (3L, "x y x y x")).toDF("doc_id", "text")
+    val bench = Seq((10L, "b c d"), (11L, "x y x")).toDF("doc_id", "text")
+    val out = Sampling.contaminationSpans(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    // doc 1: gram "b c d" at position 2 of 3
+    assert(out(1L) == ((3L, 1L, 2L, 2L, 0.333333)), s"$out")
+    // doc 3: "x y x" repeats at positions 1 AND 3
+    assert(out(3L) == ((3L, 2L, 1L, 3L, 0.666667)), s"$out")
+    // doc 2 shares nothing: no row
+    assert(!out.contains(2L), s"$out")
+  }
+
   test("rendezvousShard: movers land ONLY on the new shard; ~1/nNew move") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
