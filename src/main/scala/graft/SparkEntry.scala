@@ -2278,6 +2278,18 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Cliff's delta + CLES: HOW BIG q391's rank difference is, with
+    // the Romano magnitude label
+    "q431_cliffs_delta" -> ((s, dir) =>
+      Analytics.cliffsDelta(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id") % 2 === 0,
+        floor(col("value") * 100 + lit(0.5)))),
+    // Mood's median test: above/below the POOLED median per event
+    // type -- the assumption-free location check beside q229's KW
+    "q432_moods_median" -> ((s, dir) =>
+      Analytics.moodsMedianTest(t(s, dir, "events"),
+        "event_type", floor(col("value") * 100 + lit(0.5)))),
     // Span-level contamination report: WHERE the benchmark 13-grams
     // hit inside each contaminated doc -- trim-vs-drop triage above
     // q67's binary gate
@@ -6960,6 +6972,90 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // q391's doubled-rank CTE chain; delta/CLES/magnitude off the
+    // same exact 2U_A
+    "q431_cliffs_delta" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 = 0 AS a,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS s
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), sc AS (SELECT s, count(*)::BIGINT AS t FROM b GROUP BY 1),
+        |rk AS (
+        |  SELECT s, t, 2 * coalesce(sum(t) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+        |  FROM sc
+        |), gs AS (SELECT a, s, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        |pg AS (
+        |  SELECT a, sum(c)::BIGINT AS nj, sum(c * rk.r2)::BIGINT AS r2j
+        |  FROM gs JOIN rk USING (s) GROUP BY 1
+        |), ag AS (
+        |  SELECT max(CASE WHEN a THEN nj END)::BIGINT AS n_a,
+        |    max(CASE WHEN NOT a THEN nj END)::BIGINT AS n_b,
+        |    max(CASE WHEN a THEN r2j END)::BIGINT AS r2a
+        |  FROM pg
+        |), u AS (
+        |  SELECT n_a, n_b, (r2a - n_a * (n_a + 1))::BIGINT AS u2a,
+        |    n_a::DOUBLE AS nad, n_b::DOUBLE AS nbd
+        |  FROM ag WHERE n_a IS NOT NULL AND n_b IS NOT NULL
+        |)
+        |SELECT n_a, n_b,
+        |  round(2.0 * (u2a::DOUBLE / 2.0) /
+        |    (CASE WHEN nad * nbd > 0 THEN nad * nbd END) - 1, 6)
+        |    AS cliffs_delta,
+        |  round((u2a::DOUBLE / 2.0) /
+        |    (CASE WHEN nad * nbd > 0 THEN nad * nbd END), 6) AS cles,
+        |  CASE WHEN nad * nbd > 0 THEN
+        |    CASE WHEN abs(2.0 * (u2a::DOUBLE / 2.0) / (nad * nbd) - 1)
+        |        < 0.147 THEN 'negligible'
+        |      WHEN abs(2.0 * (u2a::DOUBLE / 2.0) / (nad * nbd) - 1)
+        |        < 0.33 THEN 'small'
+        |      WHEN abs(2.0 * (u2a::DOUBLE / 2.0) / (nad * nbd) - 1)
+        |        < 0.474 THEN 'medium'
+        |      ELSE 'large' END
+        |  END AS magnitude
+        |FROM u""".stripMargin,
+    // pooled exact median, per-group 2-cell chi2 terms quantized
+    "q432_moods_median" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), md AS (SELECT median(v) AS m FROM b),
+        |cells AS (
+        |  SELECT g,
+        |    sum(CASE WHEN v::DOUBLE > m THEN 1 ELSE 0 END)::BIGINT AS ab,
+        |    sum(CASE WHEN v::DOUBLE > m THEN 0 ELSE 1 END)::BIGINT AS be
+        |  FROM b, md GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(ab)::BIGINT AS ta, sum(be)::BIGINT AS tb,
+        |    count(*)::BIGINT AS k
+        |  FROM cells
+        |), tq AS (
+        |  SELECT CAST(floor((
+        |    (ab::DOUBLE - (ab + be)::DOUBLE * ta::DOUBLE
+        |        / (ta + tb)::DOUBLE)
+        |      * (ab::DOUBLE - (ab + be)::DOUBLE * ta::DOUBLE
+        |        / (ta + tb)::DOUBLE)
+        |      / (CASE WHEN (ab + be)::DOUBLE * ta::DOUBLE
+        |          / (ta + tb)::DOUBLE > 0
+        |        THEN (ab + be)::DOUBLE * ta::DOUBLE / (ta + tb)::DOUBLE
+        |        END)
+        |    + (be::DOUBLE - (ab + be)::DOUBLE * tb::DOUBLE
+        |        / (ta + tb)::DOUBLE)
+        |      * (be::DOUBLE - (ab + be)::DOUBLE * tb::DOUBLE
+        |        / (ta + tb)::DOUBLE)
+        |      / (CASE WHEN (ab + be)::DOUBLE * tb::DOUBLE
+        |          / (ta + tb)::DOUBLE > 0
+        |        THEN (ab + be)::DOUBLE * tb::DOUBLE / (ta + tb)::DOUBLE
+        |        END)) * 1e9 + 0.5) AS BIGINT) AS tqv,
+        |    ta, tb, k
+        |  FROM cells, tot
+        |), ag AS (SELECT ta, tb, k, sum(tqv) AS s FROM tq GROUP BY 1, 2, 3)
+        |SELECT k, (ta + tb)::BIGINT AS n, ta AS n_above,
+        |  round(CASE WHEN ta > 0 AND tb > 0 AND k >= 2
+        |    THEN s::DOUBLE / 1e9 END, 6) AS chi2,
+        |  (k - 1)::BIGINT AS df
+        |FROM ag""".stripMargin,
     // q67's positioned-gram CTE kept undistinct on the corpus side;
     // per-doc hit positions vs the broadcast benchmark gram set
     "q429_contamination_spans" ->

@@ -854,6 +854,89 @@ object Analytics {
         .as("z"))
   }
 
+  /** Cliff's delta ordinal effect size: δ = P(x>y) − P(x<y) =
+    * 2U_A/(n_A·n_B) − 1 — HOW BIG the two-sample rank difference is
+    * (q391's z says only whether it exists; at corpus scale
+    * everything is "significant"). Rides [[mannWhitneyU]]'s doubled-
+    * rank machinery: U_A is already exact in halves, so δ is one
+    * fixed division, and the common-language effect size
+    * CLES = U_A/(n_A·n_B) comes free. The magnitude label uses the
+    * standard Romano et al. cuts (|δ| < 0.147 negligible, < 0.33
+    * small, < 0.474 medium, else large).
+    *
+    * Returns one row (n_a, n_b, cliffs_delta, cles, magnitude).
+    *
+    * Scale shape: exactly [[mannWhitneyU]]'s — one reduced (score)
+    * shuffle, doubled ranks over the distinct-score window, one
+    * pivoted row. */
+  def cliffsDelta(df: DataFrame, isSliceA: Column,
+                  scoreCol: Column): DataFrame = {
+    val mw = mannWhitneyU(df, isSliceA, scoreCol)
+    val prod = col("n_a").cast("double") * col("n_b").cast("double")
+    val delta = lit(2.0) * col("u_a") / when(prod > 0, prod) - 1
+    val mag = when(abs(delta) < 0.147, "negligible")
+      .when(abs(delta) < 0.33, "small")
+      .when(abs(delta) < 0.474, "medium")
+      .otherwise("large")
+    mw.select(col("n_a"), col("n_b"),
+      round(delta, 6).as("cliffs_delta"),
+      round(col("u_a") / when(prod > 0, prod), 6).as("cles"),
+      when(prod > 0, mag).as("magnitude"))
+  }
+
+  /** Mood's median test across k groups: classify every value
+    * against the POOLED median, then χ² on the k×2 above/at-or-below
+    * table — the coarse-but-assumption-free location test (only
+    * counts cross the median, so one wild tail can't move it; the
+    * trade is power vs [[kruskalWallis]]). Expected counts from the
+    * margins; χ² = Σ(O−E)²/E over the 2k cells, df = k−1.
+    *
+    * Exactness: the pooled median is the exact interpolated
+    * percentile; above/at-or-below counts are exact int64; each
+    * cell's rational term is ×10⁹-quantized and summed as
+    * decimal(38,0); one division back. NULL when any margin is 0.
+    *
+    * Returns one row (k, n, n_above, chi2, df).
+    *
+    * Scale shape: one exact-percentile agg broadcast back, one
+    * reduced (group) count shuffle, a k-row quantized reduction. */
+  def moodsMedianTest(df: DataFrame, groupCol: String,
+                      valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("long").as("_v"))
+    val med = broadcast(base.agg(
+      expr("percentile(_v, 0.5)").as("_med")))
+    val cells = base.crossJoin(med)
+      .groupBy(col("_g"))
+      .agg(sum(when(col("_v").cast("double") > col("_med"), 1L)
+        .otherwise(0L)).as("_ab"),
+        sum(when(col("_v").cast("double") > col("_med"), 0L)
+          .otherwise(1L)).as("_be"))
+    val tot = broadcast(cells.agg(sum("_ab").as("_ta"),
+      sum("_be").as("_tb"), count(lit(1)).as("_k")))
+    val withT = cells.crossJoin(tot)
+    val n = (col("_ta") + col("_tb")).cast("double")
+    val ni = (col("_ab") + col("_be")).cast("double")
+    val ea = ni * col("_ta").cast("double") / n
+    val eb = ni * col("_tb").cast("double") / n
+    val term =
+      (col("_ab").cast("double") - ea) * (col("_ab").cast("double") - ea) /
+        when(ea > 0, ea) +
+      (col("_be").cast("double") - eb) * (col("_be").cast("double") - eb) /
+        when(eb > 0, eb)
+    val agg = withT
+      .select(floor(term * 1e9 + lit(0.5)).cast("long").cast(dec)
+        .as("_tq"), col("_ta"), col("_tb"), col("_k"))
+      .groupBy(col("_ta"), col("_tb"), col("_k"))
+      .agg(sum("_tq").as("_s"))
+    val ok = col("_ta") > 0 && col("_tb") > 0 && col("_k") >= 2
+    agg.select(col("_k").as("k"), (col("_ta") + col("_tb")).as("n"),
+      col("_ta").as("n_above"),
+      round(when(ok, col("_s").cast("double") / 1e9), 6).as("chi2"),
+      (col("_k") - 1).as("df"))
+  }
+
   /** Wilcoxon signed-rank: the PAIRED companion to [[mannWhitneyU]]
     * — each unit carries its own before/after (or A/B) difference,
     * so between-unit variance cancels instead of inflating σ. Zero

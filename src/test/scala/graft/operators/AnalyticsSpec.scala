@@ -683,6 +683,36 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("cliffsDelta: full separation is 1/large; identical is 0/negligible") {
+    import spark.implicits._
+    val sep = Seq((true, 3L), (true, 4L), (false, 1L), (false, 2L))
+      .toDF("a", "v")
+    val r = Analytics.cliffsDelta(sep, col("a"), col("v")).collect()(0)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 &&
+      r.getString(4) == "large", s"$r")
+    val same = Seq((true, 1L), (true, 2L), (false, 1L), (false, 2L))
+      .toDF("a", "v")
+    val r2 = Analytics.cliffsDelta(same, col("a"), col("v")).collect()(0)
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.5 &&
+      r2.getString(4) == "negligible", s"$r2")
+  }
+
+  test("moodsMedianTest: separated halves give chi2 8; identical gives 0") {
+    import spark.implicits._
+    // a all below pooled median, b all above: chi2 = 8 on 2 groups of 4
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(5L, 6L, 7L, 8L).map(("b", _))).toDF("g", "v")
+    val r = Analytics.moodsMedianTest(df, "g", col("v")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 8L &&
+      r.getLong(2) == 4L && r.getDouble(3) == 8.0 &&
+      r.getLong(4) == 1L, s"$r")
+    // identical groups: chi2 0
+    val same = (Seq(1L, 2L).map(("a", _)) ++ Seq(1L, 2L).map(("b", _)))
+      .toDF("g", "v")
+    assert(Analytics.moodsMedianTest(same, "g", col("v"))
+      .collect()(0).getDouble(3) == 0.0)
+  }
+
   test("qqFit: exact affine relation recovered from deciles") {
     import spark.implicits._
     // b = 2a + 5 exactly: slope 2, intercept 5, r = 1
