@@ -2278,6 +2278,25 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // Page's trend: does per-user spend RISE across the ordered
+    // time-of-day thirds -- the monotone-alternative power q398's
+    // omnibus spends everywhere
+    "q433_page_trend" -> ((s, dir) =>
+      Analytics.pageTrend(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull &&
+            col("ts").isNotNull)
+          .groupBy(col("user_id"),
+            expr("(ts div 3600000000000) % 24 div 8").as("tod"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("v")),
+        "user_id", "tod", col("v"))),
+    // Grubbs: the single most extreme cent value per event type,
+    // identified -- the record-level suspect beside q131's flags
+    "q434_grubbs" -> ((s, dir) =>
+      Analytics.grubbs(t(s, dir, "events"),
+        "event_type", col("event_id"),
+        floor(col("value") * 100 + lit(0.5)))),
     // Cliff's delta + CLES: HOW BIG q391's rank difference is, with
     // the Romano magnitude label
     "q431_cliffs_delta" -> ((s, dir) =>
@@ -6972,6 +6991,77 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // q398's complete-block ranks + the ordered-level weights; no-tie
+    // Page moments, one z
+    "q433_page_trend" ->
+      """WITH cells AS (
+        |  SELECT user_id AS bk,
+        |    epoch_ns(ts) // 3600000000000 % 24 // 8 AS tr,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), kk AS (SELECT count(DISTINCT tr)::BIGINT AS k FROM cells),
+        |comp AS (
+        |  SELECT bk, tr, v FROM (
+        |    SELECT bk, tr, v, count(*) OVER (PARTITION BY bk) AS bn
+        |    FROM cells)
+        |  WHERE bn = (SELECT k FROM kk)
+        |), rk AS (
+        |  SELECT bk, tr,
+        |    2 * (rank() OVER (PARTITION BY bk ORDER BY v))
+        |      + count(*) OVER (PARTITION BY bk, v) - 1 AS r2,
+        |    dense_rank() OVER (PARTITION BY bk ORDER BY tr) AS j
+        |  FROM comp
+        |), rj AS (
+        |  SELECT tr, max(j)::BIGINT AS jj, sum(r2)::BIGINT AS rj2
+        |  FROM rk GROUP BY 1
+        |), l2 AS (
+        |  SELECT sum(jj::HUGEINT * rj2) AS lv,
+        |    count(DISTINCT tr)::BIGINT AS kk2
+        |  FROM rj
+        |), bc AS (SELECT count(DISTINCT bk)::BIGINT AS b FROM comp),
+        |fin AS (
+        |  SELECT kk2 AS k, b, lv::DOUBLE / 2 AS l,
+        |    kk2::DOUBLE AS kd, b::DOUBLE AS bd
+        |  FROM l2, bc
+        |)
+        |SELECT k, b,
+        |  round(CASE WHEN b >= 1 AND k >= 3 THEN l END, 6) AS l_stat,
+        |  round(CASE WHEN b >= 1 AND k >= 3
+        |      AND bd * kd * kd * (kd + 1) * (kd * kd - 1) / 144 > 0
+        |    THEN (l - bd * kd * (kd + 1) * (kd + 1) / 4)
+        |      / sqrt(bd * kd * kd * (kd + 1) * (kd * kd - 1) / 144)
+        |    END, 6) AS z
+        |FROM fin""".stripMargin,
+    // broadcast moments, deterministic quantized-deviation argmax
+    "q434_grubbs" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, event_id AS id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL
+        |), m AS (
+        |  SELECT g AS gm, count(*)::BIGINT AS n, sum(v) AS s,
+        |    sum(v::HUGEINT * v) AS q
+        |  FROM b GROUP BY 1
+        |), r AS (
+        |  SELECT b.g, b.id, b.v, n,
+        |    abs(b.v::DOUBLE - s::DOUBLE / n::DOUBLE) AS dev,
+        |    (n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE) /
+        |      (CASE WHEN n::DOUBLE * (n::DOUBLE - 1) > 0
+        |        THEN n::DOUBLE * (n::DOUBLE - 1) END) AS vs
+        |  FROM b JOIN m ON b.g = m.gm
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY g ORDER BY
+        |    CAST(floor(dev * 1e6 + 0.5) AS BIGINT) DESC, id) AS rn
+        |  FROM r
+        |)
+        |SELECT g AS event_type, n, id AS outlier_id,
+        |  v AS outlier_value,
+        |  round(CASE WHEN n >= 3 AND vs > 0 THEN dev / sqrt(vs) END, 6)
+        |    AS g_stat
+        |FROM rk WHERE rn = 1""".stripMargin,
     // q391's doubled-rank CTE chain; delta/CLES/magnitude off the
     // same exact 2U_A
     "q431_cliffs_delta" ->

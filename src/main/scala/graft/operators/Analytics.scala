@@ -2599,6 +2599,109 @@ object Analytics {
       round(when(col("_nn") >= 2, z), 6).as("z"))
   }
 
+  /** Page's trend test over (block, ORDERED treatment, value) cells:
+    * L = Σⱼ j·Rⱼ on within-block ranks — the monotone-alternative
+    * power [[friedman]] spends everywhere ("does the response RISE
+    * across the ordered levels", not just "differ"). Complete blocks
+    * only; ties take average ranks; z uses the classic no-tie
+    * moments E[L] = bk(k+1)²/4, Var[L] = bk²(k+1)(k²−1)/144
+    * (documented convention — heavy ties inflate |z| slightly).
+    * Treatment order = the natural ordering of the treatment column.
+    *
+    * Exactness: doubled ranks (the [[friedman]] trick) keep L exact
+    * in halves; the z is one fixed double assembly. NULL when b = 0
+    * or k < 3.
+    *
+    * Returns one row (k, b, l_stat, z).
+    *
+    * Scale shape: [[friedman]]'s — block-size window, two ranking
+    * windows over k-row groups, k-sized reductions. */
+  def pageTrend(cells: DataFrame, blockCol: String, treatCol: String,
+                valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = cells.filter(col(blockCol).isNotNull &&
+        col(treatCol).isNotNull && valueCol.isNotNull)
+      .select(col(blockCol).as("_b"), col(treatCol).as("_t"),
+        valueCol.cast("long").as("_v"))
+    val k1 = base.agg(countDistinct(col("_t")).as("_k"))
+    val complete = base.crossJoin(broadcast(k1))
+      .withColumn("_bn", count(lit(1))
+        .over(Window.partitionBy(col("_b"))))
+      .withColumn("_bt", size(collect_set(col("_t"))
+        .over(Window.partitionBy(col("_b")))))
+      .filter(col("_bn") === col("_k") && col("_bt") === col("_k"))
+    val ranked = complete
+      .withColumn("_minr", rank().over(
+        Window.partitionBy(col("_b")).orderBy(col("_v"))))
+      .withColumn("_tie", count(lit(1)).over(
+        Window.partitionBy(col("_b"), col("_v"))))
+      .withColumn("_r2", lit(2L) * col("_minr") + col("_tie") - 1)
+      .withColumn("_j", dense_rank().over(
+        Window.partitionBy(col("_b")).orderBy(col("_t"))))
+    val rj = ranked.groupBy(col("_t"))
+      .agg(max("_j").as("_jj"), sum("_r2").as("_rj2"))
+      .agg(sum((col("_jj") * col("_rj2")).cast(dec)).as("_l2"),
+        countDistinct(col("_t")).as("_kk"))
+    val bc = ranked.select(col("_b")).distinct()
+      .agg(count(lit(1)).as("_bc"))
+    val one = rj.crossJoin(broadcast(bc))
+    val kd = col("_kk").cast("double")
+    val bd = col("_bc").cast("double")
+    val lStat = col("_l2").cast("double") / 2
+    val eL = bd * kd * (kd + 1) * (kd + 1) / 4
+    val vL = bd * kd * kd * (kd + 1) * (kd * kd - 1) / 144
+    val z = (lStat - eL) / sqrt(when(vL > 0, vL))
+    val ok = col("_bc") >= 1 && col("_kk") >= 3
+    one.select(col("_kk").as("k"), col("_bc").as("b"),
+      round(when(ok, lStat), 6).as("l_stat"),
+      round(when(ok, z), 6).as("z"))
+  }
+
+  /** Grubbs' statistic per group: G = max|y−ȳ|/s with the arg-max
+    * row identified — "is the single most extreme point an outlier,
+    * and WHICH row is it" (the record-level answer beside q131's
+    * z-score flags; G's null distribution gives the formal test,
+    * this emits the statistic and the suspect). Deterministic
+    * arg-max: quantized deviation desc, id asc.
+    *
+    * Exactness: mean/variance assemble from exact int64/decimal
+    * moments in double arithmetic; the deviation ranking uses
+    * ⌊|y−ȳ|·10⁶+½⌋. NULL G on zero variance or n < 3.
+    *
+    * Returns (group, n, outlier_id, outlier_value, g_stat).
+    *
+    * Scale shape: one moment agg broadcast back, one
+    * group-partitioned rank window, rows = groups. */
+  def grubbs(df: DataFrame, groupCol: String, idCol: Column,
+             valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(groupCol).isNotNull && valueCol.isNotNull &&
+        idCol.isNotNull)
+      .select(col(groupCol).as("_g"), idCol.as("_id"),
+        valueCol.cast("long").as("_v"))
+    val m = broadcast(base.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"), sum(col("_v").cast(dec)).as("_s"),
+        sum((col("_v") * col("_v")).cast(dec)).as("_q")))
+    val nd = col("_n").cast("double")
+    val mean = col("_s").cast("double") / nd
+    val varS = (nd * col("_q").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double")) /
+      when(nd * (nd - 1) > 0, nd * (nd - 1))
+    val dev = abs(col("_v").cast("double") - mean)
+    val ranked = base.join(m, col("_g") === col("_gm"))
+      .withColumn("_dq", floor(dev * 1e6 + lit(0.5)).cast("long"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_g"))
+          .orderBy(col("_dq").desc, col("_id"))))
+      .filter(col("_rn") === 1)
+    val g = dev / sqrt(when(varS > 0, varS))
+    ranked.select(col("_g").as(groupCol), col("_n").as("n"),
+      col("_id").as("outlier_id"), col("_v").as("outlier_value"),
+      round(when(col("_n") >= 3 && varS > 0, g), 6).as("g_stat"))
+  }
+
   /** Cochran's Q test over (block, treatment, binary) cells: do k
     * related binary treatments share one success rate — the
     * dichotomous member of the blocked-design family ([[friedman]]

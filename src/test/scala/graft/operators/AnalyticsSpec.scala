@@ -683,6 +683,31 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("pageTrend: perfect rise hits the max L; incomplete excluded") {
+    import spark.implicits._
+    // 3 blocks, each strictly rising across t1<t2<t3: L = 42, z = 2.44949
+    val cells = (1L to 3L).flatMap(b => Seq(
+      (b, 1L, b * 10), (b, 2L, b * 10 + 1), (b, 3L, b * 10 + 2))) ++
+      Seq((9L, 1L, 5L))  // incomplete block
+    val r = Analytics.pageTrend(cells.toDF("b", "t", "v"), "b", "t",
+      col("v")).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L &&
+      r.getDouble(2) == 42.0 && r.getDouble(3) == 2.44949, s"$r")
+  }
+
+  test("grubbs: the planted whale identified; constant group null") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("a", 4L, 4L), ("a", 5L, 100L),
+      ("c", 1L, 7L), ("c", 2L, 7L), ("c", 3L, 7L)).toDF("g", "id", "v")
+    val out = Analytics.grubbs(df, "g", col("id"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 5L && a.getLong(2) == 5L &&
+      a.getLong(3) == 100L && a.getDouble(4) == 1.788267, s"$a")
+    assert(out("c").isNullAt(4), s"${out("c")}")
+  }
+
   test("cliffsDelta: full separation is 1/large; identical is 0/negligible") {
     import spark.implicits._
     val sep = Seq((true, 3L), (true, 4L), (false, 1L), (false, 2L))
