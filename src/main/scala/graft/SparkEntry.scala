@@ -2278,6 +2278,18 @@ object SparkEntry {
         t(s, dir, "events").filter(col("ts").isNotNull),
         "event_type", Seq(col("ts"), col("event_id")),
         floor(col("value") * 100 + lit(0.5)))),
+    // ANOM decision chart: which event types deviate from the grand
+    // mean -- per-group limits, the health-board shape
+    "q435_anom" -> ((s, dir) =>
+      Analytics.anom(t(s, dir, "events"),
+        "event_type", floor(col("value") * 100 + lit(0.5)))),
+    // Ansari-Bradley: do the cohorts share a SCALE -- folded pooled
+    // ranks, the rank-based dispersion test beside Brown-Forsythe
+    "q436_ansari_bradley" -> ((s, dir) =>
+      Analytics.ansariBradley(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id") % 2 === 0,
+        floor(col("value") * 100 + lit(0.5)))),
     // Page's trend: does per-user spend RISE across the ordered
     // time-of-day thirds -- the monotone-alternative power q398's
     // omnibus spends everywhere
@@ -6991,6 +7003,97 @@ object SparkEntry {
         |  round(CASE WHEN ok AND d2 <> 0 AND d3 <> 0
         |    THEN (r3 - p21 * r2 - p22 * r1) / d3 END, 6) AS pacf_3
         |FROM pp""".stripMargin,
+    // per-group moments, quantized pooled within-SS, broadcast grand
+    // row, per-group limits
+    "q435_anom" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), m AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(y) AS s,
+        |    sum(y::HUGEINT * y) AS q
+        |  FROM b GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(n)::BIGINT AS nn, sum(s) AS ss,
+        |    count(*)::BIGINT AS k,
+        |    sum(CAST(floor((n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+        |      / n::DOUBLE * 1e6 + 0.5) AS BIGINT)) AS wq
+        |  FROM m
+        |), fin AS (
+        |  SELECT g, n, k, s::DOUBLE / n::DOUBLE AS mean,
+        |    ss::DOUBLE / nn::DOUBLE AS grand,
+        |    wq::DOUBLE / 1e6 / (CASE WHEN nn::DOUBLE - k::DOUBLE > 0
+        |      THEN nn::DOUBLE - k::DOUBLE END) AS s2
+        |  FROM m, tot
+        |), ff AS (
+        |  SELECT g, n, k, mean, grand, s2,
+        |    2.576 * sqrt(CASE WHEN s2 > 0 THEN s2 END)
+        |      * sqrt((k::DOUBLE - 1) /
+        |        (CASE WHEN k::DOUBLE * n::DOUBLE > 0
+        |          THEN k::DOUBLE * n::DOUBLE END)) AS half
+        |  FROM fin
+        |)
+        |SELECT g AS event_type, n, round(mean, 6) AS mean,
+        |  round(grand, 6) AS grand_mean,
+        |  round(CASE WHEN k >= 2 AND s2 > 0 THEN grand - half END, 6)
+        |    AS lo,
+        |  round(CASE WHEN k >= 2 AND s2 > 0 THEN grand + half END, 6)
+        |    AS hi,
+        |  CASE WHEN k >= 2 AND s2 > 0
+        |    THEN mean < grand - half OR mean > grand + half END AS flagged
+        |FROM ff""".stripMargin,
+    // folded doubled ranks (min of rank and its mirror), slice score
+    // sum, parity-branched no-tie moments
+    "q436_ansari_bradley" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 = 0 AS a,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS s
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), sc AS (SELECT s, count(*)::BIGINT AS t FROM b GROUP BY 1),
+        |nn AS (SELECT sum(t)::BIGINT AS n FROM sc),
+        |rk AS (
+        |  SELECT s, t, n,
+        |    2 * coalesce(sum(t) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r2
+        |  FROM sc, nn
+        |), fk AS (
+        |  SELECT s, least(r2, 2 * (n + 1) - r2)::BIGINT AS sc2, n
+        |  FROM rk
+        |), gs AS (SELECT a, s, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        |pg AS (
+        |  SELECT a, max(n)::BIGINT AS n, sum(c)::BIGINT AS nj,
+        |    sum(c * fk.sc2)::BIGINT AS w2
+        |  FROM gs JOIN fk USING (s) GROUP BY 1
+        |), ag AS (
+        |  SELECT max(n)::BIGINT AS nn2,
+        |    max(CASE WHEN a THEN nj END)::BIGINT AS n_a,
+        |    max(CASE WHEN NOT a THEN nj END)::BIGINT AS n_b,
+        |    max(CASE WHEN a THEN w2 END)::BIGINT AS w2a
+        |  FROM pg
+        |), fin AS (
+        |  SELECT n_a, n_b, nn2, w2a::DOUBLE / 2 AS w,
+        |    n_a::DOUBLE AS nad, n_b::DOUBLE AS nbd, nn2::DOUBLE AS ndd
+        |  FROM ag
+        |), zz AS (
+        |  SELECT n_a, n_b, nn2, w,
+        |    CASE WHEN nn2 % 2 = 0 THEN nad * (ndd + 2) / 4
+        |      ELSE nad * (ndd + 1) * (ndd + 1) / (4.0 * ndd) END AS ew,
+        |    CASE WHEN nn2 % 2 = 0
+        |      THEN nad * nbd * (ndd + 2) * (ndd - 2) / (48.0 * (ndd - 1))
+        |      ELSE nad * nbd * (ndd + 1) * (3.0 + ndd * ndd)
+        |        / (48.0 * ndd * ndd) END AS vw
+        |  FROM fin
+        |)
+        |SELECT n_a, n_b,
+        |  round(CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
+        |    AND nn2 >= 3 THEN w END, 6) AS ab_stat,
+        |  round(CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
+        |      AND nn2 >= 3
+        |    THEN (w - ew) / sqrt(CASE WHEN vw > 0 THEN vw END) END, 6)
+        |    AS z
+        |FROM zz""".stripMargin,
     // q398's complete-block ranks + the ordered-level weights; no-tie
     // Page moments, one z
     "q433_page_trend" ->

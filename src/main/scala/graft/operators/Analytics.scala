@@ -2599,6 +2599,121 @@ object Analytics {
       round(when(col("_nn") >= 2, z), 6).as("z"))
   }
 
+  /** Analysis of Means (ANOM) decision chart: each group's mean vs
+    * the grand mean with decision limits ±h·s·√((k−1)/(k·nᵢ)) — the
+    * "WHICH group deviates" chart (Ott), where ANOVA only says
+    * "some group does"; unlike pairwise post-hocs it compares each
+    * group to the CENTER, the natural shape for shard/site/variant
+    * health boards. `h` defaults to 2.576 (~99% pointwise, the
+    * q390 flag convention; exact ANOM h-tables refine it).
+    *
+    * Exactness: grand/group means and the pooled within-group
+    * variance assemble from exact int64/decimal moments in double
+    * arithmetic; flags compare fixed expressions. NULL limits when
+    * k < 2, nᵢ < 2 anywhere pooled variance needs, or s² = 0.
+    *
+    * Returns one row per group (group, n, mean, grand_mean, lo, hi,
+    * flagged).
+    *
+    * Scale shape: ONE map-side group-moment agg, a 1-row grand
+    * reduction broadcast back over the k-row group relation. */
+  def anom(df: DataFrame, groupCol: String, valueCol: Column,
+           h: Double = 2.576): DataFrame = {
+    require(h > 0)
+    val dec = "decimal(38,0)"
+    val y = valueCol.cast("long")
+    val g = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"), sum(y.cast(dec)).as("_s"),
+        sum((y * y).cast(dec)).as("_q"))
+    val tot = broadcast(g.agg(sum("_n").as("_nn"),
+      sum("_s").as("_ss"), count(lit(1)).as("_k"),
+      // pooled within-group SS: Σᵢ(nᵢΣy²−(Σy)²)/nᵢ, quantized ×1e6
+      sum(floor((col("_n").cast("double") * col("_q").cast("double") -
+        col("_s").cast("double") * col("_s").cast("double")) /
+        col("_n").cast("double") * 1e6 + lit(0.5)).cast("long")
+        .cast(dec)).as("_wq")))
+    val j = g.crossJoin(tot)
+    val nd = col("_n").cast("double")
+    val nnD = col("_nn").cast("double")
+    val kd = col("_k").cast("double")
+    val mean = col("_s").cast("double") / nd
+    val grand = col("_ss").cast("double") / nnD
+    val s2 = col("_wq").cast("double") / 1e6 /
+      when(nnD - kd > 0, nnD - kd)
+    val half = lit(h) * sqrt(when(s2 > 0, s2)) *
+      sqrt((kd - 1) / when(kd * nd > 0, kd * nd))
+    val ok = col("_k") >= 2 && s2 > 0
+    j.select(col(groupCol), col("_n").as("n"),
+      round(mean, 6).as("mean"), round(grand, 6).as("grand_mean"),
+      round(when(ok, grand - half), 6).as("lo"),
+      round(when(ok, grand + half), 6).as("hi"),
+      when(ok, mean < grand - half || mean > grand + half)
+        .as("flagged"))
+  }
+
+  /** Ansari–Bradley scale test: do two samples share a DISPERSION
+    * around a common center — pooled ranks folded from both ends
+    * (score = min(rank, N+1−rank)), so extreme values score LOW and
+    * central values HIGH; a sample concentrated in the middle scores
+    * high = tighter scale. The rank-based Levene alternative when
+    * even medians can't be trusted. Ties take average ranks; the z
+    * uses the classic no-tie moments (documented convention),
+    * branching on N's parity.
+    *
+    * Exactness: doubled ranks make the folded scores exact integers
+    * (2·score = min(r2, 2(N+1)−r2)); the slice score sum is exact
+    * int64/decimal; one fixed moment assembly per parity branch.
+    * NULL when either slice is empty or N < 3.
+    *
+    * Returns one row (n_a, n_b, ab_stat, z).
+    *
+    * Scale shape: [[mannWhitneyU]]'s — one reduced (score) shuffle,
+    * the distinct-score rank window, one pivoted row. */
+  def ansariBradley(df: DataFrame, isSliceA: Column,
+                    valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = df.filter(isSliceA.isNotNull && valueCol.isNotNull)
+      .select(isSliceA.as("_a"), valueCol.cast("long").as("_s"))
+    val sc = base.groupBy(col("_s")).agg(count(lit(1)).as("_t"))
+    val prev = Window.orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nTot = broadcast(sc.agg(sum("_t").as("_nn")))
+    val rk = sc.crossJoin(nTot).withColumn("_r2",
+        lit(2L) * coalesce(sum("_t").over(prev), lit(0L)) +
+          col("_t") + 1)
+      .withColumn("_sc2",
+        least(col("_r2"), lit(2L) * (col("_nn") + 1) - col("_r2")))
+    val gs = base.groupBy(col("_a"), col("_s"))
+      .agg(count(lit(1)).as("_c"))
+    val agg = gs.join(rk.select(col("_s"), col("_sc2"), col("_nn")),
+        Seq("_s"))
+      .groupBy(col("_a"), col("_nn"))
+      .agg(sum("_c").as("_nj"),
+        sum((col("_c") * col("_sc2")).cast(dec)).as("_w2"))
+      .groupBy(col("_nn"))
+      .agg(max(when(col("_a"), col("_nj"))).as("n_a"),
+        max(when(!col("_a"), col("_nj"))).as("n_b"),
+        max(when(col("_a"), col("_w2"))).as("_w2a"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val nD = col("_nn").cast("double")
+    val w = col("_w2a").cast("double") / 2
+    val even = col("_nn") % 2 === 0
+    val eW = when(even, na * (nD + 2) / 4)
+      .otherwise(na * (nD + 1) * (nD + 1) / (lit(4.0) * nD))
+    val vW = when(even,
+      na * nb * (nD + 2) * (nD - 2) / (lit(48.0) * (nD - 1)))
+      .otherwise(na * nb * (nD + 1) * (lit(3.0) + nD * nD) /
+        (lit(48.0) * nD * nD))
+    val z = (w - eW) / sqrt(when(vW > 0, vW))
+    val ok = col("n_a").isNotNull && col("n_b").isNotNull &&
+      col("_nn") >= 3
+    agg.select(col("n_a"), col("n_b"),
+      round(when(ok, w), 6).as("ab_stat"),
+      round(when(ok, z), 6).as("z"))
+  }
+
   /** Page's trend test over (block, ORDERED treatment, value) cells:
     * L = Σⱼ j·Rⱼ on within-block ranks — the monotone-alternative
     * power [[friedman]] spends everywhere ("does the response RISE

@@ -683,6 +683,30 @@ class AnalyticsSpec extends SparkSpec {
       "singular normal equations must yield null predictions")
   }
 
+  test("anom: outer groups flagged against hand limits") {
+    import spark.implicits._
+    // means 2/5/8 around grand 5, s2=1, half = 1.214338: a and c flag
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++
+      Seq(4L, 5L, 6L).map(("b", _)) ++
+      Seq(7L, 8L, 9L).map(("c", _))).toDF("g", "v")
+    val out = Analytics.anom(df, "g", col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getDouble(4) == 3.785662 &&
+      out("a").getDouble(5) == 6.214338, s"${out("a")}")
+    assert(out("a").getBoolean(6) && out("c").getBoolean(6) &&
+      !out("b").getBoolean(6), s"$out")
+  }
+
+  test("ansariBradley: wide sample scores low; hand z on folded ranks") {
+    import spark.implicits._
+    // a = {1,10} wide, b = {5,6} narrow: W_a = 2, z = -1.732051
+    val df = Seq((true, 1L), (true, 10L), (false, 5L), (false, 6L))
+      .toDF("a", "v")
+    val r = Analytics.ansariBradley(df, col("a"), col("v")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L &&
+      r.getDouble(2) == 2.0 && r.getDouble(3) == -1.732051, s"$r")
+  }
+
   test("pageTrend: perfect rise hits the max L; incomplete excluded") {
     import spark.implicits._
     // 3 blocks, each strictly rising across t1<t2<t3: L = 42, z = 2.44949
