@@ -49,6 +49,29 @@ object Bench {
     // contention only ever ADDS time. All queries are rerun-safe
     // (overwrite-mode writes, temp views dropped before start).
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    // VARIANCE GUARD (round-8 lesson: q24's official 10.84 s was a
+    // contention phantom — the true time was 2.04 s, and min-of-3
+    // didn't protect it because the whole capture window was
+    // contended). Reference = the PRIOR round's committed
+    // BENCH_detail.json, read before this run overwrites it, and only
+    // when it measured the same sf dir. A query whose min-of-N
+    // exceeds 2× its prior time (prior ≥ 0.3 s — sub-300ms deltas are
+    // scheduler noise) gets ONE extra pass; if still >2× it is listed
+    // under "contended" in the detail file. The min stays the
+    // reported number — the guard annotates, never rewrites.
+    val priorRef: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("BENCH_detail.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        val sfRe = """"sf":\s*"([^"]+)"""".r
+        val sameSf = sfRe.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+        val idx = txt.indexOf("\"queries_sec\"")
+        if (sameSf && idx >= 0)
+          """"(q[^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt.substring(idx))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        else Map.empty[String, Double]
+      } else Map.empty[String, Double]
+    } catch { case _: Throwable => Map.empty[String, Double] }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => keep(name) }
       .map { case (name, fn) =>
@@ -92,7 +115,16 @@ object Bench {
           if (err.isEmpty && passes == 2 && dt2 >= 2.0)
             math.min(dt2, { val (d, e) = onePass(); if (e.isEmpty) d else dt2 })
           else dt2
-        (name, dt, err)
+        // variance guard: one extra pass when >2× the prior round's
+        // same-sf time; annotate (never rewrite) if it persists
+        val ref = priorRef.getOrElse(name, 0.0)
+        val (dtG, contended) =
+          if (err.isEmpty && ref >= 0.3 && dt > 2 * ref) {
+            val (d, e) = onePass()
+            val best = if (e.isEmpty) math.min(dt, d) else dt
+            (best, best > 2 * ref)
+          } else (dt, false)
+        (name, dtG, err, contended)
       }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -107,8 +139,9 @@ object Bench {
     // times are rounded to milliseconds.
     def qid(name: String): String = name.takeWhile(_ != '_')
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
-    val ok = results.collect { case (n, dt, None) => (n, dt) }
-    val errs = results.collect { case (n, _, Some(m)) => (n, m.take(120)) }
+    val ok = results.collect { case (n, dt, None, _) => (n, dt) }
+    val errs = results.collect { case (n, _, Some(m), _) => (n, m.take(120)) }
+    val contended = results.collect { case (n, _, None, true) => n }
     val qs = ok.map { case (k, v) => jstr(qid(k)) + ":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (errs.nonEmpty) -1.0 else ok.map(_._2).sum
@@ -135,6 +168,10 @@ object Bench {
       detail ++= s"""  "errors": {""" + errs.map { case (k, m) =>
         s"\n    ${jstr(k)}: ${jstr(m)}" }.mkString(",") +
         (if (errs.isEmpty) "},\n" else "\n  },\n")
+      // queries still >2× their prior-round time after the guard's
+      // extra pass — times above are honest mins, these are suspect
+      detail ++= s"""  "contended": [""" +
+        contended.map(jstr).mkString(", ") + "],\n"
       detail ++= s"""  "queries_sec": {""" + ok.map { case (k, v) =>
         s"\n    ${jstr(k)}: ${ms(v)}" }.mkString(",") + "\n  }\n}\n"
       // Canonical /root/testdata runs own BENCH_detail.json; any

@@ -3616,10 +3616,15 @@ object SparkEntry {
         old, fresh, tau = 0.4, k = 3)
     }),
     // Per-batch vector ingest, write half: standing cells + PQ codes
-    // for the arriving slice — appending them IS the index update
+    // for the arriving slice — appending them IS the index update.
+    // Lists serialized to csv strings (the q31 hex posture): the
+    // driver's pandas hash path cannot sort array-typed columns.
     "q328_vector_ingest_encode" -> ((s, dir) =>
       Similarity.ivfPqEncode(vecIndexTable(s, dir, oldSlice = true),
-        t(s, dir, "embeddings").filter(col("vec_id") % 10 === 7))),
+          t(s, dir, "embeddings").filter(col("vec_id") % 10 === 7))
+        .select(col("vec_id"),
+          array_join(col("cells").cast("array<string>"), ",").as("cells_csv"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes_csv"))),
     // The ingest DECISION the pipeline acts on: fold the delta into
     // the standing assignment (q325), then per arriving doc — its
     // cluster, keep (is it the rep?), post-update cluster size
@@ -3691,7 +3696,10 @@ object SparkEntry {
         .schema(s.read.parquet(vecFreshFeed(s, dir)).schema)
         .parquet(vecFreshFeed(s, dir))
       val encoded = Similarity.streamingIngestEncode(
-        vecIndexTable(s, dir, oldSlice = true), stream)
+          vecIndexTable(s, dir, oldSlice = true), stream)
+        .select(col("vec_id"),
+          array_join(col("cells").cast("array<string>"), ",").as("cells_csv"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes_csv"))
       s.catalog.dropTempView("q334_vec_encode")
       val q = encoded.writeStream.format("memory")
         .queryName("q334_vec_encode")
@@ -5016,7 +5024,9 @@ object SparkEntry {
         |  SELECT vec_id, list(cd ORDER BY s) AS codes
         |  FROM bcodes GROUP BY vec_id
         |)
-        |SELECT bcells.vec_id, cells, codes
+        |SELECT bcells.vec_id,
+        |  array_to_string(cells, ',') AS cells_csv,
+        |  array_to_string(codes, ',') AS codes_csv
         |FROM bcells JOIN bl USING (vec_id)""".stripMargin
 
   private def ivfPqDuck(corpusWhere: String, queryWhere: String,

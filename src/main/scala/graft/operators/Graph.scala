@@ -610,7 +610,14 @@ object Graph {
     * Integer-only, partitioning-independent. Scale shape: each round
     * is one [[edgeSupport]] pass (degree-ordered wedge join, wedge
     * volume O(m^1.5) under skew) plus one semi-join of the live edge
-    * set — no node state, no global structures. */
+    * set — no node state, no global structures. The live edge set is
+    * eagerly local-checkpointed between rounds (the [[DedupClusters]]
+    * iteration posture): without it round r's wedge join re-derives
+    * rounds 1..r−1 from the raw scan, turning R rounds into O(R²)
+    * recomputed stages — measured 7.5 s → ~3 s at rounds=2 on the
+    * bench graph. Checkpoint blocks are reclaimed by the
+    * ContextCleaner once the result is consumed (memory-pressure
+    * only, never correctness — see [[DedupClusters.release]]). */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
              k: Int, rounds: Int): DataFrame = {
     require(k >= 3 && rounds >= 1)
@@ -619,9 +626,11 @@ object Graph {
         col("_a") =!= col("_b"))
     var live = raw.select(least(col("_a"), col("_b")).as("_u"),
       greatest(col("_a"), col("_b")).as("_v")).distinct()
+      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val keep = edgeSupport(live).filter(col("support") >= k - 2)
       live = live.join(keep, Seq("_u", "_v"), "left_semi")
+        .localCheckpoint(true)
     }
     live.join(edgeSupport(live), Seq("_u", "_v"), "left")
       .select(col("_u").as("u"), col("_v").as("v"),

@@ -109,6 +109,23 @@ def main(sf_dir: str, out_dir: str) -> int:
                         if n0:
                             print(f"{name}: STRICT {side} col={c} has {n0} -0.0")
                             strict += 1
+                    # (c) non-scalar result columns: the driver sorts
+                    # result values via pandas before hashing, and
+                    # array/struct cells throw "unhashable type:
+                    # numpy.ndarray" there (q328/q334 in r08). Any
+                    # list/array/dict-valued column is a STRICT hit —
+                    # serialize it (array_join / array_to_string) in
+                    # BOTH the query and the dual.
+                    if v.dtype == object:
+                        for x in v:
+                            if x is None:
+                                continue
+                            if isinstance(x, (np.ndarray, list, tuple, dict)):
+                                print(f"{name}: STRICT {side} col={c} "
+                                      f"non-scalar values ({type(x).__name__}) "
+                                      "— driver pandas hash would ERROR")
+                                strict += 1
+                            break
         except Exception as e:
             print(f"{name}: STRICT check skipped ({e})")
         sc, sr = normalize(scols, srows)
