@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.{EngineConfig, Share}
-import graft.operators.{Allocation, Analytics, AsOfJoin, BucketedJoin, Dedup, DedupClusters, FuzzyDedup, Graph, Merge, Multimodal, Profiling, Sampling, Similarity, Sketches, SkewJoin, TextAnalysis, TimeSeries, TopK}
+import graft.operators.{Allocation, Analytics, Curation, AsOfJoin, BucketedJoin, Dedup, DedupClusters, FuzzyDedup, Graph, Merge, Multimodal, Profiling, Sampling, Similarity, Sketches, SkewJoin, TextAnalysis, TimeSeries, TopK}
 import graft.sources.InReachSource
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2280,6 +2280,162 @@ object SparkEntry {
         floor(col("value") * 100 + lit(0.5)))),
     // ANOM decision chart: which event types deviate from the grand
     // mean -- per-group limits, the health-board shape
+    // Full core decomposition on q187's graph: every node's coreness
+    // by the h-index fixpoint (3 rounds, values broadcast) -- where
+    // q187 answers membership at ONE k, this ranks the whole graph's
+    // engagement shells in a single pass
+    "q437_coreness" -> ((s, dir) =>
+      Graph.coreness(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id").as("a"),
+            (lit(1000000) + col("event_id") % 150).as("b")),
+        "a", "b", rounds = 3)),
+    // Harmonic centrality from sampled sources (the Boldi-Vigna
+    // estimator) on q186's graph: per-seed BFS distances kept
+    // separate, Σ 1/d over seeds within 3 hops -- "which items/users
+    // sit closest to everything" without the O(nm) all-pairs pass
+    "q438_harmonic_centrality" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      Graph.harmonicCentrality(
+        ev.select(col("user_id").as("a"),
+          (lit(1000000) + col("event_id") % 150).as("b")),
+        "a", "b",
+        ev.filter(col("user_id") % 97 === 0)
+          .select(col("user_id").as("n")),
+        "n", maxDepth = 3)
+    }),
+    // Per-community conductance over q175's label-propagation
+    // partition: cut / min(vol, 2m-vol) ranks each community's
+    // leakiness -- the per-community validity read beside q278's
+    // whole-partition modularity
+    "q439_conductance" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id").as("a"),
+          (lit(1000000) + col("event_id") % 150).as("b"))
+      Graph.communityConductance(e, "a", "b",
+        Graph.labelPropagation(e, "a", "b", iters = 3), "node", "label")
+    }),
+    // Breusch-Pagan (Koenker LM): does the price-model error variance
+    // ride the regressors -- the assumption check behind q250/q422's
+    // OLS reads
+    "q440_breusch_pagan" -> ((s, dir) =>
+      Analytics.breuschPagan(t(s, dir, "lineitem"),
+        col("l_extendedprice"), col("l_quantity"), col("l_discount"))),
+    // Chow structural break: does ONE price model fit both orderkey
+    // parities, or does the relationship shift between the regimes
+    "q441_chow_test" -> ((s, dir) =>
+      Analytics.chowTest(t(s, dir, "lineitem"),
+        col("l_orderkey") % 2 === 1,
+        col("l_extendedprice"), col("l_quantity"), col("l_discount"))),
+    // VIF over the 3-regressor design (qty, discount, tax): the
+    // multicollinearity screen before trusting any coefficient read
+    "q442_vif" -> ((s, dir) =>
+      Analytics.vif3(t(s, dir, "lineitem"),
+        col("l_quantity"), col("l_discount"), col("l_tax"))),
+    // Brunner-Munzel: q391's rank question WITHOUT the equal-variance
+    // assumption -- the rank analogue of Welch vs Student
+    "q443_brunner_munzel" -> ((s, dir) =>
+      Analytics.brunnerMunzel(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        col("user_id") % 2 === 0,
+        floor(col("value") * 100 + lit(0.5)))),
+    // Anderson-Darling per event type: the tail-weighted normality
+    // read beside q395's moment-based Jarque-Bera
+    "q444_anderson_darling" -> ((s, dir) =>
+      Analytics.andersonDarling(t(s, dir, "events"),
+        "event_type", floor(col("value") * 100 + lit(0.5)))),
+    // Turning-point randomness screen on per-type daily spend series
+    // (pre-aggregated buckets -- the mannKendall contract)
+    "q445_turning_points" -> ((s, dir) =>
+      TimeSeries.turningPoints(
+        t(s, dir, "events").filter(col("value").isNotNull &&
+            col("ts").isNotNull)
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("v")),
+        "event_type", col("d"), col("v"))),
+    // Granger-lite lag-1 screen: does yesterday's event VOLUME
+    // improve today's revenue forecast per type -- the directional
+    // lead/lag read q260's symmetric xcorr can't give
+    "q446_granger" -> ((s, dir) =>
+      TimeSeries.grangerLite(
+        t(s, dir, "events").filter(col("value").isNotNull &&
+            col("ts").isNotNull)
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .as("v")),
+        "event_type", col("d"), col("cnt"), col("v"))),
+    // Two-stage residual quantizer over the embedding corpus: coarse
+    // code + residual code + the before/after squared-L2 ladder --
+    // the additive-codebook compression tier beside q295's PQ
+    "q447_residual_quantize" -> ((s, dir) =>
+      Similarity.residualQuantize(t(s, dir, "embeddings"))),
+    // Inclusion-dependency discovery across the TPC-H id columns:
+    // which column's distinct values sit wholly inside another's --
+    // the FK-candidate crawl (finds o_custkey ⊆ c_custkey et al.)
+    "q448_ind_discovery" -> ((s, dir) =>
+      Profiling.indDiscovery(Seq(
+        "customer.c_custkey" -> t(s, dir, "customer").select("c_custkey"),
+        "orders.o_custkey" -> t(s, dir, "orders").select("o_custkey"),
+        "customer.c_nationkey" -> t(s, dir, "customer").select("c_nationkey"),
+        "supplier.s_nationkey" -> t(s, dir, "supplier").select("s_nationkey"),
+        "nation.n_nationkey" -> t(s, dir, "nation").select("n_nationkey"),
+        "orders.o_orderkey" -> t(s, dir, "orders").select("o_orderkey"),
+        "lineitem.l_orderkey" -> t(s, dir, "lineitem").select("l_orderkey")))),
+    // IPF raking: weight the corpus so its lang AND source marginals
+    // BOTH match the even-doc reference slice -- the two-marginal
+    // rebalance q293's single-dimension reweight can't express
+    "q449_ipf_rake" -> ((s, dir) =>
+      Curation.ipfRake(t(s, dir, "documents"),
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "lang", "source")),
+    // Perceptual dHash near-dup frames on a doc slice: 16-bit
+    // gradient chunks bucket candidates, >=3 of 4 equal chunks pass
+    // -- the robust tier above q70's exact frame dedup
+    "q450_dhash_neardup" -> ((s, dir) =>
+      Multimodal.dhashNearDup(Multimodal.asBinaryTable(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0)))),
+    // SAX motifs over per-type daily spend series: z-norm, PAA(4),
+    // 4-symbol alphabet, 4-frame words -- recurring SHAPES across
+    // the corpus that no per-series statistic surfaces
+    "q451_sax_motifs" -> ((s, dir) =>
+      TimeSeries.saxMotifs(
+        t(s, dir, "events").filter(col("value").isNotNull &&
+            col("ts").isNotNull)
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("v")),
+        "event_type", col("d"), col("v"))),
+    // URL canonicalization + dedup: scheme/host case, www, trailing
+    // slash, utm params, param order, fragments all collapse -- the
+    // crawl-dedup normalizer, pure column functions
+    "q452_url_canonical" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val raw = concat(
+        when(col("event_id") % 2 === 0, "https://WWW.").otherwise("HTTP://"),
+        col("event_type"), lit(".Example.com/item/"),
+        (col("event_id") % 50).cast("string"),
+        when(col("event_id") % 3 === 0, "/").otherwise(""),
+        when(col("user_id") % 2 === 0, "?b=2&utm_source=x&a=1")
+          .otherwise("?a=1&b=2"),
+        when(col("event_id") % 5 === 0, "#frag").otherwise(""))
+      val noFrag = regexp_replace(raw, "#.*$", "")
+      val host = lower(regexp_extract(noFrag, "^[a-zA-Z]+://([^/?#]+)", 1))
+      val hostC = regexp_replace(host, "^www\\.", "")
+      val path = regexp_replace(
+        regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1),
+        "/$", "")
+      val qs = regexp_extract(noFrag, "\\?([^#]*)", 1)
+      val params = array_join(array_sort(filter(split(qs, "&"),
+        x => !x.startsWith("utm_") && x =!= "")), "&")
+      val canon = concat(lit("https://"), hostC, path,
+        when(params =!= "", concat(lit("?"), params)).otherwise(""))
+      ev.select(canon.as("canonical_url"), raw.as("_raw"))
+        .groupBy("canonical_url")
+        .agg(countDistinct(col("_raw")).as("n_variants"),
+          count(lit(1)).as("n_events"))
+    }),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
         "event_type", floor(col("value") * 100 + lit(0.5)))),
@@ -4977,6 +5133,33 @@ object SparkEntry {
       |  GROUP BY 1, 2, 3
       |)""".stripMargin
 
+  /** Cramer 3×3 determinant / minors as SQL text over double-cast
+    * moment column names — the exact textual mirror of
+    * Analytics.ols3's operation order, shared by the q440/q441/q442/
+    * q446 duals. Returns (det, det0, det1, det2). */
+  private def cramer3Sql(n: String, a: String, b: String, c: String,
+                         d: String, e: String, t0: String, t1: String,
+                         t2: String): (String, String, String, String) = {
+    def D(x: String) = s"$x::DOUBLE"
+    val (nD, aD, bD, cD, dD, eD) = (D(n), D(a), D(b), D(c), D(d), D(e))
+    val (u0, u1, u2) = (D(t0), D(t1), D(t2))
+    (s"($nD*($cD*$eD - $dD*$dD) - $aD*($aD*$eD - $dD*$bD) + $bD*($aD*$dD - $cD*$bD))",
+     s"($u0*($cD*$eD - $dD*$dD) - $aD*($u1*$eD - $dD*$u2) + $bD*($u1*$dD - $cD*$u2))",
+     s"($nD*($u1*$eD - $dD*$u2) - $u0*($aD*$eD - $dD*$bD) + $bD*($aD*$u2 - $u1*$bD))",
+     s"($nD*($cD*$u2 - $u1*$dD) - $aD*($aD*$u2 - $u1*$bD) + $u0*($aD*$dD - $cD*$bD))")
+  }
+
+  /** OLS SSE = Σy² − b₀Σy − b₁Σx₁y − b₂Σx₂y as SQL text (NULL on a
+    * singular design) — mirrors Analytics.chowTest's per-segment
+    * assembly. */
+  private def sse3Sql(n: String, a: String, b: String, c: String,
+                      d: String, e: String, t0: String, t1: String,
+                      t2: String, yy: String): String = {
+    val (det, d0, d1, d2) = cramer3Sql(n, a, b, c, d, e, t0, t1, t2)
+    s"CASE WHEN $det <> 0 THEN $yy::DOUBLE - ($d0/$det)*$t0::DOUBLE" +
+      s" - ($d1/$det)*$t1::DOUBLE - ($d2/$det)*$t2::DOUBLE END"
+  }
+
   /** Auto-scaled cell count for the ingest-facing indexes, as SQL —
     * mirrors vecIndexTable's `max(8, n/128)` exactly. */
   private val autoCellsSql = "(SELECT greatest(8, count(*)//128) FROM c)"
@@ -7106,6 +7289,695 @@ object SparkEntry {
         |FROM zz""".stripMargin,
     // q398's complete-block ranks + the ordered-level weights; no-tie
     // Page moments, one z
+    // md5-chosen codebooks replayed, argmin via (qd, code) windows,
+    // exact 1e12-quantized squared distances (the qdist12 contract)
+    "q447_residual_quantize" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE /
+        |    sqrt(list_sum(list_transform(embedding,
+        |      y -> y::DOUBLE * y::DOUBLE)))) AS v
+        |  FROM c
+        |), cb1 AS (
+        |  SELECT row_number() OVER (ORDER BY k, id) - 1 AS c1, v AS m1
+        |  FROM (SELECT id, v,
+        |      ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS k
+        |    FROM nrm ORDER BY k, id LIMIT 8)
+        |), a1 AS (
+        |  SELECT id, c1, qd AS e1 FROM (
+        |    SELECT id, c1, qd,
+        |      row_number() OVER (PARTITION BY id ORDER BY qd, c1) AS rn
+        |    FROM (SELECT n.id, cb1.c1,
+        |        list_sum(list_transform(range(1, 65), i ->
+        |          CAST(floor((n.v[i] - cb1.m1[i]) * (n.v[i] - cb1.m1[i])
+        |            * 1e12 + 0.5) AS BIGINT)))::BIGINT AS qd
+        |      FROM nrm n, cb1)) WHERE rn = 1
+        |), res AS (
+        |  SELECT n.id, a1.c1, a1.e1,
+        |    list_transform(range(1, 65), i -> n.v[i] - cb1.m1[i]) AS r
+        |  FROM nrm n JOIN a1 ON n.id = a1.id JOIN cb1 ON a1.c1 = cb1.c1
+        |), cb2 AS (
+        |  SELECT row_number() OVER (ORDER BY k, id) AS c2, r AS m2
+        |  FROM (SELECT id, r,
+        |      ('0x' || substr(md5(id::VARCHAR || '#rq2'), 1, 15))::BIGINT AS k
+        |    FROM res ORDER BY k, id LIMIT 8)
+        |  UNION ALL
+        |  SELECT 0::BIGINT, list_transform(range(1, 65), i -> 0.0)
+        |), a2 AS (
+        |  SELECT id, c1, e1, c2, qd AS e2 FROM (
+        |    SELECT id, c1, e1, c2, qd,
+        |      row_number() OVER (PARTITION BY id ORDER BY qd, c2) AS rn
+        |    FROM (SELECT res.id, res.c1, res.e1, cb2.c2,
+        |        list_sum(list_transform(range(1, 65), i ->
+        |          CAST(floor((res.r[i] - cb2.m2[i]) * (res.r[i] - cb2.m2[i])
+        |            * 1e12 + 0.5) AS BIGINT)))::BIGINT AS qd
+        |      FROM res, cb2)) WHERE rn = 1
+        |)
+        |SELECT id AS vec_id, c1, c2,
+        |  round(e1::DOUBLE / 1e12, 6) AS err1,
+        |  round(e2::DOUBLE / 1e12, 6) AS err2
+        |FROM a2""".stripMargin,
+    // exact containment on the unioned distinct-value level relation
+    "q448_ind_discovery" ->
+      """WITH lev AS (
+        |  SELECT DISTINCT 'customer.c_custkey' AS cname,
+        |    c_custkey::BIGINT AS v FROM customer WHERE c_custkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'orders.o_custkey',
+        |    o_custkey::BIGINT FROM orders WHERE o_custkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'customer.c_nationkey',
+        |    c_nationkey::BIGINT FROM customer WHERE c_nationkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'supplier.s_nationkey',
+        |    s_nationkey::BIGINT FROM supplier WHERE s_nationkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'nation.n_nationkey',
+        |    n_nationkey::BIGINT FROM nation WHERE n_nationkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'orders.o_orderkey',
+        |    o_orderkey::BIGINT FROM orders WHERE o_orderkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'lineitem.l_orderkey',
+        |    l_orderkey::BIGINT FROM lineitem WHERE l_orderkey IS NOT NULL
+        |), np AS (SELECT cname, count(*)::BIGINT AS n_a FROM lev GROUP BY 1),
+        |pr AS (
+        |  SELECT a.cname AS col_a, b.cname AS col_b,
+        |    count(*)::BIGINT AS n_common
+        |  FROM lev a JOIN lev b ON a.v = b.v AND a.cname <> b.cname
+        |  GROUP BY 1, 2
+        |), sp AS (
+        |  SELECT a.cname AS col_a, a.n_a, b.cname AS col_b
+        |  FROM np a, np b WHERE a.cname <> b.cname
+        |)
+        |SELECT col_a, col_b, n_a,
+        |  coalesce(n_common, 0)::BIGINT AS n_common,
+        |  coalesce(n_common, 0) = n_a AS contained
+        |FROM sp LEFT JOIN pr USING (col_a, col_b)""".stripMargin,
+    // 3 unrolled IPF rounds (dim1 half then dim2 half), weights
+    // 1e9-quantized on the cell relation
+    "q449_ipf_rake" -> {
+      def half(prev: String, out: String, dim: String, e: String,
+               s: String): String =
+        s"""$out AS (
+          |  SELECT w.d1, w.d2, w.n,
+          |    CASE WHEN e.$e IS NOT NULL AND m.$s > 0
+          |      THEN CAST(floor(w.wq * (e.$e * 1e9 / m.$s::DOUBLE) + 0.5)
+          |        AS BIGINT)
+          |      ELSE w.wq END AS wq
+          |  FROM $prev w
+          |  JOIN (SELECT $dim, sum(n * wq)::BIGINT AS $s FROM $prev
+          |        GROUP BY 1) m ON w.$dim = m.$dim
+          |  LEFT JOIN e$dim e ON w.$dim = e.$dim
+          |)""".stripMargin
+      s"""WITH corp AS (
+        |  SELECT lang, source FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |), refs AS (
+        |  SELECT lang, source FROM documents
+        |  WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND source IS NOT NULL
+        |), cells AS (
+        |  SELECT lang AS d1, source AS d2, count(*)::BIGINT AS n
+        |  FROM corp GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT (SELECT sum(n) FROM cells)::BIGINT AS nn,
+        |    (SELECT count(*) FROM refs)::BIGINT AS tt
+        |), ed1 AS (
+        |  SELECT lang AS d1, count(*)::DOUBLE * nn / tt AS e1
+        |  FROM refs, tot GROUP BY 1, nn, tt
+        |), ed2 AS (
+        |  SELECT source AS d2, count(*)::DOUBLE * nn / tt AS e2
+        |  FROM refs, tot GROUP BY 1, nn, tt
+        |), w0 AS (SELECT d1, d2, n, 1000000000::BIGINT AS wq FROM cells),
+        |${half("w0", "w1", "d1", "e1", "s1")},
+        |${half("w1", "w2", "d2", "e2", "s2")},
+        |${half("w2", "w3", "d1", "e1", "s1")},
+        |${half("w3", "w4", "d2", "e2", "s2")},
+        |${half("w4", "w5", "d1", "e1", "s1")},
+        |${half("w5", "w6", "d2", "e2", "s2")}
+        |SELECT d1 AS lang, d2 AS source, n,
+        |  round(wq::DOUBLE / 1e9, 6) AS weight,
+        |  round(n::DOUBLE * wq / 1e9, 6) AS weighted_n
+        |FROM w6""".stripMargin
+    },
+    // hex-digit byte arithmetic, 4x16-bit gradient chunks, chunk-
+    // bucket self-join, >=3-of-4 vote — the q31 hex replay extended
+    "q450_dhash_neardup" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, to_hex(encode(text)) AS hx,
+        |    octet_length(encode(text))::BIGINT AS n_bytes
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), idx AS (
+        |  SELECT doc_id, hx,
+        |    unnest(generate_series(0,
+        |      greatest(ceil(n_bytes / 64.0)::BIGINT - 1, 0), 2)) AS frame_idx
+        |  FROM b0
+        |), fr AS (
+        |  SELECT doc_id, frame_idx,
+        |    rpad(substring(hx, (frame_idx * 128 + 1)::BIGINT, 128),
+        |      128, '0') AS fhx
+        |  FROM idx
+        |), byt AS (
+        |  SELECT doc_id, frame_idx,
+        |    list_transform(range(0, 64), i ->
+        |      (strpos('0123456789ABCDEF', substr(fhx, (i*2+1)::INT, 1)) - 1)
+        |        * 16 +
+        |      strpos('0123456789ABCDEF', substr(fhx, (i*2+2)::INT, 1)) - 1)
+        |      AS b
+        |  FROM fr
+        |), ch AS (
+        |  SELECT doc_id, frame_idx, ci,
+        |    list_sum(list_transform(range(0, 16), k ->
+        |      CASE WHEN b[(ci*2 + k//8)*8 + (k%8) + 1] >
+        |                b[(ci*2 + k//8)*8 + ((k%8)+1)%8 + 1]
+        |           THEN (1::BIGINT << k) ELSE 0 END))::BIGINT AS cv
+        |  FROM byt CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS ci) t
+        |)
+        |SELECT doc_a, frame_a, doc_b, frame_b, n_chunks_equal FROM (
+        |  SELECT a.doc_id AS doc_a, a.frame_idx AS frame_a,
+        |    b2.doc_id AS doc_b, b2.frame_idx AS frame_b,
+        |    count(*)::BIGINT AS n_chunks_equal
+        |  FROM ch a JOIN ch b2 ON a.ci = b2.ci AND a.cv = b2.cv
+        |  WHERE a.doc_id < b2.doc_id OR
+        |    (a.doc_id = b2.doc_id AND a.frame_idx < b2.frame_idx)
+        |  GROUP BY 1, 2, 3, 4
+        |) WHERE n_chunks_equal >= 3""".stripMargin,
+    // z-norm via exact moments, PAA(4) on exact integer folds,
+    // breakpoint compare on the rational frame mean
+    "q451_sax_motifs" ->
+      """WITH cells AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 86400000000000 AS d,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), b AS (SELECT g, d, v FROM cells WHERE g IS NOT NULL),
+        |mom AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+        |    sum(v::HUGEINT * v) AS q2
+        |  FROM b GROUP BY 1
+        |), ok AS (
+        |  SELECT g, n, s, q2 FROM mom
+        |  WHERE n >= 2 AND q2 * n > s::HUGEINT * s
+        |), zq AS (
+        |  SELECT b.g,
+        |    CAST(floor((b.v::DOUBLE - s::DOUBLE / n::DOUBLE) /
+        |      sqrt((q2::DOUBLE - n::DOUBLE * (s::DOUBLE / n::DOUBLE) *
+        |        (s::DOUBLE / n::DOUBLE)) / (n::DOUBLE - 1.0)) * 1e6 + 0.5)
+        |      AS BIGINT) AS zq,
+        |    row_number() OVER (PARTITION BY b.g ORDER BY b.d) - 1 AS rn
+        |  FROM b JOIN ok ON b.g = ok.g
+        |), fr AS (
+        |  SELECT g, rn // 4 AS f, sum(zq)::BIGINT AS zs,
+        |    count(*)::BIGINT AS c
+        |  FROM zq GROUP BY 1, 2
+        |), sy AS (
+        |  SELECT g, f,
+        |    CASE WHEN zs::DOUBLE / c < -674500.0 THEN 'a'
+        |         WHEN zs::DOUBLE / c < 0.0 THEN 'b'
+        |         WHEN zs::DOUBLE / c < 674500.0 THEN 'c'
+        |         ELSE 'd' END AS sym
+        |  FROM fr
+        |), wd AS (
+        |  SELECT g, sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w ||
+        |    lead(sym, 3) OVER w AS word
+        |  FROM sy WINDOW w AS (PARTITION BY g ORDER BY f)
+        |)
+        |SELECT word, count(*)::BIGINT AS n_occurrences,
+        |  count(DISTINCT g)::BIGINT AS n_series
+        |FROM wd WHERE length(word) = 4
+        |GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // scheme/host lowering, www + trailing-slash + utm_* stripping,
+    // param sort — the canonical key replayed with list functions
+    "q452_url_canonical" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL
+        |), r AS (
+        |  SELECT (CASE WHEN event_id % 2 = 0 THEN 'https://WWW.'
+        |            ELSE 'HTTP://' END ||
+        |    event_type || '.Example.com/item/' || (event_id % 50)::VARCHAR ||
+        |    CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN user_id % 2 = 0 THEN '?b=2&utm_source=x&a=1'
+        |         ELSE '?a=1&b=2' END ||
+        |    CASE WHEN event_id % 5 = 0 THEN '#frag' ELSE '' END) AS raw
+        |  FROM ev
+        |), c AS (
+        |  SELECT raw, regexp_replace(raw, '#.*$', '') AS nofrag FROM r
+        |), p AS (
+        |  SELECT raw,
+        |    regexp_replace(lower(regexp_extract(nofrag,
+        |      '^[a-zA-Z]+://([^/?#]+)', 1)), '^www\.', '') AS hostc,
+        |    regexp_replace(regexp_extract(nofrag,
+        |      '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path,
+        |    regexp_extract(nofrag, '\?([^#]*)', 1) AS qs
+        |  FROM c
+        |), canon AS (
+        |  SELECT raw, 'https://' || hostc || path ||
+        |    CASE WHEN prm <> '' THEN '?' || prm ELSE '' END
+        |    AS canonical_url
+        |  FROM (SELECT raw, hostc, path,
+        |      array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        |        x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') AS prm
+        |    FROM p)
+        |)
+        |SELECT canonical_url, count(DISTINCT raw)::BIGINT AS n_variants,
+        |  count(*)::BIGINT AS n_events
+        |FROM canon GROUP BY 1""".stripMargin,
+    // main OLS coefs from exact integer moments, squared residuals
+    // re-quantized to int64, auxiliary R^2 via the same Cramer solve
+    "q440_breusch_pagan" -> {
+      val (detM, d0M, d1M, d2M) = cramer3Sql("n", "a", "b2", "c", "d",
+        "e", "t0", "t1", "t2")
+      val (detA, d0A, d1A, d2A) = cramer3Sql("n", "a", "b2", "c", "d",
+        "e", "sg", "sg1", "sg2")
+      s"""WITH b AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS a,
+        |    sum(x2)::BIGINT AS b2, sum(x1 * x1)::BIGINT AS c,
+        |    sum(x1 * x2)::BIGINT AS d, sum(x2 * x2)::BIGINT AS e,
+        |    sum(y)::BIGINT AS t0, sum(x1 * y)::BIGINT AS t1,
+        |    sum(x2 * y)::BIGINT AS t2
+        |  FROM b
+        |), co AS (
+        |  SELECT m.*,
+        |    CASE WHEN $detM <> 0 THEN $d0M/$detM END AS cb0,
+        |    CASE WHEN $detM <> 0 THEN $d1M/$detM END AS cb1,
+        |    CASE WHEN $detM <> 0 THEN $d2M/$detM END AS cb2
+        |  FROM m
+        |), aux1 AS (
+        |  SELECT co.n, co.a, co.b2, co.c, co.d, co.e, b.x1, b.x2,
+        |    CAST(floor((b.y::DOUBLE - (co.cb0 + co.cb1 * b.x1::DOUBLE +
+        |      co.cb2 * b.x2::DOUBLE)) * (b.y::DOUBLE - (co.cb0 +
+        |      co.cb1 * b.x1::DOUBLE + co.cb2 * b.x2::DOUBLE)) + 0.5)
+        |      AS BIGINT) AS gq
+        |  FROM b CROSS JOIN co
+        |), aux AS (
+        |  SELECT n, a, b2, c, d, e, sum(gq) AS sg,
+        |    sum(gq::HUGEINT * x1) AS sg1, sum(gq::HUGEINT * x2) AS sg2,
+        |    sum(gq::HUGEINT * gq) AS sgg
+        |  FROM aux1 GROUP BY 1, 2, 3, 4, 5, 6
+        |), fin AS (
+        |  SELECT n,
+        |    CASE WHEN $detA <> 0 AND
+        |      (sgg::DOUBLE - sg::DOUBLE*sg::DOUBLE/n::DOUBLE) > 0
+        |    THEN (($d0A/$detA) * sg::DOUBLE + ($d1A/$detA) * sg1::DOUBLE +
+        |      ($d2A/$detA) * sg2::DOUBLE - sg::DOUBLE*sg::DOUBLE/n::DOUBLE) /
+        |      (sgg::DOUBLE - sg::DOUBLE*sg::DOUBLE/n::DOUBLE)
+        |    END AS r2
+        |  FROM aux
+        |)
+        |SELECT n, round(n::DOUBLE * r2, 6) AS lm, 2::BIGINT AS df,
+        |  round(r2, 6) AS r2_aux
+        |FROM fin""".stripMargin
+    },
+    // per-segment SSE straight from conditional moment sums; pooled
+    // moments are the segment sums
+    "q441_chow_test" -> {
+      def sideSql(p: String, tag: String) =
+        s"""sum(CASE WHEN $p THEN 1 ELSE 0 END)::BIGINT AS n$tag,
+          |    sum(CASE WHEN $p THEN x1 ELSE 0 END)::BIGINT AS a$tag,
+          |    sum(CASE WHEN $p THEN x2 ELSE 0 END)::BIGINT AS b$tag,
+          |    sum(CASE WHEN $p THEN x1 * x1 ELSE 0 END)::BIGINT AS c$tag,
+          |    sum(CASE WHEN $p THEN x1 * x2 ELSE 0 END)::BIGINT AS d$tag,
+          |    sum(CASE WHEN $p THEN x2 * x2 ELSE 0 END)::BIGINT AS e$tag,
+          |    sum(CASE WHEN $p THEN y ELSE 0 END)::BIGINT AS t0$tag,
+          |    sum(CASE WHEN $p THEN x1 * y ELSE 0 END)::BIGINT AS t1$tag,
+          |    sum(CASE WHEN $p THEN x2 * y ELSE 0 END)::BIGINT AS t2$tag,
+          |    sum(CASE WHEN $p THEN y::HUGEINT * y ELSE 0 END) AS yy$tag""".stripMargin
+      def sseT(tag: String) = sse3Sql(s"n$tag", s"a$tag", s"b$tag",
+        s"c$tag", s"d$tag", s"e$tag", s"t0$tag", s"t1$tag", s"t2$tag",
+        s"yy$tag")
+      s"""WITH b AS (
+        |  SELECT (l_orderkey % 2 = 1) AS seg,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT ${sideSql("NOT seg", "A")},
+        |    ${sideSql("seg", "B")}
+        |  FROM b
+        |), p AS (
+        |  SELECT m.*, nA + nB AS nP, aA + aB AS aP, bA + bB AS bP,
+        |    cA + cB AS cP, dA + dB AS dP, eA + eB AS eP,
+        |    t0A + t0B AS t0P, t1A + t1B AS t1P, t2A + t2B AS t2P,
+        |    yyA + yyB AS yyP
+        |  FROM m
+        |), s AS (
+        |  SELECT nA, nB, ${sseT("A")} AS sa, ${sseT("B")} AS sb2,
+        |    ${sseT("P")} AS sp2
+        |  FROM p
+        |)
+        |SELECT nA AS n_a, nB AS n_b,
+        |  round(sp2 / (100::DOUBLE * 100), 6) AS sse_pooled,
+        |  round(sa / (100::DOUBLE * 100), 6) AS sse_a,
+        |  round(sb2 / (100::DOUBLE * 100), 6) AS sse_b,
+        |  round(CASE WHEN nA > 0 AND nB > 0 AND
+        |      (nA::DOUBLE + nB::DOUBLE - 6.0) > 0 AND sa IS NOT NULL AND
+        |      sb2 IS NOT NULL AND sp2 IS NOT NULL AND (sa + sb2) > 0
+        |    THEN ((sp2 - sa - sb2) / 3.0) /
+        |      ((sa + sb2) / (nA::DOUBLE + nB::DOUBLE - 6.0)) END, 6)
+        |    AS f_stat
+        |FROM s""".stripMargin
+    },
+    // one moment pass; each auxiliary R^2 is Cramer over a name
+    // permutation of the same sums
+    "q442_vif" -> {
+      def r2Sql(sj: String, sjj: String, sp: String, sq: String,
+                spp: String, spq: String, sqq: String, sjp: String,
+                sjq: String): String = {
+        val det = cramer3Sql("n", sp, sq, spp, spq, sqq, sj, sjp,
+          sjq)._1
+        val sse = sse3Sql("n", sp, sq, spp, spq, sqq, sj, sjp, sjq, sjj)
+        val sst = s"($sjj::DOUBLE - $sj::DOUBLE*$sj::DOUBLE/n::DOUBLE)"
+        s"CASE WHEN $det <> 0 AND $sst > 0 THEN 1.0 - ($sse)/$sst END"
+      }
+      val r1 = r2Sql("s1", "s11", "s2", "s3", "s22", "s23", "s33",
+        "s12", "s13")
+      val r2 = r2Sql("s2", "s22", "s1", "s3", "s11", "s13", "s33",
+        "s12", "s23")
+      val r3 = r2Sql("s3", "s33", "s1", "s2", "s11", "s12", "s22",
+        "s13", "s23")
+      s"""WITH b AS (
+        |  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+        |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS x3
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2,
+        |    sum(x3)::BIGINT AS s3,
+        |    sum(x1::HUGEINT * x1) AS s11, sum(x1::HUGEINT * x2) AS s12,
+        |    sum(x1::HUGEINT * x3) AS s13, sum(x2::HUGEINT * x2) AS s22,
+        |    sum(x2::HUGEINT * x3) AS s23, sum(x3::HUGEINT * x3) AS s33
+        |  FROM b
+        |), r AS (
+        |  SELECT n, $r1 AS r1, $r2 AS r2x, $r3 AS r3x FROM m
+        |)
+        |SELECT 'x1' AS variable, n, round(r1, 6) AS r2_others,
+        |  round(CASE WHEN r1 < 1.0 THEN 1.0/(1.0 - r1) END, 6) AS vif
+        |FROM r
+        |UNION ALL
+        |SELECT 'x2', n, round(r2x, 6),
+        |  round(CASE WHEN r2x < 1.0 THEN 1.0/(1.0 - r2x) END, 6) FROM r
+        |UNION ALL
+        |SELECT 'x3', n, round(r3x, 6),
+        |  round(CASE WHEN r3x < 1.0 THEN 1.0/(1.0 - r3x) END, 6)
+        |FROM r""".stripMargin
+    },
+    // doubled midranks (pooled + within-group) on the level relation;
+    // deviations cleared to exact ints by the 2n_j scaling
+    "q443_brunner_munzel" ->
+      """WITH base AS (
+        |  SELECT (user_id % 2 = 0) AS a,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS s
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), sc AS (
+        |  SELECT s, count(*)::BIGINT AS t,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ta,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS tb
+        |  FROM base GROUP BY 1
+        |), lev AS (
+        |  SELECT s, ta, tb,
+        |    2 * coalesce(sum(t) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r2p,
+        |    2 * coalesce(sum(ta) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + ta + 1 AS r2a,
+        |    2 * coalesce(sum(tb) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + tb + 1 AS r2b
+        |  FROM sc
+        |), tot AS (
+        |  SELECT sum(ta)::BIGINT AS na, sum(tb)::BIGINT AS nb,
+        |    sum(ta * r2p)::BIGINT AS ra2, sum(tb * r2p)::BIGINT AS rb2
+        |  FROM lev
+        |), q AS (
+        |  SELECT max(na)::BIGINT AS na, max(nb)::BIGINT AS nb,
+        |    max(ra2)::BIGINT AS ra2, max(rb2)::BIGINT AS rb2,
+        |    sum(ta::HUGEINT * (na * (r2p - r2a + na + 1) - ra2)
+        |      * (na * (r2p - r2a + na + 1) - ra2)) AS qa,
+        |    sum(tb::HUGEINT * (nb * (r2p - r2b + nb + 1) - rb2)
+        |      * (nb * (r2p - r2b + nb + 1) - rb2)) AS qb
+        |  FROM lev, tot
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round((rb2::DOUBLE/(2.0*nb::DOUBLE) - (nb::DOUBLE + 1.0)/2.0)
+        |    / na::DOUBLE, 6) AS p_hat,
+        |  round(CASE WHEN na >= 2 AND nb >= 2 AND
+        |      (na::DOUBLE * (qa::DOUBLE/(4.0*na::DOUBLE*na::DOUBLE*(na::DOUBLE - 1.0)))
+        |       + nb::DOUBLE * (qb::DOUBLE/(4.0*nb::DOUBLE*nb::DOUBLE*(nb::DOUBLE - 1.0)))) > 0
+        |    THEN na::DOUBLE * nb::DOUBLE *
+        |      (rb2::DOUBLE/(2.0*nb::DOUBLE) - ra2::DOUBLE/(2.0*na::DOUBLE)) /
+        |      ((na::DOUBLE + nb::DOUBLE) * sqrt(
+        |        na::DOUBLE * (qa::DOUBLE/(4.0*na::DOUBLE*na::DOUBLE*(na::DOUBLE - 1.0)))
+        |        + nb::DOUBLE * (qb::DOUBLE/(4.0*nb::DOUBLE*nb::DOUBLE*(nb::DOUBLE - 1.0)))))
+        |    END, 6) AS w
+        |FROM q""".stripMargin,
+    // the identical Zelen-Severo Φ formula on both engines: the
+    // compare pins implementation equality; per-row terms quantized
+    "q444_anderson_darling" ->
+      """WITH base AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), mom AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+        |    sum(v::HUGEINT * v) AS q2
+        |  FROM base GROUP BY 1
+        |), j AS (
+        |  SELECT base.g, base.v, mom.n, mom.s, mom.q2
+        |  FROM base JOIN mom ON base.g = mom.g
+        |  WHERE mom.n >= 8 AND mom.q2 * mom.n > mom.s::HUGEINT * mom.s
+        |), z AS (
+        |  SELECT g, n, v,
+        |    (v::DOUBLE - s::DOUBLE / n::DOUBLE) /
+        |      sqrt((q2::DOUBLE - n::DOUBLE * (s::DOUBLE / n::DOUBLE) *
+        |        (s::DOUBLE / n::DOUBLE)) / (n::DOUBLE - 1.0)) AS zz,
+        |    row_number() OVER (PARTITION BY g ORDER BY v ASC) AS ia,
+        |    row_number() OVER (PARTITION BY g ORDER BY v DESC) AS idsc
+        |  FROM j
+        |), ph AS (
+        |  SELECT g, n, ia, idsc,
+        |    greatest(least(CASE WHEN zz >= 0 THEN 1.0 - u ELSE u END,
+        |      1.0 - 1e-16), 1e-300) AS phic
+        |  FROM (
+        |    SELECT *, exp(-abs(zz)*abs(zz)/2.0)/sqrt(2.0*pi()) *
+        |      (tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937 +
+        |        tt*(-1.821255978 + tt*1.330274429))))) AS u
+        |    FROM (SELECT *, 1.0/(1.0 + 0.2316419*abs(zz)) AS tt FROM z))
+        |), t AS (
+        |  SELECT g, n,
+        |    sum(CAST(floor(((2*ia - 1)::DOUBLE * ln(phic) +
+        |      (2*idsc - 1)::DOUBLE * ln(1.0 - phic)) * 1e6 + 0.5)
+        |      AS BIGINT)) AS ts
+        |  FROM ph GROUP BY 1, 2
+        |)
+        |SELECT g AS event_type, n,
+        |  round(-n::DOUBLE - ts::DOUBLE / 1e6 / n::DOUBLE, 6) AS a2,
+        |  round((-n::DOUBLE - ts::DOUBLE / 1e6 / n::DOUBLE) *
+        |    (1.0 + 0.75/n::DOUBLE + 2.25/(n::DOUBLE*n::DOUBLE)), 6)
+        |    AS a2_star
+        |FROM t""".stripMargin,
+    // strict-extremum count vs the 2(n-2)/3 expectation on the daily
+    // per-type buckets
+    "q445_turning_points" ->
+      """WITH cells AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 86400000000000 AS d,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), b AS (SELECT g, d, v FROM cells WHERE g IS NOT NULL),
+        |l AS (
+        |  SELECT g, v,
+        |    lag(v) OVER (PARTITION BY g ORDER BY d) AS pv,
+        |    lead(v) OVER (PARTITION BY g ORDER BY d) AS nv
+        |  FROM b
+        |), t AS (
+        |  SELECT g, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND
+        |      (v - pv) * (v - nv) > 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_turning
+        |  FROM l GROUP BY 1
+        |)
+        |SELECT g AS event_type, n, n_turning,
+        |  round(2.0 * (n::DOUBLE - 2.0) / 3.0, 6) AS expected,
+        |  round(CASE WHEN (16.0 * n::DOUBLE - 29.0) / 90.0 > 0 THEN
+        |    (n_turning::DOUBLE - 2.0 * (n::DOUBLE - 2.0) / 3.0) /
+        |    sqrt((16.0 * n::DOUBLE - 29.0) / 90.0) END, 6) AS z
+        |FROM t WHERE n >= 3""".stripMargin,
+    // restricted (2x2) vs unrestricted (Cramer 3x3) SSE from one
+    // lagged moment pass per series
+    "q446_granger" -> {
+      val sseU = sse3Sql("n", "a", "b2", "c", "d", "e", "t0", "t1",
+        "t2", "yy")
+      val det = cramer3Sql("n", "a", "b2", "c", "d", "e", "t0", "t1",
+        "t2")._1
+      s"""WITH cells AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 86400000000000 AS dd,
+        |    count(*)::BIGINT AS x,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), b AS (SELECT * FROM cells WHERE g IS NOT NULL),
+        |l AS (
+        |  SELECT g, y,
+        |    lag(y) OVER (PARTITION BY g ORDER BY dd) AS yl,
+        |    lag(x) OVER (PARTITION BY g ORDER BY dd) AS xl
+        |  FROM b
+        |), f AS (SELECT * FROM l WHERE yl IS NOT NULL AND xl IS NOT NULL),
+        |m AS (
+        |  SELECT g, count(*)::BIGINT AS n, sum(yl)::BIGINT AS a,
+        |    sum(xl)::BIGINT AS b2, sum(yl::HUGEINT * yl) AS c,
+        |    sum(yl::HUGEINT * xl) AS d, sum(xl::HUGEINT * xl) AS e,
+        |    sum(y)::BIGINT AS t0, sum(yl::HUGEINT * y) AS t1,
+        |    sum(xl::HUGEINT * y) AS t2, sum(y::HUGEINT * y) AS yy
+        |  FROM f GROUP BY 1
+        |), s1 AS (
+        |  SELECT g, n, $sseU AS sseu,
+        |    (n::DOUBLE*c::DOUBLE - a::DOUBLE*a::DOUBLE) AS detr,
+        |    (n::DOUBLE*t1::DOUBLE - a::DOUBLE*t0::DOUBLE) AS numb1,
+        |    a::DOUBLE AS ad, n::DOUBLE AS nd, t0::DOUBLE AS t0d,
+        |    t1::DOUBLE AS t1d, yy::DOUBLE AS yyd
+        |  FROM m
+        |), s2 AS (
+        |  SELECT g, n, nd, sseu, detr, t0d, t1d, yyd, ad,
+        |    CASE WHEN detr <> 0 THEN numb1/detr END AS b1r
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT g, n, nd, sseu, detr,
+        |    yyd - (CASE WHEN detr <> 0 THEN (t0d - b1r*ad)/nd END) * t0d
+        |      - b1r * t1d AS sser
+        |  FROM s2
+        |)
+        |SELECT g AS event_type, n, round(sser, 6) AS sse_r,
+        |  round(sseu, 6) AS sse_u,
+        |  round(CASE WHEN detr <> 0 AND nd > 3 AND sseu > 0
+        |    THEN (sser - sseu) / (sseu / (nd - 3.0)) END, 6) AS f_stat
+        |FROM s3""".stripMargin
+    },
+    // h-index fixpoint replayed: 3 unrolled rounds, each one window
+    // rank over neighbor values + an integer max(min(value, rank))
+    "q437_coreness" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS a, 1000000 + event_id % 150 AS b
+        |  FROM events WHERE user_id IS NOT NULL
+        |), und AS (
+        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e
+        |), adj AS (
+        |  SELECT u AS node, v AS nb FROM und
+        |  UNION ALL SELECT v, u FROM und
+        |), v0 AS (SELECT node, count(*)::BIGINT AS value FROM adj GROUP BY 1),
+        |h1 AS (
+        |  SELECT node, max(least(nv, rn))::BIGINT AS value FROM (
+        |    SELECT a.node, l.value AS nv, row_number() OVER (
+        |      PARTITION BY a.node ORDER BY l.value DESC, a.nb) AS rn
+        |    FROM adj a JOIN v0 l ON a.nb = l.node) GROUP BY 1
+        |), h2 AS (
+        |  SELECT node, max(least(nv, rn))::BIGINT AS value FROM (
+        |    SELECT a.node, l.value AS nv, row_number() OVER (
+        |      PARTITION BY a.node ORDER BY l.value DESC, a.nb) AS rn
+        |    FROM adj a JOIN h1 l ON a.nb = l.node) GROUP BY 1
+        |), h3 AS (
+        |  SELECT node, max(least(nv, rn))::BIGINT AS value FROM (
+        |    SELECT a.node, l.value AS nv, row_number() OVER (
+        |      PARTITION BY a.node ORDER BY l.value DESC, a.nb) AS rn
+        |    FROM adj a JOIN h2 l ON a.nb = l.node) GROUP BY 1
+        |)
+        |SELECT node, value AS coreness FROM h3""".stripMargin,
+    // per-seed BFS unrolled to 3 hops; 1/d rides as exact 10^6//d
+    "q438_harmonic_centrality" ->
+      """WITH e0 AS (
+        |  SELECT user_id AS u, 1000000 + event_id % 150 AS v
+        |  FROM events WHERE user_id IS NOT NULL
+        |), sym AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)
+        |), seeds AS (
+        |  SELECT DISTINCT user_id AS seed FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 97 = 0
+        |), d0 AS (SELECT seed, seed AS node, 0::BIGINT AS dist FROM seeds),
+        |d1 AS (
+        |  SELECT seed, node, min(dist)::BIGINT AS dist FROM (
+        |    SELECT * FROM d0
+        |    UNION ALL
+        |    SELECT f.seed, s.v AS node, 1::BIGINT
+        |    FROM sym s JOIN (SELECT seed, node FROM d0 WHERE dist = 0) f
+        |      ON s.u = f.node) GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT seed, node, min(dist)::BIGINT AS dist FROM (
+        |    SELECT * FROM d1
+        |    UNION ALL
+        |    SELECT f.seed, s.v AS node, 2::BIGINT
+        |    FROM sym s JOIN (SELECT seed, node FROM d1 WHERE dist = 1) f
+        |      ON s.u = f.node) GROUP BY 1, 2
+        |), d3 AS (
+        |  SELECT seed, node, min(dist)::BIGINT AS dist FROM (
+        |    SELECT * FROM d2
+        |    UNION ALL
+        |    SELECT f.seed, s.v AS node, 3::BIGINT
+        |    FROM sym s JOIN (SELECT seed, node FROM d2 WHERE dist = 2) f
+        |      ON s.u = f.node) GROUP BY 1, 2
+        |)
+        |SELECT node, count(*)::BIGINT AS n_reached,
+        |  round(sum(1000000 // dist)::DOUBLE / 1e6, 6) AS harmonic
+        |FROM d3 WHERE dist > 0 GROUP BY node""".stripMargin,
+    // q175's LP partition replayed verbatim, then cut/vol per label
+    "q439_conductance" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS a, 1000000 + event_id % 150 AS b
+        |  FROM events WHERE user_id IS NOT NULL
+        |), sym AS (
+        |  SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e
+        |), l0 AS (SELECT DISTINCT u AS node, u::BIGINT AS label FROM sym),
+        |i1 AS (
+        |  SELECT u AS node, min(label) AS label FROM (
+        |    SELECT u, label, cnt, max(cnt) OVER (PARTITION BY u) AS mx FROM (
+        |      SELECT s.u, l.label, count(*) AS cnt
+        |      FROM sym s JOIN l0 l ON s.v = l.node GROUP BY 1, 2)
+        |  ) WHERE cnt = mx GROUP BY u
+        |), i2 AS (
+        |  SELECT u AS node, min(label) AS label FROM (
+        |    SELECT u, label, cnt, max(cnt) OVER (PARTITION BY u) AS mx FROM (
+        |      SELECT s.u, l.label, count(*) AS cnt
+        |      FROM sym s JOIN i1 l ON s.v = l.node GROUP BY 1, 2)
+        |  ) WHERE cnt = mx GROUP BY u
+        |), i3 AS (
+        |  SELECT u AS node, min(label) AS label FROM (
+        |    SELECT u, label, cnt, max(cnt) OVER (PARTITION BY u) AS mx FROM (
+        |      SELECT s.u, l.label, count(*) AS cnt
+        |      FROM sym s JOIN i2 l ON s.v = l.node GROUP BY 1, 2)
+        |  ) WHERE cnt = mx GROUP BY u
+        |), und AS (
+        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e
+        |), e2 AS (
+        |  SELECT und.u, und.v, lu.label AS lu, lv.label AS lv
+        |  FROM und
+        |  LEFT JOIN i3 lu ON und.u = lu.node
+        |  LEFT JOIN i3 lv ON und.v = lv.node
+        |), m2 AS (SELECT 2 * count(*) AS tm FROM und),
+        |vol AS (
+        |  SELECT label, count(*)::BIGINT AS volume FROM (
+        |    SELECT lu AS label FROM e2 UNION ALL SELECT lv FROM e2)
+        |  WHERE label IS NOT NULL GROUP BY 1
+        |), cut AS (
+        |  SELECT label, count(*)::BIGINT AS cut_edges FROM (
+        |    SELECT lu AS label FROM e2 WHERE lu IS DISTINCT FROM lv
+        |    UNION ALL
+        |    SELECT lv FROM e2 WHERE lu IS DISTINCT FROM lv)
+        |  WHERE label IS NOT NULL GROUP BY 1
+        |), nn AS (
+        |  SELECT label, count(*)::BIGINT AS n_nodes FROM i3 GROUP BY 1
+        |)
+        |SELECT v.label, nn.n_nodes, v.volume,
+        |  coalesce(c.cut_edges, 0)::BIGINT AS cut_edges,
+        |  CASE WHEN least(v.volume, m2.tm - v.volume) = 0 THEN NULL
+        |       ELSE round(coalesce(c.cut_edges, 0)::DOUBLE /
+        |         least(v.volume, m2.tm - v.volume)::DOUBLE, 6)
+        |  END AS conductance
+        |FROM vol v
+        |LEFT JOIN cut c USING (label)
+        |LEFT JOIN nn USING (label)
+        |CROSS JOIN m2""".stripMargin,
     "q433_page_trend" ->
       """WITH cells AS (
         |  SELECT user_id AS bk,

@@ -4320,4 +4320,343 @@ object Analytics {
         round(col("_qs").cast("double") / col("n_pos") / 1e12, 6)
           .as("avg_precision"))
   }
+
+  /** Shared closed-form solve for ŷ = b₀ + b₁x₁ + b₂x₂ by Cramer's
+    * rule over exact integer moment sums (the [[olsFitApply]]
+    * machinery, factored for reuse): given the 9 moment columns as
+    * doubles, returns (det, b0, b1, b2) expressions. */
+  private def ols3(n: Column, a: Column, b: Column, c: Column,
+                   dd: Column, e: Column, t0: Column, t1: Column,
+                   t2: Column): (Column, Column, Column, Column) = {
+    val det = n * (c * e - dd * dd) - a * (a * e - dd * b) +
+      b * (a * dd - c * b)
+    val det0 = t0 * (c * e - dd * dd) - a * (t1 * e - dd * t2) +
+      b * (t1 * dd - c * t2)
+    val det1 = n * (t1 * e - dd * t2) - t0 * (a * e - dd * b) +
+      b * (a * t2 - t1 * b)
+    val det2 = n * (c * t2 - t1 * dd) - a * (a * t2 - t1 * b) +
+      t0 * (a * dd - c * b)
+    (det, when(det =!= 0, det0 / det), when(det =!= 0, det1 / det),
+      when(det =!= 0, det2 / det))
+  }
+
+  /** Breusch–Pagan heteroskedasticity test, Koenker's studentized LM
+    * form, on the two-regressor OLS: fit y ~ 1 + x₁ + x₂, regress
+    * the SQUARED residuals on the same design, LM = n·R² of that
+    * auxiliary fit — χ²(2) under homoskedasticity. The assumption
+    * check behind every OLS read here ([[olsFitApply]],
+    * [[olsInfluence]], [[cvOls]]): if the error variance rides the
+    * regressors, the usual standard errors are wrong and every CI
+    * downstream inherits it.
+    *
+    * Determinism: inputs quantized to integer units (the
+    * [[olsFitApply]] scale contract) so the moment matrix is exact
+    * int64; coefficients are a fixed double expression over those
+    * sums (identical IEEE everywhere); each squared residual is
+    * re-quantized to int64 units² (floor(e²+½)) so the auxiliary
+    * moments accumulate exactly (decimal(38,0) where products can
+    * pass 2⁶³); the final assembly is one fixed scalar sequence.
+    * NULL lm/r2 on a singular design or zero auxiliary variance.
+    *
+    * Returns one row (n, lm, df, r2_aux).
+    *
+    * Scale shape: two map-side-combinable full scans (moments, then
+    * residual moments with the 1-row coefficient frame broadcast) —
+    * no shuffle wider than one row. */
+  def breuschPagan(df: DataFrame, yCol: Column, x1Col: Column,
+                   x2Col: Column, scale: Long = 100L): DataFrame = {
+    require(scale >= 1)
+    def q(c: Column) = floor(c.cast("double") * scale + lit(0.5)).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.filter(yCol.isNotNull && x1Col.isNotNull && x2Col.isNotNull)
+      .select(q(yCol).as("_y"), q(x1Col).as("_x1"), q(x2Col).as("_x2"))
+    val m = base.agg(count(lit(1)).as("_n"), sum("_x1").as("_a"),
+      sum("_x2").as("_b"), sum(col("_x1") * col("_x1")).as("_c"),
+      sum(col("_x1") * col("_x2")).as("_d"),
+      sum(col("_x2") * col("_x2")).as("_e"),
+      sum("_y").as("_t0"), sum(col("_x1") * col("_y")).as("_t1"),
+      sum(col("_x2") * col("_y")).as("_t2"))
+    val d = (c: String) => col(c).cast("double")
+    val (_, b0, b1, b2) = ols3(d("_n"), d("_a"), d("_b"), d("_c"),
+      d("_d"), d("_e"), d("_t0"), d("_t1"), d("_t2"))
+    val coefs = broadcast(m.select(col("_n"), col("_a"), col("_b"),
+      col("_c"), col("_d"), col("_e"), b0.as("_b0"), b1.as("_b1"),
+      b2.as("_b2")))
+    val eRes = col("_y") - (col("_b0") + col("_b1") * col("_x1") +
+      col("_b2") * col("_x2"))
+    val aux = base.crossJoin(coefs)
+      .select(col("_x1"), col("_x2"),
+        floor(eRes * eRes + lit(0.5)).cast("long").as("_gq"),
+        col("_n"), col("_a"), col("_b"), col("_c"), col("_d"), col("_e"))
+      .groupBy("_n", "_a", "_b", "_c", "_d", "_e")
+      .agg(sum(dec(col("_gq"))).as("_sg"),
+        sum(dec(col("_gq")) * col("_x1")).as("_sg1"),
+        sum(dec(col("_gq")) * col("_x2")).as("_sg2"),
+        sum(dec(col("_gq")) * col("_gq")).as("_sgg"))
+    val (sg, sg1, sg2, sgg) =
+      (d("_sg"), d("_sg1"), d("_sg2"), d("_sgg"))
+    val (detA, c0, c1, c2) = ols3(d("_n"), d("_a"), d("_b"), d("_c"),
+      d("_d"), d("_e"), sg, sg1, sg2)
+    val sst = sgg - sg * sg / d("_n")
+    val ssm = c0 * sg + c1 * sg1 + c2 * sg2 - sg * sg / d("_n")
+    val r2 = when(detA =!= 0 && sst > 0, ssm / sst)
+    aux.select(col("_n").as("n"), round(d("_n") * r2, 6).as("lm"),
+      lit(2L).as("df"), round(r2, 6).as("r2_aux"))
+  }
+
+  /** Chow structural-break test: does ONE two-regressor OLS fit both
+    * segments, or does the relationship change at a known break
+    * (regime, time cutoff, cohort)? F = ((SSEₚ − SSE_a − SSE_b)/k) /
+    * ((SSE_a + SSE_b)/(n_a + n_b − 2k)), k = 3 parameters — the
+    * classic pre/post-regime read on [[olsFitApply]]'s model.
+    *
+    * Per-segment SSE comes straight from the moment sums:
+    * SSE = Σy² − b₀Σy − b₁Σx₁y − b₂Σx₂y with b from Cramer's rule —
+    * so the WHOLE test is one conditional-aggregate pass (18 integer
+    * sums + two Σy², decimal(38,0) where quadratic) and a fixed
+    * scalar assembly. NULL F when either segment's design is
+    * singular, a segment is empty, or the denominator df ≤ 0.
+    *
+    * Returns one row (n_a, n_b, sse_pooled, sse_a, sse_b, f_stat).
+    *
+    * Scale shape: ONE map-side-combinable scan; nothing shuffles
+    * wider than a single row. */
+  def chowTest(df: DataFrame, isSegmentB: Column, yCol: Column,
+               x1Col: Column, x2Col: Column,
+               scale: Long = 100L): DataFrame = {
+    require(scale >= 1)
+    def q(c: Column) = floor(c.cast("double") * scale + lit(0.5)).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.filter(isSegmentB.isNotNull && yCol.isNotNull &&
+        x1Col.isNotNull && x2Col.isNotNull)
+      .select(isSegmentB.as("_sb"), q(yCol).as("_y"), q(x1Col).as("_x1"),
+        q(x2Col).as("_x2"))
+    def side(p: Column, tag: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"_n$tag"),
+      sum(when(p, col("_x1")).otherwise(0L)).as(s"_a$tag"),
+      sum(when(p, col("_x2")).otherwise(0L)).as(s"_b$tag"),
+      sum(when(p, col("_x1") * col("_x1")).otherwise(0L)).as(s"_c$tag"),
+      sum(when(p, col("_x1") * col("_x2")).otherwise(0L)).as(s"_d$tag"),
+      sum(when(p, col("_x2") * col("_x2")).otherwise(0L)).as(s"_e$tag"),
+      sum(when(p, col("_y")).otherwise(0L)).as(s"_t0$tag"),
+      sum(when(p, col("_x1") * col("_y")).otherwise(0L)).as(s"_t1$tag"),
+      sum(when(p, col("_x2") * col("_y")).otherwise(0L)).as(s"_t2$tag"),
+      sum(when(p, dec(col("_y")) * col("_y")).otherwise(lit(0).cast("decimal(38,0)")))
+        .as(s"_yy$tag"))
+    val cols = side(!col("_sb"), "A") ++ side(col("_sb"), "B")
+    val m = base.agg(cols.head, cols.tail: _*)
+    val d = (c: String) => col(c).cast("double")
+    def sse(tag: (String) => String): Column = {
+      val (n, a, b) = (d(tag("_n")), d(tag("_a")), d(tag("_b")))
+      val (c, dd, e) = (d(tag("_c")), d(tag("_d")), d(tag("_e")))
+      val (t0, t1, t2) = (d(tag("_t0")), d(tag("_t1")), d(tag("_t2")))
+      val (det, b0, b1, b2) = ols3(n, a, b, c, dd, e, t0, t1, t2)
+      when(det =!= 0, d(tag("_yy")) - b0 * t0 - b1 * t1 - b2 * t2)
+    }
+    // pooled moments are the segment sums — compute once as columns
+    val pooled = m.select(col("*"),
+      (col("_nA") + col("_nB")).as("_nP"), (col("_aA") + col("_aB")).as("_aP"),
+      (col("_bA") + col("_bB")).as("_bP"), (col("_cA") + col("_cB")).as("_cP"),
+      (col("_dA") + col("_dB")).as("_dP"), (col("_eA") + col("_eB")).as("_eP"),
+      (col("_t0A") + col("_t0B")).as("_t0P"),
+      (col("_t1A") + col("_t1B")).as("_t1P"),
+      (col("_t2A") + col("_t2B")).as("_t2P"),
+      (col("_yyA") + col("_yyB")).as("_yyP"))
+    val (sa, sb, sp) = (sse(t => t + "A"), sse(t => t + "B"),
+      sse(t => t + "P"))
+    val dfDen = d("_nA") + d("_nB") - 6.0
+    val f = when(col("_nA") > 0 && col("_nB") > 0 && dfDen > 0 &&
+      sa.isNotNull && sb.isNotNull && sp.isNotNull && (sa + sb) > 0,
+      ((sp - sa - sb) / 3.0) / ((sa + sb) / dfDen))
+    pooled.select(col("_nA").as("n_a"), col("_nB").as("n_b"),
+      round(sp / (lit(scale).cast("double") * scale), 6).as("sse_pooled"),
+      round(sa / (lit(scale).cast("double") * scale), 6).as("sse_a"),
+      round(sb / (lit(scale).cast("double") * scale), 6).as("sse_b"),
+      round(f, 6).as("f_stat"))
+  }
+
+  /** Variance inflation factors for a three-regressor design: for
+    * each xⱼ, regress it on the other two (+ intercept) and report
+    * VIFⱼ = 1/(1 − R²ⱼ) — the standard multicollinearity diagnostic
+    * (VIF > 5–10 means the design matrix is near-singular and the
+    * coefficient reads in [[olsFitApply]]-family fits are unstable).
+    *
+    * One pass collects the exact integer moment matrix of the three
+    * regressors (decimal(38,0) for the quadratic sums); each
+    * auxiliary R² is then Cramer's rule over a permutation of the
+    * SAME sums — no second scan. NULL r2/vif when the auxiliary
+    * design is singular or xⱼ is constant.
+    *
+    * Returns 3 rows (variable, n, r2_others, vif).
+    *
+    * Scale shape: one map-side-combinable scan + a 3-row explode. */
+  def vif3(df: DataFrame, x1Col: Column, x2Col: Column, x3Col: Column,
+           scale: Long = 100L): DataFrame = {
+    require(scale >= 1)
+    def q(c: Column) = floor(c.cast("double") * scale + lit(0.5)).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.filter(x1Col.isNotNull && x2Col.isNotNull && x3Col.isNotNull)
+      .select(q(x1Col).as("_x1"), q(x2Col).as("_x2"), q(x3Col).as("_x3"))
+    val m = base.agg(count(lit(1)).as("_n"),
+      sum("_x1").as("_s1"), sum("_x2").as("_s2"), sum("_x3").as("_s3"),
+      sum(dec(col("_x1")) * col("_x1")).as("_s11"),
+      sum(dec(col("_x1")) * col("_x2")).as("_s12"),
+      sum(dec(col("_x1")) * col("_x3")).as("_s13"),
+      sum(dec(col("_x2")) * col("_x2")).as("_s22"),
+      sum(dec(col("_x2")) * col("_x3")).as("_s23"),
+      sum(dec(col("_x3")) * col("_x3")).as("_s33"))
+    val d = (c: String) => col(c).cast("double")
+    // r2 of target j regressed on (p, q): moments by name permutation
+    def r2Of(sj: String, sjj: String, sp: String, sq: String,
+             spp: String, spq: String, sqq: String, sjp: String,
+             sjq: String): Column = {
+      val (det, b0, b1, b2) = ols3(d("_n"), d(sp), d(sq), d(spp),
+        d(spq), d(sqq), d(sj), d(sjp), d(sjq))
+      val sst = d(sjj) - d(sj) * d(sj) / d("_n")
+      val sseJ = d(sjj) - b0 * d(sj) - b1 * d(sjp) - b2 * d(sjq)
+      when(det =!= 0 && sst > 0, lit(1.0) - sseJ / sst)
+    }
+    val r1 = r2Of("_s1", "_s11", "_s2", "_s3", "_s22", "_s23", "_s33",
+      "_s12", "_s13")
+    val r2 = r2Of("_s2", "_s22", "_s1", "_s3", "_s11", "_s13", "_s33",
+      "_s12", "_s23")
+    val r3 = r2Of("_s3", "_s33", "_s1", "_s2", "_s11", "_s12", "_s22",
+      "_s13", "_s23")
+    def vifRow(name: String, r2c: Column) = struct(lit(name).as("variable"),
+      round(r2c, 6).as("r2_others"),
+      round(when(r2c < 1.0, lit(1.0) / (lit(1.0) - r2c)), 6).as("vif"))
+    m.select(col("_n").as("n"), explode(array(vifRow("x1", r1),
+        vifRow("x2", r2), vifRow("x3", r3))).as("_r"))
+      .select(col("_r.variable").as("variable"), col("n"),
+        col("_r.r2_others").as("r2_others"), col("_r.vif").as("vif"))
+  }
+
+  /** Brunner–Munzel generalized Wilcoxon test: is
+    * p = P(X < Y) + ½P(X = Y) equal to ½ — the two-sample rank test
+    * that, unlike [[mannWhitneyU]], does NOT assume equal variances
+    * under H₀ (the rank analogue of Welch vs Student). Statistic per
+    * Brunner & Munzel 2000: with pooled midranks R and within-group
+    * midranks r, Sⱼ² = Σᵢ(Rᵢ − rᵢ − R̄ⱼ + (nⱼ+1)/2)²/(nⱼ−1) and
+    * W = n_a·n_b·(R̄_b − R̄_a) / (N·√(n_a·S_a² + n_b·S_b²)).
+    *
+    * Exactness: the doubled-midrank trick ([[mannWhitneyU]]) keeps
+    * every rank integer; each deviation is scaled by 2nⱼ to clear
+    * its rational parts — Dᵢ = nⱼ(R2ᵢ − r2ᵢ + nⱼ + 1) − ΣR2ⱼ is
+    * exact int64 and ΣcᵢDᵢ² accumulates as decimal(38,0), so both
+    * variance sums are order-free integers until one final fixed
+    * double assembly. NULL W when either side has < 2 rows or the
+    * variance is 0 (e.g. disjoint supports).
+    *
+    * Returns one row (n_a, n_b, p_hat, w).
+    *
+    * Scale shape: one reduced (score) shuffle to the distinct-value
+    * level relation, three cumulative windows over it, a 1-row
+    * totals broadcast back onto the LEVEL table (value-cardinality-
+    * sized, not row-sized), one final fold. */
+  def brunnerMunzel(df: DataFrame, isSliceA: Column,
+                    scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.filter(isSliceA.isNotNull && scoreCol.isNotNull)
+      .select(isSliceA.as("_a"), scoreCol.cast("long").as("_s"))
+    val sc = base.groupBy("_s").agg(
+      count(lit(1)).as("_t"),
+      sum(when(col("_a"), 1L).otherwise(0L)).as("_ta"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("_tb"))
+    val prev = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    val lev = sc.select(col("_s"), col("_ta"), col("_tb"),
+      (lit(2L) * coalesce(sum("_t").over(prev), lit(0L)) + col("_t") + 1L)
+        .as("_R2"),
+      (lit(2L) * coalesce(sum("_ta").over(prev), lit(0L)) + col("_ta") + 1L)
+        .as("_r2a"),
+      (lit(2L) * coalesce(sum("_tb").over(prev), lit(0L)) + col("_tb") + 1L)
+        .as("_r2b"))
+    val tot = broadcast(lev.agg(sum("_ta").as("_na"), sum("_tb").as("_nb"),
+      sum(col("_ta") * col("_R2")).as("_Ra2"),
+      sum(col("_tb") * col("_R2")).as("_Rb2")))
+    val dA = col("_na") * (col("_R2") - col("_r2a") + col("_na") + 1L) -
+      col("_Ra2")
+    val dB = col("_nb") * (col("_R2") - col("_r2b") + col("_nb") + 1L) -
+      col("_Rb2")
+    val s = lev.crossJoin(tot)
+      .agg(max("_na").as("_na"), max("_nb").as("_nb"),
+        max("_Ra2").as("_Ra2"), max("_Rb2").as("_Rb2"),
+        sum(dec(col("_ta")) * dec(dA) * dec(dA)).as("_qa"),
+        sum(dec(col("_tb")) * dec(dB) * dec(dB)).as("_qb"))
+    val (na, nb) = (col("_na").cast("double"), col("_nb").cast("double"))
+    val n = na + nb
+    val mA = col("_Ra2").cast("double") / (lit(2.0) * na)
+    val mB = col("_Rb2").cast("double") / (lit(2.0) * nb)
+    val vA = col("_qa").cast("double") / (lit(4.0) * na * na * (na - 1.0))
+    val vB = col("_qb").cast("double") / (lit(4.0) * nb * nb * (nb - 1.0))
+    val sig = na * vA + nb * vB
+    s.select(col("_na").as("n_a"), col("_nb").as("n_b"),
+      round((mB - (nb + 1.0) / 2.0) / na, 6).as("p_hat"),
+      round(when(col("_na") >= 2 && col("_nb") >= 2 && sig > 0,
+        na * nb * (mB - mA) / (n * sqrt(sig))), 6).as("w"))
+  }
+
+  /** Anderson–Darling normality test per group — the tail-weighted
+    * EDF statistic ([[jarqueBera]] reads moments; A–D reads the
+    * whole CDF with extra weight in the tails, where training-data
+    * value columns actually go wrong):
+    * A² = −n − (1/n)Σ(2i−1)[ln Φ(zᵢ) + ln(1−Φ(z_{n+1−i}))] over the
+    * per-group standardized order statistics, plus the small-sample
+    * A*² = A²(1 + 0.75/n + 2.25/n²) (D'Agostino).
+    *
+    * Φ is the Zelen–Severo / A&S 26.2.17 rational approximation
+    * (|ε| < 7.5·10⁻⁸) — BOTH engines evaluate the identical fixed
+    * formula, so the compare pins implementation equality and the
+    * approximation error is a documented property, not drift. Φ is
+    * clamped to [10⁻³⁰⁰, 1−10⁻¹⁶] so an extreme outlier's underflow
+    * can't produce ln(0). Per-row terms are ×10⁶-quantized to int64
+    * and summed as decimal(38,0) — order-free; mean/sd come from
+    * exact integer sums. The (2i−1) weights use row_number with an
+    * arbitrary tie order — the weighted sum is invariant under
+    * permuting equal z's, so the result is still deterministic.
+    *
+    * Returns (group, n, a2, a2_star) for groups with n ≥ 8.
+    *
+    * Scale shape: one group-partitioned window sort (two frames over
+    * one sort: asc + desc ranks), one map-side-combinable agg; the
+    * per-group moment frame broadcasts back. */
+  def andersonDarling(df: DataFrame, groupCol: String,
+                      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.filter(col(groupCol).isNotNull && valueCol.isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("long").as("_v"))
+    val mom = base.groupBy("_g").agg(count(lit(1)).as("_n"),
+      sum("_v").as("_s"), sum(dec(col("_v")) * col("_v")).as("_q"))
+    val nD = col("_n").cast("double")
+    val mean = col("_s").cast("double") / nD
+    val varS = (col("_q").cast("double") - nD * mean * mean) / (nD - 1.0)
+    val z = (col("_v").cast("double") - mean) / sqrt(varS)
+    // Zelen–Severo Φ: t = 1/(1+0.2316419|z|), φ(z)·poly(t), mirrored
+    val az = abs(z)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = tt * (lit(0.319381530) + tt * (lit(-0.356563782) +
+      tt * (lit(1.781477937) + tt * (lit(-1.821255978) +
+        tt * lit(1.330274429)))))
+    val upper = exp(-az * az / 2.0) / sqrt(lit(2.0) * math.Pi) * poly
+    val phi = when(z >= 0, lit(1.0) - upper).otherwise(upper)
+    val phiC = greatest(least(phi, lit(1.0) - 1e-16), lit(1e-300))
+    val wAsc = Window.partitionBy("_g").orderBy(col("_v").asc)
+    val wDesc = Window.partitionBy("_g").orderBy(col("_v").desc)
+    val term = (lit(2L) * row_number().over(wAsc) - 1L).cast("double") *
+      log(phiC) +
+      (lit(2L) * row_number().over(wDesc) - 1L).cast("double") *
+        log(lit(1.0) - phiC)
+    val agg = base.join(broadcast(mom.filter(col("_n") >= 8 && col("_q") * col("_n") >
+        dec(col("_s")) * col("_s"))), Seq("_g"))
+      .select(col("_g"), col("_n"),
+        floor(term * 1e6 + lit(0.5)).cast("long").as("_tq"))
+      .groupBy("_g", "_n").agg(sum(dec(col("_tq"))).as("_ts"))
+    val nA = col("_n").cast("double")
+    val a2 = -nA - col("_ts").cast("double") / 1e6 / nA
+    agg.select(col("_g").as(groupCol), col("_n").as("n"),
+      round(a2, 6).as("a2"),
+      round(a2 * (lit(1.0) + lit(0.75) / nA + lit(2.25) / (nA * nA)), 6)
+        .as("a2_star"))
+  }
 }

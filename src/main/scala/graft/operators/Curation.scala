@@ -841,4 +841,74 @@ object Curation {
       .select(col("_id").as(idCol), col("_g").as(groupCol),
         col("_v").as("value"), col("normalized"))
   }
+
+  /** Iterative proportional fitting (raking) of per-cell sampling
+    * weights: make the corpus's (dim1 × dim2) WEIGHTED marginals
+    * match a reference population's, without touching the joint —
+    * the survey-statistics workhorse behind "rebalance by language
+    * AND by source simultaneously" ([[domainReweight]] reweights one
+    * dimension by loss; raking satisfies two marginal systems at
+    * once, which no single-dimension scaling can). `rounds`
+    * alternating proportional scalings (dim1 then dim2); 3 rounds is
+    * the classic near-fixpoint for well-conditioned tables and the
+    * documented truncation.
+    *
+    * Expected counts come from the reference's marginal SHARES
+    * scaled to the corpus size. Cells empty in the corpus get no
+    * weight (standard raking; a reference marginal with zero corpus
+    * mass keeps its shortfall — reported via the achieved columns).
+    *
+    * Determinism: weights live ×10⁹-quantized on the CELL relation
+    * (cardinality |dim1|·|dim2|, not rows), every marginal sum is an
+    * exact integer fold, and each scaling factor is one fixed double
+    * ratio — engine- and partitioning-independent.
+    *
+    * Returns (dim1, dim2, n, weight, weighted_n).
+    *
+    * Scale shape: one (dim1, dim2) reduced shuffle builds the cell
+    * table; each half-round is a broadcast join of a marginal agg
+    * back onto cells. Everything after the first reduction is
+    * cell-cardinality-sized — at 100 TB the cells are a few hundred
+    * rows regardless of corpus size. */
+  def ipfRake(corpus: DataFrame, reference: DataFrame, dim1: String,
+              dim2: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
+    val cells = corpus.filter(col(dim1).isNotNull && col(dim2).isNotNull)
+      .groupBy(col(dim1).as("_d1"), col(dim2).as("_d2"))
+      .agg(count(lit(1)).as("_n"))
+    val refBase = reference
+      .filter(col(dim1).isNotNull && col(dim2).isNotNull)
+    val ref1 = refBase.groupBy(col(dim1).as("_d1"))
+      .agg(count(lit(1)).as("_r1"))
+    val ref2 = refBase.groupBy(col(dim2).as("_d2"))
+      .agg(count(lit(1)).as("_r2"))
+    val totals = broadcast(cells.agg(sum("_n").as("_N"))
+      .crossJoin(refBase.agg(count(lit(1)).as("_T"))))
+    // expected marginal counts at corpus scale, as fixed doubles
+    val e1 = broadcast(ref1.crossJoin(totals).select(col("_d1"),
+      (col("_r1").cast("double") * col("_N") / col("_T")).as("_e1")))
+    val e2 = broadcast(ref2.crossJoin(totals).select(col("_d2"),
+      (col("_r2").cast("double") * col("_N") / col("_T")).as("_e2")))
+    var w = cells.withColumn("_wq", lit(1000000000L))
+    for (_ <- 1 to rounds) {
+      val s1 = w.groupBy("_d1").agg(sum(col("_n") * col("_wq")).as("_s1"))
+      w = w.join(broadcast(s1), Seq("_d1")).join(e1, Seq("_d1"), "left")
+        .withColumn("_wq", when(col("_e1").isNotNull && col("_s1") > 0,
+          floor(col("_wq") * (col("_e1") * 1e9 /
+            col("_s1").cast("double")) + lit(0.5)).cast("long"))
+          .otherwise(col("_wq")))
+        .select("_d1", "_d2", "_n", "_wq")
+      val s2 = w.groupBy("_d2").agg(sum(col("_n") * col("_wq")).as("_s2"))
+      w = w.join(broadcast(s2), Seq("_d2")).join(e2, Seq("_d2"), "left")
+        .withColumn("_wq", when(col("_e2").isNotNull && col("_s2") > 0,
+          floor(col("_wq") * (col("_e2") * 1e9 /
+            col("_s2").cast("double")) + lit(0.5)).cast("long"))
+          .otherwise(col("_wq")))
+        .select("_d1", "_d2", "_n", "_wq")
+    }
+    w.select(col("_d1").as(dim1), col("_d2").as(dim2), col("_n").as("n"),
+      round(col("_wq").cast("double") / 1e9, 6).as("weight"),
+      round(col("_n").cast("double") * col("_wq") / 1e9, 6)
+        .as("weighted_n"))
+  }
 }

@@ -697,4 +697,161 @@ object Graph {
             .cast("double"), 6).as("jaccard"),
         round(col("_ra").cast("double") / 1e12, 6).as("ra_score"))
   }
+
+  /** Full core DECOMPOSITION — every node's coreness number in one
+    * pass, where [[kCore]] answers only membership at a single k.
+    * Uses the h-index fixpoint (Lü et al. 2016, Nature Physics 12):
+    * start at value(v) = deg(v); each round value(v) ← H-index of
+    * its neighbors' values (the largest h with ≥ h neighbors of
+    * value ≥ h). Values fall monotonically and the fixpoint IS the
+    * coreness; a fixed round count is the documented truncation
+    * (the [[kCore]]/[[kTruss]] contract), so the result is a
+    * monotone UPPER bound that equals coreness wherever the graph's
+    * peeling depth ≤ rounds. Returns (node, coreness).
+    *
+    * Integer-only, partitioning-independent (the H-index is an
+    * order statistic — ties don't matter: min(value, rank) is
+    * invariant under permuting equal values). Scale shape: each
+    * round is one values ⋈ adjacency join (values is nodes-sized —
+    * broadcast while it fits) plus ONE shuffle on node for the
+    * rank window; per-node work is its degree, total Σdeg = 2m per
+    * round, hub skew bounded by the max-degree partition exactly
+    * like any degree histogram. */
+  def coreness(edges: DataFrame, aCol: String, bCol: String,
+               rounds: Int,
+               broadcastValues: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1)
+    val raw = edges.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+    val und = raw.select(least(col("_a"), col("_b")).as("_u"),
+      greatest(col("_a"), col("_b")).as("_v")).distinct()
+    val adj = und.select(col("_u").as("node"), col("_v").as("nb"))
+      .union(und.select(col("_v"), col("_u")))
+    var vals = adj.groupBy("node").agg(count(lit(1)).as("value"))
+    for (_ <- 1 to rounds) {
+      val v = if (broadcastValues) broadcast(vals) else vals
+      val nbv = adj.join(
+        v.select(col("node").as("nb"), col("value").as("_nv")), Seq("nb"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("_nv").desc, col("nb"))
+      vals = nbv
+        .select(col("node"), col("_nv"),
+          row_number().over(w).cast("long").as("_rn"))
+        .groupBy("node")
+        .agg(max(least(col("_nv"), col("_rn"))).as("value"))
+    }
+    vals.select(col("node"), col("value").as("coreness"))
+  }
+
+  /** Harmonic centrality from a SEED SAMPLE: for every reachable
+    * node v, Σ_{s ∈ seeds, s ≠ v, d(s,v) ≤ maxDepth} 1/d(s,v) —
+    * the standard scalable estimator (Boldi & Vigna 2014: sampled
+    * sources unbiasedly estimate centrality up to the sample rate;
+    * exact all-pairs BFS is O(nm) and never runs at scale). Returns
+    * (node, n_reached, harmonic) over the sampled sources.
+    *
+    * The BFS keeps the seed DIMENSION ((seed, node, dist) rows)
+    * where [[bfsDistances]] collapses to the min over the whole
+    * seed set — per-seed distances are what the 1/d sum needs.
+    * Each 1/d contribution rides as the exact int64 floor(10⁶/d)
+    * (small-int division — identical on any engine), so the sum is
+    * order-free; one rounded division at the end.
+    *
+    * Scale shape: state is ≤ |seeds|·reached rows — the sample rate
+    * is the knob that keeps it linear in nodes; per round one
+    * frontier ⋈ edges join (frontier broadcast while it fits) and a
+    * map-side-combinable integer min. One lazy plan. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String,
+                         dstCol: String, seeds: DataFrame,
+                         seedCol: String, maxDepth: Int,
+                         directed: Boolean = false,
+                         broadcastFrontier: Boolean = true): DataFrame = {
+    require(maxDepth >= 1)
+    val e0 = edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
+      .filter(col("_u").isNotNull && col("_v").isNotNull)
+    val sym = (if (directed) e0
+               else e0.unionByName(e0.select(col("_v").as("_u"),
+                 col("_u").as("_v")))).distinct()
+    var dist = seeds.select(col(seedCol).as("seed")).distinct()
+      .filter(col("seed").isNotNull)
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+    for (d <- 1 to maxDepth) {
+      val frontier = dist.filter(col("dist") === (d - 1).toLong)
+        .select(col("seed"), col("node").as("_u"))
+      val f = if (broadcastFrontier) broadcast(frontier) else frontier
+      dist = dist.unionByName(
+          sym.join(f, Seq("_u"))
+            .select(col("seed"), col("_v").as("node"),
+              lit(d.toLong).as("dist")))
+        .groupBy("seed", "node").agg(min("dist").as("dist"))
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(floor(lit(1000000.0) / col("dist")).cast("long")).as("_h"))
+      .select(col("node"), col("n_reached"),
+        round(col("_h").cast("double") / 1e6, 6).as("harmonic"))
+  }
+
+  /** Per-community conductance — the cut-quality score that grades a
+    * partition (e.g. [[labelPropagation]]'s): for community S,
+    * φ(S) = cut(S) / min(vol(S), 2m − vol(S)), where cut = edges
+    * with exactly one endpoint in S and vol = Σ_{v∈S} deg(v). The
+    * standard community-validity read ([[modularity]] scores the
+    * whole partition; conductance ranks each community, surfacing
+    * the leaky ones). Unlabeled endpoints count toward cut and
+    * global volume but form no community. Returns
+    * (label, n_nodes, volume, cut_edges, conductance) — integer
+    * counts, one rounded division.
+    *
+    * Scale shape: two broadcast joins of the nodes-sized label map
+    * onto the edge list, then map-side-combinable integer sums per
+    * label; 2m rides as a broadcast 1-row total. No iteration. */
+  def communityConductance(edges: DataFrame, aCol: String, bCol: String,
+                           labels: DataFrame, nodeCol: String,
+                           labelCol: String,
+                           broadcastLabels: Boolean = true): DataFrame = {
+    val raw = edges.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+    val und = raw.select(least(col("_a"), col("_b")).as("_u"),
+      greatest(col("_a"), col("_b")).as("_v")).distinct()
+    val lab0 = labels.select(col(nodeCol).as("node"),
+      col(labelCol).as("_lab"))
+    val lab = if (broadcastLabels) broadcast(lab0) else lab0
+    val e2 = und
+      .join(lab.select(col("node").as("_u"), col("_lab").as("_lu")),
+        Seq("_u"), "left")
+      .join(lab.select(col("node").as("_v"), col("_lab").as("_lv")),
+        Seq("_v"), "left")
+    val twoM = und.agg((count(lit(1)) * 2).as("_2m"))
+    // volume: every edge endpoint credits its community once
+    val vol = e2.select(explode(array(col("_lu"), col("_lv"))).as("label"))
+      .filter(col("label").isNotNull)
+      .groupBy("label").agg(count(lit(1)).as("volume"))
+    // cut: an edge whose endpoint labels differ (or one is unlabeled)
+    // counts once for EACH labeled side
+    val cut = e2.filter(!(col("_lu") <=> col("_lv")))
+      .select(explode(array(col("_lu"), col("_lv"))).as("label"))
+      .filter(col("label").isNotNull)
+      .groupBy("label").agg(count(lit(1)).as("cut_edges"))
+    val nNodes = lab0.groupBy(col("_lab").as("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+    vol
+      .join(cut, Seq("label"), "left")
+      .join(nNodes, Seq("label"), "left")
+      .crossJoin(broadcast(twoM))
+      .select(col("label"), col("n_nodes"), col("volume"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        // a community holding every edge end (min vol term 0) has
+        // undefined conductance — NULL, not a division artifact
+        when(least(col("volume"), col("_2m") - col("volume")) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            coalesce(col("cut_edges"), lit(0L)).cast("double") /
+              least(col("volume"), col("_2m") - col("volume"))
+                .cast("double"), 6)).as("conductance"))
+  }
 }

@@ -207,4 +207,65 @@ object Multimodal {
           .as("mean_energy"))
       .select("doc_id", "seg_start", "seg_end", "n_frames", "mean_energy")
   }
+
+  /** Perceptual (dHash) near-duplicate frames: the robust tier above
+    * [[sampleFrames]]-based EXACT frame dedup — a one-byte change
+    * flips an exact hash entirely but at most a couple of dHash
+    * bits, so re-encoded/slightly-corrupted media still collides.
+    * Each frame's bytes stand in for its decoded 8×8 grayscale (the
+    * documented stub seam — [[asBinaryTable]]'s codec note: swap a
+    * real decode in behind the same column without touching this
+    * plan); bit k of the 64-bit gradient hash is "pixel brighter
+    * than its right neighbor" (row-cyclic), built as FOUR 16-bit
+    * chunk keys. Candidate pairs share a chunk (16 identical
+    * gradient bits); pairs matching ≥ `minChunks` of 4 chunks are
+    * near-duplicates (Hamming ≤ 16·(4−minChunks) by pigeonhole —
+    * the [[graft.operators.FuzzyDedup]] SimHash band contract on
+    * binary payloads).
+    *
+    * Integer-only end to end (hex-digit arithmetic, bit sums) —
+    * engine-exact. Short tail frames zero-pad (rpad on hex).
+    *
+    * Returns (doc_a, frame_a, doc_b, frame_b, n_chunks_equal).
+    *
+    * Scale shape: per frame a fixed 64-term codegen'd expression —
+    * no join to build hashes; the candidate stage is 4 exact-match
+    * bucket joins via one (chunk_idx, value)-keyed self-join with
+    * map-side pair reduction. Degenerate constant-payload buckets
+    * (all-zero frames) are the SimHash hot-band class — cap bucket
+    * frequency upstream if a corpus is dominated by one fill
+    * pattern. */
+  def dhashNearDup(binTable: DataFrame, chunkBytes: Int = 64,
+                   stride: Int = 2, minChunks: Int = 3): DataFrame = {
+    require(chunkBytes == 64, "dHash stubs the decode as 64 bytes = 8x8 gray")
+    require(minChunks >= 1 && minChunks <= 4)
+    val frames = sampleFrames(binTable, chunkBytes, stride)
+      .select(col("doc_id"), col("frame_idx"),
+        rpad(hex(col("frame")), 128, "0").as("_hx"))
+    val withBytes = frames.withColumn("_b",
+      expr("transform(sequence(0, 63), i -> " +
+        "(instr('0123456789ABCDEF', substr(_hx, i*2+1, 1)) - 1) * 16 + " +
+        "instr('0123456789ABCDEF', substr(_hx, i*2+2, 1)) - 1)"))
+    val chunks = (0 until 4).map { c =>
+      expr(s"aggregate(sequence(0, 15), 0L, (acc, k) -> acc + " +
+        s"IF(element_at(_b, CAST(($c*2 + k div 8)*8 + (k % 8) + 1 AS INT)) > " +
+        s"element_at(_b, CAST(($c*2 + k div 8)*8 + ((k % 8) + 1) % 8 + 1 AS INT)), " +
+        s"shiftleft(1L, k), 0L))").as(s"_c$c")
+    }
+    val hashed = withBytes
+      .select(Seq(col("doc_id"), col("frame_idx")) ++ chunks: _*)
+    val ex = hashed.select(col("doc_id"), col("frame_idx"),
+        posexplode(array(col("_c0"), col("_c1"), col("_c2"), col("_c3"))))
+      .toDF("doc_id", "frame_idx", "_ci", "_cv")
+    ex.select(col("doc_id").as("doc_a"), col("frame_idx").as("frame_a"),
+        col("_ci"), col("_cv"))
+      .join(ex.select(col("doc_id").as("doc_b"),
+        col("frame_idx").as("frame_b"), col("_ci"), col("_cv")),
+        Seq("_ci", "_cv"))
+      .filter(col("doc_a") < col("doc_b") ||
+        (col("doc_a") === col("doc_b") && col("frame_a") < col("frame_b")))
+      .groupBy("doc_a", "frame_a", "doc_b", "frame_b")
+      .agg(count(lit(1)).as("n_chunks_equal"))
+      .filter(col("n_chunks_equal") >= minChunks)
+  }
 }

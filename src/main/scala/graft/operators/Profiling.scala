@@ -1031,4 +1031,52 @@ object Profiling {
         round(col("_p"), 6).as("benford_share"),
         round(dev * dev / (col("_N") * col("_p")), 6).as("chi2_term"))
   }
+
+  /** Inclusion-dependency discovery over a column registry: for
+    * every ordered pair of registered columns (A, B), is
+    * distinct(A) ⊆ distinct(B) — the FK-candidate scan schema
+    * crawlers run before anyone declares constraints
+    * ([[fdDiscovery]] finds the within-table rules; this finds the
+    * BETWEEN-table references, [[refIntegrityAudit]]'s declared
+    * check turned into discovery). Exact containment: n_common
+    * counted on the distinct-value level, contained ⇔
+    * n_common = n_a. NULLs don't participate (SQL FK semantics).
+    *
+    * `columns` maps a label to its single-column DataFrame; all
+    * values are compared as longs (the id-typed registry this
+    * engine's tables use).
+    *
+    * Returns (col_a, col_b, n_a, n_common, contained) for a ≠ b.
+    *
+    * Scale shape: one distinct per registered column (map-side
+    * combinable), ONE value-keyed self-join of the unioned level
+    * relation (each value bucket emits |cols-holding-value|² pairs —
+    * bounded by the registry size, not the data), one (a, b) count.
+    * At data-lake width, swap the exact level relation for the KMV
+    * sketch union ([[Sketches]]) — same output contract with an
+    * estimated n_common; the exact path is right while distinct
+    * values fit a shuffle. */
+  def indDiscovery(columns: Seq[(String, DataFrame)]): DataFrame = {
+    require(columns.nonEmpty)
+    val lev = columns.map { case (name, df) =>
+      val c = df.columns.head
+      df.select(col(c).cast("long").as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .select(lit(name).as("_col"), col("v"))
+    }.reduce(_.unionByName(_))
+    val nPer = lev.groupBy("_col").agg(count(lit(1)).as("n_a"))
+    val pairs = lev.select(col("_col").as("col_a"), col("v"))
+      .join(lev.select(col("_col").as("col_b"), col("v")), Seq("v"))
+      .filter(col("col_a") =!= col("col_b"))
+      .groupBy("col_a", "col_b").agg(count(lit(1)).as("n_common"))
+    // every ordered pair appears, even with zero overlap
+    val spine = nPer.select(col("_col").as("col_a"), col("n_a"))
+      .crossJoin(nPer.select(col("_col").as("col_b")))
+      .filter(col("col_a") =!= col("col_b"))
+    spine.join(pairs, Seq("col_a", "col_b"), "left_outer")
+      .select(col("col_a"), col("col_b"), col("n_a"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)) === col("n_a"))
+          .as("contained"))
+  }
 }

@@ -1903,4 +1903,70 @@ object Similarity {
         round(col("_sr").cast("double") / col("n_clusters") / 1e12, 6)
           .as("db_index"))
   }
+
+  /** Two-stage residual quantizer (RQ): stage 1 snaps each unit
+    * vector to its nearest of k1 coarse codes; stage 2 quantizes
+    * the RESIDUAL against a k2-entry codebook (+ the implicit zero
+    * code) — the additive-codebook alternative to [[pqCodebook]]'s
+    * subspace split (PQ divides dimensions, RQ divides MAGNITUDE;
+    * RQ is what modern vector stores layer as "coarse + refine").
+    * Codebooks are md5-chosen corpus vectors (the [[pqFit]] seed
+    * rule; stage 2 draws by a salted key so the two books are
+    * independent), residuals of the stage-2 seeds forming the
+    * stage-2 codes. The zero code guarantees err2 ≤ err1 per vector
+    * (spec-pinned) — stage 2 can only refine.
+    *
+    * Distances fold as exact ×10¹² int64 per-coordinate squares
+    * (the [[qdist12]] contract): assignment, tie-breaks, and both
+    * reported errors are engine- and partitioning-exact.
+    *
+    * Returns (id, c1, c2, err1, err2) — err = quantized squared L2
+    * before/after the stage-2 subtraction.
+    *
+    * Scale shape: both codebooks broadcast (k1 + k2 + 1 rows);
+    * corpus × codebook scoring is two embarrassingly-parallel map
+    * stages + two argmin reductions keyed by id — no shuffle
+    * carries a vector except the id-keyed residual join. Codebook
+    * sizes are the [[nearDupPairsUnlabeled]] auto-scale candidates
+    * at production corpus sizes. */
+  def residualQuantize(corpus: DataFrame, k1: Int = 8, k2: Int = 8,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.HashFunctions.md5Long
+    import org.apache.spark.sql.expressions.Window
+    require(k1 >= 1 && k2 >= 1)
+    val unit = unitVecs(corpus, idCol, vecCol)
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val w1 = Window.orderBy(md5Long(col("_id").cast("string")), col("_id"))
+    val cb1 = broadcast(unit
+      .orderBy(md5Long(col("_id").cast("string")), col("_id")).limit(k1)
+      .withColumn("_c1", (row_number().over(w1) - 1).cast("long"))
+      .select(col("_c1"), col("_v").as("_m1")))
+    val a1 = unit.crossJoin(cb1)
+      .select(col("_id"), col("_c1"),
+        qdist12(col("_v"), col("_m1")).as("_qd"))
+      .groupBy("_id").agg(min(struct(col("_qd"), col("_c1"))).as("_m"))
+      .select(col("_id"), col("_m._c1").as("_c1"), col("_m._qd").as("_e1"))
+    val res = unit.join(a1, Seq("_id")).join(cb1, Seq("_c1"))
+      .select(col("_id"), col("_c1"), col("_e1"),
+        zip_with(col("_v"), col("_m1"), (x, y) => x - y).as("_r"))
+    val salt2 = md5Long(concat(col("_id").cast("string"), lit("#rq2")))
+    val w2 = Window.orderBy(salt2, col("_id"))
+    val cb2 = broadcast(res
+      .orderBy(salt2, col("_id")).limit(k2)
+      .withColumn("_c2", row_number().over(w2).cast("long"))
+      .select(col("_c2"), col("_r").as("_m2"))
+      .unionByName(res.orderBy(salt2, col("_id")).limit(1)
+        .select(lit(0L).as("_c2"),
+          transform(col("_r"), _ => lit(0.0)).as("_m2"))))
+    res.crossJoin(cb2)
+      .select(col("_id"), col("_c1"), col("_e1"), col("_c2"),
+        qdist12(col("_r"), col("_m2")).as("_e2"))
+      .groupBy("_id", "_c1", "_e1")
+      .agg(min(struct(col("_e2"), col("_c2"))).as("_m"))
+      .select(col("_id").as(idCol), col("_c1").as("c1"),
+        col("_m._c2").as("c2"),
+        round(col("_e1").cast("double") / 1e12, 6).as("err1"),
+        round(col("_m._e2").cast("double") / 1e12, 6).as("err2"))
+  }
 }

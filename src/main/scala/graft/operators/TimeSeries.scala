@@ -1239,4 +1239,182 @@ object TimeSeries {
       .select(col("_g").as(groupCol), col("_t").as("t"), col("ph"),
         (col("ph") > lambda).as("alarm"))
   }
+
+  /** Turning-point randomness test per series: count strict local
+    * extrema among interior points ((xᵢ−xᵢ₋₁)(xᵢ−xᵢ₊₁) > 0; an i.i.d.
+    * series has E[T] = 2(n−2)/3, Var[T] = (16n−29)/90) and report
+    * the normal z — the cheap "is this series noise or structure"
+    * screen beside [[runsTest]] (runs read signs vs the median;
+    * turning points read local shape, catching smooth trends and
+    * oscillation the runs count misses). Ties with a neighbor make
+    * the product 0 — not an extremum (documented; matches the
+    * classical treatment of discrete data).
+    *
+    * Integer-only until the final z: values arrive quantized (the
+    * house contract), the product sign test is int64 arithmetic,
+    * T is an exact count. Groups need n ≥ 3.
+    *
+    * Returns (group, n, n_turning, expected, z).
+    *
+    * Scale shape: the [[mannKendall]] bounded-series contract — one
+    * group-keyed window sort (lag + lead on one frame), one
+    * map-side-combinable agg, zero joins. */
+  def turningPoints(df: DataFrame, groupCol: String, idxCol: Column,
+                    valCol: Column): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && idxCol.isNotNull &&
+        valCol.isNotNull)
+      .select(col(groupCol).as("_g"), idxCol.as("_i"),
+        valCol.cast("long").as("_v"))
+    val w = Window.partitionBy("_g").orderBy("_i")
+    val tp = base
+      .withColumn("_pv", lag("_v", 1).over(w))
+      .withColumn("_nv", lead("_v", 1).over(w))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_pv").isNotNull && col("_nv").isNotNull &&
+          (col("_v") - col("_pv")) * (col("_v") - col("_nv")) > 0,
+          1L).otherwise(0L)).as("n_turning"))
+      .filter(col("n") >= 3)
+    val nD = col("n").cast("double")
+    val e = lit(2.0) * (nD - 2.0) / 3.0
+    val v = (lit(16.0) * nD - 29.0) / 90.0
+    tp.select(col("_g").as(groupCol), col("n"), col("n_turning"),
+      round(e, 6).as("expected"),
+      round(when(v > 0, (col("n_turning").cast("double") - e) / sqrt(v)),
+        6).as("z"))
+  }
+
+  /** Granger-causality screen (lag-1) per series pair key: does
+    * yesterday's x improve today's y forecast beyond yesterday's y?
+    * Restricted OLS y_t ~ 1 + y_{t−1} vs unrestricted
+    * y_t ~ 1 + y_{t−1} + x_{t−1}; F = (SSE_r − SSE_u) /
+    * (SSE_u/(n−3)) with 1 numerator df — the standard lead/lag
+    * attribution read over [[xcorrLag]]'s symmetric correlation (x
+    * leading y is exactly what xcorr can't distinguish from y
+    * leading x).
+    *
+    * Determinism: both fits ride exact int64 moment sums over the
+    * lagged pairs (values quantized upstream, decimal(38,0) for the
+    * quadratics), assembled in one fixed double sequence (Cramer's
+    * 3×3 for the unrestricted, the 2×2 closed form for the
+    * restricted). NULL F on a singular design, n ≤ 3, or zero
+    * unrestricted SSE.
+    *
+    * Returns (group, n, sse_r, sse_u, f_stat).
+    *
+    * Scale shape: the [[mannKendall]] bounded-series contract — one
+    * group-keyed window sort for the two lags, one
+    * map-side-combinable agg of 11 sums, zero joins. */
+  def grangerLite(df: DataFrame, groupCol: String, idxCol: Column,
+                  xCol: Column, yCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.filter(col(groupCol).isNotNull && idxCol.isNotNull &&
+        xCol.isNotNull && yCol.isNotNull)
+      .select(col(groupCol).as("_g"), idxCol.as("_i"),
+        xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+    val w = Window.partitionBy("_g").orderBy("_i")
+    val lagged = base
+      .withColumn("_yl", lag("_y", 1).over(w))
+      .withColumn("_xl", lag("_x", 1).over(w))
+      .filter(col("_yl").isNotNull && col("_xl").isNotNull)
+    val m = lagged.groupBy("_g").agg(count(lit(1)).as("_n"),
+      sum("_yl").as("_a"), sum("_xl").as("_b"),
+      sum(dec(col("_yl")) * col("_yl")).as("_c"),
+      sum(dec(col("_yl")) * col("_xl")).as("_d"),
+      sum(dec(col("_xl")) * col("_xl")).as("_e"),
+      sum("_y").as("_t0"), sum(dec(col("_yl")) * col("_y")).as("_t1"),
+      sum(dec(col("_xl")) * col("_y")).as("_t2"),
+      sum(dec(col("_y")) * col("_y")).as("_yy"))
+    val d = (c: String) => col(c).cast("double")
+    val (n, a, b) = (d("_n"), d("_a"), d("_b"))
+    val (c3, dd, e) = (d("_c"), d("_d"), d("_e"))
+    val (t0, t1, t2, yy) = (d("_t0"), d("_t1"), d("_t2"), d("_yy"))
+    // unrestricted: Cramer 3×3 (the Analytics.ols3 formulas inlined —
+    // same minors, same order)
+    val det = n * (c3 * e - dd * dd) - a * (a * e - dd * b) +
+      b * (a * dd - c3 * b)
+    val det0 = t0 * (c3 * e - dd * dd) - a * (t1 * e - dd * t2) +
+      b * (t1 * dd - c3 * t2)
+    val det1 = n * (t1 * e - dd * t2) - t0 * (a * e - dd * b) +
+      b * (a * t2 - t1 * b)
+    val det2 = n * (c3 * t2 - t1 * dd) - a * (a * t2 - t1 * b) +
+      t0 * (a * dd - c3 * b)
+    val sseU = when(det =!= 0,
+      yy - (det0 / det) * t0 - (det1 / det) * t1 - (det2 / det) * t2)
+    // restricted: y ~ 1 + y_lag, 2×2 closed form
+    val detR = n * c3 - a * a
+    val b1R = when(detR =!= 0, (n * t1 - a * t0) / detR)
+    val b0R = when(detR =!= 0, (t0 - b1R * a) / n)
+    val sseR = yy - b0R * t0 - b1R * t1
+    val f = when(det =!= 0 && detR =!= 0 && n > 3 && sseU > 0,
+      (sseR - sseU) / (sseU / (n - 3.0)))
+    m.select(col("_g").as(groupCol), col("_n").as("n"),
+      round(sseR, 6).as("sse_r"), round(sseU, 6).as("sse_u"),
+      round(f, 6).as("f_stat"))
+  }
+
+  /** SAX motif mining: z-normalize each series, PAA-average frames
+    * of `paa` points, discretize into the 4-symbol alphabet at the
+    * standard N(0,1) breakpoints (−0.6745, 0, 0.6745), slide a
+    * `word`-frame window — repeated words ACROSS the corpus are the
+    * recurring shapes ("ramp then crash", "weekly sawtooth") that
+    * no per-series statistic surfaces (Lin et al. 2003's symbolic
+    * representation, the standard pre-index for motif/discord
+    * mining). Ragged tail frames average their remaining points
+    * (standard PAA). Constant series (sd = 0) drop.
+    *
+    * Determinism: z-scores quantize to int64 ×10⁶ per point, frame
+    * means are exact integer folds over them, and the breakpoint
+    * compare runs on the exact rational mean — no FP accumulation
+    * anywhere. Symbols are totally ordered; the word string is the
+    * sort key.
+    *
+    * Returns (word, n_occurrences, n_series) for words seen at
+    * least `minSupport` times.
+    *
+    * Scale shape: the [[mannKendall]] bounded-series contract (run
+    * on pre-aggregated buckets); per series one window sort, one
+    * (g, frame) reduced agg, one frame-window lead, one word-keyed
+    * count — all map-side-combinable or bounded. */
+  def saxMotifs(df: DataFrame, groupCol: String, idxCol: Column,
+                valCol: Column, paa: Int = 4, word: Int = 4,
+                minSupport: Int = 2): DataFrame = {
+    require(paa >= 1 && word >= 2)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.filter(col(groupCol).isNotNull && idxCol.isNotNull &&
+        valCol.isNotNull)
+      .select(col(groupCol).as("_g"), idxCol.as("_i"),
+        valCol.cast("long").as("_v"))
+    val mom = base.groupBy("_g").agg(count(lit(1)).as("_n"),
+      sum("_v").as("_s"), sum(dec(col("_v")) * col("_v")).as("_q"))
+      .filter(col("_n") >= 2 && col("_q") * col("_n") >
+        dec(col("_s")) * col("_s"))
+    val nD = col("_n").cast("double")
+    val mean = col("_s").cast("double") / nD
+    val sd = sqrt((col("_q").cast("double") - nD * mean * mean) /
+      (nD - 1.0))
+    val w = Window.partitionBy("_g").orderBy("_i")
+    val zq = base.join(broadcast(mom), Seq("_g"))
+      .select(col("_g"),
+        floor((col("_v").cast("double") - mean) / sd * 1e6 + lit(0.5))
+          .cast("long").as("_zq"),
+        (row_number().over(w) - 1).cast("long").as("_rn"))
+    val frames = zq.groupBy(col("_g"),
+        expr(s"_rn div $paa").as("_f"))
+      .agg(sum("_zq").as("_zs"), count(lit(1)).as("_c"))
+    val m = col("_zs").cast("double") / col("_c")
+    val sym = when(m < -674500.0, "a").when(m < 0.0, "b")
+      .when(m < 674500.0, "c").otherwise("d")
+    val wf = Window.partitionBy("_g").orderBy("_f")
+    val words = frames.withColumn("_sym", sym)
+      .select(col("_g"), col("_f"),
+        concat((0 until word).map(k =>
+          if (k == 0) col("_sym") else lead("_sym", k).over(wf)): _*)
+          .as("word"))
+      .filter(length(col("word")) === word)
+    words.groupBy("word")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("_g")).as("n_series"))
+      .filter(col("n_occurrences") >= minSupport)
+  }
 }

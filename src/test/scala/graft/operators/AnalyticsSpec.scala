@@ -1695,4 +1695,81 @@ class AnalyticsSpec extends SparkSpec {
       "g", col("v"), scale = 1L).head()
     assert(const.isNullAt(4), s"$const")
   }
+
+  test("breuschPagan: hand-computed Koenker LM; exact fit gives NULL") {
+    val df = Seq((10.0, 1.0, 2.0), (12.0, 2.0, 1.0), (15.0, 3.0, 3.0),
+      (9.0, 1.0, 1.0), (20.0, 5.0, 2.0), (30.0, 6.0, 7.0),
+      (14.0, 2.0, 3.0), (22.0, 4.0, 5.0)).toDF("y", "x1", "x2")
+    val out = Analytics.breuschPagan(df, col("y"), col("x1"),
+      col("x2")).head()
+    assert(out.getLong(0) == 8L && out.getLong(2) == 2L, s"$out")
+    assert(out.getDouble(1) == 0.044011 && out.getDouble(3) == 0.005501,
+      s"$out")
+    // y = 2 x1 exactly -> every squared residual quantizes to 0 ->
+    // zero auxiliary variance -> NULL lm
+    val p = Analytics.breuschPagan(
+      Seq((2.0, 1.0, 1.0), (4.0, 2.0, 3.0), (6.0, 3.0, 2.0),
+        (8.0, 4.0, 4.0)).toDF("y", "x1", "x2"),
+      col("y"), col("x1"), col("x2")).head()
+    assert(p.isNullAt(1) && p.isNullAt(3), s"$p")
+  }
+
+  test("chowTest: hand-computed F across regimes; empty segment guards") {
+    val a = Seq((10.0, 1.0, 1.0, false), (21.0, 2.0, 2.0, false),
+      (29.0, 3.0, 1.0, false), (42.0, 4.0, 3.0, false),
+      (48.0, 5.0, 2.0, false))
+    val b = Seq((22.0, 1.0, 2.0, true), (39.0, 2.0, 1.0, true),
+      (62.0, 3.0, 3.0, true), (78.0, 4.0, 2.0, true),
+      (104.0, 5.0, 4.0, true))
+    val out = Analytics.chowTest((a ++ b).toDF("y", "x1", "x2", "sb"),
+      col("sb"), col("y"), col("x1"), col("x2")).head()
+    assert((out.getLong(0), out.getLong(1)) == ((5L, 5L)), s"$out")
+    assert(out.getDouble(2) == 2173.298246 && out.getDouble(3) == 1.094737 &&
+      out.getDouble(4) == 2.266667 && out.getDouble(5) == 860.726514,
+      s"$out")
+    // one regime only -> B side is empty -> F null
+    val one = Analytics.chowTest(a.toDF("y", "x1", "x2", "sb"),
+      col("sb"), col("y"), col("x1"), col("x2")).head()
+    assert(one.isNullAt(5), s"$one")
+  }
+
+  test("vif3: near-collinear x3 inflates; hand-pinned R² ladder") {
+    val df = Seq((1.0, 2.0, 3.1), (2.0, 1.0, 2.9), (3.0, 3.0, 6.2),
+      (4.0, 2.0, 5.9), (5.0, 5.0, 10.1), (6.0, 4.0, 9.8))
+      .toDF("x1", "x2", "x3")
+    val out = Analytics.vif3(df, col("x1"), col("x2"), col("x3"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("x1") == ((0.997837, 462.243056)), s"$out")
+    assert(out("x2") == ((0.997799, 454.428241)), s"$out")
+    assert(out("x3") == ((0.999378, 1608.262963)), s"$out")
+  }
+
+  test("brunnerMunzel: hand-computed W with ties; zero variance guards") {
+    val a = Seq(1L, 2L, 1L, 4L, 5L, 3L).map(v => (true, v))
+    val b = Seq(3L, 3L, 4L, 5L, 6L, 7L, 6L).map(v => (false, v))
+    val out = Analytics.brunnerMunzel((a ++ b).toDF("a", "s"),
+      col("a"), col("s")).head()
+    assert((out.getLong(0), out.getLong(1)) == ((6L, 7L)), s"$out")
+    assert(out.getDouble(2) == 0.833333 && out.getDouble(3) == 2.923442,
+      s"$out")
+    // both groups constant: every deviation clears to 0 -> W null
+    val z = Analytics.brunnerMunzel(
+      Seq((true, 1L), (true, 1L), (false, 2L), (false, 2L)).toDF("a", "s"),
+      col("a"), col("s")).head()
+    assert(z.isNullAt(3), s"$z")
+  }
+
+  test("andersonDarling: pinned A&S-Φ replay; n<8 and constant groups drop") {
+    val g = Seq(100L, 200L, 150L, 130L, 170L, 185L, 90L, 210L, 160L,
+      140L, 155L, 175L).map(v => ("g", v))
+    val h = Seq.fill(7)(("h", 5L))         // n = 7 < 8
+    val c = Seq.fill(9)(("c", 5L))         // constant: zero variance
+    val out = Analytics.andersonDarling((g ++ h ++ c).toDF("k", "v"),
+      "k", col("v")).collect()
+    assert(out.length == 1 && out.head.getString(0) == "g", s"${out.toSeq}")
+    assert(out.head.getLong(1) == 12L &&
+      out.head.getDouble(2) == 0.1729 &&
+      out.head.getDouble(3) == 0.186408, s"${out.head}")
+  }
 }

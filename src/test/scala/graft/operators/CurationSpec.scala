@@ -513,4 +513,27 @@ class CurationSpec extends SparkSpec {
     assert(mq > 0.0 && mq < 1.0, s"$out")
     assert(out.getDouble(8) == 0.25, s"$out")
   }
+
+  test("ipfRake: both weighted marginals land on the reference shares") {
+    // corpus 6/2/2/2 over (lang, source); reference marginals
+    // en:fr = 1:1 and web:book = 5:3 -> quantized IPF replay (3
+    // rounds) converges exactly on this well-conditioned table
+    val corpus = (Seq.fill(6)(("en", "web")) ++ Seq.fill(2)(("en", "book")) ++
+      Seq.fill(2)(("fr", "web")) ++ Seq.fill(2)(("fr", "book")))
+      .toDF("lang", "source")
+    val ref = (Seq.fill(2)(("en", "web")) ++ Seq.fill(2)(("en", "book")) ++
+      Seq.fill(3)(("fr", "web")) ++ Seq.fill(1)(("fr", "book")))
+      .toDF("lang", "source")
+    val out = Curation.ipfRake(corpus, ref, "lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(("en", "web")) == ((6L, 0.75, 4.5)), s"$out")
+    assert(out(("en", "book")) == ((2L, 0.75, 1.5)), s"$out")
+    assert(out(("fr", "web")) == ((2L, 1.5, 3.0)), s"$out")
+    assert(out(("fr", "book")) == ((2L, 1.5, 3.0)), s"$out")
+    // achieved marginals == expected counts (N=12: en 6, web 7.5)
+    val m1 = out.toSeq.groupBy(_._1._1)
+      .map { case (k, v) => k -> v.map(_._2._3).sum }
+    assert(m1 == Map("en" -> 6.0, "fr" -> 6.0), s"$m1")
+  }
 }

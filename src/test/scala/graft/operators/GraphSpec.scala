@@ -351,4 +351,47 @@ class GraphSpec extends SparkSpec {
       Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d"), "s", "d").head()
     assert(cycle.isNullAt(1), s"$cycle")
   }
+
+  test("coreness: K4 plus a tail reaches the exact coreness in 3 rounds") {
+    // K4 on {1..4} is the 3-core; 4-5-6 is a pendant path (coreness 1)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val out = Graph.coreness(e.toDF("a", "b"), "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L), s"$out")
+    // partitioning independence (order statistics are order-free)
+    val shuf = Graph.coreness(e.toDF("a", "b").repartition(7), "a", "b",
+      rounds = 3, broadcastValues = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuf == out)
+  }
+
+  test("harmonicCentrality: path graph from two seeds, exact 1/d sums") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val seeds = Seq(1L, 4L).toDF("n")
+    val out = Graph.harmonicCentrality(e, "s", "d", seeds, "n", maxDepth = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // node 2: d=1 from seed 1, d=2 from seed 4 -> 1 + 1/2; node 5:
+    // only seed 4 reaches within 3 hops; seeds exclude themselves
+    assert(out == Map(1L -> ((1L, 0.333333)), 2L -> ((2L, 1.5)),
+      3L -> ((2L, 1.5)), 4L -> ((1L, 0.333333)), 5L -> ((1L, 1.0))),
+      s"$out")
+  }
+
+  test("communityConductance: bridge edge between two triangles") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L),
+      (6L, 2L)).toDF("node", "label")
+    val out = Graph.communityConductance(e, "a", "b", labels, "node",
+        "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // each triangle: vol = 7 (6 internal endpoints + 1 bridge side),
+    // cut = 1, 2m = 14 -> 1/min(7,7)
+    assert(out == Map(1L -> ((3L, 7L, 1L, 0.142857)),
+      2L -> ((3L, 7L, 1L, 0.142857))), s"$out")
+  }
 }

@@ -99,4 +99,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((4L, 4L, 2.0, false)), s"$out")
     assert(!out.contains(4L), s"$out")
   }
+  test("dhashNearDup: a one-byte change still collides on 3 of 4 chunks") {
+    val base = "abcdefgh" * 8
+    val mod = base.substring(0, 10) + "a" + base.substring(11)
+    val docs = Seq((1L, base), (2L, mod), (3L, base),
+      (4L, "zyx" * 21 + "q")).toDF("doc_id", "text")
+    val out = Multimodal.dhashNearDup(Multimodal.asBinaryTable(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(4)).toMap
+    // identical payloads: all 4 chunks; one flipped gradient bit:
+    // exactly 3; the unrelated descending pattern never reaches 3
+    assert(out((1L, 3L)) == 4L, s"$out")
+    assert(out((1L, 2L)) == 3L && out((2L, 3L)) == 3L, s"$out")
+    assert(!out.keys.exists(k => k._1 == 4L || k._2 == 4L), s"$out")
+  }
+
 }

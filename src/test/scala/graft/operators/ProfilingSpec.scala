@@ -526,4 +526,19 @@ class ProfilingSpec extends SparkSpec {
       .collect()
     assert(const.forall(_.isNullAt(2)), s"${const.mkString}")
   }
+
+  test("indDiscovery: containment is directional; zero-overlap pairs appear") {
+    val child = Seq(1L, 2L, 2L, 3L).toDF("fk")       // {1,2,3}
+    val parent = Seq(1L, 2L, 3L, 4L, 5L).toDF("pk")  // {1..5}
+    val other = Seq(9L, 10L).toDF("x")               // disjoint
+    val out = Profiling.indDiscovery(Seq(
+        "child.fk" -> child, "parent.pk" -> parent, "other.x" -> other))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.size == 6, s"$out")
+    assert(out(("child.fk", "parent.pk")) == ((3L, 3L, true)), s"$out")
+    assert(out(("parent.pk", "child.fk")) == ((5L, 3L, false)), s"$out")
+    assert(out(("child.fk", "other.x")) == ((3L, 0L, false)), s"$out")
+    assert(out(("other.x", "parent.pk")) == ((2L, 0L, false)), s"$out")
+  }
 }

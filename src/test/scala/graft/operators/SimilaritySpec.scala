@@ -862,4 +862,17 @@ class SimilaritySpec extends SparkSpec {
     // l1: v5's top2 = {v1, v2} both l0 -> suspect; v3/v4 each 1 of 2
     assert(out(1) == ((3L, 3L, 1L, 0.666667)), s"$out")
   }
+  test("residualQuantize: stage 2 only refines (err2 <= err1); codes in range") {
+    val out = Similarity.residualQuantize(emb).collect()
+    assert(out.length == emb.count())
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 8, s"$r")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 8, s"$r")
+      // the implicit zero code guarantees refinement never hurts
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-9, s"$r")
+    }
+    // a codebook seed vector itself must hit err1 == 0 via its own code
+    assert(out.exists(r => r.getDouble(3) == 0.0), s"no exact stage-1 hit")
+  }
+
 }

@@ -559,4 +559,52 @@ class TimeSeriesSpec extends SparkSpec {
     assert(d.map(_.getDouble(2)).toSeq == Seq(0.0, 0.0, 0.0, 0.0), s"${d.toSeq}")
     assert(d.forall(!_.getBoolean(3)))
   }
+
+  test("turningPoints: strict extrema only (ties excluded); pinned z") {
+    val s1 = Seq(1L, 3L, 2L, 5L, 4L, 4L, 6L, 2L).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) }
+    val s2 = Seq(5L, 1L, 2L, 3L, 4L, 9L, 2L, 8L, 1L, 7L).zipWithIndex
+      .map { case (v, i) => ("b", i.toLong, v) }
+    val out = TimeSeries.turningPoints((s1 ++ s2).toDF("g", "i", "v"),
+        "g", col("i"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // series a: the 4=4 plateau kills two would-be extrema (product 0)
+    assert(out("a") == ((8L, 4L, 4.0, 0.0)), s"$out")
+    assert(out("b") == ((10L, 5L, 5.333333, -0.276289)), s"$out")
+  }
+
+  test("grangerLite: a leading x drops SSE; short series guards NULL") {
+    val x = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+    val y = Seq(10L, 12L, 21L, 32L, 41L, 52L, 61L, 72L)
+    val rows = x.indices.map(i => ("k", i.toLong, x(i), y(i)))
+    val out = TimeSeries.grangerLite(rows.toDF("g", "i", "x", "y"),
+      "g", col("i"), col("x"), col("y")).head()
+    assert(out.getLong(1) == 7L, s"$out")
+    assert(out.getDouble(2) == 42.108276 && out.getDouble(3) == 1.591486 &&
+      out.getDouble(4) == 101.833866, s"$out")
+    // 4 raw rows -> 3 lagged rows -> n > 3 fails -> F null
+    val tiny = TimeSeries.grangerLite(
+      rows.take(4).toDF("g", "i", "x", "y"),
+      "g", col("i"), col("x"), col("y")).head()
+    assert(tiny.isNullAt(4), s"$tiny")
+  }
+  test("saxMotifs: two series sharing a ramp shape form one motif word") {
+    val s1 = Seq(1L, 2L, 1L, 2L, 10L, 11L, 10L, 11L, 20L, 21L, 20L, 21L,
+      30L, 31L, 30L, 31L)
+    val s2 = Seq(100L, 102L, 101L, 99L, 200L, 201L, 199L, 202L, 300L,
+      301L, 299L, 300L, 400L, 401L, 399L, 402L)
+    val s3 = Seq(5L, 5L, 6L, 5L, 5L, 6L, 5L, 5L, 6L, 5L, 5L, 6L, 5L, 5L,
+      5L, 6L)
+    val rows = s1.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
+      s2.zipWithIndex.map { case (v, i) => ("b", i.toLong, v) } ++
+      s3.zipWithIndex.map { case (v, i) => ("c", i.toLong, v) }
+    val out = TimeSeries.saxMotifs(rows.toDF("g", "i", "v"), "g",
+        col("i"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // both ramps z-normalize to the same a->d ladder; the flat series
+    // word appears once and is dropped by minSupport
+    assert(out.toSeq == Seq(("abcd", 2L, 2L)), s"${out.toSeq}")
+  }
+
 }
