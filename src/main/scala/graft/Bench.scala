@@ -6,7 +6,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default: one shuffle partition per core (the sf0.1 sweet
+      // spot). SPARK_GRAFT_SHUFFLE overrides for scaled corpora —
+      // partitions must grow with data or sorts spill (the k=30
+      // q314/q324 lesson, SCALING.md round 9); a real cluster scales
+      // this with executors automatically
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries timestamp[ns]; read as int64 nanos

@@ -3740,6 +3740,19 @@ object SparkEntry {
       FuzzyDedup.incrementalNearDups(
         bandIndexTable(s, dir), old, fresh)
     }),
+    // q324 with the production degenerate-band cap (64): buckets
+    // whose minimal shingles are COMMON shingles put a corpus
+    // fraction in one bucket (the measured k=30 hot band); capping
+    // them bounds per-bucket verify volume — the at-scale ingest
+    // probe, exactly SQL-replayable because the cap counts the full
+    // (index + arrivals) bucket
+    "q453_capped_ingest_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 20 < 18)
+      val fresh = docs.filter(col("doc_id") % 20 >= 18)
+      FuzzyDedup.incrementalNearDups(
+        bandIndexTable(s, dir), old, fresh, maxBucket = 64)
+    }),
     // The incremental-ingest tail: fold q324's delta pairs into the
     // 90%-slice cluster assignment via quotient-graph CC — provably
     // equals q47's full rebuild over the whole corpus (union-find is
@@ -5310,6 +5323,28 @@ object SparkEntry {
     * τ-threshold-free candidate level, ending in a `j(doc_a, doc_b,
     * jac)` CTE — q24 selects ≥0.8, q324 additionally restricts to
     * pairs involving the new-batch slice (delta-equivalence). */
+  /** [[lshPairsCte]] with the degenerate-band cap: candidate pairs
+    * come only from buckets holding ≤ `cap` corpus band rows —
+    * mirrors FuzzyDedup.incrementalNearDups(maxBucket) exactly (the
+    * cap counts the FULL bucket: standing index + arrivals = the
+    * whole corpus's band rows). */
+  private def lshPairsCappedCte(cap: Int): String = {
+    val candOld =
+      """), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+    val candNew =
+      s"""), bc AS (
+        |  SELECT band, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= $cap
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN bc ON a.band = bc.band AND a.sig = bc.sig
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+    require(lshPairsCte.contains(candOld), "lshPairsCte shape changed")
+    lshPairsCte.replace(candOld, candNew)
+  }
+
   private val lshPairsCte: String =
     """WITH base AS (
       |  SELECT doc_id, list_distinct(list_transform(
@@ -14071,6 +14106,13 @@ object SparkEntry {
     // doc — so the oracle is q24's full replay filtered to them
     "q324_incremental_neardup" ->
       (lshPairsCte +
+        """SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
+          |WHERE jac >= 0.8
+          |  AND (doc_a % 20 >= 18 OR doc_b % 20 >= 18)""".stripMargin),
+    // the capped replay: same ladder with candidates restricted to
+    // buckets holding <= 64 corpus band rows
+    "q453_capped_ingest_probe" ->
+      (lshPairsCappedCte(64) +
         """SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
           |WHERE jac >= 0.8
           |  AND (doc_a % 20 >= 18 OR doc_b % 20 >= 18)""".stripMargin),

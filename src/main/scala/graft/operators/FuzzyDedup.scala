@@ -354,11 +354,34 @@ object FuzzyDedup {
                           newDocs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", n: Int = 3,
                           k: Int = 12, bands: Int = 4,
-                          threshold: Double = 0.8): DataFrame = {
-    val newBand = bandIndex(newDocs, idCol, textCol, n, k, bands)
+                          threshold: Double = 0.8,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
+    val newBand0 = bandIndex(newDocs, idCol, textCol, n, k, bands)
+    // DEGENERATE-BAND CAP (off by default — the uncapped path is the
+    // exact-equality contract): buckets holding more than `maxBucket`
+    // corpus rows are dropped from candidate generation entirely.
+    // A band whose minimal shingles are COMMON shingles puts a large
+    // corpus fraction in ONE bucket (measured: a 30-word-vocabulary
+    // corpus put 1446 docs in one bucket at k=30 — SCALING.md round
+    // 9); such a bucket's pairs are almost never ≥0.8 true near-dups
+    // (they share 3 minhashes, i.e. 3 lucky shingles), but their
+    // verify volume is quadratic in the bucket. Every production LSH
+    // system caps or re-hashes such buckets; the cap counts the FULL
+    // bucket (standing index + arrivals), so it is deterministic and
+    // exactly SQL-replayable.
+    val (idx, newBand) =
+      if (maxBucket == Int.MaxValue) (index, newBand0)
+      else {
+        val ok = index.select("band", "sig")
+          .unionAll(newBand0.select("band", "sig"))
+          .groupBy("band", "sig").agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") <= maxBucket).select("band", "sig")
+        (index.join(ok, Seq("band", "sig"), "left_semi"),
+          newBand0.join(ok, Seq("band", "sig"), "left_semi"))
+      }
     val crossCand = newBand
       .select(col("doc_id").as("_nb"), col("band"), col("sig"))
-      .join(index.select(col("doc_id").as("_ob"), col("band"), col("sig")),
+      .join(idx.select(col("doc_id").as("_ob"), col("band"), col("sig")),
         Seq("band", "sig"))
       .filter(col("_nb") =!= col("_ob"))
       .select(least(col("_nb"), col("_ob")).as("doc_a"),

@@ -258,6 +258,21 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((201L, 202L)))
   }
 
+  test("incrementalNearDups: degenerate-band cap — generous cap is exact, cap 1 empties") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = corpus.filter(col("doc_id") % 20 < 18)
+    val fresh = corpus.filter(col("doc_id") % 20 >= 18)
+    val idx = FuzzyDedup.bandIndex(old)
+    def pairs(maxBucket: Int) = FuzzyDedup.incrementalNearDups(
+        idx, old, fresh, maxBucket = maxBucket)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = pairs(Int.MaxValue)
+    // no fixture bucket is anywhere near 10^6 rows: cap is a no-op
+    assert(pairs(1000000) == exact && exact.nonEmpty)
+    // cap 1: any bucket that could yield a pair holds >= 2 rows
+    assert(pairs(1).isEmpty)
+  }
+
   test("thresholdSweep: hand counts, zeros kept, monotone non-increasing") {
     import org.apache.spark.sql.functions.col
     val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.5), (5L, 1L, 0.45))
