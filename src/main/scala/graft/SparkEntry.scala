@@ -39,6 +39,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val q332SrcDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val q454SrcDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
   // shared by q333/q334 — the fresh-embeddings feed is a pure
   // function of the sf dir
   private val vecFreshSrcDir =
@@ -2436,6 +2438,50 @@ object SparkEntry {
         .agg(countDistinct(col("_raw")).as("n_variants"),
           count(lit(1)).as("n_events"))
     }),
+    // q371's Page-Hinkley fold as CONTINUOUS keyed state: alarm rows
+    // the moment rounded PH crosses lambda, per key, 4 scalars of
+    // state -- the drift monitor as a genuine streaming operator
+    "q454_streaming_drift_alarm" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val src = q454SrcDir.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("q454-feed")
+          .resolve("feed").toString
+        t(s, dir, "events").filter(col("ts").isNotNull)
+          .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .agg(expr("sum(cast(floor(value * 100 + 0.5) as bigint))" +
+            " div count(*)").as("avg_cents"))
+          .filter(col("event_type").isNotNull && col("avg_cents").isNotNull)
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        d
+      })
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .parquet(src)
+      val alarms = graft.streaming.StreamingOps.driftAlarmStream(
+        stream, "event_type", "day", "avg_cents", lambda = 1000.0)
+      s.catalog.dropTempView("q454_alarms")
+      val q = alarms.writeStream.format("memory").queryName("q454_alarms")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q454_alarms")
+    }),
+    // Exact phrase search ("slow hash batch"): positional postings
+    // AND-merge -- the order-aware retrieval q129/q81 can't express
+    "q455_phrase_search" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(t(s, dir, "documents"), "slow hash batch")),
+    // pass@k (k=5), the Chen et al. unbiased eval estimator: per
+    // task 1 - C(n-c,k)/C(n,k) -- THE LLM-eval metric
+    "q456_pass_at_k" -> ((s, dir) =>
+      Analytics.passAtK(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("value").isNotNull),
+        col("user_id") % 200, floor(col("value")) % 7 === 0, k = 5)),
+    // Isotonic calibration via the minimax PAV characterization:
+    // the monotone score->probability map, computed relationally
+    "q457_isotonic_calibration" -> ((s, dir) =>
+      Analytics.isotonicCalibration(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        col("value") - floor(col("value")),
+        floor(col("value") * 100 + lit(0.5)) % 3 === 0, bins = 16)),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
         "event_type", floor(col("value") * 100 + lit(0.5)))),
@@ -7324,6 +7370,108 @@ object SparkEntry {
         |FROM zz""".stripMargin,
     // q398's complete-block ranks + the ordered-level weights; no-tie
     // Page moments, one z
+    // the batch PH replay (q371's ladder) filtered to alarm rows —
+    // the streaming fold must land on exactly these
+    "q454_streaming_drift_alarm" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, epoch_ns(ts) // 86400000000000 AS t,
+        |    (sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      // count(*))::BIGINT AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), f AS (
+        |  SELECT * FROM daily WHERE g IS NOT NULL AND x IS NOT NULL
+        |), r AS (
+        |  SELECT g, t, x, row_number() OVER w AS i,
+        |    sum(x) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM f WINDOW w AS (PARTITION BY g ORDER BY t)
+        |), m AS (
+        |  SELECT g, t,
+        |    sum(x::DOUBLE - s::DOUBLE / i) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM r
+        |), phx AS (
+        |  SELECT g, t, round(m - min(m) OVER (PARTITION BY g ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ph
+        |  FROM m
+        |)
+        |SELECT g AS key, t, ph FROM phx WHERE ph > 1000.0""".stripMargin,
+    // positional postings AND-merge replayed with struct unnest
+    "q455_phrase_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), pt AS (
+        |  SELECT doc_id, u.p AS pos, u.w AS term FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |      i -> {'p': i - 1, 'w': toks[i]})) AS u
+        |    FROM tk)
+        |), m0 AS (SELECT doc_id, pos FROM pt WHERE term = 'slow'),
+        |m1 AS (SELECT doc_id, pos - 1 AS pos FROM pt WHERE term = 'hash'),
+        |m2 AS (SELECT doc_id, pos - 2 AS pos FROM pt WHERE term = 'batch'),
+        |mm AS (
+        |  SELECT m0.doc_id, m0.pos FROM m0
+        |  JOIN m1 USING (doc_id, pos) JOIN m2 USING (doc_id, pos)
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_matches,
+        |  min(pos)::BIGINT AS first_pos
+        |FROM mm GROUP BY 1""".stripMargin,
+    // the unbiased estimator unrolled at k=5, left-assoc product
+    "q456_pass_at_k" ->
+      """WITH b AS (
+        |  SELECT user_id % 200 AS task,
+        |    (CAST(floor(value) AS BIGINT) % 7 = 0) AS ok
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), a AS (
+        |  SELECT task, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM b GROUP BY 1 HAVING count(*) >= 5
+        |)
+        |SELECT task, n, c,
+        |  round(CASE WHEN n - c < 5 THEN 1.0 ELSE 1.0 -
+        |    (n::DOUBLE - c::DOUBLE - 0) / (n::DOUBLE - 0) *
+        |    ((n::DOUBLE - c::DOUBLE - 1) / (n::DOUBLE - 1)) *
+        |    ((n::DOUBLE - c::DOUBLE - 2) / (n::DOUBLE - 2)) *
+        |    ((n::DOUBLE - c::DOUBLE - 3) / (n::DOUBLE - 3)) *
+        |    ((n::DOUBLE - c::DOUBLE - 4) / (n::DOUBLE - 4))
+        |  END, 6) AS pass_at_k
+        |FROM a""".stripMargin,
+    // minimax PAV on the bin level relation: prefix sums, quantized
+    // range rates, max-of-min over (j <= b <= l)
+    "q457_isotonic_calibration" ->
+      """WITH b0 AS (
+        |  SELECT least(greatest(floor((value - floor(value)) * 16), 0),
+        |      15)::BIGINT AS b,
+        |    CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) % 3 = 0
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), bn AS (
+        |  SELECT b, count(*)::BIGINT AS n, sum(y)::BIGINT AS p
+        |  FROM b0 GROUP BY 1
+        |), pre AS (
+        |  SELECT b, n, p,
+        |    sum(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cn,
+        |    sum(p) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cp
+        |  FROM bn
+        |), lo AS (SELECT b AS j, cn - n AS nj, cp - p AS pj FROM pre),
+        |hi AS (SELECT b AS l, cn AS nl, cp AS pl FROM pre),
+        |rg AS (
+        |  SELECT j, l,
+        |    CAST(floor((pl - pj) * 1000000000 / (nl - nj)) AS BIGINT) AS r
+        |  FROM lo, hi WHERE j <= l
+        |), iso AS (
+        |  SELECT b, max(mn) AS iso FROM (
+        |    SELECT bn.b, rg.j, min(rg.r) AS mn
+        |    FROM bn JOIN rg ON rg.j <= bn.b AND rg.l >= bn.b
+        |    GROUP BY 1, 2) GROUP BY 1
+        |)
+        |SELECT bn.b AS bin, n, p AS n_pos,
+        |  round(p::DOUBLE / n, 6) AS rate,
+        |  round(iso.iso::DOUBLE / 1e9, 6) AS iso_rate
+        |FROM bn JOIN iso ON bn.b = iso.b""".stripMargin,
     // md5-chosen codebooks replayed, argmin via (qd, code) windows,
     // exact 1e12-quantized squared distances (the qdist12 contract)
     "q447_residual_quantize" ->

@@ -4659,4 +4659,93 @@ object Analytics {
       round(a2 * (lit(1.0) + lit(0.75) / nA + lit(2.25) / (nA * nA)), 6)
         .as("a2_star"))
   }
+
+  /** pass@k — the unbiased code/eval-suite estimator (Chen et al.
+    * 2021, HumanEval): per task with n samples and c correct,
+    * pass@k = 1 − C(n−c,k)/C(n,k) = 1 − Π_{i<k}(n−c−i)/(n−i) — the
+    * probability at least one of k drawn samples is correct,
+    * estimated without the "take exactly k" variance. THE metric of
+    * LLM eval pipelines; tasks with n < k drop (the estimator is
+    * undefined), tasks with n−c < k are exactly 1.
+    *
+    * The product is k fixed double factors over exact integer
+    * (n, c) in a fixed order — engine-identical; one rounded output.
+    *
+    * Returns (task, n, c, pass_at_k).
+    *
+    * Scale shape: one map-side-combinable count per task. Nothing
+    * else. */
+  def passAtK(df: DataFrame, taskCol: Column, correctCol: Column,
+              k: Int = 5): DataFrame = {
+    require(k >= 1)
+    val agg = df.filter(taskCol.isNotNull && correctCol.isNotNull)
+      .groupBy(taskCol.as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(correctCol, 1L).otherwise(0L)).as("c"))
+      .filter(col("n") >= k)
+    val nD = col("n").cast("double")
+    val cD = col("c").cast("double")
+    val prod = (0 until k).map(i => (nD - cD - i) / (nD - i))
+      .reduce(_ * _)
+    agg.select(col("task"), col("n"), col("c"),
+      round(when(col("n") - col("c") < k, lit(1.0))
+        .otherwise(lit(1.0) - prod), 6).as("pass_at_k"))
+  }
+
+  /** Isotonic calibration by the minimax characterization of the
+    * PAV fit: bucket scores into `bins` fixed-width bins, then
+    * iso(i) = max_{j≤i} min_{l≥i} rate(j..l) over contiguous bin
+    * ranges — the exact pool-adjacent-violators solution computed
+    * relationally (PAVA's sequential pooling is a loop; the minimax
+    * form is three bounded joins — the right shape for an engine).
+    * The result is the monotone non-decreasing score→probability
+    * map [[equalMassEce]] measures the need for: Platt without the
+    * parametric assumption.
+    *
+    * Exactness: per-range rates ride as floor(pos·10¹²/n) from
+    * exact integer prefix sums; max/min on those quantized int64
+    * values (ties inherit the quantization — documented, identical
+    * on both engines). Empty bins carry no row (they have no
+    * samples to calibrate).
+    *
+    * Returns (bin, n, n_pos, rate, iso_rate) — iso_rate monotone in
+    * bin.
+    *
+    * Scale shape: one reduced shuffle to ≤ `bins` rows, then all
+    * joins are bins²/bins³ on the TINY level relation — corpus size
+    * never appears after the first agg. */
+  def isotonicCalibration(df: DataFrame, scoreCol: Column,
+                          labelCol: Column, bins: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2)
+    val b = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(least(greatest(floor(scoreCol.cast("double") * bins), lit(0)),
+          lit(bins - 1)).cast("long").as("_b"),
+        when(labelCol, 1L).otherwise(0L).as("_y"))
+      .groupBy("_b")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_p"))
+    val w = Window.orderBy("_b")
+    val pre = b.select(col("_b"), col("_n"), col("_p"),
+      sum("_n").over(w).as("_cn"), sum("_p").over(w).as("_cp"))
+    val lo = pre.select(col("_b").as("_j"),
+      (col("_cn") - col("_n")).as("_nj"), (col("_cp") - col("_p")).as("_pj"))
+    val hi = pre.select(col("_b").as("_l"), col("_cn").as("_nl"),
+      col("_cp").as("_pl"))
+    // quantized rate of the contiguous range j..l
+    val ranges = lo.crossJoin(hi).filter(col("_j") <= col("_l"))
+      .select(col("_j"), col("_l"),
+        // ×10⁹ keeps the numerator < 2⁵³: the double division is
+        // exact-input, floor engine-identical (1e12 would not be)
+        floor((col("_pl") - col("_pj")) * lit(1000000000L) /
+          (col("_nl") - col("_nj"))).cast("long").as("_r"))
+    val iso = b.select(col("_b"))
+      .join(ranges, col("_j") <= col("_b") && col("_l") >= col("_b"))
+      .groupBy(col("_b"), col("_j")).agg(min("_r").as("_mn"))
+      .groupBy("_b").agg(max("_mn").as("_iso"))
+    b.join(iso, Seq("_b"))
+      .select(col("_b").as("bin"), col("_n").as("n"),
+        col("_p").as("n_pos"),
+        round(col("_p").cast("double") / col("_n"), 6).as("rate"),
+        round(col("_iso").cast("double") / 1e9, 6).as("iso_rate"))
+  }
 }

@@ -1216,4 +1216,42 @@ object TextAnalysis {
       col("_v16").as("vocab_size"),
       round(beta, 6).as("heaps_beta"))
   }
+
+  /** Exact phrase search over the positional token relation: docs
+    * containing the words of `phrase` CONSECUTIVELY, with match
+    * count and first position — the capability a bag-of-words
+    * [[invertedIndex]]/[[bm25]] retrieval can't express ("new york"
+    * vs "york new"). The classic positional-postings AND-merge:
+    * word w at offset i must sit at position p + i for a match
+    * anchored at p.
+    *
+    * Integer-only (token positions), engine-exact.
+    *
+    * Returns (doc_id, n_matches, first_pos).
+    *
+    * Scale shape: each phrase word's postings are a term-filtered
+    * slice of the token scan (the filter pushes to the scan — no
+    * full index materialization), and the AND-merge is |phrase|−1
+    * equi-joins on (doc, aligned position) whose sides are
+    * postings-sized, not corpus-sized. Exactly how Lucene-class
+    * engines run phrase queries, expressed relationally. */
+  def phraseSearch(docs: DataFrame, phrase: String,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val words = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    require(words.nonEmpty, "phrase must contain at least one word")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+    val first = toks.filter(col("term") === words(0))
+      .select(col("doc_id"), col("pos"))
+    val matched = words.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(toks.filter(col("term") === w)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min("pos").cast("long").as("first_pos"))
+  }
 }

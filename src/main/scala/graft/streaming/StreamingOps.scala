@@ -463,6 +463,57 @@ object StreamingOps {
       }.toDF("window_start", "n", "percent", "value")
   }
 
+  /** Streaming Page–Hinkley drift alarm: the q371 batch fold as
+    * CONTINUOUS keyed state — per key the running (n, Σx, m, min m)
+    * quadruple folds each arriving bucket in event order, and a row
+    * is emitted the moment the rounded PH statistic crosses `lambda`
+    * (the monitoring read: "this series' mean has shifted", per key,
+    * as it happens — the batch operator can only say so at the next
+    * scheduled run). State is 4 scalars per key, forever-bounded;
+    * NoTimeout (a drift monitor never forgets its baseline;
+    * re-baselining is a state-version bump upstream).
+    *
+    * Determinism: the fold sorts each micro-batch's rows by the
+    * BUCKET KEY t (the [[graft.operators.TimeSeries.pageHinkley]]
+    * pre-aggregated-bucket contract — unique t per key), and the
+    * running mean uses the exact integer (n, Σx) pair, so with an
+    * AvailableNow replay the emitted rows equal the batch formula's
+    * alarm rows exactly (the oracle). PH compares ROUNDED (6dp,
+    * HALF_UP — Spark's `round`) against lambda, mirroring the batch
+    * dual's `round(...) > lambda`.
+    *
+    * Scale shape: one shuffle on the key; per-trigger work is the
+    * batch's bucket rows; emitted volume = alarm rows only. */
+  def driftAlarmStream(df: DataFrame, keyCol: String, tCol: String,
+                       valCol: String, lambda: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(keyCol).cast("string").as("g"),
+        col(tCol).cast("long").as("t"), col(valCol).cast("long").as("x"))
+      .as[(String, Long, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Double, Double),
+        (String, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Double, Double)]) =>
+          var (n, s, m, minM) =
+            state.getOption.getOrElse((0L, 0L, 0.0, 0.0))
+          val out =
+            scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+          it.toArray.sortBy(_._2).foreach { case (_, t, x) =>
+            n += 1; s += x
+            m += x.toDouble - s.toDouble / n
+            if (m < minM) minM = m
+            val ph = BigDecimal(m - minM)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (ph > lambda) out += ((g, t, ph))
+          }
+          state.update((n, s, m, minM))
+          out.iterator
+      }.toDF("key", "t", "ph")
+  }
+
   /** The output mode [[latestPerKey]] requires. */
   val UpdateMode: OutputMode = OutputMode.Update()
 }

@@ -1772,4 +1772,29 @@ class AnalyticsSpec extends SparkSpec {
       out.head.getDouble(2) == 0.1729 &&
       out.head.getDouble(3) == 0.186408, s"${out.head}")
   }
+  test("passAtK: hand-computed estimator; saturation and short-task guards") {
+    val rows = (1 to 10).map(i => ("t1", i <= 3)) ++   // n=10 c=3
+      (1 to 10).map(i => ("t2", false)) ++             // c=0 -> 0
+      (1 to 10).map(i => ("t3", i <= 7)) ++            // n-c=3 < 5 -> 1
+      (1 to 4).map(i => ("t4", true))                  // n=4 < k -> dropped
+    val out = Analytics.passAtK(rows.toDF("task", "ok"), col("task"),
+        col("ok"), k = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // t1: 1 - C(7,5)/C(10,5) = 1 - 21/252
+    assert(out == Map("t1" -> 0.916667, "t2" -> 0.0, "t3" -> 1.0), s"$out")
+  }
+
+  test("isotonicCalibration: PAV pools the violating pair; monotone output") {
+    val rows = (1 to 10).map(i => (0.1, i <= 3)) ++   // bin 0 rate .3
+      (1 to 10).map(i => (0.3, i <= 1)) ++            // bin 1 rate .1 (violates)
+      (1 to 10).map(i => (0.6, i <= 6))               // bin 2 rate .6
+    val out = Analytics.isotonicCalibration(rows.toDF("s", "y"),
+        col("s"), col("y"), bins = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(0L) == ((10L, 3L, 0.3, 0.2)), s"$out")
+    assert(out(1L) == ((10L, 1L, 0.1, 0.2)), s"$out")
+    assert(out(2L) == ((10L, 6L, 0.6, 0.6)), s"$out")
+  }
+
 }

@@ -582,4 +582,16 @@ class TextAnalysisSpec extends SparkSpec {
     val sparse = Seq((15L, "a b"), (16L, "c d")).toDF("doc_id", "text")
     assert(TextAnalysis.heapsLaw(sparse).head().isNullAt(3))
   }
+  test("phraseSearch: consecutive-only matches, overlaps counted, first position") {
+    val docs = Seq(
+      (1L, "x y the quick fox the quick fox ran"),
+      (2L, "quick the fox"),                  // words present, order wrong
+      (3L, "the quick brown fox"),            // interrupted -> no match
+      (4L, "the quick the quick the quick")).toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearch(docs, "the quick")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((2L, 2L)), 3L -> ((1L, 0L)), 4L -> ((3L, 0L))),
+      s"$out")
+  }
+
 }

@@ -431,4 +431,39 @@ class StreamingOpsSpec extends SparkSpec {
         s"merge after partial-gen recovery diverged: $after")
     } finally q2.stop()
   }
+  test("driftAlarmStream: keyed PH fold across triggers equals the batch formula") {
+    implicit val sqlCtx = spark.sqlContext
+    // key a: mean jumps 10 -> 1000 at t=4 -> PH fires; key b: flat
+    val pts = Seq(("a", 1L, 10L), ("a", 2L, 12L), ("a", 3L, 8L),
+      ("a", 4L, 1000L), ("a", 5L, 1100L), ("a", 6L, 1050L),
+      ("b", 1L, 50L), ("b", 2L, 50L), ("b", 3L, 50L))
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingOps.driftAlarmStream(
+        input.toDF.toDF("g", "t", "x"), "g", "t", "x", lambda = 100.0)
+      .writeStream.format("memory").queryName("drift_alarms")
+      .outputMode("append").start()
+    // split across two triggers: state must carry the running fold
+    input.addData(pts.take(4))
+    q.processAllAvailable()
+    input.addData(pts.drop(4))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("drift_alarms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch replay: running mean, m-fold, ph = m - running min
+    def replay(xs: Seq[Long]): Seq[(Int, Double)] = {
+      var n = 0L; var s = 0L; var m = 0.0; var minM = 0.0
+      xs.zipWithIndex.flatMap { case (x, i) =>
+        n += 1; s += x; m += x.toDouble - s.toDouble / n
+        if (m < minM) minM = m
+        val ph = BigDecimal(m - minM)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (ph > 100.0) Some((i + 1, ph)) else None
+      }
+    }
+    val want = replay(Seq(10L, 12L, 8L, 1000L, 1100L, 1050L))
+      .map { case (t, ph) => ("a", t.toLong, ph) }.toSet
+    assert(got == want && got.nonEmpty, s"got=$got want=$want")
+  }
+
 }
