@@ -2482,6 +2482,31 @@ object SparkEntry {
         t(s, dir, "events").filter(col("value").isNotNull),
         col("value") - floor(col("value")),
         floor(col("value") * 100 + lit(0.5)) % 3 === 0, bins = 16)),
+    // Sampled Brandes betweenness on q186's graph: sigma forward,
+    // quantized dependency back-propagation -- WHO BROKERS the
+    // shortest paths, the read degree/closeness ranks can't give
+    "q458_betweenness" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      Graph.betweennessSampled(
+        ev.select(col("user_id").as("a"),
+          (lit(1000000) + col("event_id") % 150).as("b")),
+        "a", "b",
+        ev.filter(col("user_id") % 97 === 0)
+          .select(col("user_id").as("n")),
+        "n", maxDepth = 3)
+    }),
+    // Per-seed reach + eccentricity within 3 hops: the sampled
+    // lower-bound diameter / fragment detector over the same BFS
+    "q459_graph_eccentricity" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      Graph.seedDistanceProfile(
+        ev.select(col("user_id").as("a"),
+          (lit(1000000) + col("event_id") % 150).as("b")),
+        "a", "b",
+        ev.filter(col("user_id") % 97 === 0)
+          .select(col("user_id").as("n")),
+        "n", maxDepth = 3)
+    }),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
         "event_type", floor(col("value") * 100 + lit(0.5)))),
@@ -7370,6 +7395,104 @@ object SparkEntry {
         |FROM zz""".stripMargin,
     // q398's complete-block ranks + the ordered-level weights; no-tie
     // Page moments, one z
+    // forward sigma levels with NOT EXISTS dedup, backward quantized
+    // dependency folds — Brandes unrolled to 3 hops
+    "q458_betweenness" ->
+      """WITH e0 AS (
+        |  SELECT user_id AS u, 1000000 + event_id % 150 AS v
+        |  FROM events WHERE user_id IS NOT NULL
+        |), sym AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)
+        |), sd AS (
+        |  SELECT DISTINCT user_id AS seed FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 97 = 0
+        |), l0 AS (SELECT seed, seed AS node, 1::BIGINT AS sigma FROM sd),
+        |l1 AS (
+        |  SELECT seed, node, sum(sigma)::BIGINT AS sigma FROM (
+        |    SELECT p.seed, s.v AS node, p.sigma
+        |    FROM sym s JOIN l0 p ON s.u = p.node) x
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 q
+        |    WHERE q.seed = x.seed AND q.node = x.node)
+        |  GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT seed, node, sum(sigma)::BIGINT AS sigma FROM (
+        |    SELECT p.seed, s.v AS node, p.sigma
+        |    FROM sym s JOIN l1 p ON s.u = p.node) x
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 q
+        |    WHERE q.seed = x.seed AND q.node = x.node)
+        |    AND NOT EXISTS (SELECT 1 FROM l1 q
+        |    WHERE q.seed = x.seed AND q.node = x.node)
+        |  GROUP BY 1, 2
+        |), l3 AS (
+        |  SELECT seed, node, sum(sigma)::BIGINT AS sigma FROM (
+        |    SELECT p.seed, s.v AS node, p.sigma
+        |    FROM sym s JOIN l2 p ON s.u = p.node) x
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 q
+        |    WHERE q.seed = x.seed AND q.node = x.node)
+        |    AND NOT EXISTS (SELECT 1 FROM l1 q
+        |    WHERE q.seed = x.seed AND q.node = x.node)
+        |    AND NOT EXISTS (SELECT 1 FROM l2 q
+        |    WHERE q.seed = x.seed AND q.node = x.node)
+        |  GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT vv.seed, vv.node,
+        |    sum(CAST(floor(vv.sigma::DOUBLE / w.sigma *
+        |      (1000000000 + 0) + 0.5) AS BIGINT))::BIGINT AS dq
+        |  FROM l2 vv JOIN sym s ON s.u = vv.node
+        |  JOIN l3 w ON w.seed = vv.seed AND w.node = s.v
+        |  GROUP BY 1, 2
+        |), d1 AS (
+        |  SELECT vv.seed, vv.node,
+        |    sum(CAST(floor(vv.sigma::DOUBLE / w.sigma *
+        |      (1000000000 + coalesce(d2.dq, 0)) + 0.5) AS BIGINT))::BIGINT
+        |      AS dq
+        |  FROM l1 vv JOIN sym s ON s.u = vv.node
+        |  JOIN l2 w ON w.seed = vv.seed AND w.node = s.v
+        |  LEFT JOIN d2 ON d2.seed = w.seed AND d2.node = w.node
+        |  GROUP BY 1, 2
+        |)
+        |SELECT node, count(DISTINCT seed)::BIGINT AS n_seed_paths,
+        |  round(sum(dq)::DOUBLE / 1e9, 6) AS betweenness
+        |FROM (SELECT * FROM d2 UNION ALL SELECT * FROM d1)
+        |GROUP BY 1 HAVING sum(dq) > 0""".stripMargin,
+    // the q438 BFS replay read per SEED: reach + max distance
+    "q459_graph_eccentricity" ->
+      """WITH e0 AS (
+        |  SELECT user_id AS u, 1000000 + event_id % 150 AS v
+        |  FROM events WHERE user_id IS NOT NULL
+        |), sym AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)
+        |), seeds AS (
+        |  SELECT DISTINCT user_id AS seed FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 97 = 0
+        |), d0 AS (SELECT seed, seed AS node, 0::BIGINT AS dist FROM seeds),
+        |d1 AS (
+        |  SELECT seed, node, min(dist)::BIGINT AS dist FROM (
+        |    SELECT * FROM d0
+        |    UNION ALL
+        |    SELECT f.seed, s.v AS node, 1::BIGINT
+        |    FROM sym s JOIN (SELECT seed, node FROM d0 WHERE dist = 0) f
+        |      ON s.u = f.node) GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT seed, node, min(dist)::BIGINT AS dist FROM (
+        |    SELECT * FROM d1
+        |    UNION ALL
+        |    SELECT f.seed, s.v AS node, 2::BIGINT
+        |    FROM sym s JOIN (SELECT seed, node FROM d1 WHERE dist = 1) f
+        |      ON s.u = f.node) GROUP BY 1, 2
+        |), d3 AS (
+        |  SELECT seed, node, min(dist)::BIGINT AS dist FROM (
+        |    SELECT * FROM d2
+        |    UNION ALL
+        |    SELECT f.seed, s.v AS node, 3::BIGINT
+        |    FROM sym s JOIN (SELECT seed, node FROM d2 WHERE dist = 2) f
+        |      ON s.u = f.node) GROUP BY 1, 2
+        |)
+        |SELECT seed, count(*)::BIGINT AS n_reached,
+        |  max(dist)::BIGINT AS eccentricity
+        |FROM d3 WHERE dist > 0 GROUP BY 1""".stripMargin,
     // the batch PH replay (q371's ladder) filtered to alarm rows —
     // the streaming fold must land on exactly these
     "q454_streaming_drift_alarm" ->

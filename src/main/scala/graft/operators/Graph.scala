@@ -795,6 +795,122 @@ object Graph {
         round(col("_h").cast("double") / 1e6, 6).as("harmonic"))
   }
 
+  /** Sampled-source betweenness centrality (Brandes 1 iteration per
+    * seed, the standard estimator — exact all-pairs Brandes is
+    * O(nm) and never runs at scale): per seed a BFS computes
+    * shortest-path counts σ level by level, then dependencies
+    * back-propagate δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w))
+    * down the levels; betweenness(v) = Σ_seeds δ_s(v) — WHO BROKERS
+    * the graph's shortest paths, the load-bearing-node read that no
+    * degree or closeness rank gives. `maxDepth` bounds both passes
+    * (the [[bfsDistances]] truncation contract: paths longer than
+    * maxDepth don't contribute).
+    *
+    * Determinism: σ is an exact integer fold; each δ edge
+    * contribution rides as floor(σ_v/σ_w · (10⁹ + δq_w) + ½) — one
+    * fixed double expression over exact ints, quantized to int64
+    * BEFORE the per-node sum, so back-propagation is order-free
+    * (the [[pageRank]] quantized-contribution rule, applied to
+    * Brandes' dependency accumulation).
+    *
+    * Returns (node, n_seed_paths, betweenness) over nodes with
+    * positive dependency (levels 1..maxDepth−1; seeds excluded per
+    * Brandes).
+    *
+    * Scale shape: forward = maxDepth frontier ⋈ edges joins with an
+    * anti-join against the seen set (all keyed (seed, node) — the
+    * seed sample rate bounds state exactly as in
+    * [[harmonicCentrality]]); backward = maxDepth−1 level ⋈ edges ⋈
+    * level joins + integer sums. One lazy plan, no driver actions. */
+  def betweennessSampled(edges: DataFrame, srcCol: String,
+                         dstCol: String, seeds: DataFrame,
+                         seedCol: String, maxDepth: Int = 3,
+                         broadcastLevels: Boolean = true): DataFrame = {
+    require(maxDepth >= 2)
+    val e0 = edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
+      .filter(col("_u").isNotNull && col("_v").isNotNull)
+    val sym = e0.unionByName(e0.select(col("_v").as("_u"),
+      col("_u").as("_v"))).distinct()
+    val l0 = seeds.select(col(seedCol).as("seed")).distinct()
+      .filter(col("seed").isNotNull)
+      .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+    var levels = Vector(l0)
+    var seen = l0.select("seed", "node")
+    for (_ <- 1 to maxDepth) {
+      val prev = if (broadcastLevels) broadcast(levels.last) else levels.last
+      val nxt = sym
+        .join(prev.select(col("seed"), col("node").as("_u"), col("sigma")),
+          Seq("_u"))
+        .select(col("seed"), col("_v").as("node"), col("sigma"))
+        .join(seen, Seq("seed", "node"), "left_anti")
+        .groupBy("seed", "node").agg(sum("sigma").as("sigma"))
+      levels = levels :+ nxt
+      seen = seen.unionByName(nxt.select("seed", "node"))
+    }
+    // backward dependency accumulation, deepest level first
+    var delta = levels(maxDepth)
+      .select(col("seed"), col("node"), lit(0L).as("_dq"))
+    val perLevel = (maxDepth - 1 to 1 by -1).map { l =>
+      val wSide = levels(l + 1)
+        .join(delta, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node").as("_v"),
+          col("sigma").as("_sw"), coalesce(col("_dq"), lit(0L)).as("_dw"))
+      val dl = levels(l)
+        .select(col("seed"), col("node").as("_u"), col("sigma").as("_sv"))
+        .join(sym, Seq("_u"))
+        .join(if (broadcastLevels) broadcast(wSide) else wSide,
+          Seq("seed", "_v"))
+        .select(col("seed"), col("_u").as("node"),
+          floor(col("_sv").cast("double") / col("_sw") *
+            (lit(1000000000L) + col("_dw")) + lit(0.5))
+            .cast("long").as("_c"))
+        .groupBy("seed", "node").agg(sum("_c").as("_dq"))
+      delta = dl
+      dl
+    }
+    perLevel.reduce(_.unionByName(_))
+      .groupBy("node")
+      .agg(countDistinct(col("seed")).as("n_seed_paths"),
+        sum("_dq").as("_b"))
+      .filter(col("_b") > 0)
+      .select(col("node"), col("n_seed_paths"),
+        round(col("_b").cast("double") / 1e9, 6).as("betweenness"))
+  }
+
+  /** Per-seed BFS distance profile: reach and eccentricity within
+    * `maxDepth` hops for each sampled source — max over the seeds is
+    * the standard lower-bound diameter estimate, and a seed whose
+    * n_reached is far below its peers sits in a fragment
+    * ([[harmonicCentrality]]'s BFS, read per SEED instead of per
+    * node). Returns (seed, n_reached, eccentricity). Integer-only. */
+  def seedDistanceProfile(edges: DataFrame, srcCol: String,
+                          dstCol: String, seeds: DataFrame,
+                          seedCol: String, maxDepth: Int = 3,
+                          broadcastFrontier: Boolean = true): DataFrame = {
+    require(maxDepth >= 1)
+    val e0 = edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
+      .filter(col("_u").isNotNull && col("_v").isNotNull)
+    val sym = e0.unionByName(e0.select(col("_v").as("_u"),
+      col("_u").as("_v"))).distinct()
+    var dist = seeds.select(col(seedCol).as("seed")).distinct()
+      .filter(col("seed").isNotNull)
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+    for (d <- 1 to maxDepth) {
+      val frontier = dist.filter(col("dist") === (d - 1).toLong)
+        .select(col("seed"), col("node").as("_u"))
+      val f = if (broadcastFrontier) broadcast(frontier) else frontier
+      dist = dist.unionByName(
+          sym.join(f, Seq("_u"))
+            .select(col("seed"), col("_v").as("node"),
+              lit(d.toLong).as("dist")))
+        .groupBy("seed", "node").agg(min("dist").as("dist"))
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        max("dist").as("eccentricity"))
+  }
+
   /** Per-community conductance — the cut-quality score that grades a
     * partition (e.g. [[labelPropagation]]'s): for community S,
     * φ(S) = cut(S) / min(vol(S), 2m − vol(S)), where cut = edges

@@ -394,4 +394,25 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> ((3L, 7L, 1L, 0.142857)),
       2L -> ((3L, 7L, 1L, 0.142857))), s"$out")
   }
+  test("betweennessSampled: hand-computed Brandes dependencies on a broker path") {
+    // 1-2-3 with 3 branching to 4 and 5; seeds {1, 4}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L)).toDF("s", "d")
+    val seeds = Seq(1L, 4L).toDF("n")
+    val out = Graph.betweennessSampled(e, "s", "d", seeds, "n", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // seed 1: delta(3) = 2 (paths to 4,5), delta(2) = 1*(1+2) = 3
+    // seed 4: delta(2) = 1 (path to 1),    delta(3) = (1+1) + 1 = 3
+    assert(out == Map(2L -> ((2L, 4.0)), 3L -> ((2L, 5.0))), s"$out")
+  }
+
+  test("seedDistanceProfile: reach and eccentricity per sampled source") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L)).toDF("s", "d")
+    val seeds = Seq(1L, 4L).toDF("n")
+    val out = Graph.seedDistanceProfile(e, "s", "d", seeds, "n", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(1L -> ((4L, 3L)), 4L -> ((4L, 3L))), s"$out")
+  }
+
 }
