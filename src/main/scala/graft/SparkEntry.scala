@@ -2507,6 +2507,22 @@ object SparkEntry {
           .select(col("user_id").as("n")),
         "n", maxDepth = 3)
     }),
+    // HDR-histogram percentiles (log2 buckets, 16 sub-buckets):
+    // relative-error quantiles at any magnitude, integer-exact
+    // bucketing (binary length, not libm logs) -- the latency-sketch
+    // contract beside q53's fixed-width bins
+    "q460_hdr_quantiles" -> ((s, dir) =>
+      Sketches.hdrQuantiles(t(s, dir, "events"), "event_type",
+        floor(col("value") * 100 + lit(0.5)))),
+    // Bradley-Terry arena ratings via 3 MM rounds over the pair
+    // level relation -- win-rate confounds opponent strength; BT's
+    // MLE doesn't
+    "q461_bradley_terry" -> ((s, dir) =>
+      Analytics.bradleyTerry(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+          col("value").isNotNull),
+        col("user_id") % 8, expr("(user_id div 8) % 8"),
+        floor(col("value") * 100 + lit(0.5)) % 2 === 0)),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
         "event_type", floor(col("value") * 100 + lit(0.5)))),
@@ -7395,6 +7411,94 @@ object SparkEntry {
         |FROM zz""".stripMargin,
     // q398's complete-block ranks + the ordered-level weights; no-tie
     // Page moments, one z
+    // binary-length buckets (no libm), cumulative over the level
+    // relation, arg-min bucket at the rank cut
+    "q460_hdr_quantiles" ->
+      """WITH base AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |), tot AS (
+        |  SELECT g, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN v < 1 THEN 1 ELSE 0 END)::BIGINT AS underflow
+        |  FROM base GROUP BY 1
+        |), pos AS (
+        |  SELECT g, v, (length(bin(v)) - 1)::BIGINT AS k
+        |  FROM base WHERE v >= 1
+        |), sb AS (
+        |  SELECT g, greatest(k - 4, 0) AS sh,
+        |    v >> CAST(greatest(k - 4, 0) AS INT) AS sub
+        |  FROM pos
+        |), b2 AS (
+        |  SELECT g, sh, sub, count(*)::BIGINT AS c,
+        |    (sub << CAST(sh AS INT))::BIGINT AS lo,
+        |    ((sub << CAST(sh AS INT)) + CASE WHEN sh > 0
+        |      THEN (1::BIGINT << CAST(sh - 1 AS INT)) ELSE 0 END)::BIGINT
+        |      AS rep
+        |  FROM sb GROUP BY 1, 2, 3
+        |), cum AS (
+        |  SELECT g, c, lo, sub, rep,
+        |    sum(c) OVER (PARTITION BY g ORDER BY lo, sub
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM b2
+        |), j AS (
+        |  SELECT cum.g, cum.lo, cum.sub, cum.rep, cum.cm, tot.n,
+        |    tot.underflow
+        |  FROM cum JOIN tot USING (g)
+        |), ps AS (SELECT unnest([50, 90, 99]) AS percent)
+        |SELECT g AS event_type, n, underflow, percent::BIGINT AS percent,
+        |  arg_min(rep, lo) AS est
+        |FROM j, ps
+        |WHERE cm > CAST(floor((n - underflow - 1) * percent / 100.0)
+        |    AS BIGINT)
+        |  AND (n - underflow) > 0
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // 3 unrolled MM rounds over the pair level relation; terms
+    // quantized 1e15 before each per-model sum
+    "q461_bradley_terry" -> {
+      def mmRound(prev: String, out: String): String =
+        s"""$out AS (
+          |  SELECT p.i, p.wi,
+          |    CASE WHEN d.dq IS NOT NULL AND d.dq > 0
+          |      THEN CAST(floor(p.wi::DOUBLE * 1e15 / d.dq + 0.5) AS BIGINT)
+          |      ELSE 0 END AS pq
+          |  FROM $prev p LEFT JOIN (
+          |    SELECT und.i,
+          |      sum(CAST(floor(nij::DOUBLE / (pi.pq + pj.pq) * 1e15 + 0.5)
+          |        AS BIGINT))::BIGINT AS dq
+          |    FROM und JOIN $prev pi ON und.i = pi.i
+          |    JOIN $prev pj ON und.j = pj.i
+          |    GROUP BY 1) d ON p.i = d.i
+          |)""".stripMargin
+      s"""WITH base AS (
+        |  SELECT user_id % 8 AS a, (user_id // 8) % 8 AS b,
+        |    (CAST(floor(value * 100 + 0.5) AS BIGINT) % 2 = 0) AS w
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND user_id % 8 <> (user_id // 8) % 8
+        |), und AS (
+        |  SELECT i, j, count(*)::BIGINT AS nij FROM (
+        |    SELECT a AS i, b AS j FROM base
+        |    UNION ALL SELECT b, a FROM base) GROUP BY 1, 2
+        |), wins AS (
+        |  SELECT CASE WHEN w THEN a ELSE b END AS i,
+        |    count(*)::BIGINT AS wi
+        |  FROM base GROUP BY 1
+        |), p0 AS (
+        |  SELECT u.i, coalesce(w.wi, 0)::BIGINT AS wi,
+        |    1000000000::BIGINT AS pq
+        |  FROM (SELECT DISTINCT i FROM und) u
+        |  LEFT JOIN wins w ON u.i = w.i
+        |),
+        |${mmRound("p0", "r1")},
+        |${mmRound("r1", "r2")},
+        |${mmRound("r2", "r3")},
+        |nm AS (SELECT i, sum(nij)::BIGINT AS n_matches FROM und GROUP BY 1),
+        |tp AS (SELECT sum(pq)::BIGINT AS t FROM r3)
+        |SELECT r3.i AS model, nm.n_matches, r3.wi AS n_wins,
+        |  round(r3.pq::DOUBLE / tp.t, 6) AS bt_score,
+        |  row_number() OVER (ORDER BY r3.pq DESC, r3.i) AS rank
+        |FROM r3 JOIN nm ON r3.i = nm.i CROSS JOIN tp""".stripMargin
+    },
     // forward sigma levels with NOT EXISTS dedup, backward quantized
     // dependency folds — Brandes unrolled to 3 hops
     "q458_betweenness" ->

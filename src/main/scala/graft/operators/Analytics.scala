@@ -4748,4 +4748,72 @@ object Analytics {
         round(col("_p").cast("double") / col("_n"), 6).as("rate"),
         round(col("_iso").cast("double") / 1e9, 6).as("iso_rate"))
   }
+
+  /** Bradley–Terry strength ratings from pairwise outcomes — the
+    * arena-leaderboard model (and the statistically right way to
+    * rank from head-to-head win/loss data: raw win RATE confounds
+    * opponent strength; BT's p_i are the MLE of
+    * P(i beats j) = p_i/(p_i + p_j)). Fit by `rounds` synchronous
+    * MM iterations (Hunter 2004): pᵢ ← wᵢ / Σⱼ nᵢⱼ/(pᵢ + pⱼ) —
+    * each round a join of the pair-count level relation against the
+    * current ratings; fixed rounds is the documented truncation
+    * (the [[pageRank]] contract). Zero-win models sink to exactly 0
+    * (their MLE). Scores normalize to shares.
+    *
+    * Determinism: ratings live ×10⁹-quantized on the model level
+    * relation; each MM term is one fixed double expression over
+    * exact ints, quantized to int64 ×10⁶ BEFORE the per-model sum —
+    * order-free, engine-identical.
+    *
+    * Returns (model, n_matches, n_wins, bt_score, rank).
+    *
+    * Scale shape: one (pair) reduced shuffle builds the level
+    * relation; every iteration joins it against the broadcast
+    * models-sized ratings — pairs and models are CARDINALITY-sized
+    * (models², models), not match-volume-sized; the match log is
+    * scanned exactly once. */
+  def bradleyTerry(df: DataFrame, aCol: Column, bCol: Column,
+                   aWinsCol: Column, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1)
+    val base = df.filter(aCol.isNotNull && bCol.isNotNull &&
+        aWinsCol.isNotNull && aCol =!= bCol)
+      .select(aCol.as("_a"), bCol.as("_b"),
+        when(aWinsCol, 1L).otherwise(0L).as("_w"))
+    val und = base.select(col("_a").as("_i"), col("_b").as("_j"))
+      .unionAll(base.select(col("_b"), col("_a")))
+      .groupBy("_i", "_j").agg(count(lit(1)).as("_nij"))
+    val wins = base
+      .select(when(col("_w") === 1, col("_a")).otherwise(col("_b"))
+        .as("_i"))
+      .groupBy("_i").agg(count(lit(1)).as("_wi"))
+    val models = und.select("_i").distinct()
+      .join(wins, Seq("_i"), "left")
+      .select(col("_i"), coalesce(col("_wi"), lit(0L)).as("_wi"))
+    var p = models.withColumn("_pq", lit(1000000000L))
+    for (_ <- 1 to rounds) {
+      val pj = p.select(col("_i").as("_j"), col("_pq").as("_pj"))
+      val den = und
+        .join(broadcast(p.select(col("_i"), col("_pq"))), Seq("_i"))
+        .join(broadcast(pj), Seq("_j"))
+        .select(col("_i"),
+          floor(col("_nij").cast("double") / (col("_pq") + col("_pj")) *
+            lit(1e15) + lit(0.5)).cast("long").as("_t"))
+        .groupBy("_i").agg(sum("_t").as("_dq"))
+      p = p.drop("_pq").join(den, Seq("_i"), "left")
+        .withColumn("_pq",
+          when(col("_dq").isNotNull && col("_dq") > 0,
+            floor(col("_wi").cast("double") * 1e15 / col("_dq") +
+              lit(0.5)).cast("long")).otherwise(lit(0L)))
+        .drop("_dq")
+    }
+    val nm = und.groupBy("_i").agg(sum("_nij").as("n_matches"))
+    val tot = p.agg(sum("_pq").as("_tp"))
+    val wr = Window.orderBy(col("_pq").desc, col("_i"))
+    p.join(nm, Seq("_i")).crossJoin(broadcast(tot))
+      .select(col("_i").as("model"), col("n_matches"),
+        col("_wi").as("n_wins"),
+        round(col("_pq").cast("double") / col("_tp"), 6).as("bt_score"),
+        row_number().over(wr).cast("long").as("rank"))
+  }
 }

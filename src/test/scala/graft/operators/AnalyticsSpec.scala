@@ -1797,4 +1797,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2L) == ((10L, 6L, 0.6, 0.6)), s"$out")
   }
 
+  test("bradleyTerry: MM replay on a 3-model tournament; win rate would mislead") {
+    // a beats b 3/4; b beats c 2/2; c beats a 1/1
+    val m = Seq(("a", "b", true), ("a", "b", true), ("a", "b", true),
+      ("a", "b", false), ("b", "c", true), ("b", "c", true),
+      ("a", "c", false)).toDF("ma", "mb", "aw")
+    val out = Analytics.bradleyTerry(m, col("ma"), col("mb"), col("aw"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out("a") == ((5L, 3L, 0.45834, 1L)), s"$out")
+    assert(out("b") == ((6L, 3L, 0.347655, 2L)), s"$out")
+    assert(out("c") == ((3L, 1L, 0.194005, 3L)), s"$out")
+    // a zero-win model sinks to exactly 0
+    val z = Analytics.bradleyTerry(
+      Seq(("a", "b", true), ("a", "b", true)).toDF("ma", "mb", "aw"),
+      col("ma"), col("mb"), col("aw"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(z("b") == 0.0 && z("a") == 1.0, s"$z")
+  }
+
 }

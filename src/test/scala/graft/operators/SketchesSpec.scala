@@ -497,4 +497,18 @@ class SketchesSpec extends SparkSpec {
       r2.getDouble(4) == BigDecimal(r2.getDouble(3) / 14.0 - 1)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$r2")
   }
+  test("hdrQuantiles: integer bucket reps at the rank cuts; underflow counted") {
+    val rows = (1L to 100L).map(v => ("g", v)) ++ Seq(("g", 0L), ("g", -5L))
+    val out = Sketches.hdrQuantiles(rows.toDF("k", "v"), "k", col("v"))
+      .collect().map(r => r.getLong(3) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    // v=50 -> bucket [48,51] rep 50|? hand replay: sh=1, sub=25 -> rep 51
+    assert(out(50L) == ((102L, 2L, 51L)), s"$out")
+    assert(out(90L) == ((102L, 2L, 90L)), s"$out")
+    assert(out(99L) == ((102L, 2L, 98L)), s"$out")
+    // relative-error contract: est within 1/16 of the true value
+    assert(math.abs(out(50L)._3 - 50.0) / 50.0 < 1.0 / 16)
+    assert(math.abs(out(99L)._3 - 99.0) / 99.0 < 1.0 / 16)
+  }
+
 }
