@@ -2523,6 +2523,12 @@ object SparkEntry {
           col("value").isNotNull),
         col("user_id") % 8, expr("(user_id div 8) % 8"),
         floor(col("value") * 100 + lit(0.5)) % 2 === 0)),
+    // Chaining audit over the shared cluster table: min pairwise
+    // Jaccard within each small cluster -- transitive closure can
+    // weld unrelated groups through one bridge doc; this finds them
+    "q462_cluster_chain_audit" -> ((s, dir) =>
+      DedupClusters.clusterChainAudit(clusterTable(s, dir, rebuild = false),
+        t(s, dir, "documents"))),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
         "event_type", floor(col("value") * 100 + lit(0.5)))),
@@ -7411,6 +7417,34 @@ object SparkEntry {
         |FROM zz""".stripMargin,
     // q398's complete-block ranks + the ordered-level weights; no-tie
     // Page moments, one z
+    // the q47 cluster replay + within-cluster pair Jaccard scoring
+    "q462_cluster_chain_audit" ->
+      (minhashClustersCte +
+        """, szx AS (
+          |  SELECT cluster_rep, count(*)::BIGINT AS n_members
+          |  FROM resolved GROUP BY 1
+          |  HAVING count(*) >= 2 AND count(*) <= 16
+          |), mk AS (
+          |  SELECT r.doc_id, r.cluster_rep, szx.n_members
+          |  FROM resolved r JOIN szx ON r.cluster_rep = szx.cluster_rep
+          |), pp AS (
+          |  SELECT a.cluster_rep, a.n_members, a.doc_id AS da,
+          |    b.doc_id AS db
+          |  FROM mk a JOIN mk b ON a.cluster_rep = b.cluster_rep
+          |    AND a.doc_id < b.doc_id
+          |), jx AS (
+          |  SELECT pp.cluster_rep, pp.n_members,
+          |    CAST(floor(len(list_intersect(x.sh, y.sh))::DOUBLE * 1e12 /
+          |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))))
+          |      AS BIGINT) AS jq
+          |  FROM pp JOIN nz x ON pp.da = x.doc_id
+          |  JOIN nz y ON pp.db = y.doc_id
+          |)
+          |SELECT cluster_rep, n_members, count(*)::BIGINT AS n_pairs,
+          |  round(min(jq)::DOUBLE / 1e12, 6) AS min_jaccard,
+          |  round(sum(jq)::DOUBLE / count(*) / 1e12, 6) AS mean_jaccard,
+          |  min(jq)::DOUBLE / 1e12 < 0.5 AS chained
+          |FROM jx GROUP BY 1, 2""".stripMargin),
     // binary-length buckets (no libm), cumulative over the level
     // relation, arg-min bucket at the rank cut
     "q460_hdr_quantiles" ->

@@ -196,4 +196,63 @@ object DedupClusters {
         (col(idCol) === col("cluster_rep")).as("keep"),
         col("n_members"))
   }
+
+  /** Chaining audit over resolved near-dup clusters: transitive
+    * closure merges A~B and B~C into one cluster even when A and C
+    * share almost nothing — the classic dedup failure mode (one
+    * boilerplate-heavy "bridge" doc welds two unrelated groups, and
+    * the survivor then "represents" docs it doesn't resemble). For
+    * every small cluster (2..maxSize members), score ALL member
+    * pairs by exact Jaccard: a cluster whose MINIMUM pairwise
+    * similarity sits under `chainThreshold` is chained and needs a
+    * re-split (or a higher verify threshold upstream).
+    *
+    * Pairs are scored over shingled members only (empty-shingle docs
+    * can't be compared); Jaccard rides ×10¹²-quantized so min/mean
+    * are engine-exact.
+    *
+    * Returns (cluster_rep, n_members, n_pairs, min_jaccard,
+    * mean_jaccard, chained).
+    *
+    * Scale shape: the size filter bounds within-cluster pair
+    * expansion at maxSize²; big clusters are excluded BY CONTRACT
+    * (auditing a 10⁶-member cluster pairwise is the quadratic this
+    * engine never runs — sample such clusters upstream instead).
+    * One rep-keyed self-join + two id-keyed shingle joins, all on
+    * audited-member-sized relations. */
+  def clusterChainAudit(clusters: DataFrame, docs: DataFrame,
+                        maxSize: Int = 16, chainThreshold: Double = 0.5,
+                        idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 3): DataFrame = {
+    require(maxSize >= 2)
+    val sizes = clusters.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2 && col("n_members") <= maxSize)
+    val m = clusters.join(sizes, Seq("cluster_rep"))
+    val pairs = m.select(col("cluster_rep"), col("n_members"),
+        col(idCol).as("_a"))
+      .join(m.select(col("cluster_rep"), col(idCol).as("_b")),
+        Seq("cluster_rep"))
+      .filter(col("_a") < col("_b"))
+    val sh = FuzzyDedup.shingled(
+      docs.join(m.select(col(idCol)), Seq(idCol), "left_semi"),
+      idCol, textCol, n)
+    val inter = size(array_intersect(col("_sha"), col("_shb")))
+    val jq = floor(inter.cast("double") * 1e12 /
+      (size(col("_sha")) + size(col("_shb")) - inter)).cast("long")
+    pairs
+      .join(sh.select(col("doc_id").as("_a"), col("sh").as("_sha")),
+        Seq("_a"))
+      .join(sh.select(col("doc_id").as("_b"), col("sh").as("_shb")),
+        Seq("_b"))
+      .select(col("cluster_rep"), col("n_members"), jq.as("_jq"))
+      .groupBy("cluster_rep", "n_members")
+      .agg(count(lit(1)).as("n_pairs"), min("_jq").as("_mn"),
+        sum(col("_jq").cast("decimal(38,0)")).as("_sm"))
+      .select(col("cluster_rep"), col("n_members"), col("n_pairs"),
+        round(col("_mn").cast("double") / 1e12, 6).as("min_jaccard"),
+        round(col("_sm").cast("double") / col("n_pairs") / 1e12, 6)
+          .as("mean_jaccard"),
+        (col("_mn").cast("double") / 1e12 < chainThreshold).as("chained"))
+  }
 }

@@ -838,12 +838,16 @@ object Graph {
     var seen = l0.select("seed", "node")
     for (_ <- 1 to maxDepth) {
       val prev = if (broadcastLevels) broadcast(levels.last) else levels.last
+      // eager checkpoint per level (the kTruss posture): the backward
+      // pass re-reads every level twice; without truncation each read
+      // re-derives the whole forward lineage
       val nxt = sym
         .join(prev.select(col("seed"), col("node").as("_u"), col("sigma")),
           Seq("_u"))
         .select(col("seed"), col("_v").as("node"), col("sigma"))
         .join(seen, Seq("seed", "node"), "left_anti")
         .groupBy("seed", "node").agg(sum("sigma").as("sigma"))
+        .localCheckpoint(true)
       levels = levels :+ nxt
       seen = seen.unionByName(nxt.select("seed", "node"))
     }
@@ -865,6 +869,7 @@ object Graph {
             (lit(1000000000L) + col("_dw")) + lit(0.5))
             .cast("long").as("_c"))
         .groupBy("seed", "node").agg(sum("_c").as("_dq"))
+        .localCheckpoint(true)
       delta = dl
       dl
     }

@@ -210,4 +210,27 @@ class DedupClustersSpec extends SparkSpec {
       6L -> ((6L, true, 1L))), // true singleton: kept
       s"$out")
   }
+  test("clusterChainAudit: a bridge-doc chain flags; a tight cluster does not") {
+    // cluster 1: A~B and B~C near-dup but A vs C share only the bridge
+    // halves -> min pairwise jaccard low -> chained
+    val half1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val half2 = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, half1 + " unique1a unique1b"),
+      (2L, half1 + " " + half2),                   // the bridge
+      (3L, half2 + " unique3a unique3b"),
+      (10L, "same same text here same again same"),
+      (11L, "same same text here same again same")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L)).toDF("doc_id", "cluster_rep")
+    val out = DedupClusters.clusterChainAudit(clusters, docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((3L, 3L, true)), s"$out")   // 3 pairs, chained
+    assert(out(10L) == ((2L, 1L, false)), s"$out") // identical pair
+    // oversize clusters are excluded by contract
+    val big = (1L to 20L).map(i => (i, 1L)).toDF("doc_id", "cluster_rep")
+    assert(DedupClusters.clusterChainAudit(big, docs).isEmpty)
+  }
+
 }
