@@ -2529,6 +2529,18 @@ object SparkEntry {
     "q462_cluster_chain_audit" -> ((s, dir) =>
       DedupClusters.clusterChainAudit(clusterTable(s, dir, rebuild = false),
         t(s, dir, "documents"))),
+    // Shazam-style constellation matching on a doc slice: energy-peak
+    // landmark pairs hash to (band,band,dt) keys; the OFFSET VOTE
+    // separates true copies from hash noise -- the time-structured
+    // multimodal dedup tier beside q450's per-frame dHash
+    "q463_audio_constellation" -> ((s, dir) =>
+      Multimodal.audioConstellation(Multimodal.asBinaryTable(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0)))),
+    // RAKE keyphrases: stopword-free runs scored by word
+    // degree/frequency -- the keyPHRASE view TF-IDF terms and PMI
+    // pairs can't give
+    "q464_rake_keyphrases" -> ((s, dir) =>
+      TextAnalysis.rakeKeyphrases(t(s, dir, "documents"))),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
         "event_type", floor(col("value") * 100 + lit(0.5)))),
@@ -7417,6 +7429,111 @@ object SparkEntry {
         |FROM zz""".stripMargin,
     // q398's complete-block ranks + the ordered-level weights; no-tie
     // Page moments, one z
+    // hex byte-sum energies, window peaks, lead-k landmark pairs,
+    // hash-bucket join + per-pair offset vote (rn = 1 argmax)
+    "q463_audio_constellation" -> {
+      def leadK(k: Int): String =
+        s"""SELECT doc_id, t AS t1, eb AS e1,
+          |      lead(t, $k) OVER w$k AS t2, lead(eb, $k) OVER w$k AS e2
+          |    FROM pk WINDOW w$k AS (PARTITION BY doc_id ORDER BY t)""".stripMargin
+      s"""WITH b0 AS (
+        |  SELECT doc_id, to_hex(encode(text)) AS hx,
+        |    octet_length(encode(text))::BIGINT AS n_bytes
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), idx AS (
+        |  SELECT doc_id, hx,
+        |    unnest(generate_series(0,
+        |      greatest(ceil(n_bytes / 64.0)::BIGINT - 1, 0), 1)) AS fi
+        |  FROM b0
+        |), fr AS (
+        |  SELECT doc_id, fi,
+        |    substring(hx, (fi * 128 + 1)::BIGINT, 128) AS fhx
+        |  FROM idx
+        |), en AS (
+        |  SELECT doc_id, fi,
+        |    coalesce(list_sum(list_transform(
+        |      range(0, (length(fhx) // 2)::BIGINT), i ->
+        |      (strpos('0123456789ABCDEF', substr(fhx, (i*2+1)::INT, 1)) - 1)
+        |        * 16 +
+        |      strpos('0123456789ABCDEF', substr(fhx, (i*2+2)::INT, 1)) - 1)),
+        |      0)::BIGINT AS energy
+        |  FROM fr
+        |), pk AS (
+        |  SELECT doc_id, fi AS t, energy // 256 AS eb FROM (
+        |    SELECT doc_id, fi, energy,
+        |      lag(energy) OVER w AS pe, lead(energy) OVER w AS ne
+        |    FROM en WINDOW w AS (PARTITION BY doc_id ORDER BY fi))
+        |  WHERE pe IS NOT NULL AND ne IS NOT NULL
+        |    AND energy > pe AND energy > ne
+        |), lm AS (
+        |  SELECT doc_id, t1, (e1 * 512 + e2 * 8 + (t2 - t1))::BIGINT AS h
+        |  FROM (
+        |    ${leadK(1)}
+        |    UNION ALL ${leadK(2)}
+        |    UNION ALL ${leadK(3)}
+        |    UNION ALL ${leadK(4)})
+        |  WHERE t2 IS NOT NULL AND t2 - t1 <= 4
+        |), v AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.t1 - b.t1 AS off, count(*)::BIGINT AS n
+        |  FROM lm a JOIN lm b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3
+        |), r AS (
+        |  SELECT doc_a, doc_b, off, n,
+        |    sum(n) OVER (PARTITION BY doc_a, doc_b) AS tot,
+        |    row_number() OVER (PARTITION BY doc_a, doc_b
+        |      ORDER BY n DESC, off ASC) AS rn
+        |  FROM v
+        |)
+        |SELECT doc_a, doc_b, tot::BIGINT AS n_shared_hashes,
+        |  off::BIGINT AS best_offset, n::BIGINT AS n_aligned
+        |FROM r WHERE rn = 1 AND n >= 3""".stripMargin
+    },
+    // stopword-segmented runs, degree/freq word scores, ordered
+    // phrase reassembly, total-order top-50
+    "q464_rake_keyphrases" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), pt AS (
+        |  SELECT doc_id, u.p AS pos, u.w AS term FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |      i -> {'p': i - 1, 'w': toks[i]})) AS u
+        |    FROM tk)
+        |), mk AS (
+        |  SELECT doc_id, pos, term,
+        |    term IN ('the','a','of','and','to','in','is','it','that','for')
+        |      AS st
+        |  FROM pt
+        |), sg2 AS (
+        |  SELECT doc_id, pos, term, seg FROM (
+        |    SELECT doc_id, pos, term, st,
+        |      sum(CASE WHEN st THEN 1 ELSE 0 END) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |    FROM mk) WHERE NOT st
+        |), ph AS (
+        |  SELECT doc_id, seg, count(*)::BIGINT AS len,
+        |    string_agg(term, ' ' ORDER BY pos) AS phrase,
+        |    list(term ORDER BY pos) AS ws
+        |  FROM sg2 GROUP BY 1, 2 HAVING count(*) <= 4
+        |), wsx AS (
+        |  SELECT term,
+        |    CAST(floor(sum(len)::DOUBLE / count(*) * 1e9) AS BIGINT) AS wq
+        |  FROM (SELECT len, unnest(ws) AS term FROM ph) GROUP BY 1
+        |), inst AS (
+        |  SELECT p.doc_id, p.seg, p.phrase, p.len, sum(wsx.wq)::BIGINT
+        |    AS score
+        |  FROM (SELECT doc_id, seg, phrase, len, unnest(ws) AS term
+        |    FROM ph) p
+        |  JOIN wsx ON p.term = wsx.term GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT phrase, count(*)::BIGINT AS n_occurrences,
+        |  max(len)::BIGINT AS n_words,
+        |  round(max(score)::DOUBLE / 1e9, 6) AS rake_score
+        |FROM inst GROUP BY 1
+        |ORDER BY max(score) DESC, phrase LIMIT 50""".stripMargin,
     // the q47 cluster replay + within-cluster pair Jaccard scoring
     "q462_cluster_chain_audit" ->
       (minhashClustersCte +

@@ -268,4 +268,76 @@ object Multimodal {
       .agg(count(lit(1)).as("n_chunks_equal"))
       .filter(col("n_chunks_equal") >= minChunks)
   }
+
+  /** Constellation fingerprint matching (the Shazam landmark scheme,
+    * Wang 2003) over binary payloads: per-frame energy peaks become
+    * landmarks, ordered peak PAIRS within `maxDt` frames hash to
+    * (band₁, band₂, Δt) keys, and two payloads match when ≥
+    * `minAligned` of their shared keys agree on ONE time offset —
+    * the alignment vote is what makes it robust: random hash
+    * collisions scatter across offsets, true copies (even cropped:
+    * a shifted excerpt keeps pairwise Δt) pile onto a single
+    * offset. The time-structured multimodal dedup tier beside
+    * [[dhashNearDup]]'s per-frame content hash ("same audio,
+    * trimmed intro" — frames differ positionally, landmarks align).
+    * Frame "energy" is the byte sum of the stubbed decode
+    * ([[asBinaryTable]]'s codec seam — swap a real spectrogram in
+    * behind the same column).
+    *
+    * Integer-only end to end (hex-digit byte sums, integer bands,
+    * offset votes) — engine-exact.
+    *
+    * Returns (doc_a, doc_b, n_shared_hashes, best_offset,
+    * n_aligned) for pairs with n_aligned ≥ minAligned.
+    *
+    * Scale shape: peaks come from one per-doc window over the frame
+    * relation; landmark fan-out is ≤ `maxDt` per peak via window
+    * leads (never a within-doc pair join); matching is ONE
+    * hash-keyed bucket self-join with map-side vote reduction —
+    * the [[dhashNearDup]] candidate shape on a sparser key. */
+  def audioConstellation(binTable: DataFrame, chunkBytes: Int = 64,
+                         stride: Int = 1, maxDt: Int = 4,
+                         minAligned: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDt >= 1 && minAligned >= 1)
+    val frames = sampleFrames(binTable, chunkBytes, stride)
+      .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("_hx"))
+      .withColumn("_energy", expr(
+        "aggregate(transform(sequence(0, cast(length(_hx)/2 - 1 as int))," +
+          " i -> (instr('0123456789ABCDEF', substr(_hx, i*2+1, 1)) - 1)" +
+          " * 16 + instr('0123456789ABCDEF', substr(_hx, i*2+2, 1)) - 1)," +
+          " 0L, (acc, x) -> acc + x)"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val peaks = frames
+      .withColumn("_pe", lag("_energy", 1).over(w))
+      .withColumn("_ne", lead("_energy", 1).over(w))
+      .filter(col("_pe").isNotNull && col("_ne").isNotNull &&
+        col("_energy") > col("_pe") && col("_energy") > col("_ne"))
+      .select(col("doc_id"), col("frame_idx").as("_t"),
+        expr("_energy div 256").as("_eb"))
+    val wp = Window.partitionBy("doc_id").orderBy("_t")
+    val lms = (1 to maxDt).map { k =>
+      peaks.select(col("doc_id"), col("_t").as("_t1"), col("_eb").as("_e1"),
+        lead(col("_t"), k).over(wp).as("_t2"),
+        lead(col("_eb"), k).over(wp).as("_e2"))
+    }.reduce(_.unionByName(_))
+      .filter(col("_t2").isNotNull && col("_t2") - col("_t1") <= maxDt)
+      .select(col("doc_id"), col("_t1"),
+        (col("_e1") * 512 + col("_e2") * 8 + (col("_t2") - col("_t1")))
+          .as("_hash"))
+    val votes = lms
+      .select(col("doc_id").as("doc_a"), col("_t1").as("_ta"), col("_hash"))
+      .join(lms.select(col("doc_id").as("doc_b"), col("_t1").as("_tb"),
+        col("_hash")), Seq("_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("_ta") - col("_tb")).as("_off"))
+      .agg(count(lit(1)).as("_n"))
+    votes.groupBy("doc_a", "doc_b")
+      .agg(sum("_n").as("n_shared_hashes"),
+        max(struct(col("_n"), (-col("_off")).as("_no"))).as("_m"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_hashes"),
+        (-col("_m._no")).as("best_offset"), col("_m._n").as("n_aligned"))
+      .filter(col("n_aligned") >= minAligned)
+  }
 }

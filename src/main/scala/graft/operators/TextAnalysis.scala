@@ -1254,4 +1254,65 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_matches"),
         min("pos").cast("long").as("first_pos"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs; each word scores
+    * degree/frequency (degree = Σ lengths of the phrases it appears
+    * in — words that live in LONG phrases co-occur more), a phrase
+    * scores the sum of its words — the document-set keyPHRASE view
+    * that per-term TF-IDF ([[tfIdf]]) and PMI pairs
+    * ([[collocations]]) can't give ("support vector machine" as one
+    * unit). Phrases longer than `maxLen` drop (RAKE's noise guard).
+    *
+    * Determinism: phrase text is rebuilt from a position-sorted
+    * struct array (order-free collect); word scores ride as
+    * floor(degree·10⁹/freq) int64, phrase scores are integer sums,
+    * and the final top-k orders by (score, phrase) — total.
+    *
+    * Returns the top `topK` rows (phrase, n_occurrences, n_words,
+    * rake_score).
+    *
+    * Scale shape: one positional explode (corpus-token-sized,
+    * reduced map-side per (doc, segment)), one vocabulary-sized word
+    * agg joined back, one phrase-text agg, and a
+    * TakeOrderedAndProject top-k — never a global sort
+    * materialization. */
+  def rakeKeyphrases(docs: DataFrame, topK: Int = 50,
+                     maxLen: Int = 4): DataFrame = {
+    import graft.functions.TextFunctions.StopEn
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1 && maxLen >= 1)
+    val toks = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .withColumn("_stop", col("term").isInCollection(StopEn))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val seg = toks
+      .withColumn("_seg", sum(when(col("_stop"), 1L).otherwise(0L)).over(w))
+      .filter(!col("_stop"))
+    val phrases = seg.groupBy(col("doc_id"), col("_seg"))
+      .agg(count(lit(1)).as("_len"),
+        transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+          x => x.getField("term")).as("_ws"))
+      .filter(col("_len") <= maxLen)
+      .withColumn("phrase", array_join(col("_ws"), " "))
+    val ws = phrases.select(col("_len"), explode(col("_ws")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("_f"), sum("_len").as("_d"))
+      .select(col("term"),
+        // (d/f)·1e9 stays < 2⁵³ for any corpus; d·1e9 first would not
+        floor(col("_d").cast("double") / col("_f") * 1e9).cast("long")
+          .as("_wq"))
+    val inst = phrases
+      .select(col("doc_id"), col("_seg"), col("phrase"), col("_len"),
+        explode(col("_ws")).as("term"))
+      .join(ws, Seq("term"))
+      .groupBy(col("doc_id"), col("_seg"), col("phrase"), col("_len"))
+      .agg(sum("_wq").as("_score"))
+    inst.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max("_len").as("n_words"),
+        max("_score").as("_s"))
+      .orderBy(col("_s").desc, col("phrase")).limit(topK)
+      .select(col("phrase"), col("n_occurrences"), col("n_words"),
+        round(col("_s").cast("double") / 1e9, 6).as("rake_score"))
+  }
 }

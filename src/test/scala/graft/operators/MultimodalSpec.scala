@@ -113,4 +113,22 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.keys.exists(k => k._1 == 4L || k._2 == 4L), s"$out")
   }
 
+  test("audioConstellation: a shifted copy aligns on one offset; flat payload is silent") {
+    // 64-char frames: energy = 64*char; peaks where a frame beats both
+    // neighbors. doc 2 = doc 1 shifted right by two low frames.
+    def f(c: Char) = c.toString * 64
+    val pattern = Seq('a', 'z', 'a', 'm', 'a', 'z', 'a', 'm', 'a', 'z',
+      'a', 'm').map(f).mkString
+    val docs = Seq(
+      (1L, pattern),
+      (2L, f('a') + f('a') + pattern),
+      (3L, f('q') * 12)).toDF("doc_id", "text")
+    val out = Multimodal.audioConstellation(Multimodal.asBinaryTable(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set((1L, 2L)), s"$out")
+    val (off, aligned) = out((1L, 2L))
+    assert(off == -2L && aligned >= 5L, s"$out")
+  }
+
 }

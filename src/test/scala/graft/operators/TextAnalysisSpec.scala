@@ -594,4 +594,18 @@ class TextAnalysisSpec extends SparkSpec {
       s"$out")
   }
 
+  test("rakeKeyphrases: degree/freq word scores, stopword segmentation, top-k order") {
+    val docs = Seq(
+      (1L, "the quick brown fox of the lazy dog"),
+      (2L, "a quick brown fox is quick")).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeyphrases(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // quick: freq 3 deg 7 -> 2.333...; brown/fox: deg/freq = 3
+    assert(out.toSeq == Seq(
+      ("quick brown fox", 2L, 3L, 8.333333),
+      ("lazy dog", 1L, 2L, 4.0),
+      ("quick", 1L, 1L, 2.333333)), s"${out.toSeq}")
+  }
+
 }
