@@ -2541,6 +2541,24 @@ object SparkEntry {
     // pairs can't give
     "q464_rake_keyphrases" -> ((s, dir) =>
       TextAnalysis.rakeKeyphrases(t(s, dir, "documents"))),
+    // Burrows' Delta stylometry: function-word z-profiles attribute
+    // each doc to its nearest source STYLE -- the provenance audit
+    // ("does this source's style match its label") TF-IDF can't give
+    "q465_burrows_delta" -> ((s, dir) =>
+      TextAnalysis.burrowsDelta(t(s, dir, "documents"))),
+    // Personalized PageRank from the sampled seed users: importance
+    // as seen FROM those users -- the recommendation/trust read on
+    // q111's graph, teleport mass restricted to the seed set
+    "q466_personalized_pagerank" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull &&
+        col("event_id").isNotNull)
+      Graph.personalizedPageRank(
+        ev.select(col("user_id").as("src"),
+          (col("event_id") % 150).as("dst")),
+        "src", "dst",
+        ev.filter(col("user_id") % 97 === 0)
+          .select(col("user_id").as("n")), "n")
+    }),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
         "event_type", floor(col("value") * 100 + lit(0.5)))),
@@ -7429,6 +7447,111 @@ object SparkEntry {
         |FROM zz""".stripMargin,
     // q398's complete-block ranks + the ordered-level weights; no-tie
     // Page moments, one z
+    // fq/z quantized replays, profile means as exact (Σzq, n) pairs,
+    // argmin via (dsum, ps) row_number
+    "q465_burrows_delta" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS src,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE source IS NOT NULL
+        |), nn AS (
+        |  SELECT doc_id, src, len(toks)::BIGINT AS n, toks
+        |  FROM base WHERE len(toks) > 0
+        |), cn AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS c FROM (
+        |    SELECT doc_id, unnest(toks) AS term FROM nn)
+        |  WHERE term IN ('the','a','of','and','to','in','is','it',
+        |    'that','for')
+        |  GROUP BY 1, 2
+        |), sp AS (
+        |  SELECT nn.doc_id, nn.src, nn.n, w.term
+        |  FROM nn CROSS JOIN (SELECT unnest(['the','a','of','and','to',
+        |    'in','is','it','that','for']) AS term) w
+        |), fq AS (
+        |  SELECT sp.doc_id, sp.src, sp.term,
+        |    CAST(floor(coalesce(cn.c, 0)::DOUBLE / sp.n * 1e9 + 0.5)
+        |      AS BIGINT) AS fqv
+        |  FROM sp LEFT JOIN cn ON sp.doc_id = cn.doc_id
+        |    AND sp.term = cn.term
+        |), st AS (
+        |  SELECT term, count(*)::BIGINT AS nd, sum(fqv)::BIGINT AS s,
+        |    sum(fqv::HUGEINT * fqv) AS q
+        |  FROM fq GROUP BY 1
+        |  HAVING count(*) >= 2 AND
+        |    sum(fqv::HUGEINT * fqv) * count(*) >
+        |      sum(fqv)::HUGEINT * sum(fqv)
+        |), z AS (
+        |  SELECT fq.doc_id, fq.src, fq.term,
+        |    CAST(floor((fq.fqv::DOUBLE - st.s::DOUBLE / st.nd::DOUBLE) /
+        |      sqrt((st.q::DOUBLE - st.nd::DOUBLE *
+        |        (st.s::DOUBLE / st.nd::DOUBLE) *
+        |        (st.s::DOUBLE / st.nd::DOUBLE)) / (st.nd::DOUBLE - 1.0))
+        |      * 1e6 + 0.5) AS BIGINT) AS zq
+        |  FROM fq JOIN st ON fq.term = st.term
+        |), pr AS (
+        |  SELECT src AS ps, term, sum(zq)::BIGINT AS zs,
+        |    count(*)::BIGINT AS zn
+        |  FROM z GROUP BY 1, 2
+        |), kk AS (SELECT count(*)::BIGINT AS k FROM st),
+        |pa AS (
+        |  SELECT z.doc_id, z.src, pr.ps,
+        |    sum(CAST(floor(abs(z.zq::DOUBLE - pr.zs::DOUBLE / pr.zn)
+        |      + 0.5) AS BIGINT))::BIGINT AS dsum
+        |  FROM z JOIN pr ON z.term = pr.term GROUP BY 1, 2, 3
+        |), be AS (
+        |  SELECT doc_id, src, ps AS pred, dsum FROM (
+        |    SELECT doc_id, src, ps, dsum,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY dsum, ps) AS rn
+        |    FROM pa) WHERE rn = 1
+        |)
+        |SELECT src AS source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN pred = src THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_correct,
+        |  round(sum(CASE WHEN pred = src THEN 1 ELSE 0 END)::DOUBLE /
+        |    count(*), 6) AS accuracy,
+        |  round(sum(dsum)::DOUBLE / count(*) / (kk.k::DOUBLE * 1e6), 6)
+        |    AS mean_best_delta
+        |FROM be, kk GROUP BY 1, kk.k""".stripMargin,
+    // the q111 ladder with teleport mass on the seed set only
+    "q466_personalized_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |), nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |sd AS (
+        |  SELECT DISTINCT user_id AS node FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 97 = 0
+        |), ns AS (SELECT count(*)::BIGINT AS nsd FROM sd),
+        |tele AS (
+        |  SELECT nodes.node,
+        |    CASE WHEN sd.node IS NOT NULL THEN 1.0::DOUBLE / nsd
+        |         ELSE 0.0::DOUBLE END AS tl
+        |  FROM nodes LEFT JOIN sd ON nodes.node = sd.node, ns
+        |), deg AS (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1),
+        |r0 AS (SELECT node, tl AS rank FROM tele),
+        |s1 AS (SELECT e.dst AS node,
+        |    sum(floor(r.rank / deg.od * 1000000000.0 + 0.5)::BIGINT)::BIGINT AS s
+        |  FROM e JOIN r0 r ON e.src = r.node JOIN deg ON e.src = deg.src
+        |  GROUP BY 1),
+        |r1 AS (SELECT tele.node, (1.0::DOUBLE - 0.85::DOUBLE) * tele.tl
+        |    + 0.85::DOUBLE * (coalesce(s.s, 0)::DOUBLE / 1000000000.0) AS rank
+        |  FROM tele LEFT JOIN s1 s ON tele.node = s.node),
+        |s2 AS (SELECT e.dst AS node,
+        |    sum(floor(r.rank / deg.od * 1000000000.0 + 0.5)::BIGINT)::BIGINT AS s
+        |  FROM e JOIN r1 r ON e.src = r.node JOIN deg ON e.src = deg.src
+        |  GROUP BY 1),
+        |r2 AS (SELECT tele.node, (1.0::DOUBLE - 0.85::DOUBLE) * tele.tl
+        |    + 0.85::DOUBLE * (coalesce(s.s, 0)::DOUBLE / 1000000000.0) AS rank
+        |  FROM tele LEFT JOIN s2 s ON tele.node = s.node),
+        |s3 AS (SELECT e.dst AS node,
+        |    sum(floor(r.rank / deg.od * 1000000000.0 + 0.5)::BIGINT)::BIGINT AS s
+        |  FROM e JOIN r2 r ON e.src = r.node JOIN deg ON e.src = deg.src
+        |  GROUP BY 1),
+        |r3 AS (SELECT tele.node, (1.0::DOUBLE - 0.85::DOUBLE) * tele.tl
+        |    + 0.85::DOUBLE * (coalesce(s.s, 0)::DOUBLE / 1000000000.0) AS rank
+        |  FROM tele LEFT JOIN s3 s ON tele.node = s.node)
+        |SELECT node, round(rank, 8) AS rank FROM r3""".stripMargin,
     // hex byte-sum energies, window peaks, lead-k landmark pairs,
     // hash-bucket join + per-pair offset vote (rn = 1 argmax)
     "q463_audio_constellation" -> {

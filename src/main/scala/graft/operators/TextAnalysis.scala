@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1314,5 +1314,89 @@ object TextAnalysis {
       .orderBy(col("_s").desc, col("phrase")).limit(topK)
       .select(col("phrase"), col("n_occurrences"), col("n_words"),
         round(col("_s").cast("double") / 1e9, 6).as("rake_score"))
+  }
+
+  /** Burrows' Delta stylometry (Burrows 2002): per doc, z-score the
+    * relative frequencies of the function-word set against the
+    * corpus; a doc's distance to a SOURCE is the mean |z_doc − z̄_src|
+    * over those words, and the nearest profile is the attribution —
+    * the classic authorship / provenance read (function words are
+    * topic-free, so this clusters by STYLE where TF-IDF clusters by
+    * subject; in a training-data pipeline it audits "does this
+    * source's style match its label"). Function words = the
+    * [[graft.functions.TextFunctions.StopEn]] list; words with zero
+    * cross-doc variance drop. Profiles include the doc itself
+    * (in-sample attribution — the drift AUDIT read, not a holdout
+    * eval).
+    *
+    * Determinism: relative frequencies quantize ×10⁹, z-scores ×10⁶
+    * (fixed double expressions over exact integer moments), profile
+    * means are exact integer (Σzq, n) pairs, and each |Δz| term
+    * re-quantizes before the per-doc sum — order-free end to end.
+    *
+    * Returns per source: (source, n_docs, n_correct, accuracy,
+    * mean_best_delta).
+    *
+    * Scale shape: one token scan reduced to (doc × 10 words); stats
+    * and profiles are words- and (sources × words)-sized broadcasts;
+    * the doc × source scoring is |sources|-fanout on the quantized
+    * (doc, word) relation — linear in docs for a fixed source
+    * catalog. */
+  def burrowsDelta(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   sourceCol: String = "source"): DataFrame = {
+    import graft.functions.TextFunctions.StopEn
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = docs.filter(col(sourceCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("_src"),
+        tokens(col(textCol)).as("_tk"))
+      .withColumn("_n", size(col("_tk")).cast("long"))
+      .filter(col("_n") > 0)
+    val counts = base
+      .select(col("doc_id"), explode(col("_tk")).as("term"))
+      .filter(col("term").isInCollection(StopEn))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("_c"))
+    val wordSpine = broadcast(docs.sparkSession.range(1)
+      .select(explode(array(StopEn.map(lit): _*)).as("term")))
+    val fq = base.select("doc_id", "_src", "_n").crossJoin(wordSpine)
+      .join(counts, Seq("doc_id", "term"), "left")
+      .select(col("doc_id"), col("_src"), col("term"),
+        floor(coalesce(col("_c"), lit(0L)).cast("double") / col("_n") *
+          1e9 + lit(0.5)).cast("long").as("_fq"))
+    val stats = fq.groupBy("term").agg(count(lit(1)).as("_nd"),
+        sum("_fq").as("_s"), sum(dec(col("_fq")) * col("_fq")).as("_q"))
+      .filter(col("_nd") >= 2 &&
+        col("_q") * col("_nd") > dec(col("_s")) * col("_s"))
+    val ndD = col("_nd").cast("double")
+    val mu = col("_s").cast("double") / ndD
+    val sd = sqrt((col("_q").cast("double") - ndD * mu * mu) / (ndD - 1.0))
+    val z = fq.join(broadcast(stats), Seq("term"))
+      .select(col("doc_id"), col("_src"), col("term"),
+        floor((col("_fq").cast("double") - mu) / sd * 1e6 + lit(0.5))
+          .cast("long").as("_zq"))
+    val prof = broadcast(z.groupBy(col("_src").as("_ps"), col("term"))
+      .agg(sum("_zq").as("_zs"), count(lit(1)).as("_zn")))
+    val kRel = broadcast(stats.agg(count(lit(1)).as("_k")))
+    val pairs = z.join(prof, Seq("term"))
+      .select(col("doc_id"), col("_src"), col("_ps"),
+        floor(abs(col("_zq").cast("double") -
+          col("_zs").cast("double") / col("_zn")) + lit(0.5))
+          .cast("long").as("_d"))
+      .groupBy("doc_id", "_src", "_ps").agg(sum("_d").as("_dsum"))
+    val best = pairs.groupBy("doc_id", "_src")
+      .agg(min(struct(col("_dsum"), col("_ps"))).as("_m"))
+      .select(col("doc_id"), col("_src"),
+        col("_m._ps").as("_pred"), col("_m._dsum").as("_bd"))
+    best.groupBy(col("_src").as(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_pred") === col("_src"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(col("_bd").cast("decimal(38,0)")).as("_bds"))
+      .crossJoin(kRel)
+      .select(col(sourceCol), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 6)
+          .as("accuracy"),
+        round(col("_bds").cast("double") / col("n_docs") /
+          (col("_k").cast("double") * 1e6), 6).as("mean_best_delta"))
   }
 }

@@ -415,4 +415,16 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> ((4L, 3L)), 4L -> ((4L, 3L))), s"$out")
   }
 
+  test("personalizedPageRank: teleport mass stays near the seed; off-component is 0") {
+    // two components: 1->2->3 and 10->11; seed = {1}
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d")
+    val out = Graph.personalizedPageRank(e, "s", "d",
+        Seq(1L).toDF("n"), "n", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the other component never receives mass
+    assert(out(10L) == 0.0 && out(11L) == 0.0, s"$out")
+    // the seed keeps its teleport floor; downstream nodes get damped mass
+    assert(out(1L) == 0.15 && out(2L) > out(3L) && out(2L) > 0.1, s"$out")
+  }
+
 }

@@ -608,4 +608,19 @@ class TextAnalysisSpec extends SparkSpec {
       ("quick", 1L, 1L, 2.333333)), s"${out.toSeq}")
   }
 
+  test("burrowsDelta: style-distinct sources attribute perfectly") {
+    // source A: 'the'-heavy; source B: 'of'-heavy; two docs each
+    val docs = Seq(
+      (1L, "the cat the dog the bird runs", "A"),
+      (2L, "the fish the horse the mouse sits", "A"),
+      (3L, "house of stone of wood of glass stands", "B"),
+      (4L, "ring of gold of silver of iron shines", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.burrowsDelta(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("A") == ((2L, 2L, 1.0)), s"$out")
+    assert(out("B") == ((2L, 2L, 1.0)), s"$out")
+  }
+
 }
