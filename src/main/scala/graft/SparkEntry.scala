@@ -2559,6 +2559,23 @@ object SparkEntry {
         ev.filter(col("user_id") % 97 === 0)
           .select(col("user_id").as("n")), "n")
     }),
+    // TextTiling topic segmentation: adjacent-block vocabulary
+    // Jaccard dips mark topic shifts -- cut where the vocabulary
+    // turns over, not at fixed offsets (q57/q183's chunkers)
+    "q467_text_tiling" -> ((s, dir) =>
+      TextAnalysis.textTiling(t(s, dir, "documents"))),
+    // Drain-style log template mining on synthesized status lines:
+    // positions where every line agrees keep their token, the rest
+    // become <*> -- the log-intelligence primitive
+    "q468_log_templates" -> ((s, dir) =>
+      TextAnalysis.logTemplates(
+        t(s, dir, "events").filter(col("user_id").isNotNull &&
+            col("value").isNotNull)
+          .select(concat(col("event_type"), lit(" user="),
+            (col("user_id") % 20).cast("string"), lit(" status="),
+            when(col("value") >= 500, "HIGH").otherwise("low"),
+            when(col("event_id") % 10 === 0, lit(" retry"))
+              .otherwise(lit(""))).as("line")))),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
         "event_type", floor(col("value") * 100 + lit(0.5)))),
@@ -7447,6 +7464,73 @@ object SparkEntry {
         |FROM zz""".stripMargin,
     // q398's complete-block ranks + the ordered-level weights; no-tie
     // Page moments, one z
+    // block slices, lag Jaccard gaps, one-sided edge depths — the
+    // q164 list-slice pattern at block granularity
+    "q467_text_tiling" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, toks, ceil(len(toks)::DOUBLE / 25)::INT AS nb
+        |  FROM tk WHERE ceil(len(toks)::DOUBLE / 25) >= 2
+        |), bl AS (
+        |  SELECT doc_id, u AS bi,
+        |    list_distinct(toks[u*25+1 : u*25+25]) AS s
+        |  FROM (SELECT doc_id, toks, unnest(range(0, nb)) AS u FROM b)
+        |), g AS (
+        |  SELECT doc_id, bi AS gap_index,
+        |    CAST(floor(len(list_intersect(s, ps))::DOUBLE * 1e6 /
+        |      (len(s) + len(ps) - len(list_intersect(s, ps))))
+        |      AS BIGINT) AS sq
+        |  FROM (SELECT doc_id, bi, s,
+        |      lag(s) OVER (PARTITION BY doc_id ORDER BY bi) AS ps
+        |    FROM bl)
+        |  WHERE ps IS NOT NULL
+        |), d AS (
+        |  SELECT doc_id, gap_index, sq,
+        |    lag(sq) OVER w AS ls, lead(sq) OVER w AS rs
+        |  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY gap_index)
+        |)
+        |SELECT doc_id, gap_index,
+        |  round(sq::DOUBLE / 1e6, 6) AS sim,
+        |  round((coalesce(ls, sq) - sq + coalesce(rs, sq) - sq)::DOUBLE
+        |    / 1e6, 6) AS depth,
+        |  round((coalesce(ls, sq) - sq + coalesce(rs, sq) - sq)::DOUBLE
+        |    / 1e6, 6) > 0.2 AS boundary
+        |FROM d""".stripMargin,
+    // per-(group, position) distinct counts, ordered reassembly
+    "q468_log_templates" ->
+      """WITH lines AS (
+        |  SELECT event_type || ' user=' || (user_id % 20)::VARCHAR ||
+        |    ' status=' || CASE WHEN value >= 500 THEN 'HIGH' ELSE 'low' END
+        |    || CASE WHEN event_id % 10 = 0 THEN ' retry' ELSE '' END AS line
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), base AS (
+        |  SELECT string_split(line, ' ') AS tk FROM lines
+        |  WHERE line IS NOT NULL
+        |), b2 AS (SELECT tk, len(tk) AS n, tk[1] AS t0 FROM base),
+        |gl AS (
+        |  SELECT n, t0, count(*)::BIGINT AS n_lines FROM b2 GROUP BY 1, 2
+        |), pt AS (
+        |  SELECT n, t0, p, count(DISTINCT tok)::BIGINT AS ndv,
+        |    min(tok) AS one
+        |  FROM (SELECT n, t0, u.p AS p, u.w AS tok FROM (
+        |    SELECT n, t0, unnest(list_transform(range(1, len(tk) + 1),
+        |      i -> {'p': i - 1, 'w': tk[i]})) AS u
+        |    FROM b2))
+        |  GROUP BY 1, 2, 3
+        |), tm AS (
+        |  SELECT n, t0,
+        |    string_agg(CASE WHEN ndv = 1 THEN one ELSE '<*>' END, ' '
+        |      ORDER BY p) AS template,
+        |    sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_wildcards
+        |  FROM pt GROUP BY 1, 2
+        |)
+        |SELECT template, gl.n_lines, gl.n::BIGINT AS n_tokens,
+        |  tm.n_wildcards
+        |FROM tm JOIN gl ON tm.n = gl.n AND tm.t0 = gl.t0""".stripMargin,
     // fq/z quantized replays, profile means as exact (Σzq, n) pairs,
     // argmin via (dsum, ps) row_number
     "q465_burrows_delta" ->

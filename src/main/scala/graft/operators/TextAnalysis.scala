@@ -1399,4 +1399,107 @@ object TextAnalysis {
         round(col("_bds").cast("double") / col("n_docs") /
           (col("_k").cast("double") * 1e6), 6).as("mean_best_delta"))
   }
+
+  /** TextTiling-style topic segmentation (Hearst 1997, the lexical-
+    * cohesion form): split each doc into `blockTokens`-token blocks,
+    * score each adjacent-block GAP by vocabulary Jaccard, and mark a
+    * boundary where the cohesion dips — a local minimum whose depth
+    * ((left − here) + (right − here)) clears `minDepth` — the
+    * topic-shift detector behind context-aware chunking (fixed-size
+    * chunking (q57/q183) cuts mid-topic; this cuts WHERE THE
+    * VOCABULARY TURNS OVER, which is what a RAG/packing pipeline
+    * actually wants).
+    *
+    * Block vocabularies come straight from array slices of the token
+    * array (no positional explode); similarities quantize ×10⁶ from
+    * exact set sizes — integer-only end to end.
+    *
+    * Returns (doc_id, gap_index, sim, depth, boundary) per gap of
+    * docs with ≥ 2 blocks; edge gaps score a one-sided depth (the
+    * missing neighbor contributes 0 by the coalesce-to-self rule).
+    *
+    * Scale shape: one scan carrying token arrays, a per-doc explode
+    * bounded by doc length / blockTokens, one doc-keyed window for
+    * lag/lead — no joins. */
+  def textTiling(docs: DataFrame, blockTokens: Int = 25,
+                 minDepth: Double = 0.2, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(blockTokens >= 1 && minDepth >= 0)
+    val base = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("_tk"))
+      .withColumn("_nb",
+        ceil(size(col("_tk")).cast("double") / blockTokens).cast("int"))
+      .filter(col("_nb") >= 2)
+    val blocks = base
+      .select(col("doc_id"), col("_tk"),
+        explode(expr(s"sequence(0, _nb - 1)")).as("_b"))
+      .withColumn("_set", expr(
+        s"array_distinct(slice(_tk, _b * $blockTokens + 1, $blockTokens))"))
+      .drop("_tk")
+    val w = Window.partitionBy("doc_id").orderBy("_b")
+    val inter = size(array_intersect(col("_set"), col("_prev")))
+    val gaps = blocks
+      .withColumn("_prev", lag("_set", 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select(col("doc_id"), col("_b").as("gap_index"),
+        floor(inter.cast("double") * 1e6 /
+          (size(col("_set")) + size(col("_prev")) - inter))
+          .cast("long").as("_sq"))
+    val wg = Window.partitionBy("doc_id").orderBy("gap_index")
+    gaps
+      .withColumn("_ls", lag("_sq", 1).over(wg))
+      .withColumn("_rs", lead("_sq", 1).over(wg))
+      .select(col("doc_id"), col("gap_index"),
+        round(col("_sq").cast("double") / 1e6, 6).as("sim"),
+        round((coalesce(col("_ls"), col("_sq")) - col("_sq") +
+          coalesce(col("_rs"), col("_sq")) - col("_sq"))
+          .cast("double") / 1e6, 6).as("depth"))
+      .withColumn("boundary", col("depth") > minDepth)
+  }
+
+  /** Log-template mining (the Drain idea, one relational pass):
+    * group lines by (token count, first token), and per group emit
+    * the template whose positions keep their token where EVERY line
+    * agrees and become `<*>` where they differ — "status=<*>" from a
+    * million concrete status lines. The log-intelligence primitive
+    * (dedup, anomaly baselining, alert routing all run on templates,
+    * not raw lines); here it doubles as a boilerplate detector over
+    * any line-structured text column.
+    *
+    * Deterministic: the group key and per-position distinct counts
+    * are exact; kept tokens are the position's single distinct
+    * value.
+    *
+    * Returns (template, n_lines, n_tokens, n_wildcards).
+    *
+    * Scale shape: one token explode reduced map-side per
+    * (group, position, token), a (group, position) distinct-count,
+    * and a group-sized template reassembly — the inverted-index
+    * cost class, no joins against the raw lines. */
+  def logTemplates(lines: DataFrame,
+                   lineCol: String = "line"): DataFrame = {
+    val base = lines.filter(col(lineCol).isNotNull)
+      .select(split(col(lineCol), " ").as("_tk"))
+      .select(col("_tk"), size(col("_tk")).as("_n"),
+        element_at(col("_tk"), 1).as("_t0"))
+    val grpLines = base.groupBy("_n", "_t0")
+      .agg(count(lit(1)).as("n_lines"))
+    val posTok = base
+      .select(col("_n"), col("_t0"), posexplode(col("_tk"))
+        .as(Seq("_p", "_tok")))
+      .groupBy("_n", "_t0", "_p")
+      .agg(countDistinct(col("_tok")).as("_nd"), min("_tok").as("_one"))
+    val tmpl = posTok
+      .withColumn("_out",
+        when(col("_nd") === 1, col("_one")).otherwise(lit("<*>")))
+      .groupBy("_n", "_t0")
+      .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(_p, _out))), x -> x._out)"),
+          " ").as("template"),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_wildcards"))
+    tmpl.join(grpLines, Seq("_n", "_t0"))
+      .select(col("template"), col("n_lines"),
+        col("_n").cast("long").as("n_tokens"), col("n_wildcards"))
+  }
 }

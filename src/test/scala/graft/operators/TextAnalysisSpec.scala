@@ -623,4 +623,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("B") == ((2L, 2L, 1.0)), s"$out")
   }
 
+  test("textTiling: vocabulary turnover dips at the topic shift") {
+    // blockTokens=4: two vocab-A blocks, then two vocab-B blocks ->
+    // interior gap at the A|B seam has sim 0 and positive depth
+    val a = "apple banana cherry date apple banana cherry date"
+    val b = "xray yankee zulu whiskey xray yankee zulu whiskey"
+    val docs = Seq((1L, a + " " + b)).toDF("doc_id", "text")
+    val out = TextAnalysis.textTiling(docs, blockTokens = 4,
+        minDepth = 0.2)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // cohesive gaps BESIDE the valley score negative depth (their
+    // neighbor is the dip) and never flag; the seam scores +2.0
+    assert(out(1) == ((1.0, -1.0, false)), s"$out")
+    assert(out(2) == ((0.0, 2.0, true)), s"$out")
+    assert(out(3) == ((1.0, -1.0, false)), s"$out")
+  }
+
+  test("logTemplates: agreeing positions survive, varying ones wildcard") {
+    val lines = Seq("get user=1 status=ok", "get user=2 status=ok",
+      "get user=3 status=fail", "put item=9", "put item=9")
+      .toDF("line")
+    val out = TextAnalysis.logTemplates(lines)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // tokens are space-delimited wholes: "user=1" wildcards entirely
+    assert(out("get <*> <*>") == ((3L, 3L, 2L)), s"$out")
+    assert(out("put item=9") == ((2L, 2L, 0L)), s"$out")
+  }
+
 }
