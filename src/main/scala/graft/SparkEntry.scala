@@ -2576,6 +2576,12 @@ object SparkEntry {
             when(col("value") >= 500, "HIGH").otherwise("low"),
             when(col("event_id") % 10 === 0, lit(" retry"))
               .otherwise(lit(""))).as("line")))),
+    // LSH band-bucket health census: the pre-flight audit that
+    // justifies the q314/q453 maxBucket=64 cap from the corpus's own
+    // bucket-size distribution (the round-9 hot-band diagnosis as a
+    // registered query, not SCALING.md prose)
+    "q469_band_census" -> ((s, dir) =>
+      FuzzyDedup.bandBucketCensus(t(s, dir, "documents"))),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
         "event_type", floor(col("value") * 100 + lit(0.5)))),
@@ -3034,11 +3040,16 @@ object SparkEntry {
       Analytics.transitionLatency(t(s, dir, "events"), "user_id",
         "event_type", expr("ts div 1000"), col("event_id"))),
     // Dedup threshold sensitivity: pairs/docs touched per candidate
-    // threshold over one low-threshold pair build
+    // threshold over one low-threshold pair build. maxBucket=64 (the
+    // q453 degenerate-band cap): the sweep's whole point is to be run
+    // on unknown corpora, exactly where a closed-vocabulary hot band
+    // makes the uncapped candidate build quadratic (k=30 slope 1.27
+    // uncapped vs 1.07 capped, SCALING.md round 9); q24 remains the
+    // exact-contract uncapped rebuild
     "q314_threshold_sweep" -> ((s, dir) =>
       FuzzyDedup.thresholdSweep(
         FuzzyDedup.minhashNearDups(t(s, dir, "documents"),
-          threshold = 0.3),
+          threshold = 0.3, maxBucket = 64),
         "jaccard", "doc_a", "doc_b",
         Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))),
     // Hot/warm/cold tiering plan from the event log's own clock
@@ -7822,8 +7833,10 @@ object SparkEntry {
           |      ELSE 0 END AS pq
           |  FROM $prev p LEFT JOIN (
           |    SELECT und.i,
-          |      sum(CAST(floor(nij::DOUBLE / (pi.pq + pj.pq) * 1e15 + 0.5)
-          |        AS BIGINT))::BIGINT AS dq
+          |      sum(CASE WHEN pi.pq + pj.pq > 0
+          |        THEN CAST(floor(nij::DOUBLE / (pi.pq + pj.pq) * 1e15
+          |          + 0.5) AS BIGINT)
+          |        ELSE 0 END)::BIGINT AS dq
           |    FROM und JOIN $prev pi ON und.i = pi.i
           |    JOIN $prev pj ON und.j = pj.i
           |    GROUP BY 1) d ON p.i = d.i
@@ -8535,9 +8548,10 @@ object SparkEntry {
         |    FROM (SELECT *, 1.0/(1.0 + 0.2316419*abs(zz)) AS tt FROM z))
         |), t AS (
         |  SELECT g, n,
-        |    sum(CAST(floor(((2*ia - 1)::DOUBLE * ln(phic) +
-        |      (2*idsc - 1)::DOUBLE * ln(1.0 - phic)) * 1e6 + 0.5)
-        |      AS BIGINT)) AS ts
+        |    sum(CAST(floor((2*ia - 1)::DOUBLE * ln(phic) * 1e6 + 0.5)
+        |          AS BIGINT) +
+        |        CAST(floor((2*idsc - 1)::DOUBLE * ln(1.0 - phic) * 1e6
+        |          + 0.5) AS BIGINT)) AS ts
         |  FROM ph GROUP BY 1, 2
         |)
         |SELECT g AS event_type, n,
@@ -11242,47 +11256,11 @@ object SparkEntry {
         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END)::BIGINT
         |    AS p90_us
         |FROM r GROUP BY 1, 2""".stripMargin,
-    // the q24 pair build at 0.3 + correlated per-threshold counts
+    // the capped (maxBucket=64) pair build at 0.3 + correlated
+    // per-threshold counts — cap mirrored via the q453 bc CTE
     "q314_threshold_sweep" ->
-      """WITH base AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(toks)-2, 0)),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
-        |), nz AS (SELECT * FROM base WHERE len(sh) > 0),
-        |hs AS (
-        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT & 1073741823 AS h
-        |  FROM (SELECT doc_id, unnest(sh) AS s FROM nz)
-        |), mh AS (
-        |  SELECT doc_id,
-        |    min((787542839 * h + 242017) % 1073741789) AS mh0,
-        |    min((611349889 * h + 938741) % 1073741789) AS mh1,
-        |    min((904321577 * h + 55117) % 1073741789) AS mh2,
-        |    min((359485871 * h + 712933) % 1073741789) AS mh3,
-        |    min((673458601 * h + 128747) % 1073741789) AS mh4,
-        |    min((513695341 * h + 999331) % 1073741789) AS mh5,
-        |    min((844235099 * h + 47743) % 1073741789) AS mh6,
-        |    min((298654777 * h + 583391) % 1073741789) AS mh7,
-        |    min((736217683 * h + 864967) % 1073741789) AS mh8,
-        |    min((465182977 * h + 22229) % 1073741789) AS mh9,
-        |    min((952103481 * h + 371099) % 1073741789) AS mh10,
-        |    min((587431267 * h + 650087) % 1073741789) AS mh11
-        |  FROM hs GROUP BY doc_id
-        |), bands AS (
-        |  SELECT doc_id, 0 AS band, mh0::VARCHAR||'|'||mh1::VARCHAR||'|'||mh2::VARCHAR AS sig FROM mh
-        |  UNION ALL SELECT doc_id, 1, mh3::VARCHAR||'|'||mh4::VARCHAR||'|'||mh5::VARCHAR FROM mh
-        |  UNION ALL SELECT doc_id, 2, mh6::VARCHAR||'|'||mh7::VARCHAR||'|'||mh8::VARCHAR FROM mh
-        |  UNION ALL SELECT doc_id, 3, mh9::VARCHAR||'|'||mh10::VARCHAR||'|'||mh11::VARCHAR FROM mh
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        |), j AS (
-        |  SELECT doc_a, doc_b,
-        |    len(list_intersect(x.sh, y.sh))::DOUBLE /
-        |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
-        |  FROM cand JOIN nz x ON cand.doc_a = x.doc_id JOIN nz y ON cand.doc_b = y.doc_id
-        |)
-        |, prs AS (
+      (lshPairsCappedCte(64) +
+      """, prs AS (
         |  SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
         |  WHERE jac >= 0.3
         |), th AS (
@@ -11294,7 +11272,27 @@ object SparkEntry {
         |     SELECT doc_a AS d FROM prs WHERE jaccard >= t
         |     UNION SELECT doc_b FROM prs WHERE jaccard >= t))::BIGINT
         |    AS n_docs_affected
-        |FROM th""".stripMargin,
+        |FROM th""".stripMargin),
+    // per-band bucket-size distribution off the shared bands CTE
+    // (cand/j prune away unreferenced); exact ceil-rank p99
+    "q469_band_census" ->
+      (lshPairsCte +
+      """, bsz AS (
+        |  SELECT band, sig, count(*)::BIGINT AS bn
+        |  FROM bands GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT band, bn,
+        |    row_number() OVER (PARTITION BY band ORDER BY bn, sig) AS rn,
+        |    count(*) OVER (PARTITION BY band) AS nb
+        |  FROM bsz
+        |)
+        |SELECT band, max(nb)::BIGINT AS n_buckets,
+        |  sum(bn)::BIGINT AS n_rows, max(bn)::BIGINT AS max_bucket,
+        |  max(CASE WHEN rn = (nb * 99 + 99) // 100 THEN bn END)::BIGINT
+        |    AS p99_bucket,
+        |  round(max(bn)::DOUBLE / sum(bn), 6) AS top_share,
+        |  sum(CASE WHEN bn > 64 THEN 1 ELSE 0 END)::BIGINT AS n_over_cap
+        |FROM rk GROUP BY 1""".stripMargin),
     // day-granular integer recency tiers from the log's own max day
     "q315_storage_tiering" ->
       """WITH pk AS (

@@ -4609,11 +4609,15 @@ object Analytics {
     * formula, so the compare pins implementation equality and the
     * approximation error is a documented property, not drift. Φ is
     * clamped to [10⁻³⁰⁰, 1−10⁻¹⁶] so an extreme outlier's underflow
-    * can't produce ln(0). Per-row terms are ×10⁶-quantized to int64
-    * and summed as decimal(38,0) — order-free; mean/sd come from
-    * exact integer sums. The (2i−1) weights use row_number with an
-    * arbitrary tie order — the weighted sum is invariant under
-    * permuting equal z's, so the result is still deterministic.
+    * can't produce ln(0). The asc-rank and desc-rank weighted log
+    * terms are each ×10⁶-quantized to int64 SEPARATELY, then summed
+    * as decimal(38,0) — order-free AND tie-safe: within a tied
+    * (group, value) block each rank multiset is fixed regardless of
+    * which physical row row_number assigns which rank, so the sum of
+    * per-part floors is invariant under tie permutation (a joint
+    * floor over the paired terms would not be — the asc/desc pairing
+    * onto a physical row comes from two independent sorts and is
+    * arbitrary). Mean/sd come from exact integer sums.
     *
     * Returns (group, n, a2, a2_star) for groups with n ≥ 8.
     *
@@ -4643,14 +4647,15 @@ object Analytics {
     val phiC = greatest(least(phi, lit(1.0) - 1e-16), lit(1e-300))
     val wAsc = Window.partitionBy("_g").orderBy(col("_v").asc)
     val wDesc = Window.partitionBy("_g").orderBy(col("_v").desc)
-    val term = (lit(2L) * row_number().over(wAsc) - 1L).cast("double") *
-      log(phiC) +
-      (lit(2L) * row_number().over(wDesc) - 1L).cast("double") *
-        log(lit(1.0) - phiC)
+    val termAsc = (lit(2L) * row_number().over(wAsc) - 1L).cast("double") *
+      log(phiC)
+    val termDesc = (lit(2L) * row_number().over(wDesc) - 1L).cast("double") *
+      log(lit(1.0) - phiC)
     val agg = base.join(broadcast(mom.filter(col("_n") >= 8 && col("_q") * col("_n") >
         dec(col("_s")) * col("_s"))), Seq("_g"))
       .select(col("_g"), col("_n"),
-        floor(term * 1e6 + lit(0.5)).cast("long").as("_tq"))
+        (floor(termAsc * 1e6 + lit(0.5)).cast("long") +
+          floor(termDesc * 1e6 + lit(0.5)).cast("long")).as("_tq"))
       .groupBy("_g", "_n").agg(sum(dec(col("_tq"))).as("_ts"))
     val nA = col("_n").cast("double")
     val a2 = -nA - col("_ts").cast("double") / 1e6 / nA
@@ -4797,8 +4802,14 @@ object Analytics {
         .join(broadcast(p.select(col("_i"), col("_pq"))), Seq("_i"))
         .join(broadcast(pj), Seq("_j"))
         .select(col("_i"),
-          floor(col("_nij").cast("double") / (col("_pq") + col("_pj")) *
-            lit(1e15) + lit(0.5)).cast("long").as("_t"))
+          // guard pq+pj=0 (two zero-win models sharing a pair): x/0
+          // would ride as Infinity into a saturating long cast — the
+          // rating is 0 either way (wi=0 forces pq=0), so the term
+          // contributes nothing and can be skipped outright
+          when(col("_pq") + col("_pj") > 0,
+            floor(col("_nij").cast("double") / (col("_pq") + col("_pj")) *
+              lit(1e15) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L)).as("_t"))
         .groupBy("_i").agg(sum("_t").as("_dq"))
       p = p.drop("_pq").join(den, Seq("_i"), "left")
         .withColumn("_pq",

@@ -860,8 +860,10 @@ object Curation {
     *
     * Determinism: weights live ×10⁹-quantized on the CELL relation
     * (cardinality |dim1|·|dim2|, not rows), every marginal sum is an
-    * exact integer fold, and each scaling factor is one fixed double
-    * ratio — engine- and partitioning-independent.
+    * exact decimal(38,0) fold (the ×10⁹ weights make int64 wrap past
+    * ~9.2e9 weighted rows per marginal — decimal matches the house
+    * contract and the dual's HUGEINT), and each scaling factor is
+    * one fixed double ratio — engine- and partitioning-independent.
     *
     * Returns (dim1, dim2, n, weight, weighted_n).
     *
@@ -891,14 +893,16 @@ object Curation {
       (col("_r2").cast("double") * col("_N") / col("_T")).as("_e2")))
     var w = cells.withColumn("_wq", lit(1000000000L))
     for (_ <- 1 to rounds) {
-      val s1 = w.groupBy("_d1").agg(sum(col("_n") * col("_wq")).as("_s1"))
+      val s1 = w.groupBy("_d1").agg(
+        sum(col("_n").cast("decimal(38,0)") * col("_wq")).as("_s1"))
       w = w.join(broadcast(s1), Seq("_d1")).join(e1, Seq("_d1"), "left")
         .withColumn("_wq", when(col("_e1").isNotNull && col("_s1") > 0,
           floor(col("_wq") * (col("_e1") * 1e9 /
             col("_s1").cast("double")) + lit(0.5)).cast("long"))
           .otherwise(col("_wq")))
         .select("_d1", "_d2", "_n", "_wq")
-      val s2 = w.groupBy("_d2").agg(sum(col("_n") * col("_wq")).as("_s2"))
+      val s2 = w.groupBy("_d2").agg(
+        sum(col("_n").cast("decimal(38,0)") * col("_wq")).as("_s2"))
       w = w.join(broadcast(s2), Seq("_d2")).join(e2, Seq("_d2"), "left")
         .withColumn("_wq", when(col("_e2").isNotNull && col("_s2") > 0,
           floor(col("_wq") * (col("_e2") * 1e9 /

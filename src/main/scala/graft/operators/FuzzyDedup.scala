@@ -231,12 +231,34 @@ object FuzzyDedup {
     * rows so both sides resolve through ONE join against the shingle
     * table, not one join per side) — a deliberate recompute-over-
     * cache choice: shingling is scan-speed, while materializing the
-    * exploded shingle table at 100 TB would dwarf the input. */
+    * exploded shingle table at 100 TB would dwarf the input.
+    *
+    * `maxBucket` (default off = the exact-equality contract): a band
+    * bucket holding more than `maxBucket` docs is DROPPED from
+    * candidate generation — the [[incrementalNearDups]] degenerate-
+    * band cap, same drop policy, same SQL-replayable determinism.
+    * CLOSED-VOCABULARY CAVEAT (measured, SCALING.md round 9): on a
+    * corpus whose shingle vocabulary is small relative to its size, a
+    * band whose minimal shingles are COMMON shingles puts a large
+    * corpus fraction in one bucket (1,446 docs shared one signature
+    * on a 30-word-vocabulary synthetic at k=30; the largest
+    * real-corpus bucket was 4), and the verify stage goes quadratic
+    * in that bucket. Production LSH systems cap or re-hash such
+    * buckets; pass `maxBucket = 64` (the [[bandBucketCensus]]-
+    * justified default) when the corpus may be closed-vocabulary. */
   def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", n: Int = 3, k: Int = 12,
-                      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+                      bands: Int = 4, threshold: Double = 0.8,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
-    verifyJaccard(lshCandidates(sh, k, bands), sh, threshold)
+    val cand =
+      if (maxBucket == Int.MaxValue) lshCandidates(sh, k, bands)
+      else bucketPairs(bandRowsOf(minhashSignatures(sh, k), k, bands),
+          Seq("band", "sig"), col("doc_id"), Some(maxBucket),
+          starOnOverflow = false)
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .distinct()
+    verifyJaccard(cand, sh, threshold)
   }
 
   /** Exact-Jaccard verification of a candidate pair set against a
@@ -397,6 +419,53 @@ object FuzzyDedup {
     val sh = shingled(all.join(involved, Seq(idCol), "left_semi"),
       idCol, textCol, n)
     verifyJaccard(cand, sh, threshold)
+  }
+
+  /** LSH band-bucket health census — the pre-flight audit a
+    * production LSH deployment runs before trusting a corpus to the
+    * banded pipeline (and the analysis that diagnosed the round-9
+    * hot-band quadratic: one band signature shared by 1,446 docs on a
+    * closed-vocabulary synthetic made candidate verification O(n²) in
+    * the bucket). Per band of the [[bandIndex]]: bucket count, total
+    * rows, MAX bucket size, the exact p99 bucket size (ceil-rank
+    * order statistic — deterministic, no interpolation), the corpus
+    * fraction held by the largest bucket, and how many buckets exceed
+    * `cap`. Read: `n_over_cap > 0` or `top_share` far above 1/n_rows
+    * means the corpus needs [[minhashNearDups]]/[[incrementalNearDups]]
+    * run with `maxBucket = cap` — the census JUSTIFIES the cap
+    * threshold rather than assuming it.
+    *
+    * Determinism: every output but top_share is an exact integer;
+    * top_share is one double division rounded to 6. The p99 rank
+    * picks a bucket-size VALUE (ties in size collapse), so the
+    * row_number tiebreak on sig never reaches the output.
+    *
+    * Scale shape: one (band, sig) reduced shuffle with map-side
+    * combine builds the bucket-size relation; the window and final
+    * agg run per band over BUCKET-cardinality rows (distinct
+    * signatures, not docs) — corpus size never appears after the
+    * first reduction. */
+  def bandBucketCensus(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", n: Int = 3, k: Int = 12,
+                       bands: Int = 4, cap: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = bandIndex(docs, idCol, textCol, n, k, bands)
+      .groupBy("band", "sig").agg(count(lit(1)).as("_bn"))
+    val ranked = sizes
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("band").orderBy(col("_bn"), col("sig"))))
+      .withColumn("_nb", count(lit(1)).over(Window.partitionBy("band")))
+    ranked.groupBy(col("band"))
+      .agg(max("_nb").as("n_buckets"), sum("_bn").as("n_rows"),
+        max("_bn").as("max_bucket"),
+        max(when(col("_rn") === expr("(_nb * 99 + 99) div 100"),
+          col("_bn"))).as("p99_bucket"),
+        sum(when(col("_bn") > cap, 1L).otherwise(0L)).as("n_over_cap"))
+      .select(col("band"), col("n_buckets"), col("n_rows"),
+        col("max_bucket"), col("p99_bucket"),
+        round(col("max_bucket").cast("double") / col("n_rows"), 6)
+          .as("top_share"),
+        col("n_over_cap"))
   }
 
   /** Exact n-gram Jaccard ≥ threshold within an optional blocking

@@ -1772,6 +1772,22 @@ class AnalyticsSpec extends SparkSpec {
       out.head.getDouble(2) == 0.1729 &&
       out.head.getDouble(3) == 0.186408, s"${out.head}")
   }
+  test("andersonDarling: tie-invariant under input order and partitioning") {
+    // heavy ties: the asc/desc row_number pairing onto physical rows
+    // is arbitrary within a tied value block — the separately-floored
+    // parts must make the sum invariant anyway (the round-9 advice fix)
+    val vals = Seq(100L, 100L, 100L, 150L, 150L, 200L, 200L, 200L,
+      200L, 250L, 300L, 300L).map(("g", _))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Analytics.andersonDarling(df, "k", col("v")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSeq
+    val a = run(vals.toDF("k", "v"))
+    val b = run(vals.reverse.toDF("k", "v").repartition(7))
+    val c = run(vals.sortBy(_._2).toDF("k", "v").repartition(3))
+    assert(a.nonEmpty && a == b && a == c, s"$a vs $b vs $c")
+  }
+
   test("passAtK: hand-computed estimator; saturation and short-task guards") {
     val rows = (1 to 10).map(i => ("t1", i <= 3)) ++   // n=10 c=3
       (1 to 10).map(i => ("t2", false)) ++             // c=0 -> 0

@@ -105,6 +105,44 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(capped.nonEmpty)
   }
 
+  test("minhashNearDups maxBucket: cap-free bucket pairs survive, over-cap buckets drop") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val uncapped = FuzzyDedup.minhashNearDups(corpus, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a generous cap changes nothing on the real corpus (largest
+    // bucket measured = 4): exact equality, not just subset
+    val cap64 = FuzzyDedup.minhashNearDups(corpus, threshold = 0.5, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cap64 == uncapped)
+    // cap=1 drops every multi-doc bucket -> no candidates at all
+    assert(FuzzyDedup.minhashNearDups(corpus, threshold = 0.5, maxBucket = 1).count() == 0)
+    // an intermediate cap can only remove pairs, never invent them
+    val cap2 = FuzzyDedup.minhashNearDups(corpus, threshold = 0.5, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cap2.subsetOf(uncapped))
+  }
+
+  test("bandBucketCensus: integer invariants and a planted hot band") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = FuzzyDedup.bandBucketCensus(corpus, cap = 2).collect()
+    assert(rows.length == 4) // one row per band
+    rows.foreach { r =>
+      val (nb, nr, mx, p99, share, over) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))
+      assert(nb >= 1 && nr >= nb && mx >= 1 && p99 <= mx)
+      assert(share > 0.0 && share <= 1.0)
+      assert(math.abs(share - mx.toDouble / nr) < 1e-6)
+      assert(over >= 0 && over <= nb)
+    }
+    // a closed-vocabulary clone corpus puts everything in one bucket
+    // per band: the census must flag it (the round-9 hot-band shape)
+    val clones = (1L to 40L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val hot = FuzzyDedup.bandBucketCensus(clones, cap = 16).collect()
+    assert(hot.forall(r => r.getLong(1) == 1L && r.getLong(3) == 40L &&
+      r.getDouble(5) == 1.0 && r.getLong(6) == 1L))
+  }
+
   test("shingling: short docs yield empty set, excluded from pipeline") {
     val tiny = Seq((1L, "two words")).toDF("doc_id", "text")
     assert(FuzzyDedup.shingled(tiny, "doc_id", "text", 3).count() == 0)
