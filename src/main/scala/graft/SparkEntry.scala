@@ -305,6 +305,38 @@ object SparkEntry {
       .select(col("user_id"), col("ts_us"), col("x"), col("y"))
   }
 
+  /** Deterministic `partsupp` derived from lineitem's distinct
+    * (part, supplier) pairs — the harness star ships no partsupp
+    * parquet and the oracle registers only the shipped tables, but
+    * TPC-H's own partsupp is by construction a superset of
+    * lineitem's pairs, so the ACTIVE partsupp relation is derivable
+    * bit-identically by BOTH engines: ps_availqty and the supply
+    * cost are md5-affine functions of the pair key
+    * ([[graft.functions.HashFunctions.md5Long]] ⇄ the dual's
+    * `('0x' || substr(md5(…), 1, 15))::BIGINT`), which gives
+    * Q2/Q9/Q11/Q16/Q20 genuine hash-compared duals over the shipped
+    * parquet. Domains follow TPC-H: availqty ∈ [1, 9999], supply
+    * cost ∈ [1.00, 999.99] — carried as `ps_sc_cents` ∈ [100, 99999]
+    * (the house exact-integer cent form every consumer aggregates).
+    *
+    * Scale shape: one map-side-combinable distinct on the pair key;
+    * the md5 columns are scan-side projections. At 100 TB this is
+    * the same reduced relation a real partsupp table would be, and
+    * ScaleGen's strided lineitem keys flow through untouched (the
+    * derived partsupp scales with the star automatically). */
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.md5Long
+    t(s, dir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        (md5Long(concat_ws("_", lit("aq"), col("ps_partkey"),
+          col("ps_suppkey"))) % 9999 + 1).as("ps_availqty"),
+        (md5Long(concat_ws("_", lit("sc"), col("ps_partkey"),
+          col("ps_suppkey"))) % 99900 + 100).as("ps_sc_cents"))
+  }
+
   /** Flagship: the reference pipeline end-to-end (KML source →
     * projection → argmax dedup → Feature rows) on an in-process
     * fixture feed. Driver smoke-checks rows > 0. */
@@ -1991,6 +2023,131 @@ object SparkEntry {
         .groupBy(col("c_nationkey").as("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("_bal")).cast("double") / 100, 2).as("totacctbal"))
+    }),
+    // TPC-H Q2 shape (minimum-cost supplier): the correlated min over
+    // supply cost decorrelates into a per-part min-agg re-joined on
+    // (part, exact cent cost) -- the min is computed over the SAME
+    // region-restricted supplier pool the outer row set draws from;
+    // part filter broadcasts, region chain broadcasts, total order by
+    // (s_acctbal desc, n_name, s_name, p_partkey) is unique per row
+    // so the LIMIT cut is deterministic
+    "q470_tpch_q2" -> ((s, dir) => {
+      val regional = partsupp(s, dir)
+        .join(t(s, dir, "supplier"), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+      val minCost = regional.groupBy(col("ps_partkey").as("_mp"))
+        .agg(min("ps_sc_cents").as("_msc"))
+      regional
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_size") === 15 && col("p_type") === "ECONOMY")),
+          col("ps_partkey") === col("p_partkey"))
+        .join(minCost, col("ps_partkey") === col("_mp") &&
+          col("ps_sc_cents") === col("_msc"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          round(col("ps_sc_cents").cast("double") / 100, 6)
+            .as("ps_supplycost"))
+    }),
+    // TPC-H Q9 shape (product-type profit): profit per supplier
+    // nation per order year on 'red' parts; both profit terms exact
+    // int64 1e-4-dollar units (cents x discount-pct, cents x
+    // qty-hundredths) folded in decimal(38,0)
+    "q471_tpch_q9" -> ((s, dir) => {
+      val pc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val dp = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      val qc = floor(col("l_quantity") * 100 + lit(0.5)).cast("long")
+      val amt = (pc * (lit(100L) - dp) - col("ps_sc_cents") * qc)
+        .cast("decimal(38,0)")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").startsWith("red"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(partsupp(s, dir),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg((sum(amt).cast("double") / 10000).as("_p"),
+          count(lit(1)).as("n_lineitems"))
+        .select(col("nation"), col("o_year"),
+          round(col("_p"), 6).as("sum_profit"), col("n_lineitems"))
+    }),
+    // TPC-H Q11 shape (important stock): per-part stock value for one
+    // nation's suppliers, kept when > 0.1% of that nation's total --
+    // the HAVING threshold compares exact int64 cent-units
+    // cross-multiplied (value * 1000 > total), no double in the cut
+    "q472_tpch_q11" -> ((s, dir) => {
+      val natPs = partsupp(s, dir)
+        .join(t(s, dir, "supplier"), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"),
+          (col("ps_sc_cents") * col("ps_availqty")).as("_v"))
+      val tot = natPs.agg(sum(col("_v").cast("decimal(38,0)")).as("_t"))
+      natPs.groupBy("ps_partkey")
+        .agg(sum(col("_v").cast("decimal(38,0)")).as("_pv"))
+        .crossJoin(broadcast(tot))
+        .filter(col("_pv") * 1000 > col("_t"))
+        .select(col("ps_partkey"),
+          round(col("_pv").cast("double") / 100, 6).as("value"))
+    }),
+    // TPC-H Q16 shape (parts/supplier relationship): distinct
+    // supplier count per (brand, type, size) bucket, negative-balance
+    // suppliers excluded by anti-join (the NOT IN complaints filter;
+    // the schema carries no s_comment, so at-risk = acctbal < 0)
+    "q473_tpch_q16" -> ((s, dir) =>
+      partsupp(s, dir)
+        .join(t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+            .select(col("s_suppkey")),
+          col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#1" &&
+              col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 9, 16, 25, 36, 49))),
+          col("ps_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))),
+    // TPC-H Q20 shape (potential part promotion): suppliers of 'red'
+    // parts whose stock exceeds half the quantity they shipped of
+    // that part in 1996 -- the correlated qty sum decorrelates into a
+    // pre-aggregated (part, supplier) relation; the > comparison is
+    // exact int64 (availqty x 200 vs qty-hundredths), pairs with no
+    // 1996 shipments drop via the inner join exactly as the NULL
+    // comparison drops them in the classic form
+    "q474_tpch_q20" -> ((s, dir) => {
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+          .as("_q"))
+      val cand = partsupp(s, dir)
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").startsWith("red"))
+            .select(col("p_partkey"))),
+          col("ps_partkey") === col("p_partkey"))
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") * 200 > col("_q"))
+        .select(col("ps_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(cand, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
     }),
     // Simplified silhouette per label over the embedding corpus:
     // centroid-based a/b (linear, not the O(n^2) classic), one-row
@@ -5496,6 +5653,22 @@ object SparkEntry {
     lshPairsCte.replace(candOld, candNew)
   }
 
+  /** DuckDB twin of [[partsupp]]: the derived active-partsupp
+    * relation as a CTE over the registered lineitem view — identical
+    * md5-affine availqty/supply-cost-cents per (part, supplier)
+    * pair, so the Q2/Q9/Q11/Q16/Q20 duals replay the same relation
+    * the Spark side computes. */
+  private val partsuppCte: String =
+    """WITH ps AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    ('0x' || substr(md5('aq_' || ps_partkey || '_' || ps_suppkey),
+      |      1, 15))::BIGINT % 9999 + 1 AS ps_availqty,
+      |    ('0x' || substr(md5('sc_' || ps_partkey || '_' || ps_suppkey),
+      |      1, 15))::BIGINT % 99900 + 100 AS ps_sc_cents
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+      |      l_suppkey AS ps_suppkey FROM lineitem)
+      |)""".stripMargin
+
   private val lshPairsCte: String =
     """WITH base AS (
       |  SELECT doc_id, list_distinct(list_transform(
@@ -6564,6 +6737,101 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1""".stripMargin,
+    // min-cost supplier: the classic correlated-min form over the
+    // derived partsupp CTE, region-restricted on both the outer row
+    // set and the min's pool; unique total order under the LIMIT
+    "q470_tpch_q2" ->
+      (partsuppCte +
+      """, eu AS (
+        |  SELECT ps.ps_partkey, ps.ps_sc_cents, s_name, s_acctbal, n_name
+        |  FROM ps
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), mc AS (
+        |  SELECT ps_partkey, min(ps_sc_cents) AS msc FROM eu GROUP BY 1
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  round(eu.ps_sc_cents::DOUBLE / 100, 6) AS ps_supplycost
+        |FROM eu
+        |JOIN part ON eu.ps_partkey = p_partkey
+        |JOIN mc ON eu.ps_partkey = mc.ps_partkey
+        |  AND eu.ps_sc_cents = mc.msc
+        |WHERE p_size = 15 AND p_type = 'ECONOMY'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin),
+    // product-type profit: exact 1e-4-dollar integer terms summed in
+    // HUGEINT, grouped by supplier nation x order year
+    "q471_tpch_q9" ->
+      (partsuppCte +
+      """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+        |  round(sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |      - ps_sc_cents
+        |        * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::HUGEINT
+        |    )::DOUBLE / 10000, 6) AS sum_profit,
+        |  count(*)::BIGINT AS n_lineitems
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE 'red%'
+        |GROUP BY 1, 2""".stripMargin),
+    // important stock: per-part cent-exact value for one nation's
+    // suppliers, HAVING cross-multiplied against the exact total
+    "q472_tpch_q11" ->
+      (partsuppCte +
+      """, nps AS (
+        |  SELECT ps_partkey, (ps_sc_cents * ps_availqty)::HUGEINT AS v
+        |  FROM ps
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |), tot AS (SELECT sum(v) AS t FROM nps)
+        |SELECT ps_partkey, round(sum(v)::DOUBLE / 100, 6) AS value
+        |FROM nps, tot
+        |GROUP BY ps_partkey, t
+        |HAVING sum(v) * 1000 > t""".stripMargin),
+    // parts/supplier relationship: distinct-supplier counts with the
+    // NOT IN at-risk-supplier exclusion
+    "q473_tpch_q16" ->
+      (partsuppCte +
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey)::BIGINT AS supplier_cnt
+        |FROM ps
+        |JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin),
+    // potential part promotion: stock > half the 1996 shipped
+    // quantity, exact int64 comparison; no-shipment pairs drop as the
+    // NULL comparison would drop them
+    "q474_tpch_q20" ->
+      (partsuppCte +
+      """, shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT ps_suppkey
+        |  FROM ps
+        |  JOIN part ON ps_partkey = p_partkey
+        |  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  WHERE p_name LIKE 'red%' AND ps_availqty * 200 > q
+        |)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (SELECT ps_suppkey FROM cand)""".stripMargin),
     // same [a-z0-9]+ tokens and [aeiouy]+ vowel runs; zero-word
     // syllable sum coalesced to 0 (duck's empty list_sum is NULL,
     // Spark's 0-init fold is 0)

@@ -538,6 +538,25 @@ class PlanShapeSpec extends SparkSpec {
       s"vector payload leaked into the health scan:\n$p")
   }
 
+  test("q470 (TPC-H Q2): decorrelated min joins back, dims broadcast, top-100 cut") {
+    val p = plan("q470_tpch_q2")
+    // the correlated min decorrelates into an aggregate re-joined on
+    // (part, cost) — never a per-row subquery loop
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"no min aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global sort instead of top-100:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"), s"cartesian:\n$p")
+  }
+
+  test("q471 (TPC-H Q9): part filter broadcasts and prunes before the fact joins") {
+    val p = plan("q471_tpch_q9")
+    assert(p.contains("BroadcastHashJoin"), s"part side not broadcast:\n$p")
+    assert(p.contains("StartsWith") || p.contains("PushedFilters"),
+      s"red-part filter not visible at/near the scan:\n$p")
+  }
+
   test("ivfPqServe batchScale drops the forced broadcasts on query-derived sides") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
