@@ -48,7 +48,7 @@ object SparkEntry {
 
   private def vecFreshFeed(s: SparkSession, dir: String): String =
     vecFreshSrcDir.getOrElseUpdate(dir, {
-      val d = java.nio.file.Files.createTempDirectory("vec-fresh")
+      val d = productTempDir("vec-fresh")
         .resolve("feed").toString
       t(s, dir, "embeddings").filter(col("vec_id") % 10 === 7).coalesce(1)
         .write.mode("overwrite").parquet(d)
@@ -68,19 +68,33 @@ object SparkEntry {
     * absent. This is NOT hidden caching — the write is an explicit,
     * documented pipeline product (SCALING.md round-7), and the bench
     * still times the full build on every q203 pass. */
-  /** Temp dir for a materialized pipeline product, with a shutdown
-    * hook that deletes the whole tree — `deleteOnExit` only removes
-    * EMPTY dirs, so parquet products would otherwise accrete in /tmp
-    * across JVM runs (the q249 temp-dir accretion class). */
+  /** ONE shutdown sweep for every harness temp dir (sentinel stream
+    * sources, staged feeds, materialized pipeline products): each
+    * [[productTempDir]] call registers its path here and a single
+    * hook deletes them all at JVM exit — `deleteOnExit` only removes
+    * EMPTY dirs (parquet products would accrete in /tmp across JVM
+    * runs, the q249 accretion class), and a hook PER dir would
+    * accrete one thread object per bench pass over a long session
+    * (the round-9 registry-hygiene item). */
+  private val tempDirRegistry =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirRegistry.forEach { d =>
+        try {
+          val s = java.nio.file.Files.walk(d)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally s.close()
+        } catch { case _: Throwable => () }
+      }))
+  }
+
+  /** Temp dir registered for the shared shutdown sweep — the ONLY
+    * sanctioned way SparkEntry creates scratch space. */
   private def productTempDir(prefix: String): java.nio.file.Path = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        val s = java.nio.file.Files.walk(d)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally s.close()
-      } catch { case _: Throwable => () }))
+    tempDirRegistry.add(d)
     d
   }
 
@@ -679,7 +693,7 @@ object SparkEntry {
       // one file per table) — expose the single file through a temp
       // dir via symlink; at real scale the source watches the actual
       // ingest directory
-      val srcDir = java.nio.file.Files.createTempDirectory("q80-events")
+      val srcDir = productTempDir("q80-events")
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
@@ -759,7 +773,7 @@ object SparkEntry {
     "q88_stream_enrich" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("q88-events")
+      val srcDir = productTempDir("q88-events")
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
@@ -803,7 +817,7 @@ object SparkEntry {
       val (lo, hi) = (r.getLong(0), r.getLong(1))
       val c1 = lo + (hi - lo) / 3
       val c2 = lo + 2 * ((hi - lo) / 3)
-      val tmp = java.nio.file.Files.createTempDirectory("q98-scd1")
+      val tmp = productTempDir("q98-scd1")
       val srcDir = tmp.resolve("src")
       java.nio.file.Files.createDirectories(srcDir)
       val stateDir = tmp.resolve("state").toString
@@ -842,7 +856,7 @@ object SparkEntry {
     "q99_stream_windowed_agg" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("q99-events")
+      val srcDir = productTempDir("q99-events")
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
@@ -876,7 +890,7 @@ object SparkEntry {
     "q100_stream_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("q100-events")
+      val srcDir = productTempDir("q100-events")
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
@@ -921,7 +935,7 @@ object SparkEntry {
     "q106_stream_sessions" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("q106-events")
+      val srcDir = productTempDir("q106-events")
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
@@ -953,7 +967,7 @@ object SparkEntry {
     "q107_stream_windowed_hll" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("q107-events")
+      val srcDir = productTempDir("q107-events")
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
@@ -987,7 +1001,7 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("q104-events")
+      val srcDir = productTempDir("q104-events")
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
@@ -2330,7 +2344,7 @@ object SparkEntry {
         ev.agg(max("ts")).head().getLong(0))
       import s.implicits._
       val srcDir = q197SrcDir.getOrElseUpdate(dir, {
-        val tmp = java.nio.file.Files.createTempDirectory("q197")
+        val tmp = productTempDir("q197")
         val sd = tmp.resolve("src")
         java.nio.file.Files.createDirectories(sd)
         java.nio.file.Files.createSymbolicLink(
@@ -2601,7 +2615,7 @@ object SparkEntry {
     "q454_streaming_drift_alarm" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val src = q454SrcDir.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("q454-feed")
+        val d = productTempDir("q454-feed")
           .resolve("feed").toString
         t(s, dir, "events").filter(col("ts").isNotNull)
           .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
@@ -3790,7 +3804,7 @@ object SparkEntry {
       // symlink farm is a pure function of the feed, and a fresh
       // temp dir per invocation would accrete across bench reruns
       val srcDir = q249SrcDir.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("q249-events")
+        val d = productTempDir("q249-events")
         java.nio.file.Files.createSymbolicLink(
           d.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
@@ -3882,7 +3896,7 @@ object SparkEntry {
       // every remaining event-time timeout. The old second sentinel
       // only added a fourth batch of state-commit machinery.
       val srcDir = q197SrcDir.getOrElseUpdate(dir, {
-        val tmp = java.nio.file.Files.createTempDirectory("q197")
+        val tmp = productTempDir("q197")
         val sd = tmp.resolve("src")
         java.nio.file.Files.createDirectories(sd)
         java.nio.file.Files.createSymbolicLink(
@@ -4128,7 +4142,7 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val docs = t(s, dir, "documents")
       val src = q332SrcDir.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("q332-fresh")
+        val d = productTempDir("q332-fresh")
           .resolve("feed").toString
         docs.filter(col("doc_id") % 20 >= 18).coalesce(1)
           .write.mode("overwrite").parquet(d)
@@ -4343,7 +4357,7 @@ object SparkEntry {
       val (lo, hi) = (r.getLong(0), r.getLong(1))
       val c1 = lo + (hi - lo) / 3
       val c2 = lo + 2 * ((hi - lo) / 3)
-      val tmp = java.nio.file.Files.createTempDirectory("q178-sess")
+      val tmp = productTempDir("q178-sess")
       val srcDir = tmp.resolve("src")
       java.nio.file.Files.createDirectories(srcDir)
       Seq(col("ts") <= c1, col("ts") > c1 && col("ts") <= c2,
@@ -4758,7 +4772,7 @@ object SparkEntry {
       // (auto-temp per run) is per-run state. Saves two Spark write
       // jobs per rerun.
       val srcDir = q123SrcDir.getOrElseUpdate(dir, {
-        val tmp = java.nio.file.Files.createTempDirectory("q123")
+        val tmp = productTempDir("q123")
         val sd = tmp.resolve("src")
         java.nio.file.Files.createDirectories(sd)
         java.nio.file.Files.createSymbolicLink(
