@@ -251,10 +251,22 @@ object SparkEntry {
       // action on a standing product, amortized across every batch
       val cells =
         if (oldSlice) math.max(8L, corpus.count() / 128L).toInt else 8
+      // PARTITIONED standing layout: part (4 values) prunes each
+      // serve stage's scan statically, and c — the cell for assign
+      // rows, the code id for code/cent rows — lets the probe join's
+      // dynamic partition pruning skip never-probed cells entirely
+      // (plan-asserted in PlanShapeSpec). At 100 TB the cell count
+      // outgrows a directory-per-cell layout; the production split is
+      // partitionBy(part) + bucketBy(cell) — same pruning, bounded
+      // metadata (the scaladoc contract on Similarity.ivfPqIndex).
       Similarity.ivfPqIndex(corpus, numCells = cells)
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").partitionBy("part", "c").parquet(path)
     }
-    s.read.parquet(path)
+    // partition-column type inference reads c back as INT and orders
+    // partition columns last; restore the build-side long contract so
+    // the six index consumers see one schema either way
+    s.read.parquet(path).select(col("part"), col("id"), col("s"),
+      col("c").cast("long").as("c"), col("vec"))
   }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =

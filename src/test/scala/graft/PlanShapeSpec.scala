@@ -538,6 +538,18 @@ class PlanShapeSpec extends SparkSpec {
       s"vector payload leaked into the health scan:\n$p")
   }
 
+  test("q326: standing-index scans are partition-pruned, probes prune cells dynamically") {
+    val p = plan("q326_ivfpq_serve")
+    // static pruning: each serve stage reads ONLY its part directory
+    Seq("seed", "assign", "code", "cent").foreach(part =>
+      assert(p.contains(s"= $part)"), s"no static partition filter for $part:\n$p"))
+    // dynamic partition pruning: the probed-cell set (a query-derived
+    // broadcast) prunes the corpus-sized assign part's c= directories
+    // at the scan — the 100 TB serve cost is probed cells, not corpus
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the cell join:\n$p")
+  }
+
   test("q470 (TPC-H Q2): decorrelated min joins back, dims broadcast, top-100 cut") {
     val p = plan("q470_tpch_q2")
     // the correlated min decorrelates into an aggregate re-joined on
