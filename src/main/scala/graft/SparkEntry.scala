@@ -2765,6 +2765,17 @@ object SparkEntry {
     // registered query, not SCALING.md prose)
     "q469_band_census" -> ((s, dir) =>
       FuzzyDedup.bandBucketCensus(t(s, dir, "documents"))),
+    // Reciprocal-rank fusion of the BM25 lexical shortlist with the
+    // quality-prior shortlist -- the hybrid-retrieval combiner every
+    // lexical+vector stack runs; integer-exact 1e12 div (k+rank) terms
+    "q475_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.rrfFuse(
+        TextAnalysis.bm25(docs, Seq("dup", "join", "window")),
+        docs.select(col("doc_id"),
+            graft.operators.Curation.qualityScore(col("text")).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20))
+    }),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
         "event_type", floor(col("value") * 100 + lit(0.5)))),
@@ -11587,6 +11598,69 @@ object SparkEntry {
         |  round(max(bn)::DOUBLE / sum(bn), 6) AS top_share,
         |  sum(CASE WHEN bn > 64 THEN 1 ELSE 0 END)::BIGINT AS n_over_cap
         |FROM rk GROUP BY 1""".stripMargin),
+    // q81's BM25 shortlist + q207's quality logit shortlist, ranks
+    // re-derived by (score desc, id), integer 1e12 div (60+rank)
+    // terms, full-outer fuse, top-20 by the exact integer sum
+    "q475_rrf_fusion" ->
+      """WITH lens AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE AS dl
+        |  FROM documents
+        |), stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+        |  WHERE term IN ('dup', 'join', 'window') GROUP BY 1, 2
+        |), dfs AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY 1),
+        |bm AS (
+        |  SELECT doc_id,
+        |    round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+        |              * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        |  FROM hits JOIN dfs USING (term) JOIN lens USING (doc_id), stats
+        |  GROUP BY 1
+        |  ORDER BY score DESC, doc_id
+        |  LIMIT 20
+        |), t AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, len(toks)::DOUBLE AS n_tok,
+        |    coalesce(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE
+        |      / nullif(len(toks)::DOUBLE, 0), 0.0) AS stop_ratio,
+        |    coalesce(len(regexp_extract_all(lower(text), '[a-z]'))::DOUBLE
+        |      / nullif(length(text)::DOUBLE, 0), 0.0) AS alpha_ratio,
+        |    coalesce(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+        |      / nullif(len(toks)::DOUBLE, 0), 0.0) AS mean_tok_len
+        |  FROM t
+        |), z AS (
+        |  SELECT doc_id, -3.0 + ln(1.0 + n_tok) * 0.55 + stop_ratio * 4.0
+        |    + alpha_ratio * 1.5 + mean_tok_len * (-0.05) AS z
+        |  FROM f
+        |), qs AS (
+        |  SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score
+        |  FROM z ORDER BY score DESC, doc_id LIMIT 20
+        |), ar AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+        |    ::BIGINT AS rank_a FROM bm
+        |), br AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+        |    ::BIGINT AS rank_b FROM qs
+        |), j AS (
+        |  SELECT coalesce(ar.doc_id, br.doc_id) AS doc_id,
+        |    ar.rank_a, br.rank_b,
+        |    coalesce(1000000000000 // (60 + ar.rank_a), 0) +
+        |      coalesce(1000000000000 // (60 + br.rank_b), 0) AS rrfq
+        |  FROM ar FULL OUTER JOIN br ON ar.doc_id = br.doc_id
+        |)
+        |SELECT doc_id, rank_a, rank_b, rrf, rank FROM (
+        |  SELECT doc_id, rank_a, rank_b,
+        |    round(rrfq::DOUBLE / 1e12, 6) AS rrf,
+        |    row_number() OVER (ORDER BY rrfq DESC, doc_id)::BIGINT AS rank
+        |  FROM j)
+        |WHERE rank <= 20""".stripMargin,
     // day-granular integer recency tiers from the log's own max day
     "q315_storage_tiering" ->
       """WITH pk AS (

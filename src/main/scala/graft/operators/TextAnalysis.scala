@@ -270,6 +270,55 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Reciprocal-rank fusion of two ranked shortlists — the standard
+    * hybrid-retrieval combiner (Cormack et al. 2009; every
+    * lexical+vector search stack's default): each arm contributes
+    * 1/(k + rank) per id, missing-from-one-arm ids keep the other
+    * arm's contribution, and the fused order is by the summed score.
+    * Rank positions are derived HERE from each arm's (score, id) —
+    * ties to the lower id — so callers pass scored shortlists, not
+    * pre-ranked ones, and both arms use one deterministic contract.
+    *
+    * Exactness: each term is the INTEGER division 10¹² div (k+rank)
+    * — no float in the sum, so the fused order and every tie are
+    * bit-identical on any engine (the reported `rrf` is the exact
+    * integer divided by 10¹², rounded 6).
+    *
+    * Scale shape: inputs are per-key ranked SHORTLISTS (topK-bounded
+    * by their producers — bm25's TakeOrderedAndProject, ANN's top-k),
+    * so every window and the full-outer join here run on
+    * shortlist-cardinality relations; corpus size never appears. With
+    * empty `keyCols` the global window is bounded by the two
+    * shortlists (the documented bounded-window class). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
+              scoreCol: String = "score", keyCols: Seq[String] = Nil,
+              kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    require(kRrf >= 1 && topK >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    def ranked(df: DataFrame, rk: String): DataFrame =
+      df.select(keyCols.map(col) :+ col(idCol) :+ col(scoreCol).as("_s"): _*)
+        .withColumn(rk, row_number().over(
+          Window.partitionBy(keys: _*)
+            .orderBy(col("_s").desc, col(idCol))).cast("long"))
+        .drop("_s")
+    val ja = ranked(a, "rank_a")
+    val jb = ranked(b, "rank_b")
+    val on = keyCols :+ idCol
+    val fused = ja.join(jb, on, "full_outer")
+      .withColumn("_rrfq",
+        coalesce(expr(s"1000000000000 div (${kRrf}L + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000000000 div (${kRrf}L + rank_b)"), lit(0L)))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(keys: _*)
+          .orderBy(col("_rrfq").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(on.map(col) ++ Seq(col("rank_a"), col("rank_b"),
+        round(col("_rrfq").cast("double") / 1e12, 6).as("rrf"),
+        col("rank")): _*)
+  }
+
   /** Cross-document repeated n-gram mass — the substring-level dedup
     * signal (the word-gram approximation of suffix-array exact
     * substring dedup à la "Deduplicating Training Data Makes Language

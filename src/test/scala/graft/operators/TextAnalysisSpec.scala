@@ -640,6 +640,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3) == ((1.0, -1.0, false)), s"$out")
   }
 
+  test("rrfFuse: hand-computed fusion, one-arm ids kept, integer-exact terms") {
+    val a = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("doc_id", "score")
+    val b = Seq((20L, 0.95), (40L, 0.5)).toDF("doc_id", "score")
+    val out = TextAnalysis.rrfFuse(a, b, kRrf = 60, topK = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getDouble(3), r.getLong(4)))).toMap
+    // 20 is rank 2 in A and rank 1 in B -> the only two-arm id wins:
+    // (1e12 div 62) + (1e12 div 61) = 32522474880 -> 0.032522 round 6
+    assert(out(20L) == ((Some(2L), Some(1L), 0.032522, 1L)), s"$out")
+    // 10 (A rank 1) beats 40 (B rank 2) and 30 (A rank 3): exact
+    // integer terms decide -- 1e12 div 61 > 1e12 div 62 > 1e12 div 63
+    assert(out(10L)._4 == 2L && out(40L)._4 == 3L && out(30L)._4 == 4L,
+      s"$out")
+    assert(out(40L)._1.isEmpty && out(40L)._2 == Some(2L), s"$out")
+    assert(out(10L)._3 == 0.016393, s"$out") // (1e12 div 61) / 1e12
+  }
+
   test("logTemplates: agreeing positions survive, varying ones wildcard") {
     val lines = Seq("get user=1 status=ok", "get user=2 status=ok",
       "get user=3 status=fail", "put item=9", "put item=9")
