@@ -269,6 +269,39 @@ object SparkEntry {
       col("c").cast("long").as("c"), col("vec"))
   }
 
+  /** The PRODUCTION standing-index layout: `partitionBy(part)` +
+    * `bucketBy(cell)` as a catalog table. The partitioned layout above
+    * ([[vecIndexTable]]) prunes serves to probed-cell DIRECTORIES —
+    * ideal until the cell count (∝ corpus / 128) outgrows what a
+    * filesystem lists cheaply; at 100 TB that is millions of cells and
+    * directory metadata becomes the bottleneck. Here the cell
+    * co-location moves into BUCKETS: 4 part directories total, and the
+    * corpus-sized assign part pre-hashed on `c` so the serve's probe
+    * join consumes the bucketing — no Exchange ever sits above the
+    * index scan (PlanShapeSpec pins the plan; q476 hash-matches q326,
+    * proving the layouts interchangeable). Same index rows, same
+    * build ([[Similarity.ivfPqIndex]]); only the physical layout and
+    * therefore the exchange strategy differ. Bucket count is fixed
+    * (16 here; sized to executor count in production) — unlike cells,
+    * buckets need not grow with the corpus, which is exactly why this
+    * layout survives the scale the directory-per-cell one cannot. */
+  private def vecIndexBucketedTable(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "graft_vecindex_b_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(dir).toLong & 0xffffffffL)
+    if (!s.catalog.tableExists(tbl)) {
+      Similarity.ivfPqIndex(t(s, dir, "embeddings"), numCells = 8)
+        .write.mode("overwrite").partitionBy("part")
+        .bucketBy(16, "c").sortBy("c").saveAsTable(tbl)
+    }
+    // catalog tables keep the written schema (c stays LONG — no
+    // partition-column inference), so no cast: a cast here would also
+    // break the alias-aware HashPartitioning propagation the
+    // Exchange-free probe join rides on
+    s.table(tbl).select(col("part"), col("id"), col("s"),
+      col("c"), col("vec"))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     normTs(s.read.parquet(s"$dir/$name.parquet"))
 
@@ -2775,6 +2808,16 @@ object SparkEntry {
         docs.select(col("doc_id"),
             graft.operators.Curation.qualityScore(col("text")).as("score"))
           .orderBy(col("score").desc, col("doc_id")).limit(20))
+    }),
+    // The q326 serve on the PRODUCTION index layout — partitionBy(part)
+    // + bucketBy(cell) catalog table: same rows, same parameters, the
+    // probe join consumes the bucketing so the corpus-sized assign
+    // part joins with NO Exchange above its scan (plan-pinned). Output
+    // hash-matches q326 — the two layouts are interchangeable.
+    "q476_ivfpq_serve_bucketed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqServe(vecIndexBucketedTable(s, dir),
+        e, e.filter(col("vec_id") < 20), 3, bucketedIndex = true)
     }),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
@@ -6842,8 +6885,9 @@ object SparkEntry {
         |JOIN part ON ps_partkey = p_partkey
         |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
         |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
-        |  AND ps_suppkey NOT IN (
-        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM supplier
+        |    WHERE s_suppkey = ps_suppkey AND s_acctbal < 0)
         |GROUP BY 1, 2, 3""".stripMargin),
     // potential part promotion: stock > half the 1996 shipped
     // quantity, exact int64 comparison; no-shipment pairs drop as the
@@ -15267,6 +15311,10 @@ object SparkEntry {
     // serve-from-standing-index == build+serve at equal parameters:
     // q319's ladder verbatim is the oracle
     "q326_ivfpq_serve" -> ivfPqDuck("", "WHERE vec_id < 20"),
+    // the bucketed (production-layout) serve is the SAME search at the
+    // same parameters — only the index's physical layout moved, so
+    // q326's oracle is q476's oracle verbatim
+    "q476_ivfpq_serve_bucketed" -> ivfPqDuck("", "WHERE vec_id < 20"),
     // per-batch ingest probe == full search with corpus = old slice,
     // queries = arriving slice; is_dup rides the exact cosine
     "q327_vector_ingest_probe" -> ivfPqDuck(

@@ -1328,6 +1328,7 @@ object Similarity {
   def ivfPqServe(index: DataFrame, corpus: DataFrame, queries: DataFrame,
                  k: Int, nprobe: Int = 4, m: Int = 16, dim: Int = 64,
                  rerank: Int = 50, batchScale: Boolean = false,
+                 bucketedIndex: Boolean = false,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1 && rerank >= k)
     import org.apache.spark.sql.expressions.Window
@@ -1356,12 +1357,23 @@ object Similarity {
       norm(col(vecCol)).as("qn"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cs").desc, col("seed_id"))
-    val probes = bc(q.crossJoin(seeds)
+    // bucketedIndex = true is the PRODUCTION standing-index layout
+    // (partitionBy(part) + bucketBy(cell)): at 100 TB the assign part
+    // is corpus-sized and a directory-per-cell layout outgrows the
+    // filesystem's directory metadata, so the cell co-location moves
+    // from partitions into buckets. The probe join is merge-hinted so
+    // the bucketed scan's HashPartitioning(cell, N) is CONSUMED:
+    // only the (tiny) probe side shuffles — to the bucket count — and
+    // the corpus-sized assign part joins with NO Exchange above its
+    // scan (plan-pinned in PlanShapeSpec). Results are identical to
+    // the partitioned layout — only the exchange strategy moves.
+    val probesRaw = q.crossJoin(seeds)
       .withColumn("cs",
         round(dot(col("qv"), col("sv")) / (col("qn") * col("sn")), 6))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("seed_id").as("cell")))
+      .select(col("query_id"), col("seed_id").as("cell"))
+    val probes = if (bucketedIndex) probesRaw.hint("merge") else bc(probesRaw)
     // per-query ADC lookup table: exact query subvector vs every
     // fitted centroid — same ×10¹² integer sums as the fit, folded
     // per (query, subspace, code) row by the codegen'd qdist12

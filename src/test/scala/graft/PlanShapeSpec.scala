@@ -550,6 +550,42 @@ class PlanShapeSpec extends SparkSpec {
       s"no dynamic partition pruning on the cell join:\n$p")
   }
 
+  test("q476: bucketed index layout — assign part joins with NO Exchange above its scan") {
+    // the production standing-index claim: partitionBy(part) +
+    // bucketBy(cell) means the corpus-sized assign part is PRE-hashed
+    // on the join key — the probe join consumes that partitioning, so
+    // only the tiny probe side shuffles (to the bucket count) and the
+    // index side reads bucket-co-located with zero Exchange. Tree-walk
+    // the non-adaptive plan: string matching can't scope "no Exchange"
+    // to one subtree.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q476_ivfpq_serve_bucketed")(spark, dir)
+      val p = df.queryExecution.executedPlan
+      val probeJoins = p.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("cell")) => j
+      }
+      assert(probeJoins.nonEmpty, s"probe-cell join is not sort-merge:\n$p")
+      val j = probeJoins.head
+      // right side = the bucketed assign part: a bucketed scan, and
+      // not one Exchange anywhere between it and the join
+      val scans = j.right.collect { case s: FileSourceScanExec => s }
+      assert(scans.exists(_.bucketedScan),
+        s"assign side does not read bucketed:\n${j.right}")
+      assert(j.right.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"Exchange above the bucketed assign scan:\n${j.right}")
+      // left side = probes: the one shuffle, sized to the bucket count
+      val probeEx = j.left.collect { case e: ShuffleExchangeExec => e }
+      assert(probeEx.nonEmpty, s"probe side consumed no shuffle:\n${j.left}")
+      assert(probeEx.head.outputPartitioning.numPartitions == 16,
+        s"probe shuffle not sized to the 16 buckets:\n${probeEx.head}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q470 (TPC-H Q2): decorrelated min joins back, dims broadcast, top-100 cut") {
     val p = plan("q470_tpch_q2")
     // the correlated min decorrelates into an aggregate re-joined on
