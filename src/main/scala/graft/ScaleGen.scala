@@ -156,7 +156,12 @@ object ScaleGen {
     }
     val Array(srcDir, outDir, kStr) = args
     val k = kStr.toInt
-    require(k >= 1 && k <= 100, s"k=$k out of [1, 100]")
+    // 300 is sandbox-disk-bounded, not structural: every stride is
+    // computed from the source's own max id (multiples of the slice
+    // moduli), the embedding rotation is orthogonal per replica at any
+    // k, and label/doc strides never collide. k=300 exists for the
+    // q326 serve extrapolation point (SCALING.md round 11).
+    require(k >= 1 && k <= 300, s"k=$k out of [1, 300]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

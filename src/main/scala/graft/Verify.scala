@@ -33,8 +33,10 @@ object Verify {
     // SPARK_GRAFT_ONLY=q49,q53. The driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // exact qNN-id or full-name match (mirrors Bench): "q47" must
+    // select only q47, never q470-q476
     def keep(name: String): Boolean =
-      only.forall(o => o.contains(name) || o.exists(name.startsWith))
+      only.forall(o => o.contains(name) || o.contains(name.takeWhile(_ != '_')))
     SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
       // coalesce(1) is harness-only: DuckDB diffs one file per query at
       // sf0.01. Product writes stay partitioned — never copy this shape.
