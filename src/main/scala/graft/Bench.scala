@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Artifact-of-record routing, pure so BenchArtifactSpec can pin
+    * every branch (the consequences of a wrong branch are a round's
+    * permanent record — see the BASELINE.md §"measurement protocol"
+    * history of near-misses this encodes):
+    * returns (detail file path, Some(divert reason to warn about)).
+    * Canonical = the driver's per-round scale, /root/testdata/sf0.1,
+    * EXACTLY — a clean run at any other dir (even another testdata
+    * scale) writes a suffixed file. Within a canonical run, a subset
+    * / error-bearing / contended capture each divert to their own
+    * file so `BENCH_detail.json` only ever holds a full, clean,
+    * guard-quiet sf0.1 capture. An env override routes anywhere
+    * silently (deliberate, not a divert). */
+  private[graft] def detailRoute(sfDir: String, subset: Boolean,
+      hasErrors: Boolean, hasContended: Boolean,
+      envOverride: Option[String]): (String, Option[String]) = {
+    val divert =
+      if (subset) Some("subset" -> "BENCH_detail_partial.json")
+      else if (hasErrors) Some("errors" -> "BENCH_detail_errors.json")
+      else if (hasContended) Some("contended" -> "BENCH_detail_contended.json")
+      else None
+    val canonical = sfDir == "/root/testdata/sf0.1"
+    val path = envOverride.getOrElse(
+      if (canonical) divert.fold("BENCH_detail.json")(_._2)
+      else "BENCH_detail_" +
+        java.nio.file.Paths.get(sfDir).getFileName.toString
+          .replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
+    (path, if (envOverride.isEmpty && canonical) divert.map(_._1) else None)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -204,41 +233,18 @@ object Bench {
       // SPARK_GRAFT_ONLY subset run writes BENCH_detail_partial.json
       // (it would otherwise shrink the record to the subset). The
       // protocol is documented in BASELINE.md.
-      // Canonical /root/testdata runs own these names; any other
-      // corpus (e.g. a /tmp ScaleGen snapshot) writes a suffixed file
-      // instead — a scaling capture must never clobber the round's
-      // official per-query record. An ERROR-bearing run is diverted
-      // too: it would write total_sec -1 with the errored queries
-      // absent from queries_sec, clobbering the record AND silently
-      // deactivating the next round's variance guard for those
-      // queries.
-      val divertReason =
-        if (only.nonEmpty) Some("subset" -> "BENCH_detail_partial.json")
-        else if (errs.nonEmpty) Some("errors" -> "BENCH_detail_errors.json")
-        else if (contended.nonEmpty)
-          Some("contended" -> "BENCH_detail_contended.json")
-        else None
-      // ... and the record is specifically the sf0.1 capture (the
-      // driver's per-round scale): a clean sf0.01 smoke run would
-      // otherwise clobber it with same-name different-scale numbers
-      // (round-11 near-miss — caught in the working tree).
-      val canonical = sfDir == "/root/testdata/sf0.1"
-      val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL",
-        if (canonical) divertReason.fold("BENCH_detail.json")(_._2)
-        else "BENCH_detail_" +
-          java.nio.file.Paths.get(sfDir).getFileName.toString
-            .replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
-      // warn only when a canonical full run was actually diverted —
-      // name the real reason (a GRAFT_BENCH_DETAIL override or a
+      // routing rationale on detailRoute's scaladoc; warn only when a
+      // canonical run was actually diverted (an env override or a
       // non-canonical corpus is deliberate, not a divert)
-      if (sys.env.get("GRAFT_BENCH_DETAIL").isEmpty && canonical)
-        divertReason.foreach { case (why, path) =>
-          System.err.println(s"[bench] $why run - detail diverted " +
-            s"to $path; BENCH_detail.json (artifact of record) " +
-            "left untouched." + (if (why == "contended")
-              " Rerun on a quiet machine for an official capture."
-            else ""))
-        }
+      val (detailPath, divertWhy) = detailRoute(sfDir, only.nonEmpty,
+        errs.nonEmpty, contended.nonEmpty, sys.env.get("GRAFT_BENCH_DETAIL"))
+      divertWhy.foreach { why =>
+        System.err.println(s"[bench] $why run - detail diverted " +
+          s"to $detailPath; BENCH_detail.json (artifact of record) " +
+          "left untouched." + (if (why == "contended")
+            " Rerun on a quiet machine for an official capture."
+          else ""))
+      }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(detailPath), detail.toString)
     } catch { case e: Throwable =>
