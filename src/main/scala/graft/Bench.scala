@@ -14,20 +14,78 @@ object Bench {
     * guard-quiet sf0.1 capture. An env override routes anywhere
     * silently (deliberate, not a divert). */
   private[graft] def detailRoute(sfDir: String, subset: Boolean,
-      hasErrors: Boolean, hasContended: Boolean,
+      hasErrors: Boolean, hasContended: Boolean, hasDrift: Boolean,
       envOverride: Option[String]): (String, Option[String]) = {
     val divert =
-      if (subset) Some("subset" -> "BENCH_detail_partial.json")
-      else if (hasErrors) Some("errors" -> "BENCH_detail_errors.json")
-      else if (hasContended) Some("contended" -> "BENCH_detail_contended.json")
+      if (subset) Some("subset" -> "partial")
+      else if (hasErrors) Some("errors" -> "errors")
+      else if (hasContended) Some("contended" -> "contended")
+      else if (hasDrift) Some("drift" -> "drift")
       else None
     val canonical = sfDir == "/root/testdata/sf0.1"
-    val path = envOverride.getOrElse(
-      if (canonical) divert.fold("BENCH_detail.json")(_._2)
+    // non-canonical corpora compose BOTH suffixes (round-12 fix: a
+    // subset/errored run at another dir used to silently clobber that
+    // dir's full clean record under the same name)
+    val base =
+      if (canonical) "BENCH_detail"
       else "BENCH_detail_" +
         java.nio.file.Paths.get(sfDir).getFileName.toString
-          .replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
-    (path, if (envOverride.isEmpty && canonical) divert.map(_._1) else None)
+          .replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = envOverride.getOrElse(
+      divert.fold(base + ".json")(d => s"${base}_${d._2}.json"))
+    (path, if (envOverride.isEmpty) divert.map(_._1) else None)
+  }
+
+  /** Median of current/prior per-query time ratios over the shared
+    * query set (prior ≥ `floor` — sub-50 ms priors are scheduler
+    * noise, not signal). None when fewer than `minShared` queries are
+    * comparable — a subset run or a format drift must not produce a
+    * confident-looking median from three points. This is the
+    * CAPTURE-LEVEL drift guard: the per-query 2× variance guard is
+    * blind to a uniform ~1.5× whole-window slowdown (round 11 passed
+    * one into the official record — 30 shared queries at 1.5–2.4×,
+    * each individually under 2×), so the capture as a whole is gated
+    * on the median shared ratio staying ≤ [[DriftMax]]. */
+  private[graft] def medianRatio(cur: Map[String, Double],
+      prior: Map[String, Double], floor: Double = 0.05,
+      minShared: Int = 20): Option[Double] = {
+    val ratios = cur.flatMap { case (k, v) =>
+      prior.get(k).filter(_ >= floor).map(p => v / p) }.toSeq.sorted
+    if (ratios.size < minShared) None
+    else Some(
+      if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
+  }
+
+  /** A capture whose shared-median ratio vs the prior official record
+    * exceeds this is host drift, not engine change: diverted like a
+    * contended run. A REAL engine-wide regression would also trip it —
+    * that is the desired behavior (it forces a quiet-host rerun and,
+    * if it reproduces, an explicit BASELINE.md adjudication + env-
+    * override write rather than a silent record shift). */
+  private[graft] val DriftMax = 1.15
+
+  @volatile private var canarySink = 0L
+  /** Host-speed canary: a fixed, engine-independent CPU probe
+    * (300M-iteration xorshift fold, min-of-3) stamped into the detail
+    * artifact as `canary_sec`. Future rounds separate machine-family
+    * drift from engine drift numerically (r11 needed solo-rerun
+    * forensics to conclude "the +9% was the host"): if total_sec and
+    * canary_sec move together, it's the machine. Pure JVM arithmetic —
+    * no Spark, no allocation, no I/O — so it prices exactly the
+    * single-thread CPU the per-query mins ride on. */
+  private[graft] def canary(): Double = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 300000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      canarySink = x // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).map(_ => pass()).min
   }
 
   def main(args: Array[String]): Unit = {
@@ -64,6 +122,10 @@ object Bench {
     // either (data itself stays cold — 1 row, limit pushed down)
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").limit(1).collect()
+    // host-speed canary AFTER the JIT warm (its own 3 passes warm its
+    // loop) and BEFORE any timed query — the number must price the
+    // host, not share a window with engine work
+    val canarySec = canary()
     // optional subset for local iteration: SPARK_GRAFT_ONLY=q35,q36
     // (qNN ids or full names — mirrors Verify's filter). Match the
     // qNN id EXACTLY, not by startsWith: "q47" must select only q47,
@@ -191,6 +253,13 @@ object Bench {
     val ok = results.collect { case (n, dt, None, _) => (n, dt) }
     val errs = results.collect { case (n, _, Some(m), _) => (n, m.take(120)) }
     val contended = results.collect { case (n, _, None, true) => n }
+    // capture-level drift guard (round-12): the median shared-query
+    // ratio vs the prior official record — a uniform whole-window
+    // slowdown that slips under the per-query 2× guard still diverts
+    // the capture. priorRef is already same-sf-only, so off-corpus
+    // runs never produce a ratio (None ⇒ guard inactive, honestly).
+    val sharedMedian = medianRatio(ok.toMap, priorRef)
+    val hasDrift = sharedMedian.exists(_ > DriftMax)
     val qs = ok.map { case (k, v) => jstr(qid(k)) + ":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (errs.nonEmpty) -1.0 else ok.map(_._2).sum
@@ -214,6 +283,9 @@ object Bench {
       detail ++= s"""  "sf": ${jstr(sfDir)},\n"""
       detail ++= s"""  "total_sec": ${ms(total)},\n"""
       detail ++= s"""  "n_queries": ${ok.size},\n"""
+      detail ++= s"""  "canary_sec": ${ms(canarySec)},\n"""
+      detail ++= s"""  "shared_median_ratio": ${
+        sharedMedian.fold("null")(ms)},\n"""
       detail ++= s"""  "errors": {""" + errs.map { case (k, m) =>
         s"\n    ${jstr(k)}: ${jstr(m)}" }.mkString(",") +
         (if (errs.isEmpty) "},\n" else "\n  },\n")
@@ -237,13 +309,21 @@ object Bench {
       // canonical run was actually diverted (an env override or a
       // non-canonical corpus is deliberate, not a divert)
       val (detailPath, divertWhy) = detailRoute(sfDir, only.nonEmpty,
-        errs.nonEmpty, contended.nonEmpty, sys.env.get("GRAFT_BENCH_DETAIL"))
+        errs.nonEmpty, contended.nonEmpty, hasDrift,
+        sys.env.get("GRAFT_BENCH_DETAIL"))
       divertWhy.foreach { why =>
         System.err.println(s"[bench] $why run - detail diverted " +
-          s"to $detailPath; BENCH_detail.json (artifact of record) " +
-          "left untouched." + (if (why == "contended")
-            " Rerun on a quiet machine for an official capture."
-          else ""))
+          s"to $detailPath; the artifact of record is " +
+          "left untouched." + (why match {
+            case "contended" =>
+              " Rerun on a quiet machine for an official capture."
+            case "drift" =>
+              f" Shared-median ratio ${sharedMedian.getOrElse(0.0)}%.3f > " +
+                f"$DriftMax - whole-window host drift (or a real engine-" +
+                "wide regression: rerun quiet; if it reproduces, " +
+                "adjudicate in BASELINE.md)."
+            case _ => ""
+          }))
       }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(detailPath), detail.toString)

@@ -302,6 +302,54 @@ object SparkEntry {
       col("c"), col("vec"))
   }
 
+  /** The INGEST-facing standing index in the production bucketed
+    * layout — [[vecIndexBucketedTable]]'s sibling over the 90%
+    * "already ingested" slice, with the cell count auto-scaled
+    * exactly as [[vecIndexTable]]'s old-slice build (max(8, n/128)):
+    * identical index ROWS to the partitioned old-slice index, so the
+    * streaming probe over either layout returns identical pairs
+    * (q477 hash-matches q333 — oracle-enforced). Note the auto-scaled
+    * cell count puts this table in the layout's INTENDED regime
+    * (cells ≫ the 16 buckets) already at sf0.1 (~140 cells), unlike
+    * q476's 8-cell parity build — the live serve rides the
+    * configuration the 100 TB argument is about. */
+  private def vecIndexBucketedOldTable(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "graft_vecindex_bo_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(dir).toLong & 0xffffffffL)
+    if (!s.catalog.tableExists(tbl)) {
+      val corpus = t(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 7)
+      val cells = math.max(8L, corpus.count() / 128L).toInt
+      Similarity.ivfPqIndex(corpus, numCells = cells)
+        .write.mode("overwrite").partitionBy("part")
+        .bucketBy(16, "c").sortBy("c").saveAsTable(tbl)
+    }
+    s.table(tbl).select(col("part"), col("id"), col("s"),
+      col("c"), col("vec"))
+  }
+
+  /** q477's streaming pipeline, factored out so PlanShapeSpec can
+    * hold the [[org.apache.spark.sql.streaming.StreamingQuery]] and
+    * pin the micro-batch executed plan (the registered query only
+    * returns the sink table). Complete-mode memory sink named
+    * `q477_vec_ingest`; caller awaits termination. */
+  private[graft] def streamingBucketedProbe(
+      s: SparkSession, dir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val e = t(s, dir, "embeddings")
+    val src = vecFreshFeed(s, dir)
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .parquet(src)
+    val probed = Similarity.streamingVectorProbe(
+      vecIndexBucketedOldTable(s, dir),
+      e.filter(col("vec_id") % 10 =!= 7), stream, tau = 0.4,
+      bucketedIndex = true)
+    s.catalog.dropTempView("q477_vec_ingest")
+    probed.writeStream.format("memory")
+      .queryName("q477_vec_ingest")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     normTs(s.read.parquet(s"$dir/$name.parquet"))
 
@@ -2818,6 +2866,17 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfPqServe(vecIndexBucketedTable(s, dir),
         e, e.filter(col("vec_id") < 20), 3, bucketedIndex = true)
+    }),
+    // q333's live threshold probe over the PRODUCTION index layout:
+    // the stream-static probe → assign join consumes the bucketed
+    // catalog table's HashPartitioning each micro-batch, so the
+    // corpus-sized assign part joins with NO Exchange above its scan
+    // (plan-pinned on the micro-batch executed plan). Same index
+    // rows, auto-scaled cells (≫ buckets — the intended regime) —
+    // output hash-matches q333.
+    "q477_streaming_serve_bucketed" -> ((s, dir) => {
+      streamingBucketedProbe(s, dir).awaitTermination()
+      s.table("q477_vec_ingest")
     }),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
@@ -5564,6 +5623,46 @@ object SparkEntry {
   /** Auto-scaled cell count for the ingest-facing indexes, as SQL —
     * mirrors vecIndexTable's `max(8, n/128)` exactly. */
   private val autoCellsSql = "(SELECT greatest(8, count(*)//128) FROM c)"
+
+  /** DuckDB dual of the streaming threshold probe: fresh ranks the
+    * old-slice seeds by the same rounded cosine, probes 4 cells of
+    * the standing assignment, verifies by exact cosine ≥ tau — no
+    * ADC, no shortlist. Shared verbatim by q333 (partitioned index)
+    * and q477 (bucketed production layout): the two serves read the
+    * SAME index rows, so one replay is both oracles. */
+  private def streamVecProbeDuck: String =
+    s"""WITH ${ivfPqFitCtes("WHERE vec_id % 10 <> 7", autoCellsSql)},
+      |qsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
+      |ca AS (
+      |  SELECT x.vec_id AS cand_id, s.seed_id,
+      |    ${duckCos("x.embedding", "s.sv")} AS cs
+      |  FROM c x, seeds s
+      |), assign AS (
+      |  SELECT cand_id, seed_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY cand_id
+      |      ORDER BY cs DESC, seed_id) AS arn
+      |    FROM ca) WHERE arn <= 2
+      |), qa AS (
+      |  SELECT q.vec_id AS query_id, s.seed_id,
+      |    ${duckCos("q.embedding", "s.sv")} AS cs
+      |  FROM qsrc q, seeds s
+      |), probes AS (
+      |  SELECT query_id, seed_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cs DESC, seed_id) AS pr
+      |    FROM qa) WHERE pr <= 4
+      |), cand AS (
+      |  SELECT DISTINCT p.query_id, a.cand_id
+      |  FROM probes p JOIN assign a
+      |    ON p.cell = a.cell AND a.cand_id <> p.query_id
+      |), sc AS (
+      |  SELECT cand.query_id, cand.cand_id,
+      |    ${duckCos("q.embedding", "x.embedding")} AS cos
+      |  FROM cand
+      |  JOIN qsrc q ON q.vec_id = cand.query_id
+      |  JOIN c x ON x.vec_id = cand.cand_id
+      |)
+      |SELECT query_id, cand_id, cos FROM sc WHERE cos >= 0.4""".stripMargin
 
   /** DuckDB dual of the index-delta encode: fit CTEs on the old
     * slice + the arriving batch's argmax cells / argmin codes,
@@ -15269,39 +15368,11 @@ object SparkEntry {
     // threshold probe replay: fresh ranks the old-slice seeds by the
     // same rounded cosine, probes 4 cells of the standing assignment,
     // verifies by exact cosine >= tau — no ADC, no shortlist
-    "q333_streaming_vector_probe" ->
-      s"""WITH ${ivfPqFitCtes("WHERE vec_id % 10 <> 7", autoCellsSql)},
-        |qsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
-        |ca AS (
-        |  SELECT x.vec_id AS cand_id, s.seed_id,
-        |    ${duckCos("x.embedding", "s.sv")} AS cs
-        |  FROM c x, seeds s
-        |), assign AS (
-        |  SELECT cand_id, seed_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY cand_id
-        |      ORDER BY cs DESC, seed_id) AS arn
-        |    FROM ca) WHERE arn <= 2
-        |), qa AS (
-        |  SELECT q.vec_id AS query_id, s.seed_id,
-        |    ${duckCos("q.embedding", "s.sv")} AS cs
-        |  FROM qsrc q, seeds s
-        |), probes AS (
-        |  SELECT query_id, seed_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cs DESC, seed_id) AS pr
-        |    FROM qa) WHERE pr <= 4
-        |), cand AS (
-        |  SELECT DISTINCT p.query_id, a.cand_id
-        |  FROM probes p JOIN assign a
-        |    ON p.cell = a.cell AND a.cand_id <> p.query_id
-        |), sc AS (
-        |  SELECT cand.query_id, cand.cand_id,
-        |    ${duckCos("q.embedding", "x.embedding")} AS cos
-        |  FROM cand
-        |  JOIN qsrc q ON q.vec_id = cand.query_id
-        |  JOIN c x ON x.vec_id = cand.cand_id
-        |)
-        |SELECT query_id, cand_id, cos FROM sc WHERE cos >= 0.4""".stripMargin,
+    "q333_streaming_vector_probe" -> streamVecProbeDuck,
+    // the live serve over the bucketed production layout reads the
+    // SAME index rows (auto-scaled cells, old slice) — q333's replay
+    // verbatim, hash-equality of the two layouts oracle-enforced
+    "q477_streaming_serve_bucketed" -> streamVecProbeDuck,
     "q47_dedup_clusters" ->
       (minhashClustersCte + "SELECT doc_id, cluster_rep FROM resolved"),
     // identical to q47 BY DESIGN: the incremental path must land on

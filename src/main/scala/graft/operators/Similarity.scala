@@ -1517,9 +1517,20 @@ object Similarity {
     *
     * Scale shape: seeds are numCells rows (broadcast as one array);
     * the assign part is (cell)-bucket-readable; per-batch state is
-    * bounded by the verified-pair count. */
+    * bounded by the verified-pair count.
+    *
+    * `bucketedIndex = true` is the PRODUCTION standing-layout serve
+    * ([[ivfPqServe]]'s q476 posture, live): the index is a
+    * partitionBy(part) + bucketBy(cell) catalog table and the probe →
+    * assign stream-static join is merge-hinted so each micro-batch
+    * CONSUMES the bucketed scan's HashPartitioning — the corpus-sized
+    * assign part joins with NO Exchange above its scan, and only the
+    * (micro-batch-sized) probe side shuffles, to the bucket count.
+    * Identical rows either way; only the exchange strategy moves
+    * (q477 hash-matches q333 — oracle-enforced). */
   def streamingVectorProbe(index: DataFrame, corpus: DataFrame,
                            stream: DataFrame, tau: Double, nprobe: Int = 4,
+                           bucketedIndex: Boolean = false,
                            idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
     val seedArr = broadcast(index.filter(col("part") === "seed")
@@ -1544,7 +1555,8 @@ object Similarity {
         col("_p.cell").as("cell"))
     val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
-    probed.join(assigned, Seq("cell"))
+    (if (bucketedIndex) probed.hint("merge") else probed)
+      .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
       .join(cv, Seq("cand_id"))
       .withColumn("cos",

@@ -561,6 +561,7 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = SparkEntry.queries("q476_ivfpq_serve_bucketed")(spark, dir)
@@ -583,7 +584,43 @@ class PlanShapeSpec extends SparkSpec {
       assert(probeEx.nonEmpty, s"probe side consumed no shuffle:\n${j.left}")
       assert(probeEx.head.outputPartitioning.numPartitions == 16,
         s"probe shuffle not sized to the 16 buckets:\n${probeEx.head}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("q477: streaming serve over bucketed layout — static assign side Exchange-free per micro-batch") {
+    // the LIVE version of q476's claim: each micro-batch's stream-
+    // static probe join must CONSUME the bucketed catalog table's
+    // HashPartitioning — the corpus-sized assign part reads bucketed
+    // with no Exchange, only the micro-batch-sized probe side
+    // shuffles (to the bucket count). Streaming plans skip AQE, so
+    // the executed plan is walked directly; it lives on the wrapped
+    // StreamExecution (private[sql] — reached via reflection).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val q = SparkEntry.streamingBucketedProbe(spark, dir)
+    try q.awaitTermination() finally q.stop()
+    val se = q.getClass.getMethod("streamingQuery").invoke(q)
+    val qe = se.getClass.getMethod("lastExecution").invoke(se)
+      .asInstanceOf[org.apache.spark.sql.execution.QueryExecution]
+    val p = qe.executedPlan
+    val probeJoins = p.collect {
+      case j: SortMergeJoinExec
+        if j.leftKeys.exists(_.toString.contains("cell")) => j
+    }
+    assert(probeJoins.nonEmpty,
+      s"probe-cell stream-static join is not sort-merge:\n$p")
+    val j = probeJoins.head
+    val scans = j.right.collect { case s: FileSourceScanExec => s }
+    assert(scans.exists(_.bucketedScan),
+      s"assign side does not read bucketed:\n${j.right}")
+    assert(j.right.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"Exchange above the bucketed assign scan:\n${j.right}")
+    val probeEx = j.left.collect { case e: ShuffleExchangeExec => e }
+    assert(probeEx.nonEmpty,
+      s"stream probe side consumed no shuffle:\n${j.left}")
+    assert(probeEx.head.outputPartitioning.numPartitions == 16,
+      s"probe shuffle not sized to the 16 buckets:\n${probeEx.head}")
   }
 
   test("q470 (TPC-H Q2): decorrelated min joins back, dims broadcast, top-100 cut") {
