@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   *    100 TB deployment would do: 8-byte join keys instead of
   *    ~13-token strings, at a measurable-not-zero collision
   *    over-drop).
+  *  - q319 (IVF-PQ) share: the vector family's ONLY runtime md5 is
+  *    the seed-sampling rank (`ivfSeeds` orders the corpus by
+  *    md5(id)) — the projection planes use md5 at PLAN time (folded
+  *    to literals) and the serve path uses none. The arm times the
+  *    full TakeOrdered seed pass with md5 vs xxhash64 rank, and the
+  *    full index build for denominator context: the md5 share of the
+  *    build is the measured quantity (expected ≈ 0 — one hash of a
+  *    short id per row vs n·cells·dim distance flops).
   *
   * Usage: `runMain graft.HashProfile [corpusDir]` (default
   * /tmp/scale10 — the k=10 ScaleGen snapshot the round-11 table
@@ -84,11 +92,27 @@ object HashProfile {
       docs.join(contaminated, Seq("doc_id"), "left_anti").count()
     }
 
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // the seed pass exactly as ivfSeeds plans it (TakeOrdered over
+    // the full corpus), md5 vs engine-private xxhash64 rank; the
+    // build arm is the denominator (cells=64 — the scale10 posture)
+    def seedMd5(): Long = emb.orderBy(
+      graft.functions.HashFunctions.md5Long(col("vec_id").cast("string")),
+      col("vec_id")).limit(256).count()
+    def seedXx(): Long = emb.orderBy(
+      xxhash64(col("vec_id").cast("string")),
+      col("vec_id")).limit(256).count()
+    def q319build(): Long = Similarity.ivfPqIndex(emb, numCells = 64).count()
+
     val arms: Seq[(String, () => Long)] = Seq(
       "q24_md5" -> (() => q24md5()),
       "q24_xx" -> (() => q24xx()),
       "q67_string_grams" -> (() => q67str()),
-      "q67_xx_grams" -> (() => q67hash()))
+      "q67_xx_grams" -> (() => q67hash()),
+      "q319_seed_md5" -> (() => seedMd5()),
+      "q319_seed_xx" -> (() => seedXx()),
+      "q319_build" -> (() => q319build()))
     // interleaved min-of-2: round 1 over all arms, then round 2 —
     // neither arm systematically rides a warmer page cache
     val t1 = arms.map { case (l, f) => l -> timed(s"$l p1", f) }
@@ -99,6 +123,11 @@ object HashProfile {
     println(f"[hashprofile] md5 tax q24: ${m("q24_md5") / m("q24_xx")}%.2f x; " +
       f"string-gram tax q67: ${m("q67_string_grams") / m("q67_xx_grams")}%.2f x " +
       s"(dir=$dir)")
+    println(f"[hashprofile] q319 md5 share: seed md5 ${m("q319_seed_md5")}%.2f s" +
+      f" vs xx ${m("q319_seed_xx")}%.2f s; delta ${
+        m("q319_seed_md5") - m("q319_seed_xx")}%.3f s = ${
+        100 * (m("q319_seed_md5") - m("q319_seed_xx")) / m("q319_build")}%.2f%%" +
+      f" of the ${m("q319_build")}%.1f s build (serve path uses no md5)")
     spark.stop()
   }
 }
