@@ -328,6 +328,30 @@ object SparkEntry {
       col("c"), col("vec"))
   }
 
+  /** The PRODUCTION configuration end-to-end: the bucketed layout AND
+    * the corpus-scaled cell count together (q476 deliberately keeps
+    * q326's 8-cell parity build so their hash-equality is oracle-
+    * enforced — but 8 cells < 16 buckets is the layout's degenerate
+    * regime, SCALING.md round 11). Cells = max(8, n/128) puts the
+    * sf0.1 table at ~156 cells vs 16 buckets — the intended regime —
+    * and q478's DuckDB replay re-fits the same ladder at the same
+    * auto-scaled cell count, so the production configuration is
+    * oracle-verified, not just profiled. */
+  private def vecIndexBucketedAutoTable(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "graft_vecindex_ba_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(dir).toLong & 0xffffffffL)
+    if (!s.catalog.tableExists(tbl)) {
+      val corpus = t(s, dir, "embeddings")
+      val cells = math.max(8L, corpus.count() / 128L).toInt
+      Similarity.ivfPqIndex(corpus, numCells = cells)
+        .write.mode("overwrite").partitionBy("part")
+        .bucketBy(16, "c").sortBy("c").saveAsTable(tbl)
+    }
+    s.table(tbl).select(col("part"), col("id"), col("s"),
+      col("c"), col("vec"))
+  }
+
   /** q477's streaming pipeline, factored out so PlanShapeSpec can
     * hold the [[org.apache.spark.sql.streaming.StreamingQuery]] and
     * pin the micro-batch executed plan (the registered query only
@@ -2877,6 +2901,17 @@ object SparkEntry {
     "q477_streaming_serve_bucketed" -> ((s, dir) => {
       streamingBucketedProbe(s, dir).awaitTermination()
       s.table("q477_vec_ingest")
+    }),
+    // The production CONFIGURATION, not just the production layout:
+    // bucketed catalog table AND corpus-scaled cells (~156 at sf0.1 —
+    // cells ≫ the 16 buckets, the intended regime q476's 8-cell
+    // parity build can't occupy). Own DuckDB replay at the same
+    // auto-scaled cell count — the intended-regime serve is
+    // oracle-verified end-to-end.
+    "q478_ivfpq_serve_autocell" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqServe(vecIndexBucketedAutoTable(s, dir),
+        e, e.filter(col("vec_id") < 20), 3, bucketedIndex = true)
     }),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
@@ -15386,6 +15421,11 @@ object SparkEntry {
     // same parameters — only the index's physical layout moved, so
     // q326's oracle is q476's oracle verbatim
     "q476_ivfpq_serve_bucketed" -> ivfPqDuck("", "WHERE vec_id < 20"),
+    // the production configuration (bucketed layout + auto-scaled
+    // cells): the same ladder re-fit at greatest(8, n//128) cells —
+    // the intended-regime serve, oracle-verified
+    "q478_ivfpq_serve_autocell" ->
+      ivfPqDuck("", "WHERE vec_id < 20", cellsSql = autoCellsSql),
     // per-batch ingest probe == full search with corpus = old slice,
     // queries = arriving slice; is_dup rides the exact cosine
     "q327_vector_ingest_probe" -> ivfPqDuck(
