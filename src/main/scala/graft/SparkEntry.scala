@@ -352,6 +352,58 @@ object SparkEntry {
       col("c"), col("vec"))
   }
 
+  /** q479: the production layout is MAINTAINABLE IN PLACE — the
+    * property that makes a standing index standing at 100 TB (no
+    * rebuild per batch). Wave 1 of the arriving slice is encoded
+    * against the standing old-slice index ([[Similarity.ivfPqEncode]]
+    * — standing seeds/centroids, nothing re-fit), its assign/code
+    * rows APPENDED into the bucketed catalog table via `insertInto`
+    * (Spark writes appended files honoring the table's bucket spec,
+    * so the bucketing — and therefore the Exchange-free serve —
+    * survives the append), and wave 2 is then probed against the
+    * UPDATED standing index. Each bench pass rebuilds its own table
+    * copy (overwrite CTAS from the standing table) so the append is
+    * rerun-safe without accretion. The DuckDB replay re-derives the
+    * updated assign part as one assignment pass of (old ∪ wave1)
+    * against the OLD-slice fit — exactly what standing + encoded
+    * delta holds, by ivfPqEncode's exactness contract. */
+  private[graft] def bucketedAppendServe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val standing = vecIndexBucketedOldTable(s, dir)
+    val tbl = "graft_vecindex_479_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(dir).toLong & 0xffffffffL)
+    // fresh copy per run: append must not accrete across bench passes
+    standing.write.mode("overwrite").partitionBy("part")
+      .bucketBy(16, "c").sortBy("c").saveAsTable(tbl)
+    val wave1 = e.filter(col("vec_id") % 20 === 7)
+    val enc = Similarity.ivfPqEncode(standing, wave1)
+    val nullVec = lit(null).cast("array<double>")
+    val nullL = lit(null).cast("long")
+    val assignRows = enc.select(explode(col("cells")).as("c"),
+        col("vec_id").as("id"))
+      .select(lit("assign").as("part"), col("id"), nullL.as("s"),
+        col("c").cast("long").as("c"), nullVec.as("vec"))
+    val codeRows = enc.select(col("vec_id").as("id"),
+        posexplode(col("codes")).as(Seq("s", "c")))
+      .select(lit("code").as("part"), col("id"),
+        col("s").cast("long").as("s"), col("c").cast("long").as("c"),
+        nullVec.as("vec"))
+    val cols = s.table(tbl).columns.map(col)
+    assignRows.unionByName(codeRows).select(cols: _*)
+      .write.mode("append").insertInto(tbl)
+    val updated = s.table(tbl).select(col("part"), col("id"), col("s"),
+      col("c"), col("vec"))
+    val corpus2 = e.filter(col("vec_id") % 10 =!= 7 ||
+      col("vec_id") % 20 === 7)
+    // streamingVectorProbe is pure DataFrame ops — called on a static
+    // wave-2 frame it IS the batch threshold probe (SimilaritySpec
+    // pins stream == static for this operator)
+    Similarity.streamingVectorProbe(updated, corpus2,
+      e.filter(col("vec_id") % 20 === 17), tau = 0.4,
+      bucketedIndex = true)
+  }
+
   /** q477's streaming pipeline, factored out so PlanShapeSpec can
     * hold the [[org.apache.spark.sql.streaming.StreamingQuery]] and
     * pin the micro-batch executed plan (the registered query only
@@ -2913,6 +2965,12 @@ object SparkEntry {
       Similarity.ivfPqServe(vecIndexBucketedAutoTable(s, dir),
         e, e.filter(col("vec_id") < 20), 3, bucketedIndex = true)
     }),
+    // In-place maintenance of the production layout: wave 1 encoded
+    // against the standing index, appended into the bucketed catalog
+    // table (insertInto preserves the bucket spec), wave 2 served
+    // against the UPDATED standing index — no rebuild anywhere.
+    "q479_bucketed_index_append" -> ((s, dir) =>
+      bucketedAppendServe(s, dir)),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
         "event_type", floor(col("value") * 100 + lit(0.5)))),
@@ -5696,6 +5754,49 @@ object SparkEntry {
       |  FROM cand
       |  JOIN qsrc q ON q.vec_id = cand.query_id
       |  JOIN c x ON x.vec_id = cand.cand_id
+      |)
+      |SELECT query_id, cand_id, cos FROM sc WHERE cos >= 0.4""".stripMargin
+
+  /** DuckDB dual of the bucketed-table append + next-wave probe
+    * (q479): the fit CTEs run on the OLD slice (the standing index's
+    * seeds/centroids are never re-fit), the assign part is ONE
+    * assignment pass of (old ∪ wave1) against those old seeds —
+    * exactly what standing-rows + ivfPqEncode-delta holds, by the
+    * encoder's exactness contract — and wave 2 probes it with the
+    * exact-cosine ≥ τ verify. */
+  private def deltaProbeDuck: String =
+    s"""WITH ${ivfPqFitCtes("WHERE vec_id % 10 <> 7", autoCellsSql)},
+      |c2 AS (SELECT vec_id, embedding FROM embeddings
+      |       WHERE vec_id % 10 <> 7 OR vec_id % 20 = 7),
+      |qsrc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 17),
+      |ca AS (
+      |  SELECT x.vec_id AS cand_id, s.seed_id,
+      |    ${duckCos("x.embedding", "s.sv")} AS cs
+      |  FROM c2 x, seeds s
+      |), assign AS (
+      |  SELECT cand_id, seed_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY cand_id
+      |      ORDER BY cs DESC, seed_id) AS arn
+      |    FROM ca) WHERE arn <= 2
+      |), qa AS (
+      |  SELECT q.vec_id AS query_id, s.seed_id,
+      |    ${duckCos("q.embedding", "s.sv")} AS cs
+      |  FROM qsrc q, seeds s
+      |), probes AS (
+      |  SELECT query_id, seed_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cs DESC, seed_id) AS pr
+      |    FROM qa) WHERE pr <= 4
+      |), cand AS (
+      |  SELECT DISTINCT p.query_id, a.cand_id
+      |  FROM probes p JOIN assign a
+      |    ON p.cell = a.cell AND a.cand_id <> p.query_id
+      |), sc AS (
+      |  SELECT cand.query_id, cand.cand_id,
+      |    ${duckCos("q.embedding", "x.embedding")} AS cos
+      |  FROM cand
+      |  JOIN qsrc q ON q.vec_id = cand.query_id
+      |  JOIN c2 x ON x.vec_id = cand.cand_id
       |)
       |SELECT query_id, cand_id, cos FROM sc WHERE cos >= 0.4""".stripMargin
 
@@ -15426,6 +15527,10 @@ object SparkEntry {
     // the intended-regime serve, oracle-verified
     "q478_ivfpq_serve_autocell" ->
       ivfPqDuck("", "WHERE vec_id < 20", cellsSql = autoCellsSql),
+    // append-then-serve: standing old-slice fit + one (old ∪ wave1)
+    // assignment pass + wave-2 exact-cosine probe — the in-place
+    // maintenance path's replay
+    "q479_bucketed_index_append" -> deltaProbeDuck,
     // per-batch ingest probe == full search with corpus = old slice,
     // queries = arriving slice; is_dup rides the exact cosine
     "q327_vector_ingest_probe" -> ivfPqDuck(

@@ -623,6 +623,36 @@ class PlanShapeSpec extends SparkSpec {
       s"probe shuffle not sized to the 16 buckets:\n${probeEx.head}")
   }
 
+  test("q479: bucketing SURVIVES the insertInto append — updated index still joins Exchange-free") {
+    // the in-place-maintenance claim: appending encoded delta rows via
+    // insertInto writes files honoring the table's bucket spec, so the
+    // post-append serve still consumes HashPartitioning(c, 16) with no
+    // Exchange over the corpus-sized assign side. If the append had
+    // silently degraded the table to unbucketed, results would still
+    // be correct (q479's oracle can't see it) — only this plan walk
+    // can.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.bucketedAppendServe(spark, dir)
+      val p = df.queryExecution.executedPlan
+      val probeJoins = p.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("cell")) => j
+      }
+      assert(probeJoins.nonEmpty, s"probe-cell join is not sort-merge:\n$p")
+      val j = probeJoins.head
+      val scans = j.right.collect { case s: FileSourceScanExec => s }
+      assert(scans.exists(_.bucketedScan),
+        s"updated assign side does not read bucketed:\n${j.right}")
+      assert(j.right.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"Exchange above the appended bucketed scan:\n${j.right}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("q470 (TPC-H Q2): decorrelated min joins back, dims broadcast, top-100 cut") {
     val p = plan("q470_tpch_q2")
     // the correlated min decorrelates into an aggregate re-joined on
