@@ -260,6 +260,19 @@ object Bench {
     // runs never produce a ratio (None ⇒ guard inactive, honestly).
     val sharedMedian = medianRatio(ok.toMap, priorRef)
     val hasDrift = sharedMedian.exists(_ > DriftMax)
+    // the guard is deliberately one-sided (only slow captures divert)
+    // but a suspiciously FAST capture is flagged: if it becomes the
+    // record, every normal-host capture afterwards reads ~1.1-1.2x
+    // and diverts indefinitely until a manual BASELINE.md
+    // adjudication (ADVICE r12). Warn, don't divert - a genuinely
+    // faster engine must still be able to set a new record.
+    sharedMedian.filter(_ < 1.0 / DriftMax).foreach { r =>
+      System.err.println(f"[bench] NOTE: shared-median ratio $r%.3f < " +
+        f"${1.0 / DriftMax}%.3f - anomalously fast vs the prior record " +
+        "(fast host or real speedup). If committed as the record, note " +
+        "the canary_sec pair in BASELINE.md so later normal-host " +
+        "captures reading ~1.1-1.2x are not misread as drift.")
+    }
     val qs = ok.map { case (k, v) => jstr(qid(k)) + ":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (errs.nonEmpty) -1.0 else ok.map(_._2).sum
@@ -283,6 +296,11 @@ object Bench {
       detail ++= s"""  "sf": ${jstr(sfDir)},\n"""
       detail ++= s"""  "total_sec": ${ms(total)},\n"""
       detail ++= s"""  "n_queries": ${ok.size},\n"""
+      // registered-query count at capture time: a record whose
+      // n_queries < n_registered is machine-detectably incomplete
+      // (r12: q478/q479 postdated the guard-clean capture and nothing
+      // in the artifact said so - only a BASELINE.md note did)
+      detail ++= s"""  "n_registered": ${SparkEntry.queries.size},\n"""
       detail ++= s"""  "canary_sec": ${ms(canarySec)},\n"""
       detail ++= s"""  "shared_median_ratio": ${
         sharedMedian.fold("null")(ms)},\n"""
@@ -305,9 +323,11 @@ object Bench {
       // SPARK_GRAFT_ONLY subset run writes BENCH_detail_partial.json
       // (it would otherwise shrink the record to the subset). The
       // protocol is documented in BASELINE.md.
-      // routing rationale on detailRoute's scaladoc; warn only when a
-      // canonical run was actually diverted (an env override or a
-      // non-canonical corpus is deliberate, not a divert)
+      // routing rationale on detailRoute's scaladoc; warn on ANY
+      // divert, canonical dir or not (round-12 behavior, pinned by
+      // BenchArtifactSpec: a subset/errored/contended run at a
+      // non-canonical corpus also diverts, composing both suffixes —
+      // only an env override is silent, being deliberate)
       val (detailPath, divertWhy) = detailRoute(sfDir, only.nonEmpty,
         errs.nonEmpty, contended.nonEmpty, hasDrift,
         sys.env.get("GRAFT_BENCH_DETAIL"))

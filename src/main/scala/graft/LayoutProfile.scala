@@ -29,16 +29,29 @@ import graft.operators.Similarity
   * metadata cost the 100 TB argument is about (directory count grows
   * with cells in the partitioned layout, is fixed in the bucketed).
   *
-  * Usage: `runMain graft.LayoutProfile [corpusDir] [cells] [passes]`
-  * (defaults /tmp/scale100, 128, 3). Prints one line per timed arm
-  * plus a summary; writes nothing durable (tmp dir + a temp-warehouse
-  * catalog table, both removed at exit).
+  * Usage: `runMain graft.LayoutProfile [corpusDir] [cells] [passes]
+  * [buckets]` (defaults /tmp/scale100, 128, 3, 16). The buckets arg
+  * sweeps the OTHER layout constant (VERDICT r12 item 3: the rule is
+  * "cells ≫ buckets", but 16 was a constant chosen at sf0.1 — a
+  * 100 TB operator provisions buckets against cluster width). Prints
+  * one line per timed arm plus a summary; writes nothing durable
+  * (tmp dirs + the temp-warehouse catalog table are removed in a
+  * finally, even when the interchangeability require() throws).
   */
 object LayoutProfile {
+  private def rmTree(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale100")
     val cells = args.lift(1).map(_.toInt).getOrElse(128)
     val passes = args.lift(2).map(_.toInt).getOrElse(3)
+    val buckets = args.lift(3).map(_.toInt).getOrElse(16)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val wh = java.nio.file.Files.createTempDirectory("graft-layout-wh")
     val spark = SparkSession.builder()
@@ -52,10 +65,13 @@ object LayoutProfile {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JIT warm
 
+    val idxTmp = java.nio.file.Files.createTempDirectory("graft-layout")
+    val tbl = "graft_layout_bucketed"
+    try {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = e.count()
-    println(s"[layout] corpus $dir: $n vectors, cells=$cells, buckets=16" +
-      s" (cells/buckets = ${cells / 16.0})")
+    println(s"[layout] corpus $dir: $n vectors, cells=$cells, " +
+      s"buckets=$buckets (cells/buckets = ${cells.toDouble / buckets})")
 
     def timed(label: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
@@ -70,28 +86,26 @@ object LayoutProfile {
     // identical rows for the serve comparison to be pure layout. The
     // build itself is timed once for context (the nightly-rebuild
     // cost, not the serve cost under comparison).
-    val idxPath = java.nio.file.Files
-      .createTempDirectory("graft-layout").resolve("idx").toString
+    val idxPath = idxTmp.resolve("idx").toString
     var built: DataFrame = null
     timed(s"index build (cells=$cells), cached") {
       built = Similarity.ivfPqIndex(e, numCells = cells).cache()
       built.count()
     }
     val partPath = idxPath + "_part"
-    val tbl = "graft_layout_bucketed"
     val wPart = timed("layout write: partitionBy(part, c)") {
       built.write.mode("overwrite").partitionBy("part", "c")
         .parquet(partPath); 0L
     }
-    val wBuck = timed("layout write: partitionBy(part) + bucketBy(16, c)") {
+    val wBuck = timed(s"layout write: partitionBy(part) + bucketBy($buckets, c)") {
       built.write.mode("overwrite").partitionBy("part")
-        .bucketBy(16, "c").sortBy("c").saveAsTable(tbl); 0L
+        .bucketBy(buckets, "c").sortBy("c").saveAsTable(tbl); 0L
     }
     built.unpersist()
     val cellDirs = new java.io.File(s"$partPath/part=assign").list()
     println(s"[layout] partitioned layout: ${
       Option(cellDirs).map(_.length).getOrElse(0)} c= dirs under " +
-      "part=assign; bucketed: 16 files per part dir")
+      s"part=assign; bucketed: $buckets files per part dir")
 
     // serve arms: the q326/q476 registered shape at this corpus
     def ixPart: DataFrame = spark.read.parquet(partPath)
@@ -129,8 +143,17 @@ object LayoutProfile {
     println(f"[layout] MIN serve partitioned: ${mins._1}%.2f s; " +
       f"bucketed: ${mins._2}%.2f s; bucketed/partitioned = ${
         mins._2 / mins._1}%.2f " +
-      f"(n=$n, cells=$cells, write part ${wPart}%.1f s vs buck ${wBuck}%.1f s)")
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    spark.stop()
+      f"(n=$n, cells=$cells, buckets=$buckets, " +
+      f"write part ${wPart}%.1f s vs buck ${wBuck}%.1f s)")
+    } finally {
+      // cleanup must run even when the interchangeability require()
+      // throws (ADVICE r12): the temp table, both temp dirs, and the
+      // session itself
+      try spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      catch { case _: Throwable => () }
+      try spark.stop() catch { case _: Throwable => () }
+      rmTree(idxTmp)
+      rmTree(wh)
+    }
   }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Layout, Similarity}
+
+/** Prices APPEND ACCRETION on the bucketed standing index — the last
+  * unmeasured leg of the 100 TB maintenance story (VERDICT r12). q479
+  * proves ONE wave appends cleanly (bucketing survives, plan-pinned);
+  * production is thousands of waves, and every bucketed `insertInto`
+  * adds ≥1 file per populated bucket per write task, so file counts
+  * grow linearly with waves and the sorted-bucket read degrades (more
+  * footers per task; per-file sort order no longer spans the bucket).
+  * This main measures that decay and its cure:
+  *
+  *   1. build the standing old-slice index (auto-scaled cells) as a
+  *      bucketed catalog table — q479's exact layout;
+  *   2. split q479's arriving wave (vec_id ≡ 7 mod 20) into N
+  *      sequential wavelets, append each through the SAME
+  *      [[SparkEntry.appendEncodedWave]] path the registered queries
+  *      use, and at checkpoints record files-per-bucket (from
+  *      [[Layout.bucketFileManifest]]) + the serve time (min-of-P,
+  *      q479's threshold-probe shape, bucketedIndex = true);
+  *   3. run [[Layout.compactBucketedTable]] (timed), then serve
+  *      again: SAME rows as the final wave, only the file count
+  *      moved — the before/after pair isolates the accretion cost
+  *      from the (tiny) corpus growth, and the post-compaction serve
+  *      returning to the wave-0 family is the claim.
+  *
+  * Usage: `runMain graft.MaintenanceProfile [corpusDir] [waves]
+  * [passes]` (defaults /root/testdata/sf0.1, 20, 2). Writes nothing
+  * durable (temp warehouse, dropped table, dirs removed in finally).
+  */
+object MaintenanceProfile {
+  private def rmTree(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val waves = args.lift(1).map(_.toInt).getOrElse(20)
+    val passes = args.lift(2).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val wh = java.nio.file.Files.createTempDirectory("graft-maint-wh")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", wh.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // JIT warm
+
+    val tbl = "graft_maint_idx"
+    try {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val old = e.filter(col("vec_id") % 10 =!= 7)
+      val pool = e.filter(col("vec_id") % 20 === 7)   // q479's wave
+      val queries = e.filter(col("vec_id") % 20 === 17) // held out
+      val cells = math.max(8L, old.count() / 128L).toInt
+      println(s"[maint] corpus $dir: ${e.count()} vectors, " +
+        s"old ${old.count()}, pool ${pool.count()} in $waves waves, " +
+        s"cells=$cells, buckets=16")
+
+      val t0 = System.nanoTime()
+      Similarity.ivfPqIndex(old, numCells = cells)
+        .write.mode("overwrite").partitionBy("part")
+        .bucketBy(16, "c").sortBy("c").saveAsTable(tbl)
+      println(f"[maint] standing index built+written: ${
+        (System.nanoTime() - t0) / 1e9}%.2f s")
+      val standing = spark.table(tbl)
+        .select(col("part"), col("id"), col("s"), col("c"), col("vec"))
+        // the fit parts never change across appends; materialize them
+        // once so per-wave encodes don't re-read the growing table
+        .cache()
+      standing.count()
+
+      def assignFiles(): (Int, Int, Double) = {
+        val m = Layout.bucketFileManifest(spark, tbl)
+          .filter(_._1.startsWith("part=assign"))
+        (m.map(_._3).sum, m.map(_._3).max,
+          m.map(_._3).sum.toDouble / m.length)
+      }
+      def serve(appended: DataFrame): Double = {
+        val updated = spark.table(tbl).select(col("part"), col("id"),
+          col("s"), col("c"), col("vec"))
+        val corpus2 = old.unionByName(appended)
+        (1 to passes).map { _ =>
+          val s0 = System.nanoTime()
+          Similarity.streamingVectorProbe(updated, corpus2, queries,
+            tau = 0.4, bucketedIndex = true).count()
+          val dt = (System.nanoTime() - s0) / 1e9
+          spark.catalog.clearCache(); standing.cache(); standing.count()
+          dt
+        }.min
+      }
+
+      val checkpoints =
+        Set(1, 2, 5, 10, 15, waves).filter(_ <= waves)
+      println("| wave | assign files (max/bucket) | serve s |")
+      println("|---|---|---|")
+      val f0 = assignFiles()
+      val base = serve(pool.limit(0))
+      println(f"| 0 (base) | ${f0._1} (${f0._2}) | $base%.2f |")
+      var appendedSoFar: DataFrame = pool.limit(0)
+      (0 until waves).foreach { w =>
+        val wave = pool.filter(expr(s"(vec_id div 20) % $waves = $w"))
+        SparkEntry.appendEncodedWave(spark, tbl, standing, wave)
+        appendedSoFar = appendedSoFar.unionByName(wave)
+        if (checkpoints.contains(w + 1)) {
+          val fi = assignFiles()
+          val sv = serve(appendedSoFar)
+          println(f"| ${w + 1} | ${fi._1} (${fi._2}) | $sv%.2f |")
+        }
+      }
+      val c0 = System.nanoTime()
+      val rewritten = Layout.compactBucketedTable(spark, tbl,
+        partCol = "part", bucketCol = "c", numBuckets = 16)
+      val cdt = (System.nanoTime() - c0) / 1e9
+      val fc = assignFiles()
+      val sc = serve(appendedSoFar)
+      println(f"| $waves compacted | ${fc._1} (${fc._2}) | $sc%.2f |")
+      println(f"[maint] compaction rewrote ${rewritten.mkString(",")} " +
+        f"in $cdt%.2f s; same rows as wave $waves, only files moved")
+    } finally {
+      try spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      catch { case _: Throwable => () }
+      try spark.stop() catch { case _: Throwable => () }
+      rmTree(wh)
+    }
+  }
+}

@@ -377,7 +377,32 @@ object SparkEntry {
     standing.write.mode("overwrite").partitionBy("part")
       .bucketBy(16, "c").sortBy("c").saveAsTable(tbl)
     val wave1 = e.filter(col("vec_id") % 20 === 7)
-    val enc = Similarity.ivfPqEncode(standing, wave1)
+    appendEncodedWave(s, tbl, standing, wave1)
+    val updated = s.table(tbl).select(col("part"), col("id"), col("s"),
+      col("c"), col("vec"))
+    val corpus2 = e.filter(col("vec_id") % 10 =!= 7 ||
+      col("vec_id") % 20 === 7)
+    // streamingVectorProbe is pure DataFrame ops — called on a static
+    // wave-2 frame it IS the batch threshold probe (SimilaritySpec
+    // pins stream == static for this operator)
+    Similarity.streamingVectorProbe(updated, corpus2,
+      e.filter(col("vec_id") % 20 === 17), tau = 0.4,
+      bucketedIndex = true)
+  }
+
+  /** One maintenance wave: encode `wave` against the STANDING fit
+    * ([[Similarity.ivfPqEncode]] reads only the seed/cent parts —
+    * appended assign/code rows never move the fit, which is what
+    * makes sequential waves ≡ one batch encode of their union,
+    * SimilaritySpec's associativity pin) and `insertInto`-append the
+    * delta's assign/code rows into the bucketed catalog table `tbl`.
+    * Spark honors the table's bucket spec on appended files, so the
+    * Exchange-free serve survives — at the cost of ≥1 NEW FILE per
+    * populated bucket per wave, the accretion
+    * [[graft.operators.Layout.compactBucketedTable]] exists to undo. */
+  private[graft] def appendEncodedWave(s: SparkSession, tbl: String,
+      standing: DataFrame, wave: DataFrame): Unit = {
+    val enc = Similarity.ivfPqEncode(standing, wave)
     val nullVec = lit(null).cast("array<double>")
     val nullL = lit(null).cast("long")
     val assignRows = enc.select(explode(col("cells")).as("c"),
@@ -392,13 +417,40 @@ object SparkEntry {
     val cols = s.table(tbl).columns.map(col)
     assignRows.unionByName(codeRows).select(cols: _*)
       .write.mode("append").insertInto(tbl)
+  }
+
+  /** q480: the standing index's FULL maintenance loop — multi-wave
+    * append, then bucket-preserving compaction, then serve. Wave 1
+    * arrives as TWO sequential half-waves (vec_id ≡ 7 and ≡ 27 mod
+    * 40 — together exactly q479's ≡ 7 mod 20 wave), each encoded
+    * against the standing fit and appended; the table now holds ≥3
+    * files per populated bucket in the assign/code partitions (base +
+    * 2 waves), the accretion that degrades the sorted-bucket read at
+    * thousands of waves. [[graft.operators.Layout.compactBucketedTable]]
+    * then rewrites exactly the accreted partitions back to one file
+    * per bucket — partition-selectively, bucketing intact (pinned by
+    * PlanShapeSpec's q480 walk) — and wave 2 is served against the
+    * compacted index. The DuckDB replay is q479's VERBATIM: two
+    * half-wave appends + compaction must land on byte-identical rows
+    * to one wave-1 append — the oracle enforces both the sequential-
+    * append associativity and compaction's row preservation at once. */
+  private[graft] def bucketedCompactedServe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val standing = vecIndexBucketedOldTable(s, dir)
+    val tbl = "graft_vecindex_480_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(dir).toLong & 0xffffffffL)
+    // fresh copy per run: append must not accrete across bench passes
+    standing.write.mode("overwrite").partitionBy("part")
+      .bucketBy(16, "c").sortBy("c").saveAsTable(tbl)
+    appendEncodedWave(s, tbl, standing, e.filter(col("vec_id") % 40 === 7))
+    appendEncodedWave(s, tbl, standing, e.filter(col("vec_id") % 40 === 27))
+    graft.operators.Layout.compactBucketedTable(s, tbl,
+      partCol = "part", bucketCol = "c", numBuckets = 16)
     val updated = s.table(tbl).select(col("part"), col("id"), col("s"),
       col("c"), col("vec"))
     val corpus2 = e.filter(col("vec_id") % 10 =!= 7 ||
       col("vec_id") % 20 === 7)
-    // streamingVectorProbe is pure DataFrame ops — called on a static
-    // wave-2 frame it IS the batch threshold probe (SimilaritySpec
-    // pins stream == static for this operator)
     Similarity.streamingVectorProbe(updated, corpus2,
       e.filter(col("vec_id") % 20 === 17), tau = 0.4,
       bucketedIndex = true)
@@ -2971,6 +3023,13 @@ object SparkEntry {
     // against the UPDATED standing index — no rebuild anywhere.
     "q479_bucketed_index_append" -> ((s, dir) =>
       bucketedAppendServe(s, dir)),
+    // The FULL maintenance loop: two sequential half-wave appends,
+    // bucket-preserving compaction back to one file per bucket, then
+    // the serve — q479's replay verbatim is the oracle, so sequential-
+    // append associativity AND compaction row-preservation are both
+    // oracle-enforced (bucketing survival is PlanShapeSpec's q480 pin)
+    "q480_bucketed_index_compact" -> ((s, dir) =>
+      bucketedCompactedServe(s, dir)),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
         "event_type", floor(col("value") * 100 + lit(0.5)))),
@@ -15531,6 +15590,12 @@ object SparkEntry {
     // assignment pass + wave-2 exact-cosine probe — the in-place
     // maintenance path's replay
     "q479_bucketed_index_append" -> deltaProbeDuck,
+    // append→compact→serve must land on byte-identical rows to the
+    // single-wave append path: the two ≡7/≡27 (mod 40) half-waves
+    // union to q479's ≡7 (mod 20) wave, encode reads only the
+    // standing fit, and compaction changes zero rows — one replay is
+    // both oracles
+    "q480_bucketed_index_compact" -> deltaProbeDuck,
     // per-batch ingest probe == full search with corpus = old slice,
     // queries = arriving slice; is_dup rides the exact cosine
     "q327_vector_ingest_probe" -> ivfPqDuck(

@@ -201,4 +201,102 @@ object Layout {
         array_join(transform(sort_array(collect_list(col("_f"))),
           f => f.cast("string")), ",").as("files"))
   }
+
+  /** Per-(partition, bucket) file counts of a bucketed catalog table,
+    * read from the table directory itself — the manifest the
+    * maintenance loop watches (every bucketed `insertInto` append
+    * adds ≥1 file per populated bucket per write task, so file counts
+    * grow linearly with append waves and the sorted-bucket read
+    * degrades: more footers per task, and the per-file sort order no
+    * longer spans the bucket). Bucket ids come from Spark's bucketed
+    * file naming (`..._NNNNN.c000...`). Returns (partitionValue,
+    * bucketId, nFiles, bytes) rows as a local Seq: this is METADATA —
+    * one filesystem listing, proportional to file count, never data —
+    * the same driver-side grain `DESCRIBE` itself reads. A 100 TB
+    * lake reads the same facts from its catalog/manifest table and
+    * feeds them to [[compactionPlan]]; the listing here is the
+    * local-filesystem stand-in for that metadata service. */
+  def bucketFileManifest(spark: org.apache.spark.sql.SparkSession,
+                         table: String): Seq[(String, Int, Int, Long)] = {
+    val loc = spark.sql(s"DESCRIBE FORMATTED $table").collect()
+      .find(r => Option(r.getString(0)).exists(_.trim == "Location"))
+      .map(_.getString(1))
+      .getOrElse(sys.error(s"no Location for table $table"))
+    val root = new java.io.File(new java.net.URI(loc))
+    val bucketRe = "_(\\d{5})(?:[._-]|$)".r
+    val partDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.contains("="))
+    partDirs.toSeq.flatMap { d =>
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .flatMap { f =>
+          bucketRe.findFirstMatchIn(
+            f.getName.stripSuffix(".snappy.parquet").stripSuffix(".parquet"))
+            .map(m => (d.getName, m.group(1).toInt, f.length()))
+        }
+        .groupBy { case (p, b, _) => (p, b) }
+        .map { case ((p, b), fs) => (p, b, fs.length, fs.map(_._3).sum) }
+        .toSeq.sortBy(t => (t._1, t._2))
+    }
+  }
+
+  /** Bucket-preserving compaction of a partitioned + bucketed catalog
+    * table — the maintenance pass that closes the standing-index
+    * append loop (q479 proves ONE wave appends cleanly; production is
+    * thousands of waves, and without this pass files-per-bucket grows
+    * linearly forever). Partitions where any bucket holds more than
+    * `maxFilesPerBucket` files are rewritten IN PLACE:
+    *
+    *   - the rewrite is partition-selective (dynamic partition
+    *     overwrite via `insertInto` — untouched partitions keep their
+    *     files, byte-identical), the property that makes the pass
+    *     incremental at lake scale where only recent partitions
+    *     accrete;
+    *   - rows are first clustered to one task per bucket id
+    *     (`repartition(numBuckets, bucketCol)` — `repartition`'s
+    *     HashPartitioning and the bucket-file assignment share the
+    *     same murmur3 `pmod(hash(c), n)`, so task i holds exactly
+    *     bucket i's rows) — the rewrite lands ONE file per populated
+    *     (partition, bucket), the compact steady state;
+    *   - `insertInto` honors the table's bucket spec and sort spec on
+    *     the new files (Spark refuses anything else), so the
+    *     Exchange-free serve survives the compaction — pinned by
+    *     PlanShapeSpec's q480 walk, the one property neither row
+    *     counts nor the DuckDB oracle can see;
+    *   - the snapshot is materialized (`localCheckpoint`) before the
+    *     overwrite so the job never reads the files it is deleting
+    *     (and passes Spark's self-overwrite analysis check). At lake
+    *     scale the same two-step is a staging write + partition swap.
+    *
+    * Returns the rewritten partition values (empty = nothing exceeded
+    * the threshold — the pass is idempotent and cheap to run often).
+    * Compaction changes ZERO rows: q480 registers append→compact→
+    * serve against the SAME replay oracle as the uncompacted q479
+    * path, so row preservation is oracle-enforced, not assumed. */
+  def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
+                           table: String, partCol: String,
+                           bucketCol: String, numBuckets: Int,
+                           maxFilesPerBucket: Int = 1): Seq[String] = {
+    val manifest = bucketFileManifest(spark, table)
+    val prefix = partCol + "="
+    val needy = manifest
+      .filter { case (p, _, n, _) =>
+        p.startsWith(prefix) && n > maxFilesPerBucket }
+      .map(_._1.stripPrefix(prefix)).distinct.sorted
+    if (needy.nonEmpty) {
+      val before =
+        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        val snap = spark.table(table)
+          .filter(col(partCol).isin(needy: _*))
+          .localCheckpoint()
+        snap.repartition(numBuckets, col(bucketCol))
+          .write.mode("overwrite").insertInto(table)
+      } finally before.fold(
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        v => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+    }
+    needy
+  }
 }

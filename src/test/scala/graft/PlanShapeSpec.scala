@@ -653,6 +653,45 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("q480: bucketing SURVIVES compaction — and files-per-bucket returns to 1") {
+    // the maintenance loop's close: after two appends the accreted
+    // partitions hold 3 files per populated bucket; compaction must
+    // (a) rewrite them back to ONE file per bucket — the compact
+    // steady state the repartition(numBuckets, bucketCol) clustering
+    // guarantees, and the empirical proof that repartition's
+    // HashPartitioning aligns with the bucket-file assignment — and
+    // (b) keep the table bucketed, so the serve still consumes
+    // HashPartitioning(c, 16) with no Exchange over the assign side.
+    // The DuckDB oracle sees (rows); only this walk sees (a)+(b).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.bucketedCompactedServe(spark, dir)
+      val tbl = spark.catalog.listTables()
+        .filter("name like 'graft_vecindex_480_%'").collect().head.name
+      val manifest = graft.operators.Layout.bucketFileManifest(spark, tbl)
+      val accreted = manifest.filter { case (p, _, n, _) =>
+        (p.startsWith("part=assign") || p.startsWith("part=code")) && n > 1 }
+      assert(accreted.isEmpty,
+        s"buckets still hold multiple files post-compaction: $accreted")
+      val p = df.queryExecution.executedPlan
+      val probeJoins = p.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("cell")) => j
+      }
+      assert(probeJoins.nonEmpty, s"probe-cell join is not sort-merge:\n$p")
+      val j = probeJoins.head
+      val scans = j.right.collect { case s: FileSourceScanExec => s }
+      assert(scans.exists(_.bucketedScan),
+        s"compacted assign side does not read bucketed:\n${j.right}")
+      assert(j.right.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"Exchange above the compacted bucketed scan:\n${j.right}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("q470 (TPC-H Q2): decorrelated min joins back, dims broadcast, top-100 cut") {
     val p = plan("q470_tpch_q2")
     // the correlated min decorrelates into an aggregate re-joined on
