@@ -28,8 +28,9 @@ import graft.operators.{Layout, Similarity}
   *      returning to the wave-0 family is the claim.
   *
   * Usage: `runMain graft.MaintenanceProfile [corpusDir] [waves]
-  * [passes]` (defaults /root/testdata/sf0.1, 20, 2). Writes nothing
-  * durable (temp warehouse, dropped table, dirs removed in finally).
+  * [passes] [cells]` (defaults /root/testdata/sf0.1, 20, 2,
+  * auto = max(8, n/128)). Writes nothing durable (temp warehouse,
+  * dropped table, dirs removed in finally).
   */
 object MaintenanceProfile {
   private def rmTree(p: java.nio.file.Path): Unit =
@@ -63,7 +64,8 @@ object MaintenanceProfile {
       val old = e.filter(col("vec_id") % 10 =!= 7)
       val pool = e.filter(col("vec_id") % 20 === 7)   // q479's wave
       val queries = e.filter(col("vec_id") % 20 === 17) // held out
-      val cells = math.max(8L, old.count() / 128L).toInt
+      val cells = args.lift(3).map(_.toInt)
+        .getOrElse(math.max(8L, old.count() / 128L).toInt)
       println(s"[maint] corpus $dir: ${e.count()} vectors, " +
         s"old ${old.count()}, pool ${pool.count()} in $waves waves, " +
         s"cells=$cells, buckets=16")
@@ -101,6 +103,16 @@ object MaintenanceProfile {
         }.min
       }
 
+      // the INITIAL parallel write is itself accreted (one file per
+      // bucket per write task — 32 tasks ⇒ 32 files/bucket at scale);
+      // compact first so the baseline is the 1-file-per-bucket steady
+      // state every later wave is compared against
+      Layout.compactBucketedTable(spark, tbl,
+        partCol = "part", bucketCol = "c", numBuckets = 16)
+      // one untimed serve warms JIT + page cache for the standing
+      // files; without it the wave-0 number reads 2-3× high and the
+      // per-wave trend is warm-up, not accretion (first profile run)
+      serve(pool.limit(0))
       val checkpoints =
         Set(1, 2, 5, 10, 15, waves).filter(_ <= waves)
       println("| wave | assign files (max/bucket) | serve s |")

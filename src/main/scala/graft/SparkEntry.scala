@@ -284,7 +284,15 @@ object SparkEntry {
     * therefore the exchange strategy differ. Bucket count is fixed
     * (16 here; sized to executor count in production) — unlike cells,
     * buckets need not grow with the corpus, which is exactly why this
-    * layout survives the scale the directory-per-cell one cannot. */
+    * layout survives the scale the directory-per-cell one cannot.
+    * Provisioning the count (SCALING.md r13 sweep, 16/64/256 buckets
+    * against one shared 256-cell build): the SERVE is flat in the
+    * bucket count once populated buckets cover the cluster's
+    * parallelism (0.52/0.50/0.50× of partitioned), while append
+    * accretion — files per ingest wave — grows ∝ buckets; so choose
+    * the SMALLEST bucket count ≥ cluster write width, and never let
+    * populated buckets drop below the core count (the r11 8-cell
+    * inversion: the scan serializes and the layout loses 1.9×). */
   private def vecIndexBucketedTable(s: SparkSession, dir: String): DataFrame = {
     val tbl = "graft_vecindex_b_" +
       java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
