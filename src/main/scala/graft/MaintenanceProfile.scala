@@ -114,7 +114,7 @@ object MaintenanceProfile {
       // per-wave trend is warm-up, not accretion (first profile run)
       serve(pool.limit(0))
       val checkpoints =
-        Set(1, 2, 5, 10, 15, waves).filter(_ <= waves)
+        Set(1, 2, 5, 10, 15, 20, 30, 40, 50, 60, waves).filter(_ <= waves)
       println("| wave | assign files (max/bucket) | serve s |")
       println("|---|---|---|")
       val f0 = assignFiles()
