@@ -42,14 +42,6 @@ import graft.operators.Similarity
   * require() throws).
   */
 object LayoutProfile {
-  private def rmTree(p: java.nio.file.Path): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-          catch { case _: Throwable => () })
-    } catch { case _: Throwable => () }
-
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale100")
     val cells = args.lift(1).map(_.toInt).getOrElse(128)
@@ -77,11 +69,18 @@ object LayoutProfile {
       println(s"[layout] corpus $dir: $n vectors, cells=$cells, " +
         s"buckets sweep ${buckets.mkString(",")}")
 
-      def timed(label: String)(f: => Long): Double = {
+      // `clear = true` drops the SQL cache after the timed step so no
+      // later arm rides it — but must stay FALSE for the build and
+      // the layout writes: clearing there unpersists `built` and
+      // every subsequent write silently re-runs the whole IVF-PQ
+      // build, inflating each "layout write" time by a full rebuild
+      // (review r13 — the first sweep's write column had exactly
+      // that defect)
+      def timed(label: String, clear: Boolean = true)(f: => Long): Double = {
         val t0 = System.nanoTime()
         val rows = f
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        if (clear) spark.catalog.clearCache()
         println(f"[layout] $label: $dt%.2f s ($rows rows)")
         dt
       }
@@ -92,22 +91,25 @@ object LayoutProfile {
       // nightly-rebuild cost, not the serve cost under comparison).
       val idxPath = idxTmp.resolve("idx").toString
       var built: DataFrame = null
-      timed(s"index build (cells=$cells), cached") {
+      timed(s"index build (cells=$cells), cached", clear = false) {
         built = Similarity.ivfPqIndex(e, numCells = cells).cache()
         built.count()
       }
       val partPath = idxPath + "_part"
-      val wPart = timed("layout write: partitionBy(part, c)") {
+      val wPart = timed("layout write: partitionBy(part, c)",
+          clear = false) {
         built.write.mode("overwrite").partitionBy("part", "c")
           .parquet(partPath); 0L
       }
       val wBuck = buckets.map { b =>
-        b -> timed(s"layout write: partitionBy(part) + bucketBy($b, c)") {
+        b -> timed(s"layout write: partitionBy(part) + bucketBy($b, c)",
+            clear = false) {
           built.write.mode("overwrite").partitionBy("part")
             .bucketBy(b, "c").sortBy("c").saveAsTable(tblFor(b)); 0L
         }
       }
       built.unpersist()
+      spark.catalog.clearCache()
       val cellDirs = new java.io.File(s"$partPath/part=assign").list()
       println(s"[layout] partitioned layout: ${
         Option(cellDirs).map(_.length).getOrElse(0)} c= dirs under " +
@@ -171,8 +173,8 @@ object LayoutProfile {
         catch { case _: Throwable => () }
       }
       try spark.stop() catch { case _: Throwable => () }
-      rmTree(idxTmp)
-      rmTree(wh)
+      TempDirs.rmTree(idxTmp)
+      TempDirs.rmTree(wh)
     }
   }
 }

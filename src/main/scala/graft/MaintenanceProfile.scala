@@ -33,14 +33,6 @@ import graft.operators.{Layout, Similarity}
   * dropped table, dirs removed in finally).
   */
 object MaintenanceProfile {
-  private def rmTree(p: java.nio.file.Path): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-          catch { case _: Throwable => () })
-    } catch { case _: Throwable => () }
-
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val waves = args.lift(1).map(_.toInt).getOrElse(20)
@@ -76,30 +68,45 @@ object MaintenanceProfile {
         .bucketBy(16, "c").sortBy("c").saveAsTable(tbl)
       println(f"[maint] standing index built+written: ${
         (System.nanoTime() - t0) / 1e9}%.2f s")
+      // the fit parts never change across appends; materialize them
+      // once so per-wave encodes don't re-read the growing table.
+      // CRITICAL for the measurement (review r13): this cached frame
+      // must NOT be plan-identical to the serve's `updated` scan — a
+      // cached full-table Project would be substituted by the
+      // CacheManager into the timed probe, and the serve would read
+      // an InMemoryRelation instead of the accreted files the tool
+      // exists to price. The Filter(part in seed,cent) plan here is
+      // not a subtree of any serve plan, so timed serves always hit
+      // the parquet files.
       val standing = spark.table(tbl)
-        .select(col("part"), col("id"), col("s"), col("c"), col("vec"))
-        // the fit parts never change across appends; materialize them
-        // once so per-wave encodes don't re-read the growing table
+        .filter(col("part").isin("seed", "cent"))
         .cache()
       standing.count()
 
-      def assignFiles(): (Int, Int, Double) = {
+      def assignFiles(): (Int, Int) = {
         val m = Layout.bucketFileManifest(spark, tbl)
           .filter(_._1.startsWith("part=assign"))
-        (m.map(_._3).sum, m.map(_._3).max,
-          m.map(_._3).sum.toDouble / m.length)
+        require(m.nonEmpty,
+          s"no part=assign files in $tbl's manifest - location moved " +
+            "or bucket-file naming drifted")
+        (m.map(_._3).sum, m.map(_._3).max)
       }
-      def serve(appended: DataFrame): Double = {
+      // wavesDone = -1 means base (nothing appended). corpus2 is a
+      // CONSTANT-DEPTH filter, never a per-wave union chain: a chain
+      // re-evaluated inside the timed window would grow with the wave
+      // count and confound the accretion trend with recompute cost
+      def serve(wavesDone: Int): Double = {
         val updated = spark.table(tbl).select(col("part"), col("id"),
           col("s"), col("c"), col("vec"))
-        val corpus2 = old.unionByName(appended)
+        val corpus2 =
+          if (wavesDone < 0) old
+          else old.unionByName(pool.filter(
+            expr(s"(vec_id div 20) % $waves <= $wavesDone")))
         (1 to passes).map { _ =>
           val s0 = System.nanoTime()
           Similarity.streamingVectorProbe(updated, corpus2, queries,
             tau = 0.4, bucketedIndex = true).count()
-          val dt = (System.nanoTime() - s0) / 1e9
-          spark.catalog.clearCache(); standing.cache(); standing.count()
-          dt
+          (System.nanoTime() - s0) / 1e9
         }.min
       }
 
@@ -112,22 +119,20 @@ object MaintenanceProfile {
       // one untimed serve warms JIT + page cache for the standing
       // files; without it the wave-0 number reads 2-3× high and the
       // per-wave trend is warm-up, not accretion (first profile run)
-      serve(pool.limit(0))
+      serve(-1)
       val checkpoints =
         Set(1, 2, 5, 10, 15, 20, 30, 40, 50, 60, waves).filter(_ <= waves)
       println("| wave | assign files (max/bucket) | serve s |")
       println("|---|---|---|")
       val f0 = assignFiles()
-      val base = serve(pool.limit(0))
+      val base = serve(-1)
       println(f"| 0 (base) | ${f0._1} (${f0._2}) | $base%.2f |")
-      var appendedSoFar: DataFrame = pool.limit(0)
       (0 until waves).foreach { w =>
         val wave = pool.filter(expr(s"(vec_id div 20) % $waves = $w"))
         SparkEntry.appendEncodedWave(spark, tbl, standing, wave)
-        appendedSoFar = appendedSoFar.unionByName(wave)
         if (checkpoints.contains(w + 1)) {
           val fi = assignFiles()
-          val sv = serve(appendedSoFar)
+          val sv = serve(w)
           println(f"| ${w + 1} | ${fi._1} (${fi._2}) | $sv%.2f |")
         }
       }
@@ -136,7 +141,7 @@ object MaintenanceProfile {
         partCol = "part", bucketCol = "c", numBuckets = 16)
       val cdt = (System.nanoTime() - c0) / 1e9
       val fc = assignFiles()
-      val sc = serve(appendedSoFar)
+      val sc = serve(waves - 1)
       println(f"| $waves compacted | ${fc._1} (${fc._2}) | $sc%.2f |")
       println(f"[maint] compaction rewrote ${rewritten.mkString(",")} " +
         f"in $cdt%.2f s; same rows as wave $waves, only files moved")
@@ -144,7 +149,7 @@ object MaintenanceProfile {
       try spark.sql(s"DROP TABLE IF EXISTS $tbl")
       catch { case _: Throwable => () }
       try spark.stop() catch { case _: Throwable => () }
-      rmTree(wh)
+      TempDirs.rmTree(wh)
     }
   }
 }

@@ -273,24 +273,54 @@ object Layout {
     * Compaction changes ZERO rows: q480 registers append→compact→
     * serve against the SAME replay oracle as the uncompacted q479
     * path, so row preservation is oracle-enforced, not assumed. */
+  /** Hive path-name unescape: partition VALUES are %XX-escaped in
+    * directory names (space → %20, ':' → %3A, …); matching rows by
+    * the raw directory string would silently select nothing. */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Hive's directory name for a NULL partition value. */
+  private val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
   def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
                            table: String, partCol: String,
                            bucketCol: String, numBuckets: Int,
                            maxFilesPerBucket: Int = 1): Seq[String] = {
     val manifest = bucketFileManifest(spark, table)
     val prefix = partCol + "="
+    // directory names carry ESCAPED partition values (and the Hive
+    // null sentinel): unescape before row-matching, or a value like
+    // "a b" (dir "a%20b") would match zero rows while still being
+    // reported rewritten — a silent no-op that repeats forever
     val needy = manifest
       .filter { case (p, _, n, _) =>
         p.startsWith(prefix) && n > maxFilesPerBucket }
-      .map(_._1.stripPrefix(prefix)).distinct.sorted
+      .map(t => unescapePathName(t._1.stripPrefix(prefix)))
+      .distinct.sorted
     if (needy.nonEmpty) {
+      val (nullParts, vals) = needy.partition(_ == NullPartition)
       val before =
         spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {
-        val snap = spark.table(table)
-          .filter(col(partCol).isin(needy: _*))
-          .localCheckpoint()
+        val pred =
+          if (nullParts.isEmpty) col(partCol).isin(vals: _*)
+          else if (vals.isEmpty) col(partCol).isNull
+          else col(partCol).isin(vals: _*) || col(partCol).isNull
+        val snap = spark.table(table).filter(pred).localCheckpoint()
         snap.repartition(numBuckets, col(bucketCol))
           .write.mode("overwrite").insertInto(table)
       } finally before.fold(

@@ -885,26 +885,33 @@ class SimilaritySpec extends SparkSpec {
     val e01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val idx = Similarity.ivfPqIndex(e01, numCells = 64).cache()
     val tmp = java.nio.file.Files.createTempDirectory("xlayout")
-    val partPath = tmp.resolve("part").toString
-    idx.write.mode("overwrite").partitionBy("part", "c").parquet(partPath)
-    spark.sql("DROP TABLE IF EXISTS xlayout_bucketed")
-    idx.write.partitionBy("part").bucketBy(16, "c").sortBy("c")
-      .saveAsTable("xlayout_bucketed")
-    idx.unpersist()
-    val ixPart = spark.read.parquet(partPath)
-      .select(col("part"), col("id"), col("s"),
-        col("c").cast("long").as("c"), col("vec"))
-    val ixBuck = spark.table("xlayout_bucketed")
-      .select(col("part"), col("id"), col("s"), col("c"), col("vec"))
-    val queries = e01.filter($"vec_id" < 20)
-    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.collect().map(_.toString).sorted.toSeq
-    val rp = rows(Similarity.ivfPqServe(ixPart, e01, queries, 3))
-    val rb = rows(Similarity.ivfPqServe(ixBuck, e01, queries, 3,
-      bucketedIndex = true))
-    assert(rp.nonEmpty && rp == rb,
-      s"layouts disagree in-regime: ${rp.length} vs ${rb.length} rows")
-    spark.sql("DROP TABLE IF EXISTS xlayout_bucketed")
+    try {
+      val partPath = tmp.resolve("part").toString
+      idx.write.mode("overwrite").partitionBy("part", "c").parquet(partPath)
+      spark.sql("DROP TABLE IF EXISTS xlayout_bucketed")
+      idx.write.partitionBy("part").bucketBy(16, "c").sortBy("c")
+        .saveAsTable("xlayout_bucketed")
+      val ixPart = spark.read.parquet(partPath)
+        .select(col("part"), col("id"), col("s"),
+          col("c").cast("long").as("c"), col("vec"))
+      val ixBuck = spark.table("xlayout_bucketed")
+        .select(col("part"), col("id"), col("s"), col("c"), col("vec"))
+      val queries = e01.filter($"vec_id" < 20)
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      val rp = rows(Similarity.ivfPqServe(ixPart, e01, queries, 3))
+      val rb = rows(Similarity.ivfPqServe(ixBuck, e01, queries, 3,
+        bucketedIndex = true))
+      assert(rp.nonEmpty && rp == rb,
+        s"layouts disagree in-regime: ${rp.length} vs ${rb.length} rows")
+    } finally {
+      // cleanup even on assert failure: a stranded cache/table/dir
+      // pollutes the rest of the shared JVM session (and /tmp across
+      // runs — the q249 accretion class)
+      idx.unpersist()
+      spark.sql("DROP TABLE IF EXISTS xlayout_bucketed")
+      graft.TempDirs.rmTree(tmp)
+    }
   }
 
   test("maintenance associativity: N sequential wave appends == one-shot append of the union") {
@@ -923,19 +930,22 @@ class SimilaritySpec extends SparkSpec {
       idx.write.partitionBy("part").bucketBy(16, "c").sortBy("c")
         .saveAsTable(name)
     }
-    mkTbl("assoc_seq"); mkTbl("assoc_one")
-    (0 until 3).foreach { w =>
-      graft.SparkEntry.appendEncodedWave(spark, "assoc_seq", idx,
-        fresh.filter(expr(s"(vec_id div 10) % 3 = $w")))
+    try {
+      mkTbl("assoc_seq"); mkTbl("assoc_one")
+      (0 until 3).foreach { w =>
+        graft.SparkEntry.appendEncodedWave(spark, "assoc_seq", idx,
+          fresh.filter(expr(s"(vec_id div 10) % 3 = $w")))
+      }
+      graft.SparkEntry.appendEncodedWave(spark, "assoc_one", idx, fresh)
+      def rows(t: String): Seq[String] =
+        spark.table(t).collect().map(_.toString).sorted.toSeq
+      assert(rows("assoc_seq") == rows("assoc_one"),
+        "sequential wave appends diverged from the one-shot union append")
+    } finally {
+      idx.unpersist()
+      spark.sql("DROP TABLE IF EXISTS assoc_seq")
+      spark.sql("DROP TABLE IF EXISTS assoc_one")
     }
-    graft.SparkEntry.appendEncodedWave(spark, "assoc_one", idx, fresh)
-    def rows(t: String): Seq[String] =
-      spark.table(t).collect().map(_.toString).sorted.toSeq
-    assert(rows("assoc_seq") == rows("assoc_one"),
-      "sequential wave appends diverged from the one-shot union append")
-    idx.unpersist()
-    spark.sql("DROP TABLE IF EXISTS assoc_seq")
-    spark.sql("DROP TABLE IF EXISTS assoc_one")
   }
 
   test("compaction preserves rows AND the one-file-per-bucket steady state (small corpus)") {
@@ -947,37 +957,41 @@ class SimilaritySpec extends SparkSpec {
     val old = emb.filter($"vec_id" % 10 =!= 7)
     val fresh = emb.filter($"vec_id" % 10 === 7)
     val idx = Similarity.ivfPqIndex(old, numCells = 8).cache()
-    spark.sql("DROP TABLE IF EXISTS compact_t")
-    idx.write.partitionBy("part").bucketBy(16, "c").sortBy("c")
-      .saveAsTable("compact_t")
-    (0 until 3).foreach { w =>
-      graft.SparkEntry.appendEncodedWave(spark, "compact_t", idx,
-        fresh.filter(expr(s"(vec_id div 10) % 3 = $w")))
+    try {
+      spark.sql("DROP TABLE IF EXISTS compact_t")
+      idx.write.partitionBy("part").bucketBy(16, "c").sortBy("c")
+        .saveAsTable("compact_t")
+      (0 until 3).foreach { w =>
+        graft.SparkEntry.appendEncodedWave(spark, "compact_t", idx,
+          fresh.filter(expr(s"(vec_id div 10) % 3 = $w")))
+      }
+      val before = spark.table("compact_t").collect().map(_.toString).sorted.toSeq
+      val accreted = Layout.bucketFileManifest(spark, "compact_t")
+        .filter(_._3 > 1)
+      assert(accreted.nonEmpty, "appends produced no accretion to compact")
+      val rewritten = Layout.compactBucketedTable(spark, "compact_t",
+        partCol = "part", bucketCol = "c", numBuckets = 16)
+      // partition-selectivity: exactly the over-threshold partitions
+      // are rewritten, nothing else (the appended assign/code
+      // partitions always qualify; seed/cent may too if the INITIAL
+      // parallel write already left >1 file in some bucket — also
+      // legitimate work)
+      val over = accreted.map(_._1.stripPrefix("part=")).distinct.sorted
+      assert(rewritten == over,
+        s"rewrote $rewritten but over-threshold partitions were $over")
+      assert(rewritten.contains("assign") && rewritten.contains("code"),
+        s"accreted partitions not selected for rewrite: $rewritten")
+      val after = spark.table("compact_t").collect().map(_.toString).sorted.toSeq
+      assert(after == before, "compaction moved rows")
+      val post = Layout.bucketFileManifest(spark, "compact_t").filter(_._3 > 1)
+      assert(post.isEmpty, s"buckets still hold multiple files: $post")
+      // idempotence: a second pass finds nothing to do
+      assert(Layout.compactBucketedTable(spark, "compact_t",
+        partCol = "part", bucketCol = "c", numBuckets = 16).isEmpty)
+    } finally {
+      idx.unpersist()
+      spark.sql("DROP TABLE IF EXISTS compact_t")
     }
-    val before = spark.table("compact_t").collect().map(_.toString).sorted.toSeq
-    val accreted = Layout.bucketFileManifest(spark, "compact_t")
-      .filter(_._3 > 1)
-    assert(accreted.nonEmpty, "appends produced no accretion to compact")
-    val rewritten = Layout.compactBucketedTable(spark, "compact_t",
-      partCol = "part", bucketCol = "c", numBuckets = 16)
-    // partition-selectivity: exactly the over-threshold partitions are
-    // rewritten, nothing else (the appended assign/code partitions
-    // always qualify; seed/cent may too if the INITIAL parallel write
-    // already left >1 file in some bucket — also legitimate work)
-    val over = accreted.map(_._1.stripPrefix("part=")).distinct.sorted
-    assert(rewritten == over,
-      s"rewrote $rewritten but over-threshold partitions were $over")
-    assert(rewritten.contains("assign") && rewritten.contains("code"),
-      s"accreted partitions not selected for rewrite: $rewritten")
-    val after = spark.table("compact_t").collect().map(_.toString).sorted.toSeq
-    assert(after == before, "compaction moved rows")
-    val post = Layout.bucketFileManifest(spark, "compact_t").filter(_._3 > 1)
-    assert(post.isEmpty, s"buckets still hold multiple files: $post")
-    // idempotence: a second pass finds nothing to do
-    assert(Layout.compactBucketedTable(spark, "compact_t",
-      partCol = "part", bucketCol = "c", numBuckets = 16).isEmpty)
-    idx.unpersist()
-    spark.sql("DROP TABLE IF EXISTS compact_t")
   }
 
 }
