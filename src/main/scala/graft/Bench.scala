@@ -180,6 +180,19 @@ object Bench {
           System.err.println(
             "[bench] WARNING: BENCH_detail.json matched sf but parsed 0 " +
               "prior times - detail format drift? variance guard inactive")
+        // an INCOMPLETE prior record (queries registered after its
+        // capture, the r12 blind spot — q478/q479 carried no prior for
+        // a full round and only a BASELINE.md note said so): surface
+        // it machine-side so the operator re-captures deliberately
+        def intField(key: String): Option[Int] =
+          ("\"" + key + "\":\\s*(\\d+)").r
+            .findFirstMatchIn(txt).map(_.group(1).toInt)
+        for (nq <- intField("n_queries"); nr <- intField("n_registered")
+             if sameSf && nr > nq)
+          System.err.println(s"[bench] NOTE: prior record is INCOMPLETE " +
+            s"($nq of $nr registered queries at its capture time) - " +
+            s"${nr - nq} queries carry no variance-guard prior; land a " +
+            "full guard-clean capture to close the gap")
         m
       } else Map.empty[String, Double]
     } catch { case _: Throwable => Map.empty[String, Double] }

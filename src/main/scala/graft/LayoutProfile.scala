@@ -46,8 +46,11 @@ object LayoutProfile {
     val dir = args.headOption.getOrElse("/tmp/scale100")
     val cells = args.lift(1).map(_.toInt).getOrElse(128)
     val passes = args.lift(2).map(_.toInt).getOrElse(3)
+    // distinct: a duplicated sweep entry ("16,16") would rebuild and
+    // overwrite the same catalog table and double-time that arm
     val buckets = args.lift(3).getOrElse("16")
-      .split(",").map(_.trim.toInt).toSeq
+      .split(",").map(_.trim.toInt).toSeq.distinct
+    buckets.foreach(b => require(b > 0, s"bucket count $b must be > 0"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val wh = java.nio.file.Files.createTempDirectory("graft-layout-wh")
     val spark = SparkSession.builder()

@@ -69,19 +69,20 @@ object MaintenanceProfile {
       println(f"[maint] standing index built+written: ${
         (System.nanoTime() - t0) / 1e9}%.2f s")
       // the fit parts never change across appends; materialize them
-      // once so per-wave encodes don't re-read the growing table.
-      // CRITICAL for the measurement (review r13): this cached frame
-      // must NOT be plan-identical to the serve's `updated` scan — a
-      // cached full-table Project would be substituted by the
-      // CacheManager into the timed probe, and the serve would read
-      // an InMemoryRelation instead of the accreted files the tool
-      // exists to price. The Filter(part in seed,cent) plan here is
-      // not a subtree of any serve plan, so timed serves always hit
-      // the parquet files.
+      // ONCE via localCheckpoint, which detaches the frame from the
+      // table entirely. Two reasons over cache() (review r13 + ADVICE
+      // r13): (1) a CACHED plan over the table would be invalidated
+      // and re-read by every insertInto's refreshTable — the
+      // "materialize once" intent silently defeated per wave; (2) a
+      // cached full-table Project could be substituted by the
+      // CacheManager into the timed probe, so the serve would read an
+      // InMemoryRelation instead of the accreted files the tool
+      // exists to price. A checkpointed frame is plan-opaque and
+      // table-independent: per-wave encodes never touch the growing
+      // table, timed serves always hit the parquet files.
       val standing = spark.table(tbl)
         .filter(col("part").isin("seed", "cent"))
-        .cache()
-      standing.count()
+        .localCheckpoint()
 
       def assignFiles(): (Int, Int) = {
         val m = Layout.bucketFileManifest(spark, tbl)
@@ -115,7 +116,8 @@ object MaintenanceProfile {
       // compact first so the baseline is the 1-file-per-bucket steady
       // state every later wave is compared against
       Layout.compactBucketedTable(spark, tbl,
-        partCol = "part", bucketCol = "c", numBuckets = 16)
+        partCol = "part", bucketCol = "c", numBuckets = 16,
+        maxFilesPerBucket = 1)
       // one untimed serve warms JIT + page cache for the standing
       // files; without it the wave-0 number reads 2-3× high and the
       // per-wave trend is warm-up, not accretion (first profile run)
@@ -138,7 +140,8 @@ object MaintenanceProfile {
       }
       val c0 = System.nanoTime()
       val rewritten = Layout.compactBucketedTable(spark, tbl,
-        partCol = "part", bucketCol = "c", numBuckets = 16)
+        partCol = "part", bucketCol = "c", numBuckets = 16,
+        maxFilesPerBucket = 1)
       val cdt = (System.nanoTime() - c0) / 1e9
       val fc = assignFiles()
       val sc = serve(waves - 1)

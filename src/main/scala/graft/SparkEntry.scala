@@ -288,7 +288,7 @@ object SparkEntry {
     * Provisioning the count (SCALING.md r13 sweep, 16/64/256 buckets
     * against one shared 256-cell build): the SERVE is flat in the
     * bucket count once populated buckets cover the cluster's
-    * parallelism (0.52/0.50/0.50× of partitioned), while append
+    * parallelism (0.44/0.50/0.51× of partitioned), while append
     * accretion — files per ingest wave — grows ∝ buckets; so choose
     * the SMALLEST bucket count ≥ cluster write width, and never let
     * populated buckets drop below the core count (the r11 8-cell
@@ -453,8 +453,12 @@ object SparkEntry {
       .bucketBy(16, "c").sortBy("c").saveAsTable(tbl)
     appendEncodedWave(s, tbl, standing, e.filter(col("vec_id") % 40 === 7))
     appendEncodedWave(s, tbl, standing, e.filter(col("vec_id") % 40 === 27))
+    // maxFilesPerBucket = 1 (not the economic default 16): the demo
+    // loop asserts the steady state after a guaranteed-accretion wave
+    // pair, so compaction must actually fire every run
     graft.operators.Layout.compactBucketedTable(s, tbl,
-      partCol = "part", bucketCol = "c", numBuckets = 16)
+      partCol = "part", bucketCol = "c", numBuckets = 16,
+      maxFilesPerBucket = 1)
     val updated = s.table(tbl).select(col("part"), col("id"), col("s"),
       col("c"), col("vec"))
     val corpus2 = e.filter(col("vec_id") % 10 =!= 7 ||

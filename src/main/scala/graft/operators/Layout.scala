@@ -272,7 +272,22 @@ object Layout {
     * the threshold — the pass is idempotent and cheap to run often).
     * Compaction changes ZERO rows: q480 registers append→compact→
     * serve against the SAME replay oracle as the uncompacted q479
-    * path, so row preservation is oracle-enforced, not assumed. */
+    * path, so row preservation is oracle-enforced, not assumed.
+    *
+    * `maxFilesPerBucket` defaults to 16, the ECONOMIC trigger: the
+    * measured accretion curve (SCALING.md r13 — serve tax ~1.17× at
+    * +20 files/bucket, compaction 2.6–3.6 s) prices the cure as cheap
+    * insurance around 16–32 files/bucket; compacting every wave would
+    * pay a full partition rewrite for noise-level serve decay. Pass 1
+    * to force the one-file-per-bucket steady state (what the q480
+    * demo and the specs assert).
+    *
+    * The passed (numBuckets, bucketCol) are validated against the
+    * table's CATALOG bucket spec when DESCRIBE exposes it: a
+    * numBuckets above the table's real count would split each bucket
+    * across several rewrite tasks, landing >1 file per bucket — the
+    * pass would then report partitions rewritten while never reaching
+    * its steady state, re-rewriting them forever (ADVICE r13). */
   /** Hive path-name unescape: partition VALUES are %XX-escaped in
     * directory names (space → %20, ':' → %3A, …); matching rows by
     * the raw directory string would silently select nothing. */
@@ -298,8 +313,31 @@ object Layout {
   def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
                            table: String, partCol: String,
                            bucketCol: String, numBuckets: Int,
-                           maxFilesPerBucket: Int = 1): Seq[String] = {
+                           maxFilesPerBucket: Int = 16): Seq[String] = {
+    require(maxFilesPerBucket >= 1, s"maxFilesPerBucket $maxFilesPerBucket")
+    // validate against the catalog's own bucket spec where DESCRIBE
+    // exposes it — a mismatched numBuckets mis-clusters the rewrite
+    // (see scaladoc), a mismatched column would shuffle rows into the
+    // WRONG buckets entirely
+    val desc = spark.sql(s"DESCRIBE FORMATTED $table").collect()
+    def descVal(key: String): Option[String] = desc
+      .find(r => Option(r.getString(0)).exists(_.trim == key))
+      .map(r => Option(r.getString(1)).getOrElse("").trim)
+    descVal("Num Buckets").flatMap(_.toIntOption).foreach { nb =>
+      require(nb == numBuckets,
+        s"$table is bucketed into $nb buckets, caller passed $numBuckets") }
+    descVal("Bucket Columns").foreach { bc =>
+      val cols = bc.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+      require(cols == Seq(bucketCol),
+        s"$table is bucketed by ${cols.mkString(",")}, caller passed $bucketCol") }
     val manifest = bucketFileManifest(spark, table)
+    // an empty manifest on a known-bucketed table means the Location
+    // row or Spark's bucket-file naming drifted — fail LOUD instead of
+    // silently no-opping while accretion continues unbounded
+    require(manifest.nonEmpty,
+      s"$table's bucket-file manifest is empty - table location moved " +
+        "or bucket-file naming drifted; compaction would silently no-op")
     val prefix = partCol + "="
     // directory names carry ESCAPED partition values (and the Hive
     // null sentinel): unescape before row-matching, or a value like

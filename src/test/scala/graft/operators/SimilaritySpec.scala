@@ -969,8 +969,32 @@ class SimilaritySpec extends SparkSpec {
       val accreted = Layout.bucketFileManifest(spark, "compact_t")
         .filter(_._3 > 1)
       assert(accreted.nonEmpty, "appends produced no accretion to compact")
+      // untouched-partition byte-identity (VERDICT r13 item 4): the
+      // dynamic-partition-overwrite rewrite must leave partitions it
+      // does not select byte-identical — record (name, size, mtime) of
+      // every file in the partitions that will NOT be rewritten
+      val loc = new java.net.URI(spark.sql("DESCRIBE FORMATTED compact_t")
+        .collect().find(r => Option(r.getString(0)).exists(_.trim == "Location"))
+        .get.getString(1))
+      def partFiles(p: String): Map[String, (Long, Long)] = {
+        val d = new java.io.File(new java.io.File(loc), s"part=$p")
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+      }
+      val overThreshold =
+        accreted.map(_._1.stripPrefix("part=")).distinct.toSet
+      val untouched = Seq("seed", "cent").filterNot(overThreshold)
+      val filesBefore = untouched.map(p => p -> partFiles(p)).toMap
       val rewritten = Layout.compactBucketedTable(spark, "compact_t",
-        partCol = "part", bucketCol = "c", numBuckets = 16)
+        partCol = "part", bucketCol = "c", numBuckets = 16,
+        maxFilesPerBucket = 1)
+      untouched.foreach { p =>
+        assert(partFiles(p) == filesBefore(p),
+          s"untouched partition part=$p changed across compaction")
+      }
+      assert(untouched.nonEmpty,
+        "fixture degenerated: every partition accreted, byte-identity unasserted")
       // partition-selectivity: exactly the over-threshold partitions
       // are rewritten, nothing else (the appended assign/code
       // partitions always qualify; seed/cent may too if the INITIAL
@@ -987,7 +1011,8 @@ class SimilaritySpec extends SparkSpec {
       assert(post.isEmpty, s"buckets still hold multiple files: $post")
       // idempotence: a second pass finds nothing to do
       assert(Layout.compactBucketedTable(spark, "compact_t",
-        partCol = "part", bucketCol = "c", numBuckets = 16).isEmpty)
+        partCol = "part", bucketCol = "c", numBuckets = 16,
+        maxFilesPerBucket = 1).isEmpty)
     } finally {
       idx.unpersist()
       spark.sql("DROP TABLE IF EXISTS compact_t")
