@@ -138,25 +138,45 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
-  private val bandIndexPath =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** The standing near-dup band index of the 90% "already ingested"
-    * corpus slice, materialized once per sf dir (the [[clusterTable]]
-    * posture): q324's incremental ingest is the per-BATCH job of a
-    * production pipeline, and its cost model is probe-against-index,
-    * not rebuild-index — the build is paid on first access and the
-    * product reused, exactly as the durable (band, sig)-bucketed
-    * table would be on a cluster. */
+    * corpus slice — now in its PRODUCTION layout (the form its own
+    * scaladoc always named, VERDICT r13 item 2): a `partitionBy(part)`
+    * + `bucketBy(16, band, sig)` catalog table, the text-side twin of
+    * [[vecIndexBucketedOldTable]]. q324's incremental ingest is the
+    * per-BATCH job of a production pipeline, and its cost model is
+    * probe-against-index, not rebuild-index — the build is paid on
+    * first access and the product reused. The bucket spec is the
+    * probe join's key EXACTLY — (band, sig), both columns — because
+    * Spark's co-partitioning check
+    * (`spark.sql.requireAllClusterKeysForCoPartition`, default true)
+    * accepts nothing less: bucketing by `sig` under `band` partition
+    * directories was measured to re-Exchange the index side (the
+    * subset partitioning is real but the planner won't ride it), so
+    * `band` lives in the bucket key and the partition column is the
+    * constant `part` — the same technical partition grain the vector
+    * index's `assign` part occupies, and the unit
+    * [[graft.operators.Layout.compactBucketedTable]] rewrites. The
+    * corpus-sized index side of q324/q453/q481's probe join therefore
+    * consumes HashPartitioning((band, sig), 16) with NO Exchange
+    * above its scan (PlanShapeSpec's q481 walk) and only the
+    * batch-sized side shuffles. Like the vector twin, the bucket
+    * count is fixed — it need not grow with the corpus, which is why
+    * this layout survives the 100 TB band-row count a
+    * directory-per-signature never could, and `insertInto` appends
+    * ([[appendBandWave]]) land arriving band rows in place, bucket
+    * spec intact. */
   private def bandIndexTable(s: SparkSession, dir: String): DataFrame = {
-    val path = bandIndexPath.getOrElseUpdate(dir,
-      productTempDir("graft-bandindex").resolve("index").toString)
-    if (!new java.io.File(path).exists()) {
+    val tbl = "graft_bandindex_b_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(dir).toLong & 0xffffffffL)
+    if (!s.catalog.tableExists(tbl)) {
       FuzzyDedup.bandIndex(
           t(s, dir, "documents").filter(col("doc_id") % 20 < 18))
-        .write.mode("overwrite").parquet(path)
+        .withColumn("part", lit("bands"))
+        .write.mode("overwrite").partitionBy("part")
+        .bucketBy(16, "band", "sig").sortBy("band", "sig").saveAsTable(tbl)
     }
-    s.read.parquet(path)
+    s.table(tbl).select(col("doc_id"), col("band"), col("sig"))
   }
 
   private val oldClustersPath =
@@ -466,6 +486,97 @@ object SparkEntry {
     Similarity.streamingVectorProbe(updated, corpus2,
       e.filter(col("vec_id") % 20 === 17), tau = 0.4,
       bucketedIndex = true)
+  }
+
+  /** One text-side maintenance wave: band the arriving docs
+    * ([[FuzzyDedup.bandIndex]] — banding is stateless per document,
+    * so sequential waves ≡ one batch banding of their union, no
+    * standing fit to read at all, an even simpler associativity story
+    * than the vector side's encode) and `insertInto`-append the band
+    * rows into the bucketed catalog table `tbl`. Spark honors the
+    * table's bucket spec on appended files, so the Exchange-free
+    * probe survives — at the cost of ≥1 new file per populated
+    * (band, bucket) per wave, the accretion
+    * [[graft.operators.Layout.compactBucketedTable]] undoes. */
+  private[graft] def appendBandWave(s: SparkSession, tbl: String,
+      wave: DataFrame): Unit = {
+    val cols = s.table(tbl).columns.map(col)
+    FuzzyDedup.bandIndex(wave).withColumn("part", lit("bands"))
+      .select(cols: _*)
+      .write.mode("append").insertInto(tbl)
+  }
+
+  /** q481: the standing BAND index is maintainable in place — the
+    * text-side q479 (VERDICT r13 item 2). Wave 1 of the arriving
+    * batch (doc_id ≡ 19 mod 20) is banded and appended into a copy of
+    * the standing bucketed table via `insertInto` (bucket spec
+    * honored, so the probe join stays Exchange-free on the index
+    * side — PlanShapeSpec's q481 walk), then wave 2 (≡ 18 mod 20)
+    * runs the registered incremental ingest against the UPDATED
+    * standing index with oldDocs = old ∪ wave1. Delta-equivalence
+    * makes the oracle exact: the probe returns precisely the pairs of
+    * a FULL q24 rebuild over (old ∪ wave1 ∪ wave2) = ALL documents
+    * that involve a wave-2 doc, so the replay is q24's lshPairs CTE
+    * with the involvement filter moved to doc % 20 = 18. (The ≡ 19
+    * half appends and the ≡ 18 half probes — not the other way
+    * around — because the sf0.01 gate corpus's planted near-dups all
+    * involve the ≡ 18 slice: this orientation keeps the oracle
+    * non-vacuous at BOTH gate scales.) Each run rebuilds its own
+    * table copy (overwrite CTAS from the standing table) so the
+    * append is rerun-safe without accretion. */
+  private[graft] def bandAppendProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val standing = bandIndexTable(s, dir)
+    val tbl = "graft_bandindex_481_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(dir).toLong & 0xffffffffL)
+    // fresh copy per run: append must not accrete across bench passes
+    standing.withColumn("part", lit("bands"))
+      .write.mode("overwrite").partitionBy("part")
+      .bucketBy(16, "band", "sig").sortBy("band", "sig").saveAsTable(tbl)
+    appendBandWave(s, tbl, docs.filter(col("doc_id") % 20 === 19))
+    val updated = s.table(tbl).select(col("doc_id"), col("band"), col("sig"))
+    FuzzyDedup.incrementalNearDups(updated,
+      docs.filter(col("doc_id") % 20 =!= 18),
+      docs.filter(col("doc_id") % 20 === 18))
+  }
+
+  /** q482: the band index's FULL maintenance loop — the text-side
+    * q480. Wave 1 arrives as TWO sequential half-waves (doc_id ≡ 19
+    * and ≡ 39 mod 40 — together exactly q481's ≡ 19 mod 20 wave),
+    * each banded and appended; the table now holds ≥3 files per
+    * populated (band, bucket) (base + 2 waves).
+    * [[graft.operators.Layout.compactBucketedTable]] — the SAME
+    * table/column-parameterized pass the vector index runs — rewrites
+    * the accreted band partitions back to one file per bucket,
+    * bucketing intact (PlanShapeSpec's q482 walk), and wave 2 probes
+    * the compacted index. The DuckDB replay is q481's VERBATIM: two
+    * half-wave appends + compaction must land on row-identical band
+    * tables to one wave-1 append — banding's per-document
+    * statelessness gives the associativity, and compaction changes
+    * zero rows; one replay enforces both. */
+  private[graft] def bandCompactedProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val standing = bandIndexTable(s, dir)
+    val tbl = "graft_bandindex_482_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
+        .stringHash(dir).toLong & 0xffffffffL)
+    // fresh copy per run: append must not accrete across bench passes
+    standing.withColumn("part", lit("bands"))
+      .write.mode("overwrite").partitionBy("part")
+      .bucketBy(16, "band", "sig").sortBy("band", "sig").saveAsTable(tbl)
+    appendBandWave(s, tbl, docs.filter(col("doc_id") % 40 === 19))
+    appendBandWave(s, tbl, docs.filter(col("doc_id") % 40 === 39))
+    // maxFilesPerBucket = 1 (not the economic default 16): the demo
+    // loop asserts the steady state after a guaranteed-accretion wave
+    // pair, so compaction must actually fire every run
+    graft.operators.Layout.compactBucketedTable(s, tbl,
+      partCol = "part", bucketCols = Seq("band", "sig"), numBuckets = 16,
+      maxFilesPerBucket = 1)
+    val updated = s.table(tbl).select(col("doc_id"), col("band"), col("sig"))
+    FuzzyDedup.incrementalNearDups(updated,
+      docs.filter(col("doc_id") % 20 =!= 18),
+      docs.filter(col("doc_id") % 20 === 18))
   }
 
   /** q477's streaming pipeline, factored out so PlanShapeSpec can
@@ -3042,6 +3153,19 @@ object SparkEntry {
     // oracle-enforced (bucketing survival is PlanShapeSpec's q480 pin)
     "q480_bucketed_index_compact" -> ((s, dir) =>
       bucketedCompactedServe(s, dir)),
+    // Text-side in-place maintenance: arriving docs' band rows
+    // insertInto the standing (band × sig-bucket) index table, the
+    // next batch probes the UPDATED index — no re-banding of the
+    // corpus anywhere (the vector q479's twin)
+    "q481_band_index_append" -> ((s, dir) =>
+      bandAppendProbe(s, dir)),
+    // The band index's FULL maintenance loop: two sequential
+    // half-wave appends, bucket-preserving compaction, then the
+    // probe — q481's replay verbatim is the oracle, so banding
+    // associativity AND compaction row-preservation are both
+    // oracle-enforced (bucketing survival is PlanShapeSpec's q482 pin)
+    "q482_band_index_compact" -> ((s, dir) =>
+      bandCompactedProbe(s, dir)),
     "q435_anom" -> ((s, dir) =>
       Analytics.anom(t(s, dir, "events"),
         "event_type", floor(col("value") * 100 + lit(0.5)))),
@@ -15558,6 +15682,25 @@ object SparkEntry {
         """SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
           |WHERE jac >= 0.8
           |  AND (doc_a % 20 >= 18 OR doc_b % 20 >= 18)""".stripMargin),
+    // text-side append-then-probe: appending wave 1's band rows to
+    // the standing index makes the updated index EXACTLY the band
+    // rows of old ∪ wave1 (banding is stateless per document), and
+    // old ∪ wave1 ∪ wave2 = ALL documents — so the probe returns the
+    // full q24 rebuild's pairs that involve a wave-2 (≡18 mod 20) doc
+    "q481_band_index_append" ->
+      (lshPairsCte +
+        """SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
+          |WHERE jac >= 0.8
+          |  AND (doc_a % 20 = 18 OR doc_b % 20 = 18)""".stripMargin),
+    // append→compact→probe must land on row-identical band tables to
+    // the single-wave append path: the two ≡19/≡39 (mod 40)
+    // half-waves union to q481's ≡19 (mod 20) wave and compaction
+    // changes zero rows — one replay is both oracles
+    "q482_band_index_compact" ->
+      (lshPairsCte +
+        """SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j
+          |WHERE jac >= 0.8
+          |  AND (doc_a % 20 = 18 OR doc_b % 20 = 18)""".stripMargin),
     // the capped replay: same ladder with candidates restricted to
     // buckets holding <= 64 corpus band rows
     "q453_capped_ingest_probe" ->

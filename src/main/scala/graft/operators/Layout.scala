@@ -313,11 +313,32 @@ object Layout {
   def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
                            table: String, partCol: String,
                            bucketCol: String, numBuckets: Int,
+                           maxFilesPerBucket: Int): Seq[String] =
+    compactBucketedTable(spark, table, partCol, Seq(bucketCol),
+      numBuckets, maxFilesPerBucket)
+
+  def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
+                           table: String, partCol: String,
+                           bucketCol: String, numBuckets: Int): Seq[String] =
+    compactBucketedTable(spark, table, partCol, Seq(bucketCol), numBuckets, 16)
+
+  /** Multi-column bucket-spec form (the band index buckets by
+    * (band, sig) — Spark's co-partitioning check,
+    * `spark.sql.requireAllClusterKeysForCoPartition` = true by
+    * default, demands the bucket spec equal the probe join's keys
+    * EXACTLY, so a compound key must be bucketed compoundly;
+    * `repartition(n, cols...)`'s HashPartitioning and the bucket-file
+    * assignment share the same multi-column murmur3 fold, so the
+    * one-file-per-bucket steady state holds unchanged). */
+  def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
+                           table: String, partCol: String,
+                           bucketCols: Seq[String], numBuckets: Int,
                            maxFilesPerBucket: Int = 16): Seq[String] = {
     require(maxFilesPerBucket >= 1, s"maxFilesPerBucket $maxFilesPerBucket")
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     // validate against the catalog's own bucket spec where DESCRIBE
     // exposes it — a mismatched numBuckets mis-clusters the rewrite
-    // (see scaladoc), a mismatched column would shuffle rows into the
+    // (see scaladoc), mismatched columns would shuffle rows into the
     // WRONG buckets entirely
     val desc = spark.sql(s"DESCRIBE FORMATTED $table").collect()
     def descVal(key: String): Option[String] = desc
@@ -329,8 +350,9 @@ object Layout {
     descVal("Bucket Columns").foreach { bc =>
       val cols = bc.stripPrefix("[").stripSuffix("]").split(",")
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
-      require(cols == Seq(bucketCol),
-        s"$table is bucketed by ${cols.mkString(",")}, caller passed $bucketCol") }
+      require(cols == bucketCols,
+        s"$table is bucketed by ${cols.mkString(",")}, caller passed " +
+          bucketCols.mkString(",")) }
     val manifest = bucketFileManifest(spark, table)
     // an empty manifest on a known-bucketed table means the Location
     // row or Spark's bucket-file naming drifted — fail LOUD instead of
@@ -359,7 +381,7 @@ object Layout {
           else if (vals.isEmpty) col(partCol).isNull
           else col(partCol).isin(vals: _*) || col(partCol).isNull
         val snap = spark.table(table).filter(pred).localCheckpoint()
-        snap.repartition(numBuckets, col(bucketCol))
+        snap.repartition(numBuckets, bucketCols.map(col): _*)
           .write.mode("overwrite").insertInto(table)
       } finally before.fold(
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(

@@ -286,7 +286,27 @@ object Sampling {
     *
     * Scale shape: one shingle explode + distinct; at 100 TB this is
     * the table to bucket-write by gram (the probe below becomes a
-    * co-located join). */
+    * co-located join).
+    *
+    * Lifecycle decision (this index deliberately does NOT get the
+    * bucketed-table + registered-append treatment the band index —
+    * q481/q482 — and the vector index — q479/q480 — got): those
+    * indexes are probed per arriving CORPUS batch on a corpus-sized
+    * equi-join key, so the probe join shuffles unless the index is
+    * pre-hashed — bucket layout and in-place appends are load-bearing
+    * there. This index is probed per new EVAL SET, and the probe side
+    * (the benchmark delta's grams) BROADCASTS — the index side never
+    * shuffles regardless of physical layout, so bucketing buys the
+    * serve nothing while benchmarks fit a broadcast (they do by
+    * orders of magnitude: eval sets are MBs, corpora are TBs). Corpus
+    * growth appends gram rows that are per-document independent (the
+    * same statelessness that makes band appends associative), i.e.
+    * plain parquet appends with no co-location requirement and no
+    * compaction trigger beyond ordinary small-file hygiene
+    * ([[graft.operators.Layout.compactionPlan]]). Only if a benchmark
+    * ever outgrew broadcast would the gram-keyed co-located join —
+    * and with it the bucketed standing table — become the right form
+    * (previous paragraph). */
   def ngramIndex(corpus: DataFrame, n: Int = 13,
                  corpusText: String = "text",
                  idCol: String = "doc_id"): DataFrame = {

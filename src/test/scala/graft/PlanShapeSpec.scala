@@ -692,6 +692,93 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("q481: band-index probe consumes the bucketing — index side Exchange-free post-append") {
+    // the text-side q479 claim: the standing band index is
+    // partitionBy(band) + bucketBy(16, sig), so the corpus-sized
+    // index side of the (band, sig) probe equi-join reads pre-hashed
+    // — no Exchange above its scan, bucket spec surviving the
+    // insertInto append — and only the batch-sized side shuffles.
+    // Broadcast is disabled for the walk: at sf0.001 the batch side
+    // would broadcast (also Exchange-free, trivially); at 100 TB
+    // nothing broadcasts, and THIS is the plan the layout exists for.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q481_band_index_append")(spark, dir)
+      val p = df.queryExecution.executedPlan
+      // the probe join: SMJ on (band, sig) one of whose sides is the
+      // standing catalog table (the only bucketed scan in the plan —
+      // the batch side bands itself from raw documents); side-agnostic
+      // because Catalyst may swap inner-join sides
+      def bucketed(side: org.apache.spark.sql.execution.SparkPlan) =
+        side.collect { case s: FileSourceScanExec => s }.exists(_.bucketedScan)
+      val probeJoins = p.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("sig")) &&
+            (bucketed(j.left) || bucketed(j.right)) => j
+      }
+      assert(probeJoins.nonEmpty,
+        s"no probe join consuming a bucketed index scan:\n$p")
+      val j = probeJoins.head
+      val (idxSide, batchSide) =
+        if (bucketed(j.right)) (j.right, j.left) else (j.left, j.right)
+      assert(idxSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"Exchange above the bucketed band-index scan:\n$idxSide")
+      val probeEx = batchSide.collect { case e: ShuffleExchangeExec => e }
+      assert(probeEx.nonEmpty, s"batch side consumed no shuffle:\n$batchSide")
+      assert(probeEx.head.outputPartitioning.numPartitions == 16,
+        s"batch shuffle not sized to the 16 buckets:\n${probeEx.head}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcBefore)
+    }
+  }
+
+  test("q482: band-index bucketing SURVIVES compaction — files-per-bucket returns to 1") {
+    // the text-side q480 claim: after two half-wave appends the band
+    // partitions hold 3 files per populated bucket; compaction must
+    // return them to ONE file per bucket with the bucket spec intact,
+    // so the probe join still consumes HashPartitioning(sig, 16).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q482_band_index_compact")(spark, dir)
+      val tbl = spark.catalog.listTables()
+        .filter("name like 'graft_bandindex_482_%'").collect().head.name
+      val manifest = graft.operators.Layout.bucketFileManifest(spark, tbl)
+      val accreted = manifest.filter(_._3 > 1)
+      assert(accreted.isEmpty,
+        s"buckets still hold multiple files post-compaction: $accreted")
+      val p = df.queryExecution.executedPlan
+      def bucketed(side: org.apache.spark.sql.execution.SparkPlan) =
+        side.collect { case s: FileSourceScanExec => s }.exists(_.bucketedScan)
+      val probeJoins = p.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("sig")) &&
+            (bucketed(j.left) || bucketed(j.right)) => j
+      }
+      assert(probeJoins.nonEmpty,
+        s"no probe join consuming a bucketed index scan:\n$p")
+      val j = probeJoins.head
+      val idxSide = if (bucketed(j.right)) j.right else j.left
+      assert(idxSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"Exchange above the compacted band-index scan:\n$idxSide")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcBefore)
+    }
+  }
+
   test("q470 (TPC-H Q2): decorrelated min joins back, dims broadcast, top-100 cut") {
     val p = plan("q470_tpch_q2")
     // the correlated min decorrelates into an aggregate re-joined on

@@ -280,6 +280,55 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(incr.keys.forall { case (a, b) => a % 20 >= 18 || b % 20 >= 18 })
   }
 
+  test("band index lifecycle: sequential appends == one-shot, compaction preserves rows + steady state") {
+    // the text-side twin of SimilaritySpec's vector-index lifecycle
+    // contracts, checked where the registered q481/q482 oracle cannot
+    // see: (a) two sequential insertInto half-wave appends land on
+    // row-identical band tables to the one-shot union append (banding
+    // is stateless per document — the associativity the q482 oracle
+    // rides); (b) Layout.compactBucketedTable — the SAME table/column-
+    // parameterized pass the vector index runs — moves zero rows and
+    // returns every accreted (band, bucket) to exactly one file.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = corpus.filter(col("doc_id") % 20 < 18)
+    val w1 = corpus.filter(col("doc_id") % 40 === 18)
+    val w2 = corpus.filter(col("doc_id") % 40 === 38)
+    def mkTbl(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      FuzzyDedup.bandIndex(old).withColumn("part", lit("bands"))
+        .write.partitionBy("part")
+        .bucketBy(16, "band", "sig").sortBy("band", "sig").saveAsTable(name)
+    }
+    try {
+      mkTbl("band_seq"); mkTbl("band_one")
+      graft.SparkEntry.appendBandWave(spark, "band_seq", w1)
+      graft.SparkEntry.appendBandWave(spark, "band_seq", w2)
+      graft.SparkEntry.appendBandWave(spark, "band_one", w1.unionByName(w2))
+      def rows(t: String): Seq[String] =
+        spark.table(t).collect().map(_.toString).sorted.toSeq
+      assert(rows("band_seq") == rows("band_one"),
+        "sequential band appends diverged from the one-shot union append")
+      val accreted = Layout.bucketFileManifest(spark, "band_seq")
+        .filter(_._3 > 1)
+      assert(accreted.nonEmpty, "appends produced no accretion to compact")
+      val before = rows("band_seq")
+      val rewritten = Layout.compactBucketedTable(spark, "band_seq",
+        partCol = "part", bucketCols = Seq("band", "sig"), numBuckets = 16,
+        maxFilesPerBucket = 1)
+      assert(rewritten.nonEmpty, "compaction selected no accreted partition")
+      assert(rows("band_seq") == before, "compaction moved rows")
+      val post = Layout.bucketFileManifest(spark, "band_seq").filter(_._3 > 1)
+      assert(post.isEmpty, s"buckets still hold multiple files: $post")
+      // idempotence: a second pass finds nothing to do
+      assert(Layout.compactBucketedTable(spark, "band_seq",
+        partCol = "part", bucketCols = Seq("band", "sig"), numBuckets = 16,
+        maxFilesPerBucket = 1).isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS band_seq")
+      spark.sql("DROP TABLE IF EXISTS band_one")
+    }
+  }
+
   test("incrementalNearDups: new-new pairs found without any index hit") {
     // index has nothing similar to the batch; the batch contains its
     // own near-dup pair — must be found by banding the batch itself
