@@ -88,6 +88,32 @@ object Bench {
     (1 to 3).map(_ => pass()).min
   }
 
+  /** PARALLEL-throughput canary (round 14): a fixed 32-partition
+    * shuffle+aggregate, min-of-2, stamped as `pcanary_sec`. Every
+    * r13/r14 drift adjudication decomposed the same way — "parallel
+    * window 1.15–1.35× slow at a near-flat CPU canary" — but that
+    * decomposition was always INFERRED from the query medians, never
+    * measured independently: [[canary]] is single-threaded by design
+    * and blind to scheduler/IO/SMT degradation across 32 threads.
+    * This probe prices exactly that window with engine-fixed work
+    * (64M-row range → modulo key → hash-agg → one shuffle), so a
+    * future divert can say numerically whether the host's parallel
+    * family moved (pcanary up, canary flat), its CPU family moved
+    * (both up), or the engine regressed (queries up, both canaries
+    * flat). Spark-version-dependent, but the record and its
+    * challengers always run the same jar. */
+  private[graft] def parallelCanary(spark: SparkSession): Double = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 64000000L, 1L, 32)
+        .selectExpr("id % 1000000 AS k")
+        .groupBy("k").count()
+        .selectExpr("sum(count)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 2).map(_ => pass()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -122,10 +148,11 @@ object Bench {
     // either (data itself stays cold — 1 row, limit pushed down)
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").limit(1).collect()
-    // host-speed canary AFTER the JIT warm (its own 3 passes warm its
-    // loop) and BEFORE any timed query — the number must price the
-    // host, not share a window with engine work
+    // host-speed canaries AFTER the JIT warm (their own passes warm
+    // their loops) and BEFORE any timed query — the numbers must
+    // price the host, not share a window with engine work
     val canarySec = canary()
+    val pcanarySec = parallelCanary(spark)
     // optional subset for local iteration: SPARK_GRAFT_ONLY=q35,q36
     // (qNN ids or full names — mirrors Verify's filter). Match the
     // qNN id EXACTLY, not by startsWith: "q47" must select only q47,
@@ -315,6 +342,7 @@ object Bench {
       // in the artifact said so - only a BASELINE.md note did)
       detail ++= s"""  "n_registered": ${SparkEntry.queries.size},\n"""
       detail ++= s"""  "canary_sec": ${ms(canarySec)},\n"""
+      detail ++= s"""  "pcanary_sec": ${ms(pcanarySec)},\n"""
       detail ++= s"""  "shared_median_ratio": ${
         sharedMedian.fold("null")(ms)},\n"""
       detail ++= s"""  "errors": {""" + errs.map { case (k, m) =>
