@@ -17,10 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Word tokens: lowercased maximal `[a-z0-9]+` runs. The regex is
-    * deliberately RE2-compatible so the oracle dual
-    * (`regexp_extract_all(lower(x), '[a-z0-9]+')`) matches exactly. */
+  /** Word tokens: lowercased maximal `[a-z0-9]+` runs, exactly the
+    * oracle dual `regexp_extract_all(lower(x), '[a-z0-9]+')` — served
+    * by the codegen byte-scan [[graft.plans.TokensOf]] instead of the
+    * regex (guide §4: the Matcher + per-match allocation sat under
+    * every text operator's scan; the kernel's equivalence contract
+    * and its property test against this exact regex live with the
+    * expression). [[tokensRegex]] keeps the original formulation as
+    * the spec's reference implementation. */
   def tokens(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.TokensOf(
+      org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  /** The regex reference formulation of [[tokens]] (spec-only). */
+  def tokensRegex(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
   /** BPE-ish subword count: letter runs, digit runs, and single

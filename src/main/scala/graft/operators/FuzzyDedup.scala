@@ -47,10 +47,30 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object FuzzyDedup {
 
-  /** (doc_id, sh) with empty-shingle docs removed. */
+  /** (doc_id, sh) with empty-shingle docs removed. The raw (id, text)
+    * rows are [[Fanout.widen]]ed BEFORE the shingle projection so the
+    * tokenize+n-gram+distinct work — and the per-shingle md5 minhash
+    * every consumer stacks on top — spreads across the session's
+    * cores even when the corpus scan yields fewer partitions (r14
+    * measurement: the single-task shingle+minhash stage was the top
+    * cost of every LSH query at 1.3–1.7 s). Text is shuffled pre-
+    * shingle (1× bytes, not the ~3× of the gram arrays); at
+    * production scan parallelism widen is the identity. */
   def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+    Fanout.widen(docs.select(col(idCol).as("doc_id"), col(textCol).as("_t")),
+        col("doc_id"))
+      // spark_partition_id() is a PUSHDOWN BARRIER, then dropped: a
+      // project containing a non-deterministic expression blocks
+      // predicate pushdown, so the size(sh)>0 filter below evaluates
+      // the PROJECTED sh attribute post-exchange instead of being
+      // pushed to the scan side, where it would re-derive the whole
+      // tokenize+n-gram chain TWICE per row on the narrow pre-widen
+      // partitions (measured r14: 520 ms single-task map stages, the
+      // filter recompute was the entire cost)
+      .select(col("doc_id"), shingles(col("_t"), n).as("sh"),
+        spark_partition_id().as("_pushdown_barrier"))
       .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
 
   /** Exact Jaccard over distinct shingle sets. */
   def jaccard(a: Column, b: Column): Column = {
@@ -889,10 +909,20 @@ object FuzzyDedup {
     val dcols = thresholds.zipWithIndex.map { case (t, i) =>
       sum(when(col("_ms") >= t, 1L).otherwise(0L)).as(s"_d$i") }
     val onerow = pa.crossJoin(perDoc.agg(dcols.head, dcols.tail: _*))
-    thresholds.zipWithIndex.map { case (t, i) =>
-      onerow.select(lit(t).as("threshold"),
-        coalesce(col(s"_p$i"), lit(0L)).as("n_pairs"),
-        coalesce(col(s"_d$i"), lit(0L)).as("n_docs_affected"))
-    }.reduce(_ unionAll _)
+    // ONE row exploded to |thresholds| rows, NOT a unionAll of
+    // |thresholds| copies of `onerow`: each unionAll branch carried
+    // the FULL lazy pair-build subtree, so Catalyst optimized the LSH
+    // pipeline 2·|thresholds| times per pass — runtime shuffle reuse
+    // hid the execution cost but not the 1–2 s of planning (the q314
+    // driver gap, r14 measurement; optimization guide §3.3 "very wide
+    // unions produce enormous plans"). Same rows in the same order.
+    onerow.select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"),
+          coalesce(col(s"_p$i"), lit(0L)).as("n_pairs"),
+          coalesce(col(s"_d$i"), lit(0L)).as("n_docs_affected"))
+      }: _*)).as("_r"))
+      .select(col("_r.threshold").as("threshold"),
+        col("_r.n_pairs").as("n_pairs"),
+        col("_r.n_docs_affected").as("n_docs_affected"))
   }
 }

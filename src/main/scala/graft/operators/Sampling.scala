@@ -267,7 +267,10 @@ object Sampling {
     import graft.functions.HashFunctions.shingles
     val bfp = broadcast(benchmark
       .select(explode(shingles(col(benchmarkText), n)).as("_bs")).distinct())
-    val contaminated = corpus
+    // widen before the 13-gram explode: the corpus-side shingle HOF is
+    // the dominant CPU and pipelines onto the scan (Fanout scaladoc)
+    val contaminated = Fanout
+      .widen(corpus.select(col(idCol), col(corpusText)), col(idCol))
       .select(col(idCol), explode(shingles(col(corpusText), n)).as("_s"))
       .join(bfp, col("_s") === col("_bs"), "left_semi")
       .select(idCol).distinct()
@@ -311,8 +314,11 @@ object Sampling {
                  corpusText: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
     import graft.functions.HashFunctions.shingles
-    corpus.select(col(idCol),
-      explode(shingles(col(corpusText), n)).as("gram")).distinct()
+    // widen before the 13-gram explode (same rationale as
+    // [[ngramDecontaminate]]'s corpus side)
+    Fanout.widen(corpus.select(col(idCol), col(corpusText)), col(idCol))
+      .select(col(idCol),
+        explode(shingles(col(corpusText), n)).as("gram")).distinct()
   }
 
   /** Per-update decontamination — the benchmark grows (a new eval set
@@ -533,14 +539,19 @@ object Sampling {
     val bfp = broadcast(benchmark
       .select(explode(shingles(col(benchmarkText), n)).as("_bs"))
       .distinct())
-    val pos = corpus.select(col(idCol),
+    // widen once, shared by both consumers: the undeduplicated
+    // 13-gram explode and the total-gram projection are the CPU of
+    // this operator and pipeline onto the scan (Fanout scaladoc)
+    val wideCorpus = Fanout
+      .widen(corpus.select(col(idCol), col(corpusText)), col(idCol))
+    val pos = wideCorpus.select(col(idCol),
       posexplode(shinglesAll(col(corpusText), n)).as(Seq("_p", "_s")))
     val hits = pos.join(bfp, col("_s") === col("_bs"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"),
         (min("_p") + 1).cast("long").as("first_hit_pos"),
         (max("_p") + 1).cast("long").as("last_hit_pos"))
-    val totals = corpus.select(col(idCol),
+    val totals = wideCorpus.select(col(idCol),
       size(shinglesAll(col(corpusText), n)).cast("long").as("n_grams"))
     hits.join(totals, Seq(idCol))
       .select(col(idCol), col("n_grams"), col("n_hits"),

@@ -111,8 +111,11 @@ object Similarity {
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn")))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
+    // widen: the queries×corpus dot products are CPU-dense and pipeline
+    // onto the corpus scan — a one-row-group corpus would run them on a
+    // single core (Fanout scaladoc; identity at production parallelism)
+    val c = Fanout.widen(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn")), col("cand_id"))
     val scored = q.join(c, col("query_id") =!= col("cand_id"))
       .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
@@ -158,8 +161,10 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, numCells: Int, multiAssign: Int = 2,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val seeds = broadcast(ivfSeeds(corpus, numCells, idCol, vecCol))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
+    // widen: numCells dot products per corpus row pipeline onto the
+    // scan — single-task on a one-row-group corpus without it
+    val c = Fanout.widen(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn")), col("cand_id"))
     c.crossJoin(seeds)
       .withColumn("cs", round(dot(col("cv"), col("sv")) / (col("cn") * col("sn")), 6))
       .groupBy("cand_id")
@@ -1120,8 +1125,12 @@ object Similarity {
     val sub = dim / m
     // (vector, subspace) SUBVECTOR rows — n·m rows carrying small
     // arrays; distances fold per row (see qdist12), so no
-    // per-coordinate explosion ever reaches an exchange
-    val subvecs = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    // per-coordinate explosion ever reaches an exchange. The corpus is
+    // widened first: the two qdist12 assign passes (n·m·k folds) were
+    // the top cost of every PQ query, single-task on a one-row-group
+    // corpus (r14 measurement: 1.7 s each at sf0.1).
+    val subvecs = Fanout.widen(
+        corpus.select(col(idCol).as("_id"), col(vecCol).as("_v")), col("_id"))
       .select(col("_id"), explode(array((0 until m).map(s =>
         struct(lit(s.toLong).as("s"),
           slice(col("_v"), s * sub + 1, sub).as("sv"))): _*)).as("e"))
@@ -1271,12 +1280,18 @@ object Similarity {
     * with it — PQ on raw vectors would rank by magnitude and gut
     * recall (measured: 0.08 raw vs 0.91 normalized at defaults). */
   private def unitVecs(df: DataFrame, idCol: String,
-                       vecCol: String): DataFrame = df
-    .select(col(idCol), col(vecCol))
-    .withColumn("_nn", norm(col(vecCol)))
-    .select(col(idCol),
-      transform(col(vecCol), x => x.cast("double") / col("_nn"))
-        .as(vecCol))
+                       vecCol: String, wide: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol))
+    // wide = true for corpus/batch-sized inputs: the per-row norm +
+    // normalize transform is interpreted (HOF) and would otherwise
+    // pipeline onto a narrow scan (Fanout scaladoc); query-sized
+    // inputs keep false — an exchange would cost more than it spreads
+    val src = if (wide) Fanout.widen(base, col(idCol)) else base
+    src.withColumn("_nn", norm(col(vecCol)))
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast("double") / col("_nn"))
+          .as(vecCol))
+  }
 
   /** The IVF-PQ index as ONE materializable table — the standing
     * product a vector store writes once and serves many times (the
@@ -1309,7 +1324,8 @@ object Similarity {
       .select(lit("assign").as("part"), col("cand_id").as("id"),
         nullL.as("s"), col("cell").cast("long").as("c"), nullVec.as("vec"))
     val (pqCodes, cents) =
-      pqFit(unitVecs(corpus, idCol, vecCol), m, codes, dim, idCol, vecCol)
+      pqFit(unitVecs(corpus, idCol, vecCol, wide = true), m, codes, dim,
+        idCol, vecCol)
     val codeRows = pqCodes.select(lit("code").as("part"), col("_id").as("id"),
       col("_s").as("s"), col("_c").as("c"), nullVec.as("vec"))
     val centRows = cents.select(lit("cent").as("part"), nullL.as("id"),
@@ -1477,7 +1493,7 @@ object Similarity {
       .groupBy("_bid")
       .agg(array_sort(collect_list(col("seed_id"))).as("cells"))
     val sub = dim / m
-    val bsub = unitVecs(batch, idCol, vecCol)
+    val bsub = unitVecs(batch, idCol, vecCol, wide = true)
       .select(col(idCol).as("_bid"), col(vecCol).as("_v"))
       .select(col("_bid"), explode(array((0 until m).map(s =>
         struct(lit(s.toLong).as("s"),
@@ -1959,7 +1975,7 @@ object Similarity {
     import graft.functions.HashFunctions.md5Long
     import org.apache.spark.sql.expressions.Window
     require(k1 >= 1 && k2 >= 1)
-    val unit = unitVecs(corpus, idCol, vecCol)
+    val unit = unitVecs(corpus, idCol, vecCol, wide = true)
       .select(col(idCol).as("_id"), col(vecCol).as("_v"))
     val w1 = Window.orderBy(md5Long(col("_id").cast("string")), col("_id"))
     val cb1 = broadcast(unit
