@@ -43,7 +43,10 @@ object Prof {
     case class Job(id: Int, desc: String, start: Long, var end: Long = 0L)
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
     case class Stage(id: Int, name: String, tasks: Int, runMs: Long,
-                     cpuMs: Long, shufReadMB: Double, shufWriteMB: Double)
+                     cpuMs: Long, shufReadMB: Double, shufWriteMB: Double,
+                     deserMs: Long = 0, deserCpuMs: Long = 0, gcMs: Long = 0,
+                     resSerMs: Long = 0, fetchWaitMs: Long = 0,
+                     peakMemMB: Double = 0)
     val stages = mutable.ArrayBuffer.empty[Stage]
     @volatile var collecting = false
     val listener = new SparkListener {
@@ -64,7 +67,12 @@ object Prof {
           stages += Stage(i.stageId, i.name.takeWhile(_ != '\n').take(80),
             i.numTasks, m.executorRunTime, m.executorCpuTime / 1000000L,
             m.shuffleReadMetrics.totalBytesRead / 1e6,
-            m.shuffleWriteMetrics.bytesWritten / 1e6)
+            m.shuffleWriteMetrics.bytesWritten / 1e6,
+            m.executorDeserializeTime,
+            m.executorDeserializeCpuTime / 1000000L,
+            m.jvmGCTime, m.resultSerializationTime,
+            m.shuffleReadMetrics.fetchWaitTime,
+            m.peakExecutionMemory / 1e6)
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -93,9 +101,21 @@ object Prof {
         }
         val totalJobMs = jobs.values.map(j => j.end - j.start).sum
         println(f"sum(job wall) = $totalJobMs ms; query wall = ${dt * 1000}%.0f ms; driver gap = ${dt * 1000 - totalJobMs}%.0f ms")
+        // driver-side planning breakdown (guide §7.3): re-derive the
+        // frame and force physical planning only, so the tracker's
+        // phase times are visible without execution
+        val dfPlan = SparkEntry.queries(name)(spark, sfDir)
+        val tp0 = System.nanoTime()
+        dfPlan.queryExecution.executedPlan
+        val planMs = (System.nanoTime() - tp0) / 1e6
+        val phases = dfPlan.queryExecution.tracker.phases
+        println(f"--- planning: executedPlan forced in $planMs%.0f ms; phases: " +
+          phases.map { case (k, v) =>
+            s"$k=${v.endTimeMs - v.startTimeMs}ms" }.mkString(" "))
+        cleanup()
         println("--- top stages by executor run time ---")
         stages.sortBy(-_.runMs).take(14).foreach { s =>
-          println(f"stage ${s.id}%4d run ${s.runMs}%6d ms cpu ${s.cpuMs}%6d ms tasks ${s.tasks}%3d shufR ${s.shufReadMB}%8.2f MB shufW ${s.shufWriteMB}%8.2f MB  ${s.name}")
+          println(f"stage ${s.id}%4d run ${s.runMs}%6d ms cpu ${s.cpuMs}%6d ms tasks ${s.tasks}%3d deser ${s.deserMs}%5d/${s.deserCpuMs}%5d ms gc ${s.gcMs}%4d ms fetchW ${s.fetchWaitMs}%4d resSer ${s.resSerMs}%3d peak ${s.peakMemMB}%7.1f MB shufR ${s.shufReadMB}%6.2f shufW ${s.shufWriteMB}%6.2f  ${s.name.take(40)}")
         }
       }
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()

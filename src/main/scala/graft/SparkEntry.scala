@@ -167,7 +167,7 @@ object SparkEntry {
     * directory-per-signature never could, and `insertInto` appends
     * ([[appendBandWave]]) land arriving band rows in place, bucket
     * spec intact. */
-  private def bandIndexTable(s: SparkSession, dir: String): DataFrame = {
+  private def bandIndexTbl(s: SparkSession, dir: String): String = {
     val tbl = "graft_bandindex_b_" +
       java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
         .stringHash(dir).toLong & 0xffffffffL)
@@ -178,8 +178,11 @@ object SparkEntry {
         .write.mode("overwrite").partitionBy("part")
         .bucketBy(16, "band", "sig").sortBy("band", "sig").saveAsTable(tbl)
     }
-    s.table(tbl).select(col("doc_id"), col("band"), col("sig"))
+    tbl
   }
+
+  private def bandIndexTable(s: SparkSession, dir: String): DataFrame =
+    s.table(bandIndexTbl(s, dir)).select(col("doc_id"), col("band"), col("sig"))
 
   private val oldClustersPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -343,7 +346,7 @@ object SparkEntry {
     * (cells ≫ the 16 buckets) already at sf0.1 (~140 cells), unlike
     * q476's 8-cell parity build — the live serve rides the
     * configuration the 100 TB argument is about. */
-  private def vecIndexBucketedOldTable(s: SparkSession, dir: String): DataFrame = {
+  private def vecIndexBucketedOldTbl(s: SparkSession, dir: String): String = {
     val tbl = "graft_vecindex_bo_" +
       java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
         .stringHash(dir).toLong & 0xffffffffL)
@@ -354,9 +357,12 @@ object SparkEntry {
         .write.mode("overwrite").partitionBy("part")
         .bucketBy(16, "c").sortBy("c").saveAsTable(tbl)
     }
-    s.table(tbl).select(col("part"), col("id"), col("s"),
-      col("c"), col("vec"))
+    tbl
   }
+
+  private def vecIndexBucketedOldTable(s: SparkSession, dir: String): DataFrame =
+    s.table(vecIndexBucketedOldTbl(s, dir)).select(col("part"), col("id"),
+      col("s"), col("c"), col("vec"))
 
   /** The PRODUCTION configuration end-to-end: the bucketed layout AND
     * the corpus-scaled cell count together (q476 deliberately keeps
@@ -403,9 +409,11 @@ object SparkEntry {
     val tbl = "graft_vecindex_479_" +
       java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
         .stringHash(dir).toLong & 0xffffffffL)
-    // fresh copy per run: append must not accrete across bench passes
-    standing.write.mode("overwrite").partitionBy("part")
-      .bucketBy(16, "c").sortBy("c").saveAsTable(tbl)
+    // fresh copy per run (append must not accrete across bench
+    // passes) — metadata+file clone, not a re-write job (Layout
+    // .cloneBucketedTable scaladoc)
+    graft.operators.Layout.cloneBucketedTable(s,
+      vecIndexBucketedOldTbl(s, dir), tbl)
     val wave1 = e.filter(col("vec_id") % 20 === 7)
     appendEncodedWave(s, tbl, standing, wave1)
     val updated = s.table(tbl).select(col("part"), col("id"), col("s"),
@@ -470,9 +478,9 @@ object SparkEntry {
     val tbl = "graft_vecindex_480_" +
       java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
         .stringHash(dir).toLong & 0xffffffffL)
-    // fresh copy per run: append must not accrete across bench passes
-    standing.write.mode("overwrite").partitionBy("part")
-      .bucketBy(16, "c").sortBy("c").saveAsTable(tbl)
+    // fresh copy per run: metadata+file clone (see q479)
+    graft.operators.Layout.cloneBucketedTable(s,
+      vecIndexBucketedOldTbl(s, dir), tbl)
     appendEncodedWave(s, tbl, standing, e.filter(col("vec_id") % 40 === 7))
     appendEncodedWave(s, tbl, standing, e.filter(col("vec_id") % 40 === 27))
     // maxFilesPerBucket = 1 (not the economic default 16): the demo
@@ -526,21 +534,20 @@ object SparkEntry {
     * non-vacuous at BOTH gate scales.) Each run rebuilds its own
     * table copy (overwrite CTAS from the standing table) so the
     * append is rerun-safe without accretion. */
-  private[graft] def bandAppendProbe(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bandAppendProbe(s: SparkSession, dir: String,
+      checkpointCandidates: Boolean = true): DataFrame = {
     val docs = t(s, dir, "documents")
-    val standing = bandIndexTable(s, dir)
     val tbl = "graft_bandindex_481_" +
       java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
         .stringHash(dir).toLong & 0xffffffffL)
-    // fresh copy per run: append must not accrete across bench passes
-    standing.withColumn("part", lit("bands"))
-      .write.mode("overwrite").partitionBy("part")
-      .bucketBy(16, "band", "sig").sortBy("band", "sig").saveAsTable(tbl)
+    // fresh copy per run: metadata+file clone (see q479)
+    graft.operators.Layout.cloneBucketedTable(s, bandIndexTbl(s, dir), tbl)
     appendBandWave(s, tbl, docs.filter(col("doc_id") % 20 === 19))
     val updated = s.table(tbl).select(col("doc_id"), col("band"), col("sig"))
     FuzzyDedup.incrementalNearDups(updated,
       docs.filter(col("doc_id") % 20 =!= 18),
-      docs.filter(col("doc_id") % 20 === 18))
+      docs.filter(col("doc_id") % 20 === 18),
+      checkpointCandidates = checkpointCandidates)
   }
 
   /** q482: the band index's FULL maintenance loop — the text-side
@@ -557,16 +564,14 @@ object SparkEntry {
     * tables to one wave-1 append — banding's per-document
     * statelessness gives the associativity, and compaction changes
     * zero rows; one replay enforces both. */
-  private[graft] def bandCompactedProbe(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bandCompactedProbe(s: SparkSession, dir: String,
+      checkpointCandidates: Boolean = true): DataFrame = {
     val docs = t(s, dir, "documents")
-    val standing = bandIndexTable(s, dir)
     val tbl = "graft_bandindex_482_" +
       java.lang.Long.toHexString(scala.util.hashing.MurmurHash3
         .stringHash(dir).toLong & 0xffffffffL)
-    // fresh copy per run: append must not accrete across bench passes
-    standing.withColumn("part", lit("bands"))
-      .write.mode("overwrite").partitionBy("part")
-      .bucketBy(16, "band", "sig").sortBy("band", "sig").saveAsTable(tbl)
+    // fresh copy per run: metadata+file clone (see q479)
+    graft.operators.Layout.cloneBucketedTable(s, bandIndexTbl(s, dir), tbl)
     appendBandWave(s, tbl, docs.filter(col("doc_id") % 40 === 19))
     appendBandWave(s, tbl, docs.filter(col("doc_id") % 40 === 39))
     // maxFilesPerBucket = 1 (not the economic default 16): the demo
@@ -578,7 +583,8 @@ object SparkEntry {
     val updated = s.table(tbl).select(col("doc_id"), col("band"), col("sig"))
     FuzzyDedup.incrementalNearDups(updated,
       docs.filter(col("doc_id") % 20 =!= 18),
-      docs.filter(col("doc_id") % 20 === 18))
+      docs.filter(col("doc_id") % 20 === 18),
+      checkpointCandidates = checkpointCandidates)
   }
 
   /** q477's streaming pipeline, factored out so PlanShapeSpec can

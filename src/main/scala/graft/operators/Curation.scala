@@ -909,6 +909,15 @@ object Curation {
             col("_s2").cast("double")) + lit(0.5)).cast("long"))
           .otherwise(col("_wq")))
         .select("_d1", "_d2", "_n", "_wq")
+        // eager checkpoint per round (the connectedComponents
+        // precedent): each half-round references the previous `w`
+        // TWICE (directly + via its marginal sum), so the lazy plan
+        // doubled per half-round — ~2^(2·rounds) copies of the cell
+        // subtree reaching Catalyst (r14; runtime exchange reuse hid
+        // the execution cost but not the planning). The checkpointed
+        // frame is cell-table-sized (|dim1|×|dim2| rows) at any
+        // corpus scale; values are unchanged.
+        .localCheckpoint(true)
     }
     w.select(col("_d1").as(dim1), col("_d2").as(dim2), col("_n").as("n"),
       round(col("_wq").cast("double") / 1e9, 6).as("weight"),

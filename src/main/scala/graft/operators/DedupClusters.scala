@@ -235,7 +235,9 @@ object DedupClusters {
         Seq("cluster_rep"))
       .filter(col("_a") < col("_b"))
     val sh = FuzzyDedup.shingled(
-      docs.join(m.select(col(idCol)), Seq(idCol), "left_semi"),
+      Fanout.widenUnchecked(
+        docs.join(m.select(col(idCol)), Seq(idCol), "left_semi"),
+        col(idCol)),
       idCol, textCol, n)
     val inter = size(array_intersect(col("_sha"), col("_shb")))
     val jq = floor(inter.cast("double") * 1e12 /

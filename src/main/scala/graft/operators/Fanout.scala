@@ -63,4 +63,18 @@ object Fanout {
       df.repartition(target, pmod(xxhash64(key), lit(target.toLong * 64)))
     else df
   }
+
+  /** Unconditional fan-out for frames the CALLER knows are narrow and
+    * bounded — e.g. the candidate-involved verify set of the LSH
+    * pipelines: a broadcast semi-join preserves its left side's 1–2
+    * scan partitions, so the verify shingle ran single-task (r14:
+    * ~0.6 s inside every incremental near-dup query), but the frame
+    * itself is candidates-sized by construction, so the exchange this
+    * inserts is small at ANY corpus scale. No `.rdd` probe (on a
+    * join-bearing frame it would fire the broadcast job early); same
+    * derived key as [[widen]]. */
+  private[graft] def widenUnchecked(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(target, pmod(xxhash64(key), lit(target.toLong * 64)))
+  }
 }

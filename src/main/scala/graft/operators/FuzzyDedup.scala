@@ -349,7 +349,9 @@ object FuzzyDedup {
         Seq("cluster_rep"))
       .filter(col("doc_a") < col("doc_b"))
     val sh = shingled(
-      docs.join(mem.select(col(idCol)).distinct(), Seq(idCol), "left_semi"),
+      Fanout.widenUnchecked(
+        docs.join(mem.select(col(idCol)).distinct(), Seq(idCol), "left_semi"),
+        col(idCol)),
       idCol, textCol, n)
     val melted = pr.select(col("cluster_rep"), col("csize"),
       struct(col("doc_a"), col("doc_b")).as("pair"),
@@ -400,7 +402,8 @@ object FuzzyDedup {
                           textCol: String = "text", n: Int = 3,
                           k: Int = 12, bands: Int = 4,
                           threshold: Double = 0.8,
-                          maxBucket: Int = Int.MaxValue): DataFrame = {
+                          maxBucket: Int = Int.MaxValue,
+                          checkpointCandidates: Boolean = true): DataFrame = {
     val newBand0 = bandIndex(newDocs, idCol, textCol, n, k, bands)
     // DEGENERATE-BAND CAP (off by default — the uncapped path is the
     // exact-equality contract): buckets holding more than `maxBucket`
@@ -434,12 +437,36 @@ object FuzzyDedup {
     val newCand = bucketPairs(newBand, Seq("band", "sig"), col("doc_id"),
         None)
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-    val cand = crossCand.unionAll(newCand).distinct()
+    // eager checkpoint of the candidate set (the connectedComponents
+    // precedent, and the ONE deliberate exception to this file's
+    // no-persist contract): `cand` is referenced four times below
+    // (melted ×1, involved ×2, verify tail), so the lazy plan carried
+    // four copies of the whole band-probe pipeline — Catalyst planned
+    // them all and every task closure shipped them (r14: the plan-
+    // duplication half of q453's cost; runtime exchange reuse hid the
+    // execution but not planning/serialization). The checkpointed
+    // relation is near-dup-candidate-sized at any corpus scale —
+    // exactly the bounded materialization boundary the file's
+    // scaladoc assigns to callers, taken here because the operator
+    // itself is the caller of its verify tail.
+    // checkpointCandidates = false exists for the plan specs only:
+    // the checkpoint executes the probe join eagerly, so a walker of
+    // the FINAL plan sees ExistingRDD where the probe used to be —
+    // the specs pin the identical probe construction pre-checkpoint.
+    val cand0 = crossCand.unionAll(newCand).distinct()
+    val cand =
+      if (checkpointCandidates) cand0.localCheckpoint(true) else cand0
     val all = oldDocs.select(col(idCol), col(textCol))
       .unionAll(newDocs.select(col(idCol), col(textCol)))
     val involved = cand.select(col("doc_a").as(idCol))
       .unionAll(cand.select(col("doc_b").as(idCol))).distinct()
-    val sh = shingled(all.join(involved, Seq(idCol), "left_semi"),
+    // widenUnchecked: the semi-join preserves the scans' 1–2
+    // partitions, so the verify shingle otherwise runs single-task;
+    // the involved set is candidates-sized, so the exchange is small
+    // at any corpus scale (Fanout scaladoc)
+    val sh = shingled(
+      Fanout.widenUnchecked(all.join(involved, Seq(idCol), "left_semi"),
+        col(idCol)),
       idCol, textCol, n)
     verifyJaccard(cand, sh, threshold)
   }

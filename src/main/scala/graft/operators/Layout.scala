@@ -389,4 +389,51 @@ object Layout {
     }
     needy
   }
+
+  /** Metadata-level CLONE of a partitioned+bucketed catalog table —
+    * `CREATE TABLE` from the source's own DDL + a raw file copy +
+    * `MSCK REPAIR` to register the partitions. Replaces the
+    * scan→sort→bucketed-write CTAS the standing-index demos (q479–
+    * q482) ran per pass purely for rerun safety: the clone is
+    * byte-identical by construction (bucket ids live in the copied
+    * FILE NAMES, so the bucket spec — and the Exchange-free serve —
+    * survives exactly; PlanShapeSpec's q480/q482 walks still pin it),
+    * and costs one directory copy + two DDLs instead of a Spark write
+    * job (r14: ~0.4–0.8 s per maintenance query). This is what a lake
+    * does when it snapshots a table (metadata/file operation, not a
+    * recompute); the SOURCE table's own build is untouched and still
+    * computed from the parquet inputs. */
+  def cloneBucketedTable(spark: org.apache.spark.sql.SparkSession,
+                         src: String, dst: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $dst")
+    val ddl = spark.sql(s"SHOW CREATE TABLE $src").collect()(0).getString(0)
+      // strip an explicit LOCATION clause if present — the clone must
+      // land in ITS OWN managed directory, never the source's
+      .replaceAll("(?i)LOCATION\\s+'[^']*'", "")
+      // the hashed table names are globally unique strings, so a
+      // plain replace renames every qualified form at once
+      .replace(src, dst)
+    spark.sql(ddl)
+    def loc(t: String): java.nio.file.Path = {
+      val l = spark.sql(s"DESCRIBE FORMATTED $t").collect()
+        .find(r => Option(r.getString(0)).exists(_.trim == "Location"))
+        .map(_.getString(1)).getOrElse(sys.error(s"no Location for $t"))
+      java.nio.file.Paths.get(new java.net.URI(l))
+    }
+    val (srcRoot, dstRoot) = (loc(src), loc(dst))
+    java.nio.file.Files.createDirectories(dstRoot)
+    val s0 = java.nio.file.Files.walk(srcRoot)
+    try s0.forEach { p =>
+      val rel = srcRoot.relativize(p)
+      val name = p.getFileName.toString
+      val tgt = dstRoot.resolve(rel.toString)
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.createDirectories(tgt)
+      } else if (!name.startsWith("_") && !name.startsWith(".")) {
+        java.nio.file.Files.copy(p, tgt,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally s0.close()
+    spark.sql(s"MSCK REPAIR TABLE $dst")
+  }
 }

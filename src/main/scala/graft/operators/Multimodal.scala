@@ -48,12 +48,19 @@ object Multimodal {
     * image/audio table would have. */
   def asBinaryTable(docs: DataFrame, idCol: String = "doc_id",
                     payloadCol: String = "text"): DataFrame =
-    docs.select(
-      col(idCol).as("doc_id"),
-      col(payloadCol).cast("binary").as("content"),
-      struct(
-        lit("image/png").as("mime"),
-        length(col(payloadCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
+    // widen first: every consumer stacks per-byte expression work
+    // (hex transforms, frame explodes, energy folds) onto this frame,
+    // and the narrow scan would pin it to one task (Fanout scaladoc;
+    // identity at production scan parallelism)
+    Fanout.widen(
+        docs.select(col(idCol).as("doc_id"), col(payloadCol).as("_p")),
+        col("doc_id"))
+      .select(
+        col("doc_id"),
+        col("_p").cast("binary").as("content"),
+        struct(
+          lit("image/png").as("mime"),
+          length(col("_p").cast("binary")).cast("long").as("n_bytes")).as("meta"))
 
   /** Payload byte-entropy screen: per binary payload, the Shannon
     * entropy of its byte distribution (bits/byte, 0..8), the
@@ -316,11 +323,23 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").as("_t"),
         expr("_energy div 256").as("_eb"))
     val wp = Window.partitionBy("doc_id").orderBy("_t")
-    val lms = (1 to maxDt).map { k =>
-      peaks.select(col("doc_id"), col("_t").as("_t1"), col("_eb").as("_e1"),
-        lead(col("_t"), k).over(wp).as("_t2"),
-        lead(col("_eb"), k).over(wp).as("_e2"))
-    }.reduce(_.unionByName(_))
+    // ONE window pass computing all maxDt leads, exploded to the same
+    // rows — the former per-k unionByName replicated the whole peaks
+    // window subtree maxDt× (planned maxDt times, window recomputed
+    // per branch after the reused exchange; r14). Row multiset is
+    // identical; downstream is joins/aggregates, so order never
+    // mattered.
+    val lms = peaks.select(
+        Seq(col("doc_id"), col("_t").as("_t1"), col("_eb").as("_e1")) ++
+        (1 to maxDt).flatMap(k => Seq(
+          lead(col("_t"), k).over(wp).as(s"_t2_$k"),
+          lead(col("_eb"), k).over(wp).as(s"_e2_$k"))): _*)
+      .select(col("doc_id"), col("_t1"), col("_e1"),
+        explode(array((1 to maxDt).map(k =>
+          struct(col(s"_t2_$k").as("_t2"), col(s"_e2_$k").as("_e2"))): _*))
+          .as("_pair"))
+      .select(col("doc_id"), col("_t1"), col("_e1"),
+        col("_pair._t2").as("_t2"), col("_pair._e2").as("_e2"))
       .filter(col("_t2").isNotNull && col("_t2") - col("_t1") <= maxDt)
       .select(col("doc_id"), col("_t1"),
         (col("_e1") * 512 + col("_e2") * 8 + (col("_t2") - col("_t1")))

@@ -161,10 +161,13 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, numCells: Int, multiAssign: Int = 2,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val seeds = broadcast(ivfSeeds(corpus, numCells, idCol, vecCol))
-    // widen: numCells dot products per corpus row pipeline onto the
-    // scan — single-task on a one-row-group corpus without it
-    val c = Fanout.widen(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn")), col("cand_id"))
+    // NOT widened (r14 A/B): at the default numCells=8 the per-row
+    // work is ~8 dots — the widen exchange + 32-task fixed cost lost
+    // to the single-task pipeline on every ivfSearch consumer (q48
+    // 0.51 → 0.69 s); the heavy per-row passes are pqFit's, which IS
+    // widened (gated on fit size)
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     c.crossJoin(seeds)
       .withColumn("cs", round(dot(col("cv"), col("sv")) / (col("cn") * col("sn")), 6))
       .groupBy("cand_id")
@@ -1111,7 +1114,16 @@ object Similarity {
     * codegen'd `aggregate` instead — integer addition is order-free,
     * so the value is bit-identical while the n·dim·k intermediate
     * relation (and its shuffle) disappears entirely. */
-  private def qdist12(a: Column, b: Column): Column =
+  /** ×10¹²-quantized squared distance — served by the codegen
+    * [[graft.plans.QDist12F]] kernel (r14: the interpreted
+    * aggregate∘zip_with fold was the top CPU of every PQ query; the
+    * kernel is bit-identical per its exactness contract, pinned by
+    * SimilaritySpec's qdist12 equivalence test). */
+  private[operators] def qdist12(a: Column, b: Column): Column =
+    toCol(graft.plans.QDist12F(toExpr(a), toExpr(b)))
+
+  /** The HOF reference formulation of [[qdist12]] (spec-only). */
+  private[operators] def qdist12Hof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
       floor((x - y) * (x - y) * 1e12 + lit(0.5)).cast("long")),
       lit(0L), (acc, v) => acc + v)
@@ -1126,11 +1138,14 @@ object Similarity {
     // (vector, subspace) SUBVECTOR rows — n·m rows carrying small
     // arrays; distances fold per row (see qdist12), so no
     // per-coordinate explosion ever reaches an exchange. The corpus is
-    // widened first: the two qdist12 assign passes (n·m·k folds) were
-    // the top cost of every PQ query, single-task on a one-row-group
-    // corpus (r14 measurement: 1.7 s each at sf0.1).
-    val subvecs = Fanout.widen(
-        corpus.select(col(idCol).as("_id"), col(vecCol).as("_v")), col("_id"))
+    // widened first for LARGE fits only (m·k ≥ 256, i.e. ≥256 fold
+    // terms per corpus row): the two assign passes of the m=16/k=32
+    // production fit were the top cost of every big PQ query (1.7 s
+    // single-task each at sf0.1), while for the m=4/k=4 monitoring
+    // fits the widen exchange + per-task fixed cost LOST to the
+    // single-task pipeline (r14 A/B: q295/q376 +0.2–0.3 s).
+    val src0 = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val subvecs = (if (m * k >= 256) Fanout.widen(src0, col("_id")) else src0)
       .select(col("_id"), explode(array((0 until m).map(s =>
         struct(lit(s.toLong).as("s"),
           slice(col("_v"), s * sub + 1, sub).as("sv"))): _*)).as("e"))
@@ -1975,7 +1990,7 @@ object Similarity {
     import graft.functions.HashFunctions.md5Long
     import org.apache.spark.sql.expressions.Window
     require(k1 >= 1 && k2 >= 1)
-    val unit = unitVecs(corpus, idCol, vecCol, wide = true)
+    val unit = unitVecs(corpus, idCol, vecCol)
       .select(col(idCol).as("_id"), col(vecCol).as("_v"))
     val w1 = Window.orderBy(md5Long(col("_id").cast("string")), col("_id"))
     val cb1 = broadcast(unit

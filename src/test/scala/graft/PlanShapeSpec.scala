@@ -709,7 +709,12 @@ class PlanShapeSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = SparkEntry.queries("q481_band_index_append")(spark, dir)
+      // checkpointCandidates = false: the registered query eagerly
+      // checkpoints the candidate set (r14 plan-size fix), which
+      // EXECUTES the probe join before this walk could see it; the
+      // flag pins the identical probe construction pre-checkpoint
+      val df = SparkEntry.bandAppendProbe(spark, dir,
+        checkpointCandidates = false)
       val p = df.queryExecution.executedPlan
       // the probe join: SMJ on (band, sig) one of whose sides is the
       // standing catalog table (the only bucketed scan in the plan —
@@ -752,7 +757,9 @@ class PlanShapeSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = SparkEntry.queries("q482_band_index_compact")(spark, dir)
+      // checkpointCandidates = false — see the q481 walk's note
+      val df = SparkEntry.bandCompactedProbe(spark, dir,
+        checkpointCandidates = false)
       val tbl = spark.catalog.listTables()
         .filter("name like 'graft_bandindex_482_%'").collect().head.name
       val manifest = graft.operators.Layout.bucketFileManifest(spark, tbl)
