@@ -48,19 +48,17 @@ object Multimodal {
     * image/audio table would have. */
   def asBinaryTable(docs: DataFrame, idCol: String = "doc_id",
                     payloadCol: String = "text"): DataFrame =
-    // widen first: every consumer stacks per-byte expression work
-    // (hex transforms, frame explodes, energy folds) onto this frame,
-    // and the narrow scan would pin it to one task (Fanout scaladoc;
-    // identity at production scan parallelism)
-    Fanout.widen(
-        docs.select(col(idCol).as("doc_id"), col(payloadCol).as("_p")),
-        col("doc_id"))
-      .select(
-        col("doc_id"),
-        col("_p").cast("binary").as("content"),
-        struct(
-          lit("image/png").as("mime"),
-          length(col("_p").cast("binary")).cast("long").as("n_bytes")).as("meta"))
+    // NOT widened here (r14 A/B): most consumers are scan-light
+    // (meta extraction, frame sampling, the mapPartitions decode) and
+    // the exchange cost them 2–4× (q30/q31/q51/q180/q279 all
+    // regressed); the two per-byte-CPU consumers — dhashNearDup and
+    // audioConstellation — widen their OWN frame input instead
+    docs.select(
+      col(idCol).as("doc_id"),
+      col(payloadCol).cast("binary").as("content"),
+      struct(
+        lit("image/png").as("mime"),
+        length(col(payloadCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
 
   /** Payload byte-entropy screen: per binary payload, the Shannon
     * entropy of its byte distribution (bits/byte, 0..8), the
@@ -246,7 +244,10 @@ object Multimodal {
                    stride: Int = 2, minChunks: Int = 3): DataFrame = {
     require(chunkBytes == 64, "dHash stubs the decode as 64 bytes = 8x8 gray")
     require(minChunks >= 1 && minChunks <= 4)
-    val frames = sampleFrames(binTable, chunkBytes, stride)
+    // widen: the per-frame hex parse + 4×16-term gradient folds are
+    // the CPU of this operator and would pin to the narrow scan
+    val frames = sampleFrames(Fanout.widen(binTable, col("doc_id")),
+        chunkBytes, stride)
       .select(col("doc_id"), col("frame_idx"),
         rpad(hex(col("frame")), 128, "0").as("_hx"))
     val withBytes = frames.withColumn("_b",
@@ -307,7 +308,9 @@ object Multimodal {
                          minAligned: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxDt >= 1 && minAligned >= 1)
-    val frames = sampleFrames(binTable, chunkBytes, stride)
+    // widen: per-frame hex-digit energy folds (see dhashNearDup)
+    val frames = sampleFrames(Fanout.widen(binTable, col("doc_id")),
+        chunkBytes, stride)
       .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("_hx"))
       .withColumn("_energy", expr(
         "aggregate(transform(sequence(0, cast(length(_hx)/2 - 1 as int))," +
