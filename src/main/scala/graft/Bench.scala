@@ -7,13 +7,21 @@ object Bench {
     * history of near-misses this encodes):
     * returns (detail file path, Some(divert reason to warn about)).
     * Canonical = the driver's per-round scale, /root/testdata/sf0.1,
-    * EXACTLY — a clean run at any other dir (even another testdata
-    * scale) writes a suffixed file. Within a canonical run, a subset
-    * / error-bearing / contended capture each divert to their own
+    * EXACTLY, at the driver's main core count (32) — a clean run at
+    * any other dir (even another testdata scale) or any other core
+    * count writes a suffixed file. The cpus key is the round-14
+    * lesson: the driver's 8-core scaling leg compared itself against
+    * the 32-core record, read as "drift" (every query legitimately
+    * slower at 8 cores), and its divert CLOBBERED the real
+    * drift-adjudication artifact `BENCH_detail_drift.json`; keying
+    * both the artifact name and the guard priors on (sf, cpus) makes
+    * a low-core leg a first-class capture with its own record and
+    * its own priors. Within a canonical run, a subset /
+    * error-bearing / contended capture each divert to their own
     * file so `BENCH_detail.json` only ever holds a full, clean,
-    * guard-quiet sf0.1 capture. An env override routes anywhere
-    * silently (deliberate, not a divert). */
-  private[graft] def detailRoute(sfDir: String, subset: Boolean,
+    * guard-quiet 32-core sf0.1 capture. An env override routes
+    * anywhere silently (deliberate, not a divert). */
+  private[graft] def detailRoute(sfDir: String, cpus: Int, subset: Boolean,
       hasErrors: Boolean, hasContended: Boolean, hasDrift: Boolean,
       envOverride: Option[String]): (String, Option[String]) = {
     val divert =
@@ -26,11 +34,15 @@ object Bench {
     // non-canonical corpora compose BOTH suffixes (round-12 fix: a
     // subset/errored run at another dir used to silently clobber that
     // dir's full clean record under the same name)
-    val base =
+    val dirBase =
       if (canonical) "BENCH_detail"
       else "BENCH_detail_" +
         java.nio.file.Paths.get(sfDir).getFileName.toString
           .replaceAll("[^A-Za-z0-9._-]", "_")
+    // non-main core counts get their own record (and their own
+    // variance/drift priors — see scaladoc): an 8-core capture is
+    // comparable only to another 8-core capture
+    val base = if (cpus == MainCpus) dirBase else s"${dirBase}_c$cpus"
     val path = envOverride.getOrElse(
       divert.fold(base + ".json")(d => s"${base}_${d._2}.json"))
     (path, if (envOverride.isEmpty) divert.map(_._1) else None)
@@ -64,6 +76,12 @@ object Bench {
     * if it reproduces, an explicit BASELINE.md adjudication + env-
     * override write rather than a silent record shift). */
   private[graft] val DriftMax = 1.15
+
+  /** The driver's MAIN per-round core count — the artifact of record
+    * is captured at this parallelism; any other `SPARK_GRAFT_CPUS`
+    * (the driver's low-core scaling leg runs 8) routes to a
+    * `_c<cpus>`-suffixed detail file with its own priors. */
+  private[graft] val MainCpus = 32
 
   @volatile private var canarySink = 0L
   /** Host-speed canary: a fixed, engine-independent CPU probe
@@ -188,12 +206,26 @@ object Bench {
     // passes — the guard can therefore lower it, never raise it); if
     // the min still exceeds 2× prior the query is listed under
     // "contended" in the detail file.
+    // prior keyed on (sf, cpus): the guard prior for this run is the
+    // clean detail file this run WOULD write (BENCH_detail.json at
+    // 32 cores, BENCH_detail_c8.json at 8, ...). An 8-core leg must
+    // never be judged against — nor overwrite — the 32-core record
+    // (round-14: the driver's 8-core run drift-diverted against the
+    // 32-core prior and clobbered BENCH_detail_drift.json).
+    val cpusN = cpus.toIntOption.getOrElse(-1)
+    val (cleanDetailPath, _) =
+      detailRoute(sfDir, cpusN, false, false, false, false, None)
     val priorRef: Map[String, Double] = try {
-      val p = java.nio.file.Paths.get("BENCH_detail.json")
+      val p = java.nio.file.Paths.get(cleanDetailPath)
       if (java.nio.file.Files.exists(p)) {
         val txt = java.nio.file.Files.readString(p)
         val sfRe = """"sf":\s*"([^"]+)"""".r
-        val sameSf = sfRe.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+        // legacy records carry no "cpus" field; they were all captured
+        // at the main core count, so missing == MainCpus
+        val priorCpus = """"cpus":\s*(\d+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(MainCpus)
+        val sameSf = sfRe.findFirstMatchIn(txt).exists(_.group(1) == sfDir) &&
+          priorCpus == cpusN
         val idx = txt.indexOf("\"queries_sec\"")
         val m =
           if (sameSf && idx >= 0)
@@ -318,18 +350,16 @@ object Bench {
     val total = if (errs.nonEmpty) -1.0 else ok.map(_._2).sum
     val errJson = errs.map { case (k, m) => jstr(qid(k)) + ":" + jstr(m) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
-    // The harness window keeps only the TAIL of stdout; at 206
-    // queries the per-query line overflows it and loses its head
-    // (BENCH_r06 recorded parsed:null — the total was unrecoverable).
-    // This trailing short line always survives the window, so the
-    // round's permanent record carries the total even when the
-    // per-query map is truncated.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${ok.size},"errors":${errs.size},"sf":"$sfDir"}""")
-    // The stdout window still truncates the per-query map itself
+    // The stdout window truncates the per-query map itself
     // (BENCH_r07 kept 142 of 317 entries) — ALSO write the full map
     // as a repo file so every round's per-query history is durable.
     // Full names (not qNN ids), one key per line for clean git diffs.
+    // The detail write (and any guard-divert diagnostics it prints)
+    // runs BEFORE the contract JSON lines below: every BENCH_r*.json
+    // since r11 recorded parsed:null because the divert notice landed
+    // on stderr AFTER the contract line and the driver's parser took
+    // the last non-sbt output line (VERDICT r14 item 2). The one-line
+    // JSON must be the program's LAST output, diverted run or not.
     try {
       val detail = new StringBuilder
       detail ++= "{\n"
@@ -341,6 +371,9 @@ object Bench {
       // (r12: q478/q479 postdated the guard-clean capture and nothing
       // in the artifact said so - only a BASELINE.md note did)
       detail ++= s"""  "n_registered": ${SparkEntry.queries.size},\n"""
+      // core count at capture time: the variance/drift guard priors
+      // are only valid between same-cpus captures (see detailRoute)
+      detail ++= s"""  "cpus": $cpusN,\n"""
       detail ++= s"""  "canary_sec": ${ms(canarySec)},\n"""
       detail ++= s"""  "pcanary_sec": ${ms(pcanarySec)},\n"""
       detail ++= s"""  "shared_median_ratio": ${
@@ -369,7 +402,7 @@ object Bench {
       // BenchArtifactSpec: a subset/errored/contended run at a
       // non-canonical corpus also diverts, composing both suffixes —
       // only an env override is silent, being deliberate)
-      val (detailPath, divertWhy) = detailRoute(sfDir, only.nonEmpty,
+      val (detailPath, divertWhy) = detailRoute(sfDir, cpusN, only.nonEmpty,
         errs.nonEmpty, contended.nonEmpty, hasDrift,
         sys.env.get("GRAFT_BENCH_DETAIL"))
       divertWhy.foreach { why =>
@@ -399,5 +432,20 @@ object Bench {
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     catch { case _: Throwable => () }
     spark.stop()
+    // contract JSON LAST (see the detail-write comment above): after
+    // spark.stop() nothing else writes to either stream, so the short
+    // line below is the final line the driver sees before sbt's own
+    // footer. Flush stderr first so an interleaving consumer cannot
+    // order a pending guard notice after the contract line.
+    System.err.flush()
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // The harness window keeps only the TAIL of stdout; at 206
+    // queries the per-query line overflows it and loses its head
+    // (BENCH_r06 recorded parsed:null — the total was unrecoverable).
+    // This trailing short line always survives the window, so the
+    // round's permanent record carries the total even when the
+    // per-query map is truncated.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${ok.size},"errors":${errs.size},"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

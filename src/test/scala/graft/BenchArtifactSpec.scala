@@ -18,11 +18,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchArtifactSpec extends AnyFunSuite {
   private val SF01 = "/root/testdata/sf0.1"
 
-  private def route(sfDir: String = SF01, subset: Boolean = false,
+  private def route(sfDir: String = SF01, cpus: Int = 32,
+                    subset: Boolean = false,
                     errors: Boolean = false, contended: Boolean = false,
                     drift: Boolean = false,
                     env: Option[String] = None) =
-    Bench.detailRoute(sfDir, subset, errors, contended, drift, env)
+    Bench.detailRoute(sfDir, cpus, subset, errors, contended, drift, env)
 
   test("clean full canonical run owns the artifact of record, no warning") {
     assert(route() === ("BENCH_detail.json", None))
@@ -56,6 +57,20 @@ class BenchArtifactSpec extends AnyFunSuite {
   test("contention takes precedence over drift - per-query evidence is more specific") {
     assert(route(contended = true, drift = true) ===
       ("BENCH_detail_contended.json", Some("contended")))
+  }
+
+  test("a non-main core count owns its OWN record - never the 32-core artifact (round-14 fix)") {
+    // the driver's 8-core scaling leg must neither be judged against
+    // the 32-core priors nor overwrite BENCH_detail.json /
+    // BENCH_detail_drift.json (which its spurious drift-divert
+    // clobbered in round 14)
+    assert(route(cpus = 8) === ("BENCH_detail_c8.json", None))
+    assert(route(cpus = 8, contended = true) ===
+      ("BENCH_detail_c8_contended.json", Some("contended")))
+    assert(route(cpus = 8, drift = true) ===
+      ("BENCH_detail_c8_drift.json", Some("drift")))
+    assert(route(sfDir = "/root/testdata/sf0.01", cpus = 8) ===
+      ("BENCH_detail_sf0.01_c8.json", None))
   }
 
   test("another testdata scale is NOT canonical - clean sf0.01 run diverts silently") {
