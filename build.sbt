@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// measurement-experiment plumbing (optimization rounds): extra -D
+// flags for the forked JVM, e.g. SPARK_GRAFT_JAVA_OPTS=
+// "-Dspark.sql.adaptive.enabled=false" for a config A/B. Empty by
+// default — the bench/verify contract JVMs are unchanged unless the
+// operator asks.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split(" ").filter(_.nonEmpty))

@@ -334,6 +334,16 @@ object Layout {
                            table: String, partCol: String,
                            bucketCols: Seq[String], numBuckets: Int,
                            maxFilesPerBucket: Int = 16): Seq[String] = {
+    spark.sparkContext.setJobDescription(s"compactBucketedTable $table")
+    try compactBucketedTable0(spark, table, partCol, bucketCols,
+      numBuckets, maxFilesPerBucket)
+    finally spark.sparkContext.setJobDescription(null)
+  }
+
+  private def compactBucketedTable0(spark: org.apache.spark.sql.SparkSession,
+                           table: String, partCol: String,
+                           bucketCols: Seq[String], numBuckets: Int,
+                           maxFilesPerBucket: Int): Seq[String] = {
     require(maxFilesPerBucket >= 1, s"maxFilesPerBucket $maxFilesPerBucket")
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     // validate against the catalog's own bucket spec where DESCRIBE
@@ -405,6 +415,13 @@ object Layout {
     * computed from the parquet inputs. */
   def cloneBucketedTable(spark: org.apache.spark.sql.SparkSession,
                          src: String, dst: String): Unit = {
+    spark.sparkContext.setJobDescription(s"cloneBucketedTable $src -> $dst")
+    try cloneBucketedTable0(spark, src, dst)
+    finally spark.sparkContext.setJobDescription(null)
+  }
+
+  private def cloneBucketedTable0(spark: org.apache.spark.sql.SparkSession,
+                                  src: String, dst: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $dst")
     val ddl = spark.sql(s"SHOW CREATE TABLE $src").collect()(0).getString(0)
       // strip an explicit LOCATION clause if present — the clone must
@@ -413,6 +430,12 @@ object Layout {
       // the hashed table names are globally unique strings, so a
       // plain replace renames every qualified form at once
       .replace(src, dst)
+    // the blind replace is only safe while the uniqueness assumption
+    // holds — assert it (ADVICE r14): exactly one identifier equal to
+    // dst must appear, and none equal to src may survive
+    require(!ddl.contains(src) && ddl.contains(dst),
+      s"cloneBucketedTable: DDL rewrite $src -> $dst corrupted the " +
+        "statement (source name is a substring of another identifier?)")
     spark.sql(ddl)
     def loc(t: String): java.nio.file.Path = {
       val l = spark.sql(s"DESCRIBE FORMATTED $t").collect()
@@ -434,6 +457,28 @@ object Layout {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     } finally s0.close()
-    spark.sql(s"MSCK REPAIR TABLE $dst")
+    // register the copied partitions DIRECTLY from the source's
+    // catalog metadata (one ALTER ... ADD PARTITION statement), not
+    // MSCK REPAIR: repair re-walks the whole table directory to
+    // DISCOVER partitions we already know by name — at a real table's
+    // partition count that is the expensive full-listing path
+    // (VERDICT r14 item 3; guide §6 file-listing). Partition dir
+    // names are Hive-escaped exactly as the source's, so the default
+    // partition locations land on the copied directories verbatim.
+    val parts = spark.sql(s"SHOW PARTITIONS $src").collect()
+      .map(_.getString(0))
+    if (parts.exists(_.split("/").exists(_.endsWith("=" + NullPartition)))) {
+      // a NULL partition value has no ADD PARTITION literal — fall
+      // back to discovery for that rare shape
+      spark.sql(s"MSCK REPAIR TABLE $dst")
+    } else if (parts.nonEmpty) {
+      val specs = parts.map { p =>
+        p.split("/").map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          s"$k='${unescapePathName(v).replace("'", "\\'")}'"
+        }.mkString("PARTITION (", ", ", ")")
+      }
+      spark.sql(s"ALTER TABLE $dst ADD IF NOT EXISTS ${specs.mkString(" ")}")
+    }
   }
 }
