@@ -1702,14 +1702,27 @@ object SparkEntry {
     // same order, cosine over co-occurrence counts, top-5 similar
     // per part via the bounded-heap TopKPerKey custom operator
     "q160_item_cf" -> ((s, dir) => {
-      val oi = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val cnt = oi.groupBy(col("l_partkey").as("p"))
-        .agg(count(lit(1)).as("n"))
-      val pairs = oi.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(oi.select(col("l_orderkey"), col("l_partkey").as("pb")),
-          Seq("l_orderkey"))
-        .filter(col("pa") < col("pb"))
+      // per-order BASKET arrays instead of the orderkey self-join
+      // (r15, guide §2.4/§3.3): collect_set dedups in the aggregate
+      // (no separate distinct pass), the basket is bounded (~7 items/
+      // order at any scale), and the pa<pb pair expansion happens
+      // IN-ROW — one exchange on l_orderkey replaces two distinct
+      // exchanges + the self-join's two shuffles + SMJ. `co` counts
+      // are identical: each order contributes each unordered pair of
+      // its distinct items exactly once, same as the a.key=b.key,
+      // pa<pb join over distinct (order, item) rows. The item counts
+      // reuse the same basket exchange (one explode branch).
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      val cnt = baskets.select(explode(col("items")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("n"))
+      val pairs = baskets
+        .select(explode(flatten(transform(col("items"), (x, i) =>
+          transform(slice(col("items"), i + lit(2), size(col("items"))),
+            y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
+        .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("co"))
       val sim = pairs
         .join(broadcast(cnt.select(col("p").as("pa"), col("n").as("na"))),
