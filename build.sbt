@@ -35,3 +35,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // operator asks.
 javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
   .flatMap(_.split(" ").filter(_.nonEmpty))
+// Ephemeral scratch — shuffle files (spark.local.dir), temp
+// warehouses, staged stream feeds and TEMPORARY streaming checkpoints
+// (all under java.io.tmpdir) — goes on the fastest local medium
+// available: RAM-backed /dev/shm when present, else the JVM default.
+// Everything written there is per-run scratch deleted by the harness
+// sweeps; durability is never assumed (named/durable checkpoints pass
+// explicit locations). Production sizes this to fast local NVMe via
+// SPARK_GRAFT_SCRATCH (set it empty to keep the JVM default). A/B at
+// sf0.1 (r15): the 18-query streaming family 28.2 -> 26.5 s, the
+// per-micro-batch commit/state I/O being the beneficiary.
+javaOptions ++= {
+  val scratch = sys.env.get("SPARK_GRAFT_SCRATCH") match {
+    case Some("") => None
+    case Some(d) => Some(d)
+    case None => Some("/dev/shm").filter(p => new java.io.File(p).isDirectory)
+      .map(_ + "/graft-scratch")
+  }
+  scratch.toSeq.flatMap { d =>
+    new java.io.File(d).mkdirs()
+    Seq(s"-Djava.io.tmpdir=$d", s"-Dspark.local.dir=$d")
+  }
+}
