@@ -53,10 +53,24 @@ object Fanout {
     // broadcast job — executing the frame's whole upstream pipeline a
     // second time outside the plan (q453 2.5 s → 5.2 s when the
     // verify-path shingle frame, a semi-join, was probed).
+    // a streaming frame cannot be .rdd-probed at all (AnalysisException
+    // at plan construction) — widen is a no-op there by contract
+    // (ADVICE r14): micro-batches are already source-split, and the
+    // repartition would add per-batch exchanges
+    if (df.isStreaming) return df
     val shuffles = df.queryExecution.logical.collectFirst {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
       case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => r
+      // the same early-job hazard as broadcast joins (ADVICE r14):
+      // preparing a plan bearing these nodes can launch work before
+      // the timed action — Distinct/Window cross an exchange anyway
+      // (reason 1), and a subquery's doPrepare runs the subquery
+      case d: org.apache.spark.sql.catalyst.plans.logical.Distinct => d
+      case dd: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => dd
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])) => p
     }
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (shuffles.isEmpty && df.rdd.getNumPartitions < target)
