@@ -528,7 +528,15 @@ object SparkEntry {
   private[graft] def appendBandWave(s: SparkSession, tbl: String,
       wave: DataFrame): Unit = labeled(s, s"appendBandWave $tbl") {
     val cols = s.table(tbl).columns.map(col)
-    FuzzyDedup.bandIndex(wave).withColumn("part", lit("bands"))
+    // IN-ROW banding ([[FuzzyDedup.bandRowsLocal]] — spec-pinned
+    // bit-identical to the batch [[FuzzyDedup.bandIndex]] rows): the
+    // wave's band rows come from one map-only pass instead of the
+    // explode+groupBy minhash chain, so the append pays only the
+    // bucket-spec exchange the insertInto needs anyway (the vector
+    // side's r15 appendEncodedWave pattern; guide §2.4)
+    FuzzyDedup.bandRowsLocal(wave)
+      .select(col("doc_id"), col("band"), col("sig"))
+      .withColumn("part", lit("bands"))
       .select(cols: _*)
       .write.mode("append").insertInto(tbl)
   }
